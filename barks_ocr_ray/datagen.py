@@ -1,0 +1,267 @@
+"""Deterministic synthetic pages corpus (FIXTURES.md §F1).
+
+One Parquet table of Common-Crawl-style web pages with the exact
+`input_hint` shape from BASELINE.json:
+
+    (url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string)
+
+Every value is a pure function of ``(seed, row_index)`` — no wall clock, no
+global RNG — so pytest fixtures, the bench corpus, and any re-run at any
+scale produce byte-identical rows. Mirrors the reference corpus's record
+shapes (page payload + metadata; cf. the page-file enumeration at
+/root/reference/src/barks_ocr/pipeline/batch_ocr.py:59-62) without using any
+external data.
+
+Row classes, assigned by ``logical_id % 10`` (FIXTURES.md F1):
+    0-4  plain HTML article (nav/header/footer boilerplate + content paras)
+    5    link-farm page (all text inside <a>; golden extraction ~empty)
+    6-7  PDF-like payload: b"%SPDF" + JSON layout of text boxes (1 or 2 cols)
+    8    oversized HTML article (> OVERSIZE_BYTES; exercises skew routing)
+    9    junk/binary payload (no HTML/PDF magic; golden = empty, kind=binary)
+
+Duplicates (~10% of rows): physical row ``i`` with ``i % 10 == 4 and i >= 10``
+is a *re-fetch* of logical page ``i - 4`` (class 0, plain article) with a
+later ``warc_ts`` and a different content variant — the dedup exercise
+(keep max(warc_ts)). A small tie-group (``i % 50 == 14``) re-fetches with an
+*equal* ``warc_ts`` to pin the documented tie-break: lexicographically
+smallest content sha256 wins.
+
+A slice of articles (``logical_id % 20 == 1``) is encoded latin-1 with a
+``<meta charset="iso-8859-1">`` declaration and non-ASCII words, exercising
+encoding detection in the sniffer.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+
+SEED = 42
+N_HOSTS = 50
+OVERSIZE_BYTES = 128 * 1024  # routing threshold; oversized pages exceed this
+_EPOCH = datetime(2026, 1, 1, 0, 0, 0)
+
+_WORDS = (
+    "duck coin vault adventure square egg nephew luck worry gold barn river "
+    "storm treasure map whisker feather umbrella pocket fortune scheme tonic "
+    "gadget rocket valley canyon harbor lantern compass anchor meadow orchard "
+    "thimble marble walnut copper silver bronze granite pebble summit tunnel "
+    "bridge windmill beacon harvest clover badger falcon otter heron juniper "
+    "cedar maple aspen willow bramble thicket hollow glade brook delta mesa "
+    "plateau prairie tundra lagoon atoll reef dune oasis grove quarry mill "
+    "forge anvil chisel plank mast rudder keel sail galley cargo ledger"
+).split()
+
+_LATIN1_WORDS = ["café", "naïve", "über", "señor", "crème"]
+_LANGS = ["en", "de", "fr", "es", ""]
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def _rng(seed: int, *key) -> random.Random:
+    return random.Random(f"{seed}:" + ":".join(str(k) for k in key))
+
+
+def _b36(n: int) -> str:
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    if n == 0:
+        return "0"
+    out = []
+    while n:
+        n, r = divmod(n, 36)
+        out.append(digits[r])
+    return "".join(reversed(out))
+
+
+def _sentence(rng: random.Random, n_words: int, extra_words=()) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(n_words)]
+    for w in extra_words:
+        ws[rng.randrange(len(ws))] = w
+    ws[0] = ws[0].capitalize()
+    return " ".join(ws) + "."
+
+
+def url_for(logical_id: int) -> str:
+    return f"https://host{logical_id % N_HOSTS}.example/{_b36(logical_id)}"
+
+
+def _article_html(
+    logical_id: int, variant: int, seed: int, oversize: bool
+) -> tuple[bytes, str]:
+    """Plain-article HTML. Returns (encoded bytes, encoding name)."""
+    rng = _rng(seed, "article", logical_id, variant)
+    latin1 = logical_id % 20 == 1
+    extra = _LATIN1_WORDS if latin1 else ()
+    title = _sentence(rng, 3)[:-1]
+    headline = _sentence(rng, 5)[:-1]
+    n_para = 3 + rng.randrange(4) + variant
+    paras = [
+        _sentence(rng, 25 + rng.randrange(30), extra_words=extra)
+        for _ in range(n_para)
+    ]
+    nav = " ".join(
+        f'<a href="/{w}">{w.capitalize()}</a>'
+        for w in rng.sample(_WORDS, 6)
+    )
+    charset = "iso-8859-1" if latin1 else "utf-8"
+    parts = [
+        "<html><head>",
+        f'<meta charset="{charset}">',
+        f"<title>{title}</title>",
+        "</head><body>",
+        f'<div class="nav">{nav}</div>',
+        f'<div class="header"><a href="/">host{logical_id % N_HOSTS}</a> '
+        f'<a href="/news">News</a> <a href="/archive">Archive</a></div>',
+        f"<h1>{headline}</h1>",
+    ]
+    parts += [f"<p>{p}</p>" for p in paras]
+    if oversize:
+        # repeat the paragraph run until the body exceeds the routing threshold
+        body_len = sum(len(p) for p in paras)
+        reps = max(1, (OVERSIZE_BYTES + 32 * 1024) // max(1, body_len))
+        for r in range(reps):
+            parts += [f"<p>{p}</p>" for p in paras]
+    parts += [
+        '<div class="footer"><a href="/privacy">Privacy</a> '
+        '<a href="/terms">Terms</a> <a href="/contact">Contact</a> (c)</div>',
+        "</body></html>",
+    ]
+    html = "\n".join(parts)
+    return html.encode(charset), charset
+
+
+def _link_farm_html(logical_id: int, seed: int) -> bytes:
+    rng = _rng(seed, "farm", logical_id)
+    items = "".join(
+        f'<li><a href="/{_b36(rng.randrange(10**6))}">'
+        f"{_sentence(rng, 4)[:-1]}</a></li>"
+        for _ in range(30)
+    )
+    return (
+        "<html><head><meta charset=\"utf-8\"><title>Links</title></head>"
+        f"<body><ul>{items}</ul></body></html>"
+    ).encode("utf-8")
+
+
+def _pdf_payload(logical_id: int, seed: int) -> bytes:
+    """%SPDF magic + deterministic JSON layout of text boxes (1-2 columns).
+
+    Stand-in for a PDF page: the layout kernel must emit boxes in reading
+    order — per column, by (y_band, x) — the analog of the reference's
+    contour precedence sort (/root/reference/scraps/damishshah_comic_book_reader.py:33-37).
+    """
+    rng = _rng(seed, "pdf", logical_id)
+    ncols = 1 if logical_id % 10 == 6 else 2
+    width, height = 600, 800
+    pages = []
+    for p in range(1 + rng.randrange(2)):
+        boxes = []
+        n_boxes = 6 + rng.randrange(6)
+        for b in range(n_boxes):
+            col = 0 if ncols == 1 else rng.randrange(2)
+            x = 20 + col * (width // 2) + rng.randrange(40)
+            y = 30 + (b // ncols) * 90 + rng.randrange(25)
+            boxes.append(
+                {
+                    "x": x,
+                    "y": y,
+                    "w": width // (2 * ncols),
+                    "h": 40,
+                    "text": _sentence(rng, 6 + rng.randrange(6))[:-1],
+                }
+            )
+        pages.append({"page": p, "boxes": boxes})
+    doc = {"width": width, "height": height, "ncols": ncols, "pages": pages}
+    return b"%SPDF" + json.dumps(doc, sort_keys=True).encode("utf-8")
+
+
+def _junk_payload(logical_id: int, seed: int) -> bytes:
+    rng = _rng(seed, "junk", logical_id)
+    return b"\x89JNK" + bytes(
+        rng.randrange(256) for _ in range(200 + rng.randrange(800))
+    )
+
+
+def _html_for(logical_id: int, variant: int, seed: int) -> bytes:
+    cls = logical_id % 10
+    if cls == 5:
+        return _link_farm_html(logical_id, seed)
+    if cls in (6, 7):
+        return _pdf_payload(logical_id, seed)
+    if cls == 9:
+        return _junk_payload(logical_id, seed)
+    oversize = cls == 8
+    return _article_html(logical_id, variant, seed, oversize)[0]
+
+
+def page_record(i: int, seed: int = SEED) -> dict:
+    """Physical row ``i`` of the corpus — pure function of (seed, i)."""
+    is_refetch = i >= 10 and i % 10 == 4
+    logical_id = i - 4 if is_refetch else i
+    tie = is_refetch and i % 50 == 14
+    variant = 2 if tie else (1 if is_refetch else 0)
+    ts = _EPOCH + timedelta(seconds=logical_id * 37)
+    if is_refetch and not tie:
+        ts += timedelta(days=30)
+    rng = _rng(seed, "meta", i)
+    fallback = _sentence(rng, 12) + " CRAWLER-FALLBACK-NOISE"
+    return {
+        "url": url_for(logical_id),
+        "warc_ts": ts,
+        "html": _html_for(logical_id, variant, seed),
+        "text": fallback,
+        "lang": _LANGS[logical_id % 5],
+    }
+
+
+def pages_batch(start: int, count: int, seed: int = SEED) -> pa.Table:
+    recs = [page_record(i, seed) for i in range(start, start + count)]
+    return pa.Table.from_pylist(recs, schema=PAGES_SCHEMA)
+
+
+def pages_table(n: int, seed: int = SEED) -> pa.Table:
+    return pages_batch(0, n, seed)
+
+
+def logical_urls(n: int) -> set[str]:
+    """The post-dedup url set for a corpus of ``n`` physical rows."""
+    out = set()
+    for i in range(n):
+        is_refetch = i >= 10 and i % 10 == 4
+        out.add(url_for(i - 4 if is_refetch else i))
+    return out
+
+
+def write_pages_corpus(
+    out_dir: str, n: int, seed: int = SEED, rows_per_file: int = 2000
+) -> list[str]:
+    """Write the corpus as a directory of Parquet shards (driver-side;
+    used by tests and the bench generator). Idempotent layout: shard k
+    covers rows [k*rows_per_file, ...) — resumable generation for free."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for k, start in enumerate(range(0, n, rows_per_file)):
+        path = os.path.join(out_dir, f"pages-{k:05d}.parquet")
+        paths.append(path)
+        if os.path.exists(path):
+            continue
+        tbl = pages_batch(start, min(rows_per_file, n - start), seed)
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp, compression="zstd")
+        os.replace(tmp, path)
+    return paths
