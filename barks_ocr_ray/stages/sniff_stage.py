@@ -1,0 +1,51 @@
+"""Stage 2 — sniff: stateless ``map_batches`` over zero-copy Arrow batches.
+
+Adds ``kind`` (html/pdf/binary), ``html_len``, ``content_hash`` (sha256 of
+the payload — dedup tie-break key) and ``dedup_rank`` (a single string key
+whose lexicographic max == "max warc_ts, ties -> min content hash") to the
+pages table. Vectorized where pyarrow has a kernel (length); the prefix
+check and sha256 are cheap per-row byte ops over memoryviews (no copies of
+the payload are made).
+
+Reference ancestor: engine dispatch `get_ocr_type`
+(/root/reference/src/barks_ocr/pipeline/batch_ocr.py:103-108).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from barks_ocr_ray.extract.sniff import sniff_kind
+
+# hex-digit inversion table: max over the inverted hash == min over the hash
+_INV_HEX = str.maketrans("0123456789abcdef", "fedcba9876543210")
+
+DEDUP_RANK = "dedup_rank"
+
+
+def make_dedup_rank(ts_micros: int, content_hash: str) -> str:
+    """Single sortable key: zero-padded timestamp then inverted hash hex.
+    ``max(dedup_rank)`` picks the max-warc_ts fetch, breaking ties on the
+    lexicographically smallest content sha256 (FIXTURES.md F2)."""
+    return f"{ts_micros:020d}" + content_hash.translate(_INV_HEX)
+
+
+def sniff_batch(batch: pa.Table) -> pa.Table:
+    payloads = batch.column("html")
+    kinds = []
+    hashes = []
+    for buf in payloads:
+        mv = memoryview(buf.as_buffer())
+        kinds.append(sniff_kind(bytes(mv[:512])))
+        hashes.append(hashlib.sha256(mv).hexdigest())
+    ts_micros = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
+    ranks = [make_dedup_rank(t, h) for t, h in zip(ts_micros, hashes)]
+    return (
+        batch.append_column("kind", pa.array(kinds, pa.string()))
+        .append_column("html_len", pc.binary_length(payloads).cast(pa.int64()))
+        .append_column("content_hash", pa.array(hashes, pa.string()))
+        .append_column(DEDUP_RANK, pa.array(ranks, pa.string()))
+    )
