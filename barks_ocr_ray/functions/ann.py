@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk`` — exact cosine top-k: the query matrix is
+  broadcast ONCE (``ray.put``), each batch does one vectorized float64
+  matmul and emits only its local top-k per query, and a final per-query
+  merge reduces (batches x k) candidates to the global top-k. Exact ->
+  has a DuckDB oracle (list_cosine_similarity + QUALIFY).
+* ``lsh_topk`` — the scale path: random-hyperplane LSH buckets restrict
+  each query to candidates sharing its bucket (multi-probe over the
+  query's nearby buckets); approximate, rows-only check.
+
+Ranking determinism: candidates are ordered by (round(cosine, 6) desc,
+neighbor_id asc) on BOTH the Ray side and the SQL oracle, so float
+last-ulp differences cannot flip ranks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+
+def _round_half_away(x: np.ndarray, nd: int = 6) -> np.ndarray:
+    """DuckDB-bit-identical rounding (see relational.round_like_duckdb)."""
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    return round_like_duckdb(x, nd)
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) for v in batch.column("embedding").to_pylist()]
+    )
+
+
+def _query_rows(embeddings: Dataset, query_ids: list[int]) -> pd.DataFrame:
+    idset = pa.array(query_ids, pa.int64())
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=idset))
+
+    return (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(_sel, batch_format="pyarrow")
+        .to_pandas()
+    )
+
+
+def brute_force_topk(
+    embeddings: Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    concurrency: int = 4,
+) -> Dataset:
+    """(query_id, neighbor_id, cosine) for the exact top-k neighbors of
+    each query vector (self excluded)."""
+    q_rows = _query_rows(embeddings, query_ids)
+    q_ids = q_rows["vec_id"].to_numpy()
+    q_mat = _unit(np.stack([np.asarray(v, np.float64) for v in q_rows["embedding"]]))
+    q_ref = ray.put((q_ids, q_mat))
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(q_ref)
+        emb = _unit(_emb_matrix(batch))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        sims = emb @ mat_q.T  # (batch, Q)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(ids_q):
+            col = sims[:, qi]
+            mask = vec_ids != qid
+            cand_ids = vec_ids[mask]
+            cand_sims = col[mask]
+            if len(cand_ids) == 0:
+                continue
+            take = min(k, len(cand_ids))
+            # local top-k by (rounded sim desc, id asc)
+            order = np.lexsort((cand_ids, -_round_half_away(cand_sims)))[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(cand_ids[order].tolist())
+            out_s.extend(_round_half_away(cand_sims[order]).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return g
+
+    return (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(_local_topk, batch_format="pyarrow", batch_size=1024)
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def lsh_topk(
+    embeddings: Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> Dataset:
+    """Approximate top-k: only candidates in the query's LSH bucket (or a
+    1-bit-flip neighbor bucket — multi-probe) are scored. Recall < 1 by
+    construction; the bench pairs it with brute_force_topk to report
+    recall@k."""
+    first = embeddings.take(1)
+    dim = len(first[0]["embedding"])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    planes_ref = ray.put(planes)
+
+    q_rows = _query_rows(embeddings, query_ids)
+    q_ids = q_rows["vec_id"].to_numpy()
+    q_mat = _unit(np.stack([np.asarray(v, np.float64) for v in q_rows["embedding"]]))
+    q_signs = (q_mat @ planes) >= 0
+    q_buckets = q_signs.dot(1 << np.arange(n_planes)).astype(np.int64)
+    # multi-probe: the query's bucket plus every 1-bit flip of it
+    probe_sets = [
+        {int(b)} | {int(b) ^ (1 << p) for p in range(n_planes)} for b in q_buckets
+    ]
+    q_ref = ray.put((q_ids, q_mat, probe_sets))
+
+    def _bucketed_topk(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q, probes = ray.get(q_ref)
+        pl = ray.get(planes_ref)
+        emb = _unit(_emb_matrix(batch))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        signs = (emb @ pl) >= 0
+        buckets = signs.dot(1 << np.arange(pl.shape[1])).astype(np.int64)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(ids_q):
+            mask = np.fromiter(
+                (int(b) in probes[qi] for b in buckets), bool, len(buckets)
+            )
+            mask &= vec_ids != qid
+            if not mask.any():
+                continue
+            cand_ids = vec_ids[mask]
+            sims = emb[mask] @ mat_q[qi]
+            take = min(k, len(cand_ids))
+            order = np.lexsort((cand_ids, -_round_half_away(sims)))[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(cand_ids[order].tolist())
+            out_s.extend(_round_half_away(sims[order]).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(_bucketed_topk, batch_format="pyarrow", batch_size=1024)
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -1,0 +1,171 @@
+"""Relational operators over Ray Datasets: vectorized filters/projections,
+grouped aggregates with pre-aggregation, broadcast joins, anti-joins,
+top-k — the engine's answer to the reference's joins/aggregations
+inventory (SURVEY.md §2.4-§2.7).
+
+Design rules applied throughout:
+* prune columns at the read (callers pass ``columns=[...]``),
+* vectorized pyarrow.compute kernels inside ``map_batches`` (never
+  per-row Python in hot paths),
+* broadcast small sides with ``ray.put`` + per-batch lookup instead of a
+  shuffle join (J7/J8 analog, /root/reference/src/barks_ocr/pipeline/entity_store.py:69-88),
+* exact dedup = hash partition + vectorized per-block first (D1 analog,
+  /root/reference/src/barks_ocr/tools/ocr_check.py:521-538).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+
+
+def round_like_duckdb(x: np.ndarray, nd: int) -> np.ndarray:
+    """Bit-exact replica of DuckDB's round(): std::round(x * 10^n) / 10^n
+    with C round = half away from zero. Implemented without the naive
+    ``+0.5`` (which mis-rounds values one ulp below a half boundary):
+    the fractional part of |scaled| is compared to 0.5 exactly."""
+    p = 10.0 ** nd
+    scaled = np.asarray(x, dtype=np.float64) * p
+    a = np.abs(scaled)
+    fa = np.floor(a)
+    r = fa + (a - fa >= 0.5)
+    return np.copysign(r, scaled) / p
+
+
+def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
+    from barks_ocr_ray.context import configure
+
+    configure()
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def round_columns(ds: Dataset, spec: dict[str, int]) -> Dataset:
+    """Round float columns to DuckDB-bit-identical doubles (stabilizes
+    the driver's value-hash comparison vs the SQL oracle)."""
+
+    def _round(t: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            idx = t.schema.get_field_index(col)
+            vals = round_like_duckdb(
+                t.column(col).to_numpy(zero_copy_only=False), nd
+            )
+            t = t.set_column(idx, col, pa.array(vals, pa.float64()))
+        return t
+
+    return ds.map_batches(_round, batch_format="pyarrow")
+
+
+def broadcast_lookup_column(
+    ds: Dataset,
+    lookup: dict,
+    key_col: str,
+    out_col: str,
+    out_type: pa.DataType | None = None,
+    drop_missing: bool = True,
+) -> Dataset:
+    """Broadcast hash join: the small side is ``ray.put`` ONCE and read
+    inside each task (not re-shipped per batch); the mapping is applied
+    as a vectorized dictionary lookup per batch."""
+    ref = ray.put(lookup)
+
+    def _join(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = t.column(key_col).to_pylist()
+        vals = [m.get(k) for k in keys]
+        arr = pa.array(vals, out_type)
+        t = t.append_column(out_col, arr)
+        if drop_missing:
+            t = t.filter(pc.is_valid(t.column(out_col)))
+        return t
+
+    return ds.map_batches(_join, batch_format="pyarrow")
+
+
+def broadcast_semi_join(
+    ds: Dataset, keys: set, key_col: str, anti: bool = False
+) -> Dataset:
+    """Semi/anti join via a broadcast key set (J8/J9 analog)."""
+    ref = ray.put(keys)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        col = t.column(key_col).to_pylist()
+        mask = pa.array([(k in ks) != anti for k in col])
+        return t.filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def exact_dedup(
+    ds: Dataset,
+    key_col: str,
+    *,
+    tie_break_col: str | None = None,
+    num_partitions: int = 16,
+) -> Dataset:
+    """One row per ``key_col`` (winner = min ``tie_break_col``): hash
+    partition on the key + vectorized per-block first — no per-group
+    Python, one exchange (the engine's D1 template)."""
+    sort_keys = [(key_col, "ascending")]
+    if tie_break_col:
+        sort_keys.append((tie_break_col, "ascending"))
+
+    def _first_per_key(t: pa.Table) -> pa.Table:
+        if t.num_rows <= 1:
+            return t
+        idx = pc.sort_indices(
+            t.select([k for k, _ in sort_keys]), sort_keys=sort_keys
+        )
+        t = t.take(idx)
+        keys = t.column(key_col).combine_chunks()
+        neq = pc.not_equal(keys.slice(1), keys.slice(0, len(keys) - 1))
+        if isinstance(neq, pa.ChunkedArray):
+            neq = neq.combine_chunks()
+        mask = pa.concat_arrays([pa.array([True]), neq])
+        return t.filter(mask)
+
+    ds = ds.repartition(num_partitions, keys=[key_col])
+    return ds.map_batches(_first_per_key, batch_format="pyarrow", batch_size=None)
+
+
+def grouped_topk(
+    ds: Dataset,
+    group_col: str,
+    order_col: str,
+    k: int,
+    *,
+    tie_col: str,
+    rank_col: str = "rank",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Top-k rows per group (O7/O9 analog) without a global sort: hash
+    partition on the group key, then a vectorized per-block
+    sort + rank + filter (all groups are co-located per block)."""
+
+    def _topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(rank_col, pa.array([], pa.int64()))
+        idx = pc.sort_indices(
+            t.select([group_col, order_col, tie_col]),
+            sort_keys=[
+                (group_col, "ascending"),
+                (order_col, "descending"),
+                (tie_col, "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        groups = t.column(group_col).to_pylist()
+        ranks, prev, r = [], object(), 0
+        for g in groups:
+            r = r + 1 if g == prev else 1
+            prev = g
+            ranks.append(r)
+        t = t.append_column(rank_col, pa.array(ranks, pa.int64()))
+        return t.filter(pc.less_equal(t.column(rank_col), pa.scalar(k)))
+
+    ds = ds.repartition(num_partitions, keys=[group_col])
+    return ds.map_batches(_topk, batch_format="pyarrow", batch_size=None)

@@ -1,0 +1,242 @@
+"""Text analysis operators over a documents table: tokenization + inverted
+word index (A1/M13 analog), per-doc token counting, quality scoring (M14
+analog), n-gram language ID, and rolling-hash document fingerprinting.
+
+Tokenizer contract shared with the DuckDB oracle: lowercase +
+``[a-z0-9]+`` runs (both RE2 semantics), mirroring the reference's index
+normalizer (/root/reference/experiments/make-word-index-from-gemini-ai-groups.py:251-265).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+TOKEN_RE = r"[a-z0-9]+"
+STOPWORDS = (
+    "the and of a to in is it that was for on are as with his they i at be "
+    "this have from or had by not word but what some we can out other were "
+    "all there when up use your how said an each she"
+).split()
+
+
+class Tokenizer:
+    """Warm-tokenizer actor (T3/T5 pattern: compile once per actor in
+    __init__, reuse per batch)."""
+
+    def __init__(self):
+        self.token_re = re.compile(TOKEN_RE)
+        self.stop = frozenset(STOPWORDS)
+
+    def tokens(self, text: str) -> list[str]:
+        return self.token_re.findall(text.lower())
+
+
+class WordCountCombiner(Tokenizer):
+    """Per-batch partial aggregation (combiner): emits one (word, n) row
+    per distinct word per batch, so the wide groupby shuffles partials,
+    not one row per token (SURVEY.md 'pre-aggregate inside map_batches')."""
+
+    def __init__(self, text_col: str = "text"):
+        super().__init__()
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for s in batch.column(self.text_col):
+            txt = s.as_py()
+            if txt:
+                counts.update(self.tokens(txt))
+        words = list(counts.keys())
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([counts[w] for w in words], pa.int64()),
+            }
+        )
+
+
+def word_index(docs: Dataset, text_col: str = "text", concurrency: int = 4) -> Dataset:
+    """Inverted-index word counts: tokenize + combine per batch, then a
+    small groupby(word).sum over the partials (A1 analog)."""
+    partials = docs.map_batches(
+        WordCountCombiner,
+        fn_constructor_kwargs={"text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    return partials.groupby("word").aggregate(Sum("n", alias_name="n"))
+
+
+def doc_stats(docs: Dataset) -> Dataset:
+    """Per-doc text statistics — fully vectorized pyarrow.compute kernels
+    (count_substring_regex is RE2, matching the DuckDB oracle)."""
+
+    def _stats(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        lower = pc.utf8_lower(text)
+        n_tokens = pc.count_substring_regex(lower, TOKEN_RE).cast(pa.int64())
+        n_punct = pc.count_substring_regex(text, r"[.!?]").cast(pa.int64())
+        stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+        n_stop = pc.count_substring_regex(lower, stop_pat).cast(pa.int64())
+        low_quality = pc.or_(
+            pc.less(n_tokens, pa.scalar(10)), pc.equal(n_punct, pa.scalar(0))
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_len": pc.utf8_length(text).cast(pa.int64()),
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+                "n_stop": n_stop,
+                "low_quality": low_quality,
+            }
+        )
+
+    return docs.map_batches(_stats, batch_format="pyarrow")
+
+
+# --- language ID (n-gram/stopword heuristic; no SQL oracle) ---------------
+
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "with", "was"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu"},
+    "fr": {"le", "la", "les", "et", "des", "est", "pas", "une", "que", "dans"},
+    "es": {"el", "la", "los", "las", "es", "una", "que", "por", "con", "del"},
+}
+
+
+class LangId(Tokenizer):
+    """Stopword-profile language classifier (stateful actor stage)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        scores = []
+        for s in batch.column("text"):
+            toks = self.tokens(s.as_py() or "")
+            best_lang, best = "und", 0
+            for lang in sorted(LANG_PROFILES):
+                hits = sum(1 for t in toks if t in LANG_PROFILES[lang])
+                if hits > best:
+                    best_lang, best = lang, hits
+            preds.append(best_lang)
+            scores.append(best / max(1, len(toks)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(preds, pa.string()),
+                "lang_score": pc.round(
+                    pa.array(scores, pa.float64()), ndigits=4
+                ),
+            }
+        )
+
+
+def lang_id(docs: Dataset, concurrency: int = 4) -> Dataset:
+    return docs.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, concurrency)
+    )
+
+
+# --- rolling-hash fingerprint (no SQL oracle) -----------------------------
+
+_MOD = (1 << 61) - 1
+_BASE = 1_000_003
+
+
+def rolling_fingerprint(tokens: list[str], window: int = 8) -> int:
+    """Deterministic document fingerprint: min of polynomial rolling
+    hashes over token w-shingles (winnowing-style)."""
+    if not tokens:
+        return 0
+    hs = [hash_token(t) for t in tokens]
+    if len(hs) < window:
+        acc = 0
+        for h in hs:
+            acc = (acc * _BASE + h) % _MOD
+        return acc
+    best = None
+    acc = 0
+    pw = pow(_BASE, window - 1, _MOD)
+    for i, h in enumerate(hs):
+        if i < window:
+            acc = (acc * _BASE + h) % _MOD
+            if i == window - 1 and (best is None or acc < best):
+                best = acc
+        else:
+            acc = ((acc - hs[i - window] * pw) * _BASE + h) % _MOD
+            if best is None or acc < best:
+                best = acc
+    return best
+
+
+def hash_token(tok: str) -> int:
+    h = 2166136261
+    for ch in tok.encode("utf-8"):
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+class Fingerprinter(Tokenizer):
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fps = [
+            rolling_fingerprint(self.tokens(s.as_py() or ""))
+            for s in batch.column("text")
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fingerprint": pa.array(fps, pa.uint64()),
+            }
+        )
+
+
+def fingerprints(docs: Dataset, concurrency: int = 4) -> Dataset:
+    return docs.map_batches(
+        Fingerprinter, batch_format="pyarrow", concurrency=(1, concurrency)
+    )
+
+
+# --- heuristic issue predicates (M14 analog) ------------------------------
+
+
+def doc_issues(docs: Dataset) -> Dataset:
+    """Typed issue records from vectorized predicates, deduped by
+    construction (one predicate -> at most one row per doc), mirroring
+    the group-check registry (/root/reference/src/barks_ocr/utils/group_checks.py:60-110)."""
+
+    def _issues(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        doc_id = t.column("doc_id")
+        out_ids, out_types = [], []
+        checks = [
+            ("short_text", pc.less(pc.utf8_length(text), pa.scalar(100))),
+            (
+                "no_terminal_punct",
+                pc.invert(pc.match_substring_regex(text, r"[.!?]\s*$")),
+            ),
+            (
+                "all_caps",
+                pc.and_(
+                    pc.equal(pc.utf8_upper(text), text),
+                    pc.greater(pc.utf8_length(text), pa.scalar(0)),
+                ),
+            ),
+        ]
+        for issue_type, mask in checks:
+            ids = doc_id.filter(mask)
+            out_ids.extend(ids.to_pylist())
+            out_types.extend([issue_type] * len(ids))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "issue_type": pa.array(out_types, pa.string()),
+            }
+        )
+
+    return docs.map_batches(_issues, batch_format="pyarrow")

@@ -1,0 +1,520 @@
+"""Query registry: one entry per implemented operator/pipeline
+(SURVEY.md §2), each with a DuckDB oracle where SQL can express the
+semantics (driver correctness gate), rows-only otherwise.
+
+Column-name contract: every computed/aggregate column is named
+identically in the Ray implementation and the oracle SQL (the driver
+hash-compares values under sorted column names). Float aggregates are
+rounded identically on both sides to stabilize the hash.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from barks_ocr_ray.functions.relational import (
+    broadcast_lookup_column,
+    broadcast_semi_join,
+    grouped_topk,
+    read_table,
+    round_columns,
+)
+
+# --------------------------------------------------------------------------
+# SQL-oracled queries
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(sf_dir: str):
+    """Grouped pricing aggregate (A1/A5/A6 analog): partial aggregation is
+    Ray Data's hash aggregate; disc_price derived vectorized."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(_derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return round_columns(
+        out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4}
+    )
+
+
+SQL_Q01 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                         AS sum_qty,
+       round(sum(l_extendedprice), 2)                    AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4)                         AS avg_qty,
+       count(*)                                          AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_filter(sf_dir: str):
+    """Vectorized filter + projection (M3 analog): predicate pushdown-style
+    column pruning at the read, pyarrow.compute mask, per-row revenue."""
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def _fp(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.less(t.column("l_shipdate"), pa.scalar(pa.scalar("1998-01-01").cast(pa.timestamp("us")))),
+            pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
+        )
+        t = t.filter(mask)
+        from barks_ocr_ray.functions.relational import round_like_duckdb
+
+        raw = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        revenue = pa.array(
+            round_like_duckdb(raw.to_numpy(zero_copy_only=False), 4),
+            pa.float64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "revenue": revenue,
+            }
+        )
+
+    return ds.map_batches(_fp, batch_format="pyarrow")
+
+
+SQL_Q02 = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount >= 0.05
+"""
+
+
+def q03_top10_orders(sf_dir: str):
+    """Global top-k via sort + limit (O7 analog). Sort runs on raw values;
+    rounding happens only on output."""
+    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return round_columns(out, {"o_totalprice": 2})
+
+
+SQL_Q03 = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q04_segment_revenue(sf_dir: str):
+    """Broadcast hash join (J7 analog: small side ray.put once) + grouped
+    aggregate."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup = dict(zip(cust["c_custkey"], cust["c_mktsegment"]))
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_lookup_column(
+        orders, lookup, "o_custkey", "c_mktsegment", pa.string()
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
+    )
+    return round_columns(out, {"revenue": 2})
+
+
+SQL_Q04 = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q05_region_suppliers(sf_dir: str):
+    """Two chained broadcast joins over tiny dimensions (J7/J8 analog)."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    n2rname = {n: r2name[r] for n, r in n2r.items()}
+    supp = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    joined = broadcast_lookup_column(
+        supp, n2rname, "s_nationkey", "r_name", pa.string()
+    )
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+
+
+SQL_Q05 = """
+SELECT r_name, count(*) AS n_suppliers
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q06_orders_outside_building(sf_dir: str):
+    """Anti-join via broadcast key set (J8/J9/D3 analog): orders whose
+    customer is NOT in the BUILDING segment."""
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    building = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return broadcast_semi_join(orders, building, "o_custkey", anti=True)
+
+
+SQL_Q06 = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey NOT IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q07_exact_dedup_docs(sf_dir: str):
+    """Exact dedup on content hash (D1/D2 analog; north-rule dedup shape)."""
+    from barks_ocr_ray.functions.dedupe import exact_dedup_docs
+
+    return exact_dedup_docs(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_Q07 = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q08_word_index(sf_dir: str):
+    """Inverted word index: tokenize + per-batch combiner + groupby sum
+    (A1/M13/S11 analog)."""
+    from barks_ocr_ray.functions.text import word_index
+
+    return word_index(read_table(sf_dir, "documents", ["text"]))
+
+
+SQL_Q08 = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents) t
+GROUP BY word
+"""
+
+
+def q09_doc_stats(sf_dir: str):
+    """Per-doc text statistics, fully vectorized (M12/M15 analog)."""
+    from barks_ocr_ray.functions.text import doc_stats
+
+    return doc_stats(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_q09() -> str:
+    from barks_ocr_ray.functions.text import STOPWORDS, TOKEN_RE
+
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return f"""
+SELECT doc_id,
+       length(text) AS text_len,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+       len(regexp_extract_all(text, '[.!?]')) AS n_punct,
+       len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop,
+       ((len(regexp_extract_all(lower(text), '{TOKEN_RE}')) < 10)
+        OR (len(regexp_extract_all(text, '[.!?]')) = 0)) AS low_quality
+FROM documents
+"""
+
+
+def q10_doc_issues(sf_dir: str):
+    """Heuristic issue records (M14 predicate suite analog)."""
+    from barks_ocr_ray.functions.text import doc_issues
+
+    return doc_issues(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_Q10 = r"""
+SELECT doc_id, 'short_text' AS issue_type FROM documents WHERE length(text) < 100
+UNION ALL
+SELECT doc_id, 'no_terminal_punct' FROM documents
+WHERE NOT regexp_matches(text, '[.!?]\s*$')
+UNION ALL
+SELECT doc_id, 'all_caps' FROM documents
+WHERE upper(text) = text AND length(text) > 0
+"""
+
+
+def q11_entity_tags(sf_dir: str):
+    """Curated-dictionary entity tagging actor pool (T5 analog)."""
+    from barks_ocr_ray.functions.tagging import tag_entities
+
+    return tag_entities(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_q11() -> str:
+    from barks_ocr_ray.functions.tagging import CURATED_ENTITIES
+
+    parts = [
+        f"""SELECT doc_id, '{name}' AS name, '{etype}' AS entity_type, n
+FROM (SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\\b{name}\\b')) AS n
+      FROM documents) t WHERE n > 0"""
+        for name, etype in sorted(CURATED_ENTITIES.items())
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def q12_events_hourly(sf_dir: str):
+    """Tumbling hourly window as a keyed aggregate (streaming-shaped)."""
+    from barks_ocr_ray.functions.windows import tumbling_hourly
+
+    return tumbling_hourly(
+        read_table(sf_dir, "events", ["event_type", "ts", "value"])
+    )
+
+
+SQL_Q12 = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, hour_id
+"""
+
+
+def q13_sessions(sf_dir: str):
+    """Per-user sessionization (gap rule) via sorted map_groups."""
+    from barks_ocr_ray.functions.windows import sessionize
+
+    return sessionize(read_table(sf_dir, "events", ["user_id", "ts", "event_id"]))
+
+
+SQL_Q13 = """
+WITH d AS (
+  SELECT user_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+
+def q14_top3_orders_per_customer(sf_dir: str):
+    """Grouped top-k without a global sort (O7/O9 analog): hash partition
+    + vectorized per-block rank."""
+    ds = read_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = grouped_topk(
+        ds, "o_custkey", "o_totalprice", 3, tie_col="o_orderkey", rank_col="rnk"
+    )
+    return round_columns(out, {"o_totalprice": 2})
+
+
+SQL_Q14 = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+FROM orders QUALIFY rnk <= 3
+"""
+
+
+def q15_distinct_priorities(sf_dir: str):
+    """Distinct values (D-ops analog of `sorted(set(...))`)."""
+    vals = sorted(
+        read_table(sf_dir, "orders", ["o_orderpriority"]).unique("o_orderpriority")
+    )
+    return pa.table({"o_orderpriority": pa.array(vals, pa.string())})
+
+
+SQL_Q15 = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+ANN_QUERY_IDS = list(range(8))
+
+
+def q16_ann_cosine_topk(sf_dir: str):
+    """Exact brute-force cosine top-k over the embedding column
+    (broadcast query matrix + per-batch matmul + global merge)."""
+    from barks_ocr_ray.functions.ann import brute_force_topk
+
+    return brute_force_topk(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        ANN_QUERY_IDS,
+        k=10,
+    )
+
+
+SQL_Q16 = f"""
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings q, embeddings e
+WHERE q.vec_id IN ({",".join(str(i) for i in ANN_QUERY_IDS)})
+  AND e.vec_id != q.vec_id
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) DESC,
+             e.vec_id) <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# rows-only queries (no SQL-expressible oracle; pytest covers semantics)
+# --------------------------------------------------------------------------
+
+
+def q17_lang_id(sf_dir: str):
+    from barks_ocr_ray.functions.text import lang_id
+
+    return lang_id(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q18_fingerprints(sf_dir: str):
+    from barks_ocr_ray.functions.text import fingerprints
+
+    return fingerprints(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def q19_minhash_near_dups(sf_dir: str):
+    from barks_ocr_ray.functions.dedupe import minhash_near_dups
+
+    return minhash_near_dups(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
+    )
+
+
+def q20_simhash_near_dups(sf_dir: str):
+    from barks_ocr_ray.functions.dedupe import simhash_near_dups
+
+    return simhash_near_dups(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6
+    )
+
+
+def q21_ngram_jaccard(sf_dir: str):
+    from barks_ocr_ray.functions.dedupe import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        read_table(sf_dir, "documents", ["doc_id", "text", "source"]), threshold=0.3
+    )
+
+
+def q22_embedding_near_dups(sf_dir: str):
+    from barks_ocr_ray.functions.dedupe import embedding_near_dups
+
+    return embedding_near_dups(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.8
+    )
+
+
+def q23_lsh_topk(sf_dir: str):
+    from barks_ocr_ray.functions.ann import lsh_topk
+
+    return lsh_topk(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        ANN_QUERY_IDS,
+        k=10,
+    )
+
+
+def _sf_rows(sf_dir: str, per_sf: int = 100_000, floor: int = 200) -> int:
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    return max(floor, int(sf * per_sf))
+
+
+def q24_extraction_pipeline(sf_dir: str):
+    """The flagship pages pipeline over a deterministically synthesized
+    corpus scaled to the sf (the pages table is not part of the TPC-H-ish
+    testdata; no external data is used)."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
+
+    configure()
+    n = _sf_rows(sf_dir)
+    pages = rd.from_arrow(pages_table(n)).select_columns(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    out = extraction_pipeline(pages, num_partitions=8)
+    return out.select_columns(
+        ["url", "warc_ts", "kind", "html_len", "n_blocks", "content_hash", "extracted_text"]
+    )
+
+
+def q25_multimodal_features(sf_dir: str):
+    """Binary media column plumbing (stubbed decode, deterministic fake)."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.functions.multimodal import media_features
+
+    configure()
+    pages = rd.from_arrow(pages_table(_sf_rows(sf_dir, 10_000)))
+    return media_features(pages, payload_col="html", fake_decode=True)
+
+
+def build_registry():
+    queries = {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_revenue_filter": q02_revenue_filter,
+        "q03_top10_orders": q03_top10_orders,
+        "q04_segment_revenue": q04_segment_revenue,
+        "q05_region_suppliers": q05_region_suppliers,
+        "q06_orders_outside_building": q06_orders_outside_building,
+        "q07_exact_dedup_docs": q07_exact_dedup_docs,
+        "q08_word_index": q08_word_index,
+        "q09_doc_stats": q09_doc_stats,
+        "q10_doc_issues": q10_doc_issues,
+        "q11_entity_tags": q11_entity_tags,
+        "q12_events_hourly": q12_events_hourly,
+        "q13_sessions": q13_sessions,
+        "q14_top3_orders_per_customer": q14_top3_orders_per_customer,
+        "q15_distinct_priorities": q15_distinct_priorities,
+        "q16_ann_cosine_topk": q16_ann_cosine_topk,
+        "q17_lang_id": q17_lang_id,
+        "q18_fingerprints": q18_fingerprints,
+        "q19_minhash_near_dups": q19_minhash_near_dups,
+        "q20_simhash_near_dups": q20_simhash_near_dups,
+        "q21_ngram_jaccard": q21_ngram_jaccard,
+        "q22_embedding_near_dups": q22_embedding_near_dups,
+        "q23_lsh_topk": q23_lsh_topk,
+        "q24_extraction_pipeline": q24_extraction_pipeline,
+        "q25_multimodal_features": q25_multimodal_features,
+    }
+    oracles = {
+        "q01_pricing_summary": SQL_Q01,
+        "q02_revenue_filter": SQL_Q02,
+        "q03_top10_orders": SQL_Q03,
+        "q04_segment_revenue": SQL_Q04,
+        "q05_region_suppliers": SQL_Q05,
+        "q06_orders_outside_building": SQL_Q06,
+        "q07_exact_dedup_docs": SQL_Q07,
+        "q08_word_index": SQL_Q08,
+        "q09_doc_stats": _sql_q09(),
+        "q10_doc_issues": SQL_Q10,
+        "q11_entity_tags": _sql_q11(),
+        "q12_events_hourly": SQL_Q12,
+        "q13_sessions": SQL_Q13,
+        "q14_top3_orders_per_customer": SQL_Q14,
+        "q15_distinct_priorities": SQL_Q15,
+        "q16_ann_cosine_topk": SQL_Q16,
+    }
+    return queries, oracles

@@ -1,0 +1,120 @@
+"""Local stand-in for the driver's correctness harness: run every
+registered query against the Ray engine AND its DuckDB oracle, compare
+row count / column names / order-insensitive values. Usage:
+
+    PYTHONPATH=/root/repo python tools/oracle_check.py [sf_dir] [names...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(ray_df) != len(sql_df):
+        problems.append(f"row count {len(ray_df)} vs {len(sql_df)}")
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        problems.append(f"columns {sorted(ray_df.columns)} vs {sorted(sql_df.columns)}")
+        return problems
+    a, b = canon(ray_df), canon(sql_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if av.dtype.kind == "f" or bv.dtype.kind == "f":
+                ok = np.allclose(
+                    av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True
+                )
+                exact = np.array_equal(av.astype(float), bv.astype(float))
+                if not ok:
+                    problems.append(f"col {c}: float values differ")
+                elif not exact:
+                    problems.append(f"col {c}: float values differ at hash level (within 1e-9)")
+            else:
+                if not (av == bv).all():
+                    bad = int((av != bv).sum())
+                    problems.append(f"col {c}: {bad} value mismatches e.g. {av[av!=bv][:3]} vs {bv[av!=bv][:3]}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import ray
+
+    ray.init(
+        address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR"
+    )
+    from barks_ocr_ray.context import configure
+
+    configure()
+    import __ray_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as exc:
+            print(f"FAIL {name}: ray side raised {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"ok   {name}: rows-only, {len(ray_df)} rows ({dt:.1f}s)")
+            continue
+        try:
+            sql_df = con.sql(oracles[name]).df()
+        except Exception as exc:
+            print(f"FAIL {name}: oracle SQL raised {type(exc).__name__}: {exc}")
+            failures += 1
+            continue
+        problems = compare(name, ray_df, sql_df)
+        if problems:
+            failures += 1
+            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+        else:
+            print(f"ok   {name}: {len(ray_df)} rows match oracle ({dt:.1f}s)")
+    ray.shutdown()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
