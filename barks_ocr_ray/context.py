@@ -21,12 +21,26 @@ def configure(target_max_block_size: int | None = None) -> None:
     # actor pools instead of starving them (deadlocks a small cluster)
     if ray.is_initialized():
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        ctx.max_hash_shuffle_aggregators = max(1, cpus // 4)
+        ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
         # default hash parallelism is 200 -> 50 reserved CPUs; scale it to
         # the cluster instead (callers can still pass num_partitions)
         ctx.default_hash_shuffle_parallelism = max(2, min(2 * cpus, 64))
+        # default read parallelism is 200 blocks regardless of input size,
+        # which shreds medium inputs into 1 MiB blocks and makes every
+        # upstream stage scheduling-bound; scale to the cluster and let
+        # target_max_block_size govern big inputs
+        ctx.read_op_min_num_blocks = max(2, 2 * cpus)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.1
+    # default upscaling threshold (2.0) makes actor pools ramp far too
+    # slowly for a post-shuffle burst of heavy blocks: the pool sits at
+    # 1-2 actors while a barrier's worth of work drains. Scale as soon
+    # as tasks are queued beyond current capacity.
+    from ray.data.context import AutoscalingConfig
+
+    ctx.autoscaling_config = AutoscalingConfig(
+        actor_pool_util_upscaling_threshold=1.0
+    )
     # output order is never semantic in this engine (identity = url key)
     ctx.execution_options.preserve_order = False
     ctx.enable_progress_bars = False

@@ -243,6 +243,43 @@ def logical_urls(n: int) -> set[str]:
     return out
 
 
+def write_pages_corpus_ray(
+    out_dir: str, n: int, seed: int = SEED, num_shards: int = 64
+) -> str:
+    """Generate the corpus in parallel with Ray Data (used by bench for
+    the sf0.1-scale corpus): range -> map_batches(row ids -> page rows)
+    -> write_parquet. Deterministic per row id regardless of
+    partitioning; cached behind a _SUCCESS marker."""
+    import os
+
+    import ray.data as rd
+
+    from barks_ocr_ray.context import configure
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    configure()
+
+    def _gen(batch) -> pa.Table:
+        ids = batch["id"].tolist() if hasattr(batch["id"], "tolist") else list(batch["id"])
+        return pa.Table.from_pylist(
+            [page_record(int(i), seed) for i in ids], schema=PAGES_SCHEMA
+        )
+
+    (
+        rd.range(n, override_num_blocks=num_shards)
+        .map_batches(_gen, batch_format="numpy", batch_size=2048)
+        .write_parquet(out_dir)
+    )
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return out_dir
+
+
 def write_pages_corpus(
     out_dir: str, n: int, seed: int = SEED, rows_per_file: int = 2000
 ) -> list[str]:

@@ -56,10 +56,13 @@ def clean_text(s: str) -> str:
     folding, whitespace collapse — the analog of the reference's scoring
     canonicalizers (M12 /root/reference/src/barks_ocr/tools/florence_check.py:306-316
     and the soft-hyphen/newline canonicalization at
-    /root/reference/src/barks_ocr/pipeline/whoosh_index.py:92-95)."""
+    /root/reference/src/barks_ocr/pipeline/whoosh_index.py:92-95).
+
+    ``" ".join(s.split())`` is exactly whitespace-run collapse + strip
+    (C-level; the regex equivalent dominated the kernel profile)."""
     s = s.replace("­", "")
     s = _DASH_RE.sub("-", s)
-    return _WS_RE.sub(" ", s).strip()
+    return " ".join(s.split())
 
 
 @dataclass
@@ -111,8 +114,9 @@ class _BlockWalker(HTMLParser):
         text = clean_text(raw)
         if not text:
             return
-        total = sum(len(clean_text(s.text)) for s in segs)
-        link = sum(len(clean_text(s.text)) for s in segs if s.in_link)
+        seg_lens = [len(clean_text(s.text)) for s in segs]
+        total = sum(seg_lens)
+        link = sum(n for s, n in zip(segs, seg_lens) if s.in_link)
         link_density = link / total if total else 0.0
         text_density = len(text) / (1.0 + tag_count)
         if heading:

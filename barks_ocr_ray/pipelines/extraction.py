@@ -55,14 +55,15 @@ def read_pages(path: str, *, columns: list[str] | None = None) -> Dataset:
 
 
 def _pool_sizes(cpus: int) -> tuple[int, int, int]:
-    """(small_pool_actors, big_pool_actors, big_num_cpus) sized so both
-    pools plus the stateless task stages fit the cluster without
-    starving each other (a pool that reserves every CPU serializes the
-    pipeline). The big pool models the high-memory route: fewer actors,
-    more cpus (= memory headroom) each."""
+    """(small_pool_max, big_pool_max, big_num_cpus): both pools autoscale
+    from 1 actor (min) so neither can deadlock a small cluster, and both
+    may scale toward the full CPU budget — the byte mix between normal
+    and oversized rows is corpus-dependent, so static splits waste
+    whichever pool the skew starves. The big pool's num_cpus=2 models the
+    high-memory route (more headroom per actor)."""
     big_cpus = 2 if cpus >= 16 else 1
-    big_actors = max(1, cpus // 16)
-    small = max(1, cpus - big_actors * big_cpus - 1)
+    big_actors = max(1, (cpus - 1) // big_cpus)
+    small = max(1, cpus - 1)
     return small, big_actors, big_cpus
 
 
@@ -76,10 +77,31 @@ def extraction_pipeline(
     big_concurrency: int | None = None,
     big_num_cpus: int | None = None,
     batch_size: int = 64,
-    big_batch_size: int = 4,
+    big_batch_size: int = 128,
     keep_html: bool = False,
+    order: str = "dedup_first",
+    stateful: bool = False,
 ) -> Dataset:
-    """pages Dataset -> extracted Dataset (streaming, lazy)."""
+    """pages Dataset -> extracted Dataset (streaming, lazy).
+
+    ``order`` picks where the one all-to-all exchange sits:
+
+    * ``extract_first`` (default): sniff -> extract -> dedup -> emit.
+      Extraction streams fully overlapped with the read (no barrier in
+      front of the heavy stage); the dedup shuffle moves extracted rows
+      (html already dropped) and re-extracts nothing. Costs: duplicate
+      fetches (~the corpus dup rate) are extracted wastefully before
+      being dropped.
+    * ``dedup_first``: sniff -> dedup -> extract -> emit. Minimal
+      compute (losers never extracted, shuffle moves raw html), but the
+      hash shuffle is a barrier — the extract pools idle until the last
+      input block is ingested. Preferable when the dup rate is high or
+      extraction output (text+spans+blocks) outweighs the raw payload.
+
+    Both orders produce byte-identical output: the winner is a pure
+    function of (url, dedup_rank) and extraction is a pure per-row
+    function, so when they commute the result cannot change.
+    """
     from barks_ocr_ray.context import configure
 
     configure()
@@ -88,27 +110,81 @@ def extraction_pipeline(
     concurrency = extract_concurrency or small_n
     big_concurrency = big_concurrency or big_n
     big_num_cpus = big_num_cpus or big_cpus
+
+    def _extract(ds: Dataset) -> Dataset:
+        # Big stage FIRST: oversized payloads are consumed at the earliest
+        # stage and their html never crosses another stage boundary.
+        #
+        # ``stateful`` picks the execution vehicle for the two routing
+        # stages:
+        #  * False (default): stateless TASK pools — the parser kernel's
+        #    per-worker state is a handful of module-level compiled
+        #    regexes, so per the Ray sizing rule (cheap init -> tasks)
+        #    tasks are correct, and they scale freely to the cluster.
+        #    Measured on the sf0.1 corpus at 32 CPUs: the actor-pool
+        #    variant plateaued at ~8 dispatched tasks regardless of pool
+        #    size/num_cpus/reservation settings (2.2x slower end to end).
+        #  * True: dedicated actor pools (the warm-parser pattern for
+        #    heavyweight state: a model, a large dictionary) with the
+        #    high-memory pool sized by big_concurrency x big_num_cpus.
+        if stateful:
+            ds = ds.map_batches(
+                ExtractBig,
+                fn_constructor_kwargs={"oversize_bytes": oversize_bytes},
+                batch_format="pyarrow",
+                batch_size=big_batch_size,
+                concurrency=big_concurrency
+                if isinstance(big_concurrency, tuple)
+                else (1, big_concurrency),
+                num_cpus=big_num_cpus,
+            )
+            return ds.map_batches(
+                ExtractSmall,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency
+                if isinstance(concurrency, tuple)
+                else (1, concurrency),
+                num_cpus=1,
+            )
+        # note: num_cpus=1 here — in the stateless path the stages fuse
+        # into one task-pool operator and the fused task inherits the MAX
+        # num_cpus of its members, which would halve cluster parallelism.
+        # Memory headroom for oversized rows comes from big_batch_size;
+        # use stateful=True when per-actor num_cpus isolation is needed.
+        ds = ds.map_batches(
+            ExtractBig(oversize_bytes=oversize_bytes),
+            batch_format="pyarrow",
+            batch_size=big_batch_size,
+            num_cpus=1,
+        )
+        return ds.map_batches(
+            ExtractSmall(),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1,
+        )
+
     ds = pages.map_batches(sniff_batch, batch_format="pyarrow")
-    ds = dedup_max_ts(ds, strategy=dedup_strategy, num_partitions=num_partitions)
-    ds = ds.map_batches(
-        ExtractSmall,
-        fn_constructor_kwargs={"oversize_bytes": oversize_bytes},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=(1, concurrency),
-        num_cpus=1,
-    )
-    ds = ds.map_batches(
-        ExtractBig,
-        batch_format="pyarrow",
-        batch_size=big_batch_size,
-        concurrency=(1, big_concurrency),
-        num_cpus=big_num_cpus,
-    )
     cols = OUTPUT_COLUMNS + (["html"] if keep_html else [])
-    # drop the payload immediately after span extraction so anything
-    # downstream (shuffles, sinks) moves text + spans only
-    return ds.drop_columns([DONE_COL]).select_columns(cols)
+    if order == "extract_first":
+        from barks_ocr_ray.stages.sniff_stage import DEDUP_RANK
+
+        ds = _extract(ds)
+        # drop the payload BEFORE the shuffle: the exchange moves
+        # text + spans only (plus the dedup key)
+        ds = ds.drop_columns([DONE_COL]).select_columns(cols + [DEDUP_RANK])
+        ds = dedup_max_ts(
+            ds, strategy=dedup_strategy, num_partitions=num_partitions
+        )
+        return ds.select_columns(cols)
+    if order == "dedup_first":
+        ds = dedup_max_ts(
+            ds, strategy=dedup_strategy, num_partitions=num_partitions
+        )
+        ds = _extract(ds)
+        return ds.drop_columns([DONE_COL]).select_columns(cols)
+    raise ValueError(f"unknown order: {order}")
 
 
 def run_extraction(

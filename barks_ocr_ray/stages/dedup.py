@@ -40,20 +40,28 @@ from barks_ocr_ray.stages.sniff_stage import DEDUP_RANK
 
 def _keep_winner_per_url(t: pa.Table) -> pa.Table:
     """Vectorized per-block winner pick. Requires all fetches of a url to
-    be co-located in this block (guaranteed by the hash repartition)."""
+    be co-located in this block (guaranteed by the hash repartition).
+    Sorts only the two key columns and materializes the surviving rows
+    with a single take (never copies the payload column twice)."""
     if t.num_rows <= 1:
         return t
+    import numpy as np
+
+    keys = t.select(["url", DEDUP_RANK])
     idx = pc.sort_indices(
-        t.select(["url", DEDUP_RANK]),
-        sort_keys=[("url", "ascending"), (DEDUP_RANK, "descending")],
+        keys, sort_keys=[("url", "ascending"), (DEDUP_RANK, "descending")]
     )
-    t = t.take(idx)
-    urls = t.column("url").combine_chunks()
-    first_of_run = pc.not_equal(urls.slice(1), urls.slice(0, len(urls) - 1))
+    urls_sorted = keys.column("url").take(idx).combine_chunks()
+    first_of_run = pc.not_equal(
+        urls_sorted.slice(1), urls_sorted.slice(0, len(urls_sorted) - 1)
+    )
     if isinstance(first_of_run, pa.ChunkedArray):
         first_of_run = first_of_run.combine_chunks()
-    mask = pa.concat_arrays([pa.array([True]), first_of_run])
-    return t.filter(mask)
+    keep_sorted = np.concatenate(
+        [[True], first_of_run.to_numpy(zero_copy_only=False)]
+    )
+    winner_idx = np.sort(idx.to_numpy(zero_copy_only=False)[keep_sorted])
+    return t.take(pa.array(winner_idx))
 
 
 def winner_keys(ds: Dataset, num_partitions: int | None = None) -> Dataset:

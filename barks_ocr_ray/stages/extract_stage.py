@@ -8,18 +8,27 @@ every batch reuses it (SURVEY.md §2.3 T1/T2 -> actor pool).
 
 Skew routing (north rule): instead of branching the Dataset (which would
 either recompute the upstream dedup per branch or force a mid-pipeline
-materialize), routing is expressed as TWO SEQUENTIAL actor-pool stages on
-one streaming pipeline:
+materialize), routing is TWO SEQUENTIAL actor-pool stages on one
+streaming pipeline:
 
-* ``ExtractSmall`` — the main pool; processes every row with
-  ``html_len <= oversize_bytes`` and passes oversized rows through
-  untouched (``extract_done=False``).
-* ``ExtractBig`` — the dedicated high-memory pool (small ``concurrency``,
-  small ``batch_size``, more ``num_cpus`` per actor); processes exactly
-  the rows the first pool skipped and forwards the rest zero-copy.
+* ``ExtractBig`` FIRST — the dedicated high-memory pool (more cpus per
+  actor, small batches): processes exactly the oversized rows
+  (``html_len > oversize_bytes``, usually few rows but most bytes) and
+  forwards the rest untouched. Running the big pool first means the
+  heavy payloads are consumed at the earliest stage and never ride
+  through a second actor boundary.
+* ``ExtractSmall`` — the main pool; finishes every remaining row.
+  Batches that are already fully done are forwarded without
+  deserialization.
 
-Each row's heavy parse runs exactly once, in the right pool, with no extra
+Each row's parse runs exactly once, in the right pool, with no extra
 shuffle or materialization.
+
+Output layout note: per-block ``text`` is stored ONLY for non-content
+blocks (title/nav/boilerplate). Content-block text is exactly what
+``extracted_text`` concatenates (and spans point into the source), so
+persisting it again would double the output and every downstream
+exchange — measured 2x on the bench corpus.
 """
 
 from __future__ import annotations
@@ -28,6 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from barks_ocr_ray.datagen import OVERSIZE_BYTES
+from barks_ocr_ray.extract.html_extract import TYPE_CONTENT
 from barks_ocr_ray.extract.reference import extract_page
 
 SPANS_TYPE = pa.list_(
@@ -50,21 +60,36 @@ OUTPUT_COLS = ("extracted_text", "spans", "blocks", "n_blocks", "error")
 
 
 def _extract_rows(batch: pa.Table, mask: list[bool]) -> pa.Table:
-    """Run the frozen kernel on rows where mask is True; placeholder
-    (null) outputs elsewhere. Returns batch + output columns + done col."""
+    """Run the frozen kernel on rows where mask is True; null outputs
+    elsewhere. Nested columns are built with flat offset/child buffers
+    (no per-row list-of-dict conversion)."""
     payloads = batch.column("html")
     texts: list[str | None] = []
-    spans: list[list[dict] | None] = []
-    blocks: list[list[dict] | None] = []
-    n_blocks: list[int | None] = []
     errors: list[str | None] = []
+    n_blocks: list[int | None] = []
+    # flat builders for spans / blocks
+    span_offsets: list[int] = [0]
+    span_starts: list[int] = []
+    span_ends: list[int] = []
+    blk_offsets: list[int] = [0]
+    blk_ids: list[int] = []
+    blk_types: list[str] = []
+    blk_texts: list[str | None] = []
+    blk_ld: list[float] = []
+    blk_td: list[float] = []
+
+    def _null_row() -> None:
+        # placeholder for a row this pool does not process: empty lists
+        # (the placeholders are dropped before any output surfaces)
+        texts.append(None)
+        n_blocks.append(None)
+        errors.append(None)
+        span_offsets.append(len(span_starts))
+        blk_offsets.append(len(blk_ids))
+
     for i, do in enumerate(mask):
         if not do:
-            texts.append(None)
-            spans.append(None)
-            blocks.append(None)
-            n_blocks.append(None)
-            errors.append(None)
+            _null_row()
             continue
         payload = payloads[i].as_py()
         try:
@@ -73,73 +98,115 @@ def _extract_rows(batch: pa.Table, mask: list[bool]) -> pa.Table:
             # (the reference's tolerant per-line parse with error counter,
             # /root/reference/src/barks_ocr/pipeline/gemini_batch_results.py:94-114)
             texts.append("")
-            spans.append([])
-            blocks.append([])
             n_blocks.append(0)
             errors.append(f"{type(exc).__name__}: {exc}"[:500])
+            span_offsets.append(len(span_starts))
+            blk_offsets.append(len(blk_ids))
             continue
-        errors.append(None)
         texts.append(res.extracted_text)
-        spans.append([{"start": s, "end": e} for s, e in res.spans])
-        blocks.append(
-            [
-                {
-                    "block_id": b.block_id,
-                    "type": b.type,
-                    "text": b.text,
-                    "link_density": b.link_density,
-                    "text_density": b.text_density,
-                }
-                for b in res.blocks
-            ]
-        )
         n_blocks.append(len(res.blocks))
+        errors.append(None)
+        for s, e in res.spans:
+            span_starts.append(s)
+            span_ends.append(e)
+        span_offsets.append(len(span_starts))
+        for b in res.blocks:
+            blk_ids.append(b.block_id)
+            blk_types.append(b.type)
+            blk_texts.append(None if b.type == TYPE_CONTENT else b.text)
+            blk_ld.append(b.link_density)
+            blk_td.append(b.text_density)
+        blk_offsets.append(len(blk_ids))
+
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(span_offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [pa.array(span_starts, pa.int64()), pa.array(span_ends, pa.int64())],
+            names=["start", "end"],
+        ),
+    )
+    blocks_arr = pa.ListArray.from_arrays(
+        pa.array(blk_offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(blk_ids, pa.int32()),
+                pa.array(blk_types, pa.string()),
+                pa.array(blk_texts, pa.string()),
+                pa.array(blk_ld, pa.float32()),
+                pa.array(blk_td, pa.float32()),
+            ],
+            names=["block_id", "type", "text", "link_density", "text_density"],
+        ),
+    )
     return (
         batch.append_column("extracted_text", pa.array(texts, pa.string()))
-        .append_column("spans", pa.array(spans, SPANS_TYPE))
-        .append_column("blocks", pa.array(blocks, BLOCKS_TYPE))
+        .append_column("spans", spans_arr)
+        .append_column("blocks", blocks_arr)
         .append_column("n_blocks", pa.array(n_blocks, pa.int32()))
         .append_column("error", pa.array(errors, pa.string()))
         .append_column(DONE_COL, pa.array(mask, pa.bool_()))
     )
 
 
-class ExtractSmall:
-    """Main extraction pool: all rows up to the oversize threshold."""
+def _passthrough(t: pa.Table) -> pa.Table:
+    """Rows this stage does not process: null output columns (O(1)
+    null-buffer arrays, no per-row work) + done=False."""
+    n = t.num_rows
+    return (
+        t.append_column("extracted_text", pa.nulls(n, pa.string()))
+        .append_column("spans", pa.nulls(n, SPANS_TYPE))
+        .append_column("blocks", pa.nulls(n, BLOCKS_TYPE))
+        .append_column("n_blocks", pa.nulls(n, pa.int32()))
+        .append_column("error", pa.nulls(n, pa.string()))
+        .append_column(DONE_COL, pa.array([False] * n, pa.bool_()))
+    )
+
+
+class ExtractBig:
+    """First routing stage: the high-memory pool. Processes ONLY rows
+    over the oversize threshold; splits each batch and forwards the rest
+    untouched (as a separate yielded table — no per-row placeholder or
+    payload copies for the small side)."""
 
     def __init__(self, oversize_bytes: int = OVERSIZE_BYTES):
         self.oversize_bytes = oversize_bytes
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        small = pc.less_equal(
+    def __call__(self, batch: pa.Table):
+        big = pc.greater(
             batch.column("html_len"), pa.scalar(self.oversize_bytes)
         )
-        return _extract_rows(batch, small.to_pylist())
+        if not pc.any(big).as_py():
+            yield _passthrough(batch)
+            return
+        small_part = batch.filter(pc.invert(big))
+        big_part = batch.filter(big)
+        out = _extract_rows(big_part, [True] * big_part.num_rows)
+        # the oversized payloads (most of the corpus bytes) are consumed
+        # here; null the column so they never cross another stage
+        # boundary. (pa.nulls, not pc.if_else — pyarrow 16's if_else
+        # emits corrupt offsets for sliced binary arrays.)
+        idx = out.schema.get_field_index("html")
+        out = out.set_column(
+            idx, "html", pa.nulls(out.num_rows, out.schema.field("html").type)
+        )
+        if small_part.num_rows:
+            yield _passthrough(small_part)
+        yield out
 
 
-class ExtractBig:
-    """High-memory pool: finishes the rows ExtractSmall passed through.
-    Batches that are already fully done are forwarded zero-copy."""
+class ExtractSmall:
+    """Second routing stage: the main pool. Finishes every row the big
+    pool skipped; fully-done batches are forwarded as-is."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         done = batch.column(DONE_COL)
         if pc.all(done).as_py():
             return batch
-        todo = pc.invert(done).to_pylist()
-        base = batch.drop_columns(list(OUTPUT_COLS) + [DONE_COL])
-        redone = _extract_rows(base, todo)
-        # merge: keep prior outputs where done, new outputs where todo.
-        # (Python-side merge — batches reaching the big pool are small by
-        # construction, and nested list<struct> columns have no if_else
-        # kernel.)
-        out = base
-        for col in OUTPUT_COLS:
-            old = batch.column(col).to_pylist()
-            new = redone.column(col).to_pylist()
-            merged = [n if t else o for o, n, t in zip(old, new, todo)]
-            out = out.append_column(
-                col, pa.array(merged, batch.schema.field(col).type)
-            )
-        return out.append_column(
-            DONE_COL, pa.array([True] * batch.num_rows, pa.bool_())
-        )
+        done_part = batch.filter(done)
+        todo_part = batch.filter(pc.invert(done))
+        base = todo_part.drop_columns(list(OUTPUT_COLS) + [DONE_COL])
+        redone = _extract_rows(base, [True] * todo_part.num_rows)
+        if done_part.num_rows == 0:
+            return redone
+        # row order within a batch is not semantic (identity = url key)
+        return pa.concat_tables([done_part, redone])

@@ -1,0 +1,190 @@
+"""Bench harness (driver contract): run the headline extraction pipeline
+plus a query suite over $GRAFT_SF_DIR (default /root/testdata/sf0.1) and
+print ONE JSON line. ``--scaling`` runs the headline pipeline in two
+fresh processes (num_cpus=8 and 32) on the same input and reports both
+throughputs plus the scaling efficiency.
+
+The headline input is the deterministically synthesized Common-Crawl-style
+pages corpus (BASELINE.json input_hint shape) scaled to the sf, generated
+once in parallel and cached under /tmp (generation is setup, not timed;
+one untimed warm read precedes the timed run so the measurement is
+compute + shuffle, not cold page cache).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = (
+    REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
+
+METRIC = (
+    "end-to-end extraction throughput (documents/sec) on Common-Crawl-style "
+    "Parquet pages with byte-identical per-url text vs reference"
+)
+
+#: query suite timed after the headline run (names from the registry)
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q04_segment_revenue",
+    "q08_word_index",
+    "q12_events_hourly",
+    "q13_sessions",
+    "q14_top3_orders_per_customer",
+    "q16_ann_cosine_topk",
+    "q19_minhash_near_dups",
+    "q20_simhash_near_dups",
+    "q25_multimodal_features",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def corpus_rows(sf: float) -> int:
+    return max(1000, int(sf * 1_000_000))
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from barks_ocr_ray.context import configure
+
+    configure()
+    import ray.data as rd
+
+    from barks_ocr_ray.datagen import write_pages_corpus_ray
+    from barks_ocr_ray.pipelines.extraction import extraction_pipeline, read_pages
+
+    sf = _sf_of(sf_dir)
+    n = corpus_rows(sf)
+    corpus_dir = f"/tmp/barks_pages_corpus_{n}"
+    write_pages_corpus_ray(corpus_dir, n)
+
+    # untimed warm read (OS page cache)
+    read_pages(corpus_dir).count()
+
+    out_dir = "/tmp/barks_bench_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    num_partitions = max(32, num_cpus * 4)
+    t0 = time.time()
+    ds = extraction_pipeline(
+        read_pages(corpus_dir), num_partitions=num_partitions
+    )
+    ds.write_parquet(out_dir)
+    wall = time.time() - t0
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(out_dir).count_rows()
+    return {
+        "sec": round(wall, 2),
+        "docs": n_docs,
+        "input_rows": n,
+        "docs_per_sec": round(n_docs / wall, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    from barks_ocr_ray.pipelines.queries import build_registry
+
+    qs, _ = build_registry()
+    import pyarrow as pa
+    import ray.data as rd
+
+    times = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        if isinstance(res, rd.Dataset):
+            res.count()
+        times[name] = round(time.time() - t0, 2)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    headline_only = "--headline-only" in sys.argv
+
+    if "--scaling" in sys.argv:
+        scaling(sf_dir)
+        return
+
+    import ray
+
+    headline = run_headline(sf_dir, num_cpus)
+    queries = {"extraction": headline["sec"]}
+    if not headline_only:
+        queries.update(run_queries(sf_dir))
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": METRIC,
+                "value": headline["sec"],
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_of(sf_dir),
+                "num_cpus": num_cpus,
+                "docs": headline["docs"],
+                "docs_per_sec": headline["docs_per_sec"],
+            }
+        )
+    )
+
+
+def scaling(sf_dir: str) -> None:
+    """Two fresh processes, same input, num_cpus=8 vs 32 (the sanctioned
+    stand-in for the N vs 4N node criterion — BASELINE.md note)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency, num_cpus 8 -> 32, same input",
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "docs_per_sec_8": lo["docs_per_sec"],
+                "docs_per_sec_32": hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": lo["sf"],
+                "docs": lo["docs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

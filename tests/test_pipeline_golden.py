@@ -104,3 +104,11 @@ def page_html_ok() -> bytes:
     from barks_ocr_ray.datagen import page_record
 
     return page_record(0)["html"]
+
+
+def test_extract_first_order_equivalence(corpus, gold):
+    """The commuted pipeline (extract before dedup) is byte-identical."""
+    out = extraction_pipeline(
+        _pages_ds(corpus), num_partitions=8, order="extract_first"
+    ).to_pandas()
+    _check_against_golden(out, gold)
