@@ -130,7 +130,10 @@ def extraction_pipeline(
         if stateful:
             ds = ds.map_batches(
                 ExtractBig,
-                fn_constructor_kwargs={"oversize_bytes": oversize_bytes},
+                fn_constructor_kwargs={
+                    "oversize_bytes": oversize_bytes,
+                    "keep_html": keep_html,
+                },
                 batch_format="pyarrow",
                 batch_size=big_batch_size,
                 concurrency=big_concurrency
@@ -153,7 +156,7 @@ def extraction_pipeline(
         # Memory headroom for oversized rows comes from big_batch_size;
         # use stateful=True when per-actor num_cpus isolation is needed.
         ds = ds.map_batches(
-            ExtractBig(oversize_bytes=oversize_bytes),
+            ExtractBig(oversize_bytes=oversize_bytes, keep_html=keep_html),
             batch_format="pyarrow",
             batch_size=big_batch_size,
             num_cpus=1,

@@ -471,6 +471,20 @@ def q25_multimodal_features(sf_dir: str):
     return media_features(pages, payload_col="html", fake_decode=True)
 
 
+def q26_validate_extraction(sf_dir: str):
+    """Sampled re-extraction validator (second-engine similarity scoring,
+    the compare.py/florence_check analog; rows-only)."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.pipelines.validate import validate_extraction
+
+    configure()
+    pages = rd.from_arrow(pages_table(_sf_rows(sf_dir, 20_000))).select_columns(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    return validate_extraction(pages, sample_frac=0.2, num_partitions=8)
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -498,6 +512,7 @@ def build_registry():
         "q23_lsh_topk": q23_lsh_topk,
         "q24_extraction_pipeline": q24_extraction_pipeline,
         "q25_multimodal_features": q25_multimodal_features,
+        "q26_validate_extraction": q26_validate_extraction,
     }
     oracles = {
         "q01_pricing_summary": SQL_Q01,

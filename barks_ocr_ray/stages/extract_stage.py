@@ -168,8 +168,9 @@ class ExtractBig:
     untouched (as a separate yielded table — no per-row placeholder or
     payload copies for the small side)."""
 
-    def __init__(self, oversize_bytes: int = OVERSIZE_BYTES):
+    def __init__(self, oversize_bytes: int = OVERSIZE_BYTES, keep_html: bool = False):
         self.oversize_bytes = oversize_bytes
+        self.keep_html = keep_html
 
     def __call__(self, batch: pa.Table):
         big = pc.greater(
@@ -181,14 +182,15 @@ class ExtractBig:
         small_part = batch.filter(pc.invert(big))
         big_part = batch.filter(big)
         out = _extract_rows(big_part, [True] * big_part.num_rows)
-        # the oversized payloads (most of the corpus bytes) are consumed
-        # here; null the column so they never cross another stage
-        # boundary. (pa.nulls, not pc.if_else — pyarrow 16's if_else
-        # emits corrupt offsets for sliced binary arrays.)
-        idx = out.schema.get_field_index("html")
-        out = out.set_column(
-            idx, "html", pa.nulls(out.num_rows, out.schema.field("html").type)
-        )
+        if not self.keep_html:
+            # the oversized payloads (most of the corpus bytes) are
+            # consumed here; null the column so they never cross another
+            # stage boundary. (pa.nulls, not pc.if_else — pyarrow 16's
+            # if_else emits corrupt offsets for sliced binary arrays.)
+            idx = out.schema.get_field_index("html")
+            out = out.set_column(
+                idx, "html", pa.nulls(out.num_rows, out.schema.field("html").type)
+            )
         if small_part.num_rows:
             yield _passthrough(small_part)
         yield out

@@ -181,3 +181,23 @@ def test_round_like_duckdb():
     assert got.tolist() == [2.5, -2.5, 2.5, 2.4, 0.5]
     # the classic +0.5 trap: scaled value one ulp below a half boundary
     assert round_like_duckdb(np.array([0.49999999999999994]), 0)[0] == 0.0
+
+
+def test_validator_scores_articles_high():
+    import ray.data as rd
+
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.pipelines.validate import validate_extraction
+
+    pages = rd.from_arrow(pages_table(100)).select_columns(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    out = validate_extraction(
+        pages, sample_frac=1.0, num_partitions=4
+    ).to_pandas()
+    assert len(out) > 50
+    html_rows = out[out["kind"] == "html"]
+    # the real extractor's content is always contained in the stripped
+    # full text -> no html page should be flagged
+    assert not html_rows["flagged"].any()
+    assert (out[out["kind"] == "binary"]["score"] == 1.0).all()

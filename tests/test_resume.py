@@ -1,0 +1,119 @@
+"""Checkpoint/resume tests (FIXTURES.md F3 resume fixture): run the
+resumable job, delete commit markers for some partitions, re-run, and
+assert (a) the final corpus is identical and complete, (b) untouched
+partitions were not recomputed (file mtimes unchanged)."""
+
+import os
+import shutil
+
+import pyarrow.dataset as pads
+import pytest
+
+from barks_ocr_ray.datagen import write_pages_corpus
+from barks_ocr_ray.extract.golden import golden_corpus
+from barks_ocr_ray.pipelines.resume import run_resumable
+from barks_ocr_ray.state.manifest import manifest_path
+
+N = 300
+NUM_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("resume_pages"))
+    write_pages_corpus(d, N, rows_per_file=100)
+    return d
+
+
+def _mtimes(out_dir):
+    out = {}
+    for b in range(NUM_BUCKETS):
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        if os.path.isdir(bdir):
+            out[b] = {
+                f: os.stat(os.path.join(bdir, f)).st_mtime_ns
+                for f in sorted(os.listdir(bdir))
+            }
+    return out
+
+
+def _check_complete(out_dir, gold):
+    tbl = pads.dataset(out_dir, partitioning="hive").to_table(
+        columns=["url", "extracted_text", "content_hash"]
+    )
+    assert tbl.num_rows == len(gold)
+    got = {
+        u: (t, h)
+        for u, t, h in zip(
+            tbl.column("url").to_pylist(),
+            tbl.column("extracted_text").to_pylist(),
+            tbl.column("content_hash").to_pylist(),
+        )
+    }
+    assert set(got) == set(gold)
+    for url, g in gold.items():
+        assert got[url][0] == g["extracted_text"], url
+        assert got[url][1] == g["content_hash"], url
+
+
+def test_resume_skips_committed_partitions(corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out")
+    gold = golden_corpus(N)
+
+    summary1 = run_resumable(
+        corpus_dir, out_dir, num_buckets=NUM_BUCKETS, chunk_size=3,
+        num_partitions=4,
+    )
+    assert summary1["computed"] == NUM_BUCKETS and summary1["skipped"] == 0
+    _check_complete(out_dir, gold)
+    mt1 = _mtimes(out_dir)
+
+    # simulate a failed run: drop the commit markers of 3 buckets and
+    # corrupt one of their data dirs (partial write)
+    broken = [1, 4, 6]
+    for b in broken:
+        os.remove(manifest_path(out_dir, b))
+    shutil.rmtree(os.path.join(out_dir, "bucket=4"), ignore_errors=True)
+
+    summary2 = run_resumable(
+        corpus_dir, out_dir, num_buckets=NUM_BUCKETS, chunk_size=3,
+        num_partitions=4,
+    )
+    assert summary2["computed"] == len(broken)
+    assert summary2["skipped"] == NUM_BUCKETS - len(broken)
+    _check_complete(out_dir, gold)
+
+    mt2 = _mtimes(out_dir)
+    for b in range(NUM_BUCKETS):
+        if b not in broken and b in mt1:
+            assert mt2[b] == mt1[b], f"bucket {b} was recomputed"
+    for b in broken:
+        if b in mt1 and b in mt2:
+            assert mt2[b] != mt1[b], f"bucket {b} was NOT recomputed"
+
+
+def test_resume_noop_when_fully_committed(corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out2")
+    run_resumable(
+        corpus_dir, out_dir, num_buckets=4, chunk_size=4, num_partitions=4
+    )
+    mt1 = _mtimes(out_dir)
+    summary = run_resumable(
+        corpus_dir, out_dir, num_buckets=4, chunk_size=4, num_partitions=4
+    )
+    assert summary["computed"] == 0 and summary["skipped"] == 4
+    assert _mtimes(out_dir) == mt1
+
+
+def test_input_change_invalidates(corpus_dir, tmp_path):
+    out_dir = str(tmp_path / "out3")
+    run_resumable(
+        corpus_dir, out_dir, num_buckets=4, chunk_size=4, num_partitions=4
+    )
+    # grow the corpus -> fingerprint changes -> full recompute
+    write_pages_corpus(corpus_dir, N + 100, rows_per_file=100)
+    summary = run_resumable(
+        corpus_dir, out_dir, num_buckets=4, chunk_size=4, num_partitions=4
+    )
+    assert summary["computed"] == 4 and summary["skipped"] == 0
+    _check_complete(out_dir, golden_corpus(N + 100))
