@@ -485,6 +485,209 @@ def q26_validate_extraction(sf_dir: str):
     return validate_extraction(pages, sample_frac=0.2, num_partitions=8)
 
 
+def q27_word_doc_index(sf_dir: str):
+    """Doc-level inverted index (word, doc_id, n) — the Whoosh index model
+    (S11, WordDict word->doc->count,
+    /root/reference/experiments/make-word-index-from-gemini-ai-groups.py:174-194).
+    A document lives in exactly one batch, so per-batch counting is final:
+    NO shuffle at all."""
+    from collections import Counter
+
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    class PerDocCounter(Tokenizer):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            words, ids, ns = [], [], []
+            for doc_id, s in zip(
+                t.column("doc_id").to_pylist(), t.column("text")
+            ):
+                for w, n in Counter(self.tokens(s.as_py() or "")).items():
+                    words.append(w)
+                    ids.append(doc_id)
+                    ns.append(n)
+            return pa.table(
+                {
+                    "word": pa.array(words, pa.string()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n": pa.array(ns, pa.int64()),
+                }
+            )
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        PerDocCounter, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+SQL_Q27 = """
+SELECT word, doc_id, count(*) AS n
+FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents) t
+GROUP BY word, doc_id
+"""
+
+
+SEARCH_TERM = "spark"
+
+
+def q28_search_term(sf_dir: str):
+    """Index query surface (S12 find_words analog): docs containing the
+    term, with occurrence counts — vectorized count_substring_regex."""
+
+    def _search(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.utf8_lower(t.column("text")), rf"\b{SEARCH_TERM}\b"
+        ).cast(pa.int64())
+        out = pa.table({"doc_id": t.column("doc_id"), "n": n})
+        return out.filter(pc.greater(out.column("n"), pa.scalar(0)))
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _search, batch_format="pyarrow"
+    )
+
+
+SQL_Q28 = rf"""
+SELECT doc_id, n FROM (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '\b{SEARCH_TERM}\b')) AS n
+  FROM documents) t WHERE n > 0
+"""
+
+
+#: corrections algebra (D4 analog, /root/reference/src/barks_ocr/pipeline/entity_store.py:43-60)
+CORRECTIONS_REMOVE = ("hash",)  # too-generic tag, drop entirely
+CORRECTIONS_RETYPE = {"spark": "FRAMEWORK"}
+
+
+def q29_entities_corrected(sf_dir: str):
+    """Entity tags with a corrections pass applied as vectorized set
+    algebra (remove + retype), not record mutation."""
+    tags = q11_entity_tags(sf_dir)
+
+    def _correct(t: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.is_in(
+                t.column("name"),
+                value_set=pa.array(list(CORRECTIONS_REMOVE), pa.string()),
+            )
+        )
+        t = t.filter(keep)
+        etype = t.column("entity_type").to_pylist()
+        names = t.column("name").to_pylist()
+        fixed = [
+            CORRECTIONS_RETYPE.get(nm, et) for nm, et in zip(names, etype)
+        ]
+        i = t.schema.get_field_index("entity_type")
+        return t.set_column(i, "entity_type", pa.array(fixed, pa.string()))
+
+    return tags.map_batches(_correct, batch_format="pyarrow")
+
+
+def _sql_q29() -> str:
+    removes = ", ".join(f"'{n}'" for n in CORRECTIONS_REMOVE)
+    whens = " ".join(
+        f"WHEN name = '{n}' THEN '{t}'" for n, t in CORRECTIONS_RETYPE.items()
+    )
+    return f"""
+SELECT doc_id, name, CASE {whens} ELSE entity_type END AS entity_type, n
+FROM ({_sql_q11()}) tags
+WHERE name NOT IN ({removes})
+"""
+
+
+def q30_string_replace(sf_dir: str):
+    """Compiled-regex string repair with a skip-list (M17 analog,
+    /root/reference/src/barks_ocr/tools/string_replacer.py:192-205): docs
+    from the skip source keep their text verbatim."""
+    skip_source = "src0"
+
+    def _fix(t: pa.Table) -> pa.Table:
+        replaced = pc.replace_substring_regex(
+            t.column("text"), r"\btable\b", "relation"
+        )
+        skip = pc.equal(t.column("source"), pa.scalar(skip_source))
+        fixed = pc.if_else(skip, t.column("text"), replaced)
+        return pa.table({"doc_id": t.column("doc_id"), "fixed_text": fixed})
+
+    return read_table(
+        sf_dir, "documents", ["doc_id", "text", "source"]
+    ).map_batches(_fix, batch_format="pyarrow")
+
+
+SQL_Q30 = r"""
+SELECT doc_id,
+       CASE WHEN source = 'src0' THEN text
+            ELSE regexp_replace(text, '\btable\b', 'relation', 'g') END AS fixed_text
+FROM documents
+"""
+
+
+def q31_rolling_hour(sf_dir: str):
+    """Sliding event-time window: per event, count of same-user events in
+    the preceding hour (inclusive) — per-user sorted searchsorted scan in
+    map_groups; the oracle is a RANGE window frame."""
+    import numpy as np
+    import pandas as pd
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "n_prev_hour": (hi - lo).astype("int64"),
+            }
+        )
+
+    return (
+        read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+        .groupby("user_id")
+        .map_groups(_roll, batch_format="pandas")
+    )
+
+
+SQL_Q31 = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS n_prev_hour
+FROM events
+"""
+
+
+def q32_entity_stats(sf_dir: str):
+    """Per-entity aggregate with first-k examples (A3 analog: per-name
+    count + type histogram + first-3 examples,
+    /root/reference/src/barks_ocr/pipeline/whoosh_index.py:283-310)."""
+    import pandas as pd
+
+    tags = q11_entity_tags(sf_dir)
+
+    def _stats(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        return pd.DataFrame(
+            {
+                "name": [g["name"].iloc[0]],
+                "total": [int(g["n"].sum())],
+                "n_docs": [len(set(ids))],
+                "example_docs": [",".join(str(i) for i in ids[:3])],
+            }
+        )
+
+    return tags.groupby("name").map_groups(_stats, batch_format="pandas")
+
+
+def _sql_q32() -> str:
+    return f"""
+SELECT name, CAST(sum(n) AS BIGINT) AS total,
+       count(DISTINCT doc_id) AS n_docs,
+       array_to_string(list_sort(list(doc_id))[1:3], ',') AS example_docs
+FROM ({_sql_q11()}) tags
+GROUP BY name
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -513,6 +716,12 @@ def build_registry():
         "q24_extraction_pipeline": q24_extraction_pipeline,
         "q25_multimodal_features": q25_multimodal_features,
         "q26_validate_extraction": q26_validate_extraction,
+        "q27_word_doc_index": q27_word_doc_index,
+        "q28_search_term": q28_search_term,
+        "q29_entities_corrected": q29_entities_corrected,
+        "q30_string_replace": q30_string_replace,
+        "q31_rolling_hour": q31_rolling_hour,
+        "q32_entity_stats": q32_entity_stats,
     }
     oracles = {
         "q01_pricing_summary": SQL_Q01,
@@ -531,5 +740,11 @@ def build_registry():
         "q14_top3_orders_per_customer": SQL_Q14,
         "q15_distinct_priorities": SQL_Q15,
         "q16_ann_cosine_topk": SQL_Q16,
+        "q27_word_doc_index": SQL_Q27,
+        "q28_search_term": SQL_Q28,
+        "q29_entities_corrected": _sql_q29(),
+        "q30_string_replace": SQL_Q30,
+        "q31_rolling_hour": SQL_Q31,
+        "q32_entity_stats": _sql_q32(),
     }
     return queries, oracles
