@@ -66,3 +66,52 @@ def extract_pdf(payload: bytes) -> list[Block]:
                 )
             )
     return blocks
+
+
+# --- box-geometry utilities (M6 / M18 parity) ------------------------------
+
+AI_GRID = 1000
+
+
+def norm_boxes(doc: dict) -> list[dict]:
+    """Normalize box coords to a 0-1000 grid in y-before-x order — the
+    model-convention projection (M6 `norm2ai`,
+    /root/reference/src/barks_ocr/utils/gemini_ai_for_grouping.py:26-42)."""
+    width = float(doc.get("width", 600)) or 1.0
+    height = float(doc.get("height", 800)) or 1.0
+    out = []
+    for page in doc.get("pages", []):
+        for b in page.get("boxes", []):
+            out.append(
+                {
+                    "page": page.get("page", 0),
+                    "y0": round(b["y"] / height * AI_GRID),
+                    "x0": round(b["x"] / width * AI_GRID),
+                    "y1": round((b["y"] + b["h"]) / height * AI_GRID),
+                    "x1": round((b["x"] + b["w"]) / width * AI_GRID),
+                    "text": b["text"],
+                }
+            )
+    return out
+
+
+def transform_boxes(doc: dict, scale: float, dx: float, dy: float) -> dict:
+    """Affine re-fit of text boxes (M18 analog: the center-scaling box
+    repair, /root/reference/src/barks_ocr/tools/quick_fix.py:7-113) —
+    pure arithmetic, returns a new payload dict."""
+    out = {k: v for k, v in doc.items() if k != "pages"}
+    pages = []
+    for page in doc.get("pages", []):
+        boxes = [
+            {
+                "x": b["x"] * scale + dx,
+                "y": b["y"] * scale + dy,
+                "w": b["w"] * scale,
+                "h": b["h"] * scale,
+                "text": b["text"],
+            }
+            for b in page.get("boxes", [])
+        ]
+        pages.append({"page": page.get("page", 0), "boxes": boxes})
+    out["pages"] = pages
+    return out

@@ -688,6 +688,67 @@ GROUP BY name
 """
 
 
+def q33_fuzzy_pairing(sf_dir: str):
+    """Fuzzy similarity join (J4/J5 analog): best SequenceMatcher match
+    for src0 docs among src1 docs within the same length bucket
+    (rows-only; quadratic step bounded by the blocking key)."""
+    import pyarrow.compute as _pc
+
+    from barks_ocr_ray.functions.fuzzy import fuzzy_best_match
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        bucket = _pc.divide(t.column("n_chars"), pa.scalar(100, pa.int64()))
+        return t.append_column("bucket", bucket)
+
+    docs = docs.map_batches(_prep, batch_format="pyarrow")
+    left = docs.filter(expr="source == 'src0'")
+    right = docs.filter(expr="source == 'src1'")
+    return fuzzy_best_match(
+        left, right, key_col="bucket", id_col="doc_id", text_col="text",
+        min_ratio=0.3,
+    )
+
+
+def q34_extraction_issues(sf_dir: str):
+    """Heuristic issue records over the EXTRACTED corpus (M14/M15 on the
+    pipeline output; queue-file dedup semantics by construction)."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
+
+    configure()
+    pages = rd.from_arrow(pages_table(_sf_rows(sf_dir, 20_000))).select_columns(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    out = extraction_pipeline(pages, num_partitions=8)
+
+    def _issues(t: pa.Table) -> pa.Table:
+        urls, types = [], []
+        texts = t.column("extracted_text").to_pylist()
+        kinds = t.column("kind").to_pylist()
+        lens = t.column("html_len").to_pylist()
+        errors = t.column("error").to_pylist()
+        for u, txt, kind, ln, err in zip(
+            t.column("url").to_pylist(), texts, kinds, lens, errors
+        ):
+            if err:
+                urls.append(u); types.append("extract_error")
+            if kind == "html" and ln > 1500 and not txt:
+                urls.append(u); types.append("empty_extraction")
+            if txt and len(txt) < 25:
+                urls.append(u); types.append("short_text")
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "issue_type": pa.array(types, pa.string()),
+            }
+        )
+
+    return out.map_batches(_issues, batch_format="pyarrow")
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -722,6 +783,8 @@ def build_registry():
         "q30_string_replace": q30_string_replace,
         "q31_rolling_hour": q31_rolling_hour,
         "q32_entity_stats": q32_entity_stats,
+        "q33_fuzzy_pairing": q33_fuzzy_pairing,
+        "q34_extraction_issues": q34_extraction_issues,
     }
     oracles = {
         "q01_pricing_summary": SQL_Q01,
