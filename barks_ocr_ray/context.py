@@ -30,8 +30,8 @@ def configure(target_max_block_size: int | None = None) -> None:
         # upstream stage scheduling-bound; scale to the cluster and let
         # target_max_block_size govern big inputs
         ctx.read_op_min_num_blocks = max(2, 2 * cpus)
-    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.1
-    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.1
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
     # default upscaling threshold (2.0) makes actor pools ramp far too
     # slowly for a post-shuffle burst of heavy blocks: the pool sits at
     # 1-2 actors while a barrier's worth of work drains. Scale as soon

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
-from html.parser import HTMLParser
 
 # Tags that open/close a text block (block-level boundary set).
 BLOCK_TAGS = frozenset(
@@ -59,9 +58,13 @@ def clean_text(s: str) -> str:
     /root/reference/src/barks_ocr/pipeline/whoosh_index.py:92-95).
 
     ``" ".join(s.split())`` is exactly whitespace-run collapse + strip
-    (C-level; the regex equivalent dominated the kernel profile)."""
-    s = s.replace("­", "")
-    s = _DASH_RE.sub("-", s)
+    (C-level; the regex equivalent dominated the kernel profile). The
+    soft-hyphen/dash folding only applies to non-ASCII text — the targets
+    are all non-ASCII code points, so ``isascii`` (one C scan) gates the
+    two extra passes."""
+    if not s.isascii():
+        s = s.replace("­", "")
+        s = _DASH_RE.sub("-", s)
     return " ".join(s.split())
 
 
@@ -83,15 +86,29 @@ class _Segment:
     in_link: bool
 
 
-class _BlockWalker(HTMLParser):
-    """Single-pass walker: block boundaries at BLOCK_TAGS, script/style
-    skipped, per-text-node char spans recovered from (line, col) positions."""
+#: one token per markup construct; text runs are the gaps between tokens.
+#: (A direct scanner, not html.parser: the stdlib parser's per-tag Python
+#: machinery dominated the kernel profile at ~3x the cost. Character
+#: references are treated as literal text — span fidelity over entity
+#: decoding, which also makes decoded[start:end] == the block's raw text
+#: hold for entity-bearing documents.)
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"  # comments (unterminated -> rest of doc)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"  # CDATA
+    r"|<![^>]*>"  # doctype / declarations
+    r"|<\?[^>]*>"  # processing instructions
+    r"|</?([a-zA-Z][a-zA-Z0-9:_-]*)"  # tag name (group 1)
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)"  # attrs (group 2, quote-aware)
+    r"(/?)>",  # self-closing marker (group 3)
+    re.S,
+)
+
+
+class _BlockWalker:
+    """Single-pass scanner: block boundaries at BLOCK_TAGS, script/style
+    skipped, per-text-node char spans taken directly from token offsets."""
 
     def __init__(self, doc: str):
-        super().__init__(convert_charrefs=True)
-        self._line_offsets = [0]
-        for m in re.finditer("\n", doc):
-            self._line_offsets.append(m.end())
         self._doc = doc
         self._segments: list[_Segment] = []
         self._tag_count = 0
@@ -100,9 +117,25 @@ class _BlockWalker(HTMLParser):
         self._heading = False
         self.blocks: list[Block] = []
 
-    def _offset(self) -> int:
-        line, col = self.getpos()
-        return self._line_offsets[line - 1] + col
+    def feed(self, doc: str) -> None:
+        pos = 0
+        for m in _TOKEN_RE.finditer(doc):
+            if m.start() > pos:
+                self.handle_data(doc[pos : m.start()], pos)
+            pos = m.end()
+            name = m.group(1)
+            if name is None:
+                continue  # comment / doctype / declaration
+            name = name.lower()
+            token = m.group(0)
+            if token.startswith("</"):
+                self.handle_endtag(name)
+            elif m.group(3) == "/":
+                self.handle_startendtag(name, ())
+            else:
+                self.handle_starttag(name, ())
+        if pos < len(doc):
+            self.handle_data(doc[pos:], pos)
 
     def _flush(self) -> None:
         segs, self._segments = self._segments, []
@@ -114,7 +147,10 @@ class _BlockWalker(HTMLParser):
         text = clean_text(raw)
         if not text:
             return
-        seg_lens = [len(clean_text(s.text)) for s in segs]
+        if len(segs) == 1:
+            seg_lens = [len(text)]
+        else:
+            seg_lens = [len(clean_text(s.text)) for s in segs]
         total = sum(seg_lens)
         link = sum(n for s, n in zip(segs, seg_lens) if s.in_link)
         link_density = link / total if total else 0.0
@@ -175,16 +211,14 @@ class _BlockWalker(HTMLParser):
         elif tag == "a":
             self._a_depth = max(0, self._a_depth - 1)
 
-    def handle_data(self, data):
+    def handle_data(self, data, start):
         if self._skip_depth or not data:
             return
-        start = self._offset()
         self._segments.append(
             _Segment(data, start, start + len(data), self._a_depth > 0)
         )
 
     def close(self):
-        super().close()
         self._flush()
 
 

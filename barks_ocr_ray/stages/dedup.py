@@ -64,6 +64,54 @@ def _keep_winner_per_url(t: pa.Table) -> pa.Table:
     return t.take(pa.array(winner_idx))
 
 
+def winner_keys_cheap(pages: Dataset, num_partitions: int | None = None):
+    """Winner key set from the RAW pages dataset via a keys-only pass
+    (url + dedup_rank; no payload compression, no kind detection) — the
+    broadcast strategy's first phase. Returns a python set of
+    (url, dedup_rank)."""
+    import hashlib
+
+    import pyarrow.compute as _pc
+
+    def _keys(t: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.sha256(memoryview(b.as_buffer())).hexdigest()
+            for b in t.column("html")
+        ]
+        ts = _pc.cast(t.column("warc_ts"), pa.int64()).to_pylist()
+        from barks_ocr_ray.stages.sniff_stage import make_dedup_rank
+
+        ranks = [make_dedup_rank(a, h) for a, h in zip(ts, hashes)]
+        return pa.table(
+            {
+                "url": t.column("url"),
+                DEDUP_RANK: pa.array(ranks, pa.string()),
+            }
+        )
+
+    win = (
+        pages.map_batches(_keys, batch_format="pyarrow")
+        .groupby("url", num_partitions=num_partitions)
+        .aggregate(Max(DEDUP_RANK, alias_name=DEDUP_RANK))
+        .to_pandas()
+    )
+    return set(zip(win["url"], win[DEDUP_RANK]))
+
+
+def broadcast_winner_filter(ds: Dataset, keys: set) -> Dataset:
+    """Apply a pre-computed winner key set as a semi-join filter."""
+    keys_ref = ray.put(keys)
+
+    def semi_join(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        urls = batch.column("url").to_pylist()
+        ranks = batch.column(DEDUP_RANK).to_pylist()
+        mask = pa.array([(u, r) in ks for u, r in zip(urls, ranks)])
+        return batch.filter(mask)
+
+    return ds.map_batches(semi_join, batch_format="pyarrow")
+
+
 def winner_keys(ds: Dataset, num_partitions: int | None = None) -> Dataset:
     """(url, dedup_rank) of each url's winning fetch — pruned-column
     aggregation; the only data shuffled is the key pair."""

@@ -59,11 +59,37 @@ DONE_COL = "extract_done"
 OUTPUT_COLS = ("extracted_text", "spans", "blocks", "n_blocks", "error")
 
 
+def _payload_getter(batch: pa.Table):
+    """Payload accessor: raw ``html`` or zstd ``html_z`` (decompressed
+    per row with the recorded html_len as size hint)."""
+    from barks_ocr_ray.stages.sniff_stage import PAYLOAD_Z, payload_codec
+
+    if PAYLOAD_Z in batch.column_names:
+        z = batch.column(PAYLOAD_Z)
+        lens = batch.column("html_len").to_pylist()
+        codec = payload_codec()
+
+        def _get(i: int) -> bytes:
+            return codec.decompress(
+                z[i].as_py(), decompressed_size=lens[i], asbytes=True
+            )
+
+        return _get
+    payloads = batch.column("html")
+    return lambda i: payloads[i].as_py()
+
+
+def _payload_col(batch: pa.Table) -> str:
+    from barks_ocr_ray.stages.sniff_stage import PAYLOAD_Z
+
+    return PAYLOAD_Z if PAYLOAD_Z in batch.column_names else "html"
+
+
 def _extract_rows(batch: pa.Table, mask: list[bool]) -> pa.Table:
     """Run the frozen kernel on rows where mask is True; null outputs
     elsewhere. Nested columns are built with flat offset/child buffers
     (no per-row list-of-dict conversion)."""
-    payloads = batch.column("html")
+    get_payload = _payload_getter(batch)
     texts: list[str | None] = []
     errors: list[str | None] = []
     n_blocks: list[int | None] = []
@@ -91,9 +117,8 @@ def _extract_rows(batch: pa.Table, mask: list[bool]) -> pa.Table:
         if not do:
             _null_row()
             continue
-        payload = payloads[i].as_py()
         try:
-            res = extract_page(payload)
+            res = extract_page(get_payload(i))
         except Exception as exc:  # dead-letter row, don't kill the batch
             # (the reference's tolerant per-line parse with error counter,
             # /root/reference/src/barks_ocr/pipeline/gemini_batch_results.py:94-114)
@@ -187,9 +212,10 @@ class ExtractBig:
             # consumed here; null the column so they never cross another
             # stage boundary. (pa.nulls, not pc.if_else — pyarrow 16's
             # if_else emits corrupt offsets for sliced binary arrays.)
-            idx = out.schema.get_field_index("html")
+            col = _payload_col(out)
+            idx = out.schema.get_field_index(col)
             out = out.set_column(
-                idx, "html", pa.nulls(out.num_rows, out.schema.field("html").type)
+                idx, col, pa.nulls(out.num_rows, out.schema.field(col).type)
             )
         if small_part.num_rows:
             yield _passthrough(small_part)

@@ -24,6 +24,11 @@ from barks_ocr_ray.extract.sniff import sniff_kind
 _INV_HEX = str.maketrans("0123456789abcdef", "fedcba9876543210")
 
 DEDUP_RANK = "dedup_rank"
+PAYLOAD_Z = "html_z"
+
+
+def payload_codec() -> "pa.Codec":
+    return pa.Codec("zstd", compression_level=1)
 
 
 def make_dedup_rank(ts_micros: int, content_hash: str) -> str:
@@ -33,19 +38,31 @@ def make_dedup_rank(ts_micros: int, content_hash: str) -> str:
     return f"{ts_micros:020d}" + content_hash.translate(_INV_HEX)
 
 
-def sniff_batch(batch: pa.Table) -> pa.Table:
+def sniff_batch(batch: pa.Table, *, compress: bool = False) -> pa.Table:
     payloads = batch.column("html")
     kinds = []
     hashes = []
+    comp: list[bytes] = []
+    codec = payload_codec() if compress else None
     for buf in payloads:
         mv = memoryview(buf.as_buffer())
         kinds.append(sniff_kind(bytes(mv[:512])))
         hashes.append(hashlib.sha256(mv).hexdigest())
+        if codec is not None:
+            comp.append(codec.compress(mv, asbytes=True))
     ts_micros = pc.cast(batch.column("warc_ts"), pa.int64()).to_pylist()
     ranks = [make_dedup_rank(t, h) for t, h in zip(ts_micros, hashes)]
-    return (
+    out = (
         batch.append_column("kind", pa.array(kinds, pa.string()))
         .append_column("html_len", pc.binary_length(payloads).cast(pa.int64()))
         .append_column("content_hash", pa.array(hashes, pa.string()))
         .append_column(DEDUP_RANK, pa.array(ranks, pa.string()))
     )
+    if codec is not None:
+        # move the payload through downstream exchanges compressed
+        # (~25x smaller on web text at >500 MB/s/core); the extract
+        # stage decompresses with the recorded html_len as size hint
+        out = out.drop_columns(["html"]).append_column(
+            PAYLOAD_Z, pa.array(comp, pa.binary())
+        )
+    return out

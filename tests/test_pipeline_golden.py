@@ -55,7 +55,7 @@ def test_permutation_invariance(corpus, gold):
     _check_against_golden(out, gold)
 
 
-@pytest.mark.parametrize("strategy", ["join", "broadcast"])
+@pytest.mark.parametrize("strategy", ["join", "broadcast", "auto"])
 def test_dedup_strategy_equivalence(corpus, gold, strategy):
     out = extraction_pipeline(
         _pages_ds(corpus), dedup_strategy=strategy, num_partitions=4
