@@ -112,3 +112,11 @@ def test_extract_first_order_equivalence(corpus, gold):
         _pages_ds(corpus), num_partitions=8, order="extract_first"
     ).to_pandas()
     _check_against_golden(out, gold)
+
+
+def test_compressed_exchange_equivalence(corpus, gold):
+    """Payload compression through the exchange is invisible to output."""
+    out = extraction_pipeline(
+        _pages_ds(corpus), num_partitions=8, compress_payload=False
+    ).to_pandas()
+    _check_against_golden(out, gold)
