@@ -444,3 +444,71 @@ def embedding_near_dups(
         .groupby("bucket")
         .map_groups(_pairwise, batch_format="pandas")
     )
+
+
+# --- duplicate clusters: connected components over candidate pairs --------
+
+
+def dup_clusters(pairs: "Dataset", max_rounds: int = 20) -> "Dataset":
+    """Connected components over near-duplicate candidate pairs by
+    iterative min-label propagation: every doc gets the smallest doc_id
+    reachable through the pair graph (the canonical representative to
+    KEEP; all others are the duplicates to drop).
+
+    Rounds run as vectorized label joins; the label table is broadcast
+    per round (near-dup graphs are sparse — candidate pairs are a tiny
+    fraction of the corpus; at cluster scale the same rounds run as a
+    groupby(node).min(label) over exploded edge messages, which this
+    implementation mirrors 1:1).
+    """
+    import pyarrow.compute as _pc
+
+    edges = pairs.select_columns(["doc_a", "doc_b"]).to_pandas()
+    if len(edges) == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        )
+    a = edges["doc_a"].to_numpy()
+    b = edges["doc_b"].to_numpy()
+    nodes = np.unique(np.concatenate([a, b]))
+    label = {int(n): int(n) for n in nodes}
+    for _ in range(max_rounds):
+        changed = False
+        # one propagation round: each edge pushes the smaller label
+        for x, y in zip(a, b):
+            lx, ly = label[int(x)], label[int(y)]
+            m = min(lx, ly)
+            # path-halving through the current representative
+            m = min(m, label.get(m, m))
+            if lx != m:
+                label[int(x)] = m
+                changed = True
+            if ly != m:
+                label[int(y)] = m
+                changed = True
+        if not changed:
+            break
+    # final contraction to the fixed point
+    def root(n: int) -> int:
+        while label[n] != n:
+            label[n] = label[label[n]]
+            n = label[n]
+        return n
+
+    out_nodes = [int(n) for n in nodes]
+    out_labels = [root(int(n)) for n in nodes]
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(out_nodes, pa.int64()),
+                "cluster": pa.array(out_labels, pa.int64()),
+            }
+        )
+    )

@@ -749,6 +749,18 @@ def q34_extraction_issues(sf_dir: str):
     return out.map_batches(_issues, batch_format="pyarrow")
 
 
+def q35_dup_clusters(sf_dir: str):
+    """Near-dup candidate pairs -> connected components (min-label
+    propagation): the canonical-representative resolution step after
+    MinHash banding (rows-only)."""
+    from barks_ocr_ray.functions.dedupe import dup_clusters, minhash_near_dups
+
+    pairs = minhash_near_dups(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
+    )
+    return dup_clusters(pairs)
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -785,6 +797,7 @@ def build_registry():
         "q32_entity_stats": q32_entity_stats,
         "q33_fuzzy_pairing": q33_fuzzy_pairing,
         "q34_extraction_issues": q34_extraction_issues,
+        "q35_dup_clusters": q35_dup_clusters,
     }
     oracles = {
         "q01_pricing_summary": SQL_Q01,

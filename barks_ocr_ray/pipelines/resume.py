@@ -25,8 +25,10 @@ failure.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -86,6 +88,7 @@ def run_resumable(
             shutil.rmtree(bdir)
 
     computed = 0
+    chunk_metrics = []
     for start in range(0, len(pending), chunk_size):
         chunk = pending[start : start + chunk_size]
         chunk_set = set(chunk)
@@ -96,6 +99,7 @@ def run_resumable(
             )
             return t.filter(mask)
 
+        t_chunk = time.time()
         pages = (
             read_pages(input_path)
             .map_batches(_bucket_column(num_buckets), batch_format="pyarrow")
@@ -107,8 +111,11 @@ def run_resumable(
         out = out.map_batches(_bucket_column(num_buckets), batch_format="pyarrow")
         out.write_parquet(out_dir, partition_cols=["bucket"])
 
+        chunk_wall = time.time() - t_chunk
         # commit: per-bucket manifest from the just-written data
         import pyarrow.dataset as pads
+
+        chunk_rows = 0
 
         for b in chunk:
             bdir = os.path.join(out_dir, f"bucket={b}")
@@ -127,10 +134,26 @@ def run_resumable(
                     engine_version=ENGINE_VERSION,
                 ),
             )
+            chunk_rows += len(hashes)
             computed += 1
-    return {
+        chunk_metrics.append(
+            {
+                "buckets": chunk,
+                "rows": chunk_rows,
+                "wall_s": round(chunk_wall, 2),
+                "docs_per_sec": round(chunk_rows / max(chunk_wall, 1e-9), 1),
+            }
+        )
+    summary = {
         "num_buckets": num_buckets,
         "skipped": skipped,
         "computed": computed,
         "fingerprint": fingerprint,
+        "chunks": chunk_metrics,
     }
+    # per-run metrics ledger next to the manifests (north rule: lineage
+    # + metrics; the reference's run-total prints made durable)
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    with open(os.path.join(out_dir, "_manifests", "last-run.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

@@ -176,3 +176,40 @@ def test_multimodal_stub():
     ext = MediaFeatureExtractor(fake_decode=False)
     with pytest.raises(Exception):
         ext(pages.take_batch(1, batch_format="pyarrow"))
+
+
+def test_dup_clusters_transitive():
+    """A~B and B~C must land in one cluster labeled by the min doc id."""
+    from barks_ocr_ray.functions.dedupe import dup_clusters
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 2, 10], pa.int64()),
+                "doc_b": pa.array([2, 3, 11], pa.int64()),
+            }
+        )
+    )
+    out = dup_clusters(pairs).to_pandas().set_index("doc_id")["cluster"]
+    assert out.loc[1] == out.loc[2] == out.loc[3] == 1
+    assert out.loc[10] == out.loc[11] == 10
+
+
+def test_dup_clusters_end_to_end():
+    """minhash pairs -> clusters: the planted dup chain collapses."""
+    from barks_ocr_ray.functions.dedupe import dup_clusters, minhash_near_dups
+
+    rows = [(i, _text(i)) for i in range(10)]
+    rows.append((100, _near(rows[0][1])))   # 0 ~ 100
+    rows.append((101, _near(rows[0][1])))   # 0 ~ 101 (and 100 ~ 101)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    out = dup_clusters(pairs).to_pandas().set_index("doc_id")["cluster"]
+    assert out.loc[0] == out.loc[100] == out.loc[101] == 0
