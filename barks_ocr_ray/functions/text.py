@@ -176,10 +176,9 @@ def rolling_fingerprint(tokens: list[str], window: int = 8) -> int:
 
 
 def hash_token(tok: str) -> int:
-    h = 2166136261
-    for ch in tok.encode("utf-8"):
-        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
-    return h
+    import zlib
+
+    return zlib.crc32(tok.encode("utf-8"))
 
 
 class Fingerprinter(Tokenizer):
