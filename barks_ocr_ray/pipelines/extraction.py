@@ -1,18 +1,27 @@
 """The flagship extraction pipeline (SURVEY.md §7.1, north rule):
 
     read_parquet(pages)
-      -> sniff                (stateless map_batches, zero-copy Arrow)
-      -> dedup on url         (groupby max(warc_ts); join or broadcast)
-      -> extract              (warm-parser actor pool)
-      -> extract-big          (dedicated high-memory pool for oversized rows)
-      -> drop html            (so downstream stages move text + spans only)
+      -> sniff                (stateless map_batches, zero-copy Arrow;
+                               optional zstd payload compression for the
+                               exchange)
+      -> dedup on url         (hash-partition + vectorized argmax by
+                               default; agg+join and broadcast variants,
+                               cost-based "auto" selection)
+      -> extract-big          (dedicated stage consumes oversized payloads
+                               first; split-yield routing)
+      -> extract              (main warm-parser stage finishes the rest)
+      -> drop html            (downstream moves text + spans only)
       -> write partitioned Parquet + per-partition lineage manifests
          (see pipelines/resume.py) or return the streaming Dataset.
 
-Every stage is a Dataset transform; the only all-to-all exchange is the
-dedup on ``url``. Output order is not semantic — identity is the ``url``
-key (the reference's positional contracts J1/J6 are exactly what breaks
-under parallelism; everything here is keyed — SURVEY.md §7.3).
+The extract stages are callable classes run as stateless TASK pools by
+default (their per-worker state is compiled regexes — cheap init) with a
+``stateful=True`` actor-pool mode for heavyweight warm state; see
+``_extract`` for the measured rationale. Every stage is a Dataset
+transform; the only all-to-all exchange is the dedup on ``url``. Output
+order is not semantic — identity is the ``url`` key (the reference's
+positional contracts J1/J6 are exactly what breaks under parallelism;
+everything here is keyed — SURVEY.md §7.3).
 """
 
 from __future__ import annotations

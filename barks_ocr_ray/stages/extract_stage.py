@@ -1,27 +1,30 @@
-"""Stage 4 — extraction actor pools (the "warm parser" stage).
+"""Stage 4 — the extraction ("warm parser") stages.
 
 The reference instantiated its OCR engines once per page
 (/root/reference/src/barks_ocr/pipeline/batch_ocr.py:185,230 — the
-anti-pattern); here the parser kernel is a callable CLASS handed to
-``map_batches(..., concurrency=N)`` so setup happens once per actor and
-every batch reuses it (SURVEY.md §2.3 T1/T2 -> actor pool).
+anti-pattern); here the parser kernel is a callable CLASS whose state is
+built once per worker and reused per batch (SURVEY.md §2.3 T1/T2). The
+pipeline runs these classes as stateless TASK pools by default (the state
+is a few compiled regexes; Ray's own sizing rule — cheap init -> tasks —
+and a measured 2.2x actor-pool dispatch penalty decide this) and as
+dedicated ACTOR pools under ``stateful=True`` for genuinely heavy warm
+state.
 
 Skew routing (north rule): instead of branching the Dataset (which would
 either recompute the upstream dedup per branch or force a mid-pipeline
-materialize), routing is TWO SEQUENTIAL actor-pool stages on one
-streaming pipeline:
+materialize), routing is TWO SEQUENTIAL stages on one streaming pipeline:
 
-* ``ExtractBig`` FIRST — the dedicated high-memory pool (more cpus per
-  actor, small batches): processes exactly the oversized rows
-  (``html_len > oversize_bytes``, usually few rows but most bytes) and
-  forwards the rest untouched. Running the big pool first means the
-  heavy payloads are consumed at the earliest stage and never ride
-  through a second actor boundary.
-* ``ExtractSmall`` — the main pool; finishes every remaining row.
+* ``ExtractBig`` FIRST — the dedicated high-memory stage (small batches,
+  own num_cpus in stateful mode): processes exactly the oversized rows
+  (``html_len > oversize_bytes``, usually few rows but most bytes),
+  yielding the untouched small rows as a separate table. Running it
+  first means the heavy payloads are consumed at the earliest stage and
+  never ride through a second stage boundary.
+* ``ExtractSmall`` — the main stage; finishes every remaining row.
   Batches that are already fully done are forwarded without
   deserialization.
 
-Each row's parse runs exactly once, in the right pool, with no extra
+Each row's parse runs exactly once, in the right stage, with no extra
 shuffle or materialization.
 
 Output layout note: per-block ``text`` is stored ONLY for non-content
