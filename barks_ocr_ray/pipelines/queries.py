@@ -749,6 +749,85 @@ def q34_extraction_issues(sf_dir: str):
     return out.map_batches(_issues, batch_format="pyarrow")
 
 
+def q36_search_multi_term(sf_dir: str):
+    """Multi-term AND search (S12 find_words with several words): docs
+    containing both terms, with per-term counts."""
+    terms = ("spark", "join")
+
+    def _search(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t.column("text"))
+        cols = {"doc_id": t.column("doc_id")}
+        mask = None
+        for term in terms:
+            n = pc.count_substring_regex(lower, rf"\b{term}\b").cast(pa.int64())
+            cols[f"n_{term}"] = n
+            m = pc.greater(n, pa.scalar(0))
+            mask = m if mask is None else pc.and_(mask, m)
+        return pa.table(cols).filter(mask)
+
+    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _search, batch_format="pyarrow"
+    )
+
+
+SQL_Q36 = r"""
+SELECT doc_id, n_spark, n_join FROM (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\bspark\b')) AS n_spark,
+         len(regexp_extract_all(lower(text), '\bjoin\b'))  AS n_join
+  FROM documents) t
+WHERE n_spark > 0 AND n_join > 0
+"""
+
+
+def q37_priority_revenue_join(sf_dir: str):
+    """Large x large hash join (`Dataset.join`, hash-partitioned on the
+    key — the scale path when neither side broadcasts) + grouped
+    aggregate: revenue by order priority."""
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lineitem = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "revenue": rev,
+            }
+        )
+
+    out = (
+        joined.map_batches(_rev, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+    )
+    from barks_ocr_ray.functions.relational import round_columns
+
+    return round_columns(out, {"revenue": 2})
+
+
+SQL_Q37 = """
+SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q35_dup_clusters(sf_dir: str):
     """Near-dup candidate pairs -> connected components (min-label
     propagation): the canonical-representative resolution step after
@@ -798,6 +877,8 @@ def build_registry():
         "q33_fuzzy_pairing": q33_fuzzy_pairing,
         "q34_extraction_issues": q34_extraction_issues,
         "q35_dup_clusters": q35_dup_clusters,
+        "q36_search_multi_term": q36_search_multi_term,
+        "q37_priority_revenue_join": q37_priority_revenue_join,
     }
     oracles = {
         "q01_pricing_summary": SQL_Q01,
@@ -822,5 +903,7 @@ def build_registry():
         "q30_string_replace": SQL_Q30,
         "q31_rolling_hour": SQL_Q31,
         "q32_entity_stats": _sql_q32(),
+        "q36_search_multi_term": SQL_Q36,
+        "q37_priority_revenue_join": SQL_Q37,
     }
     return queries, oracles
