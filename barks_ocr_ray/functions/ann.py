@@ -23,11 +23,11 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from barks_ocr_ray.functions.relational import round_like_duckdb
+
 
 def _round_half_away(x: np.ndarray, nd: int = 6) -> np.ndarray:
     """DuckDB-bit-identical rounding (see relational.round_like_duckdb)."""
-    from barks_ocr_ray.functions.relational import round_like_duckdb
-
     return round_like_duckdb(x, nd)
 
 

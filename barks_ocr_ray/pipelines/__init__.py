@@ -5,5 +5,13 @@ from barks_ocr_ray.pipelines.extraction import (
     read_pages,
     run_extraction,
 )
+from barks_ocr_ray.pipelines.resume import run_resumable
+from barks_ocr_ray.pipelines.validate import validate_extraction
 
-__all__ = ["extraction_pipeline", "read_pages", "run_extraction"]
+__all__ = [
+    "extraction_pipeline",
+    "read_pages",
+    "run_extraction",
+    "run_resumable",
+    "validate_extraction",
+]

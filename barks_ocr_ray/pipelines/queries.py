@@ -21,6 +21,7 @@ from barks_ocr_ray.functions.relational import (
     grouped_topk,
     read_table,
     round_columns,
+    round_like_duckdb,
 )
 
 # --------------------------------------------------------------------------
@@ -86,8 +87,6 @@ def q02_revenue_filter(sf_dir: str):
             pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
         )
         t = t.filter(mask)
-        from barks_ocr_ray.functions.relational import round_like_duckdb
-
         raw = pc.multiply(
             t.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), t.column("l_discount")),

@@ -35,7 +35,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Max
 
-from barks_ocr_ray.stages.sniff_stage import DEDUP_RANK
+from barks_ocr_ray.stages.sniff_stage import DEDUP_RANK, make_dedup_rank
 
 
 def _keep_winner_per_url(t: pa.Table) -> pa.Table:
@@ -79,8 +79,6 @@ def winner_keys_cheap(pages: Dataset, num_partitions: int | None = None):
             for b in t.column("html")
         ]
         ts = _pc.cast(t.column("warc_ts"), pa.int64()).to_pylist()
-        from barks_ocr_ray.stages.sniff_stage import make_dedup_rank
-
         ranks = [make_dedup_rank(a, h) for a, h in zip(ts, hashes)]
         return pa.table(
             {

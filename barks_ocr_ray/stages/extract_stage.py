@@ -42,6 +42,7 @@ import pyarrow.compute as pc
 from barks_ocr_ray.datagen import OVERSIZE_BYTES
 from barks_ocr_ray.extract.html_extract import TYPE_CONTENT
 from barks_ocr_ray.extract.reference import extract_page
+from barks_ocr_ray.stages.sniff_stage import PAYLOAD_Z, payload_codec
 
 SPANS_TYPE = pa.list_(
     pa.struct([("start", pa.int64()), ("end", pa.int64())])
@@ -64,9 +65,13 @@ OUTPUT_COLS = ("extracted_text", "spans", "blocks", "n_blocks", "error")
 
 def _payload_getter(batch: pa.Table):
     """Payload accessor: raw ``html`` or zstd ``html_z`` (decompressed
-    per row with the recorded html_len as size hint)."""
-    from barks_ocr_ray.stages.sniff_stage import PAYLOAD_Z, payload_codec
+    per row with the recorded html_len as size hint).
 
+    NOTE (worker-executed code): no runtime `from barks_ocr_ray...`
+    imports in any function that runs inside a Ray task — when the
+    package ships by value (cloudpickle registration in __ray_entry__),
+    workers cannot import it; only references captured at pickle time
+    resolve."""
     if PAYLOAD_Z in batch.column_names:
         z = batch.column(PAYLOAD_Z)
         lens = batch.column("html_len").to_pylist()
@@ -83,8 +88,6 @@ def _payload_getter(batch: pa.Table):
 
 
 def _payload_col(batch: pa.Table) -> str:
-    from barks_ocr_ray.stages.sniff_stage import PAYLOAD_Z
-
     return PAYLOAD_Z if PAYLOAD_Z in batch.column_names else "html"
 
 
