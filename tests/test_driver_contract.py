@@ -1,0 +1,48 @@
+"""Driver-contract smoke in the driver's EXACT conditions: a fresh
+process where ray.init happens before __ray_entry__ is imported, with NO
+PYTHONPATH — workers can only resolve our code through the cloudpickle
+by-value registration. Guards against worker-body runtime imports of the
+package (which fail only under this condition, not under the
+PYTHONPATH-ful pytest session)."""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r"""
+import ray, sys, os, importlib.util
+os.environ.pop("PYTHONPATH", None)
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+sys.path.insert(0, {repo!r})
+spec = importlib.util.spec_from_file_location(
+    "__ray_entry__", os.path.join({repo!r}, "__ray_entry__.py"))
+m = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(m)
+assert m.entry().count() > 0
+qs, osql = m.queries(), m.oracle_sql()
+assert set(osql) <= set(qs)
+import ray.data as rd
+for name in ("q01_pricing_summary", "q24_extraction_pipeline"):
+    r = qs[name]("/root/testdata/sf0.001")
+    n = r.count() if isinstance(r, rd.Dataset) else len(r)
+    assert n > 0, name
+ray.shutdown()
+print("DRIVER-CONTRACT-OK")
+"""
+
+
+def test_entry_and_queries_without_pythonpath():
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["RAY_ADDRESS"] = "local"
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT.format(repo=REPO)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=240,
+        cwd="/tmp",
+    )
+    assert "DRIVER-CONTRACT-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
