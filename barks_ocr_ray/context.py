@@ -32,6 +32,9 @@ def configure(target_max_block_size: int | None = None) -> None:
         ctx.read_op_min_num_blocks = max(2, 2 * cpus)
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.05
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.05
+    # joins spawn their own aggregator actors: without this override a
+    # 16-partition join on a 4-CPU cluster deadlocks waiting for actors
+    ctx.join_operator_actor_num_cpus_per_partition_override = 0.05
     # default upscaling threshold (2.0) makes actor pools ramp far too
     # slowly for a post-shuffle burst of heavy blocks: the pool sits at
     # 1-2 actors while a barrier's worth of work drains. Scale as soon

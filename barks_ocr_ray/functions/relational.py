@@ -67,16 +67,20 @@ def broadcast_lookup_column(
     out_type: pa.DataType | None = None,
     drop_missing: bool = True,
 ) -> Dataset:
-    """Broadcast hash join: the small side is ``ray.put`` ONCE and read
-    inside each task (not re-shipped per batch); the mapping is applied
-    as a vectorized dictionary lookup per batch."""
-    ref = ray.put(lookup)
+    """Broadcast hash join: the small side is ``ray.put`` ONCE as a pair
+    of Arrow arrays and read inside each task (not re-shipped per batch);
+    the mapping is applied per batch as a vectorized ``pc.index_in`` +
+    ``take`` (Arrow dictionary lookup — no per-row Python)."""
+    keys_arr = pa.array(list(lookup.keys()))
+    vals_arr = pa.array(list(lookup.values()), out_type)
+    ref = ray.put((keys_arr, vals_arr))
 
     def _join(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        keys = t.column(key_col).to_pylist()
-        vals = [m.get(k) for k in keys]
-        arr = pa.array(vals, out_type)
+        ks, vs = ray.get(ref)
+        idx = pc.index_in(t.column(key_col), value_set=ks)
+        arr = vs.take(idx)  # null index -> null value
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
         t = t.append_column(out_col, arr)
         if drop_missing:
             t = t.filter(pc.is_valid(t.column(out_col)))
@@ -88,16 +92,42 @@ def broadcast_lookup_column(
 def broadcast_semi_join(
     ds: Dataset, keys: set, key_col: str, anti: bool = False
 ) -> Dataset:
-    """Semi/anti join via a broadcast key set (J8/J9 analog)."""
-    ref = ray.put(keys)
+    """Semi/anti join via a broadcast key set (J8/J9 analog), applied per
+    batch as one vectorized ``pc.is_in`` over the broadcast Arrow array."""
+    ref = ray.put(pa.array(sorted(keys)))
 
     def _filter(t: pa.Table) -> pa.Table:
         ks = ray.get(ref)
-        col = t.column(key_col).to_pylist()
-        mask = pa.array([(k in ks) != anti for k in col])
+        mask = pc.is_in(t.column(key_col), value_set=ks)
+        if anti:
+            mask = pc.invert(mask)
         return t.filter(mask)
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def compact_nonempty(
+    ds: Dataset, num_partitions: int = 8
+) -> tuple[Dataset, int]:
+    """Merge a dataset's blocks so EVERY block is non-empty, returning
+    (dataset, row_count).
+
+    Ray 2.49 workaround (measured, see tests/test_dedup_family.py): a
+    hash-shuffle/join input marks its schema as broadcast on the FIRST
+    shipped block, but an empty first block short-circuits before the
+    broadcast — aggregator partitions that receive no rows then have no
+    schema, and ``Dataset.join`` dies with ``No match ... FieldRef`` in
+    finalize. Sparse map stages (filters, per-group pair emitters) produce
+    empty blocks routinely, so every join input that is not provably
+    dense is compacted first: materialize (small tables only — candidate
+    pairs, label tables), then one key-less repartition to
+    ``min(num_partitions, n_rows)`` blocks so each carries >=1 row."""
+    mat = ds.materialize()
+    n = mat.count()
+    if n == 0:
+        return mat, 0
+    parts = max(1, min(num_partitions, n))
+    return mat.repartition(parts).materialize(), n
 
 
 def exact_dedup(

@@ -199,11 +199,11 @@ def extraction_pipeline(
             winner_keys_cheap,
         )
 
-        winners = winner_keys_cheap(pages, num_partitions)
+        winners, tie_urls = winner_keys_cheap(pages, num_partitions)
         ds = pages.map_batches(
             sniff_batch, batch_format="pyarrow", fn_kwargs={"compress": compress}
         )
-        ds = broadcast_winner_filter(ds, winners)
+        ds = broadcast_winner_filter(ds, winners, tie_urls)
         ds = _extract(ds)
         cols2 = OUTPUT_COLUMNS + (["html"] if keep_html else [])
         return ds.drop_columns([DONE_COL]).select_columns(cols2)

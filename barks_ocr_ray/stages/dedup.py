@@ -64,14 +64,38 @@ def _keep_winner_per_url(t: pa.Table) -> pa.Table:
     return t.take(pa.array(winner_idx))
 
 
-def winner_keys_cheap(pages: Dataset, num_partitions: int | None = None):
+#: joint separator for the combined (url, dedup_rank) broadcast key —
+#: \x00 cannot appear in a url or a hex/decimal rank string
+_KEY_SEP = "\x00"
+
+
+def _winners_and_ties(counts_df) -> tuple[set, set]:
+    """From a (url, dedup_rank, n) frame: the winner key set (combined
+    strings) and the urls whose WINNING rank has n > 1 physical rows —
+    byte-identical refetches at identical warc_ts (the ADVICE r1 case);
+    those urls need a keyed exchange to keep exactly one row."""
+    df = counts_df.sort_values(["url", DEDUP_RANK], kind="mergesort")
+    win = df.groupby("url", sort=False).last().reset_index()
+    # NOTE: plain Python concat — pandas' arrow-backed string ``+``
+    # silently DROPS \x00 bytes (measured on pandas 2.2/pyarrow 16)
+    keys = {
+        u + _KEY_SEP + r for u, r in zip(win["url"], win[DEDUP_RANK])
+    }
+    ties = set(win.loc[win["n"] > 1, "url"])
+    return keys, ties
+
+
+def winner_keys_cheap(
+    pages: Dataset, num_partitions: int | None = None
+) -> tuple[set, set]:
     """Winner key set from the RAW pages dataset via a keys-only pass
     (url + dedup_rank; no payload compression, no kind detection) — the
-    broadcast strategy's first phase. Returns a python set of
-    (url, dedup_rank)."""
+    broadcast strategy's first phase. Returns (winner key set of combined
+    url\\x00rank strings, urls whose winning rank is duplicated)."""
     import hashlib
 
     import pyarrow.compute as _pc
+    from ray.data.aggregate import Count as _Count
 
     def _keys(t: pa.Table) -> pa.Table:
         hashes = [
@@ -87,27 +111,62 @@ def winner_keys_cheap(pages: Dataset, num_partitions: int | None = None):
             }
         )
 
-    win = (
+    counts = (
         pages.map_batches(_keys, batch_format="pyarrow")
-        .groupby("url", num_partitions=num_partitions)
-        .aggregate(Max(DEDUP_RANK, alias_name=DEDUP_RANK))
+        .groupby(["url", DEDUP_RANK], num_partitions=num_partitions)
+        .aggregate(_Count(alias_name="n"))
         .to_pandas()
     )
-    return set(zip(win["url"], win[DEDUP_RANK]))
+    return _winners_and_ties(counts)
 
 
-def broadcast_winner_filter(ds: Dataset, keys: set) -> Dataset:
-    """Apply a pre-computed winner key set as a semi-join filter."""
-    keys_ref = ray.put(keys)
+def broadcast_winner_filter(
+    ds: Dataset, keys: set, tie_urls: set | None = None
+) -> Dataset:
+    """Apply a pre-computed winner key set as a vectorized semi-join
+    filter (one ``pc.is_in`` over the combined url\\x00rank key). Rows of
+    ``tie_urls`` (urls whose winning rank covers >1 physical row) are
+    routed through one tiny keyed exchange + first-per-url so the
+    one-row-per-url contract holds even for byte-identical refetches."""
+    keys_ref = ray.put(pa.array(sorted(keys), pa.string()))
+    ties = tie_urls or set()
+    ties_ref = ray.put(pa.array(sorted(ties), pa.string())) if ties else None
+
+    def _combined(batch: pa.Table):
+        return pc.binary_join_element_wise(
+            batch.column("url"), batch.column(DEDUP_RANK), _KEY_SEP
+        )
 
     def semi_join(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        urls = batch.column("url").to_pylist()
-        ranks = batch.column(DEDUP_RANK).to_pylist()
-        mask = pa.array([(u, r) in ks for u, r in zip(urls, ranks)])
+        mask = pc.is_in(_combined(batch), value_set=ray.get(keys_ref))
+        if ties_ref is not None:
+            mask = pc.and_(
+                mask,
+                pc.invert(
+                    pc.is_in(batch.column("url"), value_set=ray.get(ties_ref))
+                ),
+            )
         return batch.filter(mask)
 
-    return ds.map_batches(semi_join, batch_format="pyarrow")
+    safe = ds.map_batches(semi_join, batch_format="pyarrow")
+    if not ties:
+        return safe
+
+    def tie_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(_combined(batch), value_set=ray.get(keys_ref)),
+            pc.is_in(batch.column("url"), value_set=ray.get(ties_ref)),
+        )
+        return batch.filter(mask)
+
+    from barks_ocr_ray.functions.relational import exact_dedup
+
+    risky = exact_dedup(
+        ds.map_batches(tie_rows, batch_format="pyarrow"),
+        "url",
+        num_partitions=8,
+    )
+    return safe.union(risky)
 
 
 def winner_keys(ds: Dataset, num_partitions: int | None = None) -> Dataset:
@@ -132,23 +191,29 @@ def dedup_max_ts(
         )
     if strategy == "join":
         winners = winner_keys(ds, num_partitions)
-        return ds.join(
+        joined = ds.join(
             winners,
             join_type="inner",
             num_partitions=num_partitions,
             on=("url", DEDUP_RANK),
         )
+        # byte-identical refetches (same warc_ts AND content hash) share
+        # the winning (url, rank): the inner join keeps them ALL. One
+        # first-per-url pass restores the one-row-per-url contract
+        # (ADVICE r1). Surviving rows of a url are hash-identical in
+        # content, so which physical row is kept is immaterial.
+        from barks_ocr_ray.functions.relational import exact_dedup
+
+        return exact_dedup(joined, "url", num_partitions=num_partitions)
     if strategy == "broadcast":
-        win_tbl = winner_keys(ds, num_partitions).to_pandas()
-        keys = set(zip(win_tbl["url"], win_tbl[DEDUP_RANK]))
-        keys_ref = ray.put(keys)
+        from ray.data.aggregate import Count as _Count
 
-        def semi_join(batch: pa.Table) -> pa.Table:
-            ks = ray.get(keys_ref)
-            urls = batch.column("url").to_pylist()
-            ranks = batch.column(DEDUP_RANK).to_pylist()
-            mask = pa.array([(u, r) in ks for u, r in zip(urls, ranks)])
-            return batch.filter(mask)
-
-        return ds.map_batches(semi_join, batch_format="pyarrow")
+        counts = (
+            ds.select_columns(["url", DEDUP_RANK])
+            .groupby(["url", DEDUP_RANK], num_partitions=num_partitions)
+            .aggregate(_Count(alias_name="n"))
+            .to_pandas()
+        )
+        keys, ties = _winners_and_ties(counts)
+        return broadcast_winner_filter(ds, keys, ties)
     raise ValueError(f"unknown dedup strategy: {strategy}")

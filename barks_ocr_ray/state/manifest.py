@@ -72,17 +72,34 @@ def read_manifest(out_dir: str, bucket: int) -> Manifest | None:
         return None  # torn/corrupt manifest -> recompute the bucket
 
 
+_EVIDENCE_BYTES = 4096
+
+
+def _file_entry(path: str) -> str:
+    """name:size:crc(head+tail) — real content evidence (NOT mtimes, so a
+    re-copy of identical data still resumes; an in-place edit that
+    preserves file size is still caught because the parquet footer —
+    always inside the tail window — changes with any rewrite)."""
+    st = os.stat(path)
+    crc = 0
+    with open(path, "rb") as f:
+        crc = zlib.crc32(f.read(_EVIDENCE_BYTES))
+        if st.st_size > _EVIDENCE_BYTES:
+            f.seek(max(_EVIDENCE_BYTES, st.st_size - _EVIDENCE_BYTES))
+            crc = zlib.crc32(f.read(_EVIDENCE_BYTES), crc)
+    return f"{os.path.basename(path)}:{st.st_size}:{crc:08x}"
+
+
 def input_fingerprint(input_path: str) -> str:
-    """Cheap, deterministic fingerprint of the input corpus: file names,
-    sizes (NOT mtimes — content-addressed resume must survive a re-copy)."""
+    """Deterministic content fingerprint of the input corpus: per file,
+    name + size + crc32 of the first and last 4 KiB (the tail window
+    covers the parquet footer metadata, so any rewrite changes it)."""
     entries = []
     if os.path.isdir(input_path):
         for name in sorted(os.listdir(input_path)):
             if name.endswith(".parquet"):
-                st = os.stat(os.path.join(input_path, name))
-                entries.append(f"{name}:{st.st_size}")
+                entries.append(_file_entry(os.path.join(input_path, name)))
     else:
-        st = os.stat(input_path)
-        entries.append(f"{os.path.basename(input_path)}:{st.st_size}")
+        entries.append(_file_entry(input_path))
     digest = zlib.crc32(";".join(entries).encode("utf-8"))
     return f"{digest:08x}-{len(entries)}"
