@@ -41,6 +41,7 @@ def golden_corpus(n: int, seed: int = 42) -> dict[str, dict]:
             "warc_ts": rec["warc_ts"],
             "content_hash": h,
             "kind": res.kind,
+            "html_len": len(rec["html"]),
             "extracted_text": res.extracted_text,
             "spans": res.spans,
             "n_blocks": len(res.blocks),

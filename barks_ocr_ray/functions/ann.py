@@ -111,6 +111,102 @@ def brute_force_topk(
     )
 
 
+def embedding_all_pairs_exact(
+    embeddings: Dataset,
+    *,
+    threshold: float = 0.8,
+    n_blocks: int = 4,
+    num_partitions: int = 8,
+) -> Dataset:
+    """EXACT cosine similarity self-join (all pairs >= threshold) via
+    block-nested-loop enumeration: row with id v goes to block
+    b = v % n_blocks; every row is replicated to each block PAIR it
+    participates in, one groupby co-locates a block pair, and the group
+    computes its cross/triangular cosine matrix vectorized.
+
+    Cost model (the documented tradeoff): replication factor = n_blocks,
+    per-group memory = 2/n_blocks of the corpus, compute = the full
+    O(n^2) — this is the exact baseline the LSH path (embedding_near_dups)
+    trades recall against. No driver-side state, no broadcast of the
+    corpus. Oracle: DuckDB cross join + list_cosine_similarity."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        own = ids % n_blocks
+        tables = []
+        for other in range(n_blocks):
+            lo = np.minimum(own, other)
+            hi = np.maximum(own, other)
+            tables.append(
+                pa.table(
+                    {
+                        "vec_id": t.column("vec_id"),
+                        "embedding": t.column("embedding"),
+                        "own_block": pa.array(own, pa.int64()),
+                        "pair_key": pa.array(lo * n_blocks + hi, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def _pairs(g: pd.DataFrame) -> pa.Table:
+        key = int(g["pair_key"].iloc[0])
+        lo, hi = key // n_blocks, key % n_blocks
+        # each row appears once per (own, other) combination -> dedup
+        g = g.drop_duplicates(subset=["vec_id"])
+        ids = np.asarray(g["vec_id"], np.int64)
+        emb = _unit(np.stack([np.asarray(v, np.float64) for v in g["embedding"]]))
+        own = ids % n_blocks
+        a_idx = np.where(own == lo)[0]
+        b_idx = np.where(own == hi)[0]
+        if lo == hi:
+            i, j = np.triu_indices(len(a_idx), k=1)
+            ia, ib = a_idx[i], a_idx[j]
+        else:
+            ia = np.repeat(a_idx, len(b_idx))
+            ib = np.tile(b_idx, len(a_idx))
+        if len(ia) == 0:
+            sims = np.array([], np.float64)
+        else:
+            sims = np.einsum("ij,ij->i", emb[ia], emb[ib])
+        keep = sims >= threshold  # threshold on the raw cosine
+        va, vb = ids[ia][keep], ids[ib][keep]
+        swap = va > vb
+        va2 = np.where(swap, vb, va)
+        vb2 = np.where(swap, va, vb)
+        return pa.table(
+            {
+                "vec_a": pa.array(va2, pa.int64()),
+                "vec_b": pa.array(vb2, pa.int64()),
+                "cosine": pa.array(_round_half_away(sims[keep], 6), pa.float64()),
+            }
+        )
+
+    out = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(_explode, batch_format="pyarrow")
+        .groupby("pair_key")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    # All-empty group outputs lose the block schema through the shuffle
+    # (Ray 2.49, same effect compact_nonempty documents); pin the typed
+    # empty result so downstream schema/column checks hold at any scale.
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    out, n = compact_nonempty(out, num_partitions)
+    if n == 0:
+        # Dataset.to_pandas() drops the schema at 0 rows; hand back the
+        # typed empty Arrow table so column checks still see the contract.
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    return out
+
+
 def lsh_topk(
     embeddings: Dataset,
     query_ids: list[int],

@@ -173,14 +173,23 @@ class SignatureTable(MinHasher):
         )
 
 
-def _pairs_from_buckets(g: pd.DataFrame) -> pd.DataFrame:
+def _pairs_from_buckets(g: pd.DataFrame) -> pa.Table:
     """Candidate pairs within one (band_id, band_hash) bucket, emitted
-    vectorized (np.triu_indices, no per-pair Python loop)."""
+    vectorized (np.triu_indices, no per-pair Python loop). Returns an
+    Arrow table — blocks that round-trip through pandas pick up schema
+    metadata that pyarrow 16 cannot hash, which defeats Ray's shuffle
+    schema deduplication (the 'Failed to hash the schemas' warning)."""
     ids = np.unique(np.asarray(g["doc_id"], dtype=np.int64))
     if len(ids) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": []}).astype("int64")
-    i, j = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"doc_a": ids[i], "doc_b": ids[j]})
+        i = j = np.array([], dtype=np.int64)
+    else:
+        i, j = np.triu_indices(len(ids), k=1)
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[i], pa.int64()),
+            "doc_b": pa.array(ids[j], pa.int64()),
+        }
+    )
 
 
 def _dedup_pairs(pairs: Dataset, num_partitions: int) -> Dataset:
@@ -761,7 +770,7 @@ def range_join_pairs(
         )
         return pa.concat_tables([base, shifted])
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def _pairs(g: pd.DataFrame) -> pa.Table:
         ids = np.asarray(g["id"], dtype=np.int64)
         vals = np.asarray(g["val"], dtype=np.int64)
         band = int(g["band"].iloc[0])
@@ -772,7 +781,12 @@ def range_join_pairs(
         # count each pair only in its canonical band
         canonical = np.maximum(vals[i] // width, vals[j] // width) == band
         ok &= canonical
-        return pd.DataFrame({"doc_a": ids[i][ok], "doc_b": ids[j][ok]})
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[i][ok], pa.int64()),
+                "doc_b": pa.array(ids[j][ok], pa.int64()),
+            }
+        )
 
     return (
         docs.select_columns([id_col, value_col, key_col])

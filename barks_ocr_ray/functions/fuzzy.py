@@ -17,11 +17,107 @@ from __future__ import annotations
 
 from difflib import SequenceMatcher
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
 MIN_MATCH_RATIO = 0.7  # tools/ocr_check.py:39
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance, row-vectorized DP (numpy over one string
+    axis) — exactly DuckDB's ``levenshtein()`` semantics so the paired
+    query has a value-exact oracle."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(len(bb) + 1, dtype=np.int64)
+    cur = np.empty(len(bb) + 1, dtype=np.int64)
+    for i, ch in enumerate(a):
+        cur[0] = i + 1
+        sub = prev[:-1] + (bb != ord(ch))
+        dele = prev[1:] + 1
+        np.minimum(sub, dele, out=cur[1:])
+        # insertion needs a sequential scan: cur[j] = min(cur[j], cur[j-1]+1)
+        np.minimum.accumulate(
+            cur - np.arange(len(cur)), out=cur
+        )
+        cur += np.arange(len(cur))
+        prev, cur = cur, prev
+    return int(prev[-1])
+
+
+def lev_ratio(a: str, b: str) -> float:
+    """1 - lev/max(len) — the normalized similarity the oracle mirrors."""
+    denom = max(len(a), len(b), 1)
+    return 1.0 - levenshtein(a, b) / denom
+
+
+def levenshtein_best_match(
+    left: Dataset,
+    right: Dataset,
+    *,
+    key_col: str,
+    id_col: str,
+    text_col: str,
+    min_ratio: float = 0.3,
+) -> Dataset:
+    """For every left row, the best right row in the same blocking group
+    by levenshtein ratio (ties -> smallest right id); lefts with no match
+    >= min_ratio are dropped (inner semantics — the SQL-oracle variant of
+    ``fuzzy_best_match``). Output: (left_id, right_id, ratio)."""
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    def _tag(side: str):
+        def _t(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t.column(key_col),
+                    "row_id": t.column(id_col),
+                    "text": t.column(text_col),
+                    "side": pa.array([side] * t.num_rows, pa.string()),
+                }
+            )
+
+        return _t
+
+    both = left.map_batches(_tag("l"), batch_format="pyarrow").union(
+        right.map_batches(_tag("r"), batch_format="pyarrow")
+    )
+
+    def _match(g: pd.DataFrame) -> pa.Table:
+        lhs = g[g["side"] == "l"].sort_values("row_id")
+        rhs = g[g["side"] == "r"].sort_values("row_id")
+        lids, rids, ratios = [], [], []
+        for lrow in lhs.itertuples():
+            best_id, best_ratio = None, min_ratio
+            for rrow in rhs.itertuples():
+                r = lev_ratio(lrow.text, rrow.text)
+                # strict > keeps the SMALLEST right id on ties (rhs is
+                # sorted ascending); >= min_ratio admits the boundary
+                if r > best_ratio or (best_id is None and r >= min_ratio):
+                    best_id, best_ratio = rrow.row_id, r
+            if best_id is not None:
+                lids.append(lrow.row_id)
+                rids.append(best_id)
+                ratios.append(best_ratio)
+        return pa.table(
+            {
+                "left_id": pa.array(lids, pa.int64()),
+                "right_id": pa.array(rids, pa.int64()),
+                "ratio": pa.array(
+                    round_like_duckdb(np.asarray(ratios, np.float64), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return both.groupby("key").map_groups(_match, batch_format="pandas")
 
 
 def fuzzy_best_match(

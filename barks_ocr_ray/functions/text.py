@@ -126,12 +126,18 @@ class LangId(Tokenizer):
                     best_lang, best = lang, hits
             preds.append(best_lang)
             scores.append(best / max(1, len(toks)))
+        from barks_ocr_ray.functions.relational import round_like_duckdb
+
+        import numpy as _np
+
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "lang_pred": pa.array(preds, pa.string()),
-                "lang_score": pc.round(
-                    pa.array(scores, pa.float64()), ndigits=4
+                # DuckDB-bit-identical rounding (pc.round is half-to-even)
+                "lang_score": pa.array(
+                    round_like_duckdb(_np.asarray(scores, _np.float64), 4),
+                    pa.float64(),
                 ),
             }
         )
@@ -176,9 +182,12 @@ def rolling_fingerprint(tokens: list[str], window: int = 8) -> int:
 
 
 def hash_token(tok: str) -> int:
-    import zlib
+    """32-bit token hash = first 8 hex digits of md5 — chosen so the
+    DuckDB oracle can reproduce it exactly:
+    CAST('0x' || substring(md5(t), 1, 8) AS HUGEINT)."""
+    import hashlib
 
-    return zlib.crc32(tok.encode("utf-8"))
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
 
 
 class Fingerprinter(Tokenizer):
@@ -190,7 +199,9 @@ class Fingerprinter(Tokenizer):
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "fingerprint": pa.array(fps, pa.uint64()),
+                # fits in 61 bits (the rolling-hash modulus) -> int64,
+                # matching the oracle's BIGINT cast
+                "fingerprint": pa.array(fps, pa.int64()),
             }
         )
 

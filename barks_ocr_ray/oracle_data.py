@@ -1,0 +1,132 @@
+"""Golden parquet files for the DuckDB oracle of the non-SQL pipelines.
+
+The flagship extraction arc runs over a corpus SYNTHESIZED by datagen.py
+(the pages table is not part of the TPC-H-ish testdata), so its oracle
+cannot be written against the sf views. Instead, the single-process
+golden extractor (extract/golden.py — the dual-engine second opinion,
+SURVEY.md §5) is materialized ONCE to a parquet under /tmp and the oracle
+SQL simply reads it: the driver then value-compares the distributed
+pipeline against the sequential reference run, which pins the dedup
+winners, oversize routing, encoding handling and text assembly of the
+Ray pipeline — not just its row count.
+
+The oracle-gated extraction corpora are FIXED-SIZE by design (they do not
+scale with sf_dir) so the embedded parquet paths in the static SQL are
+valid at any sf the driver picks; bench uses its own scaled corpus.
+
+Everything here is a pure function of the datagen seed: regenerating a
+golden file yields byte-identical content, so exists-checks are safe.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ORACLE_DIR = "/tmp/barks_oracle"
+
+#: fixed corpus sizes for the oracle-gated synthesized-corpus queries
+Q24_N = 1000  # flagship extraction pipeline
+Q34_N = 400  # extraction issues (+ dismissals)
+Q25_N = 200  # multimodal feature plumbing
+
+
+def _atomic_write(table: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+
+
+def extraction_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_extraction_n{n}.parquet")
+
+
+def ensure_extraction_golden(n: int) -> str:
+    """Materialize the single-process golden extraction of the n-row
+    corpus (url, warc_ts, kind, html_len, n_blocks, content_hash,
+    extracted_text, error)."""
+    path = extraction_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.extract.golden import golden_corpus
+
+    gold = golden_corpus(n)
+    urls = sorted(gold)
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [gold[u]["warc_ts"] for u in urls], pa.timestamp("us")
+            ),
+            "kind": pa.array([gold[u]["kind"] for u in urls], pa.string()),
+            "html_len": pa.array(
+                [gold[u]["html_len"] for u in urls], pa.int64()
+            ),
+            "n_blocks": pa.array(
+                [gold[u]["n_blocks"] for u in urls], pa.int64()
+            ),
+            "content_hash": pa.array(
+                [gold[u]["content_hash"] for u in urls], pa.string()
+            ),
+            "extracted_text": pa.array(
+                [gold[u]["extracted_text"] for u in urls], pa.string()
+            ),
+            # the golden kernel never dead-letters the synthesized corpus;
+            # the column exists so the issue oracle can express the
+            # extract_error predicate
+            "error": pa.array([None] * len(urls), pa.string()),
+        }
+    )
+    _atomic_write(table, path)
+    return path
+
+
+def media_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_media_n{n}.parquet")
+
+
+def ensure_media_golden(n: int) -> str:
+    """Single-process golden of the multimodal fake-decode over the
+    n-row corpus (url, media_bytes, width, height, features) — pins the
+    Ray-side binary-column plumbing value-exactly."""
+    path = media_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.datagen import page_record
+    from barks_ocr_ray.functions.multimodal import FEATURE_DIM, _fake_decode
+
+    urls, sizes, widths, heights, feats = [], [], [], [], []
+    for i in range(n):
+        rec = page_record(i)
+        payload = rec["html"]
+        w, h, f = _fake_decode(payload)
+        urls.append(rec["url"])
+        sizes.append(len(payload))
+        widths.append(w)
+        heights.append(h)
+        feats.append(f.tolist())
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "media_bytes": pa.array(sizes, pa.int64()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "features": pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)),
+        }
+    )
+    _atomic_write(table, path)
+    return path
+
+
+def ensure_all() -> dict[str, str]:
+    """Materialize every golden the oracle SQL references (idempotent;
+    called from the registry build so the files exist regardless of
+    whether the driver runs the Ray query or the SQL first)."""
+    return {
+        "q24": ensure_extraction_golden(Q24_N),
+        "q34": ensure_extraction_golden(Q34_N),
+        "q25": ensure_media_golden(Q25_N),
+    }
