@@ -302,3 +302,37 @@ def write_pages_corpus(
         pq.write_table(tbl, tmp, compression="zstd")
         os.replace(tmp, path)
     return paths
+
+
+def write_bucketed_pages_corpus(
+    out_dir: str, n: int, num_buckets: int, seed: int = SEED
+) -> str:
+    """Write the corpus laid out by url-hash bucket (bucket=K/ dirs plus
+    the ``_bucketing.json`` marker): the staged-input layout that lets
+    ``run_resumable``'s chunked mode prune at the read — a resumed chunk
+    opens only its own buckets' files instead of re-scanning the corpus."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from barks_ocr_ray.pipelines.resume import write_bucketing_marker
+    from barks_ocr_ray.state.manifest import bucket_of
+
+    tbl = pages_batch(0, n, seed)
+    buckets = [bucket_of(u, num_buckets) for u in tbl.column("url").to_pylist()]
+    tbl = tbl.append_column("__bucket", pa.array(buckets, pa.int64()))
+    for b in range(num_buckets):
+        part = tbl.filter(pc.equal(tbl.column("__bucket"), b)).drop_columns(
+            ["__bucket"]
+        )
+        if part.num_rows == 0:
+            continue
+        bdir = os.path.join(out_dir, f"bucket={b}")
+        os.makedirs(bdir, exist_ok=True)
+        path = os.path.join(bdir, "pages-00000.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(part, tmp, compression="zstd")
+        os.replace(tmp, path)
+    write_bucketing_marker(out_dir, num_buckets)
+    return out_dir

@@ -40,7 +40,20 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Data
     from barks_ocr_ray.context import configure
 
     configure()
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns).map_batches(
+        strip_schema_metadata, batch_format="pyarrow"
+    )
+
+
+def strip_schema_metadata(t: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy). Pandas-written parquet
+    carries b'pandas' metadata whose presence makes pa.Schema UNhashable,
+    which silently defeats Ray's shuffle schema deduplication on every
+    block ('Failed to hash the schemas' warnings from every
+    HashShuffleAggregator); fused into the read, this costs nothing."""
+    if t.schema.metadata:
+        return t.replace_schema_metadata(None)
+    return t
 
 
 def round_columns(ds: Dataset, spec: dict[str, int]) -> Dataset:

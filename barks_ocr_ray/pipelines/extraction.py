@@ -56,11 +56,12 @@ def read_pages(path: str, *, columns: list[str] | None = None) -> Dataset:
     fallback ``text`` column is noise the pipeline must not echo
     (FIXTURES.md F1) and is never loaded."""
     from barks_ocr_ray.context import configure
+    from barks_ocr_ray.functions.relational import strip_schema_metadata
 
     configure()
     return rd.read_parquet(
         path, columns=columns or ["url", "warc_ts", "html", "lang"]
-    )
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
 
 
 def _pool_sizes(cpus: int) -> tuple[int, int, int]:

@@ -6,21 +6,33 @@ Layout:
     out_dir/
       bucket=K/part-*.parquet      one directory per url-hash bucket
       _manifests/bucket-K.json     commit marker (written AFTER the data)
+      _bucketing.json              layout marker (bucket fn + num_buckets)
 
-Execution: buckets are processed in CHUNKS; each chunk is one streaming
-Dataset run (read -> sniff -> bucket filter -> dedup -> extract -> write
-partitioned by bucket) followed by the chunk's manifest commits. On
-restart, committed buckets (manifest present + input fingerprint match)
-are skipped entirely — their files are not even opened; partially-written
-buckets (data without manifest) are wiped and recomputed.
+Execution modes:
+
+* ``chunk_size=None`` (default) — ONE streaming pass: read the input
+  exactly once, tag each row's url-hash bucket, drop rows of committed
+  buckets, write every pending bucket partitioned in the same run, then
+  commit per-bucket manifests. Input scans: 1, always.
+* ``chunk_size=k`` — bounded-recovery mode: pending buckets are
+  processed k at a time, manifests committed after each chunk, so a
+  mid-job failure loses at most one chunk of work. When the input is
+  itself laid out by the SAME url-hash bucketing (a ``_bucketing.json``
+  marker with matching ``num_buckets`` — e.g. a corpus staged by
+  ``datagen.write_bucketed_pages_corpus`` or a previous bucketed run),
+  each chunk reads ONLY its buckets' files (prune at the read); without
+  that layout the chunk must re-scan the input, which is the documented
+  price of finer recovery granularity — at 100 TB, stage the input
+  bucketed or use the single-pass default.
+
+On restart, committed buckets (manifest present + input fingerprint
+match) are skipped entirely — their files are not even opened;
+partially-written buckets (data without manifest) are wiped and
+recomputed.
 
 Correctness under bucketing: the bucket is a pure function of url, so
-every fetch of a url lands in the same bucket and the per-chunk dedup
-sees all of them (same invariant the hash repartition relies on).
-
-The chunk size is the resume granularity / recovery cost knob: larger
-chunks amortize per-run fixed cost, smaller chunks lose less work on
-failure.
+every fetch of a url lands in the same bucket and the per-run dedup sees
+all of them (same invariant the hash repartition relies on).
 """
 
 from __future__ import annotations
@@ -31,7 +43,6 @@ import shutil
 import time
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from barks_ocr_ray.pipelines.extraction import extraction_pipeline, read_pages
 from barks_ocr_ray.state.manifest import (
@@ -45,6 +56,44 @@ from barks_ocr_ray.state.manifest import (
 )
 
 ENGINE_VERSION = "barks-ocr-ray-0.1"
+
+BUCKETING_MARKER = "_bucketing.json"
+
+
+def write_bucketing_marker(out_dir: str, num_buckets: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = os.path.join(out_dir, BUCKETING_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"num_buckets": num_buckets, "bucket_fn": "crc32(url)", "engine": ENGINE_VERSION},
+            f,
+        )
+    os.replace(tmp, os.path.join(out_dir, BUCKETING_MARKER))
+
+
+def bucketed_input_dirs(input_path: str, num_buckets: int) -> dict[int, str] | None:
+    """bucket -> directory map when (and only when) the input declares —
+    via its ``_bucketing.json`` marker — that it is laid out by the same
+    url-hash bucketing with the same ``num_buckets``. A matching marker
+    is required because bucket identity is NOT preserved across different
+    bucket counts (crc%4 == 1 says nothing about crc%8), so directory
+    names alone are not evidence enough to skip files."""
+    marker = os.path.join(input_path, BUCKETING_MARKER)
+    if not os.path.isfile(marker):
+        return None
+    try:
+        with open(marker) as f:
+            meta = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+    if meta.get("num_buckets") != num_buckets or meta.get("bucket_fn") != "crc32(url)":
+        return None
+    dirs = {}
+    for b in range(num_buckets):
+        d = os.path.join(input_path, f"bucket={b}")
+        if os.path.isdir(d):
+            dirs[b] = d
+    return dirs
 
 
 def _bucket_column(num_buckets: int):
@@ -71,13 +120,14 @@ def run_resumable(
     out_dir: str,
     *,
     num_buckets: int = 32,
-    chunk_size: int = 8,
+    chunk_size: int | None = None,
     **pipeline_kwargs,
 ) -> dict:
     """Run (or resume) the extraction job. Returns a summary dict with
-    counts of skipped/computed buckets."""
+    counts of skipped/computed buckets and of input scans performed."""
     fingerprint = input_fingerprint(input_path)
     os.makedirs(out_dir, exist_ok=True)
+    write_bucketing_marker(out_dir, num_buckets)
     pending = pending_buckets(out_dir, num_buckets, fingerprint)
     skipped = num_buckets - len(pending)
 
@@ -87,10 +137,21 @@ def run_resumable(
         if os.path.isdir(bdir):
             shutil.rmtree(bdir)
 
+    if chunk_size is None:
+        chunks = [pending] if pending else []
+    else:
+        chunks = [
+            pending[i : i + chunk_size] for i in range(0, len(pending), chunk_size)
+        ]
+    # pruning pays off whenever the layout allows it: a resume that
+    # recomputes 3 of 32 buckets opens 3/32 of the input files.
+    input_dirs = bucketed_input_dirs(input_path, num_buckets)
+
     computed = 0
+    input_scans = 0
+    dirs_read = 0
     chunk_metrics = []
-    for start in range(0, len(pending), chunk_size):
-        chunk = pending[start : start + chunk_size]
+    for chunk in chunks:
         chunk_set = set(chunk)
 
         def _in_chunk(t: pa.Table) -> pa.Table:
@@ -100,16 +161,38 @@ def run_resumable(
             return t.filter(mask)
 
         t_chunk = time.time()
-        pages = (
-            read_pages(input_path)
-            .map_batches(_bucket_column(num_buckets), batch_format="pyarrow")
-            .map_batches(_in_chunk, batch_format="pyarrow")
-        )
-        out = extraction_pipeline(pages, keep_html=False, **pipeline_kwargs)
-        # carry the bucket through (it was computed pre-pipeline; recompute
-        # cheaply post-pipeline to keep the pipeline signature unchanged)
-        out = out.map_batches(_bucket_column(num_buckets), batch_format="pyarrow")
-        out.write_parquet(out_dir, partition_cols=["bucket"])
+        if input_dirs is not None:
+            # prune at the read: only this chunk's bucket directories
+            # (expanded to files — read_parquet lists want file paths)
+            paths = [
+                os.path.join(input_dirs[b], f)
+                for b in chunk
+                if b in input_dirs
+                for f in sorted(os.listdir(input_dirs[b]))
+                if f.endswith(".parquet")
+            ]
+            dirs_read += sum(1 for b in chunk if b in input_dirs)
+            if not paths:
+                pages = None  # every bucket of the chunk is empty upstream
+            else:
+                pages = read_pages(paths)
+        else:
+            pages = read_pages(input_path)
+            input_scans += 1
+        if pages is not None:
+            pages = pages.map_batches(
+                _bucket_column(num_buckets), batch_format="pyarrow"
+            )
+            if len(chunk) < num_buckets:
+                pages = pages.map_batches(_in_chunk, batch_format="pyarrow")
+            out = extraction_pipeline(pages, keep_html=False, **pipeline_kwargs)
+            # carry the bucket through (it was computed pre-pipeline;
+            # recompute cheaply post-pipeline to keep the pipeline
+            # signature unchanged)
+            out = out.map_batches(
+                _bucket_column(num_buckets), batch_format="pyarrow"
+            )
+            out.write_parquet(out_dir, partition_cols=["bucket"])
 
         chunk_wall = time.time() - t_chunk
         # commit: per-bucket manifest from the just-written data
@@ -144,11 +227,17 @@ def run_resumable(
                 "docs_per_sec": round(chunk_rows / max(chunk_wall, 1e-9), 1),
             }
         )
+    if input_dirs is not None:
+        # pruned chunks partition the input: <=1 scan total, counted as
+        # the fraction of bucket directories actually opened
+        input_scans = round(dirs_read / num_buckets, 3)
     summary = {
         "num_buckets": num_buckets,
         "skipped": skipped,
         "computed": computed,
         "fingerprint": fingerprint,
+        "input_scans": input_scans,
+        "read_pruned": input_dirs is not None,
         "chunks": chunk_metrics,
     }
     # per-run metrics ledger next to the manifests (north rule: lineage

@@ -92,13 +92,22 @@ def _file_entry(path: str) -> str:
 
 def input_fingerprint(input_path: str) -> str:
     """Deterministic content fingerprint of the input corpus: per file,
-    name + size + crc32 of the first and last 4 KiB (the tail window
-    covers the parquet footer metadata, so any rewrite changes it)."""
+    relative path + size + crc32 of the first and last 4 KiB (the tail
+    window covers the parquet footer metadata, so any rewrite changes
+    it). Recurses so hive-partitioned inputs (bucket=K/ subdirs — e.g.
+    the output of a previous resumable run) fingerprint correctly; for a
+    flat directory the relative path equals the basename."""
     entries = []
     if os.path.isdir(input_path):
-        for name in sorted(os.listdir(input_path)):
-            if name.endswith(".parquet"):
-                entries.append(_file_entry(os.path.join(input_path, name)))
+        for root, dirs, files in sorted(os.walk(input_path)):
+            dirs.sort()
+            for name in sorted(files):
+                if name.endswith(".parquet"):
+                    full = os.path.join(root, name)
+                    rel = os.path.relpath(full, input_path)
+                    entries.append(
+                        rel + _file_entry(full)[len(name):]
+                    )
     else:
         entries.append(_file_entry(input_path))
     digest = zlib.crc32(";".join(entries).encode("utf-8"))

@@ -1,0 +1,144 @@
+"""Round-2 operator semantics on constructed inputs: banded range join,
+levenshtein join (DuckDB-exact metric), exact all-pairs cosine, and the
+index-integrity/entity-search surfaces' building blocks."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_range_join_matches_bruteforce():
+    from barks_ocr_ray.functions.dedupe import range_join_pairs
+
+    rng = np.random.RandomState(3)
+    n = 80
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.randint(0, 40, n).astype(np.int64)
+    keys = np.array(["k%d" % (i % 3) for i in range(n)])
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": pa.array(vals),
+                "source": pa.array(keys, pa.string()),
+            }
+        )
+    )
+    for max_diff in (0, 1, 3):
+        got = (
+            range_join_pairs(
+                docs, value_col="n_chars", key_col="source", max_diff=max_diff
+            )
+            .to_pandas()
+            .itertuples(index=False)
+        )
+        got = {(a, b) for a, b in got}
+        want = {
+            (int(min(i, j)), int(max(i, j)))
+            for i in range(n)
+            for j in range(i + 1, n)
+            if keys[i] == keys[j] and abs(int(vals[i]) - int(vals[j])) <= max_diff
+        }
+        assert got == want, f"max_diff={max_diff}"
+
+
+def test_levenshtein_matches_duckdb():
+    import duckdb
+
+    from barks_ocr_ray.functions.fuzzy import levenshtein
+
+    rng = np.random.RandomState(11)
+    alphabet = "abcde "
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+    for _ in range(40):
+        a = "".join(rng.choice(list(alphabet), rng.randint(0, 18)))
+        b = "".join(rng.choice(list(alphabet), rng.randint(0, 18)))
+        cases.append((a, b))
+    for a, b in cases:
+        want = duckdb.sql(
+            "SELECT levenshtein(?, ?)", params=[a, b]
+        ).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+
+
+def test_levenshtein_best_match_picks_best_and_breaks_ties():
+    from barks_ocr_ray.functions.fuzzy import levenshtein_best_match
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array([0, 0], pa.int64()),
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["hello world", "zzzzzz"], pa.string()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array([0, 0, 0], pa.int64()),
+                # ids 20 and 30 carry IDENTICAL text -> tie -> min id wins
+                "doc_id": pa.array([20, 30, 40], pa.int64()),
+                "text": pa.array(
+                    ["hello worlds", "hello worlds", "hello"], pa.string()
+                ),
+            }
+        )
+    )
+    out = levenshtein_best_match(
+        left, right, key_col="bucket", id_col="doc_id", text_col="text",
+        min_ratio=0.5,
+    ).to_pandas()
+    assert len(out) == 1  # doc 2 has no match >= 0.5
+    row = out.iloc[0]
+    assert row["left_id"] == 1 and row["right_id"] == 20
+    # ratio is emitted rounded to 4 decimals (oracle parity)
+    assert abs(row["ratio"] - (1 - 1 / 12)) < 5e-5
+
+
+def test_embedding_all_pairs_exact_matches_numpy():
+    from barks_ocr_ray.functions.ann import embedding_all_pairs_exact
+
+    rng = np.random.RandomState(5)
+    n, d = 60, 16
+    mat = rng.standard_normal((n, d))
+    # plant two near-identical pairs
+    mat[41] = mat[3] + 0.01 * rng.standard_normal(d)
+    mat[42] = mat[7] + 0.01 * rng.standard_normal(d)
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    got = embedding_all_pairs_exact(emb, threshold=0.6, n_blocks=3)
+    got_df = got.to_pandas() if not isinstance(got, pa.Table) else got.to_pandas()
+    got_pairs = {(a, b) for a, b in zip(got_df["vec_a"], got_df["vec_b"])}
+
+    unit = mat.astype(np.float32).astype(np.float64)
+    unit = unit / np.linalg.norm(unit, axis=1)[:, None]
+    sims = unit @ unit.T
+    want = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if sims[i, j] >= 0.6
+    }
+    assert got_pairs == want
+    assert (3, 41) in got_pairs and (7, 42) in got_pairs
+
+
+def test_index_and_scan_sides_agree_on_clean_text():
+    """The q40 invariant on text where tokenization and \\b-regex agree:
+    both counting paths must report the same docs per name."""
+    from barks_ocr_ray.pipelines.queries import q40_index_integrity
+
+    out = q40_index_integrity("/root/testdata/sf0.001")
+    df = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
+    assert len(df) > 0
+    assert bool(df["consistent"].all())

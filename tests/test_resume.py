@@ -105,6 +105,78 @@ def test_resume_noop_when_fully_committed(corpus_dir, tmp_path):
     assert _mtimes(out_dir) == mt1
 
 
+def test_single_pass_default_reads_input_once(corpus_dir, tmp_path):
+    """chunk_size=None (default): whole job = ONE streaming scan of the
+    input, all buckets written and committed from that single pass."""
+    out_dir = str(tmp_path / "out_single")
+    gold = golden_corpus(N)
+    summary = run_resumable(
+        corpus_dir, out_dir, num_buckets=NUM_BUCKETS, num_partitions=4
+    )
+    assert summary["computed"] == NUM_BUCKETS
+    assert summary["input_scans"] == 1
+    assert len(summary["chunks"]) == 1
+    _check_complete(out_dir, gold)
+
+    # resume after dropping one commit marker: still exactly one scan
+    os.remove(manifest_path(out_dir, 2))
+    summary2 = run_resumable(
+        corpus_dir, out_dir, num_buckets=NUM_BUCKETS, num_partitions=4
+    )
+    assert summary2["computed"] == 1 and summary2["input_scans"] == 1
+    _check_complete(out_dir, gold)
+
+
+def test_chunked_mode_prunes_bucketed_input(tmp_path):
+    """Chunked mode over a bucket-partitioned input opens only each
+    chunk's bucket directories: <=1 input scan total instead of one full
+    scan per chunk."""
+    from barks_ocr_ray.datagen import write_bucketed_pages_corpus
+
+    corpus = str(tmp_path / "bucketed_pages")
+    write_bucketed_pages_corpus(corpus, N, NUM_BUCKETS)
+    out_dir = str(tmp_path / "out_pruned")
+    gold = golden_corpus(N)
+
+    summary = run_resumable(
+        corpus, out_dir, num_buckets=NUM_BUCKETS, chunk_size=3,
+        num_partitions=4,
+    )
+    assert summary["read_pruned"] is True
+    assert summary["input_scans"] <= 1
+    assert summary["computed"] == NUM_BUCKETS
+    _check_complete(out_dir, gold)
+
+    # resume of 2 broken buckets opens only 2/NUM_BUCKETS of the input
+    broken = [1, 6]
+    for b in broken:
+        os.remove(manifest_path(out_dir, b))
+    summary2 = run_resumable(
+        corpus, out_dir, num_buckets=NUM_BUCKETS, chunk_size=3,
+        num_partitions=4,
+    )
+    assert summary2["computed"] == len(broken)
+    assert summary2["input_scans"] == round(len(broken) / NUM_BUCKETS, 3)
+    _check_complete(out_dir, gold)
+
+
+def test_bucketing_marker_mismatch_disables_pruning(tmp_path):
+    """A bucket-count mismatch between input layout and the requested
+    bucketing must fall back to full scans (bucket identity does not
+    survive a different modulus), never silently drop rows."""
+    from barks_ocr_ray.datagen import write_bucketed_pages_corpus
+
+    corpus = str(tmp_path / "bucketed4")
+    write_bucketed_pages_corpus(corpus, 150, 4)
+    out_dir = str(tmp_path / "out_mismatch")
+    summary = run_resumable(
+        corpus, out_dir, num_buckets=8, chunk_size=3, num_partitions=4
+    )
+    assert summary["read_pruned"] is False
+    assert summary["computed"] == 8
+    _check_complete(out_dir, golden_corpus(150))
+
+
 def test_input_change_invalidates(corpus_dir, tmp_path):
     out_dir = str(tmp_path / "out3")
     run_resumable(
