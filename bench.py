@@ -85,14 +85,21 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     read_pages(corpus_dir).count()
 
     out_dir = "/tmp/barks_bench_out"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    num_partitions = max(32, num_cpus * 4)
-    t0 = time.time()
-    ds = extraction_pipeline(
-        read_pages(corpus_dir), num_partitions=num_partitions
-    )
-    ds.write_parquet(out_dir)
-    wall = time.time() - t0
+    # measured sweet spot (BASELINE.md round-2): ~2 partitions/CPU; 4/CPU
+    # put the hash-shuffle aggregators 70% idle-waiting and cost ~50% wall
+    num_partitions = max(32, num_cpus * 2)
+    order = os.environ.get("GRAFT_ORDER", "dedup_first")
+    trials = max(1, int(os.environ.get("BENCH_TRIALS", "1")))
+    wall = None
+    for _ in range(trials):  # min-of-N: single-run walls swing ±20% here
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        ds = extraction_pipeline(
+            read_pages(corpus_dir), num_partitions=num_partitions, order=order
+        )
+        ds.write_parquet(out_dir)
+        trial_wall = time.time() - t0
+        wall = trial_wall if wall is None else min(wall, trial_wall)
     import pyarrow.dataset as pads
 
     n_docs = pads.dataset(out_dir).count_rows()
