@@ -173,22 +173,64 @@ class SignatureTable(MinHasher):
         )
 
 
-def _pairs_from_buckets(g: pd.DataFrame) -> pa.Table:
-    """Candidate pairs within one (band_id, band_hash) bucket, emitted
-    vectorized (np.triu_indices, no per-pair Python loop). Returns an
-    Arrow table — blocks that round-trip through pandas pick up schema
-    metadata that pyarrow 16 cannot hash, which defeats Ray's shuffle
-    schema deduplication (the 'Failed to hash the schemas' warning)."""
-    ids = np.unique(np.asarray(g["doc_id"], dtype=np.int64))
-    if len(ids) < 2:
-        i = j = np.array([], dtype=np.int64)
-    else:
-        i, j = np.triu_indices(len(ids), k=1)
-    return pa.table(
-        {
-            "doc_a": pa.array(ids[i], pa.int64()),
-            "doc_b": pa.array(ids[j], pa.int64()),
-        }
+def _bucket_pairs(
+    exploded: Dataset, key_cols: list[str], num_partitions: int
+) -> Dataset:
+    """Candidate pairs within each bucket (bucket = one value of the
+    composite ``key_cols``): hash-repartition co-locates every bucket in
+    one block, then a SINGLE vectorized pass per block emits the pairs
+    of all its buckets — unlike ``groupby().map_groups`` this dispatches
+    one UDF call per BLOCK, not one per bucket (the banded stages have
+    ~4 buckets/doc, nearly all singletons; per-bucket dispatch dominated
+    their profile)."""
+    exploded = exploded.repartition(num_partitions, keys=key_cols)
+
+    def _emit(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        key = t.column(key_cols[0]).cast(pa.string())
+        for c in key_cols[1:]:
+            key = pc.binary_join_element_wise(
+                key, t.column(c).cast(pa.string()), "\x00"
+            )
+        codes = np.unique(
+            np.asarray(key.to_pylist(), dtype=object), return_inverse=True
+        )[1]
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        order = np.lexsort((ids, codes))
+        codes, ids = codes[order], ids[order]
+        bounds = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(codes)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            bucket = np.unique(ids[s:e])
+            if len(bucket) < 2:
+                continue
+            i, j = np.triu_indices(len(bucket), k=1)
+            out_a.append(bucket[i])
+            out_b.append(bucket[j])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    return exploded.map_batches(
+        _emit, batch_format="pyarrow", batch_size=None
     )
 
 
@@ -239,7 +281,7 @@ def minhash_near_dups(
     docs: Dataset,
     *,
     threshold: float = 0.5,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     num_partitions: int = 16,
 ) -> Dataset:
     """Candidate near-duplicate pairs with signature-estimated Jaccard
@@ -250,6 +292,9 @@ def minhash_near_dups(
     never holds per-doc state."""
     from barks_ocr_ray.functions.relational import round_like_duckdb
 
+    if concurrency is None:
+        # hashing is the compute-heavy stage: scale the pool to the cluster
+        concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) - 2)
     exploded = docs.select_columns(["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pyarrow", concurrency=(1, concurrency)
     )
@@ -270,10 +315,10 @@ def minhash_near_dups(
             "est_jaccard": pa.array([], pa.float64()),
         }
     )
-    pairs = (
-        exploded.select_columns(["band_id", "band_hash", "doc_id"])
-        .groupby(["band_id", "band_hash"])
-        .map_groups(_pairs_from_buckets, batch_format="pandas")
+    pairs = _bucket_pairs(
+        exploded.select_columns(["band_id", "band_hash", "doc_id"]),
+        ["band_id", "band_hash"],
+        num_partitions,
     )
     pairs = _dedup_pairs(pairs, min(8, num_partitions))
     pairs, n_pairs = compact_nonempty(pairs, num_partitions)
@@ -394,12 +439,14 @@ def simhash_near_dups(
     docs: Dataset,
     *,
     max_hamming: int = 3,
-    concurrency: int = 4,
+    concurrency: int | None = None,
     num_partitions: int = 16,
 ) -> Dataset:
     """Pairs with SimHash Hamming distance <= max_hamming. By the
     pigeonhole principle, any pair within distance 3 shares at least one
     of the 4 16-bit bands, so banding loses no true candidates."""
+    if concurrency is None:
+        concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) - 2)
     exploded = docs.select_columns(["doc_id", "text"]).map_batches(
         SimHasher, batch_format="pyarrow", concurrency=(1, concurrency)
     )
@@ -420,10 +467,10 @@ def simhash_near_dups(
             "hamming": pa.array([], pa.int64()),
         }
     )
-    pairs = (
-        exploded.select_columns(["band_id", "band_val", "doc_id"])
-        .groupby(["band_id", "band_val"])
-        .map_groups(_pairs_from_buckets, batch_format="pandas")
+    pairs = _bucket_pairs(
+        exploded.select_columns(["band_id", "band_val", "doc_id"]),
+        ["band_id", "band_val"],
+        num_partitions,
     )
     pairs = _dedup_pairs(pairs, min(8, num_partitions))
     pairs, n_pairs = compact_nonempty(pairs, num_partitions)

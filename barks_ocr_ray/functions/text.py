@@ -250,3 +250,55 @@ def doc_issues(docs: Dataset) -> Dataset:
         )
 
     return docs.map_batches(_issues, batch_format="pyarrow")
+
+
+# --- line-pattern re-wrap (M16 analog) ------------------------------------
+
+
+def apply_line_pattern(source_text: str, pattern_text: str) -> str:
+    """Re-wrap ``source_text`` so each output line carries the same word
+    count as the corresponding line of ``pattern_text``; the LAST pattern
+    line absorbs every remaining word, and lines past the end of the
+    source are dropped (the reference's template-driven re-wrap,
+    /root/reference/src/barks_ocr/tools/ocr_check.py:156-182)."""
+    counts = [len(ln.split()) for ln in pattern_text.rstrip("\n").split("\n")]
+    if not counts:
+        return source_text
+    words = source_text.split()
+    if not words:
+        return ""
+    lines: list[str] = []
+    pos = 0
+    for idx, count in enumerate(counts):
+        if idx == len(counts) - 1:
+            lines.append(" ".join(words[pos:]))
+            break
+        if pos >= len(words):
+            break
+        lines.append(" ".join(words[pos : pos + count]))
+        pos += count
+    return "\n".join(lines)
+
+
+def line_pattern_repair(
+    ds: Dataset,
+    *,
+    source_col: str = "text",
+    pattern_col: str = "pattern",
+    out_col: str = "rewrapped",
+    keep: list[str] | None = None,
+) -> Dataset:
+    """Per-row (source, pattern) -> re-wrapped text as a streaming batch
+    transform; ``keep`` selects the passthrough columns."""
+
+    def _wrap(t: pa.Table) -> pa.Table:
+        srcs = t.column(source_col).to_pylist()
+        pats = t.column(pattern_col).to_pylist()
+        out = [
+            apply_line_pattern(s or "", p or "") for s, p in zip(srcs, pats)
+        ]
+        cols = {c: t.column(c) for c in (keep or [c for c in t.column_names if c not in (source_col, pattern_col)])}
+        cols[out_col] = pa.array(out, pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(_wrap, batch_format="pyarrow")

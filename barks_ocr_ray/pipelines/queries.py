@@ -1358,6 +1358,67 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q45_line_rewrap(sf_dir: str):
+    """M16 line-pattern re-wrap (ocr_check.py:156-182 analog): re-wrap
+    each document's text to a per-row line template. The template is a
+    real pattern STRING built from the doc (first c1 words / next c2 /
+    rest, with c1 = 1 + doc_id%4, c2 = 2 + doc_id%3), so the operator
+    runs on genuine per-row (source, pattern) pairs; docs are filtered
+    to >= 12 tokens so every pattern has three non-empty lines and the
+    oracle can replay the slicing in closed form."""
+    from barks_ocr_ray.functions.text import line_pattern_repair
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _pattern(t: pa.Table) -> pa.Table:
+        ids, texts, pats = [], [], []
+        for d, s in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            words = (s or "").split()
+            if len(words) < 12:
+                continue
+            c1, c2 = 1 + d % 4, 2 + d % 3
+            ids.append(d)
+            texts.append(s)
+            pats.append(
+                "\n".join(
+                    [
+                        " ".join(words[:c1]),
+                        " ".join(words[c1 : c1 + c2]),
+                        " ".join(words[c1 + c2 :]),
+                    ]
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "pattern": pa.array(pats, pa.string()),
+            }
+        )
+
+    ds = docs.map_batches(_pattern, batch_format="pyarrow")
+    return line_pattern_repair(
+        ds, source_col="text", pattern_col="pattern", out_col="rewrapped",
+        keep=["doc_id"],
+    )
+
+
+SQL_Q45 = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
+         1 + doc_id % 4 AS c1, 2 + doc_id % 3 AS c2
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= 12)
+SELECT doc_id,
+       array_to_string(w[1:c1], ' ') || chr(10) ||
+       array_to_string(w[c1+1:c1+c2], ' ') || chr(10) ||
+       array_to_string(w[c1+c2+1:], ' ') AS rewrapped
+FROM t
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1404,6 +1465,7 @@ def build_registry():
         "q42_entity_source_histogram": q42_entity_source_histogram,
         "q43_levenshtein_pairing": q43_levenshtein_pairing,
         "q44_embedding_all_pairs": q44_embedding_all_pairs,
+        "q45_line_rewrap": q45_line_rewrap,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -1449,5 +1511,6 @@ def build_registry():
         "q42_entity_source_histogram": _sql_q42(),
         "q43_levenshtein_pairing": SQL_Q43,
         "q44_embedding_all_pairs": SQL_Q44,
+        "q45_line_rewrap": SQL_Q45,
     }
     return queries, oracles

@@ -142,3 +142,40 @@ def test_index_and_scan_sides_agree_on_clean_text():
     df = out.to_pandas() if not isinstance(out, pa.Table) else out.to_pandas()
     assert len(df) > 0
     assert bool(df["consistent"].all())
+
+
+def test_apply_line_pattern_reference_semantics():
+    """M16 contract (reference ocr_check.py:156-182): last pattern line
+    absorbs the remainder; source exhaustion drops later lines; empty
+    inputs degrade exactly as the reference does."""
+    from barks_ocr_ray.functions.text import apply_line_pattern as f
+
+    assert f("a b c d e f g", "x y\nz\nw w w") == "a b\nc\nd e f g"
+    assert f("a b c", "x\ny\nz") == "a\nb\nc"
+    # source exhausted before the last pattern line -> later lines dropped
+    assert f("a b", "x y z\nq\nr") == "a b"
+    # last line absorbs everything even when counts disagree
+    assert f("a b c d", "x\ny") == "a\nb c d"
+    assert f("", "x\ny") == ""
+    # empty pattern = one zero-count line -> it is the last -> takes all
+    assert f("a b c", "") == "a b c"
+
+
+def test_line_pattern_repair_stage():
+    from barks_ocr_ray.functions.text import line_pattern_repair
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["one two three four", "solo"], pa.string()),
+                "pattern": pa.array(["a b\nc d", "x\ny"], pa.string()),
+            }
+        )
+    )
+    out = line_pattern_repair(ds, keep=["doc_id"]).to_pandas()
+    got = dict(zip(out["doc_id"], out["rewrapped"]))
+    assert got[1] == "one two\nthree four"
+    # the LAST pattern line always emits, even with no words left
+    # (reference: words[i:] with i past the end still joins to '')
+    assert got[2] == "solo\n"
