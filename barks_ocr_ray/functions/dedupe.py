@@ -665,7 +665,10 @@ def _rename_batch(names: list[str]):
 
 
 def dup_clusters(
-    pairs: "Dataset", max_rounds: int = 100, num_partitions: int = 8
+    pairs: "Dataset",
+    max_rounds: int = 100,
+    num_partitions: int = 8,
+    local_edge_cap: int = 200_000,
 ) -> "Dataset":
     """Connected components over near-duplicate candidate pairs by
     DISTRIBUTED iterative min-label propagation: every doc gets the
@@ -683,6 +686,14 @@ def dup_clusters(
     Raises RuntimeError if ``max_rounds`` is exhausted before the fixed
     point (cannot happen for max_rounds >= number of nodes; the sum
     strictly decreases every non-final round).
+
+    Cost-based escape hatch (the same measured-size gating the dedup
+    ``auto`` strategy uses): the edge table is materialized (and counted)
+    anyway for the round loop, so when it holds at most
+    ``local_edge_cap`` edges (a few MB — BOUNDED by the cap, never by
+    the corpus) the components are resolved with one local union-find
+    instead of ~5 exchanges per propagation round. Identical output by
+    construction; set ``local_edge_cap=0`` to force the distributed path.
     """
     import ray.data as _rd
     from ray.data.aggregate import Min as _Min
@@ -701,6 +712,43 @@ def dup_clusters(
     )  # reused every round; all blocks non-empty (join-input contract)
     if n_edges == 0:
         return _rd.from_arrow(empty)
+    if n_edges <= local_edge_cap:
+        et = edges.to_arrow_refs()
+        import ray as _ray
+
+        tbl = pa.concat_tables([_ray.get(r) for r in et])
+        a = tbl.column("doc_a").to_numpy(zero_copy_only=False)
+        b = tbl.column("doc_b").to_numpy(zero_copy_only=False)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in zip(a.tolist(), b.tolist()):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by value: smaller id becomes the root, so the
+                # root IS the min reachable id (the output contract)
+                if ru < rv:
+                    parent[rv] = ru
+                else:
+                    parent[ru] = rv
+        nodes_local = sorted(set(a.tolist()) | set(b.tolist()))
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(nodes_local, pa.int64()),
+                    "cluster": pa.array(
+                        [find(n) for n in nodes_local], pa.int64()
+                    ),
+                }
+            )
+        )
 
     nodes = (
         edges.map_batches(_rename_batch(["node", "drop"]), batch_format="pyarrow")

@@ -85,7 +85,9 @@ def test_dup_clusters_long_chain_converges():
             }
         )
     )
-    out = dup_clusters(pairs).to_pandas()
+    # force the DISTRIBUTED propagation rounds (the auto gate would
+    # resolve a 39-edge graph locally)
+    out = dup_clusters(pairs, local_edge_cap=0).to_pandas()
     assert len(out) == n
     assert set(out["cluster"]) == {0}
 

@@ -179,3 +179,37 @@ def test_line_pattern_repair_stage():
     # the LAST pattern line always emits, even with no words left
     # (reference: words[i:] with i past the end still joins to '')
     assert got[2] == "solo\n"
+
+
+def test_dup_clusters_local_and_distributed_agree():
+    """The auto-gate's local union-find and the distributed propagation
+    rounds are the same operator: identical (doc_id, cluster) output on
+    a graph with chains, a star, and singleton-free isolated edges."""
+    from barks_ocr_ray.functions.dedupe import dup_clusters
+
+    edges = [
+        (5, 3), (3, 9), (9, 7),          # chain -> min 3
+        (20, 21), (20, 22), (20, 23),    # star  -> min 20
+        (40, 41),                        # pair  -> min 40
+        (2, 50), (50, 1),                # chain through high id -> min 1
+    ]
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    local = (
+        dup_clusters(pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    dist = (
+        dup_clusters(pairs, local_edge_cap=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert local.equals(dist)
+    got = dict(zip(local["doc_id"], local["cluster"]))
+    assert got[7] == 3 and got[23] == 20 and got[41] == 40 and got[50] == 1
