@@ -277,3 +277,107 @@ def lsh_topk(
         .groupby("query_id")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def _train_centroids(
+    embeddings: Dataset, n_centroids: int, seed: int, sample_cap: int = 2048
+) -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd's k-means on a BOUNDED
+    deterministic sample (lowest-md5-hash vec_ids, order-independent).
+    The sample cap — not the corpus — bounds driver memory; at 100 TB
+    the same cap holds and the trained centroids are broadcast once."""
+    import hashlib
+
+    def _sample_keys(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_pylist()
+        keys = [
+            hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids
+        ]
+        return t.append_column("sample_key", pa.array(keys, pa.string()))
+
+    sample = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(_sample_keys, batch_format="pyarrow")
+        .sort("sample_key")
+        .limit(sample_cap)
+        .to_pandas()
+    )
+    mat = _unit(
+        np.stack([np.asarray(v, np.float64) for v in sample["embedding"]])
+    )
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(mat))
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)]
+    for _ in range(10):  # fixed Lloyd iterations, deterministic
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+def ivf_topk(
+    embeddings: Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> Dataset:
+    """IVF approximate top-k (the inverted-file scale path next to LSH):
+    a coarse quantizer (k-means on a bounded sample) partitions vectors
+    into centroid lists; each query scores ONLY vectors whose nearest
+    centroid is among its n_probe closest centroids. Compute shrinks by
+    ~n_probe/n_centroids vs brute force; recall < 1 by construction —
+    the recall test pairs it with brute_force_topk."""
+    centroids = _train_centroids(embeddings, n_centroids, seed)
+    cent_ref = ray.put(centroids)
+
+    q_rows = _query_rows(embeddings, query_ids)
+    q_ids = q_rows["vec_id"].to_numpy()
+    q_mat = _unit(np.stack([np.asarray(v, np.float64) for v in q_rows["embedding"]]))
+    probe = min(n_probe, len(centroids))
+    q_probes = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :probe]
+    q_ref = ray.put((q_ids, q_mat, q_probes))
+
+    def _listed_topk(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q, probes = ray.get(q_ref)
+        cents = ray.get(cent_ref)
+        emb = _unit(_emb_matrix(batch))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        lists = (emb @ cents.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(ids_q):
+            mask = np.isin(lists, probes[qi])
+            mask &= vec_ids != qid
+            if not mask.any():
+                continue
+            cand_ids = vec_ids[mask]
+            sims = emb[mask] @ mat_q[qi]
+            take = min(k, len(cand_ids))
+            order = np.lexsort((cand_ids, -_round_half_away(sims)))[:take]
+            out_q.extend([qid] * take)
+            out_n.extend(cand_ids[order].tolist())
+            out_s.extend(_round_half_away(sims[order]).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(_listed_topk, batch_format="pyarrow", batch_size=1024)
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -302,3 +302,118 @@ def line_pattern_repair(
         return pa.table(cols)
 
     return ds.map_batches(_wrap, batch_format="pyarrow")
+
+
+# --- deterministic stratified sampling ------------------------------------
+
+
+def stratified_sample(
+    docs: Dataset,
+    *,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> Dataset:
+    """Per-stratum deterministic sampling: a row is kept iff
+    md5(id)'s first-8-hex fraction of 2^32 falls below its stratum's
+    rate — a pure function of the row (reproducible across runs,
+    cluster sizes and partitionings; no RNG state anywhere), and exactly
+    replayable in SQL, unlike ``Dataset.random_sample``. The standard
+    rebalancing step for a training corpus (downsample dominant
+    languages / sources)."""
+    import hashlib as _hashlib
+
+    def _keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        strata = t.column(strata_col).to_pylist()
+        mask = [
+            int(
+                _hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16
+            )
+            / float(1 << 32)
+            < rates.get(s, default_rate)
+            for i, s in zip(ids, strata)
+        ]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
+# --- TF-IDF top terms ------------------------------------------------------
+
+
+class DocTermCounts(Tokenizer):
+    """(doc_id, term, tf) rows — one row per distinct term per doc, so
+    downstream exchanges move per-doc partials, never one row per
+    token occurrence."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter as _Counter
+
+        out_d, out_t, out_n = [], [], []
+        for doc_id, s in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text")
+        ):
+            counts = _Counter(self.tokens(s.as_py() or ""))
+            out_d.extend([doc_id] * len(counts))
+            out_t.extend(counts.keys())
+            out_n.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "term": pa.array(out_t, pa.string()),
+                "tf": pa.array(out_n, pa.int64()),
+            }
+        )
+
+
+def tfidf_top_terms(
+    docs: Dataset,
+    *,
+    k: int = 3,
+    concurrency: int = 4,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Top-k characteristic terms per document by tf-idf
+    (tf x ln(N/df)): per-doc term counts from an actor-pool tokenizer,
+    document frequencies from ONE keyed aggregation over those partials,
+    idf joined back term-wise (distributed hash join — the df table
+    scales with the vocabulary, not the corpus), then a grouped top-k.
+    Scores are rounded DuckDB-style and ranked on the ROUNDED value
+    (ties -> term asc) so rank order is oracle-stable."""
+    from ray.data.aggregate import Count as _Count
+
+    from barks_ocr_ray.functions.relational import (
+        grouped_topk,
+        round_like_duckdb,
+    )
+
+    n_docs = docs.count()
+    tf_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        DocTermCounts, batch_format="pyarrow", concurrency=(1, concurrency)
+    )
+    df_tbl = tf_rows.groupby("term").aggregate(_Count(alias_name="df"))
+    joined = tf_rows.join(
+        df_tbl, join_type="inner", num_partitions=num_partitions, on=("term",)
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(_np.float64)
+        df = t.column("df").to_numpy(zero_copy_only=False).astype(_np.float64)
+        score = tf * _np.log(float(n_docs) / df)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "term": t.column("term"),
+                "tfidf": pa.array(round_like_duckdb(score, 4), pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, "doc_id", "tfidf", k, tie_col="term",
+        num_partitions=num_partitions,
+    )

@@ -1419,6 +1419,82 @@ FROM t
 """
 
 
+#: per-language sampling rates for the stratified-sample query
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5}
+
+
+def q46_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum sampling (training-corpus rebalancing):
+    keep a doc iff md5(doc_id)'s first-8-hex fraction of 2^32 is below
+    its language's rate — a pure row function, reproducible under any
+    partitioning, and exactly replayable in SQL (no RNG anywhere)."""
+    from barks_ocr_ray.functions.text import stratified_sample
+
+    return stratified_sample(
+        read_table(sf_dir, "documents", ["doc_id", "lang", "source"]),
+        rates=SAMPLE_RATES,
+        strata_col="lang",
+    )
+
+
+def _sql_q46() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      / 4294967296.0
+      < CASE lang {cases} ELSE 0.0 END
+"""
+
+
+def q47_tfidf_top_terms(sf_dir: str):
+    """Top-3 characteristic terms per doc by tf-idf: actor-pool term
+    counting -> one keyed df aggregation -> term-wise idf join -> grouped
+    top-k; ranked on the DuckDB-rounded score (ties -> term asc)."""
+    from barks_ocr_ray.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), k=3
+    )
+
+
+def _sql_q47() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT s.*, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+  FROM s) t
+WHERE rank <= 3
+"""
+
+
+def q48_ivf_topk(sf_dir: str):
+    """IVF approximate top-k (inverted-file ANN, the second scale path
+    next to LSH q23): bounded-sample k-means quantizer, per-list search
+    over n_probe/n_centroids of the corpus. Rows-only (recall < 1 by
+    construction); recall@k vs brute force pinned by unit test."""
+    from barks_ocr_ray.functions.ann import ivf_topk
+
+    return ivf_topk(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        ANN_QUERY_IDS,
+        k=10,
+    )
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1466,6 +1542,9 @@ def build_registry():
         "q43_levenshtein_pairing": q43_levenshtein_pairing,
         "q44_embedding_all_pairs": q44_embedding_all_pairs,
         "q45_line_rewrap": q45_line_rewrap,
+        "q46_stratified_sample": q46_stratified_sample,
+        "q47_tfidf_top_terms": q47_tfidf_top_terms,
+        "q48_ivf_topk": q48_ivf_topk,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -1512,5 +1591,7 @@ def build_registry():
         "q43_levenshtein_pairing": SQL_Q43,
         "q44_embedding_all_pairs": SQL_Q44,
         "q45_line_rewrap": SQL_Q45,
+        "q46_stratified_sample": _sql_q46(),
+        "q47_tfidf_top_terms": _sql_q47(),
     }
     return queries, oracles

@@ -213,3 +213,40 @@ def test_dup_clusters_local_and_distributed_agree():
     assert local.equals(dist)
     got = dict(zip(local["doc_id"], local["cluster"]))
     assert got[7] == 3 and got[23] == 20 and got[41] == 40 and got[50] == 1
+
+
+def test_ivf_topk_recall_vs_bruteforce():
+    """IVF with n_probe == n_centroids must EQUAL brute force (every
+    list probed); with fewer probes it keeps high recall on clustered
+    data (the documented tradeoff)."""
+    from barks_ocr_ray.functions.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(9)
+    # three well-separated clusters of 20
+    centers = rng.standard_normal((3, 12)) * 5
+    rows = []
+    for i in range(60):
+        rows.append(centers[i % 3] + 0.1 * rng.standard_normal(12))
+    emb = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.astype(np.float32).tolist() for r in rows],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    exact = brute_force_topk(emb, [0, 1], k=5).to_pandas()
+    full = ivf_topk(emb, [0, 1], k=5, n_centroids=4, n_probe=4).to_pandas()
+    cols = ["query_id", "neighbor_id", "cosine"]
+    a = exact[cols].sort_values(cols).reset_index(drop=True)
+    b = full[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+    probed = ivf_topk(emb, [0, 1], k=5, n_centroids=4, n_probe=1).to_pandas()
+    for q in (0, 1):
+        ex = set(exact[exact["query_id"] == q]["neighbor_id"])
+        ap = set(probed[probed["query_id"] == q]["neighbor_id"])
+        assert len(ex & ap) / len(ex) >= 0.8, f"recall@5 too low for query {q}"
