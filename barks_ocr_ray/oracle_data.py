@@ -121,6 +121,98 @@ def ensure_media_golden(n: int) -> str:
     return path
 
 
+def resize_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_resize_n{n}.parquet")
+
+
+def ensure_resize_golden(n: int) -> str:
+    """Single-process golden of the aspect-fit resize stage."""
+    path = resize_golden_path(n)
+    if os.path.exists(path):
+        return path
+    import hashlib
+
+    from barks_ocr_ray.datagen import page_record
+    from barks_ocr_ray.functions.multimodal import (
+        THUMB_BOX,
+        _fake_decode,
+        aspect_fit,
+    )
+
+    urls, sw, sh, ow, oh, digests = [], [], [], [], [], []
+    for i in range(n):
+        rec = page_record(i)
+        payload = rec["html"]
+        w, h, _ = _fake_decode(payload)
+        tw, th = aspect_fit(w, h, THUMB_BOX)
+        urls.append(rec["url"])
+        sw.append(w); sh.append(h); ow.append(tw); oh.append(th)
+        digests.append(
+            hashlib.blake2b(
+                payload + tw.to_bytes(4, "big") + th.to_bytes(4, "big"),
+                digest_size=16,
+            ).hexdigest()
+        )
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "src_width": pa.array(sw, pa.int32()),
+            "src_height": pa.array(sh, pa.int32()),
+            "out_width": pa.array(ow, pa.int32()),
+            "out_height": pa.array(oh, pa.int32()),
+            "thumb_digest": pa.array(digests, pa.string()),
+        }
+    )
+    _atomic_write(table, path)
+    return path
+
+
+def frames_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_frames_n{n}.parquet")
+
+
+def ensure_frames_golden(n: int) -> str:
+    """Single-process golden of the frame-sampling explode."""
+    path = frames_golden_path(n)
+    if os.path.exists(path):
+        return path
+    import hashlib
+
+    from barks_ocr_ray.datagen import page_record
+    from barks_ocr_ray.functions.multimodal import (
+        _FRAME_INTERVAL_MS,
+        fake_frame_count,
+    )
+
+    urls, idxs, ts, digests = [], [], [], []
+    for i in range(n):
+        rec = page_record(i)
+        payload = rec["html"]
+        taken = 0
+        for idx in range(0, fake_frame_count(payload), 5):
+            if taken >= 8:
+                break
+            urls.append(rec["url"])
+            idxs.append(idx)
+            ts.append(idx * _FRAME_INTERVAL_MS)
+            digests.append(
+                hashlib.blake2b(
+                    payload + idx.to_bytes(8, "big"), digest_size=16
+                ).hexdigest()
+            )
+            taken += 1
+    table = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "ts_ms": pa.array(ts, pa.int64()),
+            "frame_digest": pa.array(digests, pa.string()),
+        }
+    )
+    _atomic_write(table, path)
+    return path
+
+
 def ensure_all() -> dict[str, str]:
     """Materialize every golden the oracle SQL references (idempotent;
     called from the registry build so the files exist regardless of
@@ -129,4 +221,6 @@ def ensure_all() -> dict[str, str]:
         "q24": ensure_extraction_golden(Q24_N),
         "q34": ensure_extraction_golden(Q34_N),
         "q25": ensure_media_golden(Q25_N),
+        "q49": ensure_frames_golden(Q25_N),
+        "q50": ensure_resize_golden(Q25_N),
     }

@@ -1495,6 +1495,53 @@ def q48_ivf_topk(sf_dir: str):
     )
 
 
+def q49_frame_sample(sf_dir: str):
+    """Frame-sampling explode over the media payload column (one media
+    row -> sampled frame rows; decode boundary stubbed deterministically,
+    plumbing real). Golden-parquet oracle over the fixed corpus."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.functions.multimodal import frame_sample
+    from barks_ocr_ray.oracle_data import Q25_N
+
+    configure()
+    return frame_sample(
+        rd.from_arrow(pages_table(Q25_N)), payload_col="html",
+        stride=5, max_frames=8,
+    )
+
+
+def _sql_q49() -> str:
+    from barks_ocr_ray.oracle_data import Q25_N, frames_golden_path
+
+    return f"""
+SELECT url, frame_idx, ts_ms, frame_digest
+FROM read_parquet('{frames_golden_path(Q25_N)}')
+"""
+
+
+def q50_media_resize(sf_dir: str):
+    """Aspect-fit thumbnail stage: the geometry (integer aspect-preserving
+    fit) is real, the pixel resample is the stubbed decode boundary.
+    Golden-parquet oracle over the fixed corpus."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.functions.multimodal import media_resize
+    from barks_ocr_ray.oracle_data import Q25_N
+
+    configure()
+    return media_resize(rd.from_arrow(pages_table(Q25_N)), payload_col="html")
+
+
+def _sql_q50() -> str:
+    from barks_ocr_ray.oracle_data import Q25_N, resize_golden_path
+
+    return f"""
+SELECT url, src_width, src_height, out_width, out_height, thumb_digest
+FROM read_parquet('{resize_golden_path(Q25_N)}')
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1545,6 +1592,8 @@ def build_registry():
         "q46_stratified_sample": q46_stratified_sample,
         "q47_tfidf_top_terms": q47_tfidf_top_terms,
         "q48_ivf_topk": q48_ivf_topk,
+        "q49_frame_sample": q49_frame_sample,
+        "q50_media_resize": q50_media_resize,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -1593,5 +1642,7 @@ def build_registry():
         "q45_line_rewrap": SQL_Q45,
         "q46_stratified_sample": _sql_q46(),
         "q47_tfidf_top_terms": _sql_q47(),
+        "q49_frame_sample": _sql_q49(),
+        "q50_media_resize": _sql_q50(),
     }
     return queries, oracles

@@ -250,3 +250,48 @@ def test_ivf_topk_recall_vs_bruteforce():
         ex = set(exact[exact["query_id"] == q]["neighbor_id"])
         ap = set(probed[probed["query_id"] == q]["neighbor_id"])
         assert len(ex & ap) / len(ex) >= 0.8, f"recall@5 too low for query {q}"
+
+
+def test_frame_sample_and_resize_stages():
+    """Multimodal explode + resize plumbing: deterministic fake decode,
+    stride/cap contract, aspect-fit geometry, NotImplementedError at the
+    real decode boundary."""
+    import pytest as _pytest
+
+    from barks_ocr_ray.functions.multimodal import (
+        aspect_fit,
+        fake_frame_count,
+        frame_sample,
+        media_resize,
+    )
+
+    payload_small = b"x" * 100           # 1 frame
+    payload_big = b"y" * (4096 * 30)     # 31 frames -> stride 5 -> 7 rows
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["a", "b"], pa.string()),
+                "html": pa.array([payload_small, payload_big], pa.binary()),
+            }
+        )
+    )
+    frames = frame_sample(pages, stride=5, max_frames=8).to_pandas()
+    assert len(frames[frames["url"] == "a"]) == 1
+    assert len(frames[frames["url"] == "b"]) == 7
+    assert list(frames[frames["url"] == "b"]["frame_idx"]) == [0, 5, 10, 15, 20, 25, 30]
+    assert (frames["ts_ms"] == frames["frame_idx"] * 40).all()
+    assert fake_frame_count(payload_big) == 31
+
+    # cap wins over stride
+    capped = frame_sample(pages, stride=1, max_frames=3).to_pandas()
+    assert len(capped[capped["url"] == "b"]) == 3
+
+    rs = media_resize(pages).to_pandas().set_index("url")
+    for u in ("a", "b"):
+        w, h = int(rs.loc[u, "src_width"]), int(rs.loc[u, "src_height"])
+        tw, th = int(rs.loc[u, "out_width"]), int(rs.loc[u, "out_height"])
+        assert aspect_fit(w, h) == (tw, th)
+        assert max(tw, th) == 128 and min(tw, th) >= 1
+
+    with _pytest.raises((NotImplementedError, Exception)):
+        media_resize(pages, fake_decode=False).to_pandas()
