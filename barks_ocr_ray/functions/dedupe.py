@@ -99,8 +99,9 @@ def _shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
 
 
 class MinHasher(Tokenizer):
-    """Actor-pool stage: seeded permutations built once per actor; per
-    batch emits (doc_id, band_id, band_hash) rows + the signature bytes."""
+    """Warm hashing state: seeded permutations built once per actor.
+    ``SignatureTable`` is the pipeline stage; LSH band rows are derived
+    downstream from the materialized signatures (one hashing pass)."""
 
     #: odd 64-bit golden-ratio constant: spreads 32-bit crc values across
     #: the full 64-bit range before the per-permutation mix
@@ -133,31 +134,12 @@ class MinHasher(Tokenizer):
             mixed = (spread[:, None] ^ self.b[None, :]) * self.a[None, :]
         return mixed.min(axis=0).astype(np.uint64)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes = [], [], []
-        ids = batch.column("doc_id").to_pylist()
-        for i, s in enumerate(batch.column("text")):
-            sig = self.signature(s.as_py() or "")
-            for band in range(N_BANDS):
-                chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                doc_ids.append(ids[i])
-                band_ids.append(band)
-                band_hashes.append(bh)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
-            }
-        )
-
 
 class SignatureTable(MinHasher):
-    """Light per-doc signature pass (one row per doc, no band explosion):
-    the verification-side store. Signatures are recomputed rather than
-    carried through the band shuffle — hashing is cheap, 16x payload
-    duplication through an exchange is not."""
+    """THE hashing pass: one (doc_id, signature) row per doc. Both the
+    LSH band rows and the verification joins derive from this
+    materialized table, so the corpus text is tokenized and min-hashed
+    exactly once and only fixed-width state crosses later exchanges."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
@@ -295,16 +277,39 @@ def minhash_near_dups(
     if concurrency is None:
         # hashing is the compute-heavy stage: scale the pool to the cluster
         concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) - 2)
-    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher, batch_format="pyarrow", concurrency=(1, concurrency)
-    )
     sigs = (
         docs.select_columns(["doc_id", "text"])
         .map_batches(
             SignatureTable, batch_format="pyarrow", concurrency=(1, concurrency)
         )
-        .materialize()  # reused by both joins; fixed-width rows, spillable
+        .materialize()  # reused by band derivation + both joins
     )
+
+    def _bands_from_sigs(t: pa.Table) -> pa.Table:
+        """Band rows derived FROM the signature bytes: the corpus is
+        tokenized and min-hashed exactly ONCE (the O(data) work); this
+        pass reads 1 KiB/doc of fixed-width state, not the text."""
+        doc_ids, band_ids, band_hashes = [], [], []
+        for doc_id, sig_bytes in zip(
+            t.column("doc_id").to_pylist(), t.column("sig").to_pylist()
+        ):
+            sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+            for band in range(N_BANDS):
+                chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+                doc_ids.append(doc_id)
+                band_ids.append(band)
+                band_hashes.append(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+            }
+        )
+
+    exploded = sigs.map_batches(_bands_from_sigs, batch_format="pyarrow")
 
     from barks_ocr_ray.functions.relational import compact_nonempty
 
@@ -399,25 +404,6 @@ def simhash64(tokens: list[str]) -> int:
     return out
 
 
-class SimHasher(Tokenizer):
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        doc_ids, band_ids, band_vals = [], [], []
-        for i, s in enumerate(batch.column("text")):
-            sh = simhash64(self.tokens(s.as_py() or ""))
-            for band in range(4):  # 4 x 16-bit bands: catches hamming<=3
-                doc_ids.append(ids[i])
-                band_ids.append(band)
-                band_vals.append((sh >> (16 * band)) & 0xFFFF)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_val": pa.array(band_vals, pa.int64()),
-            }
-        )
-
-
 class SimHashTable(Tokenizer):
     """One (doc_id, simhash) row per doc for verification."""
 
@@ -447,16 +433,33 @@ def simhash_near_dups(
     of the 4 16-bit bands, so banding loses no true candidates."""
     if concurrency is None:
         concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) - 2)
-    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=(1, concurrency)
-    )
     hashes = (
         docs.select_columns(["doc_id", "text"])
         .map_batches(
             SimHashTable, batch_format="pyarrow", concurrency=(1, concurrency)
         )
-        .materialize()  # reused by both joins; 16 B/doc
+        .materialize()  # reused by band derivation + both joins; 16 B/doc
     )
+
+    def _bands_from_hashes(t: pa.Table) -> pa.Table:
+        """Band rows derived from the materialized simhash values — the
+        text is tokenized and sign-voted exactly once."""
+        hs = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(hs)
+        doc_ids = np.repeat(ids, 4)
+        band_ids = np.tile(np.arange(4, dtype=np.int32), n)
+        shifts = np.tile(np.arange(4, dtype=np.uint64) * np.uint64(16), n)
+        band_vals = (np.repeat(hs, 4) >> shifts) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "band_id": pa.array(band_ids, pa.int32()),
+                "band_val": pa.array(band_vals.astype(np.int64), pa.int64()),
+            }
+        )
+
+    exploded = hashes.map_batches(_bands_from_hashes, batch_format="pyarrow")
 
     from barks_ocr_ray.functions.relational import compact_nonempty
 
