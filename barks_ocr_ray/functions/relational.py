@@ -36,13 +36,24 @@ def round_like_duckdb(x: np.ndarray, nd: int) -> np.ndarray:
     return np.copysign(r, scaled) / p
 
 
-def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> Dataset:
+def read_table(
+    sf_dir: str,
+    name: str,
+    columns: list[str] | None = None,
+    predicate=None,
+) -> Dataset:
+    """Column-pruned (and, with ``predicate`` — a ``pyarrow.dataset``
+    expression — row-group-pruned) parquet read: the filter is pushed to
+    the pyarrow scanner so skipped row groups never leave storage."""
     from barks_ocr_ray.context import configure
 
     configure()
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns).map_batches(
-        strip_schema_metadata, batch_format="pyarrow"
-    )
+    kwargs = {}
+    if predicate is not None:
+        kwargs["filter"] = predicate  # lands in **arrow_parquet_args
+    return rd.read_parquet(
+        f"{sf_dir}/{name}.parquet", columns=columns, **kwargs
+    ).map_batches(strip_schema_metadata, batch_format="pyarrow")
 
 
 def strip_schema_metadata(t: pa.Table) -> pa.Table:

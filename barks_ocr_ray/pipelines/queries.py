@@ -73,12 +73,21 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q02_revenue_filter(sf_dir: str):
-    """Vectorized filter + projection (M3 analog): predicate pushdown-style
-    column pruning at the read, pyarrow.compute mask, per-row revenue."""
+    """Vectorized filter + projection (M3 analog): column pruning AND a
+    row predicate pushed into the parquet scanner (row groups that
+    cannot match never leave storage); the residual in-batch mask keeps
+    row-level exactness."""
+    import pyarrow.dataset as pads
+
+    cutoff = pa.scalar("1998-01-01").cast(pa.timestamp("us"))
     ds = read_table(
         sf_dir,
         "lineitem",
         ["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_discount"],
+        predicate=(
+            (pads.field("l_shipdate") < cutoff)
+            & (pads.field("l_discount") >= 0.05)
+        ),
     )
 
     def _fp(t: pa.Table) -> pa.Table:
