@@ -114,18 +114,25 @@ LANG_PROFILES = {
 class LangId(Tokenizer):
     """Stopword-profile language classifier (stateful actor stage)."""
 
+    def classify(self, text: str) -> tuple[str, float]:
+        """(lang, raw score): first profile in sorted order achieving the
+        max hit count wins (strict-improvement scan — the rule the SQL
+        oracle mirrors)."""
+        toks = self.tokens(text)
+        best_lang, best = "und", 0
+        for lang in sorted(LANG_PROFILES):
+            hits = sum(1 for t in toks if t in LANG_PROFILES[lang])
+            if hits > best:
+                best_lang, best = lang, hits
+        return best_lang, best / max(1, len(toks))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = []
         scores = []
         for s in batch.column("text"):
-            toks = self.tokens(s.as_py() or "")
-            best_lang, best = "und", 0
-            for lang in sorted(LANG_PROFILES):
-                hits = sum(1 for t in toks if t in LANG_PROFILES[lang])
-                if hits > best:
-                    best_lang, best = lang, hits
-            preds.append(best_lang)
-            scores.append(best / max(1, len(toks)))
+            lang, score = self.classify(s.as_py() or "")
+            preds.append(lang)
+            scores.append(score)
         from barks_ocr_ray.functions.relational import round_like_duckdb
 
         import numpy as _np

@@ -1551,6 +1551,69 @@ FROM read_parquet('{resize_golden_path(Q25_N)}')
 """
 
 
+def q51_training_prep(sf_dir: str):
+    """End-to-end training-data prep COMPOSITION (the post-extraction
+    chain a real corpus run needs): one fused enrich pass (stats + lang
+    ID + content hash) -> quality/confidence filter -> exact dedup on
+    content (min doc_id wins) -> per-language stratified rebalance.
+    Exactly ONE keyed exchange end to end; every step SQL-replayable."""
+    from barks_ocr_ray.pipelines.prep import training_prep
+
+    return training_prep(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        rates=SAMPLE_RATES,
+        default_rate=1.0,
+        # the synthetic corpus is stopword-sparse: avg en score ~0.04
+        min_lang_score=0.02,
+    )
+
+
+def _sql_q51() -> str:
+    from barks_ocr_ray.functions.text import LANG_PROFILES, TOKEN_RE
+
+    langs = sorted(LANG_PROFILES)
+    hits = ",\n         ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        + f"], x))) AS h_{lang}"
+        for lang in langs
+    )
+    m = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs)
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, md5(text) AS text_hash,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, text, text_hash, len(toks) AS n,
+         {hits}
+  FROM t),
+s AS (SELECT *, {m} AS m FROM h),
+enriched AS (
+  SELECT doc_id, text_hash,
+         CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred,
+         round(CAST(m AS DOUBLE) / greatest(n, 1), 4) AS lang_score,
+         n AS n_tokens,
+         length(text) AS text_len
+  FROM s),
+filtered AS (
+  SELECT * FROM enriched
+  WHERE n_tokens >= 10 AND lang_score >= 0.02),
+deduped AS (
+  SELECT * FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1)
+SELECT doc_id, lang_pred, lang_score, n_tokens, text_len
+FROM deduped
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      / 4294967296.0
+      < CASE lang_pred {rate_case} ELSE 1.0 END
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1603,6 +1666,7 @@ def build_registry():
         "q48_ivf_topk": q48_ivf_topk,
         "q49_frame_sample": q49_frame_sample,
         "q50_media_resize": q50_media_resize,
+        "q51_training_prep": q51_training_prep,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -1653,5 +1717,6 @@ def build_registry():
         "q47_tfidf_top_terms": _sql_q47(),
         "q49_frame_sample": _sql_q49(),
         "q50_media_resize": _sql_q50(),
+        "q51_training_prep": _sql_q51(),
     }
     return queries, oracles
