@@ -295,3 +295,63 @@ def test_frame_sample_and_resize_stages():
 
     with _pytest.raises((NotImplementedError, Exception)):
         media_resize(pages, fake_decode=False).to_pandas()
+
+
+def test_stratified_sample_is_partition_independent():
+    """The md5-fraction keep decision is a pure row function: any
+    repartitioning yields the same kept set (what Dataset.random_sample
+    cannot promise)."""
+    from barks_ocr_ray.functions.text import stratified_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(200)), pa.int64()),
+            "lang": pa.array(["en", "de"] * 100, pa.string()),
+        }
+    )
+    rates = {"en": 0.3, "de": 0.7}
+    a = (
+        stratified_sample(rd.from_arrow(t), rates=rates)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    b = (
+        stratified_sample(rd.from_arrow(t).repartition(7), rates=rates)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert sorted(a) == sorted(b)
+    assert 0 < len(a) < 200
+
+
+def test_training_prep_composition():
+    """q51's pipeline on a constructed corpus: low-token and
+    low-confidence docs drop, exact dups resolve to min doc_id, kept
+    rows carry the enriched columns."""
+    from barks_ocr_ray.pipelines.prep import training_prep
+
+    good = "the fast cat and the dog run to the house in the morning"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    good,            # kept (en, 13 tokens)
+                    good,            # exact dup of 1 -> dropped (min wins)
+                    "too short",     # < 10 tokens -> dropped
+                    "xyzzy " * 20,   # no stopwords -> lang 'und', score 0
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = training_prep(
+        rd.from_arrow(docs),
+        rates={},           # no stratum rated -> default_rate applies
+        default_rate=1.0,
+        min_lang_score=0.02,
+        num_partitions=2,
+    ).to_pandas()
+    assert list(out["doc_id"]) == [1]
+    row = out.iloc[0]
+    assert row["lang_pred"] == "en" and row["n_tokens"] == 13
