@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q19_minhash_near_dups",
     "q20_simhash_near_dups",
     "q25_multimodal_features",
+    "q47_tfidf_top_terms",
+    "q51_training_prep",
 ]
 
 
