@@ -213,6 +213,75 @@ def ensure_frames_golden(n: int) -> str:
     return path
 
 
+def validation_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_validation_n{n}.parquet")
+
+
+def ensure_validation_golden(
+    n: int, sample_frac: float = 0.2, seed: int = 7, threshold: float = 0.6
+) -> str:
+    """Single-process golden of the validation stage: the deterministic
+    url-hash sample of the golden extraction, re-extracted by the
+    independent second engine and similarity-scored."""
+    path = validation_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.datagen import page_record
+    from barks_ocr_ray.extract.golden import golden_corpus
+    from barks_ocr_ray.pipelines.validate import (
+        sample_mask,
+        similarity,
+        strip_tags,
+    )
+
+    gold = golden_corpus(n)
+    # winning payload per url, selected by the same rank rule the golden
+    # extraction uses (keep max dedup rank)
+    from barks_ocr_ray.extract.reference import content_sha256
+    from barks_ocr_ray.stages.sniff_stage import make_dedup_rank
+
+    from datetime import datetime
+
+    payloads: dict[str, tuple[str, bytes]] = {}
+    for i in range(n):
+        rec = page_record(i)
+        ts = int(
+            (rec["warc_ts"] - datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+        rank = make_dedup_rank(ts, content_sha256(rec["html"]))
+        cur = payloads.get(rec["url"])
+        if cur is None or rank > cur[0]:
+            payloads[rec["url"]] = (rank, rec["html"])
+    payloads = {u: p for u, (_, p) in payloads.items()}
+    urls = sorted(gold)
+    keep = sample_mask(urls, sample_frac, seed)
+    out_u, out_k, out_s, out_f = [], [], [], []
+    for u, k in zip(urls, keep):
+        if not k:
+            continue
+        g = gold[u]
+        stripped = strip_tags(payloads[u])
+        score = similarity(g["extracted_text"] or "", stripped)
+        out_u.append(u)
+        out_k.append(g["kind"])
+        out_s.append(score)
+        out_f.append(
+            g["kind"] == "html"
+            and bool(g["extracted_text"])
+            and score < threshold
+        )
+    table = pa.table(
+        {
+            "url": pa.array(out_u, pa.string()),
+            "kind": pa.array(out_k, pa.string()),
+            "score": pa.array(out_s, pa.float64()),
+            "flagged": pa.array(out_f, pa.bool_()),
+        }
+    )
+    _atomic_write(table, path)
+    return path
+
+
 def ensure_all() -> dict[str, str]:
     """Materialize every golden the oracle SQL references (idempotent;
     called from the registry build so the files exist regardless of
@@ -223,4 +292,5 @@ def ensure_all() -> dict[str, str]:
         "q25": ensure_media_golden(Q25_N),
         "q49": ensure_frames_golden(Q25_N),
         "q50": ensure_resize_golden(Q25_N),
+        "q26": ensure_validation_golden(Q34_N),
     }

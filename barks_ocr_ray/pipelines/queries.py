@@ -649,16 +649,28 @@ FROM read_parquet('{media_golden_path(Q25_N)}')
 
 def q26_validate_extraction(sf_dir: str):
     """Sampled re-extraction validator (second-engine similarity scoring,
-    the compare.py/florence_check analog; rows-only)."""
+    the compare.py/florence_check analog). The sample is a deterministic
+    url-hash fraction, so the whole stage is a pure function of the
+    fixed corpus and value-compares against a single-process golden."""
     from barks_ocr_ray.context import configure
     from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.oracle_data import Q34_N
     from barks_ocr_ray.pipelines.validate import validate_extraction
 
     configure()
-    pages = rd.from_arrow(pages_table(_sf_rows(sf_dir, 20_000))).select_columns(
+    pages = rd.from_arrow(pages_table(Q34_N)).select_columns(
         ["url", "warc_ts", "html", "lang"]
     )
     return validate_extraction(pages, sample_frac=0.2, num_partitions=8)
+
+
+def _sql_q26() -> str:
+    from barks_ocr_ray.oracle_data import Q34_N, validation_golden_path
+
+    return f"""
+SELECT url, kind, score, flagged
+FROM read_parquet('{validation_golden_path(Q34_N)}')
+"""
 
 
 def q27_word_doc_index(sf_dir: str):
@@ -1696,6 +1708,7 @@ def build_registry():
         "q21_ngram_jaccard": _sql_q21(),
         "q24_extraction_pipeline": _sql_q24(),
         "q25_multimodal_features": _sql_q25(),
+        "q26_validate_extraction": _sql_q26(),
         "q27_word_doc_index": SQL_Q27,
         "q28_search_term": SQL_Q28,
         "q29_entities_corrected": _sql_q29(),

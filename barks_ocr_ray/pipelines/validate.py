@@ -81,6 +81,20 @@ class Validator:
         )
 
 
+def sample_mask(urls: list[str], frac: float, seed: int) -> list[bool]:
+    """Deterministic per-url sample decision: md5(seed:url) first-8-hex
+    fraction < frac. A pure row function — the sampled set is identical
+    at any parallelism/partitioning (``random_sample`` is not), which is
+    what lets the validation output be golden-compared."""
+    import hashlib
+
+    out = []
+    for u in urls:
+        h = hashlib.md5(f"{seed}:{u}".encode("utf-8")).hexdigest()[:8]
+        out.append(int(h, 16) / float(1 << 32) < frac)
+    return out
+
+
 def validate_extraction(
     pages: Dataset,
     *,
@@ -90,12 +104,20 @@ def validate_extraction(
     concurrency: int = 4,
     **pipeline_kwargs,
 ) -> Dataset:
-    """Run the flagship pipeline keeping the payload, sample it, and
-    score each sampled page's extraction against the second engine."""
+    """Run the flagship pipeline keeping the payload, sample it
+    (deterministic url-hash fraction), and score each sampled page's
+    extraction against the second engine."""
     from barks_ocr_ray.pipelines.extraction import extraction_pipeline
 
     extracted = extraction_pipeline(pages, keep_html=True, **pipeline_kwargs)
-    sample = extracted.random_sample(sample_frac, seed=seed)
+
+    def _sample(t: pa.Table) -> pa.Table:
+        mask = sample_mask(
+            t.column("url").to_pylist(), sample_frac, seed
+        )
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    sample = extracted.map_batches(_sample, batch_format="pyarrow")
     return sample.map_batches(
         Validator,
         fn_constructor_kwargs={"threshold": threshold},
