@@ -189,3 +189,69 @@ def test_input_change_invalidates(corpus_dir, tmp_path):
     )
     assert summary["computed"] == 4 and summary["skipped"] == 0
     _check_complete(out_dir, golden_corpus(N + 100))
+
+
+def test_kill_mid_run_then_resume(tmp_path):
+    """True crash recovery: a subprocess running the chunked job is
+    KILLED after its first chunk commits; the in-process resume must
+    finish the corpus without recomputing the committed buckets."""
+
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    corpus = str(tmp_path / "pages")
+    write_pages_corpus(corpus, N, rows_per_file=100)
+    out_dir = str(tmp_path / "out_kill")
+    script = f"""
+import sys, os
+sys.path.insert(0, {repr(os.getcwd())})
+os.environ["PYTHONPATH"] = {repr(os.getcwd())}
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+from barks_ocr_ray.context import configure; configure()
+from barks_ocr_ray.pipelines.resume import run_resumable
+run_resumable({repr(corpus)}, {repr(out_dir)}, num_buckets={NUM_BUCKETS},
+              chunk_size=2, num_partitions=2)
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    # wait for the FIRST manifest to appear, then kill hard
+    deadline = time.time() + 240
+    manifest_dir = os.path.join(out_dir, "_manifests")
+    committed = []
+    while time.time() < deadline:
+        if os.path.isdir(manifest_dir):
+            committed = [
+                f for f in os.listdir(manifest_dir) if f.startswith("bucket-")
+            ]
+            if committed:
+                break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.25)
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+    if not committed:
+        import pytest
+
+        pytest.skip("job finished or died before first commit; nothing to resume")
+    mt_before = _mtimes(out_dir)
+    committed_ids = sorted(
+        int(f.split("-")[1].split(".")[0]) for f in committed
+        if os.path.exists(os.path.join(manifest_dir, f))
+    )
+
+    summary = run_resumable(
+        corpus, out_dir, num_buckets=NUM_BUCKETS, chunk_size=2,
+        num_partitions=4,
+    )
+    assert summary["skipped"] >= len(committed_ids)
+    _check_complete(out_dir, golden_corpus(N))
+    mt_after = _mtimes(out_dir)
+    for b in committed_ids:
+        if b in mt_before:
+            assert mt_after[b] == mt_before[b], f"committed bucket {b} recomputed"
