@@ -3,14 +3,16 @@
 Ray Data has no event-time windows (SURVEY.md §2.9: the reference has no
 streaming semantics either); windows are expressed as keyed computations:
 tumbling = groupby on a derived window id (vectorized), sessions =
-per-user ordered gap analysis inside ``map_groups``. Ordering assumption:
-within a (user) group, rows are sorted by (ts, event_id) before the gap
-scan — stated here because the oracle SQL relies on the same order.
+hash-repartition on user + ONE vectorized gap scan per block (all of a
+block's users together — no per-group UDF dispatch). Ordering
+assumption: within a (user) group, rows are sorted by (ts, event_id)
+before the gap scan — stated here because the oracle SQL relies on the
+same order.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
@@ -45,24 +47,60 @@ def tumbling_hourly(events: Dataset) -> Dataset:
     return round_columns(out, {"sum_value": 2})
 
 
-def sessionize(events: Dataset, gap_minutes: int = 30) -> Dataset:
+def sessionize(
+    events: Dataset, gap_minutes: int = 30, num_partitions: int = 16
+) -> Dataset:
     """Per-user session stats with a gap rule: a new session starts when
-    the time since the previous event exceeds ``gap_minutes``."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    the time since the previous event exceeds ``gap_minutes``.
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        new_session = g["ts"].diff() > gap
-        return pd.DataFrame(
+    Execution shape: hash-repartition on user co-locates each user's
+    events, then ONE vectorized pass per block computes every user's gap
+    scan together (sort by (user, ts, event_id), diff, group-boundary
+    reset) — one UDF call per block instead of one per user."""
+    gap_us = gap_minutes * 60_000_000
+
+    def _sessions_block(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            t.select(["user_id", "ts", "event_id"]),
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        same_user = np.concatenate(([False], users[1:] == users[:-1]))
+        gap_break = np.concatenate(([False], np.diff(ts_us) > gap_us))
+        # a session boundary inside a user's run; the first row of each
+        # user starts their first session implicitly
+        new_session = same_user & gap_break
+        uniq, starts = np.unique(users, return_index=True)
+        ends = np.concatenate((starts[1:], [len(users)]))
+        n_sessions = np.add.reduceat(new_session.astype(np.int64), starts) + 1
+        # reduceat quirk: a run of length 1 at the array end still works
+        # because new_session[start] is always False for a run start
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(new_session.sum()) + 1],
-                "n_events": [len(g)],
+                "user_id": pa.array(uniq, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
             }
         )
 
     return (
         events.select_columns(["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(_sessions, batch_format="pandas")
+        .repartition(num_partitions, keys=["user_id"])
+        .map_batches(_sessions_block, batch_format="pyarrow", batch_size=None)
     )
