@@ -27,20 +27,22 @@ MIN_MATCH_RATIO = 0.7  # tools/ocr_check.py:39
 
 def levenshtein(a: str, b: str) -> int:
     """Unit-cost edit distance, row-vectorized DP (numpy over one string
-    axis) — exactly DuckDB's ``levenshtein()`` semantics so the paired
-    query has a value-exact oracle."""
+    axis) — exactly DuckDB's ``levenshtein()`` semantics, which operate
+    on UTF-8 BYTES, not code points (property-tested against DuckDB over
+    arbitrary unicode), so the paired query has a value-exact oracle."""
     if a == b:
         return 0
-    if not a:
-        return len(b)
-    if not b:
-        return len(a)
-    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    ab = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    if len(ab) == 0:
+        return len(bb)
+    if len(bb) == 0:
+        return len(ab)
     prev = np.arange(len(bb) + 1, dtype=np.int64)
     cur = np.empty(len(bb) + 1, dtype=np.int64)
-    for i, ch in enumerate(a):
+    for i, ch in enumerate(ab):
         cur[0] = i + 1
-        sub = prev[:-1] + (bb != ord(ch))
+        sub = prev[:-1] + (bb != ch)
         dele = prev[1:] + 1
         np.minimum(sub, dele, out=cur[1:])
         # insertion needs a sequential scan: cur[j] = min(cur[j], cur[j-1]+1)
