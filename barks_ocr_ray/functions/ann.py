@@ -284,23 +284,34 @@ def _train_centroids(
 ) -> np.ndarray:
     """Coarse quantizer for IVF: Lloyd's k-means on a BOUNDED
     deterministic sample (lowest-md5-hash vec_ids, order-independent).
-    The sample cap — not the corpus — bounds driver memory; at 100 TB
-    the same cap holds and the trained centroids are broadcast once."""
+    Sampling is a hash-threshold filter — keep rows whose md5 fraction
+    falls below ~4x the target rate (a pure row function; no global
+    sort, no shuffle) — then a local top-cap on the ~4x-cap survivors.
+    The cap, not the corpus, bounds driver memory; at 100 TB the same
+    cap holds and the trained centroids are broadcast once."""
     import hashlib
+
+    n_rows = embeddings.count()
+    # 4x oversampling margin: P(fewer than cap survivors) is negligible,
+    # and the fallback below keeps correctness either way
+    frac = min(1.0, 4.0 * sample_cap / max(1, n_rows))
 
     def _sample_keys(t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").to_pylist()
         keys = [
             hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids
         ]
-        return t.append_column("sample_key", pa.array(keys, pa.string()))
+        keep = [int(k[:8], 16) / float(1 << 32) < frac for k in keys]
+        return t.append_column(
+            "sample_key", pa.array(keys, pa.string())
+        ).filter(pa.array(keep, pa.bool_()))
 
     sample = (
         embeddings.select_columns(["vec_id", "embedding"])
         .map_batches(_sample_keys, batch_format="pyarrow")
-        .sort("sample_key")
-        .limit(sample_cap)
         .to_pandas()
+        .sort_values("sample_key", kind="mergesort")
+        .head(sample_cap)
     )
     mat = _unit(
         np.stack([np.asarray(v, np.float64) for v in sample["embedding"]])
