@@ -430,3 +430,73 @@ def tfidf_top_terms(
         scored, "doc_id", "tfidf", k, tie_col="term",
         num_partitions=num_partitions,
     )
+
+
+def unigram_logprob(
+    docs: Dataset,
+    *,
+    concurrency: int = 4,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram model (the CCNet-style perplexity-filter primitive, with the
+    n-gram LM reduced to unigrams):
+
+        score(d) = sum_t tf(d,t) * -ln(n(t)/N) / len(d)
+
+    Two keyed aggregations (term counts; per-doc reduce) and one
+    term-wise join — the unigram table scales with the vocabulary, the
+    per-doc rows with the corpus; nothing lands on the driver but the
+    token-total scalar. Rounded DuckDB-style for the value-exact oracle.
+    Documents with no tokens have no unigram contributions and are
+    absent from the output (the SQL's inner-join semantics)."""
+    import numpy as _np
+    from ray.data.aggregate import Sum as _Sum
+
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    tf_rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        DocTermCounts, batch_format="pyarrow", concurrency=(1, concurrency)
+    ).materialize()  # reused: unigram totals + per-doc scoring
+    unigrams = tf_rows.groupby("term").aggregate(_Sum("tf", alias_name="n"))
+    total_tokens = int(tf_rows.sum("tf") or 0)
+
+    joined = tf_rows.join(
+        unigrams, join_type="inner", num_partitions=num_partitions, on=("term",)
+    )
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(_np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(_np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "nll": pa.array(
+                    tf * -_np.log(n / float(max(1, total_tokens))),
+                    pa.float64(),
+                ),
+                "tf": t.column("tf"),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(_contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            _Sum("nll", alias_name="sum_nll"), _Sum("tf", alias_name="n_tokens")
+        )
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        s = t.column("sum_nll").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(_np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "logprob_score": pa.array(
+                    round_like_duckdb(s / _np.maximum(n, 1.0), 4), pa.float64()
+                ),
+            }
+        )
+
+    return per_doc.map_batches(_score, batch_format="pyarrow")

@@ -1626,6 +1626,33 @@ WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
 """
 
 
+def q52_unigram_logprob(sf_dir: str):
+    """Per-doc mean negative log-prob under the corpus unigram model
+    (the CCNet-style perplexity quality filter, unigram-reduced): term
+    counts -> unigram totals -> term-wise join -> per-doc reduce."""
+    from barks_ocr_ray.functions.text import unigram_logprob
+
+    return unigram_logprob(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_q52() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+u AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM u)
+SELECT doc_id,
+       round(sum(tf * -ln(CAST(n AS DOUBLE) / n_total))
+             / greatest(sum(tf), 1), 4) AS logprob_score
+FROM tf JOIN u USING (term) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1679,6 +1706,7 @@ def build_registry():
         "q49_frame_sample": q49_frame_sample,
         "q50_media_resize": q50_media_resize,
         "q51_training_prep": q51_training_prep,
+        "q52_unigram_logprob": q52_unigram_logprob,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -1731,5 +1759,6 @@ def build_registry():
         "q49_frame_sample": _sql_q49(),
         "q50_media_resize": _sql_q50(),
         "q51_training_prep": _sql_q51(),
+        "q52_unigram_logprob": _sql_q52(),
     }
     return queries, oracles
