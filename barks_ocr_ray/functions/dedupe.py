@@ -892,3 +892,73 @@ def range_join_pairs(
         .groupby(["key", "band"])
         .map_groups(_pairs, batch_format="pandas")
     )
+
+
+# --- exact shared-substring duplicates ------------------------------------
+
+
+class WindowHasher(Tokenizer):
+    """(window_hash, doc_id) rows for every W-token window of every doc
+    (stride 1): the shingle-hash formulation of exact-substring duplicate
+    detection (the suffix-array method's distributed stand-in — hashes
+    are md5 of the window text, so matches are exact up to md5 collision
+    and the DuckDB oracle can replay them). Emits DISTINCT hashes per doc
+    (a doc repeating its own phrase is not a cross-doc duplicate)."""
+
+    def __init__(self, window: int = 10):
+        super().__init__()
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_h, out_d = [], []
+        for doc_id, s in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text")
+        ):
+            toks = self.tokens(s.as_py() or "")
+            if len(toks) < self.window:
+                continue
+            seen = set()
+            for i in range(len(toks) - self.window + 1):
+                h = hashlib.md5(
+                    " ".join(toks[i : i + self.window]).encode("utf-8")
+                ).hexdigest()[:16]
+                if h not in seen:
+                    seen.add(h)
+                    out_h.append(h)
+                    out_d.append(doc_id)
+        return pa.table(
+            {
+                "h": pa.array(out_h, pa.string()),
+                "doc_id": pa.array(out_d, pa.int64()),
+            }
+        )
+
+
+def shared_window_dups(
+    docs: Dataset,
+    *,
+    window: int = 10,
+    min_shared: int = 1,
+    concurrency: int = 4,
+    num_partitions: int = 16,
+) -> Dataset:
+    """(doc_a, doc_b, n_shared) — pairs of documents sharing at least
+    ``min_shared`` exact W-token windows. Shuffle keys: window hash (one
+    keyed exchange co-locates all docs containing a given phrase), then
+    the pair key for the final count. The explode factor is ~1 row per
+    token — the documented cost of exact-substring detection; windows are
+    small fixed-width rows (hash + id), never text."""
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        WindowHasher,
+        fn_constructor_kwargs={"window": window},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    pairs = _bucket_pairs(exploded, ["h"], num_partitions)
+    # count shared windows per pair: one keyed aggregation on the pair
+    counted = (
+        pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
+    )
+    if min_shared > 1:
+        counted = counted.filter(expr=f"n_shared >= {min_shared}")
+    return counted

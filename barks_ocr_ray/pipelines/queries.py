@@ -1653,6 +1653,35 @@ GROUP BY doc_id
 """
 
 
+def q53_shared_window_dups(sf_dir: str):
+    """Exact shared-substring duplicate detection (the suffix-array
+    method's distributed shingle-hash stand-in): doc pairs sharing >= 1
+    exact 10-token window, with the shared-window count."""
+    from barks_ocr_ray.functions.dedupe import shared_window_dups
+
+    return shared_window_dups(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), window=10
+    )
+
+
+def _sql_q53(window: int = 10) -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {window}),
+w AS (
+  SELECT DISTINCT doc_id,
+         substring(md5(array_to_string(toks[i:i+{window - 1}], ' ')), 1, 16) AS h
+  FROM t, UNNEST(range(1, len(toks) - {window} + 2)) AS u(i))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1707,6 +1736,7 @@ def build_registry():
         "q50_media_resize": q50_media_resize,
         "q51_training_prep": q51_training_prep,
         "q52_unigram_logprob": q52_unigram_logprob,
+        "q53_shared_window_dups": q53_shared_window_dups,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -1760,5 +1790,6 @@ def build_registry():
         "q50_media_resize": _sql_q50(),
         "q51_training_prep": _sql_q51(),
         "q52_unigram_logprob": _sql_q52(),
+        "q53_shared_window_dups": _sql_q53(),
     }
     return queries, oracles
