@@ -25,7 +25,8 @@ assert m.entry().count() > 0
 qs, osql = m.queries(), m.oracle_sql()
 assert set(osql) <= set(qs)
 import ray.data as rd
-for name in ("q01_pricing_summary", "q24_extraction_pipeline"):
+for name in ("q01_pricing_summary", "q24_extraction_pipeline",
+              "q51_training_prep", "q53_shared_window_dups"):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n > 0, name
