@@ -36,6 +36,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from barks_ocr_ray.functions.relational import round_like_duckdb
 from barks_ocr_ray.functions.text import Tokenizer
 
 _MERSENNE = (1 << 61) - 1
@@ -272,8 +273,6 @@ def minhash_near_dups(
     per-doc signature table (fixed-width N_PERMS x 8 B rows) is
     materialized ONCE and joined onto the pair table twice; the driver
     never holds per-doc state."""
-    from barks_ocr_ray.functions.relational import round_like_duckdb
-
     if concurrency is None:
         # hashing is the compute-heavy stage: scale the pool to the cluster
         concurrency = max(4, int(ray.cluster_resources().get("CPU", 8)) - 2)
@@ -549,8 +548,6 @@ def ngram_jaccard_pairs(
             )
             for _, txt in rows
         ]
-        from barks_ocr_ray.functions.relational import round_like_duckdb
-
         a, b, sim = [], [], []
         for i in range(len(rows)):
             for j in range(i + 1, len(rows)):
@@ -624,8 +621,6 @@ def embedding_near_dups(
         norms[norms == 0] = 1.0
         unit = embs / norms[:, None]
         sims = unit @ unit.T
-        from barks_ocr_ray.functions.relational import round_like_duckdb
-
         a, b, sim = [], [], []
         order = np.argsort(ids)
         for ii in range(len(ids)):

@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from barks_ocr_ray.functions.relational import round_like_duckdb
+
 TOKEN_RE = r"[a-z0-9]+"
 STOPWORDS = (
     "the and of a to in is it that was for on are as with his they i at be "
@@ -133,8 +135,8 @@ class LangId(Tokenizer):
             lang, score = self.classify(s.as_py() or "")
             preds.append(lang)
             scores.append(score)
-        from barks_ocr_ray.functions.relational import round_like_duckdb
-
+        # round_like_duckdb imported at MODULE level: worker-body package
+        # imports fail under the driver's by-value cloudpickle shipping
         import numpy as _np
 
         return pa.table(

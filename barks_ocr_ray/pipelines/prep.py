@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from barks_ocr_ray.functions.relational import round_like_duckdb
 from barks_ocr_ray.functions.text import TOKEN_RE, LangId
 
 
@@ -33,8 +34,9 @@ class PrepEnricher(LangId):
     full-corpus passes and two doc_id joins."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from barks_ocr_ray.functions.relational import round_like_duckdb
-
+        # round_like_duckdb is imported at MODULE level: a runtime import
+        # of the package inside a worker body fails under the driver's
+        # by-value cloudpickle shipping (no package on worker sys.path)
         text = batch.column("text")
         lower = pc.utf8_lower(text)
         n_tokens = pc.count_substring_regex(lower, TOKEN_RE).cast(pa.int64())

@@ -25,11 +25,16 @@ assert m.entry().count() > 0
 qs, osql = m.queries(), m.oracle_sql()
 assert set(osql) <= set(qs)
 import ray.data as rd
-for name in ("q01_pricing_summary", "q24_extraction_pipeline",
-              "q51_training_prep", "q53_shared_window_dups"):
+# q22 has no pairs >= threshold at sf0.001: runs clean, 0 rows is valid
+for name, min_rows in (("q01_pricing_summary", 1),
+                        ("q24_extraction_pipeline", 1),
+                        ("q17_lang_id", 1), ("q21_ngram_jaccard", 1),
+                        ("q22_embedding_near_dups", 0),
+                        ("q51_training_prep", 1),
+                        ("q53_shared_window_dups", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
-    assert n > 0, name
+    assert n >= min_rows, name
 ray.shutdown()
 print("DRIVER-CONTRACT-OK")
 """
