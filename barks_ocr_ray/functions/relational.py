@@ -223,3 +223,47 @@ def grouped_topk(
 
     ds = ds.repartition(num_partitions, keys=[group_col])
     return ds.map_batches(_topk, batch_format="pyarrow", batch_size=None)
+
+
+def salted_count(
+    ds: Dataset,
+    key_col: str,
+    *,
+    n_salts: int = 16,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Grouped count that survives HOT KEYS: phase 1 aggregates on
+    (key, salt) — salt derived from a row hash, spreading each hot key
+    over ``n_salts`` reducers — phase 2 sums the per-salt partials with
+    one tiny exchange keyed on the original key. The canonical
+    skew-salting pattern: no single reducer ever receives more than
+    ~1/n_salts of a hot key's rows. Output: (key_col, n)."""
+    import zlib as _zlib
+
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    def _salt(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).cast(pa.string()).to_pylist()
+        # salt from a per-row counter folded with the key hash: rows of
+        # one key in one block spread across salts deterministically
+        salts = [
+            (_zlib.crc32(f"{k}:{i}".encode("utf-8")) % n_salts)
+            for i, k in enumerate(keys)
+        ]
+        return pa.table(
+            {
+                key_col: t.column(key_col),
+                "salt": pa.array(salts, pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(_salt, batch_format="pyarrow")
+        .groupby([key_col, "salt"])
+        .aggregate(_Count(alias_name="n_part"))
+    )
+    return (
+        partials.groupby(key_col)
+        .aggregate(_Sum("n_part", alias_name="n"))
+    )

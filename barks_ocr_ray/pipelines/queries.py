@@ -1682,6 +1682,23 @@ GROUP BY 1, 2
 """
 
 
+def q54_salted_count(sf_dir: str):
+    """Hot-key-safe grouped count (skew salting): lineitem rows counted
+    per l_returnflag — 3 values over millions of rows, every key hot.
+    Phase 1 aggregates on (key, salt), phase 2 sums partials; no reducer
+    receives more than ~1/n_salts of a key's rows."""
+    from barks_ocr_ray.functions.relational import salted_count
+
+    return salted_count(
+        read_table(sf_dir, "lineitem", ["l_returnflag"]), "l_returnflag"
+    )
+
+
+SQL_Q54 = """
+SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1737,6 +1754,7 @@ def build_registry():
         "q51_training_prep": q51_training_prep,
         "q52_unigram_logprob": q52_unigram_logprob,
         "q53_shared_window_dups": q53_shared_window_dups,
+        "q54_salted_count": q54_salted_count,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -1791,5 +1809,6 @@ def build_registry():
         "q51_training_prep": _sql_q51(),
         "q52_unigram_logprob": _sql_q52(),
         "q53_shared_window_dups": _sql_q53(),
+        "q54_salted_count": SQL_Q54,
     }
     return queries, oracles
