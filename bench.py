@@ -91,7 +91,7 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     # put the hash-shuffle aggregators 70% idle-waiting and cost ~50% wall
     num_partitions = max(32, num_cpus * 2)
     order = os.environ.get("GRAFT_ORDER", "dedup_first")
-    trials = max(1, int(os.environ.get("BENCH_TRIALS", "1")))
+    trials = max(1, int(os.environ.get("BENCH_TRIALS", "2")))
     wall = None
     for _ in range(trials):  # min-of-N: single-run walls swing ±20% here
         shutil.rmtree(out_dir, ignore_errors=True)
