@@ -1699,6 +1699,109 @@ SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag
 """
 
 
+#: BM25 constants (the standard Robertson defaults) and query terms
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join")
+
+
+def q55_bm25_rank(sf_dir: str):
+    """BM25 ranking of documents for a fixed term set (the searcher's
+    scoring layer on top of q28's matching): corpus stats (N, avgdl,
+    per-term df) come from one cheap aggregate pass and are closed over
+    as scalars; scoring is one vectorized pass. Term frequency uses the
+    same \\b-regex contract as q28 on BOTH sides."""
+    import math
+
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tf(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t.column("text"))
+        cols = {
+            "doc_id": t.column("doc_id"),
+            "dl": pc.count_substring_regex(lower, TOKEN_RE).cast(pa.int64()),
+        }
+        for term in BM25_TERMS:
+            cols[f"tf_{term}"] = pc.count_substring_regex(
+                lower, rf"\b{term}\b"
+            ).cast(pa.int64())
+        return pa.table(cols)
+
+    tf = docs.map_batches(_tf, batch_format="pyarrow").materialize()
+    n_docs = tf.count()
+    avgdl = (tf.sum("dl") or 0) / max(1, n_docs)
+    dfs = {}
+    for term in BM25_TERMS:
+        dfs[term] = tf.filter(expr=f"tf_{term} > 0").count()
+    idf = {
+        t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+        for t in BM25_TERMS
+    }
+
+    def _score(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(_np.float64)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        score = _np.zeros(t.num_rows, _np.float64)
+        any_hit = _np.zeros(t.num_rows, bool)
+        for term in BM25_TERMS:
+            tf_v = (
+                t.column(f"tf_{term}")
+                .to_numpy(zero_copy_only=False)
+                .astype(_np.float64)
+            )
+            score += idf[term] * tf_v * (BM25_K1 + 1.0) / (tf_v + norm)
+            any_hit |= tf_v > 0
+        out = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "bm25": pa.array(round_like_duckdb(score, 4), pa.float64()),
+            }
+        )
+        return out.filter(pa.array(any_hit, pa.bool_()))
+
+    return tf.map_batches(_score, batch_format="pyarrow")
+
+
+def _sql_q55() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    term_tfs = ",\n         ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{t}\\b')) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_sel = ",\n         ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    score_terms = " + ".join(
+        f"ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)"
+        f" * tf_{t} * ({BM25_K1} + 1.0)"
+        f" / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / s.avgdl))"
+        for t in BM25_TERMS
+    )
+    any_hit = " OR ".join(f"tf_{t} > 0" for t in BM25_TERMS)
+    return f"""
+WITH tf AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS dl,
+         {term_tfs}
+  FROM documents),
+s AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / greatest(count(*), 1) AS avgdl,
+         {df_sel}
+  FROM tf)
+SELECT doc_id, round({score_terms}, 4) AS bm25
+FROM tf CROSS JOIN s
+WHERE {any_hit}
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1755,6 +1858,7 @@ def build_registry():
         "q52_unigram_logprob": q52_unigram_logprob,
         "q53_shared_window_dups": q53_shared_window_dups,
         "q54_salted_count": q54_salted_count,
+        "q55_bm25_rank": q55_bm25_rank,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -1810,5 +1914,6 @@ def build_registry():
         "q52_unigram_logprob": _sql_q52(),
         "q53_shared_window_dups": _sql_q53(),
         "q54_salted_count": SQL_Q54,
+        "q55_bm25_rank": _sql_q55(),
     }
     return queries, oracles
