@@ -375,7 +375,28 @@ def minhash_near_dups(
 # --- SimHash --------------------------------------------------------------
 
 
-def simhash64(tokens: list[str]) -> int:
+def _token_hash64(tok: str, _cache: dict | None = None) -> int:
+    """blake2b-64 of a token, optionally memoized: natural-language
+    vocabularies are Zipfian, so a warm per-actor cache turns the
+    dominant hash cost into dict lookups."""
+    if _cache is not None:
+        h = _cache.get(tok)
+        if h is not None:
+            return h
+    h = int.from_bytes(
+        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+    if _cache is not None and len(_cache) < _TOKEN_CACHE_CAP:
+        _cache[tok] = h
+    return h
+
+
+#: per-actor token-hash cache bound (~16 MB worst case) — vocabulary
+#: grows sublinearly with the corpus, the cache must not grow with it
+_TOKEN_CACHE_CAP = 1 << 20
+
+
+def simhash64(tokens: list[str], _cache: dict | None = None) -> int:
     """Classic 64-bit SimHash over token counts (blake2b token hashes;
     the sign-vote accumulation runs as one vectorized unpackbits)."""
     if not tokens:
@@ -384,12 +405,7 @@ def simhash64(tokens: list[str]) -> int:
 
     counts = Counter(tokens)
     hs = np.fromiter(
-        (
-            int.from_bytes(
-                hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
-            )
-            for t in counts
-        ),
+        (_token_hash64(t, _cache) for t in counts),
         dtype=np.uint64,
         count=len(counts),
     )
@@ -404,12 +420,18 @@ def simhash64(tokens: list[str]) -> int:
 
 
 class SimHashTable(Tokenizer):
-    """One (doc_id, simhash) row per doc for verification."""
+    """One (doc_id, simhash) row per doc for verification. The token
+    hash cache lives for the ACTOR's lifetime (warm state, T3 pattern) —
+    across batches every repeated vocabulary word hashes once."""
+
+    def __init__(self):
+        super().__init__()
+        self._hash_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         hs = [
-            simhash64(self.tokens(s.as_py() or ""))
+            simhash64(self.tokens(s.as_py() or ""), self._hash_cache)
             for s in batch.column("text")
         ]
         return pa.table(
