@@ -30,35 +30,53 @@ CURATED_ENTITIES: dict[str, str] = {
 
 
 class EntityTagger:
-    """Stateful tagger: compiled word-boundary regex per entity."""
+    """Stateful tagger, vectorized: one RE2 kernel pass over the whole
+    batch per entity (12 column scans per batch) instead of 12 Python
+    ``findall`` calls per ROW — same \\b word-boundary semantics."""
 
     def __init__(self, entities: dict[str, str] | None = None):
         self.entities = entities or CURATED_ENTITIES
         self.patterns = {
-            name: re.compile(rf"\b{re.escape(name)}\b")
-            for name in self.entities
+            name: rf"\b{re.escape(name)}\b" for name in self.entities
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, names, types, counts = [], [], [], []
-        id_col = batch.column("doc_id").to_pylist()
-        for i, s in enumerate(batch.column("text")):
-            text = (s.as_py() or "").lower()
-            for name in sorted(self.entities):
-                n = len(self.patterns[name].findall(text))
-                if n > 0:
-                    doc_ids.append(id_col[i])
-                    names.append(name)
-                    types.append(self.entities[name])
-                    counts.append(n)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "name": pa.array(names, pa.string()),
-                "entity_type": pa.array(types, pa.string()),
-                "n": pa.array(counts, pa.int64()),
-            }
-        )
+        import pyarrow.compute as pc
+
+        lower = pc.utf8_lower(batch.column("text"))
+        doc_id = batch.column("doc_id")
+        parts = []
+        for name in sorted(self.entities):
+            n = pc.count_substring_regex(lower, self.patterns[name]).cast(
+                pa.int64()
+            )
+            hit = pc.greater(pc.fill_null(n, 0), pa.scalar(0))
+            ids = doc_id.filter(hit)
+            counts = n.filter(hit)
+            if len(ids) == 0:
+                continue
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "name": pa.array([name] * len(ids), pa.string()),
+                        "entity_type": pa.array(
+                            [self.entities[name]] * len(ids), pa.string()
+                        ),
+                        "n": counts,
+                    }
+                )
+            )
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                    "entity_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
 
 
 def tag_entities(
