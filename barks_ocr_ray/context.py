@@ -23,8 +23,15 @@ def configure(target_max_block_size: int | None = None) -> None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         ctx.max_hash_shuffle_aggregators = max(2, cpus // 2)
         # default hash parallelism is 200 -> 50 reserved CPUs; scale it to
-        # the cluster instead (callers can still pass num_partitions)
-        ctx.default_hash_shuffle_parallelism = max(2, min(2 * cpus, 64))
+        # the cluster instead (callers can still pass num_partitions).
+        # Kept EQUAL to the aggregator count: Ray's
+        # ReducingShuffleAggregation holds ONE block list per AGGREGATOR
+        # (hash_aggregate.py:49-79), so an aggregator owning >1 partition
+        # emits all rows at its first finalize and a schema-less
+        # pa.table({}) for every later partition — the "RefBundle with a
+        # different schema ... new schema: ." warning. One partition per
+        # aggregator keeps every finalized block typed.
+        ctx.default_hash_shuffle_parallelism = max(2, cpus // 2)
         # default read parallelism is 200 blocks regardless of input size,
         # which shreds medium inputs into 1 MiB blocks and makes every
         # upstream stage scheduling-bound; scale to the cluster and let
@@ -49,3 +56,22 @@ def configure(target_max_block_size: int | None = None) -> None:
     ctx.enable_progress_bars = False
     if target_max_block_size is not None:
         ctx.target_max_block_size = target_max_block_size
+
+
+def hash_partitions(requested: int | None = None) -> int:
+    """Partition count for hash-aggregating operators (``groupby``,
+    ``Dataset.join``), capped at the shuffle-aggregator count.
+
+    Ray's per-aggregator aggregation state (ReducingShuffleAggregation,
+    hash_aggregate.py:49-79) merges ALL of an aggregator's partitions at
+    its first ``finalize`` — extra partitions per aggregator add shard
+    overhead and emit schema-less empty blocks for the later finalizes
+    (the "RefBundle with a different schema" warning), with no extra
+    reduce parallelism in return. One partition per aggregator is the
+    efficient shape; key-based ``repartition`` (Concat path, per-
+    partition builders) is NOT subject to this cap.
+    """
+    from ray.data import DataContext
+
+    n = DataContext.get_current().default_hash_shuffle_parallelism
+    return n if requested is None else max(2, min(requested, n))

@@ -111,6 +111,16 @@ def brute_force_topk(
     )
 
 
+#: typed empty result of the exact all-pairs join (schema contract)
+ALL_PAIRS_EMPTY = pa.table(
+    {
+        "vec_a": pa.array([], pa.int64()),
+        "vec_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+    }
+)
+
+
 def embedding_all_pairs_exact(
     embeddings: Dataset,
     *,
@@ -195,15 +205,12 @@ def embedding_all_pairs_exact(
 
     out, n = compact_nonempty(out, num_partitions)
     if n == 0:
-        # Dataset.to_pandas() drops the schema at 0 rows; hand back the
-        # typed empty Arrow table so column checks still see the contract.
-        return pa.table(
-            {
-                "vec_a": pa.array([], pa.int64()),
-                "vec_b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
+        # Consistent return type (always a Dataset, composable with
+        # join/map_batches); from_arrow keeps the typed empty schema.
+        # The 0-row to_pandas schema loss is handled at the query layer.
+        import ray.data as _rd
+
+        return _rd.from_arrow(ALL_PAIRS_EMPTY)
     return out
 
 
@@ -313,6 +320,11 @@ def _train_centroids(
         .sort_values("sample_key", kind="mergesort")
         .head(sample_cap)
     )
+    if len(sample) == 0:
+        raise ValueError(
+            "ivf_topk: embeddings dataset is empty — no sample to train "
+            "the coarse quantizer on"
+        )
     mat = _unit(
         np.stack([np.asarray(v, np.float64) for v in sample["embedding"]])
     )

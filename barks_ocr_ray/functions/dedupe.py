@@ -36,6 +36,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from barks_ocr_ray.context import hash_partitions
 from barks_ocr_ray.functions.relational import round_like_duckdb
 from barks_ocr_ray.functions.text import Tokenizer
 
@@ -156,8 +157,20 @@ class SignatureTable(MinHasher):
         )
 
 
+#: per-bucket candidate cap: a (band, hash) bucket larger than this is a
+#: skew pathology (template farm / boilerplate run), not a near-dup
+#: neighborhood — at 100 TB one such bucket would otherwise materialize
+#: O(n^2) pairs from a single block
+DEFAULT_MAX_BUCKET = 1000
+
+
 def _bucket_pairs(
-    exploded: Dataset, key_cols: list[str], num_partitions: int
+    exploded: Dataset,
+    key_cols: list[str],
+    num_partitions: int,
+    *,
+    grp_col: str | None = None,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
 ) -> Dataset:
     """Candidate pairs within each bucket (bucket = one value of the
     composite ``key_cols``): hash-repartition co-locates every bucket in
@@ -165,18 +178,33 @@ def _bucket_pairs(
     of all its buckets — unlike ``groupby().map_groups`` this dispatches
     one UDF call per BLOCK, not one per bucket (the banded stages have
     ~4 buckets/doc, nearly all singletons; per-bucket dispatch dominated
-    their profile)."""
+    their profile).
+
+    Skew guard: buckets with <= ``max_bucket`` distinct docs get the
+    exact all-pairs enumeration. An OVERSIZED bucket (web-scale template
+    farms, runs of byte-identical boilerplate) is handled in two steps:
+
+    1. docs with an identical ``grp_col`` value (full signature / full
+       simhash / full-text hash — identical content, by construction)
+       collapse to their min-id representative, emitting STAR pairs
+       (rep, member); stars verify downstream to est=1.0 / hamming=0,
+       so cluster connectivity is preserved at O(n) pairs instead of
+       the O(n^2) clique;
+    2. residual distinct-content reps are capped at ``max_bucket``
+       (smallest ids kept — deterministic) with the overflow LOGGED
+       per block (no silent caps).
+    """
     exploded = exploded.repartition(num_partitions, keys=key_cols)
 
-    def _emit(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-            }
-        )
+    def _emit(t: pa.Table):
+        # generator UDF: yield NOTHING for a pairless block instead of a
+        # 0-row table. A 0-row block that lands first in a downstream
+        # keyed shuffle suppresses Ray's one-shot schema broadcast
+        # (hash_shuffle.py:225,584) and the shuffle then finalizes
+        # schema-less empties — the "RefBundle with a different schema"
+        # warning class.
         if t.num_rows == 0:
-            return empty
+            return
         import pyarrow.compute as pc
 
         key = t.column(key_cols[0]).cast(pa.string())
@@ -188,24 +216,70 @@ def _bucket_pairs(
             np.asarray(key.to_pylist(), dtype=object), return_inverse=True
         )[1]
         ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        if grp_col is not None:
+            gc = t.column(grp_col)
+            if pa.types.is_integer(gc.type):
+                grp_all = gc.to_numpy(zero_copy_only=False)
+            else:
+                grp_all = np.asarray(gc.to_pylist(), dtype=object)
         order = np.lexsort((ids, codes))
         codes, ids = codes[order], ids[order]
+        if grp_col is not None:
+            grp_all = grp_all[order]
         bounds = np.flatnonzero(np.diff(codes)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(codes)]))
         out_a, out_b = [], []
+        overflow_buckets = overflow_docs = 0
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            bucket = np.unique(ids[s:e])
-            if len(bucket) < 2:
+            uniq, first_pos = np.unique(ids[s:e], return_index=True)
+            if len(uniq) < 2:
                 continue
-            i, j = np.triu_indices(len(bucket), k=1)
-            out_a.append(bucket[i])
-            out_b.append(bucket[j])
+            if len(uniq) <= max_bucket:
+                i, j = np.triu_indices(len(uniq), k=1)
+                out_a.append(uniq[i])
+                out_b.append(uniq[j])
+                continue
+            # oversized bucket: collapse identical content to star pairs
+            reps = uniq
+            if grp_col is not None:
+                bg = grp_all[s:e][first_pos]
+                # uniq is ascending, so the first occurrence of each grp
+                # value is its min id — the representative
+                grp_codes = np.unique(bg, return_inverse=True)[1]
+                rep_first = np.unique(grp_codes, return_index=True)[1]
+                rep_mask = np.zeros(len(uniq), dtype=bool)
+                rep_mask[rep_first] = True
+                rep_of = np.empty(grp_codes.max() + 1, dtype=np.int64)
+                rep_of[grp_codes[rep_first]] = uniq[rep_first]
+                members = ~rep_mask
+                if members.any():
+                    out_a.append(rep_of[grp_codes[members]])
+                    out_b.append(uniq[members])
+                reps = uniq[rep_mask]
+            if len(reps) > max_bucket:
+                overflow_buckets += 1
+                overflow_docs += len(reps) - max_bucket
+                reps = reps[:max_bucket]
+            if len(reps) >= 2:
+                i, j = np.triu_indices(len(reps), k=1)
+                out_a.append(reps[i])
+                out_b.append(reps[j])
+        if overflow_buckets:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "_bucket_pairs: capped %d hot bucket(s); %d distinct-content "
+                "doc(s) beyond max_bucket=%d excluded from candidate pairs",
+                overflow_buckets,
+                overflow_docs,
+                max_bucket,
+            )
         if not out_a:
-            return empty
-        return pa.table(
+            return
+        yield pa.table(
             {
                 "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
                 "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
@@ -218,22 +292,19 @@ def _bucket_pairs(
 
 
 def _dedup_pairs(pairs: Dataset, num_partitions: int) -> Dataset:
-    """A pair can surface from several bands -> exact dedup on a single
-    sortable pair key (vectorized string join, no per-row Python)."""
-    import pyarrow.compute as pc
-
-    from barks_ocr_ray.functions.relational import exact_dedup
-
-    def _pair_key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(t.column("doc_a"), pa.string()),
-            pc.cast(t.column("doc_b"), pa.string()),
-            ":",
+    """A pair can surface from several bands -> distinct via ONE keyed
+    aggregation on the (doc_a, doc_b) composite. An aggregate (not
+    repartition + per-block first) because its finalize emits typed
+    blocks even for empty partitions once partitions == aggregators
+    (context.hash_partitions), where a post-shuffle map's empty outputs
+    are dropped into schema-less bundles by the executor."""
+    return (
+        pairs.groupby(
+            ["doc_a", "doc_b"], num_partitions=hash_partitions(num_partitions)
         )
-        return t.append_column("pair_key", key)
-
-    pairs = pairs.map_batches(_pair_key, batch_format="pyarrow")
-    return exact_dedup(pairs, "pair_key", num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["doc_a", "doc_b"])
+    )
 
 
 def _attach_column(
@@ -255,7 +326,7 @@ def _attach_column(
     return pairs.join(
         renamed,
         join_type="inner",
-        num_partitions=num_partitions,
+        num_partitions=hash_partitions(num_partitions),
         on=(side,),
     )
 
@@ -288,11 +359,14 @@ def minhash_near_dups(
         """Band rows derived FROM the signature bytes: the corpus is
         tokenized and min-hashed exactly ONCE (the O(data) work); this
         pass reads 1 KiB/doc of fixed-width state, not the text."""
-        doc_ids, band_ids, band_hashes = [], [], []
+        doc_ids, band_ids, band_hashes, grps = [], [], [], []
         for doc_id, sig_bytes in zip(
             t.column("doc_id").to_pylist(), t.column("sig").to_pylist()
         ):
             sig = np.frombuffer(sig_bytes, dtype=np.uint64)
+            # full-signature fingerprint: the hot-bucket guard's collapse
+            # key (identical texts -> identical signatures -> one rep)
+            grp = hashlib.blake2b(sig_bytes, digest_size=16).hexdigest()
             for band in range(N_BANDS):
                 chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
                 doc_ids.append(doc_id)
@@ -300,11 +374,13 @@ def minhash_near_dups(
                 band_hashes.append(
                     hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
                 )
+                grps.append(grp)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band_id": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.string()),
+                "grp": pa.array(grps, pa.string()),
             }
         )
 
@@ -320,9 +396,10 @@ def minhash_near_dups(
         }
     )
     pairs = _bucket_pairs(
-        exploded.select_columns(["band_id", "band_hash", "doc_id"]),
+        exploded.select_columns(["band_id", "band_hash", "doc_id", "grp"]),
         ["band_id", "band_hash"],
         num_partitions,
+        grp_col="grp",
     )
     pairs = _dedup_pairs(pairs, min(8, num_partitions))
     pairs, n_pairs = compact_nonempty(pairs, num_partitions)
@@ -477,6 +554,9 @@ def simhash_near_dups(
                 "doc_id": pa.array(doc_ids, pa.int64()),
                 "band_id": pa.array(band_ids, pa.int32()),
                 "band_val": pa.array(band_vals.astype(np.int64), pa.int64()),
+                # full 64-bit simhash: the hot-bucket collapse key
+                # (hamming 0 <= max_hamming, so stars always verify)
+                "grp": pa.array(np.repeat(hs, 4).view(np.int64), pa.int64()),
             }
         )
 
@@ -492,9 +572,10 @@ def simhash_near_dups(
         }
     )
     pairs = _bucket_pairs(
-        exploded.select_columns(["band_id", "band_val", "doc_id"]),
+        exploded.select_columns(["band_id", "band_val", "doc_id", "grp"]),
         ["band_id", "band_val"],
         num_partitions,
+        grp_col="grp",
     )
     pairs = _dedup_pairs(pairs, min(8, num_partitions))
     pairs, n_pairs = compact_nonempty(pairs, num_partitions)
@@ -552,13 +633,16 @@ def ngram_jaccard_pairs(
     def _bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        # null text carries no n-grams: drop it, matching the SQL oracle
+        # (NULL join keys never pair) instead of forming a null bucket
+        t = t.filter(pc.is_valid(t.column("text")))
         b = pc.divide(
             pc.utf8_length(t.column("text")).cast(pa.int64()),
             pa.scalar(bucket_chars, pa.int64()),
         )
         return t.append_column("bucket", b)
 
-    def _pairwise(g: pd.DataFrame) -> pd.DataFrame:
+    def _pairwise(g: pd.DataFrame) -> pa.Table:
         rows = sorted(
             zip(g["doc_id"].tolist(), g["text"].tolist()), key=lambda r: r[0]
         )
@@ -580,11 +664,17 @@ def ngram_jaccard_pairs(
                     a.append(rows[i][0])
                     b.append(rows[j][0])
                     sim.append(jac)
-        return pd.DataFrame(
+        # typed pa.Table, not a DataFrame: an empty pandas frame infers
+        # float64 for doc_a/doc_b and the mixed-dtype blocks trip the
+        # executor's schema-divergence check
+        return pa.table(
             {
-                "doc_a": a,
-                "doc_b": b,
-                "jaccard": round_like_duckdb(np.asarray(sim, dtype=np.float64), 4),
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(
+                    round_like_duckdb(np.asarray(sim, dtype=np.float64), 4),
+                    pa.float64(),
+                ),
             }
         )
 
@@ -636,7 +726,7 @@ def embedding_near_dups(
     first = embeddings.take(1)
     dim = len(first[0]["embedding"])
 
-    def _pairwise(g: pd.DataFrame) -> pd.DataFrame:
+    def _pairwise(g: pd.DataFrame) -> pa.Table:
         ids = g["vec_id"].tolist()
         embs = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
         norms = np.linalg.norm(embs, axis=1)
@@ -791,7 +881,7 @@ def dup_clusters(
                 _rename_batch(["doc_b", "label"]), batch_format="pyarrow"
             ),
             join_type="inner",
-            num_partitions=num_partitions,
+            num_partitions=hash_partitions(num_partitions),
             on=("doc_b",),
         ).map_batches(
             lambda t: pa.table({"node": t.column("doc_a"), "label": t.column("label")}),
@@ -802,7 +892,7 @@ def dup_clusters(
                 _rename_batch(["doc_a", "label"]), batch_format="pyarrow"
             ),
             join_type="inner",
-            num_partitions=num_partitions,
+            num_partitions=hash_partitions(num_partitions),
             on=("doc_a",),
         ).map_batches(
             lambda t: pa.table({"node": t.column("doc_b"), "label": t.column("label")}),
@@ -815,7 +905,7 @@ def dup_clusters(
                 _rename_batch(["label", "label2"]), batch_format="pyarrow"
             ),
             join_type="inner",
-            num_partitions=num_partitions,
+            num_partitions=hash_partitions(num_partitions),
             on=("label",),
         ).map_batches(
             lambda t: pa.table({"node": t.column("node"), "label": t.column("label2")}),
@@ -927,13 +1017,18 @@ class WindowHasher(Tokenizer):
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_h, out_d = [], []
+        out_h, out_d, out_g = [], [], []
         for doc_id, s in zip(
             batch.column("doc_id").to_pylist(), batch.column("text")
         ):
-            toks = self.tokens(s.as_py() or "")
+            text = s.as_py() or ""
+            toks = self.tokens(text)
             if len(toks) < self.window:
                 continue
+            # full-text fingerprint (64-bit): the hot-bucket collapse key
+            # — identical texts share ALL windows, so their star pairs
+            # count every window and n_shared stays exact
+            grp = hashlib.md5(text.encode("utf-8")).hexdigest()[:16]
             seen = set()
             for i in range(len(toks) - self.window + 1):
                 h = hashlib.md5(
@@ -943,10 +1038,12 @@ class WindowHasher(Tokenizer):
                     seen.add(h)
                     out_h.append(h)
                     out_d.append(doc_id)
+                    out_g.append(grp)
         return pa.table(
             {
                 "h": pa.array(out_h, pa.string()),
                 "doc_id": pa.array(out_d, pa.int64()),
+                "grp": pa.array(out_g, pa.string()),
             }
         )
 
@@ -971,7 +1068,7 @@ def shared_window_dups(
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
-    pairs = _bucket_pairs(exploded, ["h"], num_partitions)
+    pairs = _bucket_pairs(exploded, ["h"], num_partitions, grp_col="grp")
     # count shared windows per pair: one keyed aggregation on the pair
     counted = (
         pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))

@@ -212,12 +212,21 @@ def grouped_topk(
             ],
         )
         t = t.take(idx)
-        groups = t.column(group_col).to_pylist()
-        ranks, prev, r = [], object(), 0
-        for g in groups:
-            r = r + 1 if g == prev else 1
-            prev = g
-            ranks.append(r)
+        # vectorized rank within group: run boundaries over the sorted
+        # key, then index minus last-boundary index (no per-row Python)
+        n = t.num_rows
+        keys = t.column(group_col).combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(keys.slice(1), keys.slice(0, n - 1)), True
+        )
+        if isinstance(neq, pa.ChunkedArray):
+            neq = neq.combine_chunks()
+        is_start = np.concatenate(
+            ([True], neq.to_numpy(zero_copy_only=False).astype(bool))
+        )
+        idx = np.arange(n, dtype=np.int64)
+        start_idx = np.maximum.accumulate(np.where(is_start, idx, 0))
+        ranks = idx - start_idx + 1
         t = t.append_column(rank_col, pa.array(ranks, pa.int64()))
         return t.filter(pc.less_equal(t.column(rank_col), pa.scalar(k)))
 
@@ -238,19 +247,14 @@ def salted_count(
     one tiny exchange keyed on the original key. The canonical
     skew-salting pattern: no single reducer ever receives more than
     ~1/n_salts of a hot key's rows. Output: (key_col, n)."""
-    import zlib as _zlib
-
     from ray.data.aggregate import Count as _Count
     from ray.data.aggregate import Sum as _Sum
 
     def _salt(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col).cast(pa.string()).to_pylist()
-        # salt from a per-row counter folded with the key hash: rows of
-        # one key in one block spread across salts deterministically
-        salts = [
-            (_zlib.crc32(f"{k}:{i}".encode("utf-8")) % n_salts)
-            for i, k in enumerate(keys)
-        ]
+        # round-robin salt per block: a hot key's rows within any block
+        # spread evenly over all n_salts reducers, fully vectorized —
+        # the salt value itself never surfaces (summed out in phase 2)
+        salts = np.arange(t.num_rows, dtype=np.int64) % n_salts
         return pa.table(
             {
                 key_col: t.column(key_col),

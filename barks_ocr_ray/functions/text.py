@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from barks_ocr_ray.context import hash_partitions
 from barks_ocr_ray.functions.relational import round_like_duckdb
 
 TOKEN_RE = r"[a-z0-9]+"
@@ -410,7 +411,10 @@ def tfidf_top_terms(
     )
     df_tbl = tf_rows.groupby("term").aggregate(_Count(alias_name="df"))
     joined = tf_rows.join(
-        df_tbl, join_type="inner", num_partitions=num_partitions, on=("term",)
+        df_tbl,
+        join_type="inner",
+        num_partitions=hash_partitions(num_partitions),
+        on=("term",),
     )
 
     def _score(t: pa.Table) -> pa.Table:
@@ -464,7 +468,10 @@ def unigram_logprob(
     total_tokens = int(tf_rows.sum("tf") or 0)
 
     joined = tf_rows.join(
-        unigrams, join_type="inner", num_partitions=num_partitions, on=("term",)
+        unigrams,
+        join_type="inner",
+        num_partitions=hash_partitions(num_partitions),
+        on=("term",),
     )
 
     def _contrib(t: pa.Table) -> pa.Table:

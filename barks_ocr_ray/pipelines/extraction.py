@@ -97,17 +97,18 @@ def extraction_pipeline(
 
     ``order`` picks where the one all-to-all exchange sits:
 
-    * ``extract_first`` (default): sniff -> extract -> dedup -> emit.
-      Extraction streams fully overlapped with the read (no barrier in
-      front of the heavy stage); the dedup shuffle moves extracted rows
-      (html already dropped) and re-extracts nothing. Costs: duplicate
+    * ``dedup_first`` (default — measured faster at both 8 and 32 CPUs,
+      BASELINE.md round-2 A/B): sniff -> dedup -> extract -> emit.
+      Minimal compute (losers never extracted, shuffle moves
+      zstd-compressed raw html), but the hash shuffle is a barrier —
+      the extract pools idle until the last input block is ingested.
+    * ``extract_first``: sniff -> extract -> dedup -> emit. Extraction
+      streams fully overlapped with the read (no barrier in front of
+      the heavy stage); the dedup shuffle moves extracted rows (html
+      already dropped) and re-extracts nothing. Costs: duplicate
       fetches (~the corpus dup rate) are extracted wastefully before
-      being dropped.
-    * ``dedup_first``: sniff -> dedup -> extract -> emit. Minimal
-      compute (losers never extracted, shuffle moves raw html), but the
-      hash shuffle is a barrier — the extract pools idle until the last
-      input block is ingested. Preferable when the dup rate is high or
-      extraction output (text+spans+blocks) outweighs the raw payload.
+      being dropped, and the post-extract exchange moves text+spans,
+      which here outweigh the compressed payload.
 
     Both orders produce byte-identical output: the winner is a pure
     function of (url, dedup_rank) and extraction is a pure per-row

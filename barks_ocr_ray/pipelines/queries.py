@@ -15,6 +15,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from barks_ocr_ray.context import hash_partitions
 from barks_ocr_ray.functions.relational import (
     broadcast_lookup_column,
     broadcast_semi_join,
@@ -147,7 +148,7 @@ def q04_segment_revenue(sf_dir: str):
     joined = orders.join(
         cust,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=hash_partitions(16),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -215,7 +216,7 @@ def q06_orders_outside_building(sf_dir: str):
     joined = orders.join(
         bld,
         join_type="left_outer",
-        num_partitions=16,
+        num_partitions=hash_partitions(16),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -1032,7 +1033,7 @@ def q37_priority_revenue_join(sf_dir: str):
     joined = lineitem.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=hash_partitions(16),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -1262,7 +1263,10 @@ def q41_find_entities(sf_dir: str):
             }
         )
     joined = hits.join(
-        docs, join_type="inner", num_partitions=8, on=("doc_id",)
+        docs,
+        join_type="inner",
+        num_partitions=hash_partitions(8),
+        on=("doc_id",),
     )
     return joined.select_columns(["doc_id", "name", "entity_type", "n", "source"])
 
@@ -1292,7 +1296,12 @@ def q42_entity_source_histogram(sf_dir: str):
         return pa.table(
             {"name": pa.array([], pa.string()), "hist": pa.array([], pa.string())}
         )
-    joined = tags.join(docs, join_type="inner", num_partitions=8, on=("doc_id",))
+    joined = tags.join(
+        docs,
+        join_type="inner",
+        num_partitions=hash_partitions(8),
+        on=("doc_id",),
+    )
     counts = joined.groupby(["name", "source"]).aggregate(Count(alias_name="n"))
 
     def _fmt(g: pd.DataFrame) -> pa.Table:
@@ -1361,12 +1370,20 @@ def q44_embedding_all_pairs(sf_dir: str):
     """EXACT cosine similarity self-join via block-nested-loop
     enumeration — the exact baseline the LSH near-dup path (q22) trades
     recall against (see ann.embedding_all_pairs_exact)."""
-    from barks_ocr_ray.functions.ann import embedding_all_pairs_exact
+    from barks_ocr_ray.functions.ann import (
+        ALL_PAIRS_EMPTY,
+        embedding_all_pairs_exact,
+    )
 
-    return embedding_all_pairs_exact(
+    res = embedding_all_pairs_exact(
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
         threshold=0.4,
     )
+    # Dataset.to_pandas() drops the schema at 0 rows; the result is
+    # already materialized, so this count is a metadata lookup
+    if res.count() == 0:
+        return ALL_PAIRS_EMPTY
+    return res
 
 
 SQL_Q44 = """
@@ -1725,19 +1742,33 @@ def q55_bm25_rank(sf_dir: str):
             "dl": pc.count_substring_regex(lower, TOKEN_RE).cast(pa.int64()),
         }
         for term in BM25_TERMS:
-            cols[f"tf_{term}"] = pc.count_substring_regex(
-                lower, rf"\b{term}\b"
-            ).cast(pa.int64())
+            tf_col = pc.count_substring_regex(lower, rf"\b{term}\b").cast(
+                pa.int64()
+            )
+            cols[f"tf_{term}"] = tf_col
+            # df partial: 1 iff the term occurs — summed in ONE aggregate
+            cols[f"hit_{term}"] = pc.cast(
+                pc.greater(tf_col, pa.scalar(0, pa.int64())), pa.int64()
+            )
         return pa.table(cols)
 
     tf = docs.map_batches(_tf, batch_format="pyarrow").materialize()
-    n_docs = tf.count()
-    avgdl = (tf.sum("dl") or 0) / max(1, n_docs)
-    dfs = {}
-    for term in BM25_TERMS:
-        dfs[term] = tf.filter(expr=f"tf_{term} > 0").count()
+    # N, avgdl and EVERY df from ONE aggregate job over the tf table
+    # (no per-term count() jobs — the searcher shape for arbitrary N terms)
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    stats = tf.aggregate(
+        _Count(alias_name="n_docs"),
+        _Sum("dl", alias_name="sum_dl"),
+        *[_Sum(f"hit_{t}", alias_name=f"df_{t}") for t in BM25_TERMS],
+    )
+    n_docs = stats["n_docs"]
+    avgdl = (stats["sum_dl"] or 0) / max(1, n_docs)
     idf = {
-        t: math.log((n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+        t: math.log(
+            (n_docs - stats[f"df_{t}"] + 0.5) / (stats[f"df_{t}"] + 0.5) + 1.0
+        )
         for t in BM25_TERMS
     }
 

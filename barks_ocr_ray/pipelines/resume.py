@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
@@ -88,6 +89,16 @@ def bucketed_input_dirs(input_path: str, num_buckets: int) -> dict[int, str] | N
         return None
     if meta.get("num_buckets") != num_buckets or meta.get("bucket_fn") != "crc32(url)":
         return None
+    # A marker alone is not proof the layout is COMPLETE: parquet files
+    # sitting outside bucket=*/ would be counted by input_fingerprint but
+    # silently skipped by the pruned read. Verify none exist (cheap
+    # listdir walk) and fall back to the full scan otherwise.
+    bucket_re = re.compile(r"^bucket=\d+$")
+    for root, dirnames, filenames in os.walk(input_path):
+        rel = os.path.relpath(root, input_path)
+        inside_bucket = rel != "." and bucket_re.match(rel.split(os.sep)[0])
+        if not inside_bucket and any(f.endswith(".parquet") for f in filenames):
+            return None
     dirs = {}
     for b in range(num_buckets):
         d = os.path.join(input_path, f"bucket={b}")

@@ -35,6 +35,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Max
 
+from barks_ocr_ray.context import hash_partitions
 from barks_ocr_ray.stages.sniff_stage import DEDUP_RANK, make_dedup_rank
 
 
@@ -194,7 +195,7 @@ def dedup_max_ts(
         joined = ds.join(
             winners,
             join_type="inner",
-            num_partitions=num_partitions,
+            num_partitions=hash_partitions(num_partitions),
             on=("url", DEDUP_RANK),
         )
         # byte-identical refetches (same warc_ts AND content hash) share

@@ -86,7 +86,7 @@ def main() -> int:
 
     failures = 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if only and not any(name == o or name.startswith(o) for o in only):
             continue
         t0 = time.time()
         try:
