@@ -1598,6 +1598,17 @@ def q51_training_prep(sf_dir: str):
 
 
 def _sql_q51() -> str:
+    return _prep_sql("documents", 0.02, SAMPLE_RATES, 1.0)
+
+
+def _prep_sql(
+    source: str,
+    min_lang_score: float,
+    rates: dict[str, float],
+    default_rate: float,
+) -> str:
+    """SQL replay of ``training_prep`` over any (doc_id, text) source
+    relation (a table name or a parenthesized subquery)."""
     from barks_ocr_ray.functions.text import LANG_PROFILES, TOKEN_RE
 
     langs = sorted(LANG_PROFILES)
@@ -1610,13 +1621,13 @@ def _sql_q51() -> str:
     m = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
     case = " ".join(f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs)
     rate_case = " ".join(
-        f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in rates.items()
     )
     return f"""
 WITH t AS (
   SELECT doc_id, text, md5(text) AS text_hash,
          regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents),
+  FROM {source}),
 h AS (
   SELECT doc_id, text, text_hash, len(toks) AS n,
          {hits}
@@ -1631,7 +1642,7 @@ enriched AS (
   FROM s),
 filtered AS (
   SELECT * FROM enriched
-  WHERE n_tokens >= 10 AND lang_score >= 0.02),
+  WHERE n_tokens >= 10 AND lang_score >= {min_lang_score}),
 deduped AS (
   SELECT * FROM filtered
   QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1)
@@ -1639,7 +1650,7 @@ SELECT doc_id, lang_pred, lang_score, n_tokens, text_len
 FROM deduped
 WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
       / 4294967296.0
-      < CASE lang_pred {rate_case} ELSE 1.0 END
+      < CASE lang_pred {rate_case} ELSE {default_rate} END
 """
 
 
@@ -1833,6 +1844,60 @@ WHERE {any_hit}
 """
 
 
+#: q56 rebalance rates — keyed on the strata the extracted corpus
+#: actually produces ('und': the synthetic article vocabulary contains
+#: no stopwords, so lang ID scores 0 on extracted text)
+Q56_RATES = {"und": 0.5, "en": 0.25}
+
+
+def q56_corpus_arc(sf_dir: str):
+    """The FULL corpus arc a 100 TB user actually runs: flagship
+    extraction (q24) composed with training prep (q51) as ONE streaming
+    Dataset job — read -> sniff/decode -> content dedup -> extract ->
+    enrich (stats+lang+hash fused) -> quality filter -> text dedup ->
+    per-stratum rebalance. Exactly TWO keyed exchanges end to end (the
+    content dedup inside extraction, the text-hash dedup inside prep);
+    every other stage is a fused map_batches pass, so at scale the whole
+    arc streams with backpressure and nothing materializes between the
+    two pipelines. Value-exact oracle: prep's SQL replayed over the
+    extraction golden parquet."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.oracle_data import Q24_N
+    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
+    from barks_ocr_ray.pipelines.prep import training_prep
+
+    configure()
+    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    extracted = extraction_pipeline(pages, num_partitions=8)
+
+    def _as_docs(t: pa.Table) -> pa.Table:
+        return t.select(["url", "extracted_text"]).rename_columns(
+            ["doc_id", "text"]
+        )
+
+    docs = extracted.map_batches(_as_docs, batch_format="pyarrow")
+    return training_prep(
+        docs,
+        rates=Q56_RATES,
+        default_rate=1.0,
+        min_lang_score=0.0,
+        num_partitions=8,
+    )
+
+
+def _sql_q56() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
+
+    source = (
+        "(SELECT url AS doc_id, extracted_text AS text "
+        f"FROM read_parquet('{extraction_golden_path(Q24_N)}'))"
+    )
+    return _prep_sql(source, 0.0, Q56_RATES, 1.0)
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1890,6 +1955,7 @@ def build_registry():
         "q53_shared_window_dups": q53_shared_window_dups,
         "q54_salted_count": q54_salted_count,
         "q55_bm25_rank": q55_bm25_rank,
+        "q56_corpus_arc": q56_corpus_arc,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -1946,5 +2012,6 @@ def build_registry():
         "q53_shared_window_dups": _sql_q53(),
         "q54_salted_count": SQL_Q54,
         "q55_bm25_rank": _sql_q55(),
+        "q56_corpus_arc": _sql_q56(),
     }
     return queries, oracles

@@ -113,6 +113,56 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     }
 
 
+def run_arc(sf_dir: str, num_cpus: int) -> dict:
+    """The composed corpus arc (q56 shape) over the SCALED pages corpus:
+    extraction -> training prep as one streaming job, two keyed
+    exchanges total. Reuses the cached corpus from run_headline."""
+    from barks_ocr_ray.context import configure
+
+    configure()
+    from barks_ocr_ray.pipelines.extraction import extraction_pipeline, read_pages
+    from barks_ocr_ray.pipelines.prep import training_prep
+
+    sf = _sf_of(sf_dir)
+    n = corpus_rows(sf)
+    corpus_dir = f"/tmp/barks_pages_corpus_{n}"
+    num_partitions = max(32, num_cpus * 2)
+    import pyarrow as pa
+
+    def _as_docs(t: pa.Table) -> pa.Table:
+        return t.select(["url", "extracted_text"]).rename_columns(
+            ["doc_id", "text"]
+        )
+
+    out_dir = "/tmp/barks_bench_arc_out"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    extracted = extraction_pipeline(
+        read_pages(corpus_dir), num_partitions=num_partitions
+    )
+    docs = extracted.map_batches(_as_docs, batch_format="pyarrow")
+    prepped = training_prep(
+        docs,
+        rates={"und": 0.5, "en": 0.25},
+        default_rate=1.0,
+        min_lang_score=0.0,
+        num_partitions=num_partitions,
+        concurrency=num_cpus,
+    )
+    prepped.write_parquet(out_dir)
+    wall = time.time() - t0
+    import pyarrow.dataset as pads
+
+    rows = pads.dataset(out_dir).count_rows()
+    return {
+        "sec": round(wall, 2),
+        "rows": rows,
+        "input_rows": n,
+        "docs_per_sec": round(n / wall, 1),
+        "keyed_exchanges": 2,
+    }
+
+
 def run_queries(sf_dir: str) -> dict:
     from barks_ocr_ray.pipelines.queries import build_registry
 
@@ -143,7 +193,10 @@ def main() -> None:
 
     headline = run_headline(sf_dir, num_cpus)
     queries = {"extraction": headline["sec"]}
+    arc = None
     if not headline_only:
+        arc = run_arc(sf_dir, num_cpus)
+        queries["corpus_arc"] = arc["sec"]
         queries.update(run_queries(sf_dir))
     ray.shutdown()
     print(
@@ -157,6 +210,15 @@ def main() -> None:
                 "num_cpus": num_cpus,
                 "docs": headline["docs"],
                 "docs_per_sec": headline["docs_per_sec"],
+                **(
+                    {
+                        "arc_docs_per_sec": arc["docs_per_sec"],
+                        "arc_rows": arc["rows"],
+                        "arc_keyed_exchanges": arc["keyed_exchanges"],
+                    }
+                    if arc
+                    else {}
+                ),
             }
         )
     )
