@@ -73,16 +73,32 @@ def training_prep(
     min_tokens: int = 10,
     num_partitions: int = 16,
     concurrency: int = 4,
+    stateful: bool = False,
 ) -> Dataset:
     """documents -> deduplicated, quality- and confidence-filtered,
     per-language rebalanced corpus. Output: (doc_id, lang_pred,
-    lang_score, n_tokens, text_len)."""
+    lang_score, n_tokens, text_len).
+
+    ``stateful`` picks the enricher's execution vehicle, mirroring the
+    extract stages' choice (extraction.py): the default TASK pool keeps
+    the stage fusable with upstream task/actor stages at full width —
+    a class argument would force the whole fused chain into ONE actor
+    pool, which Ray 2.49 caps at ~8 dispatched tasks in multi-op
+    pipelines (measured: the q56 arc ran 6x slower that way). The
+    enricher's warm state (compiled regex + profile sets) is cheap
+    enough to ship per task."""
     from barks_ocr_ray.functions.relational import exact_dedup
     from barks_ocr_ray.functions.text import stratified_sample
 
-    enriched = docs.select_columns(["doc_id", "text"]).map_batches(
-        PrepEnricher, batch_format="pyarrow", concurrency=(1, concurrency)
-    )
+    projected = docs.select_columns(["doc_id", "text"])
+    if stateful:
+        enriched = projected.map_batches(
+            PrepEnricher, batch_format="pyarrow", concurrency=(1, concurrency)
+        )
+    else:
+        enriched = projected.map_batches(
+            PrepEnricher(), batch_format="pyarrow"
+        )
 
     def _keep(t: pa.Table) -> pa.Table:
         mask = pc.and_(
