@@ -1,0 +1,239 @@
+"""Web-corpus quality/cleaning operators: Gopher-style repetition
+statistics, C4-style line filtering, and paragraph-level deduplication
+— the standard cleaning passes a training-data pipeline runs after
+main-content extraction (Rae et al. 2021 "Gopher" §A.1.1, Raffel et
+al. 2020 "C4" §2.2, Penedo et al. 2023 "RefinedWeb" §3.3; all public
+papers — no reference-repo counterpart, these extend SURVEY.md §2's
+LLM-pipeline family).
+
+Scale notes (100 TB): ``gopher_repetition`` and ``c4_line_filter`` are
+pure per-row functions — zero exchanges, fully streaming, partition-
+independent. ``paragraph_dedup`` costs one count aggregation over
+paragraph hashes (combiner-style partials, so the exchange carries one
+row per distinct (hash) per block, not per token), one distributed join
+back to the exploded paragraphs, and one keyed reassembly per doc.
+Every operator is SQL-replayable for the value-exact oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from barks_ocr_ray.context import hash_partitions
+from barks_ocr_ray.functions.relational import round_like_duckdb
+from barks_ocr_ray.functions.text import TOKEN_RE
+
+#: Gopher §A.1.1 repetition thresholds (top n-gram character fraction
+#: simplified to token fraction; the oracle replays the same definition)
+GOPHER_TOP2_MAX = 0.20
+GOPHER_TOP3_MAX = 0.18
+
+
+def gopher_repetition(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max: float = GOPHER_TOP2_MAX,
+    top3_max: float = GOPHER_TOP3_MAX,
+) -> Dataset:
+    """Per-doc repetition statistics: fraction of all 2-grams (3-grams)
+    taken by the single most frequent 2-gram (3-gram), plus the Gopher
+    keep/flag decision (thresholds default to the published Gopher
+    values). Pure map_batches — no exchange."""
+    token_re = re.compile(TOKEN_RE)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        n_tokens, top2, top3 = [], [], []
+        for s in t.column(text_col):
+            raw = s.as_py()
+            toks = token_re.findall(raw.lower()) if raw else []
+            n = len(toks)
+            n_tokens.append(n)
+            for size, out in ((2, top2), (3, top3)):
+                total = n - size + 1
+                if total <= 0:
+                    out.append(0.0)
+                    continue
+                counts = Counter(
+                    " ".join(toks[i : i + size]) for i in range(total)
+                )
+                out.append(max(counts.values()) / total)
+        top2_a = round_like_duckdb(np.asarray(top2, np.float64), 4)
+        top3_a = round_like_duckdb(np.asarray(top3, np.float64), 4)
+        flagged = (np.asarray(top2_a) > top2_max) | (
+            np.asarray(top3_a) > top3_max
+        )
+        return pa.table(
+            {
+                "doc_id": t.column(id_col),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "top2_frac": pa.array(top2_a, pa.float64()),
+                "top3_frac": pa.array(top3_a, pa.float64()),
+                "flagged": pa.array(flagged, pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(_stats, batch_format="pyarrow")
+
+
+#: C4 §2.2 line rules: terminal punctuation + a minimum word count per
+#: line, then a minimum surviving-line count per doc
+C4_LINE_END_RE = r"[.!?]$"
+C4_MIN_WORDS = 5
+C4_MIN_LINES = 3
+
+
+def c4_line_filter(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = C4_MIN_WORDS,
+    min_lines: int = C4_MIN_LINES,
+) -> Dataset:
+    """C4-style line-level cleaning: keep lines with >= min_words words
+    ending in terminal punctuation; drop docs with < min_lines
+    surviving lines. Word = '\\S+' run and the end-test is an anchored
+    regex on the raw line — both byte-identical to the SQL oracle.
+    Pure map_batches — no exchange."""
+    end_re = re.compile(C4_LINE_END_RE)
+    word_re = re.compile(r"\S+")
+
+    def _filter(t: pa.Table) -> pa.Table:
+        ids, clean, n_lines, n_kept = [], [], [], []
+        for did, s in zip(t.column(id_col), t.column(text_col)):
+            raw = s.as_py()
+            if raw is None:
+                continue
+            lines = raw.split("\n")
+            kept = [
+                l
+                for l in lines
+                if len(word_re.findall(l)) >= min_words and end_re.search(l)
+            ]
+            if len(kept) < min_lines:
+                continue
+            ids.append(did.as_py())
+            clean.append("\n".join(kept))
+            n_lines.append(len(lines))
+            n_kept.append(len(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, t.column(id_col).type),
+                "clean_text": pa.array(clean, pa.string()),
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_filter, batch_format="pyarrow")
+
+
+def paragraph_dedup(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Paragraph-level dedup (RefinedWeb §3.3 shape): drop repeat
+    occurrences of a paragraph WITHIN a doc (keep the first), and drop
+    entirely any paragraph shared by >= min_docs distinct docs. Output
+    (doc_id, clean_text, n_paras, n_kept); docs left with zero
+    paragraphs disappear.
+
+    Distribution: the within-doc pass is per-row (free). The cross-doc
+    count ships combiner partials — one (hash, n) row per distinct
+    paragraph per block — through ONE aggregation; the exploded
+    paragraphs then join the count table on the hash (distributed hash
+    join, no broadcast of the corpus) and reassemble with ONE keyed
+    exchange on doc_id. Paragraph hashes are md5 (SQL-replayable)."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids, idxs, paras, hs, totals = [], [], [], [], []
+        for did, s in zip(t.column(id_col), t.column(text_col)):
+            raw = s.as_py()
+            if raw is None:
+                continue
+            d = did.as_py()
+            seen: set[str] = set()
+            lines = raw.split("\n")
+            for i, p in enumerate(lines, start=1):
+                h = hashlib.md5(p.encode("utf-8")).hexdigest()
+                if h in seen:
+                    continue  # within-doc repeat: keep first only
+                seen.add(h)
+                ids.append(d)
+                idxs.append(i)
+                paras.append(p)
+                hs.append(h)
+                totals.append(len(lines))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, t.column(id_col).type),
+                "idx": pa.array(idxs, pa.int64()),
+                "para": pa.array(paras, pa.string()),
+                "h": pa.array(hs, pa.string()),
+                "n_paras": pa.array(totals, pa.int64()),
+            }
+        )
+
+    exploded = docs.map_batches(_explode, batch_format="pyarrow")
+
+    # combiner partials: after the within-doc pass each (doc, h) appears
+    # once, so a per-block count of h is already a distinct-doc partial
+    def _partials(t: pa.Table) -> pa.Table:
+        c = Counter(t.column("h").to_pylist())
+        return pa.table(
+            {
+                "h": pa.array(list(c.keys()), pa.string()),
+                "n_part": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        exploded.select_columns(["h"])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby("h", num_partitions=hash_partitions(num_partitions))
+        .aggregate(Sum("n_part", alias_name="n_docs"))
+    )
+
+    joined = exploded.join(
+        counts,
+        join_type="inner",
+        on=("h",),
+        num_partitions=hash_partitions(num_partitions),
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("n_docs"), pa.scalar(min_docs)))
+
+    kept = joined.map_batches(_keep, batch_format="pyarrow")
+
+    def _reassemble(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g.column("idx"))
+        paras = g.column("para").take(order).to_pylist()
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").slice(0, 1),
+                "clean_text": pa.array(["\n".join(paras)], pa.string()),
+                "n_paras": g.column("n_paras").slice(0, 1),
+                "n_kept": pa.array([g.num_rows], pa.int64()),
+            }
+        )
+
+    return (
+        kept.select_columns(["doc_id", "idx", "para", "n_paras"])
+        .groupby("doc_id", num_partitions=hash_partitions(num_partitions))
+        .map_groups(_reassemble, batch_format="pyarrow")
+    )

@@ -1861,26 +1861,10 @@ def q56_corpus_arc(sf_dir: str):
     arc streams with backpressure and nothing materializes between the
     two pipelines. Value-exact oracle: prep's SQL replayed over the
     extraction golden parquet."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.oracle_data import Q24_N
-    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
     from barks_ocr_ray.pipelines.prep import training_prep
 
-    configure()
-    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(
-        ["url", "warc_ts", "html", "lang"]
-    )
-    extracted = extraction_pipeline(pages, num_partitions=8)
-
-    def _as_docs(t: pa.Table) -> pa.Table:
-        return t.select(["url", "extracted_text"]).rename_columns(
-            ["doc_id", "text"]
-        )
-
-    docs = extracted.map_batches(_as_docs, batch_format="pyarrow")
     return training_prep(
-        docs,
+        _extracted_docs(),
         rates=Q56_RATES,
         default_rate=1.0,
         min_lang_score=0.0,
@@ -1896,6 +1880,152 @@ def _sql_q56() -> str:
         f"FROM read_parquet('{extraction_golden_path(Q24_N)}'))"
     )
     return _prep_sql(source, 0.0, Q56_RATES, 1.0)
+
+
+def q57_gopher_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition statistics (top 2-/3-gram token
+    fraction + keep/flag decision) over the documents table — the
+    standard pre-training repetition filter (Rae et al. 2021 §A.1.1).
+    Pure per-row pass, zero exchanges. Thresholds tightened below the
+    published defaults so the flag path has live signal on the
+    synthetic corpus (max observed top2_frac ~0.14)."""
+    from barks_ocr_ray.functions.cleaning import gopher_repetition
+
+    return gopher_repetition(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        top2_max=Q57_TOP2_MAX,
+        top3_max=Q57_TOP3_MAX,
+    )
+
+
+Q57_TOP2_MAX = 0.08
+Q57_TOP3_MAX = 0.06
+
+
+def _sql_q57() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, len(toks) AS n,
+         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
+  FROM t),
+b AS (SELECT doc_id, unnest(bgs) AS gram FROM g),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY doc_id, gram),
+btop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY doc_id),
+tr AS (SELECT doc_id, unnest(tgs) AS gram FROM g),
+tc AS (SELECT doc_id, gram, count(*) AS c FROM tr GROUP BY doc_id, gram),
+ttop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tc GROUP BY doc_id),
+f AS (
+  SELECT g.doc_id, g.n AS n_tokens,
+         round(coalesce(CAST(btop.mx AS DOUBLE) / btop.tot, 0.0), 4) AS top2_frac,
+         round(coalesce(CAST(ttop.mx AS DOUBLE) / ttop.tot, 0.0), 4) AS top3_frac
+  FROM g LEFT JOIN btop ON g.doc_id = btop.doc_id
+         LEFT JOIN ttop ON g.doc_id = ttop.doc_id)
+SELECT doc_id, n_tokens, top2_frac, top3_frac,
+       (top2_frac > {Q57_TOP2_MAX} OR top3_frac > {Q57_TOP3_MAX}) AS flagged
+FROM f
+"""
+
+
+def _extracted_docs(num_partitions: int = 8):
+    """The extracted pages corpus as a (doc_id, text) Dataset — shared
+    front half of the cleaning queries (q58/q59), identical to q56's."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.oracle_data import Q24_N
+    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
+
+    configure()
+    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    extracted = extraction_pipeline(pages, num_partitions=num_partitions)
+
+    def _as_docs(t: pa.Table) -> pa.Table:
+        return t.select(["url", "extracted_text"]).rename_columns(
+            ["doc_id", "text"]
+        )
+
+    return extracted.map_batches(_as_docs, batch_format="pyarrow")
+
+
+def q58_c4_line_filter(sf_dir: str):
+    """C4-style line-level cleaning over the EXTRACTED corpus (the
+    place the filter actually runs in a web pipeline): keep lines with
+    >= 5 words ending in terminal punctuation, drop docs with < 3
+    surviving lines (Raffel et al. 2020 §2.2). Zero exchanges after
+    extraction."""
+    from barks_ocr_ray.functions.cleaning import c4_line_filter
+
+    return c4_line_filter(_extracted_docs())
+
+
+def _sql_q58() -> str:
+    from barks_ocr_ray.functions.cleaning import (
+        C4_LINE_END_RE,
+        C4_MIN_LINES,
+        C4_MIN_WORDS,
+    )
+    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
+
+    return f"""
+WITH s AS (
+  SELECT url AS doc_id, string_split(extracted_text, chr(10)) AS ls
+  FROM read_parquet('{extraction_golden_path(Q24_N)}')),
+k AS (
+  SELECT doc_id, len(ls) AS n_lines,
+         list_filter(ls, l -> len(regexp_extract_all(l, '\\S+')) >= {C4_MIN_WORDS}
+                              AND regexp_matches(l, '{C4_LINE_END_RE}')) AS kept
+  FROM s)
+SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+       n_lines, len(kept) AS n_kept
+FROM k WHERE len(kept) >= {C4_MIN_LINES}
+"""
+
+
+def q59_paragraph_dedup(sf_dir: str):
+    """Paragraph-level dedup over the extracted corpus (RefinedWeb
+    §3.3 shape): repeat paragraphs WITHIN a doc collapse to the first
+    occurrence (real signal here — oversized pages repeat their
+    paragraph run), and any paragraph shared by >= 2 distinct docs is
+    dropped corpus-wide. One count aggregation + one hash join + one
+    keyed reassembly."""
+    from barks_ocr_ray.functions.cleaning import paragraph_dedup
+
+    return paragraph_dedup(_extracted_docs(), min_docs=2, num_partitions=8)
+
+
+def _sql_q59() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
+
+    return f"""
+WITH s AS (
+  SELECT url AS doc_id, string_split(extracted_text, chr(10)) AS ls
+  FROM read_parquet('{extraction_golden_path(Q24_N)}')
+  WHERE extracted_text IS NOT NULL),
+p0 AS (
+  SELECT doc_id, len(ls) AS n_paras, ls,
+         unnest(range(1, len(ls) + 1)) AS idx
+  FROM s),
+p1 AS (SELECT doc_id, n_paras, idx, ls[idx] AS para, md5(ls[idx]) AS h FROM p0),
+p AS (
+  SELECT * FROM p1
+  QUALIFY row_number() OVER (PARTITION BY doc_id, h ORDER BY idx) = 1),
+counts AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM p GROUP BY h)
+SELECT doc_id,
+       string_agg(para, chr(10) ORDER BY idx) AS clean_text,
+       any_value(n_paras) AS n_paras,
+       count(*) AS n_kept
+FROM p JOIN counts USING (h)
+WHERE counts.n_docs < 2
+GROUP BY doc_id
+"""
 
 
 def build_registry():
@@ -1956,6 +2086,9 @@ def build_registry():
         "q54_salted_count": q54_salted_count,
         "q55_bm25_rank": q55_bm25_rank,
         "q56_corpus_arc": q56_corpus_arc,
+        "q57_gopher_repetition": q57_gopher_repetition,
+        "q58_c4_line_filter": q58_c4_line_filter,
+        "q59_paragraph_dedup": q59_paragraph_dedup,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2013,5 +2146,8 @@ def build_registry():
         "q54_salted_count": SQL_Q54,
         "q55_bm25_rank": _sql_q55(),
         "q56_corpus_arc": _sql_q56(),
+        "q57_gopher_repetition": _sql_q57(),
+        "q58_c4_line_filter": _sql_q58(),
+        "q59_paragraph_dedup": _sql_q59(),
     }
     return queries, oracles

@@ -87,9 +87,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     read_pages(corpus_dir).count()
 
     out_dir = "/tmp/barks_bench_out"
-    # measured sweet spot (BASELINE.md round-2): ~2 partitions/CPU; 4/CPU
-    # put the hash-shuffle aggregators 70% idle-waiting and cost ~50% wall
-    num_partitions = max(32, num_cpus * 2)
+    # measured sweet spot (BASELINE.md round-2): ~2 partitions/CPU at EVERY
+    # leg; the old max(32, ...) floor silently put the 8-CPU scaling leg at
+    # 4/CPU, the regime where aggregators sat 70% idle
+    num_partitions = max(16, num_cpus * 2)
     order = os.environ.get("GRAFT_ORDER", "dedup_first")
     trials = max(1, int(os.environ.get("BENCH_TRIALS", "2")))
     wall = None
@@ -126,7 +127,7 @@ def run_arc(sf_dir: str, num_cpus: int) -> dict:
     sf = _sf_of(sf_dir)
     n = corpus_rows(sf)
     corpus_dir = f"/tmp/barks_pages_corpus_{n}"
-    num_partitions = max(32, num_cpus * 2)
+    num_partitions = max(16, num_cpus * 2)
     import pyarrow as pa
 
     def _as_docs(t: pa.Table) -> pa.Table:
