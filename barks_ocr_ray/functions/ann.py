@@ -97,17 +97,26 @@ def brute_force_topk(
             }
         )
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        return g
+    def _merge(g: pa.Table) -> pa.Table:
+        # arrow in, arrow out: pandas groups emit PandasBlockSchema
+        # bundles that clash with typed-empty arrow bundles in the
+        # executor's schema check (and pandas-block schemas are
+        # unhashable downstream — CLAUDE.md)
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("cosine", "descending"), ("neighbor_id", "ascending")],
+        )
+        return g.take(order[: min(k, g.num_rows)])
 
     return (
         embeddings.select_columns(["vec_id", "embedding"])
         .map_batches(_local_topk, batch_format="pyarrow", batch_size=1024)
-        .groupby("query_id")
-        .map_groups(_merge, batch_format="pandas")
+        # one group per query (a handful): 2 partitions keeps every
+        # shuffle partition non-empty; the exchange carries only local
+        # top-k rows (<= k * n_blocks per query), so this is cheap at
+        # any corpus scale
+        .groupby("query_id", num_partitions=2)
+        .map_groups(_merge, batch_format="pyarrow")
     )
 
 

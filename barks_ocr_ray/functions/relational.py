@@ -36,6 +36,33 @@ def round_like_duckdb(x: np.ndarray, nd: int) -> np.ndarray:
     return np.copysign(r, scaled) / p
 
 
+#: read-task cap kicks in only below this row count; above it Ray's own
+#: target-block-size splitting never produces empty blocks
+_SMALL_READ_ROWS = 4096
+
+
+def _small_read_blocks(path: str) -> int | None:
+    """Read-task cap for small files: Ray splits a parquet read into
+    ~2x-CPU output blocks regardless of row count, so a file with fewer
+    rows than blocks yields EMPTY blocks — and every ``map_batches`` over
+    an empty block emits a schema-less ``pa.table({})`` (the UDF is never
+    invoked), which trips the executor's RefBundle schema check and is
+    the failure class behind round-1's join crashes. Capping tasks at the
+    row count (one driver-side footer read, no data scanned) keeps every
+    block non-empty while preserving up-to-row-count parallelism. Files
+    above _SMALL_READ_ROWS rows are left to Ray's size-based splitting,
+    so the cap is a no-op at real scale."""
+    try:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+    except (OSError, pa.ArrowInvalid):
+        return None  # directory / remote layout: let Ray plan it
+    if n >= _SMALL_READ_ROWS:
+        return None
+    return max(1, min(n, 64))
+
+
 def read_table(
     sf_dir: str,
     name: str,
@@ -48,11 +75,15 @@ def read_table(
     from barks_ocr_ray.context import configure
 
     configure()
+    path = f"{sf_dir}/{name}.parquet"
     kwargs = {}
     if predicate is not None:
         kwargs["filter"] = predicate  # lands in **arrow_parquet_args
+    blocks = _small_read_blocks(path)
+    if blocks is not None:
+        kwargs["override_num_blocks"] = blocks
     return rd.read_parquet(
-        f"{sf_dir}/{name}.parquet", columns=columns, **kwargs
+        path, columns=columns, **kwargs
     ).map_batches(strip_schema_metadata, batch_format="pyarrow")
 
 

@@ -48,7 +48,13 @@ def q01_pricing_summary(sf_dir: str):
 
     out = (
         ds.map_batches(_derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        # 6 groups total: 2 partitions (the helper's floor) keeps every
+        # hash-aggregate partition non-empty — Ray's finalize emits a
+        # schema-less pa.table({}) for a partition that received no
+        # shard, tripping the executor's RefBundle schema warning. The
+        # exchange carries combiner partials (~6 rows/block), so the
+        # tiny partition count costs nothing at any corpus scale.
+        .groupby(["l_returnflag", "l_linestatus"], num_partitions=2)
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("l_extendedprice", alias_name="sum_base_price"),
@@ -152,7 +158,8 @@ def q04_segment_revenue(sf_dir: str):
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
-    out = joined.groupby("c_mktsegment").aggregate(
+    # 5 segments: 2 partitions keeps every finalize non-empty (q01 note)
+    out = joined.groupby("c_mktsegment", num_partitions=2).aggregate(
         Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
     )
     return round_columns(out, {"revenue": 2})
@@ -176,7 +183,10 @@ def q05_region_suppliers(sf_dir: str):
     joined = broadcast_lookup_column(
         supp, n2rname, "s_nationkey", "r_name", pa.string()
     )
-    return joined.groupby("r_name").aggregate(Count(alias_name="n_suppliers"))
+    # 5 regions: 2 partitions keeps every finalize non-empty (q01 note)
+    return joined.groupby("r_name", num_partitions=2).aggregate(
+        Count(alias_name="n_suppliers")
+    )
 
 
 SQL_Q05 = """
