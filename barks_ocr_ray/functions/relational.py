@@ -41,26 +41,42 @@ def round_like_duckdb(x: np.ndarray, nd: int) -> np.ndarray:
 _SMALL_READ_ROWS = 4096
 
 
-def _small_read_blocks(path: str) -> int | None:
-    """Read-task cap for small files: Ray splits a parquet read into
-    ~2x-CPU output blocks regardless of row count, so a file with fewer
-    rows than blocks yields EMPTY blocks — and every ``map_batches`` over
-    an empty block emits a schema-less ``pa.table({})`` (the UDF is never
-    invoked), which trips the executor's RefBundle schema check and is
-    the failure class behind round-1's join crashes. Capping tasks at the
-    row count (one driver-side footer read, no data scanned) keeps every
-    block non-empty while preserving up-to-row-count parallelism. Files
-    above _SMALL_READ_ROWS rows are left to Ray's size-based splitting,
-    so the cap is a no-op at real scale."""
+def _footer_read_kwargs(
+    path: str, columns: list[str] | None
+) -> dict:
+    """Read-planning hints from ONE driver-side footer read (no data
+    scanned):
+
+    * ``schema``: the file schema with pandas metadata stripped (pruned
+      to ``columns``). pandas-written parquet carries b'pandas' metadata
+      that makes pa.Schema unhashable, so the read operator's own
+      SplitBlocks stage logs 'Failed to hash the schemas' per block and
+      loses schema dedup; a clean schema at the scanner fixes it at the
+      source (strip_schema_metadata still guards non-read paths).
+    * ``override_num_blocks`` for small files: Ray splits a parquet read
+      into ~2x-CPU output blocks regardless of row count, so a file with
+      fewer rows than blocks yields EMPTY blocks — and every
+      ``map_batches`` over an empty block emits a schema-less
+      ``pa.table({})`` (the UDF is never invoked), which trips the
+      executor's RefBundle schema check and is the failure class behind
+      round-1's join crashes. Capping tasks at the row count keeps every
+      block non-empty while preserving up-to-row-count parallelism;
+      files above _SMALL_READ_ROWS rows are left to Ray's size-based
+      splitting, so the cap is a no-op at real scale."""
     try:
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(path).metadata.num_rows
+        f = pq.ParquetFile(path)
     except (OSError, pa.ArrowInvalid):
-        return None  # directory / remote layout: let Ray plan it
-    if n >= _SMALL_READ_ROWS:
-        return None
-    return max(1, min(n, 64))
+        return {}  # directory / remote layout: let Ray plan it
+    schema = f.schema_arrow.remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    kwargs: dict = {"schema": schema}
+    n = f.metadata.num_rows
+    if n < _SMALL_READ_ROWS:
+        kwargs["override_num_blocks"] = max(1, min(n, 64))
+    return kwargs
 
 
 def read_table(
@@ -76,12 +92,9 @@ def read_table(
 
     configure()
     path = f"{sf_dir}/{name}.parquet"
-    kwargs = {}
+    kwargs = _footer_read_kwargs(path, columns)
     if predicate is not None:
         kwargs["filter"] = predicate  # lands in **arrow_parquet_args
-    blocks = _small_read_blocks(path)
-    if blocks is not None:
-        kwargs["override_num_blocks"] = blocks
     return rd.read_parquet(
         path, columns=columns, **kwargs
     ).map_batches(strip_schema_metadata, batch_format="pyarrow")

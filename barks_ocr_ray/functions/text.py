@@ -28,6 +28,17 @@ STOPWORDS = (
 ).split()
 
 
+#: partition count for VOCABULARY-keyed exchanges (word/term groupbys
+#: and idf/unigram joins). The exchange's key cardinality is the
+#: vocabulary, not the corpus — this corpus has a fixed 31-word vocab at
+#: every SF, and even web-scale text tops out at ~1e6 distinct terms —
+#: so a handful of partitions is always enough; running them at the
+#: corpus-scaled partition count leaves most partitions EMPTY, and every
+#: empty finalize emits a schema-less block (RefBundle schema warnings,
+#: the failure class behind round-1's join crashes).
+VOCAB_PARTITIONS = 4
+
+
 class Tokenizer:
     """Warm-tokenizer actor (T3/T5 pattern: compile once per actor in
     __init__, reuse per batch)."""
@@ -73,7 +84,9 @@ def word_index(docs: Dataset, text_col: str = "text", concurrency: int = 4) -> D
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
-    return partials.groupby("word").aggregate(Sum("n", alias_name="n"))
+    return partials.groupby("word", num_partitions=VOCAB_PARTITIONS).aggregate(
+        Sum("n", alias_name="n")
+    )
 
 
 def doc_stats(docs: Dataset) -> Dataset:
@@ -409,11 +422,14 @@ def tfidf_top_terms(
     tf_rows = docs.select_columns(["doc_id", "text"]).map_batches(
         DocTermCounts, batch_format="pyarrow", concurrency=(1, concurrency)
     )
-    df_tbl = tf_rows.groupby("term").aggregate(_Count(alias_name="df"))
+    df_tbl = tf_rows.groupby("term", num_partitions=VOCAB_PARTITIONS).aggregate(
+        _Count(alias_name="df")
+    )
+    # term-keyed join: key cardinality = vocabulary (VOCAB_PARTITIONS note)
     joined = tf_rows.join(
         df_tbl,
         join_type="inner",
-        num_partitions=hash_partitions(num_partitions),
+        num_partitions=VOCAB_PARTITIONS,
         on=("term",),
     )
 
@@ -464,13 +480,16 @@ def unigram_logprob(
     tf_rows = docs.select_columns(["doc_id", "text"]).map_batches(
         DocTermCounts, batch_format="pyarrow", concurrency=(1, concurrency)
     ).materialize()  # reused: unigram totals + per-doc scoring
-    unigrams = tf_rows.groupby("term").aggregate(_Sum("tf", alias_name="n"))
+    unigrams = tf_rows.groupby("term", num_partitions=VOCAB_PARTITIONS).aggregate(
+        _Sum("tf", alias_name="n")
+    )
     total_tokens = int(tf_rows.sum("tf") or 0)
 
+    # term-keyed join: key cardinality = vocabulary (VOCAB_PARTITIONS note)
     joined = tf_rows.join(
         unigrams,
         join_type="inner",
-        num_partitions=hash_partitions(num_partitions),
+        num_partitions=VOCAB_PARTITIONS,
         on=("term",),
     )
 
