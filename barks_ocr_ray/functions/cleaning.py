@@ -138,6 +138,46 @@ def c4_line_filter(
     return docs.map_batches(_filter, batch_format="pyarrow")
 
 
+#: PII patterns (RE2 syntax — identical engine in pyarrow and DuckDB,
+#: so the oracle replays byte-exact), applied in THIS order; each later
+#: pattern runs over the previous stage's output, and the replacement
+#: tokens contain no digits/@ so stages cannot re-match each other
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_STAGES = (
+    ("n_emails", PII_EMAIL_RE, "<EMAIL>"),
+    ("n_phones", PII_PHONE_RE, "<PHONE>"),
+    ("n_ips", PII_IP_RE, "<IP>"),
+)
+
+
+def pii_redact(
+    docs: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """PII redaction (emails, NANP-style phone numbers, IPv4 addresses)
+    with per-doc match counts — the standard scrubbing pass a training
+    corpus runs before release. Three vectorized RE2 kernel passes per
+    batch (``pc.count_substring_regex`` + ``pc.replace_substring_regex``
+    — no per-row Python), zero exchanges, fully streaming."""
+
+    def _redact(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        cols = {id_col: t.column(id_col)}
+        for count_name, pattern, token in PII_STAGES:
+            cols[count_name] = pc.count_substring_regex(
+                text, pattern
+            ).cast(pa.int64())
+            text = pc.replace_substring_regex(text, pattern, token)
+        cols["clean_text"] = text
+        return pa.table(cols)
+
+    return docs.map_batches(_redact, batch_format="pyarrow")
+
+
 def paragraph_dedup(
     docs: Dataset,
     *,

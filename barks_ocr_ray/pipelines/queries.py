@@ -2038,6 +2038,221 @@ GROUP BY doc_id
 """
 
 
+Q60_K = 5  # shingle width scaled to this corpus's short synthetic docs
+Q60_MOD = 53  # eval split: doc_id % 53 == 0 (~2% of docs, live overlap
+#             signal at sf0.001/0.01/0.1 — measured before pinning)
+
+
+def _q60_split(is_eval: bool):
+    """mod-split row filter, fused INSIDE the contamination UDFs (a
+    selective upstream map empties blocks -> schema-less outputs)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % Q60_MOD == 0) == is_eval
+        return t.filter(pa.array(mask))
+
+    return _f
+
+
+def q60_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag training docs sharing any k-token
+    shingle with the held-out eval split (doc_id % 53 == 0). The eval
+    shingle set is benchmark-sized by definition — built once, broadcast
+    via ray.put; the training corpus streams through one vectorized
+    is_in membership pass. Zero exchanges."""
+    from barks_ocr_ray.functions.contamination import (
+        decontaminate,
+        eval_shingle_set,
+    )
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    ev = eval_shingle_set(docs, k=Q60_K, pre=_q60_split(True))
+    return decontaminate(docs, ev, k=Q60_K, pre=_q60_split(False))
+
+
+def _sql_q60() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    k, mod = Q60_K, Q60_MOD
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+ev AS (
+  SELECT DISTINCT md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')) AS h
+  FROM (SELECT toks, unnest(range(1, len(toks) - {k} + 2)) AS i
+        FROM tok WHERE doc_id % {mod} = 0)),
+tr AS (
+  SELECT doc_id, toks,
+         greatest(coalesce(len(toks), 0) - {k} + 1, 0) AS n_shingles
+  FROM tok WHERE doc_id % {mod} != 0),
+sh AS (
+  SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')) AS h
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {k} + 2)) AS i FROM tr)),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM sh
+  WHERE h IN (SELECT h FROM ev) GROUP BY doc_id)
+SELECT tr.doc_id, CAST(tr.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(hits.n_hits, 0) > 0 AS contaminated
+FROM tr LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q61_pii_redact(sf_dir: str):
+    """PII scrubbing (emails / phone numbers / IPv4) with per-doc match
+    counts — three vectorized RE2 kernel passes, zero exchanges. The
+    synthetic corpus carries no PII, so deterministic doc_id-keyed PII
+    is INJECTED first (replayed identically by the oracle) to give the
+    redaction live signal."""
+    from barks_ocr_ray.functions.cleaning import pii_redact
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _inject(t: pa.Table) -> pa.Table:
+        out = []
+        for did, s in zip(
+            t.column("doc_id").to_pylist(), t.column("text")
+        ):
+            txt = s.as_py() or ""
+            if did % 3 == 0:
+                txt += f" Contact user{did}@example.com now."
+            if did % 5 == 0:
+                txt += f" Call 555-{did % 1000:03d}-{did % 10000:04d} today."
+            if did % 7 == 0:
+                txt += (
+                    f" Server 10.{did % 256}.{(did // 7) % 256}"
+                    f".{did % 250} logged."
+                )
+            out.append(txt)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    return pii_redact(docs.map_batches(_inject, batch_format="pyarrow"))
+
+
+def _sql_q61() -> str:
+    from barks_ocr_ray.functions.cleaning import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com now.'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' Call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' Server 10.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 250 AS VARCHAR) || ' logged.'
+            ELSE '' END AS t0
+  FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '{PII_EMAIL_RE}')) AS n_emails,
+              regexp_replace(t0, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM base),
+s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS n_phones,
+              regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2 FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_phones, len(regexp_extract_all(t2, '{PII_IP_RE}')) AS n_ips,
+              regexp_replace(t2, '{PII_IP_RE}', '<IP>', 'g') AS clean_text FROM s2)
+SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_ips AS BIGINT) AS n_ips, clean_text
+FROM s3
+"""
+
+
+Q62_BUDGET = 512  # tokens per packed sequence (short synthetic docs)
+
+
+def q62_sequence_pack(sf_dir: str):
+    """Shuffled sequence packing: md5-deterministic global shuffle +
+    contiguous packing into fixed token budgets via a distributed
+    two-level prefix sum (per-range totals -> driver cumsum over 256
+    rows -> broadcast; within-range local sort+cumsum in map_groups)."""
+    from barks_ocr_ray.functions.packing import sequence_pack
+
+    return sequence_pack(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        budget=Q62_BUDGET,
+    )
+
+
+def _sql_q62() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 0) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents),
+w AS (
+  SELECT doc_id, shuffle_key, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_off
+  FROM t)
+SELECT doc_id, shuffle_key, CAST(n_tokens AS BIGINT) AS n_tokens,
+       tok_off // {Q62_BUDGET} AS seq_id, tok_off % {Q62_BUDGET} AS seq_pos
+FROM w
+"""
+
+
+Q63_WEB_WEIGHT = 1.4  # documents table: 1 epoch + 40% of docs twice
+Q63_CC_WEIGHT = 2.25  # extracted corpus: 2 epochs + 25% three times
+
+
+def q63_mix_corpora(sf_dir: str):
+    """Epoch-weighted mixture of two corpora (documents table +
+    extracted web corpus): floor(weight) full epochs per doc plus an
+    md5-fraction extra epoch — static-mixture oversampling, pure row
+    functions + union, zero exchanges."""
+    from barks_ocr_ray.functions.packing import mix_corpora
+
+    web = read_table(sf_dir, "documents", ["doc_id"])
+    cc = _extracted_docs().select_columns(["doc_id"])
+    return mix_corpora(
+        [
+            ("web", web, Q63_WEB_WEIGHT),
+            ("cc", cc, Q63_CC_WEIGHT),
+        ]
+    )
+
+
+def _sql_q63() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
+
+    def frac_expr(frac: float) -> str:
+        return (
+            "CAST(('0x' || substring(md5(corpus || ':' || doc_id || ':mix'), 1, 8))"
+            f" AS UBIGINT) / 4294967296.0 < {frac}"
+        )
+
+    return f"""
+WITH web AS (SELECT 'web' AS corpus, CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
+cc AS (SELECT 'cc' AS corpus, url AS doc_id
+       FROM read_parquet('{extraction_golden_path(Q24_N)}')),
+src AS (
+  SELECT corpus, doc_id,
+         1 + CASE WHEN {frac_expr(0.4)} THEN 1 ELSE 0 END AS n_ep FROM web
+  UNION ALL
+  SELECT corpus, doc_id,
+         2 + CASE WHEN {frac_expr(0.25)} THEN 1 ELSE 0 END AS n_ep FROM cc)
+SELECT corpus, doc_id, CAST(r.range AS BIGINT) AS epoch
+FROM src, range(3) r WHERE r.range < n_ep
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2099,6 +2314,10 @@ def build_registry():
         "q57_gopher_repetition": q57_gopher_repetition,
         "q58_c4_line_filter": q58_c4_line_filter,
         "q59_paragraph_dedup": q59_paragraph_dedup,
+        "q60_decontaminate": q60_decontaminate,
+        "q61_pii_redact": q61_pii_redact,
+        "q62_sequence_pack": q62_sequence_pack,
+        "q63_mix_corpora": q63_mix_corpora,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2159,5 +2378,9 @@ def build_registry():
         "q57_gopher_repetition": _sql_q57(),
         "q58_c4_line_filter": _sql_q58(),
         "q59_paragraph_dedup": _sql_q59(),
+        "q60_decontaminate": _sql_q60(),
+        "q61_pii_redact": _sql_q61(),
+        "q62_sequence_pack": _sql_q62(),
+        "q63_mix_corpora": _sql_q63(),
     }
     return queries, oracles

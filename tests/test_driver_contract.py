@@ -33,7 +33,10 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q51_training_prep", 1),
                         ("q53_shared_window_dups", 1),
                         ("q56_corpus_arc", 1),
-                        ("q59_paragraph_dedup", 1)):
+                        ("q59_paragraph_dedup", 1),
+                        ("q60_decontaminate", 1),
+                        ("q62_sequence_pack", 1),
+                        ("q63_mix_corpora", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -1,0 +1,163 @@
+"""Unit contracts for the round-3 training-data operators: PII
+redaction (cleaning.pii_redact), benchmark decontamination
+(contamination.*), shuffled sequence packing (packing.sequence_pack —
+the distributed two-level prefix sum), and epoch-weighted corpus
+mixing (packing.mix_corpora). Value-exactness vs SQL is pinned by the
+q60-q63 oracles; these pin the semantic edges the synthetic corpus
+can't reach (stage ordering, empty eval sets, budget boundaries,
+integer weights)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs(rows, id_type=pa.int64()):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], id_type),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+
+def test_pii_redact_counts_and_stage_order():
+    from barks_ocr_ray.functions.cleaning import pii_redact
+
+    docs = _docs(
+        [
+            (1, "mail a.b@x.org and c@y.io, call 555-123-4567"),
+            (2, "host 10.0.0.1 and 192.168.1.255 up"),
+            # the email eats its embedded dotted-quad FIRST (stage
+            # order): no <IP> may survive inside <EMAIL>
+            (3, "ping admin@10.0.0.99mx.net"),
+            (4, "nothing here"),
+        ]
+    )
+    out = pii_redact(docs).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "n_emails"] == 2 and out.loc[1, "n_phones"] == 1
+    assert out.loc[1, "clean_text"] == "mail <EMAIL> and <EMAIL>, call <PHONE>"
+    assert out.loc[2, "n_ips"] == 2
+    assert out.loc[2, "clean_text"] == "host <IP> and <IP> up"
+    assert out.loc[3, "n_emails"] == 1 and out.loc[3, "n_ips"] == 0
+    assert out.loc[4, "clean_text"] == "nothing here"
+    assert (
+        out.loc[4, ["n_emails", "n_phones", "n_ips"]] == 0
+    ).all()
+
+
+# --- decontamination -------------------------------------------------------
+
+
+def test_decontaminate_flags_shared_shingles():
+    from barks_ocr_ray.functions.contamination import (
+        decontaminate,
+        eval_shingle_set,
+    )
+
+    secret = "the quick brown fox jumps over the lazy dog"
+    ev = eval_shingle_set(_docs([(100, secret)]), k=5)
+    train = _docs(
+        [
+            (1, "intro text then " + secret + " closing words"),
+            (2, "totally unrelated content with many plain words"),
+            (3, "tiny doc"),  # < k tokens: zero shingles
+        ]
+    )
+    out = (
+        decontaminate(train, ev, k=5)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] >= 5
+    assert not out.loc[2, "contaminated"] and out.loc[2, "n_hits"] == 0
+    assert out.loc[3, "n_shingles"] == 0 and not out.loc[3, "contaminated"]
+
+
+def test_decontaminate_empty_eval_set():
+    from barks_ocr_ray.functions.contamination import decontaminate
+
+    out = (
+        decontaminate(
+            _docs([(1, "some ordinary text with enough tokens here")]),
+            pa.array([], pa.string()),
+            k=5,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[1, "n_hits"] == 0 and not out.loc[1, "contaminated"]
+
+
+# --- sequence packing ------------------------------------------------------
+
+
+def test_sequence_pack_matches_local_scan():
+    from barks_ocr_ray.functions.packing import sequence_pack
+
+    rows = [(i, ("tok " * (i % 7 + 1)).strip()) for i in range(1, 41)]
+    rows.append((99, ""))  # zero-token doc occupies no budget
+    out = (
+        sequence_pack(_docs(rows), budget=10, num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # local reference: md5-sorted order, running offset
+    ref = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i, n)
+        for i, n in [(i, len(t.split())) for i, t in rows]
+    )
+    off = 0
+    for key, i, n in ref:
+        assert out.loc[i, "shuffle_key"] == key
+        assert out.loc[i, "seq_id"] == off // 10, i
+        assert out.loc[i, "seq_pos"] == off % 10, i
+        off += n
+    # packing is dense: every sequence except the last starts in-order
+    assert out["seq_id"].max() == (off - 1) // 10
+
+
+def test_sequence_pack_budget_boundary():
+    from barks_ocr_ray.functions.packing import sequence_pack
+
+    # 4 docs x 5 tokens, budget 5: each doc exactly fills one sequence
+    rows = [(i, "a b c d e") for i in range(1, 5)]
+    out = sequence_pack(_docs(rows), budget=5, num_partitions=2).to_pandas()
+    assert sorted(out["seq_id"]) == [0, 1, 2, 3]
+    assert (out["seq_pos"] == 0).all()
+
+
+# --- corpus mixing ---------------------------------------------------------
+
+
+def test_mix_corpora_integer_and_fractional_weights():
+    from barks_ocr_ray.functions.packing import mix_corpora
+
+    a = _docs([(i, "x") for i in range(1, 21)])
+    b = _docs([(f"u{i}", "y") for i in range(5)], id_type=pa.string())
+    out = mix_corpora(
+        [("a", a, 2.0), ("b", b, 1.5)]
+    ).to_pandas()
+    a_rows = out[out["corpus"] == "a"]
+    b_rows = out[out["corpus"] == "b"]
+    # integer weight: exactly 2 epochs per doc, no md5 dependence
+    assert len(a_rows) == 40
+    assert sorted(a_rows["epoch"].unique()) == [0, 1]
+    counts = b_rows.groupby("doc_id").size()
+    assert set(counts) <= {1, 2} and len(counts) == 5
+    # deterministic: the extra-epoch decision replays md5 exactly
+    for did, n in counts.items():
+        frac = (
+            int(hashlib.md5(f"b:{did}:mix".encode()).hexdigest()[:8], 16)
+            / float(1 << 32)
+        )
+        assert n == (2 if frac < 0.5 else 1)
