@@ -2253,6 +2253,50 @@ FROM src, range(3) r WHERE r.range < n_ep
 """
 
 
+def q64_quality_model(sf_dir: str):
+    """Model-scored quality filter (the fastText/DCLM classifier
+    shape): a deterministic linear model over vectorized text features,
+    run as an actor-pool inference stage — weights load once per actor,
+    one vectorized scoring pass per batch, zero exchanges."""
+    from barks_ocr_ray.functions.inference import quality_model_score
+
+    return quality_model_score(
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
+def _sql_q64() -> str:
+    from barks_ocr_ray.functions.inference import (
+        QUALITY_KEEP_THRESHOLD,
+        QUALITY_WEIGHTS,
+    )
+    from barks_ocr_ray.functions.text import STOPWORDS, TOKEN_RE
+
+    w = QUALITY_WEIGHTS
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+    return f"""
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS text_len,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS DOUBLE) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE) AS n_punct,
+         CAST(len(regexp_extract_all(lower(text), '{stop_pat}')) AS DOUBLE) AS n_stop
+  FROM t),
+sc AS (
+  SELECT doc_id,
+         round({w["b"]} + {w["text_len"]} * text_len
+               + {w["n_tokens"]} * n_tokens
+               + {w["n_punct"]} * n_punct
+               + {w["n_stop"]} * n_stop
+               + {w["stop_ratio"]} * (n_stop / greatest(n_tokens, 1.0)), 4) AS quality_score
+  FROM s)
+SELECT doc_id, quality_score,
+       quality_score > {QUALITY_KEEP_THRESHOLD} AS keep
+FROM sc
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2318,6 +2362,7 @@ def build_registry():
         "q61_pii_redact": q61_pii_redact,
         "q62_sequence_pack": q62_sequence_pack,
         "q63_mix_corpora": q63_mix_corpora,
+        "q64_quality_model": q64_quality_model,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2382,5 +2427,6 @@ def build_registry():
         "q61_pii_redact": _sql_q61(),
         "q62_sequence_pack": _sql_q62(),
         "q63_mix_corpora": _sql_q63(),
+        "q64_quality_model": _sql_q64(),
     }
     return queries, oracles

@@ -136,6 +136,30 @@ def test_sequence_pack_budget_boundary():
     assert (out["seq_pos"] == 0).all()
 
 
+# --- model-scored quality --------------------------------------------------
+
+
+def test_quality_model_scores_and_edges():
+    from barks_ocr_ray.functions.inference import quality_model_score
+
+    good = (
+        "The report was finished on time. It is clear and the team "
+        "said they can use it each day. There was a word for that!"
+    )
+    docs = _docs([(1, good), (2, "x" * 20), (3, ""), (4, None)])
+    out = (
+        quality_model_score(docs)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[1, "keep"]) and out.loc[1, "quality_score"] > 0.5
+    assert not out.loc[2, "keep"]  # punct-free token wall scores low
+    # empty and null text both score as the empty-text constant (b)
+    assert out.loc[3, "quality_score"] == out.loc[4, "quality_score"] == -2.0
+    assert not out.loc[3, "keep"] and not out.loc[4, "keep"]
+
+
 # --- corpus mixing ---------------------------------------------------------
 
 
