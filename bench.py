@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "q25_multimodal_features",
     "q47_tfidf_top_terms",
     "q51_training_prep",
+    "q60_decontaminate",
+    "q62_sequence_pack",
+    "q64_quality_model",
 ]
 
 
