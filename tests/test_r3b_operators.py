@@ -25,6 +25,33 @@ def _docs(rows, id_type=pa.int64()):
     )
 
 
+# --- read planning ---------------------------------------------------------
+
+
+def test_read_table_small_file_never_emits_empty_blocks(tmp_path):
+    """A small parquet file must not be shredded into empty read blocks
+    (any map over an empty block emits a schema-less table — the
+    RefBundle warning class), and the scanner schema must carry no
+    pandas metadata (unhashable pa.Schema defeats shuffle schema
+    dedup)."""
+    import pandas as pd
+    import ray
+
+    from barks_ocr_ray.functions.relational import read_table
+
+    df = pd.DataFrame({"doc_id": range(7), "text": ["x"] * 7})
+    df.to_parquet(tmp_path / "documents.parquet")
+    mat = read_table(str(tmp_path), "documents").materialize()
+    seen = 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, _meta in bundle.blocks:
+            t = ray.get(ref)
+            assert t.num_rows > 0
+            assert not t.schema.metadata
+            seen += t.num_rows
+    assert seen == 7
+
+
 # --- PII redaction ---------------------------------------------------------
 
 
