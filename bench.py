@@ -95,7 +95,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
     # 4/CPU, the regime where aggregators sat 70% idle
     num_partitions = max(16, num_cpus * 2)
     order = os.environ.get("GRAFT_ORDER", "dedup_first")
-    trials = max(1, int(os.environ.get("BENCH_TRIALS", "2")))
+    # min-of-3 by default: identical code measured 13.5-24.9 s across one
+    # afternoon on this shared VM (BASELINE.md round-3 session-2) — the
+    # headline needs more than 2 draws from that distribution
+    trials = max(1, int(os.environ.get("BENCH_TRIALS", "3")))
     wall = None
     for _ in range(trials):  # min-of-N: single-run walls swing ±20% here
         shutil.rmtree(out_dir, ignore_errors=True)
