@@ -32,6 +32,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
@@ -316,6 +317,18 @@ def _dedup_pairs(pairs: Dataset, num_partitions: int) -> Dataset:
     return exact_dedup(pairs, "pair_key", num_partitions=num_partitions)
 
 
+#: auto gate for the signature-attach step: at or below this measured
+#: row count the per-doc table rides the object store ONCE (ray.put)
+#: and each pair block does a vectorized index_in lookup — the hash-join
+#: operator's fixed spin-up (aggregator pool per join) dominates wall
+#: time at small corpus sizes. Above the cap, the distributed join runs
+#: and corpus-scaled state never lands on the driver. Worst-case
+#: broadcast payload at the cap: 200k x 1 KiB minhash rows = 200 MiB
+#: (simhash rows are 16 B). Same measured-size gating as the extraction
+#: pipeline's dedup_strategy="auto" (extraction.py).
+ATTACH_BROADCAST_MAX_ROWS = 200_000
+
+
 def _attach_column(
     pairs: Dataset,
     per_doc: Dataset,
@@ -323,10 +336,35 @@ def _attach_column(
     value_col: str,
     out_col: str,
     num_partitions: int,
+    per_doc_rows: int | None = None,
 ) -> Dataset:
-    """Hash-join one per-doc column onto the pair table on ``side``
+    """Attach one per-doc column onto the pair table on ``side``
     (doc_a/doc_b) — the distributed replacement for a driver-side
-    signature map (VERDICT r1 'What's wrong' #1)."""
+    signature map (VERDICT r1 'What's wrong' #1). Callers that already
+    know the MATERIALIZED per-doc row count (metadata, free) pass it as
+    ``per_doc_rows`` to enable the small-side broadcast path."""
+    if per_doc_rows is not None and per_doc_rows <= ATTACH_BROADCAST_MAX_ROWS:
+        tbl = pa.concat_tables(
+            ray.get(
+                per_doc.select_columns(["doc_id", value_col]).to_arrow_refs()
+            )
+        )
+        keys = tbl.column("doc_id").combine_chunks()
+        vals = tbl.column(value_col).combine_chunks()
+        ref = ray.put((keys, vals))
+
+        def _lookup(t: pa.Table) -> pa.Table:
+            ks, vs = ray.get(ref)
+            idx = pc.index_in(t.column(side), value_set=ks)
+            arr = vs.take(idx)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            t = t.append_column(out_col, arr)
+            # every pair doc exists in the signature table by
+            # construction; the filter mirrors inner-join semantics
+            return t.filter(pc.is_valid(t.column(out_col)))
+
+        return pairs.map_batches(_lookup, batch_format="pyarrow")
 
     def _rename(t: pa.Table) -> pa.Table:
         return t.select(["doc_id", value_col]).rename_columns([side, out_col])
@@ -416,9 +454,14 @@ def minhash_near_dups(
         import ray.data as _rd
 
         return _rd.from_arrow(_EMPTY)
-    pairs = _attach_column(pairs, sigs, "doc_a", "sig", "sig_a", num_partitions)
+    n_sigs = sigs.count()  # materialized -> metadata, free
+    pairs = _attach_column(
+        pairs, sigs, "doc_a", "sig", "sig_a", num_partitions, per_doc_rows=n_sigs
+    )
     pairs, _ = compact_nonempty(pairs, num_partitions)
-    pairs = _attach_column(pairs, sigs, "doc_b", "sig", "sig_b", num_partitions)
+    pairs = _attach_column(
+        pairs, sigs, "doc_b", "sig", "sig_b", num_partitions, per_doc_rows=n_sigs
+    )
 
     def _verify(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -592,9 +635,16 @@ def simhash_near_dups(
         import ray.data as _rd
 
         return _rd.from_arrow(_EMPTY)
-    pairs = _attach_column(pairs, hashes, "doc_a", "simhash", "sh_a", num_partitions)
+    n_hashes = hashes.count()  # materialized -> metadata, free
+    pairs = _attach_column(
+        pairs, hashes, "doc_a", "simhash", "sh_a", num_partitions,
+        per_doc_rows=n_hashes,
+    )
     pairs, _ = compact_nonempty(pairs, num_partitions)
-    pairs = _attach_column(pairs, hashes, "doc_b", "simhash", "sh_b", num_partitions)
+    pairs = _attach_column(
+        pairs, hashes, "doc_b", "simhash", "sh_b", num_partitions,
+        per_doc_rows=n_hashes,
+    )
 
     def _verify(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
