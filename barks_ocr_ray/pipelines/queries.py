@@ -2297,6 +2297,62 @@ FROM sc
 """
 
 
+Q65_HOST_CAP = 10
+
+
+def q65_domain_cap(sf_dir: str):
+    """Per-host page cap over the extracted corpus (the Common-Crawl
+    'limit pages per domain' rebalancing op): keep the first N urls per
+    host in url order (deterministic). Host parse is one RE2 kernel
+    pass; the cap is one keyed exchange on host + a vectorized in-group
+    sort/slice — group size is bounded by a single host's page count,
+    never the corpus."""
+    import numpy as _np
+
+    from barks_ocr_ray.context import hash_partitions as _hp
+
+    extracted = _extracted_docs()
+
+    def _host(t: pa.Table) -> pa.Table:
+        urls = t.column("doc_id")
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        m = pc.extract_regex(urls, r"^https?://(?P<host>[^/]+)")
+        return pa.table(
+            {"url": urls, "host": pc.struct_field(m, "host")}
+        )
+
+    def _cap(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g.column("url"))
+        k = min(Q65_HOST_CAP, g.num_rows)
+        g = g.take(order[:k])
+        return g.append_column(
+            "host_rank", pa.array(_np.arange(1, k + 1), pa.int64())
+        )
+
+    return (
+        extracted.map_batches(_host, batch_format="pyarrow")
+        .groupby("host", num_partitions=_hp(4))
+        .map_groups(_cap, batch_format="pyarrow")
+    )
+
+
+def _sql_q65() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
+
+    return f"""
+WITH h AS (
+  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host
+  FROM read_parquet('{extraction_golden_path(Q24_N)}')),
+r AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY url) AS host_rank
+  FROM h)
+SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank
+FROM r WHERE host_rank <= {Q65_HOST_CAP}
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2363,6 +2419,7 @@ def build_registry():
         "q62_sequence_pack": q62_sequence_pack,
         "q63_mix_corpora": q63_mix_corpora,
         "q64_quality_model": q64_quality_model,
+        "q65_domain_cap": q65_domain_cap,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2428,5 +2485,6 @@ def build_registry():
         "q62_sequence_pack": _sql_q62(),
         "q63_mix_corpora": _sql_q63(),
         "q64_quality_model": _sql_q64(),
+        "q65_domain_cap": _sql_q65(),
     }
     return queries, oracles
