@@ -163,6 +163,59 @@ def test_sequence_pack_budget_boundary():
     assert (out["seq_pos"] == 0).all()
 
 
+# --- signature-attach gate -------------------------------------------------
+
+
+def test_attach_column_broadcast_matches_join():
+    """The small-side broadcast path and the distributed-join path of
+    _attach_column must produce identical rows (the measured-size gate
+    only changes the mechanism, never the result)."""
+    import pandas as pd
+
+    from barks_ocr_ray.functions.dedupe import _attach_column
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 2, 5], pa.int64()),
+                "doc_b": pa.array([3, 4, 6], pa.int64()),
+            }
+        )
+    )
+    per_doc = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                "sig": pa.array(
+                    [bytes([i] * 8) for i in range(1, 7)], pa.binary()
+                ),
+            }
+        )
+    )
+
+    def run(rows_hint):
+        out = _attach_column(
+            pairs, per_doc, "doc_a", "sig", "sig_a", 2,
+            per_doc_rows=rows_hint,
+        )
+        return (
+            out.to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+
+    joined, broadcast = run(None), run(6)
+    pd.testing.assert_frame_equal(
+        joined[["doc_a", "doc_b", "sig_a"]],
+        broadcast[["doc_a", "doc_b", "sig_a"]],
+    )
+    assert list(broadcast["sig_a"]) == [
+        bytes([1] * 8),
+        bytes([2] * 8),
+        bytes([5] * 8),
+    ]
+
+
 # --- model-scored quality --------------------------------------------------
 
 
