@@ -9,6 +9,13 @@ pages corpus (BASELINE.json input_hint shape) scaled to the sf, generated
 once in parallel and cached under /tmp (generation is setup, not timed;
 one untimed warm read precedes the timed run so the measurement is
 compute + shuffle, not cold page cache).
+
+Scaling-vs-size reproduction (BASELINE.md round-3): the corpus size is
+parsed from the sf in GRAFT_SF_DIR's name and nothing else is read from
+it, so `GRAFT_SF_DIR=/tmp/sf0.8 BENCH_TRIALS=2 python bench.py
+--scaling` runs the 8-vs-32 legs on an 8x (720k-page) corpus — raw
+efficiency rises monotonically with input size (0.55 -> 0.68 -> 0.74 at
+1x/4x/8x) as the fixed barrier cost amortizes.
 """
 
 from __future__ import annotations
