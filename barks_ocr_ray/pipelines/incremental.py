@@ -87,6 +87,14 @@ def update_corpus(
     directory is created when nothing is new)."""
     shards = _shard_dirs(corpus_dir)
     os.makedirs(corpus_dir, exist_ok=True)
+    # wipe torn shards from a crashed previous update (never committed)
+    import shutil as _shutil
+
+    for d in os.listdir(corpus_dir):
+        if d.endswith(".tmp"):
+            _shutil.rmtree(
+                os.path.join(corpus_dir, d), ignore_errors=True
+            )
 
     n_known = 0
     fresh = new_pages
@@ -138,22 +146,28 @@ def update_corpus(
     out = extraction_pipeline(
         fresh, num_partitions=num_partitions, **pipeline_kwargs
     )
+    # write-then-rename: _shard_dirs only matches committed shard-NNNN
+    # names, so a crash mid-update leaves a .tmp directory the next run
+    # ignores (and wipes) — no torn shard is ever treated as known urls
     shard_dir = os.path.join(corpus_dir, f"shard-{len(shards):04d}")
-    out.write_parquet(shard_dir)
+    tmp_dir = shard_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    out.write_parquet(tmp_dir)
     import pyarrow.dataset as pads
 
     # a 0-row write may not create the directory at all
     new_rows = (
-        pads.dataset(shard_dir).count_rows()
-        if os.path.isdir(shard_dir)
+        pads.dataset(tmp_dir).count_rows()
+        if os.path.isdir(tmp_dir)
         else 0
     )
     if new_rows == 0:
-        # wipe the empty shard so repeated no-op updates don't pile up
-        import shutil
-
-        shutil.rmtree(shard_dir, ignore_errors=True)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
         shard_dir = None
+    else:
+        os.rename(tmp_dir, shard_dir)
     return {
         "shard": shard_dir,
         "new_rows": new_rows,

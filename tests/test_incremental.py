@@ -73,6 +73,28 @@ def test_incremental_update_matches_full_run(tmp_path):
     assert r3["new_rows"] == 0 and r3["shard"] is None
 
 
+def test_incremental_torn_shard_is_ignored_and_healed(tmp_path):
+    """A crashed update leaves only a .tmp directory: it must not count
+    as known urls, and the next update must wipe it and extract the
+    missing half in a committed shard."""
+    import os
+
+    from barks_ocr_ray.pipelines.incremental import update_corpus
+
+    pages, a, _b = _halves(200)
+    corpus = tmp_path / "corpus"
+    update_corpus(str(corpus), rd.from_arrow(a), num_partitions=4)
+    # simulate a crash: a half-written uncommitted shard
+    torn = corpus / "shard-0001.tmp"
+    torn.mkdir()
+    (torn / "part-0.parquet").write_bytes(b"not a parquet file")
+    r = update_corpus(str(corpus), rd.from_arrow(pages), num_partitions=4)
+    assert not torn.exists()
+    assert r["shard"] and r["shard"].endswith("shard-0001")
+    assert r["known_urls"] > 0 and r["new_rows"] > 0
+    assert sorted(os.listdir(corpus)) == ["shard-0000", "shard-0001"]
+
+
 def test_incremental_distributed_anti_path_agrees(tmp_path):
     from barks_ocr_ray.pipelines.incremental import update_corpus
 
