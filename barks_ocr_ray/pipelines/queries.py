@@ -2353,6 +2353,34 @@ FROM r WHERE host_rank <= {Q65_HOST_CAP}
 """
 
 
+Q66_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+def q66_quantiles(sf_dir: str):
+    """Exact distributed quantiles of l_extendedprice — a counting
+    quickselect (O(pivots) driver state, O(log32(n/cap)) streaming
+    passes, no global sort), bit-matching DuckDB's quantile_disc. The
+    pull cap is set below every SF's row count so the counting rounds
+    actually execute."""
+    from barks_ocr_ray.functions.quantiles import distributed_quantiles
+
+    t = distributed_quantiles(
+        read_table(sf_dir, "lineitem", ["l_extendedprice"]),
+        "l_extendedprice",
+        Q66_QS,
+        pull_cap=2000,
+    )
+    return rd.from_arrow(t)
+
+
+def _sql_q66() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+        for q in Q66_QS
+    )
+    return f"SELECT q, value FROM ({parts}) ORDER BY q"
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2420,6 +2448,7 @@ def build_registry():
         "q63_mix_corpora": q63_mix_corpora,
         "q64_quality_model": q64_quality_model,
         "q65_domain_cap": q65_domain_cap,
+        "q66_quantiles": q66_quantiles,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2486,5 +2515,6 @@ def build_registry():
         "q63_mix_corpora": _sql_q63(),
         "q64_quality_model": _sql_q64(),
         "q65_domain_cap": _sql_q65(),
+        "q66_quantiles": _sql_q66(),
     }
     return queries, oracles

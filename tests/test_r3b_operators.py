@@ -240,6 +240,58 @@ def test_quality_model_scores_and_edges():
     assert not out.loc[3, "keep"] and not out.loc[4, "keep"]
 
 
+# --- exact distributed quantiles -------------------------------------------
+
+
+def _q_ref(vals, q):
+    """DuckDB quantile_disc reference: ceil(q*n)-th smallest, 1-based."""
+    import math
+
+    s = sorted(vals)
+    return s[max(1, math.ceil(q * len(s))) - 1]
+
+
+def test_distributed_quantiles_match_reference():
+    import numpy as np
+
+    from barks_ocr_ray.functions.quantiles import distributed_quantiles
+
+    rng = np.random.RandomState(7)
+    # heavy duplicate mass + outliers + negatives
+    vals = np.concatenate(
+        [
+            rng.randint(-50, 50, 5000).astype(float),
+            np.full(3000, 13.5),  # heavy single value
+            rng.uniform(1e6, 2e6, 10),
+        ]
+    )
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    out = distributed_quantiles(ds, "x", qs, pull_cap=200)
+    got = dict(zip(out.column("q").to_pylist(), out.column("value").to_pylist()))
+    for q in qs:
+        assert got[q] == _q_ref(vals, q), q
+
+
+def test_distributed_quantiles_degenerate_inputs():
+    from barks_ocr_ray.functions.quantiles import distributed_quantiles
+
+    # all-equal column: every quantile is that value
+    ds = rd.from_arrow(pa.table({"x": pa.array([7.0] * 500, pa.float64())}))
+    out = distributed_quantiles(ds, "x", [0.1, 0.5, 0.9], pull_cap=50)
+    assert out.column("value").to_pylist() == [7.0, 7.0, 7.0]
+    # single row; q=1.0 endpoint
+    one = rd.from_arrow(pa.table({"x": pa.array([3.25], pa.float64())}))
+    out1 = distributed_quantiles(one, "x", [0.5, 1.0])
+    assert out1.column("value").to_pylist() == [3.25, 3.25]
+    # empty input: typed empty result
+    import ray.data as _rd
+
+    empty = _rd.from_arrow(pa.table({"x": pa.array([], pa.float64())}))
+    out0 = distributed_quantiles(empty, "x", [0.5])
+    assert out0.num_rows == 0 and out0.column_names == ["q", "value"]
+
+
 # --- corpus mixing ---------------------------------------------------------
 
 
