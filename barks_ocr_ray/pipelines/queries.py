@@ -2381,6 +2381,24 @@ def _sql_q66() -> str:
     return f"SELECT q, value FROM ({parts}) ORDER BY q"
 
 
+def q67_hll_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct-text count over documents —
+    the canonical cardinality sketch (nonzero registers as combiner
+    partials, ONE 4096-key max-aggregation, driver holds the register
+    array only). No SQL oracle (an estimate, and DuckDB's
+    approx_count_distinct is a different HLL implementation): driver
+    checks rows-only; the <5%-error and partitioning-invariance
+    contracts are pinned by unit tests, and the exact-distinct sibling
+    machinery is q07/q15."""
+    from barks_ocr_ray.functions.sketches import hll_count_distinct
+
+    return rd.from_arrow(
+        hll_count_distinct(
+            read_table(sf_dir, "documents", ["text"]), "text"
+        )
+    )
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2449,6 +2467,7 @@ def build_registry():
         "q64_quality_model": q64_quality_model,
         "q65_domain_cap": q65_domain_cap,
         "q66_quantiles": q66_quantiles,
+        "q67_hll_distinct": q67_hll_distinct,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths

@@ -292,6 +292,26 @@ def test_distributed_quantiles_degenerate_inputs():
     assert out0.num_rows == 0 and out0.column_names == ["q", "value"]
 
 
+# --- HLL count-distinct ----------------------------------------------------
+
+
+def test_hll_count_distinct_accuracy_and_invariance():
+    from barks_ocr_ray.functions.sketches import hll_count_distinct
+
+    for true_n in (100, 5000, 50_000):
+        vals = [f"value-{i % true_n}" for i in range(true_n * 2)]
+        ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.string())}))
+        est = hll_count_distinct(ds, "x").column("n_distinct_est")[0].as_py()
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+        # deterministic and partitioning-invariant
+        est2 = (
+            hll_count_distinct(ds.repartition(13), "x")
+            .column("n_distinct_est")[0]
+            .as_py()
+        )
+        assert est == est2
+
+
 # --- corpus mixing ---------------------------------------------------------
 
 
