@@ -2381,6 +2381,53 @@ def _sql_q66() -> str:
     return f"SELECT q, value FROM ({parts}) ORDER BY q"
 
 
+Q68_QS = [0.5, 0.9]
+
+
+def q68_grouped_quantiles(sf_dir: str):
+    """Exact per-group quantiles for a BOUNDED key set (l_returnflag, 3
+    keys): one counting-quickselect run per key over a predicate-pushed
+    read — passes scale with #keys x log32(n/cap), and no group is ever
+    pulled whole (the map_groups alternative breaks when one group is
+    corpus-sized). Unbounded key spaces should bucket keys first."""
+    import pyarrow.dataset as pads_ds
+
+    from barks_ocr_ray.functions.quantiles import distributed_quantiles
+
+    flags = ["A", "N", "R"]  # the fixed TPC-H return-flag domain
+    parts = []
+    for flag in flags:
+        # the pushed filter binds against the pruned schema, so the
+        # predicate column must be in the projection
+        sub = read_table(
+            sf_dir,
+            "lineitem",
+            ["l_extendedprice", "l_returnflag"],
+            predicate=(pads_ds.field("l_returnflag") == flag),
+        )
+        t = distributed_quantiles(
+            sub, "l_extendedprice", Q68_QS, pull_cap=2000
+        )
+        parts.append(
+            t.append_column(
+                "l_returnflag",
+                pa.array([flag] * t.num_rows, pa.string()),
+            )
+        )
+    out = pa.concat_tables(parts).select(["l_returnflag", "q", "value"])
+    return rd.from_arrow(out)
+
+
+def _sql_q68() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT l_returnflag, {q} AS q, "
+        f"quantile_disc(l_extendedprice, {q}) AS value "
+        f"FROM lineitem GROUP BY l_returnflag"
+        for q in Q68_QS
+    )
+    return f"SELECT l_returnflag, q, value FROM ({parts}) ORDER BY l_returnflag, q"
+
+
 def q67_hll_distinct(sf_dir: str):
     """HyperLogLog approximate distinct-text count over documents —
     the canonical cardinality sketch (nonzero registers as combiner
@@ -2468,6 +2515,7 @@ def build_registry():
         "q65_domain_cap": q65_domain_cap,
         "q66_quantiles": q66_quantiles,
         "q67_hll_distinct": q67_hll_distinct,
+        "q68_grouped_quantiles": q68_grouped_quantiles,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2535,5 +2583,6 @@ def build_registry():
         "q64_quality_model": _sql_q64(),
         "q65_domain_cap": _sql_q65(),
         "q66_quantiles": _sql_q66(),
+        "q68_grouped_quantiles": _sql_q68(),
     }
     return queries, oracles
