@@ -2446,6 +2446,96 @@ def q67_hll_distinct(sf_dir: str):
     )
 
 
+Q69_K = 50
+
+
+def q69_weighted_sample(sf_dir: str):
+    """Weighted reservoir sample WITHOUT replacement (Efraimidis-
+    Spirakis A-Res): keep the k docs with the largest u^(1/w), where u
+    is the deterministic md5-fraction of doc_id and w = n_tokens + 1.
+    Pure per-row key derivation + local top-k per block + one global
+    merge of k*n_blocks candidate rows — no shuffle of the corpus, no
+    RNG state, and byte-replayable in SQL (ORDER BY pow(u, 1/w) LIMIT
+    k). The standard length-weighted subsampling step for training
+    mixes."""
+    import hashlib as _hl
+
+    import numpy as _np
+    import ray as _ray
+
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _keys(t: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(t.column("text"))
+        n_tokens = (
+            pc.count_substring_regex(lower, TOKEN_RE)
+            .cast(pa.int64())
+            .fill_null(0)
+        )
+        ids = t.column("doc_id").to_pylist()
+        u = _np.array(
+            [
+                int(_hl.md5(str(i).encode("utf-8")).hexdigest()[:8], 16)
+                / float(1 << 32)
+                for i in ids
+            ],
+            _np.float64,
+        )
+        w = n_tokens.to_numpy(zero_copy_only=False).astype(_np.float64) + 1.0
+        # rounded to 10 decimals on BOTH sides: libm pow() may differ by
+        # an ulp between numpy and DuckDB, and both the ORDER BY and the
+        # value-hash must agree bit-for-bit (ties break on doc_id)
+        key = round_like_duckdb(u ** (1.0 / w), 10)
+        t2 = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": n_tokens,
+                "sample_key": pa.array(key, pa.float64()),
+            }
+        )
+        # local top-k: only k candidates per block reach the merge
+        order = pc.sort_indices(
+            t2,
+            sort_keys=[("sample_key", "descending"), ("doc_id", "ascending")],
+        )
+        return t2.take(order[: min(Q69_K, t2.num_rows)])
+
+    merged = docs.map_batches(_keys, batch_format="pyarrow")
+
+    def _final(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("sample_key", "descending"), ("doc_id", "ascending")],
+        )
+        return t.take(order[: min(Q69_K, t.num_rows)])
+
+    # the merge input is k rows per block — tiny at any corpus size
+    return rd.from_arrow(_final(pa.concat_tables(
+        _ray.get(merged.to_arrow_refs())
+    )))
+
+
+def _sql_q69() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE as _TOK
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(coalesce(len(regexp_extract_all(lower(text), '{_TOK}')), 0) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u
+  FROM documents)
+SELECT doc_id, n_tokens,
+       round(pow(u, 1.0 / (n_tokens + 1.0)), 10) AS sample_key
+FROM t
+ORDER BY sample_key DESC, doc_id
+LIMIT {Q69_K}
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2516,6 +2606,7 @@ def build_registry():
         "q66_quantiles": q66_quantiles,
         "q67_hll_distinct": q67_hll_distinct,
         "q68_grouped_quantiles": q68_grouped_quantiles,
+        "q69_weighted_sample": q69_weighted_sample,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2584,5 +2675,6 @@ def build_registry():
         "q65_domain_cap": _sql_q65(),
         "q66_quantiles": _sql_q66(),
         "q68_grouped_quantiles": _sql_q68(),
+        "q69_weighted_sample": _sql_q69(),
     }
     return queries, oracles
