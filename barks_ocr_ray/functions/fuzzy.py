@@ -68,15 +68,24 @@ def levenshtein_best_match(
     id_col: str,
     text_col: str,
     min_ratio: float = 0.3,
+    left_pre=None,
+    right_pre=None,
 ) -> Dataset:
     """For every left row, the best right row in the same blocking group
     by levenshtein ratio (ties -> smallest right id); lefts with no match
     >= min_ratio are dropped (inner semantics — the SQL-oracle variant of
-    ``fuzzy_best_match``). Output: (left_id, right_id, ratio)."""
+    ``fuzzy_best_match``). Output: (left_id, right_id, ratio).
+
+    ``left_pre``/``right_pre`` fuse an optional row filter INSIDE the
+    side-tagging UDF: a selective upstream ``Dataset.filter`` empties
+    blocks, and the next fused map over an empty block emits a
+    schema-less table (the RefBundle warning class)."""
     from barks_ocr_ray.functions.relational import round_like_duckdb
 
-    def _tag(side: str):
+    def _tag(side: str, pre=None):
         def _t(t: pa.Table) -> pa.Table:
+            if pre is not None:
+                t = pre(t)
             return pa.table(
                 {
                     "key": t.column(key_col),
@@ -88,8 +97,8 @@ def levenshtein_best_match(
 
         return _t
 
-    both = left.map_batches(_tag("l"), batch_format="pyarrow").union(
-        right.map_batches(_tag("r"), batch_format="pyarrow")
+    both = left.map_batches(_tag("l", left_pre), batch_format="pyarrow").union(
+        right.map_batches(_tag("r", right_pre), batch_format="pyarrow")
     )
 
     def _match(g: pd.DataFrame) -> pa.Table:
@@ -130,13 +139,18 @@ def fuzzy_best_match(
     id_col: str,
     text_col: str,
     min_ratio: float = MIN_MATCH_RATIO,
+    left_pre=None,
+    right_pre=None,
 ) -> Dataset:
     """For every left row, the best-ratio right row in the same blocking
     group. Output: (key, left_id, right_id, ratio) — right_id null for
-    unmatched lefts (the ``only_in_easy`` analog)."""
+    unmatched lefts (the ``only_in_easy`` analog). ``left_pre`` /
+    ``right_pre``: see ``levenshtein_best_match``."""
 
-    def _tag(side: str):
+    def _tag(side: str, pre=None):
         def _t(t: pa.Table) -> pa.Table:
+            if pre is not None:
+                t = pre(t)
             return pa.table(
                 {
                     "key": t.column(key_col),
@@ -148,8 +162,8 @@ def fuzzy_best_match(
 
         return _t
 
-    both = left.map_batches(_tag("l"), batch_format="pyarrow").union(
-        right.map_batches(_tag("r"), batch_format="pyarrow")
+    both = left.map_batches(_tag("l", left_pre), batch_format="pyarrow").union(
+        right.map_batches(_tag("r", right_pre), batch_format="pyarrow")
     )
 
     def _match(g: pd.DataFrame) -> pd.DataFrame:
@@ -168,8 +182,15 @@ def fuzzy_best_match(
             lids.append(lrow.row_id)
             rids.append(best_id)
             ratios.append(round(best_ratio, 4) if best_id is not None else None)
-        return pd.DataFrame(
-            {"key": keys, "left_id": lids, "right_id": rids, "ratio": ratios}
+        # typed arrow out: a pandas frame gives ratio dtype object when a
+        # group is all-unmatched (schema flip-flops across blocks)
+        return pa.table(
+            {
+                "key": pa.array(keys),
+                "left_id": pa.array(lids, pa.int64()),
+                "right_id": pa.array(rids, pa.int64()),
+                "ratio": pa.array(ratios, pa.float64()),
+            }
         )
 
     return both.groupby("key").map_groups(_match, batch_format="pandas")

@@ -902,11 +902,18 @@ def q33_fuzzy_pairing(sf_dir: str):
         return t.append_column("bucket", bucket)
 
     docs = docs.map_batches(_prep, batch_format="pyarrow")
-    left = docs.filter(expr="source == 'src0'")
-    right = docs.filter(expr="source == 'src1'")
+
+    def _src(name):
+        # fused INSIDE the tag UDF: a selective Dataset.filter empties
+        # blocks and the next fused map emits schema-less tables
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("source"), pa.scalar(name)))
+
+        return _f
+
     return fuzzy_best_match(
-        left, right, key_col="bucket", id_col="doc_id", text_col="text",
-        min_ratio=0.3,
+        docs, docs, key_col="bucket", id_col="doc_id", text_col="text",
+        min_ratio=0.3, left_pre=_src("src0"), right_pre=_src("src1"),
     )
 
 
@@ -1352,11 +1359,18 @@ def q43_levenshtein_pairing(sf_dir: str):
         return t.append_column("bucket", bucket)
 
     docs = docs.map_batches(_prep, batch_format="pyarrow")
-    left = docs.filter(expr="source == 'src0'")
-    right = docs.filter(expr="source == 'src1'")
+
+    def _src(name):
+        # fused INSIDE the tag UDF: a selective Dataset.filter empties
+        # blocks and the next fused map emits schema-less tables
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("source"), pa.scalar(name)))
+
+        return _f
+
     return levenshtein_best_match(
-        left, right, key_col="bucket", id_col="doc_id", text_col="text",
-        min_ratio=0.3,
+        docs, docs, key_col="bucket", id_col="doc_id", text_col="text",
+        min_ratio=0.3, left_pre=_src("src0"), right_pre=_src("src1"),
     )
 
 
