@@ -2550,6 +2550,116 @@ LIMIT {Q69_K}
 """
 
 
+#: typed empty result of the as-of join (schema contract at 0 rows)
+Q70_EMPTY = pa.table(
+    {
+        "purchase_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "purchase_ts": pa.array([], pa.timestamp("us")),
+        "click_id": pa.array([], pa.int64()),
+        "click_ts": pa.array([], pa.timestamp("us")),
+        "gap_us": pa.array([], pa.int64()),
+    }
+)
+
+
+def q70_asof_join(sf_dir: str):
+    """Distributed AS-OF join (ordered join, DuckDB `ASOF JOIN`
+    semantics): for every `purchase` event, attach the latest `click`
+    by the same user at or before its timestamp.
+
+    Execution shape: the two sides are ONE pruned, predicate-pushed
+    read (event_type IN (click, purchase) never leaves storage
+    otherwise); hash-repartition on user_id co-locates a user's rows,
+    then ONE vectorized pass per block matches every purchase in the
+    block together — sort by (user, ts, side), running-max over click
+    positions, validity = running max reached inside the user's run.
+    No per-user loop, no per-row Python; one keyed exchange total.
+    100 TB note: a user's history must fit a block (same assumption as
+    sessionize/q13); salt pathological users by time-range if one ever
+    exceeds it. Determinism: (user_id, ts) is unique per side in this
+    corpus (verified), so the as-of match is well-defined; ties would
+    otherwise follow event_id order.
+    """
+    import pyarrow.dataset as _pds
+
+    ev = read_table(
+        sf_dir,
+        "events",
+        ["event_id", "ts", "user_id", "event_type"],
+        predicate=_pds.field("event_type").isin(["click", "purchase"]),
+    )
+
+    def _asof_block(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return Q70_EMPTY
+        # side: click=0 sorts before purchase=1 at equal ts, so an
+        # equal-timestamp click is visible to the running max (>= match)
+        side = pc.equal(t.column("event_type"), pa.scalar("purchase"))
+        t = t.append_column("side", side.cast(pa.int8()))
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("side", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        is_purchase = (
+            t.column("side").to_numpy(zero_copy_only=False).astype(bool)
+        )
+        n = len(users)
+        pos = np.arange(n, dtype=np.int64)
+        # running max of click positions; sorted-by-user means any click
+        # position >= the user's run start belongs to that same user, so
+        # no per-segment reset is needed
+        last_click = np.maximum.accumulate(np.where(~is_purchase, pos, -1))
+        run_start = np.zeros(n, dtype=np.int64)
+        changed = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1]))
+        )
+        run_start[changed] = changed
+        run_start = np.maximum.accumulate(run_start)
+        matched = is_purchase & (last_click >= run_start)
+        p = np.flatnonzero(matched)
+        c = last_click[p]
+        return pa.table(
+            {
+                "purchase_id": pa.array(ids[p], pa.int64()),
+                "user_id": pa.array(users[p], pa.int64()),
+                "purchase_ts": pa.array(ts_us[p], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "click_id": pa.array(ids[c], pa.int64()),
+                "click_ts": pa.array(ts_us[c], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "gap_us": pa.array(ts_us[p] - ts_us[c], pa.int64()),
+            }
+        )
+
+    return ev.repartition(16, keys=["user_id"]).map_batches(
+        _asof_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q70 = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts,
+       date_diff('microsecond', c.ts, p.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2621,6 +2731,7 @@ def build_registry():
         "q67_hll_distinct": q67_hll_distinct,
         "q68_grouped_quantiles": q68_grouped_quantiles,
         "q69_weighted_sample": q69_weighted_sample,
+        "q70_asof_join": q70_asof_join,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2690,5 +2801,6 @@ def build_registry():
         "q66_quantiles": _sql_q66(),
         "q68_grouped_quantiles": _sql_q68(),
         "q69_weighted_sample": _sql_q69(),
+        "q70_asof_join": SQL_Q70,
     }
     return queries, oracles

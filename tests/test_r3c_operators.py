@@ -1,0 +1,86 @@
+"""Unit contracts for the round-3 session-2 operators: the as-of join
+block kernel (q70), whose edge cases (purchase before any click,
+equal-timestamp click, user-run isolation under the no-reset running
+max) the synthetic corpus exercises only probabilistically. Value-
+exactness vs DuckDB `ASOF JOIN` is pinned by the q70 oracle."""
+
+import pyarrow as pa
+
+
+def _events(rows):
+    # rows: (event_id, ts_us, user_id, event_type)
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_asof_block_edges_match_duckdb():
+    """The distributed result equals DuckDB ASOF JOIN on a crafted
+    corpus hitting every edge: unmatched purchase (before any click),
+    equal-timestamp click (>= semantics), user-boundary isolation
+    (user B's purchase must not see user A's later click position),
+    and multiple purchases sharing one click."""
+    import duckdb
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from barks_ocr_ray.pipelines.queries import q70_asof_join
+
+    rows = [
+        # user 1: purchase BEFORE any click -> unmatched
+        (1, 1_000_000, 1, "purchase"),
+        (2, 2_000_000, 1, "click"),
+        # equal-ts click matches (>=)
+        (3, 3_000_000, 1, "click"),
+        (4, 3_000_000, 1, "purchase"),
+        # two purchases share the same latest click
+        (5, 5_000_000, 1, "purchase"),
+        # user 2 interleaved: must not see user 1's clicks
+        (6, 4_000_000, 2, "purchase"),
+        (7, 6_000_000, 2, "click"),
+        (8, 7_000_000, 2, "purchase"),
+        # irrelevant types are filtered by the read predicate; include
+        # one to pin the in-kernel behavior if it ever leaks through
+        (9, 1_500_000, 1, "view"),
+    ]
+    t = _events(rows)
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(t, os.path.join(d, "events.parquet"))
+        got = (
+            q70_asof_join(d)
+            .to_pandas()
+            .sort_values("purchase_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(
+                f"""
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   p.ts AS purchase_ts, c.event_id AS click_id,
+                   c.ts AS click_ts,
+                   date_diff('microsecond', c.ts, p.ts) AS gap_us
+            FROM (SELECT * FROM '{d}/events.parquet'
+                  WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM '{d}/events.parquet'
+                       WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY purchase_id
+            """
+            )
+            .df()
+            .reset_index(drop=True)
+        )
+    assert list(got["purchase_id"]) == list(want["purchase_id"]) == [4, 5, 8]
+    assert list(got["click_id"]) == list(want["click_id"]) == [3, 3, 7]
+    assert list(got["gap_us"]) == list(want["gap_us"]) == [0, 2_000_000, 1_000_000]
+    # user 1's unmatched purchase (event 1) is absent from both sides
+    assert 1 not in set(got["purchase_id"])
