@@ -2660,6 +2660,33 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+#: phi = 1/(k+1) heavy-hitter capacity for q71
+Q71_K = 200
+
+
+def q71_heavy_hitters(sf_dir: str):
+    """Exact phi-frequent keys (users producing > n/(k+1) of all
+    events) via the two-pass candidate scheme — pass 1 emits at most k
+    local heavy hitters per block (pigeonhole bound) plus a row-count
+    sentinel, pass 2 re-counts only the candidates exactly. The
+    exchange volume is O(blocks x k), independent of key cardinality —
+    the scale answer when distinct keys approach corpus size (URLs,
+    hosts, shingles) and a plain groupby(key) would shuffle billions of
+    partials. Result is exact (see exact_heavy_hitters docstring)."""
+    from barks_ocr_ray.functions.sketches import exact_heavy_hitters
+
+    ev = read_table(sf_dir, "events", ["user_id"])
+    return exact_heavy_hitters(ev, "user_id", k=Q71_K)
+
+
+SQL_Q71 = f"""
+SELECT user_id, count(*) AS n
+FROM events
+GROUP BY user_id
+HAVING count(*) * {Q71_K + 1} > (SELECT count(*) FROM events)
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2732,6 +2759,7 @@ def build_registry():
         "q68_grouped_quantiles": q68_grouped_quantiles,
         "q69_weighted_sample": q69_weighted_sample,
         "q70_asof_join": q70_asof_join,
+        "q71_heavy_hitters": q71_heavy_hitters,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2802,5 +2830,6 @@ def build_registry():
         "q68_grouped_quantiles": _sql_q68(),
         "q69_weighted_sample": _sql_q69(),
         "q70_asof_join": SQL_Q70,
+        "q71_heavy_hitters": SQL_Q71,
     }
     return queries, oracles

