@@ -528,3 +528,100 @@ def unigram_logprob(
         )
 
     return per_doc.map_batches(_score, batch_format="pyarrow")
+
+
+def chunk_documents(
+    docs: Dataset,
+    *,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Sliding token-window chunking (the RAG / context-window prep
+    shape): split each document on whitespace and emit windows of
+    ``chunk_tokens`` tokens advancing by ``chunk_tokens - overlap``,
+    the last window clipped to the document end. Chunk text is the
+    window's tokens joined by single spaces (the canonical re-join;
+    original inter-token whitespace is not preserved).
+
+    Execution shape: a pure per-block pass, ZERO exchanges — the
+    explode is bounded (~1/(1-overlap/chunk) rows per chunk_tokens
+    input tokens) and chunk ids are (doc_id, chunk_idx), so output
+    partitioning inherits input partitioning. Fully vectorized: one
+    regex split kernel, flat token filtering through offset
+    arithmetic, chunk windows as concatenated ``arange`` gathers, and
+    one ``binary_join`` kernel to build every chunk string in the
+    block at once — no per-document Python.
+
+    Tokenizer contract (shared with the q73 oracle):
+    ``regexp_extract_all(text, '\\S+')`` — RE2-ASCII whitespace runs;
+    docs with zero tokens (empty/whitespace/null text) emit no chunks.
+    """
+    import numpy as np
+
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+
+    empty = pa.table(
+        {
+            doc_col: pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    def _chunks_block(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t.column(text_col), "").combine_chunks()
+        lst = pc.split_pattern_regex(text, pattern=r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        values = lst.flatten()
+        offsets = lst.offsets.to_numpy(zero_copy_only=False)
+        # split emits '' for leading/trailing whitespace runs — drop
+        # empty tokens through offset arithmetic (extract_all semantics)
+        keep = pc.not_equal(values, pa.scalar("")).to_numpy(
+            zero_copy_only=False
+        )
+        kcum = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
+        n_tok = kcum[offsets[1:]] - kcum[offsets[:-1]]
+        tokens = values.filter(pa.array(keep))
+        doc_off = np.concatenate(([0], np.cumsum(n_tok)))[:-1]
+
+        has = n_tok > 0
+        if not has.any():
+            return empty
+        # chunks per doc: starts 0, stride, ... while start <= n-O-1
+        n_chunks = np.where(
+            has, (np.maximum(n_tok - overlap, 1) - 1) // stride + 1, 0
+        )
+        total = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(len(n_tok)), n_chunks)
+        chunk_cum = np.concatenate(([0], np.cumsum(n_chunks)))
+        ci = np.arange(total, dtype=np.int64) - chunk_cum[doc_idx]
+        s = ci * stride
+        e = np.minimum(s + chunk_tokens, n_tok[doc_idx])
+        lens = e - s
+        # concatenated aranges: flat token indices of every chunk
+        lcum = np.concatenate(([0], np.cumsum(lens)))
+        flat = (
+            np.repeat(doc_off[doc_idx] + s, lens)
+            + np.arange(int(lcum[-1]), dtype=np.int64)
+            - np.repeat(lcum[:-1], lens)
+        )
+        chunk_list = pa.ListArray.from_arrays(
+            pa.array(lcum, pa.int32()), tokens.take(pa.array(flat))
+        )
+        chunk_text = pc.binary_join(chunk_list, " ")
+        return pa.table(
+            {
+                doc_col: t.column(doc_col).take(pa.array(doc_idx)),
+                "chunk_idx": pa.array(ci, pa.int64()),
+                "chunk_text": chunk_text,
+                "n_tokens": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_chunks_block, batch_format="pyarrow")

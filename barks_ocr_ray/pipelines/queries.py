@@ -2687,6 +2687,113 @@ HAVING count(*) * {Q71_K + 1} > (SELECT count(*) FROM events)
 """
 
 
+def q72_running_totals(sf_dir: str):
+    """Ordered window aggregates per key — running sum, row_number and
+    lag-gap over each user's event stream (SQL `OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)`), the per-entity-timeline shape a
+    feature pipeline runs at corpus scale.
+
+    Execution shape: ONE keyed exchange (hash repartition on user_id)
+    co-locates a user's events, then one vectorized pass per block
+    computes all three windows for every user in the block together:
+    sort by (user, ts, event_id), segment cumsum (global cumsum minus
+    its value at each run start), sequence = position minus run start,
+    gap = diff masked at run starts. No per-user loop, no per-row
+    Python. The money column accumulates in FIXED-POINT int64 cents
+    (round-half-away, `round_like_duckdb`) — at 10^12 rows a float
+    running sum is order-dependent and non-replayable, so the integer
+    form is both the bit-exact oracle contract AND the design a real
+    pipeline wants. Same block-fit assumption as q13/q70 (a user's
+    history fits a block); salt by time range if one ever exceeds it.
+    """
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _windows_block(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = round_like_duckdb(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        n = len(users)
+        pos = np.arange(n, dtype=np.int64)
+        is_start = np.concatenate(([True], users[1:] != users[:-1]))
+        run_start = np.maximum.accumulate(np.where(is_start, pos, 0))
+        cs = np.cumsum(cents)
+        running = cs - (cs[run_start] - cents[run_start])
+        seq = pos - run_start + 1
+        prev_ts = np.concatenate(([0], ts_us[:-1]))
+        gap = np.where(is_start, 0, ts_us - prev_ts)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "running_cents": pa.array(running, pa.int64()),
+                "event_seq": pa.array(seq, pa.int64()),
+                "since_prev_us": pa.array(gap, pa.int64()),
+            }
+        )
+
+    return ev.repartition(16, keys=["user_id"]).map_batches(
+        _windows_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q72 = """
+SELECT event_id, user_id, ts,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS running_cents,
+       CAST(row_number() OVER w AS BIGINT) AS event_seq,
+       coalesce(date_diff('microsecond', lag(ts) OVER w, ts), 0) AS since_prev_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+#: q73 chunking geometry
+Q73_CHUNK, Q73_OVERLAP = 64, 16
+
+
+def q73_chunk_documents(sf_dir: str):
+    """Sliding token-window chunking over the documents table (RAG /
+    context-window prep): 64-token windows advancing by 48, last window
+    clipped to the doc end. Pure per-block pass, zero exchanges, fully
+    vectorized (see functions/text.chunk_documents)."""
+    from barks_ocr_ray.functions.text import chunk_documents
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(
+        docs, chunk_tokens=Q73_CHUNK, overlap=Q73_OVERLAP
+    )
+
+
+_Q73_STRIDE = Q73_CHUNK - Q73_OVERLAP
+SQL_Q73 = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk,
+         len(regexp_extract_all(text, '\\S+')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s / {_Q73_STRIDE} AS BIGINT) AS chunk_idx,
+       array_to_string(tk[s + 1 : least(s + {Q73_CHUNK}, n)], ' ') AS chunk_text,
+       least(s + {Q73_CHUNK}, n) - s AS n_tokens
+FROM toks,
+     LATERAL unnest(generate_series(0, greatest(n - {Q73_OVERLAP} - 1, 0), {_Q73_STRIDE})) AS g(s)
+WHERE n > 0
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2760,6 +2867,8 @@ def build_registry():
         "q69_weighted_sample": q69_weighted_sample,
         "q70_asof_join": q70_asof_join,
         "q71_heavy_hitters": q71_heavy_hitters,
+        "q72_running_totals": q72_running_totals,
+        "q73_chunk_documents": q73_chunk_documents,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2831,5 +2940,7 @@ def build_registry():
         "q69_weighted_sample": _sql_q69(),
         "q70_asof_join": SQL_Q70,
         "q71_heavy_hitters": SQL_Q71,
+        "q72_running_totals": SQL_Q72,
+        "q73_chunk_documents": SQL_Q73,
     }
     return queries, oracles

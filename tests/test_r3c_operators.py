@@ -145,3 +145,59 @@ def test_heavy_hitters_no_hits_typed_empty():
         assert out.count() == 0
     else:
         assert tbl.num_rows == 0
+
+
+def test_chunking_edges_match_duckdb():
+    """Chunk geometry edges: doc shorter than overlap, exactly
+    chunk_tokens, one past it, stride-boundary lengths, leading and
+    trailing whitespace runs, empty and whitespace-only docs (no
+    chunks), and multi-space gaps (canonical single-space re-join)."""
+    import duckdb
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.text import chunk_documents
+
+    C, O = 8, 3  # stride 5
+    texts = [
+        "a b c",  # shorter than overlap
+        " ".join(f"t{i}" for i in range(8)),  # exactly C -> 1 chunk
+        " ".join(f"t{i}" for i in range(9)),  # C+1 -> 2 chunks
+        " ".join(f"t{i}" for i in range(13)),  # n-O = 10 -> starts 0,5
+        "  lead and   trail  ",  # whitespace runs collapse
+        "",  # no chunks
+        "   ",  # no chunks
+        "one",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    got = (
+        chunk_documents(
+            rd.from_arrow(t).repartition(3), chunk_tokens=C, overlap=O
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk,
+                 len(regexp_extract_all(text, '\\S+')) AS n
+          FROM t
+        )
+        SELECT doc_id, CAST(s / {C - O} AS BIGINT) AS chunk_idx,
+               array_to_string(tk[s + 1 : least(s + {C}, n)], ' ') AS chunk_text,
+               least(s + {C}, n) - s AS n_tokens
+        FROM toks,
+             LATERAL unnest(generate_series(0, greatest(n - {O} - 1, 0), {C - O})) AS g(s)
+        WHERE n > 0
+        ORDER BY doc_id, chunk_idx
+        """
+    ).df().reset_index(drop=True)
+    assert got.equals(want), (got, want)
+    # whitespace-only and empty docs emitted nothing
+    assert not set(got["doc_id"]) & {5, 6}
