@@ -315,3 +315,50 @@ def salted_count(
         partials.groupby(key_col)
         .aggregate(_Sum("n_part", alias_name="n"))
     )
+
+
+def salted_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: tuple,
+    right_on: tuple | None = None,
+    n_salts: int = 8,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Inner hash join that survives a HOT join key on the (large) left
+    side: the dimension-sized right side is replicated once per salt,
+    left rows take a vectorized round-robin salt, and the exchange runs
+    on (key..., salt) — so no join partition ever receives more than
+    ~1/n_salts of a hot key's left rows. The result is EXACTLY the
+    plain inner join: each left row meets its key's full right side in
+    exactly one salt replica. Cost: the right side ships n_salts times
+    — appropriate for dimension tables (the classic skew-join tradeoff;
+    for two large skewed sides, salt only the hot keys instead).
+    Output drops the internal salt column."""
+    r_on = right_on if right_on is not None else on
+
+    def _salt_left(t: pa.Table) -> pa.Table:
+        salts = np.arange(t.num_rows, dtype=np.int64) % n_salts
+        return t.append_column("salt", pa.array(salts, pa.int64()))
+
+    def _replicate_right(t: pa.Table) -> pa.Table:
+        reps = []
+        for s in range(n_salts):
+            reps.append(
+                t.append_column(
+                    "salt", pa.array(np.full(t.num_rows, s, np.int64))
+                )
+            )
+        return pa.concat_tables(reps)
+
+    from barks_ocr_ray.context import hash_partitions
+
+    joined = left.map_batches(_salt_left, batch_format="pyarrow").join(
+        right.map_batches(_replicate_right, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=hash_partitions(num_partitions),
+        on=(*on, "salt"),
+        right_on=(*r_on, "salt"),
+    )
+    return joined.drop_columns(["salt"])

@@ -2794,6 +2794,57 @@ WHERE n > 0
 """
 
 
+def q74_salted_skew_join(sf_dir: str):
+    """Skew-safe dimension join: lineitem x part through a SALTED hash
+    join — the dimension side replicated once per salt, fact rows
+    round-robin salted, exchange keyed on (partkey, salt) so a hot part
+    never lands on one join partition — then per-brand revenue in
+    fixed-point cents (per-row round to int64, then an
+    order-independent integer sum; the q72 rationale). Result is
+    provably identical to the plain join (see salted_join docstring);
+    the sibling equivalence is pinned by a unit test with a 90%-hot
+    key."""
+    from barks_ocr_ray.functions.relational import salted_join
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]
+    )
+    pt = read_table(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = salted_join(
+        li, pt, on=("l_partkey",), right_on=("p_partkey",), n_salts=8
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = round_like_duckdb(ext * (1.0 - disc) * 100.0, 0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    # ~25 brands: 2 partitions keeps every finalize non-empty (q01 note)
+    return (
+        joined.map_batches(_cents, batch_format="pyarrow")
+        .groupby("p_brand", num_partitions=2)
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+
+
+SQL_Q74 = """
+SELECT p_brand,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2869,6 +2920,7 @@ def build_registry():
         "q71_heavy_hitters": q71_heavy_hitters,
         "q72_running_totals": q72_running_totals,
         "q73_chunk_documents": q73_chunk_documents,
+        "q74_salted_skew_join": q74_salted_skew_join,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2942,5 +2994,6 @@ def build_registry():
         "q71_heavy_hitters": SQL_Q71,
         "q72_running_totals": SQL_Q72,
         "q73_chunk_documents": SQL_Q73,
+        "q74_salted_skew_join": SQL_Q74,
     }
     return queries, oracles

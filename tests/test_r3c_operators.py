@@ -201,3 +201,54 @@ def test_chunking_edges_match_duckdb():
     assert got.equals(want), (got, want)
     # whitespace-only and empty docs emitted nothing
     assert not set(got["doc_id"]) & {5, 6}
+
+
+def test_salted_join_hot_key_equivalence():
+    """A 90%-hot fact key: the salted join's result (rows, all columns)
+    equals the plain inner join exactly, including 1:N fan-out on the
+    dimension side and unmatched fact keys dropped."""
+    import numpy as np
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.relational import salted_join
+
+    rng = np.random.default_rng(3)
+    keys = np.where(rng.random(20_000) < 0.9, 7, rng.integers(0, 50, 20_000))
+    fact = pa.table(
+        {
+            "fk": pa.array(keys, pa.int64()),
+            "val": pa.array(np.arange(20_000, dtype=np.int64)),
+        }
+    )
+    # dimension with a duplicate key (1:N fan-out) and keys the fact
+    # never hits; fact key 49 has no dimension row (dropped by inner)
+    dim = pa.table(
+        {
+            "dk": pa.array([7, 7, 3, 11, 48, 100], pa.int64()),
+            "tag": pa.array(list("aabcde"), pa.string()),
+        }
+    )
+    got = (
+        salted_join(
+            rd.from_arrow(fact).repartition(6),
+            rd.from_arrow(dim),
+            on=("fk",),
+            right_on=("dk",),
+            n_salts=4,
+        )
+        .to_pandas()
+        .sort_values(["fk", "val", "tag"])
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    # Dataset.join coalesces the right key into fk (USING semantics)
+    want = (
+        duckdb.sql(
+            "SELECT fk, val, tag FROM fact JOIN dim ON fk = dk "
+            "ORDER BY fk, val, tag"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
