@@ -413,3 +413,93 @@ def ivf_topk(
         .groupby("query_id")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def semdedup(
+    embeddings: Dataset,
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 7,
+    num_partitions: int = 8,
+    pair_chunk: int = 1024,
+) -> Dataset:
+    """SemDeDup — semantic near-dedup via embedding clustering (Abbas
+    et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication" — public paper): k-means clusters
+    bound the candidate space, then WITHIN each cluster a vector is
+    dropped when its cosine to any LOWER-id cluster member reaches
+    ``threshold`` (keep-lowest-id representative — the deterministic
+    keep-first rule every exact-dedup op here uses).
+
+    Execution shape: the coarse quantizer is the IVF one
+    (`_train_centroids`: bounded deterministic sample, broadcast once);
+    assignment is one matmul per block; ONE keyed exchange on cluster
+    co-locates members; the within-cluster pass runs per cluster
+    segment, chunked (``pair_chunk`` rows vs all earlier members) so
+    peak memory is pair_chunk x cluster_size, never cluster_size^2.
+    Like all cluster-local methods, recall is bounded by the quantizer
+    (near-dups straddling a cluster boundary are missed) — the exact
+    sibling is `embedding_all_pairs_exact` (q44); at n_clusters=1 this
+    reduces to the exact greedy rule (pinned by a unit test).
+
+    Returns one row per vector: (vec_id, cluster, keep).
+    100 TB note: cluster sizes must fit a block — raise n_clusters with
+    corpus size (the paper uses ~10^5 clusters for ~10^9 docs) and
+    re-shard any cluster that outgrows a block by a salt on vec_id
+    ranges (only intra-salt dups are then caught within that cluster).
+    """
+    centroids = _train_centroids(embeddings, n_clusters, seed)
+    cent_ref = ray.put(centroids)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        emb = _unit(_emb_matrix(t))
+        cl = (emb @ cents.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "embedding": t.column("embedding"),
+                "cluster": pa.array(cl, pa.int64()),
+            }
+        )
+
+    def _cluster_keep(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("cluster", "ascending"), ("vec_id", "ascending")]
+        )
+        t = t.take(idx)
+        emb = _unit(_emb_matrix(t))
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        n = len(cl)
+        keep = np.ones(n, bool)
+        starts = np.flatnonzero(
+            np.concatenate(([True], cl[1:] != cl[:-1]))
+        )
+        bounds = np.append(starts, n)
+        # per-cluster segment; chunked lower-triangular max-sim scan
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = emb[s:e]
+            m = e - s
+            for c0 in range(1, m, pair_chunk):
+                c1 = min(c0 + pair_chunk, m)
+                sims = seg[c0:c1] @ seg[:c1].T  # rows c0..c1 vs all <= c1
+                ii = np.arange(c0, c1)
+                # strict lower triangle: only j < i counts
+                mask = np.arange(c1)[None, :] < ii[:, None]
+                hit = ((sims >= threshold) & mask).any(axis=1)
+                keep[s + c0 : s + c1] = ~hit
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster": t.column("cluster"),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(_assign, batch_format="pyarrow")
+        .repartition(num_partitions, keys=["cluster"])
+        .map_batches(_cluster_keep, batch_format="pyarrow", batch_size=None)
+    )

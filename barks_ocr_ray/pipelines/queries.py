@@ -2845,6 +2845,18 @@ GROUP BY p_brand
 """
 
 
+def q75_semdedup(sf_dir: str):
+    """SemDeDup semantic near-dedup over the embeddings table (k-means
+    candidate bounding + within-cluster keep-lowest-id cosine rule).
+    Rows-only: the quantizer is not SQL-replayable; the exact sibling
+    on the same cosine kernel is q44, and the n_clusters=1 reduction to
+    the exact greedy rule is pinned by a unit test."""
+    from barks_ocr_ray.functions.ann import semdedup
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(emb, threshold=0.95, n_clusters=16)
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2921,6 +2933,7 @@ def build_registry():
         "q72_running_totals": q72_running_totals,
         "q73_chunk_documents": q73_chunk_documents,
         "q74_salted_skew_join": q74_salted_skew_join,
+        "q75_semdedup": q75_semdedup,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths

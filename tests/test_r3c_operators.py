@@ -252,3 +252,89 @@ def test_salted_join_hot_key_equivalence():
         .reset_index(drop=True)
     )
     assert got[sorted(got.columns)].equals(want[sorted(want.columns)])
+
+
+def _greedy_keep(ids, emb, threshold):
+    """Reference keep-lowest-id rule: drop i iff cosine(i, j) >=
+    threshold for some j < i (ids sorted ascending)."""
+    import numpy as np
+
+    order = np.argsort(ids)
+    u = emb[order]
+    norms = np.linalg.norm(u, axis=1)
+    norms[norms == 0] = 1.0
+    u = u / norms[:, None]
+    sims = u @ u.T
+    n = len(ids)
+    tri = np.tril(np.ones((n, n), bool), -1)
+    drop = ((sims >= threshold) & tri).any(axis=1)
+    return dict(zip(ids[order], ~drop))
+
+
+def test_semdedup_single_cluster_is_exact_greedy():
+    """At n_clusters=1 SemDeDup reduces to the exact greedy
+    keep-lowest-id rule over all pairs (the q44 sibling contract)."""
+    import numpy as np
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.ann import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(12, 16))
+    # near-dup pairs: 12 originals + jittered copies of the first 6
+    emb = np.vstack([base, base[:6] + rng.normal(scale=1e-3, size=(6, 16))])
+    ids = np.arange(len(emb), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in emb]),
+        }
+    )
+    got = (
+        semdedup(
+            rd.from_arrow(t).repartition(3),
+            threshold=0.999,
+            n_clusters=1,
+            pair_chunk=4,  # force the chunked scan path
+        )
+        .to_pandas()
+        .set_index("vec_id")["keep"]
+        .to_dict()
+    )
+    want = _greedy_keep(ids, emb, 0.999)
+    assert got == want
+    # the six jittered copies are dropped, their originals kept
+    assert all(not got[i] for i in range(12, 18))
+    assert all(got[i] for i in range(12))
+
+
+def test_semdedup_clustering_only_reduces_drops():
+    """With many clusters, every drop SemDeDup makes is also a drop of
+    the exact rule (cluster bounding can only MISS pairs, never invent
+    them) — the documented recall tradeoff, directionally pinned."""
+    import numpy as np
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.ann import semdedup
+
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(80, 8))
+    emb[40:] = emb[:40] + rng.normal(scale=1e-3, size=(40, 8))
+    ids = np.arange(80, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in emb]),
+        }
+    )
+    got = (
+        semdedup(rd.from_arrow(t).repartition(4), threshold=0.999, n_clusters=8)
+        .to_pandas()
+        .set_index("vec_id")["keep"]
+        .to_dict()
+    )
+    exact = _greedy_keep(ids, emb, 0.999)
+    dropped = {i for i, k in got.items() if not k}
+    exact_dropped = {i for i, k in exact.items() if not k}
+    assert dropped <= exact_dropped
+    assert len(dropped) > 0  # jittered copies co-cluster with originals
