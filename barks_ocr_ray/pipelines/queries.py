@@ -2857,6 +2857,113 @@ def q75_semdedup(sf_dir: str):
     return semdedup(emb, threshold=0.95, n_clusters=16)
 
 
+def q76_rollup(sf_dir: str):
+    """Multi-level ROLLUP aggregation — (source, lang), (source) and
+    grand-total counts/char-sums in one result, SQL `GROUP BY
+    ROLLUP(source, lang)` semantics.
+
+    Execution shape: ONE full-data aggregation produces the finest
+    level; the coarser levels are derived FROM that (vocabulary-sized)
+    aggregate with tiny exchanges — the corpus is scanned exactly once
+    no matter how many rollup levels, which is the only shape that
+    holds at 100 TB (re-scanning per level multiplies the read)."""
+    docs = read_table(sf_dir, "documents", ["source", "lang", "n_chars"])
+    # materialize the finest level: it is (sources x langs)-sized, and
+    # the coarser levels + the union all branch from it — without this
+    # the full corpus aggregation would execute once per branch
+    base = (
+        docs.groupby(["source", "lang"], num_partitions=2)
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+        )
+        .materialize()
+    )
+
+    def _null_lang(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "lang": pa.nulls(t.num_rows, pa.string()),
+                "n_docs": t.column("n_docs"),
+                "sum_chars": t.column("sum_chars"),
+            }
+        )
+
+    lvl1 = (
+        base.groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .map_batches(_null_lang, batch_format="pyarrow")
+    )
+    # grand total: two scalars off the (tiny) finest aggregate
+    totals = base.aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+    )
+    lvl0 = rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.nulls(1, pa.string()),
+                "lang": pa.nulls(1, pa.string()),
+                "n_docs": pa.array([totals["n_docs"]], pa.int64()),
+                "sum_chars": pa.array([totals["sum_chars"]], pa.int64()),
+            }
+        )
+    )
+    return base.union(lvl1, lvl0)
+
+
+SQL_Q76 = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(source, lang)
+"""
+
+#: fixed event-type vocabulary of the corpus (pivot column contract)
+Q77_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q77_pivot_events(sf_dir: str):
+    """Pivot (crosstab): one row per user, one count column per event
+    type. Execution shape: the pivot happens BEFORE the exchange — a
+    vectorized one-hot pass per block turns each type into an int64
+    column, so the groupby ships 5 small integer columns instead of a
+    string column, and the wide aggregation is plain Sums (combiner
+    partials). Column set is the declared type vocabulary (pivoting on
+    an unbounded discovered domain is an anti-pattern at scale)."""
+    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
+
+    def _onehot(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t.column("user_id")}
+        et = t.column("event_type")
+        for name in Q77_EVENT_TYPES:
+            cols[f"n_{name}"] = pc.cast(
+                pc.equal(et, pa.scalar(name)), pa.int64()
+            )
+        return pa.table(cols)
+
+    return ev.map_batches(_onehot, batch_format="pyarrow").groupby(
+        "user_id", num_partitions=hash_partitions(8)
+    ).aggregate(
+        *[Sum(f"n_{name}", alias_name=f"n_{name}") for name in Q77_EVENT_TYPES]
+    )
+
+
+SQL_Q77 = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY user_id
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2934,6 +3041,8 @@ def build_registry():
         "q73_chunk_documents": q73_chunk_documents,
         "q74_salted_skew_join": q74_salted_skew_join,
         "q75_semdedup": q75_semdedup,
+        "q76_rollup": q76_rollup,
+        "q77_pivot_events": q77_pivot_events,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -3008,5 +3117,7 @@ def build_registry():
         "q72_running_totals": SQL_Q72,
         "q73_chunk_documents": SQL_Q73,
         "q74_salted_skew_join": SQL_Q74,
+        "q76_rollup": SQL_Q76,
+        "q77_pivot_events": SQL_Q77,
     }
     return queries, oracles
