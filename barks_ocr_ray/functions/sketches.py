@@ -138,8 +138,6 @@ def exact_heavy_hitters(
         strip_schema_metadata,
     )
 
-    key_type = None  # resolved from the first pass-1 block
-
     def _local_hh(t: pa.Table) -> pa.Table:
         n_b = t.num_rows
         col = t.column(key_col).combine_chunks()
@@ -244,3 +242,112 @@ def exact_heavy_hitters(
         return t.filter(keep)  # typed even at 0 rows (filter keeps schema)
 
     return agg.map_batches(_global_filter, batch_format="pyarrow")
+
+
+def _splitmix_bits(vals: np.ndarray, n_hashes: int, m_bits: int) -> np.ndarray:
+    """(n_hashes, n) bloom bit positions for integer keys — splitmix64
+    avalanche (Steele et al., public domain constants), pure vectorized
+    uint64 arithmetic, deterministic across runs and partitionings."""
+    x = vals.astype(np.uint64)
+    out = []
+    for i in range(n_hashes):
+        seed = np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
+        h = x + seed
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h = h ^ (h >> np.uint64(31))
+        out.append(h % np.uint64(m_bits))
+    return np.stack(out)
+
+
+def build_bloom_bits(
+    ds: Dataset,
+    col: str,
+    *,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    num_partitions: int = 4,
+) -> np.ndarray:
+    """Distributed Bloom-filter build over an integer key column:
+    each block emits its DISTINCT bit positions (<= n_hashes x rows,
+    deduped per block), one small aggregation dedups globally, and the
+    driver packs the <= m_bits distinct positions into a uint64 word
+    array — driver state is bounded by m_bits (128 KiB at 2^20), never
+    by the corpus."""
+
+    def _bits(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        pos = np.unique(_splitmix_bits(v, n_hashes, m_bits).ravel())
+        return pa.table({"bit": pa.array(pos.astype(np.int64), pa.int64())})
+
+    bits = ds.map_batches(_bits, batch_format="pyarrow").unique("bit")
+    words = np.zeros(m_bits // 64, np.uint64)
+    arr = np.asarray(bits, np.uint64)
+    np.bitwise_or.at(words, arr // 64, np.uint64(1) << (arr % np.uint64(64)))
+    return words
+
+
+def bloom_semi_join(
+    big: Dataset,
+    small: Dataset,
+    *,
+    on: str,
+    right_on: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Runtime-filtered EXACT semi join (the classic Bloom pushdown —
+    e.g. Spark runtime filters / "sideways information passing"): a
+    Bloom filter of the small side's keys is built distributedly,
+    broadcast once (`ray.put`), and applied as a vectorized membership
+    test per big-side block — rows whose key is DEFINITELY absent never
+    enter the join exchange (the all-to-all ships only true matches
+    plus the false-positive margin, ~0.1% at default sizing for 10^5
+    keys). Survivors get the exact inner join against the small side,
+    so false positives are eliminated and the result is EXACTLY
+    `big WHERE on IN (SELECT right_on FROM small)`. Integer keys only
+    (the vectorized hash path; string keys would need a per-row digest,
+    see hll_count_distinct's tradeoff note)."""
+    import ray
+
+    from barks_ocr_ray.context import hash_partitions
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    words = build_bloom_bits(
+        small, right_on, m_bits=m_bits, n_hashes=n_hashes
+    )
+    words_ref = ray.put(words)
+
+    def _bloom_pass(t: pa.Table) -> pa.Table:
+        w = ray.get(words_ref)
+        v = t.column(on).to_numpy(zero_copy_only=False)
+        pos = _splitmix_bits(v, n_hashes, m_bits)
+        hit = np.ones(len(v), bool)
+        for row in pos:
+            hit &= (w[row // 64] >> (row % np.uint64(64))) & np.uint64(1) != 0
+        return t.filter(pa.array(hit))
+
+    # small side as a (compact, join-safe) distinct key table
+    def _keys_only(t: pa.Table) -> pa.Table:
+        col = t.column(right_on).combine_chunks()
+        vc = col.value_counts()
+        return pa.table({right_on: vc.field("values")})
+
+    keys_ds = small.map_batches(_keys_only, batch_format="pyarrow")
+    from barks_ocr_ray.functions.relational import exact_dedup
+
+    keys_ds = exact_dedup(keys_ds, right_on, num_partitions=4)
+    keys_ds, n_keys = compact_nonempty(keys_ds, 4)
+    filtered = big.map_batches(_bloom_pass, batch_format="pyarrow")
+    if n_keys == 0:
+        # empty small side: bloom has no set bits, nothing survives;
+        # the filtered stream is already empty but keeps big's schema
+        return filtered
+    return filtered.join(
+        keys_ds,
+        join_type="inner",
+        num_partitions=hash_partitions(num_partitions),
+        on=(on,),
+        right_on=(right_on,),
+    )

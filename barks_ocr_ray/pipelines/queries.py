@@ -2964,6 +2964,124 @@ GROUP BY user_id
 """
 
 
+def q78_bloom_semi_join(sf_dir: str):
+    """Runtime-filtered semi join: lineitems of URGENT orders via a
+    distributed Bloom filter of the urgent orderkeys broadcast once —
+    definitely-absent rows never enter the join exchange; survivors
+    (matches + ~0.1% false positives) get the exact inner join, so the
+    result is exactly `WHERE l_orderkey IN (...)`. Aggregated to
+    per-returnflag counts + fixed-point revenue (q72 rationale)."""
+    import pyarrow.dataset as _pds
+
+    from barks_ocr_ray.functions.sketches import bloom_semi_join
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"]
+    )
+    urgent = read_table(
+        sf_dir,
+        "orders",
+        ["o_orderkey"],
+        predicate=_pds.field("o_orderpriority") == "1-URGENT",
+    )
+    matched = bloom_semi_join(
+        li, urgent, on="l_orderkey", right_on="o_orderkey"
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = round_like_duckdb(ext * 100.0, 0).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return (
+        matched.map_batches(_cents, batch_format="pyarrow")
+        .groupby("l_returnflag", num_partitions=2)
+        .aggregate(
+            Count(alias_name="n"), Sum("cents", alias_name="revenue_cents")
+        )
+    )
+
+
+SQL_Q78 = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+_DAY_US = 86_400_000_000
+
+
+def q79_cohort_retention(sf_dir: str):
+    """Cohort retention: users grouped by their FIRST event's day, then
+    distinct active users per (cohort_day, day offset) — the classic
+    retention triangle. Execution shape: ONE keyed exchange on user_id
+    co-locates each user's events; one vectorized pass per block
+    computes first-ts per run, day offsets, and the DISTINCT
+    (user, cohort, offset) triples (sort + shift-compare dedup — valid
+    globally because a user lives in exactly one block); the final
+    count per (cohort, offset) is a small aggregation over pre-deduped
+    pairs, so `count(DISTINCT user)` never ships raw events."""
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def _cohort_block(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = pc.sort_indices(
+            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
+        )
+        t = t.take(idx)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(users)
+        pos = np.arange(n, dtype=np.int64)
+        is_start = np.concatenate(([True], users[1:] != users[:-1]))
+        run_start = np.maximum.accumulate(np.where(is_start, pos, 0))
+        cohort_us = (ts_us[run_start] // _DAY_US) * _DAY_US
+        offset = ts_us // _DAY_US - cohort_us // _DAY_US
+        # distinct (user, cohort, offset): rows are sorted by (user, ts)
+        # so equal triples are adjacent
+        keep = np.concatenate(
+            ([True], (users[1:] != users[:-1]) | (offset[1:] != offset[:-1]))
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(cohort_us[keep], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "offset_days": pa.array(offset[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ev.repartition(16, keys=["user_id"])
+        .map_batches(_cohort_block, batch_format="pyarrow", batch_size=None)
+        .groupby(["cohort_day", "offset_days"], num_partitions=2)
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_Q79 = """
+WITH f AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+)
+SELECT cohort_day,
+       date_diff('day', cohort_day, date_trunc('day', e.ts)) AS offset_days,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f USING (user_id)
+GROUP BY cohort_day, offset_days
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3043,6 +3161,8 @@ def build_registry():
         "q75_semdedup": q75_semdedup,
         "q76_rollup": q76_rollup,
         "q77_pivot_events": q77_pivot_events,
+        "q78_bloom_semi_join": q78_bloom_semi_join,
+        "q79_cohort_retention": q79_cohort_retention,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -3119,5 +3239,7 @@ def build_registry():
         "q74_salted_skew_join": SQL_Q74,
         "q76_rollup": SQL_Q76,
         "q77_pivot_events": SQL_Q77,
+        "q78_bloom_semi_join": SQL_Q78,
+        "q79_cohort_retention": SQL_Q79,
     }
     return queries, oracles
