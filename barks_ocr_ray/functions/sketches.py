@@ -282,8 +282,15 @@ def build_bloom_bits(
 
     bits = ds.map_batches(_bits, batch_format="pyarrow").unique("bit")
     words = np.zeros(m_bits // 64, np.uint64)
-    arr = np.asarray(bits, np.uint64)
-    np.bitwise_or.at(words, arr // 64, np.uint64(1) << (arr % np.uint64(64)))
+    # an EMPTY input surfaces as None / [None] from unique (the UDF is
+    # never invoked on empty blocks); no set bits -> filter rejects all
+    arr = np.asarray(
+        [b for b in (bits or []) if b is not None], np.uint64
+    )
+    if arr.size:
+        np.bitwise_or.at(
+            words, arr // 64, np.uint64(1) << (arr % np.uint64(64))
+        )
     return words
 
 

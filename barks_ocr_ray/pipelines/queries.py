@@ -2978,10 +2978,11 @@ def q78_bloom_semi_join(sf_dir: str):
     li = read_table(
         sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"]
     )
+    # the pushed predicate must be resolvable in the projected schema
     urgent = read_table(
         sf_dir,
         "orders",
-        ["o_orderkey"],
+        ["o_orderkey", "o_orderpriority"],
         predicate=_pds.field("o_orderpriority") == "1-URGENT",
     )
     matched = bloom_semi_join(

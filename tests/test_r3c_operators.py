@@ -338,3 +338,58 @@ def test_semdedup_clustering_only_reduces_drops():
     exact_dropped = {i for i, k in exact.items() if not k}
     assert dropped <= exact_dropped
     assert len(dropped) > 0  # jittered copies co-cluster with originals
+
+
+def test_bloom_semi_join_fp_exactness_and_empty():
+    """With m_bits=64 (guaranteed false positives at 40 keys) the
+    verify join still makes the result EXACTLY `on IN small`; an empty
+    small side returns an empty stream with big's schema."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.sketches import bloom_semi_join
+
+    rng = np.random.default_rng(9)
+    big = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 1000, 30_000), pa.int64()),
+            "v": pa.array(np.arange(30_000, dtype=np.int64)),
+        }
+    )
+    small = pa.table(
+        {"sk": pa.array(rng.choice(1000, 40, replace=False).astype(np.int64))}
+    )
+    got = (
+        bloom_semi_join(
+            rd.from_arrow(big).repartition(5),
+            rd.from_arrow(small),
+            on="k",
+            right_on="sk",
+            m_bits=64,  # tiny: dense filter, many false positives
+            n_hashes=2,
+        )
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            "SELECT k, v FROM big WHERE k IN (SELECT sk FROM small) "
+            "ORDER BY k, v"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got[["k", "v"]].equals(want)
+
+    empty_small = pa.table({"sk": pa.array([], pa.int64())})
+    out = bloom_semi_join(
+        rd.from_arrow(big).repartition(3),
+        rd.from_arrow(empty_small),
+        on="k",
+        right_on="sk",
+        m_bits=64,
+    )
+    assert out.count() == 0
+    assert out.schema().names == ["k", "v"]
