@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q60_decontaminate",
     "q62_sequence_pack",
     "q64_quality_model",
+    "q71_heavy_hitters",
+    "q78_bloom_semi_join",
 ]
 
 

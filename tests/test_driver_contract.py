@@ -36,7 +36,12 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q59_paragraph_dedup", 1),
                         ("q60_decontaminate", 1),
                         ("q62_sequence_pack", 1),
-                        ("q63_mix_corpora", 1)):
+                        ("q63_mix_corpora", 1),
+                        ("q70_asof_join", 1),
+                        ("q71_heavy_hitters", 1),
+                        ("q73_chunk_documents", 1),
+                        ("q75_semdedup", 1),
+                        ("q78_bloom_semi_join", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
