@@ -337,6 +337,13 @@ def _train_centroids(
     mat = _unit(
         np.stack([np.asarray(v, np.float64) for v in sample["embedding"]])
     )
+    return _kmeans(mat, n_centroids, seed)
+
+
+def _kmeans(mat: np.ndarray, n_centroids: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd's k-means over unit rows — a PURE kernel shared by
+    the distributed quantizer and the single-process oracle golden
+    (golden_dedup.py), so both sides train bit-identical centroids."""
     rng = np.random.RandomState(seed)
     k = min(n_centroids, len(mat))
     centroids = mat[rng.choice(len(mat), size=k, replace=False)]

@@ -1,0 +1,434 @@
+"""Single-process goldens for the approximate / non-SQL query family.
+
+The near-dup, ANN and sketch pipelines (q19/q20/q22/q23/q33/q35/q48/
+q67/q75) are deterministic end to end — every hash is an explicit
+blake2/crc/md5 construction, every RNG is seeded, every tie breaks on
+the smallest id — but their semantics are not SQL-replayable (LSH
+banding, seeded hyperplanes, k-means quantizers, HLL registers). Their
+value-exact oracle is therefore the same dual-engine scheme the
+flagship extraction arc uses (oracle_data.py / extract/golden.py,
+reference second-opinion pattern
+/root/reference/src/barks_ocr/pipeline/ocr_validate.py:40-85): a
+sequential driver-side run over the raw parquet, sharing only the pure
+PER-ROW kernels with the pipeline (MinHasher.signature, simhash64,
+_kmeans, the tokenizer) while reimplementing all ORCHESTRATION —
+bucketing, caps, joins, merges, label propagation — as plain loops.
+What the comparison then pins is exactly the distributed machinery:
+shuffles, candidate-pair generation, signature joins, per-block top-k
+merges, convergence loops.
+
+Everything here runs on pyarrow tables, never Datasets — no Ray import.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from difflib import SequenceMatcher
+
+import numpy as np
+import pyarrow as pa
+
+from barks_ocr_ray.functions.dedupe import (
+    N_BANDS,
+    ROWS_PER_BAND,
+    MinHasher,
+    simhash64,
+)
+from barks_ocr_ray.functions.relational import round_like_duckdb
+from barks_ocr_ray.functions.text import Tokenizer
+
+
+def _pairs_with_cap(
+    buckets: dict, grp_of: dict, max_bucket: int = 1000
+) -> set[tuple[int, int]]:
+    """Replay of _bucket_pairs' per-bucket enumeration + hot-bucket
+    guard (dedupe.py:_bucket_pairs): exact all-pairs up to max_bucket
+    distinct docs; beyond it, identical-content docs (same grp) collapse
+    to min-id star pairs and residual reps are capped ascending."""
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        uniq = sorted(set(ids))
+        if len(uniq) < 2:
+            continue
+        if len(uniq) <= max_bucket:
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    pairs.add((uniq[i], uniq[j]))
+            continue
+        rep_of: dict = {}
+        reps = []
+        for d in uniq:  # ascending -> first of each grp is its min id
+            g = grp_of[d]
+            if g not in rep_of:
+                rep_of[g] = d
+                reps.append(d)
+            else:
+                pairs.add((rep_of[g], d))
+        reps = reps[:max_bucket]
+        for i in range(len(reps)):
+            for j in range(i + 1, len(reps)):
+                pairs.add((reps[i], reps[j]))
+    return pairs
+
+
+def golden_minhash_pairs(docs: pa.Table, threshold: float = 0.4) -> pa.Table:
+    """Sequential replay of minhash_near_dups: signature -> band hashes
+    -> bucket pairs (with the hot-bucket star/cap rule) -> full-signature
+    Jaccard estimate >= threshold."""
+    hasher = MinHasher()
+    ids = docs.column("doc_id").to_pylist()
+    sigs: dict[int, np.ndarray] = {}
+    grp_of: dict[int, str] = {}
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for doc_id, s in zip(ids, docs.column("text")):
+        sig = hasher.signature(s.as_py() or "")
+        sigs[doc_id] = sig
+        sig_bytes = sig.tobytes()
+        grp_of[doc_id] = hashlib.blake2b(sig_bytes, digest_size=16).hexdigest()
+        for band in range(N_BANDS):
+            chunk = sig[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+            bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+            buckets.setdefault((band, bh), []).append(doc_id)
+    out_a, out_b, out_e = [], [], []
+    for a, b in sorted(_pairs_with_cap(buckets, grp_of)):
+        est = float((sigs[a] == sigs[b]).mean())
+        if est >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_e.append(est)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "est_jaccard": pa.array(
+                round_like_duckdb(np.asarray(out_e, np.float64), 4), pa.float64()
+            ),
+        }
+    )
+
+
+def golden_simhash_pairs(docs: pa.Table, max_hamming: int = 6) -> pa.Table:
+    """Sequential replay of simhash_near_dups: 64-bit simhash -> four
+    16-bit bands -> bucket pairs -> Hamming verification."""
+    tok = Tokenizer()
+    hs: dict[int, int] = {}
+    grp_of: dict[int, int] = {}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, s in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text")
+    ):
+        h = simhash64(tok.tokens(s.as_py() or ""))
+        hs[doc_id] = h
+        grp_of[doc_id] = h
+        for band in range(4):
+            buckets.setdefault(
+                (band, (h >> (16 * band)) & 0xFFFF), []
+            ).append(doc_id)
+    out_a, out_b, out_h = [], [], []
+    for a, b in sorted(_pairs_with_cap(buckets, grp_of)):
+        d = int(bin(hs[a] ^ hs[b]).count("1"))
+        if d <= max_hamming:
+            out_a.append(a)
+            out_b.append(b)
+            out_h.append(d)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "hamming": pa.array(out_h, pa.int64()),
+        }
+    )
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    return m / norms[:, None]
+
+
+def _emb_rows(emb: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(emb.column("vec_id").to_pylist(), np.int64)
+    mat = np.stack(
+        [np.asarray(v, np.float64) for v in emb.column("embedding").to_pylist()]
+    )
+    return ids, mat
+
+
+def golden_embedding_pairs(
+    emb: pa.Table, threshold: float = 0.8, n_planes: int = 12, seed: int = 7
+) -> pa.Table:
+    """Sequential replay of embedding_near_dups: seeded hyperplane
+    buckets -> exact in-bucket cosine >= threshold."""
+    ids, mat = _emb_rows(emb)
+    planes = np.random.RandomState(seed).standard_normal((mat.shape[1], n_planes))
+    bucket = ((mat @ planes) >= 0).dot(1 << np.arange(n_planes)).astype(np.int64)
+    unit = _unit_rows(mat)
+    out_a, out_b, out_s = [], [], []
+    for bk in np.unique(bucket):
+        members = np.flatnonzero(bucket == bk)
+        members = members[np.argsort(ids[members])]
+        sims = unit[members] @ unit[members].T
+        for ii in range(len(members)):
+            for jj in range(ii + 1, len(members)):
+                s = sims[ii, jj]
+                if s >= threshold:
+                    out_a.append(int(ids[members[ii]]))
+                    out_b.append(int(ids[members[jj]]))
+                    out_s.append(float(s))
+    return pa.table(
+        {
+            "vec_a": pa.array(out_a, pa.int64()),
+            "vec_b": pa.array(out_b, pa.int64()),
+            "cosine": pa.array(
+                round_like_duckdb(np.asarray(out_s, np.float64), 4), pa.float64()
+            ),
+        }
+    )
+
+
+def _topk_table(
+    ids: np.ndarray,
+    unit: np.ndarray,
+    q_ids: np.ndarray,
+    q_mat: np.ndarray,
+    cand_mask_of,
+    k: int,
+) -> pa.Table:
+    """Global top-k per query by (rounded cosine desc, neighbor_id asc) —
+    the fixed merge contract of lsh_topk / ivf_topk (local per-block
+    top-k then merge selects exactly this set)."""
+    out_q, out_n, out_s = [], [], []
+    for qi, qid in enumerate(q_ids):
+        mask = cand_mask_of(qi)
+        mask &= ids != qid
+        if not mask.any():
+            continue
+        cand_ids = ids[mask]
+        sims = round_like_duckdb(unit[mask] @ q_mat[qi], 6)
+        order = np.lexsort((cand_ids, -sims))[: min(k, len(cand_ids))]
+        out_q.extend([int(qid)] * len(order))
+        out_n.extend(cand_ids[order].tolist())
+        out_s.extend(sims[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+def golden_lsh_topk(
+    emb: pa.Table,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 7,
+) -> pa.Table:
+    """Sequential replay of ann.lsh_topk (multi-probe hyperplane LSH)."""
+    ids, mat = _emb_rows(emb)
+    planes = np.random.RandomState(seed).standard_normal((mat.shape[1], n_planes))
+    unit = _unit_rows(mat)
+    q_sel = np.isin(ids, query_ids)
+    q_ids, q_mat = ids[q_sel], unit[q_sel]
+    buckets = ((unit @ planes) >= 0).dot(1 << np.arange(n_planes)).astype(np.int64)
+    q_buckets = buckets[q_sel]
+    probe_sets = [
+        {int(b)} | {int(b) ^ (1 << p) for p in range(n_planes)} for b in q_buckets
+    ]
+    return _topk_table(
+        ids,
+        unit,
+        q_ids,
+        q_mat,
+        lambda qi: np.fromiter(
+            (int(b) in probe_sets[qi] for b in buckets), bool, len(buckets)
+        ),
+        k,
+    )
+
+
+def golden_centroids(emb: pa.Table, n_centroids: int, seed: int = 7) -> np.ndarray:
+    """Sequential replay of ann._train_centroids' bounded deterministic
+    sample (md5-keyed threshold + sort + cap), feeding the SHARED
+    _kmeans kernel — bit-identical centroids to the distributed path."""
+    from barks_ocr_ray.functions.ann import _kmeans
+
+    sample_cap = 2048
+    ids, mat = _emb_rows(emb)
+    frac = min(1.0, 4.0 * sample_cap / max(1, len(ids)))
+    keys = np.array(
+        [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
+    )
+    keep = np.array([int(kk[:8], 16) / float(1 << 32) < frac for kk in keys])
+    order = np.argsort(keys[keep], kind="stable")[:sample_cap]
+    return _kmeans(_unit_rows(mat[keep][order]), n_centroids, seed)
+
+
+def golden_ivf_topk(
+    emb: pa.Table,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+) -> pa.Table:
+    """Sequential replay of ann.ivf_topk (k-means IVF, n_probe lists)."""
+    cents = golden_centroids(emb, n_centroids, seed)
+    ids, mat = _emb_rows(emb)
+    unit = _unit_rows(mat)
+    lists = (unit @ cents.T).argmax(axis=1)
+    q_sel = np.isin(ids, query_ids)
+    q_ids, q_mat = ids[q_sel], unit[q_sel]
+    probe = min(n_probe, len(cents))
+    q_probes = np.argsort(-(q_mat @ cents.T), axis=1)[:, :probe]
+    return _topk_table(
+        ids, unit, q_ids, q_mat, lambda qi: np.isin(lists, q_probes[qi]), k
+    )
+
+
+def golden_semdedup(
+    emb: pa.Table,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 7,
+) -> pa.Table:
+    """Sequential replay of ann.semdedup (cluster-bounded keep-lowest-id
+    cosine rule)."""
+    cents = golden_centroids(emb, n_clusters, seed)
+    ids, mat = _emb_rows(emb)
+    unit = _unit_rows(mat)
+    cl = (unit @ cents.T).argmax(axis=1).astype(np.int64)
+    order = np.lexsort((ids, cl))
+    # within each cluster, in ascending vec_id order, a vector is dropped
+    # when any LOWER-id member (kept or dropped) reaches the threshold
+    by_cluster: dict[int, list[int]] = {}
+    for pos in order:
+        by_cluster.setdefault(int(cl[pos]), []).append(pos)
+    keep_of: dict[int, bool] = {}
+    for members in by_cluster.values():
+        seg = unit[members]
+        sims = seg @ seg.T
+        for i in range(len(members)):
+            keep_of[members[i]] = not bool((sims[i, :i] >= threshold).any())
+    return pa.table(
+        {
+            "vec_id": pa.array([int(ids[p]) for p in order], pa.int64()),
+            "cluster": pa.array([int(cl[p]) for p in order], pa.int64()),
+            "keep": pa.array([keep_of[int(p)] for p in order], pa.bool_()),
+        }
+    )
+
+
+def golden_dup_clusters(pairs: pa.Table) -> pa.Table:
+    """Union-find min-label over candidate pairs — the sequential
+    contract of dedupe.dup_clusters (cluster = smallest reachable id)."""
+    a = pairs.column("doc_a").to_pylist()
+    b = pairs.column("doc_b").to_pylist()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(a, b):
+        if u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    nodes = sorted({x for x in a if x is not None} | set(b))
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster": pa.array([find(n) for n in nodes], pa.int64()),
+        }
+    )
+
+
+def golden_fuzzy_pairing(docs: pa.Table, min_ratio: float = 0.3) -> pa.Table:
+    """Sequential replay of q33 (fuzzy_best_match over length buckets):
+    best SequenceMatcher ratio for each src0 doc among same-bucket src1
+    docs; unmatched lefts emitted with null right/ratio."""
+    rows = sorted(
+        zip(
+            docs.column("doc_id").to_pylist(),
+            docs.column("text").to_pylist(),
+            docs.column("source").to_pylist(),
+            docs.column("n_chars").to_pylist(),
+        )
+    )
+    by_bucket: dict[int, dict[str, list]] = {}
+    for doc_id, text, source, n_chars in rows:
+        if source not in ("src0", "src1"):
+            continue
+        by_bucket.setdefault(n_chars // 100, {"l": [], "r": []})[
+            "l" if source == "src0" else "r"
+        ].append((doc_id, text))
+    keys, lids, rids, ratios = [], [], [], []
+    for bucket in sorted(by_bucket):
+        sides = by_bucket[bucket]
+        for lid, ltext in sides["l"]:
+            best_id, best_ratio = None, min_ratio
+            for rid, rtext in sides["r"]:
+                r = SequenceMatcher(None, ltext, rtext).ratio()
+                if r > best_ratio or (r == best_ratio and best_id is None):
+                    if r >= min_ratio:
+                        best_id, best_ratio = rid, r
+            keys.append(bucket)
+            lids.append(lid)
+            # unmatched lefts (the reference's only_in_* records) carry
+            # the -1/-1.0 sentinels q33 uses — every oracled column is
+            # null-free by repo convention (hash-compare treats NaN as
+            # unequal to itself)
+            rids.append(best_id if best_id is not None else -1)
+            ratios.append(round(best_ratio, 4) if best_id is not None else -1.0)
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.int64()),
+            "left_id": pa.array(lids, pa.int64()),
+            "right_id": pa.array(rids, pa.int64()),
+            "ratio": pa.array(ratios, pa.float64()),
+        }
+    )
+
+
+def golden_hll_distinct(docs: pa.Table, col: str = "text", p: int = 12) -> pa.Table:
+    """Sequential replay of sketches.hll_count_distinct — HLL register
+    state is a max per register, so merge order is irrelevant and the
+    sequential fold reproduces the distributed estimate bit-exactly."""
+    m = 1 << p
+    regs = np.zeros(m, np.int64)
+    for v in docs.column(col):
+        s = v.as_py()
+        if s is None:
+            continue
+        h = int.from_bytes(
+            hashlib.blake2b(str(s).encode("utf-8"), digest_size=8).digest(),
+            "big",
+        )
+        idx = h >> (64 - p)
+        rest = h & ((1 << (64 - p)) - 1)
+        rank = (64 - p) - rest.bit_length() + 1
+        if rank > regs[idx]:
+            regs[idx] = rank
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return pa.table({"n_distinct_est": pa.array([float(est)], pa.float64())})

@@ -282,11 +282,109 @@ def ensure_validation_golden(
     return path
 
 
+#: sf dirs the near-dup/ANN goldens are materialized for — the fast
+#: local loop and the driver's correctness scale. These tables DO vary
+#: with sf (unlike the fixed synthesized corpora above), so every golden
+#: row carries a corpus fingerprint the static SQL recomputes from its
+#: registered view (sum(hash(col)) — DuckDB computes the tag on BOTH
+#: sides, so it is stable by construction); an unknown sf selects zero
+#: golden rows and the comparison fails loudly rather than silently.
+NEARDUP_SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+#: the hashed column per table for the corpus fingerprint
+TAG_COL = {"documents": "text", "embeddings": "embedding"}
+
+
+def corpus_tag_sql(table: str) -> str:
+    """The fingerprint subquery the golden-backed oracle SQL embeds."""
+    return (
+        f"(SELECT CAST(sum(hash({TAG_COL[table]})) AS VARCHAR) FROM {table})"
+    )
+
+
+def neardup_golden_path(name: str) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_{name}.parquet")
+
+
+def ensure_neardup_golden(name: str, table: str, builder) -> str:
+    """Materialize the single-process golden of one near-dup/ANN/sketch
+    query (golden_dedup.py) for every NEARDUP_SF_DIRS corpus, each slice
+    tagged with its DuckDB corpus fingerprint."""
+    path = neardup_golden_path(name)
+    if os.path.exists(path):
+        return path
+    import duckdb
+    import pyarrow.parquet as pq
+
+    parts = []
+    for sf_dir in NEARDUP_SF_DIRS:
+        src = os.path.join(sf_dir, f"{table}.parquet")
+        out = builder(pq.read_table(src))
+        tag = duckdb.sql(
+            f"SELECT CAST(sum(hash({TAG_COL[table]})) AS VARCHAR) "
+            f"FROM read_parquet('{src}')"
+        ).fetchone()[0]
+        parts.append(
+            out.append_column(
+                "corpus_tag", pa.array([tag] * out.num_rows, pa.string())
+            )
+        )
+    _atomic_write(pa.concat_tables(parts), path)
+    return path
+
+
+def ensure_neardup_goldens() -> dict[str, str]:
+    """All nine near-dup/ANN/sketch goldens (each builder runs in well
+    under a second per corpus at these sfs — measured 0.4 s total)."""
+    from barks_ocr_ray import golden_dedup as g
+
+    return {
+        "q19": ensure_neardup_golden(
+            "minhash_pairs", "documents",
+            lambda t: g.golden_minhash_pairs(t, threshold=0.4),
+        ),
+        "q20": ensure_neardup_golden(
+            "simhash_pairs", "documents",
+            lambda t: g.golden_simhash_pairs(t, max_hamming=6),
+        ),
+        "q22": ensure_neardup_golden(
+            "embedding_pairs", "embeddings",
+            lambda t: g.golden_embedding_pairs(t, threshold=0.8),
+        ),
+        "q23": ensure_neardup_golden(
+            "lsh_topk", "embeddings",
+            lambda t: g.golden_lsh_topk(t, list(range(8)), k=10),
+        ),
+        "q33": ensure_neardup_golden(
+            "fuzzy_pairing", "documents",
+            lambda t: g.golden_fuzzy_pairing(t, min_ratio=0.3),
+        ),
+        "q35": ensure_neardup_golden(
+            "dup_clusters", "documents",
+            lambda t: g.golden_dup_clusters(
+                g.golden_minhash_pairs(t, threshold=0.4)
+            ),
+        ),
+        "q48": ensure_neardup_golden(
+            "ivf_topk", "embeddings",
+            lambda t: g.golden_ivf_topk(t, list(range(8)), k=10),
+        ),
+        "q67": ensure_neardup_golden(
+            "hll_distinct", "documents",
+            lambda t: g.golden_hll_distinct(t, "text"),
+        ),
+        "q75": ensure_neardup_golden(
+            "semdedup", "embeddings",
+            lambda t: g.golden_semdedup(t, threshold=0.95, n_clusters=16),
+        ),
+    }
+
+
 def ensure_all() -> dict[str, str]:
     """Materialize every golden the oracle SQL references (idempotent;
     called from the registry build so the files exist regardless of
     whether the driver runs the Ray query or the SQL first)."""
-    return {
+    out = {
         "q24": ensure_extraction_golden(Q24_N),
         "q34": ensure_extraction_golden(Q34_N),
         "q25": ensure_media_golden(Q25_N),
@@ -294,3 +392,5 @@ def ensure_all() -> dict[str, str]:
         "q50": ensure_resize_golden(Q25_N),
         "q26": ensure_validation_golden(Q34_N),
     }
+    out.update(ensure_neardup_goldens())
+    return out

@@ -500,6 +500,9 @@ FROM t
 
 
 def q19_minhash_near_dups(sf_dir: str):
+    """MinHash+LSH near-dups; value-exact against the single-process
+    golden (golden_dedup.golden_minhash_pairs — same signature kernel,
+    sequential orchestration)."""
     from barks_ocr_ray.functions.dedupe import minhash_near_dups
 
     return minhash_near_dups(
@@ -508,6 +511,8 @@ def q19_minhash_near_dups(sf_dir: str):
 
 
 def q20_simhash_near_dups(sf_dir: str):
+    """SimHash banded near-dups; value-exact against the single-process
+    golden (golden_dedup.golden_simhash_pairs)."""
     from barks_ocr_ray.functions.dedupe import simhash_near_dups
 
     return simhash_near_dups(
@@ -550,14 +555,29 @@ WHERE {jac} >= {threshold}
 
 
 def q22_embedding_near_dups(sf_dir: str):
+    """Hyperplane-LSH cosine near-dups; value-exact against the
+    single-process golden (golden_dedup.golden_embedding_pairs)."""
     from barks_ocr_ray.functions.dedupe import embedding_near_dups
 
-    return embedding_near_dups(
+    res = embedding_near_dups(
         read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.8
-    )
+    ).materialize()
+    # Dataset.to_pandas() drops the schema at 0 rows (a real outcome at
+    # threshold=0.8 on the small corpora) — return the typed empty table
+    if res.count() == 0:
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    return res
 
 
 def q23_lsh_topk(sf_dir: str):
+    """Multi-probe hyperplane-LSH approximate top-k; value-exact against
+    the single-process golden (golden_dedup.golden_lsh_topk)."""
     from barks_ocr_ray.functions.ann import lsh_topk
 
     return lsh_topk(
@@ -890,7 +910,8 @@ GROUP BY name
 def q33_fuzzy_pairing(sf_dir: str):
     """Fuzzy similarity join (J4/J5 analog): best SequenceMatcher match
     for src0 docs among src1 docs within the same length bucket
-    (rows-only; quadratic step bounded by the blocking key)."""
+    (quadratic step bounded by the blocking key); value-exact against
+    the single-process golden (golden_dedup.golden_fuzzy_pairing)."""
     import pyarrow.compute as _pc
 
     from barks_ocr_ray.functions.fuzzy import fuzzy_best_match
@@ -911,10 +932,28 @@ def q33_fuzzy_pairing(sf_dir: str):
 
         return _f
 
-    return fuzzy_best_match(
+    res = fuzzy_best_match(
         docs, docs, key_col="bucket", id_col="doc_id", text_col="text",
         min_ratio=0.3, left_pre=_src("src0"), right_pre=_src("src1"),
     )
+
+    def _sentinels(t: pa.Table) -> pa.Table:
+        # unmatched lefts -> -1/-1.0 sentinels: oracled columns are
+        # null-free by repo convention (NaN breaks bit-exact hashing)
+        return pa.table(
+            {
+                "key": t.column("key"),
+                "left_id": t.column("left_id"),
+                "right_id": pc.fill_null(
+                    t.column("right_id"), pa.scalar(-1, pa.int64())
+                ),
+                "ratio": pc.fill_null(
+                    t.column("ratio"), pa.scalar(-1.0, pa.float64())
+                ),
+            }
+        )
+
+    return res.map_batches(_sentinels, batch_format="pyarrow")
 
 
 def _issue_dismissals() -> tuple[tuple[str, str], ...]:
@@ -1088,7 +1127,9 @@ GROUP BY o_orderpriority
 def q35_dup_clusters(sf_dir: str):
     """Near-dup candidate pairs -> connected components (min-label
     propagation): the canonical-representative resolution step after
-    MinHash banding (rows-only)."""
+    MinHash banding. Value-exact against the single-process union-find
+    golden (golden_dedup.golden_dup_clusters over the q19 golden pairs);
+    the recursive-CTE SQL sibling on the same machinery is q39."""
     from barks_ocr_ray.functions.dedupe import dup_clusters, minhash_near_dups
 
     pairs = minhash_near_dups(
@@ -1546,8 +1587,10 @@ WHERE rank <= 3
 def q48_ivf_topk(sf_dir: str):
     """IVF approximate top-k (inverted-file ANN, the second scale path
     next to LSH q23): bounded-sample k-means quantizer, per-list search
-    over n_probe/n_centroids of the corpus. Rows-only (recall < 1 by
-    construction); recall@k vs brute force pinned by unit test."""
+    over n_probe/n_centroids of the corpus. Recall < 1 by construction
+    (recall@k vs brute force pinned by unit test); value-exact against
+    the single-process golden (golden_dedup.golden_ivf_topk — shared
+    _kmeans kernel, sequential search)."""
     from barks_ocr_ray.functions.ann import ivf_topk
 
     return ivf_topk(
@@ -2446,11 +2489,12 @@ def q67_hll_distinct(sf_dir: str):
     """HyperLogLog approximate distinct-text count over documents —
     the canonical cardinality sketch (nonzero registers as combiner
     partials, ONE 4096-key max-aggregation, driver holds the register
-    array only). No SQL oracle (an estimate, and DuckDB's
-    approx_count_distinct is a different HLL implementation): driver
-    checks rows-only; the <5%-error and partitioning-invariance
-    contracts are pinned by unit tests, and the exact-distinct sibling
-    machinery is q07/q15."""
+    array only). DuckDB's approx_count_distinct is a different HLL
+    implementation, so the value-exact oracle is the single-process
+    register fold (golden_dedup.golden_hll_distinct — register state is
+    an order-independent max, so sequential == distributed bit-exactly);
+    the <5%-error and partitioning-invariance contracts are pinned by
+    unit tests, and the exact-distinct sibling machinery is q07/q15."""
     from barks_ocr_ray.functions.sketches import hll_count_distinct
 
     return rd.from_arrow(
@@ -2848,9 +2892,11 @@ GROUP BY p_brand
 def q75_semdedup(sf_dir: str):
     """SemDeDup semantic near-dedup over the embeddings table (k-means
     candidate bounding + within-cluster keep-lowest-id cosine rule).
-    Rows-only: the quantizer is not SQL-replayable; the exact sibling
-    on the same cosine kernel is q44, and the n_clusters=1 reduction to
-    the exact greedy rule is pinned by a unit test."""
+    The quantizer is not SQL-replayable, so the value-exact oracle is
+    the single-process golden (golden_dedup.golden_semdedup — shared
+    _kmeans kernel); the exact sibling on the same cosine kernel is q44,
+    and the n_clusters=1 reduction to the exact greedy rule is pinned by
+    a unit test."""
     from barks_ocr_ray.functions.ann import semdedup
 
     emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -3083,6 +3129,21 @@ GROUP BY cohort_day, offset_days
 """
 
 
+def _sql_golden(name: str, cols: str, table: str) -> str:
+    """Oracle SQL for the dual-engine (single-process golden) queries —
+    the near-dup/ANN/sketch family whose semantics are deterministic but
+    not SQL-replayable (golden_dedup.py). The golden parquet holds one
+    slice per supported sf corpus; the WHERE clause recomputes the
+    corpus fingerprint from the registered view so the static SQL
+    selects the slice matching whatever sf the driver mounted."""
+    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
+
+    return (
+        f"SELECT {cols} FROM read_parquet('{neardup_golden_path(name)}') "
+        f"WHERE corpus_tag = {corpus_tag_sql(table)}"
+    )
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3190,7 +3251,34 @@ def build_registry():
         "q16_ann_cosine_topk": SQL_Q16,
         "q17_lang_id": _sql_q17(),
         "q18_fingerprints": _sql_q18(),
+        "q19_minhash_near_dups": _sql_golden(
+            "minhash_pairs", "doc_a, doc_b, est_jaccard", "documents"
+        ),
+        "q20_simhash_near_dups": _sql_golden(
+            "simhash_pairs", "doc_a, doc_b, hamming", "documents"
+        ),
         "q21_ngram_jaccard": _sql_q21(),
+        "q22_embedding_near_dups": _sql_golden(
+            "embedding_pairs", "vec_a, vec_b, cosine", "embeddings"
+        ),
+        "q23_lsh_topk": _sql_golden(
+            "lsh_topk", "query_id, neighbor_id, cosine", "embeddings"
+        ),
+        "q33_fuzzy_pairing": _sql_golden(
+            "fuzzy_pairing", '"key", left_id, right_id, ratio', "documents"
+        ),
+        "q35_dup_clusters": _sql_golden(
+            "dup_clusters", "doc_id, cluster", "documents"
+        ),
+        "q48_ivf_topk": _sql_golden(
+            "ivf_topk", "query_id, neighbor_id, cosine", "embeddings"
+        ),
+        "q67_hll_distinct": _sql_golden(
+            "hll_distinct", "n_distinct_est", "documents"
+        ),
+        "q75_semdedup": _sql_golden(
+            "semdedup", "vec_id, cluster, keep", "embeddings"
+        ),
         "q24_extraction_pipeline": _sql_q24(),
         "q25_multimodal_features": _sql_q25(),
         "q26_validate_extraction": _sql_q26(),
