@@ -3079,6 +3079,12 @@ def q79_cohort_retention(sf_dir: str):
     pairs, so `count(DISTINCT user)` never ships raw events."""
     ev = read_table(sf_dir, "events", ["user_id", "ts"])
 
+    # NOTE: a hash partition no user landed on (possible at tiny sf)
+    # reaches the downstream aggregate as a schema-less empty — Ray 2.49
+    # map_batches skips the UDF on ANY empty block, typed or not, so an
+    # in-UDF typed-empty guard is unreachable (verified). Benign here:
+    # the aggregate tolerates empties; at sf>=0.01 every partition is
+    # populated and the executor's schema warning does not fire.
     def _cohort_block(t: pa.Table) -> pa.Table:
         import numpy as np
 
@@ -3126,6 +3132,220 @@ SELECT cohort_day,
        count(DISTINCT e.user_id) AS n_users
 FROM events e JOIN f USING (user_id)
 GROUP BY cohort_day, offset_days
+"""
+
+
+GLOBAL_RANK_BANDS = 32
+RANK_SAMPLE_CAP = 1024
+
+
+def q80_global_rank(sf_dir: str):
+    """Global row_number over a distributed order — the two-pass
+    range-bucketed ranking pattern (Ray Data has no global window): a
+    bounded deterministic sample (the IVF quantizer's md5-threshold
+    rule) yields range boundaries, every row buckets locally, ONE tiny
+    aggregation counts each band, the driver prefix-sums the band counts
+    (GLOBAL_RANK_BANDS scalars — never rows), and a keyed exchange on
+    band co-locates each band so rank = band_offset + local position.
+    No global sort barrier: at 100 TB raise the band count well past the
+    cluster width and the exchange stays balanced while the sample cap
+    still bounds driver memory."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = round_like_duckdb(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    # two columns, reused by the sample pass, the count pass and the
+    # rank pass — materialized once (key+id only, never the payload)
+    ds = orders.map_batches(_cents, batch_format="pyarrow").materialize()
+    n_rows = ds.count()
+    frac = min(1.0, 4.0 * RANK_SAMPLE_CAP / max(1, n_rows))
+
+    def _sample(t: pa.Table) -> pa.Table:
+        keys = [
+            _hashlib.md5(str(i).encode("utf-8")).hexdigest()
+            for i in t.column("o_orderkey").to_pylist()
+        ]
+        keep = [int(k[:8], 16) / float(1 << 32) < frac for k in keys]
+        return t.append_column("sample_key", pa.array(keys, pa.string())).filter(
+            pa.array(keep, pa.bool_())
+        )
+
+    sample = (
+        ds.map_batches(_sample, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("sample_key", kind="mergesort")
+        .head(RANK_SAMPLE_CAP)
+    )
+    boundaries = np.unique(
+        np.quantile(
+            sample["cents"].to_numpy(),
+            np.linspace(0, 1, GLOBAL_RANK_BANDS + 1)[1:-1],
+            method="nearest",
+        ).astype(np.int64)
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t.column("cents").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "band",
+            pa.array(np.searchsorted(boundaries, c, side="right"), pa.int64()),
+        )
+
+    banded = ds.map_batches(_bucket, batch_format="pyarrow")
+    counts = banded.groupby("band", num_partitions=2).aggregate(
+        Count(alias_name="n")
+    ).to_pandas()
+    # DESC ranking: a band's offset = total rows in HIGHER bands
+    counts = counts.sort_values("band", ascending=False)
+    offsets = dict(
+        zip(counts["band"], counts["n"].cumsum().shift(fill_value=0))
+    )
+
+    def _rank_block(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("band", "ascending"),
+                ("cents", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        band = t.column("band").to_numpy(zero_copy_only=False)
+        n = len(band)
+        pos = np.arange(n, dtype=np.int64)
+        is_start = np.concatenate(([True], band[1:] != band[:-1]))
+        run_start = np.maximum.accumulate(np.where(is_start, pos, 0))
+        off = np.array([offsets[b] for b in band[is_start]], dtype=np.int64)
+        off_full = np.repeat(off, np.diff(np.append(np.flatnonzero(is_start), n)))
+        rank = off_full + (pos - run_start) + 1
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "global_rank": pa.array(rank, pa.int64()),
+            }
+        )
+
+    return banded.repartition(8, keys=["band"]).map_batches(
+        _rank_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q80 = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (
+           ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC,
+                    o_orderkey) AS BIGINT) AS global_rank
+FROM orders
+"""
+
+
+def q81_corr_moments(sf_dir: str):
+    """Distributed Pearson correlation / covariance via EXACT fixed-point
+    moments: each block folds (n, Sx, Sy, Sxx, Syy, Sxy) over integer
+    cents/units into ONE partial row, a single tiny aggregation sums
+    them, and the driver evaluates the closed-form moments in one fixed
+    float expression — so the result is bit-identical across any
+    partitioning (float ops happen exactly once, on exact integer sums;
+    the naive streaming-float corr is order-dependent). The oracle
+    mirrors the same integer sums (HUGEINT) and the same final float
+    expression. Units are whole DOLLARS so the int64 partial sums hold
+    headroom (~1e4 price^2 rows per 1e18): the cross-block aggregate
+    stays int64-safe past 1e9 rows of this table's magnitudes; beyond
+    that, widen partials to two-limb int64 pairs (the exchange stays one
+    row per block either way). The driver math runs in PYTHON ints —
+    exact at any width — and floats enter exactly once."""
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        dollars = round_like_duckdb(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(q)], pa.int64()),
+                "sx": pa.array([int(q.sum())], pa.int64()),
+                "sy": pa.array([int(dollars.sum())], pa.int64()),
+                "sxx": pa.array([int((q * q).sum())], pa.int64()),
+                "syy": pa.array([int((dollars * dollars).sum())], pa.int64()),
+                "sxy": pa.array([int((q * dollars).sum())], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(_partials, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+        Sum("sxy", alias_name="sxy"),
+    )
+    # Python ints: exact at any width (numpy int64 would wrap on n*syy)
+    n, sx, sy = int(agg["n"]), int(agg["sx"]), int(agg["sy"])
+    sxx, syy, sxy = int(agg["sxx"]), int(agg["syy"]), int(agg["sxy"])
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    corr = float(num) / float(np.sqrt(float(d1) * float(d2)))
+    covar_pop = float(num) / (float(n) * float(n))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "corr_qty_dollars": pa.array(
+                round_like_duckdb(np.array([corr]), 9), pa.float64()
+            ),
+            "covar_pop_dollars": pa.array(
+                round_like_duckdb(np.array([covar_pop]), 4), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_Q81 = """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CAST(l_quantity AS HUGEINT)) AS sx,
+         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)) AS sy,
+         sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
+         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)
+             * CAST(round(l_extendedprice, 0) AS HUGEINT)) AS syy,
+         sum(CAST(l_quantity AS HUGEINT)
+             * CAST(round(l_extendedprice, 0) AS HUGEINT)) AS sxy
+  FROM lineitem
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 9)
+           AS corr_qty_dollars,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
+           AS covar_pop_dollars
+FROM m
 """
 
 
@@ -3225,6 +3445,8 @@ def build_registry():
         "q77_pivot_events": q77_pivot_events,
         "q78_bloom_semi_join": q78_bloom_semi_join,
         "q79_cohort_retention": q79_cohort_retention,
+        "q80_global_rank": q80_global_rank,
+        "q81_corr_moments": q81_corr_moments,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -3330,5 +3552,7 @@ def build_registry():
         "q77_pivot_events": SQL_Q77,
         "q78_bloom_semi_join": SQL_Q78,
         "q79_cohort_retention": SQL_Q79,
+        "q80_global_rank": SQL_Q80,
+        "q81_corr_moments": SQL_Q81,
     }
     return queries, oracles

@@ -41,7 +41,9 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q71_heavy_hitters", 1),
                         ("q73_chunk_documents", 1),
                         ("q75_semdedup", 1),
-                        ("q78_bloom_semi_join", 1)):
+                        ("q78_bloom_semi_join", 1),
+                        ("q80_global_rank", 1),
+                        ("q81_corr_moments", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
