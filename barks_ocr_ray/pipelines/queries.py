@@ -24,6 +24,7 @@ from barks_ocr_ray.functions.relational import (
     round_columns,
     round_like_duckdb,
 )
+from barks_ocr_ray.functions.text import Tokenizer
 
 # --------------------------------------------------------------------------
 # SQL-oracled queries
@@ -3349,6 +3350,210 @@ FROM m
 """
 
 
+class _VocabSideCombiner:
+    """Per-block combiner for the distributed INTERSECT: one
+    (word, in0, in1) partial per distinct word per block — the exchange
+    carries vocabulary partials, never tokens (A1 discipline). Warm
+    tokenizer state per actor (T3 pattern)."""
+
+    def __init__(self):
+        # Tokenizer is imported at MODULE level: __init__ runs on the
+        # worker, where an in-body `from barks_ocr_ray ...` fails under
+        # by-value pickling (CLAUDE.md corollary)
+        self._tok = Tokenizer()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        seen: dict[str, list[int]] = {}
+        for s, src in zip(t.column("text"), t.column("source")):
+            sv = src.as_py()
+            if sv not in ("src0", "src1") or not s.is_valid:
+                continue
+            side = 0 if sv == "src0" else 1
+            for w in self._tok.tokens(s.as_py()):
+                seen.setdefault(w, [0, 0])[side] = 1
+        return pa.table(
+            {
+                "word": pa.array(list(seen), pa.string()),
+                "in0": pa.array([v[0] for v in seen.values()], pa.int64()),
+                "in1": pa.array([v[1] for v in seen.values()], pa.int64()),
+            }
+        )
+
+
+def q82_source_intersect(sf_dir: str):
+    """Distributed INTERSECT (set semantics) — the vocabulary shared by
+    src0 and src1 documents. Shape: per-block combiner dedups
+    (word, side-flag) partials, ONE keyed aggregation ORs the flags, a
+    vectorized filter keeps both-sides words. Set-difference sibling is
+    q06 (anti join); a text-hash intersect is the same machinery with
+    md5(text) as the key."""
+    docs = read_table(sf_dir, "documents", ["text", "source"])
+
+    both = (
+        docs.map_batches(
+            _VocabSideCombiner, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("word", num_partitions=2)
+        .aggregate(Max("in0", alias_name="in0"), Max("in1", alias_name="in1"))
+    )
+
+    def _keep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t.column("in0"), pa.scalar(1, pa.int64())),
+            pc.equal(t.column("in1"), pa.scalar(1, pa.int64())),
+        )
+        return pa.table({"word": t.column("word").filter(mask)})
+
+    res = both.map_batches(_keep, batch_format="pyarrow").materialize()
+    if res.count() == 0:
+        return pa.table({"word": pa.array([], pa.string())})
+    return res
+
+
+def _sql_q82() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
+FROM documents WHERE source = 'src0'
+INTERSECT
+SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
+FROM documents WHERE source = 'src1'
+"""
+
+
+def q83_cube(sf_dir: str):
+    """GROUP BY CUBE(source, lang) — all four grouping sets from ONE
+    full-data aggregation (q76 ROLLUP shape plus the lang-only level,
+    also derived from the vocabulary-sized finest aggregate; the corpus
+    is scanned exactly once regardless of grouping-set count)."""
+    docs = read_table(sf_dir, "documents", ["source", "lang", "n_chars"])
+    base = (
+        docs.groupby(["source", "lang"], num_partitions=2)
+        .aggregate(
+            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+        )
+        .materialize()
+    )
+
+    def _null_col(col: str):
+        def _m(t: pa.Table) -> pa.Table:
+            cols = {
+                "source": t.column("source")
+                if col != "source"
+                else pa.nulls(t.num_rows, pa.string()),
+                "lang": t.column("lang")
+                if col != "lang"
+                else pa.nulls(t.num_rows, pa.string()),
+                "n_docs": t.column("n_docs"),
+                "sum_chars": t.column("sum_chars"),
+            }
+            return pa.table(cols)
+
+        return _m
+
+    lvl_source = (
+        base.groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .map_batches(_null_col("lang"), batch_format="pyarrow")
+    )
+    lvl_lang = (
+        base.groupby("lang", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_chars", alias_name="sum_chars"),
+        )
+        .map_batches(_null_col("source"), batch_format="pyarrow")
+    )
+    totals = base.aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+    )
+    lvl0 = rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.nulls(1, pa.string()),
+                "lang": pa.nulls(1, pa.string()),
+                "n_docs": pa.array([totals["n_docs"]], pa.int64()),
+                "sum_chars": pa.array([totals["sum_chars"]], pa.int64()),
+            }
+        )
+    )
+    return base.union(lvl_source, lvl_lang, lvl0)
+
+
+SQL_Q83 = """
+SELECT source, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE(source, lang)
+"""
+
+
+def q84_weighted_mean(sf_dir: str):
+    """Grouped weighted mean on exact integer sums: quantity-weighted
+    average price per returnflag. The partials (sum qty, sum qty*price
+    in whole dollars) are exact int64; the division is the only float
+    op, applied once per (tiny) group row — partitioning-invariant bits
+    (q81 discipline, grouped)."""
+    li = read_table(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = round_like_duckdb(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "w": pa.array(q, pa.int64()),
+                "wx": pa.array(q * d, pa.int64()),
+            }
+        )
+
+    agg = (
+        li.map_batches(_partials, batch_format="pyarrow")
+        .groupby("l_returnflag", num_partitions=2)
+        .aggregate(Sum("w", alias_name="w"), Sum("wx", alias_name="wx"))
+    )
+
+    def _mean(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        wx = t.column("wx").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "sum_qty": t.column("w"),
+                "wavg_dollars": pa.array(
+                    round_like_duckdb(wx / w, 6), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(_mean, batch_format="pyarrow")
+
+
+SQL_Q84 = """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       round(CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice, 0) AS BIGINT)) AS DOUBLE)
+             / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 6)
+           AS wavg_dollars
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -3447,6 +3652,9 @@ def build_registry():
         "q79_cohort_retention": q79_cohort_retention,
         "q80_global_rank": q80_global_rank,
         "q81_corr_moments": q81_corr_moments,
+        "q82_source_intersect": q82_source_intersect,
+        "q83_cube": q83_cube,
+        "q84_weighted_mean": q84_weighted_mean,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -3554,5 +3762,8 @@ def build_registry():
         "q79_cohort_retention": SQL_Q79,
         "q80_global_rank": SQL_Q80,
         "q81_corr_moments": SQL_Q81,
+        "q82_source_intersect": _sql_q82(),
+        "q83_cube": SQL_Q83,
+        "q84_weighted_mean": SQL_Q84,
     }
     return queries, oracles

@@ -43,7 +43,10 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q75_semdedup", 1),
                         ("q78_bloom_semi_join", 1),
                         ("q80_global_rank", 1),
-                        ("q81_corr_moments", 1)):
+                        ("q81_corr_moments", 1),
+                        ("q82_source_intersect", 1),
+                        ("q83_cube", 1),
+                        ("q84_weighted_mean", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
