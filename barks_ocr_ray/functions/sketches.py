@@ -358,3 +358,114 @@ def bloom_semi_join(
         on=(on,),
         right_on=(right_on,),
     )
+
+
+# --- Count-Min sketch ------------------------------------------------------
+
+from barks_ocr_ray.functions.text import Tokenizer as _SketchTokenizer
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+
+#: fixed probe list for the q85 point-frequency query (mixed common /
+#: rare / absent words; shared by the query, the golden and the tests)
+CMS_PROBES = [
+    "the", "a", "of", "to", "and", "data", "with", "for",
+    "zyzzyva", "nonexistentword",
+]
+
+
+def _cms_slot(depth: int, value: str) -> int:
+    """Deterministic register index for one hash row (blake2b keyed by
+    the row id — never Python's salted hash)."""
+    h = int.from_bytes(
+        hashlib.blake2b(
+            f"{depth}:{value}".encode("utf-8"), digest_size=8
+        ).digest(),
+        "big",
+    )
+    return depth * CMS_WIDTH + (h % CMS_WIDTH)
+
+
+def cms_token_counts(
+    ds: Dataset,
+    text_col: str,
+    probe_words: list[str],
+    *,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> pa.Table:
+    """Count-Min point-frequency estimates (Cormode & Muthukrishnan 2005
+    — public paper) for ``probe_words`` over the token stream of
+    ``ds[text_col]``: one (word, est_count) row per probe, est >= true
+    count always (one-sided error; the q71 exact heavy hitters are the
+    exact sibling).
+
+    Shape mirrors the HLL op: each block folds its tokens into a local
+    depth x width int64 register matrix and emits only the NONZERO
+    registers as (slot, cnt) combiner partials; ONE register-sized
+    aggregation (at most depth*width = 4096 keys) sums them — CMS
+    registers merge by ADDITION, which is order-independent, so the
+    estimate is identical across runs, partitionings and cluster sizes.
+    The driver holds exactly the final register matrix, never a token.
+    """
+    m = depth * width
+
+    class _Fold:
+        """Warm tokenizer + per-actor slot cache (T3 pattern): the
+        Zipfian vocabulary makes repeated slot derivations dict hits."""
+
+        def __init__(self):
+            # module-level Tokenizer import: __init__ runs on the worker,
+            # where in-body barks_ocr_ray imports fail under by-value
+            # pickling (CLAUDE.md corollary)
+            self._tok = _SketchTokenizer()
+            self._slots: dict[str, np.ndarray] = {}
+
+        def _word_slots(self, w: str) -> np.ndarray:
+            s = self._slots.get(w)
+            if s is None:
+                s = np.array(
+                    [_cms_slot(d, w) for d in range(depth)], dtype=np.int64
+                )
+                if len(self._slots) < (1 << 20):
+                    self._slots[w] = s
+            return s
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            regs = np.zeros(m, np.int64)
+            for v in t.column(text_col):
+                s = v.as_py()
+                if s is None:
+                    continue
+                for w in self._tok.tokens(s):
+                    regs[self._word_slots(w)] += 1
+            nz = np.nonzero(regs)[0]
+            return pa.table(
+                {
+                    "slot": pa.array(nz, pa.int64()),
+                    "cnt": pa.array(regs[nz], pa.int64()),
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        ds.map_batches(_Fold, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("slot", num_partitions=2)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    regs = np.zeros(m, np.int64)
+    for r in merged:
+        regs[r["slot"]] = r["cnt"]
+    words = sorted(probe_words)
+    ests = [
+        int(min(regs[_cms_slot(d, w)] for d in range(depth))) for w in words
+    ]
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "est_count": pa.array(ests, pa.int64()),
+        }
+    )

@@ -432,3 +432,36 @@ def golden_hll_distinct(docs: pa.Table, col: str = "text", p: int = 12) -> pa.Ta
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return pa.table({"n_distinct_est": pa.array([float(est)], pa.float64())})
+
+
+def golden_cms_counts(docs: pa.Table, col: str = "text") -> pa.Table:
+    """Sequential replay of sketches.cms_token_counts — CMS registers
+    merge by addition (order-independent), so the sequential fold
+    reproduces the distributed estimate bit-exactly."""
+    from barks_ocr_ray.functions.sketches import (
+        CMS_DEPTH,
+        CMS_PROBES,
+        CMS_WIDTH,
+        _cms_slot,
+    )
+
+    tok = Tokenizer()
+    regs = np.zeros(CMS_DEPTH * CMS_WIDTH, np.int64)
+    for v in docs.column(col):
+        s = v.as_py()
+        if s is None:
+            continue
+        for w in tok.tokens(s):
+            for d in range(CMS_DEPTH):
+                regs[_cms_slot(d, w)] += 1
+    words = sorted(CMS_PROBES)
+    ests = [
+        int(min(regs[_cms_slot(d, w)] for d in range(CMS_DEPTH)))
+        for w in words
+    ]
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "est_count": pa.array(ests, pa.int64()),
+        }
+    )

@@ -377,6 +377,10 @@ def ensure_neardup_goldens() -> dict[str, str]:
             "semdedup", "embeddings",
             lambda t: g.golden_semdedup(t, threshold=0.95, n_clusters=16),
         ),
+        "q85": ensure_neardup_golden(
+            "cms_counts", "documents",
+            lambda t: g.golden_cms_counts(t, "text"),
+        ),
     }
 
 

@@ -3554,6 +3554,134 @@ GROUP BY l_returnflag
 """
 
 
+def q85_cms_counts(sf_dir: str):
+    """Count-Min sketch point-frequency estimates for a fixed probe
+    word list (sketches.CMS_PROBES) over the documents token stream —
+    the approximate-frequency sketch next to q67's HLL cardinality and
+    q71's exact heavy hitters. Registers merge by addition (order
+    independent), so the estimate is value-exact against the sequential
+    golden fold (golden_dedup.golden_cms_counts)."""
+    from barks_ocr_ray.functions.sketches import CMS_PROBES, cms_token_counts
+
+    return cms_token_counts(
+        read_table(sf_dir, "documents", ["text"]), "text", CMS_PROBES
+    )
+
+
+def q86_grouped_zscore(sf_dir: str):
+    """Grouped z-score normalization of order prices (whole dollars)
+    within each order priority — the canonical two-pass feature
+    normalization: pass 1 folds exact int64 moment partials (n, S, SS)
+    per group into ONE tiny aggregate; the driver derives mean/std per
+    group with floats entering once (q81 discipline) and BROADCASTS the
+    group table (5 rows) into pass 2's vectorized per-row standardize.
+    The corpus is never exchanged — only moments move."""
+    import numpy as np
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+
+    def _dollars(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = round_like_duckdb(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False), 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "dollars": pa.array(d, pa.int64()),
+            }
+        )
+
+    ds = orders.map_batches(_dollars, batch_format="pyarrow").materialize()
+
+    def _moments(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = t.column("dollars").to_numpy(zero_copy_only=False)
+        out_g, out_n, out_s, out_ss = [], [], [], []
+        grp = t.column("o_orderpriority").to_pandas()
+        for g in sorted(grp.unique()):
+            mask = (grp == g).to_numpy()
+            seg = d[mask]
+            out_g.append(g)
+            out_n.append(len(seg))
+            out_s.append(int(seg.sum()))
+            out_ss.append(int((seg * seg).sum()))
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(out_g, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "s": pa.array(out_s, pa.int64()),
+                "ss": pa.array(out_ss, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_moments, batch_format="pyarrow")
+        .groupby("o_orderpriority", num_partitions=2)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+    )
+    stats: dict[str, tuple[float, float]] = {}
+    for _, row in agg.iterrows():
+        n, s, ss = int(row["n"]), int(row["s"]), int(row["ss"])
+        mean = float(s) / float(n)
+        std = float(
+            np.sqrt(float(n * ss - s * s) / float(n * (n - 1)))
+        )
+        stats[row["o_orderpriority"]] = (mean, std)
+
+    def _standardize(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = t.column("dollars").to_numpy(zero_copy_only=False).astype(np.float64)
+        grp = t.column("o_orderpriority").to_pylist()
+        mean = np.array([stats[g][0] for g in grp])
+        std = np.array([stats[g][1] for g in grp])
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_orderpriority": t.column("o_orderpriority"),
+                "zscore": pa.array(
+                    round_like_duckdb((d - mean) / std, 6), pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(_standardize, batch_format="pyarrow")
+
+
+SQL_Q86 = """
+WITH m AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         sum(CAST(round(o_totalprice, 0) AS HUGEINT)) AS s,
+         sum(CAST(round(o_totalprice, 0) AS HUGEINT)
+             * CAST(round(o_totalprice, 0) AS HUGEINT)) AS ss
+  FROM orders GROUP BY o_orderpriority
+),
+st AS (
+  SELECT o_orderpriority,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(n * ss - s * s AS DOUBLE)
+              / CAST(n * (n - 1) AS DOUBLE)) AS std
+  FROM m
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       round((CAST(round(o.o_totalprice, 0) AS DOUBLE) - st.mean) / st.std, 6)
+           AS zscore
+FROM orders o JOIN st USING (o_orderpriority)
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -3655,6 +3783,8 @@ def build_registry():
         "q82_source_intersect": q82_source_intersect,
         "q83_cube": q83_cube,
         "q84_weighted_mean": q84_weighted_mean,
+        "q85_cms_counts": q85_cms_counts,
+        "q86_grouped_zscore": q86_grouped_zscore,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -3765,5 +3895,9 @@ def build_registry():
         "q82_source_intersect": _sql_q82(),
         "q83_cube": SQL_Q83,
         "q84_weighted_mean": SQL_Q84,
+        "q85_cms_counts": _sql_golden(
+            "cms_counts", "word, est_count", "documents"
+        ),
+        "q86_grouped_zscore": SQL_Q86,
     }
     return queries, oracles
