@@ -530,6 +530,114 @@ def unigram_logprob(
     return per_doc.map_batches(_score, batch_format="pyarrow")
 
 
+class DocBigramCounts(Tokenizer):
+    """(doc_id, w1, w2, tf) rows — one row per distinct bigram per doc
+    (the bigram analog of DocTermCounts; exchanges move per-doc
+    partials, never one row per token position)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter as _Counter
+
+        out_d, out_1, out_2, out_n = [], [], [], []
+        for doc_id, s in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text")
+        ):
+            ws = self.tokens(s.as_py() or "")
+            counts = _Counter(zip(ws, ws[1:]))
+            out_d.extend([doc_id] * len(counts))
+            out_1.extend(w1 for w1, _ in counts)
+            out_2.extend(w2 for _, w2 in counts)
+            out_n.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "w1": pa.array(out_1, pa.string()),
+                "w2": pa.array(out_2, pa.string()),
+                "tf": pa.array(out_n, pa.int64()),
+            }
+        )
+
+
+def bigram_logprob(
+    docs: Dataset,
+    *,
+    concurrency: int = 4,
+) -> Dataset:
+    """Per-document mean negative log-probability under the corpus's own
+    BIGRAM model (conditional MLE — the next rung of the CCNet-style
+    perplexity ladder above ``unigram_logprob``):
+
+        score(d) = sum_b tf(d,b) * -ln(n(w1,w2) / n(w1·)) / bigrams(d)
+
+    where n(w1·) counts bigrams whose first word is w1 (so every
+    observed bigram has probability <= 1 and the score is >= 0). Shape:
+    one tokenizing pass emits per-doc bigram partials (materialized,
+    reused three ways); TWO vocabulary-sized aggregations (bigram
+    totals, first-word totals); the denominators attach by a w1-keyed
+    join and the numerators by a (w1, w2)-keyed join; one per-doc
+    reduce. Docs with < 2 tokens have no bigrams and are absent (the
+    SQL's inner-join semantics)."""
+    import numpy as _np
+    from ray.data.aggregate import Sum as _Sum
+
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    bf = docs.select_columns(["doc_id", "text"]).map_batches(
+        DocBigramCounts, batch_format="pyarrow", concurrency=(1, concurrency)
+    ).materialize()
+    n12 = bf.groupby(["w1", "w2"], num_partitions=VOCAB_PARTITIONS).aggregate(
+        _Sum("tf", alias_name="n12")
+    )
+    n1 = bf.groupby("w1", num_partitions=VOCAB_PARTITIONS).aggregate(
+        _Sum("tf", alias_name="n1")
+    )
+    joined = bf.join(
+        n12,
+        join_type="inner",
+        num_partitions=VOCAB_PARTITIONS,
+        on=("w1", "w2"),
+    ).join(
+        n1,
+        join_type="inner",
+        num_partitions=VOCAB_PARTITIONS,
+        on=("w1",),
+    )
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(_np.float64)
+        a = t.column("n12").to_numpy(zero_copy_only=False).astype(_np.float64)
+        b = t.column("n1").to_numpy(zero_copy_only=False).astype(_np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "nll": pa.array(tf * -_np.log(a / b), pa.float64()),
+                "tf": t.column("tf"),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(_contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            _Sum("nll", alias_name="sum_nll"), _Sum("tf", alias_name="n_bigrams")
+        )
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        s = t.column("sum_nll").to_numpy(zero_copy_only=False)
+        n = t.column("n_bigrams").to_numpy(zero_copy_only=False).astype(_np.float64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "bigram_score": pa.array(
+                    round_like_duckdb(s / _np.maximum(n, 1.0), 4), pa.float64()
+                ),
+            }
+        )
+
+    return per_doc.map_batches(_score, batch_format="pyarrow")
+
+
 def chunk_documents(
     docs: Dataset,
     *,

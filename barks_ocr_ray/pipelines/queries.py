@@ -3682,6 +3682,70 @@ FROM orders o JOIN st USING (o_orderpriority)
 """
 
 
+def q87_bigram_logprob(sf_dir: str):
+    """Per-doc mean negative log-prob under the corpus BIGRAM model
+    (conditional MLE — the rung above q52's unigram perplexity filter);
+    see text.bigram_logprob for the two-aggregation + two-join shape."""
+    from barks_ocr_ray.functions.text import bigram_logprob
+
+    return bigram_logprob(read_table(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _sql_q87() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
+  FROM documents),
+idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, array_length(ws) - 1)) AS i
+  FROM tok WHERE array_length(ws) >= 2),
+bg AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+  FROM idx),
+bf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+n12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n12 FROM bf GROUP BY w1, w2),
+n1 AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS n1 FROM bf GROUP BY w1)
+SELECT doc_id,
+       round(sum(tf * -ln(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+             / greatest(sum(tf), 1), 4) AS bigram_score
+FROM bf JOIN n12 USING (w1, w2) JOIN n1 USING (w1)
+GROUP BY doc_id
+"""
+
+
+Q88_CUT = 0.9
+
+
+def q88_quantile_cut(sf_dir: str):
+    """Quantile-cut corpus filter — keep documents at or above the p90
+    length (the quality-threshold-selection shape: a cutoff derived FROM
+    the distribution, not hardcoded). The threshold comes from the q66
+    counting-quickselect exact quantile (driver holds one scalar) and is
+    then a pushed vectorized filter; the corpus is never sorted."""
+    from barks_ocr_ray.functions.quantiles import distributed_quantiles
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"]).materialize()
+    thr = distributed_quantiles(
+        docs, "n_chars", [Q88_CUT], pull_cap=200
+    ).column("value")[0].as_py()
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t.column("n_chars"), pa.scalar(int(thr), pa.int64()))
+        )
+
+    return docs.map_batches(_keep, batch_format="pyarrow")
+
+
+SQL_Q88 = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars >= (SELECT quantile_disc(n_chars, {Q88_CUT}) FROM documents)
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -3785,6 +3849,8 @@ def build_registry():
         "q84_weighted_mean": q84_weighted_mean,
         "q85_cms_counts": q85_cms_counts,
         "q86_grouped_zscore": q86_grouped_zscore,
+        "q87_bigram_logprob": q87_bigram_logprob,
+        "q88_quantile_cut": q88_quantile_cut,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -3899,5 +3965,7 @@ def build_registry():
             "cms_counts", "word, est_count", "documents"
         ),
         "q86_grouped_zscore": SQL_Q86,
+        "q87_bigram_logprob": _sql_q87(),
+        "q88_quantile_cut": SQL_Q88,
     }
     return queries, oracles
