@@ -3746,6 +3746,99 @@ WHERE n_chars >= (SELECT quantile_disc(n_chars, {Q88_CUT}) FROM documents)
 """
 
 
+def q89_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5-shaped multi-way join plan — revenue per nation where
+    the ordering customer and the supplying supplier share a nation
+    inside one region. Join plan by table scale (the whole point of the
+    query): region x nation (25 rows) fold into ONE broadcast dict;
+    customer and supplier SCALE with the corpus, so customer attaches to
+    orders via a distributed hash join and supplier's nation attaches to
+    lineitem via a second; the orders<->lineitem spine is the third
+    (large x large); the same-nation predicate is a vectorized filter
+    fused before the final vocabulary-sized aggregate. Exchanges: three
+    keyed joins + one 25-key aggregate — nothing driver-side but the
+    25-entry nation dict."""
+    nation = read_table(sf_dir, "nation").to_pandas()
+    region = read_table(sf_dir, "region").to_pandas()
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    asia = {
+        int(nk): str(nn)
+        for nk, nn, rk in zip(
+            nation["n_nationkey"], nation["n_name"], nation["n_regionkey"]
+        )
+        if r2name[rk] == "ASIA"
+    }
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    o_cust = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+
+    supp = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    li_supp = li.join(
+        supp,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("l_suppkey",),
+        right_on=("s_suppkey",),
+    )
+    spine = li_supp.join(
+        o_cust,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _local_revenue(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
+        in_asia = np.isin(cn, np.fromiter(asia, np.int64, len(asia)))
+        keep = (cn == sn) & in_asia
+        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[keep]
+        names = [asia[int(k)] for k in cn[keep]]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "rev": pa.array(ext * (1.0 - disc), pa.float64()),
+            }
+        )
+
+    out = (
+        spine.map_batches(_local_revenue, batch_format="pyarrow")
+        .groupby("n_name", num_partitions=2)
+        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="revenue"))
+    )
+    return round_columns(out, {"revenue": 2})
+
+
+SQL_Q89 = """
+SELECT n_name, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -3851,6 +3944,7 @@ def build_registry():
         "q86_grouped_zscore": q86_grouped_zscore,
         "q87_bigram_logprob": q87_bigram_logprob,
         "q88_quantile_cut": q88_quantile_cut,
+        "q89_local_supplier_volume": q89_local_supplier_volume,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -3967,5 +4061,6 @@ def build_registry():
         "q86_grouped_zscore": SQL_Q86,
         "q87_bigram_logprob": _sql_q87(),
         "q88_quantile_cut": SQL_Q88,
+        "q89_local_supplier_volume": SQL_Q89,
     }
     return queries, oracles
