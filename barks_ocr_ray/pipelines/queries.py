@@ -3839,6 +3839,41 @@ GROUP BY n_name
 """
 
 
+def q90_normalize_text(sf_dir: str):
+    """Vectorized text canonicalization — the standard pre-dedup
+    cleaning stage (NFC unicode normalize -> case fold -> whitespace
+    collapse -> trim), all four as Arrow C kernels chained inside one
+    map_batches; no Python touches a string. Null text passes through
+    null (every kernel is null-propagating), matching the SQL."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _norm(t: pa.Table) -> pa.Table:
+        s = t.column("text")
+        s = pc.utf8_normalize(s, form="NFC")
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "norm_text": s,
+                "n_chars_norm": pc.utf8_length(s).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_norm, batch_format="pyarrow")
+
+
+SQL_Q90 = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+           AS norm_text,
+       length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+           AS n_chars_norm
+FROM documents
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -3945,6 +3980,7 @@ def build_registry():
         "q87_bigram_logprob": q87_bigram_logprob,
         "q88_quantile_cut": q88_quantile_cut,
         "q89_local_supplier_volume": q89_local_supplier_volume,
+        "q90_normalize_text": q90_normalize_text,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4062,5 +4098,6 @@ def build_registry():
         "q87_bigram_logprob": _sql_q87(),
         "q88_quantile_cut": SQL_Q88,
         "q89_local_supplier_volume": SQL_Q89,
+        "q90_normalize_text": SQL_Q90,
     }
     return queries, oracles
