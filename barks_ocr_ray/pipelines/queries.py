@@ -3874,6 +3874,49 @@ FROM documents
 """
 
 
+#: GPT-2-style pre-tokenizer regex, lookahead-free so the same RE2
+#: pattern runs in both Arrow and DuckDB (the original's `\s+(?!\S)`
+#: branch needs lookahead; dropping it only changes how trailing
+#: whitespace runs split, identically on both engines)
+BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def q91_token_counts(sf_dir: str):
+    """Per-doc token counts under two tokenizers — whitespace split and
+    the BPE-ish GPT-2 pre-tokenizer regex — both as single
+    count_substring_regex C kernel passes (the budget/pricing signal a
+    training pipeline tracks per document; no Python per string)."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _count(t: pa.Table) -> pa.Table:
+        s = t.column("text")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_ws_tokens": pc.count_substring_regex(s, r"\S+").cast(
+                    pa.int64()
+                ),
+                "n_bpe_tokens": pc.count_substring_regex(
+                    s, BPE_TOKEN_RE
+                ).cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_count, batch_format="pyarrow")
+
+
+def _sql_q91() -> str:
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       CAST(array_length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_ws_tokens,
+       CAST(array_length(regexp_extract_all(text, '{pat}')) AS BIGINT)
+           AS n_bpe_tokens
+FROM documents
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -3981,6 +4024,7 @@ def build_registry():
         "q88_quantile_cut": q88_quantile_cut,
         "q89_local_supplier_volume": q89_local_supplier_volume,
         "q90_normalize_text": q90_normalize_text,
+        "q91_token_counts": q91_token_counts,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4099,5 +4143,6 @@ def build_registry():
         "q88_quantile_cut": SQL_Q88,
         "q89_local_supplier_volume": SQL_Q89,
         "q90_normalize_text": SQL_Q90,
+        "q91_token_counts": _sql_q91(),
     }
     return queries, oracles
