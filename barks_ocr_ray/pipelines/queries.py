@@ -3917,6 +3917,68 @@ FROM documents
 """
 
 
+#: funnel pattern over per-user event-initial sequences: a click with a
+#: later purchase and no purchase in between (the classic conversion
+#: path); event initials are unique (signup/click/error/view/purchase)
+EVENT_PATTERN = "c[^p]*p"
+
+
+def q92_event_pattern(sf_dir: str):
+    """Sequence-pattern mining over per-user event streams: users whose
+    time-ordered event sequence matches EVENT_PATTERN (regex over the
+    event-initial string — the sequence analog of a funnel). ONE keyed
+    exchange on user co-locates each user's events; each block sorts
+    once, folds per-user initial strings at run boundaries, and runs one
+    compiled regex per user — a user's whole history is the unit of
+    compute, so the op scales with users, not with pattern count."""
+    import re as _re
+
+    ev = read_table(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+    pat = _re.compile(EVENT_PATTERN)
+
+    def _match_block(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        initials = pc.utf8_slice_codeunits(
+            t.column("event_type"), 0, 1
+        ).to_pylist()
+        starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1]))
+        )
+        bounds = np.append(starts, len(users))
+        out = [
+            int(users[s])
+            for s, e in zip(bounds[:-1], bounds[1:])
+            if pat.search("".join(initials[s:e]))
+        ]
+        return pa.table({"user_id": pa.array(out, pa.int64())})
+
+    return ev.repartition(16, keys=["user_id"]).map_batches(
+        _match_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q92 = f"""
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id)
+SELECT user_id FROM s WHERE regexp_matches(seq, '{EVENT_PATTERN}')
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4025,6 +4087,7 @@ def build_registry():
         "q89_local_supplier_volume": q89_local_supplier_volume,
         "q90_normalize_text": q90_normalize_text,
         "q91_token_counts": q91_token_counts,
+        "q92_event_pattern": q92_event_pattern,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4144,5 +4207,6 @@ def build_registry():
         "q89_local_supplier_volume": SQL_Q89,
         "q90_normalize_text": SQL_Q90,
         "q91_token_counts": _sql_q91(),
+        "q92_event_pattern": SQL_Q92,
     }
     return queries, oracles
