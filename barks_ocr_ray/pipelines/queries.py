@@ -3979,6 +3979,105 @@ SELECT user_id FROM s WHERE regexp_matches(seq, '{EVENT_PATTERN}')
 """
 
 
+Q93_MIN_COUNT = 5
+Q93_K = 20
+
+
+def q93_pmi_collocations(sf_dir: str):
+    """Collocation mining: top-k bigrams by pointwise mutual information
+    (PMI = ln(N*n12 / (n1*n2)), min-count floored — the classic
+    association measure for phrase discovery). Reuses the q87 bigram
+    partials; all three count tables are vocabulary-sized, so the two
+    attach joins and the final sort+limit exchange bounded state no
+    matter the corpus size. Ties break on (w1, w2) for a total order."""
+    import numpy as np
+    from barks_ocr_ray.functions.text import DocBigramCounts, VOCAB_PARTITIONS
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    bf = docs.map_batches(
+        DocBigramCounts, batch_format="pyarrow", concurrency=(1, 4)
+    ).materialize()
+    n_total = int(bf.sum("tf") or 0)
+    n12 = bf.groupby(["w1", "w2"], num_partitions=VOCAB_PARTITIONS).aggregate(
+        Sum("tf", alias_name="n12")
+    )
+
+    def _floor(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t.column("n12"), pa.scalar(Q93_MIN_COUNT, pa.int64()))
+        )
+
+    n12 = n12.map_batches(_floor, batch_format="pyarrow")
+    n1 = bf.groupby("w1", num_partitions=VOCAB_PARTITIONS).aggregate(
+        Sum("tf", alias_name="n1")
+    )
+
+    def _w2_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"w2": t.column("w2"), "tf": t.column("tf")})
+
+    n2 = (
+        bf.map_batches(_w2_rows, batch_format="pyarrow")
+        .groupby("w2", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("tf", alias_name="n2"))
+    )
+    joined = n12.join(
+        n1, join_type="inner", num_partitions=VOCAB_PARTITIONS, on=("w1",)
+    ).join(n2, join_type="inner", num_partitions=VOCAB_PARTITIONS, on=("w2",))
+
+    def _pmi(t: pa.Table) -> pa.Table:
+        a = (
+            float(n_total)
+            * t.column("n12").to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        b = t.column("n1").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ) * t.column("n2").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "w1": t.column("w1"),
+                "w2": t.column("w2"),
+                "n12": t.column("n12"),
+                "pmi": pa.array(
+                    round_like_duckdb(np.log(a / b), 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        joined.map_batches(_pmi, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(Q93_K)
+    )
+
+
+def _sql_q93() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
+  FROM documents),
+idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, array_length(ws) - 1)) AS i
+  FROM tok WHERE array_length(ws) >= 2),
+bg AS (
+  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+  FROM idx),
+bf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
+tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM bf),
+n12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n12 FROM bf GROUP BY w1, w2
+        HAVING sum(tf) >= {Q93_MIN_COUNT}),
+n1 AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS n1 FROM bf GROUP BY w1),
+n2 AS (SELECT w2, CAST(sum(tf) AS BIGINT) AS n2 FROM bf GROUP BY w2)
+SELECT w1, w2, n12,
+       round(ln((CAST(n AS DOUBLE) * CAST(n12 AS DOUBLE))
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS pmi
+FROM n12 JOIN n1 USING (w1) JOIN n2 USING (w2) CROSS JOIN tot
+ORDER BY pmi DESC, w1, w2 LIMIT {Q93_K}
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4088,6 +4187,7 @@ def build_registry():
         "q90_normalize_text": q90_normalize_text,
         "q91_token_counts": q91_token_counts,
         "q92_event_pattern": q92_event_pattern,
+        "q93_pmi_collocations": q93_pmi_collocations,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4208,5 +4308,6 @@ def build_registry():
         "q90_normalize_text": SQL_Q90,
         "q91_token_counts": _sql_q91(),
         "q92_event_pattern": SQL_Q92,
+        "q93_pmi_collocations": _sql_q93(),
     }
     return queries, oracles

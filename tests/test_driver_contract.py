@@ -54,7 +54,8 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q89_local_supplier_volume", 1),
                         ("q90_normalize_text", 1),
                         ("q91_token_counts", 1),
-                        ("q92_event_pattern", 1)):
+                        ("q92_event_pattern", 1),
+                        ("q93_pmi_collocations", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
