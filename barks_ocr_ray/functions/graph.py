@@ -1,0 +1,183 @@
+"""Iterative graph algorithms over Ray Datasets — distributed PageRank
+in exact fixed-point arithmetic.
+
+PageRank is the canonical "iterative algorithm" a data-processing engine
+must express (the reference's dup-cluster resolution is the same
+join-propagate-aggregate loop; /root/reference/src/barks_ocr/tools/
+ocr_check.py:521-538 resolves duplicate chains iteratively). The
+distributed shape per iteration is the textbook one:
+
+    contribs = edges ⋈ ranks (on src)          # edge-sized, streamed
+    ranks'   = deg  ⟕ Σ contribs (on dst)      # node-sized
+
+Only node-sized tables are ever materialized between iterations; the
+edge table streams through one keyed exchange per iteration and is
+never collected. At 100 TB the edge relation dominates and this loop is
+the standard BSP PageRank — per-iteration cost is one hash join plus
+one grouped sum, both keyed on the SAME node id so a future
+partition-aligned scheduler can elide the second exchange.
+
+Why fixed-point: float addition is order-dependent, so a distributed
+sum of float contributions cannot hash-match a serial SQL replay.
+Every quantity here is an int64 "micro-rank" (SCALE = 10^12) and every
+operation is integer floor division / multiplication replicated
+verbatim by the DuckDB oracle (`//`), making the result bit-exact under
+ANY partitioning, block order, or cluster size — the same trick the
+engine's money aggregates use (queries.py q71 cents rationale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from barks_ocr_ray.context import hash_partitions
+from barks_ocr_ray.functions.relational import compact_nonempty
+
+#: fixed-point scale: 1.0 of total rank mass == 10^12 micro-units
+SCALE = 10**12
+#: damping factor d = DAMP_NUM / DAMP_DEN (0.85, the classic choice)
+DAMP_NUM, DAMP_DEN = 85, 100
+
+_RANKS_SCHEMA = pa.schema([("node", pa.string()), ("pr", pa.int64())])
+
+
+def _distinct_edges(pairs: Dataset, num_partitions: int) -> Dataset:
+    """Distinct directed (src, dst) pairs via one keyed exchange."""
+    return (
+        pairs.groupby(["src", "dst"], num_partitions=num_partitions)
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: t.select(["src", "dst"]), batch_format="pyarrow"
+        )
+    )
+
+
+def symmetrize(edges: Dataset) -> Dataset:
+    """Add the reverse of every edge (undirected graph as two directed
+    arcs). Guarantees every node with an edge has out-degree >= 1, so
+    there are no dangling nodes and no global mass-redistribution term —
+    the per-iteration state stays strictly node-local."""
+
+    def _rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("dst"), "dst": t.column("src")})
+
+    return edges.union(edges.map_batches(_rev, batch_format="pyarrow"))
+
+
+def pagerank(
+    pairs: Dataset,
+    iterations: int = 5,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Exact fixed-point PageRank over the undirected graph induced by
+    ``pairs`` (columns ``src``, ``dst``; duplicates allowed).
+
+    Returns a node-sized Dataset ``(node: string, pr: int64)`` where
+    ``pr`` is micro-rank after ``iterations`` synchronous updates:
+
+        pr'[v] = (15 * SCALE) // (100 * N)
+                 + Σ_{u -> v} ((pr[u] // outdeg[u]) * 85) // 100
+
+    All-integer, so bit-exact regardless of partitioning — the DuckDB
+    oracle replays the identical recurrence with ``//``.
+    """
+    np_ = num_partitions or hash_partitions(16)
+    edges = symmetrize(_distinct_edges(pairs, np_))
+
+    deg = edges.groupby("src", num_partitions=np_).aggregate(
+        Count(alias_name="outdeg")
+    )
+
+    def _as_node(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": t.column("src"), "outdeg": t.column("outdeg")}
+        )
+
+    deg = deg.map_batches(_as_node, batch_format="pyarrow").materialize()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return rd.from_arrow(_RANKS_SCHEMA.empty_table())
+    base = (15 * SCALE) // (100 * n_nodes)
+    r0 = SCALE // n_nodes
+
+    # edge-with-outdeg is loop-invariant: join it ONCE, reuse per round
+    deg_c, _ = compact_nonempty(deg, np_)
+    edges_c, _ = compact_nonempty(edges, np_)
+    edges_deg = edges_c.join(
+        deg_c,
+        join_type="inner",
+        num_partitions=np_,
+        on=("src",),
+        right_on=("node",),
+    ).materialize()
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "pr": pa.array(
+                    np.full(t.num_rows, r0, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks = deg.map_batches(_init, batch_format="pyarrow").materialize()
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        pr = t.column("pr").to_numpy(zero_copy_only=False).astype(np.int64)
+        od = t.column("outdeg").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        c = ((pr // od) * DAMP_NUM) // DAMP_DEN
+        return pa.table(
+            {"dst": t.column("dst"), "contrib": pa.array(c, pa.int64())}
+        )
+
+    for _ in range(iterations):
+        ranks_c, _ = compact_nonempty(ranks, np_)
+        contribs = (
+            edges_deg.join(
+                ranks_c,
+                join_type="inner",
+                num_partitions=np_,
+                on=("src",),
+                right_on=("node",),
+            )
+            .map_batches(_contrib, batch_format="pyarrow")
+            .groupby("dst", num_partitions=np_)
+            .aggregate(Sum("contrib", alias_name="contrib"))
+        )
+        contribs_c, n_contrib = compact_nonempty(contribs, np_)
+        if n_contrib:
+            joined = deg_c.join(
+                contribs_c,
+                join_type="left_outer",
+                num_partitions=np_,
+                on=("node",),
+                right_on=("dst",),
+            )
+        else:  # every node isolated this round (cannot happen post-
+            joined = deg_c  # symmetrize, but keep the algebra total)
+
+        def _update(t: pa.Table) -> pa.Table:
+            if "contrib" in t.column_names:
+                c = t.column("contrib").fill_null(0)
+                c = c.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                c = np.zeros(t.num_rows, dtype=np.int64)
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "pr": pa.array(base + c, pa.int64()),
+                }
+            )
+
+        ranks = joined.map_batches(
+            _update, batch_format="pyarrow"
+        ).materialize()
+
+    return ranks

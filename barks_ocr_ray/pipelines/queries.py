@@ -4078,6 +4078,92 @@ ORDER BY pmi DESC, w1, w2 LIMIT {Q93_K}
 """
 
 
+Q94_ITERS = 5
+Q94_K = 20
+
+
+def q94_pagerank(sf_dir: str):
+    """Distributed PageRank over the customer<->supplier trade graph
+    (edges = distinct (custkey, suppkey) pairs through orders x
+    lineitem, symmetrized). The iterative join-propagate-aggregate loop
+    lives in `functions/graph.py` (the same loop family as the
+    reference's duplicate-chain resolution, ocr_check.py:521-538);
+    fixed-point int64 micro-ranks make the distributed sum bit-exact
+    against the oracle's serial replay under any partitioning."""
+    from barks_ocr_ray.functions.graph import pagerank
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        cust = pc.binary_join_element_wise(
+            pa.scalar("C"),
+            pc.cast(t.column("o_custkey"), pa.string()),
+            "",
+        )
+        supp = pc.binary_join_element_wise(
+            pa.scalar("S"),
+            pc.cast(t.column("l_suppkey"), pa.string()),
+            "",
+        )
+        return pa.table({"src": cust, "dst": supp})
+
+    pr = pagerank(
+        joined.map_batches(_pairs, batch_format="pyarrow"),
+        iterations=Q94_ITERS,
+    )
+    return pr.sort(["pr", "node"], descending=[True, False]).limit(Q94_K)
+
+
+def _sql_q94() -> str:
+    """Serial replay of the identical fixed-point recurrence, iterations
+    unrolled as chained CTEs (DuckDB has no iterative operator; 5 rounds
+    of join+group-sum are exactly what the engine's loop does)."""
+    from barks_ocr_ray.functions.graph import DAMP_DEN, DAMP_NUM, SCALE
+
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS pr
+       FROM deg CROSS JOIN nn)""".format(scale=SCALE)
+    ]
+    for k in range(1, Q94_ITERS + 1):
+        ctes.append(
+            """r{k} AS (
+  SELECT deg.node AS node,
+         CAST((15 * {scale}) // (100 * nn.n) + COALESCE(c.contrib, 0)
+              AS BIGINT) AS pr
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(((r.pr // d2.outdeg) * {dn}) // {dd}) AS BIGINT)
+             AS contrib
+    FROM edges e
+    JOIN r{prev} r ON e.src = r.node
+    JOIN deg d2 ON d2.node = e.src
+    GROUP BY e.dst) c ON c.node = deg.node)""".format(
+                k=k, prev=k - 1, scale=SCALE, dn=DAMP_NUM, dd=DAMP_DEN
+            )
+        )
+    return "WITH {ctes}\nSELECT node, pr FROM r{last}\nORDER BY pr DESC, node LIMIT {lim}".format(
+        ctes=",\n".join(ctes), last=Q94_ITERS, lim=Q94_K
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4188,6 +4274,7 @@ def build_registry():
         "q91_token_counts": q91_token_counts,
         "q92_event_pattern": q92_event_pattern,
         "q93_pmi_collocations": q93_pmi_collocations,
+        "q94_pagerank": q94_pagerank,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4309,5 +4396,6 @@ def build_registry():
         "q91_token_counts": _sql_q91(),
         "q92_event_pattern": SQL_Q92,
         "q93_pmi_collocations": _sql_q93(),
+        "q94_pagerank": _sql_q94(),
     }
     return queries, oracles

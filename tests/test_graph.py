@@ -1,0 +1,110 @@
+"""Contracts for the iterative fixed-point PageRank (q94 machinery):
+bit-exact agreement with a serial numpy replay of the same recurrence,
+duplicate-edge collapse, mass conservation bounds, and the typed-empty
+path."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _serial_pagerank(pairs, iterations):
+    """Single-process replay of graph.pagerank's exact recurrence."""
+    from barks_ocr_ray.functions.graph import DAMP_DEN, DAMP_NUM, SCALE
+
+    directed = set(pairs)
+    edges = directed | {(b, a) for a, b in directed}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = sorted(outdeg)
+    n = len(nodes)
+    base = (15 * SCALE) // (100 * n)
+    pr = {v: SCALE // n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += ((pr[s] // outdeg[s]) * DAMP_NUM) // DAMP_DEN
+        pr = {v: base + contrib[v] for v in nodes}
+    return pr
+
+
+PAIRS = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "d"),
+    ("a", "b"),  # duplicate arc: must collapse to one edge
+]
+
+
+def test_pagerank_matches_serial_replay(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.graph import pagerank
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": [p[0] for p in PAIRS],
+                "dst": [p[1] for p in PAIRS],
+            }
+        )
+    )
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(ds, iterations=4, num_partitions=3).take_all()
+    }
+    assert got == _serial_pagerank(PAIRS, 4)
+
+
+def test_pagerank_partition_independent(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.graph import pagerank
+
+    t = pa.table(
+        {
+            "src": [f"n{i}" for i in range(30)],
+            "dst": [f"n{(i * 7 + 3) % 30}" for i in range(30)],
+        }
+    )
+    a = {
+        r["node"]: r["pr"]
+        for r in pagerank(rd.from_arrow(t), 3, num_partitions=2).take_all()
+    }
+    b = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            rd.from_arrow(t).repartition(7), 3, num_partitions=5
+        ).take_all()
+    }
+    assert a == b
+
+
+def test_pagerank_mass_is_conserved_up_to_flooring(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.graph import SCALE, pagerank
+
+    ds = rd.from_arrow(
+        pa.table({"src": ["x", "y", "z"], "dst": ["y", "z", "x"]})
+    )
+    prs = [r["pr"] for r in pagerank(ds, iterations=6).take_all()]
+    total = sum(prs)
+    # every floor division loses < 1 micro-unit per node per round; the
+    # total must stay within that deterministic envelope of SCALE
+    assert SCALE - len(prs) * 6 * 2 <= total <= SCALE
+    assert np.all(np.asarray(prs) > 0)
+
+
+def test_pagerank_empty_input_is_typed_empty(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.graph import pagerank
+
+    empty = pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+    )
+    out = pagerank(rd.from_arrow(empty), iterations=2)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "pr"}
