@@ -1,0 +1,184 @@
+"""DSIR-style importance resampling over hashed n-gram features
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling" — public method): score every raw document by how much its
+hashed-unigram distribution looks like a TARGET subcorpus rather than
+the RAW corpus, then keep the top-scoring docs.
+
+Two-pass, zero doc-keyed exchange — the 100 TB shape:
+
+  pass A  map_batches(BucketCountCombiner)   K-sized partials per block
+          -> groupby(bucket).sum             K rows total (K = 64)
+          -> driver computes the K-entry log-ratio weight table
+  pass B  map_batches(BucketScorer)          weights ride in the actor
+          -> sort + limit                    (top-k exchange only)
+
+The only all-to-all is the final top-k sort; the feature aggregation
+shuffles K-sized partials (bounded by the bucket count, not the
+corpus), exactly the combiner discipline of word_index (text.py).
+
+Exactness: per-token weights are int64 "micro" units (ln-ratio rounded
+to 1e-6, `round_like_duckdb`), so per-doc scores are order-independent
+integer sums the DuckDB oracle replays bit-exactly. The bucket hash is
+md5-based (`hash_token`) for the same oracle-replayability reason
+(text.py:208 rationale).
+
+Reference analog: the score filter M3 family
+(/root/reference/src/barks_ocr/pipeline/censorship_fixes.py:60-88
+filters by a scored predicate); this operator generalizes it to a
+corpus-level distribution-matching score.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from barks_ocr_ray.functions.relational import round_like_duckdb
+from barks_ocr_ray.functions.text import Tokenizer, hash_token
+
+#: hashed-feature bucket count (DSIR uses 10^4; the synthetic corpus
+#: vocabulary is tiny, so 64 keeps every bucket populated at all SFs)
+N_BUCKETS = 64
+
+
+class _Bucketer(Tokenizer):
+    """Tokenize + md5-bucket with a per-actor vocabulary cache (T3
+    dictionary-state pattern: the cache is vocab-sized, built once per
+    actor, shared across batches)."""
+
+    def __init__(self, n_buckets: int = N_BUCKETS):
+        super().__init__()
+        self.n_buckets = n_buckets
+        self._cache: dict[str, int] = {}
+
+    def bucket_counts(self, text: str) -> np.ndarray:
+        ids = []
+        cache = self._cache
+        for tok in self.tokens(text):
+            b = cache.get(tok)
+            if b is None:
+                b = hash_token(tok) % self.n_buckets
+                cache[tok] = b
+            ids.append(b)
+        if not ids:
+            return np.zeros(self.n_buckets, dtype=np.int64)
+        return np.bincount(
+            np.asarray(ids, dtype=np.int64), minlength=self.n_buckets
+        ).astype(np.int64)
+
+
+class BucketCountCombiner(_Bucketer):
+    """Pass A: per-block K-sized partials of raw and target token-bucket
+    counts (one row per bucket per block, never one per token)."""
+
+    def __init__(self, target_lang: str, n_buckets: int = N_BUCKETS):
+        super().__init__(n_buckets)
+        self.target_lang = target_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raw = np.zeros(self.n_buckets, dtype=np.int64)
+        tgt = np.zeros(self.n_buckets, dtype=np.int64)
+        langs = batch.column("lang").to_pylist()
+        for s, lang in zip(batch.column("text"), langs):
+            counts = self.bucket_counts(s.as_py() or "")
+            raw += counts
+            if lang == self.target_lang:
+                tgt += counts
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.arange(self.n_buckets, dtype=np.int64), pa.int64()
+                ),
+                "tf": pa.array(raw, pa.int64()),
+                "tf_target": pa.array(tgt, pa.int64()),
+            }
+        )
+
+
+class BucketScorer(_Bucketer):
+    """Pass B: per-doc importance score = integer dot product of the
+    doc's bucket counts with the broadcast micro-weight table."""
+
+    def __init__(self, w_micro: np.ndarray, n_buckets: int = N_BUCKETS):
+        super().__init__(n_buckets)
+        self.w = np.asarray(w_micro, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, scores = [], []
+        for doc_id, s in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text")
+        ):
+            counts = self.bucket_counts(s.as_py() or "")
+            n_tok = int(counts.sum())
+            if n_tok == 0:  # tokenless docs carry no evidence; the SQL
+                continue  # replay drops them the same way (no rows)
+            ids.append(doc_id)
+            scores.append(int(counts @ self.w))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, batch.schema.field("doc_id").type),
+                "score_micro": pa.array(scores, pa.int64()),
+            }
+        )
+
+
+def importance_weights(
+    docs: Dataset,
+    target_lang: str,
+    n_buckets: int = N_BUCKETS,
+    concurrency: int = 4,
+) -> np.ndarray:
+    """Pass A: K-entry int64 micro-weight table
+    w[b] = round(ln(((ct+1)*(Tr+K)) / ((cr+1)*(Tt+K))) * 1e6)
+    with add-one smoothing — the log importance ratio of the target vs
+    raw hashed-unigram distributions. K-sized driver state only."""
+    partials = docs.map_batches(
+        BucketCountCombiner,
+        fn_constructor_kwargs={
+            "target_lang": target_lang,
+            "n_buckets": n_buckets,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    # bucket cardinality = n_buckets: 2 partitions keeps finalizes
+    # non-empty (VOCAB_PARTITIONS rationale, text.py)
+    agg = partials.groupby("bucket", num_partitions=2).aggregate(
+        Sum("tf", alias_name="tf"),
+        Sum("tf_target", alias_name="tf_target"),
+    )
+    t = pa.Table.from_pylist(agg.take_all())  # K rows — bounded
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    b = t.column("bucket").to_numpy(zero_copy_only=False)
+    cr[b] = t.column("tf").to_numpy(zero_copy_only=False)
+    ct[b] = t.column("tf_target").to_numpy(zero_copy_only=False)
+    tr, tt = int(cr.sum()), int(ct.sum())
+    ratio = ((ct + 1.0) * float(tr + n_buckets)) / (
+        (cr + 1.0) * float(tt + n_buckets)
+    )
+    return round_like_duckdb(np.log(ratio) * 1e6, 0).astype(np.int64)
+
+
+def importance_resample(
+    docs: Dataset,
+    target_lang: str,
+    k: int,
+    n_buckets: int = N_BUCKETS,
+    concurrency: int = 4,
+) -> Dataset:
+    """Full DSIR selection: weight table from pass A, per-doc scores in
+    pass B, top-k by (score desc, doc_id asc). ``docs`` needs columns
+    doc_id, text, lang."""
+    w = importance_weights(docs, target_lang, n_buckets, concurrency)
+    scored = docs.map_batches(
+        BucketScorer,
+        fn_constructor_kwargs={"w_micro": w, "n_buckets": n_buckets},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    return scored.sort(
+        ["score_micro", "doc_id"], descending=[True, False]
+    ).limit(k)

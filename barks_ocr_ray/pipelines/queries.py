@@ -4164,6 +4164,57 @@ r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS pr
     )
 
 
+Q95_TARGET_LANG = "en"
+Q95_K = 100
+
+
+def q95_importance_resample(sf_dir: str):
+    """DSIR-style importance resampling (hashed-unigram log-ratio
+    scoring against the lang='en' target subcorpus): two corpus passes,
+    K-sized (64-bucket) aggregation state, zero doc-keyed exchange —
+    see functions/importance.py for the scale notes."""
+    from barks_ocr_ray.functions.importance import importance_resample
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return importance_resample(docs, Q95_TARGET_LANG, Q95_K)
+
+
+def _sql_q95() -> str:
+    from barks_ocr_ray.functions.importance import N_BUCKETS
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+  FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS UBIGINT)
+              % {N_BUCKETS} AS BIGINT) AS bucket
+  FROM tok),
+cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM b GROUP BY bucket),
+ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM b
+       WHERE lang = '{Q95_TARGET_LANG}' GROUP BY bucket),
+tot AS (SELECT CAST(sum(cr.cr) AS BIGINT) AS tr,
+               (SELECT CAST(coalesce(sum(ct.ct), 0) AS BIGINT) FROM ct) AS tt
+        FROM cr),
+wts AS (
+  SELECT cr.bucket,
+         CAST(round(ln(((COALESCE(ct.ct, 0) + 1.0)
+                        * CAST(tot.tr + {N_BUCKETS} AS DOUBLE))
+                       / ((cr.cr + 1.0)
+                          * CAST(tot.tt + {N_BUCKETS} AS DOUBLE)))
+                    * 1000000, 0) AS BIGINT) AS w
+  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot)
+SELECT b.doc_id, CAST(sum(wts.w) AS BIGINT) AS score_micro
+FROM b JOIN wts ON b.bucket = wts.bucket
+GROUP BY b.doc_id
+ORDER BY score_micro DESC, b.doc_id
+LIMIT {Q95_K}
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4275,6 +4326,7 @@ def build_registry():
         "q92_event_pattern": q92_event_pattern,
         "q93_pmi_collocations": q93_pmi_collocations,
         "q94_pagerank": q94_pagerank,
+        "q95_importance_resample": q95_importance_resample,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4397,5 +4449,6 @@ def build_registry():
         "q92_event_pattern": SQL_Q92,
         "q93_pmi_collocations": _sql_q93(),
         "q94_pagerank": _sql_q94(),
+        "q95_importance_resample": _sql_q95(),
     }
     return queries, oracles
