@@ -10,6 +10,8 @@ rounded identically on both sides to stabilize the hash.
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -23,6 +25,7 @@ from barks_ocr_ray.functions.relational import (
     read_table,
     round_columns,
     round_like_duckdb,
+    strip_schema_metadata,
 )
 from barks_ocr_ray.functions.text import Tokenizer
 
@@ -4215,6 +4218,86 @@ LIMIT {Q95_K}
 """
 
 
+def q96_evolving_schema_union(sf_dir: str):
+    """Schema-evolution read: two shard generations of the same corpus
+    (gen A carries doc_id+lang, gen B carries doc_id+n_chars) are read
+    as ONE dataset with the union-by-name schema, missing columns null
+    — `functions/storage.read_evolving_parquet`. The shard dirs are
+    materialized deterministically from the sf corpus on each call, so
+    the operator under test is the read, not the fixture."""
+    import shutil
+
+    from barks_ocr_ray.functions.storage import read_evolving_parquet
+
+    base = "/tmp/barks_q96_" + os.path.basename(sf_dir.rstrip("/"))
+    shutil.rmtree(base, ignore_errors=True)
+    read_table(sf_dir, "documents", ["doc_id", "lang"]).write_parquet(
+        f"{base}/gen_a"
+    )
+    read_table(sf_dir, "documents", ["doc_id", "n_chars"]).write_parquet(
+        f"{base}/gen_b"
+    )
+    unified = read_evolving_parquet([f"{base}/gen_a", f"{base}/gen_b"])
+
+    # int64 nulls become NaN floats in the driver's pandas compare, and
+    # NaN defeats its exact-equality check — project the evolution gaps
+    # to sentinels for the oracle diff (the null semantics themselves
+    # are pinned by tests/test_storage.py)
+    def _fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang").fill_null(""),
+                "n_chars": t.column("n_chars").fill_null(-1),
+            }
+        )
+
+    return unified.map_batches(_fill, batch_format="pyarrow")
+
+
+SQL_Q96 = """
+SELECT doc_id, lang, CAST(-1 AS BIGINT) AS n_chars FROM documents
+UNION ALL
+SELECT doc_id, '' AS lang, n_chars FROM documents
+"""
+
+Q97_TARGET_ROWS = 2048
+
+
+def q97_compaction(sf_dir: str):
+    """Small-file compaction: the corpus is fragmented into 32 tiny
+    parquet files, `storage.compact_parquet` rewrites them into
+    ~Q97_TARGET_ROWS-row files (block-coalescing repartition, no key
+    exchange), and the result aggregates per source FROM THE COMPACTED
+    OUTPUT — so the oracle match proves compaction preserved every row.
+    The file-count contract is pinned separately in tests/test_storage."""
+    import shutil
+
+    from barks_ocr_ray.functions.storage import compact_parquet
+
+    base = "/tmp/barks_q97_" + os.path.basename(sf_dir.rstrip("/"))
+    shutil.rmtree(base, ignore_errors=True)
+    read_table(
+        sf_dir, "documents", ["doc_id", "source", "n_chars"]
+    ).repartition(32).write_parquet(f"{base}/small")
+    compact_parquet(f"{base}/small", f"{base}/compacted", Q97_TARGET_ROWS)
+    out = (
+        rd.read_parquet(f"{base}/compacted")
+        .map_batches(strip_schema_metadata, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Count(alias_name="rows"), Sum("n_chars", alias_name="chars")
+        )
+    )
+    return out
+
+
+SQL_Q97 = """
+SELECT source, count(*) AS rows, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY source
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4327,6 +4410,8 @@ def build_registry():
         "q93_pmi_collocations": q93_pmi_collocations,
         "q94_pagerank": q94_pagerank,
         "q95_importance_resample": q95_importance_resample,
+        "q96_evolving_schema_union": q96_evolving_schema_union,
+        "q97_compaction": q97_compaction,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4450,5 +4535,7 @@ def build_registry():
         "q93_pmi_collocations": _sql_q93(),
         "q94_pagerank": _sql_q94(),
         "q95_importance_resample": _sql_q95(),
+        "q96_evolving_schema_union": SQL_Q96,
+        "q97_compaction": SQL_Q97,
     }
     return queries, oracles
