@@ -1135,3 +1135,190 @@ def shared_window_dups(
     if min_shared > 1:
         counted = counted.filter(expr=f"n_shared >= {min_shared}")
     return counted
+
+
+# --- sorted-neighborhood near-dup (Hernandez & Stolfo SNM) ---------------
+
+
+def sorted_neighborhood_pairs(
+    docs: Dataset,
+    *,
+    window: int = 3,
+    max_dist: int = 4,
+    n_bands: int = 8,
+    key_len: int = 24,
+    sample_cap: int = 100_000,
+    concurrency: int = 4,
+) -> Dataset:
+    """Sorted-neighborhood near-dup pairs (the merge/purge method,
+    Hernandez & Stolfo 1995): sort every doc by a normalized blocking
+    key, compare each doc only to its ``window`` successors in that
+    global order, keep pairs with key levenshtein <= ``max_dist``.
+
+    Distributed WITHOUT a global sort barrier — the q80 range-bucket
+    pattern: a bounded md5-thresholded sample picks ``n_bands - 1`` key
+    boundaries, every row buckets locally, one keyed exchange co-locates
+    each band, and each band sorts + windows itself. Pairs that CROSS a
+    band boundary involve only rows within ``window`` of a band edge,
+    so each band also emits its first/last ``window`` rows — a
+    boundary table of at most ``n_bands * 2 * window`` rows (bounded by
+    the band count, never the corpus) that the driver ranks globally
+    (band-count prefix offsets) and pairs exactly. Emits each crossing
+    pair once: same-band pairs come from the band pass only.
+
+    Returns (doc_a, doc_b, dist) with doc_a the lower-ranked doc.
+    Output is bit-exact vs the serial row_number window self-join the
+    oracle runs: the blocking key is [a-z0-9]-only, so Python string
+    order == DuckDB binary collation."""
+    import hashlib as _hashlib
+
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.fuzzy import levenshtein
+
+    def _key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        skey = pc.utf8_slice_codeunits(
+            pc.replace_substring_regex(
+                pc.utf8_lower(t.column("text")), "[^a-z0-9]", ""
+            ),
+            0,
+            key_len,
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "skey": skey})
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow").materialize()
+    n_rows = keyed.count()
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+    if n_rows < 2:
+        return rd.from_arrow(empty)
+
+    # --- band boundaries from a bounded deterministic sample ----------
+    frac = min(1.0, 4.0 * sample_cap / n_rows)
+
+    def _sample(t: pa.Table) -> pa.Table:
+        keep = [
+            int(
+                _hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16
+            )
+            / float(1 << 32)
+            < frac
+            for i in t.column("doc_id").to_pylist()
+        ]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    sample = (
+        keyed.map_batches(_sample, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["skey", "doc_id"], kind="mergesort")
+        .head(sample_cap)
+    )
+    ks = sample["skey"].to_numpy()
+    idx = np.linspace(0, len(ks) - 1, n_bands + 1).astype(int)[1:-1]
+    boundaries = np.unique(ks[idx].astype(object))
+
+    def _band(t: pa.Table) -> pa.Table:
+        sk = t.column("skey").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(boundaries, sk, side="right")
+        return t.append_column("band", pa.array(b, pa.int64()))
+
+    banded = keyed.map_batches(_band, batch_format="pyarrow")
+
+    # --- per-band: local sort + window pairs, plus edge rows ----------
+    def _band_pairs(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            t.to_pandas()
+            .sort_values(["skey", "doc_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ids = df["doc_id"].to_numpy()
+        keys = df["skey"].to_numpy()
+        da, db, dist = [], [], []
+        for d in range(1, window + 1):
+            for i in range(len(df) - d):
+                lv = levenshtein(keys[i], keys[i + d])
+                if lv <= max_dist:
+                    da.append(int(ids[i]))
+                    db.append(int(ids[i + d]))
+                    dist.append(lv)
+        return pa.table(
+            {
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    pairs_in = banded.groupby("band").map_groups(
+        _band_pairs, batch_format="pyarrow"
+    )
+
+    def _edges(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["skey", "doc_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = len(df)
+        take = sorted(set(range(min(window, n))) | {
+            i for i in range(max(0, n - window), n)
+        })
+        sub = df.iloc[take]
+        return pa.table(
+            {
+                "band": sub["band"].astype("int64").to_numpy(),
+                "pos": pa.array([int(i) for i in take], pa.int64()),
+                "doc_id": sub["doc_id"].astype("int64").to_numpy(),
+                "skey": pa.array(sub["skey"].tolist(), pa.string()),
+            }
+        )
+
+    edge_rows = (
+        banded.groupby("band")
+        .map_groups(_edges, batch_format="pyarrow")
+        .to_pandas()
+    )  # <= n_bands * 2 * window rows — bounded by the band count
+    band_counts = (
+        banded.groupby("band", num_partitions=2)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("band")
+    )  # n_bands scalars
+    offsets = dict(
+        zip(band_counts["band"], band_counts["n"].cumsum().shift(fill_value=0))
+    )
+    edge_rows["rk"] = edge_rows["band"].map(offsets) + edge_rows["pos"]
+    edge_rows = edge_rows.sort_values("rk").reset_index(drop=True)
+    da, db, dist = [], [], []
+    rks = edge_rows["rk"].to_numpy()
+    bnd = edge_rows["band"].to_numpy()
+    ids = edge_rows["doc_id"].to_numpy()
+    keys = edge_rows["skey"].to_numpy()
+    for i in range(len(edge_rows)):
+        for j in range(i + 1, len(edge_rows)):
+            if rks[j] - rks[i] > window:
+                break
+            if bnd[i] == bnd[j]:
+                continue  # same-band pair: already emitted distributed
+            lv = levenshtein(keys[i], keys[j])
+            if lv <= max_dist:
+                da.append(int(ids[i]))
+                db.append(int(ids[j]))
+                dist.append(lv)
+    cross = pa.table(
+        {
+            "doc_a": pa.array(da, pa.int64()),
+            "doc_b": pa.array(db, pa.int64()),
+            "dist": pa.array(dist, pa.int64()),
+        }
+    )
+    out = pairs_in.union(rd.from_arrow(cross if cross.num_rows else empty))
+    return out

@@ -4298,6 +4298,43 @@ FROM documents GROUP BY source
 """
 
 
+Q98_WINDOW = 3
+Q98_DIST = 4
+Q98_KEY_LEN = 24
+
+
+def q98_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood (merge/purge) near-dup pairs: global key
+    order without a global sort barrier via q80's range-bucket pattern;
+    cross-band pairs come from a boundary table bounded by the band
+    count. See dedupe.sorted_neighborhood_pairs for the scale notes."""
+    from barks_ocr_ray.functions.dedupe import sorted_neighborhood_pairs
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return sorted_neighborhood_pairs(
+        docs,
+        window=Q98_WINDOW,
+        max_dist=Q98_DIST,
+        key_len=Q98_KEY_LEN,
+        n_bands=6,
+    )
+
+
+SQL_Q98 = f"""
+WITH s AS (
+  SELECT doc_id,
+         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                   1, {Q98_KEY_LEN}) AS skey
+  FROM documents WHERE text IS NOT NULL),
+r AS (SELECT doc_id, skey,
+             row_number() OVER (ORDER BY skey, doc_id) AS rk FROM s)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.skey, b.skey) AS BIGINT) AS dist
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + {Q98_WINDOW}
+WHERE levenshtein(a.skey, b.skey) <= {Q98_DIST}
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4412,6 +4449,7 @@ def build_registry():
         "q95_importance_resample": q95_importance_resample,
         "q96_evolving_schema_union": q96_evolving_schema_union,
         "q97_compaction": q97_compaction,
+        "q98_sorted_neighborhood": q98_sorted_neighborhood,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4537,5 +4575,6 @@ def build_registry():
         "q95_importance_resample": _sql_q95(),
         "q96_evolving_schema_union": SQL_Q96,
         "q97_compaction": SQL_Q97,
+        "q98_sorted_neighborhood": SQL_Q98,
     }
     return queries, oracles
