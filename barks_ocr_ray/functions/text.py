@@ -733,3 +733,50 @@ def chunk_documents(
         )
 
     return docs.map_batches(_chunks_block, batch_format="pyarrow")
+
+
+def flesch_readability(docs: Dataset) -> Dataset:
+    """Flesch reading-ease per doc with the vowel-group syllable proxy
+    (syllables ~ non-overlapping [aeiouy]+ runs). Everything is a
+    vectorized RE2 kernel (`pc.count_substring_regex`), which matches
+    the DuckDB oracle's regexp_extract_all counts exactly; the score is
+    per-row float arithmetic (no sums), so rounding to 4 decimals is
+    bit-stable under any partitioning."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    def _score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        text = t.column("text")
+        lower = pc.utf8_lower(text)
+        words = pc.count_substring_regex(lower, TOKEN_RE).cast(pa.int64())
+        sents = pc.max_element_wise(
+            pc.count_substring_regex(text, r"[.!?]+").cast(pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        syll = pc.count_substring_regex(lower, r"[aeiouy]+").cast(
+            pa.int64()
+        )
+        keep = pc.greater(words, pa.scalar(0, pa.int64()))
+        t2 = pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": words,
+                "n_sentences": sents,
+                "n_syllables": syll,
+            }
+        ).filter(keep)
+        w = t2.column("n_words").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        s = t2.column("n_sentences").to_numpy(zero_copy_only=False)
+        y = t2.column("n_syllables").to_numpy(zero_copy_only=False)
+        flesch = round_like_duckdb(
+            206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4
+        )
+        return t2.append_column(
+            "flesch", pa.array(flesch, pa.float64())
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow")

@@ -4335,6 +4335,134 @@ WHERE levenshtein(a.skey, b.skey) <= {Q98_DIST}
 """
 
 
+def q99_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10-shaped plan: revenue lost to returned items per
+    customer, top 20. Plan by table scale: the returnflag predicate is
+    PUSHED TO THE SCANNER (row groups without 'R' rows never leave
+    storage), per-row cents are fixed-point so the distributed sum is
+    order-independent, revenue pre-aggregates per customer BEFORE the
+    customer join (the join's left side shrinks from lineitem-sized to
+    customer-sized), and the 25-row nation table broadcasts."""
+    import pyarrow.dataset as pads
+
+    # the pushed filter binds against the pruned schema, so the
+    # predicate column rides in the projection (q68 precedent)
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        predicate=(pads.field("l_returnflag") == "R"),
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = round_like_duckdb(ext * (1.0 - disc) * 100.0, 0).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    spine = li.map_batches(_cents, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_cust = spine.groupby(
+        "o_custkey", num_partitions=hash_partitions(16)
+    ).aggregate(Sum("cents", alias_name="revenue_cents"))
+
+    cust = read_table(
+        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
+    )
+    named = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    nation = read_table(sf_dir, "nation").to_pandas()
+    named = broadcast_lookup_column(
+        named,
+        dict(zip(nation["n_nationkey"], nation["n_name"])),
+        "c_nationkey",
+        "n_name",
+        pa.string(),
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "c_name": t.column("c_name"),
+                "n_name": t.column("n_name"),
+                "revenue_cents": t.column("revenue_cents"),
+            }
+        )
+
+    return (
+        named.map_batches(_proj, batch_format="pyarrow")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_Q99 = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q100_readability(sf_dir: str):
+    """Flesch reading-ease scoring (classic readability heuristic:
+    vowel-group syllable proxy) — pure vectorized RE2 kernels per
+    batch, no exchange at all; per-row float arithmetic is
+    order-independent so the score is exact vs the SQL replay."""
+    from barks_ocr_ray.functions.text import flesch_readability
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return flesch_readability(docs)
+
+
+def _sql_q100() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+              AS BIGINT) AS n_words,
+         CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences,
+         CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+FROM t WHERE n_words > 0
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4450,6 +4578,8 @@ def build_registry():
         "q96_evolving_schema_union": q96_evolving_schema_union,
         "q97_compaction": q97_compaction,
         "q98_sorted_neighborhood": q98_sorted_neighborhood,
+        "q99_returned_item_revenue": q99_returned_item_revenue,
+        "q100_readability": q100_readability,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4576,5 +4706,7 @@ def build_registry():
         "q96_evolving_schema_union": SQL_Q96,
         "q97_compaction": SQL_Q97,
         "q98_sorted_neighborhood": SQL_Q98,
+        "q99_returned_item_revenue": SQL_Q99,
+        "q100_readability": _sql_q100(),
     }
     return queries, oracles

@@ -55,7 +55,14 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q90_normalize_text", 1),
                         ("q91_token_counts", 1),
                         ("q92_event_pattern", 1),
-                        ("q93_pmi_collocations", 1)):
+                        ("q93_pmi_collocations", 1),
+                        ("q94_pagerank", 1),
+                        ("q95_importance_resample", 1),
+                        ("q96_evolving_schema_union", 1),
+                        ("q97_compaction", 1),
+                        ("q98_sorted_neighborhood", 1),
+                        ("q99_returned_item_revenue", 1),
+                        ("q100_readability", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
@@ -72,7 +79,7 @@ def test_entry_and_queries_without_pythonpath():
         env=env,
         capture_output=True,
         text=True,
-        timeout=240,
+        timeout=420,
         cwd="/tmp",
     )
     assert "DRIVER-CONTRACT-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
