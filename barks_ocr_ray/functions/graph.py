@@ -137,9 +137,24 @@ def pagerank(
             {"dst": t.column("dst"), "contrib": pa.array(c, pa.int64())}
         )
 
+    # post-symmetrize every node has in-degree >= 1, so the grouped
+    # contribution sum covers EVERY node — no outer join back onto the
+    # node table is needed; each round is exactly one keyed join plus
+    # one grouped sum
+    def _update(t: pa.Table) -> pa.Table:
+        c = t.column("contrib").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "node": t.column("dst"),
+                "pr": pa.array(base + c, pa.int64()),
+            }
+        )
+
     for _ in range(iterations):
         ranks_c, _ = compact_nonempty(ranks, np_)
-        contribs = (
+        ranks = (
             edges_deg.join(
                 ranks_c,
                 join_type="inner",
@@ -150,34 +165,8 @@ def pagerank(
             .map_batches(_contrib, batch_format="pyarrow")
             .groupby("dst", num_partitions=np_)
             .aggregate(Sum("contrib", alias_name="contrib"))
+            .map_batches(_update, batch_format="pyarrow")
+            .materialize()
         )
-        contribs_c, n_contrib = compact_nonempty(contribs, np_)
-        if n_contrib:
-            joined = deg_c.join(
-                contribs_c,
-                join_type="left_outer",
-                num_partitions=np_,
-                on=("node",),
-                right_on=("dst",),
-            )
-        else:  # every node isolated this round (cannot happen post-
-            joined = deg_c  # symmetrize, but keep the algebra total)
-
-        def _update(t: pa.Table) -> pa.Table:
-            if "contrib" in t.column_names:
-                c = t.column("contrib").fill_null(0)
-                c = c.to_numpy(zero_copy_only=False).astype(np.int64)
-            else:
-                c = np.zeros(t.num_rows, dtype=np.int64)
-            return pa.table(
-                {
-                    "node": t.column("node"),
-                    "pr": pa.array(base + c, pa.int64()),
-                }
-            )
-
-        ranks = joined.map_batches(
-            _update, batch_format="pyarrow"
-        ).materialize()
 
     return ranks

@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "q64_quality_model",
     "q71_heavy_hitters",
     "q78_bloom_semi_join",
+    "q94_pagerank",
+    "q95_importance_resample",
+    "q98_sorted_neighborhood",
 ]
 
 
