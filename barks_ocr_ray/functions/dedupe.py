@@ -1257,7 +1257,12 @@ def sorted_neighborhood_pairs(
             }
         )
 
-    pairs_in = banded.groupby("band").map_groups(
+    # band-keyed exchanges: key cardinality == n_bands, so partition
+    # counts derive from it (corpus-scaled counts leave empty finalizes
+    # -> schema-less blocks). Parallelism is bounded by this too: at
+    # scale raise n_bands (bands >> partitions keeps them balanced).
+    band_parts = max(2, n_bands // 4)
+    pairs_in = banded.groupby("band", num_partitions=band_parts).map_groups(
         _band_pairs, batch_format="pyarrow"
     )
 
@@ -1282,7 +1287,7 @@ def sorted_neighborhood_pairs(
         )
 
     edge_rows = (
-        banded.groupby("band")
+        banded.groupby("band", num_partitions=band_parts)
         .map_groups(_edges, batch_format="pyarrow")
         .to_pandas()
     )  # <= n_bands * 2 * window rows — bounded by the band count

@@ -68,10 +68,19 @@ def symmetrize(edges: Dataset) -> Dataset:
     return edges.union(edges.map_batches(_rev, batch_format="pyarrow"))
 
 
+#: below this node count the per-round rank table broadcasts (ray.put
+#: once, vectorized index_in per edge block) instead of hash-joining —
+#: the measured signature-attach gate precedent (BASELINE.md session-3:
+#: broadcast beat the join's two operator spin-ups well past 100k rows).
+#: Above it every round runs the distributed join.
+BROADCAST_NODE_GATE = 2_000_000
+
+
 def pagerank(
     pairs: Dataset,
     iterations: int = 5,
     num_partitions: int | None = None,
+    broadcast_gate: int = BROADCAST_NODE_GATE,
 ) -> Dataset:
     """Exact fixed-point PageRank over the undirected graph induced by
     ``pairs`` (columns ``src``, ``dst``; duplicates allowed).
@@ -127,15 +136,24 @@ def pagerank(
 
     ranks = deg.map_batches(_init, batch_format="pyarrow").materialize()
 
+    def _partial_sum(dst: pa.ChunkedArray | pa.Array, c: np.ndarray) -> pa.Table:
+        """Combiner: per-block partial sum by dst BEFORE the exchange —
+        the shuffle ships at most (distinct dst per block) rows instead
+        of one row per edge (int sums commute, exactness unaffected)."""
+        return (
+            pa.table({"dst": dst, "contrib": pa.array(c, pa.int64())})
+            .group_by("dst")
+            .aggregate([("contrib", "sum")])
+            .rename_columns(["dst", "contrib"])
+        )
+
     def _contrib(t: pa.Table) -> pa.Table:
         pr = t.column("pr").to_numpy(zero_copy_only=False).astype(np.int64)
         od = t.column("outdeg").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
         c = ((pr // od) * DAMP_NUM) // DAMP_DEN
-        return pa.table(
-            {"dst": t.column("dst"), "contrib": pa.array(c, pa.int64())}
-        )
+        return _partial_sum(t.column("dst"), c)
 
     # post-symmetrize every node has in-degree >= 1, so the grouped
     # contribution sum covers EVERY node — no outer join back onto the
@@ -152,8 +170,78 @@ def pagerank(
             }
         )
 
+    # Each round MUST materialize: chaining all rounds into one lazy
+    # DAG spins every round's hash-shuffle aggregator pools at once
+    # (5 joins + 5 aggregates x np_ actors), blowing the CPU budget and
+    # deadlocking the streaming executor (measured — the verify-skill
+    # gotcha). What CAN go per round is the compact: when nodes
+    # outnumber partitions 100x, every keyed partition is non-empty for
+    # all practical purposes, so the compact's extra count() execution
+    # per round is pure overhead. Tiny graphs keep it — empty blocks
+    # into a join are fatal (compact_nonempty contract).
+    skip_compact = n_nodes >= 100 * np_
+
+    if n_nodes <= broadcast_gate:
+        # broadcast path: the rank table is node-sized and under the
+        # gate, so ship it ONCE per round via ray.put and attach pr to
+        # each edge block with a vectorized index_in — one keyed
+        # exchange per round (the contribution sum) instead of two
+        # operator spin-ups for a hash join whose right side is tiny
+        import ray as _ray
+
+        def _round_broadcast(ranks_ds: Dataset) -> Dataset:
+            # skip 0-row blocks: empty aggregate finalizes are
+            # schema-less and would poison the concat
+            blocks = [
+                b
+                for b in (
+                    _ray.get(r) for r in ranks_ds.to_arrow_refs()
+                )
+                if b.num_rows
+            ]
+            tbl = pa.concat_tables(blocks)
+            ref = _ray.put(
+                (
+                    tbl.column("node").combine_chunks(),
+                    tbl.column("pr").to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    ),
+                )
+            )
+
+            def _attach_contrib(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                nodes, prs = _ray.get(ref)
+                idx = _pc.index_in(
+                    t.column("src"), value_set=nodes
+                ).to_numpy(zero_copy_only=False)
+                pr = prs[idx.astype(np.int64)]
+                od = t.column("outdeg").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                c = ((pr // od) * DAMP_NUM) // DAMP_DEN
+                return _partial_sum(t.column("dst"), c)
+
+            return (
+                edges_deg.map_batches(
+                    _attach_contrib, batch_format="pyarrow"
+                )
+                .groupby("dst", num_partitions=np_)
+                .aggregate(Sum("contrib", alias_name="contrib"))
+                .map_batches(_update, batch_format="pyarrow")
+                .materialize()
+            )
+
+        for _ in range(iterations):
+            ranks = _round_broadcast(ranks)
+        return ranks
+
     for _ in range(iterations):
-        ranks_c, _ = compact_nonempty(ranks, np_)
+        if skip_compact:
+            ranks_c = ranks
+        else:
+            ranks_c, _ = compact_nonempty(ranks, np_)
         ranks = (
             edges_deg.join(
                 ranks_c,

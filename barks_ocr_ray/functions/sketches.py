@@ -36,6 +36,89 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
+def _hll_idx_rank(s, p: int) -> tuple[int, int]:
+    """Pure per-value HLL kernel (register index, rank) — shared by the
+    global estimator, the grouped estimator and the sequential golden
+    replay so all three are bit-identical by construction."""
+    h = int.from_bytes(
+        hashlib.blake2b(str(s).encode("utf-8"), digest_size=8).digest(),
+        "big",
+    )
+    idx = h >> (64 - p)
+    rest = h & ((1 << (64 - p)) - 1)
+    return idx, (64 - p) - rest.bit_length() + 1
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Registers -> estimate (with the standard linear-counting
+    small-range correction); float ops in one fixed order."""
+    m = len(regs)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_grouped_distinct(
+    ds: Dataset, group_col: str, col: str, p: int = DEFAULT_P
+) -> Dataset:
+    """Approximate count-distinct PER GROUP — the mergeable-sketch-by-
+    key pattern: per-block sparse (group, reg, rank) partials, ONE keyed
+    max-merge (exchange volume is occupied registers x groups, bounded
+    by m per group, never the raw rows), then a per-group estimate in
+    map_groups. Register max-merges are order-independent, so the
+    result is bit-exact under any partitioning and the sequential
+    golden replays it exactly."""
+    m = 1 << p
+
+    def _partials(t: pa.Table) -> pa.Table:
+        best: dict = {}
+        for g, v in zip(t.column(group_col).to_pylist(), t.column(col)):
+            s = v.as_py()
+            if s is None or g is None:
+                continue
+            idx, rank = _hll_idx_rank(s, p)
+            key = (g, idx)
+            if rank > best.get(key, 0):
+                best[key] = rank
+        ks = sorted(best)
+        return pa.table(
+            {
+                group_col: pa.array([k[0] for k in ks]),
+                "reg": pa.array([k[1] for k in ks], pa.int64()),
+                "rank": pa.array([best[k] for k in ks], pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby([group_col, "reg"], num_partitions=2)
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+
+    def _est(t: pa.Table) -> pa.Table:
+        regs = np.zeros(m, np.int64)
+        regs[t.column("reg").to_numpy(zero_copy_only=False)] = t.column(
+            "rank"
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                group_col: t.column(group_col).slice(0, 1),
+                "n_distinct_est": pa.array(
+                    [_hll_estimate(regs)], pa.float64()
+                ),
+            }
+        )
+
+    # group cardinality is tiny relative to register rows; one finalize
+    # partition keeps every block schema-ful (raise alongside the group
+    # count at scale)
+    return merged.groupby(group_col, num_partitions=1).map_groups(
+        _est, batch_format="pyarrow"
+    )
+
+
 def hll_count_distinct(ds: Dataset, col: str, p: int = DEFAULT_P) -> pa.Table:
     """One-row (n_distinct_est,) HLL estimate of distinct values in
     ``ds[col]`` (nulls ignored). Per-value hashing is one blake2b C
@@ -168,9 +251,14 @@ def exact_heavy_hitters(
     def _drop_sentinels(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_valid(t.column(key_col)))
 
+    # candidate-keyed aggregate: cardinality is bounded by local heavy
+    # hitters (<= k per block), not the corpus — corpus-scaled partition
+    # counts here leave most finalizes EMPTY (schema-less blocks, the
+    # RefBundle-warning class); 2 partitions is the tiny-cardinality
+    # floor (VOCAB_PARTITIONS rationale, text.py)
     cand_ds = (
         p1.map_batches(_drop_sentinels, batch_format="pyarrow")
-        .groupby(key_col, num_partitions=hash_partitions(num_partitions))
+        .groupby(key_col, num_partitions=1)
         .count()
         .drop_columns(["count()"])
     )
@@ -228,7 +316,9 @@ def exact_heavy_hitters(
             num_partitions=hash_partitions(num_partitions),
             on=(key_col,),
         )
-    agg = p2.groupby(key_col, num_partitions=hash_partitions(num_partitions)).aggregate(
+    # candidate-sized for the same reason as cand_ds above; a single
+    # finalize partition can never be empty while candidates exist
+    agg = p2.groupby(key_col, num_partitions=1).aggregate(
         Sum("n", alias_name="n")
     )
 

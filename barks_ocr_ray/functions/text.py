@@ -780,3 +780,48 @@ def flesch_readability(docs: Dataset) -> Dataset:
         )
 
     return docs.map_batches(_score, batch_format="pyarrow")
+
+
+def corpus_profile(docs: Dataset) -> Dataset:
+    """One-pass corpus profiler (shared scan): a SINGLE read of the
+    corpus produces many aggregates at once — doc count, token total,
+    null-text count, per-language doc counts — as long-format
+    (stat, value) rows. At 100 TB the scan dominates every per-doc
+    aggregate, so fusing N profile questions into one map_batches pass
+    costs one corpus read instead of N; the exchange ships only the
+    per-block partial rows (a handful per block). The shared-scan idea
+    is classic systems work (cooperative scans / DataPath); this is its
+    Ray Data expression."""
+
+    def _partials(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        valid = pc.is_valid(text)
+        n_null = t.num_rows - pc.sum(valid).as_py()
+        lower = pc.utf8_lower(text)
+        n_tokens = pc.sum(
+            pc.count_substring_regex(lower, TOKEN_RE).cast(pa.int64())
+        ).as_py() or 0
+        stats = [
+            ("n_docs", t.num_rows),
+            ("n_tokens", int(n_tokens)),
+            ("null_text", int(n_null)),
+        ]
+        langs = pa.table(
+            {"lang": t.column("lang")}
+        ).group_by("lang").aggregate([("lang", "count")])
+        for lang, n in zip(
+            langs.column("lang").to_pylist(),
+            langs.column("lang_count").to_pylist(),
+        ):
+            stats.append((f"lang:{lang}", int(n)))
+        return pa.table(
+            {
+                "stat": pa.array([s for s, _ in stats], pa.string()),
+                "value": pa.array([v for _, v in stats], pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(_partials, batch_format="pyarrow")
+    return partials.groupby("stat", num_partitions=2).aggregate(
+        Sum("value", alias_name="value")
+    )

@@ -465,3 +465,36 @@ def golden_cms_counts(docs: pa.Table, col: str = "text") -> pa.Table:
             "est_count": pa.array(ests, pa.int64()),
         }
     )
+
+
+def golden_hll_grouped(
+    events: pa.Table,
+    group_col: str = "event_type",
+    col: str = "user_id",
+    p: int = 12,
+) -> pa.Table:
+    """Sequential replay of sketches.hll_grouped_distinct — shares the
+    per-value kernel and the estimator, reimplements the merge as a
+    plain per-group fold (max-merge is order-independent, so the
+    sequential fold reproduces the distributed estimate bit-exactly)."""
+    from barks_ocr_ray.functions.sketches import _hll_estimate, _hll_idx_rank
+
+    m = 1 << p
+    regs: dict = {}
+    for g, v in zip(events.column(group_col).to_pylist(), events.column(col)):
+        s = v.as_py()
+        if s is None or g is None:
+            continue
+        r = regs.setdefault(g, np.zeros(m, np.int64))
+        idx, rank = _hll_idx_rank(s, p)
+        if rank > r[idx]:
+            r[idx] = rank
+    groups = sorted(regs)
+    return pa.table(
+        {
+            group_col: pa.array(groups, pa.string()),
+            "n_distinct_est": pa.array(
+                [_hll_estimate(regs[g]) for g in groups], pa.float64()
+            ),
+        }
+    )

@@ -292,7 +292,11 @@ def ensure_validation_golden(
 NEARDUP_SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01")
 
 #: the hashed column per table for the corpus fingerprint
-TAG_COL = {"documents": "text", "embeddings": "embedding"}
+TAG_COL = {
+    "documents": "text",
+    "embeddings": "embedding",
+    "events": "event_id",
+}
 
 
 def corpus_tag_sql(table: str) -> str:
@@ -380,6 +384,10 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q85": ensure_neardup_golden(
             "cms_counts", "documents",
             lambda t: g.golden_cms_counts(t, "text"),
+        ),
+        "q102": ensure_neardup_golden(
+            "hll_grouped", "events",
+            lambda t: g.golden_hll_grouped(t, "event_type", "user_id"),
         ),
     }
 

@@ -4463,6 +4463,49 @@ FROM t WHERE n_words > 0
 """
 
 
+def q101_corpus_profile(sf_dir: str):
+    """Shared-scan corpus profile: ONE corpus read answers doc count,
+    token total, null-text count and the per-language histogram at once
+    (text.corpus_profile) — the scan-amortization pattern a 100 TB user
+    runs instead of N separate aggregation jobs."""
+    from barks_ocr_ray.functions.text import corpus_profile
+
+    docs = read_table(sf_dir, "documents", ["text", "lang"])
+    return corpus_profile(docs)
+
+
+def _sql_q101() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT 'n_tokens',
+       CAST(coalesce(sum(length(regexp_extract_all(lower(text),
+                                                   '{TOKEN_RE}'))), 0)
+            AS BIGINT)
+FROM documents WHERE text IS NOT NULL
+UNION ALL
+SELECT 'null_text', CAST(count(*) AS BIGINT)
+FROM documents WHERE text IS NULL
+UNION ALL
+SELECT 'lang:' || lang, CAST(count(*) AS BIGINT)
+FROM documents GROUP BY lang
+"""
+
+
+def q102_hll_grouped(sf_dir: str):
+    """Approximate distinct users per event type — mergeable HLL
+    sketches BY KEY (sketches.hll_grouped_distinct): the exchange ships
+    occupied (group, register) maxima, never raw user ids. Register
+    max-merge is order-independent, so the estimate is bit-exact vs the
+    sequential golden replay at any partitioning."""
+    from barks_ocr_ray.functions.sketches import hll_grouped_distinct
+
+    events = read_table(sf_dir, "events", ["event_type", "user_id"])
+    return hll_grouped_distinct(events, "event_type", "user_id")
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4580,6 +4623,8 @@ def build_registry():
         "q98_sorted_neighborhood": q98_sorted_neighborhood,
         "q99_returned_item_revenue": q99_returned_item_revenue,
         "q100_readability": q100_readability,
+        "q101_corpus_profile": q101_corpus_profile,
+        "q102_hll_grouped": q102_hll_grouped,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4708,5 +4753,9 @@ def build_registry():
         "q98_sorted_neighborhood": SQL_Q98,
         "q99_returned_item_revenue": SQL_Q99,
         "q100_readability": _sql_q100(),
+        "q101_corpus_profile": _sql_q101(),
+        "q102_hll_grouped": _sql_golden(
+            "hll_grouped", "event_type, n_distinct_est", "events"
+        ),
     }
     return queries, oracles

@@ -108,3 +108,28 @@ def test_pagerank_empty_input_is_typed_empty(ray_session):
     out = pagerank(rd.from_arrow(empty), iterations=2)
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "pr"}
+
+
+def test_pagerank_broadcast_and_join_paths_agree(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.graph import pagerank
+
+    t = pa.table(
+        {
+            "src": [f"n{i}" for i in range(40)],
+            "dst": [f"n{(i * 11 + 5) % 40}" for i in range(40)],
+        }
+    )
+    via_broadcast = {
+        r["node"]: r["pr"]
+        for r in pagerank(rd.from_arrow(t), 3, num_partitions=4).take_all()
+    }
+    # broadcast_gate=0 forces the distributed-join rounds
+    via_join = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            rd.from_arrow(t), 3, num_partitions=4, broadcast_gate=0
+        ).take_all()
+    }
+    assert via_broadcast == via_join

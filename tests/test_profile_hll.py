@@ -1,0 +1,81 @@
+"""Contracts for the shared-scan corpus profile (q101) and grouped HLL
+distinct (q102): exact profile counts, distributed-vs-sequential sketch
+equality, and partition independence."""
+
+import pyarrow as pa
+
+
+def _docs():
+    return pa.table(
+        {
+            "text": ["one two three", None, "four five", "one one"],
+            "lang": ["en", "fr", "en", "de"],
+        }
+    )
+
+
+def test_corpus_profile_counts(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.text import corpus_profile
+
+    out = {
+        r["stat"]: r["value"]
+        for r in corpus_profile(rd.from_arrow(_docs())).take_all()
+    }
+    assert out == {
+        "n_docs": 4,
+        "n_tokens": 7,
+        "null_text": 1,
+        "lang:en": 2,
+        "lang:fr": 1,
+        "lang:de": 1,
+    }
+
+
+def test_corpus_profile_partition_independent(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.text import corpus_profile
+
+    a = sorted(
+        map(tuple, (r.values() for r in
+            corpus_profile(rd.from_arrow(_docs())).take_all()))
+    )
+    b = sorted(
+        map(tuple, (r.values() for r in
+            corpus_profile(
+                rd.from_arrow(_docs()).repartition(3)
+            ).take_all()))
+    )
+    assert a == b
+
+
+def test_hll_grouped_matches_sequential_golden(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.sketches import hll_grouped_distinct
+    from barks_ocr_ray.golden_dedup import golden_hll_grouped
+
+    t = pa.table(
+        {
+            "event_type": [f"t{i % 3}" for i in range(300)],
+            "user_id": pa.array(
+                [i % 57 for i in range(300)], pa.int64()
+            ),
+        }
+    )
+    want = {
+        (r["event_type"], r["n_distinct_est"])
+        for r in golden_hll_grouped(t, "event_type", "user_id").to_pylist()
+    }
+    got = {
+        (r["event_type"], r["n_distinct_est"])
+        for r in hll_grouped_distinct(
+            rd.from_arrow(t).repartition(5), "event_type", "user_id"
+        ).take_all()
+    }
+    assert got == want
+    # sanity: small-range linear counting keeps the estimate near truth
+    for _etype, est in got:
+        assert abs(est - 19) < 2  # 57 users striped over 3 types
