@@ -4506,6 +4506,259 @@ def q102_hll_grouped(sf_dir: str):
     return hll_grouped_distinct(events, "event_type", "user_id")
 
 
+Q103_K = 30  # k-anonymity threshold over the (lang, source) quasi-id
+
+
+def q103_k_anonymity(sf_dir: str):
+    """k-anonymity suppression: docs whose (lang, source) quasi-
+    identifier group has fewer than K members get both fields masked
+    to '*'. The group-size table is quasi-identifier-sized (langs x
+    sources, bounded), so it folds into ONE broadcast dict and the
+    suppression is a vectorized per-block mask — no doc-keyed exchange
+    at all (the privacy sibling of q61's PII redaction)."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "source"])
+    sizes = (
+        docs.groupby(["lang", "source"], num_partitions=2)
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )  # quasi-identifier-sized, never corpus-sized
+    small = {
+        (l, s)
+        for l, s, n in zip(sizes["lang"], sizes["source"], sizes["n"])
+        if n < Q103_K
+    }
+
+    def _mask(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        srcs = t.column("source").to_numpy(zero_copy_only=False)
+        hit = np.fromiter(
+            ((l, s) in small for l, s in zip(langs, srcs)),
+            np.bool_,
+            t.num_rows,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang_anon": pa.array(
+                    np.where(hit, "*", langs), pa.string()
+                ),
+                "source_anon": pa.array(
+                    np.where(hit, "*", srcs), pa.string()
+                ),
+            }
+        )
+
+    return docs.map_batches(_mask, batch_format="pyarrow")
+
+
+SQL_Q103 = f"""
+WITH g AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source)
+SELECT doc_id,
+       CASE WHEN g.n < {Q103_K} THEN '*' ELSE documents.lang END
+         AS lang_anon,
+       CASE WHEN g.n < {Q103_K} THEN '*' ELSE documents.source END
+         AS source_anon
+FROM documents
+JOIN g ON documents.lang = g.lang AND documents.source = g.source
+"""
+
+
+Q104_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q104_expectations(sf_dir: str):
+    """Data-quality expectations audit (great-expectations style): each
+    rule is a vectorized per-block mask whose violation counts
+    pre-aggregate inside the scan (one long-format partial row per rule
+    per block); the uniqueness rule is the only keyed exchange and it
+    ships (doc_id, count) partials. Output: (rule, violations)."""
+    docs = read_table(
+        sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]
+    )
+
+    def _rule_partials(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_chars = t.column("n_chars")
+        viol_null = t.num_rows - pc.sum(pc.is_valid(text)).as_py()
+        lens = pc.utf8_length(text).cast(pa.int64())
+        viol_len = pc.sum(
+            pc.fill_null(pc.not_equal(lens, n_chars), True)
+        ).as_py()
+        viol_lang = t.num_rows - pc.sum(
+            pc.is_in(t.column("lang"), value_set=pa.array(Q104_LANGS))
+        ).as_py()
+        return pa.table(
+            {
+                "rule": pa.array(
+                    ["text_not_null", "n_chars_matches", "lang_known"],
+                    pa.string(),
+                ),
+                "violations": pa.array(
+                    [int(viol_null), int(viol_len), int(viol_lang)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    rules = (
+        docs.map_batches(_rule_partials, batch_format="pyarrow")
+        .groupby("rule", num_partitions=2)
+        .aggregate(Sum("violations", alias_name="violations"))
+    )
+
+    # uniqueness: rows whose doc_id occurs more than once
+    def _dups_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(t.column("count()"), pa.scalar(1, pa.int64()))
+        )
+
+    dup_rows = (
+        docs.groupby("doc_id", num_partitions=hash_partitions(16))
+        .count()
+        .map_batches(_dups_only, batch_format="pyarrow")
+    )
+    n_dup = int(dup_rows.sum("count()") or 0)
+    uniq = rd.from_arrow(
+        pa.table(
+            {
+                "rule": pa.array(["doc_id_unique"], pa.string()),
+                "violations": pa.array([n_dup], pa.int64()),
+            }
+        )
+    )
+    return rules.union(uniq)
+
+
+def _sql_q104() -> str:
+    langs = ", ".join(f"'{l}'" for l in Q104_LANGS)
+    return f"""
+SELECT 'text_not_null' AS rule, CAST(count(*) AS BIGINT) AS violations
+FROM documents WHERE text IS NULL
+UNION ALL
+SELECT 'n_chars_matches', CAST(count(*) AS BIGINT) FROM documents
+WHERE text IS NULL OR length(text) != n_chars
+UNION ALL
+SELECT 'lang_known', CAST(count(*) AS BIGINT) FROM documents
+WHERE lang NOT IN ({langs}) OR lang IS NULL
+UNION ALL
+SELECT 'doc_id_unique',
+       CAST(coalesce(sum(c), 0) AS BIGINT)
+FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id
+      HAVING count(*) > 1)
+"""
+
+
+def q105_cdc_merge(sf_dir: str):
+    """Change-data-capture upsert (lakehouse MERGE INTO): apply a
+    deltas stream (insert / update / delete, sequence-ordered) to the
+    base table — latest op per key wins, deletes drop the row. One
+    keyed exchange on doc_id; the winner pick is a vectorized per-group
+    argmax (the O4 argmax family applied to table maintenance). The
+    deltas are synthesized deterministically from the sf corpus so the
+    operator under test is the merge, not the fixture."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _base(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": t.column("text"),
+                "op": pa.array(["base"] * n, pa.string()),
+                "seq": pa.array([0] * n, pa.int64()),
+            }
+        )
+
+    def _deltas(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        upd = ids % 7 == 0
+        dele = ids % 11 == 0
+        out_id, out_text, out_op, out_seq = [], [], [], []
+        texts = t.column("text").to_pylist()
+        for i, (d, u, x) in enumerate(zip(ids, upd, dele)):
+            if u:
+                out_id.append(int(d))
+                out_text.append((texts[i] or "").upper())
+                out_op.append("update")
+                out_seq.append(1)
+            if x:
+                out_id.append(int(d))
+                out_text.append(None)
+                out_op.append("delete")
+                out_seq.append(2)
+            # inserts: a new row keyed past the base id space
+            if d % 13 == 0:
+                out_id.append(int(d) + 10_000_000)
+                out_text.append(f"inserted {int(d)}")
+                out_op.append("insert")
+                out_seq.append(1)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "text": pa.array(out_text, pa.string()),
+                "op": pa.array(out_op, pa.string()),
+                "seq": pa.array(out_seq, pa.int64()),
+            }
+        )
+
+    base = docs.map_batches(_base, batch_format="pyarrow")
+    deltas = docs.map_batches(_deltas, batch_format="pyarrow")
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = (
+            t.to_pandas()
+            .sort_values(["doc_id", "seq"], kind="mergesort")
+            .groupby("doc_id", sort=True)
+            .tail(1)
+        )
+        df = df[df["op"] != "delete"]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    df["doc_id"].to_numpy(), pa.int64()
+                ),
+                "text": pa.array(df["text"].tolist(), pa.string()),
+            }
+        )
+
+    merged = (
+        base.union(deltas)
+        .groupby("doc_id", num_partitions=hash_partitions(16))
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+    return merged
+
+
+def _sql_q105() -> str:
+    return """
+WITH deltas AS (
+  SELECT doc_id, upper(coalesce(text, '')) AS text,
+         'update' AS op, 1 AS seq
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, NULL, 'delete', 2 FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 10000000, 'inserted ' || CAST(doc_id AS VARCHAR),
+         'insert', 1
+  FROM documents WHERE doc_id % 13 = 0),
+unioned AS (
+  SELECT doc_id, text, 'base' AS op, 0 AS seq FROM documents
+  UNION ALL SELECT * FROM deltas),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
+         AS rk
+  FROM unioned)
+SELECT doc_id, text FROM ranked WHERE rk = 1 AND op != 'delete'
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4625,6 +4878,9 @@ def build_registry():
         "q100_readability": q100_readability,
         "q101_corpus_profile": q101_corpus_profile,
         "q102_hll_grouped": q102_hll_grouped,
+        "q103_k_anonymity": q103_k_anonymity,
+        "q104_expectations": q104_expectations,
+        "q105_cdc_merge": q105_cdc_merge,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4757,5 +5013,8 @@ def build_registry():
         "q102_hll_grouped": _sql_golden(
             "hll_grouped", "event_type, n_distinct_est", "events"
         ),
+        "q103_k_anonymity": SQL_Q103,
+        "q104_expectations": _sql_q104(),
+        "q105_cdc_merge": _sql_q105(),
     }
     return queries, oracles

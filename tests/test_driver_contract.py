@@ -64,7 +64,10 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q99_returned_item_revenue", 1),
                         ("q100_readability", 1),
                         ("q101_corpus_profile", 1),
-                        ("q102_hll_grouped", 1)):
+                        ("q102_hll_grouped", 1),
+                        ("q103_k_anonymity", 1),
+                        ("q104_expectations", 1),
+                        ("q105_cdc_merge", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -79,3 +79,20 @@ def test_hll_grouped_matches_sequential_golden(ray_session):
     # sanity: small-range linear counting keeps the estimate near truth
     for _etype, est in got:
         assert abs(est - 19) < 2  # 57 users striped over 3 types
+
+
+def test_cdc_merge_delete_beats_update_and_inserts_land(ray_session):
+    from barks_ocr_ray.pipelines.queries import q105_cdc_merge
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in q105_cdc_merge("/root/testdata/sf0.001").take_all()
+    }
+    # doc 0 is 7-, 11- and 13-divisible: delete (seq 2) must win over
+    # the update, while its insert row (new key) must land
+    assert 0 not in out
+    assert out[10_000_000] == "inserted 0"
+    # doc 7: update only -> uppercased text
+    assert 7 in out and out[7] == out[7].upper()
+    # doc 77 (7 and 11): delete wins
+    assert 77 not in out
