@@ -295,16 +295,18 @@ def lsh_topk(
     )
 
 
-def _train_centroids(
-    embeddings: Dataset, n_centroids: int, seed: int, sample_cap: int = 2048
+def _train_sample_matrix(
+    embeddings: Dataset, sample_cap: int = 2048
 ) -> np.ndarray:
-    """Coarse quantizer for IVF: Lloyd's k-means on a BOUNDED
-    deterministic sample (lowest-md5-hash vec_ids, order-independent).
-    Sampling is a hash-threshold filter — keep rows whose md5 fraction
-    falls below ~4x the target rate (a pure row function; no global
-    sort, no shuffle) — then a local top-cap on the ~4x-cap survivors.
-    The cap, not the corpus, bounds driver memory; at 100 TB the same
-    cap holds and the trained centroids are broadcast once."""
+    """BOUNDED deterministic training sample as a unit matrix
+    (lowest-md5-hash vec_ids, order-independent). Sampling is a
+    hash-threshold filter — keep rows whose md5 fraction falls below
+    ~4x the target rate (a pure row function; no global sort, no
+    shuffle) — then a local top-cap on the ~4x-cap survivors. The cap,
+    not the corpus, bounds driver memory; at 100 TB the same cap holds
+    and whatever trains on it is broadcast once. Shared by the IVF
+    coarse quantizer and the PQ codebooks (and replayed sequentially
+    by their goldens)."""
     import hashlib
 
     n_rows = embeddings.count()
@@ -331,13 +333,160 @@ def _train_centroids(
     )
     if len(sample) == 0:
         raise ValueError(
-            "ivf_topk: embeddings dataset is empty — no sample to train "
-            "the coarse quantizer on"
+            "quantizer training: embeddings dataset is empty — no "
+            "sample to train on"
         )
-    mat = _unit(
+    return _unit(
         np.stack([np.asarray(v, np.float64) for v in sample["embedding"]])
     )
-    return _kmeans(mat, n_centroids, seed)
+
+
+def _train_centroids(
+    embeddings: Dataset, n_centroids: int, seed: int, sample_cap: int = 2048
+) -> np.ndarray:
+    """Coarse quantizer for IVF: Lloyd's k-means on the bounded
+    deterministic sample (see _train_sample_matrix)."""
+    return _kmeans(
+        _train_sample_matrix(embeddings, sample_cap), n_centroids, seed
+    )
+
+
+def _kmeans_l2(mat: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Seeded Lloyd's k-means under EUCLIDEAN distance (no re-
+    normalization) — the right objective for PQ subvectors, which are
+    slices of unit vectors and not unit themselves. PURE kernel shared
+    by the distributed encoder and the single-process golden."""
+    rng = np.random.RandomState(seed)
+    k = min(k, len(mat))
+    centroids = mat[rng.choice(len(mat), size=k, replace=False)].copy()
+    for _ in range(10):  # fixed Lloyd iterations, deterministic
+        d2 = (
+            (mat * mat).sum(axis=1)[:, None]
+            - 2.0 * (mat @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def pq_codebooks(
+    sample_mat: np.ndarray, m_subvectors: int, n_codes: int, seed: int
+) -> np.ndarray:
+    """(M, n_codes, D/M) product-quantization codebooks: one euclidean
+    k-means per subspace over the bounded sample. Pure kernel (shared
+    with the golden)."""
+    d = sample_mat.shape[1] // m_subvectors
+    return np.stack(
+        [
+            _kmeans_l2(
+                sample_mat[:, i * d : (i + 1) * d], n_codes, seed + i
+            )
+            for i in range(m_subvectors)
+        ]
+    )
+
+
+def _pq_encode(emb_unit: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, D) unit vectors -> (n, M) nearest-codeword indices. Pure
+    vectorized kernel (shared with the golden)."""
+    m, _k, d = books.shape
+    codes = np.empty((len(emb_unit), m), np.int64)
+    for i in range(m):
+        sub = emb_unit[:, i * d : (i + 1) * d]
+        b = books[i]
+        d2 = (
+            (sub * sub).sum(axis=1)[:, None]
+            - 2.0 * (sub @ b.T)
+            + (b * b).sum(axis=1)[None, :]
+        )
+        codes[:, i] = d2.argmin(axis=1)
+    return codes
+
+
+def _pq_scores(q_vec: np.ndarray, codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """ADC: approximate inner product of the query with every encoded
+    vector = sum over subspaces of LUT[m, code] where LUT[m, c] =
+    q_m . books[m, c]. Pure kernel (shared with the golden)."""
+    m, _k, d = books.shape
+    lut = np.stack(
+        [books[i] @ q_vec[i * d : (i + 1) * d] for i in range(m)]
+    )  # (M, n_codes)
+    return lut[np.arange(m)[:, None], codes.T].sum(axis=0)
+
+
+def pq_topk(
+    embeddings: Dataset,
+    query_ids: list[int],
+    k: int = 10,
+    *,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+) -> Dataset:
+    """Product-quantization approximate top-k (Jegou et al. 2011 — the
+    memory-compression scale path next to LSH/IVF): vectors compress to
+    M uint8 codes (64 floats -> 8 bytes here), queries score candidates
+    through per-subspace lookup tables (ADC) without touching raw
+    floats. At 100 TB the encoded corpus is ~32x smaller than float32
+    embeddings — the difference between spilling and fitting. Codebooks
+    train on the SAME bounded deterministic sample rule as IVF and
+    broadcast once; encoding and scoring are vectorized per block; the
+    per-query merge is the ivf_topk shape. Approximation error < 1
+    recall by construction — paired with the brute-force recall test."""
+    centroids_sample = _train_sample_matrix(embeddings)
+    books = pq_codebooks(centroids_sample, m_subvectors, n_codes, seed)
+    books_ref = ray.put(books)
+
+    q_rows = _query_rows(embeddings, query_ids)
+    q_ids = q_rows["vec_id"].to_numpy()
+    q_mat = _unit(
+        np.stack([np.asarray(v, np.float64) for v in q_rows["embedding"]])
+    )
+    q_ref = ray.put((q_ids, q_mat))
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(q_ref)
+        bks = ray.get(books_ref)
+        emb = _unit(_emb_matrix(batch))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        codes = _pq_encode(emb, bks)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(ids_q):
+            scores = _pq_scores(mat_q[qi], codes, bks)
+            mask = vec_ids != qid
+            cand_ids, cand_s = vec_ids[mask], scores[mask]
+            take = min(k, len(cand_ids))
+            order = np.lexsort((cand_ids, -_round_half_away(cand_s)))[
+                :take
+            ]
+            out_q.extend([qid] * take)
+            out_n.extend(cand_ids[order].tolist())
+            out_s.extend(_round_half_away(cand_s[order]).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["score", "neighbor_id"],
+            ascending=[False, True],
+            kind="mergesort",
+        ).head(k)
+
+    return (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(_local_topk, batch_format="pyarrow", batch_size=1024)
+        .groupby("query_id")
+        .map_groups(_merge, batch_format="pandas")
+    )
 
 
 def _kmeans(mat: np.ndarray, n_centroids: int, seed: int) -> np.ndarray:

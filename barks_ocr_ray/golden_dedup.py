@@ -498,3 +498,58 @@ def golden_hll_grouped(
             ),
         }
     )
+
+
+def golden_pq_sample(emb: pa.Table, sample_cap: int = 2048) -> np.ndarray:
+    """Sequential replay of ann._train_sample_matrix (md5-keyed
+    threshold + sort + cap) — bit-identical training sample."""
+    ids, mat = _emb_rows(emb)
+    frac = min(1.0, 4.0 * sample_cap / max(1, len(ids)))
+    keys = np.array(
+        [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
+    )
+    keep = np.array([int(kk[:8], 16) / float(1 << 32) < frac for kk in keys])
+    order = np.argsort(keys[keep], kind="stable")[:sample_cap]
+    return _unit_rows(mat[keep][order])
+
+
+def golden_pq_topk(
+    emb: pa.Table,
+    query_ids: list[int],
+    k: int = 10,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+) -> pa.Table:
+    """Sequential replay of ann.pq_topk — shares the pure kernels
+    (pq_codebooks / _pq_encode / _pq_scores / rounding), reimplements
+    the per-query merge as a plain sort."""
+    from barks_ocr_ray.functions.ann import (
+        _pq_encode,
+        _pq_scores,
+        _round_half_away,
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(golden_pq_sample(emb), m_subvectors, n_codes, seed)
+    ids, mat = _emb_rows(emb)
+    unit = _unit_rows(mat)
+    codes = _pq_encode(unit, books)
+    q_sel = np.isin(ids, query_ids)
+    q_ids, q_mat = ids[q_sel], unit[q_sel]
+    out_q, out_n, out_s = [], [], []
+    for qi, qid in enumerate(q_ids):
+        scores = _pq_scores(q_mat[qi], codes, books)
+        mask = ids != qid
+        cand_ids, cand_s = ids[mask], _round_half_away(scores[mask])
+        order = np.lexsort((cand_ids, -cand_s))[: min(k, len(cand_ids))]
+        out_q.extend([int(qid)] * len(order))
+        out_n.extend(cand_ids[order].astype(int).tolist())
+        out_s.extend(cand_s[order].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        }
+    )

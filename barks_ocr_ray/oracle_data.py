@@ -389,6 +389,10 @@ def ensure_neardup_goldens() -> dict[str, str]:
             "hll_grouped", "events",
             lambda t: g.golden_hll_grouped(t, "event_type", "user_id"),
         ),
+        "q107": ensure_neardup_golden(
+            "pq_topk", "embeddings",
+            lambda t: g.golden_pq_topk(t, list(range(8)), k=10),
+        ),
     }
 
 

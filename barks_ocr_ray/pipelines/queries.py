@@ -4759,6 +4759,92 @@ SELECT doc_id, text FROM ranked WHERE rk = 1 AND op != 'delete'
 """
 
 
+def q106_fk_audit(sf_dir: str):
+    """Referential-integrity audit across tables (the cross-table rung
+    of q104's expectations): count of orders whose customer is missing
+    and of lineitems whose order is missing, each as a distributed
+    left-outer join + vectorized null count pre-aggregated per block
+    (q06's anti-join machinery, counting instead of emitting)."""
+
+    def _orphans(left, right, on, right_on, rule):
+        from barks_ocr_ray.functions.relational import compact_nonempty
+
+        right_c, _ = compact_nonempty(right, 16)
+        joined = left.join(
+            right_c,
+            join_type="left_outer",
+            num_partitions=hash_partitions(16),
+            on=(on,),
+            right_on=(right_on,),
+        )
+
+        def _count_nulls(t: pa.Table) -> pa.Table:
+            n = t.num_rows - pc.sum(
+                pc.is_valid(t.column("_marker"))
+            ).as_py()
+            return pa.table(
+                {
+                    "rule": pa.array([rule], pa.string()),
+                    "violations": pa.array([int(n)], pa.int64()),
+                }
+            )
+
+        return joined.map_batches(
+            _count_nulls, batch_format="pyarrow"
+        ).groupby("rule", num_partitions=1).aggregate(
+            Sum("violations", alias_name="violations")
+        )
+
+    def _marked(ds, key):
+        def _m(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: t.column(key),
+                    "_marker": pa.array([1] * t.num_rows, pa.int64()),
+                }
+            )
+
+        return ds.map_batches(_m, batch_format="pyarrow")
+
+    cust = _marked(read_table(sf_dir, "customer", ["c_custkey"]), "c_custkey")
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    a = _orphans(
+        orders, cust, "o_custkey", "c_custkey", "orders_missing_customer"
+    )
+    okeys = _marked(
+        read_table(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"
+    )
+    li = read_table(sf_dir, "lineitem", ["l_orderkey"])
+    b = _orphans(
+        li, okeys, "l_orderkey", "o_orderkey", "lineitem_missing_order"
+    )
+    return a.union(b)
+
+
+SQL_Q106 = """
+SELECT 'orders_missing_customer' AS rule,
+       CAST(count(*) AS BIGINT) AS violations
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem_missing_order', CAST(count(*) AS BIGINT)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey IS NULL
+"""
+
+
+def q107_pq_topk(sf_dir: str):
+    """Product-quantization approximate top-k (ann.pq_topk): vectors
+    compress to M uint8 codes (~32x smaller than float32 — the
+    fit-in-object-store path at 100 TB), queries score through ADC
+    lookup tables. Same bounded deterministic training sample as IVF;
+    bit-exact vs the sequential golden replay."""
+    from barks_ocr_ray.functions.ann import pq_topk
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return pq_topk(emb, list(range(8)), k=10)
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4881,6 +4967,8 @@ def build_registry():
         "q103_k_anonymity": q103_k_anonymity,
         "q104_expectations": q104_expectations,
         "q105_cdc_merge": q105_cdc_merge,
+        "q106_fk_audit": q106_fk_audit,
+        "q107_pq_topk": q107_pq_topk,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5016,5 +5104,9 @@ def build_registry():
         "q103_k_anonymity": SQL_Q103,
         "q104_expectations": _sql_q104(),
         "q105_cdc_merge": _sql_q105(),
+        "q106_fk_audit": SQL_Q106,
+        "q107_pq_topk": _sql_golden(
+            "pq_topk", "query_id, neighbor_id, score", "embeddings"
+        ),
     }
     return queries, oracles

@@ -67,7 +67,9 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q102_hll_grouped", 1),
                         ("q103_k_anonymity", 1),
                         ("q104_expectations", 1),
-                        ("q105_cdc_merge", 1)):
+                        ("q105_cdc_merge", 1),
+                        ("q106_fk_audit", 1),
+                        ("q107_pq_topk", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

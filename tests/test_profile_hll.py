@@ -96,3 +96,47 @@ def test_cdc_merge_delete_beats_update_and_inserts_land(ray_session):
     assert 7 in out and out[7] == out[7].upper()
     # doc 77 (7 and 11): delete wins
     assert 77 not in out
+
+
+def test_pq_topk_recall_and_partition_independence(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.ann import brute_force_topk, pq_topk
+
+    rng = np.random.RandomState(11)
+    centers = rng.standard_normal((3, 16)) * 5
+    rows = [
+        centers[i % 3] + 0.1 * rng.standard_normal(16) for i in range(60)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": pa.array(
+                [r.astype(np.float32).tolist() for r in rows],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    emb = rd.from_arrow(t)
+    exact = brute_force_topk(emb, [0, 1], k=5).to_pandas()
+    pq = pq_topk(emb, [0, 1], k=5, m_subvectors=4, n_codes=8).to_pandas()
+    for q in (0, 1):
+        # brute force sanity: true neighbors are same-cluster
+        ex = set(exact[exact["query_id"] == q]["neighbor_id"])
+        assert all(n % 3 == q % 3 for n in ex)
+        # PQ quantizes same-cluster vectors to near-identical codes, so
+        # WITHIN-cluster ranking is lost (ties) — the preserved property
+        # is cluster-level: every retrieved neighbor is same-cluster
+        ap = set(pq[pq["query_id"] == q]["neighbor_id"])
+        assert len(ap) == 5
+        assert all(n % 3 == q % 3 for n in ap), f"wrong cluster for {q}"
+    # bit-exact under a different partitioning (codes + rounding fixed)
+    pq2 = pq_topk(
+        rd.from_arrow(t).repartition(7), [0, 1], k=5,
+        m_subvectors=4, n_codes=8,
+    ).to_pandas()
+    cols = ["query_id", "neighbor_id", "score"]
+    a = pq[cols].sort_values(cols).reset_index(drop=True)
+    b = pq2[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
