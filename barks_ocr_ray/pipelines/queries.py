@@ -4845,6 +4845,103 @@ def q107_pq_topk(sf_dir: str):
     return pq_topk(emb, list(range(8)), k=10)
 
 
+def q108_json_props(sf_dir: str):
+    """Semi-structured extraction: pull the numeric property out of the
+    JSON `props` column and aggregate per event type. The engine
+    extracts with ONE vectorized RE2 kernel pass (pc.extract_regex) and
+    pre-aggregates (n, sum, max) partials inside the scan; the oracle
+    parses with DuckDB's real json_extract — two independent
+    implementations of the same semantics."""
+    ev = read_table(sf_dir, "events", ["event_type", "props"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        ks = pc.struct_field(
+            pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)'),
+            "k",
+        )
+        k = pc.cast(ks, pa.int64())
+        g = (
+            pa.table({"event_type": t.column("event_type"), "k": k})
+            .group_by("event_type")
+            .aggregate(
+                [("k", "count"), ("k", "sum"), ("k", "max")]
+            )
+        )
+        return g.rename_columns(["event_type", "n", "sum_k", "max_k"])
+
+    return (
+        ev.map_batches(_partials, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
+SQL_Q108 = """
+SELECT event_type, CAST(count(k) AS BIGINT) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+Q109_WATERMARK_MIN = 120  # late tolerance per user, in minutes
+
+
+def q109_watermark_late_events(sf_dir: str):
+    """Streaming-semantics watermark audit: per user, events whose ts
+    falls more than WATERMARK behind the user's high-water mark
+    (max ts seen) are 'late' and would be dropped by a streaming
+    window. One keyed exchange on user; the per-group pass is a
+    vectorized max + threshold. Output: late events per user."""
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _late(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        hwm = ts.max()
+        cutoff = hwm - np.timedelta64(Q109_WATERMARK_MIN * 60, "s")
+        late = ts < cutoff
+        return pa.table(
+            {
+                "user_id": t.column("user_id").slice(0, 1),
+                "n_late": pa.array([int(late.sum())], pa.int64()),
+                "n_events": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    out = ev.groupby(
+        "user_id", num_partitions=hash_partitions(16)
+    ).map_groups(_late, batch_format="pyarrow")
+
+    def _nonzero(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater(t.column("n_late"), pa.scalar(0, pa.int64()))
+        )
+
+    return out.map_batches(_nonzero, batch_format="pyarrow")
+
+
+SQL_Q109 = f"""
+WITH m AS (
+  SELECT user_id, max(ts) AS hwm, count(*) AS n_events FROM events
+  GROUP BY user_id)
+SELECT events.user_id,
+       CAST(count(*) AS BIGINT) AS n_late,
+       CAST(any_value(m.n_events) AS BIGINT) AS n_events
+FROM events JOIN m ON events.user_id = m.user_id
+WHERE events.ts < m.hwm - INTERVAL {Q109_WATERMARK_MIN} MINUTE
+GROUP BY events.user_id
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -4969,6 +5066,8 @@ def build_registry():
         "q105_cdc_merge": q105_cdc_merge,
         "q106_fk_audit": q106_fk_audit,
         "q107_pq_topk": q107_pq_topk,
+        "q108_json_props": q108_json_props,
+        "q109_watermark_late_events": q109_watermark_late_events,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5108,5 +5207,7 @@ def build_registry():
         "q107_pq_topk": _sql_golden(
             "pq_topk", "query_id, neighbor_id, score", "embeddings"
         ),
+        "q108_json_props": SQL_Q108,
+        "q109_watermark_late_events": SQL_Q109,
     }
     return queries, oracles

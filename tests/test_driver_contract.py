@@ -69,7 +69,9 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q104_expectations", 1),
                         ("q105_cdc_merge", 1),
                         ("q106_fk_audit", 1),
-                        ("q107_pq_topk", 1)):
+                        ("q107_pq_topk", 1),
+                        ("q108_json_props", 1),
+                        ("q109_watermark_late_events", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
