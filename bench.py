@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "q94_pagerank",
     "q95_importance_resample",
     "q98_sorted_neighborhood",
+    "q102_hll_grouped",
+    "q105_cdc_merge",
+    "q107_pq_topk",
 ]
 
 
