@@ -1,0 +1,452 @@
+"""Web-corpus curation operators — the training-data cleaning passes a
+100-TB Common-Crawl-style pipeline runs between extraction and training,
+beyond the reference's own surface (its corpus hygiene role is the
+group-check predicate family, /root/reference/src/barks_ocr/pipeline/
+group_checks.py — these are the web-scale siblings):
+
+* ``boilerplate_ngram_stats`` — C4/RefinedWeb-style frequent-n-gram
+  audit: n-grams appearing in many distinct documents are boilerplate
+  (nav bars, cookie banners); per-doc boilerplate fraction drives the
+  drop decision.
+* ``repetition_stats`` — Gopher repetition filters: per-doc duplicate
+  -token fraction and most-frequent-bigram fraction, fully vectorized
+  (one Arrow split kernel + numpy run-length math per block; no
+  per-row Python in the hot path).
+* ``decontaminate`` — benchmark decontamination: training docs sharing
+  any exact W-token window with a held-out (benchmark) split are
+  flagged, via a distributed semi-join on window hashes (the shape of
+  an n-gram-overlap decontamination pass against an eval set).
+* ``hash_split_stats`` — deterministic train/val/test assignment from
+  an md5 fraction of the doc id (pure row function: reproducible under
+  any partitioning, no RNG state), with per-(split, lang) stats.
+
+Scale notes (100 TB): every operator here is exchange-bounded — the
+n-gram df aggregation ships per-block partials (never one row per
+token occurrence); the decontamination join ships fixed-width (hash,
+id) rows; splits and repetition stats are pure per-row/per-block
+functions with zero doc-keyed exchange.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from barks_ocr_ray.context import hash_partitions
+from barks_ocr_ray.functions.relational import (
+    compact_nonempty,
+    round_like_duckdb,
+)
+from barks_ocr_ray.functions.text import TOKEN_RE, Tokenizer
+
+
+def _md5_frac(ids: list) -> list[float]:
+    """md5(id)'s first-8-hex fraction of 2^32 — the deterministic unit
+    uniform shared with stratified_sample and replayed exactly by the
+    DuckDB oracles (md5 is a per-row C call; see the cost note on
+    ``stratified_sample``)."""
+    return [
+        int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16)
+        / float(1 << 32)
+        for i in ids
+    ]
+
+
+# --- C4-style boilerplate n-gram audit ------------------------------------
+
+
+class _BlockNgramDF(Tokenizer):
+    """Per-block document-frequency partials: ONE (ngram, nd) row per
+    distinct n-gram per block (nd = docs in the block containing it), so
+    the wide df aggregation shuffles block partials, never one row per
+    n-gram occurrence."""
+
+    def __init__(self, n: int = 3):
+        super().__init__()
+        self.n = n
+
+    def _doc_grams(self, text: str) -> list[str]:
+        toks = self.tokens(text or "")
+        n = self.n
+        return [
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter as _Counter
+
+        nd: _Counter = _Counter()
+        for s in batch.column("text"):
+            nd.update(set(self._doc_grams(s.as_py())))
+        grams = list(nd.keys())
+        return pa.table(
+            {
+                "ngram": pa.array(grams, pa.string()),
+                "nd": pa.array([nd[g] for g in grams], pa.int64()),
+            }
+        )
+
+
+class _DocNgramCounts(_BlockNgramDF):
+    """(doc_id, ngram, n_occ) — one row per DISTINCT n-gram per doc with
+    its occurrence count (the doc-resolution explode the per-doc audit
+    joins against the frequent set)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter as _Counter
+
+        out_d, out_g, out_n = [], [], []
+        for doc_id, s in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text")
+        ):
+            counts = _Counter(self._doc_grams(s.as_py()))
+            out_d.extend([doc_id] * len(counts))
+            out_g.extend(counts.keys())
+            out_n.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "ngram": pa.array(out_g, pa.string()),
+                "n_occ": pa.array(out_n, pa.int64()),
+            }
+        )
+
+
+def boilerplate_ngram_stats(
+    docs: Dataset,
+    *,
+    min_docs: int = 5,
+    ngram: int = 3,
+    concurrency: int = 4,
+) -> Dataset:
+    """Per-doc boilerplate fraction: the share of a doc's token n-gram
+    occurrences whose n-gram appears in >= ``min_docs`` distinct docs
+    corpus-wide (C4's "three-sentence dedup" / RefinedWeb's frequent
+    -line scrub, at n-gram granularity).
+
+    Plan (exchange-bounded): (1) frequent set F from BLOCK-level df
+    partials -> one small n-gram-keyed aggregation; (2) per-doc counts
+    join F on ngram (the one corpus-scale exchange: fixed-width
+    distinct-gram rows, never text) -> per-doc sum; (3) per-doc totals
+    are computed block-locally from a vectorized token count (zero
+    exchange) and left-joined with the matches. Emits docs with >= 1
+    n-gram (i.e. >= ``ngram`` tokens)."""
+    text_ds = docs.select_columns(["doc_id", "text"])
+
+    nd_parts = text_ds.map_batches(
+        _BlockNgramDF,
+        fn_constructor_kwargs={"n": ngram},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    # n-gram df: key cardinality is the n-gram vocabulary (bounded by
+    # token-vocab^n, heavily concentrated in practice) — modest partitions
+    freq = (
+        nd_parts.groupby("ngram", num_partitions=hash_partitions(8))
+        .aggregate(Sum("nd", alias_name="nd"))
+        .filter(expr=f"nd >= {min_docs}")
+        .select_columns(["ngram"])
+    )
+
+    # per-doc totals: vectorized, block-local, zero exchange
+    def _totals(t: pa.Table) -> pa.Table:
+        n_tokens = pc.count_substring_regex(
+            pc.utf8_lower(t.column("text")), TOKEN_RE
+        ).cast(pa.int64())
+        n_grams = pc.subtract(n_tokens, pa.scalar(ngram - 1, pa.int64()))
+        out = pa.table(
+            {"doc_id": t.column("doc_id"), "n_grams": n_grams}
+        )
+        return out.filter(
+            pc.greater_equal(n_tokens, pa.scalar(ngram, pa.int64()))
+        )
+
+    totals = text_ds.map_batches(_totals, batch_format="pyarrow")
+
+    freq_c, n_freq = compact_nonempty(freq, 8)
+
+    def _zero_fill(t: pa.Table) -> pa.Table:
+        boiler = t.column("n_boiler") if "n_boiler" in t.column_names else (
+            pa.nulls(t.num_rows, pa.int64())
+        )
+        n_boiler = pc.fill_null(boiler, pa.scalar(0, pa.int64()))
+        frac = round_like_duckdb(
+            n_boiler.to_numpy(zero_copy_only=False)
+            / t.column("n_grams").to_numpy(zero_copy_only=False),
+            4,
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_grams": t.column("n_grams"),
+                "n_boiler": n_boiler,
+                "boiler_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    if n_freq == 0:
+        return totals.map_batches(_zero_fill, batch_format="pyarrow")
+
+    exploded = text_ds.map_batches(
+        _DocNgramCounts,
+        fn_constructor_kwargs={"n": ngram},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+    matched = exploded.join(
+        freq_c,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("ngram",),
+    )
+    boiler = matched.groupby(
+        "doc_id", num_partitions=hash_partitions(16)
+    ).aggregate(Sum("n_occ", alias_name="n_boiler"))
+    boiler_c, n_boiler = compact_nonempty(boiler, 16)
+    if n_boiler == 0:
+        return totals.map_batches(_zero_fill, batch_format="pyarrow")
+    joined = totals.join(
+        boiler_c,
+        join_type="left_outer",
+        num_partitions=hash_partitions(16),
+        on=("doc_id",),
+    )
+    return joined.map_batches(_zero_fill, batch_format="pyarrow")
+
+
+# --- Gopher repetition filters ---------------------------------------------
+
+
+def repetition_stats(docs: Dataset) -> Dataset:
+    """Per-doc repetition quality signals (Gopher rules 'fraction of
+    duplicate tokens' / 'fraction of tokens in the most common 2-gram'):
+    ``dup_token_frac`` = 1 - distinct/total tokens, ``top_bigram_frac``
+    = occurrences of the doc's most frequent bigram / (n_tokens - 1).
+
+    Fully vectorized per block: ONE Arrow split kernel tokenizes every
+    doc, then numpy factorize + run-length math computes all per-doc
+    stats at once (no per-row Python, no exchange — each doc is one
+    row). Docs with < 2 tokens carry no bigram and are excluded (the
+    oracle's WHERE len(toks) >= 2)."""
+
+    def _stats(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        lower = pc.utf8_lower(t.column("text"))
+        lists = pc.split_pattern_regex(
+            lower, pattern="[^a-z0-9]+"
+        )
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        counts = (
+            pc.fill_null(pc.list_value_length(lists), 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        values = lists.flatten()  # honors slices; drops null lists
+        n_docs = t.num_rows
+        docv = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        vlen = pc.utf8_length(values).to_numpy(zero_copy_only=False)
+        keep = vlen > 0  # split artifacts: '' at string edges
+        docv = docv[keep]
+        codes = _pd.factorize(values.to_pandas()[keep])[0].astype(np.int64)
+
+        n_tokens = np.bincount(docv, minlength=n_docs)
+
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "top_bigram_n": pa.array([], pa.int64()),
+                "dup_token_frac": pa.array([], pa.float64()),
+                "top_bigram_frac": pa.array([], pa.float64()),
+            }
+        )
+        if docv.size == 0:
+            return empty
+
+        # distinct tokens per doc: runs of (doc, code) after a sort
+        order = np.lexsort((codes, docv))
+        sd, sc = docv[order], codes[order]
+        new_run = np.empty(sd.size, dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+        n_distinct = np.bincount(sd[new_run], minlength=n_docs)
+
+        # bigrams: adjacency in ORIGINAL order, within-doc only
+        same = docv[1:] == docv[:-1]
+        if not same.any():
+            return empty
+        vocab = int(codes.max()) + 1
+        bkey = codes[:-1][same] * vocab + codes[1:][same]
+        bdoc = docv[:-1][same]
+        border = np.lexsort((bkey, bdoc))
+        bd, bk = bdoc[border], bkey[border]
+        bnew = np.empty(bd.size, dtype=bool)
+        bnew[0] = True
+        bnew[1:] = (bd[1:] != bd[:-1]) | (bk[1:] != bk[:-1])
+        starts = np.flatnonzero(bnew)
+        run_len = np.diff(np.append(starts, bd.size))
+        run_doc = bd[starts]
+        doc_first = np.flatnonzero(
+            np.concatenate(([True], run_doc[1:] != run_doc[:-1]))
+        )
+        top_n = np.maximum.reduceat(run_len, doc_first)
+        docs_with_bigrams = run_doc[doc_first]
+
+        nt = n_tokens[docs_with_bigrams]
+        nd = n_distinct[docs_with_bigrams]
+        ids = (
+            t.column("doc_id")
+            .to_numpy(zero_copy_only=False)[docs_with_bigrams]
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "top_bigram_n": pa.array(top_n, pa.int64()),
+                "dup_token_frac": pa.array(
+                    round_like_duckdb(1.0 - nd / nt.astype(np.float64), 4),
+                    pa.float64(),
+                ),
+                "top_bigram_frac": pa.array(
+                    round_like_duckdb(
+                        top_n / (nt - 1).astype(np.float64), 4
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _stats, batch_format="pyarrow"
+    )
+
+
+# --- benchmark decontamination ---------------------------------------------
+
+
+def decontaminate(
+    docs: Dataset,
+    *,
+    holdout_frac: float = 0.1,
+    window: int = 8,
+    concurrency: int = 4,
+) -> Dataset:
+    """Flag training docs sharing any exact ``window``-token span with
+    the held-out (benchmark) split — the n-gram-overlap decontamination
+    pass every pretraining corpus runs against its eval sets. The
+    holdout is the md5-fraction slice u < ``holdout_frac`` (pure row
+    function, SQL-replayable); output is (doc_id, n_hits) per
+    contaminated TRAINING doc, n_hits = how many of its distinct
+    windows appear in the holdout.
+
+    Scale: both sides window-hash with the q53 ``WindowHasher`` (the
+    ~1-row-per-token explode ships 16-byte hashes, never text); the
+    holdout's hash set is deduped then hash-joined — one corpus-scale
+    keyed exchange — and the per-doc rollup is doc-keyed. No broadcast
+    of an unbounded set, no driver-side state."""
+    from barks_ocr_ray.functions.dedupe import WindowHasher
+
+    text_ds = docs.select_columns(["doc_id", "text"])
+
+    def _side(keep_holdout: bool):
+        def _filter(t: pa.Table) -> pa.Table:
+            us = _md5_frac(t.column("doc_id").to_pylist())
+            mask = [(u < holdout_frac) == keep_holdout for u in us]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        return text_ds.map_batches(
+            _filter, batch_format="pyarrow"
+        ).map_batches(
+            WindowHasher,
+            fn_constructor_kwargs={"window": window},
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+        ).select_columns(["h", "doc_id"])
+
+    hold_h = (
+        _side(True)
+        .groupby("h", num_partitions=hash_partitions(16))
+        .aggregate(Count(alias_name="_nh"))
+        .select_columns(["h"])
+    )
+    train_w = _side(False)
+
+    hold_c, n_hold = compact_nonempty(hold_h, 16)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "n_hits": pa.array([], pa.int64())}
+    )
+    if n_hold == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    train_c, n_train = compact_nonempty(train_w, 16)
+    if n_train == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    hits = train_c.join(
+        hold_c,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("h",),
+    )
+    return hits.groupby(
+        "doc_id", num_partitions=hash_partitions(16)
+    ).aggregate(Count(alias_name="n_hits"))
+
+
+# --- deterministic train/val/test split ------------------------------------
+
+
+def hash_split_stats(
+    docs: Dataset,
+    *,
+    bounds: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.9),
+        ("test", 1.0),
+    ),
+    strata_col: str = "lang",
+) -> Dataset:
+    """Assign every doc a split from md5(doc_id)'s unit fraction (first
+    bound with u < cutoff — deterministic, partition-independent, no RNG)
+    and aggregate per (split, stratum): doc count + char volume. The
+    shuffle ships only (split x stratum)-keyed block partials."""
+
+    def _assign(t: pa.Table) -> pa.Table:
+        us = _md5_frac(t.column("doc_id").to_pylist())
+        splits = []
+        for u in us:
+            for name, cut in bounds:
+                if u < cut:
+                    splits.append(name)
+                    break
+        g = (
+            pa.table(
+                {
+                    "split": pa.array(splits, pa.string()),
+                    strata_col: t.column(strata_col),
+                    "n_chars": t.column("n_chars"),
+                }
+            )
+            .group_by(["split", strata_col])
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+        )
+        return g.rename_columns(["split", strata_col, "n_docs", "chars"])
+
+    return (
+        docs.select_columns(["doc_id", strata_col, "n_chars"])
+        .map_batches(_assign, batch_format="pyarrow")
+        .groupby(["split", strata_col], num_partitions=hash_partitions(4))
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("chars", alias_name="chars"),
+        )
+    )

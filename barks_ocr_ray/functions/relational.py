@@ -362,3 +362,39 @@ def salted_join(
         right_on=(*r_on, "salt"),
     )
     return joined.drop_columns(["salt"])
+
+
+def melt(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "metric",
+    value_name: str = "value",
+    value_type: pa.DataType | None = None,
+) -> Dataset:
+    """UNPIVOT/melt: reshape wide metric columns into long
+    (id..., metric, value) rows — the normalization step feeding
+    long-format aggregates (the inverse of the q77 pivot). Pure
+    block-local reshape: per block, one zero-copy column select + a
+    constant metric column per value col, concatenated — no exchange,
+    output streams at len(value_cols) x input rows."""
+    vt = value_type or pa.float64()
+
+    def _melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for col in value_cols:
+            parts.append(
+                pa.table(
+                    {
+                        **{c: t.column(c) for c in id_cols},
+                        var_name: pa.array([col] * t.num_rows, pa.string()),
+                        value_name: t.column(col).cast(vt),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        _melt, batch_format="pyarrow"
+    )

@@ -4942,6 +4942,184 @@ GROUP BY events.user_id
 """
 
 
+Q110_MIN_DOCS = 5  # n-grams in >= this many docs are boilerplate
+
+
+def q110_boilerplate_ngrams(sf_dir: str):
+    """C4/RefinedWeb-style boilerplate n-gram audit: per doc, the share
+    of token-trigram occurrences whose trigram appears in >= MIN_DOCS
+    distinct docs corpus-wide. Frequent set from block-level df
+    partials; one corpus-scale ngram join; totals block-local."""
+    from barks_ocr_ray.functions.curation import boilerplate_ngram_stats
+
+    return boilerplate_ngram_stats(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        min_docs=Q110_MIN_DOCS,
+    )
+
+
+def _sql_q110() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+  FROM t WHERE len(toks) >= 3),
+e AS (SELECT doc_id, unnest(grams) AS ngram FROM g),
+d AS (SELECT DISTINCT doc_id, ngram FROM e),
+f AS (SELECT ngram
+      FROM (SELECT ngram, count(*) AS nd FROM d GROUP BY 1)
+      WHERE nd >= {Q110_MIN_DOCS}),
+b AS (SELECT e.doc_id, count(*) AS n_boiler
+      FROM e JOIN f USING (ngram) GROUP BY 1)
+SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+       round(coalesce(b.n_boiler, 0) / CAST(len(grams) AS DOUBLE), 4)
+         AS boiler_frac
+FROM g LEFT JOIN b USING (doc_id)
+"""
+
+
+def q111_repetition_filter(sf_dir: str):
+    """Gopher repetition quality filters: per-doc duplicate-token
+    fraction and most-frequent-bigram fraction, one vectorized Arrow
+    split + numpy run-length pass per block (zero exchange)."""
+    from barks_ocr_ray.functions.curation import repetition_stats
+
+    return repetition_stats(
+        read_table(sf_dir, "documents", ["doc_id", "text"])
+    )
+
+
+def _sql_q111() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+u AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM t WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, bg, count(*) AS c
+       FROM (SELECT doc_id, unnest(bigrams) AS bg FROM u) GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1)
+SELECT u.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(top.top_bigram_n AS BIGINT) AS top_bigram_n,
+       round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4)
+         AS dup_token_frac,
+       round(top.top_bigram_n / CAST(n_tokens - 1 AS DOUBLE), 4)
+         AS top_bigram_frac
+FROM u JOIN top USING (doc_id)
+"""
+
+
+Q112_HOLDOUT_FRAC = 0.1
+Q112_WINDOW = 8
+
+
+def q112_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs (md5 fraction >= 0.1)
+    sharing any exact 8-token window with the held-out slice, with the
+    count of contaminated windows — a distributed semi-join on window
+    hashes (q53's explode, decontamination semantics)."""
+    from barks_ocr_ray.functions.curation import decontaminate
+
+    return decontaminate(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        holdout_frac=Q112_HOLDOUT_FRAC,
+        window=Q112_WINDOW,
+    )
+
+
+def _sql_q112() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    w = Q112_WINDOW
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 AS u
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {w}),
+w AS (
+  SELECT DISTINCT doc_id, u,
+         substring(md5(array_to_string(toks[i:i+{w - 1}], ' ')), 1, 16) AS h
+  FROM t, UNNEST(range(1, len(toks) - {w} + 2)) AS un(i)),
+hold AS (SELECT DISTINCT h FROM w WHERE u < {Q112_HOLDOUT_FRAC})
+SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM w JOIN hold USING (h)
+WHERE w.u >= {Q112_HOLDOUT_FRAC}
+GROUP BY 1
+"""
+
+
+Q113_BOUNDS = (("train", 0.8), ("val", 0.9), ("test", 1.0))
+
+
+def q113_hash_split(sf_dir: str):
+    """Deterministic train/val/test assignment from md5(doc_id)'s unit
+    fraction (pure row function — reproducible under any partitioning,
+    SQL-replayable) with per-(split, lang) doc/char stats."""
+    from barks_ocr_ray.functions.curation import hash_split_stats
+
+    return hash_split_stats(
+        read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
+        bounds=Q113_BOUNDS,
+    )
+
+
+def _sql_q113() -> str:
+    whens = " ".join(
+        f"WHEN u < {cut} THEN '{name}'" for name, cut in Q113_BOUNDS[:-1]
+    )
+    return f"""
+SELECT CASE {whens} ELSE '{Q113_BOUNDS[-1][0]}' END AS split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM (SELECT lang, n_chars,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 AS u
+      FROM documents)
+GROUP BY 1, 2
+"""
+
+
+Q114_MELT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q114_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT/melt reshape (inverse of the q77 pivot): lineitem's four
+    numeric metrics into long (orderkey, linenumber, metric, value)
+    rows — a pure block-local reshape, zero exchange."""
+    from barks_ocr_ray.functions.relational import melt
+
+    return melt(
+        read_table(
+            sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + Q114_MELT_COLS
+        ),
+        ["l_orderkey", "l_linenumber"],
+        Q114_MELT_COLS,
+    )
+
+
+def _sql_q114() -> str:
+    parts = [
+        f"SELECT l_orderkey, l_linenumber, '{c}' AS metric, "
+        f"CAST({c} AS DOUBLE) AS value FROM lineitem"
+        for c in Q114_MELT_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -5068,6 +5246,11 @@ def build_registry():
         "q107_pq_topk": q107_pq_topk,
         "q108_json_props": q108_json_props,
         "q109_watermark_late_events": q109_watermark_late_events,
+        "q110_boilerplate_ngrams": q110_boilerplate_ngrams,
+        "q111_repetition_filter": q111_repetition_filter,
+        "q112_decontaminate": q112_decontaminate,
+        "q113_hash_split": q113_hash_split,
+        "q114_unpivot_lineitem": q114_unpivot_lineitem,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5209,5 +5392,10 @@ def build_registry():
         ),
         "q108_json_props": SQL_Q108,
         "q109_watermark_late_events": SQL_Q109,
+        "q110_boilerplate_ngrams": _sql_q110(),
+        "q111_repetition_filter": _sql_q111(),
+        "q112_decontaminate": _sql_q112(),
+        "q113_hash_split": _sql_q113(),
+        "q114_unpivot_lineitem": _sql_q114(),
     }
     return queries, oracles

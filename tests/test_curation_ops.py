@@ -1,0 +1,196 @@
+"""Unit contracts for the web-corpus curation operators (q110-q114):
+boilerplate n-gram audit, Gopher repetition filters, benchmark
+decontamination, hash splits, and melt. Value-exactness vs the DuckDB
+oracles is pinned by the registered queries; these tests pin the edge
+cases the synthetic corpus only hits probabilistically."""
+
+import hashlib
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def _md5_frac(i: int) -> float:
+    return int(
+        hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16
+    ) / float(1 << 32)
+
+
+def test_repetition_stats_known_values():
+    from barks_ocr_ray.functions.curation import repetition_stats
+
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(
+            _docs(
+                [
+                    "a a a b",  # bigrams: 'a a' x2, 'a b' -> top 2/3
+                    "x y",  # one bigram
+                    "solo",  # < 2 tokens: excluded
+                    "",  # empty: excluded
+                    "  C c  c ",  # case-fold + edge whitespace
+                ]
+            )
+        ).take_all()
+    }
+    assert set(out) == {0, 1, 4}
+    d0 = out[0]
+    assert d0["n_tokens"] == 4 and d0["top_bigram_n"] == 2
+    assert d0["dup_token_frac"] == 0.5  # 2 distinct / 4
+    assert d0["top_bigram_frac"] == 0.6667  # 2 / 3
+    d1 = out[1]
+    assert d1["top_bigram_n"] == 1 and d1["dup_token_frac"] == 0.0
+    d4 = out[4]  # 'c c c' after fold/split
+    assert d4["n_tokens"] == 3 and d4["top_bigram_n"] == 2
+    assert d4["dup_token_frac"] == 0.6667  # 1 distinct / 3
+
+
+def test_repetition_stats_multi_doc_isolation():
+    """Bigram runs must not leak across doc boundaries within a block:
+    doc 0 ends with 'z' and doc 1 starts with 'z' — 'z z' is no one's
+    bigram."""
+    from barks_ocr_ray.functions.curation import repetition_stats
+
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(_docs(["p z", "z q"])).take_all()
+    }
+    assert out[0]["top_bigram_n"] == 1 and out[1]["top_bigram_n"] == 1
+
+
+def test_boilerplate_ngram_stats_flags_shared_trigram():
+    from barks_ocr_ray.functions.curation import boilerplate_ngram_stats
+
+    boiler = "click here now"
+    texts = [f"{boiler} doc number {i}" for i in range(4)] + [
+        "totally unique words only here",
+        "tiny doc",  # < 3 tokens: excluded
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_ngram_stats(
+            _docs(texts), min_docs=4
+        ).take_all()
+    }
+    assert set(out) == {0, 1, 2, 3, 4}
+    for i in range(4):
+        # the shared 5-token prefix 'click here now doc number'
+        # carries 3 trigrams present in all 4 docs
+        assert out[i]["n_boiler"] == 3, out[i]
+        assert out[i]["n_grams"] == 4  # 6 tokens
+        assert out[i]["boiler_frac"] == 0.75
+    assert out[4]["n_boiler"] == 0 and out[4]["boiler_frac"] == 0.0
+
+
+def test_boilerplate_ngram_stats_empty_frequent_set():
+    """min_docs above any df: the no-frequent-grams path still emits
+    every doc with zeros (typed, not schema-less)."""
+    from barks_ocr_ray.functions.curation import boilerplate_ngram_stats
+
+    out = boilerplate_ngram_stats(
+        _docs(["one two three", "four five six"]), min_docs=99
+    ).take_all()
+    assert len(out) == 2
+    assert all(r["n_boiler"] == 0 and r["boiler_frac"] == 0.0 for r in out)
+
+
+def test_boilerplate_counts_occurrences_not_distinct():
+    """A doc repeating a boilerplate trigram counts every occurrence."""
+    from barks_ocr_ray.functions.curation import boilerplate_ngram_stats
+
+    rep = "buy now today"
+    texts = [f"{rep} filler {rep}"] + [f"{rep} pad {i}" for i in range(3)]
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_ngram_stats(_docs(texts), min_docs=4).take_all()
+    }
+    # doc 0: tokens = 7 -> 5 trigrams, 'buy now today' occurs twice
+    assert out[0]["n_grams"] == 5 and out[0]["n_boiler"] == 2
+
+
+def test_decontaminate_flags_shared_window():
+    from barks_ocr_ray.functions.curation import decontaminate
+
+    # deterministic split: find ids on each side of the 0.1 cut
+    hold_id = next(i for i in range(1000) if _md5_frac(i) < 0.1)
+    train_ids = [i for i in range(1000) if _md5_frac(i) >= 0.1][:2]
+    span = "one two three four five six seven eight"
+    texts_by_id = {
+        hold_id: f"benchmark prompt {span} answer",
+        train_ids[0]: f"training doc contains {span} verbatim copy",
+        train_ids[1]: "clean training doc with no overlap at all nine",
+    }
+    ids = sorted(texts_by_id)
+    out = decontaminate(
+        _docs([texts_by_id[i] for i in ids], ids=ids),
+        holdout_frac=0.1,
+        window=8,
+    ).take_all()
+    assert {r["doc_id"] for r in out} == {train_ids[0]}
+    assert out[0]["n_hits"] == 1  # exactly the 8-token span
+
+
+def test_decontaminate_empty_holdout_is_typed_empty():
+    from barks_ocr_ray.functions.curation import decontaminate
+
+    train_id = next(i for i in range(1000) if _md5_frac(i) >= 0.1)
+    ds = decontaminate(
+        _docs(["some training words " * 4], ids=[train_id]),
+        holdout_frac=0.1,
+        window=8,
+    )
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"doc_id", "n_hits"}
+
+
+def test_hash_split_stats_partition_totals():
+    from barks_ocr_ray.functions.curation import hash_split_stats
+
+    n = 300
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "lang": pa.array(["en" if i % 2 else "de" for i in range(n)]),
+            "n_chars": pa.array([10] * n, pa.int64()),
+        }
+    )
+    rows = hash_split_stats(rd.from_arrow(t)).take_all()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert sum(r["chars"] for r in rows) == 10 * n
+    # replay the assignment rule for one cell
+    exp_train_en = sum(
+        1 for i in range(n) if i % 2 and _md5_frac(i) < 0.8
+    )
+    got = {
+        (r["split"], r["lang"]): r["n_docs"] for r in rows
+    }
+    assert got[("train", "en")] == exp_train_en
+
+
+def test_melt_reshape_round_trip():
+    from barks_ocr_ray.functions.relational import melt
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "a": pa.array([1.5, 2.5], pa.float64()),
+            "b": pa.array([10, 20], pa.int64()),
+        }
+    )
+    rows = melt(rd.from_arrow(t), ["k"], ["a", "b"]).take_all()
+    assert len(rows) == 4
+    got = {(r["k"], r["metric"]): r["value"] for r in rows}
+    assert got[(1, "a")] == 1.5 and got[(2, "b")] == 20.0
+    assert all(isinstance(v, float) for v in got.values())
