@@ -450,3 +450,189 @@ def hash_split_stats(
             Sum("chars", alias_name="chars"),
         )
     )
+
+
+# --- composed cleaning arc ---------------------------------------------------
+
+
+def clean_corpus(
+    docs: Dataset,
+    *,
+    holdout_frac: float = 0.1,
+    window: int = 8,
+    max_dup_token_frac: float = 0.7,
+    max_top_bigram_frac: float = 0.1,
+) -> Dataset:
+    """The composed training-split cleaning arc a pretraining corpus
+    runs end to end: restrict to the training split (md5 fraction >=
+    ``holdout_frac``), exact-dedup identical texts (min-doc_id winner),
+    drop repetition outliers (Gopher gates on the ROUNDED fractions —
+    the same values the oracle thresholds), and drop docs contaminated
+    against the held-out slice. Output: kept (doc_id, lang, n_tokens).
+
+    Exchange budget: text-hash dedup (one keyed agg), window-hash
+    contamination join, and doc-keyed combine joins — every exchange is
+    keyed, nothing is materialized driver-side."""
+    from barks_ocr_ray.functions.dedupe import exact_dedup_docs
+
+    def _train_filter(t: pa.Table) -> pa.Table:
+        us = _md5_frac(t.column("doc_id").to_pylist())
+        return t.filter(
+            pa.array([u >= holdout_frac for u in us], pa.bool_())
+        )
+
+    train = docs.select_columns(["doc_id", "text", "lang"]).map_batches(
+        _train_filter, batch_format="pyarrow"
+    )
+
+    rep_ok = (
+        repetition_stats(train)
+        .filter(
+            expr=(
+                f"dup_token_frac <= {max_dup_token_frac} and "
+                f"top_bigram_frac <= {max_top_bigram_frac}"
+            )
+        )
+        .select_columns(["doc_id", "n_tokens"])
+    )
+    winners = exact_dedup_docs(train).select_columns(["doc_id"])
+    contaminated = decontaminate(
+        docs, holdout_frac=holdout_frac, window=window
+    ).select_columns(["doc_id"])
+
+    ids = docs.select_columns(["doc_id", "lang"])
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+        }
+    )
+
+    # every join input below is downstream of a filter/aggregate and can
+    # carry empty blocks -> schema-less through the shuffle (the
+    # FieldRef join crash); compact each one (CLAUDE.md: mandatory)
+    parts = hash_partitions(16)
+    rep_c, n_rep = compact_nonempty(rep_ok, 16)
+    win_c, n_win = compact_nonempty(winners, 16)
+    if n_rep == 0 or n_win == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    kept = rep_c.join(
+        win_c, join_type="inner", num_partitions=parts, on=("doc_id",)
+    )
+    kept, n_kept = compact_nonempty(kept, 16)
+    if n_kept == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    contam_c, n_contam = compact_nonempty(contaminated, 16)
+    if n_contam > 0:
+        # anti join: left_outer + null-marker filter (J9 shape)
+        def _mark(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_c", pa.array([1] * t.num_rows, pa.int64())
+            )
+
+        kept = kept.join(
+            contam_c.map_batches(_mark, batch_format="pyarrow"),
+            join_type="left_outer",
+            num_partitions=parts,
+            on=("doc_id",),
+        )
+
+        def _drop_contam(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_null(t.column("_c"))).drop_columns(
+                ["_c"]
+            )
+
+        kept = kept.map_batches(_drop_contam, batch_format="pyarrow")
+        kept, n_kept = compact_nonempty(kept, 16)
+        if n_kept == 0:
+            import ray.data as _rd
+
+            return _rd.from_arrow(empty)
+    return kept.join(
+        ids, join_type="inner", num_partitions=parts, on=("doc_id",)
+    ).select_columns(["doc_id", "lang", "n_tokens"])
+
+
+# --- token-budget corpus assembly (distributed ordered prefix sum) ----------
+
+
+def token_budget_sample(
+    docs: Dataset,
+    *,
+    budget: int = 3000,
+    strata_col: str = "lang",
+    n_buckets: int = 64,
+) -> Dataset:
+    """Per-stratum token-budget assembly: walk each stratum's docs in
+    deterministic (md5-fraction, doc_id) order and keep docs while the
+    stratum's running token total stays <= ``budget`` — the corpus-
+    assembly step that fills a per-language token quota.
+
+    This is a DISTRIBUTED ORDERED PREFIX SUM: the md5 fraction u is
+    range-partitioned into ``n_buckets`` fixed buckets; pass 1
+    aggregates per-(stratum, bucket) token sums (a strata x buckets
+    table — bounded by the constants, never the corpus) from which the
+    driver derives each bucket's EXCLUSIVE running offset; pass 2
+    re-walks each (stratum, bucket) partition, sorts locally by
+    (u, doc_id), cumsums, adds the bucket offset and keeps rows whose
+    inclusive total fits. No global sort, no corpus-sized driver state;
+    bucket granularity (not corpus size) bounds the per-group block,
+    so n_buckets scales like a block-size knob at 100 TB."""
+
+    def _annotate(t: pa.Table) -> pa.Table:
+        us = _md5_frac(t.column("doc_id").to_pylist())
+        n_tokens = pc.count_substring_regex(
+            pc.utf8_lower(t.column("text")), TOKEN_RE
+        ).cast(pa.int64())
+        bucket = [min(int(u * n_buckets), n_buckets - 1) for u in us]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                strata_col: t.column(strata_col),
+                "n_tokens": n_tokens,
+                "u": pa.array(us, pa.float64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    ann = docs.select_columns(["doc_id", strata_col, "text"]).map_batches(
+        _annotate, batch_format="pyarrow"
+    )
+
+    # pass 1: (stratum, bucket) token sums -> exclusive offsets (tiny:
+    # strata x n_buckets rows; the ONE driver-side table, constant-bounded)
+    sums = (
+        ann.groupby([strata_col, "bucket"], num_partitions=hash_partitions(4))
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .take_all()
+    )
+    offsets: dict[tuple, int] = {}
+    running: dict[str, int] = {}
+    for row in sorted(sums, key=lambda r: (r[strata_col], r["bucket"])):
+        s = row[strata_col]
+        offsets[(s, row["bucket"])] = running.get(s, 0)
+        running[s] = running.get(s, 0) + row["bucket_tokens"]
+
+    def _keep(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t, sort_keys=[("u", "ascending"), ("doc_id", "ascending")]
+        )
+        t = t.take(idx)
+        cum = np.cumsum(t.column("n_tokens").to_numpy(zero_copy_only=False))
+        off = offsets[
+            (t.column(strata_col)[0].as_py(), t.column("bucket")[0].as_py())
+        ]
+        keep = (off + cum) <= budget
+        return t.filter(pa.array(keep, pa.bool_())).select(
+            ["doc_id", strata_col, "n_tokens"]
+        )
+
+    return ann.groupby(
+        [strata_col, "bucket"], num_partitions=hash_partitions(16)
+    ).map_groups(_keep, batch_format="pyarrow")

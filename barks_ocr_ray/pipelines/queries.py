@@ -5120,6 +5120,110 @@ def _sql_q114() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+Q115_MAX_DUP_FRAC = 0.7
+Q115_MAX_BIGRAM_FRAC = 0.1
+
+
+def q115_clean_corpus(sf_dir: str):
+    """The composed corpus-cleaning arc (training-split hygiene end to
+    end): training split -> exact dedup -> Gopher repetition gates ->
+    benchmark decontamination; kept (doc_id, lang, n_tokens)."""
+    from barks_ocr_ray.functions.curation import clean_corpus
+
+    return clean_corpus(
+        read_table(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        holdout_frac=Q112_HOLDOUT_FRAC,
+        window=Q112_WINDOW,
+        max_dup_token_frac=Q115_MAX_DUP_FRAC,
+        max_top_bigram_frac=Q115_MAX_BIGRAM_FRAC,
+    )
+
+
+def _sql_q115() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    w = Q112_WINDOW
+    f = Q112_HOLDOUT_FRAC
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 AS u
+  FROM documents),
+train AS (SELECT * FROM base WHERE u >= {f}),
+win AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)),
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM train),
+r AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM tok WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, bg, count(*) AS c
+       FROM (SELECT doc_id, unnest(bigrams) AS bg FROM r) GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_n FROM bc GROUP BY 1),
+rep_ok AS (
+  SELECT r.doc_id, r.n_tokens FROM r JOIN top USING (doc_id)
+  WHERE round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4)
+          <= {Q115_MAX_DUP_FRAC}
+    AND round(top_n / CAST(n_tokens - 1 AS DOUBLE), 4)
+          <= {Q115_MAX_BIGRAM_FRAC}),
+wtok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks, u
+  FROM base
+  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {w}),
+wnd AS (
+  SELECT DISTINCT doc_id, u,
+         substring(md5(array_to_string(toks[i:i+{w - 1}], ' ')), 1, 16) AS h
+  FROM wtok, UNNEST(range(1, len(toks) - {w} + 2)) AS un(i)),
+hold AS (SELECT DISTINCT h FROM wnd WHERE u < {f}),
+contam AS (SELECT DISTINCT wnd.doc_id FROM wnd JOIN hold USING (h)
+           WHERE wnd.u >= {f})
+SELECT rep_ok.doc_id, b.lang, CAST(rep_ok.n_tokens AS BIGINT) AS n_tokens
+FROM rep_ok
+JOIN win USING (doc_id)
+JOIN base b ON b.doc_id = rep_ok.doc_id
+WHERE rep_ok.doc_id NOT IN (SELECT doc_id FROM contam)
+"""
+
+
+Q116_BUDGET = 3000  # per-language token quota
+
+
+def q116_token_budget(sf_dir: str):
+    """Token-budget corpus assembly: per language, keep docs in
+    deterministic (md5-fraction, doc_id) order while the running token
+    total fits the quota — a distributed ordered prefix sum (range-
+    bucketed offsets, no global sort)."""
+    from barks_ocr_ray.functions.curation import token_budget_sample
+
+    return token_budget_sample(
+        read_table(sf_dir, "documents", ["doc_id", "lang", "text"]),
+        budget=Q116_BUDGET,
+    )
+
+
+def _sql_q116() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+              AS BIGINT) AS n_tokens,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 AS u
+  FROM documents),
+c AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY lang ORDER BY u, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= {Q116_BUDGET}
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -5251,6 +5355,8 @@ def build_registry():
         "q112_decontaminate": q112_decontaminate,
         "q113_hash_split": q113_hash_split,
         "q114_unpivot_lineitem": q114_unpivot_lineitem,
+        "q115_clean_corpus": q115_clean_corpus,
+        "q116_token_budget": q116_token_budget,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5397,5 +5503,7 @@ def build_registry():
         "q112_decontaminate": _sql_q112(),
         "q113_hash_split": _sql_q113(),
         "q114_unpivot_lineitem": _sql_q114(),
+        "q115_clean_corpus": _sql_q115(),
+        "q116_token_budget": _sql_q116(),
     }
     return queries, oracles

@@ -194,3 +194,90 @@ def test_melt_reshape_round_trip():
     got = {(r["k"], r["metric"]): r["value"] for r in rows}
     assert got[(1, "a")] == 1.5 and got[(2, "b")] == 20.0
     assert all(isinstance(v, float) for v in got.values())
+
+
+def test_token_budget_sample_matches_sequential_replay():
+    """The distributed ordered prefix sum (bucketed offsets + local
+    cumsum) equals a sequential walk in (u, doc_id) order, including
+    the budget boundary and stratum isolation."""
+    from barks_ocr_ray.functions.curation import token_budget_sample
+
+    n = 120
+    ids = list(range(n))
+    langs = ["en" if i % 3 else "de" for i in ids]
+    texts = ["tok " * (5 + i % 7) for i in ids]  # 5..11 tokens
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    budget = 100
+    got = {
+        (r["lang"], r["doc_id"])
+        for r in token_budget_sample(
+            rd.from_arrow(t), budget=budget, n_buckets=8
+        ).take_all()
+    }
+    # sequential replay
+    exp = set()
+    for lang in set(langs):
+        docs = sorted(
+            (i for i in ids if langs[i] == lang),
+            key=lambda i: (_md5_frac(i), i),
+        )
+        cum = 0
+        for i in docs:
+            cum += 5 + i % 7
+            if cum <= budget:
+                exp.add((lang, i))
+            else:
+                break
+    assert got == exp and len(exp) > 3
+
+
+def test_clean_corpus_gates():
+    """Each gate drops exactly its target: the exact-dup loser, the
+    repetition outlier, the contaminated doc; the clean doc survives."""
+    from barks_ocr_ray.functions.curation import clean_corpus
+
+    hold_id = next(i for i in range(1000) if _md5_frac(i) < 0.1)
+    train_ids = [i for i in range(1000) if _md5_frac(i) >= 0.1][:5]
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    # >= 11 tokens so a unique bigram stays under the 0.1 gate
+    dup_text = (
+        "this exact training document appears fully twice across the "
+        "whole corpus body"
+    )
+    texts_by_id = {
+        hold_id: f"benchmark {span} suffix",
+        train_ids[0]: (
+            "a clean document with mostly distinct words plus several "
+            "more of them"
+        ),
+        train_ids[1]: dup_text,
+        train_ids[2]: dup_text,  # exact-dup loser (higher id)
+        train_ids[3]: "spam spam spam spam spam spam ham",  # repetition
+        train_ids[4]: f"copied prompt {span} trailing words",  # contaminated
+    }
+    ids = sorted(texts_by_id)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts_by_id[i] for i in ids], pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+        }
+    )
+    kept = {
+        r["doc_id"]
+        for r in clean_corpus(
+            rd.from_arrow(t), holdout_frac=0.1, window=8
+        ).take_all()
+    }
+    assert train_ids[0] in kept
+    assert min(train_ids[1], train_ids[2]) in kept  # dedup winner stays
+    assert max(train_ids[1], train_ids[2]) not in kept
+    assert train_ids[3] not in kept  # dup_token_frac 6/7 > 0.7... via gate
+    assert train_ids[4] not in kept  # shares the 8-token span
+    assert hold_id not in kept  # holdout never in the training output
