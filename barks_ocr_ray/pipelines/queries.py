@@ -4949,7 +4949,10 @@ def q110_boilerplate_ngrams(sf_dir: str):
     """C4/RefinedWeb-style boilerplate n-gram audit: per doc, the share
     of token-trigram occurrences whose trigram appears in >= MIN_DOCS
     distinct docs corpus-wide. Frequent set from block-level df
-    partials; one corpus-scale ngram join; totals block-local."""
+    partials; one corpus-scale ngram join; totals block-local.
+    Token-n-gram-granularity sibling of q59's paragraph_dedup (which
+    scrubs at line granularity and rewrites text); this one emits the
+    per-doc boilerplate FRACTION the drop decision reads."""
     from barks_ocr_ray.functions.curation import boilerplate_ngram_stats
 
     return boilerplate_ngram_stats(
@@ -4987,7 +4990,9 @@ FROM g LEFT JOIN b USING (doc_id)
 def q111_repetition_filter(sf_dir: str):
     """Gopher repetition quality filters: per-doc duplicate-token
     fraction and most-frequent-bigram fraction, one vectorized Arrow
-    split + numpy run-length pass per block (zero exchange)."""
+    split + numpy run-length pass per block (zero exchange). The
+    vectorized upgrade of q57's per-row-Counter kernel, adding the
+    duplicate-token gate q57 lacks (q57 keeps the top-3-gram gate)."""
     from barks_ocr_ray.functions.curation import repetition_stats
 
     return repetition_stats(
@@ -5029,7 +5034,11 @@ def q112_decontaminate(sf_dir: str):
     """Benchmark decontamination: training docs (md5 fraction >= 0.1)
     sharing any exact 8-token window with the held-out slice, with the
     count of contaminated windows — a distributed semi-join on window
-    hashes (q53's explode, decontamination semantics)."""
+    hashes (q53's explode, decontamination semantics). Scale sibling of
+    q60: q60 broadcasts a benchmark-sized shingle set (zero exchange);
+    this variant joins distributed hash tables, the shape needed when
+    the holdout itself is too big to broadcast, and reports per-doc hit
+    counts rather than a flag."""
     from barks_ocr_ray.functions.curation import decontaminate
 
     return decontaminate(
@@ -5224,6 +5233,155 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= {Q116_BUDGET}
 """
 
 
+Q117_QUOTA = 10  # docs kept per source
+
+
+def q117_source_quota(sf_dir: str):
+    """Per-domain quota (Common-Crawl curation: cap each domain's
+    contribution): keep the top-K docs per source by length (ties ->
+    lower doc_id), with the within-source rank — grouped top-k (one
+    keyed repartition + vectorized rank, no global sort). QUALITY-ranked
+    counterpart of q65's arrival-order host cap: q65 keeps the first N
+    per host, this keeps the BEST K per source."""
+    return grouped_topk(
+        read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
+        "source",
+        "n_chars",
+        Q117_QUOTA,
+        tie_col="doc_id",
+    )
+
+
+def _sql_q117() -> str:
+    return f"""
+SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+FROM (SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents)
+WHERE rank <= {Q117_QUOTA}
+"""
+
+
+def q118_numeric_profile(sf_dir: str):
+    """Column-profiling 'ANALYZE' over lineitem's numeric metrics,
+    composed from the q114 melt: wide->long reshape, then per-block
+    partials -> one tiny metric-keyed aggregate per statistic (n,
+    nulls, min, max, exact fixed-point sum — cents int64 so the
+    distributed sum is order-independent and bit-equal to the SQL
+    replay)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.relational import melt
+
+    long = melt(
+        read_table(
+            sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + Q114_MELT_COLS
+        ),
+        ["l_orderkey", "l_linenumber"],
+        Q114_MELT_COLS,
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        v = t.column("value")
+        cents = pa.array(
+            np.round(
+                v.to_numpy(zero_copy_only=False) * 100.0
+            ).astype("int64"),
+            pa.int64(),
+        )
+        g = (
+            pa.table(
+                {
+                    "metric": t.column("metric"),
+                    "value": v,
+                    "cents": cents,
+                    "is_null": pc.is_null(v).cast(pa.int64()),
+                }
+            )
+            .group_by("metric")
+            .aggregate(
+                [
+                    ("value", "count"),
+                    ("is_null", "sum"),
+                    ("value", "min"),
+                    ("value", "max"),
+                    ("cents", "sum"),
+                ]
+            )
+        )
+        return g.rename_columns(
+            ["metric", "n", "n_null", "vmin", "vmax", "cents"]
+        )
+
+    agg = (
+        long.map_batches(_partials, batch_format="pyarrow")
+        .groupby("metric", num_partitions=2)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("vmin", alias_name="vmin"),
+            Max("vmax", alias_name="vmax"),
+            Sum("cents", alias_name="cents"),
+        )
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        vsum = pc.divide(
+            t.column("cents").cast(pa.float64()), pa.scalar(100.0)
+        )
+        return pa.table(
+            {
+                "metric": t.column("metric"),
+                "n": t.column("n"),
+                "n_null": t.column("n_null"),
+                "vmin": t.column("vmin"),
+                "vmax": t.column("vmax"),
+                "vsum": vsum,
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def _sql_q118() -> str:
+    parts = [
+        f"SELECT '{c}' AS metric, CAST(count({c}) AS BIGINT) AS n, "
+        f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
+        f"min({c}) AS vmin, max({c}) AS vmax, "
+        f"CAST(sum(CAST(round({c} * 100) AS BIGINT)) AS DOUBLE) / 100.0 "
+        f"AS vsum FROM lineitem"
+        for c in Q114_MELT_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def q119_jsonl_roundtrip(sf_dir: str):
+    """The S7/S8 JSONL request/result round-trip as an oracle-gated
+    query: documents (doc_id, lang) written to JSONL by the queue sink,
+    read back with the JSONL source, and aggregated per lang — value
+    parity pins the round-trip's fidelity, not just its row count."""
+    import tempfile
+
+    from barks_ocr_ray.functions.sinks import read_jsonl, write_jsonl
+
+    out_dir = tempfile.mkdtemp(prefix="barks_q119_")
+    write_jsonl(
+        read_table(sf_dir, "documents", ["doc_id", "lang"]), out_dir
+    )
+    back = read_jsonl(out_dir)
+    return back.groupby("lang", num_partitions=2).aggregate(
+        Count(alias_name="n_docs"), Sum("doc_id", alias_name="id_sum")
+    )
+
+
+SQL_Q119 = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY lang
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -5357,6 +5515,9 @@ def build_registry():
         "q114_unpivot_lineitem": q114_unpivot_lineitem,
         "q115_clean_corpus": q115_clean_corpus,
         "q116_token_budget": q116_token_budget,
+        "q117_source_quota": q117_source_quota,
+        "q118_numeric_profile": q118_numeric_profile,
+        "q119_jsonl_roundtrip": q119_jsonl_roundtrip,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5505,5 +5666,8 @@ def build_registry():
         "q114_unpivot_lineitem": _sql_q114(),
         "q115_clean_corpus": _sql_q115(),
         "q116_token_budget": _sql_q116(),
+        "q117_source_quota": _sql_q117(),
+        "q118_numeric_profile": _sql_q118(),
+        "q119_jsonl_roundtrip": SQL_Q119,
     }
     return queries, oracles

@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "q102_hll_grouped",
     "q105_cdc_merge",
     "q107_pq_topk",
+    "q110_boilerplate_ngrams",
+    "q111_repetition_filter",
+    "q115_clean_corpus",
+    "q116_token_budget",
 ]
 
 
