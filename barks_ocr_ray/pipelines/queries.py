@@ -5382,6 +5382,139 @@ FROM documents GROUP BY lang
 """
 
 
+def q120_hourly_gap_audit(sf_dir: str):
+    """Time-series continuity audit: per user, the span of hours between
+    first and last activity, distinct active hours, and the gap count —
+    the data-freshness/completeness check a streaming ingest runs.
+    Per-block vectorized (user, hour) dedup partials (the exchange ships
+    at most one row per user-hour per block, never one per event), then
+    ONE user-keyed exchange with a vectorized distinct+minmax fold."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hr = ts // 3_600_000_000  # epoch hours (us timestamps)
+        pairs = np.unique(np.stack([us, hr], axis=1), axis=0)
+        return pa.table(
+            {
+                "user_id": pa.array(pairs[:, 0], pa.int64()),
+                "h": pa.array(pairs[:, 1], pa.int64()),
+            }
+        )
+
+    def _fold(t: pa.Table) -> pa.Table:
+        hs = np.unique(t.column("h").to_numpy(zero_copy_only=False))
+        span = int(hs.max() - hs.min()) + 1
+        return pa.table(
+            {
+                "user_id": t.column("user_id").slice(0, 1),
+                "span_hours": pa.array([span], pa.int64()),
+                "active_hours": pa.array([int(hs.size)], pa.int64()),
+                "gap_hours": pa.array([span - int(hs.size)], pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(_partials, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=hash_partitions(16))
+        .map_groups(_fold, batch_format="pyarrow")
+    )
+
+
+SQL_Q120 = """
+WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events),
+s AS (SELECT user_id,
+             CAST(count(DISTINCT h) AS BIGINT) AS active_hours,
+             CAST(date_diff('hour', min(h), max(h)) + 1 AS BIGINT)
+               AS span_hours
+      FROM e GROUP BY 1)
+SELECT user_id, span_hours, active_hours,
+       span_hours - active_hours AS gap_hours
+FROM s
+"""
+
+
+def q121_except_all(sf_dir: str):
+    """Bag-semantics EXCEPT ALL (multiset difference, the multiplicity
+    rung above q06's set difference and q82's INTERSECT): order
+    priorities of open orders minus those of custkey%3=0 orders, each
+    surviving row emitted max(0, n_left - n_right) times. Distributed:
+    per-side key counts (two small aggregations over block partials),
+    one key join, vectorized np.repeat emission — multiplicities move
+    as counts, never as rows, until the final emit."""
+    import numpy as np
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_custkey"]
+    )
+
+    def _counts(flag: str):
+        def _part(t: pa.Table) -> pa.Table:
+            if flag == "left":
+                mask = pc.equal(t.column("o_orderstatus"), pa.scalar("O"))
+            else:
+                k = t.column("o_custkey")
+                mask = pc.equal(
+                    pc.subtract(
+                        k, pc.multiply(pc.divide(k, pa.scalar(3)), pa.scalar(3))
+                    ),
+                    pa.scalar(0),
+                )
+            g = (
+                t.filter(mask)
+                .select(["o_orderpriority"])
+                .group_by("o_orderpriority")
+                .aggregate([("o_orderpriority", "count")])
+            )
+            return g.rename_columns(["o_orderpriority", "n"])
+
+        return orders.map_batches(_part, batch_format="pyarrow").groupby(
+            "o_orderpriority", num_partitions=2
+        ).aggregate(Sum("n", alias_name=f"n_{flag}"))
+
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    left_c, n_l = compact_nonempty(_counts("left"), 4)
+    right_c, n_r = compact_nonempty(_counts("right"), 4)
+    empty = pa.table({"o_orderpriority": pa.array([], pa.string())})
+    if n_l == 0:
+        return rd.from_arrow(empty)
+    if n_r == 0:
+        joined = left_c.map_batches(
+            lambda t: t.append_column(
+                "n_right", pa.nulls(t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = left_c.join(
+            right_c,
+            join_type="left_outer",
+            num_partitions=hash_partitions(4),
+            on=("o_orderpriority",),
+        )
+
+    def _emit(t: pa.Table) -> pa.Table:
+        nl = t.column("n_left").to_numpy(zero_copy_only=False)
+        nr = pc.fill_null(t.column("n_right"), pa.scalar(0, pa.int64()))
+        nr = nr.to_numpy(zero_copy_only=False)
+        reps = np.maximum(nl - nr, 0)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
+        return t.select(["o_orderpriority"]).take(pa.array(idx, pa.int64()))
+
+    return joined.map_batches(_emit, batch_format="pyarrow")
+
+
+SQL_Q121 = """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 0
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -5518,6 +5651,8 @@ def build_registry():
         "q117_source_quota": q117_source_quota,
         "q118_numeric_profile": q118_numeric_profile,
         "q119_jsonl_roundtrip": q119_jsonl_roundtrip,
+        "q120_hourly_gap_audit": q120_hourly_gap_audit,
+        "q121_except_all": q121_except_all,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5669,5 +5804,7 @@ def build_registry():
         "q117_source_quota": _sql_q117(),
         "q118_numeric_profile": _sql_q118(),
         "q119_jsonl_roundtrip": SQL_Q119,
+        "q120_hourly_gap_audit": SQL_Q120,
+        "q121_except_all": SQL_Q121,
     }
     return queries, oracles

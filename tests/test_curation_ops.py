@@ -281,3 +281,68 @@ def test_clean_corpus_gates():
     assert train_ids[3] not in kept  # dup_token_frac 6/7 > 0.7... via gate
     assert train_ids[4] not in kept  # shares the 8-token span
     assert hold_id not in kept  # holdout never in the training output
+
+
+def test_except_all_multiplicity_clamp():
+    """q121's emit rule: max(0, n_left - n_right) copies — right-side
+    surplus clamps to zero, right-side-missing keys keep full count."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    # replay the emit kernel directly (the distributed plumbing is
+    # pinned by the q121 oracle; this pins the clamp arithmetic)
+    t = pa.table(
+        {
+            "o_orderpriority": pa.array(["a", "b", "c"]),
+            "n_left": pa.array([5, 2, 3], pa.int64()),
+            "n_right": pa.array([2, 7, None], pa.int64()),
+        }
+    )
+    nl = t.column("n_left").to_numpy(zero_copy_only=False)
+    nr = pc.fill_null(t.column("n_right"), pa.scalar(0, pa.int64()))
+    reps = np.maximum(nl - nr.to_numpy(zero_copy_only=False), 0)
+    assert list(reps) == [3, 0, 3]
+
+
+def test_hourly_gap_audit_known_values():
+    """q120 semantics on crafted events: same-hour events dedup to one
+    active hour, gaps = span - active, single-hour user has zero gaps.
+    (Cross-block partial merge is exercised by the sf-corpus oracle,
+    whose events span many read blocks.)"""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from barks_ocr_ray.pipelines.queries import q120_hourly_gap_audit
+
+    h = 3_600_000_000  # one hour in us
+    rows = [
+        (1, 0 * h + 5),     # user 1, hour 0
+        (1, 0 * h + 99),    # same hour, different event
+        (1, 2 * h + 1),     # hour 2 -> span 3, active 2, gap 1
+        (2, 10 * h),        # user 2: single hour
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    sf_dir = tempfile.mkdtemp(prefix="q120_sf_")
+    pq.write_table(t, os.path.join(sf_dir, "events.parquet"))
+    out = {r["user_id"]: r for r in q120_hourly_gap_audit(sf_dir).take_all()}
+    assert out[1]["span_hours"] == 3
+    assert out[1]["active_hours"] == 2
+    assert out[1]["gap_hours"] == 1
+    assert out[2] == {
+        "user_id": 2,
+        "span_hours": 1,
+        "active_hours": 1,
+        "gap_hours": 0,
+    }
+    shutil.rmtree(sf_dir)
