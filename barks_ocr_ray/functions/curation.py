@@ -44,6 +44,12 @@ from barks_ocr_ray.functions.relational import (
 )
 from barks_ocr_ray.functions.text import TOKEN_RE, Tokenizer
 
+#: broadcast-vs-join gates (rows): below these, a small side ships ONCE
+#: via ray.put and applies as a vectorized is_in; above, the distributed
+#: hash join is the unbounded-safe path (extraction.py 'auto' precedent)
+BROADCAST_FREQ_CAP = 2_000_000
+BROADCAST_CONTAM_CAP = 2_000_000
+
 
 def _md5_frac(ids: list) -> list[float]:
     """md5(id)'s first-8-hex fraction of 2^32 — the deterministic unit
@@ -198,12 +204,22 @@ def boilerplate_ngram_stats(
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
-    matched = exploded.join(
-        freq_c,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("ngram",),
-    )
+    # frequent sets are usually heavy-hitter-sized: broadcast them (one
+    # ray.put, vectorized is_in per block — saves the corpus-scale ngram
+    # exchange). The distributed join stays as the unbounded fallback,
+    # same measured-gate pattern as extraction.py's dedup 'auto'.
+    if n_freq <= BROADCAST_FREQ_CAP:
+        from barks_ocr_ray.functions.relational import broadcast_semi_join
+
+        fset = {r["ngram"] for r in freq_c.take_all()}
+        matched = broadcast_semi_join(exploded, fset, "ngram")
+    else:
+        matched = exploded.join(
+            freq_c,
+            join_type="inner",
+            num_partitions=hash_partitions(16),
+            on=("ngram",),
+        )
     boiler = matched.groupby(
         "doc_id", num_partitions=hash_partitions(16)
     ).aggregate(Sum("n_occ", alias_name="n_boiler"))
@@ -529,8 +545,22 @@ def clean_corpus(
 
         return _rd.from_arrow(empty)
     contam_c, n_contam = compact_nonempty(contaminated, 16)
-    if n_contam > 0:
-        # anti join: left_outer + null-marker filter (J9 shape)
+    if 0 < n_contam <= BROADCAST_CONTAM_CAP:
+        # contamination hits are eval-overlap-sized, far below the
+        # corpus: broadcast anti-join (one ray.put, vectorized is_in)
+        # instead of a doc-keyed exchange + recompact
+        from barks_ocr_ray.functions.relational import broadcast_semi_join
+
+        cset = {r["doc_id"] for r in contam_c.take_all()}
+        kept = broadcast_semi_join(kept, cset, "doc_id", anti=True)
+        kept, n_kept = compact_nonempty(kept, 16)
+        if n_kept == 0:
+            import ray.data as _rd
+
+            return _rd.from_arrow(empty)
+    elif n_contam > 0:
+        # unbounded fallback: anti join as left_outer + null-marker
+        # filter (J9 shape)
         def _mark(t: pa.Table) -> pa.Table:
             return t.append_column(
                 "_c", pa.array([1] * t.num_rows, pa.int64())

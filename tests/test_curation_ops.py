@@ -346,3 +346,61 @@ def test_hourly_gap_audit_known_values():
         "gap_hours": 0,
     }
     shutil.rmtree(sf_dir)
+
+
+def test_broadcast_gate_fallbacks_match(monkeypatch):
+    """The broadcast and distributed-join paths of the q110/q115 gates
+    produce identical results: force the join fallback by zeroing the
+    caps and compare against the broadcast path."""
+    import barks_ocr_ray.functions.curation as cur
+
+    boiler = "click here now"
+    texts = [f"{boiler} doc number {i}" for i in range(4)] + [
+        "totally unique words only here today friends",
+    ]
+    broadcast = sorted(
+        map(dict, cur.boilerplate_ngram_stats(_docs(texts), min_docs=4).take_all()),
+        key=lambda r: r["doc_id"],
+    )
+    monkeypatch.setattr(cur, "BROADCAST_FREQ_CAP", 0)
+    joined = sorted(
+        map(dict, cur.boilerplate_ngram_stats(_docs(texts), min_docs=4).take_all()),
+        key=lambda r: r["doc_id"],
+    )
+    assert broadcast == joined
+
+    # contamination anti-join: broadcast vs left_outer+null-filter
+    hold_id = next(i for i in range(1000) if _md5_frac(i) < 0.1)
+    train_ids = [i for i in range(1000) if _md5_frac(i) >= 0.1][:2]
+    span = "one two three four five six seven eight"
+    texts_by_id = {
+        hold_id: f"benchmark prompt {span} answer",
+        train_ids[0]: f"training doc contains {span} verbatim copy here",
+        train_ids[1]: (
+            "clean training doc with many more distinct tokens in the "
+            "body text"
+        ),
+    }
+    ids = sorted(texts_by_id)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts_by_id[i] for i in ids], pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+        }
+    )
+    kept_b = {
+        r["doc_id"]
+        for r in cur.clean_corpus(
+            rd.from_arrow(t), holdout_frac=0.1, window=8
+        ).take_all()
+    }
+    monkeypatch.setattr(cur, "BROADCAST_CONTAM_CAP", 0)
+    kept_j = {
+        r["doc_id"]
+        for r in cur.clean_corpus(
+            rd.from_arrow(t), holdout_frac=0.1, window=8
+        ).take_all()
+    }
+    assert kept_b == kept_j
+    assert train_ids[1] in kept_b and train_ids[0] not in kept_b
