@@ -5515,6 +5515,62 @@ SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 0
 """
 
 
+def q122_key_skew_profile(sf_dir: str):
+    """Shuffle-planning skew diagnosis: the distribution of per-key row
+    counts for a join/groupby key (l_partkey), bucketed by log2 — the
+    profile a 100-TB pipeline reads BEFORE choosing salt factors for
+    q54/q74-style skew handling. Two tiny keyed aggregations: per-key
+    counts from block partials, then a log2-bucket histogram (the
+    second exchange ships one row per occupied bucket per block)."""
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", ["l_partkey"])
+
+    def _key_partials(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by("l_partkey")
+            .aggregate([("l_partkey", "count")])
+        )
+        return g.rename_columns(["l_partkey", "n"])
+
+    per_key = (
+        li.map_batches(_key_partials, batch_format="pyarrow")
+        .groupby("l_partkey", num_partitions=hash_partitions(16))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        b = np.floor(np.log2(n)).astype(np.int64)
+        g = (
+            pa.table(
+                {"log2_bucket": pa.array(b, pa.int64()),
+                 "rows": t.column("n")}
+            )
+            .group_by("log2_bucket")
+            .aggregate([("rows", "count"), ("rows", "sum")])
+        )
+        return g.rename_columns(["log2_bucket", "n_keys", "n_rows"])
+
+    return (
+        per_key.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("log2_bucket", num_partitions=2)
+        .aggregate(
+            Sum("n_keys", alias_name="n_keys"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+SQL_Q122 = """
+WITH k AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1)
+SELECT CAST(floor(log2(n)) AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows
+FROM k GROUP BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -5653,6 +5709,7 @@ def build_registry():
         "q119_jsonl_roundtrip": q119_jsonl_roundtrip,
         "q120_hourly_gap_audit": q120_hourly_gap_audit,
         "q121_except_all": q121_except_all,
+        "q122_key_skew_profile": q122_key_skew_profile,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5806,5 +5863,6 @@ def build_registry():
         "q119_jsonl_roundtrip": SQL_Q119,
         "q120_hourly_gap_audit": SQL_Q120,
         "q121_except_all": SQL_Q121,
+        "q122_key_skew_profile": SQL_Q122,
     }
     return queries, oracles
