@@ -5571,6 +5571,93 @@ FROM k GROUP BY 1
 """
 
 
+def q123_label_centroids(sf_dir: str):
+    """Grouped embedding centroids (class prototypes — the building
+    block of SemDeDup clustering, nearest-class-mean classification and
+    prototype-based ANN init): per (label, dim), the mean embedding
+    value. Float sums are order-DEPENDENT distributed; the exchange
+    therefore ships int64 micro-sums (round(v * 1e6), the q81/q94
+    fixed-point discipline, DuckDB-bit-identical via round_like_duckdb)
+    so the distributed total is exact under any partitioning; floats
+    re-enter once, at the final divide. Per-block partials are one
+    vectorized reshape + reduceat per block — (labels x dims)-sized,
+    never row-sized, across the exchange."""
+    import numpy as np
+
+    emb = read_table(sf_dir, "embeddings", ["label", "embedding"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        la = t.column("embedding")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        dims = flat.size // n
+        mat = flat.astype(np.float64).reshape(n, dims)
+        micro = round_like_duckdb(mat * 1_000_000.0, 0).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        sl = labels[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], sl[1:] != sl[:-1]))
+        )
+        sums = np.add.reduceat(micro[order], starts, axis=0)
+        counts = np.diff(np.append(starts, n))
+        uniq = sl[starts]
+        k = uniq.size
+        return pa.table(
+            {
+                "label": pa.array(
+                    np.repeat(uniq.astype(np.int64), dims), pa.int64()
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dims + 1, dtype=np.int64), k),
+                    pa.int64(),
+                ),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(
+                    np.repeat(counts.astype(np.int64), dims), pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        emb.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["label", "dim"], num_partitions=hash_partitions(4))
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = round_like_duckdb(s / (n * 1_000_000.0), 6)
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "dim": t.column("dim"),
+                "n": t.column("n"),
+                "centroid": pa.array(c, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+SQL_Q123 = """
+WITH e AS (
+  SELECT label, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS s
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))
+SELECT CAST(label AS BIGINT) AS label, dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(s) AS DOUBLE) / (count(*) * 1000000.0), 6)
+         AS centroid
+FROM e GROUP BY 1, 2
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -5710,6 +5797,7 @@ def build_registry():
         "q120_hourly_gap_audit": q120_hourly_gap_audit,
         "q121_except_all": q121_except_all,
         "q122_key_skew_profile": q122_key_skew_profile,
+        "q123_label_centroids": q123_label_centroids,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5864,5 +5952,6 @@ def build_registry():
         "q120_hourly_gap_audit": SQL_Q120,
         "q121_except_all": SQL_Q121,
         "q122_key_skew_profile": SQL_Q122,
+        "q123_label_centroids": SQL_Q123,
     }
     return queries, oracles
