@@ -5658,6 +5658,106 @@ FROM e GROUP BY 1, 2
 """
 
 
+def q124_nearest_centroid(sf_dir: str):
+    """Nearest-class-mean classification over the embeddings (composes
+    q123's centroids): every vector is assigned to its nearest label
+    centroid by squared L2, reported as a (label, assigned) confusion
+    matrix. ALL distance arithmetic is int64 micro-space on BOTH
+    engines (vectors and centroids quantized at 1e-6; diffs <= ~1e6,
+    64-dim squared sums <= ~6.4e13 << 2^63) so argmin has no float-tie
+    hazard anywhere; ties break on label asc. The centroid table is
+    (labels x dims)-sized — broadcast once via ray.put, scored per
+    block as one (n, k, d) numpy reduction; the exchange ships
+    confusion-cell partials."""
+    import numpy as np
+
+    cent_rows = q123_label_centroids(sf_dir).take_all()
+    labels = sorted({r["label"] for r in cent_rows})
+    dims = max(r["dim"] for r in cent_rows)
+    cmat = np.zeros((len(labels), dims), dtype=np.int64)
+    lidx = {l: i for i, l in enumerate(labels)}
+    for r in cent_rows:
+        cmat[lidx[r["label"]], r["dim"] - 1] = np.int64(
+            round_like_duckdb(
+                np.array([r["centroid"] * 1_000_000.0]), 0
+            )[0]
+        )
+    import ray as _ray
+
+    cref = _ray.put(cmat)
+    larr = np.asarray(labels, dtype=np.int64)
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        import ray as _ray2
+
+        C = _ray2.get(cref)
+        la = t.column("embedding")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        E = round_like_duckdb(
+            flat.astype(np.float64).reshape(n, -1) * 1_000_000.0, 0
+        ).astype(np.int64)
+        diff = E[:, None, :] - C[None, :, :]
+        dist = np.einsum("nkd,nkd->nk", diff, diff)
+        assigned = larr[np.argmin(dist, axis=1)]  # first min = label asc
+        g = (
+            pa.table(
+                {
+                    "label": t.column("label").cast(pa.int64()),
+                    "assigned": pa.array(assigned, pa.int64()),
+                }
+            )
+            .group_by(["label", "assigned"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["label", "assigned", "n"])
+
+    return (
+        emb.map_batches(_assign, batch_format="pyarrow")
+        .groupby(["label", "assigned"], num_partitions=hash_partitions(4))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_Q124 = """
+WITH ev AS (
+  SELECT vec_id, label,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     AS BIGINT)) AS e
+  FROM embeddings),
+s AS (
+  SELECT label, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS m
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+cd AS (
+  SELECT label AS clabel, dim,
+         CAST(round(round(CAST(sum(m) AS DOUBLE)
+                          / (count(*) * 1000000.0), 6) * 1000000)
+              AS BIGINT) AS cm
+  FROM s GROUP BY 1, 2),
+cent AS (SELECT clabel, list(cm ORDER BY dim) AS c FROM cd GROUP BY 1),
+d AS (
+  SELECT ev.vec_id, ev.label, cent.clabel,
+         list_sum(list_transform(range(1, len(e) + 1),
+                  i -> (e[i] - c[i]) * (e[i] - c[i]))) AS dist
+  FROM ev CROSS JOIN cent),
+a AS (
+  SELECT vec_id, label, clabel,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, clabel) AS rk
+  FROM d)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(clabel AS BIGINT) AS assigned,
+       CAST(count(*) AS BIGINT) AS n
+FROM a WHERE rk = 1 GROUP BY 1, 2
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -5798,6 +5898,7 @@ def build_registry():
         "q121_except_all": q121_except_all,
         "q122_key_skew_profile": q122_key_skew_profile,
         "q123_label_centroids": q123_label_centroids,
+        "q124_nearest_centroid": q124_nearest_centroid,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5953,5 +6054,6 @@ def build_registry():
         "q121_except_all": SQL_Q121,
         "q122_key_skew_profile": SQL_Q122,
         "q123_label_centroids": SQL_Q123,
+        "q124_nearest_centroid": SQL_Q124,
     }
     return queries, oracles
