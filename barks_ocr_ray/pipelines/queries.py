@@ -5758,6 +5758,115 @@ FROM a WHERE rk = 1 GROUP BY 1, 2
 """
 
 
+def q125_source_similarity(sf_dir: str):
+    """Domain-mirror detection (crawl curation: find sources hosting
+    near-identical content): exact trigram-set Jaccard between SOURCES
+    (not docs). Source-distinct trigrams via one keyed dedup (the
+    exchange is bounded by sources x trigram-vocab, never the corpus);
+    intersections via per-ngram pair emission (<= C(n_sources, 2) pairs
+    per ngram — source count bounds the fanout, the q21/q53 blocking
+    argument at domain granularity); sizes broadcast as a
+    source-count dict."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    class _SourceNgrams(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pairs = set()
+            for src, s in zip(
+                batch.column("source").to_pylist(), batch.column("text")
+            ):
+                toks = self.tokens(s.as_py() or "")
+                for i in range(len(toks) - 2):
+                    pairs.add((src, " ".join(toks[i : i + 3])))
+            return pa.table(
+                {
+                    "source": pa.array([p[0] for p in pairs], pa.string()),
+                    "ngram": pa.array([p[1] for p in pairs], pa.string()),
+                }
+            )
+
+    from barks_ocr_ray.functions.relational import exact_dedup
+
+    def _key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "sk",
+            pc.binary_join_element_wise(
+                t.column("source"), t.column("ngram"), "\x1f"
+            ),
+        )
+
+    distinct = exact_dedup(
+        docs.map_batches(
+            _SourceNgrams, batch_format="pyarrow", concurrency=(1, 4)
+        ).map_batches(_key, batch_format="pyarrow"),
+        "sk",
+        num_partitions=hash_partitions(8),
+    ).drop_columns(["sk"])
+    sizes = {
+        r["source"]: r["n"]
+        for r in distinct.groupby("source", num_partitions=2)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    }  # sources-sized: the one driver table, bounded by the domain count
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        srcs = sorted(t.column("source").to_pylist())
+        ia, ib = np.triu_indices(len(srcs), k=1)
+        return pa.table(
+            {
+                "source_a": pa.array([srcs[i] for i in ia], pa.string()),
+                "source_b": pa.array([srcs[i] for i in ib], pa.string()),
+            }
+        )
+
+    inter = (
+        distinct.groupby("ngram", num_partitions=hash_partitions(8))
+        .map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"], num_partitions=2)
+        .aggregate(Count(alias_name="n_shared"))
+    )
+
+    def _jaccard(t: pa.Table) -> pa.Table:
+        sa = t.column("source_a").to_pylist()
+        sb = t.column("source_b").to_pylist()
+        ns = t.column("n_shared").to_numpy(zero_copy_only=False)
+        union = np.array(
+            [sizes[a] + sizes[b] for a, b in zip(sa, sb)], np.float64
+        ) - ns
+        jac = round_like_duckdb(ns / union, 4)
+        return t.append_column("jaccard", pa.array(jac, pa.float64()))
+
+    return inter.map_batches(_jaccard, batch_format="pyarrow")
+
+
+def _sql_q125() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+g AS (
+  SELECT source, list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+  FROM t WHERE len(toks) >= 3),
+e AS (SELECT DISTINCT source, unnest(grams) AS ngram FROM g),
+sz AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+i AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+  FROM e a JOIN e b ON a.ngram = b.ngram AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+       round(n_shared / CAST(za.n + zb.n - n_shared AS DOUBLE), 4)
+         AS jaccard
+FROM i
+JOIN sz za ON za.source = i.source_a
+JOIN sz zb ON zb.source = i.source_b
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -5899,6 +6008,7 @@ def build_registry():
         "q122_key_skew_profile": q122_key_skew_profile,
         "q123_label_centroids": q123_label_centroids,
         "q124_nearest_centroid": q124_nearest_centroid,
+        "q125_source_similarity": q125_source_similarity,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -6055,5 +6165,6 @@ def build_registry():
         "q122_key_skew_profile": SQL_Q122,
         "q123_label_centroids": SQL_Q123,
         "q124_nearest_centroid": SQL_Q124,
+        "q125_source_similarity": _sql_q125(),
     }
     return queries, oracles
