@@ -659,3 +659,174 @@ def semdedup(
         .repartition(num_partitions, keys=["cluster"])
         .map_batches(_cluster_keep, batch_format="pyarrow", batch_size=None)
     )
+
+
+# --- full-corpus distributed k-means (Lloyd's) -----------------------------
+
+
+def micro_embed(flat: np.ndarray, n_rows: int) -> np.ndarray:
+    """int64 micro-space (1e-6) quantization of an embedding matrix —
+    the shared pure kernel of q123/q124/q126: all distance and centroid
+    arithmetic happens on these integers, so distributed results are
+    exact under any partitioning and bit-equal to sequential replays."""
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    return round_like_duckdb(
+        flat.astype(np.float64).reshape(n_rows, -1) * 1_000_000.0, 0
+    ).astype(np.int64)
+
+
+def kmeans_assign(E: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment in micro-int space: exact integer
+    squared-L2 (|diff| <= ~1e6, 64-dim sums <= ~6.4e13 << 2^63), ties
+    break to the lowest cluster id (np.argmin first-min)."""
+    diff = E[:, None, :] - C[None, :, :]
+    return np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+
+def _lowest_md5_init(
+    embeddings: Dataset, k: int, id_col: str = "vec_id"
+) -> np.ndarray:
+    """Deterministic k-row init: the k lowest-md5-hash ids, pulled via
+    the same bounded hash-threshold filter as _train_sample_matrix
+    (driver memory bounded by ~4k rows, not the corpus)."""
+    import hashlib
+
+    n_rows = embeddings.count()
+    frac = min(1.0, 4.0 * k / max(1, n_rows))
+
+    def _sample_keys(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        keys = [
+            hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids
+        ]
+        keep = [int(x[:8], 16) / float(1 << 32) < frac for x in keys]
+        return t.append_column(
+            "sample_key", pa.array(keys, pa.string())
+        ).filter(pa.array(keep, pa.bool_()))
+
+    sample = (
+        embeddings.select_columns([id_col, "embedding"])
+        .map_batches(_sample_keys, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("sample_key", kind="mergesort")
+        .head(k)
+    )
+    if len(sample) < k:
+        raise ValueError(
+            f"kmeans init: only {len(sample)} rows for k={k}"
+        )
+    flat = np.concatenate(
+        [np.asarray(v, np.float64) for v in sample["embedding"]]
+    )
+    return micro_embed(flat, k)
+
+
+def distributed_kmeans(
+    embeddings: Dataset,
+    *,
+    k: int = 8,
+    rounds: int = 5,
+    id_col: str = "vec_id",
+) -> Dataset:
+    """Full-corpus distributed Lloyd's k-means — the iterative-ML
+    sibling of q94's PageRank (the IVF/PQ quantizers train on a bounded
+    SAMPLE; this one assigns and updates over EVERY row). Per round:
+    centroids broadcast once (ray.put, k x d ints), each block ships
+    (cluster, dim, sum, n) partials (k x d-sized, never row-sized), one
+    tiny keyed aggregation, and the driver holds only the k x d
+    centroid table (constant-bounded). Centroid update = integer mean
+    re-rounded in micro space (round_like_duckdb), so every round is
+    bit-identical under any partitioning and to the sequential golden
+    (golden_dedup.golden_kmeans). Empty clusters keep their previous
+    centroid. Rounds are sequential jobs — the same per-round
+    materialization barrier as PageRank (BASELINE.md q94 note); int64
+    micro sums stay exact up to ~1e12 rows x |v|<=0.5 (5e17 < 2^63).
+    Output: (cluster, dim, centroid_micro, n) — n = the cluster's size
+    at the final assignment."""
+    import ray as _ray
+
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+    from ray.data.aggregate import Sum as _Sum
+
+    C = _lowest_md5_init(embeddings, k, id_col)
+    dims = C.shape[1]
+    emb = embeddings.select_columns([id_col, "embedding"])
+
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(rounds):
+        cref = _ray.put(C)
+
+        def _partials(t: pa.Table) -> pa.Table:
+            import ray as _ray2
+
+            Cm = _ray2.get(cref)
+            la = t.column("embedding")
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            E = micro_embed(
+                la.flatten().to_numpy(zero_copy_only=False), t.num_rows
+            )
+            a = kmeans_assign(E, Cm)
+            order = np.argsort(a, kind="stable")
+            sa = a[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], sa[1:] != sa[:-1]))
+            )
+            sums = np.add.reduceat(E[order], starts, axis=0)
+            ns = np.diff(np.append(starts, sa.size))
+            uniq = sa[starts]
+            d = E.shape[1]
+            return pa.table(
+                {
+                    "cluster": pa.array(
+                        np.repeat(uniq.astype(np.int64), d), pa.int64()
+                    ),
+                    "dim": pa.array(
+                        np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                uniq.size),
+                        pa.int64(),
+                    ),
+                    "s": pa.array(sums.reshape(-1), pa.int64()),
+                    "n": pa.array(
+                        np.repeat(ns.astype(np.int64), d), pa.int64()
+                    ),
+                }
+            )
+
+        cells = (
+            emb.map_batches(_partials, batch_format="pyarrow")
+            .groupby(["cluster", "dim"], num_partitions=2)
+            .aggregate(_Sum("s", alias_name="s"), _Sum("n", alias_name="n"))
+            .take_all()
+        )  # k x d rows — constant-bounded driver state
+        counts = np.zeros(k, dtype=np.int64)
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for r in cells:
+            c, d0 = r["cluster"], r["dim"] - 1
+            counts[c] = r["n"]
+            newC[c, d0] = np.int64(
+                round_like_duckdb(
+                    np.array([r["s"] / r["n"]], np.float64), 0
+                )[0]
+            )
+        C = newC
+
+    import ray.data as _rd
+
+    out = pa.table(
+        {
+            "cluster": pa.array(
+                np.repeat(np.arange(k, dtype=np.int64), dims), pa.int64()
+            ),
+            "dim": pa.array(
+                np.tile(np.arange(1, dims + 1, dtype=np.int64), k),
+                pa.int64(),
+            ),
+            "centroid_micro": pa.array(C.reshape(-1), pa.int64()),
+            "n": pa.array(
+                np.repeat(counts, dims), pa.int64()
+            ),
+        }
+    )
+    return _rd.from_arrow(out)

@@ -553,3 +553,71 @@ def golden_pq_topk(
             "score": pa.array(out_s, pa.float64()),
         }
     )
+
+
+def golden_kmeans(
+    emb: pa.Table, k: int = 8, rounds: int = 5
+) -> pa.Table:
+    """Sequential replay of ann.distributed_kmeans — shares the pure
+    kernels (micro_embed, kmeans_assign, the md5-threshold init rule
+    and the micro-int centroid update) while the orchestration is a
+    plain per-round numpy loop over the full matrix. Bit-equal because
+    every arithmetic step is int64 micro-space (assignment) or the
+    identical float64 mean + duckdb-round (update)."""
+    import hashlib
+
+    from barks_ocr_ray.functions.ann import kmeans_assign, micro_embed
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    ids, mat = _emb_rows(emb)
+    n_rows = ids.size
+    E = micro_embed(mat.reshape(-1), n_rows)
+
+    # init: same bounded hash-threshold rule as _lowest_md5_init
+    frac = min(1.0, 4.0 * k / max(1, n_rows))
+    keys = np.array(
+        [hashlib.md5(str(i).encode("utf-8")).hexdigest() for i in ids]
+    )
+    keep = np.array(
+        [int(x[:8], 16) / float(1 << 32) < frac for x in keys], bool
+    )
+    order = np.argsort(keys[keep], kind="stable")[:k]
+    C = E[keep][order].copy()
+
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(rounds):
+        a = kmeans_assign(E, C)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        newC = C.copy()
+        for c in range(k):
+            sel = a == c
+            if counts[c] == 0:
+                continue
+            s = E[sel].sum(axis=0)
+            newC[c] = np.array(
+                [
+                    np.int64(
+                        round_like_duckdb(
+                            np.array([si / counts[c]], np.float64), 0
+                        )[0]
+                    )
+                    for si in s
+                ],
+                np.int64,
+            )
+        C = newC
+
+    dims = C.shape[1]
+    return pa.table(
+        {
+            "cluster": pa.array(
+                np.repeat(np.arange(k, dtype=np.int64), dims), pa.int64()
+            ),
+            "dim": pa.array(
+                np.tile(np.arange(1, dims + 1, dtype=np.int64), k),
+                pa.int64(),
+            ),
+            "centroid_micro": pa.array(C.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(counts, dims), pa.int64()),
+        }
+    )

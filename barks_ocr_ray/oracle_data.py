@@ -393,6 +393,10 @@ def ensure_neardup_goldens() -> dict[str, str]:
             "pq_topk", "embeddings",
             lambda t: g.golden_pq_topk(t, list(range(8)), k=10),
         ),
+        "q126": ensure_neardup_golden(
+            "kmeans", "embeddings",
+            lambda t: g.golden_kmeans(t, k=8, rounds=5),
+        ),
     }
 
 

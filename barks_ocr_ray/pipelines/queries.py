@@ -5867,6 +5867,23 @@ JOIN sz zb ON zb.source = i.source_b
 """
 
 
+def q126_distributed_kmeans(sf_dir: str):
+    """Full-corpus distributed k-means (Lloyd's, 5 rounds, k=8) — the
+    iterative-ML sibling of q94's PageRank: every round broadcasts the
+    k x d micro-int centroid table, blocks ship (cluster, dim, sum, n)
+    partials, ONE tiny keyed aggregation updates centroids. All
+    arithmetic int64 micro-space -> bit-identical under any
+    partitioning and to the sequential golden replay
+    (golden_dedup.golden_kmeans)."""
+    from barks_ocr_ray.functions.ann import distributed_kmeans
+
+    return distributed_kmeans(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        k=8,
+        rounds=5,
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -6009,6 +6026,7 @@ def build_registry():
         "q123_label_centroids": q123_label_centroids,
         "q124_nearest_centroid": q124_nearest_centroid,
         "q125_source_similarity": q125_source_similarity,
+        "q126_distributed_kmeans": q126_distributed_kmeans,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -6147,6 +6165,9 @@ def build_registry():
         "q106_fk_audit": SQL_Q106,
         "q107_pq_topk": _sql_golden(
             "pq_topk", "query_id, neighbor_id, score", "embeddings"
+        ),
+        "q126_distributed_kmeans": _sql_golden(
+            "kmeans", "cluster, dim, centroid_micro, n", "embeddings"
         ),
         "q108_json_props": SQL_Q108,
         "q109_watermark_late_events": SQL_Q109,

@@ -404,3 +404,37 @@ def test_broadcast_gate_fallbacks_match(monkeypatch):
     }
     assert kept_b == kept_j
     assert train_ids[1] in kept_b and train_ids[0] not in kept_b
+
+
+def test_distributed_kmeans_equals_sequential_golden():
+    """q126's distributed Lloyd's rounds are bit-equal to the plain
+    numpy replay on a crafted multi-block corpus (micro-int arithmetic
+    leaves no float order-dependence anywhere)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.ann import distributed_kmeans
+    from barks_ocr_ray.golden_dedup import golden_kmeans
+
+    rngless = [
+        [float((i * 7 + d * 3) % 11) / 11.0 - 0.5 for d in range(8)]
+        for i in range(40)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(40)), pa.int64()),
+            "embedding": pa.array(rngless, pa.list_(pa.float32())),
+        }
+    )
+    got = sorted(
+        map(
+            dict,
+            distributed_kmeans(
+                rd.from_arrow(t).repartition(4), k=3, rounds=3
+            ).take_all(),
+        ),
+        key=lambda r: (r["cluster"], r["dim"]),
+    )
+    exp = golden_kmeans(t, k=3, rounds=3).to_pylist()
+    exp = sorted(exp, key=lambda r: (r["cluster"], r["dim"]))
+    assert got == exp
+    assert sum(r["n"] for r in got) // 8 == 40  # n repeated per dim
