@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q111_repetition_filter",
     "q115_clean_corpus",
     "q116_token_budget",
+    "q126_distributed_kmeans",
 ]
 
 
@@ -91,6 +92,10 @@ def run_headline(sf_dir: str, num_cpus: int) -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # keep worker/raylet log forwarding off STDOUT: the driver
+        # parses this process's stdout as ONE JSON line, and raylet
+        # WARNINGs (e.g. worker-count notices) otherwise interleave
+        log_to_driver=False,
     )
     from barks_ocr_ray.context import configure
 
