@@ -484,7 +484,12 @@ def pq_topk(
     return (
         embeddings.select_columns(["vec_id", "embedding"])
         .map_batches(_local_topk, batch_format="pyarrow", batch_size=1024)
-        .groupby("query_id")
+        # query-cardinality-sized partitions: the merge key space is the
+        # handful of query ids, and empty shuffle partitions finalize as
+        # schema-less blocks (the RefBundle-warning class)
+        .groupby(
+            "query_id", num_partitions=max(1, min(4, len(query_ids)))
+        )
         .map_groups(_merge, batch_format="pandas")
     )
 
