@@ -5361,11 +5361,16 @@ def q119_jsonl_roundtrip(sf_dir: str):
     query: documents (doc_id, lang) written to JSONL by the queue sink,
     read back with the JSONL source, and aggregated per lang — value
     parity pins the round-trip's fidelity, not just its row count."""
-    import tempfile
+    import hashlib
+    import shutil
 
     from barks_ocr_ray.functions.sinks import read_jsonl, write_jsonl
 
-    out_dir = tempfile.mkdtemp(prefix="barks_q119_")
+    # deterministic per-sf scratch dir, wiped before writing (write_json
+    # appends files; a fresh mkdtemp per call would accumulate in /tmp)
+    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    out_dir = f"/tmp/barks_q119_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
     write_jsonl(
         read_table(sf_dir, "documents", ["doc_id", "lang"]), out_dir
     )
