@@ -673,9 +673,11 @@ def micro_embed(flat: np.ndarray, n_rows: int) -> np.ndarray:
     """int64 micro-space (1e-6) quantization of an embedding matrix —
     the shared pure kernel of q123/q124/q126: all distance and centroid
     arithmetic happens on these integers, so distributed results are
-    exact under any partitioning and bit-equal to sequential replays."""
-    from barks_ocr_ray.functions.relational import round_like_duckdb
-
+    exact under any partitioning and bit-equal to sequential replays.
+    NOTE: round_like_duckdb must be the MODULE-level import — this
+    kernel runs inside workers, where a body-level package import
+    fails under the driver's no-PYTHONPATH by-value shipping (the
+    CLAUDE.md worker-import trap; caught by tools/driver_smoke.py)."""
     return round_like_duckdb(
         flat.astype(np.float64).reshape(n_rows, -1) * 1_000_000.0, 0
     ).astype(np.int64)
@@ -751,7 +753,6 @@ def distributed_kmeans(
     at the final assignment."""
     import ray as _ray
 
-    from barks_ocr_ray.functions.relational import round_like_duckdb
     from ray.data.aggregate import Sum as _Sum
 
     C = _lowest_md5_init(embeddings, k, id_col)
