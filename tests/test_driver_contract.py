@@ -71,7 +71,24 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q106_fk_audit", 1),
                         ("q107_pq_topk", 1),
                         ("q108_json_props", 1),
-                        ("q109_watermark_late_events", 1)):
+                        ("q109_watermark_late_events", 1),
+                        ("q110_boilerplate_ngrams", 1),
+                        ("q111_repetition_filter", 1),
+                        ("q112_decontaminate", 1),
+                        ("q113_hash_split", 1),
+                        ("q114_unpivot_lineitem", 1),
+                        ("q115_clean_corpus", 1),
+                        ("q116_token_budget", 1),
+                        ("q117_source_quota", 1),
+                        ("q118_numeric_profile", 1),
+                        ("q119_jsonl_roundtrip", 1),
+                        ("q120_hourly_gap_audit", 1),
+                        ("q121_except_all", 1),
+                        ("q122_key_skew_profile", 1),
+                        ("q123_label_centroids", 1),
+                        ("q124_nearest_centroid", 1),
+                        ("q125_source_similarity", 1),
+                        ("q126_distributed_kmeans", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
@@ -88,7 +105,7 @@ def test_entry_and_queries_without_pythonpath():
         env=env,
         capture_output=True,
         text=True,
-        timeout=420,
+        timeout=560,
         cwd="/tmp",
     )
     assert "DRIVER-CONTRACT-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
