@@ -310,6 +310,14 @@ def _train_sample_matrix(
     import hashlib
 
     n_rows = embeddings.count()
+    if n_rows == 0:
+        # guard BEFORE the map: map_batches skips the UDF on empty
+        # blocks (CLAUDE.md), so the sample_key column never appears
+        # and to_pandas().sort_values would raise an opaque KeyError
+        raise ValueError(
+            "quantizer training: embeddings dataset is empty — no "
+            "sample to train on"
+        )
     # 4x oversampling margin: P(fewer than cap survivors) is negligible,
     # and the fallback below keeps correctness either way
     frac = min(1.0, 4.0 * sample_cap / max(1, n_rows))
