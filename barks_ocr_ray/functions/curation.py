@@ -29,8 +29,6 @@ functions with zero doc-keyed exchange.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -38,6 +36,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 from barks_ocr_ray.context import hash_partitions
+from barks_ocr_ray.functions.hashing import unit_fractions
 from barks_ocr_ray.functions.relational import (
     compact_nonempty,
     round_like_duckdb,
@@ -51,16 +50,17 @@ BROADCAST_FREQ_CAP = 2_000_000
 BROADCAST_CONTAM_CAP = 2_000_000
 
 
-def _md5_frac(ids: list) -> list[float]:
-    """md5(id)'s first-8-hex fraction of 2^32 — the deterministic unit
-    uniform shared with stratified_sample and replayed exactly by the
-    DuckDB oracles (md5 is a per-row C call; see the cost note on
-    ``stratified_sample``)."""
-    return [
-        int(hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16)
-        / float(1 << 32)
-        for i in ids
-    ]
+def _id_fracs(col, method: str = "md5") -> np.ndarray:
+    """Deterministic unit uniform of an id column — md5 (oracle-parity,
+    per-row C call, replayed exactly by the DuckDB oracles) or the
+    vectorized splitmix64 production path (same keep rates, no per-row
+    Python; see functions/hashing.py)."""
+    ids = (
+        col.to_pylist()
+        if method == "md5"
+        else col.to_numpy(zero_copy_only=False)
+    )
+    return unit_fractions(ids, method=method)
 
 
 # --- C4-style boilerplate n-gram audit ------------------------------------
@@ -353,6 +353,7 @@ def decontaminate(
     holdout_frac: float = 0.1,
     window: int = 8,
     concurrency: int = 4,
+    hash_method: str = "md5",
 ) -> Dataset:
     """Flag training docs sharing any exact ``window``-token span with
     the held-out (benchmark) split — the n-gram-overlap decontamination
@@ -373,9 +374,10 @@ def decontaminate(
 
     def _side(keep_holdout: bool):
         def _filter(t: pa.Table) -> pa.Table:
-            us = _md5_frac(t.column("doc_id").to_pylist())
-            mask = [(u < holdout_frac) == keep_holdout for u in us]
-            return t.filter(pa.array(mask, pa.bool_()))
+            us = _id_fracs(t.column("doc_id"), hash_method)
+            return t.filter(
+                pa.array((us < holdout_frac) == keep_holdout, pa.bool_())
+            )
 
         return text_ds.map_batches(
             _filter, batch_format="pyarrow"
@@ -430,20 +432,21 @@ def hash_split_stats(
         ("test", 1.0),
     ),
     strata_col: str = "lang",
+    hash_method: str = "md5",
 ) -> Dataset:
-    """Assign every doc a split from md5(doc_id)'s unit fraction (first
+    """Assign every doc a split from its id's unit fraction (first
     bound with u < cutoff — deterministic, partition-independent, no RNG)
     and aggregate per (split, stratum): doc count + char volume. The
     shuffle ships only (split x stratum)-keyed block partials."""
+    names = [n for n, _ in bounds]
+    cuts = np.asarray([c for _, c in bounds], np.float64)
 
     def _assign(t: pa.Table) -> pa.Table:
-        us = _md5_frac(t.column("doc_id").to_pylist())
-        splits = []
-        for u in us:
-            for name, cut in bounds:
-                if u < cut:
-                    splits.append(name)
-                    break
+        us = _id_fracs(t.column("doc_id"), hash_method)
+        # first bound with u < cut == index of first cut > u
+        splits = np.asarray(names, object)[
+            np.searchsorted(cuts, us, side="right")
+        ]
         g = (
             pa.table(
                 {
@@ -478,6 +481,7 @@ def clean_corpus(
     window: int = 8,
     max_dup_token_frac: float = 0.7,
     max_top_bigram_frac: float = 0.1,
+    hash_method: str = "md5",
 ) -> Dataset:
     """The composed training-split cleaning arc a pretraining corpus
     runs end to end: restrict to the training split (md5 fraction >=
@@ -492,10 +496,8 @@ def clean_corpus(
     from barks_ocr_ray.functions.dedupe import exact_dedup_docs
 
     def _train_filter(t: pa.Table) -> pa.Table:
-        us = _md5_frac(t.column("doc_id").to_pylist())
-        return t.filter(
-            pa.array([u >= holdout_frac for u in us], pa.bool_())
-        )
+        us = _id_fracs(t.column("doc_id"), hash_method)
+        return t.filter(pa.array(us >= holdout_frac, pa.bool_()))
 
     train = docs.select_columns(["doc_id", "text", "lang"]).map_batches(
         _train_filter, batch_format="pyarrow"
@@ -513,7 +515,8 @@ def clean_corpus(
     )
     winners = exact_dedup_docs(train).select_columns(["doc_id"])
     contaminated = decontaminate(
-        docs, holdout_frac=holdout_frac, window=window
+        docs, holdout_frac=holdout_frac, window=window,
+        hash_method=hash_method,
     ).select_columns(["doc_id"])
 
     ids = docs.select_columns(["doc_id", "lang"])
@@ -598,6 +601,7 @@ def token_budget_sample(
     budget: int = 3000,
     strata_col: str = "lang",
     n_buckets: int = 64,
+    hash_method: str = "md5",
 ) -> Dataset:
     """Per-stratum token-budget assembly: walk each stratum's docs in
     deterministic (md5-fraction, doc_id) order and keep docs while the
@@ -616,11 +620,13 @@ def token_budget_sample(
     so n_buckets scales like a block-size knob at 100 TB."""
 
     def _annotate(t: pa.Table) -> pa.Table:
-        us = _md5_frac(t.column("doc_id").to_pylist())
+        us = _id_fracs(t.column("doc_id"), hash_method)
         n_tokens = pc.count_substring_regex(
             pc.utf8_lower(t.column("text")), TOKEN_RE
         ).cast(pa.int64())
-        bucket = [min(int(u * n_buckets), n_buckets - 1) for u in us]
+        bucket = np.minimum(
+            (us * n_buckets).astype(np.int64), n_buckets - 1
+        )
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),

@@ -27,6 +27,7 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from barks_ocr_ray.functions.hashing import hash64, salt64, unit_fractions
 from barks_ocr_ray.functions.text import TOKEN_RE
 
 #: hash-prefix width (hex chars) defining the scan ranges: 2 -> 256
@@ -43,16 +44,24 @@ def sequence_pack(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 16,
+    hash_method: str = "md5",
 ) -> Dataset:
     """Assign every doc a training-sequence id: docs are ordered by
-    md5(doc_id) (a deterministic global shuffle — reproducible across
-    runs, cluster sizes and partitionings, unlike ``random_shuffle``),
-    then packed contiguously into ``budget``-token sequences:
+    a deterministic id hash (a deterministic global shuffle —
+    reproducible across runs, cluster sizes and partitionings, unlike
+    ``random_shuffle``), then packed contiguously into ``budget``-token
+    sequences:
 
         seq_id  = floor(global_token_offset / budget)
         seq_pos = global_token_offset % budget
 
-    Output: (doc_id, shuffle_key, n_tokens, seq_id, seq_pos)."""
+    Output: (doc_id, shuffle_key, n_tokens, seq_id, seq_pos).
+
+    ``hash_method``: "md5" (default, oracle-parity — shuffle_key is the
+    hex digest, SQL-replayable) or "splitmix64" (vectorized production
+    path: shuffle_key is the mixed uint64, rng its top byte; same
+    packing STRUCTURE — identical sequence count and fill — different
+    doc order)."""
 
     def _key(t: pa.Table) -> pa.Table:
         lower = pc.utf8_lower(t.column(text_col))
@@ -61,17 +70,29 @@ def sequence_pack(
             .cast(pa.int64())
             .fill_null(0)
         )
-        keys = [
-            hashlib.md5(str(d).encode("utf-8")).hexdigest()
-            for d in t.column(id_col).to_pylist()
-        ]
+        if hash_method == "md5":
+            keys = [
+                hashlib.md5(str(d).encode("utf-8")).hexdigest()
+                for d in t.column(id_col).to_pylist()
+            ]
+            key_arr = pa.array(keys, pa.string())
+            rng_arr = pa.array(
+                [k[:RANGE_PREFIX_CHARS] for k in keys], pa.string()
+            )
+        else:
+            z = hash64(
+                t.column(id_col).to_numpy(zero_copy_only=False),
+                method=hash_method,
+            )
+            key_arr = pa.array(z, pa.uint64())
+            # top byte = the 256-range analog of the 2-hex-char prefix
+            # (sorting by z matches sorting hex digests of z)
+            rng_arr = pa.array(z >> np.uint64(56), pa.uint64())
         return pa.table(
             {
                 id_col: t.column(id_col),
-                "shuffle_key": pa.array(keys, pa.string()),
-                "rng": pa.array(
-                    [k[:RANGE_PREFIX_CHARS] for k in keys], pa.string()
-                ),
+                "shuffle_key": key_arr,
+                "rng": rng_arr,
                 "n_tokens": n_tokens,
             }
         )
@@ -121,6 +142,7 @@ def mix_corpora(
     *,
     id_col: str = "doc_id",
     seed: str = "mix",
+    hash_method: str = "md5",
 ) -> Dataset:
     """Epoch-weighted corpus mixing: each (name, docs, weight) corpus
     contributes floor(weight) full epochs of every doc plus one extra
@@ -138,23 +160,40 @@ def mix_corpora(
         # bit-identical on both sides
         frac = round(weight - base, 9)
 
+        # fast-path salt: per-corpus 64-bit constant folded into the
+        # vectorized hash (the md5 path keeps the exact f"{name}:{id}:
+        # {seed}" digest the SQL oracle replays)
+        corpus_salt = salt64(name, seed)
+
         def _epochs(
-            t: pa.Table, _name=name, _base=base, _frac=frac
+            t: pa.Table, _name=name, _base=base, _frac=frac,
+            _salt=corpus_salt,
         ) -> pa.Table:
             ids = [str(i) for i in t.column(id_col).to_pylist()]
             reps = np.full(len(ids), _base, np.int64)
             if _frac > 0:
-                extra = [
-                    int(
-                        hashlib.md5(
-                            f"{_name}:{i}:{seed}".encode("utf-8")
-                        ).hexdigest()[:8],
-                        16,
+                if hash_method == "md5":
+                    extra = np.asarray(
+                        [
+                            int(
+                                hashlib.md5(
+                                    f"{_name}:{i}:{seed}".encode("utf-8")
+                                ).hexdigest()[:8],
+                                16,
+                            )
+                            / float(1 << 32)
+                            < _frac
+                            for i in ids
+                        ],
+                        np.bool_,
                     )
-                    / float(1 << 32)
-                    < _frac
-                    for i in ids
-                ]
+                else:
+                    us = unit_fractions(
+                        t.column(id_col).to_numpy(zero_copy_only=False),
+                        method=hash_method,
+                        salt=_salt,
+                    )
+                    extra = us < _frac
                 reps += np.asarray(extra, np.int64)
             idx = np.repeat(np.arange(len(ids)), reps)
             epochs = np.concatenate(

@@ -12,12 +12,14 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
 from barks_ocr_ray.context import hash_partitions
+from barks_ocr_ray.functions.hashing import unit_fractions
 from barks_ocr_ray.functions.relational import round_like_duckdb
 
 TOKEN_RE = r"[a-z0-9]+"
@@ -337,34 +339,31 @@ def stratified_sample(
     strata_col: str = "lang",
     id_col: str = "doc_id",
     default_rate: float = 0.0,
+    hash_method: str = "md5",
 ) -> Dataset:
-    """Per-stratum deterministic sampling: a row is kept iff
-    md5(id)'s first-8-hex fraction of 2^32 falls below its stratum's
-    rate — a pure function of the row (reproducible across runs,
-    cluster sizes and partitionings; no RNG state anywhere), and exactly
-    replayable in SQL, unlike ``Dataset.random_sample``. The standard
-    rebalancing step for a training corpus (downsample dominant
-    languages / sources).
+    """Per-stratum deterministic sampling: a row is kept iff its id's
+    deterministic unit fraction falls below its stratum's rate — a pure
+    function of the row (reproducible across runs, cluster sizes and
+    partitionings; no RNG state anywhere), and on the default md5 path
+    exactly replayable in SQL, unlike ``Dataset.random_sample``. The
+    standard rebalancing step for a training corpus (downsample
+    dominant languages / sources).
 
-    Cost note: md5 is a per-row C call (~1 µs), chosen over a faster
-    vectorizable hash precisely because DuckDB has md5() — the oracle
-    replays the exact keep decision. Throughput ~1M rows/s/core is far
-    above what any downstream stage sustains, so the sampler never
-    becomes the bottleneck."""
-    import hashlib as _hashlib
+    ``hash_method``: "md5" (default) is the oracle-parity path — a
+    per-row C call (~1 µs/row) that DuckDB's md5() replays exactly.
+    "splitmix64" is the vectorized production path for corpus-scale
+    runs (same keep RATE, different individual decisions; see
+    functions/hashing.py and the BASELINE.md throughput table)."""
 
     def _keep(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
+        us = unit_fractions(t.column(id_col).to_pylist() if hash_method == "md5"
+                            else t.column(id_col).to_numpy(zero_copy_only=False),
+                            method=hash_method)
         strata = t.column(strata_col).to_pylist()
-        mask = [
-            int(
-                _hashlib.md5(str(i).encode("utf-8")).hexdigest()[:8], 16
-            )
-            / float(1 << 32)
-            < rates.get(s, default_rate)
-            for i, s in zip(ids, strata)
-        ]
-        return t.filter(pa.array(mask, pa.bool_()))
+        cuts = np.asarray(
+            [rates.get(s, default_rate) for s in strata], np.float64
+        )
+        return t.filter(pa.array(us < cuts, pa.bool_()))
 
     return docs.map_batches(_keep, batch_format="pyarrow")
 
