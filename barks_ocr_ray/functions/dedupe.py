@@ -1035,20 +1035,51 @@ def range_join_pairs(
         return pa.concat_tables([base, shifted])
 
     def _pairs(g: pd.DataFrame) -> pa.Table:
+        """Two-pointer sliding compare over the value-sorted group (the
+        SNM kernel's shape) in bounded CHUNKS: the old whole-group
+        ``triu_indices`` materialized O(|group|^2) index pairs at once
+        BEFORE the diff filter — on a value-clustered corpus (one giant
+        band) that is a peak-memory cliff even though the final output
+        is the same size. Sorting by value makes each row's qualifying
+        partners a contiguous run (searchsorted), so pairs are emitted
+        chunk by chunk with peak intermediate ~PAIR_CHUNK, and the only
+        full-size allocation left is the output itself (inherent)."""
         ids = np.asarray(g["id"], dtype=np.int64)
         vals = np.asarray(g["val"], dtype=np.int64)
         band = int(g["band"].iloc[0])
-        order = np.argsort(ids, kind="stable")
+        order = np.lexsort((ids, vals))  # by val, ties by id
         ids, vals = ids[order], vals[order]
-        i, j = np.triu_indices(len(ids), k=1)
-        ok = np.abs(vals[i] - vals[j]) <= max_diff
-        # count each pair only in its canonical band
-        canonical = np.maximum(vals[i] // width, vals[j] // width) == band
-        ok &= canonical
+        n = len(ids)
+        pos = np.arange(n, dtype=np.int64)
+        hi = np.searchsorted(vals, vals + max_diff, side="right")
+        counts = hi - pos - 1  # qualifying successors per row
+        PAIR_CHUNK = 1 << 16
+        chunks_a, chunks_b = [], []
+        start = 0
+        while start < n:
+            csum = np.cumsum(counts[start:])
+            stop = min(n, start + int(np.searchsorted(csum, PAIR_CHUNK)) + 1)
+            idx_i = pos[start:stop]
+            reps = counts[start:stop]
+            total = int(reps.sum())
+            if total:
+                i_rep = np.repeat(idx_i, reps)
+                offs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+                j = i_rep + 1 + (np.arange(total) - np.repeat(offs, reps))
+                # count each pair only in its canonical band (boundary
+                # straddlers appear in two (key, band) groups)
+                ok = np.maximum(vals[i_rep] // width, vals[j] // width) == band
+                a, b = ids[i_rep][ok], ids[j][ok]
+                swap = a > b  # output contract: doc_a < doc_b by id
+                chunks_a.append(np.where(swap, b, a))
+                chunks_b.append(np.where(swap, a, b))
+            start = stop
+        out_a = np.concatenate(chunks_a) if chunks_a else np.empty(0, np.int64)
+        out_b = np.concatenate(chunks_b) if chunks_b else np.empty(0, np.int64)
         return pa.table(
             {
-                "doc_a": pa.array(ids[i][ok], pa.int64()),
-                "doc_b": pa.array(ids[j][ok], pa.int64()),
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
             }
         )
 

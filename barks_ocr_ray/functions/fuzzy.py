@@ -15,6 +15,7 @@ true matches share the blocking key.
 
 from __future__ import annotations
 
+import logging
 from difflib import SequenceMatcher
 
 import numpy as np
@@ -23,6 +24,36 @@ import pyarrow as pa
 from ray.data import Dataset
 
 MIN_MATCH_RATIO = 0.7  # tools/ocr_check.py:39
+
+#: per-group pair budget (skew guard, the `_bucket_pairs` pattern): a
+#: blocking-key group whose |L| x |R| exceeds this is a template-farm
+#: pathology, not a match neighborhood — reference-shaped groups
+#: (boxes of ONE panel, ocr_check.py:185-218) are tens of rows and
+#: never bind the cap. When it binds, each left is matched against the
+#: ``budget // |L|`` SMALLEST-id right candidates (deterministic — the
+#: same ids the tie-break already prefers) and the overflow is LOGGED;
+#: lefts keep their one-output-row semantics either way, so output
+#: size is unchanged and per-group cost is linear, not quadratic.
+DEFAULT_MAX_GROUP_PAIRS = 100_000
+
+
+def _cap_rhs(
+    lhs: pd.DataFrame, rhs: pd.DataFrame, key, max_group_pairs: int
+) -> pd.DataFrame:
+    """Bound the per-group quadratic step: keep the smallest-row_id
+    right candidates so |L| x |R'| <= max_group_pairs (rhs arrives
+    sorted by row_id ascending). No silent caps — overflow is logged."""
+    if len(lhs) * len(rhs) <= max_group_pairs:
+        return rhs
+    rhs_cap = max(1, max_group_pairs // max(1, len(lhs)))
+    logging.getLogger(__name__).warning(
+        "fuzzy group %r: %d x %d candidate pairs exceeds "
+        "max_group_pairs=%d; keeping the %d smallest-id right "
+        "candidates per left (%d right rows excluded)",
+        key, len(lhs), len(rhs), max_group_pairs, rhs_cap,
+        len(rhs) - rhs_cap,
+    )
+    return rhs.head(rhs_cap)
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -70,11 +101,13 @@ def levenshtein_best_match(
     min_ratio: float = 0.3,
     left_pre=None,
     right_pre=None,
+    max_group_pairs: int = DEFAULT_MAX_GROUP_PAIRS,
 ) -> Dataset:
     """For every left row, the best right row in the same blocking group
     by levenshtein ratio (ties -> smallest right id); lefts with no match
     >= min_ratio are dropped (inner semantics — the SQL-oracle variant of
-    ``fuzzy_best_match``). Output: (left_id, right_id, ratio).
+    ``fuzzy_best_match``). ``max_group_pairs`` bounds the per-group
+    quadratic step (see ``_cap_rhs``). Output: (left_id, right_id, ratio).
 
     ``left_pre``/``right_pre`` fuse an optional row filter INSIDE the
     side-tagging UDF: a selective upstream ``Dataset.filter`` empties
@@ -104,6 +137,7 @@ def levenshtein_best_match(
     def _match(g: pd.DataFrame) -> pa.Table:
         lhs = g[g["side"] == "l"].sort_values("row_id")
         rhs = g[g["side"] == "r"].sort_values("row_id")
+        rhs = _cap_rhs(lhs, rhs, g["key"].iloc[0], max_group_pairs)
         lids, rids, ratios = [], [], []
         for lrow in lhs.itertuples():
             best_id, best_ratio = None, min_ratio
@@ -141,11 +175,13 @@ def fuzzy_best_match(
     min_ratio: float = MIN_MATCH_RATIO,
     left_pre=None,
     right_pre=None,
+    max_group_pairs: int = DEFAULT_MAX_GROUP_PAIRS,
 ) -> Dataset:
     """For every left row, the best-ratio right row in the same blocking
     group. Output: (key, left_id, right_id, ratio) — right_id null for
     unmatched lefts (the ``only_in_easy`` analog). ``left_pre`` /
-    ``right_pre``: see ``levenshtein_best_match``."""
+    ``right_pre``: see ``levenshtein_best_match``; ``max_group_pairs``
+    bounds the per-group quadratic step (see ``_cap_rhs``)."""
 
     def _tag(side: str, pre=None):
         def _t(t: pa.Table) -> pa.Table:
@@ -169,6 +205,7 @@ def fuzzy_best_match(
     def _match(g: pd.DataFrame) -> pd.DataFrame:
         lhs = g[g["side"] == "l"].sort_values("row_id")
         rhs = g[g["side"] == "r"].sort_values("row_id")
+        rhs = _cap_rhs(lhs, rhs, g["key"].iloc[0], max_group_pairs)
         keys, lids, rids, ratios = [], [], [], []
         for lrow in lhs.itertuples():
             best_id, best_ratio = None, min_ratio

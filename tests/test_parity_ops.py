@@ -131,3 +131,54 @@ def test_transform_boxes_affine():
     before = reading_order(doc["pages"][0]["boxes"], 600, 1)
     after = reading_order(moved["pages"][0]["boxes"], 1200, 1)
     assert before == after
+
+
+def test_fuzzy_skew_guard_one_hot_key():
+    """Template-farm hazard (the `_bucket_pairs` pattern applied to the
+    J4/J5 pairing): 10k docs sharing ONE blocking key must complete in
+    bounded time — each left is matched against only the
+    max_group_pairs // |L| smallest-id right candidates; every left
+    still emits exactly one output row, and matches that exist inside
+    the kept prefix are found."""
+    import time
+
+    from barks_ocr_ray.functions.fuzzy import fuzzy_best_match
+
+    n = 5_000  # per side -> 25M pairs unguarded; 100k with the default cap
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["hot"] * n, pa.string()),
+                "id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(
+                    [f"common boilerplate row {i % 7}" for i in range(n)],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["hot"] * n, pa.string()),
+                "id": pa.array(list(range(10_000, 10_000 + n)), pa.int64()),
+                "text": pa.array(
+                    [f"common boilerplate row {i % 7}" for i in range(n)],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    t0 = time.time()
+    out = fuzzy_best_match(
+        left, right, key_col="k", id_col="id", text_col="text"
+    ).to_pandas()
+    wall = time.time() - t0
+    assert wall < 60, f"skew guard failed to bound the group: {wall:.1f}s"
+    # one row per left, matched or not
+    assert len(out) == n
+    # kept candidates are the smallest right ids: every matched right id
+    # falls inside the rhs_cap prefix (cap = 100_000 // 5_000 = 20)
+    matched = out["right_id"].dropna()
+    assert len(matched) > 0
+    assert matched.max() < 10_000 + 20

@@ -355,3 +355,39 @@ def test_training_prep_composition():
     assert list(out["doc_id"]) == [1]
     row = out.iloc[0]
     assert row["lang_pred"] == "en" and row["n_tokens"] == 13
+
+
+def test_range_join_value_clustered_single_band():
+    """Value-clustered corpus: every doc lands in ONE (key, band) group
+    (the peak-memory hazard the chunked two-pointer emit bounds —
+    >65k pairs forces multiple PAIR_CHUNK rounds). Pair set must equal
+    brute force exactly."""
+    from barks_ocr_ray.functions.dedupe import range_join_pairs
+
+    rng = np.random.RandomState(7)
+    n = 600  # ~180k same-band pairs > PAIR_CHUNK (1<<16)
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.randint(0, 3, n).astype(np.int64)  # all in band 0 (W=3)
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": pa.array(vals),
+                "source": pa.array(["hot"] * n, pa.string()),
+            }
+        )
+    )
+    got = {
+        (a, b)
+        for a, b in range_join_pairs(docs, max_diff=2)
+        .to_pandas()
+        .itertuples(index=False)
+    }
+    want = {
+        (int(i), int(j))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if abs(int(vals[i]) - int(vals[j])) <= 2
+    }
+    assert got == want
+    assert len(got) > (1 << 16)  # chunking actually engaged
