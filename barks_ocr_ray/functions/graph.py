@@ -68,6 +68,42 @@ def symmetrize(edges: Dataset) -> Dataset:
     return edges.union(edges.map_batches(_rev, batch_format="pyarrow"))
 
 
+def _code_edge_block(t: pa.Table, nodes):
+    """One-time integer coding of an edge block against the global node
+    order: (src_idx, dst_idx) int64 arrays. Runs once per block as a
+    Ray task; every BSP round reuses the coded block from the object
+    store (the loop-invariant work of a per-round index_in or an
+    edges-x-deg join, hoisted)."""
+    if t.num_rows == 0:
+        return None
+    import pyarrow.compute as pc
+
+    src_idx = (
+        pc.index_in(t.column("src"), value_set=nodes)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    dst_idx = (
+        pc.index_in(t.column("dst"), value_set=nodes)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return src_idx, dst_idx
+
+
+def _block_contrib_dense(coded, prs: np.ndarray, outdeg: np.ndarray):
+    """One BSP round over one coded edge block: dense node-sized int64
+    contribution partial (exact — np.add.at, no float accumulation).
+    ``outdeg`` is the node-sized degree vector, shipped once per run."""
+    if coded is None:
+        return None
+    src_idx, dst_idx = coded
+    c = ((prs[src_idx] // outdeg[src_idx]) * DAMP_NUM) // DAMP_DEN
+    acc = np.zeros(len(prs), dtype=np.int64)
+    np.add.at(acc, dst_idx, c)
+    return acc
+
+
 #: below this node count the per-round rank table broadcasts (ray.put
 #: once, vectorized index_in per edge block) instead of hash-joining —
 #: the measured signature-attach gate precedent (BASELINE.md session-3:
@@ -95,7 +131,11 @@ def pagerank(
     oracle replays the identical recurrence with ``//``.
     """
     np_ = num_partitions or hash_partitions(16)
-    edges = symmetrize(_distinct_edges(pairs, np_))
+    # materialize ONCE: both the degree derivation and the round loop
+    # read the symmetrized distinct edges — a lazy `edges` re-executes
+    # the distinct exchange per consumer (measured: it doubled the
+    # pre-loop wall at sf0.1)
+    edges = symmetrize(_distinct_edges(pairs, np_)).materialize()
 
     deg = edges.groupby("src", num_partitions=np_).aggregate(
         Count(alias_name="outdeg")
@@ -112,6 +152,67 @@ def pagerank(
         return rd.from_arrow(_RANKS_SCHEMA.empty_table())
     base = (15 * SCALE) // (100 * n_nodes)
     r0 = SCALE // n_nodes
+
+    if n_nodes <= broadcast_gate:
+        # BSP rounds as RAW RAY TASKS — the documented Dataset-API
+        # exception (SURVEY custom-operator rule (c)): under the gate
+        # the rank AND degree vectors are node-sized driver state, and
+        # the Dataset formulation re-spins a map op + a hash-aggregate
+        # actor pool + a materialize barrier EVERY round (measured:
+        # ~2.5 s/round of pure spin-up at sf0.1 — 20 rounds paid 50+ s
+        # of the 65 s wall). Instead: code each edge block ONCE into
+        # integer (src_idx, dst_idx) pairs held in the object store
+        # (which also replaces the loop-invariant edges-x-deg join —
+        # outdeg ships once as a node-sized vector), then each round is
+        # one wave of pure-numpy tasks over the coded blocks plus an
+        # exact int64 driver merge. Bit-exactness is unchanged —
+        # integer partial sums commute, and the recurrence is evaluated
+        # with the identical // arithmetic (pinned by the serial-replay
+        # and broadcast-vs-join tests).
+        #
+        # Partitioning assumption: n_nodes <= broadcast_gate, so the
+        # rank/degree vectors (8 B/node) and one dense per-block
+        # partial fit comfortably in driver/worker heaps; the edge
+        # relation itself stays block-partitioned in the object store.
+        # Above the gate the distributed-join rounds below run instead.
+        import ray as _ray
+
+        deg_blocks = [
+            b
+            for b in (_ray.get(r) for r in deg.to_arrow_refs())
+            if b.num_rows
+        ]
+        deg_tbl = pa.concat_tables(deg_blocks)
+        nodes = deg_tbl.column("node").combine_chunks()
+        outdeg_vec = (
+            deg_tbl.column("outdeg")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nodes_ref = _ray.put(nodes)
+        od_ref = _ray.put(outdeg_vec)
+        prep = _ray.remote(num_cpus=1)(_code_edge_block)
+        step = _ray.remote(num_cpus=1)(_block_contrib_dense)
+        coded = [
+            prep.remote(blk, nodes_ref) for blk in edges.to_arrow_refs()
+        ]
+
+        prs = np.full(n_nodes, r0, dtype=np.int64)
+        for _ in range(iterations):
+            pr_ref = _ray.put(prs)
+            acc = np.full(n_nodes, base, dtype=np.int64)
+            pending = [step.remote(c, pr_ref, od_ref) for c in coded]
+            while pending:
+                done, pending = _ray.wait(
+                    pending, num_returns=min(8, len(pending))
+                )
+                for part in _ray.get(done):
+                    if part is not None:
+                        acc += part
+            prs = acc
+        return rd.from_arrow(
+            pa.table({"node": nodes, "pr": pa.array(prs, pa.int64())})
+        )
 
     # edge-with-outdeg is loop-invariant: join it ONCE, reuse per round
     deg_c, _ = compact_nonempty(deg, np_)
@@ -180,62 +281,6 @@ def pagerank(
     # per round is pure overhead. Tiny graphs keep it — empty blocks
     # into a join are fatal (compact_nonempty contract).
     skip_compact = n_nodes >= 100 * np_
-
-    if n_nodes <= broadcast_gate:
-        # broadcast path: the rank table is node-sized and under the
-        # gate, so ship it ONCE per round via ray.put and attach pr to
-        # each edge block with a vectorized index_in — one keyed
-        # exchange per round (the contribution sum) instead of two
-        # operator spin-ups for a hash join whose right side is tiny
-        import ray as _ray
-
-        def _round_broadcast(ranks_ds: Dataset) -> Dataset:
-            # skip 0-row blocks: empty aggregate finalizes are
-            # schema-less and would poison the concat
-            blocks = [
-                b
-                for b in (
-                    _ray.get(r) for r in ranks_ds.to_arrow_refs()
-                )
-                if b.num_rows
-            ]
-            tbl = pa.concat_tables(blocks)
-            ref = _ray.put(
-                (
-                    tbl.column("node").combine_chunks(),
-                    tbl.column("pr").to_numpy(zero_copy_only=False).astype(
-                        np.int64
-                    ),
-                )
-            )
-
-            def _attach_contrib(t: pa.Table) -> pa.Table:
-                import pyarrow.compute as _pc
-
-                nodes, prs = _ray.get(ref)
-                idx = _pc.index_in(
-                    t.column("src"), value_set=nodes
-                ).to_numpy(zero_copy_only=False)
-                pr = prs[idx.astype(np.int64)]
-                od = t.column("outdeg").to_numpy(
-                    zero_copy_only=False
-                ).astype(np.int64)
-                c = ((pr // od) * DAMP_NUM) // DAMP_DEN
-                return _partial_sum(t.column("dst"), c)
-
-            return (
-                edges_deg.map_batches(
-                    _attach_contrib, batch_format="pyarrow"
-                )
-                .groupby("dst", num_partitions=np_)
-                .aggregate(Sum("contrib", alias_name="contrib"))
-                .map_batches(_update, batch_format="pyarrow")
-                .materialize()
-            )
-
-        for _ in range(iterations):
-            ranks = _round_broadcast(ranks)
-        return ranks
 
     for _ in range(iterations):
         if skip_compact:

@@ -3602,24 +3602,31 @@ def q86_grouped_zscore(sf_dir: str):
     ds = orders.map_batches(_dollars, batch_format="pyarrow").materialize()
 
     def _moments(t: pa.Table) -> pa.Table:
+        """Per-block moment partials via dictionary-encode + reduceat
+        (the q120/q123 segment pattern) — one vectorized pass, no
+        pandas hop, no per-group boolean masks."""
         import numpy as np
 
         d = t.column("dollars").to_numpy(zero_copy_only=False)
-        out_g, out_n, out_s, out_ss = [], [], [], []
-        grp = t.column("o_orderpriority").to_pandas()
-        for g in sorted(grp.unique()):
-            mask = (grp == g).to_numpy()
-            seg = d[mask]
-            out_g.append(g)
-            out_n.append(len(seg))
-            out_s.append(int(seg.sum()))
-            out_ss.append(int((seg * seg).sum()))
+        enc = t.column("o_orderpriority").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cats = enc.dictionary.to_pylist()
+        order = np.argsort(codes, kind="stable")
+        codes_s, d_s = codes[order], d[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(np.diff(codes_s)) + 1)
+        )
+        seg_n = np.diff(np.concatenate((starts, [len(codes_s)])))
+        seg_s = np.add.reduceat(d_s, starts)
+        seg_ss = np.add.reduceat(d_s * d_s, starts)
         return pa.table(
             {
-                "o_orderpriority": pa.array(out_g, pa.string()),
-                "n": pa.array(out_n, pa.int64()),
-                "s": pa.array(out_s, pa.int64()),
-                "ss": pa.array(out_ss, pa.int64()),
+                "o_orderpriority": pa.array(
+                    [cats[c] for c in codes_s[starts]], pa.string()
+                ),
+                "n": pa.array(seg_n, pa.int64()),
+                "s": pa.array(seg_s, pa.int64()),
+                "ss": pa.array(seg_ss, pa.int64()),
             }
         )
 
@@ -3646,9 +3653,11 @@ def q86_grouped_zscore(sf_dir: str):
         import numpy as np
 
         d = t.column("dollars").to_numpy(zero_copy_only=False).astype(np.float64)
-        grp = t.column("o_orderpriority").to_pylist()
-        mean = np.array([stats[g][0] for g in grp])
-        std = np.array([stats[g][1] for g in grp])
+        enc = t.column("o_orderpriority").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cats = enc.dictionary.to_pylist()
+        mean = np.asarray([stats[c][0] for c in cats])[codes]
+        std = np.asarray([stats[c][1] for c in cats])[codes]
         return pa.table(
             {
                 "o_orderkey": t.column("o_orderkey"),
