@@ -737,6 +737,33 @@ def _lowest_md5_init(
     return micro_embed(flat, k)
 
 
+def _kmeans_code_block(t: pa.Table):
+    """One-time micro-int decode of an embedding block (the
+    loop-invariant half of the old per-round pass, hoisted — rounds
+    reuse the coded block from the object store instead of re-reading
+    and re-decoding the parquet every round)."""
+    if t.num_rows == 0:
+        return None
+    la = t.column("embedding")
+    if isinstance(la, pa.ChunkedArray):
+        la = la.combine_chunks()
+    return micro_embed(
+        la.flatten().to_numpy(zero_copy_only=False), t.num_rows
+    )
+
+
+def _kmeans_block_partials(E, C: np.ndarray):
+    """One Lloyd round over one coded block: dense (k x d) int64 sum
+    matrix + k-vector of counts (exact — integer scatter-add)."""
+    if E is None:
+        return None
+    a = kmeans_assign(E, C)
+    S = np.zeros(C.shape, dtype=np.int64)
+    np.add.at(S, a, E)
+    N = np.bincount(a, minlength=C.shape[0]).astype(np.int64)
+    return S, N
+
+
 def distributed_kmeans(
     embeddings: Dataset,
     *,
@@ -746,85 +773,58 @@ def distributed_kmeans(
 ) -> Dataset:
     """Full-corpus distributed Lloyd's k-means — the iterative-ML
     sibling of q94's PageRank (the IVF/PQ quantizers train on a bounded
-    SAMPLE; this one assigns and updates over EVERY row). Per round:
-    centroids broadcast once (ray.put, k x d ints), each block ships
-    (cluster, dim, sum, n) partials (k x d-sized, never row-sized), one
-    tiny keyed aggregation, and the driver holds only the k x d
-    centroid table (constant-bounded). Centroid update = integer mean
-    re-rounded in micro space (round_like_duckdb), so every round is
-    bit-identical under any partitioning and to the sequential golden
+    SAMPLE; this one assigns and updates over EVERY row).
+
+    BSP rounds as RAW RAY TASKS (the q94 pattern, SURVEY custom-
+    operator rule (c)): the corpus is decoded ONCE into micro-int
+    blocks held in the object store; each round broadcasts the k x d
+    centroid matrix (ray.put), runs one wave of pure-numpy tasks that
+    return dense (k x d) int64 partials, and the driver merges them
+    exactly (integer sums commute). This replaces a per-round Dataset
+    re-execution — which re-READ the parquet and re-spun a
+    hash-aggregate pool every round — with round cost = assignment
+    flops only. Centroid update = integer mean re-rounded in micro
+    space (round_like_duckdb), so every round is bit-identical under
+    any partitioning and to the sequential golden
     (golden_dedup.golden_kmeans). Empty clusters keep their previous
-    centroid. Rounds are sequential jobs — the same per-round
-    materialization barrier as PageRank (BASELINE.md q94 note); int64
-    micro sums stay exact up to ~1e12 rows x |v|<=0.5 (5e17 < 2^63).
+    centroid. int64 micro sums stay exact up to ~1e12 rows x |v|<=0.5
+    (5e17 < 2^63); driver state is k x d only. Partitioning
+    assumption: the coded corpus lives block-partitioned in the object
+    store (spills to disk at scale, like any materialized Dataset).
     Output: (cluster, dim, centroid_micro, n) — n = the cluster's size
     at the final assignment."""
     import ray as _ray
-
-    from ray.data.aggregate import Sum as _Sum
 
     C = _lowest_md5_init(embeddings, k, id_col)
     dims = C.shape[1]
     emb = embeddings.select_columns([id_col, "embedding"])
 
+    prep = _ray.remote(num_cpus=1)(_kmeans_code_block)
+    stepf = _ray.remote(num_cpus=1)(_kmeans_block_partials)
+    coded = [prep.remote(b) for b in emb.to_arrow_refs()]
+
     counts = np.zeros(k, dtype=np.int64)
     for _ in range(rounds):
         cref = _ray.put(C)
-
-        def _partials(t: pa.Table) -> pa.Table:
-            import ray as _ray2
-
-            Cm = _ray2.get(cref)
-            la = t.column("embedding")
-            if isinstance(la, pa.ChunkedArray):
-                la = la.combine_chunks()
-            E = micro_embed(
-                la.flatten().to_numpy(zero_copy_only=False), t.num_rows
+        S = np.zeros((k, dims), dtype=np.int64)
+        N = np.zeros(k, dtype=np.int64)
+        pending = [stepf.remote(cb, cref) for cb in coded]
+        while pending:
+            done, pending = _ray.wait(
+                pending, num_returns=min(8, len(pending))
             )
-            a = kmeans_assign(E, Cm)
-            order = np.argsort(a, kind="stable")
-            sa = a[order]
-            starts = np.flatnonzero(
-                np.concatenate(([True], sa[1:] != sa[:-1]))
-            )
-            sums = np.add.reduceat(E[order], starts, axis=0)
-            ns = np.diff(np.append(starts, sa.size))
-            uniq = sa[starts]
-            d = E.shape[1]
-            return pa.table(
-                {
-                    "cluster": pa.array(
-                        np.repeat(uniq.astype(np.int64), d), pa.int64()
-                    ),
-                    "dim": pa.array(
-                        np.tile(np.arange(1, d + 1, dtype=np.int64),
-                                uniq.size),
-                        pa.int64(),
-                    ),
-                    "s": pa.array(sums.reshape(-1), pa.int64()),
-                    "n": pa.array(
-                        np.repeat(ns.astype(np.int64), d), pa.int64()
-                    ),
-                }
-            )
-
-        cells = (
-            emb.map_batches(_partials, batch_format="pyarrow")
-            .groupby(["cluster", "dim"], num_partitions=2)
-            .aggregate(_Sum("s", alias_name="s"), _Sum("n", alias_name="n"))
-            .take_all()
-        )  # k x d rows — constant-bounded driver state
-        counts = np.zeros(k, dtype=np.int64)
+            for part in _ray.get(done):
+                if part is not None:
+                    S += part[0]
+                    N += part[1]
         newC = C.copy()  # empty clusters keep their previous centroid
-        for r in cells:
-            c, d0 = r["cluster"], r["dim"] - 1
-            counts[c] = r["n"]
-            newC[c, d0] = np.int64(
-                round_like_duckdb(
-                    np.array([r["s"] / r["n"]], np.float64), 0
-                )[0]
-            )
+        nz = N > 0
+        if nz.any():
+            newC[nz] = round_like_duckdb(
+                S[nz] / N[nz][:, None], 0
+            ).astype(np.int64)
         C = newC
+        counts = N
 
     import ray.data as _rd
 

@@ -211,8 +211,19 @@ def run_queries(sf_dir: str) -> dict:
     return times
 
 
+def _cli_sf_dir() -> str | None:
+    """--sf-dir PATH: same as GRAFT_SF_DIR (the flag wins). The sf is
+    parsed from the name (e.g. /tmp/sf0.8 -> 8x headline corpus), so
+    larger-regime benches need no pre-generated table dir."""
+    if "--sf-dir" in sys.argv:
+        return sys.argv[sys.argv.index("--sf-dir") + 1]
+    return None
+
+
 def main() -> None:
-    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = _cli_sf_dir() or os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     headline_only = "--headline-only" in sys.argv
 
@@ -228,7 +239,11 @@ def main() -> None:
     if not headline_only:
         arc = run_arc(sf_dir, num_cpus)
         queries["corpus_arc"] = arc["sec"]
-        queries.update(run_queries(sf_dir))
+        # the query suite needs the sf_dir's parquet tables; a
+        # name-only sf_dir (e.g. --sf-dir /tmp/sf0.8, where only the
+        # synthesized pages corpus exists) benches headline + arc
+        if os.path.exists(os.path.join(sf_dir, "orders.parquet")):
+            queries.update(run_queries(sf_dir))
     ray.shutdown()
     print(
         json.dumps(

@@ -1,0 +1,52 @@
+"""Driver-signal hygiene: enumerating the full query registry (126
+queries + 126 oracles, including golden materialization via
+ensure_all) must be near-instant on a COLD process and must not
+execute any Ray work — the driver harness imports __ray_entry__ and
+calls queries()/oracle_sql() before running anything, and a slow or
+Ray-executing enumeration would time it out."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = """
+import json, time, ray
+t0 = time.perf_counter()
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "__ray_entry__", %r + "/__ray_entry__.py")
+m = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(m)
+q = m.queries(); s = m.oracle_sql()
+print(json.dumps({
+    "elapsed": time.perf_counter() - t0,
+    "n_queries": len(q),
+    "n_oracles": len(s),
+    "ray_initialized": ray.is_initialized(),
+    "callable": all(callable(f) for f in q.values()),
+    "sql_strings": all(isinstance(v, str) and v.strip() for v in s.values()),
+    "oracle_keys_subset": set(s) <= set(q),
+}, default=str))
+"""
+
+
+def test_registry_enumeration_fast_and_rayless():
+    out = subprocess.run(
+        [sys.executable, "-c", _SCRIPT % REPO],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=120,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["n_queries"] == 126 and info["n_oracles"] == 126
+    assert info["ray_initialized"] is False  # enumeration runs NO Ray work
+    assert info["callable"] and info["sql_strings"]
+    assert info["oracle_keys_subset"] == "True" or info["oracle_keys_subset"] is True
+    # well under any driver budget, goldens included (idempotent reuse)
+    assert info["elapsed"] < 20, f"enumeration took {info['elapsed']:.1f}s"
