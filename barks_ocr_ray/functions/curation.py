@@ -672,3 +672,129 @@ def token_budget_sample(
     return ann.groupby(
         [strata_col, "bucket"], num_partitions=hash_partitions(16)
     ).map_groups(_keep, batch_format="pyarrow")
+
+
+def incremental_ingest_dedup(
+    docs: Dataset,
+    *,
+    prior_mod: int = 10,
+    prior_keep: int = 7,
+    window: int = 10,
+    concurrency: int = 4,
+) -> Dataset:
+    """Cross-snapshot (delta-ingest) dedup — the pass a recurring-crawl
+    pipeline runs when a NEW snapshot lands against the corpus already
+    ingested: each new doc is flagged ``dup_exact`` (byte-identical
+    text already present in the prior snapshot, via content-hash
+    semi-join) and ``dup_window`` (shares at least one exact
+    ``window``-token span with the prior snapshot, via the q53/q112
+    WindowHasher semi-join). The snapshots are the deterministic
+    doc_id % ``prior_mod`` < ``prior_keep`` split (pure row function,
+    SQL-replayable). Output: one row per NEW doc with BIGINT 0/1
+    flags.
+
+    Scale: the prior snapshot is never broadcast — both flag passes
+    are distributed semi-joins on fixed-width hashes (16-byte window
+    hashes / 32-char content md5s), and the flag rollup is ONE
+    doc-keyed aggregation over a union of (doc_id, flag) partials
+    (multiplicities are harmless under max, so no distinct pass is
+    spent on the join outputs). Null-text docs never match (md5(NULL)
+    IS NULL on the oracle side; filtered before hashing here).
+    """
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.dedupe import WindowHasher, md5_hex
+
+    text_ds = docs.select_columns(["doc_id", "text"])
+
+    def _snapshot(keep_prior: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % prior_mod) < prior_keep
+            return t.filter(pa.array(m == keep_prior, pa.bool_()))
+
+        return text_ds.map_batches(_f, batch_format="pyarrow")
+
+    prior, new = _snapshot(True), _snapshot(False)
+
+    def _content_hashes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        hs = [md5_hex(s.as_py()) for s in t.column("text")]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "h": pa.array(hs, pa.string())}
+        )
+
+    def _distinct_h(ds: Dataset) -> Dataset:
+        return (
+            ds.select_columns(["h"])
+            .groupby("h", num_partitions=hash_partitions(16))
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["h"])
+        )
+
+    def _windows(ds: Dataset) -> Dataset:
+        return ds.map_batches(
+            WindowHasher,
+            fn_constructor_kwargs={"window": window},
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+        ).select_columns(["doc_id", "h"])
+
+    def _hits(new_side: Dataset, prior_side: Dataset, flag: str) -> Dataset:
+        """(doc_id, dup_exact, dup_window) partials for new-side rows
+        whose hash appears in the prior side; empty-side safe."""
+        prior_c, n_p = compact_nonempty(_distinct_h(prior_side), 16)
+        new_c, n_n = compact_nonempty(new_side, 16)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "dup_exact": pa.array([], pa.int64()),
+                "dup_window": pa.array([], pa.int64()),
+            }
+        )
+        if n_p == 0 or n_n == 0:
+            return rd.from_arrow(empty)
+        joined = new_c.join(
+            prior_c,
+            join_type="inner",
+            num_partitions=hash_partitions(16),
+            on=("h",),
+        )
+
+        def _flag(t: pa.Table) -> pa.Table:
+            one = int(flag == "dup_exact")
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "dup_exact": pa.array([one] * t.num_rows, pa.int64()),
+                    "dup_window": pa.array([1 - one] * t.num_rows, pa.int64()),
+                }
+            )
+
+        return joined.map_batches(_flag, batch_format="pyarrow")
+
+    exact_hits = _hits(
+        new.map_batches(_content_hashes, batch_format="pyarrow"),
+        prior.map_batches(_content_hashes, batch_format="pyarrow"),
+        "dup_exact",
+    )
+    window_hits = _hits(_windows(new), _windows(prior), "dup_window")
+
+    def _zeros(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "dup_exact": z, "dup_window": z}
+        )
+
+    base = new.map_batches(_zeros, batch_format="pyarrow")
+    from ray.data.aggregate import Max
+
+    return (
+        base.union(exact_hits)
+        .union(window_hits)
+        .groupby("doc_id", num_partitions=hash_partitions(16))
+        .aggregate(
+            Max("dup_exact", alias_name="dup_exact"),
+            Max("dup_window", alias_name="dup_window"),
+        )
+    )

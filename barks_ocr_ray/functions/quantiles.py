@@ -174,3 +174,103 @@ def distributed_quantiles(
             "value": pa.array([resolved[q] for q in order], pa.float64()),
         }
     )
+
+
+def histogram_quantiles(
+    ds: Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    n_buckets: int = 1024,
+) -> pa.Table:
+    """ONE-pass mergeable approximate quantiles — the sketch-path
+    sibling of :func:`distributed_quantiles` (which is exact but pays
+    O(log n) streaming rounds). A 100 TB profiling job that wants the
+    p50/p99 of every numeric column cannot afford multi-round
+    quickselects per column; the classic answer (Spark's
+    approxQuantile lineage, t-digest/KLL in the mergeable-summaries
+    literature) is a mergeable one-pass summary. t-digest/KLL merges
+    are ORDER-dependent (the result changes with block boundaries —
+    unreplayable under Ray's nondeterministic partitioning), so this
+    uses the order-independent fixed-grid variant: a cheap min/max/
+    count aggregate fixes ``n_buckets`` uniform edges, one streaming
+    pass histograms every block (integer partials, sum-mergeable in
+    ANY order), and each quantile resolves to the UPPER edge of the
+    first bucket whose cumulative count reaches ceil(q*n). The
+    estimate is within one bucket width (hi-lo)/n_buckets of the exact
+    quantile by construction, and bit-replayable: bucket assignment is
+    the single IEEE expression floor((x-lo)/w) on both engines.
+
+    Exchange cost: pass 0 ships 3 scalars per block; pass 1 ships at
+    most ``n_buckets`` integer rows per block into one tiny keyed
+    aggregation. Driver state is one n_buckets-long int64 array.
+
+    Returns (q, value_est) sorted by q — value_est rounded to 6
+    decimals on both engines (round_like_duckdb) for hash stability.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    stats = ds.aggregate(
+        Min(col, alias_name="lo"),
+        Max(col, alias_name="hi"),
+        Count(alias_name="n"),
+    )
+    n = int(stats["n"])
+    empty = pa.table(
+        {"q": pa.array([], pa.float64()), "value_est": pa.array([], pa.float64())}
+    )
+    if n == 0:
+        return empty
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    if hi == lo:
+        order = sorted(float(q) for q in qs)
+        return pa.table(
+            {
+                "q": pa.array(order, pa.float64()),
+                "value_est": pa.array(
+                    [round_like_duckdb(lo, 6)] * len(order), pa.float64()
+                ),
+            }
+        )
+    w = (hi - lo) / float(n_buckets)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        # the single-expression contract shared with the SQL oracle:
+        # least(floor((x - lo) / w), n_buckets - 1)
+        idx = np.minimum(
+            np.floor((x - lo) / w), float(n_buckets - 1)
+        ).astype(np.int64)
+        uniq, counts = np.unique(idx, return_counts=True)
+        return pa.table(
+            {
+                "idx": pa.array(uniq, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_hist, batch_format="pyarrow")
+        .groupby("idx", num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    counts = np.zeros(n_buckets, np.int64)
+    for r in agg:
+        counts[r["idx"]] = r["c"]
+    cum = np.cumsum(counts)
+    order = sorted(float(q) for q in qs)
+    ests = []
+    for q in order:
+        k = max(1, math.ceil(q * n))
+        i = int(np.searchsorted(cum, k, side="left"))
+        ests.append(round_like_duckdb(lo + (i + 1) * w, 6))
+    return pa.table(
+        {
+            "q": pa.array(order, pa.float64()),
+            "value_est": pa.array(ests, pa.float64()),
+        }
+    )

@@ -621,3 +621,50 @@ def golden_kmeans(
             "n": pa.array(np.repeat(counts, dims), pa.int64()),
         }
     )
+
+
+def golden_bpe_merges(docs: pa.Table, n_merges: int = 12) -> pa.Table:
+    """Sequential replay of bpe.bpe_train — shares the pure per-word
+    kernels (word_symbols, merge_pair_in_word, pair_counts_of_word,
+    best_pair) while the word counting and round loop are plain
+    Python over the whole corpus. Bit-equal because pair counts are
+    integers (sums commute) and the argmax tie-break is a total order."""
+    from collections import Counter
+
+    from barks_ocr_ray.functions.bpe import (
+        best_pair,
+        merge_pair_in_word,
+        word_symbols,
+    )
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    tok = Tokenizer()
+    wc: Counter = Counter()
+    for s in docs.column("text"):
+        txt = s.as_py()
+        if txt:
+            wc.update(tok.tokens(txt))
+
+    syms = {w: word_symbols(w) for w in wc}
+    rounds = []
+    for r in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, ss in syms.items():
+            n = wc[w]
+            for a, b in zip(ss, ss[1:]):
+                pairs[(a, b)] += n
+        top = best_pair(pairs)
+        if top is None:
+            break
+        (lhs, rhs), n = top
+        rounds.append((r, lhs, rhs, int(n)))
+        syms = {w: merge_pair_in_word(ss, lhs, rhs) for w, ss in syms.items()}
+
+    return pa.table(
+        {
+            "merge_round": pa.array([r[0] for r in rounds], pa.int64()),
+            "lhs": pa.array([r[1] for r in rounds], pa.string()),
+            "rhs": pa.array([r[2] for r in rounds], pa.string()),
+            "pair_count": pa.array([r[3] for r in rounds], pa.int64()),
+        }
+    )

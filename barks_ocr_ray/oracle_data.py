@@ -397,6 +397,10 @@ def ensure_neardup_goldens() -> dict[str, str]:
             "kmeans", "embeddings",
             lambda t: g.golden_kmeans(t, k=8, rounds=5),
         ),
+        "q131": ensure_neardup_golden(
+            "bpe_merges", "documents",
+            lambda t: g.golden_bpe_merges(t, n_merges=12),
+        ),
     }
 
 

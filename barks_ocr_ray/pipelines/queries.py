@@ -5898,6 +5898,275 @@ def q126_distributed_kmeans(sf_dir: str):
     )
 
 
+def q127_sketch_quantiles(sf_dir: str):
+    """ONE-pass mergeable quantile sketch (fixed-grid histogram) — the
+    approximate scale path beside q66's exact multi-round quickselect:
+    p1..p99 of l_extendedprice from a min/max/count aggregate plus a
+    single histogram pass whose integer bucket partials merge in any
+    order (t-digest/KLL merges are order-dependent and therefore
+    unreplayable under Ray partitioning; the fixed grid is not).
+    Estimate error is bounded by one bucket width; bucket assignment is
+    the single IEEE expression floor((x-lo)/w) on both engines, so the
+    oracle replays it bit-exactly."""
+    from barks_ocr_ray.functions.quantiles import histogram_quantiles
+
+    return histogram_quantiles(
+        read_table(sf_dir, "lineitem", ["l_extendedprice"]),
+        "l_extendedprice",
+        [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+        n_buckets=1024,
+    )
+
+
+SQL_Q127 = """
+WITH s AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         count(*) AS n,
+         (max(l_extendedprice) - min(l_extendedprice))
+           / CAST(1024 AS DOUBLE) AS w
+  FROM lineitem),
+b AS (
+  SELECT CAST(least(floor((l_extendedprice - s.lo) / s.w), 1023) AS BIGINT)
+           AS idx,
+         count(*) AS c
+  FROM lineitem, s GROUP BY 1),
+c AS (SELECT idx, sum(c) OVER (ORDER BY idx) AS cum FROM b),
+qs AS (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
+sel AS (
+  SELECT qs.q, min(c.idx) AS idx
+  FROM qs, c, s
+  WHERE c.cum >= greatest(1, CAST(ceil(qs.q * s.n) AS BIGINT))
+  GROUP BY qs.q)
+SELECT q, round(s.lo + (sel.idx + 1) * s.w, 6) AS value_est
+FROM sel, s ORDER BY q
+"""
+
+
+def q128_scd2_history(sf_dir: str):
+    """Slowly-changing-dimension (SCD type 2) history build: collapse
+    each user's event stream into state-validity intervals — one row
+    per run of consecutive identical event_types, valid_from = first
+    event of the run, valid_to = the next run's start (null while
+    current). The table-maintenance sibling of q105's CDC merge (which
+    keeps only the latest state; this keeps the full history a
+    temporal join needs). ONE keyed exchange co-locates a user's
+    events, then one vectorized pass per block handles every user in
+    the block together (q72's segment discipline): sort by (user, ts,
+    event_id), mask run starts, shift-compare for valid_to — no
+    per-user loop, no per-row Python."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    # 9999-12-31T00:00:00 in epoch microseconds (the SCD2 "open" sentinel)
+    SCD2_OPEN_US = 253_402_214_400_000_000
+
+    def _intervals(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "state": pa.array([], pa.string()),
+                    "valid_from": pa.array([], pa.timestamp("us")),
+                    "valid_to": pa.array([], pa.timestamp("us")),
+                }
+            )
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        st = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, us))
+        us, ts, st = us[order], ts[order], st[order]
+        new_user = np.empty(n, np.bool_)
+        new_user[0] = True
+        new_user[1:] = us[1:] != us[:-1]
+        start = new_user | np.concatenate(([True], st[1:] != st[:-1]))
+        s_idx = np.flatnonzero(start)
+        # valid_to of run i = valid_from of run i+1 when same user
+        nxt_ts = np.empty(len(s_idx), np.int64)
+        nxt_ts[:-1] = ts[s_idx[1:]]
+        nxt_ts[-1] = 0
+        same_user = np.zeros(len(s_idx), np.bool_)
+        same_user[:-1] = us[s_idx[:-1]] == us[s_idx[1:]]
+        return pa.table(
+            {
+                "user_id": pa.array(us[s_idx], pa.int64()),
+                "state": pa.array(st[s_idx], pa.string()),
+                "valid_from": pa.array(ts[s_idx], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                # open (current) intervals close at the standard SCD2
+                # sentinel high date rather than NULL — NaT compares
+                # unequal to itself under numpy, destabilizing value
+                # comparison on both the driver and oracle_check paths
+                "valid_to": pa.array(
+                    np.where(same_user, nxt_ts, SCD2_OPEN_US), pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        )
+
+    return ev.repartition(hash_partitions(16), keys=["user_id"]).map_batches(
+        _intervals, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q128 = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+st AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM o WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type AS state, ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+FROM st
+"""
+
+
+def q129_incremental_dedup(sf_dir: str):
+    """Cross-snapshot delta-ingest dedup (the recurring-crawl pass: a
+    NEW snapshot lands against the prior corpus): every new doc flagged
+    dup_exact (content-hash semi-join vs prior) and dup_window (shares
+    a 10-token window with prior, the q53/q112 hashing contract). The
+    prior snapshot is never broadcast; flags roll up in ONE doc-keyed
+    aggregation over (doc_id, flag) partials."""
+    from barks_ocr_ray.functions.curation import incremental_ingest_dedup
+
+    return incremental_ingest_dedup(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), window=10
+    )
+
+
+def _sql_q129(window: int = 10) -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH prior AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
+new AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7),
+pe AS (SELECT DISTINCT md5(text) AS h FROM prior WHERE text IS NOT NULL),
+ne AS (SELECT doc_id, md5(text) AS h FROM new WHERE text IS NOT NULL),
+ex AS (SELECT DISTINCT ne.doc_id FROM ne JOIN pe USING (h)),
+pt AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM prior
+  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {window}),
+pw AS (
+  SELECT DISTINCT
+         substring(md5(array_to_string(toks[i:i+{window - 1}], ' ')), 1, 16)
+           AS h
+  FROM pt, UNNEST(range(1, len(toks) - {window} + 2)) AS u(i)),
+nt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM new
+  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {window}),
+nw AS (
+  SELECT DISTINCT doc_id,
+         substring(md5(array_to_string(toks[i:i+{window - 1}], ' ')), 1, 16)
+           AS h
+  FROM nt, UNNEST(range(1, len(toks) - {window} + 2)) AS u(i)),
+wd AS (SELECT DISTINCT nw.doc_id FROM nw JOIN pw USING (h))
+SELECT n.doc_id,
+       CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS dup_exact,
+       CAST(CASE WHEN wd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS dup_window
+FROM new n
+LEFT JOIN ex ON ex.doc_id = n.doc_id
+LEFT JOIN wd ON wd.doc_id = n.doc_id
+"""
+
+
+def q130_snapshot_drift(sf_dir: str):
+    """Snapshot-over-snapshot distribution-drift report (the data-
+    quality gate a recurring crawl runs before training on a new
+    snapshot): per lang, counts and shares in the prior vs new
+    snapshot (q129's doc_id split) and the total-variation
+    contribution |p - q| / 2 — sum of the column = TV distance. ONE
+    corpus pass ships (lang, n_prior, n_new) block partials into a
+    lang-sized aggregation; shares derive driver-side on the bounded
+    result."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pri = ((ids % 10) < 7).astype(np.int64)
+        g = (
+            pa.table({"lang": t.column("lang"), "pri": pa.array(pri, pa.int64())})
+            .group_by("lang")
+            .aggregate([("pri", "sum"), ("pri", "count")])
+        )
+        n_prior = g.column("pri_sum")
+        n_new = pc.subtract(g.column("pri_count").cast(pa.int64()), n_prior)
+        return pa.table(
+            {"lang": g.column("lang"), "n_prior": n_prior, "n_new": n_new}
+        )
+
+    agg = (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby("lang", num_partitions=2)
+        .aggregate(
+            Sum("n_prior", alias_name="n_prior"),
+            Sum("n_new", alias_name="n_new"),
+        )
+        .take_all()
+    )
+    agg.sort(key=lambda r: r["lang"])
+    np_arr = np.array([r["n_prior"] for r in agg], np.int64)
+    nn_arr = np.array([r["n_new"] for r in agg], np.int64)
+    tp, tn = float(np_arr.sum()), float(nn_arr.sum())
+    sp = np_arr / tp
+    sn = nn_arr / tn
+    return pa.table(
+        {
+            "lang": pa.array([r["lang"] for r in agg], pa.string()),
+            "n_prior": pa.array(np_arr, pa.int64()),
+            "n_new": pa.array(nn_arr, pa.int64()),
+            "share_prior": pa.array(round_like_duckdb(sp, 6), pa.float64()),
+            "share_new": pa.array(round_like_duckdb(sn, 6), pa.float64()),
+            "tv_contrib": pa.array(
+                round_like_duckdb(np.abs(sp - sn) / 2.0, 6), pa.float64()
+            ),
+        }
+    )
+
+
+SQL_Q130 = """
+WITH d AS (
+  SELECT lang, CASE WHEN doc_id % 10 < 7 THEN 1 ELSE 0 END AS pri
+  FROM documents),
+g AS (
+  SELECT lang, CAST(sum(pri) AS BIGINT) AS n_prior,
+         CAST(sum(1 - pri) AS BIGINT) AS n_new
+  FROM d GROUP BY 1),
+t AS (SELECT sum(n_prior) AS tp, sum(n_new) AS tn FROM g)
+SELECT lang, n_prior, n_new,
+       round(n_prior / CAST(tp AS DOUBLE), 6) AS share_prior,
+       round(n_new / CAST(tn AS DOUBLE), 6) AS share_new,
+       round(abs(n_prior / CAST(tp AS DOUBLE)
+                 - n_new / CAST(tn AS DOUBLE)) / 2, 6) AS tv_contrib
+FROM g, t
+"""
+
+
+def q131_bpe_train(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich merge learning, 12
+    merges) — pass 1 is the corpus's only exchange (word-count combiner
+    partials); rounds run as BSP raw-task waves over the vocabulary-
+    scaled word table (q94/q126 pattern) with an alphabet²-bounded
+    driver merge and a total-order argmax, bit-identical to the
+    sequential golden (golden_dedup.golden_bpe_merges)."""
+    from barks_ocr_ray.functions.bpe import bpe_train
+
+    return bpe_train(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), n_merges=12
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -6041,6 +6310,11 @@ def build_registry():
         "q124_nearest_centroid": q124_nearest_centroid,
         "q125_source_similarity": q125_source_similarity,
         "q126_distributed_kmeans": q126_distributed_kmeans,
+        "q127_sketch_quantiles": q127_sketch_quantiles,
+        "q128_scd2_history": q128_scd2_history,
+        "q129_incremental_dedup": q129_incremental_dedup,
+        "q130_snapshot_drift": q130_snapshot_drift,
+        "q131_bpe_train": q131_bpe_train,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -6201,5 +6475,12 @@ def build_registry():
         "q123_label_centroids": SQL_Q123,
         "q124_nearest_centroid": SQL_Q124,
         "q125_source_similarity": _sql_q125(),
+        "q127_sketch_quantiles": SQL_Q127,
+        "q128_scd2_history": SQL_Q128,
+        "q129_incremental_dedup": _sql_q129(),
+        "q130_snapshot_drift": SQL_Q130,
+        "q131_bpe_train": _sql_golden(
+            "bpe_merges", "merge_round, lhs, rhs, pair_count", "documents"
+        ),
     }
     return queries, oracles

@@ -88,7 +88,12 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q123_label_centroids", 1),
                         ("q124_nearest_centroid", 1),
                         ("q125_source_similarity", 1),
-                        ("q126_distributed_kmeans", 1)):
+                        ("q126_distributed_kmeans", 1),
+                        ("q127_sketch_quantiles", 1),
+                        ("q128_scd2_history", 1),
+                        ("q129_incremental_dedup", 1),
+                        ("q130_snapshot_drift", 1),
+                        ("q131_bpe_train", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -44,7 +44,8 @@ def test_registry_enumeration_fast_and_rayless():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     info = json.loads(out.stdout.strip().splitlines()[-1])
-    assert info["n_queries"] == 126 and info["n_oracles"] == 126
+    assert info["n_queries"] >= 126  # grows as operators land
+    assert info["n_oracles"] == info["n_queries"]  # every query oracled
     assert info["ray_initialized"] is False  # enumeration runs NO Ray work
     assert info["callable"] and info["sql_strings"]
     assert info["oracle_keys_subset"] == "True" or info["oracle_keys_subset"] is True
