@@ -45,6 +45,8 @@ import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
+from barks_ocr_ray.functions.text import TOKEN_RE
+
 #: initial symbolization: characters of the (already-lowercased,
 #: TOKEN_RE-matched) word, plus an explicit end-of-word marker so
 #: merges can learn suffixes without crossing word boundaries.
@@ -163,4 +165,76 @@ def bpe_train(docs: Dataset, *, n_merges: int = 12) -> Dataset:
                 "pair_count": pa.array([r[3] for r in rounds], pa.int64()),
             }
         )
+    )
+
+
+def encode_word_len(word: str, merges: list[tuple[str, str]]) -> int:
+    """Pure per-word kernel shared with the golden: subword count of a
+    word after applying the learned merges ONCE EACH, in learned order
+    (the training-time replay contract — deterministic and identical
+    on both engines; the priority-queue re-application variant of
+    inference-time encoders is intentionally not used here so the
+    encode is the exact inverse view of training's merge sequence)."""
+    syms = word_symbols(word)
+    for lhs, rhs in merges:
+        if len(syms) < 2:
+            break
+        syms = merge_pair_in_word(syms, lhs, rhs)
+    return len(syms)
+
+
+class BpeEncoder:
+    """Warm tokenize-and-encode actor (T3 dictionary-state pattern:
+    merges list + regex compiled once per actor in __init__, a
+    word->length memo shared across batches — web text repeats words
+    heavily, so the per-block cost is cache hits, not merge scans).
+    Emits per-doc (doc_id, n_words, n_subwords) — integer partials,
+    order-independent."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        # TOKEN_RE imported at MODULE level — a `from barks_ocr_ray...`
+        # import inside this worker-executed body fails under the
+        # driver's by-value pickling (no sys.path on workers)
+        import re
+
+        self.token_re = re.compile(TOKEN_RE)
+        self.merges = list(merges)
+        self.cache: dict[str, int] = {}
+
+    def _len(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            n = encode_word_len(w, self.merges)
+            self.cache[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_words: list[int] = []
+        n_sub: list[int] = []
+        for s in batch.column("text"):
+            txt = s.as_py()
+            toks = self.token_re.findall(txt.lower()) if txt else []
+            n_words.append(len(toks))
+            n_sub.append(sum(self._len(w) for w in toks))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_subwords": pa.array(n_sub, pa.int64()),
+            }
+        )
+
+
+def bpe_encode_stats(
+    docs: Dataset, merges: list[tuple[str, str]], *, concurrency: int = 4
+) -> Dataset:
+    """Corpus-scale tokenization under a learned merge table: one
+    actor-pool map_batches pass, zero exchanges — the merge table is
+    R-row tiny and ships once per actor via the constructor, never per
+    batch."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={"merges": merges},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
     )

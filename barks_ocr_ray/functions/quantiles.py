@@ -30,6 +30,8 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
+from barks_ocr_ray.context import hash_partitions
+
 DEFAULT_PULL_CAP = 100_000
 PIVOTS_PER_BRACKET = 31
 MAX_ROUNDS = 64
@@ -274,3 +276,123 @@ def histogram_quantiles(
             "value_est": pa.array(ests, pa.float64()),
         }
     )
+
+
+def grouped_histogram_quantiles(
+    ds: Dataset,
+    key_col: str,
+    col: str,
+    qs: list[float],
+    *,
+    n_buckets: int = 256,
+) -> Dataset:
+    """Per-group one-pass quantile sketch — histogram_quantiles with a
+    grid PER GROUP (each group's min/max/count from one keyed
+    aggregate fixes its own edges; a shared global grid would let one
+    wide-range group destroy every narrow group's resolution).
+
+    Exchanges: pass 0 ships per-block (group, min, max, count)
+    partials into a group-sized aggregate; pass 1 ships per-block
+    (group, bucket, c) integer partials — at most n_buckets rows per
+    group per block — into ONE keyed aggregation, and the per-group
+    quantile selection runs inside map_groups on the bucket-sized
+    result (never corpus-sized). Group edges attach to pass 1 through
+    a driver dict when the group count is bounded (take_all on the
+    group-stats aggregate — group-cardinality rows, the q55/q110
+    broadcast-gate precedent applies above that).
+
+    Returns (key, q, value_est) — same bit-replayable bucket contract
+    as histogram_quantiles (single IEEE expression, duckdb rounding).
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    stats = (
+        ds.groupby(key_col)
+        .aggregate(
+            Min(col, alias_name="lo"),
+            Max(col, alias_name="hi"),
+            Count(alias_name="n"),
+        )
+        .take_all()
+    )
+    if not stats:
+        return ds.map_batches(
+            lambda t: pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "q": pa.array([], pa.float64()),
+                    "value_est": pa.array([], pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    edges = {
+        r[key_col]: (float(r["lo"]), float(r["hi"]), int(r["n"])) for r in stats
+    }
+    qs_sorted = sorted(float(q) for q in qs)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        keys, x = keys[ok], x[ok]
+        idx = np.empty(len(x), np.int64)
+        for g, (lo, hi, _n) in edges.items():
+            m = keys == g
+            if not m.any():
+                continue
+            if hi == lo:
+                idx[m] = 0
+            else:
+                w = (hi - lo) / float(n_buckets)
+                idx[m] = np.minimum(
+                    np.floor((x[m] - lo) / w), float(n_buckets - 1)
+                ).astype(np.int64)
+        pairs = pa.table(
+            {
+                key_col: pa.array(keys),
+                "bucket": pa.array(idx, pa.int64()),
+                "c": pa.array(np.ones(len(x), np.int64), pa.int64()),
+            }
+        )
+        g = pairs.group_by([key_col, "bucket"]).aggregate([("c", "sum")])
+        return g.rename_columns([key_col, "bucket", "c"])
+
+    agg = (
+        ds.select_columns([key_col, col])
+        .map_batches(_hist, batch_format="pyarrow")
+        .groupby(key_col, num_partitions=hash_partitions(4))
+    )
+
+    def _resolve(t: pa.Table) -> pa.Table:
+        import math as _math
+
+        g = t.column(key_col)[0].as_py()
+        lo, hi, n = edges[g]
+        counts = np.zeros(n_buckets, np.int64)
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        np.add.at(counts, b, c)
+        cum = np.cumsum(counts)
+        w = (hi - lo) / float(n_buckets) if hi != lo else 0.0
+        ests = []
+        for q in qs_sorted:
+            if hi == lo:
+                ests.append(round_like_duckdb(lo, 6))
+                continue
+            k = max(1, _math.ceil(q * n))
+            i = int(np.searchsorted(cum, k, side="left"))
+            ests.append(round_like_duckdb(lo + (i + 1) * w, 6))
+        return pa.table(
+            {
+                key_col: pa.array([g] * len(qs_sorted)),
+                "q": pa.array(qs_sorted, pa.float64()),
+                "value_est": pa.array(ests, pa.float64()),
+            }
+        )
+
+    # (group, bucket) partials were pre-summed per block; the keyed
+    # map_groups below folds them per group and resolves quantiles
+    return agg.map_groups(_resolve, batch_format="pyarrow")

@@ -668,3 +668,38 @@ def golden_bpe_merges(docs: pa.Table, n_merges: int = 12) -> pa.Table:
             "pair_count": pa.array([r[3] for r in rounds], pa.int64()),
         }
     )
+
+
+def golden_bpe_encode_stats(docs: pa.Table, n_merges: int = 12) -> pa.Table:
+    """Sequential replay of bpe.bpe_encode_stats — learns the merges
+    with golden_bpe_merges (itself bit-equal to the distributed
+    trainer) then encodes every doc with the shared encode_word_len
+    kernel in a plain loop."""
+    from barks_ocr_ray.functions.bpe import encode_word_len
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    g = golden_bpe_merges(docs, n_merges=n_merges)
+    merges = list(zip(g.column("lhs").to_pylist(), g.column("rhs").to_pylist()))
+    tok = Tokenizer()
+    ids, n_words, n_sub = [], [], []
+    cache: dict = {}
+    for did, s in zip(docs.column("doc_id"), docs.column("text")):
+        txt = s.as_py()
+        toks = tok.tokens(txt) if txt else []
+        ids.append(did.as_py())
+        n_words.append(len(toks))
+        total = 0
+        for w in toks:
+            n = cache.get(w)
+            if n is None:
+                n = encode_word_len(w, merges)
+                cache[w] = n
+            total += n
+        n_sub.append(total)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_subwords": pa.array(n_sub, pa.int64()),
+        }
+    )

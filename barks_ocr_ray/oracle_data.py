@@ -401,6 +401,10 @@ def ensure_neardup_goldens() -> dict[str, str]:
             "bpe_merges", "documents",
             lambda t: g.golden_bpe_merges(t, n_merges=12),
         ),
+        "q132": ensure_neardup_golden(
+            "bpe_encode", "documents",
+            lambda t: g.golden_bpe_encode_stats(t, n_merges=12),
+        ),
     }
 
 

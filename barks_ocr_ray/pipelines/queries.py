@@ -6167,6 +6167,64 @@ def q131_bpe_train(sf_dir: str):
     )
 
 
+def q132_bpe_encode(sf_dir: str):
+    """Corpus tokenization under the q131-learned merge table (the
+    corpus-scale half of tokenizer construction): per-doc word and
+    subword counts from one warm-encoder actor-pool pass — the R-row
+    merge table ships once per actor, the word->length memo makes
+    repeated web vocabulary a cache hit, zero exchanges."""
+    from barks_ocr_ray.functions.bpe import bpe_encode_stats, bpe_train
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    g = bpe_train(docs, n_merges=12).to_pandas()
+    merges = list(zip(g["lhs"], g["rhs"]))
+    return bpe_encode_stats(docs, merges)
+
+
+def q133_grouped_sketch_quantiles(sf_dir: str):
+    """Per-group one-pass quantile sketch (q127's grouped sibling,
+    completing the quantile family: q66 exact global / q68 exact
+    grouped / q127 sketch global / this): p50/p90/p99 of event value
+    per event_type, each group on its OWN 256-bucket grid fixed by a
+    group-sized stats aggregate. Pass 1 ships (group, bucket, c)
+    integer partials; selection runs in a bucket-sized map_groups."""
+    from barks_ocr_ray.functions.quantiles import grouped_histogram_quantiles
+
+    return grouped_histogram_quantiles(
+        read_table(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        "value",
+        [0.5, 0.9, 0.99],
+        n_buckets=256,
+    )
+
+
+SQL_Q133 = """
+WITH s AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n,
+         (max(value) - min(value)) / CAST(256 AS DOUBLE) AS w
+  FROM events GROUP BY 1),
+b AS (
+  SELECT e.event_type,
+         CAST(least(floor((e.value - s.lo) / s.w), 255) AS BIGINT) AS idx,
+         count(*) AS c
+  FROM events e JOIN s USING (event_type)
+  GROUP BY 1, 2),
+c AS (
+  SELECT event_type, idx,
+         sum(c) OVER (PARTITION BY event_type ORDER BY idx) AS cum
+  FROM b),
+qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+sel AS (
+  SELECT c.event_type, qs.q, min(c.idx) AS idx
+  FROM qs, c JOIN s USING (event_type)
+  WHERE c.cum >= greatest(1, CAST(ceil(qs.q * s.n) AS BIGINT))
+  GROUP BY 1, 2)
+SELECT sel.event_type, q, round(s.lo + (sel.idx + 1) * s.w, 6) AS value_est
+FROM sel JOIN s USING (event_type)
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -6315,6 +6373,8 @@ def build_registry():
         "q129_incremental_dedup": q129_incremental_dedup,
         "q130_snapshot_drift": q130_snapshot_drift,
         "q131_bpe_train": q131_bpe_train,
+        "q132_bpe_encode": q132_bpe_encode,
+        "q133_grouped_sketch_quantiles": q133_grouped_sketch_quantiles,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -6482,5 +6542,9 @@ def build_registry():
         "q131_bpe_train": _sql_golden(
             "bpe_merges", "merge_round, lhs, rhs, pair_count", "documents"
         ),
+        "q132_bpe_encode": _sql_golden(
+            "bpe_encode", "doc_id, n_words, n_subwords", "documents"
+        ),
+        "q133_grouped_sketch_quantiles": SQL_Q133,
     }
     return queries, oracles

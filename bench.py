@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "q115_clean_corpus",
     "q116_token_budget",
     "q126_distributed_kmeans",
+    "q127_sketch_quantiles",
+    "q129_incremental_dedup",
+    "q131_bpe_train",
 ]
 
 

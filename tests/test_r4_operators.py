@@ -259,3 +259,80 @@ class TestBpeTrain:
         df = bpe_train(rd.from_arrow(t), n_merges=5).to_pandas()
         assert list(df.merge_round) == [1]
         assert (list(df.lhs), list(df.rhs)) == (["a"], ["</w>"])
+
+
+class TestBpeEncode:
+    def test_encode_matches_golden_and_null_text(self):
+        from barks_ocr_ray.functions.bpe import bpe_encode_stats, bpe_train
+        from barks_ocr_ray.golden_dedup import golden_bpe_encode_stats
+
+        texts = ["low lower lowest", "low low low", None, ""]
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        want = golden_bpe_encode_stats(t, n_merges=6).to_pandas()
+        g = bpe_train(rd.from_arrow(t), n_merges=6).to_pandas()
+        merges = list(zip(g["lhs"], g["rhs"]))
+        got = (
+            bpe_encode_stats(rd.from_arrow(t), merges)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want.sort_values("doc_id").reset_index(drop=True))
+        # null/empty text encodes to (0, 0), not an error
+        assert got.loc[2, "n_words"] == 0 and got.loc[2, "n_subwords"] == 0
+        assert got.loc[3, "n_words"] == 0 and got.loc[3, "n_subwords"] == 0
+
+    def test_merges_shrink_subword_count(self):
+        from barks_ocr_ray.functions.bpe import encode_word_len
+
+        # no merges: chars + EOW
+        assert encode_word_len("low", []) == 4
+        # ("l","o") then ("lo","w") then ("low","</w>") -> single symbol
+        merges = [("l", "o"), ("lo", "w"), ("low", "</w>")]
+        assert encode_word_len("low", merges) == 1
+
+
+class TestGroupedHistogramQuantiles:
+    def test_per_group_grids_are_independent(self):
+        from barks_ocr_ray.functions.quantiles import (
+            grouped_histogram_quantiles,
+        )
+
+        # group "narrow" spans [0, 1]; group "wide" spans [0, 1e6] — a
+        # SHARED grid would give "narrow" a single bucket (useless
+        # resolution); per-group grids keep its p50 near 0.5
+        narrow = np.linspace(0.0, 1.0, 1001)
+        wide = np.linspace(0.0, 1e6, 1001)
+        t = pa.table(
+            {
+                "g": pa.array(["narrow"] * 1001 + ["wide"] * 1001),
+                "x": pa.array(np.concatenate([narrow, wide]), pa.float64()),
+            }
+        )
+        out = (
+            grouped_histogram_quantiles(
+                rd.from_arrow(t), "g", "x", [0.5], n_buckets=256
+            )
+            .to_pandas()
+            .set_index("g")
+        )
+        assert abs(out.loc["narrow"].value_est - 0.5) <= 1.0 / 256 + 1e-9
+        assert abs(out.loc["wide"].value_est - 5e5) <= 1e6 / 256 + 1e-9
+
+    def test_empty_input(self):
+        from barks_ocr_ray.functions.quantiles import (
+            grouped_histogram_quantiles,
+        )
+
+        t = pa.table(
+            {"g": pa.array([], pa.string()), "x": pa.array([], pa.float64())}
+        )
+        out = grouped_histogram_quantiles(
+            rd.from_arrow(t), "g", "x", [0.5]
+        ).to_pandas()
+        assert len(out) == 0
