@@ -6225,6 +6225,177 @@ FROM sel JOIN s USING (event_type)
 """
 
 
+def q134_psi_drift(sf_dir: str):
+    """Population-stability-index (PSI) numeric drift — q130's sibling
+    for numeric columns (the standard model-monitoring metric): bucket
+    o_totalprice on a 10-bucket grid fixed by the PRIOR snapshot's
+    min/max (bin edges always come from the baseline side), clamp the
+    new snapshot into it, and report per-bucket counts + the smoothed
+    PSI contribution (p - q) * ln(p / q); the column sums to the PSI.
+    One stats aggregate over the prior + ONE corpus pass shipping
+    (bucket, side) integer partials; additive +0.5 smoothing keeps
+    empty buckets finite and the arithmetic SQL-replayable."""
+    import numpy as np
+
+    B = 10
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _prior_only(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((k % 10) < 7, pa.bool_()))
+
+    stats = orders.map_batches(_prior_only, batch_format="pyarrow").aggregate(
+        Min("o_totalprice", alias_name="lo"),
+        Max("o_totalprice", alias_name="hi"),
+    )
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    w = (hi - lo) / float(B)
+
+    def _partials(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        x = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        pri = (k % 10) < 7
+        idx = np.minimum(
+            np.maximum(np.floor((x - lo) / w), 0.0), float(B - 1)
+        ).astype(np.int64)
+        out = {"bucket": [], "n_prior": [], "n_new": []}
+        for side, mask in (("p", pri), ("n", ~pri)):
+            u, c = np.unique(idx[mask], return_counts=True)
+            out["bucket"].extend(u.tolist())
+            out["n_prior"].extend((c if side == "p" else c * 0).tolist())
+            out["n_new"].extend((c if side == "n" else c * 0).tolist())
+        return pa.table(
+            {
+                "bucket": pa.array(out["bucket"], pa.int64()),
+                "n_prior": pa.array(out["n_prior"], pa.int64()),
+                "n_new": pa.array(out["n_new"], pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(_partials, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=2)
+        .aggregate(
+            Sum("n_prior", alias_name="n_prior"),
+            Sum("n_new", alias_name="n_new"),
+        )
+        .take_all()
+    )
+    npr = np.zeros(B, np.int64)
+    nnw = np.zeros(B, np.int64)
+    for r in agg:
+        npr[r["bucket"]] = r["n_prior"]
+        nnw[r["bucket"]] = r["n_new"]
+    tp, tn = float(npr.sum()), float(nnw.sum())
+    p = (npr + 0.5) / (tp + 0.5 * B)
+    q = (nnw + 0.5) / (tn + 0.5 * B)
+    contrib = round_like_duckdb((p - q) * np.log(p / q), 6)
+    return pa.table(
+        {
+            "bucket": pa.array(np.arange(B, dtype=np.int64), pa.int64()),
+            "n_prior": pa.array(npr, pa.int64()),
+            "n_new": pa.array(nnw, pa.int64()),
+            "psi_contrib": pa.array(contrib, pa.float64()),
+        }
+    )
+
+
+SQL_Q134 = """
+WITH pr AS (
+  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 10 < 7),
+nw AS (
+  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 10 >= 7),
+s AS (SELECT min(v) AS lo, max(v) AS hi,
+             (max(v) - min(v)) / CAST(10 AS DOUBLE) AS w
+      FROM pr),
+tp AS (SELECT count(*) AS n FROM pr),
+tn AS (SELECT count(*) AS n FROM nw),
+bp AS (SELECT CAST(least(greatest(floor((v - s.lo) / s.w), 0), 9) AS BIGINT)
+         AS bucket, count(*) AS c
+       FROM pr, s GROUP BY 1),
+bn AS (SELECT CAST(least(greatest(floor((v - s.lo) / s.w), 0), 9) AS BIGINT)
+         AS bucket, count(*) AS c
+       FROM nw, s GROUP BY 1),
+g AS (SELECT u.bucket, coalesce(bp.c, 0) AS n_prior,
+             coalesce(bn.c, 0) AS n_new
+      FROM (SELECT unnest(range(0, 10)) AS bucket) u
+      LEFT JOIN bp USING (bucket) LEFT JOIN bn USING (bucket))
+SELECT bucket, CAST(n_prior AS BIGINT) AS n_prior,
+       CAST(n_new AS BIGINT) AS n_new,
+       round(((n_prior + 0.5) / (tp.n + 5.0)
+              - (n_new + 0.5) / (tn.n + 5.0))
+             * ln(((n_prior + 0.5) / (tp.n + 5.0))
+                  / ((n_new + 0.5) / (tn.n + 5.0))), 6) AS psi_contrib
+FROM g, tp, tn
+"""
+
+
+#: q135 temperature-mixing constants: alpha < 1 upweights small sources
+#: (the multilingual/multi-source smoothing rule), budget = docs to draw
+MIX_ALPHA = 0.5
+MIX_BUDGET = 10_000
+
+
+def q135_temperature_mix(sf_dir: str):
+    """Temperature-based corpus mixing allocation (the alpha-smoothing
+    rule multi-source pretraining uses to keep small sources from
+    vanishing): per source, sampling probability n^alpha / sum(n^alpha)
+    and the allocated doc count for a fixed budget. ONE grouped count
+    (block partials); the weight normalization runs on the source-sized
+    result with integer micro-weights (round(sqrt(n) * 1e6)) so the
+    normalizing SUM is order-independent and bit-replayable — a float
+    sum over sources would depend on DuckDB's vs the driver's add
+    order."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["source"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("source", "count")])
+        return g.rename_columns(["source", "n"])
+
+    agg = (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .take_all()
+    )
+    agg.sort(key=lambda r: r["source"])
+    n = np.array([r["n_docs"] for r in agg], np.float64)
+    w_micro = round_like_duckdb(n ** MIX_ALPHA * 1e6, 0).astype(np.int64)
+    s = float(w_micro.sum())  # exact: int64 sum
+    p = w_micro / s
+    alloc = round_like_duckdb(p * MIX_BUDGET, 0).astype(np.int64)
+    return pa.table(
+        {
+            "source": pa.array([r["source"] for r in agg], pa.string()),
+            "n_docs": pa.array(
+                np.array([r["n_docs"] for r in agg], np.int64), pa.int64()
+            ),
+            "p_sample": pa.array(round_like_duckdb(p, 6), pa.float64()),
+            "alloc_docs": pa.array(alloc, pa.int64()),
+        }
+    )
+
+
+SQL_Q135 = f"""
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY 1),
+w AS (
+  SELECT source, n_docs,
+         CAST(round(pow(n_docs, {MIX_ALPHA}) * 1000000, 0) AS BIGINT)
+           AS w_micro
+  FROM g),
+s AS (SELECT CAST(sum(w_micro) AS DOUBLE) AS tot FROM w)
+SELECT source, n_docs,
+       round(w_micro / s.tot, 6) AS p_sample,
+       CAST(round(w_micro / s.tot * {MIX_BUDGET}, 0) AS BIGINT)
+         AS alloc_docs
+FROM w, s
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -6375,6 +6546,8 @@ def build_registry():
         "q131_bpe_train": q131_bpe_train,
         "q132_bpe_encode": q132_bpe_encode,
         "q133_grouped_sketch_quantiles": q133_grouped_sketch_quantiles,
+        "q134_psi_drift": q134_psi_drift,
+        "q135_temperature_mix": q135_temperature_mix,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -6546,5 +6719,7 @@ def build_registry():
             "bpe_encode", "doc_id, n_words, n_subwords", "documents"
         ),
         "q133_grouped_sketch_quantiles": SQL_Q133,
+        "q134_psi_drift": SQL_Q134,
+        "q135_temperature_mix": SQL_Q135,
     }
     return queries, oracles

@@ -336,3 +336,62 @@ class TestGroupedHistogramQuantiles:
             rd.from_arrow(t), "g", "x", [0.5]
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestPsiDrift:
+    def test_identical_distributions_give_near_zero_psi(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from barks_ocr_ray.pipelines.queries import q134_psi_drift
+
+        # prices interleave across the snapshot split (key % 10 walks
+        # the price ramp uniformly on both sides) -> PSI ~ 0
+        n = 2000
+        keys = np.arange(n, dtype=np.int64)
+        prices = np.linspace(10.0, 1000.0, n)
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array(keys % 7, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array([0] * n, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "orders.parquet")
+        out = q134_psi_drift(str(tmp_path)).to_pydict()
+        assert out["bucket"] == list(range(10))
+        assert sum(out["n_prior"]) + sum(out["n_new"]) == n
+        assert abs(sum(out["psi_contrib"])) < 0.01
+
+    def test_shifted_distribution_flags_drift(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from barks_ocr_ray.pipelines.queries import q134_psi_drift
+
+        # prior uniform low, new uniform high -> large PSI
+        n = 2000
+        keys = np.arange(n, dtype=np.int64)
+        pri = (keys % 10) < 7
+        prices = np.where(pri, 100.0 + (keys % 50), 900.0 + (keys % 50))
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "o_custkey": pa.array(keys % 7, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array([0] * n, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        )
+        pq.write_table(t, tmp_path / "orders.parquet")
+        out = q134_psi_drift(str(tmp_path)).to_pydict()
+        # industry rule of thumb: PSI > 0.25 = significant shift
+        assert sum(out["psi_contrib"]) > 0.25
+        # new-side mass clamps into the top bucket of the PRIOR grid
+        assert out["n_new"][9] == sum(out["n_new"])
