@@ -674,6 +674,57 @@ def token_budget_sample(
     ).map_groups(_keep, batch_format="pyarrow")
 
 
+class SnapshotDupHasher(Tokenizer):
+    """One-pass content + window hasher for incremental_ingest_dedup:
+    per doc, ONE 32-hex full-content md5 row (kind 0; null text
+    skipped — md5(NULL) IS NULL on the oracle side) plus the q53
+    WindowHasher contract's DISTINCT 16-hex window-hash rows (kind 1;
+    docs under ``window`` tokens emit none). The two hash domains have
+    different lengths and therefore cannot collide, so a single
+    hash-keyed join downstream serves both duplicate flags — one
+    tokenizing read per snapshot side instead of two."""
+
+    def __init__(self, window: int = 10):
+        super().__init__()
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        out_d: list[int] = []
+        out_h: list[str] = []
+        out_k: list[int] = []
+        for doc_id, s in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text")
+        ):
+            text = s.as_py()
+            if text is None:
+                continue
+            out_d.append(doc_id)
+            out_h.append(hashlib.md5(text.encode("utf-8")).hexdigest())
+            out_k.append(0)
+            toks = self.tokens(text)
+            if len(toks) < self.window:
+                continue
+            seen: set[str] = set()
+            for i in range(len(toks) - self.window + 1):
+                h = hashlib.md5(
+                    " ".join(toks[i : i + self.window]).encode("utf-8")
+                ).hexdigest()[:16]
+                if h not in seen:
+                    seen.add(h)
+                    out_d.append(doc_id)
+                    out_h.append(h)
+                    out_k.append(1)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "h": pa.array(out_h, pa.string()),
+                "kind": pa.array(out_k, pa.int64()),
+            }
+        )
+
+
 def incremental_ingest_dedup(
     docs: Dataset,
     *,
@@ -694,16 +745,20 @@ def incremental_ingest_dedup(
     flags.
 
     Scale: the prior snapshot is never broadcast — both flag passes
-    are distributed semi-joins on fixed-width hashes (16-byte window
-    hashes / 32-char content md5s), and the flag rollup is ONE
-    doc-keyed aggregation over a union of (doc_id, flag) partials
-    (multiplicities are harmless under max, so no distinct pass is
-    spent on the join outputs). Null-text docs never match (md5(NULL)
-    IS NULL on the oracle side; filtered before hashing here).
+    are distributed semi-joins on fixed-width hashes, and both ride
+    ONE hash-keyed join: the content domain (32-hex md5) and the
+    window domain (16-hex, the q53 contract) cannot collide (different
+    lengths), so a side is hashed in a SINGLE tokenizing pass
+    (SnapshotDupHasher) and the two flags separate again by `kind`
+    after the join. The flag rollup is one doc-keyed max-aggregation
+    over (doc_id, flag) partials (multiplicities are harmless under
+    max, so no distinct pass is spent on the join output). Null-text
+    docs never match (md5(NULL) IS NULL on the oracle side; skipped
+    here). Exchanges: prior-hash distinct, the join, the rollup —
+    three, for what is semantically TWO full dedup passes.
     """
     import ray.data as rd
-
-    from barks_ocr_ray.functions.dedupe import WindowHasher, md5_hex
+    from ray.data.aggregate import Max
 
     text_ds = docs.select_columns(["doc_id", "text"])
 
@@ -715,70 +770,22 @@ def incremental_ingest_dedup(
 
         return text_ds.map_batches(_f, batch_format="pyarrow")
 
-    prior, new = _snapshot(True), _snapshot(False)
-
-    def _content_hashes(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column("text")))
-        hs = [md5_hex(s.as_py()) for s in t.column("text")]
-        return pa.table(
-            {"doc_id": t.column("doc_id"), "h": pa.array(hs, pa.string())}
-        )
-
-    def _distinct_h(ds: Dataset) -> Dataset:
-        return (
-            ds.select_columns(["h"])
-            .groupby("h", num_partitions=hash_partitions(16))
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["h"])
-        )
-
-    def _windows(ds: Dataset) -> Dataset:
+    def _hashes(ds: Dataset) -> Dataset:
         return ds.map_batches(
-            WindowHasher,
+            SnapshotDupHasher,
             fn_constructor_kwargs={"window": window},
             batch_format="pyarrow",
             concurrency=(1, concurrency),
-        ).select_columns(["doc_id", "h"])
-
-    def _hits(new_side: Dataset, prior_side: Dataset, flag: str) -> Dataset:
-        """(doc_id, dup_exact, dup_window) partials for new-side rows
-        whose hash appears in the prior side; empty-side safe."""
-        prior_c, n_p = compact_nonempty(_distinct_h(prior_side), 16)
-        new_c, n_n = compact_nonempty(new_side, 16)
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "dup_exact": pa.array([], pa.int64()),
-                "dup_window": pa.array([], pa.int64()),
-            }
-        )
-        if n_p == 0 or n_n == 0:
-            return rd.from_arrow(empty)
-        joined = new_c.join(
-            prior_c,
-            join_type="inner",
-            num_partitions=hash_partitions(16),
-            on=("h",),
         )
 
-        def _flag(t: pa.Table) -> pa.Table:
-            one = int(flag == "dup_exact")
-            return pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "dup_exact": pa.array([one] * t.num_rows, pa.int64()),
-                    "dup_window": pa.array([1 - one] * t.num_rows, pa.int64()),
-                }
-            )
-
-        return joined.map_batches(_flag, batch_format="pyarrow")
-
-    exact_hits = _hits(
-        new.map_batches(_content_hashes, batch_format="pyarrow"),
-        prior.map_batches(_content_hashes, batch_format="pyarrow"),
-        "dup_exact",
+    prior_h = (
+        _hashes(_snapshot(True))
+        .select_columns(["h"])
+        .groupby("h", num_partitions=hash_partitions(16))
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["h"])
     )
-    window_hits = _hits(_windows(new), _windows(prior), "dup_window")
+    new = _snapshot(False)
 
     def _zeros(t: pa.Table) -> pa.Table:
         z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
@@ -787,11 +794,45 @@ def incremental_ingest_dedup(
         )
 
     base = new.map_batches(_zeros, batch_format="pyarrow")
-    from ray.data.aggregate import Max
+
+    prior_c, n_p = compact_nonempty(prior_h, 16)
+    new_c, n_n = compact_nonempty(_hashes(new), 16)
+    if n_p == 0 or n_n == 0:
+        hits = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "dup_exact": pa.array([], pa.int64()),
+                    "dup_window": pa.array([], pa.int64()),
+                }
+            )
+        )
+    else:
+        joined = new_c.join(
+            prior_c,
+            join_type="inner",
+            num_partitions=hash_partitions(16),
+            on=("h",),
+        )
+
+        def _flags(t: pa.Table) -> pa.Table:
+            kind = t.column("kind")
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "dup_exact": pc.cast(
+                        pc.equal(kind, pa.scalar(0, pa.int64())), pa.int64()
+                    ),
+                    "dup_window": pc.cast(
+                        pc.equal(kind, pa.scalar(1, pa.int64())), pa.int64()
+                    ),
+                }
+            )
+
+        hits = joined.map_batches(_flags, batch_format="pyarrow")
 
     return (
-        base.union(exact_hits)
-        .union(window_hits)
+        base.union(hits)
         .groupby("doc_id", num_partitions=hash_partitions(16))
         .aggregate(
             Max("dup_exact", alias_name="dup_exact"),
