@@ -1358,3 +1358,74 @@ def sorted_neighborhood_pairs(
     )
     out = pairs_in.union(rd.from_arrow(cross if cross.num_rows else empty))
     return out
+
+
+def incremental_minhash_dedup(
+    docs: Dataset,
+    *,
+    threshold: float = 0.4,
+    prior_mod: int = 10,
+    prior_keep: int = 7,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Near-dup rung of delta ingestion (the q129 exact/window flags'
+    MinHash sibling): NEW-snapshot docs whose estimated Jaccard vs any
+    PRIOR-snapshot doc reaches ``threshold``, each with its best prior
+    match (max est_jaccard, ties to the smallest prior doc_id — a
+    total order). Pair generation is exactly q19's banded LSH
+    (signatures hashed once, capped buckets, star collapse); this
+    filters to CROSS-snapshot pairs and runs ONE doc-keyed argmax —
+    the pair table is candidate-sized, never corpus-sized. Snapshot
+    membership is the pure row function doc_id % prior_mod <
+    prior_keep (no extra column crosses any exchange)."""
+    import ray.data as _rd
+
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    pairs = minhash_near_dups(
+        docs, threshold=threshold, num_partitions=num_partitions
+    )
+
+    _EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "match_id": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+
+    def _cross_side(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        ap = (a % prior_mod) < prior_keep
+        bp = (b % prior_mod) < prior_keep
+        keep = ap != bp
+        a, b = a[keep], b[keep]
+        est = t.column("est_jaccard").to_numpy(zero_copy_only=False)[keep]
+        ap = ap[keep]
+        new_id = np.where(ap, b, a)
+        match = np.where(ap, a, b)
+        return pa.table(
+            {
+                "doc_id": pa.array(new_id, pa.int64()),
+                "match_id": pa.array(match, pa.int64()),
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+
+    cross = pairs.map_batches(_cross_side, batch_format="pyarrow")
+    cross, n_cross = compact_nonempty(cross, min(8, num_partitions))
+    if n_cross == 0:
+        return _rd.from_arrow(_EMPTY)
+
+    def _best(t: pa.Table) -> pa.Table:
+        est = t.column("est_jaccard").to_numpy(zero_copy_only=False)
+        mid = t.column("match_id").to_numpy(zero_copy_only=False)
+        # max est, tie -> smallest match_id: lexsort's last key is primary
+        order = np.lexsort((mid, -est))
+        i = order[0]
+        return t.take(pa.array([i], pa.int64()))
+
+    return cross.groupby(
+        "doc_id", num_partitions=min(8, num_partitions)
+    ).map_groups(_best, batch_format="pyarrow")

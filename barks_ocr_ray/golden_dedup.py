@@ -703,3 +703,40 @@ def golden_bpe_encode_stats(docs: pa.Table, n_merges: int = 12) -> pa.Table:
             "n_subwords": pa.array(n_sub, pa.int64()),
         }
     )
+
+
+def golden_incremental_minhash(
+    docs: pa.Table,
+    threshold: float = 0.4,
+    prior_mod: int = 10,
+    prior_keep: int = 7,
+) -> pa.Table:
+    """Sequential replay of dedupe.incremental_minhash_dedup — builds
+    on golden_minhash_pairs (the shared q19 pair semantics, including
+    the cap/star rules), then filters to cross-snapshot pairs and
+    takes each new doc's best prior match (max est, tie smallest
+    prior id) in a plain loop."""
+    pairs = golden_minhash_pairs(docs, threshold=threshold)
+    best: dict[int, tuple[float, int]] = {}
+    for a, b, est in zip(
+        pairs.column("doc_a").to_pylist(),
+        pairs.column("doc_b").to_pylist(),
+        pairs.column("est_jaccard").to_pylist(),
+    ):
+        ap = (a % prior_mod) < prior_keep
+        bp = (b % prior_mod) < prior_keep
+        if ap == bp:
+            continue
+        new_id, match = (b, a) if ap else (a, b)
+        cur = best.get(new_id)
+        cand = (-est, match)
+        if cur is None or cand < cur:
+            best[new_id] = cand
+    ids = sorted(best)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "match_id": pa.array([best[i][1] for i in ids], pa.int64()),
+            "est_jaccard": pa.array([-best[i][0] for i in ids], pa.float64()),
+        }
+    )

@@ -405,6 +405,10 @@ def ensure_neardup_goldens() -> dict[str, str]:
             "bpe_encode", "documents",
             lambda t: g.golden_bpe_encode_stats(t, n_merges=12),
         ),
+        "q136": ensure_neardup_golden(
+            "inc_minhash", "documents",
+            lambda t: g.golden_incremental_minhash(t, threshold=0.4),
+        ),
     }
 
 

@@ -6396,6 +6396,19 @@ FROM w, s
 """
 
 
+def q136_incremental_minhash(sf_dir: str):
+    """Near-dup rung of delta ingestion (q129's MinHash sibling): new-
+    snapshot docs whose estimated Jaccard vs any prior-snapshot doc
+    reaches 0.4, each with its best prior match — q19's banded-LSH
+    pair machinery filtered to cross-snapshot pairs plus ONE doc-keyed
+    argmax (max est, tie smallest prior id)."""
+    from barks_ocr_ray.functions.dedupe import incremental_minhash_dedup
+
+    return incremental_minhash_dedup(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -6548,6 +6561,7 @@ def build_registry():
         "q133_grouped_sketch_quantiles": q133_grouped_sketch_quantiles,
         "q134_psi_drift": q134_psi_drift,
         "q135_temperature_mix": q135_temperature_mix,
+        "q136_incremental_minhash": q136_incremental_minhash,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -6721,5 +6735,8 @@ def build_registry():
         "q133_grouped_sketch_quantiles": SQL_Q133,
         "q134_psi_drift": SQL_Q134,
         "q135_temperature_mix": SQL_Q135,
+        "q136_incremental_minhash": _sql_golden(
+            "inc_minhash", "doc_id, match_id, est_jaccard", "documents"
+        ),
     }
     return queries, oracles

@@ -395,3 +395,38 @@ class TestPsiDrift:
         assert sum(out["psi_contrib"]) > 0.25
         # new-side mass clamps into the top bucket of the PRIOR grid
         assert out["n_new"][9] == sum(out["n_new"])
+
+
+class TestIncrementalMinhash:
+    def test_cross_snapshot_only_and_best_match(self):
+        from barks_ocr_ray.functions.dedupe import incremental_minhash_dedup
+
+        base = (
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon "
+        ) * 6
+        other = (
+            "completely different vocabulary nothing shared at all here "
+            "with its own repeated phrasing and structure every time "
+        ) * 6
+        docs = _docs(
+            [0, 7, 17, 8],
+            [
+                base,  # prior
+                base + "tail variation one",  # new: near-dup of 0
+                base + "tail variation two",  # new: near-dup of 0 AND 7
+                other,  # new: no prior match
+            ],
+        )
+        out = (
+            incremental_minhash_dedup(docs, threshold=0.4)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        # doc 8 matches nothing prior; docs 7/17 match prior doc 0 —
+        # NOT each other (7 and 17 are both new, so their mutual
+        # near-dup pair must not surface here)
+        assert sorted(out.index) == [7, 17]
+        assert out.loc[7].match_id == 0 and out.loc[17].match_id == 0
+        assert (out.est_jaccard >= 0.4).all()
