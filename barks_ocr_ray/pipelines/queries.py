@@ -6409,6 +6409,129 @@ def q136_incremental_minhash(sf_dir: str):
     )
 
 
+def q137_content_drift(sf_dir: str):
+    """Content drift of the NEW snapshot under the PRIOR snapshot's
+    unigram LM (the text sibling of q130 categorical / q134 numeric
+    drift — CCNet-style perplexity with the reference model frozen on
+    the prior crawl): per new doc, mean negative log-prob with add-one
+    smoothing p(t) = (n_prior(t) + 1) / (N_prior + V_prior + 1), so
+    OOV tokens score the uniform floor instead of vanishing. Exchanges:
+    prior unigram aggregation (vocab-sized), one term-keyed LEFT join,
+    one doc-keyed reduce. Per-term contributions are rounded to int64
+    MICRO-nats before the per-doc sum (q81/q123 fixed-point
+    discipline) so the distributed float sum is order-independent and
+    the oracle replays it bit-exactly."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.relational import compact_nonempty
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, DocTermCounts
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    tf_rows = docs.map_batches(
+        DocTermCounts, batch_format="pyarrow", concurrency=(1, 4)
+    ).materialize()  # reused: prior unigrams + new-side scoring
+
+    def _side(keep_prior: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % 10) < 7
+            return t.filter(pa.array(m == keep_prior, pa.bool_()))
+
+        return tf_rows.map_batches(_f, batch_format="pyarrow")
+
+    unigrams = _side(True).groupby(
+        "term", num_partitions=VOCAB_PARTITIONS
+    ).aggregate(Sum("tf", alias_name="n"))
+    uni_c, n_vocab = compact_nonempty(unigrams, VOCAB_PARTITIONS)
+    n_prior = int(uni_c.sum("n") or 0) if n_vocab else 0
+    denom = float(n_prior + n_vocab + 1)
+
+    new_tf, n_new = compact_nonempty(_side(False), 8)
+    if n_new == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "xent_score": pa.array([], pa.float64()),
+            }
+        )
+    if n_vocab == 0:
+        joined = new_tf.map_batches(
+            lambda t: t.append_column("n", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = new_tf.join(
+            uni_c,
+            join_type="left_outer",
+            num_partitions=VOCAB_PARTITIONS,
+            on=("term",),
+        )
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = pc.fill_null(t.column("n"), pa.scalar(0, pa.int64()))
+        n = n.to_numpy(zero_copy_only=False).astype(np.float64)
+        nll = tf * -np.log((n + 1.0) / denom)
+        micro = round_like_duckdb(nll * 1e6, 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "nll_micro": pa.array(micro, pa.int64()),
+                "tf": t.column("tf"),
+            }
+        )
+
+    agg = (
+        joined.map_batches(_contrib, batch_format="pyarrow")
+        .groupby("doc_id", num_partitions=8)
+        .aggregate(
+            Sum("nll_micro", alias_name="sum_micro"),
+            Sum("tf", alias_name="n_tokens"),
+        )
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        s = t.column("sum_micro").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        score = round_like_duckdb(s / 1_000_000.0 / n, 4)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "xent_score": pa.array(score, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_score, batch_format="pyarrow")
+
+
+def _sql_q137() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+           AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+pu AS (
+  SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf
+  WHERE doc_id % 10 < 7 GROUP BY 1),
+s AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE)
+             + CAST(count(*) AS DOUBLE) + 1.0 AS denom
+      FROM pu),
+nw AS (SELECT doc_id, term, tf FROM tf WHERE doc_id % 10 >= 7),
+c AS (
+  SELECT nw.doc_id,
+         CAST(round(nw.tf * -ln((coalesce(pu.n, 0) + 1.0) / s.denom)
+                    * 1000000, 0) AS BIGINT) AS nll_micro,
+         nw.tf
+  FROM nw LEFT JOIN pu USING (term), s)
+SELECT doc_id,
+       round(sum(nll_micro) / 1000000.0 / sum(tf), 4) AS xent_score
+FROM c GROUP BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -6562,6 +6685,7 @@ def build_registry():
         "q134_psi_drift": q134_psi_drift,
         "q135_temperature_mix": q135_temperature_mix,
         "q136_incremental_minhash": q136_incremental_minhash,
+        "q137_content_drift": q137_content_drift,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -6738,5 +6862,6 @@ def build_registry():
         "q136_incremental_minhash": _sql_golden(
             "inc_minhash", "doc_id, match_id, est_jaccard", "documents"
         ),
+        "q137_content_drift": _sql_q137(),
     }
     return queries, oracles

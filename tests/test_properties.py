@@ -84,3 +84,74 @@ def test_bucket_of_stable_and_in_range(doc, buckets):
     b1 = bucket_of(url, buckets)
     b2 = bucket_of(url, buckets)
     assert b1 == b2 and 0 <= b1 < buckets
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        min_size=1,
+        max_size=12,
+    ),
+    st.text(alphabet="abc", min_size=1, max_size=3),
+    st.text(alphabet="abc", min_size=1, max_size=3),
+)
+def test_bpe_merge_preserves_concatenation(syms, lhs, rhs):
+    """The BPE merge kernel never changes the underlying string: the
+    concatenation of symbols is invariant under any merge — the
+    property every learned tokenizer rests on."""
+    from barks_ocr_ray.functions.bpe import merge_pair_in_word
+
+    merged = merge_pair_in_word(syms, lhs, rhs)
+    assert "".join(merged) == "".join(syms)
+    # no (lhs, rhs) adjacency survives one pass: a new one could only
+    # form if lhs+rhs == lhs or rhs == lhs+rhs, impossible at len >= 1
+    assert not any(a == lhs and b == rhs for a, b in zip(merged, merged[1:]))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="ab cd", min_size=0, max_size=40))
+def test_bpe_encode_len_bounds(word):
+    """Encoded length is monotonically bounded: between 1 and the
+    initial symbol count, for any merge list."""
+    from barks_ocr_ray.functions.bpe import (
+        encode_word_len,
+        word_symbols,
+    )
+
+    merges = [("a", "b"), ("ab", "a"), ("b", "</w>")]
+    n0 = len(word_symbols(word))
+    n = encode_word_len(word, merges)
+    assert 1 <= n <= n0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.integers(min_value=2, max_value=64),
+)
+def test_histogram_bucket_expression_matches_duckdb(vals, n_buckets):
+    """The q127/q133/q134 bucket contract: the single IEEE expression
+    least(floor((x - lo) / w), B-1) assigns every value to the same
+    bucket in numpy and DuckDB."""
+    lo, hi = min(vals), max(vals)
+    if hi == lo:
+        return
+    w = (hi - lo) / float(n_buckets)
+    x = np.array(vals, np.float64)
+    ours = np.minimum(
+        np.floor((x - lo) / w), float(n_buckets - 1)
+    ).astype(np.int64)
+    theirs = duckdb.sql(
+        "SELECT CAST(least(floor((v - ?) / ?), ?) AS BIGINT) "
+        "FROM (SELECT unnest(?) AS v)",
+        params=[lo, w, n_buckets - 1, list(map(float, vals))],
+    ).fetchnumpy()
+    assert (ours == list(theirs.values())[0]).all()
