@@ -6532,6 +6532,64 @@ FROM c GROUP BY 1
 """
 
 
+def q138_triangle_counts(sf_dir: str):
+    """Per-supplier triangle counts over the co-purchase graph
+    (suppliers sharing an order are connected): the classic graph-
+    analytics kernel beside q94 PageRank and q39 connected components.
+    Edges build in one order-keyed map_groups (orders are small
+    groups); triangles close with two distributed joins (orientation
+    trick, see graph.triangle_counts)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.graph import triangle_counts
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        s = np.unique(t.column("l_suppkey").to_numpy(zero_copy_only=False))
+        if s.size < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        ii, jj = np.triu_indices(s.size, k=1)
+        return pa.table(
+            {"a": pa.array(s[ii], pa.int64()), "b": pa.array(s[jj], pa.int64())}
+        )
+
+    edges = (
+        li.groupby("l_orderkey", num_partitions=hash_partitions(8))
+        .map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"], num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+    )
+    out = triangle_counts(edges)
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["s_suppkey", "n_triangles"])
+
+    return out.map_batches(_rename, batch_format="pyarrow")
+
+
+SQL_Q138 = """
+WITH e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+t AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+  JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+n AS (
+  SELECT a AS node FROM t
+  UNION ALL SELECT b FROM t
+  UNION ALL SELECT c FROM t)
+SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
+FROM n GROUP BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -6686,6 +6744,7 @@ def build_registry():
         "q135_temperature_mix": q135_temperature_mix,
         "q136_incremental_minhash": q136_incremental_minhash,
         "q137_content_drift": q137_content_drift,
+        "q138_triangle_counts": q138_triangle_counts,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -6863,5 +6922,6 @@ def build_registry():
             "inc_minhash", "doc_id, match_id, est_jaccard", "documents"
         ),
         "q137_content_drift": _sql_q137(),
+        "q138_triangle_counts": SQL_Q138,
     }
     return queries, oracles

@@ -99,7 +99,8 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q134_psi_drift", 1),
                         ("q135_temperature_mix", 1),
                         ("q136_incremental_minhash", 1),
-                        ("q137_content_drift", 1)):
+                        ("q137_content_drift", 1),
+                        ("q138_triangle_counts", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -430,3 +430,37 @@ class TestIncrementalMinhash:
         assert sorted(out.index) == [7, 17]
         assert out.loc[7].match_id == 0 and out.loc[17].match_id == 0
         assert (out.est_jaccard >= 0.4).all()
+
+
+class TestTriangleCounts:
+    def test_known_graph(self):
+        from barks_ocr_ray.functions.graph import triangle_counts
+
+        # K4 on {1,2,3,4} plus a pendant edge (4,5): each K4 node sits
+        # in C(3,2)=3 triangles; node 5 in none
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([1, 1, 1, 2, 2, 3, 4], pa.int64()),
+                    "b": pa.array([2, 3, 4, 3, 4, 4, 5], pa.int64()),
+                }
+            )
+        )
+        out = triangle_counts(edges).to_pandas().set_index("node")
+        assert sorted(out.index) == [1, 2, 3, 4]
+        assert (out.n_triangles == 3).all()
+
+    def test_bipartite_graph_has_none(self):
+        from barks_ocr_ray.functions.graph import triangle_counts
+
+        # C4 cycle (bipartite): no triangles -> typed empty
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([1, 2, 1, 3], pa.int64()),
+                    "b": pa.array([2, 4, 3, 4], pa.int64()),
+                }
+            )
+        )
+        df = triangle_counts(edges).to_pandas()
+        assert len(df) == 0
