@@ -396,3 +396,154 @@ def grouped_histogram_quantiles(
     # (group, bucket) partials were pre-summed per block; the keyed
     # map_groups below folds them per group and resolves quantiles
     return agg.map_groups(_resolve, batch_format="pyarrow")
+
+
+def _weighted_count_pass(
+    ds: Dataset, col: str, weight_col: str, pivots: np.ndarray
+) -> tuple:
+    """(w_lt, w_le) WEIGHT sums per pivot — the weighted sibling of
+    _count_pass: per batch, sort values with aligned int64 weights,
+    prefix-sum, read the prefix at each searchsorted index."""
+    piv_list = pivots.tolist()
+
+    def _partials(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False)
+        w = np.asarray(w, np.float64).astype(np.int64)
+        ok = ~np.isnan(x)
+        x, w = x[ok], w[ok]
+        order = np.argsort(x, kind="mergesort")
+        xs, ws = x[order], w[order]
+        prefix = np.concatenate(([0], np.cumsum(ws)))
+        piv = np.asarray(piv_list)
+        lt = prefix[np.searchsorted(xs, piv, side="left")]
+        le = prefix[np.searchsorted(xs, piv, side="right")]
+        return pa.table(
+            {
+                "piv_idx": pa.array(np.arange(len(piv_list)), pa.int64()),
+                "n_lt": pa.array(lt.astype(np.int64), pa.int64()),
+                "n_le": pa.array(le.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby("piv_idx", num_partitions=2)
+        .aggregate(
+            Sum("n_lt", alias_name="n_lt"), Sum("n_le", alias_name="n_le")
+        )
+        .take_all()
+    )
+    w_lt = np.zeros(len(piv_list), np.int64)
+    w_le = np.zeros(len(piv_list), np.int64)
+    for r in agg:
+        w_lt[r["piv_idx"]] = r["n_lt"]
+        w_le[r["piv_idx"]] = r["n_le"]
+    return w_lt, w_le
+
+
+def weighted_quantiles(
+    ds: Dataset,
+    col: str,
+    weight_col: str,
+    qs: list[float],
+    *,
+    pull_cap: int = DEFAULT_PULL_CAP,
+    max_rounds: int = MAX_ROUNDS,
+) -> pa.Table:
+    """Exact WEIGHTED quantiles — the value v such that the total
+    weight of rows with value <= v first reaches ceil(q * W) (the
+    weighted generalization of DuckDB's quantile_disc rank rule;
+    weights must be non-negative integers, e.g. token counts, so every
+    rank is integer-exact). Same counting-quickselect round structure
+    as distributed_quantiles — O(pivots) driver state, no global sort
+    — with weight prefix-sums replacing row counts. Because weights
+    are >= 1 per row, a bracket whose WEIGHT fits pull_cap holds at
+    most pull_cap rows, so the exact pull stays bounded."""
+    from ray.data.aggregate import Sum as _Sum
+
+    stats = ds.aggregate(_Sum(weight_col, alias_name="w"))
+    W = int(stats["w"] or 0)
+    empty = pa.table(
+        {"q": pa.array([], pa.float64()), "value": pa.array([], pa.float64())}
+    )
+    if W == 0:
+        return empty
+    lo0 = float(ds.min(col))
+    hi0 = float(ds.max(col))
+
+    targets = {float(q): max(1, math.ceil(q * W)) for q in qs}
+    resolved: dict[float, float] = {}
+    brackets: dict[float, tuple[float, float, int, int]] = {
+        q: (-math.inf, math.inf, 0, W) for q in targets
+    }
+
+    for _ in range(max_rounds):
+        active = {q: b for q, b in brackets.items() if q not in resolved}
+        if not active:
+            break
+        for q, (blo, bhi, w_below, w_in) in list(active.items()):
+            if w_in <= pull_cap:
+                k = targets[q]
+
+                def _in_range(t, _lo=blo, _hi=bhi):
+                    c = t.column(col)
+                    m = pc.and_(
+                        pc.greater(c, pa.scalar(_lo)),
+                        pc.less(c, pa.scalar(_hi)),
+                    )
+                    return t.filter(m).select([col, weight_col])
+
+                rows = ds.map_batches(
+                    _in_range, batch_format="pyarrow"
+                ).take_all()
+                vals = np.array([r[col] for r in rows], np.float64)
+                ws = np.array([r[weight_col] for r in rows]).astype(np.int64)
+                order = np.argsort(vals, kind="mergesort")
+                vals, ws = vals[order], ws[order]
+                cum = w_below + np.cumsum(ws)
+                idx = int(np.searchsorted(cum, k, side="left"))
+                if not (0 <= idx < len(vals)):
+                    raise RuntimeError(
+                        "weighted_quantiles: bracket invariant broken "
+                        f"(q={q}, k={k}, w_below={w_below}, pulled={len(vals)})"
+                    )
+                resolved[q] = float(vals[idx])
+                del active[q]
+        if not active:
+            continue
+        piv_set: set[float] = set()
+        for q, (blo, bhi, _wb, _wi) in active.items():
+            glo = lo0 if blo == -math.inf else blo
+            ghi = hi0 if bhi == math.inf else bhi
+            grid = np.linspace(glo, ghi, PIVOTS_PER_BRACKET + 2)
+            piv_set.update(float(p) for p in grid)
+        pivots = np.array(sorted(piv_set), np.float64)
+        w_lt, w_le = _weighted_count_pass(ds, col, weight_col, pivots)
+        for q, (blo, bhi, _wb, _wi) in active.items():
+            k = targets[q]
+            hit = np.where((w_lt < k) & (k <= w_le))[0]
+            if len(hit):
+                resolved[q] = float(pivots[hit[0]])
+                continue
+            i = int(np.searchsorted(w_le, k, side="left")) - 1
+            new_lo = float(pivots[i]) if i >= 0 else blo
+            new_below = int(w_le[i]) if i >= 0 else 0
+            j = int(np.searchsorted(w_lt, k, side="left"))
+            new_hi = float(pivots[j]) if j < len(pivots) else bhi
+            hi_lt = int(w_lt[j]) if j < len(pivots) else W
+            brackets[q] = (new_lo, new_hi, new_below, hi_lt - new_below)
+    else:
+        missing = [q for q in targets if q not in resolved]
+        raise RuntimeError(
+            f"weighted_quantiles: ranks for {missing} did not resolve "
+            f"in {max_rounds} rounds"
+        )
+
+    order = sorted(resolved)
+    return pa.table(
+        {
+            "q": pa.array(order, pa.float64()),
+            "value": pa.array([resolved[q] for q in order], pa.float64()),
+        }
+    )

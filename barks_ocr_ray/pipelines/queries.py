@@ -6590,6 +6590,340 @@ FROM n GROUP BY 1
 """
 
 
+#: q139 audited columns (documents table, the snapshot-split surface)
+Q139_COLS = ("lang", "source", "text")
+
+
+def q139_schema_drift(sf_dir: str):
+    """Schema-profile drift audit — the per-COLUMN data-quality gate
+    between crawl snapshots (q130/q134/q137 watch one column each;
+    this watches the table): for every audited column, row counts,
+    null counts and exact distinct counts on both sides of the q129
+    snapshot split. Row/null counts are zero-exchange block partials
+    (long format, one row per column per block); distinct counts ship
+    block-level (column, value)-deduped partials into ONE keyed
+    exchange — the q120 dedup-partial discipline, so the exchange
+    carries at most one row per distinct value per block, never one
+    per row."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["doc_id", *Q139_COLS])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pri = (ids % 10) < 7
+        cols, npr, nnw, nup, nun = [], [], [], [], []
+        for c in Q139_COLS:
+            null = pc.is_null(t.column(c)).to_numpy(zero_copy_only=False)
+            cols.append(c)
+            npr.append(int(pri.sum()))
+            nnw.append(int((~pri).sum()))
+            nup.append(int(null[pri].sum()))
+            nun.append(int(null[~pri].sum()))
+        return pa.table(
+            {
+                "column": pa.array(cols, pa.string()),
+                "n_prior": pa.array(npr, pa.int64()),
+                "n_new": pa.array(nnw, pa.int64()),
+                "nulls_prior": pa.array(nup, pa.int64()),
+                "nulls_new": pa.array(nun, pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(_counts, batch_format="pyarrow")
+        .groupby("column", num_partitions=2)
+        .aggregate(
+            Sum("n_prior", alias_name="n_prior"),
+            Sum("n_new", alias_name="n_new"),
+            Sum("nulls_prior", alias_name="nulls_prior"),
+            Sum("nulls_new", alias_name="nulls_new"),
+        )
+    )
+
+    def _distinct_partials(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pri = (ids % 10) < 7
+        cols, sides, vals = [], [], []
+        for c in Q139_COLS:
+            v = t.column(c).cast(pa.string()).to_numpy(zero_copy_only=False)
+            ok = pc.is_valid(t.column(c)).to_numpy(zero_copy_only=False)
+            for side, m in (("p", pri & ok), ("n", (~pri) & ok)):
+                u = np.unique(v[m])
+                cols.extend([c] * len(u))
+                sides.extend([side] * len(u))
+                vals.extend(u.tolist())
+        return pa.table(
+            {
+                "column": pa.array(cols, pa.string()),
+                "side": pa.array(sides, pa.string()),
+                "value": pa.array(vals, pa.string()),
+            }
+        )
+
+    uniq = (
+        docs.map_batches(_distinct_partials, batch_format="pyarrow")
+        .groupby(["column", "side", "value"], num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def _fold(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["column", "side"])
+            .group_by(["column", "side"])
+            .aggregate([("side", "count")])
+        )
+        return g.rename_columns(["column", "side", "n_distinct"])
+
+    dist = (
+        uniq.map_batches(_fold, batch_format="pyarrow")
+        .groupby(["column", "side"], num_partitions=2)
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
+        .take_all()
+    )
+    dmap = {(r["column"], r["side"]): r["n_distinct"] for r in dist}
+    rows = counts.take_all()
+    rows.sort(key=lambda r: r["column"])
+    return pa.table(
+        {
+            "column": pa.array([r["column"] for r in rows], pa.string()),
+            "n_prior": pa.array([r["n_prior"] for r in rows], pa.int64()),
+            "n_new": pa.array([r["n_new"] for r in rows], pa.int64()),
+            "nulls_prior": pa.array(
+                [r["nulls_prior"] for r in rows], pa.int64()
+            ),
+            "nulls_new": pa.array([r["nulls_new"] for r in rows], pa.int64()),
+            "distinct_prior": pa.array(
+                [dmap.get((r["column"], "p"), 0) for r in rows], pa.int64()
+            ),
+            "distinct_new": pa.array(
+                [dmap.get((r["column"], "n"), 0) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q139() -> str:
+    parts = []
+    for c in Q139_COLS:
+        parts.append(f"""
+SELECT '{c}' AS "column",
+       CAST(sum(CASE WHEN doc_id % 10 < 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_prior,
+       CAST(sum(CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(sum(CASE WHEN doc_id % 10 < 7 AND {c} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS nulls_prior,
+       CAST(sum(CASE WHEN doc_id % 10 >= 7 AND {c} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS nulls_new,
+       CAST(count(DISTINCT CASE WHEN doc_id % 10 < 7
+                 THEN CAST({c} AS VARCHAR) END) AS BIGINT)
+         AS distinct_prior,
+       CAST(count(DISTINCT CASE WHEN doc_id % 10 >= 7
+                 THEN CAST({c} AS VARCHAR) END) AS BIGINT)
+         AS distinct_new
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q140_weighted_quantiles(sf_dir: str):
+    """Exact WEIGHTED quantiles of line price, weighted by quantity
+    (the 'where does the q-th unit of volume sit' question — e.g. the
+    token-weighted length median a packing planner needs, which the
+    unweighted q66 cannot answer): the q66 counting-quickselect with
+    integer weight prefix-sums replacing row counts — O(pivots) driver
+    state, no global sort."""
+    from barks_ocr_ray.functions.quantiles import weighted_quantiles
+
+    ds = read_table(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+
+    def _int_weights(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": t.column("l_extendedprice"),
+                "wt": t.column("l_quantity").cast(pa.int64()),
+            }
+        )
+
+    return weighted_quantiles(
+        ds.map_batches(_int_weights, batch_format="pyarrow"),
+        "v",
+        "wt",
+        [0.25, 0.5, 0.75, 0.95],
+    )
+
+
+SQL_Q140 = """
+WITH w AS (
+  SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem),
+t AS (SELECT CAST(sum(wt) AS BIGINT) AS W FROM w),
+c AS (SELECT v, sum(wt) OVER (ORDER BY v) AS cum FROM w),
+qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
+sel AS (
+  SELECT qs.q, min(c.v) AS value
+  FROM qs, c, t
+  WHERE c.cum >= greatest(1, CAST(ceil(qs.q * t.W) AS BIGINT))
+  GROUP BY qs.q)
+SELECT q, value FROM sel ORDER BY q
+"""
+
+
+def q141_zorder_layout(sf_dir: str):
+    """Z-order (Morton-curve) layout diagnostic — the data-layout
+    planning pass behind OPTIMIZE ZORDER in lakehouse table formats
+    (public Delta/Iceberg lineage): quantize (o_custkey, o_orderdate)
+    to 8 bits each on their own min/max grids (the q127 IEEE bucket
+    contract), interleave to a 16-bit Morton key, and report per
+    coarse z-bucket (top 8 bits) the row count and DISTINCT customer
+    count — the locality measure that predicts file-skipping
+    effectiveness if the table were rewritten in z-order. One stats
+    aggregate + ONE corpus pass of (bucket, cust) dedup partials (the
+    q120 discipline: at most one row per distinct pair per block
+    crosses the exchange)."""
+    import numpy as np
+
+    B = 256
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    stats = orders.map_batches(
+        lambda t: pa.table(
+            {
+                "ck": t.column("o_custkey"),
+                "od": t.column("o_orderdate").cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(
+        Min("ck", alias_name="ck_lo"),
+        Max("ck", alias_name="ck_hi"),
+        Min("od", alias_name="od_lo"),
+        Max("od", alias_name="od_hi"),
+    )
+    ck_lo, ck_hi = float(stats["ck_lo"]), float(stats["ck_hi"])
+    od_lo, od_hi = float(stats["od_lo"]), float(stats["od_hi"])
+    w_ck = (ck_hi - ck_lo) / float(B)
+    w_od = (od_hi - od_lo) / float(B)
+
+    def _partials(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        od = (
+            t.column("o_orderdate")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        xq = np.minimum(
+            np.floor((ck.astype(np.float64) - ck_lo) / w_ck), float(B - 1)
+        ).astype(np.int64)
+        yq = np.minimum(
+            np.floor((od.astype(np.float64) - od_lo) / w_od), float(B - 1)
+        ).astype(np.int64)
+        z = np.zeros(len(xq), np.int64)
+        for i in range(8):
+            z |= ((xq >> i) & 1) << (2 * i)
+            z |= ((yq >> i) & 1) << (2 * i + 1)
+        zb = z >> 8
+        pairs = np.unique(np.stack([zb, ck], axis=1), axis=0)
+        counts = (
+            pa.table({"zbucket": pa.array(zb, pa.int64())})
+            .group_by("zbucket")
+            .aggregate([("zbucket", "count")])
+            .rename_columns(["zbucket", "n_rows"])
+        )
+        return pa.table(
+            {
+                "zbucket": pa.concat_arrays(
+                    [
+                        counts.column("zbucket").combine_chunks(),
+                        pa.array(pairs[:, 0], pa.int64()),
+                    ]
+                ),
+                "n_rows": pa.concat_arrays(
+                    [
+                        counts.column("n_rows").cast(pa.int64()).combine_chunks(),
+                        pa.array(np.zeros(len(pairs), np.int64), pa.int64()),
+                    ]
+                ),
+                "cust": pa.concat_arrays(
+                    [
+                        pa.nulls(counts.num_rows, pa.int64()),
+                        pa.array(pairs[:, 1], pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    long = orders.map_batches(_partials, batch_format="pyarrow")
+
+    # distinct custs per bucket: dedup the (bucket, cust) partials
+    dist = (
+        long.map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("cust"))),
+            batch_format="pyarrow",
+        )
+        .groupby(["zbucket", "cust"], num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def _one(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["zbucket"])
+            .group_by("zbucket")
+            .aggregate([("zbucket", "count")])
+        )
+        return g.rename_columns(["zbucket", "n_custkeys"])
+
+    n_cust = (
+        dist.map_batches(_one, batch_format="pyarrow")
+        .groupby("zbucket", num_partitions=2)
+        .aggregate(Sum("n_custkeys", alias_name="n_custkeys"))
+        .take_all()
+    )
+    rows = (
+        long.groupby("zbucket", num_partitions=2)
+        .aggregate(Sum("n_rows", alias_name="n_rows"))
+        .take_all()
+    )
+    cmap = {r["zbucket"]: r["n_custkeys"] for r in n_cust}
+    rmap = {r["zbucket"]: r["n_rows"] for r in rows if r["n_rows"] > 0}
+    zs = sorted(rmap)
+    return pa.table(
+        {
+            "zbucket": pa.array(zs, pa.int64()),
+            "n_rows": pa.array([rmap[z] for z in zs], pa.int64()),
+            "n_custkeys": pa.array([cmap.get(z, 0) for z in zs], pa.int64()),
+        }
+    )
+
+
+def _sql_q141() -> str:
+    xbits = " + ".join(
+        f"(((xq >> {i}) & 1) << {2 * i}) + (((yq >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+WITH s AS (
+  SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
+         min(epoch_us(o_orderdate)) AS od_lo,
+         max(epoch_us(o_orderdate)) AS od_hi,
+         (max(o_custkey) - min(o_custkey)) / CAST(256 AS DOUBLE) AS w_ck,
+         (max(epoch_us(o_orderdate)) - min(epoch_us(o_orderdate)))
+           / CAST(256 AS DOUBLE) AS w_od
+  FROM orders),
+q AS (
+  SELECT o_custkey AS ck,
+         CAST(least(floor((o_custkey - s.ck_lo) / s.w_ck), 255) AS BIGINT)
+           AS xq,
+         CAST(least(floor((epoch_us(o_orderdate) - s.od_lo) / s.w_od), 255)
+              AS BIGINT) AS yq
+  FROM orders, s),
+z AS (SELECT ck, ({xbits}) >> 8 AS zbucket FROM q)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT ck) AS BIGINT) AS n_custkeys
+FROM z GROUP BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -6745,6 +7079,9 @@ def build_registry():
         "q136_incremental_minhash": q136_incremental_minhash,
         "q137_content_drift": q137_content_drift,
         "q138_triangle_counts": q138_triangle_counts,
+        "q139_schema_drift": q139_schema_drift,
+        "q140_weighted_quantiles": q140_weighted_quantiles,
+        "q141_zorder_layout": q141_zorder_layout,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -6923,5 +7260,8 @@ def build_registry():
         ),
         "q137_content_drift": _sql_q137(),
         "q138_triangle_counts": SQL_Q138,
+        "q139_schema_drift": _sql_q139(),
+        "q140_weighted_quantiles": SQL_Q140,
+        "q141_zorder_layout": _sql_q141(),
     }
     return queries, oracles
