@@ -464,3 +464,51 @@ class TestTriangleCounts:
         )
         df = triangle_counts(edges).to_pandas()
         assert len(df) == 0
+
+
+class TestWeightedQuantiles:
+    def test_equivalent_to_row_expansion(self):
+        from barks_ocr_ray.functions.quantiles import (
+            distributed_quantiles,
+            weighted_quantiles,
+        )
+
+        rng = np.random.default_rng(3)
+        vals = rng.normal(100.0, 15.0, size=400)
+        wts = rng.integers(1, 6, size=400)
+        t = pa.table(
+            {
+                "v": pa.array(vals, pa.float64()),
+                "wt": pa.array(wts, pa.int64()),
+            }
+        )
+        qs = [0.1, 0.5, 0.9]
+        got = weighted_quantiles(
+            rd.from_arrow(t), "v", "wt", qs, pull_cap=50
+        ).to_pydict()
+        # ground truth: expand each row weight times, unweighted disc
+        expanded = pa.table(
+            {"v": pa.array(np.repeat(vals, wts), pa.float64())}
+        )
+        want = distributed_quantiles(
+            rd.from_arrow(expanded), "v", qs, pull_cap=50
+        ).to_pydict()
+        assert got["value"] == want["value"]
+
+    def test_unit_weights_match_unweighted(self):
+        from barks_ocr_ray.functions.quantiles import (
+            distributed_quantiles,
+            weighted_quantiles,
+        )
+
+        vals = np.linspace(0, 1, 500)
+        t = pa.table(
+            {
+                "v": pa.array(vals, pa.float64()),
+                "wt": pa.array(np.ones(500, np.int64), pa.int64()),
+            }
+        )
+        qs = [0.25, 0.75]
+        a = weighted_quantiles(rd.from_arrow(t), "v", "wt", qs).to_pydict()
+        b = distributed_quantiles(rd.from_arrow(t), "v", qs).to_pydict()
+        assert a["value"] == b["value"]
