@@ -6924,6 +6924,186 @@ FROM z GROUP BY 1
 """
 
 
+def q142_group_ksample(sf_dir: str):
+    """Uniform fixed-k sample PER GROUP (the eval-set builder's 'give
+    me 5 random docs per language, reproducibly'): rank docs within
+    each lang by md5(doc_id) — a deterministic total order that is
+    uniform over insertion order — and keep rank <= 5. Distinct from
+    q46 (fractional per-stratum keep RATE) and q117 (best-K by size).
+    ONE lang-keyed exchange, vectorized per-block sort+rank (all of a
+    lang's rows co-locate); md5 is the oracle-replayable hash-family
+    default (hashing.py splitmix64 is the production fast path)."""
+    import hashlib
+
+    import numpy as np
+
+    K = 5
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _rank(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        hs = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        )
+        order = np.lexsort((ids, hs, langs))
+        langs_s, ids_s = langs[order], ids[order]
+        new_grp = np.empty(len(order), np.bool_)
+        new_grp[0] = True
+        new_grp[1:] = langs_s[1:] != langs_s[:-1]
+        starts = np.flatnonzero(new_grp)
+        rk = np.arange(len(order), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(order)))
+        ) + 1
+        keep = rk <= K
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_s[keep], pa.int64()),
+                "lang": pa.array(langs_s[keep], pa.string()),
+                "rk": pa.array(rk[keep], pa.int64()),
+            }
+        )
+
+    return docs.repartition(hash_partitions(8), keys=["lang"]).map_batches(
+        _rank, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q142 = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang, rk FROM r WHERE rk <= 5
+"""
+
+
+def q143_adoption_curve(sf_dir: str):
+    """Cumulative user-adoption curve: per day, users whose FIRST-ever
+    event lands that day, and the running total (the activation time
+    series every growth dashboard draws). First-event day per user is
+    one keyed aggregation over (user, min-ts) block partials; the day
+    histogram is day-bounded, so the cumulative sum folds driver-side
+    on a constant-sized table."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def _first_partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "ts": t.column("ts").cast(pa.int64()),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("ts", "min")])
+        )
+        return g.rename_columns(["user_id", "first_ts"])
+
+    firsts = (
+        ev.map_batches(_first_partials, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=hash_partitions(8))
+        .aggregate(Min("first_ts", alias_name="first_ts"))
+    )
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        us = t.column("first_ts").to_numpy(zero_copy_only=False)
+        day = (us // 86_400_000_000) * 86_400_000_000
+        u, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(u, pa.int64()),
+                "n_new": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        firsts.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby("day", num_partitions=2)
+        .aggregate(Sum("n_new", alias_name="n_new"))
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["day"])
+    n_new = np.array([r["n_new"] for r in rows], np.int64)
+    return pa.table(
+        {
+            "day": pa.array([r["day"] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n_new": pa.array(n_new, pa.int64()),
+            "cum_users": pa.array(np.cumsum(n_new), pa.int64()),
+        }
+    )
+
+
+SQL_Q143 = """
+WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+d AS (SELECT date_trunc('day', first_ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_new
+      FROM f GROUP BY 1)
+SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+         AS cum_users
+FROM d
+"""
+
+
+def q144_event_path_bigrams(sf_dir: str):
+    """Event-path mining: counts of consecutive event-type transitions
+    (step_a -> step_b) over every user's time-ordered stream — the
+    Markov-transition table funnels and next-action models start from.
+    ONE user-keyed exchange, then per-block: lexsort, adjacent pairs
+    masked at user boundaries, block-local pair counts; the exchange
+    above the final aggregation ships at most |event_types|^2 rows per
+    block."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        st = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, us))
+        us, st = us[order], st[order]
+        same = us[1:] == us[:-1]
+        a, b = st[:-1][same], st[1:][same]
+        g = (
+            pa.table(
+                {
+                    "step_a": pa.array(a.tolist(), pa.string()),
+                    "step_b": pa.array(b.tolist(), pa.string()),
+                }
+            )
+            .group_by(["step_a", "step_b"])
+            .aggregate([("step_a", "count")])
+        )
+        return g.rename_columns(["step_a", "step_b", "n"])
+
+    return (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["step_a", "step_b"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_Q144 = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS step_a, nxt AS step_b, CAST(count(*) AS BIGINT) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -7082,6 +7262,9 @@ def build_registry():
         "q139_schema_drift": q139_schema_drift,
         "q140_weighted_quantiles": q140_weighted_quantiles,
         "q141_zorder_layout": q141_zorder_layout,
+        "q142_group_ksample": q142_group_ksample,
+        "q143_adoption_curve": q143_adoption_curve,
+        "q144_event_path_bigrams": q144_event_path_bigrams,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -7263,5 +7446,8 @@ def build_registry():
         "q139_schema_drift": _sql_q139(),
         "q140_weighted_quantiles": SQL_Q140,
         "q141_zorder_layout": _sql_q141(),
+        "q142_group_ksample": SQL_Q142,
+        "q143_adoption_curve": SQL_Q143,
+        "q144_event_path_bigrams": SQL_Q144,
     }
     return queries, oracles

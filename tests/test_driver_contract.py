@@ -103,7 +103,10 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q138_triangle_counts", 1),
                         ("q139_schema_drift", 1),
                         ("q140_weighted_quantiles", 1),
-                        ("q141_zorder_layout", 1)):
+                        ("q141_zorder_layout", 1),
+                        ("q142_group_ksample", 1),
+                        ("q143_adoption_curve", 1),
+                        ("q144_event_path_bigrams", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
