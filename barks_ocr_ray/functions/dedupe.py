@@ -1429,3 +1429,169 @@ def incremental_minhash_dedup(
     return cross.groupby(
         "doc_id", num_partitions=min(8, num_partitions)
     ).map_groups(_best, batch_format="pyarrow")
+
+
+# --- directed n-gram containment (sub-document duplication) --------------
+
+
+def ngram_containment_pairs(
+    docs: Dataset,
+    *,
+    threshold: float = 0.5,
+    ngram: int = 5,
+    df_cap: int = 20,
+) -> Dataset:
+    """Directed containment |grams(a) & grams(b)| / |grams(a)| >=
+    ``threshold`` via an INVERTED-INDEX equi-join on the gram — the
+    asymmetric near-dup that catches a document quoted/scraped INSIDE a
+    larger one, which symmetric Jaccard dilutes below any usable
+    threshold. No quadratic blocking anywhere: distinct n-grams
+    explode, grams with document frequency outside [2, df_cap] drop
+    (df=1 cannot pair; df > df_cap is boilerplate whose pair fanout is
+    quadratic — the cap bounds the self-join at sum(df^2) <= df_cap *
+    |gram occurrences| and is PART of the metric's definition, replayed
+    identically by the SQL oracle), the survivors self-join on gram,
+    and per ordered pair the match count divides by the contained
+    side's TOTAL distinct-gram count. The exploded table is consumed by
+    three pipelines (sizes, df, join) so it is materialized once —
+    object-store-resident/spilled, never on the driver."""
+    tok = Tokenizer()
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out_ids: list[int] = []
+        out_grams: list[str] = []
+        for i, txt in zip(ids, texts):
+            if txt is None:
+                continue
+            ts = tok.tokens(txt)
+            grams = {
+                " ".join(ts[j : j + ngram])
+                for j in range(max(1, len(ts) - ngram + 1))
+            }
+            out_ids.extend([int(i)] * len(grams))
+            out_grams.extend(grams)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "gram": pa.array(out_grams, pa.string()),
+            }
+        )
+
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    exploded = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(_explode, batch_format="pyarrow")
+        .materialize()
+    )
+    sizes = exploded.groupby(
+        "doc_id", num_partitions=hash_partitions(8)
+    ).aggregate(Count(alias_name="n_grams"))
+    df = exploded.groupby(
+        "gram", num_partitions=hash_partitions(8)
+    ).aggregate(Count(alias_name="df"))
+
+    def _df_window(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(t.column("df"), pa.scalar(2)),
+            pc.less_equal(t.column("df"), pa.scalar(df_cap)),
+        )
+        return t.filter(m).select(["gram"])
+
+    kept_grams, n_kept = compact_nonempty(
+        df.map_batches(_df_window, batch_format="pyarrow")
+    )
+    if n_kept == 0:
+        return rd_from_arrow_empty_pairs()
+    kept = exploded.join(
+        kept_grams,
+        join_type="inner",
+        num_partitions=hash_partitions(8),
+        on=("gram",),
+    ).materialize()  # feeds BOTH sides of the pair self-join
+
+    def _as_a(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "gram"]).rename_columns(["doc_a", "gram"])
+
+    def _as_b(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "gram"]).rename_columns(["doc_b", "gram"])
+
+    left, _ = compact_nonempty(kept.map_batches(_as_a, batch_format="pyarrow"))
+    right, _ = compact_nonempty(kept.map_batches(_as_b, batch_format="pyarrow"))
+    def _drop_self(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.not_equal(t.column("doc_a"), t.column("doc_b"))
+        ).select(["doc_a", "doc_b"])
+
+    pairs = (
+        left.join(
+            right,
+            join_type="inner",
+            num_partitions=hash_partitions(8),
+            on=("gram",),
+        )
+        .map_batches(_drop_self, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"], num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="inter"))
+    )
+
+    def _sz_a(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["doc_a", "n_grams"])
+
+    sizes_a, _ = compact_nonempty(
+        sizes.map_batches(_sz_a, batch_format="pyarrow")
+    )
+    pairs_c, n_pairs = compact_nonempty(pairs)
+    if n_pairs == 0:
+        return rd_from_arrow_empty_pairs()
+    joined = pairs_c.join(
+        sizes_a,
+        join_type="inner",
+        num_partitions=hash_partitions(8),
+        on=("doc_a",),
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        c = pc.divide(
+            t.column("inter").cast(pa.float64()),
+            t.column("n_grams").cast(pa.float64()),
+        )
+        t = t.append_column("containment_raw", c)
+        t = t.filter(
+            pc.greater_equal(
+                t.column("containment_raw"), pa.scalar(float(threshold))
+            )
+        )
+        return pa.table(
+            {
+                "doc_a": t.column("doc_a"),
+                "doc_b": t.column("doc_b"),
+                "containment": pa.array(
+                    round_like_duckdb(
+                        t.column("containment_raw")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64),
+                        4,
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return joined.map_batches(_score, batch_format="pyarrow")
+
+
+def rd_from_arrow_empty_pairs():
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "containment": pa.array([], pa.float64()),
+            }
+        )
+    )

@@ -547,3 +547,277 @@ def weighted_quantiles(
             "value": pa.array([resolved[q] for q in order], pa.float64()),
         }
     )
+
+
+# --- grouped exact quantiles: ALL groups share each counting pass --------
+
+
+def _grouped_stats_pass(ds: Dataset, key: str, col: str) -> dict:
+    """Per-group (non-null n, min, max) in ONE streaming pass of
+    block partials; driver state is group-bounded. Null group keys are
+    dropped (callers with nullable keys should bucket them first)."""
+
+    def _partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(key)))
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        k, x = k[ok], x[ok]
+        out_t = pa.table(
+            {
+                "grp": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "mn": pa.array([], pa.float64()),
+                "mx": pa.array([], pa.float64()),
+            }
+        )
+        if len(k) == 0:
+            return out_t
+        order = np.argsort(k, kind="mergesort")
+        ks, xs = k[order], x[order]
+        new = np.empty(len(ks), np.bool_)
+        new[0] = True
+        new[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(ks))
+        return pa.table(
+            {
+                "grp": pa.array([str(g) for g in ks[starts]], pa.string()),
+                "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                "mn": pa.array(np.minimum.reduceat(xs, starts), pa.float64()),
+                "mx": pa.array(np.maximum.reduceat(xs, starts), pa.float64()),
+            }
+        )
+
+    stats: dict = {}
+    for r in ds.map_batches(_partials, batch_format="pyarrow").take_all():
+        g = r["grp"]
+        if g in stats:
+            n, mn, mx = stats[g]
+            stats[g] = (n + r["n"], min(mn, r["mn"]), max(mx, r["mx"]))
+        else:
+            stats[g] = (r["n"], r["mn"], r["mx"])
+    return stats
+
+
+def _grouped_count_pass(
+    ds: Dataset, key: str, col: str, pivots_by_group: dict
+) -> dict:
+    """(n_lt, n_le) per (group, pivot) for EVERY group at once — the
+    whole point of the grouped quickselect: #groups never multiplies
+    the number of corpus passes. Per block: rows are grouped with one
+    mergesort, each present group's slice is sorted and searchsorted
+    against THAT group's pivot grid; partials flow into one
+    (groups x pivots)-sized keyed aggregation."""
+    piv_items = sorted(
+        (g, np.asarray(p, np.float64)) for g, p in pivots_by_group.items()
+    )
+    piv_map = {g: p for g, p in piv_items}
+
+    def _partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(key)))
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(x)
+        k, x = k[ok], x[ok]
+        grps, idxs, lts, les = [], [], [], []
+        if len(k):
+            order = np.argsort(k, kind="mergesort")
+            ks, xs = k[order], x[order]
+            new = np.empty(len(ks), np.bool_)
+            new[0] = True
+            new[1:] = ks[1:] != ks[:-1]
+            starts = np.flatnonzero(new)
+            ends = np.append(starts[1:], len(ks))
+            for s, e in zip(starts, ends):
+                g = str(ks[s])
+                piv = piv_map.get(g)
+                if piv is None:
+                    continue
+                vs = np.sort(xs[s:e])
+                grps.append(np.full(len(piv), g, object))
+                idxs.append(np.arange(len(piv), dtype=np.int64))
+                lts.append(np.searchsorted(vs, piv, side="left"))
+                les.append(np.searchsorted(vs, piv, side="right"))
+        if not grps:
+            return pa.table(
+                {
+                    "grp": pa.array([], pa.string()),
+                    "piv_idx": pa.array([], pa.int64()),
+                    "n_lt": pa.array([], pa.int64()),
+                    "n_le": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "grp": pa.array(
+                    np.concatenate(grps).tolist(), pa.string()
+                ),
+                "piv_idx": pa.array(np.concatenate(idxs), pa.int64()),
+                "n_lt": pa.array(
+                    np.concatenate(lts).astype(np.int64), pa.int64()
+                ),
+                "n_le": pa.array(
+                    np.concatenate(les).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out: dict = {
+        g: (
+            np.zeros(len(p), np.int64),
+            np.zeros(len(p), np.int64),
+        )
+        for g, p in piv_map.items()
+    }
+    agg = (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["grp", "piv_idx"], num_partitions=2)
+        .aggregate(
+            Sum("n_lt", alias_name="n_lt"), Sum("n_le", alias_name="n_le")
+        )
+        .take_all()
+    )
+    for r in agg:
+        lt, le = out[r["grp"]]
+        lt[r["piv_idx"]] = r["n_lt"]
+        le[r["piv_idx"]] = r["n_le"]
+    return out
+
+
+def grouped_distributed_quantiles(
+    ds: Dataset,
+    key: str,
+    col: str,
+    qs: list[float],
+    *,
+    pull_cap: int = DEFAULT_PULL_CAP,
+    max_rounds: int = MAX_ROUNDS,
+) -> pa.Table:
+    """Exact ``quantile_disc`` per GROUP for every q, with all groups
+    advancing through SHARED counting passes — total corpus passes stay
+    O(log_32(n / pull_cap)) no matter how many groups there are (q68's
+    per-key loop pays #keys x that; its docstring tells unbounded key
+    spaces to bucket — this is the primitive that makes a bounded key
+    set free). Driver state is O(groups x qs x pivots); group keys are
+    stringified (the callers' keys are categorical strings). Returns a
+    (group, q, value) table sorted by (group, q); NULL values are
+    ignored per group, matching DuckDB."""
+    stats = _grouped_stats_pass(ds, key, col)
+    if not stats:
+        return pa.table(
+            {
+                "grp": pa.array([], pa.string()),
+                "q": pa.array([], pa.float64()),
+                "value": pa.array([], pa.float64()),
+            }
+        )
+    targets = {
+        (g, float(q)): max(1, math.ceil(q * stats[g][0]))
+        for g in stats
+        for q in qs
+    }
+    resolved: dict = {}
+    brackets: dict = {
+        gq: (-math.inf, math.inf, 0, stats[gq[0]][0]) for gq in targets
+    }
+
+    for _ in range(max_rounds):
+        active = {gq: b for gq, b in brackets.items() if gq not in resolved}
+        if not active:
+            break
+        # exact pull: ONE filter pass serves every small bracket
+        pulls = {
+            gq: b for gq, b in active.items() if b[3] <= pull_cap
+        }
+        if pulls:
+            ranges = {}
+            for (g, q), (blo, bhi, _nb, _ni) in pulls.items():
+                lo, hi = ranges.get(g, (math.inf, -math.inf))
+                ranges[g] = (min(lo, blo), max(hi, bhi))
+
+            def _in_ranges(t: pa.Table, _r=dict(ranges)) -> pa.Table:
+                t = t.filter(pc.is_valid(t.column(key)))
+                k = t.column(key).to_numpy(zero_copy_only=False)
+                x = (
+                    t.column(col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.float64)
+                )
+                # vectorized per GROUP (bounded), never per row
+                ks = k.astype(str) if k.dtype.kind != "U" else k
+                keep = np.zeros(len(k), np.bool_)
+                for g, (lo, hi) in _r.items():
+                    keep |= (ks == g) & (x > lo) & (x < hi)
+                return pa.table(
+                    {
+                        "grp": pa.array(
+                            [str(g) for g in k[keep]], pa.string()
+                        ),
+                        "value": pa.array(x[keep], pa.float64()),
+                    }
+                )
+
+            pulled: dict = {}
+            for r in ds.map_batches(
+                _in_ranges, batch_format="pyarrow"
+            ).take_all():
+                pulled.setdefault(r["grp"], []).append(r["value"])
+            for (g, q), (blo, bhi, n_below, _ni) in pulls.items():
+                vals = np.sort(
+                    [v for v in pulled.get(g, []) if blo < v < bhi]
+                )
+                idx = targets[(g, q)] - n_below - 1
+                if not (0 <= idx < len(vals)):
+                    raise RuntimeError(
+                        "grouped_distributed_quantiles: bracket invariant "
+                        f"broken (g={g}, q={q}, pulled={len(vals)})"
+                    )
+                resolved[(g, q)] = float(vals[idx])
+                del active[(g, q)]
+        if not active:
+            continue
+        # one shared counting pass over every group's pivot union
+        piv_by_group: dict = {}
+        for (g, q), (blo, bhi, _nb, _ni) in active.items():
+            glo = stats[g][1] if blo == -math.inf else blo
+            ghi = stats[g][2] if bhi == math.inf else bhi
+            grid = np.linspace(glo, ghi, PIVOTS_PER_BRACKET + 2)
+            piv_by_group.setdefault(g, set()).update(
+                float(p) for p in grid
+            )
+        piv_by_group = {
+            g: np.array(sorted(s), np.float64)
+            for g, s in piv_by_group.items()
+        }
+        counts = _grouped_count_pass(ds, key, col, piv_by_group)
+        for (g, q), (blo, bhi, _nb, _ni) in active.items():
+            k = targets[(g, q)]
+            pivots = piv_by_group[g]
+            n_lt, n_le = counts[g]
+            hit = np.where((n_lt < k) & (k <= n_le))[0]
+            if len(hit):
+                resolved[(g, q)] = float(pivots[hit[0]])
+                continue
+            i = int(np.searchsorted(n_le, k, side="left")) - 1
+            new_lo = float(pivots[i]) if i >= 0 else blo
+            new_below = int(n_le[i]) if i >= 0 else 0
+            j = int(np.searchsorted(n_lt, k, side="left"))
+            new_hi = float(pivots[j]) if j < len(pivots) else bhi
+            hi_lt = int(n_lt[j]) if j < len(pivots) else stats[g][0]
+            brackets[(g, q)] = (new_lo, new_hi, new_below, hi_lt - new_below)
+    else:
+        missing = [gq for gq in targets if gq not in resolved]
+        raise RuntimeError(
+            f"grouped_distributed_quantiles: {missing} did not resolve "
+            f"in {max_rounds} rounds"
+        )
+
+    order = sorted(resolved)
+    return pa.table(
+        {
+            "grp": pa.array([g for g, _ in order], pa.string()),
+            "q": pa.array([q for _, q in order], pa.float64()),
+            "value": pa.array([resolved[gq] for gq in order], pa.float64()),
+        }
+    )

@@ -7104,6 +7104,368 @@ FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q145_robust_outliers(sf_dir: str):
+    """Grouped ROBUST outlier audit — median, MAD, and the 3-MAD
+    outlier count per event type: the monitoring report that survives
+    heavy tails where mean/stddev z-scores (q86) drown. Built on
+    quantiles.grouped_distributed_quantiles, the primitive q68's
+    docstring pointed at: ALL groups advance through SHARED counting
+    passes, so the whole report costs O(log32 n) corpus passes no
+    matter how many groups exist. Median and MAD are exact data values
+    (DuckDB quantile_disc rank rule); the outlier test
+    |v - med| > 3*mad is single-expression IEEE, so the oracle replays
+    it bit-identically."""
+    from barks_ocr_ray.functions.quantiles import (
+        grouped_distributed_quantiles,
+    )
+
+    ev = read_table(sf_dir, "events", ["event_type", "value"])
+    med_t = grouped_distributed_quantiles(
+        ev, "event_type", "value", [0.5], pull_cap=2000
+    )
+    groups = med_t.column("grp").to_pylist()
+    meds = med_t.column("value").to_pylist()
+    med_of = dict(zip(groups, meds))
+    key_arr = pa.array(groups, pa.string())
+    med_arr = pa.array(meds, pa.float64())
+
+    def _resid(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), key_arr)
+        r = pc.abs(pc.subtract(t.column("value"), pc.take(med_arr, idx)))
+        return pa.table({"event_type": t.column("event_type"), "r": r})
+
+    res = ev.map_batches(_resid, batch_format="pyarrow")
+    mad_t = grouped_distributed_quantiles(
+        res, "event_type", "r", [0.5], pull_cap=2000
+    )
+    mad_of = dict(
+        zip(mad_t.column("grp").to_pylist(), mad_t.column("value").to_pylist())
+    )
+    thr_arr = pa.array([3.0 * mad_of[g] for g in groups], pa.float64())
+
+    def _count_out(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t.column("event_type"), key_arr)
+        r = pc.abs(pc.subtract(t.column("value"), pc.take(med_arr, idx)))
+        out = pc.fill_null(pc.greater(r, pc.take(thr_arr, idx)), False)
+        g = (
+            pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "o": out.cast(pa.int64()),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("o", "sum")])
+        )
+        return g.rename_columns(["event_type", "n_out"])
+
+    agg = (
+        ev.map_batches(_count_out, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .aggregate(Sum("n_out", alias_name="n_out"))
+        .take_all()
+    )
+    n_of = {r["event_type"]: r["n_out"] for r in agg}
+    order = sorted(groups)
+    return pa.table(
+        {
+            "event_type": pa.array(order, pa.string()),
+            "med": pa.array([med_of[g] for g in order], pa.float64()),
+            "mad": pa.array([mad_of[g] for g in order], pa.float64()),
+            "n_outliers": pa.array(
+                [int(n_of.get(g, 0)) for g in order], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q145 = """
+WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+           FROM events GROUP BY 1),
+s AS (SELECT e.event_type, quantile_disc(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN m USING (event_type) GROUP BY 1),
+j AS (SELECT e.event_type, m.med, s.mad,
+             CASE WHEN abs(e.value - m.med) > 3.0 * s.mad
+                  THEN 1 ELSE 0 END AS o
+      FROM events e JOIN m USING (event_type) JOIN s USING (event_type))
+SELECT event_type, med, mad, CAST(sum(o) AS BIGINT) AS n_outliers
+FROM j GROUP BY 1, 2, 3
+"""
+
+
+def q146_global_ntile(sf_dir: str):
+    """Global percentile bucketing — ntile(100) over (n_chars, doc_id)
+    — WITHOUT a global sort: n_chars has bounded cardinality (document
+    lengths, a few hundred distinct values), so ONE value-histogram
+    aggregation yields exact below-counts per value (the driver holds
+    only the cardinality-bounded offset table), and one keyed exchange
+    ranks within each value by doc_id; global rank = below[value] +
+    within-rank. DuckDB's ntile fill rule (first n%k buckets get one
+    extra row) is applied vectorized from (rank, n). Unbounded value
+    spaces should quantile-cut to a bounded grid first (q88) — the
+    offset table must stay driver-sized."""
+    import numpy as np
+
+    K = 100
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars").to_numpy(zero_copy_only=False)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {
+                "n_chars": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        docs.map_batches(_hist, batch_format="pyarrow")
+        .groupby("n_chars", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["n_chars"])
+    vals = np.array([r["n_chars"] for r in hist], np.int64)
+    cnts = np.array([r["n"] for r in hist], np.int64)
+    below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    n = int(cnts.sum())
+    size, big = n // K, n % K
+    cutoff = big * (size + 1)
+
+    def _rank(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, nch))
+        ids_s, nch_s = ids[order], nch[order]
+        new = np.empty(len(order), np.bool_)
+        new[0] = True
+        new[1:] = nch_s[1:] != nch_s[:-1]
+        starts = np.flatnonzero(new)
+        within = (
+            np.arange(len(order), dtype=np.int64)
+            - np.repeat(starts, np.diff(np.append(starts, len(order))))
+            + 1
+        )
+        r = below[np.searchsorted(vals, nch_s)] + within
+        if size > 0:
+            bucket = (
+                np.where(
+                    r <= cutoff,
+                    (r - 1) // (size + 1),
+                    big + (r - cutoff - 1) // size,
+                )
+                + 1
+            )
+        else:  # n < K: every row its own bucket
+            bucket = r
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_s, pa.int64()),
+                "n_chars": pa.array(nch_s, pa.int64()),
+                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.repartition(hash_partitions(8), keys=["n_chars"]).map_batches(
+        _rank, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q146 = """
+SELECT doc_id, n_chars,
+       ntile(100) OVER (ORDER BY n_chars, doc_id) AS bucket
+FROM documents
+"""
+
+
+def q147_recency_score(sf_dir: str):
+    """Recency-weighted engagement: per user, sum of value * 2^-age
+    (age = whole days before the corpus' newest event), top 20. Each
+    contribution converts to INTEGER micros BEFORE the grouped sum
+    (the q137 micro-unit pattern), so the sum is order-independent
+    under any partitioning; 2^-d is a power of two, exactly
+    representable, so pow(0.5, d) is bit-stable in both engines and
+    the only rounding goes through round_like_duckdb."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "value"])
+    mx_us = int(
+        pa.scalar(ev.max("ts")).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+    )
+
+    def _micros(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = (mx_us - ts) // 86_400_000_000
+        micros = round_like_duckdb(v * np.power(0.5, d) * 1e6, 0).astype(
+            np.int64
+        )
+        g = (
+            pa.table(
+                {
+                    "user_id": t.column("user_id"),
+                    "micros": pa.array(micros, pa.int64()),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("micros", "sum")])
+        )
+        return g.rename_columns(["user_id", "score_micros"])
+
+    return (
+        ev.map_batches(_micros, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=hash_partitions(8))
+        .aggregate(Sum("score_micros", alias_name="score_micros"))
+        .sort(["score_micros", "user_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+SQL_Q147 = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+c AS (SELECT user_id,
+             CAST(round(value
+                        * pow(0.5, (epoch_us(m) - epoch_us(ts))
+                                   // 86400000000)
+                        * 1000000) AS BIGINT) AS micros
+      FROM events, mx)
+SELECT user_id, CAST(sum(micros) AS BIGINT) AS score_micros
+FROM c GROUP BY 1
+ORDER BY score_micros DESC, user_id LIMIT 20
+"""
+
+
+def q148_ngram_containment(sf_dir: str):
+    """Directed 5-gram containment (sub-document duplication): doc A is
+    flagged inside doc B when >= 50% of A's distinct 5-grams appear in
+    B — the asymmetric near-dup symmetric Jaccard (q21) dilutes away.
+    Inverted-index equi-join on the gram with a document-frequency
+    window [2, 20] (part of the metric, replayed by the oracle) — no
+    quadratic blocking; see dedupe.ngram_containment_pairs."""
+    from barks_ocr_ray.functions.dedupe import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        threshold=0.5,
+        ngram=5,
+        df_cap=20,
+    )
+
+
+def _sql_q148(threshold: float = 0.5, df_cap: int = 20) -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 4, 1) + 1),
+           i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents WHERE text IS NOT NULL) t),
+sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+df AS (SELECT gram FROM g GROUP BY gram
+       HAVING count(*) BETWEEN 2 AND {df_cap}),
+k AS (SELECT g.doc_id, g.gram FROM g JOIN df USING (gram)),
+p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(p.inter AS DOUBLE) / sz.n_grams, 4) AS containment
+FROM p JOIN sz ON sz.doc_id = p.doc_a
+WHERE CAST(p.inter AS DOUBLE) / sz.n_grams >= {threshold}
+"""
+
+
+def q149_proportional_sample(sf_dir: str):
+    """Largest-remainder (Hamilton) proportional allocation of a fixed
+    100-doc budget across languages, then the deterministic md5-rank
+    k-sample per language at the allocated k — 'exactly N docs,
+    proportional by language, reproducibly' (the eval-set builder's
+    counterpart to q46's per-stratum RATE and q142's fixed k). The
+    allocation runs on the language histogram (driver-side,
+    lang-bounded); the sample is ONE lang-keyed exchange with the q142
+    rank kernel. Quota arithmetic (100.0*n/tot, floor, remainder
+    ordering) is single-expression IEEE, replayed by the oracle."""
+    import hashlib
+
+    import numpy as np
+
+    N = 100
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+    hist = (
+        docs.groupby("lang", num_partitions=2)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: r["lang"])
+    langs = [r["lang"] for r in hist]
+    ns = np.array([r["n"] for r in hist], np.float64)
+    quota = (100.0 * ns) / ns.sum()
+    base = np.floor(quota)
+    rem = quota - base
+    leftover = int(N - base.sum())
+    order = np.lexsort((np.array(langs), -rem))
+    alloc = base.astype(np.int64)
+    if leftover > 0:
+        alloc[order[:leftover]] += 1
+    alloc_of = {g: int(a) for g, a in zip(langs, alloc)}
+
+    def _rank(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        lgs = t.column("lang").to_numpy(zero_copy_only=False)
+        hs = np.array(
+            [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        )
+        srt = np.lexsort((ids, hs, lgs))
+        lgs_s, ids_s = lgs[srt], ids[srt]
+        new = np.empty(len(srt), np.bool_)
+        new[0] = True
+        new[1:] = lgs_s[1:] != lgs_s[:-1]
+        starts = np.flatnonzero(new)
+        rk = (
+            np.arange(len(srt), dtype=np.int64)
+            - np.repeat(starts, np.diff(np.append(starts, len(srt))))
+            + 1
+        )
+        caps = np.array([alloc_of.get(g, 0) for g in lgs_s], np.int64)
+        keep = rk <= caps
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_s[keep], pa.int64()),
+                "lang": pa.array(lgs_s[keep], pa.string()),
+                "alloc": pa.array(caps[keep], pa.int64()),
+            }
+        )
+
+    return docs.repartition(hash_partitions(8), keys=["lang"]).map_batches(
+        _rank, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q149 = """
+WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM s),
+b AS (SELECT lang, 100.0 * n / tot AS quota FROM s, t),
+l AS (SELECT CAST(100 - sum(floor(quota)) AS BIGINT) AS leftover FROM b),
+a AS (SELECT lang,
+             CAST(floor(quota) AS BIGINT)
+             + CASE WHEN row_number() OVER (
+                      ORDER BY quota - floor(quota) DESC, lang) <= leftover
+                    THEN 1 ELSE 0 END AS alloc
+      FROM b, l),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+SELECT r.doc_id, r.lang, a.alloc
+FROM r JOIN a USING (lang) WHERE r.rk <= a.alloc
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -7265,6 +7627,11 @@ def build_registry():
         "q142_group_ksample": q142_group_ksample,
         "q143_adoption_curve": q143_adoption_curve,
         "q144_event_path_bigrams": q144_event_path_bigrams,
+        "q145_robust_outliers": q145_robust_outliers,
+        "q146_global_ntile": q146_global_ntile,
+        "q147_recency_score": q147_recency_score,
+        "q148_ngram_containment": q148_ngram_containment,
+        "q149_proportional_sample": q149_proportional_sample,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -7449,5 +7816,10 @@ def build_registry():
         "q142_group_ksample": SQL_Q142,
         "q143_adoption_curve": SQL_Q143,
         "q144_event_path_bigrams": SQL_Q144,
+        "q145_robust_outliers": SQL_Q145,
+        "q146_global_ntile": SQL_Q146,
+        "q147_recency_score": SQL_Q147,
+        "q148_ngram_containment": _sql_q148(),
+        "q149_proportional_sample": SQL_Q149,
     }
     return queries, oracles

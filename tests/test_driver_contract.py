@@ -106,7 +106,12 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q141_zorder_layout", 1),
                         ("q142_group_ksample", 1),
                         ("q143_adoption_curve", 1),
-                        ("q144_event_path_bigrams", 1)):
+                        ("q144_event_path_bigrams", 1),
+                        ("q145_robust_outliers", 1),
+                        ("q146_global_ntile", 1),
+                        ("q147_recency_score", 1),
+                        ("q148_ngram_containment", 1),
+                        ("q149_proportional_sample", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
