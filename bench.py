@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q127_sketch_quantiles",
     "q129_incremental_dedup",
     "q131_bpe_train",
+    "q145_robust_outliers",
+    "q148_ngram_containment",
 ]
 
 

@@ -111,7 +111,12 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q146_global_ntile", 1),
                         ("q147_recency_score", 1),
                         ("q148_ngram_containment", 1),
-                        ("q149_proportional_sample", 1)):
+                        ("q149_proportional_sample", 1),
+                        ("q150_grouped_heavy_terms", 1),
+                        ("q151_funnel_steps", 1),
+                        ("q152_rollup_quantity", 1),
+                        ("q153_weighted_sample", 1),
+                        ("q154_grouped_correlation", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
