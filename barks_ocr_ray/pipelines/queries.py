@@ -7858,6 +7858,307 @@ ORDER BY event_type
 """
 
 
+def q155_daily_trailing_average(sf_dir: str):
+    """Gap-filled daily event series with a trailing 7-day average —
+    the dense date spine a forecasting/monitoring feature needs (a
+    plain GROUP BY day silently drops zero-traffic days, corrupting
+    every window that follows). ONE day-keyed aggregation (day-bounded
+    result); the spine fill and rolling window fold driver-side on the
+    bounded table. Counts are integers, so the window sum is exact and
+    the average is a single division — no accumulation-order hazard."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u, c = np.unique((ts // DAY) * DAY, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby("day", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    have = {r["day"]: r["n"] for r in rows}
+    days = np.arange(min(have), max(have) + DAY, DAY, dtype=np.int64)
+    n = np.array([have.get(int(d), 0) for d in days], np.int64)
+    csum = np.concatenate(([0], np.cumsum(n)))
+    win = np.minimum(np.arange(len(n)) + 1, 7)
+    wsum = csum[1:] - csum[np.maximum(np.arange(len(n)) - 6, 0)]
+    avg7 = round_like_duckdb(wsum.astype(np.float64) / win, 4)
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
+            "n": pa.array(n, pa.int64()),
+            "avg7": pa.array(avg7, pa.float64()),
+        }
+    )
+
+
+SQL_Q155 = """
+WITH d AS (SELECT date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+s AS (SELECT unnest(generate_series((SELECT min(day) FROM d),
+                                    (SELECT max(day) FROM d),
+                                    INTERVAL '1 day')) AS day),
+f AS (SELECT s.day, coalesce(d.n, 0) AS n FROM s LEFT JOIN d USING (day))
+SELECT day, n,
+       round(avg(CAST(n AS DOUBLE)) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
+FROM f
+"""
+
+
+def q156_gap_quantiles(sf_dir: str):
+    """Inter-event gap distribution (seconds between a user's
+    consecutive events) — exact p25/p50/p90 WITHOUT a global sort: ONE
+    user-keyed exchange derives the gaps vectorized (lexsort, adjacent
+    diff masked at user boundaries), then the counting quickselect
+    (distributed_quantiles) resolves the quantiles over the derived
+    stream. Composes the two primitives end-to-end: keyed window
+    derivation feeding rank selection."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def _gaps(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, us))
+        us, ts = us[order], ts[order]
+        same = us[1:] == us[:-1]
+        gaps = (ts[1:] - ts[:-1])[same].astype(np.float64) / 1e6
+        return pa.table({"gap_s": pa.array(gaps, pa.float64())})
+
+    from barks_ocr_ray.functions.quantiles import distributed_quantiles
+
+    gaps = (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_gaps, batch_format="pyarrow", batch_size=None)
+        .materialize()  # the quickselect reads it once per counting pass
+    )
+    t = distributed_quantiles(gaps, "gap_s", [0.25, 0.5, 0.9], pull_cap=2000)
+    return pa.table(
+        {
+            "q": t.column("q"),
+            "gap_s": pa.array(
+                round_like_duckdb(
+                    t.column("value").to_numpy(zero_copy_only=False), 6
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+SQL_Q156 = """
+WITH g AS (
+  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0
+         AS gap_s
+  FROM events),
+v AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL)
+SELECT q, gap_s FROM (
+  SELECT CAST(0.25 AS DOUBLE) AS q,
+         round(quantile_disc(gap_s, 0.25), 6) AS gap_s FROM v
+  UNION ALL
+  SELECT CAST(0.5 AS DOUBLE), round(quantile_disc(gap_s, 0.5), 6) FROM v
+  UNION ALL
+  SELECT CAST(0.9 AS DOUBLE), round(quantile_disc(gap_s, 0.9), 6) FROM v) t
+ORDER BY q
+"""
+
+
+def q157_rfm_segments(sf_dir: str):
+    """RFM customer segmentation — recency / frequency / monetary
+    quartile scores and the composed 3-digit segment code, the
+    classic marketing-analytics operator. Everything stays INTEGER
+    (days, counts, cents), so there is no float hazard anywhere: one
+    customer-keyed aggregation builds the metrics, the counting
+    quickselect finds the three quartile thresholds per metric over
+    the AGGREGATED (customer-level) dataset — materialized once, it
+    feeds three quantile runs and the scoring pass — and scores are
+    strict-greater threshold counts replayed exactly by the oracle."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.quantiles import distributed_quantiles
+
+    DAY = 86_400_000_000
+    orders = read_table(
+        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def _derive(t: pa.Table) -> pa.Table:
+        cents = round_like_duckdb(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0,
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "date_us": t.column("o_orderdate").cast(pa.int64()),
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(_derive, batch_format="pyarrow")
+        .groupby("o_custkey", num_partitions=hash_partitions(8))
+        .aggregate(
+            Max("date_us", alias_name="mymax"),
+            Sum("one", alias_name="freq"),
+            Sum("cents", alias_name="mon"),
+        )
+        .materialize()  # read by 4 consumers: gmax, 3 quantile runs, scoring
+    )
+    gmax = int(per_cust.max("mymax"))
+
+    def _metrics(t: pa.Table) -> pa.Table:
+        rec = (
+            gmax - t.column("mymax").to_numpy(zero_copy_only=False)
+        ) // DAY
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "rec": pa.array(rec.astype(np.int64), pa.int64()),
+                "freq": t.column("freq"),
+                "mon": t.column("mon"),
+            }
+        )
+
+    metrics = per_cust.map_batches(
+        _metrics, batch_format="pyarrow"
+    ).materialize()
+    thr = {
+        col: distributed_quantiles(
+            metrics, col, [0.25, 0.5, 0.75], pull_cap=2000
+        )
+        .column("value")
+        .to_pylist()
+        for col in ("rec", "freq", "mon")
+    }
+
+    def _score(t: pa.Table) -> pa.Table:
+        out = {"o_custkey": t.column("o_custkey")}
+        scores = {}
+        for col in ("rec", "freq", "mon"):
+            v = t.column(col).to_numpy(zero_copy_only=False)
+            s = np.ones(len(v), np.int64)
+            for tv in thr[col]:
+                s += (v > tv).astype(np.int64)
+            scores[col] = s
+        out["r_score"] = pa.array(scores["rec"], pa.int64())
+        out["f_score"] = pa.array(scores["freq"], pa.int64())
+        out["m_score"] = pa.array(scores["mon"], pa.int64())
+        out["rfm"] = pa.array(
+            scores["rec"] * 100 + scores["freq"] * 10 + scores["mon"],
+            pa.int64(),
+        )
+        return pa.table(out)
+
+    return metrics.map_batches(_score, batch_format="pyarrow")
+
+
+SQL_Q157 = """
+WITH a AS (SELECT o_custkey,
+                  epoch_us(max(o_orderdate)) AS mymax,
+                  CAST(count(*) AS BIGINT) AS freq,
+                  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+                       AS BIGINT) AS mon
+           FROM orders GROUP BY 1),
+b AS (SELECT o_custkey,
+             ((SELECT max(mymax) FROM a) - mymax) // 86400000000 AS rec,
+             freq, mon
+      FROM a),
+t AS (SELECT quantile_disc(rec, 0.25) AS r1, quantile_disc(rec, 0.5) AS r2,
+             quantile_disc(rec, 0.75) AS r3,
+             quantile_disc(freq, 0.25) AS f1, quantile_disc(freq, 0.5) AS f2,
+             quantile_disc(freq, 0.75) AS f3,
+             quantile_disc(mon, 0.25) AS m1, quantile_disc(mon, 0.5) AS m2,
+             quantile_disc(mon, 0.75) AS m3
+      FROM b),
+s AS (SELECT o_custkey,
+             1 + CAST(rec > r1 AS BIGINT) + CAST(rec > r2 AS BIGINT)
+               + CAST(rec > r3 AS BIGINT) AS r_score,
+             1 + CAST(freq > f1 AS BIGINT) + CAST(freq > f2 AS BIGINT)
+               + CAST(freq > f3 AS BIGINT) AS f_score,
+             1 + CAST(mon > m1 AS BIGINT) + CAST(mon > m2 AS BIGINT)
+               + CAST(mon > m3 AS BIGINT) AS m_score
+      FROM b, t)
+SELECT o_custkey, r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm
+FROM s
+"""
+
+
+def q158_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-cluster size histogram — how many exact-duplicate
+    clusters exist at each size (the dedup-rate report that tells you
+    whether duplication is a few mega-clusters or a long tail, which
+    picks the dedup strategy). One content-hash-keyed aggregation
+    (the exact-dedup exchange), then a size histogram whose partials
+    are cluster-size-bounded. md5 is the oracle-replayable hash; null
+    text forms no cluster, matching the SQL."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.dedupe import md5_hex
+
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    def _hash_partials(t: pa.Table) -> pa.Table:
+        txts = t.column("text").to_pylist()
+        hs = [md5_hex(x) for x in txts if x is not None]
+        u, c = np.unique(np.array(hs, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(u.tolist(), pa.string()),
+                "sz": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    clusters = (
+        docs.map_batches(_hash_partials, batch_format="pyarrow")
+        .groupby("h", num_partitions=hash_partitions(8))
+        .aggregate(Sum("sz", alias_name="sz"))
+    )
+
+    def _size_partials(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t.column("sz").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "sz": pa.array(u, pa.int64()),
+                "n_clusters": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        clusters.map_batches(_size_partials, batch_format="pyarrow")
+        .groupby("sz", num_partitions=2)
+        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
+    )
+
+
+SQL_Q158 = """
+WITH c AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
+           FROM documents WHERE text IS NOT NULL GROUP BY 1)
+SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -8029,6 +8330,10 @@ def build_registry():
         "q152_rollup_quantity": q152_rollup_quantity,
         "q153_weighted_sample": q153_weighted_sample,
         "q154_grouped_correlation": q154_grouped_correlation,
+        "q155_daily_trailing_average": q155_daily_trailing_average,
+        "q156_gap_quantiles": q156_gap_quantiles,
+        "q157_rfm_segments": q157_rfm_segments,
+        "q158_dup_cluster_sizes": q158_dup_cluster_sizes,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -8223,14 +8528,18 @@ def build_registry():
         "q152_rollup_quantity": SQL_Q152,
         "q153_weighted_sample": SQL_Q153,
         "q154_grouped_correlation": SQL_Q154,
+        "q155_daily_trailing_average": SQL_Q155,
+        "q156_gap_quantiles": SQL_Q156,
+        "q157_rfm_segments": SQL_Q157,
+        "q158_dup_cluster_sizes": SQL_Q158,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed
-    # q01-q50. Iterate the NEWEST fifty (q105-q154) first this round so
+    # q01-q50. Iterate the NEWEST fifty first this round so
     # every family accumulates driver-verified rows across rounds —
     # the registry CONTENT is unchanged (tools/oracle_check.py sweeps
     # all of it, and every entry keeps its oracle either way).
     names = list(queries)
-    rotated = names[104:] + names[50:104] + names[:50]
+    rotated = names[-50:] + names[50:-50] + names[:50]
     queries = {n: queries[n] for n in rotated}
     return queries, oracles
