@@ -277,3 +277,87 @@ def paragraph_dedup(
         .groupby("doc_id", num_partitions=hash_partitions(num_partitions))
         .map_groups(_reassemble, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------------------------------
+# Compression-ratio quality signal
+# --------------------------------------------------------------------------
+
+#: zlib level for the ratio signal — fixed so the golden replay is
+#: byte-deterministic (same zlib, same level, same container)
+COMP_LEVEL = 6
+#: documents compressing below 25% of raw size are template/repetition
+#: farms; above 80% they are random/encoded-garbage-like (natural text
+#: sits near 35-60%; random printable ASCII measures ~83%) — the
+#: classic Dolma/RedPajama compression-ratio gates
+REPETITIVE_BP = 2500
+RANDOM_BP = 8000
+#: below this raw size the zlib header/dictionary overhead dominates the
+#: ratio (a 23-byte sentence measures >100%), so short docs are counted
+#: and summed but exempt from both gates
+MIN_GATE_LEN = 64
+
+
+def compression_profile(text: str) -> tuple[int, int]:
+    """Pure per-row kernel: (utf-8 raw size, zlib-compressed size as
+    basis points of raw — floor division, integer, replayed exactly by
+    the single-process golden). Deterministic for a fixed zlib level."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    return len(raw), len(zlib.compress(raw, COMP_LEVEL)) * 10000 // len(raw)
+
+
+def compression_bp(text: str) -> int:
+    return compression_profile(text)[1]
+
+
+def compression_ratio_stats(docs: Dataset) -> Dataset:
+    """Per-source compression-ratio profile: doc counts, how many fall
+    in the repetitive/random gates, and the exact integer sum of ratio
+    basis points. zlib runs at C speed per row (it IS the useful
+    compute, unlike the hash-overhead family); partials are
+    source-keyed int64 rows, so the one exchange is group-sized.
+    Null/empty text is excluded (no ratio exists). Reference quality
+    gates ancestor: /root/reference/src/barks_ocr/utils/group_checks.py
+    (per-text heuristic predicates)."""
+
+    def _partials(t: pa.Table) -> pa.Table:
+        srcs = t.column("source").to_pylist()
+        txts = t.column("text").to_pylist()
+        agg: dict[str, list[int]] = {}
+        for s, x in zip(srcs, txts):
+            if not x:
+                continue
+            raw_len, bp = compression_profile(x)
+            row = agg.setdefault(s, [0, 0, 0, 0])
+            row[0] += 1
+            if raw_len >= MIN_GATE_LEN:
+                row[1] += bp <= REPETITIVE_BP
+                row[2] += bp >= RANDOM_BP
+            row[3] += bp
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "source": pa.array(keys, pa.string()),
+                "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "n_repetitive": pa.array(
+                    [agg[k][1] for k in keys], pa.int64()
+                ),
+                "n_random": pa.array([agg[k][2] for k in keys], pa.int64()),
+                "sum_ratio_bp": pa.array(
+                    [agg[k][3] for k in keys], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_repetitive", alias_name="n_repetitive"),
+            Sum("n_random", alias_name="n_random"),
+            Sum("sum_ratio_bp", alias_name="sum_ratio_bp"),
+        )
+    )

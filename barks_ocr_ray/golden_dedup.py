@@ -740,3 +740,102 @@ def golden_incremental_minhash(
             "est_jaccard": pa.array([-best[i][0] for i in ids], pa.float64()),
         }
     )
+
+
+def golden_compression_stats(docs: pa.Table) -> pa.Table:
+    """Sequential replay of cleaning.compression_ratio_stats — shares
+    only the pure per-row kernel (compression_bp); the per-source
+    accumulation and gate counting are plain loops, pinning the
+    distributed partial/Sum orchestration."""
+    from barks_ocr_ray.functions.cleaning import (
+        MIN_GATE_LEN,
+        RANDOM_BP,
+        REPETITIVE_BP,
+        compression_profile,
+    )
+
+    agg: dict[str, list[int]] = {}
+    for s, x in zip(
+        docs.column("source").to_pylist(), docs.column("text").to_pylist()
+    ):
+        if not x:
+            continue
+        raw_len, bp = compression_profile(x)
+        row = agg.setdefault(s, [0, 0, 0, 0])
+        row[0] += 1
+        if raw_len >= MIN_GATE_LEN:
+            row[1] += bp <= REPETITIVE_BP
+            row[2] += bp >= RANDOM_BP
+        row[3] += bp
+    keys = sorted(agg)
+    return pa.table(
+        {
+            "source": pa.array(keys, pa.string()),
+            "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+            "n_repetitive": pa.array([agg[k][1] for k in keys], pa.int64()),
+            "n_random": pa.array([agg[k][2] for k in keys], pa.int64()),
+            "sum_ratio_bp": pa.array([agg[k][3] for k in keys], pa.int64()),
+        }
+    )
+
+
+def golden_link_graph(pages: pa.Table, k: int = 20) -> pa.Table:
+    """Sequential replay of links.link_graph_topk — shares only the pure
+    per-row kernel (page_outlinks); pair counting, the distinct-source
+    rollup and the top-k ordering are plain dict loops."""
+    from collections import Counter
+
+    from barks_ocr_ray.functions.links import page_outlinks
+
+    pair: Counter = Counter()
+    for u, p in zip(
+        pages.column("url").to_pylist(), pages.column("html").to_pylist()
+    ):
+        for tgt, _anchor in page_outlinks(u, p):
+            pair[(tgt, u)] += 1
+    refs: Counter = Counter()
+    srcs: Counter = Counter()
+    for (tgt, _src), n in pair.items():
+        refs[tgt] += n
+        srcs[tgt] += 1
+    top = sorted(refs, key=lambda t: (-refs[t], t))[:k]
+    return pa.table(
+        {
+            "target": pa.array(top, pa.string()),
+            "n_refs": pa.array([refs[t] for t in top], pa.int64()),
+            "n_src_pages": pa.array([srcs[t] for t in top], pa.int64()),
+        }
+    )
+
+
+def golden_anchor_terms(pages: pa.Table, k: int = 30) -> pa.Table:
+    """Sequential replay of links.anchor_term_index (same kernel-sharing
+    contract as golden_link_graph; tokenization is the shared
+    TOKEN_RE findall)."""
+    import re as _re
+    from collections import Counter
+
+    from barks_ocr_ray.functions.links import page_outlinks
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    token_re = _re.compile(TOKEN_RE)
+    pair: Counter = Counter()
+    for u, p in zip(
+        pages.column("url").to_pylist(), pages.column("html").to_pylist()
+    ):
+        for tgt, anchor in page_outlinks(u, p):
+            for w in token_re.findall(anchor.lower()):
+                pair[(w, tgt)] += 1
+    links: Counter = Counter()
+    tgts: Counter = Counter()
+    for (w, _tgt), n in pair.items():
+        links[w] += n
+        tgts[w] += 1
+    top = sorted(links, key=lambda t: (-links[t], t))[:k]
+    return pa.table(
+        {
+            "term": pa.array(top, pa.string()),
+            "n_links": pa.array([links[t] for t in top], pa.int64()),
+            "n_targets": pa.array([tgts[t] for t in top], pa.int64()),
+        }
+    )

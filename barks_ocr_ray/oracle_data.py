@@ -299,6 +299,39 @@ TAG_COL = {
 }
 
 
+def link_graph_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_link_graph_n{n}.parquet")
+
+
+def ensure_link_graph_golden(n: int) -> str:
+    """Single-process golden of the outlink graph top-k over the n-row
+    corpus (golden_dedup.golden_link_graph replay)."""
+    path = link_graph_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.golden_dedup import golden_link_graph
+
+    _atomic_write(golden_link_graph(pages_table(n)), path)
+    return path
+
+
+def anchor_terms_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_anchor_terms_n{n}.parquet")
+
+
+def ensure_anchor_terms_golden(n: int) -> str:
+    """Single-process golden of the anchor-text term index top-k."""
+    path = anchor_terms_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.golden_dedup import golden_anchor_terms
+
+    _atomic_write(golden_anchor_terms(pages_table(n)), path)
+    return path
+
+
 def corpus_tag_sql(table: str) -> str:
     """The fingerprint subquery the golden-backed oracle SQL embeds."""
     return (
@@ -409,6 +442,9 @@ def ensure_neardup_goldens() -> dict[str, str]:
             "inc_minhash", "documents",
             lambda t: g.golden_incremental_minhash(t, threshold=0.4),
         ),
+        "q159": ensure_neardup_golden(
+            "comp_ratio", "documents", g.golden_compression_stats
+        ),
     }
 
 
@@ -423,6 +459,8 @@ def ensure_all() -> dict[str, str]:
         "q49": ensure_frames_golden(Q25_N),
         "q50": ensure_resize_golden(Q25_N),
         "q26": ensure_validation_golden(Q34_N),
+        "q161": ensure_link_graph_golden(Q24_N),
+        "q162": ensure_anchor_terms_golden(Q24_N),
     }
     out.update(ensure_neardup_goldens())
     return out

@@ -8159,6 +8159,180 @@ FROM c GROUP BY 1
 """
 
 
+def q159_compression_ratio(sf_dir: str):
+    """Compression-ratio quality gate (Dolma/RedPajama-style): per
+    source, how many documents fall in the repetitive (<25% of raw
+    size) and random-like (>90%) zlib gates, plus the exact integer
+    sum of ratio basis points. zlib runs at C speed inside the block
+    pass — it IS the signal's compute — and the single exchange
+    carries source-keyed int64 partials. Oracle: single-process golden
+    (zlib is not SQL-replayable), golden_dedup.golden_compression_stats."""
+    from barks_ocr_ray.functions.cleaning import compression_ratio_stats
+
+    return compression_ratio_stats(
+        read_table(sf_dir, "documents", ["source", "text"])
+    )
+
+
+def q160_char_entropy(sf_dir: str):
+    """Per-document character-entropy quality signal, aggregated per
+    source: shannon entropy over codepoint frequencies, each
+    (doc, char) term rounded to int64 MICRO-nats before the per-doc
+    sum (q137 fixed-point discipline — integer sums are
+    order-independent, so the distributed result replays bit-exactly
+    in DuckDB). Everything up to the final source-keyed Sum is
+    block-local: a document's chars live in its own row, so per-doc
+    entropy needs NO exchange — one utf-32 decode per batch, one
+    np.unique over (doc_idx, codepoint) keys, one reduceat."""
+    import numpy as np
+
+    LOW_MICRO = 1_500_000  # < 1.5 nats => near-constant text
+
+    docs = read_table(sf_dir, "documents", ["source", "text"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        txts = t.column("text").to_pylist()
+        srcs = t.column("source").to_pylist()
+        keep_src, lens, parts = [], [], []
+        for s, x in zip(srcs, txts):
+            if x:
+                keep_src.append(s)
+                lens.append(len(x))
+                parts.append(x)
+        if not parts:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_low_entropy": pa.array([], pa.int64()),
+                    "sum_entropy_micro": pa.array([], pa.int64()),
+                }
+            )
+        codes = np.frombuffer(
+            "".join(parts).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        lens_arr = np.array(lens, np.int64)
+        doc_idx = np.repeat(np.arange(len(parts), dtype=np.int64), lens_arr)
+        # one key per (doc, codepoint); codepoints < 2^21
+        keys, counts = np.unique(doc_idx * (1 << 21) + codes, return_counts=True)
+        term_doc = keys >> 21
+        n = lens_arr[term_doc].astype(np.float64)
+        p = counts.astype(np.float64) / n
+        micro = round_like_duckdb(-p * np.log(p) * 1e6, 0).astype(np.int64)
+        # per-doc integer sum: term_doc is sorted (np.unique), reduceat
+        starts = np.flatnonzero(
+            np.r_[True, term_doc[1:] != term_doc[:-1]]
+        )
+        doc_micro = np.add.reduceat(micro, starts)
+        doc_of = term_doc[starts]
+        src_arr = np.array(keep_src, dtype=object)[doc_of]
+        u_src = np.unique(src_arr)
+        rows = []
+        for s in u_src:
+            m = src_arr == s
+            dm = doc_micro[m]
+            rows.append(
+                (s, int(m.sum()), int((dm < LOW_MICRO).sum()), int(dm.sum()))
+            )
+        return pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+                "n_low_entropy": pa.array([r[2] for r in rows], pa.int64()),
+                "sum_entropy_micro": pa.array(
+                    [r[3] for r in rows], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_low_entropy", alias_name="n_low_entropy"),
+            Sum("sum_entropy_micro", alias_name="sum_entropy_micro"),
+        )
+    )
+
+
+SQL_Q160 = """
+WITH d AS (
+  SELECT doc_id, source, text, CAST(length(text) AS DOUBLE) AS n
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+cnt AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d)
+  GROUP BY 1, 2),
+terms AS (
+  SELECT cnt.doc_id,
+         CAST(round(-(c / d.n) * ln(c / d.n) * 1000000, 0) AS BIGINT)
+           AS micro
+  FROM cnt JOIN d USING (doc_id)),
+docs AS (
+  SELECT doc_id, CAST(sum(micro) AS BIGINT) AS doc_micro
+  FROM terms GROUP BY 1)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_micro < 1500000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_entropy,
+       CAST(sum(doc_micro) AS BIGINT) AS sum_entropy_micro
+FROM docs JOIN d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q161_link_graph(sf_dir: str):
+    """Outlink graph over the synthesized pages corpus: per link target,
+    total reference count + exact distinct source pages, top-20. The
+    href parse/resolve is block-local (a page's links live in its own
+    row); exchanges are the (target, src) distinct and the target
+    rollup, both edge-bounded. Oracle: single-process golden replay
+    (oracle_data.ensure_link_graph_golden) — fixed-size corpus, valid at
+    any sf_dir."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.functions.links import link_graph_topk
+    from barks_ocr_ray.oracle_data import Q24_N
+
+    configure()
+    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(["url", "html"])
+    return link_graph_topk(pages, k=20)
+
+
+def _sql_q161() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, link_graph_golden_path
+
+    return (
+        "SELECT target, n_refs, n_src_pages FROM "
+        f"read_parquet('{link_graph_golden_path(Q24_N)}')"
+    )
+
+
+def q162_anchor_terms(sf_dir: str):
+    """Anchor-text inverted index over the pages corpus: token ->
+    (n_links, n_distinct_targets), top-30 — the web-search sibling of
+    the q08 body-text index. Same two-level keyed aggregation as q161,
+    keyed by (term, target)."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.functions.links import anchor_term_index
+    from barks_ocr_ray.oracle_data import Q24_N
+
+    configure()
+    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(["url", "html"])
+    return anchor_term_index(pages, k=30)
+
+
+def _sql_q162() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, anchor_terms_golden_path
+
+    return (
+        "SELECT term, n_links, n_targets FROM "
+        f"read_parquet('{anchor_terms_golden_path(Q24_N)}')"
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -8334,6 +8508,10 @@ def build_registry():
         "q156_gap_quantiles": q156_gap_quantiles,
         "q157_rfm_segments": q157_rfm_segments,
         "q158_dup_cluster_sizes": q158_dup_cluster_sizes,
+        "q159_compression_ratio": q159_compression_ratio,
+        "q160_char_entropy": q160_char_entropy,
+        "q161_link_graph": q161_link_graph,
+        "q162_anchor_terms": q162_anchor_terms,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -8532,6 +8710,14 @@ def build_registry():
         "q156_gap_quantiles": SQL_Q156,
         "q157_rfm_segments": SQL_Q157,
         "q158_dup_cluster_sizes": SQL_Q158,
+        "q159_compression_ratio": _sql_golden(
+            "comp_ratio",
+            "source, n_docs, n_repetitive, n_random, sum_ratio_bp",
+            "documents",
+        ),
+        "q160_char_entropy": SQL_Q160,
+        "q161_link_graph": _sql_q161(),
+        "q162_anchor_terms": _sql_q162(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -120,7 +120,9 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q155_daily_trailing_average", 1),
                         ("q156_gap_quantiles", 1),
                         ("q157_rfm_segments", 1),
-                        ("q158_dup_cluster_sizes", 1)):
+                        ("q158_dup_cluster_sizes", 1),
+                        ("q159_compression_ratio", 1),
+                        ("q160_char_entropy", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

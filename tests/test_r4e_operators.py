@@ -1,0 +1,212 @@
+"""Session-10 operator tests: compression-ratio gates (q159) and
+character-entropy signal (q160)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name, table, fname):
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(table, str(d / fname))
+    return str(d)
+
+
+class TestCompressionRatio:
+    def test_gates_fire_on_constructed_docs(self, tmp_path):
+        from barks_ocr_ray.functions.cleaning import (
+            RANDOM_BP,
+            REPETITIVE_BP,
+            compression_bp,
+        )
+        from barks_ocr_ray.pipelines.queries import q159_compression_ratio
+
+        rng = np.random.default_rng(11)
+        # random printable ASCII (encoded-garbage payload): ~83% ratio,
+        # above the RANDOM_BP gate
+        rand_text = "".join(chr(33 + int(x)) for x in rng.integers(0, 90, 4000))
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "source": pa.array(["a", "a", "a", "b"], pa.string()),
+                "text": pa.array(
+                    ["xy" * 5000, rand_text, None, "a normal short sentence"],
+                    pa.string(),
+                ),
+            }
+        )
+        assert compression_bp("xy" * 5000) <= REPETITIVE_BP
+        assert compression_bp(rand_text) >= RANDOM_BP
+        d = _write(tmp_path, "sf_comp", docs, "documents.parquet")
+        got = (
+            q159_compression_ratio(d).to_pandas().set_index("source").sort_index()
+        )
+        # null text excluded: source a has 2 docs (1 repetitive, 1 random)
+        assert got.loc["a", "n_docs"] == 2
+        assert got.loc["a", "n_repetitive"] == 1
+        assert got.loc["a", "n_random"] == 1
+        # source b's doc is under MIN_GATE_LEN: counted + summed, but
+        # exempt from both gates (header overhead would mis-flag it)
+        assert got.loc["b", "n_docs"] == 1
+        assert got.loc["b", "n_repetitive"] == 0
+        assert got.loc["b", "n_random"] == 0
+        assert got.loc["b", "sum_ratio_bp"] == compression_bp(
+            "a normal short sentence"
+        )
+
+    def test_golden_replay_matches_pipeline(self, tmp_path):
+        from barks_ocr_ray.golden_dedup import golden_compression_stats
+        from barks_ocr_ray.pipelines.queries import q159_compression_ratio
+
+        docs = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "source", "text"],
+        )
+        d = _write(tmp_path, "sf_g", docs, "documents.parquet")
+        got = (
+            q159_compression_ratio(d)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        exp = (
+            golden_compression_stats(docs)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        assert got[exp.columns.tolist()].equals(exp)
+
+
+class TestCharEntropy:
+    def test_matches_duckdb_and_flags_constant_text(self, tmp_path):
+        from barks_ocr_ray.pipelines.queries import SQL_Q160, q160_char_entropy
+
+        rng = np.random.default_rng(5)
+        texts = []
+        for i in range(300):
+            k = int(rng.integers(1, 60))
+            texts.append(
+                "".join(
+                    chr(97 + int(c)) for c in rng.integers(0, 26, k)
+                )
+            )
+        texts[0] = "aaaaaaaa"  # entropy 0 -> low-entropy gate
+        texts[1] = ""  # excluded on both sides
+        texts[2] = None
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(300), pa.int64()),
+                "source": pa.array(
+                    [f"s{i % 3}" for i in range(300)], pa.string()
+                ),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ent", docs, "documents.parquet")
+        got = (
+            q160_char_entropy(d)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q160 + " ORDER BY source").fetch_df()
+        assert got["source"].tolist() == exp["source"].tolist()
+        for c in ("n_docs", "n_low_entropy", "sum_entropy_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.set_index("source").loc["s0", "n_low_entropy"] >= 1
+
+    def test_unicode_codepoints_counted_not_bytes(self, tmp_path):
+        from barks_ocr_ray.pipelines.queries import SQL_Q160, q160_char_entropy
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "source": pa.array(["u", "u"], pa.string()),
+                "text": pa.array(["héllo wörld héllo", "日本語テキスト例"], pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_uni", docs, "documents.parquet")
+        got = q160_char_entropy(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q160).fetch_df()
+        assert (
+            got["sum_entropy_micro"].tolist() == exp["sum_entropy_micro"].tolist()
+        )
+
+
+class TestLinkGraph:
+    def test_kernel_resolves_and_normalizes(self):
+        from barks_ocr_ray.functions.links import page_outlinks
+
+        html = (
+            b'<html><head><meta charset="utf-8"><title>t</title></head>'
+            b'<body><a href="/news">Breaking  News</a>'
+            b'<a href="https://other.example/x">Else<b>where</b></a>'
+            b"</body></html>"
+        )
+        got = page_outlinks("https://host1.example/abc", html)
+        assert got == [
+            ("https://host1.example/news", "Breaking News"),
+            ("https://other.example/x", "Else where"),
+        ]
+        assert page_outlinks("https://h.example/x", b"\x00\x01junk") == []
+
+    def test_distinct_sources_vs_refs(self, tmp_path):
+        import ray.data as rd
+
+        from barks_ocr_ray.functions.links import link_graph_topk
+
+        # page A links twice to /t, page B once -> n_refs 3, n_src 2
+        mk = lambda body: f'<html><head><title>x</title></head><body>{body}</body></html>'.encode()
+        pages = pa.table(
+            {
+                "url": pa.array(
+                    ["https://h0.example/a", "https://h0.example/b"],
+                    pa.string(),
+                ),
+                "html": pa.array(
+                    [
+                        mk('<a href="/t">one</a><a href="/t">two</a>'),
+                        mk('<a href="/t">three</a><a href="/u">four</a>'),
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+        got = link_graph_topk(rd.from_arrow(pages), k=5).to_pandas()
+        row = got.set_index("target").loc["https://h0.example/t"]
+        assert row["n_refs"] == 3
+        assert row["n_src_pages"] == 2
+
+    def test_pipeline_matches_golden(self):
+        from barks_ocr_ray.datagen import pages_table
+        from barks_ocr_ray.golden_dedup import (
+            golden_anchor_terms,
+            golden_link_graph,
+        )
+        from barks_ocr_ray.pipelines.queries import (
+            q161_link_graph,
+            q162_anchor_terms,
+        )
+
+        pages = pages_table(300)
+        import ray.data as rd
+
+        from barks_ocr_ray.functions.links import (
+            anchor_term_index,
+            link_graph_topk,
+        )
+
+        ds = rd.from_arrow(pages).select_columns(["url", "html"])
+        got = link_graph_topk(ds, k=15).to_pandas()
+        exp = golden_link_graph(pages, k=15).to_pandas()
+        assert got.equals(exp)
+        got2 = anchor_term_index(ds, k=25).to_pandas()
+        exp2 = golden_anchor_terms(pages, k=25).to_pandas()
+        assert got2.equals(exp2)
