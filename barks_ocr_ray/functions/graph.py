@@ -382,3 +382,240 @@ def triangle_counts(
         .groupby("node", num_partitions=hash_partitions(num_partitions))
         .aggregate(Count(alias_name="n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities) — exact fixed point
+# ---------------------------------------------------------------------------
+
+#: HITS fixed-point scale. Deliberately 10^9 (not PageRank's 10^12):
+#: the L1-renormalized vectors keep every score <= ~SCALE, so the
+#: largest intermediate is sum_v a_raw[v] = sum_u outdeg(u)*h(u)
+#: <= max_outdeg * SCALE — int64-safe to ~10^9-edge hubs at this scale.
+HITS_SCALE = 10**9
+
+_HITS_SCHEMA = pa.schema(
+    [("node", pa.string()), ("hub", pa.int64()), ("auth", pa.int64())]
+)
+
+
+def _hits_norm(raw: np.ndarray) -> np.ndarray:
+    """The L1 renormalization both engines replay verbatim: divide by
+    D = max(1, floor(sum/SCALE)) so the vector's mass returns to
+    ~SCALE. Integer throughout — the scalar sum is exact under any
+    partial order, the flooring division is a single scalar op."""
+    d = max(1, int(raw.sum()) // HITS_SCALE)
+    return raw // d
+
+
+def _block_gather_sum(coded, vec: np.ndarray, forward: bool):
+    """One HITS half-round over one coded edge block: dense node-sized
+    int64 partial. forward=True sums h over in-edges (auth update,
+    acc[dst] += vec[src]); forward=False sums a over out-edges (hub
+    update, acc[src] += vec[dst])."""
+    if coded is None:
+        return None
+    src_idx, dst_idx = coded
+    acc = np.zeros(len(vec), dtype=np.int64)
+    if forward:
+        np.add.at(acc, dst_idx, vec[src_idx])
+    else:
+        np.add.at(acc, src_idx, vec[dst_idx])
+    return acc
+
+
+def hits(
+    pairs: Dataset,
+    iterations: int = 5,
+    num_partitions: int | None = None,
+    broadcast_gate: int = BROADCAST_NODE_GATE,
+) -> Dataset:
+    """Exact fixed-point HITS (Kleinberg hubs & authorities, public
+    literature) over the DIRECTED graph induced by ``pairs`` (columns
+    ``src``, ``dst``; duplicates collapse). Returns a node-sized
+    Dataset ``(node: string, hub: int64, auth: int64)``.
+
+    Recurrence, replayed verbatim by the sequential golden (all-integer
+    so the distributed sums are bit-exact under any partitioning):
+
+        h0[v]    = SCALE // n                          (all nodes)
+        a_raw[v] = Σ_{u→v} h[u];  a = a_raw // max(1, Σa_raw // SCALE)
+        h_raw[u] = Σ_{u→v} a[v];  h = h_raw // max(1, Σh_raw // SCALE)
+
+    The L1 renormalization keeps every score <= ~SCALE so int64 never
+    overflows (see HITS_SCALE). Same two-regime execution as
+    ``pagerank``: under the node gate, BSP raw-task waves over coded
+    edge blocks (one wave per half-round) with an exact driver merge;
+    above it, per-round distributed join + grouped-sum passes with
+    only node-sized tables materialized between rounds."""
+    np_ = num_partitions or hash_partitions(16)
+    edges = _distinct_edges(pairs, np_).materialize()
+
+    def _node_col(col):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t.column(col)})
+
+        return _f
+
+    nodes_ds = (
+        edges.map_batches(_node_col("src"), batch_format="pyarrow")
+        .union(edges.map_batches(_node_col("dst"), batch_format="pyarrow"))
+        .groupby("node", num_partitions=np_)
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: t.select(["node"]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    n_nodes = nodes_ds.count()
+    if n_nodes == 0:
+        return rd.from_arrow(_HITS_SCHEMA.empty_table())
+    h0 = HITS_SCALE // n_nodes
+
+    if n_nodes <= broadcast_gate:
+        # BSP raw-task regime (q94 rationale: a Dataset round pays
+        # ~2.5 s of operator spin-up; HITS pays it TWICE per round).
+        # Edge blocks are integer-coded once; each half-round is one
+        # task wave + an exact int64 driver merge + the scalar
+        # renormalization.
+        import ray as _ray
+
+        node_blocks = [
+            b
+            for b in (_ray.get(r) for r in nodes_ds.to_arrow_refs())
+            if b.num_rows
+        ]
+        nodes = pa.concat_tables(node_blocks).column("node").combine_chunks()
+        nodes_ref = _ray.put(nodes)
+        prep = _ray.remote(num_cpus=1)(_code_edge_block)
+        step = _ray.remote(num_cpus=1)(_block_gather_sum)
+        coded = [
+            prep.remote(blk, nodes_ref) for blk in edges.to_arrow_refs()
+        ]
+
+        def _wave(vec: np.ndarray, forward: bool) -> np.ndarray:
+            vec_ref = _ray.put(vec)
+            acc = np.zeros(n_nodes, dtype=np.int64)
+            pending = [step.remote(c, vec_ref, forward) for c in coded]
+            while pending:
+                done, pending = _ray.wait(
+                    pending, num_returns=min(8, len(pending))
+                )
+                for part in _ray.get(done):
+                    if part is not None:
+                        acc += part
+            return acc
+
+        h = np.full(n_nodes, h0, dtype=np.int64)
+        a = np.zeros(n_nodes, dtype=np.int64)
+        for _ in range(iterations):
+            a = _hits_norm(_wave(h, forward=True))
+            h = _hits_norm(_wave(a, forward=False))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": nodes,
+                    "hub": pa.array(h, pa.int64()),
+                    "auth": pa.array(a, pa.int64()),
+                }
+            )
+        )
+
+    # Distributed regime: per half-round one edge-sized join + one
+    # node-keyed grouped sum (per-block combiner partials), then the
+    # scalar renormalization — only node-sized tables persist between
+    # rounds. Nodes absent from a half-round's inner join have raw 0
+    # and stay absent until the final zero-filled assembly.
+    edges_c, _ = compact_nonempty(edges, np_)
+
+    def _init(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "s": pa.array(
+                    np.full(t.num_rows, h0, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    h_ds = nodes_ds.map_batches(_init, batch_format="pyarrow").materialize()
+
+    def _half_round(vec_ds: Dataset, join_on: str, emit: str) -> Dataset:
+        vec_c, n_vec = compact_nonempty(vec_ds, np_)
+        if n_vec == 0:
+            return rd.from_arrow(
+                pa.schema([("node", pa.string()), ("s", pa.int64())])
+                .empty_table()
+            )
+
+        def _partial(t: pa.Table) -> pa.Table:
+            return (
+                pa.table(
+                    {"node": t.column(emit), "s": t.column("s")}
+                )
+                .group_by("node")
+                .aggregate([("s", "sum")])
+                .rename_columns(["node", "s"])
+            )
+
+        raw = (
+            edges_c.join(
+                vec_c,
+                join_type="inner",
+                num_partitions=np_,
+                on=(join_on,),
+                right_on=("node",),
+            )
+            .map_batches(_partial, batch_format="pyarrow")
+            .groupby("node", num_partitions=np_)
+            .aggregate(Sum("s", alias_name="s"))
+            .materialize()
+        )
+        total = raw.sum("s") or 0
+        d = max(1, int(total) // HITS_SCALE)
+
+        def _norm(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"node": t.column("node"), "s": pa.array(s // d, pa.int64())}
+            )
+
+        return raw.map_batches(_norm, batch_format="pyarrow").materialize()
+
+    a_ds = rd.from_arrow(
+        pa.schema([("node", pa.string()), ("s", pa.int64())]).empty_table()
+    )
+    for _ in range(iterations):
+        a_ds = _half_round(h_ds, "src", "dst")
+        h_ds = _half_round(a_ds, "dst", "src")
+
+    # zero-filled assembly without an outer join: union (node, hub, 0),
+    # (node, 0, auth), (node, 0, 0) and sum — each node appears once
+    # per branch at most, so Sum == coalesce
+    def _as3(hub_col: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
+            s = t.column("s") if "s" in t.column_names else z
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "hub": s if hub_col else z,
+                    "auth": z if hub_col else s,
+                }
+            )
+
+        return _f
+
+    def _nodes3(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64())
+        return pa.table({"node": t.column("node"), "hub": z, "auth": z})
+
+    return (
+        h_ds.map_batches(_as3(True), batch_format="pyarrow")
+        .union(a_ds.map_batches(_as3(False), batch_format="pyarrow"))
+        .union(nodes_ds.map_batches(_nodes3, batch_format="pyarrow"))
+        .groupby("node", num_partitions=np_)
+        .aggregate(
+            Sum("hub", alias_name="hub"), Sum("auth", alias_name="auth")
+        )
+    )

@@ -839,3 +839,52 @@ def golden_anchor_terms(pages: pa.Table, k: int = 30) -> pa.Table:
             "n_targets": pa.array([tgts[t] for t in top], pa.int64()),
         }
     )
+
+
+def golden_hits(pages: pa.Table, iterations: int = 5, k: int = 25) -> pa.Table:
+    """Sequential replay of graph.hits over the outlink graph — shares
+    the per-row edge kernel (page_outlinks) and replays the documented
+    integer recurrence verbatim (h0 = SCALE//n; raw gather-sum per
+    half-round; L1 renorm by max(1, sum // SCALE)); top-k by authority
+    (tie: node ascending)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.graph import HITS_SCALE
+    from barks_ocr_ray.functions.links import page_outlinks
+
+    edges = set()
+    for u, p in zip(
+        pages.column("url").to_pylist(), pages.column("html").to_pylist()
+    ):
+        for tgt, _anchor in page_outlinks(u, p):
+            edges.add((u, tgt))
+    nodes = sorted({x for e in edges for x in e})
+    if not nodes:
+        return pa.table(
+            {
+                "node": pa.array([], pa.string()),
+                "hub": pa.array([], pa.int64()),
+                "auth": pa.array([], pa.int64()),
+            }
+        )
+    idx = {u: i for i, u in enumerate(nodes)}
+    src = np.array([idx[s] for s, _ in edges], np.int64)
+    dst = np.array([idx[d] for _, d in edges], np.int64)
+    n = len(nodes)
+    h = np.full(n, HITS_SCALE // n, np.int64)
+    a = np.zeros(n, np.int64)
+    for _ in range(iterations):
+        ar = np.zeros(n, np.int64)
+        np.add.at(ar, dst, h[src])
+        a = ar // max(1, int(ar.sum()) // HITS_SCALE)
+        hr = np.zeros(n, np.int64)
+        np.add.at(hr, src, a[dst])
+        h = hr // max(1, int(hr.sum()) // HITS_SCALE)
+    order = sorted(range(n), key=lambda i: (-a[i], nodes[i]))[:k]
+    return pa.table(
+        {
+            "node": pa.array([nodes[i] for i in order], pa.string()),
+            "hub": pa.array([int(h[i]) for i in order], pa.int64()),
+            "auth": pa.array([int(a[i]) for i in order], pa.int64()),
+        }
+    )

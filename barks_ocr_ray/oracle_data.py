@@ -332,6 +332,23 @@ def ensure_anchor_terms_golden(n: int) -> str:
     return path
 
 
+def hits_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_hits_n{n}.parquet")
+
+
+def ensure_hits_golden(n: int) -> str:
+    """Single-process golden of fixed-point HITS over the n-row pages
+    corpus's outlink graph (golden_dedup.golden_hits replay)."""
+    path = hits_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.golden_dedup import golden_hits
+
+    _atomic_write(golden_hits(pages_table(n)), path)
+    return path
+
+
 def corpus_tag_sql(table: str) -> str:
     """The fingerprint subquery the golden-backed oracle SQL embeds."""
     return (
@@ -461,6 +478,7 @@ def ensure_all() -> dict[str, str]:
         "q26": ensure_validation_golden(Q34_N),
         "q161": ensure_link_graph_golden(Q24_N),
         "q162": ensure_anchor_terms_golden(Q24_N),
+        "q163": ensure_hits_golden(Q24_N),
     }
     out.update(ensure_neardup_goldens())
     return out

@@ -8333,6 +8333,43 @@ def _sql_q162() -> str:
     )
 
 
+def q163_hits_authorities(sf_dir: str):
+    """HITS hubs & authorities over the pages outlink graph — the
+    web-graph ranking sibling of q94 PageRank (damped mass) and q161
+    (raw in-reference counts). Exact fixed-point recurrence (integer
+    gather-sums + scalar L1 renorm, graph.py HITS_SCALE rationale), so
+    the distributed result is bit-exact vs the sequential golden under
+    any partitioning; top-25 by authority. Reference iterative-loop
+    ancestor: /root/reference/src/barks_ocr/tools/ocr_check.py:521-538."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.functions.graph import hits
+    from barks_ocr_ray.functions.links import outlink_edges
+    from barks_ocr_ray.oracle_data import Q24_N
+
+    configure()
+    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(["url", "html"])
+
+    def _as_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"), "dst": t.column("target")})
+
+    pairs = outlink_edges(pages).map_batches(_as_pairs, batch_format="pyarrow")
+    return (
+        hits(pairs, iterations=5)
+        .sort(["auth", "node"], descending=[True, False])
+        .limit(25)
+    )
+
+
+def _sql_q163() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, hits_golden_path
+
+    return (
+        "SELECT node, hub, auth FROM "
+        f"read_parquet('{hits_golden_path(Q24_N)}')"
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -8512,6 +8549,7 @@ def build_registry():
         "q160_char_entropy": q160_char_entropy,
         "q161_link_graph": q161_link_graph,
         "q162_anchor_terms": q162_anchor_terms,
+        "q163_hits_authorities": q163_hits_authorities,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -8718,6 +8756,7 @@ def build_registry():
         "q160_char_entropy": SQL_Q160,
         "q161_link_graph": _sql_q161(),
         "q162_anchor_terms": _sql_q162(),
+        "q163_hits_authorities": _sql_q163(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -210,3 +210,101 @@ class TestLinkGraph:
         got2 = anchor_term_index(ds, k=25).to_pandas()
         exp2 = golden_anchor_terms(pages, k=25).to_pandas()
         assert got2.equals(exp2)
+
+
+class TestHits:
+    PAIRS = [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+        ("c", "a"), ("d", "c"), ("a", "b"),
+    ]
+
+    @staticmethod
+    def _serial(pairs, iters):
+        from barks_ocr_ray.functions.graph import HITS_SCALE
+
+        nodes = sorted({x for p in pairs for x in p})
+        idx = {n: i for i, n in enumerate(nodes)}
+        edges = sorted({(idx[s], idx[d]) for s, d in pairs})
+        n = len(nodes)
+        h = np.full(n, HITS_SCALE // n, np.int64)
+        a = np.zeros(n, np.int64)
+        for _ in range(iters):
+            ar = np.zeros(n, np.int64)
+            for s, d in edges:
+                ar[d] += h[s]
+            a = ar // max(1, int(ar.sum()) // HITS_SCALE)
+            hr = np.zeros(n, np.int64)
+            for s, d in edges:
+                hr[s] += a[d]
+            h = hr // max(1, int(hr.sum()) // HITS_SCALE)
+        return {nodes[i]: (int(h[i]), int(a[i])) for i in range(n)}
+
+    def _table(self):
+        return pa.table(
+            {
+                "src": pa.array([p[0] for p in self.PAIRS], pa.string()),
+                "dst": pa.array([p[1] for p in self.PAIRS], pa.string()),
+            }
+        )
+
+    def test_both_regimes_match_serial_replay(self, ray_session):
+        import ray.data as rd
+
+        from barks_ocr_ray.functions.graph import hits
+
+        exp = self._serial(self.PAIRS, 4)
+        got_bsp = {
+            r["node"]: (r["hub"], r["auth"])
+            for r in hits(
+                rd.from_arrow(self._table()), 4, num_partitions=2
+            ).take_all()
+        }
+        # broadcast_gate=0 forces the distributed join rounds
+        got_join = {
+            r["node"]: (r["hub"], r["auth"])
+            for r in hits(
+                rd.from_arrow(self._table()),
+                4,
+                num_partitions=2,
+                broadcast_gate=0,
+            ).take_all()
+        }
+        assert got_bsp == exp
+        assert got_join == exp
+
+    def test_empty_input_is_typed_empty(self, ray_session):
+        import ray.data as rd
+
+        from barks_ocr_ray.functions.graph import hits
+
+        empty = pa.table(
+            {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+        )
+        out = hits(rd.from_arrow(empty), 2)
+        assert out.schema().names == ["node", "hub", "auth"]
+        assert out.count() == 0
+
+    def test_q163_matches_golden(self, ray_session):
+        import ray.data as rd
+
+        from barks_ocr_ray.datagen import pages_table
+        from barks_ocr_ray.functions.graph import hits
+        from barks_ocr_ray.functions.links import outlink_edges
+        from barks_ocr_ray.golden_dedup import golden_hits
+
+        pages_tbl = pages_table(300)
+        pages = rd.from_arrow(pages_tbl).select_columns(["url", "html"])
+        pairs = outlink_edges(pages).map_batches(
+            lambda t: pa.table(
+                {"src": t.column("src"), "dst": t.column("target")}
+            ),
+            batch_format="pyarrow",
+        )
+        got = (
+            hits(pairs, iterations=5)
+            .sort(["auth", "node"], descending=[True, False])
+            .limit(25)
+            .to_pandas()
+        )
+        exp = golden_hits(pages_tbl, iterations=5, k=25).to_pandas()
+        assert got.equals(exp)
