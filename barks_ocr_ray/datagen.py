@@ -336,3 +336,22 @@ def write_bucketed_pages_corpus(
         os.replace(tmp, path)
     write_bucketing_marker(out_dir, num_buckets)
     return out_dir
+
+
+def url_variant(url: str, i: int) -> str:
+    """Deterministic crawl-side re-spelling of ``url`` for physical row
+    ``i`` — the alias classes a canonicalizer must collapse (case,
+    fragments, tracking params, default ports, trailing slash, www.).
+    Every variant canonicalizes back to the plain ``url`` form."""
+    k = i % 5
+    if k == 0:
+        return url
+    scheme, rest = url.split("://", 1)
+    host, _, path = rest.partition("/")
+    if k == 1:
+        return f"{scheme}://{host.upper()}/{path}#frag{i % 7}"
+    if k == 2:
+        return f"{url}?utm_source=feed&utm_medium=m{i % 3}"
+    if k == 3:
+        return f"{scheme}://{host}:443/{path}/"
+    return f"{scheme}://www.{host}/{path}"

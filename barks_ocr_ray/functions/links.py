@@ -183,3 +183,108 @@ def _term_partials(t: pa.Table) -> pa.Table:
             "n": pa.array(c.astype(np.int64), pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-URL dedup (crawl-side URL aliasing)
+# ---------------------------------------------------------------------------
+
+_TRACKING_PREFIXES = ("utm_",)
+
+
+def canonical_url(u: str) -> str:
+    """Pure canonicalization kernel (the classic crawl normalizations,
+    public conventions): lowercase scheme+host, strip a leading 'www.',
+    drop default ports (80/http, 443/https), strip fragments, strip a
+    trailing slash on non-root paths, drop utm_* tracking params and
+    sort the survivors. Deterministic; shared verbatim with the
+    sequential golden."""
+    from urllib.parse import parse_qsl, urlencode, urlsplit, urlunsplit
+
+    s = urlsplit(u.strip())
+    scheme = s.scheme.lower()
+    host = (s.hostname or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    port = s.port
+    if port is not None and not (
+        (scheme == "http" and port == 80)
+        or (scheme == "https" and port == 443)
+    ):
+        host = f"{host}:{port}"
+    path = s.path or "/"
+    if len(path) > 1 and path.endswith("/"):
+        path = path.rstrip("/") or "/"
+    q = sorted(
+        (k, v)
+        for k, v in parse_qsl(s.query, keep_blank_values=True)
+        if not k.lower().startswith(_TRACKING_PREFIXES)
+    )
+    return urlunsplit((scheme, host, path, urlencode(q), ""))
+
+
+def canonical_url_dedup(
+    fetches: Dataset, num_partitions: int = 8
+) -> Dataset:
+    """Collapse crawl-side URL aliases: per canonical form, the kept
+    fetch (latest warc_ts, tie: lexicographically smallest raw url),
+    total physical fetches, and distinct raw spellings. Two keyed
+    aggregations — (canonical, url) with per-block pre-count + max ts,
+    then a canonical-keyed map_groups (groups are alias-cluster-sized,
+    bounded by how many spellings a page has) — so at 100 TB the
+    exchange carries one row per distinct spelling, not per fetch."""
+
+    def _canon(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        return pa.table(
+            {
+                "canonical_url": pa.array(
+                    [canonical_url(u) for u in urls], pa.string()
+                ),
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    per_spelling = (
+        fetches.map_batches(_canon, batch_format="pyarrow")
+        .groupby(["canonical_url", "url"], num_partitions=hash_partitions(num_partitions))
+        .aggregate(
+            Count(alias_name="n_fetches"),
+            Max("warc_ts", alias_name="max_ts"),
+        )
+    )
+
+    def _resolve(g: pa.Table) -> pa.Table:
+        urls = g.column("url").to_pylist()
+        ts = g.column("max_ts").to_pylist()
+        nf = g.column("n_fetches").to_pylist()
+        best = min(range(len(urls)), key=lambda i: (_neg_ts(ts[i]), urls[i]))
+        return pa.table(
+            {
+                "canonical_url": pa.array(
+                    [g.column("canonical_url")[0].as_py()], pa.string()
+                ),
+                "kept_url": pa.array([urls[best]], pa.string()),
+                "n_fetches": pa.array([int(sum(nf))], pa.int64()),
+                "n_raw_urls": pa.array([len(urls)], pa.int64()),
+            }
+        )
+
+    return (
+        per_spelling.groupby(
+            "canonical_url", num_partitions=hash_partitions(num_partitions)
+        )
+        .map_groups(_resolve, batch_format="pyarrow")
+    )
+
+
+def _neg_ts(ts):
+    """Sort helper: latest timestamp first (None sorts last)."""
+    import datetime
+
+    if ts is None:
+        return datetime.datetime.max
+    return -ts.timestamp() if hasattr(ts, "timestamp") else -ts

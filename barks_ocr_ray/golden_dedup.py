@@ -888,3 +888,49 @@ def golden_hits(pages: pa.Table, iterations: int = 5, k: int = 25) -> pa.Table:
             "auth": pa.array([int(a[i]) for i in order], pa.int64()),
         }
     )
+
+
+def golden_canonical_dedup(pages: pa.Table) -> pa.Table:
+    """Sequential replay of links.canonical_url_dedup over the
+    alias-decorated crawl (url_variant applied per physical row) —
+    shares the canonical_url and url_variant kernels; grouping, winner
+    selection (latest warc_ts, tie smallest raw url) and counting are
+    plain dict loops. Sorted by canonical_url."""
+    from barks_ocr_ray.datagen import url_variant
+    from barks_ocr_ray.functions.links import canonical_url
+
+    clusters: dict = {}
+    for i, (u, ts) in enumerate(
+        zip(
+            pages.column("url").to_pylist(),
+            pages.column("warc_ts").to_pylist(),
+        )
+    ):
+        raw = url_variant(u, i)
+        c = canonical_url(raw)
+        row = clusters.setdefault(c, {"n": 0, "spellings": {}})
+        row["n"] += 1
+        prev = row["spellings"].get(raw)
+        if prev is None or ts > prev:
+            row["spellings"][raw] = ts
+    keys = sorted(clusters)
+    kept = []
+    for c in keys:
+        sp = clusters[c]["spellings"]
+        kept.append(
+            min(sp, key=lambda u: (-sp[u].timestamp(), u))
+            if sp
+            else None
+        )
+    return pa.table(
+        {
+            "canonical_url": pa.array(keys, pa.string()),
+            "kept_url": pa.array(kept, pa.string()),
+            "n_fetches": pa.array(
+                [clusters[c]["n"] for c in keys], pa.int64()
+            ),
+            "n_raw_urls": pa.array(
+                [len(clusters[c]["spellings"]) for c in keys], pa.int64()
+            ),
+        }
+    )

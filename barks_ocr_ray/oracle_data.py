@@ -349,6 +349,23 @@ def ensure_hits_golden(n: int) -> str:
     return path
 
 
+def canonical_dedup_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_canonical_dedup_n{n}.parquet")
+
+
+def ensure_canonical_dedup_golden(n: int) -> str:
+    """Single-process golden of canonical-URL dedup over the
+    alias-decorated n-row crawl (golden_dedup.golden_canonical_dedup)."""
+    path = canonical_dedup_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.golden_dedup import golden_canonical_dedup
+
+    _atomic_write(golden_canonical_dedup(pages_table(n)), path)
+    return path
+
+
 def corpus_tag_sql(table: str) -> str:
     """The fingerprint subquery the golden-backed oracle SQL embeds."""
     return (
@@ -479,6 +496,7 @@ def ensure_all() -> dict[str, str]:
         "q161": ensure_link_graph_golden(Q24_N),
         "q162": ensure_anchor_terms_golden(Q24_N),
         "q163": ensure_hits_golden(Q24_N),
+        "q164": ensure_canonical_dedup_golden(Q24_N),
     }
     out.update(ensure_neardup_goldens())
     return out

@@ -8370,6 +8370,47 @@ def _sql_q163() -> str:
     )
 
 
+def q164_canonical_dedup(sf_dir: str):
+    """Canonical-URL dedup over the alias-decorated crawl: every
+    physical fetch's url re-spelled by a deterministic alias class
+    (case/fragment/tracking-param/port/www — datagen.url_variant),
+    collapsed by links.canonical_url, keeping the latest fetch per
+    canonical form. The crawl-side sibling of the extraction arc's
+    content-keyed winner pick (same url, newer warc_ts — compare
+    pipelines/extraction.py _keep_winner_per_url). Exchange carries one
+    row per distinct SPELLING, not per fetch (per-block pre-count).
+    Oracle: single-process golden replay sharing both kernels."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table, url_variant
+    from barks_ocr_ray.functions.links import canonical_url_dedup
+    from barks_ocr_ray.oracle_data import Q24_N
+
+    configure()
+    tbl = pages_table(Q24_N).select(["url", "warc_ts"])
+    raw = pa.table(
+        {
+            "url": pa.array(
+                [
+                    url_variant(u, i)
+                    for i, u in enumerate(tbl.column("url").to_pylist())
+                ],
+                pa.string(),
+            ),
+            "warc_ts": tbl.column("warc_ts"),
+        }
+    )
+    return canonical_url_dedup(rd.from_arrow(raw)).sort("canonical_url")
+
+
+def _sql_q164() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, canonical_dedup_golden_path
+
+    return (
+        "SELECT canonical_url, kept_url, n_fetches, n_raw_urls FROM "
+        f"read_parquet('{canonical_dedup_golden_path(Q24_N)}')"
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -8550,6 +8591,7 @@ def build_registry():
         "q161_link_graph": q161_link_graph,
         "q162_anchor_terms": q162_anchor_terms,
         "q163_hits_authorities": q163_hits_authorities,
+        "q164_canonical_dedup": q164_canonical_dedup,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -8757,6 +8799,7 @@ def build_registry():
         "q161_link_graph": _sql_q161(),
         "q162_anchor_terms": _sql_q162(),
         "q163_hits_authorities": _sql_q163(),
+        "q164_canonical_dedup": _sql_q164(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -308,3 +308,34 @@ class TestHits:
         )
         exp = golden_hits(pages_tbl, iterations=5, k=25).to_pandas()
         assert got.equals(exp)
+
+
+class TestCanonicalDedup:
+    def test_kernel_alias_classes(self):
+        from barks_ocr_ray.datagen import url_for, url_variant
+        from barks_ocr_ray.functions.links import canonical_url
+
+        u = url_for(37)
+        for i in range(10):
+            assert canonical_url(url_variant(u, i)) == u, i
+        # param sorting + tracking strip + non-default port kept
+        assert (
+            canonical_url("https://Host.Example:8080/a/?b=2&a=1&utm_x=9#f")
+            == "https://host.example:8080/a?a=1&b=2"
+        )
+        assert canonical_url("http://www.h.example:80/") == "http://h.example/"
+
+    def test_pipeline_matches_golden(self, ray_session):
+        from barks_ocr_ray.golden_dedup import golden_canonical_dedup
+        from barks_ocr_ray.pipelines.queries import q164_canonical_dedup
+        from barks_ocr_ray.datagen import pages_table
+        from barks_ocr_ray.oracle_data import Q24_N
+
+        got = q164_canonical_dedup("/root/testdata/sf0.001").to_pandas()
+        exp = golden_canonical_dedup(pages_table(Q24_N)).to_pandas()
+        assert got.equals(exp)
+        # refetch rows (i%10==4) alias-collapse onto their original:
+        # at least one canonical must show 2 fetches under 2 spellings
+        multi = exp[exp["n_fetches"] >= 2]
+        assert len(multi) > 0
+        assert (multi["n_raw_urls"] >= 2).any()
