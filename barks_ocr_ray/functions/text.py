@@ -824,3 +824,129 @@ def corpus_profile(docs: Dataset) -> Dataset:
     return partials.groupby("stat", num_partitions=2).aggregate(
         Sum("value", alias_name="value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional index + phrase query (S11/S12 extension: exact phrase match)
+# ---------------------------------------------------------------------------
+
+
+def positional_postings(docs: Dataset, vocab: frozenset[str]) -> Dataset:
+    """Positional postings (term, doc_id, pos) pruned to ``vocab`` at
+    tokenize time — the phrase engine only ever joins postings of the
+    query terms, so the materialized index is query-vocabulary-sized,
+    not corpus-vocabulary-sized. Token positions are ordinals in the
+    shared TOKEN_RE stream (== space-split ordinals on this corpus,
+    which is what the SQL oracle replays)."""
+    token_re = re.compile(TOKEN_RE)
+
+    def _emit(t: pa.Table) -> pa.Table:
+        terms, ids, poss = [], [], []
+        for doc_id, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            if not txt:
+                continue
+            for p, w in enumerate(token_re.findall(txt.lower())):
+                if w in vocab:
+                    terms.append(w)
+                    ids.append(doc_id)
+                    poss.append(p)
+        return pa.table(
+            {
+                "term": pa.array(terms, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_emit, batch_format="pyarrow")
+
+
+def phrase_counts(
+    docs: Dataset, phrases: list[str], num_partitions: int = 8
+) -> pa.Table:
+    """Exact phrase search over the positional index: for each phrase,
+    (n_occurrences, n_docs) with positional semantics — overlapping
+    occurrences count ("w w w" contains "w w" twice), which substring
+    replace-counting gets wrong. One postings pass over the corpus
+    (pruned to the union query vocabulary), materialized ONCE for all
+    phrases; each phrase then chains term-k ⋈ term-k+1 joins on the
+    composite (doc_id, pos+k) key — the classic positional-intersection
+    query plan, each join postings-sized. Returns a driver-side
+    phrase-count table (one row per phrase, zero-filled misses)."""
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    words = [p.split() for p in phrases]
+    vocab = frozenset(w for ws in words for w in ws)
+    postings = positional_postings(docs, vocab).materialize()
+
+    def _term_table(term: str) -> Dataset:
+        return postings.map_batches(
+            lambda t, term=term: t.filter(
+                pc.equal(t.column("term"), term)
+            ).select(["doc_id", "pos"]),
+            batch_format="pyarrow",
+        )
+
+    rows = []
+    for phrase, ws in zip(phrases, words):
+        cur = _term_table(ws[0])
+        for k, w in enumerate(ws[1:], start=1):
+            cur_c, n = compact_nonempty(cur, num_partitions)
+            if n == 0:
+                cur = None
+                break
+
+            def _advance(t: pa.Table, k=k) -> pa.Table:
+                return pa.table(
+                    {
+                        "doc_id": t.column("doc_id"),
+                        "pos": t.column("pos"),
+                        "nxt": pc.add(t.column("pos"), k).cast(pa.int64()),
+                    }
+                )
+
+            nxt_c, m = compact_nonempty(_term_table(w), num_partitions)
+            if m == 0:
+                cur = None
+                break
+            cur = (
+                cur_c.map_batches(_advance, batch_format="pyarrow")
+                .join(
+                    nxt_c.map_batches(
+                        lambda t: t.rename_columns(["doc_id", "nxt"]),
+                        batch_format="pyarrow",
+                    ),
+                    join_type="inner",
+                    num_partitions=hash_partitions(num_partitions),
+                    on=("doc_id", "nxt"),
+                )
+                .map_batches(
+                    lambda t: t.select(["doc_id", "pos"]),
+                    batch_format="pyarrow",
+                )
+            )
+        if cur is None:
+            rows.append((phrase, 0, 0))
+            continue
+        from ray.data.aggregate import Count
+
+        per_doc = (
+            cur.groupby("doc_id", num_partitions=num_partitions)
+            .aggregate(Count(alias_name="c"))
+            .take_all()
+        )
+        rows.append(
+            (phrase, int(sum(r["c"] for r in per_doc)), len(per_doc))
+        )
+    rows.sort()
+    return pa.table(
+        {
+            "phrase": pa.array([r[0] for r in rows], pa.string()),
+            "n_occurrences": pa.array([r[1] for r in rows], pa.int64()),
+            "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

@@ -104,3 +104,102 @@ def sessionize(
         .repartition(num_partitions, keys=["user_id"])
         .map_batches(_sessions_block, batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join (temporal self-join)
+# ---------------------------------------------------------------------------
+
+
+def interval_overlap_pairs(events: Dataset, num_partitions: int = 8) -> Dataset:
+    """Per-user temporal interval overlap self-join: each event spans
+    [ts, ts + max(value, 0) minutes] (duration rounded to whole seconds
+    with the shared DuckDB rounding, then exact integer microseconds);
+    a pair (a, b) overlaps when a precedes b in (ts, event_id) order and
+    b starts no later than a ends. Returns (type_a, type_b, n_pairs) —
+    type_a is the earlier event's type — an event-type² table.
+
+    Execution: ONE user-keyed exchange, then a per-block vectorized
+    sweep (lexsort by (user, start, event_id); for each event,
+    np.searchsorted finds how many successors start before its end —
+    the same output-bounded chunked emission as range_join_pairs, never
+    a per-user quadratic materialization), block-local (type, type)
+    pair counts, and a types²-sized final aggregation. The sweep is
+    exact because rows are start-sorted: a.start <= b.start holds by
+    order, so overlap reduces to b.start <= a.end."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.relational import round_like_duckdb
+
+    def _spans(t: pa.Table) -> pa.Table:
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        dur_s = round_like_duckdb(val * 60.0, 0).astype(np.int64)
+        dur_us = np.maximum(dur_s, 0) * 1_000_000
+        s = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(s + dur_us, pa.int64()),
+            }
+        )
+
+    def _sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "type_a": pa.array([], pa.string()),
+                    "type_b": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        e = t.column("e").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        ty = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, s, u))
+        u, s, e, ty = u[order], s[order], e[order], ty[order]
+        # per-user segment bounds
+        seg_start = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg_end = np.r_[seg_start[1:], len(u)]
+        seg_of = np.repeat(
+            np.arange(len(seg_start)), seg_end - seg_start
+        ).astype(np.int64)
+        # successors within the same user starting at or before my end:
+        # searchsorted over a (segment, relative-start) composite key
+        # that is monotone across the whole block (relative offsets fit
+        # 52 bits for any block spanning < ~140 years)
+        base = s.min()
+        key = seg_of * (1 << 52) + (s - base)
+        hi = np.searchsorted(key, seg_of * (1 << 52) + (e - base), "right")
+        idx = np.arange(len(u), dtype=np.int64)
+        cnt = np.maximum(hi - idx - 1, 0)
+        total = int(cnt.sum())
+        a_idx = np.repeat(idx, cnt)
+        # b enumerates a's sorted-order successors: a+1 .. a+cnt[a]
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(cnt)[:-1]], cnt
+        )
+        b_idx = a_idx + 1 + within
+        pair = pa.table(
+            {
+                "type_a": pa.array(list(ty[a_idx]), pa.string()),
+                "type_b": pa.array(list(ty[b_idx]), pa.string()),
+            }
+        )
+        return (
+            pair.group_by(["type_a", "type_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["type_a", "type_b", "n_pairs"])
+        )
+
+    return (
+        events.map_batches(_spans, batch_format="pyarrow")
+        .repartition(num_partitions, keys=["user_id"])
+        .map_batches(_sweep, batch_format="pyarrow", batch_size=None)
+        .groupby(["type_a", "type_b"], num_partitions=2)
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )

@@ -8411,6 +8411,88 @@ def _sql_q164() -> str:
     )
 
 
+#: fixed phrase-query workload for q165 — includes a repeated-word
+#: bigram ("the the") because overlapping occurrences are exactly what
+#: distinguishes positional semantics from substring replace-counting
+Q165_PHRASES = ["big order scan", "row column sort", "slow hash batch", "the the"]
+
+
+def q165_phrase_search(sf_dir: str):
+    """Exact phrase search via a positional inverted index — the S12
+    searcher family's phrase rung (reference word-index ancestor:
+    /root/reference/experiments/make-word-index-from-gemini-ai-groups.py:174-194,
+    postings without positions). One postings pass pruned to the query
+    vocabulary, materialized once for all phrases; each phrase chains
+    (doc_id, pos+k) joins — the classic positional-intersection plan.
+    Oracle: DuckDB generate_subscripts self-joins (true positional
+    semantics, so overlapping matches count)."""
+    from barks_ocr_ray.functions.text import phrase_counts
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    return phrase_counts(docs, Q165_PHRASES)
+
+
+def _sql_q165() -> str:
+    subqs = []
+    for phrase in Q165_PHRASES:
+        ws = phrase.split()
+        joins, conds = [], [f"t0.w = '{ws[0]}'"]
+        for k in range(1, len(ws)):
+            joins.append(
+                f"JOIN t t{k} ON t{k}.doc_id = t0.doc_id "
+                f"AND t{k}.pos = t0.pos + {k}"
+            )
+            conds.append(f"t{k}.w = '{ws[k]}'")
+        subqs.append(
+            f"SELECT '{phrase}' AS phrase,\n"
+            "       CAST(count(*) AS BIGINT) AS n_occurrences,\n"
+            "       CAST(count(DISTINCT t0.doc_id) AS BIGINT) AS n_docs\n"
+            "FROM t t0 " + " ".join(joins) + "\nWHERE " + " AND ".join(conds)
+        )
+    return (
+        "WITH t AS (\n"
+        "  SELECT doc_id, unnest(string_split(text, ' ')) AS w,\n"
+        "         generate_subscripts(string_split(text, ' '), 1) AS pos\n"
+        "  FROM documents WHERE text IS NOT NULL AND length(text) > 0)\n"
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(subqs)
+        + "\n) ORDER BY phrase"
+    )
+
+
+def q166_interval_overlap(sf_dir: str):
+    """Temporal interval-overlap self-join: events span [ts, ts +
+    max(value,0) minutes]; pairs of the same user's events whose spans
+    overlap, rolled up to (earlier type, later type) counts. The
+    interval-join rung of the join family (q38 = value-banded range
+    join, q70 = as-of): one user-keyed exchange + a start-sorted
+    vectorized sweep per block, pair emission output-bounded."""
+    from barks_ocr_ray.functions.windows import interval_overlap_pairs
+
+    ev = read_table(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    return interval_overlap_pairs(ev).sort(["type_a", "type_b"])
+
+
+SQL_Q166 = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) AS s,
+         epoch_us(ts)
+           + greatest(CAST(round(value * 60, 0) AS BIGINT), 0) * 1000000
+           AS en
+  FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM e a JOIN e b ON a.user_id = b.user_id
+WHERE (a.s < b.s OR (a.s = b.s AND a.event_id < b.event_id))
+  AND b.s <= a.en
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -8592,6 +8674,8 @@ def build_registry():
         "q162_anchor_terms": q162_anchor_terms,
         "q163_hits_authorities": q163_hits_authorities,
         "q164_canonical_dedup": q164_canonical_dedup,
+        "q165_phrase_search": q165_phrase_search,
+        "q166_interval_overlap": q166_interval_overlap,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -8800,6 +8884,8 @@ def build_registry():
         "q162_anchor_terms": _sql_q162(),
         "q163_hits_authorities": _sql_q163(),
         "q164_canonical_dedup": _sql_q164(),
+        "q165_phrase_search": _sql_q165(),
+        "q166_interval_overlap": SQL_Q166,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -339,3 +339,103 @@ class TestCanonicalDedup:
         multi = exp[exp["n_fetches"] >= 2]
         assert len(multi) > 0
         assert (multi["n_raw_urls"] >= 2).any()
+
+
+class TestPhraseSearch:
+    def test_overlapping_occurrences_count(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            Q165_PHRASES,
+            _sql_q165,
+            q165_phrase_search,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the the the the",  # 'the the' x3 (overlap)
+                        "big order scan big order scan",
+                        None,
+                        "row column sort and row column sorting",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_ph", docs, "documents.parquet")
+        got = q165_phrase_search(d).to_pandas().set_index("phrase")
+        assert got.loc["the the", "n_occurrences"] == 3
+        assert got.loc["the the", "n_docs"] == 1
+        assert got.loc["big order scan", "n_occurrences"] == 2
+        assert got.loc["big order scan", "n_docs"] == 1
+        # 'sorting' does not match 'sort' at pos 3 only once at pos 2
+        assert got.loc["row column sort", "n_occurrences"] == 1
+        assert got.loc["slow hash batch", "n_occurrences"] == 0
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q165()).fetch_df().set_index("phrase")
+        assert got["n_occurrences"].tolist() == exp["n_occurrences"].tolist()
+        assert got["n_docs"].tolist() == exp["n_docs"].tolist()
+
+
+class TestIntervalOverlap:
+    def _events(self):
+        import pandas as pd
+
+        # user 1: a[0,10m] overlaps b@5m (pair a->b) and c@10m boundary
+        # (inclusive end: pair a->c) but b[5m,5m+0] does not reach c.
+        # user 2: two events at the SAME instant -> event_id order.
+        return pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 10, 11], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+                "ts": pa.array(
+                    [
+                        pd.Timestamp("2024-01-01 00:00:00"),
+                        pd.Timestamp("2024-01-01 00:05:00"),
+                        pd.Timestamp("2024-01-01 00:10:00"),
+                        pd.Timestamp("2024-01-01 09:00:00"),
+                        pd.Timestamp("2024-01-01 09:00:00"),
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["A", "B", "C", "D", "E"], pa.string()),
+                "value": pa.array([10.0, 0.0, 1.0, 0.0, -5.0], pa.float64()),
+            }
+        )
+
+    def test_boundary_tie_and_negative_duration(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import SQL_Q166, q166_interval_overlap
+
+        d = _write(tmp_path, "sf_iv", self._events(), "events.parquet")
+        got = q166_interval_overlap(d).to_pandas()
+        pairs = {
+            (r.type_a, r.type_b): r.n_pairs for r in got.itertuples()
+        }
+        assert pairs == {("A", "B"): 1, ("A", "C"): 1, ("D", "E"): 1}
+        con = duckdb.connect()
+        con.register("events", self._events())
+        exp = con.execute(SQL_Q166).fetch_df()
+        assert got.equals(exp)
+
+    def test_partition_invariant(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        from barks_ocr_ray.functions.windows import interval_overlap_pairs
+        import ray.data as rd
+
+        docs = pq.read_table("/root/testdata/sf0.001/events.parquet")
+        a = (
+            interval_overlap_pairs(rd.from_arrow(docs), num_partitions=2)
+            .sort(["type_a", "type_b"])
+            .to_pandas()
+        )
+        b = (
+            interval_overlap_pairs(
+                rd.from_arrow(docs).repartition(7), num_partitions=5
+            )
+            .sort(["type_a", "type_b"])
+            .to_pandas()
+        )
+        assert a.equals(b)
