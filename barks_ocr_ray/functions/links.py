@@ -288,3 +288,109 @@ def _neg_ts(ts):
     if ts is None:
         return datetime.datetime.max
     return -ts.timestamp() if hasattr(ts, "timestamp") else -ts
+
+
+def url_host(u: str) -> str:
+    """Pure kernel: lowercase registered host of a URL ('' if none)."""
+    from urllib.parse import urlsplit
+
+    return (urlsplit(u).hostname or "").lower()
+
+
+def frontier_by_host(pages: Dataset, k: int = 30) -> Dataset:
+    """Crawl-frontier discovery: outlink targets never crawled (no
+    physical fetch row), rolled up per target host — the table a
+    crawler's scheduler consumes next, and the dead-link/spray profile
+    per domain (link farms dominate it on this corpus). Returns
+    (host, n_uncrawled_urls, n_refs) top-k by distinct uncrawled urls
+    (tie: host ascending).
+
+    Fully distributed anti-join — no broadcast: per-target reference
+    counts (the q161 two-level machinery) UNION crawled-url marker rows
+    into ONE target-keyed merge (Max flag + Sum counts), keep
+    crawled == 0, then a host-sized rollup. Every exchange is
+    edge-bounded; the crawled side ships one marker row per page."""
+    pair_counts = (
+        outlink_edges(pages)
+        .map_batches(_pair_partials, batch_format="pyarrow")
+        .groupby(["target", "src"], num_partitions=hash_partitions(8))
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    per_target = pair_counts.groupby(
+        "target", num_partitions=hash_partitions(4)
+    ).aggregate(
+        Sum("n", alias_name="n_refs"),
+        Count(alias_name="n_src_pages"),
+    )
+
+    def _target_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "url": t.column("target"),
+                "n_refs": t.column("n_refs"),
+                "crawled": pa.array(z, pa.int64()),
+            }
+        )
+
+    def _crawled_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "n_refs": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+                "crawled": pa.array(
+                    np.ones(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    merged = (
+        per_target.map_batches(_target_rows, batch_format="pyarrow")
+        .union(
+            pages.map_batches(_crawled_rows, batch_format="pyarrow")
+        )
+        .groupby("url", num_partitions=hash_partitions(8))
+        .aggregate(
+            Sum("n_refs", alias_name="n_refs"),
+            Max("crawled", alias_name="crawled"),
+        )
+    )
+
+    def _host_partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.equal(t.column("crawled"), 0), pc.greater(t.column("n_refs"), 0)
+        )
+        t = t.filter(keep)
+        hosts = [url_host(u) for u in t.column("url").to_pylist()]
+        tt = pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_urls": pa.array(
+                    np.ones(t.num_rows, dtype=np.int64), pa.int64()
+                ),
+                "n_refs": t.column("n_refs"),
+            }
+        )
+        return (
+            tt.group_by("host")
+            .aggregate([("n_urls", "sum"), ("n_refs", "sum")])
+            .rename_columns(["host", "n_urls", "n_refs"])
+        )
+
+    rolled = (
+        merged.map_batches(_host_partials, batch_format="pyarrow")
+        .groupby("host", num_partitions=2)
+        .aggregate(
+            Sum("n_urls", alias_name="n_uncrawled_urls"),
+            Sum("n_refs", alias_name="n_refs"),
+        )
+    )
+    return rolled.sort(
+        ["n_uncrawled_urls", "host"], descending=[True, False]
+    ).limit(k)

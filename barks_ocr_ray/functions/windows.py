@@ -203,3 +203,69 @@ def interval_overlap_pairs(events: Dataset, num_partitions: int = 8) -> Dataset:
         .groupby(["type_a", "type_b"], num_partitions=2)
         .aggregate(Sum("n_pairs", alias_name="n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix
+# ---------------------------------------------------------------------------
+
+US_PER_WEEK = 7 * 86_400 * 1_000_000
+
+
+def retention_matrix(events: Dataset, num_partitions: int = 8) -> Dataset:
+    """Weekly cohort retention: users cohorted by their FIRST event's
+    epoch week; n_active = distinct users of cohort c active in week
+    c + offset. The classic product-analytics matrix, and the
+    crawl-freshness matrix when events are fetches.
+
+    ONE user-keyed exchange does everything row-scaled: per block,
+    lexsort by (user, week), collapse to distinct (user, week) pairs,
+    take the segment's first week as the cohort, emit (cohort_week,
+    week_offset) — at most one row per distinct (user, week), so the
+    final (cohort, offset)-keyed count IS the distinct-user count. The
+    rollup output is weeks²-bounded."""
+    import numpy as np
+
+    def _weeks(t: pa.Table) -> pa.Table:
+        wk = pc.divide(
+            t.column("ts").cast(pa.int64()),
+            pa.scalar(US_PER_WEEK, pa.int64()),
+        )
+        return pa.table({"user_id": t.column("user_id"), "wk": wk})
+
+    def _cohort_offsets(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.int64()),
+                    "week_offset": pa.array([], pa.int64()),
+                    "n_active": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        w = t.column("wk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        keep = np.r_[True, (u[1:] != u[:-1]) | (w[1:] != w[:-1])]
+        u, w = u[keep], w[keep]
+        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        cohort = np.repeat(w[seg], np.diff(np.r_[seg, len(u)]))
+        pairs = pa.table(
+            {
+                "cohort_week": pa.array(cohort, pa.int64()),
+                "week_offset": pa.array(w - cohort, pa.int64()),
+            }
+        )
+        return (
+            pairs.group_by(["cohort_week", "week_offset"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["cohort_week", "week_offset", "n_active"])
+        )
+
+    return (
+        events.map_batches(_weeks, batch_format="pyarrow")
+        .repartition(num_partitions, keys=["user_id"])
+        .map_batches(_cohort_offsets, batch_format="pyarrow", batch_size=None)
+        .groupby(["cohort_week", "week_offset"], num_partitions=2)
+        .aggregate(Sum("n_active", alias_name="n_active"))
+    )

@@ -934,3 +934,34 @@ def golden_canonical_dedup(pages: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def golden_frontier(pages: pa.Table, k: int = 30) -> pa.Table:
+    """Sequential replay of links.frontier_by_host (shared kernels:
+    page_outlinks, url_host; anti-join and rollup are plain loops)."""
+    from collections import Counter
+
+    from barks_ocr_ray.functions.links import page_outlinks, url_host
+
+    refs: Counter = Counter()
+    crawled = set(pages.column("url").to_pylist())
+    for u, p in zip(
+        pages.column("url").to_pylist(), pages.column("html").to_pylist()
+    ):
+        for tgt, _anchor in page_outlinks(u, p):
+            refs[tgt] += 1
+    n_urls: Counter = Counter()
+    n_refs: Counter = Counter()
+    for tgt, n in refs.items():
+        if tgt not in crawled:
+            h = url_host(tgt)
+            n_urls[h] += 1
+            n_refs[h] += n
+    top = sorted(n_urls, key=lambda h: (-n_urls[h], h))[:k]
+    return pa.table(
+        {
+            "host": pa.array(top, pa.string()),
+            "n_uncrawled_urls": pa.array([n_urls[h] for h in top], pa.int64()),
+            "n_refs": pa.array([n_refs[h] for h in top], pa.int64()),
+        }
+    )

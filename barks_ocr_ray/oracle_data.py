@@ -366,6 +366,22 @@ def ensure_canonical_dedup_golden(n: int) -> str:
     return path
 
 
+def frontier_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_frontier_n{n}.parquet")
+
+
+def ensure_frontier_golden(n: int) -> str:
+    """Single-process golden of crawl-frontier discovery per host."""
+    path = frontier_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.golden_dedup import golden_frontier
+
+    _atomic_write(golden_frontier(pages_table(n)), path)
+    return path
+
+
 def corpus_tag_sql(table: str) -> str:
     """The fingerprint subquery the golden-backed oracle SQL embeds."""
     return (
@@ -497,6 +513,7 @@ def ensure_all() -> dict[str, str]:
         "q162": ensure_anchor_terms_golden(Q24_N),
         "q163": ensure_hits_golden(Q24_N),
         "q164": ensure_canonical_dedup_golden(Q24_N),
+        "q168": ensure_frontier_golden(Q24_N),
     }
     out.update(ensure_neardup_goldens())
     return out

@@ -8493,6 +8493,60 @@ ORDER BY 1, 2
 """
 
 
+def q167_retention_matrix(sf_dir: str):
+    """Weekly cohort retention matrix: users cohorted by first-event
+    epoch week, distinct-user activity counts at each week offset —
+    the time-keyed sibling of q143's adoption curve (which counts
+    first events only). One user-keyed exchange emits at most one row
+    per distinct (user, week); the (cohort, offset) rollup is
+    weeks²-bounded."""
+    from barks_ocr_ray.functions.windows import retention_matrix
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+    return retention_matrix(ev).sort(["cohort_week", "week_offset"])
+
+
+SQL_Q167 = """
+WITH a AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk
+  FROM events GROUP BY 1, 2),
+c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1)
+SELECT c.cohort_wk AS cohort_week,
+       a.wk - c.cohort_wk AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM a JOIN c USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q168_crawl_frontier(sf_dir: str):
+    """Crawl-frontier discovery: outlink targets with no fetch row,
+    per-host rollup (distinct uncrawled urls + total references) — the
+    scheduler table a crawler consumes next; on this corpus the
+    link-farm pages dominate it. Fully distributed anti-join (union +
+    target-keyed flag merge — no broadcast of the crawled set). Oracle:
+    single-process golden replay sharing the page_outlinks/url_host
+    kernels."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.functions.links import frontier_by_host
+    from barks_ocr_ray.oracle_data import Q24_N
+
+    configure()
+    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(["url", "html"])
+    return frontier_by_host(pages, k=30)
+
+
+def _sql_q168() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, frontier_golden_path
+
+    return (
+        "SELECT host, n_uncrawled_urls, n_refs FROM "
+        f"read_parquet('{frontier_golden_path(Q24_N)}')"
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -8676,6 +8730,8 @@ def build_registry():
         "q164_canonical_dedup": q164_canonical_dedup,
         "q165_phrase_search": q165_phrase_search,
         "q166_interval_overlap": q166_interval_overlap,
+        "q167_retention_matrix": q167_retention_matrix,
+        "q168_crawl_frontier": q168_crawl_frontier,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -8886,6 +8942,8 @@ def build_registry():
         "q164_canonical_dedup": _sql_q164(),
         "q165_phrase_search": _sql_q165(),
         "q166_interval_overlap": SQL_Q166,
+        "q167_retention_matrix": SQL_Q167,
+        "q168_crawl_frontier": _sql_q168(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -126,7 +126,9 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q163_hits_authorities", 1),
                         ("q164_canonical_dedup", 1),
                         ("q165_phrase_search", 1),
-                        ("q166_interval_overlap", 1)):
+                        ("q166_interval_overlap", 1),
+                        ("q167_retention_matrix", 1),
+                        ("q168_crawl_frontier", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

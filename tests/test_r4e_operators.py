@@ -439,3 +439,96 @@ class TestIntervalOverlap:
             .to_pandas()
         )
         assert a.equals(b)
+
+
+class TestRetentionMatrix:
+    def test_cohort_and_offsets(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from barks_ocr_ray.pipelines.queries import SQL_Q167, q167_retention_matrix
+
+        W = 7 * 86400
+        base = pd.Timestamp("2024-01-01")
+        rows = [
+            # user 1: weeks 0, 1, 3 (retained at offsets 0, 1, 3)
+            (1, base),
+            (1, base + pd.Timedelta(seconds=W)),
+            (1, base + pd.Timedelta(seconds=3 * W)),
+            (1, base + pd.Timedelta(seconds=3 * W + 60)),  # same week dup
+            # user 2: joins week 1, active week 1 only
+            (2, base + pd.Timedelta(seconds=W + 3600)),
+        ]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["x"] * len(rows), pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ret", ev, "events.parquet")
+        got = q167_retention_matrix(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q167).fetch_df()
+        assert got.equals(exp)
+        m = {
+            (r.cohort_week, r.week_offset): r.n_active
+            for r in got.itertuples()
+        }
+        c1 = min(k[0] for k in m)
+        # user 1's cohort: active at offsets 0,1,3 (same-week dup collapses);
+        # user 2 joins one week later
+        assert m[(c1, 0)] == 1 and m[(c1, 1)] == 1 and m[(c1, 3)] == 1
+        assert m[(c1 + 1, 0)] == 1
+        assert (c1, 2) not in m
+
+
+class TestCrawlFrontier:
+    def test_pipeline_matches_golden(self, ray_session):
+        import ray.data as rd
+
+        from barks_ocr_ray.datagen import pages_table
+        from barks_ocr_ray.functions.links import frontier_by_host, url_host
+        from barks_ocr_ray.golden_dedup import golden_frontier
+
+        assert url_host("https://WWW.Host1.Example:443/x") == "www.host1.example"
+        pages_tbl = pages_table(300)
+        ds = rd.from_arrow(pages_tbl).select_columns(["url", "html"])
+        got = frontier_by_host(ds, k=20).to_pandas()
+        exp = golden_frontier(pages_tbl, k=20).to_pandas()
+        assert got.equals(exp)
+        assert len(got) > 0  # link farms spray uncrawled targets
+        assert (got["n_refs"] >= got["n_uncrawled_urls"]).all()
+
+    def test_crawled_targets_are_excluded(self, ray_session):
+        import ray.data as rd
+
+        from barks_ocr_ray.functions.links import frontier_by_host
+
+        mk = lambda body: (
+            "<html><head><title>x</title></head>"
+            f"<body>{body}</body></html>"
+        ).encode()
+        pages = pa.table(
+            {
+                "url": pa.array(
+                    ["https://h.example/a", "https://h.example/b"],
+                    pa.string(),
+                ),
+                "html": pa.array(
+                    [
+                        # /b is crawled -> excluded; /c and /d are frontier
+                        mk('<a href="/b">x</a><a href="/c">y</a><a href="/d">z</a><a href="/c">w</a>'),
+                        mk('<a href="/a">x</a>'),
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+        got = frontier_by_host(rd.from_arrow(pages), k=5).to_pandas()
+        assert got["host"].tolist() == ["h.example"]
+        assert got["n_uncrawled_urls"].tolist() == [2]  # /c, /d
+        assert got["n_refs"].tolist() == [3]  # /c twice + /d once
