@@ -226,7 +226,12 @@ def histogram_quantiles(
     if n == 0:
         return empty
     lo, hi = float(stats["lo"]), float(stats["hi"])
-    if hi == lo:
+    # guard on the COMPUTED width, not hi == lo: a subnormal range
+    # underflows (hi - lo) / B to 0.0, where the bucket expression
+    # diverges between numpy (NaN propagates) and DuckDB (least skips
+    # NaN) — the constant-column path is the correct degenerate answer
+    w = (hi - lo) / float(n_buckets)
+    if w == 0.0:
         order = sorted(float(q) for q in qs)
         return pa.table(
             {
@@ -236,7 +241,6 @@ def histogram_quantiles(
                 ),
             }
         )
-    w = (hi - lo) / float(n_buckets)
 
     def _hist(t: pa.Table) -> pa.Table:
         x = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
@@ -343,10 +347,10 @@ def grouped_histogram_quantiles(
             m = keys == g
             if not m.any():
                 continue
-            if hi == lo:
+            w = (hi - lo) / float(n_buckets)
+            if w == 0.0:  # includes subnormal-range underflow
                 idx[m] = 0
             else:
-                w = (hi - lo) / float(n_buckets)
                 idx[m] = np.minimum(
                     np.floor((x[m] - lo) / w), float(n_buckets - 1)
                 ).astype(np.int64)
@@ -376,10 +380,10 @@ def grouped_histogram_quantiles(
         c = t.column("c").to_numpy(zero_copy_only=False)
         np.add.at(counts, b, c)
         cum = np.cumsum(counts)
-        w = (hi - lo) / float(n_buckets) if hi != lo else 0.0
+        w = (hi - lo) / float(n_buckets)
         ests = []
         for q in qs_sorted:
-            if hi == lo:
+            if w == 0.0:
                 ests.append(round_like_duckdb(lo, 6))
                 continue
             k = max(1, _math.ceil(q * n))

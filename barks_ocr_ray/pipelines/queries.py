@@ -8547,6 +8547,410 @@ def _sql_q168() -> str:
     )
 
 
+def q169_source_divergence(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between the sources' unigram
+    LMs — the corpus-similarity MATRIX behind mixture design (which
+    sources are interchangeable, which add diversity); complements
+    q125's doc-overlap similarity (JS sees distributional drift even
+    with zero shared docs) and q130/q134 (two-snapshot, not pairwise).
+    ONE (source, word)-keyed exchange of block count partials (the
+    vocab×sources-bounded q47/q52 aggregation); the pair matrix derives
+    driver-side on that bounded table. Per-(pair, word) contributions
+    round to int64 micro-nats before the sum (q134 ln() round-6
+    discipline: every input to ln is the single expression
+    2p/(p+q) of exact count ratios, bit-replayable in DuckDB)."""
+    import re as _re
+    from collections import Counter
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
+
+    docs = read_table(sf_dir, "documents", ["source", "text"])
+    token_re = _re.compile(r"[a-z0-9]+")
+
+    def _partials(t: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for s, x in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            if x:
+                for w in token_re.findall(x.lower()):
+                    counts[(s, w)] += 1
+        ks = sorted(counts)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks], pa.string()),
+                "w": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    cnt = (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["source", "w"], num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    if not cnt:
+        return pa.table(
+            {
+                "source_a": pa.array([], pa.string()),
+                "source_b": pa.array([], pa.string()),
+                "js_micro": pa.array([], pa.int64()),
+            }
+        )
+    sources = sorted({r["source"] for r in cnt})
+    vocab = sorted({r["w"] for r in cnt})
+    si = {s: i for i, s in enumerate(sources)}
+    wi = {w: i for i, w in enumerate(vocab)}
+    mat = np.zeros((len(sources), len(vocab)), dtype=np.float64)
+    for r in cnt:
+        mat[si[r["source"]], wi[r["w"]]] = r["n"]
+    p = mat / mat.sum(axis=1, keepdims=True)
+    rows = []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            pi, pj = p[i], p[j]
+            m2 = pi + pj  # 2*m
+            term = np.zeros(len(vocab), dtype=np.float64)
+            maski = pi > 0
+            term[maski] += 0.5 * pi[maski] * np.log(2 * pi[maski] / m2[maski])
+            maskj = pj > 0
+            term[maskj] += 0.5 * pj[maskj] * np.log(2 * pj[maskj] / m2[maskj])
+            micro = round_like_duckdb(term * 1e6, 0).astype(np.int64)
+            rows.append((sources[i], sources[j], int(micro.sum())))
+    return pa.table(
+        {
+            "source_a": pa.array([r[0] for r in rows], pa.string()),
+            "source_b": pa.array([r[1] for r in rows], pa.string()),
+            "js_micro": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_Q169 = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+cnt AS (
+  SELECT source, w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2),
+tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
+p AS (
+  SELECT cnt.source, w, c / n AS p FROM cnt JOIN tot USING (source)),
+grid AS (
+  SELECT ta.source AS sa, tb.source AS sb
+  FROM tot ta JOIN tot tb ON ta.source < tb.source),
+words AS (SELECT DISTINCT w FROM cnt),
+terms AS (
+  SELECT g.sa, g.sb,
+         coalesce(pa.p, 0) AS p, coalesce(pb.p, 0) AS q
+  FROM grid g
+  CROSS JOIN words
+  LEFT JOIN p pa ON pa.source = g.sa AND pa.w = words.w
+  LEFT JOIN p pb ON pb.source = g.sb AND pb.w = words.w),
+js AS (
+  SELECT sa, sb,
+         CAST(sum(CAST(round(
+           (CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END
+            + CASE WHEN q > 0 THEN 0.5 * q * ln(2 * q / (p + q)) ELSE 0 END)
+           * 1000000, 0) AS BIGINT)) AS BIGINT) AS js_micro
+  FROM terms GROUP BY 1, 2)
+SELECT sa AS source_a, sb AS source_b, js_micro
+FROM js ORDER BY 1, 2
+"""
+
+
+def q170_fk_orphan_audit(sf_dir: str):
+    """Cross-table referential-integrity audit: for each declared FK
+    edge, total child rows and orphans (non-null key with no parent) —
+    the cross-TABLE data-quality rung beside q104's column
+    expectations and q139's schema drift. Each edge runs the q168
+    union-flag anti-join (child per-key block pre-counts UNION parent
+    marker rows into one key-keyed merge; the parent key set is never
+    broadcast), so an edge costs one keyed exchange at any scale."""
+    edges = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ]
+    names, n_rows_out, n_orph_out = [], [], []
+    for name, child, ckey, parent, pkey in edges:
+        child_ds = read_table(sf_dir, child, [ckey])
+        parent_ds = read_table(sf_dir, parent, [pkey])
+        n_rows = child_ds.count()
+
+        def _child(t: pa.Table, ckey=ckey) -> pa.Table:
+            col = t.column(ckey)
+            t2 = pa.table({"k": col.cast(pa.int64())}).filter(pc.is_valid(col))
+            g = (
+                t2.group_by("k")
+                .aggregate([([], "count_all")])
+                .rename_columns(["k", "n"])
+            )
+            z = pa.array([0] * g.num_rows, pa.int64())
+            return g.append_column("parent", z)
+
+        def _parent(t: pa.Table, pkey=pkey) -> pa.Table:
+            col = t.column(pkey)
+            t2 = pa.table({"k": col.cast(pa.int64())}).filter(pc.is_valid(col))
+            z = pa.array([0] * t2.num_rows, pa.int64())
+            o = pa.array([1] * t2.num_rows, pa.int64())
+            return pa.table(
+                {"k": t2.column("k"), "n": z, "parent": o}
+            )
+
+        merged = (
+            child_ds.map_batches(_child, batch_format="pyarrow")
+            .union(parent_ds.map_batches(_parent, batch_format="pyarrow"))
+            .groupby("k", num_partitions=hash_partitions(8))
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Max("parent", alias_name="parent"),
+            )
+        )
+
+        def _orphan_partial(t: pa.Table) -> pa.Table:
+            orph = t.filter(pc.equal(t.column("parent"), 0))
+            return pa.table(
+                {
+                    "n_orphans": pa.array(
+                        [
+                            int(
+                                pc.sum(orph.column("n")).as_py() or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            )
+
+        orphans = (
+            merged.map_batches(_orphan_partial, batch_format="pyarrow")
+            .sum("n_orphans")
+            or 0
+        )
+        names.append(name)
+        n_rows_out.append(n_rows)
+        n_orph_out.append(int(orphans))
+    return pa.table(
+        {
+            "fk_edge": pa.array(names, pa.string()),
+            "n_rows": pa.array(n_rows_out, pa.int64()),
+            "n_orphans": pa.array(n_orph_out, pa.int64()),
+        }
+    )
+
+
+SQL_Q170 = """
+SELECT * FROM (
+  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           LEFT JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL)
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+           LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL)
+  UNION ALL
+  SELECT 'orders.o_custkey->customer',
+         (SELECT CAST(count(*) AS BIGINT) FROM orders),
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+           LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+           WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+) ORDER BY fk_edge
+"""
+
+
+#: q171 batching geometry: 8 length buckets, 256 docs per inference batch
+Q171_BUCKETS = 8
+Q171_BATCH = 256
+
+
+def q171_length_bucketing(sf_dir: str):
+    """Sequence-length bucketing for batched inference: docs bucket by
+    token length (all-INTEGER equal-width buckets — (L-lo)*B //
+    (hi-lo+1), no IEEE at all), sort by (length, doc_id) within each
+    bucket, chunk into 256-doc batches, and account the exact padding
+    waste (batch_max*size - sum_len) — the report that tells you what
+    length-bucketing buys before you pay for it. Distributed shape:
+    one bounded (bucket, length)-keyed count exchange builds the
+    global below-offset table (length cardinality is corpus-bounded),
+    then one (bucket, length)-keyed repartition ranks within ties by
+    doc_id block-locally (the q146 global-rank-without-global-sort
+    machinery), and the (bucket, batch) rollup is output-bounded."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _lens(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        ok = pc.and_(pc.is_valid(txt), pc.greater(pc.utf8_length(txt), 0))
+        t = t.filter(ok)
+        n_tok = pc.count_substring_regex(
+            pc.utf8_lower(t.column("text")), r"[a-z0-9]+"
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "L": n_tok})
+
+    lens = docs.map_batches(_lens, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_batches": pa.array([], pa.int64()),
+            "padding_waste": pa.array([], pa.int64()),
+        }
+    )
+    if lens.count() == 0:
+        return empty
+    stats = lens.aggregate(Min("L", alias_name="lo"), Max("L", alias_name="hi"))
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    span = hi - lo + 1
+
+    def _bucketed(t: pa.Table) -> pa.Table:
+        L = t.column("L").to_numpy(zero_copy_only=False)
+        b = (L - lo) * Q171_BUCKETS // span
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "L": t.column("L"),
+                "doc_id": t.column("doc_id"),
+            }
+        )
+
+    bl = lens.map_batches(_bucketed, batch_format="pyarrow").materialize()
+    # bounded (bucket, L) histogram -> global rank offsets below each key
+    hist = (
+        bl.groupby(["bucket", "L"], num_partitions=4)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: (r["bucket"], r["L"]))
+    below: dict[tuple[int, int], int] = {}
+    run_bucket, acc = None, 0
+    for r in hist:
+        if r["bucket"] != run_bucket:
+            run_bucket, acc = r["bucket"], 0
+        below[(r["bucket"], r["L"])] = acc
+        acc += r["n"]
+
+    def _batch_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "batch": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sum_len": pa.array([], pa.int64()),
+                    "max_len": pa.array([], pa.int64()),
+                }
+            )
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        L = t.column("L").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, L, b))
+        b, L, d = b[order], L[order], d[order]
+        # within-(bucket, L) rank by doc_id: positional within segment
+        seg = np.flatnonzero(
+            np.r_[True, (b[1:] != b[:-1]) | (L[1:] != L[:-1])]
+        )
+        seg_of = np.repeat(np.arange(len(seg)), np.diff(np.r_[seg, len(b)]))
+        within = np.arange(len(b)) - seg[seg_of]
+        off = np.array(
+            [below[(int(bb), int(ll))] for bb, ll in zip(b[seg], L[seg])],
+            dtype=np.int64,
+        )
+        rank = off[seg_of] + within  # 0-based global rank within bucket
+        batch = rank // Q171_BATCH
+        key = pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "batch": pa.array(batch, pa.int64()),
+                "n": pa.array(np.ones(len(b), np.int64), pa.int64()),
+                "sum_len": pa.array(L, pa.int64()),
+                "max_len": pa.array(L, pa.int64()),
+            }
+        )
+        return (
+            key.group_by(["bucket", "batch"])
+            .aggregate([("n", "sum"), ("sum_len", "sum"), ("max_len", "max")])
+            .rename_columns(["bucket", "batch", "n", "sum_len", "max_len"])
+        )
+
+    per_batch = (
+        bl.repartition(8, keys=["bucket", "L"])
+        .map_batches(_batch_partials, batch_format="pyarrow", batch_size=None)
+        .groupby(["bucket", "batch"], num_partitions=2)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_len", alias_name="sum_len"),
+            Max("max_len", alias_name="max_len"),
+        )
+    )
+
+    def _waste(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        s = t.column("sum_len").to_numpy(zero_copy_only=False)
+        m = t.column("max_len").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": t.column("bucket"),
+                "n_docs": t.column("n"),
+                "n_batches": pa.array(np.ones(len(n), np.int64), pa.int64()),
+                "padding_waste": pa.array(m * n - s, pa.int64()),
+            }
+        )
+
+    return (
+        per_batch.map_batches(_waste, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_batches", alias_name="n_batches"),
+            Sum("padding_waste", alias_name="padding_waste"),
+        )
+        .sort("bucket")
+    )
+
+
+SQL_Q171 = """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS L
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+s AS (SELECT min(L) AS lo, max(L) AS hi FROM d),
+b AS (
+  SELECT doc_id, L, (L - s.lo) * 8 // (s.hi - s.lo + 1) AS bucket
+  FROM d, s),
+r AS (
+  SELECT bucket, L,
+         (row_number() OVER (PARTITION BY bucket ORDER BY L, doc_id) - 1)
+           // 256 AS batch
+  FROM b),
+pb AS (
+  SELECT bucket, batch,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(L) AS BIGINT) AS sum_len,
+         CAST(max(L) AS BIGINT) AS max_len
+  FROM r GROUP BY 1, 2)
+SELECT bucket,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(max_len * n - sum_len) AS BIGINT) AS padding_waste
+FROM pb GROUP BY 1 ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -8732,6 +9136,9 @@ def build_registry():
         "q166_interval_overlap": q166_interval_overlap,
         "q167_retention_matrix": q167_retention_matrix,
         "q168_crawl_frontier": q168_crawl_frontier,
+        "q169_source_divergence": q169_source_divergence,
+        "q170_fk_orphan_audit": q170_fk_orphan_audit,
+        "q171_length_bucketing": q171_length_bucketing,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -8944,6 +9351,9 @@ def build_registry():
         "q166_interval_overlap": SQL_Q166,
         "q167_retention_matrix": SQL_Q167,
         "q168_crawl_frontier": _sql_q168(),
+        "q169_source_divergence": SQL_Q169,
+        "q170_fk_orphan_audit": SQL_Q170,
+        "q171_length_bucketing": SQL_Q171,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

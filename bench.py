@@ -74,6 +74,12 @@ BENCH_QUERIES = [
     "q131_bpe_train",
     "q145_robust_outliers",
     "q148_ngram_containment",
+    "q159_compression_ratio",
+    "q160_char_entropy",
+    "q163_hits_authorities",
+    "q165_phrase_search",
+    "q166_interval_overlap",
+    "q167_retention_matrix",
 ]
 
 

@@ -128,7 +128,10 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q165_phrase_search", 1),
                         ("q166_interval_overlap", 1),
                         ("q167_retention_matrix", 1),
-                        ("q168_crawl_frontier", 1)):
+                        ("q168_crawl_frontier", 1),
+                        ("q169_source_divergence", 1),
+                        ("q170_fk_orphan_audit", 1),
+                        ("q171_length_bucketing", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -140,11 +140,17 @@ def test_bpe_encode_len_bounds(word):
 def test_histogram_bucket_expression_matches_duckdb(vals, n_buckets):
     """The q127/q133/q134 bucket contract: the single IEEE expression
     least(floor((x - lo) / w), B-1) assigns every value to the same
-    bucket in numpy and DuckDB."""
+    bucket in numpy and DuckDB — FOR w > 0, which is the contract's
+    stated precondition. hi != lo does NOT imply w > 0: a subnormal
+    range underflows (hi - lo) / B to 0.0 (hypothesis found
+    [0.0, 5e-324]), where numpy propagates the NaN of 0/0 but DuckDB's
+    least() skips NaN — so the operators guard on the computed w, not
+    on hi == lo (quantiles.py takes the constant-column path; pinned by
+    test_histogram_quantiles_subnormal_range_takes_constant_path)."""
     lo, hi = min(vals), max(vals)
-    if hi == lo:
-        return
     w = (hi - lo) / float(n_buckets)
+    if w == 0.0:
+        return
     x = np.array(vals, np.float64)
     ours = np.minimum(
         np.floor((x - lo) / w), float(n_buckets - 1)

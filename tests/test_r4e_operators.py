@@ -532,3 +532,191 @@ class TestCrawlFrontier:
         assert got["host"].tolist() == ["h.example"]
         assert got["n_uncrawled_urls"].tolist() == [2]  # /c, /d
         assert got["n_refs"].tolist() == [3]  # /c twice + /d once
+
+
+class TestSourceDivergence:
+    def test_identical_disjoint_and_symmetry_free(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import SQL_Q169, q169_source_divergence
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "source": pa.array(["a", "a", "b", "b", "c", "c"], pa.string()),
+                "text": pa.array(
+                    [
+                        "x y z", "x y",          # a
+                        "x y z", "x y",          # b: identical dist -> JS 0
+                        "p q r", "p q",          # c: disjoint -> JS = ln(2)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_js", docs, "documents.parquet")
+        got = q169_source_divergence(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q169).fetch_df()
+        assert got["js_micro"].tolist() == exp["js_micro"].tolist()
+        assert got["source_a"].tolist() == exp["source_a"].tolist()
+        m = {
+            (r.source_a, r.source_b): r.js_micro for r in got.itertuples()
+        }
+        assert m[("a", "b")] == 0
+        # disjoint vocabularies: JS = ln 2 (in micro-nats, +-term rounding)
+        assert abs(m[("a", "c")] - 693147) <= 5
+        assert set(m) == {("a", "b"), ("a", "c"), ("b", "c")}
+
+
+class TestFkOrphanAudit:
+    def test_orphans_and_null_exemption(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from barks_ocr_ray.pipelines.queries import SQL_Q170, q170_fk_orphan_audit
+
+        d = tmp_path / "sf_fk"
+        d.mkdir()
+        tables = {
+            "orders": pa.table(
+                {
+                    "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                    "o_custkey": pa.array([10, 99, None], pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+                    "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+                    "o_orderdate": pa.array(
+                        [pd.Timestamp("2024-01-01")] * 3, pa.timestamp("us")
+                    ),
+                    "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+                }
+            ),
+            "customer": pa.table(
+                {
+                    "c_custkey": pa.array([10], pa.int64()),
+                    "c_name": pa.array(["c"], pa.string()),
+                    "c_nationkey": pa.array([0], pa.int32()),
+                    "c_acctbal": pa.array([0.0], pa.float64()),
+                    "c_mktsegment": pa.array(["B"], pa.string()),
+                }
+            ),
+            "lineitem": pa.table(
+                {
+                    "l_orderkey": pa.array([1, 1, 7], pa.int64()),
+                    "l_partkey": pa.array([100, 200, 100], pa.int64()),
+                    "l_suppkey": pa.array([5, 5, 5], pa.int64()),
+                    "l_linenumber": pa.array([1, 2, 1], pa.int32()),
+                    "l_quantity": pa.array([1.0] * 3, pa.float64()),
+                    "l_extendedprice": pa.array([1.0] * 3, pa.float64()),
+                    "l_discount": pa.array([0.0] * 3, pa.float64()),
+                    "l_tax": pa.array([0.0] * 3, pa.float64()),
+                    "l_returnflag": pa.array(["N"] * 3, pa.string()),
+                    "l_linestatus": pa.array(["O"] * 3, pa.string()),
+                    "l_shipdate": pa.array(
+                        [pd.Timestamp("2024-01-02")] * 3, pa.timestamp("us")
+                    ),
+                }
+            ),
+            "part": pa.table(
+                {
+                    "p_partkey": pa.array([100], pa.int64()),
+                    "p_name": pa.array(["p"], pa.string()),
+                    "p_brand": pa.array(["b"], pa.string()),
+                    "p_type": pa.array(["t"], pa.string()),
+                    "p_size": pa.array([1], pa.int32()),
+                    "p_retailprice": pa.array([1.0], pa.float64()),
+                }
+            ),
+            "supplier": pa.table(
+                {
+                    "s_suppkey": pa.array([5], pa.int64()),
+                    "s_name": pa.array(["s"], pa.string()),
+                    "s_nationkey": pa.array([0], pa.int32()),
+                    "s_acctbal": pa.array([0.0], pa.float64()),
+                }
+            ),
+        }
+        for name, tbl in tables.items():
+            pq.write_table(tbl, str(d / f"{name}.parquet"))
+        got = q170_fk_orphan_audit(str(d)).to_pandas().set_index("fk_edge")
+        # l_orderkey=7 is an orphan; l_partkey=200 orphan; suppkeys fine;
+        # o_custkey=99 orphan, NULL custkey exempt
+        assert got.loc["lineitem.l_orderkey->orders", "n_orphans"] == 1
+        assert got.loc["lineitem.l_partkey->part", "n_orphans"] == 1
+        assert got.loc["lineitem.l_suppkey->supplier", "n_orphans"] == 0
+        assert got.loc["orders.o_custkey->customer", "n_orphans"] == 1
+        assert got.loc["orders.o_custkey->customer", "n_rows"] == 3
+        con = duckdb.connect()
+        for name, tbl in tables.items():
+            con.register(name, tbl)
+        exp = con.execute(SQL_Q170).fetch_df().set_index("fk_edge")
+        assert got["n_orphans"].tolist() == exp["n_orphans"].tolist()
+        assert got["n_rows"].tolist() == exp["n_rows"].tolist()
+
+
+class TestSubnormalHistogramRange:
+    def test_histogram_quantiles_subnormal_range_takes_constant_path(
+        self, ray_session
+    ):
+        """hi != lo but (hi - lo) / B underflows to 0.0 — the hypothesis
+        counterexample [0.0, 5e-324]. The guard on the computed width
+        must route this to the constant-column path instead of emitting
+        NaN buckets."""
+        import ray.data as rd
+
+        from barks_ocr_ray.functions.quantiles import histogram_quantiles
+
+        t = pa.table({"v": pa.array([0.0, 5e-324], pa.float64())})
+        out = histogram_quantiles(
+            rd.from_arrow(t), "v", qs=(0.5, 0.9), n_buckets=1024
+        ).to_pandas()
+        assert out["value_est"].tolist() == [0.0, 0.0]
+
+
+class TestLengthBucketing:
+    def test_multi_batch_waste_matches_duckdb(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import SQL_Q171, q171_length_bucketing
+
+        rng = np.random.default_rng(3)
+        texts = []
+        for i in range(2500):
+            k = int(rng.integers(1, 40))
+            texts.append(" ".join(["w"] * k))
+        texts[5] = None
+        texts[6] = ""
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(2500), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_lb", docs, "documents.parquet")
+        got = q171_length_bucketing(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q171).fetch_df()
+        for c in ("bucket", "n_docs", "n_batches", "padding_waste"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # at least one bucket must overflow into a second batch
+        assert (got["n_batches"] >= 2).any()
+        assert got["n_docs"].sum() == 2498  # null + empty excluded
+
+    def test_sorted_batching_beats_random_on_waste(self, ray_session, tmp_path):
+        """The point of the report: length-sorted batches waste less
+        padding than the unbucketed single-stream upper bound."""
+        from barks_ocr_ray.pipelines.queries import q171_length_bucketing
+
+        rng = np.random.default_rng(9)
+        lens = rng.integers(1, 200, 600)
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(600), pa.int64()),
+                "text": pa.array(
+                    [" ".join(["w"] * int(k)) for k in lens], pa.string()
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_lb2", docs, "documents.parquet")
+        got = q171_length_bucketing(d).to_pandas()
+        total_waste = got["padding_waste"].sum()
+        # naive single batch-of-all padding waste
+        naive = lens.max() * len(lens) - lens.sum()
+        assert total_waste < naive
