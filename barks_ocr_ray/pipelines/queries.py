@@ -8951,6 +8951,491 @@ FROM pb GROUP BY 1 ORDER BY 1
 """
 
 
+def q172_source_overlap(sf_dir: str):
+    """Cross-source shingle-overlap matrix: for every source pair, the
+    count of distinct token-trigrams both crawls contain and the
+    trigram-set Jaccard — the 'which snapshots/crawls cover the same
+    material' audit that drives mixture dedup budgets (q169 compares
+    unigram DISTRIBUTIONS; this compares n-gram SETS, so verbatim
+    template reuse shows up even when the word mix differs).
+    Distributed shape: block partials emit DISTINCT (gram, source)
+    rows (set-collapsed per block, the curation.py _BlockNgramDF
+    discipline), ONE (gram, source)-keyed distinct exchange, then a
+    gram-keyed repartition where each gram's source list emits
+    pre-aggregated pair partials (<= sources^2 rows per block — the
+    per-gram emission is bounded by the source-pair count, never the
+    corpus); per-source totals and the pair grid are sources-bounded
+    driver tables."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["source", "text"])
+    token_re = _re.compile(r"[a-z0-9]+")
+    G = 3
+
+    def _gram_partials(t: pa.Table) -> pa.Table:
+        seen: set = set()
+        for s, x in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            if not x:
+                continue
+            toks = token_re.findall(x.lower())
+            for i in range(max(len(toks) - G + 1, 0)):
+                seen.add((s, " ".join(toks[i : i + G])))
+        ks = sorted(seen)
+        return pa.table(
+            {
+                "gram": pa.array([k[1] for k in ks], pa.string()),
+                "source": pa.array([k[0] for k in ks], pa.string()),
+            }
+        )
+
+    # distinct (gram, source) — the Count aggregate is only the
+    # distinct-collapse; its value is unused
+    sg = (
+        docs.map_batches(_gram_partials, batch_format="pyarrow")
+        .groupby(["gram", "source"], num_partitions=hash_partitions(4))
+        .aggregate(Count(alias_name="nb"))
+        .materialize()  # read twice below (totals + pairs)
+    )
+    sz = (
+        sg.groupby("source", num_partitions=2)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_shared": pa.array([], pa.int64()),
+            "jaccard_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not sz:
+        return empty
+
+    def _pair_partials(t: pa.Table) -> pa.Table:
+        by_gram: defaultdict = defaultdict(list)
+        for g, s in zip(
+            t.column("gram").to_pylist(), t.column("source").to_pylist()
+        ):
+            by_gram[g].append(s)
+        cnt: Counter = Counter()
+        for srcs in by_gram.values():
+            srcs.sort()
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    cnt[(srcs[i], srcs[j])] += 1
+        ks = sorted(cnt)
+        return pa.table(
+            {
+                "source_a": pa.array([k[0] for k in ks], pa.string()),
+                "source_b": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([cnt[k] for k in ks], pa.int64()),
+            }
+        )
+
+    inter = (
+        sg.repartition(hash_partitions(4), keys=["gram"])
+        .map_batches(
+            _pair_partials, batch_format="pyarrow", batch_size=None
+        )
+        .groupby(["source_a", "source_b"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n_shared"))
+        .take_all()
+    )
+    n_of = {r["source"]: int(r["n"]) for r in sz}
+    im = {(r["source_a"], r["source_b"]): int(r["n_shared"]) for r in inter}
+    srcs = sorted(n_of)
+    a_col, b_col, sh_col, ja_col = [], [], [], []
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            a, b = srcs[i], srcs[j]
+            shared = im.get((a, b), 0)
+            a_col.append(a)
+            b_col.append(b)
+            sh_col.append(shared)
+            ja_col.append(
+                (1e6 * shared) / (n_of[a] + n_of[b] - shared)
+            )
+    return pa.table(
+        {
+            "source_a": pa.array(a_col, pa.string()),
+            "source_b": pa.array(b_col, pa.string()),
+            "n_shared": pa.array(sh_col, pa.int64()),
+            "jaccard_micro": pa.array(
+                round_like_duckdb(np.array(ja_col, np.float64), 0).astype(
+                    np.int64
+                ),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _sql_q172() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (SELECT source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+           FROM documents WHERE text IS NOT NULL),
+g AS (SELECT DISTINCT source,
+             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
+      FROM t),
+sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+p AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2),
+grid AS (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+         FROM sz a JOIN sz b ON a.source < b.source)
+SELECT grid.sa AS source_a, grid.sb AS source_b,
+       coalesce(p.inter, 0) AS n_shared,
+       CAST(round(1e6 * coalesce(p.inter, 0)
+                  / (grid.na + grid.nb - coalesce(p.inter, 0)), 0) AS BIGINT)
+         AS jaccard_micro
+FROM grid LEFT JOIN p ON p.sa = grid.sa AND p.sb = grid.sb
+ORDER BY 1, 2
+"""
+
+
+#: q173 calibration geometry: decile bins over the score range
+Q173_BINS = 10
+
+
+def q173_calibration_report(sf_dir: str):
+    """Calibration table for the q64 quality classifier against the
+    corpus's English label: scores bin into deciles of the observed
+    score range (the ALL-integer q171 bucket contract over basis-point
+    scores — no IEEE in the bucket expression), and each bin reports
+    doc count, positive count and the integer score mass — the
+    reliability-diagram / ECE input that tells you whether the quality
+    filter's confidence means anything before you act on it at corpus
+    scale. One streamed actor-pool scoring pass (weights load once per
+    actor), one Min/Max reduce, one bins-bounded aggregation — zero
+    doc-keyed joins (lang rides along with the scoring pass)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.inference import QualityModel
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    qm = QualityModel()
+
+    def _score(t: pa.Table) -> pa.Table:
+        s = qm(t)  # doc_id, quality_score, keep — over this batch
+        bp = round_like_duckdb(
+            s.column("quality_score").to_numpy(zero_copy_only=False)
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+        lang = t.column("lang").combine_chunks().fill_null("")
+        return pa.table(
+            {
+                "bp": pa.array(bp, pa.int64()),
+                "en": pc.equal(lang, "en").cast(pa.int64()),
+            }
+        )
+
+    scored = docs.map_batches(_score, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {
+            "bin": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_en": pa.array([], pa.int64()),
+            "sum_score_bp": pa.array([], pa.int64()),
+        }
+    )
+    if scored.count() == 0:
+        return empty
+    stats = scored.aggregate(
+        Min("bp", alias_name="lo"), Max("bp", alias_name="hi")
+    )
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    span = hi - lo + 1
+
+    def _binned(t: pa.Table) -> pa.Table:
+        bp = t.column("bp").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": pa.array((bp - lo) * Q173_BINS // span, pa.int64()),
+                "n_docs": pa.array(np.ones(len(bp), np.int64), pa.int64()),
+                "n_en": t.column("en"),
+                "sum_score_bp": t.column("bp"),
+            }
+        )
+
+    return (
+        scored.map_batches(_binned, batch_format="pyarrow")
+        .groupby("bin", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_en", alias_name="n_en"),
+            Sum("sum_score_bp", alias_name="sum_score_bp"),
+        )
+        .sort("bin")
+    )
+
+
+def _sql_q173() -> str:
+    return f"""
+WITH sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()})),
+j AS (SELECT sc.doc_id, CAST(round(quality_score * 10000, 0) AS BIGINT) AS bp,
+             (coalesce(d.lang, '') = 'en') AS is_en
+      FROM sc JOIN documents d USING (doc_id)),
+s AS (SELECT min(bp) AS lo, max(bp) AS hi FROM j),
+b AS (SELECT (bp - s.lo) * {Q173_BINS} // (s.hi - s.lo + 1) AS bin, bp, is_en
+      FROM j, s)
+SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       CAST(sum(bp) AS BIGINT) AS sum_score_bp
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+#: q174 fits the slope over the K most frequent words
+Q174_TOP_K = 1000
+
+
+def q174_zipf_slope(sf_dir: str):
+    """Zipf's-law fit over the corpus word-frequency distribution: the
+    least-squares slope of ln(count) vs ln(rank) across the top-K
+    words — the one-number corpus-health diagnostic (natural text sits
+    near -1; template farms and boilerplate-heavy crawls flatten or
+    steepen it). ONE vocab-bounded word-count exchange (q47/q52
+    machinery); rank, the milli-nat log grid and the regression sums
+    are exact integers on the K-bounded driver table, so both engines
+    sum the SAME int64 grid and the only float op is the final scalar
+    slope ratio (round_like_duckdb parity). Requires >= 2 distinct
+    frequency/rank points (guarded)."""
+    import math as _math
+    import re as _re
+    from collections import Counter
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
+
+    docs = read_table(sf_dir, "documents", ["text"])
+    token_re = _re.compile(r"[a-z0-9]+")
+
+    def _wc(t: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            if x:
+                c.update(token_re.findall(x.lower()))
+        ks = sorted(c)
+        return pa.table(
+            {
+                "word": pa.array(ks, pa.string()),
+                "n": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    cnt = (
+        docs.map_batches(_wc, batch_format="pyarrow")
+        .groupby("word", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "n_words": pa.array([], pa.int64()),
+            "sx": pa.array([], pa.int64()),
+            "sy": pa.array([], pa.int64()),
+            "sxy": pa.array([], pa.int64()),
+            "sxx": pa.array([], pa.int64()),
+            "slope_micro": pa.array([], pa.int64()),
+        }
+    )
+    if len(cnt) < 2:
+        return empty
+    cnt.sort(key=lambda r: (-r["n"], r["word"]))
+    top = cnt[:Q174_TOP_K]
+    k = len(top)
+    sx = sy = sxy = sxx = 0
+    for rk, r in enumerate(top, start=1):
+        x = int(round_like_duckdb(_math.log(rk) * 1000.0, 0))
+        y = int(round_like_duckdb(_math.log(int(r["n"])) * 1000.0, 0))
+        sx += x
+        sy += y
+        sxy += x * y
+        sxx += x * x
+    den = k * sxx - sx * sx
+    if den == 0:
+        return empty
+    slope = (1e6 * float(k * sxy - sx * sy)) / float(den)
+    return pa.table(
+        {
+            "n_words": pa.array([k], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sy": pa.array([sy], pa.int64()),
+            "sxy": pa.array([sxy], pa.int64()),
+            "sxx": pa.array([sxx], pa.int64()),
+            "slope_micro": pa.array(
+                [int(round_like_duckdb(slope, 0))], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q174() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+r AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rk
+      FROM c QUALIFY rk <= {Q174_TOP_K}),
+i AS (SELECT CAST(round(ln(rk) * 1000, 0) AS BIGINT) AS x,
+             CAST(round(ln(n) * 1000, 0) AS BIGINT) AS y FROM r),
+s AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx FROM i)
+SELECT k AS n_words, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
+       CAST(round(1e6 * (k * sxy - sx * sy) / (k * sxx - sx * sx), 0)
+            AS BIGINT) AS slope_micro
+FROM s
+"""
+
+
+#: q175 keeps the top-K discriminative terms per source
+Q175_TOP_K = 5
+
+
+def q175_discriminative_terms(sf_dir: str):
+    """Per-source discriminative vocabulary: the top-K terms by
+    add-one-smoothed log-odds ratio of document frequency in the
+    source vs the rest of the corpus (Monroe et al.'s 'Fightin'
+    Words' shape; the c-TF-IDF cluster-labeling rung next to q47's
+    corpus-global TF-IDF) — 'what is src7 actually full of' for
+    mixture design and source triage. ONE (source, word)-keyed
+    distinct-doc-frequency exchange (block partials collapse each doc
+    to its distinct words, q169's bounded aggregation) plus one
+    sources-bounded doc-count pass; scoring and ranking run on the
+    vocab×sources driver table with micro-nat rounding (the ln
+    argument is a single expression of exact counts — replayable)."""
+    import math as _math
+    import re as _re
+    from collections import Counter
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
+
+    docs = read_table(sf_dir, "documents", ["source", "text"])
+    token_re = _re.compile(r"[a-z0-9]+")
+
+    def _dw_partials(t: pa.Table) -> pa.Table:
+        dfc: Counter = Counter()  # (source, word) -> docs in block
+        nsc: Counter = Counter()  # source -> docs with >=1 token
+        for s, x in zip(
+            t.column("source").to_pylist(), t.column("text").to_pylist()
+        ):
+            if not x:
+                continue
+            ws = set(token_re.findall(x.lower()))
+            if not ws:
+                continue
+            nsc[s] += 1
+            for w in ws:
+                dfc[(s, w)] += 1
+        # doc-count partials ride the same exchange as marker rows
+        # (word = '', never a token of TOKEN_RE-tokenized text)
+        for s, n in nsc.items():
+            dfc[(s, "")] = n
+        ks = sorted(dfc)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in ks], pa.string()),
+                "word": pa.array([k[1] for k in ks], pa.string()),
+                "nd": pa.array([dfc[k] for k in ks], pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(_dw_partials, batch_format="pyarrow")
+        .groupby(["source", "word"], num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("nd", alias_name="df"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "word": pa.array([], pa.string()),
+            "score_micro": pa.array([], pa.int64()),
+            "rk": pa.array([], pa.int64()),
+        }
+    )
+    if not rows:
+        return empty
+    ns = {r["source"]: int(r["df"]) for r in rows if r["word"] == ""}
+    df = {
+        (r["source"], r["word"]): int(r["df"])
+        for r in rows
+        if r["word"] != ""
+    }
+    nt = sum(ns.values())
+    dft: Counter = Counter()
+    for (_, w), d in df.items():
+        dft[w] += d
+    out = []
+    for (s, w), d in df.items():
+        n_s = ns[s]
+        dfr = dft[w] - d
+        score = 1e6 * (
+            _math.log((d + 1.0) / (n_s - d + 1.0))
+            - _math.log((dfr + 1.0) / (nt - n_s - dfr + 1.0))
+        )
+        out.append((s, int(round_like_duckdb(score, 0)), w))
+    out.sort(key=lambda r: (r[0], -r[1], r[2]))
+    keep, per_src = [], Counter()
+    for s, sc, w in out:
+        per_src[s] += 1
+        if per_src[s] <= Q175_TOP_K:
+            keep.append((s, w, sc, per_src[s]))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in keep], pa.string()),
+            "word": pa.array([r[1] for r in keep], pa.string()),
+            "score_micro": pa.array(
+                np.array([r[2] for r in keep], np.int64), pa.int64()
+            ),
+            "rk": pa.array(
+                np.array([r[3] for r in keep], np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q175() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH dw AS (SELECT DISTINCT doc_id, source,
+                   unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
+            FROM documents WHERE text IS NOT NULL),
+ns AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
+       FROM dw GROUP BY 1),
+df AS (SELECT source, word, CAST(count(*) AS BIGINT) AS df
+       FROM dw GROUP BY 1, 2),
+tot AS (SELECT word, CAST(sum(df) AS BIGINT) AS dft FROM df GROUP BY 1),
+nt AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM ns),
+sc AS (SELECT df.source, df.word,
+              CAST(round(1e6 * (ln((df.df + 1.0) / (ns.n - df.df + 1.0))
+                   - ln((tot.dft - df.df + 1.0)
+                        / (nt.n - ns.n - (tot.dft - df.df) + 1.0))), 0)
+                   AS BIGINT) AS score_micro
+       FROM df JOIN ns USING (source) JOIN tot USING (word) CROSS JOIN nt),
+r AS (SELECT source, word, score_micro,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY score_micro DESC, word) AS rk
+      FROM sc QUALIFY rk <= {Q175_TOP_K})
+SELECT source, word, score_micro, CAST(rk AS BIGINT) AS rk
+FROM r ORDER BY source, rk
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -9139,6 +9624,10 @@ def build_registry():
         "q169_source_divergence": q169_source_divergence,
         "q170_fk_orphan_audit": q170_fk_orphan_audit,
         "q171_length_bucketing": q171_length_bucketing,
+        "q172_source_overlap": q172_source_overlap,
+        "q173_calibration_report": q173_calibration_report,
+        "q174_zipf_slope": q174_zipf_slope,
+        "q175_discriminative_terms": q175_discriminative_terms,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -9354,6 +9843,10 @@ def build_registry():
         "q169_source_divergence": SQL_Q169,
         "q170_fk_orphan_audit": SQL_Q170,
         "q171_length_bucketing": SQL_Q171,
+        "q172_source_overlap": _sql_q172(),
+        "q173_calibration_report": _sql_q173(),
+        "q174_zipf_slope": _sql_q174(),
+        "q175_discriminative_terms": _sql_q175(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

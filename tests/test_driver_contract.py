@@ -131,7 +131,11 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q168_crawl_frontier", 1),
                         ("q169_source_divergence", 1),
                         ("q170_fk_orphan_audit", 1),
-                        ("q171_length_bucketing", 1)):
+                        ("q171_length_bucketing", 1),
+                        ("q172_source_overlap", 1),
+                        ("q173_calibration_report", 1),
+                        ("q174_zipf_slope", 1),
+                        ("q175_discriminative_terms", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

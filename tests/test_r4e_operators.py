@@ -720,3 +720,143 @@ class TestLengthBucketing:
         # naive single batch-of-all padding waste
         naive = lens.max() * len(lens) - lens.sum()
         assert total_waste < naive
+
+
+class TestSourceOverlap:
+    def test_shared_trigrams_and_grid_zeros(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q172,
+            q172_source_overlap,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "source": pa.array(["a", "b", "c"], pa.string()),
+                # a: {x y z, y z w}; b: {x y z}; c: {p q r}
+                "text": pa.array(["x y z w", "x y z", "p q r"], pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ov", docs, "documents.parquet")
+        got = q172_source_overlap(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q172()).fetch_df()
+        for c in ("source_a", "source_b", "n_shared", "jaccard_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        m = {
+            (r.source_a, r.source_b): (r.n_shared, r.jaccard_micro)
+            for r in got.itertuples()
+        }
+        assert m[("a", "b")] == (1, 500000)  # 1 shared of union 2
+        assert m[("a", "c")] == (0, 0)  # grid keeps the zero pair
+        assert m[("b", "c")] == (0, 0)
+
+
+class TestCalibrationReport:
+    def test_matches_sql_and_counts_every_doc(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q173,
+            q173_calibration_report,
+        )
+
+        texts = [None, "short.", "the of and a to in is it for was. " * 8]
+        texts += [f"word{i} spam eggs " * (i + 1) for i in range(9)]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "lang": pa.array(
+                    ["en", "zh", "en"] + ["en", "de", "fr"] * 3, pa.string()
+                ),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_cal", docs, "documents.parquet")
+        got = q173_calibration_report(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q173()).fetch_df()
+        for c in ("bin", "n_docs", "n_en", "sum_score_bp"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # null text scores as empty text: every doc lands in some bin
+        assert got["n_docs"].sum() == len(texts)
+        assert (got["n_en"] <= got["n_docs"]).all()
+
+
+class TestZipfSlope:
+    def test_parity_and_negative_slope(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import _sql_q174, q174_zipf_slope
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "source": pa.array(["s", "s"], pa.string()),
+                "text": pa.array(
+                    ["aa aa aa aa bb bb cc", "aa aa bb dd"], pa.string()
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_zipf", docs, "documents.parquet")
+        got = q174_zipf_slope(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q174()).fetch_df()
+        for c in ("n_words", "sx", "sy", "sxy", "sxx", "slope_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got["n_words"].iloc[0] == 4
+        assert got["slope_micro"].iloc[0] < 0  # frequency falls with rank
+
+    def test_single_word_vocab_returns_typed_empty(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q174_zipf_slope
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "source": pa.array(["s"], pa.string()),
+                "text": pa.array(["aa aa aa"], pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_zipf1", docs, "documents.parquet")
+        got = q174_zipf_slope(d)
+        assert got.num_rows == 0
+        assert got.column_names == [
+            "n_words", "sx", "sy", "sxy", "sxx", "slope_micro",
+        ]
+
+
+class TestDiscriminativeTerms:
+    def test_source_unique_word_ranks_first(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q175,
+            q175_discriminative_terms,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "source": pa.array(["a"] * 3 + ["b"] * 3, pa.string()),
+                "text": pa.array(
+                    [
+                        "zebra common stuff",
+                        "zebra common other",
+                        "zebra common stuff",
+                        "common stuff other",
+                        "common other words",
+                        "common stuff words",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_disc", docs, "documents.parquet")
+        got = q175_discriminative_terms(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q175()).fetch_df()
+        for c in ("source", "word", "score_micro", "rk"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        top_a = got[(got.source == "a") & (got.rk == 1)]["word"].iloc[0]
+        top_b = got[(got.source == "b") & (got.rk == 1)]["word"].iloc[0]
+        assert top_a == "zebra"  # only source a says zebra
+        assert top_b == "words"  # only source b says words
