@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
@@ -117,6 +118,7 @@ def pagerank(
     iterations: int = 5,
     num_partitions: int | None = None,
     broadcast_gate: int = BROADCAST_NODE_GATE,
+    seed_prefix: str | None = None,
 ) -> Dataset:
     """Exact fixed-point PageRank over the undirected graph induced by
     ``pairs`` (columns ``src``, ``dst``; duplicates allowed).
@@ -124,11 +126,18 @@ def pagerank(
     Returns a node-sized Dataset ``(node: string, pr: int64)`` where
     ``pr`` is micro-rank after ``iterations`` synchronous updates:
 
-        pr'[v] = (15 * SCALE) // (100 * N)
+        pr'[v] = (v teleportable ? (15 * SCALE) // (100 * N_t) : 0)
                  + Σ_{u -> v} ((pr[u] // outdeg[u]) * 85) // 100
 
-    All-integer, so bit-exact regardless of partitioning — the DuckDB
-    oracle replays the identical recurrence with ``//``.
+    With ``seed_prefix=None`` every node is teleportable (N_t = N:
+    classic PageRank). With a prefix, only nodes whose id starts with
+    it receive teleport mass and initial rank (N_t = seed count) —
+    personalized PageRank with a uniform seed-set teleport vector
+    (Haveliwala's topic-sensitive formulation; the prefix predicate
+    keeps the seed set replayable in SQL as a LIKE, never a broadcast
+    membership set). All-integer, so bit-exact regardless of
+    partitioning — the DuckDB oracle replays the identical recurrence
+    with ``//``.
     """
     np_ = num_partitions or hash_partitions(16)
     # materialize ONCE: both the degree derivation and the round loop
@@ -150,8 +159,27 @@ def pagerank(
     n_nodes = deg.count()
     if n_nodes == 0:
         return rd.from_arrow(_RANKS_SCHEMA.empty_table())
-    base = (15 * SCALE) // (100 * n_nodes)
-    r0 = SCALE // n_nodes
+    if seed_prefix is None:
+        n_tele = n_nodes
+    else:
+        n_tele = (
+            deg.map_batches(
+                lambda t: pa.table(
+                    {
+                        "s": pc.cast(
+                            pc.starts_with(t.column("node"), seed_prefix),
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sum("s")
+            or 0
+        )
+        if n_tele == 0:
+            return rd.from_arrow(_RANKS_SCHEMA.empty_table())
+    base = (15 * SCALE) // (100 * n_tele)
+    r0 = SCALE // n_tele
 
     if n_nodes <= broadcast_gate:
         # BSP rounds as RAW RAY TASKS — the documented Dataset-API
@@ -197,10 +225,16 @@ def pagerank(
             prep.remote(blk, nodes_ref) for blk in edges.to_arrow_refs()
         ]
 
-        prs = np.full(n_nodes, r0, dtype=np.int64)
+        if seed_prefix is None:
+            tele_mask = np.ones(n_nodes, dtype=bool)
+        else:
+            tele_mask = pc.starts_with(nodes, seed_prefix).to_numpy(
+                zero_copy_only=False
+            )
+        prs = np.where(tele_mask, r0, 0).astype(np.int64)
         for _ in range(iterations):
             pr_ref = _ray.put(prs)
-            acc = np.full(n_nodes, base, dtype=np.int64)
+            acc = np.where(tele_mask, base, 0).astype(np.int64)
             pending = [step.remote(c, pr_ref, od_ref) for c in coded]
             while pending:
                 done, pending = _ray.wait(
@@ -226,12 +260,17 @@ def pagerank(
     ).materialize()
 
     def _init(t: pa.Table) -> pa.Table:
+        if seed_prefix is None:
+            v = np.full(t.num_rows, r0, dtype=np.int64)
+        else:
+            m = pc.starts_with(t.column("node"), seed_prefix).to_numpy(
+                zero_copy_only=False
+            )
+            v = np.where(m, r0, 0).astype(np.int64)
         return pa.table(
             {
                 "node": t.column("node"),
-                "pr": pa.array(
-                    np.full(t.num_rows, r0, dtype=np.int64), pa.int64()
-                ),
+                "pr": pa.array(v, pa.int64()),
             }
         )
 
@@ -264,10 +303,17 @@ def pagerank(
         c = t.column("contrib").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
+        if seed_prefix is None:
+            b = base
+        else:
+            m = pc.starts_with(t.column("dst"), seed_prefix).to_numpy(
+                zero_copy_only=False
+            )
+            b = np.where(m, base, 0).astype(np.int64)
         return pa.table(
             {
                 "node": t.column("dst"),
-                "pr": pa.array(base + c, pa.int64()),
+                "pr": pa.array(b + c, pa.int64()),
             }
         )
 

@@ -9436,6 +9436,217 @@ FROM r ORDER BY source, rk
 """
 
 
+#: q176 hybrid-retrieval geometry: per-leg candidate pool, RRF constant
+#: (Cormack et al.'s k=60), final cut, and the query point (vec_id ==
+#: doc_id by the fixture's construction — one embedding per document)
+Q176_QUERY_VEC = 7
+Q176_POOL_K = 50
+Q176_RRF_K = 60
+Q176_OUT_K = 20
+
+
+def q176_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
+    leg (q55 kernel, streamed corpus scoring) and the exact-cosine
+    vector leg (q16 kernel, broadcast query + per-block top-k merge)
+    each produce a top-50 candidate pool; RRF fuses them with integer
+    micro-scores (round(1e6/(60+rank)) per leg — absent legs contribute
+    0) and emits the top-20. The modern two-tower + keyword search
+    stack in one op: both legs are corpus-streaming, both pools are
+    k-bounded, and the fusion runs on <= 2k driver rows. Rank ties
+    break by id on both legs and on the fused cut (replayable)."""
+    from barks_ocr_ray.functions.ann import brute_force_topk
+
+    vec_rows = brute_force_topk(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        [Q176_QUERY_VEC],
+        k=Q176_POOL_K,
+    ).take_all()
+    vec_rows.sort(key=lambda r: (-r["cosine"], r["neighbor_id"]))
+    vrank = {
+        int(r["neighbor_id"]): i + 1 for i, r in enumerate(vec_rows)
+    }
+
+    bm = q55_bm25_rank(sf_dir)
+
+    def _block_top(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("bm25", "descending"), ("doc_id", "ascending")],
+        )
+        return t.take(order[: min(Q176_POOL_K, t.num_rows)])
+
+    lex_pool = bm.map_batches(_block_top, batch_format="pyarrow").take_all()
+    lex_pool.sort(key=lambda r: (-r["bm25"], r["doc_id"]))
+    lrank = {
+        int(r["doc_id"]): i + 1
+        for i, r in enumerate(lex_pool[:Q176_POOL_K])
+    }
+
+    fused = []
+    for did in set(lrank) | set(vrank):
+        lr, vr = lrank.get(did, 0), vrank.get(did, 0)
+        s = 0
+        if lr:
+            s += int(round_like_duckdb(1e6 / (Q176_RRF_K + lr), 0))
+        if vr:
+            s += int(round_like_duckdb(1e6 / (Q176_RRF_K + vr), 0))
+        fused.append((did, lr, vr, s))
+    fused.sort(key=lambda r: (-r[3], r[0]))
+    fused = fused[:Q176_OUT_K]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in fused], pa.int64()),
+            "lex_rank": pa.array([r[1] for r in fused], pa.int64()),
+            "vec_rank": pa.array([r[2] for r in fused], pa.int64()),
+            "rrf_micro": pa.array([r[3] for r in fused], pa.int64()),
+            "final_rank": pa.array(
+                list(range(1, len(fused) + 1)), pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q176() -> str:
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM ({_sql_q55()}) QUALIFY r <= {Q176_POOL_K}),
+vc AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id = {Q176_QUERY_VEC} AND e.vec_id != {Q176_QUERY_VEC}),
+vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+  FROM vc QUALIFY r <= {Q176_POOL_K}),
+f AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         coalesce(lex.r, 0) AS lex_rank,
+         coalesce(vec.r, 0) AS vec_rank,
+         (CASE WHEN lex.r IS NULL THEN 0
+               ELSE CAST(round(1e6 / ({Q176_RRF_K} + lex.r), 0) AS BIGINT) END
+          + CASE WHEN vec.r IS NULL THEN 0
+                 ELSE CAST(round(1e6 / ({Q176_RRF_K} + vec.r), 0) AS BIGINT) END)
+           AS rrf_micro
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank, rrf_micro,
+       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
+         AS final_rank
+FROM f QUALIFY final_rank <= {Q176_OUT_K} ORDER BY final_rank
+"""
+
+
+Q177_ITERS = 5
+Q177_K = 30
+
+
+def q177_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank over the q94 customer<->supplier trade
+    graph with the teleport vector restricted to the CUSTOMER side
+    ('which suppliers are most central to the customer population' —
+    Haveliwala's topic-sensitive PageRank; the recommender/influence
+    rung above q94's global centrality and q163's HITS). Same exact
+    int64 fixed-point BSP loop (`functions/graph.py`), same
+    per-scale costs; the seed set is a node-id PREFIX predicate so it
+    ships as zero state (a vectorized starts_with per block, a LIKE in
+    the oracle — never a membership broadcast). Output: top suppliers
+    by personalized rank."""
+    from barks_ocr_ray.functions.graph import pagerank
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        cust = pc.binary_join_element_wise(
+            pa.scalar("C"),
+            pc.cast(t.column("o_custkey"), pa.string()),
+            "",
+        )
+        supp = pc.binary_join_element_wise(
+            pa.scalar("S"),
+            pc.cast(t.column("l_suppkey"), pa.string()),
+            "",
+        )
+        return pa.table({"src": cust, "dst": supp})
+
+    pr = pagerank(
+        joined.map_batches(_pairs, batch_format="pyarrow"),
+        iterations=Q177_ITERS,
+        seed_prefix="C",
+    )
+
+    def _suppliers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.starts_with(t.column("node"), "S"))
+
+    return (
+        pr.map_batches(_suppliers, batch_format="pyarrow")
+        .sort(["pr", "node"], descending=[True, False])
+        .limit(Q177_K)
+    )
+
+
+def _sql_q177() -> str:
+    """Serial replay of the personalized recurrence — q94's unrolled
+    CTE with the teleport terms gated on the seed LIKE."""
+    from barks_ocr_ray.functions.graph import DAMP_DEN, DAMP_NUM, SCALE
+
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg
+       WHERE node LIKE 'C%'),
+r0 AS (SELECT node,
+              CAST(CASE WHEN node LIKE 'C%' THEN {scale} // nn.n
+                        ELSE 0 END AS BIGINT) AS pr
+       FROM deg CROSS JOIN nn)""".format(scale=SCALE)
+    ]
+    for k in range(1, Q177_ITERS + 1):
+        ctes.append(
+            """r{k} AS (
+  SELECT deg.node AS node,
+         CAST(CASE WHEN deg.node LIKE 'C%'
+                   THEN (15 * {scale}) // (100 * nn.n) ELSE 0 END
+              + COALESCE(c.contrib, 0) AS BIGINT) AS pr
+  FROM deg CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(((r.pr // d2.outdeg) * {dn}) // {dd}) AS BIGINT)
+             AS contrib
+    FROM edges e
+    JOIN r{prev} r ON e.src = r.node
+    JOIN deg d2 ON d2.node = e.src
+    GROUP BY e.dst) c ON c.node = deg.node)""".format(
+                k=k, prev=k - 1, scale=SCALE, dn=DAMP_NUM, dd=DAMP_DEN
+            )
+        )
+    return (
+        "WITH {ctes}\nSELECT node, pr FROM r{last}\n"
+        "WHERE node LIKE 'S%'\n"
+        "ORDER BY pr DESC, node LIMIT {lim}".format(
+            ctes=",\n".join(ctes), last=Q177_ITERS, lim=Q177_K
+        )
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -9628,6 +9839,8 @@ def build_registry():
         "q173_calibration_report": q173_calibration_report,
         "q174_zipf_slope": q174_zipf_slope,
         "q175_discriminative_terms": q175_discriminative_terms,
+        "q176_hybrid_rrf": q176_hybrid_rrf,
+        "q177_personalized_pagerank": q177_personalized_pagerank,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -9847,6 +10060,8 @@ def build_registry():
         "q173_calibration_report": _sql_q173(),
         "q174_zipf_slope": _sql_q174(),
         "q175_discriminative_terms": _sql_q175(),
+        "q176_hybrid_rrf": _sql_q176(),
+        "q177_personalized_pagerank": _sql_q177(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

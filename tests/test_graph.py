@@ -133,3 +133,94 @@ def test_pagerank_broadcast_and_join_paths_agree(ray_session):
         ).take_all()
     }
     assert via_broadcast == via_join
+
+
+def _serial_ppr(pairs, iterations, seed_prefix):
+    """Single-process replay of the personalized recurrence."""
+    from barks_ocr_ray.functions.graph import DAMP_DEN, DAMP_NUM, SCALE
+
+    directed = set(pairs)
+    edges = directed | {(b, a) for a, b in directed}
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    nodes = sorted(outdeg)
+    seeds = [v for v in nodes if v.startswith(seed_prefix)]
+    nt = len(seeds)
+    base = (15 * SCALE) // (100 * nt)
+    pr = {v: (SCALE // nt if v in seeds else 0) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += ((pr[s] // outdeg[s]) * DAMP_NUM) // DAMP_DEN
+        pr = {
+            v: (base if v in seeds else 0) + contrib[v] for v in nodes
+        }
+    return pr
+
+
+PPR_PAIRS = [
+    ("Ca", "Sx"),
+    ("Ca", "Sy"),
+    ("Cb", "Sy"),
+    ("Cc", "Sz"),
+    ("Ca", "Sx"),  # duplicate arc collapses
+]
+
+
+def test_personalized_pagerank_matches_serial_replay(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.graph import pagerank
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": [p[0] for p in PPR_PAIRS],
+                "dst": [p[1] for p in PPR_PAIRS],
+            }
+        )
+    )
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            ds, iterations=4, num_partitions=3, seed_prefix="C"
+        ).take_all()
+    }
+    assert got == _serial_ppr(PPR_PAIRS, 4, "C")
+    # non-seed nodes hold only propagated mass; seeds keep teleport mass
+    assert all(got[n] > 0 for n in got)
+
+
+def test_personalized_pagerank_paths_agree_and_empty_seed_set(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.graph import pagerank
+
+    t = pa.table(
+        {
+            "src": [f"C{i}" if i % 2 else f"S{i}" for i in range(40)],
+            "dst": [f"S{(i * 11 + 5) % 40}" for i in range(40)],
+        }
+    )
+    via_broadcast = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            rd.from_arrow(t), 3, num_partitions=4, seed_prefix="C"
+        ).take_all()
+    }
+    via_join = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            rd.from_arrow(t),
+            3,
+            num_partitions=4,
+            broadcast_gate=0,
+            seed_prefix="C",
+        ).take_all()
+    }
+    assert via_broadcast == via_join
+    # a prefix matching no node: typed-empty result, no division by zero
+    out = pagerank(rd.from_arrow(t), 2, seed_prefix="ZZZ")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "pr"}

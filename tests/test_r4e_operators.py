@@ -860,3 +860,47 @@ class TestDiscriminativeTerms:
         top_b = got[(got.source == "b") & (got.rk == 1)]["word"].iloc[0]
         assert top_a == "zebra"  # only source a says zebra
         assert top_b == "words"  # only source b says words
+
+
+class TestHybridRrf:
+    def test_both_legs_beat_single_leg(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import _sql_q176, q176_hybrid_rrf
+
+        n = 10
+        texts = ["plain words only"] * n
+        texts[3] = "spark join spark join spark"   # strong lexical hit
+        texts[5] = "spark appears once here"       # weak lexical hit
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(n, 8)).astype(np.float32)
+        base[3] = base[7] + 0.01 * base[3]  # vec 3 nearly parallel to query 7
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in base], pa.list_(pa.float32())
+                ),
+            }
+        )
+        d = tmp_path / "sf_rrf"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        pq.write_table(emb, str(d / "embeddings.parquet"))
+        got = q176_hybrid_rrf(str(d)).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        con.register("embeddings", emb)
+        exp = con.execute(_sql_q176()).fetch_df()
+        for c in ("doc_id", "lex_rank", "vec_rank", "rrf_micro", "final_rank"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # doc 3 scores on BOTH legs -> fused winner
+        top = got[got.final_rank == 1].iloc[0]
+        assert top.doc_id == 3 and top.lex_rank >= 1 and top.vec_rank >= 1
+        # single-leg docs still appear but below the dual-leg doc
+        assert 5 in got.doc_id.tolist()
