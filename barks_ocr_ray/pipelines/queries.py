@@ -9647,6 +9647,234 @@ r0 AS (SELECT node,
     )
 
 
+def q178_length_percentile(sf_dir: str):
+    """Per-source percentile-rank normalization of document token
+    length — the cross-source score-normalization primitive (raw
+    lengths aren't comparable across crawls with different page
+    shapes; their within-source percentile is). Global per-source
+    percent_rank WITHOUT a global sort: one bounded (source, L)
+    histogram exchange yields each (source, L)'s below-count and the
+    source totals; the doc-level attach is a broadcast lookup
+    (ray.put once, vectorized index_in per block — never a doc-keyed
+    join). percent_rank = below/(n-1), the SQL window definition,
+    micro-rounded identically."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def _lens(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        ok = pc.and_(pc.is_valid(txt), pc.greater(pc.utf8_length(txt), 0))
+        t = t.filter(ok)
+        L = pc.count_substring_regex(
+            pc.utf8_lower(t.column("text")), r"[a-z0-9]+"
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "L": L,
+            }
+        )
+
+    lens = docs.map_batches(_lens, batch_format="pyarrow").materialize()
+    hist = (
+        lens.groupby(["source", "L"], num_partitions=4)
+        .aggregate(Count(alias_name="n"))
+        .take_all()
+    )
+    hist.sort(key=lambda r: (r["source"], r["L"]))
+    totals: dict = {}
+    for r in hist:
+        totals[r["source"]] = totals.get(r["source"], 0) + int(r["n"])
+    pct: dict = {}
+    run_src, below = None, 0
+    for r in hist:
+        if r["source"] != run_src:
+            run_src, below = r["source"], 0
+        n = totals[r["source"]]
+        v = 0 if n == 1 else int(round_like_duckdb(1e6 * (below / (n - 1)), 0))
+        pct[f"{r['source']}|{r['L']}"] = v
+        below += int(r["n"])
+
+    def _with_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("source").cast(pa.string()),
+            pc.cast(t.column("L"), pa.string()),
+            "|",
+        )
+        return t.append_column("sl_key", key)
+
+    keyed = lens.map_batches(_with_key, batch_format="pyarrow")
+    out = broadcast_lookup_column(
+        keyed, pct, "sl_key", "pct_micro", pa.int64()
+    )
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "source", "L", "pct_micro"]),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_q178() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH d AS (SELECT doc_id, source,
+                  CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                       AS BIGINT) AS L
+           FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+SELECT doc_id, source, L,
+       CAST(round(1e6 * percent_rank() OVER (PARTITION BY source ORDER BY L),
+                  0) AS BIGINT) AS pct_micro
+FROM d
+"""
+
+
+#: q179 vocabulary-growth grid: 10 equal-width doc-id checkpoints
+Q179_CHECKPOINTS = 10
+
+
+def q179_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve: cumulative token count and
+    distinct-vocabulary size at 10 doc-id checkpoints — the corpus
+    diagnostic that says whether more crawl keeps buying new
+    vocabulary (natural corpora grow ~N^beta; a template farm
+    plateaus; pairs with q174's Zipf slope). No ordered scan and no
+    global sort: each word's FIRST doc id is one vocab-bounded Min
+    exchange, per-doc token counts are one streamed pass, and both
+    reduce into checkpoint-bucket partials (10-key aggregations);
+    the cumulative curve is a driver-side cumsum over 10 rows."""
+    import re as _re
+    from collections import Counter
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    token_re = _re.compile(r"[a-z0-9]+")
+
+    def _tok(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        ok = pc.and_(pc.is_valid(txt), pc.greater(pc.utf8_length(txt), 0))
+        t = t.filter(ok)
+        n = pc.count_substring_regex(
+            pc.utf8_lower(t.column("text")), r"[a-z0-9]+"
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t.column("doc_id"), "n": n})
+
+    tok = docs.map_batches(_tok, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {
+            "checkpoint": pa.array([], pa.int64()),
+            "doc_lt": pa.array([], pa.int64()),
+            "cum_tokens": pa.array([], pa.int64()),
+            "vocab_size": pa.array([], pa.int64()),
+        }
+    )
+    if tok.count() == 0:
+        return empty
+    m = int(tok.max("doc_id")) + 1
+    cps = np.array(
+        [(m * k) // Q179_CHECKPOINTS for k in range(1, Q179_CHECKPOINTS + 1)],
+        np.int64,
+    )
+
+    def _tok_buckets(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # bucket b: doc contributes from the first checkpoint > doc_id
+        b = np.searchsorted(cps, d, side="right")
+        return pa.table(
+            {
+                "b": pa.array(b, pa.int64()),
+                "n": t.column("n"),
+            }
+        )
+
+    tok_hist = (
+        tok.map_batches(_tok_buckets, batch_format="pyarrow")
+        .groupby("b", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+
+    def _first_seen(t: pa.Table) -> pa.Table:
+        first: dict = {}
+        for d, x in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            if not x:
+                continue
+            for w in token_re.findall(x.lower()):
+                if w not in first or d < first[w]:
+                    first[w] = d
+        ks = sorted(first)
+        return pa.table(
+            {
+                "word": pa.array(ks, pa.string()),
+                "fd": pa.array([first[k] for k in ks], pa.int64()),
+            }
+        )
+
+    def _word_buckets(t: pa.Table) -> pa.Table:
+        fd = t.column("fd").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cps, fd, side="right")
+        return pa.table(
+            {
+                "b": pa.array(b, pa.int64()),
+                "v": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+
+    vocab_hist = (
+        docs.map_batches(_first_seen, batch_format="pyarrow")
+        .groupby("word", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Min("fd", alias_name="fd"))
+        .map_batches(_word_buckets, batch_format="pyarrow")
+        .groupby("b", num_partitions=2)
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    tok_by_b = Counter({int(r["b"]): int(r["n"]) for r in tok_hist})
+    voc_by_b = Counter({int(r["b"]): int(r["v"]) for r in vocab_hist})
+    cum_t = cum_v = 0
+    rows = []
+    for i, cp in enumerate(cps):
+        cum_t += tok_by_b.get(i, 0)
+        cum_v += voc_by_b.get(i, 0)
+        rows.append((i + 1, int(cp), cum_t, cum_v))
+    return pa.table(
+        {
+            "checkpoint": pa.array([r[0] for r in rows], pa.int64()),
+            "doc_lt": pa.array([r[1] for r in rows], pa.int64()),
+            "cum_tokens": pa.array([r[2] for r in rows], pa.int64()),
+            "vocab_size": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_q179() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH f AS (SELECT doc_id, lower(text) AS lt FROM documents
+           WHERE text IS NOT NULL AND length(text) > 0),
+mx AS (SELECT max(doc_id) + 1 AS m FROM f),
+cp AS (SELECT CAST(k AS BIGINT) AS k, (mx.m * k) // {Q179_CHECKPOINTS} AS cp
+       FROM range(1, {Q179_CHECKPOINTS + 1}) t(k) CROSS JOIN mx),
+u AS (SELECT doc_id, unnest(regexp_extract_all(lt, '{TOKEN_RE}')) AS word
+      FROM f),
+w AS (SELECT word, min(doc_id) AS fd FROM u GROUP BY 1),
+t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1)
+SELECT cp.k AS checkpoint, cp.cp AS doc_lt,
+       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM t
+        WHERE t.doc_id < cp.cp) AS cum_tokens,
+       (SELECT CAST(count(*) AS BIGINT) FROM w
+        WHERE w.fd < cp.cp) AS vocab_size
+FROM cp ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -9841,6 +10069,8 @@ def build_registry():
         "q175_discriminative_terms": q175_discriminative_terms,
         "q176_hybrid_rrf": q176_hybrid_rrf,
         "q177_personalized_pagerank": q177_personalized_pagerank,
+        "q178_length_percentile": q178_length_percentile,
+        "q179_heaps_law": q179_heaps_law,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -10062,6 +10292,8 @@ def build_registry():
         "q175_discriminative_terms": _sql_q175(),
         "q176_hybrid_rrf": _sql_q176(),
         "q177_personalized_pagerank": _sql_q177(),
+        "q178_length_percentile": _sql_q178(),
+        "q179_heaps_law": _sql_q179(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

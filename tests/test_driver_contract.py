@@ -137,7 +137,9 @@ for name, min_rows in (("q01_pricing_summary", 1),
                         ("q174_zipf_slope", 1),
                         ("q175_discriminative_terms", 1),
                         ("q176_hybrid_rrf", 1),
-                        ("q177_personalized_pagerank", 1)):
+                        ("q177_personalized_pagerank", 1),
+                        ("q178_length_percentile", 1),
+                        ("q179_heaps_law", 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -904,3 +904,72 @@ class TestHybridRrf:
         assert top.doc_id == 3 and top.lex_rank >= 1 and top.vec_rank >= 1
         # single-leg docs still appear but below the dual-leg doc
         assert 5 in got.doc_id.tolist()
+
+
+class TestLengthPercentile:
+    def test_ties_share_rank_and_singleton_source(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q178,
+            q178_length_percentile,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "source": pa.array(["a"] * 5 + ["b"], pa.string()),
+                "text": pa.array(
+                    # lengths a: 1, 2, 2, 3, and one null (dropped)
+                    ["w", "w w", "x x", "w w w", None, "solo doc"],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_pct", docs, "documents.parquet")
+        got = (
+            q178_length_percentile(d)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = (
+            con.execute(_sql_q178())
+            .fetch_df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for c in ("doc_id", "source", "L", "pct_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        by_id = got.set_index("doc_id")["pct_micro"]
+        assert by_id[1] == by_id[2]  # tied lengths share the rank
+        assert by_id[0] == 0 and by_id[3] == 1000000
+        assert by_id[5] == 0  # singleton source: percent_rank 0
+        assert 4 not in by_id.index  # null text dropped
+
+
+class TestHeapsLaw:
+    def test_vocab_grows_with_fresh_words(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import _sql_q179, q179_heaps_law
+
+        # doc k introduces one brand-new word alongside old ones
+        texts = [
+            " ".join(f"w{j}" for j in range(k + 1)) for k in range(10)
+        ]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "source": pa.array(["s"] * 10, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_heaps", docs, "documents.parquet")
+        got = q179_heaps_law(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q179()).fetch_df()
+        for c in ("checkpoint", "doc_lt", "cum_tokens", "vocab_size"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        v = got["vocab_size"].tolist()
+        assert v == sorted(v) and v[-1] == 10  # monotone, all words seen
+        assert got["cum_tokens"].tolist()[-1] == sum(range(1, 11))
