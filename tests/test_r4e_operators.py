@@ -973,3 +973,79 @@ class TestHeapsLaw:
         v = got["vocab_size"].tolist()
         assert v == sorted(v) and v[-1] == 10  # monotone, all words seen
         assert got["cum_tokens"].tolist()[-1] == sum(range(1, 11))
+
+
+class TestPostingCompression:
+    def test_varint_ladder_and_gap_encoding(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q180,
+            q180_posting_compression,
+        )
+
+        # word 'rare' appears at doc ids 0 and 200 (gap 200 -> 2 bytes);
+        # word 'hot' at 0,1,2 (gaps 1,1,1 -> 1 byte each)
+        ids = [0, 1, 2, 200]
+        texts = ["hot rare", "hot", "hot", "rare"]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "source": pa.array(["s"] * 4, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_post", docs, "documents.parquet")
+        got = q180_posting_compression(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q180()).fetch_df()
+        for c in ("word", "n_postings", "bytes_delta", "bytes_raw"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        m = got.set_index("word")
+        assert m.loc["hot", "bytes_delta"] == 3   # gaps 1,1,1
+        assert m.loc["rare", "bytes_delta"] == 3  # gap 1 (0-(-1)) + gap 200
+        assert m.loc["rare", "bytes_raw"] == 16
+
+
+class TestMarketBasket:
+    def test_lift_separates_coupled_and_independent(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q181,
+            q181_market_basket,
+        )
+
+        # users 0-3: {buy, ship} always together; users 4-7: {view} only;
+        # user 8: all three -> lift(buy,ship) high, lift(buy,view) low
+        rows = []
+        for u in range(4):
+            rows += [(u, "buy"), (u, "ship"), (u, "buy")]  # dup collapses
+        for u in range(4, 8):
+            rows += [(u, "view")]
+        rows += [(8, "buy"), (8, "ship"), (8, "view")]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime(
+                        [f"2026-01-01 00:{i:02d}:00" for i in range(len(rows))]
+                    ),
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_basket", ev, "events.parquet")
+        got = q181_market_basket(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q181).fetch_df()
+        for c in ("type_a", "type_b", "n_ab", "n_a", "n_b", "lift_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        m = {(r.type_a, r.type_b): r.lift_micro for r in got.itertuples()}
+        # buy+ship: 5 of 9 users have both, 5 have each -> lift 9/5
+        assert m[("buy", "ship")] == 1800000
+        assert m[("buy", "view")] < 1000000  # anti-correlated
