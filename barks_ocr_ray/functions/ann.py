@@ -120,6 +120,110 @@ def brute_force_topk(
     )
 
 
+def mmr_greedy(
+    cand_ids: np.ndarray,
+    rel6: np.ndarray,
+    pair6: np.ndarray,
+    k: int,
+    lam: float,
+) -> list[tuple[int, int, float, float]]:
+    """Maximal-marginal-relevance greedy selection over a candidate
+    pool (Carbonell & Goldstein 1998): pick argmax of
+    lam*rel - (1-lam)*max_sim_to_selected, ties by smallest id. Inputs
+    are ROUND-6 similarities, so the selection is deterministic across
+    engines (the repo's ranking-determinism contract). Pure driver
+    kernel shared verbatim by the sequential golden — what the oracle
+    then pins is the distributed pool retrieval."""
+    n = len(cand_ids)
+    picked: list[int] = []
+    max_to_sel = np.zeros(n, dtype=np.float64)
+    taken = np.zeros(n, dtype=bool)
+    out = []
+    for rank in range(1, min(k, n) + 1):
+        mmr = lam * rel6 - (1.0 - lam) * max_to_sel
+        mmr[taken] = -np.inf
+        best = np.flatnonzero(mmr == mmr.max())
+        i = best[np.argmin(cand_ids[best])]
+        taken[i] = True
+        picked.append(i)
+        out.append(
+            (
+                int(cand_ids[i]),
+                rank,
+                float(rel6[i]),
+                float(round_like_duckdb(np.array([mmr[i]]), 6)[0]),
+            )
+        )
+        max_to_sel = np.maximum(max_to_sel, pair6[:, i])
+    return out
+
+
+def mmr_topk(
+    embeddings: Dataset,
+    query_ids: list[int],
+    *,
+    pool_k: int = 25,
+    k: int = 10,
+    lam: float = 0.7,
+) -> pa.Table:
+    """Diversified top-k retrieval: the exact-cosine top-``pool_k``
+    candidate pool per query comes from the DISTRIBUTED brute-force
+    kernel (broadcast query matrix, per-block top-k, global merge);
+    the MMR re-rank then runs on the (queries x pool_k)-bounded driver
+    pool (candidate vectors fetched once via a broadcast is_in
+    filter). Returns (query_id, rank, neighbor_id, rel_cosine,
+    mmr_score)."""
+    pool = brute_force_topk(embeddings, query_ids, k=pool_k).take_all()
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "rel_cosine": pa.array([], pa.float64()),
+            "mmr_score": pa.array([], pa.float64()),
+        }
+    )
+    if not pool:
+        return empty
+    by_q: dict[int, list] = {}
+    need = set()
+    for r in pool:
+        by_q.setdefault(int(r["query_id"]), []).append(
+            (float(r["cosine"]), int(r["neighbor_id"]))
+        )
+        need.add(int(r["neighbor_id"]))
+    rows = _query_rows(embeddings, sorted(need))
+    vid = rows["vec_id"].to_numpy()
+    mat = _unit(
+        np.stack([np.asarray(v, np.float64) for v in rows["embedding"]])
+    )
+    pos = {int(v): i for i, v in enumerate(vid)}
+    out_q, out_r, out_n, out_c, out_m = [], [], [], [], []
+    for qid in sorted(by_q):
+        cand = sorted(by_q[qid], key=lambda t: (-t[0], t[1]))
+        cand_ids = np.array([c[1] for c in cand], np.int64)
+        rel6 = np.array([c[0] for c in cand], np.float64)
+        cm = mat[[pos[int(c)] for c in cand_ids]]
+        pair6 = _round_half_away(cm @ cm.T)
+        for nid, rank, rel, mmr in mmr_greedy(
+            cand_ids, rel6, pair6, k, lam
+        ):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_n.append(nid)
+            out_c.append(rel)
+            out_m.append(mmr)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "rel_cosine": pa.array(out_c, pa.float64()),
+            "mmr_score": pa.array(out_m, pa.float64()),
+        }
+    )
+
+
 #: typed empty result of the exact all-pairs join (schema contract)
 ALL_PAIRS_EMPTY = pa.table(
     {

@@ -965,3 +965,44 @@ def golden_frontier(pages: pa.Table, k: int = 30) -> pa.Table:
             "n_refs": pa.array([n_refs[h] for h in top], pa.int64()),
         }
     )
+
+
+def golden_mmr_topk(
+    emb: pa.Table,
+    query_ids: list[int],
+    pool_k: int = 25,
+    k: int = 10,
+    lam: float = 0.7,
+) -> pa.Table:
+    """Sequential replay of ann.mmr_topk: full-scan exact top-pool_k
+    per query (no blocks, no merges), then the SHARED mmr_greedy
+    kernel. Pins the distributed pool retrieval and vector fetch."""
+    from barks_ocr_ray.functions.ann import mmr_greedy
+
+    ids, mat = _emb_rows(emb)
+    unit = _unit_rows(mat)
+    out_q, out_r, out_n, out_c, out_m = [], [], [], [], []
+    for qid in sorted(query_ids):
+        qi = int(np.flatnonzero(ids == qid)[0])
+        sims = round_like_duckdb(unit @ unit[qi], 6)
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask]))[:pool_k]
+        cand_ids = ids[mask][order]
+        rel6 = sims[mask][order]
+        cm = unit[[int(np.flatnonzero(ids == c)[0]) for c in cand_ids]]
+        pair6 = round_like_duckdb(cm @ cm.T, 6)
+        for nid, rank, rel, mmr in mmr_greedy(cand_ids, rel6, pair6, k, lam):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_n.append(nid)
+            out_c.append(rel)
+            out_m.append(mmr)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            "rank": pa.array(out_r, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "rel_cosine": pa.array(out_c, pa.float64()),
+            "mmr_score": pa.array(out_m, pa.float64()),
+        }
+    )

@@ -495,6 +495,10 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q159": ensure_neardup_golden(
             "comp_ratio", "documents", g.golden_compression_stats
         ),
+        "q182": ensure_neardup_golden(
+            "mmr_topk", "embeddings",
+            lambda t: g.golden_mmr_topk(t, list(range(8))),
+        ),
     }
 
 

@@ -10094,6 +10094,25 @@ def q181_market_basket(sf_dir: str):
     )
 
 
+def q182_mmr_diversified(sf_dir: str):
+    """Maximal-marginal-relevance diversified retrieval over the
+    embedding column (Carbonell & Goldstein's MMR — what dense
+    retrieval ships when near-duplicate neighbors would crowd out the
+    result page, and the retrieval-side sibling of q75's SemDeDup):
+    the exact top-25 candidate pool per query comes from the
+    distributed brute-force kernel (q16 machinery), the greedy
+    diversification re-rank runs on the (queries x 25)-bounded driver
+    pool with round-6 similarity determinism. Golden oracle — the
+    greedy is not SQL-replayable (golden_dedup.golden_mmr_topk shares
+    the mmr_greedy kernel, full-scan pool)."""
+    from barks_ocr_ray.functions.ann import mmr_topk
+
+    return mmr_topk(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        ANN_QUERY_IDS,
+    )
+
+
 SQL_Q181 = """
 WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
 nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ut),
@@ -10311,6 +10330,7 @@ def build_registry():
         "q179_heaps_law": q179_heaps_law,
         "q180_posting_compression": q180_posting_compression,
         "q181_market_basket": q181_market_basket,
+        "q182_mmr_diversified": q182_mmr_diversified,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -10536,6 +10556,11 @@ def build_registry():
         "q179_heaps_law": _sql_q179(),
         "q180_posting_compression": _sql_q180(),
         "q181_market_basket": SQL_Q181,
+        "q182_mmr_diversified": _sql_golden(
+            "mmr_topk",
+            "query_id, rank, neighbor_id, rel_cosine, mmr_score",
+            "embeddings",
+        ),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

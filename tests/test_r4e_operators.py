@@ -1049,3 +1049,41 @@ class TestMarketBasket:
         # buy+ship: 5 of 9 users have both, 5 have each -> lift 9/5
         assert m[("buy", "ship")] == 1800000
         assert m[("buy", "view")] < 1000000  # anti-correlated
+
+
+class TestMmrDiversified:
+    def test_diversification_skips_clone_and_matches_golden(
+        self, ray_session, tmp_path
+    ):
+        import ray.data as rd
+
+        from barks_ocr_ray.functions.ann import mmr_topk
+        from barks_ocr_ray.golden_dedup import golden_mmr_topk
+
+        rng = np.random.default_rng(5)
+        d = 16
+        q = rng.normal(size=d)
+        a = q + 0.001 * rng.normal(size=d)      # id 1: near-clone of q
+        a2 = a + 0.0001 * rng.normal(size=d)    # id 2: near-clone of a
+        b = rng.normal(size=d)                  # id 3: distinct
+        c = rng.normal(size=d)                  # id 4: distinct
+        mat = np.stack([q, a, a2, b, c]).astype(np.float32)
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(5), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+        got = mmr_topk(
+            rd.from_arrow(emb), [0], pool_k=4, k=4, lam=0.5
+        ).to_pandas()
+        exp = golden_mmr_topk(emb, [0], pool_k=4, k=4, lam=0.5).to_pandas()
+        for col in ("query_id", "rank", "neighbor_id", "rel_cosine", "mmr_score"):
+            assert got[col].tolist() == exp[col].tolist(), col
+        picks = got["neighbor_id"].tolist()
+        assert picks[0] == 1  # most relevant first
+        # rank 2 must NOT be the clone of the rank-1 pick
+        assert picks[1] != 2
+        assert set(picks) == {1, 2, 3, 4}
