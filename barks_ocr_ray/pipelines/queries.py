@@ -10132,6 +10132,229 @@ ORDER BY 1, 2
 """
 
 
+def q183_join_skew_audit(sf_dir: str):
+    """Join-key skew audit over orders.o_custkey: exact Gini
+    coefficient of the per-key row distribution plus max / p99 key
+    sizes — the pre-flight report that says whether a key needs
+    salting (q54/q74) before it melts a shuffle partition. Shape: ONE
+    keyed count exchange, then a count-of-counts aggregation whose
+    cardinality is bounded by the LARGEST key size (not the key
+    count); the Gini closes in exact integer arithmetic on that
+    bounded table via the run-sum identity
+    sum_i (2i-n-1)c_i = sum_runs c(2(m*lo + m(m-1)/2) - m(n+1))."""
+    import math as _math
+
+    orders = read_table(sf_dir, "orders", ["o_custkey"])
+    per_key = orders.groupby("o_custkey", num_partitions=hash_partitions(4)).aggregate(
+        Count(alias_name="c")
+    )
+    cofc = (
+        per_key.groupby("c", num_partitions=2)
+        .aggregate(Count(alias_name="m"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "n_keys": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64()),
+            "max_key_rows": pa.array([], pa.int64()),
+            "p99_key_rows": pa.array([], pa.int64()),
+            "gini_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not cofc:
+        return empty
+    cofc.sort(key=lambda r: r["c"])
+    n = sum(int(r["m"]) for r in cofc)
+    tot = sum(int(r["c"]) * int(r["m"]) for r in cofc)
+    g = 0
+    cum = 0
+    p99_rank = int(_math.ceil(0.99 * n))
+    p99 = None
+    for r in cofc:
+        c, m = int(r["c"]), int(r["m"])
+        lo = cum + 1
+        g += c * (2 * (m * lo + m * (m - 1) // 2) - m * (n + 1))
+        cum += m
+        if p99 is None and cum >= p99_rank:
+            p99 = c
+    return pa.table(
+        {
+            "n_keys": pa.array([n], pa.int64()),
+            "n_rows": pa.array([tot], pa.int64()),
+            "max_key_rows": pa.array([int(cofc[-1]["c"])], pa.int64()),
+            "p99_key_rows": pa.array([p99], pa.int64()),
+            "gini_micro": pa.array(
+                [int(round_like_duckdb((1e6 * g) / (n * tot), 0))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_Q183 = """
+WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+r AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM k GROUP BY 1),
+s AS (SELECT CAST(sum(m) AS BIGINT) AS n,
+             CAST(sum(c * m) AS BIGINT) AS tot FROM r),
+w AS (SELECT c, m,
+             CAST(coalesce(sum(m) OVER (ORDER BY c
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_before,
+             CAST(sum(m) OVER (ORDER BY c) AS BIGINT) AS cum
+      FROM r),
+num AS (SELECT CAST(sum(c * (2 * (m * (cum_before + 1) + m * (m - 1) // 2)
+                            - m * (s.n + 1))) AS BIGINT) AS g
+        FROM w CROSS JOIN s)
+SELECT s.n AS n_keys, s.tot AS n_rows,
+       (SELECT max(c) FROM r) AS max_key_rows,
+       (SELECT min(c) FROM w
+        WHERE cum >= CAST(ceil(0.99 * s.n) AS BIGINT)) AS p99_key_rows,
+       CAST(round(1e6 * num.g / (s.n * s.tot), 0) AS BIGINT) AS gini_micro
+FROM s CROSS JOIN num
+"""
+
+
+def q184_minhash_error_audit(sf_dir: str):
+    """Approximation-quality harness for the MinHash family: every q19
+    candidate pair's ESTIMATED Jaccard (128-perm signature agreement)
+    against the EXACT token-trigram Jaccard of the two texts —
+    n_pairs, total/max absolute error and the overestimate count, the
+    numbers that justify (or indict) the sketch parameters before a
+    100 TB dedup run acts on them. Distributed shape: the q19 pair
+    stream joins the corpus twice on compacted inputs (pairs never
+    materialize on the driver); the exact-Jaccard kernel runs per
+    pair-row (pair-bounded, the q21 gram definition verbatim) and the
+    errors reduce through one single-row aggregation. Oracle: golden
+    q19 pairs re-scored exactly by DuckDB list algebra."""
+    from barks_ocr_ray.functions.dedupe import minhash_near_dups
+    from barks_ocr_ray.functions.relational import compact_nonempty
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    np_ = hash_partitions(4)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    pairs = minhash_near_dups(docs, threshold=0.4).materialize()
+    one_zero = pa.table(
+        {
+            "n_pairs": pa.array([0], pa.int64()),
+            "sum_abs_err_micro": pa.array([0], pa.int64()),
+            "max_abs_err_micro": pa.array([0], pa.int64()),
+            "n_over": pa.array([0], pa.int64()),
+        }
+    )
+    pairs_c, n_pairs = compact_nonempty(pairs, np_)
+    if n_pairs == 0:
+        return one_zero
+    docs_c, _ = compact_nonempty(docs, np_)
+
+    def _as(col_id: str, col_txt: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {col_id: t.column("doc_id"), col_txt: t.column("text")}
+            )
+
+        return _f
+
+    ta = docs_c.map_batches(_as("doc_a", "text_a"), batch_format="pyarrow")
+    tb = docs_c.map_batches(_as("doc_b", "text_b"), batch_format="pyarrow")
+    ta_c, _ = compact_nonempty(ta, np_)
+    tb_c, _ = compact_nonempty(tb, np_)
+    j = pairs_c.join(
+        ta_c, join_type="inner", num_partitions=np_, on=("doc_a",)
+    )
+    j_c, _ = compact_nonempty(j, np_)
+    j2 = j_c.join(
+        tb_c, join_type="inner", num_partitions=np_, on=("doc_b",)
+    )
+    tok = Tokenizer()
+
+    def _grams(txt: str) -> set:
+        ts = tok.tokens(txt or "")
+        return {
+            " ".join(ts[i : i + 3]) for i in range(max(1, len(ts) - 2))
+        }
+
+    def _err_partial(t: pa.Table) -> pa.Table:
+        n = s = mx = over = 0
+        for est, xa, xb in zip(
+            t.column("est_jaccard").to_pylist(),
+            t.column("text_a").to_pylist(),
+            t.column("text_b").to_pylist(),
+        ):
+            ga, gb = _grams(xa), _grams(xb)
+            inter = len(ga & gb)
+            union = max(len(ga | gb), 1)
+            exact_micro = int(round_like_duckdb((1e6 * inter) / union, 0))
+            est_micro = int(round_like_duckdb(est * 1e6, 0))
+            e = abs(est_micro - exact_micro)
+            n += 1
+            s += e
+            mx = max(mx, e)
+            over += 1 if est_micro > exact_micro else 0
+        return pa.table(
+            {
+                "n_pairs": pa.array([n], pa.int64()),
+                "sum_abs_err_micro": pa.array([s], pa.int64()),
+                "max_abs_err_micro": pa.array([mx], pa.int64()),
+                "n_over": pa.array([over], pa.int64()),
+            }
+        )
+
+    stats = j2.map_batches(_err_partial, batch_format="pyarrow").aggregate(
+        Sum("n_pairs", alias_name="n_pairs"),
+        Sum("sum_abs_err_micro", alias_name="sum_abs_err_micro"),
+        Max("max_abs_err_micro", alias_name="max_abs_err_micro"),
+        Sum("n_over", alias_name="n_over"),
+    )
+    return pa.table(
+        {
+            "n_pairs": pa.array([int(stats["n_pairs"] or 0)], pa.int64()),
+            "sum_abs_err_micro": pa.array(
+                [int(stats["sum_abs_err_micro"] or 0)], pa.int64()
+            ),
+            "max_abs_err_micro": pa.array(
+                [int(stats["max_abs_err_micro"] or 0)], pa.int64()
+            ),
+            "n_over": pa.array([int(stats["n_over"] or 0)], pa.int64()),
+        }
+    )
+
+
+def _sql_q184() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
+
+    return f"""
+WITH p AS (SELECT doc_a, doc_b, est_jaccard
+           FROM read_parquet('{neardup_golden_path("minhash_pairs")}')
+           WHERE corpus_tag = {corpus_tag_sql("documents")}),
+g AS (SELECT doc_id,
+             list_distinct(list_transform(
+                 range(1, greatest(len(toks) - 2, 1) + 1),
+                 i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_RE}')
+                     AS toks
+            FROM documents) t),
+e AS (SELECT
+        CAST(round(p.est_jaccard * 1e6, 0) AS BIGINT) AS est_micro,
+        CAST(round(1e6 * CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / greatest(len(list_distinct(list_concat(a.grams, b.grams))),
+                              1), 0) AS BIGINT) AS exact_micro
+      FROM p JOIN g a ON a.doc_id = p.doc_a
+             JOIN g b ON b.doc_id = p.doc_b)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(abs(est_micro - exact_micro)), 0) AS BIGINT)
+         AS sum_abs_err_micro,
+       CAST(coalesce(max(abs(est_micro - exact_micro)), 0) AS BIGINT)
+         AS max_abs_err_micro,
+       CAST(coalesce(sum(CASE WHEN est_micro > exact_micro THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS n_over
+FROM e
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -10331,6 +10554,8 @@ def build_registry():
         "q180_posting_compression": q180_posting_compression,
         "q181_market_basket": q181_market_basket,
         "q182_mmr_diversified": q182_mmr_diversified,
+        "q183_join_skew_audit": q183_join_skew_audit,
+        "q184_minhash_error_audit": q184_minhash_error_audit,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -10561,6 +10786,8 @@ def build_registry():
             "query_id, rank, neighbor_id, rel_cosine, mmr_score",
             "embeddings",
         ),
+        "q183_join_skew_audit": SQL_Q183,
+        "q184_minhash_error_audit": _sql_q184(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

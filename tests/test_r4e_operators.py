@@ -1087,3 +1087,91 @@ class TestMmrDiversified:
         # rank 2 must NOT be the clone of the rank-1 pick
         assert picks[1] != 2
         assert set(picks) == {1, 2, 3, 4}
+
+
+class TestJoinSkewAudit:
+    def test_uniform_vs_hot_key(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q183,
+            q183_join_skew_audit,
+        )
+
+        def _orders(custkeys):
+            n = len(custkeys)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(range(n), pa.int64()),
+                    "o_custkey": pa.array(custkeys, pa.int64()),
+                    "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                    "o_totalprice": pa.array([1.0] * n, pa.float64()),
+                    "o_orderdate": pa.array(
+                        pd.to_datetime(["2026-01-01"] * n), pa.timestamp("us")
+                    ),
+                    "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+                }
+            )
+
+        uniform = _orders([i % 10 for i in range(100)])
+        hot = _orders([0] * 91 + list(range(1, 10)))
+        ginis = {}
+        for name, t in (("uni", uniform), ("hot", hot)):
+            d = _write(tmp_path, f"sf_skew_{name}", t, "orders.parquet")
+            got = q183_join_skew_audit(d).to_pandas()
+            con = duckdb.connect()
+            con.register("orders", t)
+            exp = con.execute(SQL_Q183).fetch_df()
+            for c in ("n_keys", "n_rows", "max_key_rows",
+                      "p99_key_rows", "gini_micro"):
+                assert got[c].tolist() == exp[c].tolist(), (name, c)
+            ginis[name] = got["gini_micro"].iloc[0]
+        assert ginis["uni"] == 0  # perfectly balanced keys
+        assert ginis["hot"] > 800000  # one key holds 91% of rows
+        # hot-key table: max key carries 91 rows
+        assert exp["max_key_rows"].iloc[0] == 91
+
+
+class TestMinhashErrorAudit:
+    def test_identical_docs_have_zero_error(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q184_minhash_error_audit
+
+        # two identical docs -> est_jaccard 1.0 and exact 1.0: zero error
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta epsilon zeta",
+                        "alpha beta gamma delta epsilon zeta",
+                        "totally different words here now",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_mherr", docs, "documents.parquet")
+        got = q184_minhash_error_audit(d).to_pandas()
+        assert got["n_pairs"].iloc[0] == 1
+        assert got["sum_abs_err_micro"].iloc[0] == 0
+        assert got["max_abs_err_micro"].iloc[0] == 0
+        assert got["n_over"].iloc[0] == 0
+
+    def test_empty_pair_set_single_zero_row(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q184_minhash_error_audit
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "source": pa.array(["s", "s"], pa.string()),
+                "text": pa.array(
+                    ["nothing shared here at all", "完全 不同 的 词"],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_mherr0", docs, "documents.parquet")
+        got = q184_minhash_error_audit(d).to_pandas()
+        assert got["n_pairs"].iloc[0] == 0
+        assert len(got) == 1
