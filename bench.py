@@ -80,6 +80,12 @@ BENCH_QUERIES = [
     "q165_phrase_search",
     "q166_interval_overlap",
     "q167_retention_matrix",
+    "q172_source_overlap",
+    "q176_hybrid_rrf",
+    "q177_personalized_pagerank",
+    "q180_posting_compression",
+    "q182_mmr_diversified",
+    "q184_minhash_error_audit",
 ]
 
 
