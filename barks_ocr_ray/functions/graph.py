@@ -351,6 +351,130 @@ def pagerank(
     return ranks
 
 
+def _block_core_contrib(coded, mask: np.ndarray):
+    """One peeling round over one coded edge block: per-node count of
+    arcs whose BOTH endpoints are still members."""
+    if coded is None:
+        return None
+    src_idx, dst_idx = coded
+    sel = mask[src_idx] & mask[dst_idx]
+    acc = np.zeros(len(mask), dtype=np.int64)
+    np.add.at(acc, src_idx[sel], 1)
+    return acc
+
+
+def kcore_membership(
+    pairs: Dataset,
+    k: int = 3,
+    rounds: int = 8,
+    num_partitions: int | None = None,
+    broadcast_gate: int = BROADCAST_NODE_GATE,
+) -> Dataset:
+    """Members of the k-core after ``rounds`` synchronous peeling
+    sweeps over the undirected graph induced by ``pairs`` (columns
+    ``src``/``dst``): each round keeps exactly the nodes with >= k
+    still-member neighbors (Matula & Beck's peeling, run as fixed-round
+    BSP so the DuckDB oracle can replay it as unrolled CTEs; converged
+    rounds are idempotent, so early convergence and the fixed unroll
+    agree). Same two execution regimes as ``pagerank``: under the
+    node-count gate, rounds are raw task waves over coded edge blocks
+    with a node-sized bool mask; above it, each round is two
+    membership semi-joins + one grouped count, all node-/edge-sized."""
+    np_ = num_partitions or hash_partitions(16)
+    edges = symmetrize(_distinct_edges(pairs, np_)).materialize()
+    deg = edges.groupby("src", num_partitions=np_).aggregate(
+        Count(alias_name="outdeg")
+    )
+
+    def _as_node(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t.column("src")})
+
+    members = deg.map_batches(_as_node, batch_format="pyarrow").materialize()
+    n_nodes = members.count()
+    empty = pa.table({"node": pa.array([], pa.string())})
+    if n_nodes == 0:
+        return rd.from_arrow(empty)
+
+    if n_nodes <= broadcast_gate:
+        import ray as _ray
+
+        node_blocks = [
+            b
+            for b in (_ray.get(r) for r in members.to_arrow_refs())
+            if b.num_rows
+        ]
+        nodes = pa.concat_tables(node_blocks).column("node").combine_chunks()
+        nodes_ref = _ray.put(nodes)
+        prep = _ray.remote(num_cpus=1)(_code_edge_block)
+        step = _ray.remote(num_cpus=1)(_block_core_contrib)
+        coded = [
+            prep.remote(blk, nodes_ref) for blk in edges.to_arrow_refs()
+        ]
+        mask = np.ones(n_nodes, dtype=bool)
+        for _ in range(rounds):
+            mask_ref = _ray.put(mask)
+            acc = np.zeros(n_nodes, dtype=np.int64)
+            pending = [step.remote(c, mask_ref) for c in coded]
+            while pending:
+                done, pending = _ray.wait(
+                    pending, num_returns=min(8, len(pending))
+                )
+                for part in _ray.get(done):
+                    if part is not None:
+                        acc += part
+            new_mask = acc >= k
+            if np.array_equal(new_mask, mask):
+                break  # converged: further rounds are idempotent
+            mask = new_mask
+        keep = pa.array(np.flatnonzero(mask), pa.int64())
+        out = nodes.take(keep)
+        return rd.from_arrow(pa.table({"node": out}))
+
+    # distributed rounds: two membership semi-joins + one grouped count
+    cur = members
+    for _ in range(rounds):
+        cur_c, n_cur = compact_nonempty(cur, np_)
+        if n_cur == 0:
+            return rd.from_arrow(empty)
+        edges_c, _ = compact_nonempty(edges, np_)
+        e1 = edges_c.join(
+            cur_c,
+            join_type="inner",
+            num_partitions=np_,
+            on=("src",),
+            right_on=("node",),
+        )
+        e1_c, n_e1 = compact_nonempty(e1, np_)
+        if n_e1 == 0:
+            return rd.from_arrow(empty)
+        cur2 = cur_c.map_batches(
+            lambda t: pa.table({"node2": t.column("node")}),
+            batch_format="pyarrow",
+        )
+        cur2_c, _ = compact_nonempty(cur2, np_)
+        e2 = e1_c.join(
+            cur2_c,
+            join_type="inner",
+            num_partitions=np_,
+            on=("dst",),
+            right_on=("node2",),
+        )
+        counts = e2.groupby("src", num_partitions=np_).aggregate(
+            Count(alias_name="d")
+        )
+
+        def _keep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            t = t.filter(
+                _pc.greater_equal(t.column("d"), pa.scalar(k, pa.int64()))
+            )
+            return pa.table({"node": t.column("src")})
+
+        cur = counts.map_batches(_keep, batch_format="pyarrow").materialize()
+    return cur
+
+
 def triangle_counts(
     edges: "Dataset",
     *,

@@ -10355,6 +10355,134 @@ FROM e
 """
 
 
+Q185_K = 3
+Q185_ROUNDS = 8
+
+
+def q185_kcore(sf_dir: str):
+    """k-core decomposition (membership at k=3) of the
+    customer<->supplier trade graph — the subgraph-density screen
+    that separates the engaged core from one-shot pendants (Matula &
+    Beck peeling; the density rung next to q94 centrality, q138
+    triangles, q163 HITS). Fixed-round synchronous peeling in
+    `graph.kcore_membership`: BSP task waves over coded edge blocks
+    under the node-count gate, two membership semi-joins + one grouped
+    count per round above it; converged rounds are idempotent, so the
+    early-stopping engine and the fully-unrolled oracle agree."""
+    from barks_ocr_ray.functions.graph import kcore_membership
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        cust = pc.binary_join_element_wise(
+            pa.scalar("C"), pc.cast(t.column("o_custkey"), pa.string()), ""
+        )
+        supp = pc.binary_join_element_wise(
+            pa.scalar("S"), pc.cast(t.column("l_suppkey"), pa.string()), ""
+        )
+        return pa.table({"src": cust, "dst": supp})
+
+    return kcore_membership(
+        joined.map_batches(_pairs, batch_format="pyarrow"),
+        k=Q185_K,
+        rounds=Q185_ROUNDS,
+    ).sort("node")
+
+
+def _sql_q185() -> str:
+    ctes = [
+        """e0 AS (
+  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0
+          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+s0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    ]
+    for r in range(1, Q185_ROUNDS + 1):
+        ctes.append(
+            """s{r} AS (
+  SELECT e.src AS node FROM edges e
+  JOIN s{p} a ON e.src = a.node
+  JOIN s{p} b ON e.dst = b.node
+  GROUP BY e.src HAVING count(*) >= {k})""".format(
+                r=r, p=r - 1, k=Q185_K
+            )
+        )
+    return "WITH {ctes}\nSELECT node FROM s{last} ORDER BY node".format(
+        ctes=",\n".join(ctes), last=Q185_ROUNDS
+    )
+
+
+def q186_ivf_recall_audit(sf_dir: str):
+    """Approximation-quality harness for the ANN family: per query,
+    how many of the IVF index's top-10 (q48) are in the EXACT
+    brute-force top-10 (q16) — the recall@k table that justifies the
+    quantizer parameters before an index serves production traffic
+    (the vector sibling of q184's MinHash error audit). Both legs run
+    distributed (broadcast query matrix + per-block top-k merges; IVF
+    probes n_probe lists); the intersection closes on the
+    (queries x k)-bounded driver pools."""
+    from barks_ocr_ray.functions.ann import brute_force_topk, ivf_topk
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    exact = brute_force_topk(emb, ANN_QUERY_IDS, k=10).take_all()
+    approx = ivf_topk(emb, ANN_QUERY_IDS, k=10).take_all()
+    ex_by_q: dict = {}
+    for r in exact:
+        ex_by_q.setdefault(int(r["query_id"]), set()).add(
+            int(r["neighbor_id"])
+        )
+    ap_by_q: dict = {}
+    for r in approx:
+        ap_by_q.setdefault(int(r["query_id"]), set()).add(
+            int(r["neighbor_id"])
+        )
+    qids = sorted(ap_by_q)
+    hits = [len(ap_by_q[q] & ex_by_q.get(q, set())) for q in qids]
+    return pa.table(
+        {
+            "query_id": pa.array(qids, pa.int64()),
+            "n_hits": pa.array(hits, pa.int64()),
+            "recall_micro": pa.array(
+                [
+                    int(round_like_duckdb((1e6 * h) / 10, 0))
+                    for h in hits
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _sql_q186() -> str:
+    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
+
+    return f"""
+WITH ex AS ({SQL_Q16}),
+ap AS (SELECT query_id, neighbor_id
+       FROM read_parquet('{neardup_golden_path("ivf_topk")}')
+       WHERE corpus_tag = {corpus_tag_sql("embeddings")}),
+h AS (SELECT ap.query_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM ap JOIN ex ON ex.query_id = ap.query_id
+                     AND ex.neighbor_id = ap.neighbor_id
+      GROUP BY 1)
+SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+       CAST(round(1e6 * coalesce(h.n_hits, 0) / 10, 0) AS BIGINT)
+         AS recall_micro
+FROM (SELECT DISTINCT query_id FROM ap) q
+LEFT JOIN h USING (query_id) ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -10556,6 +10684,8 @@ def build_registry():
         "q182_mmr_diversified": q182_mmr_diversified,
         "q183_join_skew_audit": q183_join_skew_audit,
         "q184_minhash_error_audit": q184_minhash_error_audit,
+        "q185_kcore": q185_kcore,
+        "q186_ivf_recall_audit": q186_ivf_recall_audit,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -10788,6 +10918,8 @@ def build_registry():
         ),
         "q183_join_skew_audit": SQL_Q183,
         "q184_minhash_error_audit": _sql_q184(),
+        "q185_kcore": _sql_q185(),
+        "q186_ivf_recall_audit": _sql_q186(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -224,3 +224,39 @@ def test_personalized_pagerank_paths_agree_and_empty_seed_set(ray_session):
     out = pagerank(rd.from_arrow(t), 2, seed_prefix="ZZZ")
     assert out.count() == 0
     assert set(out.schema().names) == {"node", "pr"}
+
+
+def test_kcore_peeling_cascades_and_paths_agree(ray_session):
+    import ray.data as rd
+
+    from barks_ocr_ray.functions.graph import kcore_membership
+
+    # K4 clique (a,b,c,d) = the 3-core; x hangs off a with a chain that
+    # gives x initial degree 1; y-z-w triangle has max degree 2 -> all
+    # peeled. e touches three clique members BUT only them (deg 3);
+    # e survives round 1, and stays (its neighbors are core).
+    pairs = [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"),
+        ("a", "x"),
+        ("y", "z"), ("z", "w"), ("w", "y"),
+        ("e", "a"), ("e", "b"), ("e", "c"),
+    ]
+    t = pa.table(
+        {"src": [p[0] for p in pairs], "dst": [p[1] for p in pairs]}
+    )
+    got = sorted(
+        r["node"]
+        for r in kcore_membership(rd.from_arrow(t), k=3, rounds=8).take_all()
+    )
+    assert got == ["a", "b", "c", "d", "e"]
+    via_join = sorted(
+        r["node"]
+        for r in kcore_membership(
+            rd.from_arrow(t), k=3, rounds=8, broadcast_gate=0
+        ).take_all()
+    )
+    assert via_join == got
+    # k above the max degree: everything peels, typed empty
+    none = kcore_membership(rd.from_arrow(t), k=10, rounds=4)
+    assert none.count() == 0

@@ -1175,3 +1175,21 @@ class TestMinhashErrorAudit:
         got = q184_minhash_error_audit(d).to_pandas()
         assert got["n_pairs"].iloc[0] == 0
         assert len(got) == 1
+
+
+class TestIvfRecallAudit:
+    def test_recall_bounds_and_consistency(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import q186_ivf_recall_audit
+
+        got = q186_ivf_recall_audit("/root/testdata/sf0.001").to_pandas()
+        assert len(got) == 8
+        assert ((got.n_hits >= 0) & (got.n_hits <= 10)).all()
+        # recall_micro is exactly the rounded hit ratio
+        import numpy as np
+
+        from barks_ocr_ray.functions.relational import round_like_duckdb
+
+        expect = [
+            int(round_like_duckdb((1e6 * h) / 10, 0)) for h in got.n_hits
+        ]
+        assert got.recall_micro.tolist() == expect
