@@ -10483,6 +10483,228 @@ LEFT JOIN h USING (query_id) ORDER BY 1
 """
 
 
+def q187_attrition_report(sf_dir: str):
+    """Per-source attrition funnel through the q115 cleaning arc —
+    'where did my data go', the observability table every pretraining
+    curation run publishes: docs per source surviving each successive
+    gate (training split -> exact-dedup winner -> Gopher repetition ->
+    decontamination). Reuses the exact stage kernels (so the funnel
+    IS the pipeline, not a parallel estimate); the per-doc gate flags
+    merge through ONE doc-keyed union-Max exchange + one compacted
+    doc-keyed join to attach source, and the report reduces to a
+    sources-bounded grouped sum of conjunction counters."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.curation import (
+        _id_fracs,
+        decontaminate,
+        repetition_stats,
+    )
+    from barks_ocr_ray.functions.dedupe import exact_dedup_docs
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    f, w = Q112_HOLDOUT_FRAC, Q112_WINDOW
+    np_ = hash_partitions(4)
+    docs = read_table(
+        sf_dir, "documents", ["doc_id", "text", "source"]
+    ).materialize()
+
+    def _base(t: pa.Table) -> pa.Table:
+        us = _id_fracs(t.column("doc_id"), "md5")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "in_train": pa.array((us >= f).astype(np.int64), pa.int64()),
+            }
+        )
+
+    base = docs.map_batches(_base, batch_format="pyarrow")
+
+    def _train_filter(t: pa.Table) -> pa.Table:
+        us = _id_fracs(t.column("doc_id"), "md5")
+        return t.filter(pa.array(us >= f, pa.bool_()))
+
+    train = docs.map_batches(_train_filter, batch_format="pyarrow")
+
+    def _flag(col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            one = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
+            zero = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "fw": one if col == "fw" else zero,
+                    "fr": one if col == "fr" else zero,
+                    "fc": one if col == "fc" else zero,
+                }
+            )
+
+        return _f
+
+    winners = exact_dedup_docs(train).map_batches(
+        _flag("fw"), batch_format="pyarrow"
+    )
+    rep = (
+        repetition_stats(train)
+        .filter(
+            expr=(
+                f"dup_token_frac <= {Q115_MAX_DUP_FRAC} and "
+                f"top_bigram_frac <= {Q115_MAX_BIGRAM_FRAC}"
+            )
+        )
+        .map_batches(_flag("fr"), batch_format="pyarrow")
+    )
+    contam = decontaminate(docs, holdout_frac=f, window=w).map_batches(
+        _flag("fc"), batch_format="pyarrow"
+    )
+    flags = (
+        winners.union(rep)
+        .union(contam)
+        .groupby("doc_id", num_partitions=np_)
+        .aggregate(
+            Max("fw", alias_name="fw"),
+            Max("fr", alias_name="fr"),
+            Max("fc", alias_name="fc"),
+        )
+    )
+    base_c, _ = compact_nonempty(base, np_)
+    flags_c, n_flags = compact_nonempty(flags, np_)
+    if n_flags == 0:
+        merged = base_c.map_batches(
+            lambda t: t.append_column(
+                "fw", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            )
+            .append_column(
+                "fr", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            )
+            .append_column(
+                "fc", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        merged = base_c.join(
+            flags_c,
+            join_type="left_outer",
+            num_partitions=np_,
+            on=("doc_id",),
+        )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        it = t.column("in_train").to_numpy(zero_copy_only=False)
+        fw = pc.fill_null(t.column("fw"), 0).to_numpy(zero_copy_only=False)
+        fr = pc.fill_null(t.column("fr"), 0).to_numpy(zero_copy_only=False)
+        fc = pc.fill_null(t.column("fc"), 0).to_numpy(zero_copy_only=False)
+        n_train = it
+        n_dedup = it * fw
+        n_rep_ok = n_dedup * fr
+        n_clean = n_rep_ok * (1 - fc)
+        k = pa.table(
+            {
+                "source": t.column("source"),
+                "n_total": pa.array(np.ones(len(it), np.int64), pa.int64()),
+                "n_train": pa.array(n_train, pa.int64()),
+                "n_dedup": pa.array(n_dedup, pa.int64()),
+                "n_rep_ok": pa.array(n_rep_ok, pa.int64()),
+                "n_clean": pa.array(n_clean, pa.int64()),
+            }
+        )
+        return (
+            k.group_by("source")
+            .aggregate(
+                [
+                    ("n_total", "sum"),
+                    ("n_train", "sum"),
+                    ("n_dedup", "sum"),
+                    ("n_rep_ok", "sum"),
+                    ("n_clean", "sum"),
+                ]
+            )
+            .rename_columns(
+                ["source", "n_total", "n_train", "n_dedup", "n_rep_ok",
+                 "n_clean"]
+            )
+        )
+
+    return (
+        merged.map_batches(_partials, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_train", alias_name="n_train"),
+            Sum("n_dedup", alias_name="n_dedup"),
+            Sum("n_rep_ok", alias_name="n_rep_ok"),
+            Sum("n_clean", alias_name="n_clean"),
+        )
+        .sort("source")
+    )
+
+
+def _sql_q187() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    w = Q112_WINDOW
+    f = Q112_HOLDOUT_FRAC
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 AS u
+  FROM documents),
+train AS (SELECT * FROM base WHERE u >= {f}),
+win AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)),
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM train),
+r AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+  FROM tok WHERE len(toks) >= 2),
+bc AS (SELECT doc_id, bg, count(*) AS c
+       FROM (SELECT doc_id, unnest(bigrams) AS bg FROM r) GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS top_n FROM bc GROUP BY 1),
+rep_ok AS (
+  SELECT r.doc_id FROM r JOIN top USING (doc_id)
+  WHERE round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4)
+          <= {Q115_MAX_DUP_FRAC}
+    AND round(top_n / CAST(n_tokens - 1 AS DOUBLE), 4)
+          <= {Q115_MAX_BIGRAM_FRAC}),
+wtok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks, u
+  FROM base
+  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {w}),
+wnd AS (
+  SELECT DISTINCT doc_id, u,
+         substring(md5(array_to_string(toks[i:i+{w - 1}], ' ')), 1, 16) AS h
+  FROM wtok, UNNEST(range(1, len(toks) - {w} + 2)) AS un(i)),
+hold AS (SELECT DISTINCT h FROM wnd WHERE u < {f}),
+contam AS (SELECT DISTINCT wnd.doc_id FROM wnd JOIN hold USING (h)
+           WHERE wnd.u >= {f}),
+flags AS (
+  SELECT b.doc_id, b.source,
+         (b.u >= {f}) AS in_train,
+         (win.doc_id IS NOT NULL) AS is_w,
+         (rep_ok.doc_id IS NOT NULL) AS is_r,
+         (contam.doc_id IS NOT NULL) AS is_c
+  FROM base b
+  LEFT JOIN win ON win.doc_id = b.doc_id
+  LEFT JOIN rep_ok ON rep_ok.doc_id = b.doc_id
+  LEFT JOIN contam ON contam.doc_id = b.doc_id)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN in_train AND is_w THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dedup,
+       CAST(sum(CASE WHEN in_train AND is_w AND is_r THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rep_ok,
+       CAST(sum(CASE WHEN in_train AND is_w AND is_r AND NOT is_c
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+FROM flags GROUP BY 1 ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -10686,6 +10908,7 @@ def build_registry():
         "q184_minhash_error_audit": q184_minhash_error_audit,
         "q185_kcore": q185_kcore,
         "q186_ivf_recall_audit": q186_ivf_recall_audit,
+        "q187_attrition_report": q187_attrition_report,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -10920,6 +11143,7 @@ def build_registry():
         "q184_minhash_error_audit": _sql_q184(),
         "q185_kcore": _sql_q185(),
         "q186_ivf_recall_audit": _sql_q186(),
+        "q187_attrition_report": _sql_q187(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -1193,3 +1193,49 @@ class TestIvfRecallAudit:
             int(round_like_duckdb((1e6 * h) / 10, 0)) for h in got.n_hits
         ]
         assert got.recall_micro.tolist() == expect
+
+
+class TestAttritionReport:
+    def test_funnel_monotone_and_matches_sql(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q187,
+            q187_attrition_report,
+        )
+
+        # srcA: 10 unique docs + 5 duplicated texts (dedup losses);
+        # srcB: includes a repetitive doc (Gopher gate loss)
+        texts, src = [], []
+        for i in range(10):
+            texts.append(f"unique document number {i} with plain words")
+            src.append("srcA")
+        for i in range(5):
+            texts.append("this exact duplicated text appears twice here")
+            texts.append("this exact duplicated text appears twice here")
+            src.extend(["srcA", "srcA"])
+        texts.append("spam " * 60)  # dup_token_frac ~ 1 -> repetition gate
+        src.append("srcB")
+        texts.append("a normal srcb document with several distinct words")
+        src.append("srcB")
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "source": pa.array(src, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_attr", docs, "documents.parquet")
+        got = q187_attrition_report(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q187()).fetch_df()
+        for c in ("source", "n_total", "n_train", "n_dedup",
+                  "n_rep_ok", "n_clean"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # funnel is monotone per source
+        for _, r in got.iterrows():
+            assert (
+                r.n_total >= r.n_train >= r.n_dedup
+                >= r.n_rep_ok >= r.n_clean >= 0
+            )
+        a = got.set_index("source").loc["srcA"]
+        assert a.n_dedup < a.n_train  # duplicate texts collapsed
