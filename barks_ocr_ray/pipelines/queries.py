@@ -10705,6 +10705,227 @@ FROM flags GROUP BY 1 ORDER BY 1
 """
 
 
+#: q188 burst window width (event-time, exact)
+Q188_WINDOW_US = 3_600_000_000
+
+
+def q188_burst_windows(sf_dir: str):
+    """Per-user peak event rate: the maximum number of events inside
+    any trailing 1-hour event-time window — the burst/rate-limit
+    signal (crawler politeness, abuse detection) that tumbling buckets
+    (q12) blur across boundaries. Exact sliding semantics with NO
+    per-event self-join: one user-keyed exchange, then per block each
+    user's sorted timestamp array answers every window with two
+    vectorized searchsorted sweeps (count in [ts-1h, ts], equal-ts
+    peers included — the SQL RANGE frame's peer rule)."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def _bursts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "max_burst": pa.array([], pa.int64()),
+                }
+            )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        out_u, out_m = [], []
+        for i, s in enumerate(seg):
+            e = seg[i + 1] if i + 1 < len(seg) else len(u)
+            a = ts[s:e]
+            hi = np.searchsorted(a, a, side="right")
+            lo = np.searchsorted(a, a - Q188_WINDOW_US, side="left")
+            out_u.append(int(u[s]))
+            out_m.append(int((hi - lo).max()))
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "max_burst": pa.array(out_m, pa.int64()),
+            }
+        )
+
+    return (
+        ev.repartition(hash_partitions(4), keys=["user_id"])
+        .map_batches(_bursts, batch_format="pyarrow", batch_size=None)
+        .sort("user_id")
+    )
+
+
+SQL_Q188 = """
+WITH b AS (
+  SELECT user_id,
+         CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS w
+  FROM events)
+SELECT user_id, max(w) AS max_burst FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q189_two_hop_reach(sf_dir: str):
+    """Two-hop neighborhood size per node over the trade graph (the
+    friends-of-friends reach that prices influence/recommendation
+    fan-out; completes the graph-analytics shelf next to q94 PageRank,
+    q138 triangles, q163 HITS, q185 k-core). Distributed shape: one
+    mid-node wedge join (sum(deg²)-sized — the triangle_counts
+    hub-cap partitioning assumption applies verbatim), then (node,
+    reach) DISTINCT via one composite-keyed exchange and a node-keyed
+    count. Self is excluded; direct neighbors count (distance 1 or
+    2)."""
+    from barks_ocr_ray.functions.graph import _distinct_edges, symmetrize
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    np_ = hash_partitions(8)
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    # nodes are INT-coded through the wedge machinery (cust -> 2k,
+    # supp -> 2k+1): the sum(deg²)-sized wedge stream ships int64
+    # pairs, not strings (measured 40x on the sf0.01 graph's 25M
+    # wedges); the string ids reappear only on the node-sized output
+    def _pairs(t: pa.Table) -> pa.Table:
+        cust = pc.multiply(
+            t.column("o_custkey").cast(pa.int64()), pa.scalar(2, pa.int64())
+        )
+        supp = pc.add(
+            pc.multiply(
+                t.column("l_suppkey").cast(pa.int64()),
+                pa.scalar(2, pa.int64()),
+            ),
+            pa.scalar(1, pa.int64()),
+        )
+        return pa.table({"src": cust, "dst": supp})
+
+    edges = symmetrize(
+        _distinct_edges(
+            joined.map_batches(_pairs, batch_format="pyarrow"), np_
+        )
+    ).materialize()
+    edges_c, n_edges = compact_nonempty(edges, np_)
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.string()),
+            "n_reach": pa.array([], pa.int64()),
+        }
+    )
+    if n_edges == 0:
+        return empty
+
+    left = edges_c.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("src"), "mid": t.column("dst")}
+        ),
+        batch_format="pyarrow",
+    )
+    right = edges_c.map_batches(
+        lambda t: pa.table(
+            {"mid": t.column("src"), "reach": t.column("dst")}
+        ),
+        batch_format="pyarrow",
+    )
+    left_c, _ = compact_nonempty(left, np_)
+    right_c, _ = compact_nonempty(right, np_)
+    wedges = left_c.join(
+        right_c, join_type="inner", num_partitions=np_, on=("mid",)
+    )
+
+    def _hop2(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t.column("reach"), t.column("node")))
+        t = t.filter(keep)
+        # block-level distinct combiner: the exchange ships at most
+        # (distinct pairs per block), never the raw wedge multiplicity
+        return (
+            pa.table(
+                {"node": t.column("node"), "reach": t.column("reach")}
+            )
+            .group_by(["node", "reach"])
+            .aggregate([])
+        )
+
+    direct = edges_c.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("src"), "reach": t.column("dst")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _decode(t: pa.Table) -> pa.Table:
+        code = t.column("node")
+        is_supp = pc.equal(
+            pc.bit_wise_and(code, pa.scalar(1, pa.int64())),
+            pa.scalar(1, pa.int64()),
+        )
+        key = pc.divide(code, pa.scalar(2, pa.int64())).cast(pa.string())
+        node = pc.binary_join_element_wise(
+            pc.if_else(is_supp, pa.scalar("S"), pa.scalar("C")), key, ""
+        )
+        return pa.table({"node": node, "n_reach": t.column("n_reach")})
+
+    def _per_node_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "n_reach": pa.array([], pa.int64()),
+                }
+            )
+        # node-keyed repartition colocates each node's rows, so the
+        # block-local distinct IS the global distinct — one Arrow
+        # hash pass replaces a Ray hash-aggregate over the pair
+        # stream (measured 196 s -> <2 s on the 12.8M-row sf0.01
+        # stream; Ray's HashAggregate pays per-row key overhead the
+        # Arrow kernel doesn't)
+        d = t.group_by(["node", "reach"]).aggregate([])
+        return (
+            d.group_by(["node"])
+            .aggregate([("reach", "count")])
+            .rename_columns(["node", "n_reach"])
+        )
+
+    counted = (
+        # batch_size=None everywhere below: combiners must see whole
+        # partitions, not 1k-row slices (the CLAUDE.md keyed-block trap)
+        wedges.map_batches(_hop2, batch_format="pyarrow", batch_size=None)
+        .union(direct)
+        .repartition(np_, keys=["node"])
+        .map_batches(
+            _per_node_counts, batch_format="pyarrow", batch_size=None
+        )
+    )
+    counted_c, _ = compact_nonempty(counted, np_)
+    return counted_c.map_batches(_decode, batch_format="pyarrow").sort(
+        "node"
+    )
+
+
+def _sql_q189() -> str:
+    return """
+WITH e0 AS (SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+                   'S' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+two AS (SELECT DISTINCT a.src AS node, b.dst AS reach
+        FROM edges a JOIN edges b ON a.dst = b.src
+        WHERE b.dst != a.src
+        UNION SELECT DISTINCT src AS node, dst AS reach FROM edges)
+SELECT node, CAST(count(*) AS BIGINT) AS n_reach
+FROM two GROUP BY 1 ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -10909,6 +11130,8 @@ def build_registry():
         "q185_kcore": q185_kcore,
         "q186_ivf_recall_audit": q186_ivf_recall_audit,
         "q187_attrition_report": q187_attrition_report,
+        "q188_burst_windows": q188_burst_windows,
+        "q189_two_hop_reach": q189_two_hop_reach,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -11144,6 +11367,8 @@ def build_registry():
         "q185_kcore": _sql_q185(),
         "q186_ivf_recall_audit": _sql_q186(),
         "q187_attrition_report": _sql_q187(),
+        "q188_burst_windows": SQL_Q188,
+        "q189_two_hop_reach": _sql_q189(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -91,7 +91,9 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q184_minhash_error_audit', 1),
                         ('q185_kcore', 1),
                         ('q186_ivf_recall_audit', 1),
-                        ('q187_attrition_report', 1)):
+                        ('q187_attrition_report', 1),
+                        ('q188_burst_windows', 1),
+                        ('q189_two_hop_reach', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

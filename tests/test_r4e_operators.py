@@ -1239,3 +1239,91 @@ class TestAttritionReport:
             )
         a = got.set_index("source").loc["srcA"]
         assert a.n_dedup < a.n_train  # duplicate texts collapsed
+
+
+class TestBurstWindows:
+    def test_sliding_beats_tumbling_and_ties_count(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from barks_ocr_ray.pipelines.queries import SQL_Q188, q188_burst_windows
+
+        # user 0: 3 events straddling an hour boundary within 10 min of
+        # each other (tumbling hours would see max 2); user 1 has two
+        # events at the SAME instant (RANGE peers both count)
+        ts = pd.to_datetime(
+            [
+                "2026-01-01 00:55:00", "2026-01-01 01:00:00",
+                "2026-01-01 01:05:00", "2026-01-01 09:00:00",
+                "2026-02-01 00:00:00", "2026-02-01 00:00:00",
+            ]
+        )
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([0, 0, 0, 0, 1, 1], pa.int64()),
+                "event_type": pa.array(["view"] * 6, pa.string()),
+                "value": pa.array([1.0] * 6, pa.float64()),
+                "props": pa.array(["{}"] * 6, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_burst", ev, "events.parquet")
+        got = q188_burst_windows(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q188).fetch_df()
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["max_burst"].tolist() == exp["max_burst"].tolist()
+        m = got.set_index("user_id")["max_burst"]
+        assert m[0] == 3  # sliding window catches the straddle
+        assert m[1] == 2  # equal-timestamp peers both in frame
+
+
+class TestTwoHopReach:
+    def test_path_graph_reach(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q189,
+            q189_two_hop_reach,
+        )
+
+        # path C1 - S1 - C2 - S2: reach(C1) = {S1, C2} = 2,
+        # reach(S1) = {C1, C2, S2} = 3 (2 hops), etc.
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 2, 2], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+                "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+                "o_orderdate": pa.array(
+                    pd.to_datetime(["2026-01-01"] * 3), pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 3, pa.string()),
+            }
+        )
+        lineitem = pa.table(
+            {
+                "l_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "l_suppkey": pa.array([1, 1, 2], pa.int64()),
+                "l_partkey": pa.array([1, 1, 1], pa.int64()),
+                "l_quantity": pa.array([1.0] * 3, pa.float64()),
+                "l_extendedprice": pa.array([1.0] * 3, pa.float64()),
+                "l_discount": pa.array([0.0] * 3, pa.float64()),
+                "l_returnflag": pa.array(["N"] * 3, pa.string()),
+                "l_linestatus": pa.array(["O"] * 3, pa.string()),
+            }
+        )
+        d = tmp_path / "sf_2hop"
+        d.mkdir()
+        pq.write_table(orders, str(d / "orders.parquet"))
+        pq.write_table(lineitem, str(d / "lineitem.parquet"))
+        got = q189_two_hop_reach(str(d)).to_pandas()
+        con = duckdb.connect()
+        con.register("orders", orders)
+        con.register("lineitem", lineitem)
+        exp = con.execute(_sql_q189()).fetch_df()
+        assert got["node"].tolist() == exp["node"].tolist()
+        assert got["n_reach"].tolist() == exp["n_reach"].tolist()
+        m = got.set_index("node")["n_reach"]
+        assert m["C1"] == 2 and m["S1"] == 3 and m["C2"] == 3 and m["S2"] == 2
