@@ -10926,6 +10926,152 @@ FROM two GROUP BY 1 ORDER BY 1
 """
 
 
+#: q190/q191 resharding geometry: old and new shard counts
+Q190_SHARDS_OLD = 8
+Q190_SHARDS_NEW = 9
+
+
+def _rendezvous_rows(t: pa.Table) -> "tuple":
+    """Per-key modulo and rendezvous (HRW) shard assignments at the old
+    and new shard counts (Thaler & Ravishankar's highest-random-weight
+    hashing). md5 hex strings compare lexicographically == numerically
+    (fixed-width lowercase hex), so the DuckDB list_max/array_position
+    replay picks the identical winner; first-max tie rule on both
+    sides. md5 here is the oracle-replayable path — the
+    functions/hashing.py splitmix64 discipline applies verbatim for a
+    production fast path."""
+    import hashlib
+
+    ids = t.column("doc_id").to_pylist()
+    m8, m9, r8, r9 = [], [], [], []
+    for d in ids:
+        hs = [
+            hashlib.md5(f"{d}|{s}".encode()).hexdigest()
+            for s in range(Q190_SHARDS_NEW)
+        ]
+        old = hs[: Q190_SHARDS_OLD]
+        r8.append(old.index(max(old)))
+        r9.append(hs.index(max(hs)))
+        m8.append(d % Q190_SHARDS_OLD)
+        m9.append(d % Q190_SHARDS_NEW)
+    return ids, m8, m9, r8, r9
+
+
+def q190_reshard_churn(sf_dir: str):
+    """Resharding-churn audit: when the partition count grows 8 -> 9,
+    how many keys MOVE under modulo placement vs rendezvous/HRW
+    hashing — the number that decides whether a 100 TB re-partition
+    rewrites ~8/9 of every shard (modulo) or ~1/9 (consistent
+    placement), i.e. whether resumable partitioned output (SURVEY's
+    'failed run skips finished partitions') survives a topology
+    change. One streamed pass (per-key hashing, md5 oracle path),
+    single-row integer rollup."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        _, m8, m9, r8, r9 = _rendezvous_rows(t)
+        m8a, m9a = np.array(m8), np.array(m9)
+        r8a, r9a = np.array(r8), np.array(r9)
+        return pa.table(
+            {
+                "n_keys": pa.array([len(m8)], pa.int64()),
+                "moved_modulo": pa.array(
+                    [int((m8a != m9a).sum())], pa.int64()
+                ),
+                "moved_rendezvous": pa.array(
+                    [int((r8a != r9a).sum())], pa.int64()
+                ),
+            }
+        )
+
+    s = docs.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("n_keys", alias_name="n_keys"),
+        Sum("moved_modulo", alias_name="moved_modulo"),
+        Sum("moved_rendezvous", alias_name="moved_rendezvous"),
+    )
+    return pa.table(
+        {
+            "n_keys": pa.array([int(s["n_keys"] or 0)], pa.int64()),
+            "moved_modulo": pa.array(
+                [int(s["moved_modulo"] or 0)], pa.int64()
+            ),
+            "moved_rendezvous": pa.array(
+                [int(s["moved_rendezvous"] or 0)], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q190() -> str:
+    n, o = Q190_SHARDS_NEW, Q190_SHARDS_OLD
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(0, {n}),
+             s -> md5(CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR)))
+           AS hs
+  FROM documents),
+a AS (
+  SELECT doc_id,
+         array_position(hs[1:{o}], list_max(hs[1:{o}])) - 1 AS r_old,
+         array_position(hs, list_max(hs)) - 1 AS r_new,
+         doc_id % {o} AS m_old, doc_id % {n} AS m_new
+  FROM h)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN m_old != m_new THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_modulo,
+       CAST(sum(CASE WHEN r_old != r_new THEN 1 ELSE 0 END) AS BIGINT)
+         AS moved_rendezvous
+FROM a
+"""
+
+
+def q191_shard_balance(sf_dir: str):
+    """Shard-balance histogram under rendezvous placement at the new
+    topology (q190's companion): keys per shard — the skew report that
+    says whether consistent placement also stays BALANCED (HRW is
+    uniform in expectation; this measures the draw). Streamed per-key
+    hashing into shards-bounded count partials."""
+    from collections import Counter
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        _, _, _, _, r9 = _rendezvous_rows(t)
+        c = Counter(r9)
+        ks = sorted(c)
+        return pa.table(
+            {
+                "shard": pa.array(ks, pa.int64()),
+                "n_keys": pa.array([c[k] for k in ks], pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("shard", num_partitions=2)
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
+        .sort("shard")
+    )
+
+
+def _sql_q191() -> str:
+    n = Q190_SHARDS_NEW
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(0, {n}),
+             s -> md5(CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR)))
+           AS hs
+  FROM documents)
+SELECT array_position(hs, list_max(hs)) - 1 AS shard,
+       CAST(count(*) AS BIGINT) AS n_keys
+FROM h GROUP BY 1 ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -11132,6 +11278,8 @@ def build_registry():
         "q187_attrition_report": q187_attrition_report,
         "q188_burst_windows": q188_burst_windows,
         "q189_two_hop_reach": q189_two_hop_reach,
+        "q190_reshard_churn": q190_reshard_churn,
+        "q191_shard_balance": q191_shard_balance,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -11369,6 +11517,8 @@ def build_registry():
         "q187_attrition_report": _sql_q187(),
         "q188_burst_windows": SQL_Q188,
         "q189_two_hop_reach": _sql_q189(),
+        "q190_reshard_churn": _sql_q190(),
+        "q191_shard_balance": _sql_q191(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

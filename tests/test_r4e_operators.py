@@ -1327,3 +1327,37 @@ class TestTwoHopReach:
         assert got["n_reach"].tolist() == exp["n_reach"].tolist()
         m = got.set_index("node")["n_reach"]
         assert m["C1"] == 2 and m["S1"] == 3 and m["C2"] == 3 and m["S2"] == 2
+
+
+class TestReshardChurn:
+    def test_rendezvous_moves_about_one_in_nine(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q190,
+            _sql_q191,
+            q190_reshard_churn,
+            q191_shard_balance,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(400), pa.int64()),
+                "source": pa.array(["s"] * 400, pa.string()),
+                "text": pa.array(["t"] * 400, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_shard", docs, "documents.parquet")
+        got = q190_reshard_churn(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q190()).fetch_df()
+        for c in ("n_keys", "moved_modulo", "moved_rendezvous"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # modulo reshuffles ~8/9 of keys; rendezvous ~1/9
+        assert got.moved_modulo.iloc[0] > 300
+        assert got.moved_rendezvous.iloc[0] < 100
+        bal = q191_shard_balance(d).to_pandas()
+        exp_b = con.execute(_sql_q191()).fetch_df()
+        assert bal["shard"].tolist() == exp_b["shard"].tolist()
+        assert bal["n_keys"].tolist() == exp_b["n_keys"].tolist()
+        assert bal["n_keys"].sum() == 400
+        assert len(bal) == 9  # every shard populated at n=400
