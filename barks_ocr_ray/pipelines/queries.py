@@ -11072,6 +11072,190 @@ FROM h GROUP BY 1 ORDER BY 1
 """
 
 
+def q192_last_touch_attribution(sf_dir: str):
+    """Last-touch revenue attribution: each purchase's value credits
+    the user's most recent preceding click (ties on timestamp break by
+    event_id — the SQL ROWS-frame rule, mirrored exactly) — the
+    marketing-analytics join-free attribution scan next to q144's path
+    mining and q151's funnel. One user-keyed exchange; each user's
+    sorted event stream resolves every purchase in one vectorized-scan
+    pass per block; output is user-bounded."""
+    import numpy as np
+
+    ev = read_table(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def _scan(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_purchases": pa.array([], pa.int64()),
+                "n_attributed": pa.array([], pa.int64()),
+                "attributed_cents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist())
+        cents = round_like_duckdb(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, et, cents = u[order], et[order], cents[order]
+        is_click = et == "click"
+        is_purch = et == "purchase"
+        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        out_u, out_p, out_a, out_c = [], [], [], []
+        for i, s in enumerate(seg):
+            e = seg[i + 1] if i + 1 < len(seg) else len(u)
+            click_seen = np.maximum.accumulate(is_click[s:e])
+            p = is_purch[s:e]
+            if not p.any():
+                continue
+            attr = p & click_seen
+            out_u.append(int(u[s]))
+            out_p.append(int(p.sum()))
+            out_a.append(int(attr.sum()))
+            out_c.append(int(cents[s:e][attr].sum()))
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "n_purchases": pa.array(out_p, pa.int64()),
+                "n_attributed": pa.array(out_a, pa.int64()),
+                "attributed_cents": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    return (
+        ev.repartition(hash_partitions(4), keys=["user_id"])
+        .map_batches(_scan, batch_format="pyarrow", batch_size=None)
+        .sort("user_id")
+    )
+
+
+SQL_Q192 = """
+WITH e AS (SELECT event_id, user_id, ts, event_type,
+                  CAST(round(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT *,
+         max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+      FROM e),
+p AS (SELECT user_id, cents, (last_click IS NOT NULL) AS attributed
+      FROM m WHERE event_type = 'purchase')
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attributed,
+       CAST(sum(CASE WHEN attributed THEN cents ELSE 0 END) AS BIGINT)
+         AS attributed_cents
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+#: q193 autocorrelation lag (hours): daily periodicity
+Q193_LAG = 24
+
+
+def q193_daily_periodicity(sf_dir: str):
+    """Daily-periodicity diagnostic on the event stream: exact Pearson
+    autocorrelation of the DENSE hourly count series at lag 24 (zero
+    hours count as zero — missing-hour handling is where naive
+    implementations silently shift the lag). Distributed shape: one
+    hour-keyed count aggregation (q12 machinery); the dense spine,
+    integer regression sums and the single IEEE scalar close on the
+    hours-bounded driver series."""
+    import math as _math
+
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def _hours(t: pa.Table) -> pa.Table:
+        h = pc.divide(
+            t.column("ts").cast(pa.int64()),
+            pa.scalar(3_600_000_000, pa.int64()),
+        )
+        k = pa.table({"hour_id": h})
+        return (
+            k.group_by("hour_id")
+            .aggregate([("hour_id", "count")])
+            .rename_columns(["hour_id", "n"])
+        )
+
+    hourly = (
+        ev.map_batches(_hours, batch_format="pyarrow")
+        .groupby("hour_id", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "n_hours": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "autocorr_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not hourly:
+        return empty
+    by_h = {int(r["hour_id"]): int(r["n"]) for r in hourly}
+    lo, hi = min(by_h), max(by_h)
+    x = np.array(
+        [by_h.get(h, 0) for h in range(lo, hi + 1)], dtype=object
+    )
+    n_hours = len(x)
+    if n_hours <= Q193_LAG:
+        return empty
+    a, b = x[Q193_LAG:], x[: -Q193_LAG]
+    n_p = len(a)
+    sa, sb = int(sum(a)), int(sum(b))
+    sab = int(sum(int(i) * int(j) for i, j in zip(a, b)))
+    saa = int(sum(int(i) * int(i) for i in a))
+    sbb = int(sum(int(i) * int(i) for i in b))
+    den = _math.sqrt(float((n_p * saa - sa * sa) * (n_p * sbb - sb * sb)))
+    if den == 0.0:
+        return empty
+    r = (1e6 * float(n_p * sab - sa * sb)) / den
+    return pa.table(
+        {
+            "n_hours": pa.array([n_hours], pa.int64()),
+            "n_pairs": pa.array([n_p], pa.int64()),
+            "autocorr_micro": pa.array(
+                [int(round_like_duckdb(r, 0))], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q193() -> str:
+    return f"""
+WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_id,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+bounds AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM h),
+spine AS (SELECT unnest(generate_series(bounds.lo, bounds.hi)) AS hour_id
+          FROM bounds),
+d AS (SELECT spine.hour_id, coalesce(h.n, 0) AS x
+      FROM spine LEFT JOIN h USING (hour_id)),
+l AS (SELECT x, lag(x, {Q193_LAG}) OVER (ORDER BY hour_id) AS y FROM d),
+s AS (SELECT CAST(count(*) AS BIGINT) AS np, sum(x) AS sa, sum(y) AS sb,
+             sum(x * y) AS sab, sum(x * x) AS saa, sum(y * y) AS sbb
+      FROM l WHERE y IS NOT NULL),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM d)
+SELECT n.n_hours, s.np AS n_pairs,
+       CAST(round(1e6 * (s.np * s.sab - s.sa * s.sb)
+            / sqrt((s.np * s.saa - s.sa * s.sa)
+                   * (s.np * s.sbb - s.sb * s.sb)), 0) AS BIGINT)
+         AS autocorr_micro
+FROM s CROSS JOIN n
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -11280,6 +11464,8 @@ def build_registry():
         "q189_two_hop_reach": q189_two_hop_reach,
         "q190_reshard_churn": q190_reshard_churn,
         "q191_shard_balance": q191_shard_balance,
+        "q192_last_touch_attribution": q192_last_touch_attribution,
+        "q193_daily_periodicity": q193_daily_periodicity,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -11519,6 +11705,8 @@ def build_registry():
         "q189_two_hop_reach": _sql_q189(),
         "q190_reshard_churn": _sql_q190(),
         "q191_shard_balance": _sql_q191(),
+        "q192_last_touch_attribution": SQL_Q192,
+        "q193_daily_periodicity": _sql_q193(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

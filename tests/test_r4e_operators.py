@@ -1361,3 +1361,91 @@ class TestReshardChurn:
         assert bal["n_keys"].tolist() == exp_b["n_keys"].tolist()
         assert bal["n_keys"].sum() == 400
         assert len(bal) == 9  # every shard populated at n=400
+
+
+def _events_table(rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)."""
+    import pandas as pd
+
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime([r[1] for r in rows]), pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+
+
+class TestLastTouchAttribution:
+    def test_tie_rule_and_unattributed(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q192,
+            q192_last_touch_attribution,
+        )
+
+        rows = [
+            # user 0: purchase BEFORE any click -> unattributed; then
+            # click, then purchase -> attributed
+            (0, "2026-01-01 00:00:00", 0, "purchase", 10.0),
+            (1, "2026-01-01 01:00:00", 0, "click", 0.0),
+            (2, "2026-01-01 02:00:00", 0, "purchase", 20.0),
+            # user 1: click and purchase at the SAME ts — click has the
+            # smaller event_id, so it counts (ROWS-frame tie rule)
+            (3, "2026-01-02 00:00:00", 1, "click", 0.0),
+            (4, "2026-01-02 00:00:00", 1, "purchase", 5.0),
+            # user 2: purchase then click at same ts but click has the
+            # LARGER event_id -> NOT counted
+            (6, "2026-01-03 00:00:00", 2, "click", 0.0),
+            (5, "2026-01-03 00:00:00", 2, "purchase", 7.0),
+        ]
+        ev = _events_table(rows)
+        d = _write(tmp_path, "sf_attr_lt", ev, "events.parquet")
+        got = q192_last_touch_attribution(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q192).fetch_df()
+        for c in ("user_id", "n_purchases", "n_attributed",
+                  "attributed_cents"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        m = got.set_index("user_id")
+        assert m.loc[0, "n_attributed"] == 1
+        assert m.loc[0, "attributed_cents"] == 2000
+        assert m.loc[1, "n_attributed"] == 1  # same-ts, smaller id
+        assert m.loc[2, "n_attributed"] == 0  # same-ts, larger id
+
+
+class TestDailyPeriodicity:
+    def test_perfect_24h_cycle_scores_high(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q193,
+            q193_daily_periodicity,
+        )
+
+        # 6 days of a perfect 24h pattern: busy at hour 0, quiet else
+        # (some hours EMPTY -> exercises the dense-spine zeros)
+        rows = []
+        eid = 0
+        for day in range(6):
+            for k in range(5):  # 5 events at midnight
+                rows.append(
+                    (eid, f"2026-01-0{day+1} 00:{k:02d}:00", 0, "view", 1.0)
+                )
+                eid += 1
+            rows.append((eid, f"2026-01-0{day+1} 12:00:00", 0, "view", 1.0))
+            eid += 1
+        ev = _events_table(rows)
+        d = _write(tmp_path, "sf_period", ev, "events.parquet")
+        got = q193_daily_periodicity(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(_sql_q193()).fetch_df()
+        for c in ("n_hours", "n_pairs", "autocorr_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got["autocorr_micro"].iloc[0] == 1000000  # perfect cycle
