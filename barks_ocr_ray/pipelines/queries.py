@@ -11256,6 +11256,250 @@ FROM s CROSS JOIN n
 """
 
 
+def q194_quality_dedup(sf_dir: str):
+    """Quality-winner near-dup resolution: inside each q35 duplicate
+    cluster keep the member the q64 classifier scores HIGHEST (ties ->
+    smallest doc_id), and report the quality gain over the naive
+    min-id policy — the 'keep the best copy, not the first copy'
+    dedup every pretraining corpus wants once it has a quality model.
+    Composition: q19 pair machinery -> q35 min-label components ->
+    streamed q64 scoring -> one cluster-keyed grouped-argmax
+    (grouped_topk, no global sort) + one cluster-bounded join for
+    sizes/min-id scores. Golden-backed oracle: cluster membership
+    replays from the q35 golden; scoring and argmax replay in SQL."""
+    from barks_ocr_ray.functions.dedupe import dup_clusters, minhash_near_dups
+    from barks_ocr_ray.functions.inference import quality_model_score
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    np_ = hash_partitions(4)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    clusters = dup_clusters(
+        minhash_near_dups(docs, threshold=0.4)
+    ).materialize()
+    empty = pa.table(
+        {
+            "cluster": pa.array([], pa.int64()),
+            "kept_doc": pa.array([], pa.int64()),
+            "kept_score": pa.array([], pa.float64()),
+            "n_members": pa.array([], pa.int64()),
+            "score_gain_bp": pa.array([], pa.int64()),
+        }
+    )
+    cl_c, n_cl = compact_nonempty(clusters, np_)
+    if n_cl == 0:
+        return empty
+    scores = quality_model_score(docs).map_batches(
+        lambda t: t.select(["doc_id", "quality_score"]),
+        batch_format="pyarrow",
+    )
+    sc_c, _ = compact_nonempty(scores, np_)
+    joined = cl_c.join(
+        sc_c, join_type="inner", num_partitions=np_, on=("doc_id",)
+    )
+
+    def _resolve(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return empty
+        c = t.column("cluster").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = t.column("quality_score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s, c))
+        c, d, s = c[order], d[order], s[order]
+        seg = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        sizes = np.diff(np.r_[seg, len(c)])
+        kept_doc, kept_score = d[seg], s[seg]
+        # min-id policy score: within each cluster the row with the
+        # smallest doc_id
+        co, do_, so = (
+            t.column("cluster").to_numpy(zero_copy_only=False),
+            t.column("doc_id").to_numpy(zero_copy_only=False),
+            t.column("quality_score").to_numpy(zero_copy_only=False),
+        )
+        o2 = np.lexsort((do_, co))
+        co, do_, so = co[o2], do_[o2], so[o2]
+        seg2 = np.flatnonzero(np.r_[True, co[1:] != co[:-1]])
+        minid_score = so[seg2]  # clusters sorted ascending both times
+        gain = round_like_duckdb(
+            (kept_score - minid_score) * 10000.0, 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(c[seg], pa.int64()),
+                "kept_doc": pa.array(kept_doc, pa.int64()),
+                "kept_score": pa.array(kept_score, pa.float64()),
+                "n_members": pa.array(sizes, pa.int64()),
+                "score_gain_bp": pa.array(gain, pa.int64()),
+            }
+        )
+
+    return (
+        joined.repartition(np_, keys=["cluster"])
+        .map_batches(_resolve, batch_format="pyarrow", batch_size=None)
+        .sort("cluster")
+    )
+
+
+def _sql_q194() -> str:
+    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
+
+    return f"""
+WITH cl AS (SELECT doc_id, cluster
+            FROM read_parquet('{neardup_golden_path("dup_clusters")}')
+            WHERE corpus_tag = {corpus_tag_sql("documents")}),
+sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()})),
+j AS (SELECT cl.cluster, cl.doc_id, sc.quality_score
+      FROM cl JOIN sc USING (doc_id)),
+w AS (SELECT cluster, doc_id, quality_score,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY quality_score DESC, doc_id) AS rk,
+             row_number() OVER (PARTITION BY cluster
+                                ORDER BY doc_id) AS rk_minid
+      FROM j),
+best AS (SELECT cluster, doc_id AS kept_doc, quality_score AS kept_score
+         FROM w WHERE rk = 1),
+naive AS (SELECT cluster, quality_score AS minid_score
+          FROM w WHERE rk_minid = 1),
+n AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+      FROM cl GROUP BY 1)
+SELECT best.cluster, best.kept_doc, best.kept_score, n.n_members,
+       CAST(round((best.kept_score - naive.minid_score) * 10000, 0)
+            AS BIGINT) AS score_gain_bp
+FROM best JOIN naive USING (cluster) JOIN n USING (cluster)
+ORDER BY cluster
+"""
+
+
+#: q195 rerank model (frozen linear cross-scorer — the replayable
+#: stand-in for a cross-encoder; q64's deterministic-weights pattern)
+Q195_W_COS = 2.0
+Q195_W_BM25 = 0.1
+Q195_W_LEN = -0.0005
+Q195_OUT_K = 10
+
+
+def q195_rerank(sf_dir: str):
+    """Retrieval rerank stage — retrieve (q16 vector leg + q55 BM25
+    leg, both distributed, top-50 pools) then re-score every candidate
+    with a cross-features model (cosine, bm25, doc length; frozen
+    linear weights so the oracle replays bit-exact — a real
+    cross-encoder swaps into the same scoring stage with the q64
+    actor-pool pattern) and emit the top-10. Completes the
+    retrieve -> fuse (q176) -> rerank stack. Candidate features close
+    on the (2 x pool)-bounded driver set; the doc-length fetch is one
+    broadcast is_in filter, never a corpus join."""
+    from barks_ocr_ray.functions.ann import brute_force_topk
+    from barks_ocr_ray.functions.relational import broadcast_semi_join
+
+    vec_rows = brute_force_topk(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        [Q176_QUERY_VEC],
+        k=Q176_POOL_K,
+    ).take_all()
+    cos_of = {int(r["neighbor_id"]): float(r["cosine"]) for r in vec_rows}
+
+    bm = q55_bm25_rank(sf_dir)
+
+    def _block_top(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("bm25", "descending"), ("doc_id", "ascending")],
+        )
+        return t.take(order[: min(Q176_POOL_K, t.num_rows)])
+
+    lex_pool = bm.map_batches(_block_top, batch_format="pyarrow").take_all()
+    lex_pool.sort(key=lambda r: (-r["bm25"], r["doc_id"]))
+    bm_of = {
+        int(r["doc_id"]): float(r["bm25"])
+        for r in lex_pool[:Q176_POOL_K]
+    }
+
+    cand = sorted(set(cos_of) | set(bm_of))
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    lens_rows = (
+        broadcast_semi_join(docs, set(cand), "doc_id")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_tokens": pc.count_substring_regex(
+                        pc.utf8_lower(
+                            t.column("text").combine_chunks().fill_null("")
+                        ),
+                        r"[a-z0-9]+",
+                    ).cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    len_of = {int(r["doc_id"]): int(r["n_tokens"]) for r in lens_rows}
+
+    scored = []
+    for did in cand:
+        s = (
+            Q195_W_COS * cos_of.get(did, 0.0)
+            + Q195_W_BM25 * bm_of.get(did, 0.0)
+            + Q195_W_LEN * float(len_of.get(did, 0))
+        )
+        scored.append((did, float(round_like_duckdb(s, 6))))
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    scored = scored[:Q195_OUT_K]
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in scored], pa.int64()),
+            "rerank_score": pa.array(
+                [r[1] for r in scored], pa.float64()
+            ),
+            "final_rank": pa.array(
+                list(range(1, len(scored) + 1)), pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q195() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH lex AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+  FROM ({_sql_q55()}) QUALIFY r <= {Q176_POOL_K}),
+vc AS (
+  SELECT e.vec_id AS doc_id,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings q, embeddings e
+  WHERE q.vec_id = {Q176_QUERY_VEC} AND e.vec_id != {Q176_QUERY_VEC}),
+vec AS (
+  SELECT doc_id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+  FROM vc QUALIFY r <= {Q176_POOL_K}),
+cand AS (
+  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         coalesce(vec.cosine, 0) AS cosine,
+         coalesce(lex.bm25, 0) AS bm25
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
+feat AS (
+  SELECT cand.doc_id, cosine, bm25,
+         CAST(len(regexp_extract_all(lower(coalesce(d.text, '')),
+                                     '{TOKEN_RE}')) AS DOUBLE) AS n_tokens
+  FROM cand JOIN documents d ON d.doc_id = cand.doc_id)
+SELECT doc_id,
+       round({Q195_W_COS} * cosine + {Q195_W_BM25} * bm25
+             + {Q195_W_LEN} * n_tokens, 6) AS rerank_score,
+       CAST(row_number() OVER (
+         ORDER BY round({Q195_W_COS} * cosine + {Q195_W_BM25} * bm25
+                        + {Q195_W_LEN} * n_tokens, 6) DESC, doc_id)
+         AS BIGINT) AS final_rank
+FROM feat QUALIFY final_rank <= {Q195_OUT_K} ORDER BY final_rank
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -11466,6 +11710,8 @@ def build_registry():
         "q191_shard_balance": q191_shard_balance,
         "q192_last_touch_attribution": q192_last_touch_attribution,
         "q193_daily_periodicity": q193_daily_periodicity,
+        "q194_quality_dedup": q194_quality_dedup,
+        "q195_rerank": q195_rerank,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -11707,6 +11953,8 @@ def build_registry():
         "q191_shard_balance": _sql_q191(),
         "q192_last_touch_attribution": SQL_Q192,
         "q193_daily_periodicity": _sql_q193(),
+        "q194_quality_dedup": _sql_q194(),
+        "q195_rerank": _sql_q195(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

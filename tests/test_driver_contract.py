@@ -97,7 +97,9 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q190_reshard_churn', 1),
                         ('q191_shard_balance', 1),
                         ('q192_last_touch_attribution', 1),
-                        ('q193_daily_periodicity', 1)):
+                        ('q193_daily_periodicity', 1),
+                        ('q194_quality_dedup', 1),
+                        ('q195_rerank', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -1449,3 +1449,77 @@ class TestDailyPeriodicity:
         for c in ("n_hours", "n_pairs", "autocorr_micro"):
             assert got[c].tolist() == exp[c].tolist(), c
         assert got["autocorr_micro"].iloc[0] == 1000000  # perfect cycle
+
+
+class TestQualityDedup:
+    def test_best_copy_wins_not_first(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q194_quality_dedup
+
+        # docs 0 and 1 share the same token set (identical MinHash
+        # signature -> same cluster); doc 1 carries punctuation and
+        # stopwords, so the q64 model scores it higher than doc 0
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "text": pa.array(
+                    [
+                        "the cat sat on the mat today and the sun is warm",
+                        "The cat sat on the mat today and the sun is warm.",
+                        "completely unrelated other topic entirely here",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_qdedup", docs, "documents.parquet")
+        got = q194_quality_dedup(d).to_pandas()
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert r.kept_doc == 1        # higher-quality copy, NOT min id
+        assert r.n_members == 2
+        assert r.score_gain_bp > 0    # policy beat min-id
+
+
+class TestRerank:
+    def test_matches_sql_and_penalizes_length(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import _sql_q195, q195_rerank
+
+        n = 12
+        rng = np.random.default_rng(9)
+        base = rng.normal(size=(n, 8)).astype(np.float32)
+        base[3] = base[7] + 0.01 * base[3]  # vec 3 near query 7
+        texts = ["plain filler words"] * n
+        texts[3] = "spark join relevant"
+        texts[5] = ("spark join " * 300).strip()  # huge doc: length penalty
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in base], pa.list_(pa.float32())
+                ),
+            }
+        )
+        d = tmp_path / "sf_rerank"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        pq.write_table(emb, str(d / "embeddings.parquet"))
+        got = q195_rerank(str(d)).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        con.register("embeddings", emb)
+        exp = con.execute(_sql_q195()).fetch_df()
+        for c in ("doc_id", "rerank_score", "final_rank"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        ranks = got.set_index("doc_id")["final_rank"]
+        assert ranks[3] == 1  # dual-signal doc wins
+        # the 600-token doc ranks below the short lexical doc despite
+        # identical BM25 terms (length penalty applied)
+        assert 5 not in ranks.index or ranks[5] > ranks[3]
