@@ -11500,6 +11500,248 @@ FROM feat QUALIFY final_rank <= {Q195_OUT_K} ORDER BY final_rank
 """
 
 
+#: q196 keeps docs at or above this within-source quality percentile
+Q196_PCT_MICRO = 700_000
+
+
+def q196_quality_percentile_gate(sf_dir: str):
+    """Per-source quality quota: keep each source's top-30% documents
+    by classifier score (within-source percent-rank gate — an absolute
+    score threshold over-prunes clean sources and under-prunes spam
+    farms; the percentile gate equalizes selectivity). One streamed
+    q64 scoring pass (basis-point integer scores), one source-keyed
+    exchange, per-block exact percent_rank over each colocated source
+    (ties by doc_id — the SQL window's row rule), sources-bounded
+    rollup. Partitioning assumption: one source's docs fit a block
+    (q65/q117's documented per-source grouping bound)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.inference import QualityModel
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    qm = QualityModel()
+
+    def _score(t: pa.Table) -> pa.Table:
+        s = qm(t)
+        bp = round_like_duckdb(
+            s.column("quality_score").to_numpy(zero_copy_only=False)
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": t.column("source"),
+                "bp": pa.array(bp, pa.int64()),
+            }
+        )
+
+    def _gate(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+                "kept_score_bp": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        src = np.asarray(t.column("source").to_pylist())
+        bp = t.column("bp").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, bp, src))
+        src, bp = src[order], bp[order]
+        seg = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        out_s, out_n, out_k, out_b = [], [], [], []
+        for i, s0 in enumerate(seg):
+            e = seg[i + 1] if i + 1 < len(seg) else len(src)
+            n = e - s0
+            if n == 1:
+                pct = np.array([0.0])
+            else:
+                pct = round_like_duckdb(
+                    1e6 * (np.arange(n, dtype=np.float64) / (n - 1)), 0
+                )
+            keep = pct >= Q196_PCT_MICRO
+            out_s.append(str(src[s0]))
+            out_n.append(n)
+            out_k.append(int(keep.sum()))
+            out_b.append(int(bp[s0:e][keep].sum()))
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "n_docs": pa.array(out_n, pa.int64()),
+                "n_kept": pa.array(out_k, pa.int64()),
+                "kept_score_bp": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    return (
+        docs.map_batches(_score, batch_format="pyarrow")
+        .repartition(hash_partitions(4), keys=["source"])
+        .map_batches(_gate, batch_format="pyarrow", batch_size=None)
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("kept_score_bp", alias_name="kept_score_bp"),
+        )
+        .sort("source")
+    )
+
+
+def _sql_q196() -> str:
+    return f"""
+WITH sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()})),
+j AS (SELECT d.source, sc.doc_id,
+             CAST(round(quality_score * 10000, 0) AS BIGINT) AS bp
+      FROM sc JOIN documents d USING (doc_id)),
+r AS (SELECT source, doc_id, bp,
+             round(1e6 * percent_rank() OVER (
+               PARTITION BY source ORDER BY bp, doc_id), 0) AS pct
+      FROM j)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN pct >= {Q196_PCT_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN pct >= {Q196_PCT_MICRO} THEN bp ELSE 0 END)
+            AS BIGINT) AS kept_score_bp
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def q197_dataset_card(sf_dir: str):
+    """The dataset card: one-row corpus summary (docs, tokens,
+    vocabulary, sources, languages, exact-dup count, quality mass and
+    keep count) — the release-notes rollup every published corpus
+    ships, composed from the engine's own kernels (word-count
+    exchange, exact-dedup groupby, q64 scoring) so the card IS the
+    pipeline's accounting. Every exchange is vocab-/sources-/bounded;
+    the corpus streams twice (tokens+quality fuse into one pass,
+    dedup hashing is the second)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.dedupe import exact_dedup_docs
+    from barks_ocr_ray.functions.inference import QualityModel
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
+
+    docs = read_table(
+        sf_dir, "documents", ["doc_id", "text", "source", "lang"]
+    ).materialize()
+    n_docs = docs.count()
+    empty = pa.table(
+        {
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "vocab_size": pa.array([], pa.int64()),
+            "n_sources": pa.array([], pa.int64()),
+            "n_langs": pa.array([], pa.int64()),
+            "n_exact_dups": pa.array([], pa.int64()),
+            "sum_quality_bp": pa.array([], pa.int64()),
+            "n_quality_keep": pa.array([], pa.int64()),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    qm = QualityModel()
+    import re as _re
+    from collections import Counter
+
+    token_re = _re.compile(r"[a-z0-9]+")
+
+    def _fused(t: pa.Table) -> pa.Table:
+        """ONE pass: word-count partials ride as (word, n) rows; the
+        per-block quality partials ride as a marker row (word '' —
+        never a TOKEN_RE token; NULL keys must not carry partials,
+        Ray's hash aggregate does not unify them)."""
+        c: Counter = Counter()
+        for x in t.column("text").to_pylist():
+            if x:
+                c.update(token_re.findall(x.lower()))
+        s = qm(t)
+        bp = round_like_duckdb(
+            s.column("quality_score").to_numpy(zero_copy_only=False)
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+        keep = (
+            s.column("keep").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ks = sorted(c)
+        words = [""] + ks
+        ns = [int(bp.sum())] + [c[k] for k in ks]
+        keeps = [int(keep.sum())] + [0] * len(ks)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "k": pa.array(keeps, pa.int64()),
+            }
+        )
+
+    rows = (
+        docs.map_batches(_fused, batch_format="pyarrow")
+        .groupby("word", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
+        .take_all()
+    )
+    n_tokens = vocab = sum_bp = n_keep = 0
+    for r in rows:
+        if r["word"] == "":
+            sum_bp += int(r["n"])
+            n_keep += int(r["k"])
+        else:
+            vocab += 1
+            n_tokens += int(r["n"])
+    dims = (
+        docs.groupby(["source", "lang"], num_partitions=2)
+        .aggregate(Count(alias_name="_c"))
+        .take_all()
+    )
+    n_sources = len({r["source"] for r in dims})
+    n_langs = len({r["lang"] for r in dims})
+    n_distinct = exact_dedup_docs(docs).count()
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "vocab_size": pa.array([vocab], pa.int64()),
+            "n_sources": pa.array([n_sources], pa.int64()),
+            "n_langs": pa.array([n_langs], pa.int64()),
+            "n_exact_dups": pa.array([n_docs - n_distinct], pa.int64()),
+            "sum_quality_bp": pa.array([sum_bp], pa.int64()),
+            "n_quality_keep": pa.array([n_keep], pa.int64()),
+        }
+    )
+
+
+def _sql_q197() -> str:
+    from barks_ocr_ray.functions.inference import QUALITY_KEEP_THRESHOLD
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (SELECT doc_id, source, lang, text FROM documents),
+words AS (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '{TOKEN_RE}')) AS w
+          FROM t),
+sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()}))
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM words) AS BIGINT) AS n_tokens,
+       CAST((SELECT count(DISTINCT w) FROM words) AS BIGINT) AS vocab_size,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(*) - count(DISTINCT coalesce(md5(text), '<null>'))
+            AS BIGINT) AS n_exact_dups,
+       CAST((SELECT sum(CAST(round(quality_score * 10000, 0) AS BIGINT))
+             FROM sc) AS BIGINT) AS sum_quality_bp,
+       CAST((SELECT sum(CASE WHEN quality_score > {QUALITY_KEEP_THRESHOLD}
+                        THEN 1 ELSE 0 END) FROM sc) AS BIGINT)
+         AS n_quality_keep
+FROM t
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -11712,6 +11954,8 @@ def build_registry():
         "q193_daily_periodicity": q193_daily_periodicity,
         "q194_quality_dedup": q194_quality_dedup,
         "q195_rerank": q195_rerank,
+        "q196_quality_percentile_gate": q196_quality_percentile_gate,
+        "q197_dataset_card": q197_dataset_card,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -11955,6 +12199,8 @@ def build_registry():
         "q193_daily_periodicity": _sql_q193(),
         "q194_quality_dedup": _sql_q194(),
         "q195_rerank": _sql_q195(),
+        "q196_quality_percentile_gate": _sql_q196(),
+        "q197_dataset_card": _sql_q197(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -77,12 +77,10 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q170_fk_orphan_audit', 1),
                         ('q171_length_bucketing', 1),
                         ('q172_source_overlap', 1),
-                        ('q173_calibration_report', 1),
                         ('q174_zipf_slope', 1),
                         ('q175_discriminative_terms', 1),
                         ('q176_hybrid_rrf', 1),
                         ('q177_personalized_pagerank', 1),
-                        ('q178_length_percentile', 1),
                         ('q179_heaps_law', 1),
                         ('q180_posting_compression', 1),
                         ('q181_market_basket', 1),
@@ -99,7 +97,9 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q192_last_touch_attribution', 1),
                         ('q193_daily_periodicity', 1),
                         ('q194_quality_dedup', 1),
-                        ('q195_rerank', 1)):
+                        ('q195_rerank', 1),
+                        ('q196_quality_percentile_gate', 1),
+                        ('q197_dataset_card', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

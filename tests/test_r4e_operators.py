@@ -1523,3 +1523,75 @@ class TestRerank:
         # the 600-token doc ranks below the short lexical doc despite
         # identical BM25 terms (length penalty applied)
         assert 5 not in ranks.index or ranks[5] > ranks[3]
+
+
+class TestQualityPercentileGate:
+    def test_equal_selectivity_across_sources(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q196,
+            q196_quality_percentile_gate,
+        )
+
+        # srcClean: uniformly high-quality docs; srcSpam: uniformly
+        # low-quality. An absolute gate would keep all of one and none
+        # of the other; the percentile gate keeps ~30% of EACH.
+        texts, src = [], []
+        for i in range(10):
+            texts.append(
+                f"The number {i} item is on the list. It was fine! " * (i + 2)
+            )
+            src.append("srcClean")
+        for i in range(10):
+            texts.append(f"tok{i} " * (i + 1))
+            src.append("srcSpam")
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "source": pa.array(src, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_pctgate", docs, "documents.parquet")
+        got = q196_quality_percentile_gate(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q196()).fetch_df()
+        for c in ("source", "n_docs", "n_kept", "kept_score_bp"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        m = got.set_index("source")["n_kept"]
+        assert m["srcClean"] == m["srcSpam"] == 3  # same selectivity
+
+
+class TestDatasetCard:
+    def test_card_accounting(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import _sql_q197, q197_dataset_card
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "source": pa.array(["a", "a", "b", "b", "c", "c"], pa.string()),
+                "lang": pa.array(["en", "en", "zh", "en", "de", "de"], pa.string()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma",
+                        "alpha beta gamma",   # exact dup
+                        "delta epsilon",
+                        None,                 # null text: its own group
+                        "zeta eta theta iota",
+                        "",                   # empty text: distinct from null
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_card", docs, "documents.parquet")
+        got = q197_dataset_card(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q197()).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        r = got.iloc[0]
+        assert r.n_docs == 6 and r.n_sources == 3 and r.n_langs == 3
+        assert r.n_exact_dups == 1  # only the alpha-beta-gamma pair
+        assert r.vocab_size == 9 and r.n_tokens == 3 + 3 + 2 + 4
