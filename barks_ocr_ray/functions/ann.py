@@ -948,3 +948,111 @@ def distributed_kmeans(
         }
     )
     return _rd.from_arrow(out)
+
+def hard_negative_pairs(
+    embeddings: Dataset, anchor_ids: list[int]
+) -> Dataset:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    most-similar SAME-label neighbor (the positive) and the
+    most-similar DIFFERENT-label neighbor (the hard negative), with
+    the round-6 margin between them — the pair-generation stage of
+    contrastive embedding training, where the negatives that teach are
+    the near-misses, not random draws (cf. dense-retrieval hard-negative
+    sampling, Karpukhin et al. 2020, public).
+
+    Scale shape mirrors ``brute_force_topk``: the anchor matrix +
+    labels broadcast ONCE (`ray.put`), each batch does one float64
+    matmul and emits at most TWO rows per anchor (its local best per
+    side), and one tiny per-anchor merge closes the global argmax.
+    Ranking determinism: (round(cosine, 6) desc, id asc) on both
+    engines. Anchors missing a side (no same- or no other-label vector
+    in the corpus) drop, matching the oracle's inner join.
+    """
+    idset = pa.array(anchor_ids, pa.int64())
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("vec_id"), value_set=idset))
+
+    a_rows = (
+        embeddings.select_columns(["vec_id", "embedding", "label"])
+        .map_batches(_sel, batch_format="pyarrow")
+        .to_pandas()
+    )
+    a_ids = a_rows["vec_id"].to_numpy()
+    a_labels = a_rows["label"].to_numpy()
+    a_mat = _unit(
+        np.stack([np.asarray(v, np.float64) for v in a_rows["embedding"]])
+    )
+    a_ref = ray.put((a_ids, a_labels, a_mat))
+
+    def _local_best(batch: pa.Table) -> pa.Table:
+        ids_a, labels_a, mat_a = ray.get(a_ref)
+        emb = _unit(_emb_matrix(batch))
+        vec_ids = np.asarray(batch.column("vec_id").to_pylist())
+        labels = np.asarray(batch.column("label").to_pylist())
+        sims = emb @ mat_a.T  # (batch, A)
+        out_q, out_n, out_s, out_p = [], [], [], []
+        for ai, aid in enumerate(ids_a):
+            col = _round_half_away(sims[:, ai])
+            not_self = vec_ids != aid
+            for is_pos, side in ((1, labels == labels_a[ai]),
+                                 (0, labels != labels_a[ai])):
+                m = not_self & side
+                if not m.any():
+                    continue
+                cand_ids, cand_sims = vec_ids[m], col[m]
+                j = np.lexsort((cand_ids, -cand_sims))[0]
+                out_q.append(aid)
+                out_n.append(int(cand_ids[j]))
+                out_s.append(float(cand_sims[j]))
+                out_p.append(is_pos)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "cand_id": pa.array(out_n, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+                "is_pos": pa.array(out_p, pa.int64()),
+            }
+        )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "pos_id": pa.array([], pa.int64()),
+                "pos_cosine": pa.array([], pa.float64()),
+                "neg_id": pa.array([], pa.int64()),
+                "neg_cosine": pa.array([], pa.float64()),
+                "margin": pa.array([], pa.float64()),
+            }
+        )
+        order = pc.sort_indices(
+            g, sort_keys=[("cosine", "descending"), ("cand_id", "ascending")]
+        )
+        g = g.take(order)
+        pos = g.filter(pc.equal(g.column("is_pos"), 1))
+        neg = g.filter(pc.equal(g.column("is_pos"), 0))
+        if pos.num_rows == 0 or neg.num_rows == 0:
+            return empty
+        pc_, nc_ = pos.column("cosine")[0].as_py(), neg.column("cosine")[0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([g.column("query_id")[0].as_py()], pa.int64()),
+                "pos_id": pa.array([pos.column("cand_id")[0].as_py()], pa.int64()),
+                "pos_cosine": pa.array([pc_], pa.float64()),
+                "neg_id": pa.array([neg.column("cand_id")[0].as_py()], pa.int64()),
+                "neg_cosine": pa.array([nc_], pa.float64()),
+                "margin": pa.array(
+                    [float(round_like_duckdb(np.array([pc_ - nc_]), 6)[0])],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        embeddings.select_columns(["vec_id", "embedding", "label"])
+        .map_batches(_local_best, batch_format="pyarrow", batch_size=1024)
+        .groupby("query_id", num_partitions=2)
+        .map_groups(_merge, batch_format="pyarrow")
+        .sort("query_id")
+    )

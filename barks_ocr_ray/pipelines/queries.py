@@ -11742,6 +11742,199 @@ FROM t
 """
 
 
+def q198_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining over the embedding corpus: for
+    each anchor vector the best same-label neighbor (positive), the
+    best other-label neighbor (the hard negative — the near-miss that
+    actually teaches) and the round-6 margin between them. Anchor
+    matrix + labels broadcast once; each block is one matmul emitting
+    <= 2 rows per anchor; one tiny per-anchor merge."""
+    from barks_ocr_ray.functions.ann import hard_negative_pairs
+
+    return hard_negative_pairs(
+        read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        ANN_QUERY_IDS,
+    )
+
+
+def _sql_q198() -> str:
+    ids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    return f"""
+WITH a AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE vec_id IN ({ids})),
+s AS (SELECT a.vec_id AS query_id, e.vec_id AS cand_id,
+             CASE WHEN e.label = a.label THEN 1 ELSE 0 END AS is_pos,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])),
+                   6) AS c
+      FROM a, embeddings e WHERE e.vec_id != a.vec_id),
+pos AS (SELECT query_id, cand_id AS pos_id, c AS pos_cosine FROM s
+        WHERE is_pos = 1
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY c DESC, cand_id) = 1),
+neg AS (SELECT query_id, cand_id AS neg_id, c AS neg_cosine FROM s
+        WHERE is_pos = 0
+        QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY c DESC, cand_id) = 1)
+SELECT query_id, pos_id, pos_cosine, neg_id, neg_cosine,
+       round(pos_cosine - neg_cosine, 6) AS margin
+FROM pos JOIN neg USING (query_id) ORDER BY query_id
+"""
+
+
+#: q199 data-parallel shard count (per-worker batch formation — scales
+#: with cluster width at 100 TB; a GLOBAL length sort is exactly what
+#: length-grouped batching exists to avoid)
+Q199_SHARDS = 8
+#: q199 training micro-batch size (rows per batch)
+Q199_BATCH = 16
+
+
+def q199_padding_waste(sf_dir: str, hash_method: str = "md5"):
+    """Length-grouped batching audit: the padding a training run wastes
+    when sequences batch in arrival order vs length-sorted WITHIN each
+    data-parallel shard (batch cost = rows_in_batch * max_tokens —
+    every shorter sequence pads up to the batch max). One token-count
+    pass assigns the deterministic shard (md5 oracle path / splitmix64
+    production path — functions/hashing.py), ONE shard-keyed exchange,
+    per-shard vectorized reduceat audit of both strategies, then a
+    strategies-bounded rollup. useful_tokens is shard-invariant; only
+    padded_tokens depends on the batching policy."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.hashing import hash64
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _toks(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(
+            pc.count_substring_regex(t.column("text"), r"\S+"),
+            pa.scalar(0, pa.int32()),
+        ).cast(pa.int64())
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        shard = (
+            hash64(ids, method=hash_method) % np.uint64(Q199_SHARDS)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "shard": pa.array(shard, pa.int64()),
+                "toks": n,
+            }
+        )
+
+    def _audit(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "strategy": pa.array([], pa.string()),
+                "n_batches": pa.array([], pa.int64()),
+                "useful_tokens": pa.array([], pa.int64()),
+                "padded_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        shard = t.column("shard").to_numpy(zero_copy_only=False)
+        toks = t.column("toks").to_numpy(zero_copy_only=False)
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        acc = {"arrival": [0, 0, 0], "sorted": [0, 0, 0]}
+        for s in np.unique(shard):
+            m = shard == s
+            tk, dd = toks[m], did[m]
+            for strat, order in (
+                ("arrival", np.lexsort((dd,))),
+                ("sorted", np.lexsort((dd, tk))),
+            ):
+                tt = tk[order]
+                n = len(tt)
+                starts = np.arange(0, n, Q199_BATCH)
+                counts = np.diff(np.concatenate((starts, [n])))
+                maxes = np.maximum.reduceat(tt, starts)
+                a = acc[strat]
+                a[0] += len(starts)
+                a[1] += int(tt.sum())
+                a[2] += int((counts * maxes).sum() - tt.sum())
+        return pa.table(
+            {
+                "strategy": pa.array(sorted(acc), pa.string()),
+                "n_batches": pa.array(
+                    [acc[k][0] for k in sorted(acc)], pa.int64()
+                ),
+                "useful_tokens": pa.array(
+                    [acc[k][1] for k in sorted(acc)], pa.int64()
+                ),
+                "padded_tokens": pa.array(
+                    [acc[k][2] for k in sorted(acc)], pa.int64()
+                ),
+            }
+        )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = t.column("useful_tokens").to_numpy(zero_copy_only=False)
+        p = t.column("padded_tokens").to_numpy(zero_copy_only=False)
+        denom = (u + p).astype(np.float64)
+        bp = np.where(
+            denom > 0,
+            round_like_duckdb(
+                1e4 * p.astype(np.float64) / np.where(denom > 0, denom, 1.0),
+                0,
+            ),
+            0.0,
+        ).astype(np.int64)
+        return t.append_column("waste_bp", pa.array(bp, pa.int64()))
+
+    return (
+        docs.map_batches(_toks, batch_format="pyarrow")
+        .repartition(hash_partitions(4), keys=["shard"])
+        .map_batches(_audit, batch_format="pyarrow", batch_size=None)
+        .groupby("strategy", num_partitions=2)
+        .aggregate(
+            Sum("n_batches", alias_name="n_batches"),
+            Sum("useful_tokens", alias_name="useful_tokens"),
+            Sum("padded_tokens", alias_name="padded_tokens"),
+        )
+        .map_batches(_finish, batch_format="pyarrow")
+        .sort("strategy")
+    )
+
+
+def _sql_q199() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(coalesce(array_length(regexp_extract_all(text, '\\S+')), 0)
+              AS BIGINT) AS toks,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) % {Q199_SHARDS} AS BIGINT) AS shard
+  FROM documents),
+b AS (
+  SELECT 'arrival' AS strategy, shard, toks,
+         (row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
+           // {Q199_BATCH} AS b
+  FROM t
+  UNION ALL
+  SELECT 'sorted' AS strategy, shard, toks,
+         (row_number() OVER (PARTITION BY shard ORDER BY toks, doc_id) - 1)
+           // {Q199_BATCH} AS b
+  FROM t),
+per_batch AS (
+  SELECT strategy, shard, b, count(*) AS cnt, max(toks) AS mx,
+         sum(toks) AS s
+  FROM b GROUP BY 1, 2, 3)
+SELECT strategy,
+       CAST(count(*) AS BIGINT) AS n_batches,
+       CAST(sum(s) AS BIGINT) AS useful_tokens,
+       CAST(sum(cnt * mx - s) AS BIGINT) AS padded_tokens,
+       CAST(CASE WHEN sum(s) + sum(cnt * mx - s) = 0 THEN 0
+            ELSE round(1e4 * sum(cnt * mx - s)
+                       / (sum(s) + sum(cnt * mx - s)), 0) END
+            AS BIGINT) AS waste_bp
+FROM per_batch GROUP BY 1 ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -11956,6 +12149,8 @@ def build_registry():
         "q195_rerank": q195_rerank,
         "q196_quality_percentile_gate": q196_quality_percentile_gate,
         "q197_dataset_card": q197_dataset_card,
+        "q198_hard_negatives": q198_hard_negatives,
+        "q199_padding_waste": q199_padding_waste,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -12201,6 +12396,8 @@ def build_registry():
         "q195_rerank": _sql_q195(),
         "q196_quality_percentile_gate": _sql_q196(),
         "q197_dataset_card": _sql_q197(),
+        "q198_hard_negatives": _sql_q198(),
+        "q199_padding_waste": _sql_q199(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -1595,3 +1595,97 @@ class TestDatasetCard:
         assert r.n_docs == 6 and r.n_sources == 3 and r.n_langs == 3
         assert r.n_exact_dups == 1  # only the alpha-beta-gamma pair
         assert r.vocab_size == 9 and r.n_tokens == 3 + 3 + 2 + 4
+
+
+class TestHardNegatives:
+    def test_near_miss_wins_and_margin(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from barks_ocr_ray.functions.ann import hard_negative_pairs
+
+        emb = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [
+                        [1.0, 0.0, 0.0],
+                        [0.9, 0.1, 0.0],   # same label: the positive
+                        [0.95, 0.05, 0.0],  # other label, CLOSER: hard neg
+                        [0.0, 1.0, 0.0],   # other label, far
+                    ],
+                    pa.list_(pa.float64()),
+                ),
+                "label": pa.array([0, 0, 1, 1], pa.int64()),
+            }
+        )
+        got = hard_negative_pairs(rd.from_arrow(emb), [0]).to_pandas()
+        assert got.query_id.tolist() == [0]
+        assert got.pos_id.tolist() == [1] and got.neg_id.tolist() == [2]
+        # the hard negative is CLOSER than the positive: negative margin
+        assert got.margin.iloc[0] < 0
+        v = np.array([[1, 0, 0], [0.9, 0.1, 0], [0.95, 0.05, 0]], float)
+        u = v / np.linalg.norm(v, axis=1)[:, None]
+        assert got.pos_cosine.iloc[0] == round(float(u[0] @ u[1]), 6)
+        assert got.neg_cosine.iloc[0] == round(float(u[0] @ u[2]), 6)
+
+    def test_anchor_without_other_label_drops(self, ray_session):
+        import ray.data as rd
+
+        from barks_ocr_ray.functions.ann import hard_negative_pairs
+
+        emb = pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.8, 0.2]], pa.list_(pa.float64())
+                ),
+                "label": pa.array([0, 0], pa.int64()),
+            }
+        )
+        got = hard_negative_pairs(rd.from_arrow(emb), [0]).to_pandas()
+        assert len(got) == 0
+
+
+class TestPaddingWaste:
+    def _docs(self):
+        # bimodal lengths: short 2-token docs and long 40-token docs
+        texts = []
+        for i in range(160):
+            texts.append("w " * (40 if i % 2 else 2))
+        return pa.table(
+            {
+                "doc_id": pa.array(range(160), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    def test_sorted_batching_beats_arrival(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q199,
+            q199_padding_waste,
+        )
+
+        docs = self._docs()
+        d = _write(tmp_path, "sf_pad", docs, "documents.parquet")
+        got = q199_padding_waste(d).to_pandas().set_index("strategy")
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q199()).fetch_df().set_index("strategy")
+        for c in ("n_batches", "useful_tokens", "padded_tokens", "waste_bp"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # useful tokens are policy-invariant; padding is not — in the
+        # alternating corpus arrival order pads every short doc to 40
+        assert got.useful_tokens["sorted"] == got.useful_tokens["arrival"]
+        assert got.padded_tokens["sorted"] < got.padded_tokens["arrival"]
+
+    def test_fast_hash_path_preserves_useful_tokens(
+        self, ray_session, tmp_path
+    ):
+        from barks_ocr_ray.pipelines.queries import q199_padding_waste
+
+        d = _write(tmp_path, "sf_pad_fast", self._docs(), "documents.parquet")
+        md5 = q199_padding_waste(d, hash_method="md5").to_pandas()
+        fast = q199_padding_waste(d, hash_method="splitmix64").to_pandas()
+        # shard membership differs, corpus accounting does not
+        assert md5.useful_tokens.tolist() == fast.useful_tokens.tolist()
+        assert (fast.waste_bp >= 0).all() and (fast.n_batches > 0).all()
