@@ -11935,6 +11935,324 @@ FROM per_batch GROUP BY 1 ORDER BY 1
 """
 
 
+def q200_perplexity_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    score every doc's mean cross-entropy under the corpus's OWN unigram
+    LM (add-one smoothing — q137's kernel with the model self-trained
+    instead of prior-crawl-frozen), split the corpus at the exact
+    per-token-xent TERTILES into head/middle/tail, and report each
+    bucket's doc/token mass and mean xent. The canonical LM-based
+    quality partition: 'head' is the third of the corpus the model
+    finds most predictable.
+
+    Exchanges: one vocab-sized unigram aggregation, one term-keyed
+    join, one doc-keyed reduce, then the counting-quickselect tertile
+    passes (O(log) scans of the DOC-level table, no sort) and a
+    buckets-bounded rollup. Per-term contributions round to int64
+    micro-nats before any distributed sum (order-independent, oracle
+    bit-exact); the per-doc score is an int64 micro-nat rate so the
+    tertile thresholds are exact integers on both engines. Docs with
+    zero tokens carry no LM evidence and drop (inner-join semantics,
+    mirrored by the oracle)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.quantiles import distributed_quantiles
+    from barks_ocr_ray.functions.relational import compact_nonempty
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, DocTermCounts
+
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "avg_xent": pa.array([], pa.float64()),
+        }
+    )
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    tf_rows = docs.map_batches(
+        DocTermCounts, batch_format="pyarrow", concurrency=(1, 4)
+    ).materialize()  # two consumers: LM aggregation + the scoring join
+
+    unigrams = tf_rows.groupby("term", num_partitions=VOCAB_PARTITIONS).aggregate(
+        Sum("tf", alias_name="n")
+    )
+    uni_c, n_vocab = compact_nonempty(unigrams, VOCAB_PARTITIONS)
+    if n_vocab == 0:
+        return empty
+    n_total = int(uni_c.sum("n") or 0)
+    denom = float(n_total + n_vocab + 1)
+
+    tf_c, n_tf = compact_nonempty(tf_rows, 8)
+    if n_tf == 0:
+        return empty
+    joined = tf_c.join(
+        uni_c, join_type="inner", num_partitions=VOCAB_PARTITIONS, on=("term",)
+    )
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        nll = tf * -np.log((n + 1.0) / denom)
+        micro = round_like_duckdb(nll * 1e6, 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "nll_micro": pa.array(micro, pa.int64()),
+                "tf": t.column("tf"),
+            }
+        )
+
+    def _doc_score(t: pa.Table) -> pa.Table:
+        s = t.column("sum_micro").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        x = round_like_duckdb(s / n, 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "x": pa.array(x, pa.int64()),
+                "toks": t.column("n_tokens"),
+            }
+        )
+
+    per_doc = (
+        joined.map_batches(_contrib, batch_format="pyarrow")
+        .groupby("doc_id", num_partitions=8)
+        .aggregate(
+            Sum("nll_micro", alias_name="sum_micro"),
+            Sum("tf", alias_name="n_tokens"),
+        )
+        .map_batches(_doc_score, batch_format="pyarrow")
+        .materialize()  # consumers: tertile counting passes + bucket pass
+    )
+    th = distributed_quantiles(per_doc, "x", [1 / 3, 2 / 3])
+    t1, t2 = (v.as_py() for v in th.column("value"))
+
+    def _bucket_partial(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        toks = t.column("toks").to_numpy(zero_copy_only=False)
+        b = np.where(x <= t1, 0, np.where(x <= t2, 1, 2))
+        names = np.array(["head", "middle", "tail"])
+        out_b, out_d, out_t, out_x = [], [], [], []
+        for k in np.unique(b):
+            m = b == k
+            out_b.append(names[k])
+            out_d.append(int(m.sum()))
+            out_t.append(int(toks[m].sum()))
+            out_x.append(int(x[m].sum()))
+        return pa.table(
+            {
+                "bucket": pa.array(out_b, pa.string()),
+                "n_docs": pa.array(out_d, pa.int64()),
+                "n_tokens": pa.array(out_t, pa.int64()),
+                "sum_x": pa.array(out_x, pa.int64()),
+            }
+        )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        sx = t.column("sum_x").to_numpy(zero_copy_only=False)
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
+        avg = round_like_duckdb(sx / nd / 1e6, 4)
+        return pa.table(
+            {
+                "bucket": t.column("bucket"),
+                "n_docs": t.column("n_docs"),
+                "n_tokens": t.column("n_tokens"),
+                "avg_xent": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return (
+        per_doc.map_batches(_bucket_partial, batch_format="pyarrow")
+        .groupby("bucket", num_partitions=2)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("sum_x", alias_name="sum_x"),
+        )
+        .map_batches(_finish, batch_format="pyarrow")
+        .sort("bucket")
+    )
+
+
+def _sql_q200() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+           AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+u AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+s AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE)
+             + CAST(count(*) AS DOUBLE) + 1.0 AS denom
+      FROM u),
+c AS (
+  SELECT tf.doc_id,
+         CAST(round(tf.tf * -ln((u.n + 1.0) / s.denom)
+                    * 1000000, 0) AS BIGINT) AS nll_micro,
+         tf.tf
+  FROM tf JOIN u USING (term), s),
+d AS (SELECT doc_id,
+             CAST(round(CAST(sum(nll_micro) AS DOUBLE) / sum(tf), 0)
+                  AS BIGINT) AS x,
+             CAST(sum(tf) AS BIGINT) AS toks
+      FROM c GROUP BY 1),
+th AS (SELECT quantile_disc(x, 1.0/3) AS t1, quantile_disc(x, 2.0/3) AS t2
+       FROM d),
+b AS (SELECT CASE WHEN d.x <= th.t1 THEN 'head'
+                  WHEN d.x <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket,
+             d.x, d.toks
+      FROM d, th)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(toks) AS BIGINT) AS n_tokens,
+       round(CAST(sum(x) AS DOUBLE) / count(*) / 1000000.0, 4) AS avg_xent
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+def q201_lexical_diversity(sf_dir: str):
+    """Per-source lexical diversity (distinct-n): the fraction of
+    unigram and bigram occurrences that are distinct — the standard
+    repetitiveness/diversity audit of a generated-or-scraped corpus
+    (low distinct-2 = template farm or decoding loop; cf. Li et al.
+    2016 distinct-n, public). Distinct from q179 (vocab GROWTH curve),
+    q150 (which terms) and q111 (within-doc repetition): this is
+    cross-doc type/token mass per source.
+
+    Execution: one tokenize pass emits block-local (source, kind,
+    gram) COUNT partials (combiner discipline — one row per distinct
+    gram per block, never per occurrence), ONE gram-keyed exchange
+    merges them, then distinct = row count and total = sum(c) fold as
+    block partials into a (sources x 2)-bounded aggregation. The
+    gram-keyed exchange is the only corpus-scale shuffle."""
+    import re as _re
+    from collections import Counter as _Counter
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import TOKEN_RE, VOCAB_PARTITIONS
+
+    rex = _re.compile(TOKEN_RE)
+    docs = read_table(sf_dir, "documents", ["text", "source"])
+
+    def _grams(t: pa.Table) -> pa.Table:
+        acc: dict = {}
+        for src, s in zip(t.column("source").to_pylist(), t.column("text")):
+            ws = rex.findall((s.as_py() or "").lower())
+            if not ws:
+                continue
+            acc.setdefault((src, 1), _Counter()).update(ws)
+            if len(ws) >= 2:
+                acc.setdefault((src, 2), _Counter()).update(
+                    f"{a} {b}" for a, b in zip(ws, ws[1:])
+                )
+        out_s, out_k, out_g, out_c = [], [], [], []
+        for (src, k), cnt in acc.items():
+            out_s.extend([src] * len(cnt))
+            out_k.extend([k] * len(cnt))
+            out_g.extend(cnt.keys())
+            out_c.extend(cnt.values())
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "kind": pa.array(out_k, pa.int64()),
+                "gram": pa.array(out_g, pa.string()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    def _fold(t: pa.Table) -> pa.Table:
+        # block partial over the merged (source, kind, gram, c) rows:
+        # rows ARE distinct grams here, so distinct = row count
+        agg: dict = {}
+        src = t.column("source").to_pylist()
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        for i in range(t.num_rows):
+            d = agg.setdefault((src[i], int(kind[i])), [0, 0])
+            d[0] += 1
+            d[1] += int(c[i])
+        keys = sorted(agg)
+        return pa.table(
+            {
+                "source": pa.array([k[0] for k in keys], pa.string()),
+                "kind": pa.array([k[1] for k in keys], pa.int64()),
+                "n_distinct": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "n_total": pa.array([agg[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    stats = (
+        docs.map_batches(_grams, batch_format="pyarrow")
+        .groupby(["source", "kind", "gram"], num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(_fold, batch_format="pyarrow")
+        .groupby(["source", "kind"], num_partitions=2)
+        .aggregate(
+            Sum("n_distinct", alias_name="n_distinct"),
+            Sum("n_total", alias_name="n_total"),
+        )
+        .to_pandas()  # bounded: sources x 2 rows
+    )
+    rows: dict = {}
+    for r in stats.itertuples():
+        e = rows.setdefault(r.source, {1: (0, 0), 2: (0, 0)})
+        e[int(r.kind)] = (int(r.n_distinct), int(r.n_total))
+    srcs = sorted(rows)
+    d1 = np.array([rows[s][1][0] for s in srcs], np.int64)
+    t1 = np.array([rows[s][1][1] for s in srcs], np.int64)
+    d2 = np.array([rows[s][2][0] for s in srcs], np.int64)
+    t2 = np.array([rows[s][2][1] for s in srcs], np.int64)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "unigrams": pa.array(t1, pa.int64()),
+            "distinct_unigrams": pa.array(d1, pa.int64()),
+            "bigrams": pa.array(t2, pa.int64()),
+            "distinct_bigrams": pa.array(d2, pa.int64()),
+            "distinct1": pa.array(
+                round_like_duckdb(d1 / np.maximum(t1, 1), 4), pa.float64()
+            ),
+            "distinct2": pa.array(
+                round_like_duckdb(d2 / np.maximum(t2, 1), 4), pa.float64()
+            ),
+        }
+    )
+
+
+def _sql_q201() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
+  FROM documents),
+uni AS (SELECT source, unnest(ws) AS g FROM tok),
+idx AS (
+  SELECT source, ws,
+         unnest(generate_series(1, array_length(ws) - 1)) AS i
+  FROM tok WHERE array_length(ws) >= 2),
+bi AS (
+  SELECT source, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
+  FROM idx),
+s1 AS (SELECT source, CAST(count(*) AS BIGINT) AS unigrams,
+              CAST(count(DISTINCT g) AS BIGINT) AS distinct_unigrams
+       FROM uni GROUP BY 1),
+s2 AS (SELECT source, CAST(count(*) AS BIGINT) AS bigrams,
+              CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
+       FROM bi GROUP BY 1)
+SELECT s1.source, unigrams, distinct_unigrams,
+       coalesce(bigrams, 0) AS bigrams,
+       coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+       round(CAST(distinct_unigrams AS DOUBLE) / greatest(unigrams, 1), 4)
+         AS distinct1,
+       round(CAST(coalesce(distinct_bigrams, 0) AS DOUBLE)
+             / greatest(coalesce(bigrams, 0), 1), 4) AS distinct2
+FROM s1 LEFT JOIN s2 USING (source) ORDER BY source
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -12151,6 +12469,8 @@ def build_registry():
         "q197_dataset_card": q197_dataset_card,
         "q198_hard_negatives": q198_hard_negatives,
         "q199_padding_waste": q199_padding_waste,
+        "q200_perplexity_buckets": q200_perplexity_buckets,
+        "q201_lexical_diversity": q201_lexical_diversity,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -12398,6 +12718,8 @@ def build_registry():
         "q197_dataset_card": _sql_q197(),
         "q198_hard_negatives": _sql_q198(),
         "q199_padding_waste": _sql_q199(),
+        "q200_perplexity_buckets": _sql_q200(),
+        "q201_lexical_diversity": _sql_q201(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

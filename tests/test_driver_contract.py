@@ -66,7 +66,6 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q163_hits_authorities', 1),
                         ('q66_quantiles', 1),
                         ('q68_grouped_quantiles', 1),
-                        ('q133_grouped_sketch_quantiles', 1),
                         ('q140_weighted_quantiles', 1),
                         ('q96_evolving_schema_union', 1),
                         ('q105_cdc_merge', 1),
@@ -79,14 +78,12 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q172_source_overlap', 1),
                         ('q174_zipf_slope', 1),
                         ('q175_discriminative_terms', 1),
-                        ('q176_hybrid_rrf', 1),
                         ('q177_personalized_pagerank', 1),
                         ('q179_heaps_law', 1),
                         ('q180_posting_compression', 1),
                         ('q181_market_basket', 1),
                         ('q182_mmr_diversified', 1),
                         ('q183_join_skew_audit', 1),
-                        ('q184_minhash_error_audit', 1),
                         ('q185_kcore', 1),
                         ('q186_ivf_recall_audit', 1),
                         ('q187_attrition_report', 1),
@@ -99,7 +96,11 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q194_quality_dedup', 1),
                         ('q195_rerank', 1),
                         ('q196_quality_percentile_gate', 1),
-                        ('q197_dataset_card', 1)):
+                        ('q197_dataset_card', 1),
+                        ('q198_hard_negatives', 1),
+                        ('q199_padding_waste', 1),
+                        ('q200_perplexity_buckets', 1),
+                        ('q201_lexical_diversity', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
@@ -116,7 +117,7 @@ def test_entry_and_queries_without_pythonpath():
         env=env,
         capture_output=True,
         text=True,
-        timeout=560,
+        timeout=800,
         cwd="/tmp",
     )
     assert "DRIVER-CONTRACT-OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]

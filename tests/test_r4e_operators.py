@@ -1689,3 +1689,92 @@ class TestPaddingWaste:
         # shard membership differs, corpus accounting does not
         assert md5.useful_tokens.tolist() == fast.useful_tokens.tolist()
         assert (fast.waste_bp >= 0).all() and (fast.n_batches > 0).all()
+
+
+class TestPerplexityBuckets:
+    def test_predictable_docs_land_in_head(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q200,
+            q200_perplexity_buckets,
+        )
+
+        # 9 scorable docs: 3 of pure corpus-dominant words (low xent),
+        # 3 mixed, 3 of singleton rare words (high xent), 1 empty (drops)
+        texts = (
+            ["the the the the"] * 3
+            + [f"the the mid{i} mid{i}" for i in range(3)]
+            + [f"zq{i}a zq{i}b zq{i}c zq{i}d" for i in range(3)]
+            + [""]
+        )
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ppl", docs, "documents.parquet")
+        got = q200_perplexity_buckets(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q200()).fetch_df()
+        for c in ("bucket", "n_docs", "n_tokens", "avg_xent"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        g = got.set_index("bucket")
+        # the empty doc drops: 9 scorable docs split 3/3/3 at tertiles
+        assert int(g.n_docs.sum()) == 9
+        assert g.n_docs.tolist() == [3, 3, 3]
+        # head is the predictable third, tail the surprising third
+        assert g.avg_xent["head"] < g.avg_xent["middle"] < g.avg_xent["tail"]
+
+    def test_empty_corpus_returns_typed_empty(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q200_perplexity_buckets
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array([""], pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ppl_empty", docs, "documents.parquet")
+        got = q200_perplexity_buckets(d)
+        assert isinstance(got, pa.Table) and got.num_rows == 0
+        assert got.column_names == ["bucket", "n_docs", "n_tokens", "avg_xent"]
+
+
+class TestLexicalDiversity:
+    def test_template_farm_scores_low_distinct2(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q201,
+            q201_lexical_diversity,
+        )
+
+        # 'farm' repeats one template; 'fresh' is all-unique tokens;
+        # 'tiny' has a 1-token doc (no bigrams) and an empty doc
+        texts, srcs = [], []
+        for _ in range(5):
+            texts.append("click here to win a prize click here")
+            srcs.append("farm")
+        for i in range(5):
+            texts.append(f"u{i}a u{i}b u{i}c u{i}d")
+            srcs.append("fresh")
+        texts += ["solo", ""]
+        srcs += ["tiny", "tiny"]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_lex", docs, "documents.parquet")
+        got = q201_lexical_diversity(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q201()).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        g = got.set_index("source")
+        assert g.distinct2["farm"] < g.distinct2["fresh"] == 1.0
+        # the 1-token source has unigram mass but zero bigrams
+        assert g.bigrams["tiny"] == 0 and g.distinct2["tiny"] == 0.0
+        assert g.unigrams["tiny"] == 1
