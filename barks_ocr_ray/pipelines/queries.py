@@ -12253,6 +12253,204 @@ FROM s1 LEFT JOIN s2 USING (source) ORDER BY source
 """
 
 
+def q202_syndication_matrix(sf_dir: str):
+    """Cross-source exact-duplication matrix ('who syndicates whom'):
+    for every pair of sources, the number of identical-content doc
+    pairs they share, plus the within-source diagonal — the provenance
+    audit that tells a corpus builder which feeds are mirrors of each
+    other BEFORE near-dup thresholds enter the picture (q172 measures
+    trigram SIMILARITY between sources; this counts exact copies).
+
+    Scale shape: no pair ever materializes per doc — docs reduce to
+    (content_hash, source, n) via one keyed aggregation, a second
+    hash-keyed repartition colocates each content group, and a
+    block-local fold emits (source_a, source_b, n_a*n_b) partials
+    (within-source: n*(n-1)/2), closed by a sources^2-bounded sum. A
+    hash shared by s sources with millions of copies each still emits
+    only s^2 rows. Null-text docs form their own content group
+    (dedupe._NULL_TEXT_KEY), matching the oracle's coalesce key."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.dedupe import _NULL_TEXT_KEY, md5_hex
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def _hash(t: pa.Table) -> pa.Table:
+        hs = [
+            _NULL_TEXT_KEY if s.as_py() is None else md5_hex(s.as_py())
+            for s in t.column("text")
+        ]
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "source": t.column("source"),
+            }
+        )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        # complete content groups are colocated by the keyed repartition
+        out_a, out_b, out_n = [], [], []
+        if t.num_rows:
+            order = pc.sort_indices(
+                t, sort_keys=[("h", "ascending"), ("source", "ascending")]
+            )
+            t = t.take(order)
+            hs = np.asarray(t.column("h").to_pylist())
+            srcs = t.column("source").to_pylist()
+            ns = t.column("n").to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(
+                np.concatenate(([True], hs[1:] != hs[:-1]))
+            )
+            bounds = np.concatenate((starts, [len(hs)]))
+            for gi in range(len(starts)):
+                lo, hi = bounds[gi], bounds[gi + 1]
+                for i in range(lo, hi):
+                    d = int(ns[i]) * (int(ns[i]) - 1) // 2
+                    if d > 0:
+                        out_a.append(srcs[i])
+                        out_b.append(srcs[i])
+                        out_n.append(d)
+                    for j in range(i + 1, hi):
+                        out_a.append(srcs[i])
+                        out_b.append(srcs[j])
+                        out_n.append(int(ns[i]) * int(ns[j]))
+        return pa.table(
+            {
+                "source_a": pa.array(out_a, pa.string()),
+                "source_b": pa.array(out_b, pa.string()),
+                "n_dup_pairs": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = (
+        docs.map_batches(_hash, batch_format="pyarrow")
+        .groupby(["h", "source"], num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="n"))
+        .repartition(hash_partitions(4), keys=["h"])
+        .map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["source_a", "source_b"], num_partitions=2)
+        .aggregate(Sum("n_dup_pairs", alias_name="n_dup_pairs"))
+        .to_pandas()  # sources^2-bounded
+    )
+    # a dup-free corpus yields 0 rows — to_pandas drops the schema, so
+    # rebuild the typed table and sort driver-side (bounded result)
+    out = out.sort_values(["source_a", "source_b"]) if len(out) else out
+    return pa.table(
+        {
+            "source_a": pa.array(
+                out["source_a"].tolist() if len(out) else [], pa.string()
+            ),
+            "source_b": pa.array(
+                out["source_b"].tolist() if len(out) else [], pa.string()
+            ),
+            "n_dup_pairs": pa.array(
+                out["n_dup_pairs"].tolist() if len(out) else [], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q202() -> str:
+    return """
+WITH h AS (
+  SELECT coalesce(md5(text), '__null_text__') AS h, source
+  FROM documents),
+g AS (SELECT h, source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1, 2),
+x AS (
+  SELECT g1.source AS source_a, g2.source AS source_b,
+         CAST(sum(g1.n * g2.n) AS BIGINT) AS n_dup_pairs
+  FROM g g1 JOIN g g2 ON g1.h = g2.h AND g1.source < g2.source
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT source, source, CAST(sum(n * (n - 1) // 2) AS BIGINT)
+  FROM g GROUP BY 1, 2 HAVING sum(n * (n - 1) // 2) > 0
+)
+SELECT source_a, source_b, n_dup_pairs FROM x ORDER BY source_a, source_b
+"""
+
+
+def q203_hll_error_audit(sf_dir: str):
+    """Approximation-quality harness for HLL (the q184/q186 pattern
+    applied to cardinality sketches): per event type, the EXACT
+    distinct-user count beside the q102 HLL estimate and the signed
+    relative error in micro-units — the table that justifies the
+    register width before a 100 TB count-distinct trusts the sketch.
+
+    Both legs run distributed: the exact leg ships block-local
+    distinct (event_type, user_id) partials into ONE keyed dedup
+    aggregation then group-bounded count partials (q120 discipline —
+    never raw rows); the estimate leg is the q102 kernel verbatim
+    (bit-exact vs its golden under any partitioning). The join closes
+    on the event-types-bounded driver table. Oracle: SQL
+    count(DISTINCT) joined against the committed q102 golden parquet."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.sketches import hll_grouped_distinct
+
+    events = read_table(sf_dir, "events", ["event_type", "user_id"])
+
+    def _dedup_block(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.is_valid(t.column("event_type")),
+                pc.is_valid(t.column("user_id")),
+            )
+        )
+        return t.group_by(["event_type", "user_id"]).aggregate([])
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "c": g.column("user_id_count").cast(pa.int64()),
+            }
+        )
+
+    exact = (
+        events.map_batches(_dedup_block, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"], num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .aggregate(Sum("c", alias_name="n_exact"))
+        .to_pandas()  # event-types-bounded
+    )
+    est = hll_grouped_distinct(events, "event_type", "user_id").to_pandas()
+    m = exact.merge(est, on="event_type", how="inner").sort_values(
+        "event_type"
+    )
+    n = m["n_exact"].to_numpy().astype(np.float64)
+    e = m["n_distinct_est"].to_numpy()
+    rel = round_like_duckdb(1e6 * (e - n) / n, 0).astype(np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(m["event_type"].tolist(), pa.string()),
+            "n_exact": pa.array(m["n_exact"].tolist(), pa.int64()),
+            "n_distinct_est": pa.array(e, pa.float64()),
+            "rel_err_micro": pa.array(rel, pa.int64()),
+        }
+    )
+
+
+def _sql_q203() -> str:
+    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
+
+    return f"""
+WITH ex AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+ap AS (
+  SELECT event_type, n_distinct_est
+  FROM read_parquet('{neardup_golden_path("hll_grouped")}')
+  WHERE corpus_tag = {corpus_tag_sql("events")})
+SELECT ex.event_type, ex.n_exact, ap.n_distinct_est,
+       CAST(round(1e6 * (ap.n_distinct_est - ex.n_exact) / ex.n_exact, 0)
+            AS BIGINT) AS rel_err_micro
+FROM ex JOIN ap USING (event_type) ORDER BY event_type
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -12471,6 +12669,8 @@ def build_registry():
         "q199_padding_waste": q199_padding_waste,
         "q200_perplexity_buckets": q200_perplexity_buckets,
         "q201_lexical_diversity": q201_lexical_diversity,
+        "q202_syndication_matrix": q202_syndication_matrix,
+        "q203_hll_error_audit": q203_hll_error_audit,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -12720,6 +12920,8 @@ def build_registry():
         "q199_padding_waste": _sql_q199(),
         "q200_perplexity_buckets": _sql_q200(),
         "q201_lexical_diversity": _sql_q201(),
+        "q202_syndication_matrix": _sql_q202(),
+        "q203_hll_error_audit": _sql_q203(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

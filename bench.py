@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "q180_posting_compression",
     "q182_mmr_diversified",
     "q184_minhash_error_audit",
+    "q196_quality_percentile_gate",
+    "q200_perplexity_buckets",
 ]
 
 

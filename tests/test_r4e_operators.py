@@ -1778,3 +1778,80 @@ class TestLexicalDiversity:
         # the 1-token source has unigram mass but zero bigrams
         assert g.bigrams["tiny"] == 0 and g.distinct2["tiny"] == 0.0
         assert g.unigrams["tiny"] == 1
+
+
+class TestSyndicationMatrix:
+    def test_cross_and_within_source_pairs(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q202,
+            q202_syndication_matrix,
+        )
+
+        # content X: 2 copies in a, 3 in b -> (a,b)=6, (a,a)=1, (b,b)=3
+        # content Y: 1 copy in a, 1 in c -> (a,c)=1
+        # unique docs + two null-text docs in b and c -> (b,c)=1
+        texts = ["X", "X", "X", "X", "X", "Y", "Y", "solo1", "solo2", None, None]
+        srcs = ["a", "a", "b", "b", "b", "a", "c", "a", "b", "b", "c"]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_synd", docs, "documents.parquet")
+        got = q202_syndication_matrix(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q202()).fetch_df()
+        for c in ("source_a", "source_b", "n_dup_pairs"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        m = {(r.source_a, r.source_b): r.n_dup_pairs for r in got.itertuples()}
+        assert m[("a", "b")] == 6 and m[("a", "a")] == 1 and m[("b", "b")] == 3
+        assert m[("a", "c")] == 1
+        # null-text docs form ONE content group (oracle coalesce key)
+        assert m[("b", "c")] == 1
+
+    def test_no_dups_returns_empty(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q202_syndication_matrix
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["p", "q"], pa.string()),
+                "source": pa.array(["a", "b"], pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_synd2", docs, "documents.parquet")
+        got = q202_syndication_matrix(d)
+        assert isinstance(got, pa.Table) and got.num_rows == 0
+        assert got.column_names == ["source_a", "source_b", "n_dup_pairs"]
+
+
+class TestHllErrorAudit:
+    def test_exact_leg_and_error_sign(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q203_hll_error_audit
+
+        # 'click' has 50 distinct users, 'view' has 5 (each seen twice)
+        types = ["click"] * 50 + ["view"] * 10
+        users = list(range(50)) + [100 + (i % 5) for i in range(10)]
+        ev = pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "user_id": pa.array(users, pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_hll", ev, "events.parquet")
+        got = q203_hll_error_audit(d).to_pandas().set_index("event_type")
+        assert got.n_exact["click"] == 50 and got.n_exact["view"] == 5
+        # at these cardinalities HLL p=12 is in linear-counting range:
+        # estimates should be within 2% -> rel_err_micro within 20000
+        assert abs(got.rel_err_micro["click"]) < 20000
+        assert abs(got.rel_err_micro["view"]) < 20000
+        # the golden replay shares the kernel: estimate equals a
+        # sequential fold of the same registers
+        from barks_ocr_ray.golden_dedup import golden_hll_grouped
+
+        g = golden_hll_grouped(ev).to_pandas().set_index("event_type")
+        assert got.n_distinct_est["click"] == g.n_distinct_est["click"]
+        assert got.n_distinct_est["view"] == g.n_distinct_est["view"]
