@@ -424,6 +424,9 @@ def ensure_neardup_goldens() -> dict[str, str]:
     """All nine near-dup/ANN/sketch goldens (each builder runs in well
     under a second per corpus at these sfs — measured 0.4 s total)."""
     from barks_ocr_ray import golden_dedup as g
+    from barks_ocr_ray.functions.selection import (
+        golden_max_coverage as _golden_max_coverage,
+    )
 
     return {
         "q19": ensure_neardup_golden(
@@ -498,6 +501,10 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q182": ensure_neardup_golden(
             "mmr_topk", "embeddings",
             lambda t: g.golden_mmr_topk(t, list(range(8))),
+        ),
+        "q204": ensure_neardup_golden(
+            "max_coverage", "documents",
+            lambda t: _golden_max_coverage(t, k=10),
         ),
     }
 

@@ -12451,6 +12451,110 @@ FROM ex JOIN ap USING (event_type) ORDER BY event_type
 """
 
 
+def q204_max_coverage(sf_dir: str):
+    """Greedy max-coverage coreset selection: the 10 documents that
+    together cover the most distinct terms (submodular (1-1/e) greedy —
+    the lexical-coverage subset builder beside q75 SemDeDup's
+    redundancy REMOVER). BSP raw-task rounds over blocks coded once
+    into the object store (q94/q126 pattern); the driver holds only
+    the covered-fingerprint set and each round's block champions. See
+    functions/selection.py for the scale contract."""
+    from barks_ocr_ray.functions.selection import max_coverage_select
+
+    return max_coverage_select(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), k=10
+    )
+
+
+def q205_ks_drift(sf_dir: str):
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the prior
+    and new snapshots' doc-length distributions (the q130/q134 split
+    convention) — the drift-family completion: q130 is categorical TV,
+    q134 is binned PSI, this is the exact continuous-CDF sup-distance,
+    no binning error. One corpus pass ships (value, side) count
+    partials into a values-bounded keyed aggregation; the CDF walk
+    runs driver-side on that bounded table with INTEGER cross-products
+    |a0*n1 - a1*n0| (exact max — a float cumsum would make the argmax
+    order-dependent), one IEEE division at the end."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        v = t.column("n_chars").to_numpy(zero_copy_only=False)
+        new_side = (ids % 10) >= 7
+        uv = np.unique(v)
+        c0 = np.zeros(uv.size, np.int64)
+        c1 = np.zeros(uv.size, np.int64)
+        idx = np.searchsorted(uv, v)
+        np.add.at(c0, idx[~new_side], 1)
+        np.add.at(c1, idx[new_side], 1)
+        return pa.table(
+            {
+                "v": pa.array(uv, pa.int64()),
+                "c0": pa.array(c0, pa.int64()),
+                "c1": pa.array(c1, pa.int64()),
+            }
+        )
+
+    g = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("v", num_partitions=4)
+        .aggregate(
+            Sum("c0", alias_name="c0"), Sum("c1", alias_name="c1")
+        )
+        .to_pandas()  # bounded by distinct length values
+        .sort_values("v")
+    )
+    c0 = g["c0"].to_numpy().astype(np.int64)
+    c1 = g["c1"].to_numpy().astype(np.int64)
+    n0, n1 = int(c0.sum()), int(c1.sum())
+    if n0 == 0 or n1 == 0:
+        md, ks = 0, 0.0
+    else:
+        a0 = np.cumsum(c0)
+        a1 = np.cumsum(c1)
+        md = int(np.abs(a0 * n1 - a1 * n0).max())
+        ks = float(round_like_duckdb(np.array([1e6 * md / (n0 * n1)]), 0)[0])
+    return pa.table(
+        {
+            "n_prior": pa.array([n0], pa.int64()),
+            "n_new": pa.array([n1], pa.int64()),
+            "n_values": pa.array([len(g)], pa.int64()),
+            "ks_micro": pa.array([int(ks)], pa.int64()),
+        }
+    )
+
+
+def _sql_q205() -> str:
+    return """
+WITH t AS (
+  SELECT n_chars AS v,
+         CASE WHEN doc_id % 10 < 7 THEN 0 ELSE 1 END AS side
+  FROM documents),
+g AS (SELECT v,
+             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM t GROUP BY 1),
+n AS (SELECT CAST(coalesce(sum(c0), 0) AS BIGINT) AS n0,
+             CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1,
+             CAST(count(*) AS BIGINT) AS nv
+      FROM g),
+c AS (SELECT CAST(sum(c0) OVER (ORDER BY v) AS BIGINT) AS a0,
+             CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS a1
+      FROM g),
+d AS (SELECT CAST(coalesce(max(abs(a0 * n.n1 - a1 * n.n0)), 0) AS BIGINT)
+               AS md
+      FROM c, n)
+SELECT n.n0 AS n_prior, n.n1 AS n_new, n.nv AS n_values,
+       CASE WHEN n.n0 = 0 OR n.n1 = 0 THEN 0
+            ELSE CAST(round(1e6 * d.md / (n.n0 * n.n1), 0) AS BIGINT)
+       END AS ks_micro
+FROM d, n
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -12671,6 +12775,8 @@ def build_registry():
         "q201_lexical_diversity": q201_lexical_diversity,
         "q202_syndication_matrix": q202_syndication_matrix,
         "q203_hll_error_audit": q203_hll_error_audit,
+        "q204_max_coverage": q204_max_coverage,
+        "q205_ks_drift": q205_ks_drift,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -12922,6 +13028,10 @@ def build_registry():
         "q201_lexical_diversity": _sql_q201(),
         "q202_syndication_matrix": _sql_q202(),
         "q203_hll_error_audit": _sql_q203(),
+        "q204_max_coverage": _sql_golden(
+            "max_coverage", "rank, doc_id, gain, covered_total", "documents"
+        ),
+        "q205_ks_drift": _sql_q205(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

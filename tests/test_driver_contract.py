@@ -102,7 +102,9 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q200_perplexity_buckets', 1),
                         ('q201_lexical_diversity', 1),
                         ('q202_syndication_matrix', 1),
-                        ('q203_hll_error_audit', 1)):
+                        ('q203_hll_error_audit', 1),
+                        ('q204_max_coverage', 1),
+                        ('q205_ks_drift', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
