@@ -12555,6 +12555,220 @@ FROM d, n
 """
 
 
+def q206_lang_source_mi(sf_dir: str):
+    """Mutual information between language and source (plus both
+    marginal entropies) in micro-nats — the corpus-composition audit
+    that says whether sources are language-specialized (high MI: lang
+    is predictable from source -> per-source lang filters are worth
+    it) or uniformly mixed (MI ~ 0). One (lang, source) count
+    aggregation (cells bounded by langs x sources); every per-cell
+    term rounds to int64 micro-nats BEFORE summing (q137 fixed-point
+    discipline) so the bounded driver fold replays exactly in SQL."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["lang", "source"])
+    cells = (
+        docs.groupby(["lang", "source"], num_partitions=2)
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # langs x sources bounded
+    )
+    c = cells["c"].to_numpy().astype(np.int64)
+    n = int(c.sum())
+    lang_tot = cells.groupby("lang")["c"].transform("sum").to_numpy()
+    src_tot = cells.groupby("source")["c"].transform("sum").to_numpy()
+    mi_terms = round_like_duckdb(
+        1e6 * (c / n) * np.log((c.astype(np.float64) * n) / (lang_tot * src_tot)),
+        0,
+    ).astype(np.int64)
+    lmarg = cells.groupby("lang")["c"].sum().to_numpy().astype(np.int64)
+    smarg = cells.groupby("source")["c"].sum().to_numpy().astype(np.int64)
+    h = lambda m: int(
+        round_like_duckdb(1e6 * (m / n) * -np.log(m / n), 0)
+        .astype(np.int64)
+        .sum()
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_cells": pa.array([len(cells)], pa.int64()),
+            "mi_micro": pa.array([int(mi_terms.sum())], pa.int64()),
+            "h_lang_micro": pa.array([h(lmarg)], pa.int64()),
+            "h_source_micro": pa.array([h(smarg)], pa.int64()),
+        }
+    )
+
+
+def _sql_q206() -> str:
+    return """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+lm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cells GROUP BY 1),
+sm AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM cells GROUP BY 1),
+mi AS (
+  SELECT CAST(sum(CAST(round(
+           1e6 * (cells.c / n.n)
+               * ln((CAST(cells.c AS DOUBLE) * n.n) / (lm.cl * sm.cs)), 0)
+         AS BIGINT)) AS BIGINT) AS mi_micro,
+         CAST(count(*) AS BIGINT) AS n_cells
+  FROM cells JOIN lm USING (lang) JOIN sm USING (source), n),
+hl AS (SELECT CAST(sum(CAST(round(
+           1e6 * (cl / n.n) * -ln(cl / n.n), 0) AS BIGINT)) AS BIGINT) AS h
+       FROM lm, n),
+hs AS (SELECT CAST(sum(CAST(round(
+           1e6 * (cs / n.n) * -ln(cs / n.n), 0) AS BIGINT)) AS BIGINT) AS h
+       FROM sm, n)
+SELECT n.n AS n_docs, mi.n_cells, mi.mi_micro,
+       hl.h AS h_lang_micro, hs.h AS h_source_micro
+FROM n, mi, hl, hs
+"""
+
+
+#: q207 band edges (rank thresholds; scaled to the fixture vocab — at
+#: production scale these are 1e3/1e5 and the machinery is unchanged)
+Q207_B1, Q207_B2 = 10, 1000
+
+
+def q207_vocab_band_coverage(sf_dir: str):
+    """Vocabulary band coverage: how much of the corpus's token mass
+    the top-B1 / top-B2 / tail vocabulary bands carry (the Zipf-mass
+    audit behind every 'cap the tokenizer vocab at N' decision; q174
+    fits the slope, this measures the actual head mass). Ranking is
+    (count desc, term asc) — but NO global sort runs: the band
+    boundary resolves from a count-of-counts table (bounded by
+    distinct count VALUES) plus one lexicographic cutoff pulled from
+    the terms AT the boundary count only (bounded pull, the q146
+    offset-table discipline applied to ranks); band assignment is then
+    a vectorized per-block compare and the rollup is bands-bounded."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, WordCountCombiner
+
+    docs = read_table(sf_dir, "documents", ["text"])
+    voc = (
+        docs.map_batches(
+            WordCountCombiner, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("word", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # consumers: count-of-counts, boundary pulls, band pass
+    )
+
+    def _coc(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        uv, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "n": pa.array(uv, pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    coc = (
+        voc.map_batches(_coc, batch_format="pyarrow")
+        .groupby("n", num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("n", ascending=False)
+    )
+    counts_desc = coc["n"].to_numpy().astype(np.int64)
+    terms_at = coc["c"].to_numpy().astype(np.int64)
+    cum = np.cumsum(terms_at)
+    n_vocab = int(cum[-1]) if len(cum) else 0
+
+    def _cutoff(k: int):
+        """(boundary_count, cutoff_term) for rank k, or None if the
+        whole vocab fits inside the band."""
+        if n_vocab <= k:
+            return None
+        i = int(np.searchsorted(cum, k))  # first row where cum >= k
+        nb = int(counts_desc[i])
+        before = int(cum[i - 1]) if i else 0
+        slots = k - before
+        # bounded pull: ONLY the terms at the boundary count
+        at = voc.filter(expr=f"n == {nb}").to_pandas()["word"]
+        cut = sorted(at.tolist())[slots - 1]
+        return nb, cut
+
+    b1, b2 = _cutoff(Q207_B1), _cutoff(Q207_B2)
+
+    def _band(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        w = np.asarray(t.column("word").to_pylist())
+
+        def _in(b):
+            if b is None:
+                return np.ones(len(n), bool)
+            nb, cut = b
+            return (n > nb) | ((n == nb) & (w <= cut))
+
+        in1, in2 = _in(b1), _in(b2)
+        band = np.where(in1, "a_top", np.where(in2, "b_mid", "c_tail"))
+        out_b, out_t, out_n = [], [], []
+        for bn in np.unique(band):
+            m = band == bn
+            out_b.append(str(bn))
+            out_t.append(int(m.sum()))
+            out_n.append(int(n[m].sum()))
+        return pa.table(
+            {
+                "band": pa.array(out_b, pa.string()),
+                "n_terms": pa.array(out_t, pa.int64()),
+                "tokens": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    rolled = (
+        voc.map_batches(_band, batch_format="pyarrow")
+        .groupby("band", num_partitions=2)
+        .aggregate(
+            Sum("n_terms", alias_name="n_terms"),
+            Sum("tokens", alias_name="tokens"),
+        )
+        .to_pandas()  # bands-bounded
+        .sort_values("band")
+    )
+    total = int(rolled["tokens"].sum()) if len(rolled) else 0
+    share = (
+        round_like_duckdb(
+            1e4 * rolled["tokens"].to_numpy() / max(total, 1), 0
+        ).astype(np.int64)
+        if len(rolled)
+        else np.array([], np.int64)
+    )
+    return pa.table(
+        {
+            "band": pa.array(rolled["band"].tolist(), pa.string()),
+            "n_terms": pa.array(rolled["n_terms"].tolist(), pa.int64()),
+            "tokens": pa.array(rolled["tokens"].tolist(), pa.int64()),
+            "share_bp": pa.array(share, pa.int64()),
+        }
+    )
+
+
+def _sql_q207() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+v AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rk FROM v),
+b AS (SELECT CASE WHEN rk <= {Q207_B1} THEN 'a_top'
+                  WHEN rk <= {Q207_B2} THEN 'b_mid'
+                  ELSE 'c_tail' END AS band, n
+      FROM r),
+t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM v)
+SELECT band, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(n) AS BIGINT) AS tokens,
+       CAST(round(1e4 * sum(n) / greatest(t.total, 1), 0) AS BIGINT)
+         AS share_bp
+FROM b, t GROUP BY band, t.total ORDER BY band
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -12777,6 +12991,8 @@ def build_registry():
         "q203_hll_error_audit": q203_hll_error_audit,
         "q204_max_coverage": q204_max_coverage,
         "q205_ks_drift": q205_ks_drift,
+        "q206_lang_source_mi": q206_lang_source_mi,
+        "q207_vocab_band_coverage": q207_vocab_band_coverage,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -13032,6 +13248,8 @@ def build_registry():
             "max_coverage", "rank, doc_id, gain, covered_total", "documents"
         ),
         "q205_ks_drift": _sql_q205(),
+        "q206_lang_source_mi": _sql_q206(),
+        "q207_vocab_band_coverage": _sql_q207(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -1966,3 +1966,79 @@ class TestKsDrift:
         for c in ("n_prior", "n_new", "n_values", "ks_micro"):
             assert got2[c].tolist() == exp2[c].tolist(), c
         assert got2.ks_micro.iloc[0] == 1_000_000
+
+
+class TestLangSourceMi:
+    def test_specialized_vs_mixed(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import _sql_q206, q206_lang_source_mi
+
+        def corpus(specialized):
+            langs, srcs = [], []
+            for i in range(120):
+                if specialized:  # lang fully determined by source
+                    srcs.append(f"s{i % 3}")
+                    langs.append(f"l{i % 3}")
+                else:  # independent
+                    srcs.append(f"s{i % 3}")
+                    langs.append(f"l{(i // 3) % 3}")
+            return pa.table(
+                {
+                    "doc_id": pa.array(range(120), pa.int64()),
+                    "lang": pa.array(langs, pa.string()),
+                    "source": pa.array(srcs, pa.string()),
+                }
+            )
+
+        for tag, spec in (("spec", True), ("mix", False)):
+            docs = corpus(spec)
+            d = _write(tmp_path, f"sf_mi_{tag}", docs, "documents.parquet")
+            got = q206_lang_source_mi(d).to_pandas()
+            con = duckdb.connect()
+            con.register("documents", docs)
+            exp = con.execute(_sql_q206()).fetch_df()
+            for c in got.columns:
+                assert got[c].tolist() == exp[c].tolist(), (tag, c)
+            if spec:  # MI == H(lang): lang is a function of source
+                assert got.mi_micro.iloc[0] == got.h_lang_micro.iloc[0]
+            else:  # independent -> MI ~ 0 (exactly 0 up to rounding)
+                assert abs(got.mi_micro.iloc[0]) <= 9  # 9 cells x <=1 microunit
+
+
+class TestVocabBandCoverage:
+    def test_three_bands_with_boundary_ties(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q207,
+            q207_vocab_band_coverage,
+        )
+
+        # 5 head terms x 50 occurrences; 20 terms x 3 occurrences that
+        # straddle the B1=10 boundary (lexicographic tie-break decides);
+        # 1200 singleton tail terms straddle B2=1000 the same way
+        parts = []
+        for i in range(5):
+            parts.extend([f"head{i}"] * 50)
+        for i in range(20):
+            parts.extend([f"mid{i:02d}"] * 3)
+        parts.extend(f"tail{i:04d}" for i in range(1200))
+        # spread across 7 docs so block partials merge
+        texts = [
+            " ".join(parts[j::7]) for j in range(7)
+        ]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(7), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_band", docs, "documents.parquet")
+        got = q207_vocab_band_coverage(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q207()).fetch_df()
+        for c in ("band", "n_terms", "tokens", "share_bp"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        g = got.set_index("band")
+        assert g.n_terms.tolist() == [10, 990, 225]
+        # top band: 5 head terms + first 5 'mid' terms by term asc
+        assert g.tokens["a_top"] == 5 * 50 + 5 * 3
+        assert int(g.share_bp.sum()) in (9999, 10000, 10001)  # rounding
