@@ -12769,6 +12769,230 @@ FROM b, t GROUP BY band, t.total ORDER BY band
 """
 
 
+def q208_embedding_isotropy(sf_dir: str):
+    """Embedding-space isotropy audit: mean vector norm and the mean
+    pairwise cosine of the whole corpus — the anisotropy number
+    (Ethayarajh 2019, public) that says whether an embedding column is
+    usable for cosine retrieval (a high mean pairwise cosine means a
+    dominant common direction and q16/q48 rankings degenerate).
+
+    The O(n^2) pairwise mean NEVER runs pairwise: with per-row unit
+    vectors in micro-int space, sum_{i!=j} cos(i,j) = ||S||^2 - q where
+    S = sum of unit vectors and q = sum of per-row self-dots — one
+    corpus pass of (dim, s) int64 partials ((dims+3)-bounded per
+    block), exact integer algebra driver-side (Python ints for the
+    hugeint squares), ONE IEEE division at the end. Unit vectors round
+    to 1e6 fixed point BEFORE any sum, so every engine-side reduce is
+    order-independent and the SQL replays it."""
+    import numpy as np
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v = np.stack(
+            [np.asarray(x, np.float64) for x in t.column("embedding").to_pylist()]
+        )
+        nm = np.sqrt((v * v).sum(axis=1))
+        um = round_like_duckdb(1e6 * v / nm[:, None], 0).astype(np.int64)
+        nmm = round_like_duckdb(1e6 * nm, 0).astype(np.int64)
+        dims = um.shape[1]
+        kinds = ["S"] * dims + ["n", "nrm", "q"]
+        keys = list(range(dims)) + [0, 0, 0]
+        vals = list(um.sum(axis=0)) + [
+            len(nm),
+            int(nmm.sum()),
+            int((um * um).sum()),  # <= rows x dims x 1e12, int64-safe
+        ]
+        return pa.table(
+            {
+                "kind": pa.array(kinds, pa.string()),
+                "key": pa.array(keys, pa.int64()),
+                "val": pa.array([int(x) for x in vals], pa.int64()),
+            }
+        )
+
+    agg = (
+        emb.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["kind", "key"], num_partitions=2)
+        .aggregate(Sum("val", alias_name="val"))
+        .to_pandas()  # (dims + 3)-bounded
+    )
+    by = {(r.kind, r.key): int(r.val) for r in agg.itertuples()}
+    n = by[("n", 0)]
+    q = by[("q", 0)]
+    ssq = sum(
+        v * v for (k, _), v in by.items() if k == "S"
+    )  # exact Python ints (hugeint-sized)
+    avg_norm = int(
+        round_like_duckdb(np.array([by[("nrm", 0)] / n]), 0)[0]
+    )
+    if n > 1:
+        cos = int(
+            round_like_duckdb(
+                np.array([1e6 * float(ssq - q) / (n * (n - 1)) / 1e12]), 0
+            )[0]
+        )
+    else:
+        cos = 0
+    return pa.table(
+        {
+            "n_vectors": pa.array([n], pa.int64()),
+            "avg_norm_micro": pa.array([avg_norm], pa.int64()),
+            "avg_pairwise_cos_micro": pa.array([cos], pa.int64()),
+        }
+    )
+
+
+def _sql_q208() -> str:
+    return """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nm
+  FROM e),
+u AS (
+  SELECT vec_id, nm, unnest(v) AS x,
+         generate_subscripts(v, 1) AS d
+  FROM nrm),
+um AS (
+  SELECT vec_id, d, CAST(round(1e6 * x / nm, 0) AS BIGINT) AS um
+  FROM u),
+sdim AS (SELECT d, CAST(sum(um) AS BIGINT) AS s FROM um GROUP BY 1),
+stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM nrm) AS n,
+         (SELECT CAST(sum(CAST(round(1e6 * nm, 0) AS BIGINT)) AS BIGINT)
+          FROM nrm) AS nrm_sum,
+         (SELECT sum(CAST(um AS HUGEINT) * um) FROM um) AS q,
+         (SELECT sum(CAST(s AS HUGEINT) * s) FROM sdim) AS ssq)
+SELECT n AS n_vectors,
+       CAST(round(CAST(nrm_sum AS DOUBLE) / n, 0) AS BIGINT)
+         AS avg_norm_micro,
+       CASE WHEN n <= 1 THEN 0
+            ELSE CAST(round(1e6 * (ssq - q) / (n * (n - 1)) / 1e12, 0)
+                      AS BIGINT)
+       END AS avg_pairwise_cos_micro
+FROM stats
+"""
+
+
+#: q209 sliding-window width in hours
+Q209_W = 24
+
+
+def q209_sliding_distinct_users(sf_dir: str):
+    """EXACT trailing-24h distinct users per event hour — the sliding
+    dashboard number (DAU at hourly resolution). Distinct-over-
+    overlapping-windows does not merge like sums (q155's trailing
+    average) or registers (q102's HLL — the cheap approximate sibling
+    of this query), so the exact path pays a bounded x24 fan-out and
+    is honest about it: (hour, user) pairs dedup through ONE keyed
+    exchange, each surviving pair replicates to the <= 24 PRESENT
+    window-ends that contain it (window list broadcast, hours-
+    bounded), a second (window, user) keyed dedup closes global
+    uniqueness, and per-window counts fold from block partials.
+    Exchange volume is distinct-pairs x 24, never raw events."""
+    import numpy as np
+
+    events = read_table(sf_dir, "events", ["ts", "user_id"])
+
+    def _hour_pairs(t: pa.Table) -> pa.Table:
+        h = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        out = pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "user_id": t.column("user_id"),
+            }
+        )
+        return out.group_by(["h", "user_id"]).aggregate([])
+
+    pairs = (
+        events.map_batches(_hour_pairs, batch_format="pyarrow")
+        .groupby(["h", "user_id"], num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="_n"))
+        .materialize()  # consumers: hour spine + window explode
+    )
+
+    def _hours(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": pa.array(
+                    np.unique(t.column("h").to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                )
+            }
+        )
+
+    hrs = np.unique(
+        pairs.map_batches(_hours, batch_format="pyarrow")
+        .to_pandas()["h"]
+        .to_numpy()
+        .astype(np.int64)
+    )  # hours-bounded driver spine (block partials are already unique)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(hrs, h)  # first window-end >= h
+        hi = np.searchsorted(hrs, h + Q209_W, side="left")  # end < h+W
+        reps = (hi - lo).astype(np.int64)
+        w_idx = np.concatenate(
+            [np.arange(a, b) for a, b in zip(lo, hi)]
+        ) if len(h) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "wend": pa.array(hrs[w_idx], pa.int64()),
+                "user_id": pa.array(np.repeat(u, reps), pa.int64()),
+            }
+        )
+
+    def _count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["wend"]).aggregate([("user_id", "count")])
+        return pa.table(
+            {
+                "wend": g.column("wend"),
+                "c": g.column("user_id_count").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        pairs.map_batches(_explode, batch_format="pyarrow")
+        .groupby(["wend", "user_id"], num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="_m"))
+        .map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("wend", num_partitions=2)
+        .aggregate(Sum("c", alias_name="n_users"))
+        .to_pandas()  # hours-bounded
+    )
+    out = out.sort_values("wend") if len(out) else out
+    return pa.table(
+        {
+            "wend": pa.array(
+                out["wend"].tolist() if len(out) else [], pa.int64()
+            ),
+            "n_users": pa.array(
+                out["n_users"].tolist() if len(out) else [], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q209() -> str:
+    return f"""
+WITH e AS (
+  SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, user_id
+  FROM events),
+hrs AS (SELECT DISTINCT h FROM e),
+x AS (
+  SELECT DISTINCT w.h AS wend, e.user_id
+  FROM e JOIN hrs w ON e.h <= w.h AND e.h > w.h - {Q209_W})
+SELECT wend, CAST(count(*) AS BIGINT) AS n_users
+FROM x GROUP BY 1 ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -12993,6 +13217,8 @@ def build_registry():
         "q205_ks_drift": q205_ks_drift,
         "q206_lang_source_mi": q206_lang_source_mi,
         "q207_vocab_band_coverage": q207_vocab_band_coverage,
+        "q208_embedding_isotropy": q208_embedding_isotropy,
+        "q209_sliding_distinct_users": q209_sliding_distinct_users,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -13250,6 +13476,8 @@ def build_registry():
         "q205_ks_drift": _sql_q205(),
         "q206_lang_source_mi": _sql_q206(),
         "q207_vocab_band_coverage": _sql_q207(),
+        "q208_embedding_isotropy": _sql_q208(),
+        "q209_sliding_distinct_users": _sql_q209(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

