@@ -12993,6 +12993,178 @@ FROM x GROUP BY 1 ORDER BY 1
 """
 
 
+#: q210 audit quantiles (q127's grid)
+Q210_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q210_quantile_sketch_error(sf_dir: str):
+    """Approximation-quality harness for the quantile sketch — the
+    fourth row of the sketch-audit family (q184 MinHash, q186 IVF
+    recall, q203 HLL): every q127 fixed-grid estimate beside the q66
+    exact counting-quickselect value, with the absolute error and the
+    sketch's own one-bucket-width guarantee checked per quantile. Both
+    legs run distributed over ONE materialized read; the join closes
+    on the quantiles-bounded driver table."""
+    import numpy as np
+
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
+
+    from barks_ocr_ray.functions.quantiles import (
+        distributed_quantiles,
+        histogram_quantiles,
+    )
+
+    li = read_table(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
+    exact = distributed_quantiles(
+        li, "l_extendedprice", Q210_QS, pull_cap=2000
+    ).to_pandas()
+    approx = histogram_quantiles(
+        li, "l_extendedprice", Q210_QS, n_buckets=1024
+    ).to_pandas()
+    stats = li.aggregate(
+        _Min("l_extendedprice", alias_name="lo"),
+        _Max("l_extendedprice", alias_name="hi"),
+    )
+    w = (float(stats["hi"]) - float(stats["lo"])) / 1024.0
+    m = exact.merge(approx, on="q").sort_values("q")
+    err = round_like_duckdb(
+        np.abs(m["value_est"].to_numpy() - m["value"].to_numpy()), 6
+    )
+    bound = float(round_like_duckdb(np.array([w]), 6)[0])
+    return pa.table(
+        {
+            "q": pa.array(m["q"].tolist(), pa.float64()),
+            "value": pa.array(m["value"].tolist(), pa.float64()),
+            "value_est": pa.array(m["value_est"].tolist(), pa.float64()),
+            "abs_err": pa.array(err, pa.float64()),
+            "bound": pa.array([bound] * len(m), pa.float64()),
+            "within_bound": pa.array(
+                (err <= bound).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q210() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) AS value "
+        "FROM lineitem"
+        for q in Q210_QS
+    )
+    return f"""
+WITH exact AS ({parts}),
+appr AS ({SQL_Q127.replace("ORDER BY q", "")}),
+s AS (SELECT round((max(l_extendedprice) - min(l_extendedprice))
+              / CAST(1024 AS DOUBLE), 6) AS bound
+      FROM lineitem)
+SELECT exact.q, exact.value, appr.value_est,
+       round(abs(appr.value_est - exact.value), 6) AS abs_err,
+       s.bound,
+       CASE WHEN round(abs(appr.value_est - exact.value), 6) <= s.bound
+            THEN 1 ELSE 0 END AS within_bound
+FROM exact JOIN appr USING (q), s ORDER BY exact.q
+"""
+
+
+def q211_source_quality_ci(sf_dir: str):
+    """Per-source mean quality score with an exact-moment 95% normal
+    confidence interval — the 'is source A actually better than B or
+    is it noise' table a curation run reads before reweighting
+    sources (q196 gates WITHIN a source; this compares ACROSS them).
+    One streamed q64 scoring pass emits (source, n, sum, sumsq)
+    integer block partials (basis-point scores — exact int64 sums,
+    order-independent); the sources-bounded aggregation closes and the
+    mean/std/CI are single shared IEEE expressions over exact integers
+    (the q154 explicit-moments discipline — an engine-native stddev
+    would diverge by accumulation order)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.inference import QualityModel
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
+    qm = QualityModel()
+
+    def _moments(t: pa.Table) -> pa.Table:
+        s = qm(t)
+        bp = round_like_duckdb(
+            s.column("quality_score").to_numpy(zero_copy_only=False)
+            * 10000.0,
+            0,
+        ).astype(np.int64)
+        src = np.asarray(t.column("source").to_pylist())
+        out_s, out_n, out_sum, out_sq = [], [], [], []
+        for sv in np.unique(src):
+            m = src == sv
+            out_s.append(str(sv))
+            out_n.append(int(m.sum()))
+            out_sum.append(int(bp[m].sum()))
+            out_sq.append(int((bp[m] * bp[m]).sum()))
+        return pa.table(
+            {
+                "source": pa.array(out_s, pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "s1": pa.array(out_sum, pa.int64()),
+                "s2": pa.array(out_sq, pa.int64()),
+            }
+        )
+
+    g = (
+        docs.map_batches(_moments, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()  # sources-bounded
+        .sort_values("source")
+    )
+    n = g["n"].to_numpy().astype(np.int64)
+    s1 = g["s1"].to_numpy().astype(np.int64)
+    s2 = g["s2"].to_numpy().astype(np.int64)
+    mean = round_like_duckdb(s1.astype(np.float64) / n, 4)
+    var = np.where(
+        n > 1,
+        np.maximum(
+            (s2.astype(np.float64) - (s1 * s1).astype(np.float64) / n)
+            / np.maximum(n - 1, 1),
+            0.0,
+        ),
+        0.0,
+    )
+    ci = round_like_duckdb(1.96 * np.sqrt(var / n), 4)
+    return pa.table(
+        {
+            "source": pa.array(g["source"].tolist(), pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+            "mean_bp": pa.array(mean, pa.float64()),
+            "ci95_bp": pa.array(ci, pa.float64()),
+        }
+    )
+
+
+def _sql_q211() -> str:
+    return f"""
+WITH sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()})),
+j AS (SELECT d.source,
+             CAST(round(quality_score * 10000, 0) AS BIGINT) AS bp
+      FROM sc JOIN documents d USING (doc_id)),
+m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(bp) AS BIGINT) AS s1,
+             CAST(sum(bp * bp) AS BIGINT) AS s2
+      FROM j GROUP BY 1)
+SELECT source, n AS n_docs,
+       round(CAST(s1 AS DOUBLE) / n, 4) AS mean_bp,
+       round(1.96 * sqrt(
+         (CASE WHEN n > 1 THEN greatest(
+            (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / n)
+              / greatest(n - 1, 1), 0.0)
+          ELSE 0.0 END) / n), 4) AS ci95_bp
+FROM m ORDER BY source
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -13219,6 +13391,8 @@ def build_registry():
         "q207_vocab_band_coverage": q207_vocab_band_coverage,
         "q208_embedding_isotropy": q208_embedding_isotropy,
         "q209_sliding_distinct_users": q209_sliding_distinct_users,
+        "q210_quantile_sketch_error": q210_quantile_sketch_error,
+        "q211_source_quality_ci": q211_source_quality_ci,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -13478,6 +13652,8 @@ def build_registry():
         "q207_vocab_band_coverage": _sql_q207(),
         "q208_embedding_isotropy": _sql_q208(),
         "q209_sliding_distinct_users": _sql_q209(),
+        "q210_quantile_sketch_error": _sql_q210(),
+        "q211_source_quality_ci": _sql_q211(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2121,3 +2121,61 @@ class TestSlidingDistinctUsers:
         h0 = int(pa.compute.min(ev.column("ts")).cast(pa.int64()).as_py()
                  // 3_600_000_000)
         assert by[h0] == 2 and by[h0 + 1] == 2 and by[h0 + 30] == 1
+
+
+class TestQuantileSketchError:
+    def test_bound_holds_and_oracle_parity(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q210,
+            q210_quantile_sketch_error,
+        )
+
+        li = pa.table(
+            {
+                "l_extendedprice": pa.array(
+                    [float(i) * 1.5 + 100 for i in range(5000)], pa.float64()
+                )
+            }
+        )
+        d = _write(tmp_path, "sf_qerr", li, "lineitem.parquet")
+        got = q210_quantile_sketch_error(d).to_pandas()
+        con = duckdb.connect()
+        con.register("lineitem", li)
+        exp = con.execute(_sql_q210()).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert (got.within_bound == 1).all()
+        assert (got.abs_err <= got.bound).all()
+
+
+class TestSourceQualityCi:
+    def test_tight_vs_noisy_source(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q211,
+            q211_source_quality_ci,
+        )
+
+        # 'tight' docs are identical (zero variance); 'noisy' docs vary
+        texts = ["the quick brown fox jumps. over the lazy dog."] * 30
+        texts += ["x" * (20 * (i % 7 + 1)) + ("." if i % 2 else "")
+                  for i in range(30)]
+        texts += ["single doc source"]
+        srcs = ["tight"] * 30 + ["noisy"] * 30 + ["solo"]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ci", docs, "documents.parquet")
+        got = q211_source_quality_ci(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q211()).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        g = got.set_index("source")
+        assert g.ci95_bp["tight"] == 0.0  # identical docs -> zero CI
+        assert g.ci95_bp["noisy"] > 0.0
+        assert g.ci95_bp["solo"] == 0.0 and g.n_docs["solo"] == 1
