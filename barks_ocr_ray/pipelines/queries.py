@@ -13165,6 +13165,122 @@ FROM m ORDER BY source
 """
 
 
+def q212_neardup_provenance(sf_dir: str):
+    """Near-dup provenance matrix: the q19 MinHash pair stream rolled
+    up by (source_a, source_b) — q202 answers 'who copies whom
+    EXACTLY'; this answers 'who paraphrases/templates whom' (the pairs
+    exact hashing can't see). Distributed shape: the pair stream joins
+    the (doc_id, source) projection twice on compacted inputs (pairs
+    never land on the driver), the source pair normalizes to
+    (min, max) vectorized, and the rollup is sources^2-bounded.
+    Oracle: the committed q19 golden pairs re-labeled by SQL joins."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.dedupe import minhash_near_dups
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    np_ = hash_partitions(4)
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"]).materialize()
+    pairs = minhash_near_dups(
+        docs.select_columns(["doc_id", "text"]), threshold=0.4
+    )
+    empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+        }
+    )
+    pairs_c, n_pairs = compact_nonempty(pairs, np_)
+    if n_pairs == 0:
+        return empty
+    src = docs.select_columns(["doc_id", "source"])
+    src_c, _ = compact_nonempty(src, np_)
+
+    def _as(cid: str, csrc: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({cid: t.column("doc_id"), csrc: t.column("source")})
+
+        return _f
+
+    j1 = pairs_c.join(
+        src_c.map_batches(_as("doc_a", "src_a"), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=np_,
+        on=("doc_a",),
+    )
+    j1_c, n_j1 = compact_nonempty(j1, np_)  # joins need schema-ful blocks
+    if n_j1 == 0:
+        return empty
+    j = j1_c.join(
+        src_c.map_batches(_as("doc_b", "src_b"), batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=np_,
+        on=("doc_b",),
+    )
+
+    def _norm(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("src_a").to_pylist())
+        b = np.asarray(t.column("src_b").to_pylist())
+        swap = a > b  # np.minimum has no unicode loop; compare + where
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        out_a, out_b, out_n = [], [], []
+        seen: dict = {}
+        for x, y in zip(lo, hi):
+            seen[(x, y)] = seen.get((x, y), 0) + 1
+        for (x, y), c in sorted(seen.items()):
+            out_a.append(x)
+            out_b.append(y)
+            out_n.append(c)
+        return pa.table(
+            {
+                "source_a": pa.array(out_a, pa.string()),
+                "source_b": pa.array(out_b, pa.string()),
+                "n_pairs": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    out = (
+        j.map_batches(_norm, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"], num_partitions=2)
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        .to_pandas()  # sources^2-bounded
+    )
+    out = out.sort_values(["source_a", "source_b"]) if len(out) else out
+    return pa.table(
+        {
+            "source_a": pa.array(
+                out["source_a"].tolist() if len(out) else [], pa.string()
+            ),
+            "source_b": pa.array(
+                out["source_b"].tolist() if len(out) else [], pa.string()
+            ),
+            "n_pairs": pa.array(
+                out["n_pairs"].tolist() if len(out) else [], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q212() -> str:
+    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
+
+    return f"""
+WITH p AS (
+  SELECT doc_a, doc_b
+  FROM read_parquet('{neardup_golden_path("minhash_pairs")}')
+  WHERE corpus_tag = {corpus_tag_sql("documents")}),
+j AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM p JOIN documents da ON p.doc_a = da.doc_id
+         JOIN documents db ON p.doc_b = db.doc_id)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -13393,6 +13509,7 @@ def build_registry():
         "q209_sliding_distinct_users": q209_sliding_distinct_users,
         "q210_quantile_sketch_error": q210_quantile_sketch_error,
         "q211_source_quality_ci": q211_source_quality_ci,
+        "q212_neardup_provenance": q212_neardup_provenance,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -13654,6 +13771,7 @@ def build_registry():
         "q209_sliding_distinct_users": _sql_q209(),
         "q210_quantile_sketch_error": _sql_q210(),
         "q211_source_quality_ci": _sql_q211(),
+        "q212_neardup_provenance": _sql_q212(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2179,3 +2179,27 @@ class TestSourceQualityCi:
         assert g.ci95_bp["tight"] == 0.0  # identical docs -> zero CI
         assert g.ci95_bp["noisy"] > 0.0
         assert g.ci95_bp["solo"] == 0.0 and g.n_docs["solo"] == 1
+
+
+class TestNeardupProvenance:
+    def test_cross_source_template_pair(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q212_neardup_provenance
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        texts = [base, base + " extra", "totally different content here "
+                 "about quantum flux capacitors and time travel machines"]
+        srcs = ["mirror_b", "mirror_a", "indie"]
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_prov", docs, "documents.parquet")
+        got = q212_neardup_provenance(d).to_pandas()
+        # one near-dup pair, normalized (min, max) source order
+        assert got.source_a.tolist() == ["mirror_a"]
+        assert got.source_b.tolist() == ["mirror_b"]
+        assert got.n_pairs.tolist() == [1]
