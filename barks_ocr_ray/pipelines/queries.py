@@ -13281,6 +13281,133 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q213_markov_backtest(sf_dir: str):
+    """Next-event prediction backtest: train a first-order Markov
+    predictor (argmax next-type per previous type, ties type-asc) on
+    the TRAIN users' transitions and score top-1 accuracy on the TEST
+    users', against the marginal most-common-next baseline — the
+    model-eval shape (fit on one split, measure on the other, compare
+    to a dumb baseline) applied to the q144 transition kernel.
+
+    Execution: ONE user-keyed exchange colocates each user's events;
+    a vectorized per-block pass (lexsort + boundary mask — q144)
+    emits (side, prev, next) COUNT partials, so the only aggregation
+    is event-types^2-bounded and the whole fit/score closes on the
+    driver from that table. Unseen-prev test transitions score as
+    wrong (the LEFT JOIN null rule)."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _trans(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        st = np.asarray(t.column("event_type").to_pylist())
+        order = np.lexsort((eid, ts, us))
+        us, st = us[order], st[order]
+        same = us[1:] == us[:-1]
+        side = ((us[:-1][same] % 10) >= 7).astype(np.int64)
+        a, b = st[:-1][same], st[1:][same]
+        g = (
+            pa.table(
+                {
+                    "side": pa.array(side, pa.int64()),
+                    "prev": pa.array(a.tolist(), pa.string()),
+                    "nxt": pa.array(b.tolist(), pa.string()),
+                }
+            )
+            .group_by(["side", "prev", "nxt"])
+            .aggregate([("side", "count")])
+        )
+        return g.rename_columns(["side", "prev", "nxt", "n"])
+
+    tbl = (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_trans, batch_format="pyarrow", batch_size=None)
+        .groupby(["side", "prev", "nxt"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # event-types^2 x 2 bounded
+    )
+    train = tbl[tbl["side"] == 0]
+    test = tbl[tbl["side"] == 1]
+    # per-prev argmax (count desc, next asc) and the marginal argmax
+    pred: dict = {}
+    for prev, grp in train.groupby("prev"):
+        best = grp.sort_values(["n", "nxt"], ascending=[False, True]).iloc[0]
+        pred[prev] = best["nxt"]
+    marg = None
+    if len(train):
+        mm = (
+            train.groupby("nxt")["n"]
+            .sum()
+            .reset_index()
+            .sort_values(["n", "nxt"], ascending=[False, True])
+        )
+        marg = mm.iloc[0]["nxt"]
+    n_test = int(test["n"].sum()) if len(test) else 0
+    n_markov = int(
+        test[test.apply(lambda r: pred.get(r["prev"]) == r["nxt"], axis=1)][
+            "n"
+        ].sum()
+    ) if len(test) else 0
+    n_marg = int(test[test["nxt"] == marg]["n"].sum()) if len(test) else 0
+
+    def _bp(c):
+        if n_test == 0:
+            return 0
+        import numpy as np
+
+        return int(round_like_duckdb(np.array([1e4 * c / n_test]), 0)[0])
+
+    return pa.table(
+        {
+            "n_test": pa.array([n_test], pa.int64()),
+            "n_correct_markov": pa.array([n_markov], pa.int64()),
+            "n_correct_marginal": pa.array([n_marg], pa.int64()),
+            "acc_markov_bp": pa.array([_bp(n_markov)], pa.int64()),
+            "acc_marginal_bp": pa.array([_bp(n_marg)], pa.int64()),
+        }
+    )
+
+
+def _sql_q213() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+         CASE WHEN user_id % 10 < 7 THEN 0 ELSE 1 END AS side
+  FROM events),
+tr AS (SELECT side, event_type AS prev, nxt FROM seq WHERE nxt IS NOT NULL),
+train AS (SELECT prev, nxt, count(*) AS c FROM tr WHERE side = 0
+          GROUP BY 1, 2),
+pred AS (SELECT prev, nxt AS p FROM train
+         QUALIFY row_number() OVER (
+           PARTITION BY prev ORDER BY c DESC, nxt ASC) = 1),
+marg AS (SELECT nxt AS p FROM (
+           SELECT nxt, sum(c) AS c FROM train GROUP BY 1)
+         QUALIFY row_number() OVER (ORDER BY c DESC, nxt ASC) = 1),
+test AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c FROM tr
+         WHERE side = 1 GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(coalesce(sum(test.c), 0) AS BIGINT) AS n_test,
+         CAST(coalesce(sum(CASE WHEN pred.p = test.nxt THEN test.c
+                           ELSE 0 END), 0) AS BIGINT) AS n_correct_markov,
+         CAST(coalesce(sum(CASE WHEN marg.p = test.nxt THEN test.c
+                           ELSE 0 END), 0) AS BIGINT) AS n_correct_marginal
+  FROM test LEFT JOIN pred USING (prev), marg)
+SELECT n_test, n_correct_markov, n_correct_marginal,
+       CASE WHEN n_test = 0 THEN 0
+            ELSE CAST(round(1e4 * n_correct_markov / n_test, 0) AS BIGINT)
+       END AS acc_markov_bp,
+       CASE WHEN n_test = 0 THEN 0
+            ELSE CAST(round(1e4 * n_correct_marginal / n_test, 0) AS BIGINT)
+       END AS acc_marginal_bp
+FROM agg
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -13510,6 +13637,7 @@ def build_registry():
         "q210_quantile_sketch_error": q210_quantile_sketch_error,
         "q211_source_quality_ci": q211_source_quality_ci,
         "q212_neardup_provenance": q212_neardup_provenance,
+        "q213_markov_backtest": q213_markov_backtest,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -13772,6 +13900,7 @@ def build_registry():
         "q210_quantile_sketch_error": _sql_q210(),
         "q211_source_quality_ci": _sql_q211(),
         "q212_neardup_provenance": _sql_q212(),
+        "q213_markov_backtest": _sql_q213(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

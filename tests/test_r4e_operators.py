@@ -2203,3 +2203,45 @@ class TestNeardupProvenance:
         assert got.source_a.tolist() == ["mirror_a"]
         assert got.source_b.tolist() == ["mirror_b"]
         assert got.n_pairs.tolist() == [1]
+
+
+class TestMarkovBacktest:
+    def test_learned_pattern_beats_marginal(self, ray_session, tmp_path):
+        from datetime import datetime
+
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q213,
+            q213_markov_backtest,
+        )
+
+        # train users (id%10<7) and test users follow a->b, c->d chains;
+        # marginal argmax can only pick one next type
+        rows = []
+        eid = 0
+        for u in [1, 2, 11, 12, 7, 17]:  # 1,2,11,12 train; 7,17 test
+            seq = ["a", "b", "c", "d", "a", "b"]
+            for i, et in enumerate(seq):
+                rows.append((eid, datetime(2024, 1, 1, 0, i), u, et))
+                eid += 1
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_markov", ev, "events.parquet")
+        got = q213_markov_backtest(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(_sql_q213()).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        r = got.iloc[0]
+        # deterministic chains: markov is perfect, marginal is not
+        assert r.acc_markov_bp == 10000
+        assert r.acc_marginal_bp < r.acc_markov_bp
+        assert r.n_test == 10  # 2 test users x 5 transitions
