@@ -13408,6 +13408,118 @@ FROM agg
 """
 
 
+def q214_entity_cooccurrence(sf_dir: str):
+    """Entity co-occurrence mining: top-20 curated-entity pairs by
+    document-level PMI — which entities travel together across the
+    corpus (the knowledge-graph-edge-candidate stage above q11's
+    per-doc tagging and q93's token-bigram PMI). Zero doc-keyed
+    exchanges: the tagger's vectorized presence pass emits
+    |E|^2-bounded (pair, count) and |E|-bounded marginal partials per
+    block (a doc's entities never leave its block), one bounded
+    aggregation closes, and PMI/top-20 resolve on the driver. PMI
+    rounds to micro-nats (q137 discipline) so the oracle replays the
+    ranking bit-exactly (ties pair-asc)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.tagging import CURATED_ENTITIES, EntityTagger
+
+    names = sorted(CURATED_ENTITIES)
+    tagger = EntityTagger()
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _partial(t: pa.Table) -> pa.Table:
+        text = t.column("text").combine_chunks().fill_null("")
+        lower = pc.utf8_lower(text)
+        present = np.stack(
+            [
+                pc.count_substring_regex(lower, tagger.patterns[nm])
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                > 0
+                for nm in names
+            ],
+            axis=1,
+        )  # (rows, |E|)
+        out_a, out_b, out_c = [], [], []
+        for i, a in enumerate(names):
+            ca = int(present[:, i].sum())
+            if ca:
+                out_a.append(a)
+                out_b.append("")  # marginal row
+                out_c.append(ca)
+            for jx in range(i + 1, len(names)):
+                cab = int((present[:, i] & present[:, jx]).sum())
+                if cab:
+                    out_a.append(a)
+                    out_b.append(names[jx])
+                    out_c.append(cab)
+        return pa.table(
+            {
+                "ea": pa.array(out_a, pa.string()),
+                "eb": pa.array(out_b, pa.string()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["ea", "eb"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # |E|^2-bounded
+    )
+    marg = {
+        r.ea: int(r.c) for r in agg[agg["eb"] == ""].itertuples()
+    }
+    pairs = agg[agg["eb"] != ""]
+    rows = []
+    for r in pairs.itertuples():
+        pmi = int(
+            round_like_duckdb(
+                np.array(
+                    [1e6 * np.log(float(r.c) * n_docs / (marg[r.ea] * marg[r.eb]))]
+                ),
+                0,
+            )[0]
+        )
+        rows.append((r.ea, r.eb, int(r.c), pmi))
+    rows.sort(key=lambda x: (-x[3], x[0], x[1]))
+    rows = rows[:20]
+    return pa.table(
+        {
+            "ea": pa.array([r[0] for r in rows], pa.string()),
+            "eb": pa.array([r[1] for r in rows], pa.string()),
+            "n_docs_both": pa.array([r[2] for r in rows], pa.int64()),
+            "pmi_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_q214() -> str:
+    from barks_ocr_ray.functions.tagging import CURATED_ENTITIES
+
+    presence = "\nUNION ALL\n".join(
+        f"""SELECT doc_id, '{nm}' AS name FROM documents
+WHERE len(regexp_extract_all(lower(text), '\\b{nm}\\b')) > 0"""
+        for nm in sorted(CURATED_ENTITIES)
+    )
+    return f"""
+WITH e AS ({presence}),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+m AS (SELECT name, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+p AS (SELECT a.name AS ea, b.name AS eb, CAST(count(*) AS BIGINT) AS cab
+      FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.name < b.name
+      GROUP BY 1, 2),
+s AS (SELECT ea, eb, cab,
+             CAST(round(1e6 * ln(CAST(cab AS DOUBLE) * n.n
+                                 / (ma.c * mb.c)), 0) AS BIGINT) AS pmi_micro
+      FROM p JOIN m ma ON ma.name = p.ea JOIN m mb ON mb.name = p.eb, n)
+SELECT ea, eb, cab AS n_docs_both, pmi_micro FROM s
+QUALIFY row_number() OVER (ORDER BY pmi_micro DESC, ea, eb) <= 20
+ORDER BY pmi_micro DESC, ea, eb
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -13638,6 +13750,7 @@ def build_registry():
         "q211_source_quality_ci": q211_source_quality_ci,
         "q212_neardup_provenance": q212_neardup_provenance,
         "q213_markov_backtest": q213_markov_backtest,
+        "q214_entity_cooccurrence": q214_entity_cooccurrence,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -13901,6 +14014,7 @@ def build_registry():
         "q211_source_quality_ci": _sql_q211(),
         "q212_neardup_provenance": _sql_q212(),
         "q213_markov_backtest": _sql_q213(),
+        "q214_entity_cooccurrence": _sql_q214(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2245,3 +2245,37 @@ class TestMarkovBacktest:
         assert r.acc_markov_bp == 10000
         assert r.acc_marginal_bp < r.acc_markov_bp
         assert r.n_test == 10  # 2 test users x 5 transitions
+
+
+class TestEntityCooccurrence:
+    def test_pmi_ranks_exclusive_pair_first(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q214,
+            q214_entity_cooccurrence,
+        )
+
+        # 'spark'+'merge' co-occur ONLY together (high PMI); 'table' is
+        # everywhere (low PMI with anything); pad docs dilute marginals
+        texts = (
+            ["spark merge pipeline"] * 3
+            + ["table row content here"] * 6
+            + ["table spark something"] * 2
+            + ["nothing relevant at all"] * 9
+        )
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ent", docs, "documents.parquet")
+        got = q214_entity_cooccurrence(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q214()).fetch_df()
+        for c in ("ea", "eb", "n_docs_both", "pmi_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # the exclusive pair outranks the diluted one
+        top = got.iloc[0]
+        assert {top.ea, top.eb} == {"merge", "spark"}
+        assert top.pmi_micro == got.pmi_micro.max()
