@@ -13520,6 +13520,98 @@ ORDER BY pmi_micro DESC, ea, eb
 """
 
 
+def q215_split_leakage(sf_dir: str):
+    """Train/test split leakage audit: how many TEST documents have a
+    near-duplicate (q19 MinHash pair) in TRAIN — the eval-integrity
+    number behind 'dedup across splits, not just within' (a hash split
+    q113 randomizes WHICH side a doc lands on, but near-identical docs
+    land independently, so paraphrase leakage survives unless it's
+    measured and cleaned). Split membership is a pure function of
+    doc_id (the q113 md5-fraction bounds), so the pair stream labels
+    both sides IN BLOCK with zero joins; leaked test ids dedup through
+    one bounded keyed aggregation. Oracle: the committed q19 golden
+    pairs re-labeled by the same SQL fraction expressions."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.dedupe import minhash_near_dups
+    from barks_ocr_ray.functions.hashing import unit_fractions
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
+
+    def _n_test(t: pa.Table) -> pa.Table:
+        u = unit_fractions(t.column("doc_id").to_pylist(), method="md5")
+        return pa.table(
+            {"c": pa.array([int((u >= 0.9).sum())], pa.int64())}
+        )
+
+    n_test = int(
+        docs.map_batches(_n_test, batch_format="pyarrow").sum("c") or 0
+    )
+    pairs = minhash_near_dups(docs, threshold=0.4)
+    pairs_c, n_pairs = compact_nonempty(pairs, hash_partitions(4))
+    n_leaked = 0
+    if n_pairs:
+
+        def _leaked(t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").to_numpy(zero_copy_only=False)
+            b = t.column("doc_b").to_numpy(zero_copy_only=False)
+            ua = unit_fractions(a.tolist(), method="md5")
+            ub = unit_fractions(b.tolist(), method="md5")
+            leak_a = (ua >= 0.9) & (ub < 0.8)  # a test, b train
+            leak_b = (ub >= 0.9) & (ua < 0.8)
+            ids = np.unique(np.concatenate((a[leak_a], b[leak_b])))
+            return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+        leaked = (
+            pairs_c.map_batches(_leaked, batch_format="pyarrow")
+            .groupby("doc_id", num_partitions=2)
+            .aggregate(Count(alias_name="_n"))
+        )
+        n_leaked = leaked.count()
+    bp = (
+        int(round_like_duckdb(np.array([1e4 * n_leaked / n_test]), 0)[0])
+        if n_test
+        else 0
+    )
+    return pa.table(
+        {
+            "n_test": pa.array([n_test], pa.int64()),
+            "n_leaked": pa.array([n_leaked], pa.int64()),
+            "leak_bp": pa.array([bp], pa.int64()),
+        }
+    )
+
+
+def _sql_q215() -> str:
+    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
+
+    u = (
+        "CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8)) "
+        "AS UBIGINT) / 4294967296.0"
+    )
+    ua, ub, ud = (u.format(col=c) for c in ("doc_a", "doc_b", "doc_id"))
+    return f"""
+WITH p AS (
+  SELECT doc_a, doc_b
+  FROM read_parquet('{neardup_golden_path("minhash_pairs")}')
+  WHERE corpus_tag = {corpus_tag_sql("documents")}),
+lab AS (SELECT doc_a, doc_b, {ua} AS ua, {ub} AS ub FROM p),
+leaked AS (
+  SELECT doc_a AS doc_id FROM lab WHERE ua >= 0.9 AND ub < 0.8
+  UNION
+  SELECT doc_b FROM lab WHERE ub >= 0.9 AND ua < 0.8),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_test
+      FROM documents WHERE {ud} >= 0.9),
+l AS (SELECT CAST(count(*) AS BIGINT) AS n_leaked FROM leaked)
+SELECT t.n_test, l.n_leaked,
+       CASE WHEN t.n_test = 0 THEN 0
+            ELSE CAST(round(1e4 * l.n_leaked / t.n_test, 0) AS BIGINT)
+       END AS leak_bp
+FROM t, l
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -13751,6 +13843,7 @@ def build_registry():
         "q212_neardup_provenance": q212_neardup_provenance,
         "q213_markov_backtest": q213_markov_backtest,
         "q214_entity_cooccurrence": q214_entity_cooccurrence,
+        "q215_split_leakage": q215_split_leakage,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -14015,6 +14108,7 @@ def build_registry():
         "q212_neardup_provenance": _sql_q212(),
         "q213_markov_backtest": _sql_q213(),
         "q214_entity_cooccurrence": _sql_q214(),
+        "q215_split_leakage": _sql_q215(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2279,3 +2279,42 @@ class TestEntityCooccurrence:
         top = got.iloc[0]
         assert {top.ea, top.eb} == {"merge", "spark"}
         assert top.pmi_micro == got.pmi_micro.max()
+
+
+class TestSplitLeakage:
+    def test_leak_detected_and_counted_once(self, ray_session, tmp_path):
+        from barks_ocr_ray.functions.hashing import unit_fractions
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q215,
+            q215_split_leakage,
+        )
+
+        # find ids that land in test (u>=0.9) and train (u<0.8)
+        us = unit_fractions(list(range(3000)), method="md5")
+        test_ids = [i for i in range(3000) if us[i] >= 0.9]
+        train_ids = [i for i in range(3000) if us[i] < 0.8]
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight again")
+        # two train near-dups of ONE test doc (leaked once, not twice),
+        # plus clean test docs and unrelated train docs
+        rows = [
+            (test_ids[0], base),
+            (train_ids[0], base + " extra"),
+            (train_ids[1], base + " more"),
+            (test_ids[1], "completely unrelated content about quantum "
+                          "flux capacitors and ancient roman history"),
+            (train_ids[2], "another unrelated training document talking "
+                           "about gardening and watering tomato plants"),
+        ]
+        docs = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_leak", docs, "documents.parquet")
+        got = q215_split_leakage(d).to_pandas()
+        r = got.iloc[0]
+        assert r.n_test == 2
+        assert r.n_leaked == 1  # deduped across its two train partners
+        assert r.leak_bp == 5000
