@@ -13612,6 +13612,109 @@ FROM t, l
 """
 
 
+def q216_term_drift(sf_dir: str):
+    """Term-level drift: the 20 terms whose corpus frequency SHARE
+    moved most between the prior and new snapshots (q130/q134/q137's
+    split convention) — the 'what changed in the crawl' report at
+    vocabulary resolution (q137 scores whole docs; this names the
+    terms). One tokenize pass ships (term, side) count partials into a
+    vocab-bounded aggregation; shares, micro-deltas and the top-20
+    rank (|delta| desc, term asc) close on the driver from the
+    vocab-sized table — at web scale the final rank runs the q71
+    heavy-hitter pre-filter first (documented; the fixture vocab is
+    rank-bounded as-is)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
+
+    tok = Tokenizer()
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        from collections import Counter as _Counter
+
+        sides: dict = {0: _Counter(), 1: _Counter()}
+        for did, s in zip(
+            t.column("doc_id").to_pylist(), t.column("text")
+        ):
+            sides[1 if (did % 10) >= 7 else 0].update(
+                tok.tokens(s.as_py() or "")
+            )
+        out_t, out_s, out_c = [], [], []
+        for side, cnt in sides.items():
+            out_t.extend(cnt.keys())
+            out_s.extend([side] * len(cnt))
+            out_c.extend(cnt.values())
+        return pa.table(
+            {
+                "term": pa.array(out_t, pa.string()),
+                "side": pa.array(out_s, pa.int64()),
+                "c": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    g = (
+        docs.map_batches(_counts, batch_format="pyarrow")
+        .groupby(["term", "side"], num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # vocab-bounded
+    )
+    n0 = int(g.loc[g["side"] == 0, "c"].sum())
+    n1 = int(g.loc[g["side"] == 1, "c"].sum())
+    wide: dict = {}
+    for r in g.itertuples():
+        wide.setdefault(r.term, [0, 0])[int(r.side)] = int(r.c)
+    rows = []
+    for term, (c0, c1) in wide.items():
+        s0 = c0 / n0 if n0 else 0.0
+        s1 = c1 / n1 if n1 else 0.0
+        d = int(round_like_duckdb(np.array([1e6 * (s1 - s0)]), 0)[0])
+        rows.append((term, c0, c1, d))
+    rows.sort(key=lambda x: (-abs(x[3]), x[0]))
+    rows = rows[:20]
+    return pa.table(
+        {
+            "term": pa.array([r[0] for r in rows], pa.string()),
+            "n_prior": pa.array([r[1] for r in rows], pa.int64()),
+            "n_new": pa.array([r[2] for r in rows], pa.int64()),
+            "delta_micro": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_q216() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END AS side,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+g AS (SELECT term, side, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2),
+n AS (SELECT CAST(coalesce(sum(CASE WHEN side = 0 THEN c END), 0) AS BIGINT)
+               AS n0,
+             CAST(coalesce(sum(CASE WHEN side = 1 THEN c END), 0) AS BIGINT)
+               AS n1
+      FROM g),
+w AS (SELECT term,
+             CAST(coalesce(sum(CASE WHEN side = 0 THEN c END), 0) AS BIGINT)
+               AS c0,
+             CAST(coalesce(sum(CASE WHEN side = 1 THEN c END), 0) AS BIGINT)
+               AS c1
+      FROM g GROUP BY 1),
+d AS (SELECT term, c0 AS n_prior, c1 AS n_new,
+             CAST(round(1e6 * (
+               (CASE WHEN n.n1 = 0 THEN 0.0 ELSE c1 / n.n1 END)
+               - (CASE WHEN n.n0 = 0 THEN 0.0 ELSE c0 / n.n0 END)), 0)
+                  AS BIGINT) AS delta_micro
+      FROM w, n)
+SELECT term, n_prior, n_new, delta_micro FROM d
+QUALIFY row_number() OVER (ORDER BY abs(delta_micro) DESC, term) <= 20
+ORDER BY abs(delta_micro) DESC, term
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -13844,6 +13947,7 @@ def build_registry():
         "q213_markov_backtest": q213_markov_backtest,
         "q214_entity_cooccurrence": q214_entity_cooccurrence,
         "q215_split_leakage": q215_split_leakage,
+        "q216_term_drift": q216_term_drift,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -14109,6 +14213,7 @@ def build_registry():
         "q213_markov_backtest": _sql_q213(),
         "q214_entity_cooccurrence": _sql_q214(),
         "q215_split_leakage": _sql_q215(),
+        "q216_term_drift": _sql_q216(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2318,3 +2318,34 @@ class TestSplitLeakage:
         assert r.n_test == 2
         assert r.n_leaked == 1  # deduped across its two train partners
         assert r.leak_bp == 5000
+
+
+class TestTermDrift:
+    def test_injected_term_tops_the_delta(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import _sql_q216, q216_term_drift
+
+        # prior docs (id%10<7) say 'stable words here'; new docs
+        # (id%10>=7) inject 'viral' — it must top the |delta| rank
+        texts, ids = [], []
+        for i in range(40):
+            ids.append(i)
+            if i % 10 >= 7:
+                texts.append("stable words here viral viral")
+            else:
+                texts.append("stable words here")
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_tdrift", docs, "documents.parquet")
+        got = q216_term_drift(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q216()).fetch_df()
+        for c in ("term", "n_prior", "n_new", "delta_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.term.iloc[0] == "viral"
+        assert got.delta_micro.iloc[0] > 0
+        assert got.n_prior.iloc[0] == 0
