@@ -13715,6 +13715,127 @@ ORDER BY abs(delta_micro) DESC, term
 """
 
 
+def q217_shuffle_quality(sf_dir: str):
+    """Shuffle-quality audit of the dataset ORDER: how much more often
+    do adjacent docs (doc_id rank order) share a source than an
+    independent shuffle would predict?  clustering_micro > 1e6 means
+    the corpus is still source-clustered — a training run streaming it
+    in order sees correlated batches.  Distributed shape: one range
+    sort on doc_id (the op IS an order audit, so the range exchange is
+    inherent), then each batch emits O(1) partials (internal pair
+    counts + its first/last endpoint rows) and the driver stitches the
+    batches-bounded boundary pairs; the expected rate comes from a
+    sources-bounded count aggregate.  No corpus-scale driver state."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "source"])
+
+    def _pair_partials(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = t.column("source").to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="mergesort")  # already sorted; cheap
+        did, src = did[order], src[order]
+        n_same = int(np.sum(src[1:] == src[:-1])) if len(src) > 1 else 0
+        return pa.table(
+            {
+                "n_pairs": pa.array([max(len(src) - 1, 0)], pa.int64()),
+                "n_same": pa.array([n_same], pa.int64()),
+                "first_id": pa.array([int(did[0])], pa.int64()),
+                "last_id": pa.array([int(did[-1])], pa.int64()),
+                "first_src": pa.array([str(src[0])], pa.string()),
+                "last_src": pa.array([str(src[-1])], pa.string()),
+            }
+        )
+
+    def _src_counts(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"source": t.column("source")})
+            .group_by("source")
+            .aggregate([("source", "count")])
+            .rename_columns(["source", "c"])
+        )
+
+    parts = (
+        docs.sort("doc_id")
+        .map_batches(_pair_partials, batch_format="pyarrow")
+        .take_all()  # batches-bounded
+    )
+    counts = (
+        docs.map_batches(_src_counts, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # sources-bounded
+    )
+    empty = pa.table(
+        {
+            "n_docs": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "n_same": pa.array([], pa.int64()),
+            "same_micro": pa.array([], pa.int64()),
+            "exp_micro": pa.array([], pa.int64()),
+            "clustering_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    parts.sort(key=lambda r: r["first_id"])
+    n_pairs = sum(int(r["n_pairs"]) for r in parts)
+    n_same = sum(int(r["n_same"]) for r in parts)
+    for a, b in zip(parts, parts[1:]):  # boundary pairs between batches
+        n_pairs += 1
+        n_same += int(a["last_src"] == b["first_src"])
+    if n_pairs <= 0:
+        return empty
+    n_docs = sum(int(r["c"]) for r in counts)
+    num = sum(int(r["c"]) * (int(r["c"]) - 1) for r in counts)  # exact
+    den = n_docs * (n_docs - 1)
+    same_micro = int(round_like_duckdb(1e6 * float(n_same) / float(n_pairs), 0))
+    exp_micro = int(round_like_duckdb(1e6 * float(num) / float(den), 0))
+    if num > 0:
+        ratio = (1e6 * float(n_same * den)) / float(n_pairs * num)
+        clustering = pa.array([int(round_like_duckdb(ratio, 0))], pa.int64())
+    else:
+        clustering = pa.nulls(1, pa.int64())
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "n_same": pa.array([n_same], pa.int64()),
+            "same_micro": pa.array([same_micro], pa.int64()),
+            "exp_micro": pa.array([exp_micro], pa.int64()),
+            "clustering_micro": clustering,
+        }
+    )
+
+
+SQL_Q217 = """
+WITH o AS (SELECT doc_id, source,
+                  lag(source) OVER (ORDER BY doc_id) AS prev
+           FROM documents),
+p AS (SELECT CAST(count(*) FILTER (WHERE prev IS NOT NULL) AS BIGINT)
+               AS n_pairs,
+             CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
+                                     AND source = prev THEN 1 END), 0)
+                  AS BIGINT) AS n_same
+      FROM o),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+e AS (SELECT CAST(coalesce(sum(CAST(c AS HUGEINT) * (c - 1)), 0)
+                  AS HUGEINT) AS num
+      FROM (SELECT count(*) AS c FROM documents GROUP BY source))
+SELECT s.n_docs, p.n_pairs, p.n_same,
+       CAST(round(1e6 * p.n_same / p.n_pairs, 0) AS BIGINT) AS same_micro,
+       CAST(round(1e6 * e.num / (s.n_docs * (s.n_docs - 1)), 0) AS BIGINT)
+         AS exp_micro,
+       CASE WHEN e.num > 0 THEN
+         CAST(round(1e6 * (CAST(p.n_same AS HUGEINT)
+                           * s.n_docs * (s.n_docs - 1))
+                    / (CAST(p.n_pairs AS HUGEINT) * e.num), 0) AS BIGINT)
+       ELSE NULL END AS clustering_micro
+FROM s, p, e
+WHERE p.n_pairs > 0
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -13948,6 +14069,7 @@ def build_registry():
         "q214_entity_cooccurrence": q214_entity_cooccurrence,
         "q215_split_leakage": q215_split_leakage,
         "q216_term_drift": q216_term_drift,
+        "q217_shuffle_quality": q217_shuffle_quality,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -14214,6 +14336,7 @@ def build_registry():
         "q214_entity_cooccurrence": _sql_q214(),
         "q215_split_leakage": _sql_q215(),
         "q216_term_drift": _sql_q216(),
+        "q217_shuffle_quality": SQL_Q217,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2349,3 +2349,37 @@ class TestTermDrift:
         assert got.term.iloc[0] == "viral"
         assert got.delta_micro.iloc[0] > 0
         assert got.n_prior.iloc[0] == 0
+
+
+class TestShuffleQuality:
+    def test_clustered_vs_interleaved_order(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q217,
+            q217_shuffle_quality,
+        )
+
+        def _run(name, sources):
+            docs = pa.table(
+                {
+                    "doc_id": pa.array(range(len(sources)), pa.int64()),
+                    "source": pa.array(sources, pa.string()),
+                }
+            )
+            d = _write(tmp_path, name, docs, "documents.parquet")
+            got = q217_shuffle_quality(d).to_pandas()
+            con = duckdb.connect()
+            con.register("documents", docs)
+            exp = con.execute(SQL_Q217).fetch_df()
+            for c in got.columns:
+                assert got[c].tolist() == exp[c].tolist(), (name, c)
+            return got.iloc[0]
+
+        # fully clustered: 30 'a' then 30 'b' -> 58/59 same-pairs,
+        # expectation ~0.49 -> ratio far above 1e6
+        clustered = _run("sf_clust", ["a"] * 30 + ["b"] * 30)
+        assert clustered.clustering_micro > 1_500_000
+        # perfectly interleaved: zero same-pairs -> ratio 0
+        inter = _run("sf_inter", ["a", "b"] * 30)
+        assert inter.n_same == 0
+        assert inter.clustering_micro == 0
+        assert inter.exp_micro == clustered.exp_micro
