@@ -13836,6 +13836,163 @@ WHERE p.n_pairs > 0
 """
 
 
+Q218_BATCH = 100  #: docs per crawl batch (doc_id // Q218_BATCH)
+
+
+def q218_novelty_curve(sf_dir: str):
+    """N-gram novelty curve — the dedup-ROI report: per crawl batch
+    (doc_id // Q218_BATCH), the fraction of its DISTINCT token trigrams
+    never seen in any earlier batch (Lee et al.'s dedup-payoff framing
+    at batch resolution: a flattening curve means new crawls add mostly
+    known content).  Plan: block kernels emit locally-distinct
+    (batch, ngram) pairs; ONE ngram-keyed exchange colocates each gram
+    so first-batch + novelty are block-local vectorized kernels; what
+    shuffles back is (batch, n_grams, n_novel) partials and the final
+    table is batches-bounded (the report's own resolution)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.curation import _BlockNgramDF
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    B = Q218_BATCH  # closure-captured for the worker body
+
+    class _BatchGramPairs(_BlockNgramDF):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pairs = set()
+            for did, s in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text")
+            ):
+                b = did // B
+                for g in set(self._doc_grams(s.as_py())):
+                    pairs.add((b, g))
+            return pa.table(
+                {
+                    "batch_id": pa.array([p[0] for p in pairs], pa.int64()),
+                    "ngram": pa.array([p[1] for p in pairs], pa.string()),
+                }
+            )
+
+    def _first_batch_stats(t: pa.Table) -> pa.Table:
+        """All rows of an ngram are colocated in this block (keyed
+        repartition, whole-block batches): block-local min IS the
+        global first batch."""
+        enc = t.column("ngram").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("batch_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, codes))
+        codes_s, b_s = codes[order], b[order]
+        keep = np.ones(len(codes_s), np.bool_)  # distinct (code, batch)
+        keep[1:] = (codes_s[1:] != codes_s[:-1]) | (b_s[1:] != b_s[:-1])
+        codes_d, b_d = codes_s[keep], b_s[keep]
+        new = np.ones(len(codes_d), np.bool_)
+        new[1:] = codes_d[1:] != codes_d[:-1]
+        grp = np.cumsum(new) - 1
+        novel = (b_d == b_d[np.flatnonzero(new)][grp]).astype(np.int64)
+        part = pa.table(
+            {
+                "batch_id": pa.array(b_d, pa.int64()),
+                "novel": pa.array(novel, pa.int64()),
+            }
+        )
+        return (
+            part.group_by("batch_id")
+            .aggregate([("novel", "sum"), ("batch_id", "count")])
+            .rename_columns(["batch_id", "n_novel", "n_grams"])
+        )
+
+    stats = {
+        int(r["batch_id"]): (int(r["n_grams"]), int(r["n_novel"]))
+        for r in (
+            docs.map_batches(
+                _BatchGramPairs,
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+            .repartition(hash_partitions(8), keys=["ngram"])
+            .map_batches(_first_batch_stats, batch_format="pyarrow")
+            .groupby("batch_id", num_partitions=2)
+            .aggregate(
+                Sum("n_grams", alias_name="n_grams"),
+                Sum("n_novel", alias_name="n_novel"),
+            )
+            .take_all()  # batches-bounded
+        )
+    }
+
+    def _doc_counts(t: pa.Table) -> pa.Table:
+        b = pc.divide(t.column("doc_id"), pa.scalar(Q218_BATCH, pa.int64()))
+        k = pa.table({"batch_id": b})
+        return (
+            k.group_by("batch_id")
+            .aggregate([("batch_id", "count")])
+            .rename_columns(["batch_id", "n_docs"])
+        )
+
+    ndocs = (
+        docs.map_batches(_doc_counts, batch_format="pyarrow")
+        .groupby("batch_id", num_partitions=2)
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .take_all()
+    )
+    ndocs.sort(key=lambda r: r["batch_id"])
+    out_b, out_d, out_g, out_n, out_m = [], [], [], [], []
+    for r in ndocs:
+        b = int(r["batch_id"])
+        n_grams, n_novel = stats.get(b, (0, 0))
+        out_b.append(b)
+        out_d.append(int(r["n_docs"]))
+        out_g.append(n_grams)
+        out_n.append(n_novel)
+        out_m.append(
+            int(round_like_duckdb(1e6 * float(n_novel) / float(n_grams), 0))
+            if n_grams > 0
+            else None
+        )
+    return pa.table(
+        {
+            "batch_id": pa.array(out_b, pa.int64()),
+            "n_docs": pa.array(out_d, pa.int64()),
+            "n_grams": pa.array(out_g, pa.int64()),
+            "n_novel": pa.array(out_n, pa.int64()),
+            "novel_micro": pa.array(out_m, pa.int64()),
+        }
+    )
+
+
+def _sql_q218() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
+  FROM t WHERE len(toks) >= 3),
+e AS (SELECT CAST(doc_id // {Q218_BATCH} AS BIGINT) AS batch_id,
+             unnest(grams) AS ngram
+      FROM g),
+d AS (SELECT DISTINCT batch_id, ngram FROM e),
+f AS (SELECT ngram, min(batch_id) AS fb FROM d GROUP BY 1),
+bg AS (SELECT d.batch_id, CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(CASE WHEN d.batch_id = f.fb THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_novel
+       FROM d JOIN f USING (ngram) GROUP BY 1),
+nb AS (SELECT CAST(doc_id // {Q218_BATCH} AS BIGINT) AS batch_id,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1)
+SELECT nb.batch_id, nb.n_docs,
+       CAST(coalesce(bg.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(bg.n_novel, 0) AS BIGINT) AS n_novel,
+       CASE WHEN coalesce(bg.n_grams, 0) > 0
+         THEN CAST(round(1e6 * bg.n_novel / bg.n_grams, 0) AS BIGINT)
+       ELSE NULL END AS novel_micro
+FROM nb LEFT JOIN bg USING (batch_id)
+ORDER BY nb.batch_id
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -14070,6 +14227,7 @@ def build_registry():
         "q215_split_leakage": q215_split_leakage,
         "q216_term_drift": q216_term_drift,
         "q217_shuffle_quality": q217_shuffle_quality,
+        "q218_novelty_curve": q218_novelty_curve,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -14337,6 +14495,7 @@ def build_registry():
         "q215_split_leakage": _sql_q215(),
         "q216_term_drift": _sql_q216(),
         "q217_shuffle_quality": SQL_Q217,
+        "q218_novelty_curve": _sql_q218(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2383,3 +2383,43 @@ class TestShuffleQuality:
         assert inter.n_same == 0
         assert inter.clustering_micro == 0
         assert inter.exp_micro == clustered.exp_micro
+
+
+class TestNoveltyCurve:
+    def test_repeat_batch_has_zero_novelty(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q218,
+            q218_novelty_curve,
+        )
+
+        # batch 0 (ids 0-99): two distinct docs; batch 1 (ids 100-199):
+        # exact repeats of batch 0 (zero novelty) plus one new doc
+        texts, ids = [], []
+        for i in range(6):
+            ids.append(i)
+            texts.append(
+                "alpha beta gamma delta" if i % 2 else "one two three four"
+            )
+        for i in range(100, 106):
+            ids.append(i)
+            texts.append(
+                "alpha beta gamma delta" if i % 2 else "one two three four"
+            )
+        ids.append(106)
+        texts.append("totally fresh trigram content here")
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_novel", docs, "documents.parquet")
+        got = q218_novelty_curve(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q218()).fetch_df()
+        for c in ("batch_id", "n_docs", "n_grams", "n_novel", "novel_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.novel_micro.iloc[0] == 1_000_000  # batch 0 all novel
+        b1 = got[got.batch_id == 1].iloc[0]
+        assert b1.n_novel == 3  # only the fresh doc's 3 trigrams
