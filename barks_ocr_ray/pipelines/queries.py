@@ -13993,6 +13993,173 @@ ORDER BY nb.batch_id
 """
 
 
+Q219_TTR_PCT = 65  #: type-token-ratio keep gate: 100*distinct >= PCT*total
+
+
+def q219_filter_kappa(sf_dir: str):
+    """Inter-filter agreement audit: Cohen's kappa between two
+    independent quality gates — the Gopher repetition gate (q57
+    thresholds) and a type-token-ratio gate (exact integer compare
+    100*distinct >= PCT*total, no float threshold) — the standard
+    rater-agreement check before trusting a cheap filter as a proxy
+    for an expensive one.  Pure per-row pass: each block emits ONE
+    confusion-cell partial row; the driver closes kappa from four
+    exact ints (n*(po) and pe as integer products, one IEEE division
+    mirrored by the oracle).  Zero exchanges."""
+    import re as _re
+
+    from collections import Counter as _Counter
+
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    token_re = _re.compile(TOKEN_RE)
+    top2_max, top3_max = Q57_TOP2_MAX, Q57_TOP3_MAX
+    ttr_pct = Q219_TTR_PCT
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _cells(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n11 = n10 = n01 = n00 = 0
+        for s in t.column("text"):
+            raw = s.as_py()
+            if raw is None:
+                continue
+            toks = token_re.findall(raw.lower())
+            n = len(toks)
+            if n < 1:
+                continue
+            fracs = []
+            for size in (2, 3):
+                total = n - size + 1
+                if total <= 0:
+                    fracs.append(0.0)
+                    continue
+                counts = _Counter(
+                    " ".join(toks[i : i + size]) for i in range(total)
+                )
+                fracs.append(max(counts.values()) / total)
+            t2 = float(round_like_duckdb(np.array([fracs[0]]), 4)[0])
+            t3 = float(round_like_duckdb(np.array([fracs[1]]), 4)[0])
+            a_keep = not (t2 > top2_max or t3 > top3_max)
+            b_keep = 100 * len(set(toks)) >= ttr_pct * n
+            if a_keep and b_keep:
+                n11 += 1
+            elif a_keep:
+                n10 += 1
+            elif b_keep:
+                n01 += 1
+            else:
+                n00 += 1
+        return pa.table(
+            {
+                "n11": pa.array([n11], pa.int64()),
+                "n10": pa.array([n10], pa.int64()),
+                "n01": pa.array([n01], pa.int64()),
+                "n00": pa.array([n00], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(_cells, batch_format="pyarrow").take_all()
+    n11 = sum(int(r["n11"]) for r in parts)
+    n10 = sum(int(r["n10"]) for r in parts)
+    n01 = sum(int(r["n01"]) for r in parts)
+    n00 = sum(int(r["n00"]) for r in parts)
+    n = n11 + n10 + n01 + n00
+    empty = pa.table(
+        {
+            "n_docs": pa.array([], pa.int64()),
+            "n_both_keep": pa.array([], pa.int64()),
+            "n_a_only": pa.array([], pa.int64()),
+            "n_b_only": pa.array([], pa.int64()),
+            "n_both_drop": pa.array([], pa.int64()),
+            "agree_micro": pa.array([], pa.int64()),
+            "kappa_micro": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    e = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)  # exact
+    agree = int(round_like_duckdb(1e6 * float(n11 + n00) / float(n), 0))
+    den = n * n - e
+    if den > 0:
+        num = n * (n11 + n00) - e
+        kappa = pa.array(
+            [int(round_like_duckdb(1e6 * float(num) / float(den), 0))],
+            pa.int64(),
+        )
+    else:
+        kappa = pa.nulls(1, pa.int64())
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "n_both_keep": pa.array([n11], pa.int64()),
+            "n_a_only": pa.array([n10], pa.int64()),
+            "n_b_only": pa.array([n01], pa.int64()),
+            "n_both_drop": pa.array([n00], pa.int64()),
+            "agree_micro": pa.array([agree], pa.int64()),
+            "kappa_micro": kappa,
+        }
+    )
+
+
+def _sql_q219() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents WHERE text IS NOT NULL),
+g AS (
+  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+         list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           AS tgs
+  FROM t WHERE len(toks) >= 1),
+b AS (SELECT doc_id, unnest(bgs) AS gram FROM g),
+bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
+btop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1),
+tr AS (SELECT doc_id, unnest(tgs) AS gram FROM g),
+tc AS (SELECT doc_id, gram, count(*) AS c FROM tr GROUP BY 1, 2),
+ttop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tc GROUP BY 1),
+f AS (
+  SELECT g.doc_id,
+         NOT (round(coalesce(CAST(btop.mx AS DOUBLE) / btop.tot, 0.0), 4)
+                > {Q57_TOP2_MAX}
+              OR round(coalesce(CAST(ttop.mx AS DOUBLE) / ttop.tot, 0.0), 4)
+                > {Q57_TOP3_MAX}) AS a_keep,
+         100 * g.nd >= {Q219_TTR_PCT} * g.n AS b_keep
+  FROM g LEFT JOIN btop USING (doc_id) LEFT JOIN ttop USING (doc_id)),
+c AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN a_keep AND b_keep THEN 1 END), 0)
+         AS BIGINT) AS n11,
+    CAST(coalesce(sum(CASE WHEN a_keep AND NOT b_keep THEN 1 END), 0)
+         AS BIGINT) AS n10,
+    CAST(coalesce(sum(CASE WHEN NOT a_keep AND b_keep THEN 1 END), 0)
+         AS BIGINT) AS n01,
+    CAST(coalesce(sum(CASE WHEN NOT a_keep AND NOT b_keep THEN 1 END), 0)
+         AS BIGINT) AS n00
+  FROM f),
+k AS (SELECT n11 + n10 + n01 + n00 AS n,
+             CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+               + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS e
+      FROM c)
+SELECT c.n11 + c.n10 + c.n01 + c.n00 AS n_docs,
+       c.n11 AS n_both_keep, c.n10 AS n_a_only,
+       c.n01 AS n_b_only, c.n00 AS n_both_drop,
+       CAST(round(1e6 * (c.n11 + c.n00) / k.n, 0) AS BIGINT) AS agree_micro,
+       CASE WHEN CAST(k.n AS HUGEINT) * k.n - k.e > 0 THEN
+         CAST(round(1e6 * (CAST(k.n AS HUGEINT) * (c.n11 + c.n00) - k.e)
+                    / (CAST(k.n AS HUGEINT) * k.n - k.e), 0) AS BIGINT)
+       ELSE NULL END AS kappa_micro
+FROM c, k
+WHERE k.n > 0
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -14228,6 +14395,7 @@ def build_registry():
         "q216_term_drift": q216_term_drift,
         "q217_shuffle_quality": q217_shuffle_quality,
         "q218_novelty_curve": q218_novelty_curve,
+        "q219_filter_kappa": q219_filter_kappa,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -14496,6 +14664,7 @@ def build_registry():
         "q216_term_drift": _sql_q216(),
         "q217_shuffle_quality": SQL_Q217,
         "q218_novelty_curve": _sql_q218(),
+        "q219_filter_kappa": _sql_q219(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2423,3 +2423,45 @@ class TestNoveltyCurve:
         assert got.novel_micro.iloc[0] == 1_000_000  # batch 0 all novel
         b1 = got[got.batch_id == 1].iloc[0]
         assert b1.n_novel == 3  # only the fresh doc's 3 trigrams
+
+
+class TestFilterKappa:
+    def test_hand_counted_confusion_and_kappa(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q219,
+            q219_filter_kappa,
+        )
+
+        # both_keep: 60 unique words (all bigrams unique, TTR=100%)
+        both_keep = " ".join(f"w{i}" for i in range(60))
+        # a_only: permutation + its reverse -> every bigram count 1
+        # (top2 = 1/31 < 0.08) but TTR = 16/32 = 50% < 65%
+        perm = [f"p{i}" for i in range(16)]
+        a_only = " ".join(perm + perm[::-1])
+        # b_only: short diverse doc (top2 = 1/9 > 0.08 -> flagged;
+        # TTR = 100%)
+        b_only = " ".join(f"v{i}" for i in range(10))
+        # both_drop: pure repetition (flagged, TTR ~ 0)
+        both_drop = " ".join(["spam"] * 40)
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [both_keep, a_only, b_only, both_drop, None, ""],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_kappa", docs, "documents.parquet")
+        got = q219_filter_kappa(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q219()).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        r = got.iloc[0]
+        assert r.n_docs == 4  # null + empty text excluded
+        assert r.n_both_keep == 1 and r.n_a_only == 1
+        assert r.n_b_only == 1 and r.n_both_drop == 1
+        assert r.agree_micro == 500_000
+        assert r.kappa_micro == 0  # chance-level agreement exactly
