@@ -14160,6 +14160,104 @@ WHERE k.n > 0
 """
 
 
+Q220_MIN_LEN = 2  #: terms shorter than this don't autocomplete
+Q220_TOP_PREFIXES = 10
+Q220_TOP_TERMS = 3
+
+
+def q220_prefix_autocomplete(sf_dir: str):
+    """Search-as-you-type completion index: for the TOP_PREFIXES
+    hottest 1-char prefixes (by total term frequency), the TOP_TERMS
+    most frequent completions (S12's search surface, at prefix
+    resolution).  Plan: one tokenize pass ships block-level term-count
+    partials into the vocab-bounded aggregation (q47 machinery); the
+    prefix attach is a vectorized slice; per-prefix top-k runs via
+    grouped_topk (hash-colocate prefix, block-local rank — no global
+    sort); only the PREFIX-bounded totals table (≤ alphabet size)
+    reaches the driver."""
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
+
+    tok = Tokenizer()
+    min_len = Q220_MIN_LEN
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        from collections import Counter as _Counter
+
+        c: _Counter = _Counter()
+        for s in t.column("text"):
+            c.update(
+                w for w in tok.tokens(s.as_py() or "") if len(w) >= min_len
+            )
+        return pa.table(
+            {
+                "term": pa.array(list(c.keys()), pa.string()),
+                "c": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    def _prefix(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "prefix", pc.utf8_slice_codeunits(t.column("term"), 0, 1)
+        )
+
+    terms = (
+        docs.map_batches(_counts, batch_format="pyarrow")
+        .groupby("term", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(_prefix, batch_format="pyarrow")
+        .materialize()  # read by the totals agg AND the top-k pass
+    )
+    totals = (
+        terms.groupby("prefix", num_partitions=2)
+        .aggregate(Sum("c", alias_name="total"))
+        .take_all()  # prefix-bounded (≤ alphabet size)
+    )
+    totals.sort(key=lambda r: (-int(r["total"]), r["prefix"]))
+    hot = {r["prefix"] for r in totals[:Q220_TOP_PREFIXES]}
+    topk = grouped_topk(
+        terms, "prefix", "c", Q220_TOP_TERMS, tie_col="term"
+    ).take_all()  # ≤ prefixes × TOP_TERMS
+    rows = sorted(
+        (
+            (r["prefix"], int(r["rank"]), r["term"], int(r["c"]))
+            for r in topk
+            if r["prefix"] in hot
+        ),
+    )
+    return pa.table(
+        {
+            "prefix": pa.array([r[0] for r in rows], pa.string()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "term": pa.array([r[2] for r in rows], pa.string()),
+            "c": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_q220() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+       FROM tok WHERE len(term) >= {Q220_MIN_LEN} GROUP BY 1),
+p AS (SELECT substr(term, 1, 1) AS prefix, term, c FROM tc),
+pt AS (SELECT prefix, sum(c) AS total FROM p GROUP BY 1
+       QUALIFY row_number() OVER (ORDER BY total DESC, prefix)
+                 <= {Q220_TOP_PREFIXES}),
+r AS (SELECT p.prefix, p.term, p.c,
+             row_number() OVER (PARTITION BY p.prefix
+                                ORDER BY p.c DESC, p.term) AS rank
+      FROM p JOIN pt USING (prefix)
+      QUALIFY rank <= {Q220_TOP_TERMS})
+SELECT prefix, CAST(rank AS BIGINT) AS rank, term, c
+FROM r ORDER BY prefix, rank
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -14396,6 +14494,7 @@ def build_registry():
         "q217_shuffle_quality": q217_shuffle_quality,
         "q218_novelty_curve": q218_novelty_curve,
         "q219_filter_kappa": q219_filter_kappa,
+        "q220_prefix_autocomplete": q220_prefix_autocomplete,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -14665,6 +14764,7 @@ def build_registry():
         "q217_shuffle_quality": SQL_Q217,
         "q218_novelty_curve": _sql_q218(),
         "q219_filter_kappa": _sql_q219(),
+        "q220_prefix_autocomplete": _sql_q220(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2465,3 +2465,38 @@ class TestFilterKappa:
         assert r.n_b_only == 1 and r.n_both_drop == 1
         assert r.agree_micro == 500_000
         assert r.kappa_micro == 0  # chance-level agreement exactly
+
+
+class TestPrefixAutocomplete:
+    def test_rank_and_hot_prefix_cut(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q220,
+            q220_prefix_autocomplete,
+        )
+
+        # prefix 's': sort(5) > scan(3) > spark(2) > slow(1) -> rank
+        # cuts at 3; 'b' and a long tail of singleton prefixes fill the
+        # top-10 hot set
+        text = " ".join(
+            ["sort"] * 5 + ["scan"] * 3 + ["spark"] * 2 + ["slow"]
+            + ["batch"] * 4 + ["big"] * 2
+            + ["merge", "hash", "join", "key", "data", "row", "agg",
+               "line", "x"]  # 'x' is len-1: excluded by MIN_LEN
+        )
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": pa.array([text], pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_auto", docs, "documents.parquet")
+        got = q220_prefix_autocomplete(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q220()).fetch_df()
+        for c in ("prefix", "rank", "term", "c"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        s = got[got.prefix == "s"]
+        assert s.term.tolist() == ["sort", "scan", "spark"]  # slow cut
+        assert s.c.tolist() == [5, 3, 2]
+        assert "x" not in set(got.term)

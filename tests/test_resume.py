@@ -225,8 +225,13 @@ run_resumable({repr(corpus)}, {repr(out_dir)}, num_buckets={NUM_BUCKETS},
     committed = []
     while time.time() < deadline:
         if os.path.isdir(manifest_dir):
+            # only COMPLETED manifests count — the atomic write goes
+            # through bucket-*.json.tmp + os.replace, and a kill landing
+            # between the two leaves a .tmp that never commits
             committed = [
-                f for f in os.listdir(manifest_dir) if f.startswith("bucket-")
+                f
+                for f in os.listdir(manifest_dir)
+                if f.startswith("bucket-") and f.endswith(".json")
             ]
             if committed:
                 break
@@ -235,6 +240,16 @@ run_resumable({repr(corpus)}, {repr(out_dir)}, num_buckets={NUM_BUCKETS},
         time.sleep(0.25)
     proc.send_signal(signal.SIGKILL)
     proc.wait()
+    # re-derive from the post-kill (now stable) filesystem state
+    committed = (
+        [
+            f
+            for f in os.listdir(manifest_dir)
+            if f.startswith("bucket-") and f.endswith(".json")
+        ]
+        if os.path.isdir(manifest_dir)
+        else []
+    )
     if not committed:
         import pytest
 
@@ -242,7 +257,6 @@ run_resumable({repr(corpus)}, {repr(out_dir)}, num_buckets={NUM_BUCKETS},
     mt_before = _mtimes(out_dir)
     committed_ids = sorted(
         int(f.split("-")[1].split(".")[0]) for f in committed
-        if os.path.exists(os.path.join(manifest_dir, f))
     )
 
     summary = run_resumable(
