@@ -327,6 +327,194 @@ def embedding_all_pairs_exact(
     return out
 
 
+MUTUAL_EMPTY = pa.table(
+    {
+        "vec_a": pa.array([], pa.int64()),
+        "vec_b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+        "margin_micro": pa.array([], pa.int64()),
+    }
+)
+
+
+def mutual_top1_alignment(
+    embeddings: Dataset,
+    *,
+    n_blocks: int = 4,
+    num_partitions: int = 8,
+) -> Dataset:
+    """Margin-based mutual-nearest-neighbor mining (the bitext-mining
+    primitive, Artetxe & Schwenk 2019): side A = even vec_id, side B =
+    odd; keep pairs (a, b) where b is a's cosine top-1 AND a is b's
+    top-1, with a's margin = cos1/cos2 reported for thresholding.
+
+    Exact with NO corpus broadcast: (1) block-nested-loop candidate
+    generation — each (A-block, B-block) pair co-locates via one
+    groupby and emits per-vector LOCAL top-2 rows (global top-2 is a
+    subset of the n_blocks local top-2s); (2) a query-keyed exchange
+    (≤ 2·n_blocks candidate rows per vector) merges to global tops and
+    emits one claim row per side; (3) a pair-keyed exchange (≤ 2 rows
+    per vector) keeps pairs claimed by BOTH sides. Ranking ties break
+    by (round-6 cosine desc, id asc) on both engines."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t.column("vec_id").to_pylist(), np.int64)
+        side = ids % 2
+        blk = (ids // 2) % n_blocks
+        tables = []
+        for other in range(n_blocks):
+            key = np.where(
+                side == 0, blk * n_blocks + other, other * n_blocks + blk
+            )
+            tables.append(
+                pa.table(
+                    {
+                        "vec_id": t.column("vec_id"),
+                        "embedding": t.column("embedding"),
+                        "key": pa.array(key, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    CAND_EMPTY = pa.table(
+        {
+            "q": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+            "side": pa.array([], pa.int64()),
+        }
+    )
+
+    def _local_tops(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(subset=["vec_id"])
+        ids = np.asarray(g["vec_id"], np.int64)
+        a_idx = np.where(ids % 2 == 0)[0]
+        b_idx = np.where(ids % 2 == 1)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return CAND_EMPTY
+        emb = _unit(
+            np.stack([np.asarray(v, np.float64) for v in g["embedding"]])
+        )
+        sims = _round_half_away(emb[a_idx] @ emb[b_idx].T, 6)
+        a_ids, b_ids = ids[a_idx], ids[b_idx]
+        out_q, out_n, out_c, out_s = [], [], [], []
+        for i, aid in enumerate(a_ids):
+            order = np.lexsort((b_ids, -sims[i]))[:2]
+            out_q.extend([aid] * len(order))
+            out_n.extend(b_ids[order].tolist())
+            out_c.extend(sims[i][order].tolist())
+            out_s.extend([0] * len(order))
+        for j, bid in enumerate(b_ids):
+            order = np.lexsort((a_ids, -sims[:, j]))[:1]
+            out_q.append(bid)
+            out_n.append(int(a_ids[order[0]]))
+            out_c.append(float(sims[order[0], j]))
+            out_s.append(1)
+        return pa.table(
+            {
+                "q": pa.array(out_q, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+                "side": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def _merge_claims(t: pa.Table) -> pa.Table:
+        """All candidates of a query id are co-located (q-keyed
+        repartition): global top-2 per (q, side) from the local tops."""
+        q = t.column("q").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        cos = t.column("cos").to_numpy(zero_copy_only=False)
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((n, -cos, side, q))
+        q, n, cos, side = q[order], n[order], cos[order], side[order]
+        new = np.ones(len(q), np.bool_)
+        new[1:] = (q[1:] != q[:-1]) | (side[1:] != side[:-1])
+        first = np.flatnonzero(new)
+        va, vb, src, c1, c2 = [], [], [], [], []
+        for pos, nxt in zip(
+            first, np.append(first[1:], len(q))
+        ):
+            if side[pos] == 0:
+                va.append(int(q[pos]))
+                vb.append(int(n[pos]))
+                src.append(0)
+                c1.append(float(cos[pos]))
+                c2.append(float(cos[pos + 1]) if nxt - pos > 1 else None)
+            else:
+                va.append(int(n[pos]))
+                vb.append(int(q[pos]))
+                src.append(1)
+                c1.append(None)
+                c2.append(None)
+        return pa.table(
+            {
+                "vec_a": pa.array(va, pa.int64()),
+                "vec_b": pa.array(vb, pa.int64()),
+                "src": pa.array(src, pa.int64()),
+                "cos1": pa.array(c1, pa.float64()),
+                "cos2": pa.array(c2, pa.float64()),
+            }
+        )
+
+    def _mutual(t: pa.Table) -> pa.Table:
+        """Pairs claimed by both sides (pair-keyed repartition)."""
+        va = t.column("vec_a").to_numpy(zero_copy_only=False)
+        vb = t.column("vec_b").to_numpy(zero_copy_only=False)
+        src = t.column("src").to_numpy(zero_copy_only=False)
+        c1 = t.column("cos1").to_numpy(zero_copy_only=False)
+        c2 = t.column("cos2").to_numpy(zero_copy_only=False)
+        order = np.lexsort((src, vb, va))
+        va, vb, src = va[order], vb[order], src[order]
+        c1, c2 = c1[order], c2[order]
+        both = np.zeros(len(va), np.bool_)
+        if len(va) > 1:
+            both[:-1] = (
+                (va[:-1] == va[1:])
+                & (vb[:-1] == vb[1:])
+                & (src[:-1] == 0)
+                & (src[1:] == 1)
+            )
+        idx = np.flatnonzero(both)
+        margin = []
+        for i in idx:
+            cc2 = c2[i]
+            margin.append(
+                int(round_like_duckdb(1e6 * c1[i] / cc2, 0))
+                if cc2 is not None and not np.isnan(cc2) and cc2 > 0
+                else None
+            )
+        return pa.table(
+            {
+                "vec_a": pa.array(va[idx], pa.int64()),
+                "vec_b": pa.array(vb[idx], pa.int64()),
+                "cosine": pa.array(c1[idx], pa.float64()),
+                "margin_micro": pa.array(margin, pa.int64()),
+            }
+        )
+
+    from barks_ocr_ray.context import hash_partitions
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    out = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(_explode, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(_local_tops, batch_format="pandas")
+        .repartition(hash_partitions(num_partitions), keys=["q"])
+        .map_batches(_merge_claims, batch_format="pyarrow")
+        .repartition(hash_partitions(num_partitions), keys=["vec_a", "vec_b"])
+        .map_batches(_mutual, batch_format="pyarrow")
+    )
+    out, nrows = compact_nonempty(out, num_partitions)
+    if nrows == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(MUTUAL_EMPTY)
+    return out
+
+
 def lsh_topk(
     embeddings: Dataset,
     query_ids: list[int],

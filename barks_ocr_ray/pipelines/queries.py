@@ -14258,6 +14258,48 @@ FROM r ORDER BY prefix, rank
 """
 
 
+def q221_mutual_alignment(sf_dir: str):
+    """Margin-based mutual-top-1 embedding alignment (bitext-mining
+    primitive, Artetxe & Schwenk 2019) between the even-id and odd-id
+    halves of the embeddings table — exact, block-nested-loop, no
+    corpus broadcast (see ann.mutual_top1_alignment for the three
+    exchange-bounded stages)."""
+    from barks_ocr_ray.functions.ann import mutual_top1_alignment
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return mutual_top1_alignment(emb)
+
+
+SQL_Q221 = """
+WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id % 2 = 0),
+b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 2 = 1),
+ab AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+              round(list_cosine_similarity(a.e, b.e), 6) AS cos
+       FROM a, b),
+ra AS (SELECT va, vb, cos,
+              row_number() OVER (PARTITION BY va
+                                 ORDER BY cos DESC, vb) AS rk
+       FROM ab),
+rb AS (SELECT va, vb,
+              row_number() OVER (PARTITION BY vb
+                                 ORDER BY cos DESC, va) AS rk
+       FROM ab),
+a1 AS (SELECT va, vb, cos FROM ra WHERE rk = 1),
+a2 AS (SELECT va, cos AS cos2 FROM ra WHERE rk = 2),
+b1 AS (SELECT va, vb FROM rb WHERE rk = 1)
+SELECT a1.va AS vec_a, a1.vb AS vec_b, a1.cos AS cosine,
+       CASE WHEN a2.cos2 > 0
+         THEN CAST(round(1e6 * a1.cos / a2.cos2, 0) AS BIGINT)
+       ELSE NULL END AS margin_micro
+FROM a1
+JOIN b1 ON a1.va = b1.va AND a1.vb = b1.vb
+LEFT JOIN a2 ON a1.va = a2.va
+ORDER BY vec_a
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -14495,6 +14537,7 @@ def build_registry():
         "q218_novelty_curve": q218_novelty_curve,
         "q219_filter_kappa": q219_filter_kappa,
         "q220_prefix_autocomplete": q220_prefix_autocomplete,
+        "q221_mutual_alignment": q221_mutual_alignment,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -14765,6 +14808,7 @@ def build_registry():
         "q218_novelty_curve": _sql_q218(),
         "q219_filter_kappa": _sql_q219(),
         "q220_prefix_autocomplete": _sql_q220(),
+        "q221_mutual_alignment": SQL_Q221,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

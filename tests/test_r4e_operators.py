@@ -2500,3 +2500,49 @@ class TestPrefixAutocomplete:
         assert s.term.tolist() == ["sort", "scan", "spark"]  # slow cut
         assert s.c.tolist() == [5, 3, 2]
         assert "x" not in set(got.term)
+
+
+class TestMutualAlignment:
+    def test_constructed_mutual_and_one_sided(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q221,
+            q221_mutual_alignment,
+        )
+
+        # A side (even ids): 0 -> x-axis, 2 -> y-axis, 4 -> near-x
+        # B side (odd ids):  1 -> near-x-axis, 3 -> y-axis
+        # mutual: (0, 1) [0's top1 is 1; 1's top1 is 0 since 0 beats 4]
+        # and (2, 3). 4's top1 is 1 but 1 prefers 0 -> not mutual.
+        vecs = {
+            0: [1.0, 0.0, 0.0],
+            2: [0.0, 1.0, 0.0],
+            4: [0.95, 0.05, 0.0],
+            1: [0.99, 0.01, 0.0],
+            3: [0.0, 1.0, 0.2],
+        }
+        emb = pa.table(
+            {
+                "vec_id": pa.array(sorted(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [vecs[k] for k in sorted(vecs)],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_mutual", emb, "embeddings.parquet")
+        ds = q221_mutual_alignment(d)
+        got = (
+            ds.to_pandas()
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("embeddings", emb)
+        exp = con.execute(SQL_Q221).fetch_df()
+        assert got.vec_a.tolist() == exp.vec_a.tolist() == [0, 2]
+        assert got.vec_b.tolist() == exp.vec_b.tolist() == [1, 3]
+        assert got.cosine.tolist() == exp.cosine.tolist()
+        # pair (0,1): second-best cos is exactly 0 -> margin NULL
+        assert got.margin_micro.isna().tolist() == exp.margin_micro.isna().tolist() == [True, False]
+        assert got.margin_micro.iloc[1] == exp.margin_micro.iloc[1]
+        assert got.margin_micro.iloc[1] > 1_000_000  # cos1 > cos2 > 0
