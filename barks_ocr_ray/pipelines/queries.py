@@ -14300,6 +14300,231 @@ ORDER BY vec_a
 """
 
 
+def q222_grouped_trend(sf_dir: str):
+    """Per-event-type OLS trend of value over time (slope / intercept /
+    r² of integer-cents value vs epoch-day) — the 'is this source
+    drifting' regression at key resolution.  Same exact-moments
+    discipline as q154: the five sufficient statistics are exact int64
+    block partials (order-independent keyed sums); slope, intercept
+    (from the ROUNDED slope, so both engines derive from identical
+    doubles) and r² are single mirrored IEEE expressions on the
+    key-bounded driver table."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        y = round_like_duckdb(v * 100.0, 0).astype(np.int64)
+        x = ts // 86_400_000_000  # epoch day
+        order = np.argsort(et, kind="mergesort")
+        et, x, y = et[order], x[order], y[order]
+        new = np.empty(len(et), np.bool_)
+        if len(et):
+            new[0] = True
+            new[1:] = et[1:] != et[:-1]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [str(g) for g in et[starts]], pa.string()
+                ),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(et))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "sx": pa.array(np.add.reduceat(x, starts), pa.int64()),
+                "sy": pa.array(np.add.reduceat(y, starts), pa.int64()),
+                "sxy": pa.array(np.add.reduceat(x * y, starts), pa.int64()),
+                "sxx": pa.array(np.add.reduceat(x * x, starts), pa.int64()),
+                "syy": pa.array(np.add.reduceat(y * y, starts), pa.int64()),
+            }
+        )
+
+    agg = (
+        ev.map_batches(_moments, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+        )
+        .take_all()  # key-bounded
+    )
+    agg.sort(key=lambda r: r["event_type"])
+    g_l, n_l, sl_l, ic_l, r2_l = [], [], [], [], []
+    for r in agg:
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
+        a = n * sxy - sx * sy
+        b = n * sxx - sx * sx
+        c = n * syy - sy * sy
+        if b <= 0:
+            continue  # single day (or empty): no trend defined
+        slope = float(round_like_duckdb(float(a) / float(b), 6))
+        intercept = float(
+            round_like_duckdb(
+                (float(sy) - slope * float(sx)) / float(n), 6
+            )
+        )
+        r2 = (
+            float(round_like_duckdb(float(a * a) / float(b * c), 6))
+            if c > 0
+            else None
+        )
+        g_l.append(r["event_type"])
+        n_l.append(n)
+        sl_l.append(slope)
+        ic_l.append(intercept)
+        r2_l.append(r2)
+    return pa.table(
+        {
+            "event_type": pa.array(g_l, pa.string()),
+            "n": pa.array(n_l, pa.int64()),
+            "slope": pa.array(sl_l, pa.float64()),
+            "intercept": pa.array(ic_l, pa.float64()),
+            "r2": pa.array(r2_l, pa.float64()),
+        }
+    )
+
+
+SQL_Q222 = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS sx,
+         sum(CAST(round(value * 100.0) AS BIGINT)) AS sy,
+         sum(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             * CAST(round(value * 100.0) AS BIGINT)) AS sxy,
+         sum(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+             * datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS sxx,
+         sum(CAST(round(value * 100.0) AS BIGINT)
+             * CAST(round(value * 100.0) AS BIGINT)) AS syy
+  FROM events GROUP BY 1),
+s AS (
+  SELECT event_type, n, sx, sy, sxy, sxx, syy,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS a,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS b,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS c
+  FROM m),
+sl AS (
+  SELECT *, round(CAST(a AS DOUBLE) / CAST(b AS DOUBLE), 6) AS slope
+  FROM s WHERE b > 0)
+SELECT event_type, n, slope,
+       round((sy - slope * sx) / n, 6) AS intercept,
+       CASE WHEN c > 0
+         THEN round(CAST(a * a AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+       ELSE NULL END AS r2
+FROM sl
+ORDER BY event_type
+"""
+
+
+def q223_trending_decay(sf_dir: str):
+    """Exponentially-decayed event counts per type (half-life = one
+    week, anchored at the corpus max day) — the 'trending now' score
+    that weights this week's events 2× last week's.  Determinism
+    discipline: ages are INTEGER weeks so 2^-w is an exact double, and
+    each (type, week) bucket's contribution rounds to micro-units
+    BEFORE the integer sum — no float accumulation anywhere, so the
+    oracle replays bit-exactly regardless of either engine's sum
+    order.  Two passes: a scalar max-day reduce, then a (types ×
+    weeks)-bounded count aggregation."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def _day_max(t: pa.Table) -> pa.Table:
+        d = pc.divide(
+            t.column("ts").cast(pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        return pa.table(
+            {"mxd": pa.array([pc.max(d).as_py()], pa.int64())}
+        )
+
+    mx_parts = ev.map_batches(_day_max, batch_format="pyarrow").take_all()
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "decayed_micro": pa.array([], pa.int64()),
+        }
+    )
+    mxs = [int(r["mxd"]) for r in mx_parts if r["mxd"] is not None]
+    if not mxs:
+        return empty
+    mxd = max(mxs)
+
+    def _week_counts(t: pa.Table) -> pa.Table:
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        wk = (mxd - day) // 7
+        k = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "wk": pa.array(wk, pa.int64()),
+            }
+        )
+        return (
+            k.group_by(["event_type", "wk"])
+            .aggregate([("wk", "count")])
+            .rename_columns(["event_type", "wk", "c"])
+        )
+
+    buckets = (
+        ev.map_batches(_week_counts, batch_format="pyarrow")
+        .groupby(["event_type", "wk"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # (types × weeks)-bounded
+    )
+    agg: dict = {}
+    for r in buckets:
+        et, wk, c = r["event_type"], int(r["wk"]), int(r["c"])
+        n, dm = agg.get(et, (0, 0))
+        contrib = int(
+            round_like_duckdb((1e6 * float(c)) * (2.0 ** -wk), 0)
+        )
+        agg[et] = (n + c, dm + contrib)
+    rows = sorted(
+        ((et, n, dm) for et, (n, dm) in agg.items()),
+        key=lambda x: (-x[2], x[0]),
+    )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "decayed_micro": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_Q223 = """
+WITH d AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events),
+mx AS (SELECT max(day) AS mxd FROM d),
+w AS (SELECT event_type, CAST((mx.mxd - day) // 7 AS BIGINT) AS wk,
+             count(*) AS c
+      FROM d, mx GROUP BY 1, 2)
+SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+       CAST(sum(CAST(round(1e6 * c * pow(2.0, -wk), 0) AS BIGINT))
+            AS BIGINT) AS decayed_micro
+FROM w GROUP BY 1
+ORDER BY decayed_micro DESC, event_type
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -14538,6 +14763,8 @@ def build_registry():
         "q219_filter_kappa": q219_filter_kappa,
         "q220_prefix_autocomplete": q220_prefix_autocomplete,
         "q221_mutual_alignment": q221_mutual_alignment,
+        "q222_grouped_trend": q222_grouped_trend,
+        "q223_trending_decay": q223_trending_decay,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -14809,6 +15036,8 @@ def build_registry():
         "q219_filter_kappa": _sql_q219(),
         "q220_prefix_autocomplete": _sql_q220(),
         "q221_mutual_alignment": SQL_Q221,
+        "q222_grouped_trend": SQL_Q222,
+        "q223_trending_decay": SQL_Q223,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "q184_minhash_error_audit",
     "q196_quality_percentile_gate",
     "q200_perplexity_buckets",
+    "q217_shuffle_quality",
+    "q218_novelty_curve",
+    "q221_mutual_alignment",
 ]
 
 

@@ -2546,3 +2546,92 @@ class TestMutualAlignment:
         assert got.margin_micro.isna().tolist() == exp.margin_micro.isna().tolist() == [True, False]
         assert got.margin_micro.iloc[1] == exp.margin_micro.iloc[1]
         assert got.margin_micro.iloc[1] > 1_000_000  # cos1 > cos2 > 0
+
+
+class TestGroupedTrend:
+    def test_exact_slope_on_constructed_series(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q222,
+            q222_grouped_trend,
+        )
+
+        # 'up': value = 2.00 * day over days 0..4 -> slope exactly 200
+        # cents/day, intercept 0, r2 = 1. 'flat': constant -> slope 0,
+        # r2 NULL (zero y-variance). 'oneday': b = 0 -> excluded.
+        import datetime
+
+        def ts(day):
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                days=day, hours=3
+            )
+        rows = []
+        for d in range(5):
+            rows.append(("up", ts(d), 2.0 * d))
+            rows.append(("flat", ts(d), 7.0))
+        rows.append(("oneday", ts(2), 1.0))
+        rows.append(("oneday", ts(2), 3.0))
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_trend", ev, "events.parquet")
+        got = q222_grouped_trend(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q222).fetch_df()
+        assert got.event_type.tolist() == exp.event_type.tolist() == [
+            "flat", "up",
+        ]
+        for c in ("n", "slope", "intercept"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.r2.isna().tolist() == exp.r2.isna().tolist() == [
+            True, False,
+        ]
+        up = got[got.event_type == "up"].iloc[0]
+        assert up.slope == 200.0 and up.intercept == 0.0 and up.r2 == 1.0
+        flat = got[got.event_type == "flat"].iloc[0]
+        assert flat.slope == 0.0 and flat.intercept == 700.0
+
+
+class TestTrendingDecay:
+    def test_recent_burst_outranks_larger_old_mass(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q223,
+            q223_trending_decay,
+        )
+
+        import datetime
+
+        def ts(day):
+            return datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                days=day, hours=5
+            )
+        # 'old': 40 events 3 weeks before the anchor (weight 1/8 -> 5M)
+        # 'hot': 10 events in the anchor week (weight 1 -> 10M): hot
+        # must outrank old despite 4x fewer events
+        rows = [("old", ts(0))] * 40 + [("hot", ts(21))] * 10
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_decay", ev, "events.parquet")
+        got = q223_trending_decay(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q223).fetch_df()
+        for c in ("event_type", "n", "decayed_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.event_type.tolist() == ["hot", "old"]
+        assert got.decayed_micro.tolist() == [10_000_000, 5_000_000]
