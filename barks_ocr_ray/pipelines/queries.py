@@ -14525,6 +14525,146 @@ ORDER BY decayed_micro DESC, event_type
 """
 
 
+def q224_cluster_terms(sf_dir: str):
+    """Topic labeling for embedding clusters: c-TF-IDF top-5 terms per
+    cluster label (Grootendorst 2022, BERTopic §3.3 — each cluster is
+    scored as ONE pseudo-document: tf share × ln(1 + avg_cluster_tokens
+    / corpus term frequency)).  Distributed shape: one doc-keyed hash
+    join attaches labels to text; one vocab-bounded (term, label) tf
+    aggregation; the label totals are a k-bounded broadcast closure and
+    the term-frequency attach is a term-keyed join; top-5 per label via
+    grouped_topk (no global sort).  All inputs to the score are exact
+    ints, the score is one mirrored IEEE expression."""
+    import math as _math
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
+
+    tok = Tokenizer()
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "label"])
+    joined = docs.join(
+        emb,
+        join_type="inner",
+        num_partitions=hash_partitions(8),
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+
+    def _tf(t: pa.Table) -> pa.Table:
+        from collections import Counter as _Counter
+
+        cnt: _Counter = _Counter()
+        for lab, s in zip(
+            t.column("label").to_pylist(), t.column("text")
+        ):
+            for w in tok.tokens(s.as_py() or ""):
+                cnt[(int(lab), w)] += 1
+        keys = list(cnt.keys())
+        return pa.table(
+            {
+                "label": pa.array([k[0] for k in keys], pa.int64()),
+                "term": pa.array([k[1] for k in keys], pa.string()),
+                "tf": pa.array([cnt[k] for k in keys], pa.int64()),
+            }
+        )
+
+    tf = (
+        joined.map_batches(_tf, batch_format="pyarrow")
+        .groupby(["term", "label"], num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("tf", alias_name="tf"))
+        .materialize()  # read by tot, f AND the score join
+    )
+    tot_rows = (
+        tf.groupby("label", num_partitions=2)
+        .aggregate(Sum("tf", alias_name="tot"))
+        .take_all()  # k-bounded
+    )
+    tot = {int(r["label"]): int(r["tot"]) for r in tot_rows}
+    if not tot:
+        return pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "score_micro": pa.array([], pa.int64()),
+            }
+        )
+    k = len(tot)
+    tot_all = sum(tot.values())
+    avg = float(tot_all) / float(k)  # mirrored: tot_all / k
+    f = (
+        tf.groupby("term", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("tf", alias_name="f"))
+        .map_batches(
+            lambda t: t.rename_columns(["fterm", "f"]),
+            batch_format="pyarrow",
+        )
+    )
+    scored_in = tf.join(
+        f,
+        join_type="inner",
+        num_partitions=hash_partitions(VOCAB_PARTITIONS),
+        on=("term",),
+        right_on=("fterm",),
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        fv = t.column("f").to_numpy(zero_copy_only=False).astype(np.float64)
+        totv = np.asarray([float(tot[int(x)]) for x in lab], np.float64)
+        score = 1e6 * ((tfv / totv) * np.log(1.0 + (avg / fv)))
+        return t.append_column(
+            "score_micro",
+            pa.array(
+                round_like_duckdb(score, 0).astype("int64"), pa.int64()
+            ),
+        )
+
+    topk = grouped_topk(
+        scored_in.map_batches(_score, batch_format="pyarrow"),
+        "label",
+        "score_micro",
+        5,
+        tie_col="term",
+    )
+    return topk.select_columns(["label", "term", "tf", "score_micro"])
+
+
+def _sql_q224() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH j AS (
+  SELECT CAST(e.label AS BIGINT) AS label, d.text
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+tok AS (
+  SELECT label, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+           AS term
+  FROM j),
+tf AS (SELECT label, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+tot AS (SELECT label, CAST(sum(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
+f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1),
+c AS (SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(tot) AS BIGINT) AS tot_all
+      FROM tot),
+s AS (SELECT tf.label, tf.term, tf.tf,
+             CAST(round(1e6 * ((tf.tf / tot.tot)
+                               * ln(1 + ((c.tot_all / c.k) / f.f))), 0)
+                  AS BIGINT) AS score_micro
+      FROM tf JOIN tot USING (label) JOIN f USING (term), c)
+SELECT label, term, tf, score_micro FROM s
+QUALIFY row_number() OVER (PARTITION BY label
+                           ORDER BY score_micro DESC, term) <= 5
+ORDER BY label, score_micro DESC, term
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -14765,6 +14905,7 @@ def build_registry():
         "q221_mutual_alignment": q221_mutual_alignment,
         "q222_grouped_trend": q222_grouped_trend,
         "q223_trending_decay": q223_trending_decay,
+        "q224_cluster_terms": q224_cluster_terms,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -15038,6 +15179,7 @@ def build_registry():
         "q221_mutual_alignment": SQL_Q221,
         "q222_grouped_trend": SQL_Q222,
         "q223_trending_decay": SQL_Q223,
+        "q224_cluster_terms": _sql_q224(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -122,7 +122,8 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q220_prefix_autocomplete', 1),
                         ('q221_mutual_alignment', 1),
                         ('q222_grouped_trend', 1),
-                        ('q223_trending_decay', 1)):
+                        ('q223_trending_decay', 1),
+                        ('q224_cluster_terms', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

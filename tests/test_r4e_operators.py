@@ -2635,3 +2635,57 @@ class TestTrendingDecay:
             assert got[c].tolist() == exp[c].tolist(), c
         assert got.event_type.tolist() == ["hot", "old"]
         assert got.decayed_micro.tolist() == [10_000_000, 5_000_000]
+
+
+class TestClusterTerms:
+    def test_exclusive_term_tops_its_cluster(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q224,
+            q224_cluster_terms,
+        )
+
+        # cluster 0 docs share common filler; doc in cluster 1 injects
+        # an exclusive token that must top cluster 1's c-TF-IDF rank
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "common words here common",
+                        "common words here again",
+                        "common words here zebra zebra",
+                        "common words here",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        emb = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "embedding": pa.array(
+                    [[0.0, 1.0]] * 4, pa.list_(pa.float32())
+                ),
+                "label": pa.array([0, 0, 1, 1], pa.int32()),
+            }
+        )
+        d = tmp_path / "sf_cterms"
+        d.mkdir()
+        pq.write_table(docs, str(d / "documents.parquet"))
+        pq.write_table(emb, str(d / "embeddings.parquet"))
+        got = (
+            q224_cluster_terms(str(d))
+            .to_pandas()
+            .sort_values(["label", "score_micro", "term"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        con.register("embeddings", emb)
+        exp = con.execute(_sql_q224()).fetch_df()
+        for c in ("label", "term", "tf", "score_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        c1 = got[got.label == 1]
+        assert c1.term.iloc[0] == "zebra"
+        assert c1.tf.iloc[0] == 2
