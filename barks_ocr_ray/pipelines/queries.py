@@ -14665,6 +14665,173 @@ ORDER BY label, score_micro DESC, term
 """
 
 
+def _daily_type_counts(sf_dir: str) -> list:
+    """(event_type, epoch-day, count) rows — one keyed count
+    aggregation, (types × days)-bounded, shared by the robust-stats
+    family (q225/q226)."""
+    ev = read_table(sf_dir, "events", ["event_type", "ts"])
+
+    def _days(t: pa.Table) -> pa.Table:
+        d = pc.divide(
+            t.column("ts").cast(pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        k = pa.table({"event_type": t.column("event_type"), "day": d})
+        return (
+            k.group_by(["event_type", "day"])
+            .aggregate([("day", "count")])
+            .rename_columns(["event_type", "day", "c"])
+        )
+
+    return (
+        ev.map_batches(_days, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # (types × days)-bounded
+    )
+
+
+def q225_theil_sen(sf_dir: str):
+    """Theil–Sen robust trend of DAILY event volume per type: the
+    lower median of all pairwise day-slopes — outlier days cannot drag
+    the estimate the way they drag q222's OLS.  The distributed part
+    is one (type, day) count aggregation; the O(days²) pair
+    enumeration closes on the days-bounded driver table (the
+    monitoring-window resolution, corpus-size independent).  Each
+    slope is one identical IEEE division on both engines and the
+    median is an EXPLICIT rank pick ((m+1)//2 after (slope, d1, d2)
+    ordering) — no engine-specific quantile interpolation."""
+    import numpy as np
+
+    rows = _daily_type_counts(sf_dir)
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["day"]), int(r["c"]))
+        )
+    g_l, nd_l, np_l, sm_l = [], [], [], []
+    for et in sorted(by_type):
+        pts = sorted(by_type[et])
+        d = np.asarray([p[0] for p in pts], np.int64)
+        c = np.asarray([p[1] for p in pts], np.int64)
+        if len(d) < 2:
+            continue
+        i, j = np.triu_indices(len(d), k=1)
+        slope = (c[j] - c[i]).astype(np.float64) / (
+            d[j] - d[i]
+        ).astype(np.float64)
+        order = np.lexsort((d[j], d[i], slope))
+        m = len(order)
+        med = slope[order[(m + 1) // 2 - 1]]
+        g_l.append(et)
+        nd_l.append(len(d))
+        np_l.append(m)
+        sm_l.append(int(round_like_duckdb(1e6 * med, 0)))
+    return pa.table(
+        {
+            "event_type": pa.array(g_l, pa.string()),
+            "n_days": pa.array(nd_l, pa.int64()),
+            "n_pairs": pa.array(np_l, pa.int64()),
+            "slope_micro": pa.array(sm_l, pa.int64()),
+        }
+    )
+
+
+SQL_Q225 = """
+WITH d AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+p AS (
+  SELECT a.event_type, a.day AS d1, b.day AS d2,
+         (b.c - a.c) / (b.day - a.day) AS slope
+  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day),
+r AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM p),
+nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+       FROM d GROUP BY 1)
+SELECT r.event_type, nd.n_days, CAST(r.m AS BIGINT) AS n_pairs,
+       CAST(round(1e6 * r.slope, 0) AS BIGINT) AS slope_micro
+FROM r JOIN nd USING (event_type)
+WHERE r.rn = (r.m + 1) // 2
+ORDER BY r.event_type
+"""
+
+
+def q226_mad_anomaly_days(sf_dir: str):
+    """Anomalous-volume days per event type: days whose daily count
+    deviates from the type's median by more than 3× the median
+    absolute deviation — the standard robust monitoring alarm, and
+    INTEGER-ONLY end to end (counts, explicit lower-median rank picks,
+    abs deviations), so both engines agree bit-for-bit with zero float
+    expressions.  Distributed part: the shared (type, day) count
+    aggregation; medians close on the days-bounded driver table."""
+    rows = _daily_type_counts(sf_dir)
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (int(r["day"]), int(r["c"]))
+        )
+    g_l, d_l, c_l, dev_l, mad_l = [], [], [], [], []
+    for et in sorted(by_type):
+        pts = sorted(by_type[et])
+        cs = sorted(c for _, c in pts)
+        med = cs[(len(cs) + 1) // 2 - 1]
+        devs = sorted(abs(c - med) for _, c in pts)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        for day, c in pts:
+            dev = abs(c - med)
+            if dev > 3 * mad:
+                g_l.append(et)
+                d_l.append(day)
+                c_l.append(c)
+                dev_l.append(dev)
+                mad_l.append(mad)
+    return pa.table(
+        {
+            "event_type": pa.array(g_l, pa.string()),
+            "day": pa.array(d_l, pa.int64()),
+            "c": pa.array(c_l, pa.int64()),
+            "dev": pa.array(dev_l, pa.int64()),
+            "mad": pa.array(mad_l, pa.int64()),
+        }
+    )
+
+
+SQL_Q226 = """
+WITH d AS (
+  SELECT event_type,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+m1 AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM d),
+med AS (SELECT event_type, c AS med FROM m1 WHERE rn = (n + 1) // 2),
+dv AS (
+  SELECT d.event_type, d.day, d.c, abs(d.c - med.med) AS dev
+  FROM d JOIN med USING (event_type)),
+m2 AS (
+  SELECT event_type, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM dv),
+mad AS (SELECT event_type, dev AS mad FROM m2 WHERE rn = (n + 1) // 2)
+SELECT dv.event_type, CAST(dv.day AS BIGINT) AS day, dv.c,
+       CAST(dv.dev AS BIGINT) AS dev, CAST(mad.mad AS BIGINT) AS mad
+FROM dv JOIN mad USING (event_type)
+WHERE dv.dev > 3 * mad.mad
+ORDER BY dv.event_type, dv.day
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -14906,6 +15073,8 @@ def build_registry():
         "q222_grouped_trend": q222_grouped_trend,
         "q223_trending_decay": q223_trending_decay,
         "q224_cluster_terms": q224_cluster_terms,
+        "q225_theil_sen": q225_theil_sen,
+        "q226_mad_anomaly_days": q226_mad_anomaly_days,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -15180,6 +15349,8 @@ def build_registry():
         "q222_grouped_trend": SQL_Q222,
         "q223_trending_decay": SQL_Q223,
         "q224_cluster_terms": _sql_q224(),
+        "q225_theil_sen": SQL_Q225,
+        "q226_mad_anomaly_days": SQL_Q226,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2689,3 +2689,82 @@ class TestClusterTerms:
         c1 = got[got.label == 1]
         assert c1.term.iloc[0] == "zebra"
         assert c1.tf.iloc[0] == 2
+
+
+def _events_daily(counts_by_type):
+    """events table with `c` one-value events on each (type, day)."""
+    import datetime
+
+    eid, ts_l, et_l = [], [], []
+    for et, day_counts in counts_by_type.items():
+        for day, c in day_counts:
+            for _ in range(c):
+                eid.append(len(eid))
+                ts_l.append(
+                    datetime.datetime(2024, 1, 1)
+                    + datetime.timedelta(days=day, hours=7)
+                )
+                et_l.append(et)
+    n = len(eid)
+    return pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts_l, pa.timestamp("us")),
+            "user_id": pa.array([0] * n, pa.int64()),
+            "event_type": pa.array(et_l, pa.string()),
+            "value": pa.array([1.0] * n, pa.float64()),
+            "props": pa.array([""] * n, pa.string()),
+        }
+    )
+
+
+class TestTheilSen:
+    def test_outlier_day_cannot_drag_the_median_slope(
+        self, ray_session, tmp_path
+    ):
+        from barks_ocr_ray.pipelines.queries import SQL_Q225, q225_theil_sen
+
+        ev = _events_daily(
+            {
+                "lin": [(0, 10), (1, 20), (2, 30), (3, 40)],
+                "out": [(0, 10), (1, 20), (2, 30), (3, 1000)],
+                "oneday": [(2, 7)],
+            }
+        )
+        d = _write(tmp_path, "sf_theil", ev, "events.parquet")
+        got = q225_theil_sen(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q225).fetch_df()
+        for c in ("event_type", "n_days", "n_pairs", "slope_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.event_type.tolist() == ["lin", "out"]  # oneday dropped
+        # both medians are 10/day: the day-3 outlier is outvoted
+        assert got.slope_micro.tolist() == [10_000_000, 10_000_000]
+        assert got.n_pairs.tolist() == [6, 6]
+
+
+class TestMadAnomalyDays:
+    def test_spike_day_flagged_flat_type_clean(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q226,
+            q226_mad_anomaly_days,
+        )
+
+        ev = _events_daily(
+            {
+                "spiky": [(d, 5) for d in range(6)] + [(6, 50)],
+                "flat": [(d, 9) for d in range(7)],
+            }
+        )
+        d = _write(tmp_path, "sf_mad", ev, "events.parquet")
+        got = q226_mad_anomaly_days(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q226).fetch_df()
+        for c in ("event_type", "day", "c", "dev", "mad"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.event_type.tolist() == ["spiky"]
+        assert got.c.tolist() == [50]
+        assert got.dev.tolist() == [45]
+        assert got.mad.tolist() == [0]
