@@ -14832,6 +14832,198 @@ ORDER BY dv.event_type, dv.day
 """
 
 
+def q227_group_purity(sf_dir: str):
+    """Functional-dependency conformance audit (source → lang): per
+    source, how close is it to a single language — the label-purity /
+    FD-violation profile a data-quality layer runs before trusting a
+    grouping column (companion to q104's row expectations and q139's
+    schema drift, at VALUE resolution).  One (source, lang)-bounded
+    count aggregation; purity and the majority pick close on the
+    key-bounded driver table with an explicit (count desc, lang asc)
+    tie rule."""
+    docs = read_table(sf_dir, "documents", ["source", "lang"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"source": t.column("source"), "lang": t.column("lang")})
+            .group_by(["source", "lang"])
+            .aggregate([("lang", "count")])
+            .rename_columns(["source", "lang", "c"])
+        )
+
+    rows = (
+        docs.map_batches(_counts, batch_format="pyarrow")
+        .groupby(["source", "lang"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # (sources × langs)-bounded
+    )
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["lang"], int(r["c"])))
+    s_l, n_l, k_l, tl_l, tc_l, p_l = [], [], [], [], [], []
+    for src in sorted(by_src):
+        langs = by_src[src]
+        n_docs = sum(c for _, c in langs)
+        top_lang, top_c = min(langs, key=lambda x: (-x[1], x[0]))
+        s_l.append(src)
+        n_l.append(n_docs)
+        k_l.append(len(langs))
+        tl_l.append(top_lang)
+        tc_l.append(top_c)
+        p_l.append(
+            int(round_like_duckdb(1e6 * float(top_c) / float(n_docs), 0))
+        )
+    return pa.table(
+        {
+            "source": pa.array(s_l, pa.string()),
+            "n_docs": pa.array(n_l, pa.int64()),
+            "n_langs": pa.array(k_l, pa.int64()),
+            "top_lang": pa.array(tl_l, pa.string()),
+            "top_c": pa.array(tc_l, pa.int64()),
+            "purity_micro": pa.array(p_l, pa.int64()),
+        }
+    )
+
+
+SQL_Q227 = """
+WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, lang AS top_lang, c AS top_c,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY c DESC, lang) AS rn
+      FROM g),
+s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs
+      FROM g GROUP BY 1)
+SELECT s.source, s.n_docs, s.n_langs, t.top_lang, t.top_c,
+       CAST(round(1e6 * t.top_c / s.n_docs, 0) AS BIGINT) AS purity_micro
+FROM s JOIN t ON s.source = t.source AND t.rn = 1
+ORDER BY s.source
+"""
+
+
+Q228_TOUCHES = ("click", "signup", "view")
+
+
+def q228_linear_attribution(sf_dir: str):
+    """Linear multi-touch attribution: each purchase's cents split
+    EQUALLY over every preceding touch event of the same user (q192's
+    last-touch sibling — the other standard marketing credit model).
+    Per-touch credit is one mirrored round(1000·cents/k) so the split
+    is exact integers with no float accumulation.  One user-keyed
+    exchange; each block's sorted-stream scan emits touch-type
+    partials; the final table is touch-type-bounded."""
+    import numpy as np
+
+    touches = Q228_TOUCHES
+    ev = read_table(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+
+    def _scan(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_touch_credits": pa.array([], pa.int64()),
+                "credit_millicents": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist())
+        cents = round_like_duckdb(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, u))
+        u, et, cents = u[order], et[order], cents[order]
+        is_t = {ty: (et == ty) for ty in touches}
+        is_p = et == "purchase"
+        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        tot_n = {ty: 0 for ty in touches}
+        tot_c = {ty: 0 for ty in touches}
+        for i, s in enumerate(seg):
+            e = seg[i + 1] if i + 1 < len(seg) else len(u)
+            cums = {
+                ty: np.concatenate(
+                    ([0], np.cumsum(is_t[ty][s:e])[:-1])
+                )
+                for ty in touches
+            }
+            for p_pos in np.flatnonzero(is_p[s:e]):
+                k = sum(int(cums[ty][p_pos]) for ty in touches)
+                if k == 0:
+                    continue
+                credit = int(
+                    round_like_duckdb(
+                        float(1000 * int(cents[s:e][p_pos])) / float(k), 0
+                    )
+                )
+                for ty in touches:
+                    n_ty = int(cums[ty][p_pos])
+                    tot_n[ty] += n_ty
+                    tot_c[ty] += n_ty * credit
+        return pa.table(
+            {
+                "event_type": pa.array(list(touches), pa.string()),
+                "n_touch_credits": pa.array(
+                    [tot_n[ty] for ty in touches], pa.int64()
+                ),
+                "credit_millicents": pa.array(
+                    [tot_c[ty] for ty in touches], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        ev.repartition(hash_partitions(16), keys=["user_id"])
+        .map_batches(_scan, batch_format="pyarrow")
+        .take_all()  # touch-types × blocks
+    )
+    agg: dict = {ty: [0, 0] for ty in touches}
+    for r in parts:
+        a = agg[r["event_type"]]
+        a[0] += int(r["n_touch_credits"])
+        a[1] += int(r["credit_millicents"])
+    out = [(ty, *agg[ty]) for ty in sorted(touches) if agg[ty][0] > 0]
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out], pa.string()),
+            "n_touch_credits": pa.array([r[1] for r in out], pa.int64()),
+            "credit_millicents": pa.array([r[2] for r in out], pa.int64()),
+        }
+    )
+
+
+SQL_Q228 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS cents
+  FROM events),
+p AS (SELECT user_id, ts, event_id, cents FROM e
+      WHERE event_type = 'purchase'),
+t AS (SELECT user_id, ts, event_id, event_type FROM e
+      WHERE event_type IN {Q228_TOUCHES!r}),
+pairs AS (
+  SELECT p.event_id AS pid, p.cents, t.event_type
+  FROM p JOIN t ON p.user_id = t.user_id
+               AND (t.ts < p.ts
+                    OR (t.ts = p.ts AND t.event_id < p.event_id))),
+k AS (SELECT pid, CAST(count(*) AS BIGINT) AS k,
+             CAST(round(1000 * any_value(cents) / count(*), 0) AS BIGINT)
+               AS credit
+      FROM pairs GROUP BY 1),
+c AS (SELECT pairs.event_type, k.credit
+      FROM pairs JOIN k USING (pid))
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_touch_credits,
+       CAST(sum(credit) AS BIGINT) AS credit_millicents
+FROM c GROUP BY 1
+ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -15075,6 +15267,8 @@ def build_registry():
         "q224_cluster_terms": q224_cluster_terms,
         "q225_theil_sen": q225_theil_sen,
         "q226_mad_anomaly_days": q226_mad_anomaly_days,
+        "q227_group_purity": q227_group_purity,
+        "q228_linear_attribution": q228_linear_attribution,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -15351,6 +15545,8 @@ def build_registry():
         "q224_cluster_terms": _sql_q224(),
         "q225_theil_sen": SQL_Q225,
         "q226_mad_anomaly_days": SQL_Q226,
+        "q227_group_purity": SQL_Q227,
+        "q228_linear_attribution": SQL_Q228,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

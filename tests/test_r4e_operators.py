@@ -2768,3 +2768,87 @@ class TestMadAnomalyDays:
         assert got.c.tolist() == [50]
         assert got.dev.tolist() == [45]
         assert got.mad.tolist() == [0]
+
+
+class TestGroupPurity:
+    def test_pure_and_mixed_sources(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q227,
+            q227_group_purity,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "text": pa.array(["x"] * 10, pa.string()),
+                "lang": pa.array(
+                    ["en"] * 4  # pure source
+                    + ["en", "en", "de", "fr"]  # mixed, en majority
+                    + ["de", "en"],  # tie 1-1 -> 'de' wins (lang asc)
+                    pa.string(),
+                ),
+                "source": pa.array(
+                    ["pure"] * 4 + ["mixed"] * 4 + ["tie"] * 2, pa.string()
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_purity", docs, "documents.parquet")
+        got = q227_group_purity(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q227).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.set_index("source").purity_micro.to_dict() == {
+            "pure": 1_000_000, "mixed": 500_000, "tie": 500_000,
+        }
+        assert got.set_index("source").top_lang.to_dict() == {
+            "pure": "en", "mixed": "en", "tie": "de",
+        }
+
+
+class TestLinearAttribution:
+    def test_equal_split_and_rows_tie_rule(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q228,
+            q228_linear_attribution,
+        )
+
+        import datetime
+
+        base = datetime.datetime(2024, 3, 1)
+        # user 1: click, view, view, then a $4 purchase -> k=3,
+        # credit 1333 millicents x3 (one to click, two to view)
+        # user 2: purchase with NO prior touch -> unattributed
+        # user 3: touch at the SAME ts as the purchase with smaller
+        # event_id -> counts (ROWS rule)
+        rows = [
+            (10, 1, base, "click", 0.0),
+            (11, 1, base + datetime.timedelta(minutes=1), "view", 0.0),
+            (12, 1, base + datetime.timedelta(minutes=2), "view", 0.0),
+            (13, 1, base + datetime.timedelta(minutes=3), "purchase", 4.0),
+            (20, 2, base, "purchase", 9.0),
+            (30, 3, base, "signup", 0.0),
+            (31, 3, base, "purchase", 2.0),
+        ]
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_attr", ev, "events.parquet")
+        got = q228_linear_attribution(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q228).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        g = got.set_index("event_type")
+        assert g.loc["click"].credit_millicents == 133_333  # 400c/3
+        assert g.loc["view"].credit_millicents == 266_666
+        assert g.loc["signup"].credit_millicents == 200_000  # same-ts touch
