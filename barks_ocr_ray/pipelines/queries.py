@@ -15024,6 +15024,155 @@ ORDER BY 1
 """
 
 
+Q229_WINDOW = 14  #: days per observation/outcome window
+
+
+def q229_churn_labels(sf_dir: str):
+    """Churn-label table builder: per user active in the OBSERVATION
+    window (first 14 corpus days), integer features (event count,
+    purchases, cents, last-active relative day) plus the churn label =
+    zero events in the following OUTCOME window — the standard
+    leakage-safe label construction (features strictly from W1, label
+    strictly from W2).  One scalar min-day reduce, then ONE user-keyed
+    aggregation of per-block (user, window) partials; the result
+    STREAMS (user-scale Dataset, nothing driver-side)."""
+    import numpy as np
+
+    w = Q229_WINDOW
+    ev = read_table(
+        sf_dir, "events", ["user_id", "ts", "event_type", "value"]
+    )
+
+    def _day_min(t: pa.Table) -> pa.Table:
+        d = pc.divide(
+            t.column("ts").cast(pa.int64()),
+            pa.scalar(86_400_000_000, pa.int64()),
+        )
+        return pa.table({"mnd": pa.array([pc.min(d).as_py()], pa.int64())})
+
+    mn_parts = ev.map_batches(_day_min, batch_format="pyarrow").take_all()
+    mns = [int(r["mnd"]) for r in mn_parts if r["mnd"] is not None]
+    empty = pa.table(
+        {
+            "user_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_purchases": pa.array([], pa.int64()),
+            "cents": pa.array([], pa.int64()),
+            "last_day": pa.array([], pa.int64()),
+            "churned": pa.array([], pa.bool_()),
+        }
+    )
+    if not mns:
+        return empty
+    mnd = min(mns)
+
+    def _partials(t: pa.Table) -> pa.Table:
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+            - mnd
+        )
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist())
+        cents = round_like_duckdb(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        w1 = day < w
+        w2 = (day >= w) & (day < 2 * w)
+        k = pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "w1_n": pa.array(w1.astype(np.int64), pa.int64()),
+                "w1_purch": pa.array(
+                    (w1 & (et == "purchase")).astype(np.int64), pa.int64()
+                ),
+                "w1_cents": pa.array(
+                    np.where(w1, cents, 0), pa.int64()
+                ),
+                "w1_last": pa.array(
+                    np.where(w1, day, -1), pa.int64()
+                ),
+                "w2_n": pa.array(w2.astype(np.int64), pa.int64()),
+            }
+        )
+        return (
+            k.group_by("user_id")
+            .aggregate(
+                [
+                    ("w1_n", "sum"),
+                    ("w1_purch", "sum"),
+                    ("w1_cents", "sum"),
+                    ("w1_last", "max"),
+                    ("w2_n", "sum"),
+                ]
+            )
+            .rename_columns(
+                ["user_id", "w1_n", "w1_purch", "w1_cents", "w1_last", "w2_n"]
+            )
+        )
+
+    agg = (
+        ev.map_batches(_partials, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=hash_partitions(8))
+        .aggregate(
+            Sum("w1_n", alias_name="w1_n"),
+            Sum("w1_purch", alias_name="w1_purch"),
+            Sum("w1_cents", alias_name="w1_cents"),
+            Max("w1_last", alias_name="w1_last"),
+            Sum("w2_n", alias_name="w2_n"),
+        )
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        keep = pc.greater(t.column("w1_n"), pa.scalar(0, pa.int64()))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": t.column("w1_n"),
+                "n_purchases": t.column("w1_purch"),
+                "cents": t.column("w1_cents"),
+                "last_day": t.column("w1_last"),
+                "churned": pc.equal(
+                    t.column("w2_n"), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def _sql_q229() -> str:
+    w = Q229_WINDOW
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(round(value * 100.0) AS BIGINT) AS cents,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+           - (SELECT min(datediff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE))) FROM events) AS day
+  FROM events),
+a AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN day < {w} THEN 1 END), 0) AS BIGINT)
+           AS n_events,
+         CAST(coalesce(sum(CASE WHEN day < {w}
+                                 AND event_type = 'purchase'
+                                THEN 1 END), 0) AS BIGINT) AS n_purchases,
+         CAST(coalesce(sum(CASE WHEN day < {w} THEN cents END), 0)
+              AS BIGINT) AS cents,
+         CAST(coalesce(max(CASE WHEN day < {w} THEN day END), -1)
+              AS BIGINT) AS last_day,
+         CAST(coalesce(sum(CASE WHEN day >= {w} AND day < {2 * w}
+                                THEN 1 END), 0) AS BIGINT) AS w2_n
+  FROM e GROUP BY 1)
+SELECT user_id, n_events, n_purchases, cents, last_day,
+       w2_n = 0 AS churned
+FROM a WHERE n_events > 0
+ORDER BY user_id
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -15269,6 +15418,7 @@ def build_registry():
         "q226_mad_anomaly_days": q226_mad_anomaly_days,
         "q227_group_purity": q227_group_purity,
         "q228_linear_attribution": q228_linear_attribution,
+        "q229_churn_labels": q229_churn_labels,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -15547,6 +15697,7 @@ def build_registry():
         "q226_mad_anomaly_days": SQL_Q226,
         "q227_group_purity": SQL_Q227,
         "q228_linear_attribution": SQL_Q228,
+        "q229_churn_labels": _sql_q229(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2852,3 +2852,56 @@ class TestLinearAttribution:
         assert g.loc["click"].credit_millicents == 133_333  # 400c/3
         assert g.loc["view"].credit_millicents == 266_666
         assert g.loc["signup"].credit_millicents == 200_000  # same-ts touch
+
+
+class TestChurnLabels:
+    def test_leakage_safe_windows(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q229,
+            q229_churn_labels,
+        )
+
+        import datetime
+
+        base = datetime.datetime(2024, 5, 1)
+        # user 1: W1 activity + W2 activity -> retained
+        # user 2: W1 activity only -> churned
+        # user 3: W2 activity ONLY -> excluded (no W1 events)
+        rows = [
+            (1, 0, "click", 0.0),
+            (1, 3, "purchase", 5.0),
+            (1, 20, "view", 0.0),
+            (2, 5, "purchase", 2.5),
+            (3, 15, "click", 0.0),
+        ]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [base + datetime.timedelta(days=r[1], hours=2)
+                     for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_churn", ev, "events.parquet")
+        got = (
+            q229_churn_labels(d)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(_sql_q229()).fetch_df()
+        for c in ("user_id", "n_events", "n_purchases", "cents",
+                  "last_day", "churned"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.user_id.tolist() == [1, 2]
+        assert got.churned.tolist() == [False, True]
+        assert got.cents.tolist() == [500, 250]
+        assert got.last_day.tolist() == [3, 5]
