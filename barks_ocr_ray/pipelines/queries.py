@@ -15173,6 +15173,183 @@ ORDER BY user_id
 """
 
 
+Q230_TERM = "data"
+Q230_CTX = 3  #: tokens of context either side
+Q230_K = 20
+
+
+def q230_search_snippets(sf_dir: str):
+    """KWIC (keyword-in-context) snippet generation — the search-result
+    surface on top of S12's index: for the first Q230_K matching docs
+    (doc_id asc), the 1-based position of the term's FIRST occurrence
+    and a ±CTX-token window.  Pure per-row scan; each block emits only
+    its local bottom-K matches, the driver merges blocks×K candidate
+    rows — no global sort, no corpus-scale driver state."""
+    tok = Tokenizer()
+    term, ctx, k = Q230_TERM, Q230_CTX, Q230_K
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    def _match(t: pa.Table) -> pa.Table:
+        out_d, out_p, out_s = [], [], []
+        for did, s in zip(
+            t.column("doc_id").to_pylist(), t.column("text")
+        ):
+            toks = tok.tokens(s.as_py() or "")
+            try:
+                p0 = toks.index(term)
+            except ValueError:
+                continue
+            lo = max(1, (p0 + 1) - ctx)  # 1-based inclusive, SQL slice rule
+            hi = min(len(toks), (p0 + 1) + ctx)
+            out_d.append(did)
+            out_p.append(p0 + 1)
+            out_s.append(" ".join(toks[lo - 1 : hi]))
+        order = sorted(range(len(out_d)), key=lambda i: out_d[i])[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array([out_d[i] for i in order], pa.int64()),
+                "pos": pa.array([out_p[i] for i in order], pa.int64()),
+                "snippet": pa.array([out_s[i] for i in order], pa.string()),
+            }
+        )
+
+    rows = docs.map_batches(_match, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["doc_id"])  # blocks×K candidates
+    rows = rows[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "pos": pa.array([r["pos"] for r in rows], pa.int64()),
+            "snippet": pa.array([r["snippet"] for r in rows], pa.string()),
+        }
+    )
+
+
+def _sql_q230() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, toks, list_position(toks, '{Q230_TERM}') AS pos
+  FROM t WHERE list_position(toks, '{Q230_TERM}') > 0)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(toks[greatest(1, pos - {Q230_CTX})
+                            :least(len(toks), pos + {Q230_CTX})], ' ')
+         AS snippet
+FROM m ORDER BY doc_id LIMIT {Q230_K}
+"""
+
+
+Q231_BUDGET_PCT = 40  #: global token budget as % of corpus tokens
+
+
+def q231_waterfill_budget(sf_dir: str):
+    """Waterfilling token-budget allocation across sources: given a
+    global budget B (= 40% of corpus tokens), find the integer cap c*
+    such that every source keeps min(tokens, c*) and the total stays
+    within B — the fair-share allocator behind q117's fixed quota and
+    q63's fixed mixture (sources under the cap keep everything;
+    surplus redistributes to the big ones).  One vocab-free tokenize
+    count per source (sources-bounded agg); the sort + prefix walk
+    closes on the sources-bounded driver table, ALL integer
+    arithmetic."""
+    from barks_ocr_ray.functions.text import TOKEN_RE as _TRE
+
+    docs = read_table(sf_dir, "documents", ["source", "text"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.utf8_lower(t.column("text")), _TRE
+        ).cast(pa.int64())
+        k = pa.table({"source": t.column("source"), "tokens": n})
+        return (
+            k.group_by("source")
+            .aggregate([("tokens", "sum")])
+            .rename_columns(["source", "tokens"])
+        )
+
+    rows = (
+        docs.map_batches(_counts, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("tokens", alias_name="tokens"))
+        .take_all()  # sources-bounded
+    )
+    srcs = sorted(
+        ((r["source"], int(r["tokens"])) for r in rows),
+        key=lambda x: (x[1], x[0]),
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "tokens": pa.array([], pa.int64()),
+            "alloc": pa.array([], pa.int64()),
+            "capped": pa.array([], pa.bool_()),
+        }
+    )
+    if not srcs:
+        return empty
+    total = sum(t for _, t in srcs)
+    budget = (Q231_BUDGET_PCT * total) // 100
+    n = len(srcs)
+    prefix = 0
+    cap = None
+    for i, (_, t) in enumerate(srcs):
+        if t * (n - i) + prefix > budget:  # first row the budget breaks at
+            cap = (budget - prefix) // (n - i)
+            break
+        prefix += t
+    out = []
+    for s, t in srcs:
+        capped = cap is not None and t > cap
+        out.append((s, t, cap if capped else t, capped))
+    out.sort()
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in out], pa.string()),
+            "tokens": pa.array([r[1] for r in out], pa.int64()),
+            "alloc": pa.array([r[2] for r in out], pa.int64()),
+            "capped": pa.array([r[3] for r in out], pa.bool_()),
+        }
+    )
+
+
+def _sql_q231() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH c AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_RE}')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY 1),
+b AS (SELECT ({Q231_BUDGET_PCT} * CAST(sum(tokens) AS BIGINT)) // 100
+        AS budget FROM c),
+r AS (
+  SELECT source, tokens,
+         CAST(coalesce(sum(tokens) OVER (ORDER BY tokens, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS prefix,
+         CAST(count(*) OVER (ORDER BY tokens, source
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS rem
+  FROM c),
+v AS (
+  SELECT (b.budget - r.prefix) // r.rem AS cap
+  FROM r, b
+  WHERE r.tokens * r.rem + r.prefix > b.budget
+  ORDER BY r.tokens, r.source LIMIT 1)
+SELECT r.source, r.tokens,
+       CASE WHEN v.cap IS NOT NULL AND r.tokens > v.cap
+            THEN v.cap ELSE r.tokens END AS alloc,
+       coalesce(v.cap IS NOT NULL AND r.tokens > v.cap, FALSE) AS capped
+FROM r LEFT JOIN v ON TRUE
+ORDER BY r.source
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -15419,6 +15596,8 @@ def build_registry():
         "q227_group_purity": q227_group_purity,
         "q228_linear_attribution": q228_linear_attribution,
         "q229_churn_labels": q229_churn_labels,
+        "q230_search_snippets": q230_search_snippets,
+        "q231_waterfill_budget": q231_waterfill_budget,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -15698,6 +15877,8 @@ def build_registry():
         "q227_group_purity": SQL_Q227,
         "q228_linear_attribution": SQL_Q228,
         "q229_churn_labels": _sql_q229(),
+        "q230_search_snippets": _sql_q230(),
+        "q231_waterfill_budget": _sql_q231(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -2905,3 +2905,98 @@ class TestChurnLabels:
         assert got.churned.tolist() == [False, True]
         assert got.cents.tolist() == [500, 250]
         assert got.last_day.tolist() == [3, 5]
+
+
+class TestSearchSnippets:
+    def test_clamped_window_and_k_cut(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q230,
+            q230_search_snippets,
+        )
+
+        texts, ids = [], []
+        # doc 0: term at position 1 -> left-clamped window
+        ids.append(0)
+        texts.append("data comes first here always")
+        # doc 1: term mid-text -> full +-3 window
+        ids.append(1)
+        texts.append("one two three four data five six seven eight")
+        # doc 2: no match
+        ids.append(2)
+        texts.append("nothing relevant in this doc")
+        # docs 10..32: matches beyond the K=20 cut
+        for i in range(10, 33):
+            ids.append(i)
+            texts.append(f"filler {i} data tail words")
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_kwic", docs, "documents.parquet")
+        got = q230_search_snippets(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q230()).fetch_df()
+        for c in ("doc_id", "pos", "snippet"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert len(got) == 20  # 24 matches cut to K
+        assert got.doc_id.iloc[0] == 0 and got.pos.iloc[0] == 1
+        assert got.snippet.iloc[0] == "data comes first here"  # clamped
+        assert got.snippet.iloc[1] == "two three four data five six seven"
+
+
+class TestWaterfillBudget:
+    def test_cap_redistribution_hand_case(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q231,
+            q231_waterfill_budget,
+        )
+
+        # tokens per source: a=10 b=20 c=40 d=130; total 200, budget 80
+        # -> waterfill cap 25: alloc 10+20+25+25 = 80 exactly
+        sizes = {"a": 10, "b": 20, "c": 40, "d": 130}
+        ids, texts, srcs = [], [], []
+        for i, (s, n) in enumerate(sorted(sizes.items())):
+            ids.append(i)
+            texts.append(" ".join(["w"] * n))
+            srcs.append(s)
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_wfill", docs, "documents.parquet")
+        got = q231_waterfill_budget(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q231()).fetch_df()
+        for c in ("source", "tokens", "alloc", "capped"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.alloc.tolist() == [10, 20, 25, 25]
+        assert got.capped.tolist() == [False, False, True, True]
+        assert got.alloc.sum() == 80
+
+    def test_budget_covers_everything_no_cap(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q231_waterfill_budget
+        import barks_ocr_ray.pipelines.queries as Q
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["w w", "w"], pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["a", "b"], pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_wfill2", docs, "documents.parquet")
+        import unittest.mock as mock
+
+        with mock.patch.object(Q, "Q231_BUDGET_PCT", 100):
+            got = q231_waterfill_budget(d).to_pandas()
+        assert got.alloc.tolist() == got.tokens.tolist()
+        assert not got.capped.any()
