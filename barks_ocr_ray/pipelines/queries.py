@@ -15350,6 +15350,201 @@ ORDER BY r.source
 """
 
 
+def q232_qq_drift(sf_dir: str):
+    """Quantile–quantile mapping between the prior and new snapshot
+    length distributions (q130's doc_id%10 split): the decile-level
+    'where exactly did the distribution move' companion to q205's
+    scalar KS statistic.  n_chars is a BOUNDED-domain integer, so the
+    exact per-side quantiles come from one (side, value) count
+    aggregation (domain-bounded exchange, no sort, no quickselect) and
+    an explicit (d·n+9)//10 lower-rank pick on the driver — mirrored
+    by the oracle's row_number pick, deterministic under ties."""
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        side = ((did % 10) >= 7).astype(np.int64)
+        k = pa.table(
+            {
+                "side": pa.array(side, pa.int64()),
+                "v": t.column("n_chars"),
+            }
+        )
+        return (
+            k.group_by(["side", "v"])
+            .aggregate([("v", "count")])
+            .rename_columns(["side", "v", "c"])
+        )
+
+    rows = (
+        docs.map_batches(_counts, batch_format="pyarrow")
+        .groupby(["side", "v"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # 2 × value-domain bounded
+    )
+    hists: dict = {0: [], 1: []}
+    for r in rows:
+        hists[int(r["side"])].append((int(r["v"]), int(r["c"])))
+    empty = pa.table(
+        {
+            "decile": pa.array([], pa.int64()),
+            "v_prior": pa.array([], pa.int64()),
+            "v_new": pa.array([], pa.int64()),
+            "delta": pa.array([], pa.int64()),
+        }
+    )
+    if not hists[0] or not hists[1]:
+        return empty
+
+    def _pick(hist, idx):  # value at 1-based rank idx of the multiset
+        cum = 0
+        for v, c in sorted(hist):
+            cum += c
+            if cum >= idx:
+                return v
+        return sorted(hist)[-1][0]
+
+    n0 = sum(c for _, c in hists[0])
+    n1 = sum(c for _, c in hists[1])
+    d_l, p_l, nw_l, dl_l = [], [], [], []
+    for d in range(1, 10):
+        vp = _pick(hists[0], (d * n0 + 9) // 10)
+        vn = _pick(hists[1], (d * n1 + 9) // 10)
+        d_l.append(d * 10)
+        p_l.append(vp)
+        nw_l.append(vn)
+        dl_l.append(vn - vp)
+    return pa.table(
+        {
+            "decile": pa.array(d_l, pa.int64()),
+            "v_prior": pa.array(p_l, pa.int64()),
+            "v_new": pa.array(nw_l, pa.int64()),
+            "delta": pa.array(dl_l, pa.int64()),
+        }
+    )
+
+
+SQL_Q232 = """
+WITH s AS (
+  SELECT CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END AS side, n_chars
+  FROM documents),
+r AS (
+  SELECT side, n_chars,
+         row_number() OVER (PARTITION BY side ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY side) AS n
+  FROM s),
+g AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d),
+p AS (
+  SELECT g.d, r.side, r.n_chars
+  FROM g JOIN r ON r.rn = (g.d * r.n + 9) // 10)
+SELECT CAST(d * 10 AS BIGINT) AS decile,
+       CAST(max(CASE WHEN side = 0 THEN n_chars END) AS BIGINT) AS v_prior,
+       CAST(max(CASE WHEN side = 1 THEN n_chars END) AS BIGINT) AS v_new,
+       CAST(max(CASE WHEN side = 1 THEN n_chars END)
+            - max(CASE WHEN side = 0 THEN n_chars END) AS BIGINT) AS delta
+FROM p GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q233_exact_auc(sf_dir: str):
+    """Exact ROC-AUC of a deterministic score (n_chars) against a
+    binary label (lang = 'en') via the tie-corrected rank-sum identity
+    AUC = (#(pos > neg) + ½·ties) / (pos·neg) — the classifier-eval
+    primitive next to q173's calibration bins, computed WITHOUT any
+    per-row ranking: one (label, value) count aggregation over the
+    bounded score domain, then an integer cumulative walk; the only
+    float is the single mirrored final division (kept ×2 to stay
+    integral until then)."""
+    docs = read_table(sf_dir, "documents", ["n_chars", "lang"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        pos = pc.equal(t.column("lang"), pa.scalar("en"))
+        k = pa.table(
+            {
+                "v": t.column("n_chars"),
+                "pos": pos.cast(pa.int64()),
+            }
+        )
+        return (
+            k.group_by(["v", "pos"])
+            .aggregate([("pos", "count")])
+            .rename_columns(["v", "pos", "c"])
+        )
+
+    rows = (
+        docs.map_batches(_counts, batch_format="pyarrow")
+        .groupby(["v", "pos"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # 2 × value-domain bounded
+    )
+    by_v: dict = {}
+    for r in rows:
+        v = int(r["v"])
+        cp, cn = by_v.get(v, (0, 0))
+        if int(r["pos"]) == 1:
+            cp += int(r["c"])
+        else:
+            cn += int(r["c"])
+        by_v[v] = (cp, cn)
+    empty = pa.table(
+        {
+            "n_pos": pa.array([], pa.int64()),
+            "n_neg": pa.array([], pa.int64()),
+            "auc_micro": pa.array([], pa.int64()),
+        }
+    )
+    num2 = 0  # 2·#(pos>neg) + ties, exact
+    cum_neg = 0
+    for v in sorted(by_v):
+        cp, cn = by_v[v]
+        num2 += cp * (2 * cum_neg + cn)
+        cum_neg += cn
+    n_pos = sum(cp for cp, _ in by_v.values())
+    n_neg = sum(cn for _, cn in by_v.values())
+    if n_pos == 0 or n_neg == 0:
+        return empty
+    auc = int(
+        round_like_duckdb(
+            1e6 * float(num2) / float(2 * n_pos * n_neg), 0
+        )
+    )
+    return pa.table(
+        {
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "auc_micro": pa.array([auc], pa.int64()),
+        }
+    )
+
+
+SQL_Q233 = """
+WITH c AS (
+  SELECT n_chars AS v,
+         CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0)
+              AS BIGINT) AS cp,
+         CAST(coalesce(sum(CASE WHEN lang <> 'en' THEN 1 END), 0)
+              AS BIGINT) AS cn
+  FROM documents GROUP BY 1),
+w AS (
+  SELECT cp, cn,
+         CAST(coalesce(sum(cn) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_neg
+  FROM c),
+t AS (SELECT CAST(sum(cp * (2 * cum_neg + cn)) AS HUGEINT) AS num2,
+             CAST(sum(cp) AS BIGINT) AS n_pos,
+             CAST(sum(cn) AS BIGINT) AS n_neg
+      FROM w)
+SELECT n_pos, n_neg,
+       CAST(round(1e6 * num2 / (2 * CAST(n_pos AS HUGEINT) * n_neg), 0)
+            AS BIGINT) AS auc_micro
+FROM t WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -15598,6 +15793,8 @@ def build_registry():
         "q229_churn_labels": q229_churn_labels,
         "q230_search_snippets": q230_search_snippets,
         "q231_waterfill_budget": q231_waterfill_budget,
+        "q232_qq_drift": q232_qq_drift,
+        "q233_exact_auc": q233_exact_auc,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -15879,6 +16076,8 @@ def build_registry():
         "q229_churn_labels": _sql_q229(),
         "q230_search_snippets": _sql_q230(),
         "q231_waterfill_budget": _sql_q231(),
+        "q232_qq_drift": SQL_Q232,
+        "q233_exact_auc": SQL_Q233,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

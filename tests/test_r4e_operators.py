@@ -3000,3 +3000,80 @@ class TestWaterfillBudget:
             got = q231_waterfill_budget(d).to_pandas()
         assert got.alloc.tolist() == got.tokens.tolist()
         assert not got.capped.any()
+
+
+class TestQQDrift:
+    def test_shifted_distribution_reads_at_every_decile(
+        self, ray_session, tmp_path
+    ):
+        from barks_ocr_ray.pipelines.queries import SQL_Q232, q232_qq_drift
+
+        # prior side (id%10 < 7): n_chars = 100..; new side: same shape
+        # shifted +50 -> every decile delta ~ +50
+        ids, chars = [], []
+        nxt = 0
+        for i in range(200):
+            if i % 10 >= 7:
+                continue
+            ids.append(i)
+            chars.append(100 + (nxt % 40))
+            nxt += 1
+        nxt = 0
+        for i in range(200):
+            if i % 10 < 7:
+                continue
+            ids.append(i)
+            chars.append(150 + (nxt % 40))
+            nxt += 1
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_qq", docs, "documents.parquet")
+        got = q232_qq_drift(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q232).fetch_df()
+        for c in ("decile", "v_prior", "v_new", "delta"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.decile.tolist() == list(range(10, 100, 10))
+        assert all(45 <= dl <= 55 for dl in got.delta)
+
+
+class TestExactAuc:
+    def test_separable_ties_and_random_cases(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import SQL_Q233, q233_exact_auc
+
+        def run(name, scores_pos, scores_neg):
+            n = len(scores_pos) + len(scores_neg)
+            docs = pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "n_chars": pa.array(
+                        scores_pos + scores_neg, pa.int64()
+                    ),
+                    "lang": pa.array(
+                        ["en"] * len(scores_pos)
+                        + ["de"] * len(scores_neg),
+                        pa.string(),
+                    ),
+                }
+            )
+            d = _write(tmp_path, name, docs, "documents.parquet")
+            got = q233_exact_auc(d).to_pandas()
+            con = duckdb.connect()
+            con.register("documents", docs)
+            exp = con.execute(SQL_Q233).fetch_df()
+            for c in ("n_pos", "n_neg", "auc_micro"):
+                assert got[c].tolist() == exp[c].tolist(), (name, c)
+            return got.auc_micro.iloc[0]
+
+        # perfectly separable -> AUC 1
+        assert run("sf_auc1", [10, 11, 12], [1, 2, 3]) == 1_000_000
+        # all tied -> AUC exactly 0.5
+        assert run("sf_auc2", [5, 5], [5, 5, 5]) == 500_000
+        # hand case: pos {2,4}, neg {1,3}: pairs (2>1),(4>1),(4>3)=3
+        # of 4 -> 0.75
+        assert run("sf_auc3", [2, 4], [1, 3]) == 750_000
