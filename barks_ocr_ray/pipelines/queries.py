@@ -15545,6 +15545,109 @@ FROM t WHERE n_pos > 0 AND n_neg > 0
 """
 
 
+Q234_FOLDS = 5
+
+
+def q234_fold_balance(sf_dir: str):
+    """K-fold cross-validation assignment + balance audit: folds come
+    from the oracle-replayable md5 unit fraction (q113's convention,
+    pure row function — stable under any partitioning) and the audit
+    reports every (fold, lang) cell of the FULL grid with its
+    χ²-contribution vs the independence expectation (zero-count cells
+    included — they contribute e).  One (fold, lang)-bounded count
+    aggregation; the grid and the per-cell mirrored IEEE expression
+    close on the cells-bounded driver table; contributions are
+    micro-rounded per cell so no float accumulation exists anywhere."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.hashing import unit_fractions
+
+    k = Q234_FOLDS
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _cells(t: pa.Table) -> pa.Table:
+        u = unit_fractions(t.column("doc_id").to_pylist(), method="md5")
+        fold = np.floor(u * k).astype(np.int64)
+        g = pa.table(
+            {"fold": pa.array(fold, pa.int64()), "lang": t.column("lang")}
+        )
+        return (
+            g.group_by(["fold", "lang"])
+            .aggregate([("lang", "count")])
+            .rename_columns(["fold", "lang", "n"])
+        )
+
+    rows = (
+        docs.map_batches(_cells, batch_format="pyarrow")
+        .groupby(["fold", "lang"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # (folds × langs)-bounded
+    )
+    counts = {(int(r["fold"]), r["lang"]): int(r["n"]) for r in rows}
+    folds = sorted({f for f, _ in counts})
+    langs = sorted({l for _, l in counts})
+    total = sum(counts.values())
+    empty = pa.table(
+        {
+            "fold": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "chi2_micro": pa.array([], pa.int64()),
+        }
+    )
+    if total == 0:
+        return empty
+    row_tot = {f: sum(counts.get((f, l), 0) for l in langs) for f in folds}
+    col_tot = {l: sum(counts.get((f, l), 0) for f in folds) for l in langs}
+    f_l, l_l, n_l, x_l = [], [], [], []
+    for f in folds:
+        for l in langs:
+            o = counts.get((f, l), 0)
+            e = float(row_tot[f] * col_tot[l]) / float(total)
+            x = (1e6 * ((float(o) - e) * (float(o) - e))) / e
+            f_l.append(f)
+            l_l.append(l)
+            n_l.append(o)
+            x_l.append(int(round_like_duckdb(x, 0)))
+    return pa.table(
+        {
+            "fold": pa.array(f_l, pa.int64()),
+            "lang": pa.array(l_l, pa.string()),
+            "n": pa.array(n_l, pa.int64()),
+            "chi2_micro": pa.array(x_l, pa.int64()),
+        }
+    )
+
+
+def _sql_q234() -> str:
+    return f"""
+WITH f AS (
+  SELECT CAST(floor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                    1, 8)) AS UBIGINT)
+                    / 4294967296.0 * {Q234_FOLDS}) AS BIGINT) AS fold,
+         lang
+  FROM documents),
+c AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY 1, 2),
+grid AS (
+  SELECT ff.fold, ll.lang
+  FROM (SELECT DISTINCT fold FROM c) ff, (SELECT DISTINCT lang FROM c) ll),
+g AS (
+  SELECT grid.fold, grid.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+  FROM grid LEFT JOIN c USING (fold, lang)),
+rt AS (SELECT fold, CAST(sum(n) AS BIGINT) AS rn FROM g GROUP BY 1),
+ct AS (SELECT lang, CAST(sum(n) AS BIGINT) AS cn FROM g GROUP BY 1),
+tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g)
+SELECT g.fold, g.lang, g.n,
+       CAST(round(1e6 * ((g.n - CAST(rt.rn AS HUGEINT) * ct.cn / tt.t)
+                         * (g.n - CAST(rt.rn AS HUGEINT) * ct.cn / tt.t))
+                  / (CAST(rt.rn AS HUGEINT) * ct.cn / tt.t), 0)
+            AS BIGINT) AS chi2_micro
+FROM g JOIN rt USING (fold) JOIN ct USING (lang), tt
+ORDER BY g.fold, g.lang
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -15795,6 +15898,7 @@ def build_registry():
         "q231_waterfill_budget": q231_waterfill_budget,
         "q232_qq_drift": q232_qq_drift,
         "q233_exact_auc": q233_exact_auc,
+        "q234_fold_balance": q234_fold_balance,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -16078,6 +16182,7 @@ def build_registry():
         "q231_waterfill_budget": _sql_q231(),
         "q232_qq_drift": SQL_Q232,
         "q233_exact_auc": SQL_Q233,
+        "q234_fold_balance": _sql_q234(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

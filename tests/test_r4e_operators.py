@@ -3077,3 +3077,34 @@ class TestExactAuc:
         # hand case: pos {2,4}, neg {1,3}: pairs (2>1),(4>1),(4>3)=3
         # of 4 -> 0.75
         assert run("sf_auc3", [2, 4], [1, 3]) == 750_000
+
+
+class TestFoldBalance:
+    def test_full_grid_includes_zero_cells(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q234,
+            q234_fold_balance,
+        )
+
+        # enough docs that all 5 folds materialize; two langs with a
+        # skewed mapping so some (fold, lang) cells are zero
+        ids = list(range(60))
+        langs = ["en" if i % 3 else "de" for i in ids]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_folds", docs, "documents.parquet")
+        got = q234_fold_balance(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q234()).fetch_df()
+        for c in ("fold", "lang", "n", "chi2_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        # full grid: folds x langs rows, including any zero-count cells
+        n_folds = got.fold.nunique()
+        assert len(got) == n_folds * got.lang.nunique()
+        assert (got.groupby("fold").n.sum() > 0).all()
+        assert got.n.sum() == 60
