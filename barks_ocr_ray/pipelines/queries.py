@@ -15648,6 +15648,83 @@ ORDER BY g.fold, g.lang
 """
 
 
+def q235_host_budget(sf_dir: str):
+    """Per-host crawl-budget rollup over the EXTRACTED corpus: pages,
+    extracted characters and mean doc size per host — the politeness /
+    budget planning report a crawler scheduler consumes (host = url
+    authority; q164 canonicalizes, this aggregates).  Runs the real
+    extraction pipeline, then one hosts-bounded count/sum aggregation;
+    the mean is the single mirrored IEEE division."""
+    extracted = _extracted_docs()
+
+    def _host_partials(t: pa.Table) -> pa.Table:
+        hosts, chars = [], []
+        for url, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            hosts.append(url.split("/")[2])
+            chars.append(len(txt) if txt is not None else 0)
+        k = pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "chars": pa.array(chars, pa.int64()),
+            }
+        )
+        return (
+            k.group_by("host")
+            .aggregate([("chars", "sum"), ("host", "count")])
+            .rename_columns(["host", "chars", "n_pages"])
+        )
+
+    rows = (
+        extracted.map_batches(_host_partials, batch_format="pyarrow")
+        .groupby("host", num_partitions=2)
+        .aggregate(
+            Sum("chars", alias_name="chars"),
+            Sum("n_pages", alias_name="n_pages"),
+        )
+        .take_all()  # hosts-bounded
+    )
+    rows.sort(key=lambda r: r["host"])
+    return pa.table(
+        {
+            "host": pa.array([r["host"] for r in rows], pa.string()),
+            "n_pages": pa.array(
+                [int(r["n_pages"]) for r in rows], pa.int64()
+            ),
+            "chars": pa.array([int(r["chars"]) for r in rows], pa.int64()),
+            "avg_chars": pa.array(
+                [
+                    float(
+                        round_like_duckdb(
+                            float(int(r["chars"])) / float(int(r["n_pages"])),
+                            2,
+                        )
+                    )
+                    for r in rows
+                ],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def _sql_q235() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
+
+    return f"""
+WITH e AS (
+  SELECT string_split(url, '/')[3] AS host,
+         CAST(len(extracted_text) AS BIGINT) AS chars
+  FROM read_parquet('{extraction_golden_path(Q24_N)}'))
+SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(chars) AS BIGINT) AS chars,
+       round(sum(chars) / count(*), 2) AS avg_chars
+FROM e GROUP BY 1
+ORDER BY host
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -15899,6 +15976,7 @@ def build_registry():
         "q232_qq_drift": q232_qq_drift,
         "q233_exact_auc": q233_exact_auc,
         "q234_fold_balance": q234_fold_balance,
+        "q235_host_budget": q235_host_budget,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -16183,6 +16261,7 @@ def build_registry():
         "q232_qq_drift": SQL_Q232,
         "q233_exact_auc": SQL_Q233,
         "q234_fold_balance": _sql_q234(),
+        "q235_host_budget": _sql_q235(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -133,7 +133,8 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q231_waterfill_budget', 1),
                         ('q232_qq_drift', 1),
                         ('q233_exact_auc', 1),
-                        ('q234_fold_balance', 1)):
+                        ('q234_fold_balance', 1),
+                        ('q235_host_budget', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

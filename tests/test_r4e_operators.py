@@ -3108,3 +3108,27 @@ class TestFoldBalance:
         assert len(got) == n_folds * got.lang.nunique()
         assert (got.groupby("fold").n.sum() > 0).all()
         assert got.n.sum() == 60
+
+
+class TestHostBudget:
+    def test_hosts_partition_the_corpus(self, ray_session):
+        from barks_ocr_ray.oracle_data import Q24_N
+        from barks_ocr_ray.pipelines.queries import q235_host_budget
+        from barks_ocr_ray.datagen import logical_urls
+
+        got = q235_host_budget("unused").to_pandas()
+        # every host rollup sums back to the post-dedup corpus
+        assert got.n_pages.sum() == len(logical_urls(Q24_N))
+        # some hosts extract zero chars (dead-letter/garbage pages)
+        assert (got.n_pages > 0).all() and (got.chars >= 0).all()
+        assert (got.chars > 0).any()
+        assert got.host.str.match(r"host\d+\.example").all()
+        # avg is exactly chars/n_pages rounded to cents
+        import numpy as np
+        from barks_ocr_ray.functions.relational import round_like_duckdb
+
+        exp = [
+            float(round_like_duckdb(float(c) / float(n), 2))
+            for c, n in zip(got.chars, got.n_pages)
+        ]
+        assert got.avg_chars.tolist() == exp
