@@ -15725,6 +15725,150 @@ ORDER BY host
 """
 
 
+Q236_SPLIT = 250  #: docs below = base index, docs at/above = delta
+
+
+def q236_delta_index_merge(sf_dir: str):
+    """Incremental index maintenance: the word index is built as BASE
+    (old docs) + DELTA (new docs) and merged with one word-keyed sum —
+    the nightly-index-update path next to q129's incremental dedup and
+    q136's incremental MinHash.  The oracle is the FULL REBUILD over
+    all docs (q08's SQL), so the check IS the merge-equals-rebuild
+    invariant.  Exchanges: two vocab-bounded partial aggregations +
+    one vocab-bounded merge — never a re-tokenize of the base corpus
+    at delta time."""
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, word_index
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    base = docs.filter(expr=f"doc_id < {Q236_SPLIT}")
+    delta = docs.filter(expr=f"doc_id >= {Q236_SPLIT}")
+    return (
+        word_index(base)
+        .union(word_index(delta))
+        .groupby("word", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+SQL_Q236 = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      FROM documents) t
+GROUP BY word
+"""
+
+
+Q237_ALPHA_PCT = 10  #: miscoverage target (alpha = 10%)
+
+
+def q237_conformal_coverage(sf_dir: str):
+    """Split-conformal calibration (Vovk; Angelopoulos & Bates 2021
+    §2): the threshold is the ceil((n_cal+1)(1−α))-th smallest
+    calibration score (explicit integer rank — no quantile
+    interpolation) and the audit reports empirical coverage on the
+    held-out side.  Score = n_chars, calibration/test = the q130
+    doc_id%10 split.  n_chars is bounded-domain, so both sides come
+    from ONE (side, value) count aggregation; the rank walk and the
+    single mirrored division close on the domain-bounded driver
+    table."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        side = ((did % 10) >= 7).astype(np.int64)
+        k = pa.table(
+            {
+                "side": pa.array(side, pa.int64()),
+                "v": t.column("n_chars"),
+            }
+        )
+        return (
+            k.group_by(["side", "v"])
+            .aggregate([("v", "count")])
+            .rename_columns(["side", "v", "c"])
+        )
+
+    rows = (
+        docs.map_batches(_counts, batch_format="pyarrow")
+        .groupby(["side", "v"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()  # 2 × value-domain bounded
+    )
+    hists: dict = {0: [], 1: []}
+    for r in rows:
+        hists[int(r["side"])].append((int(r["v"]), int(r["c"])))
+    empty = pa.table(
+        {
+            "n_cal": pa.array([], pa.int64()),
+            "n_test": pa.array([], pa.int64()),
+            "threshold": pa.array([], pa.int64()),
+            "cov_micro": pa.array([], pa.int64()),
+        }
+    )
+    n_cal = sum(c for _, c in hists[0])
+    n_test = sum(c for _, c in hists[1])
+    if n_cal == 0 or n_test == 0:
+        return empty
+    rk = ((n_cal + 1) * (100 - Q237_ALPHA_PCT) + 99) // 100  # ceil
+    if rk <= n_cal:
+        cum = 0
+        thr = None
+        for v, c in sorted(hists[0]):
+            cum += c
+            if cum >= rk:
+                thr = v
+                break
+        n_cov = sum(c for v, c in hists[1] if v <= thr)
+        thr_arr = pa.array([thr], pa.int64())
+        cov = int(
+            round_like_duckdb(1e6 * float(n_cov) / float(n_test), 0)
+        )
+    else:  # not enough calibration mass: vacuous infinite threshold
+        thr_arr = pa.nulls(1, pa.int64())
+        cov = 1_000_000
+    return pa.table(
+        {
+            "n_cal": pa.array([n_cal], pa.int64()),
+            "n_test": pa.array([n_test], pa.int64()),
+            "threshold": thr_arr,
+            "cov_micro": pa.array([cov], pa.int64()),
+        }
+    )
+
+
+def _sql_q237() -> str:
+    a = Q237_ALPHA_PCT
+    return f"""
+WITH s AS (
+  SELECT CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END AS side,
+         n_chars AS v
+  FROM documents),
+cal AS (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn,
+         count(*) OVER () AS n
+  FROM s WHERE side = 0),
+r AS (SELECT n, ((n + 1) * {100 - a} + 99) // 100 AS rk
+      FROM (SELECT DISTINCT n FROM cal)),
+q AS (SELECT r.n AS n_cal,
+             CASE WHEN r.rk <= r.n
+               THEN (SELECT v FROM cal WHERE rn = r.rk) END AS thr
+      FROM r),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+             CAST(coalesce(sum(CASE WHEN s.v <= q.thr THEN 1 END), 0)
+                  AS BIGINT) AS n_cov
+      FROM s, q WHERE s.side = 1)
+SELECT CAST(q.n_cal AS BIGINT) AS n_cal, t.n_test,
+       CAST(q.thr AS BIGINT) AS threshold,
+       CASE WHEN q.thr IS NULL THEN 1000000
+            ELSE CAST(round(1e6 * t.n_cov / t.n_test, 0) AS BIGINT)
+       END AS cov_micro
+FROM q, t
+WHERE t.n_test > 0
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -15977,6 +16121,8 @@ def build_registry():
         "q233_exact_auc": q233_exact_auc,
         "q234_fold_balance": q234_fold_balance,
         "q235_host_budget": q235_host_budget,
+        "q236_delta_index_merge": q236_delta_index_merge,
+        "q237_conformal_coverage": q237_conformal_coverage,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -16262,6 +16408,8 @@ def build_registry():
         "q233_exact_auc": SQL_Q233,
         "q234_fold_balance": _sql_q234(),
         "q235_host_budget": _sql_q235(),
+        "q236_delta_index_merge": SQL_Q236,
+        "q237_conformal_coverage": _sql_q237(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

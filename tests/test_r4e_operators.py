@@ -3132,3 +3132,83 @@ class TestHostBudget:
             for c, n in zip(got.chars, got.n_pages)
         ]
         assert got.avg_chars.tolist() == exp
+
+
+class TestDeltaIndexMerge:
+    def test_merge_equals_full_rebuild(self, ray_session, tmp_path):
+        from barks_ocr_ray.functions.text import word_index
+        from barks_ocr_ray.pipelines.queries import (
+            q236_delta_index_merge,
+        )
+        import barks_ocr_ray.pipelines.queries as Q
+        import ray.data as rd
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 300, 301], pa.int64()),
+                "text": pa.array(
+                    ["old words here", "old stuff", "new words arrive",
+                     "new new new"],
+                    pa.string(),
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_dixm", docs, "documents.parquet")
+        merged = (
+            q236_delta_index_merge(d)
+            .to_pandas()
+            .sort_values("word")
+            .reset_index(drop=True)
+        )
+        full = (
+            word_index(rd.from_arrow(docs))
+            .to_pandas()
+            .sort_values("word")
+            .reset_index(drop=True)
+        )
+        assert merged.word.tolist() == full.word.tolist()
+        assert merged.n.tolist() == full.n.tolist()
+        assert merged.set_index("word").n["new"] == 4
+        assert merged.set_index("word").n["words"] == 2  # spans the split
+
+
+class TestConformalCoverage:
+    def test_rank_pick_and_coverage(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q237,
+            q237_conformal_coverage,
+        )
+
+        # calibration side (id%10 < 7): scores 1..70 shuffled across
+        # ids; rank = ceil(71*0.9) = 64 -> threshold 64.
+        # test side: scores 60..89 -> covered = 60..64 -> 5/30
+        ids, chars = [], []
+        nxt = 1
+        for i in range(100):
+            if i % 10 < 7:
+                ids.append(i)
+                chars.append(nxt)
+                nxt += 1
+        nxt = 60
+        for i in range(100):
+            if i % 10 >= 7:
+                ids.append(i)
+                chars.append(nxt)
+                nxt += 1
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_conf", docs, "documents.parquet")
+        got = q237_conformal_coverage(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q237()).fetch_df()
+        for c in ("n_cal", "n_test", "threshold", "cov_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        r = got.iloc[0]
+        assert r.n_cal == 70 and r.n_test == 30
+        assert r.threshold == 64
+        assert r.cov_micro == 166_667  # 5/30
