@@ -84,6 +84,11 @@ def distributed_quantiles(
 ) -> pa.Table:
     """Exact ``quantile_disc`` values for every q in ``qs`` over
     ``ds[col]``; returns a (q, value) pa.Table sorted by q."""
+    # counting quickselect consumes ds O(log32 n) times: pin the (narrow,
+    # 1-2 column) input once so each pass streams object-store blocks
+    # instead of re-executing the whole upstream plan (a lazy Dataset
+    # re-runs its plan PER CONSUMER; the store spills if needed)
+    ds = ds.materialize()
     n = ds.count()
     if n == 0:
         return pa.table(
@@ -466,6 +471,9 @@ def weighted_quantiles(
     most pull_cap rows, so the exact pull stays bounded."""
     from ray.data.aggregate import Sum as _Sum
 
+    # multi-pass consumer: pin the narrow input once (see
+    # distributed_quantiles)
+    ds = ds.materialize()
     stats = ds.aggregate(_Sum(weight_col, alias_name="w"))
     W = int(stats["w"] or 0)
     empty = pa.table(
@@ -707,6 +715,9 @@ def grouped_distributed_quantiles(
     stringified (the callers' keys are categorical strings). Returns a
     (group, q, value) table sorted by (group, q); NULL values are
     ignored per group, matching DuckDB."""
+    # shared counting passes consume ds O(log32 n) times — pin once
+    # (see distributed_quantiles; narrow input, store spills if needed)
+    ds = ds.materialize()
     stats = _grouped_stats_pass(ds, key, col)
     if not stats:
         return pa.table(
