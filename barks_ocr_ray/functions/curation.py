@@ -760,7 +760,10 @@ def incremental_ingest_dedup(
     import ray.data as rd
     from ray.data.aggregate import Max
 
-    text_ds = docs.select_columns(["doc_id", "text"])
+    # three consumers (prior filter, new-zeros, new-hashes) — pin the
+    # narrow 2-column input once instead of re-running the read per
+    # consumer (a lazy Dataset re-executes its plan PER CONSUMER)
+    text_ds = docs.select_columns(["doc_id", "text"]).materialize()
 
     def _snapshot(keep_prior: bool):
         def _f(t: pa.Table) -> pa.Table:
