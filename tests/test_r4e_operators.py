@@ -3212,3 +3212,76 @@ class TestConformalCoverage:
         assert r.n_cal == 70 and r.n_test == 30
         assert r.threshold == 64
         assert r.cov_micro == 166_667  # 5/30
+
+
+class TestMultiBlockDeterminism:
+    """The q218/q221 exchanges rely on keyed repartition co-locating
+    whole key groups into whole-block batches: force MANY input blocks
+    and pin the results against single-process DuckDB."""
+
+    def test_novelty_curve_across_many_blocks(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q218,
+            q218_novelty_curve,
+        )
+
+        rng = np.random.default_rng(7)
+        ids = list(range(1200))
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [
+            " ".join(rng.choice(vocab, size=12).tolist()) for _ in ids
+        ]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        d = tmp_path / "sf_nblocks"
+        d.mkdir()
+        # 12 row groups -> many read blocks
+        pq.write_table(docs, str(d / "documents.parquet"), row_group_size=100)
+        got = q218_novelty_curve(str(d)).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(_sql_q218()).fetch_df()
+        for c in ("batch_id", "n_docs", "n_grams", "n_novel", "novel_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert len(got) == 12
+
+    def test_mutual_alignment_across_many_blocks(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q221,
+            q221_mutual_alignment,
+        )
+
+        rng = np.random.default_rng(11)
+        n, dim = 400, 8
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    rng.normal(size=(n, dim)).astype("float32").tolist(),
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        d = tmp_path / "sf_mblocks"
+        d.mkdir()
+        pq.write_table(emb, str(d / "embeddings.parquet"), row_group_size=50)
+        got = (
+            q221_mutual_alignment(str(d))
+            .to_pandas()
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("embeddings", emb)
+        exp = con.execute(SQL_Q221).fetch_df()
+        assert got.vec_a.tolist() == exp.vec_a.tolist()
+        assert got.vec_b.tolist() == exp.vec_b.tolist()
+        assert got.cosine.tolist() == exp.cosine.tolist()
+        gm = got.margin_micro.fillna(-1).tolist()
+        em = exp.margin_micro.fillna(-1).tolist()
+        assert gm == em
+        assert len(got) > 10  # random normals produce plenty of mutuals
