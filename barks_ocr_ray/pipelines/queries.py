@@ -15869,6 +15869,84 @@ WHERE t.n_test > 0
 """
 
 
+Q238_QS = [0.25, 0.5, 0.75]
+
+
+def q238_conversion_latency(sf_dir: str):
+    """Conversion-latency distribution: seconds from each user's FIRST
+    signup to their first purchase AFTER it (ROWS tie rule on
+    (ts, event_id), q192's convention), summarized as exact quartiles
+    — the activation-funnel timing report.  One user-keyed exchange +
+    per-block sorted-stream scan emits a users-bounded latency stream;
+    the quartiles ride the counting quickselect (q66 machinery), so no
+    global sort and DuckDB's quantile_disc rank rule bit-matches."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.quantiles import distributed_quantiles
+
+    ev = read_table(
+        sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
+    )
+
+    def _latency(t: pa.Table) -> pa.Table:
+        empty = pa.table({"latency_sec": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(t.column("event_type").to_pylist())
+        order = np.lexsort((eid, us, u))
+        u, us, et = u[order], us[order], et[order]
+        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        out = []
+        for i, s in enumerate(seg):
+            e = seg[i + 1] if i + 1 < len(seg) else len(u)
+            sign = np.flatnonzero(et[s:e] == "signup")
+            if not len(sign):
+                continue
+            first = sign[0]
+            purch = np.flatnonzero(et[s:e][first + 1 :] == "purchase")
+            if not len(purch):
+                continue
+            p_pos = first + 1 + purch[0]
+            out.append(int((us[s:e][p_pos] - us[s:e][first]) // 1_000_000))
+        return pa.table({"latency_sec": pa.array(out, pa.int64())})
+
+    lat = ev.repartition(hash_partitions(16), keys=["user_id"]).map_batches(
+        _latency, batch_format="pyarrow"
+    )
+    t = distributed_quantiles(lat, "latency_sec", Q238_QS, pull_cap=2000)
+    return rd.from_arrow(t)
+
+
+def _sql_q238() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT {q} AS q, CAST(quantile_disc(latency_sec, {q}) AS DOUBLE)"
+        f" AS value FROM lat"
+        for q in Q238_QS
+    )
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+s AS (
+  SELECT user_id, us, event_id FROM e WHERE event_type = 'signup'
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY us, event_id) = 1),
+p AS (
+  SELECT s.user_id, (p.us - s.us) // 1000000 AS latency_sec,
+         row_number() OVER (PARTITION BY s.user_id
+                            ORDER BY p.us, p.event_id) AS rn
+  FROM s JOIN e p ON p.user_id = s.user_id
+                 AND p.event_type = 'purchase'
+                 AND (p.us > s.us
+                      OR (p.us = s.us AND p.event_id > s.event_id))),
+lat AS (SELECT CAST(latency_sec AS BIGINT) AS latency_sec
+        FROM p WHERE rn = 1)
+SELECT q, value FROM ({parts}) ORDER BY q
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -16123,6 +16201,7 @@ def build_registry():
         "q235_host_budget": q235_host_budget,
         "q236_delta_index_merge": q236_delta_index_merge,
         "q237_conformal_coverage": q237_conformal_coverage,
+        "q238_conversion_latency": q238_conversion_latency,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -16410,6 +16489,7 @@ def build_registry():
         "q235_host_budget": _sql_q235(),
         "q236_delta_index_merge": SQL_Q236,
         "q237_conformal_coverage": _sql_q237(),
+        "q238_conversion_latency": _sql_q238(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -3285,3 +3285,49 @@ class TestMultiBlockDeterminism:
         em = exp.margin_micro.fillna(-1).tolist()
         assert gm == em
         assert len(got) > 10  # random normals produce plenty of mutuals
+
+
+class TestConversionLatency:
+    def test_first_signup_first_purchase_rule(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q238,
+            q238_conversion_latency,
+        )
+
+        import datetime
+
+        base = datetime.datetime(2024, 6, 1)
+
+        def ts(m):
+            return base + datetime.timedelta(minutes=m)
+
+        # user 1: signup@0, purchase@10 -> 600 s (second purchase later
+        # ignored; purchase BEFORE signup ignored)
+        # user 2: signup@0 and @5 (first wins), purchase@7 -> 420 s
+        # user 3: purchase only -> excluded; user 4: signup only -> excluded
+        rows = [
+            (1, 0, "purchase"), (1, 1, "signup"), (1, 11, "purchase"),
+            (1, 60, "purchase"),
+            (2, 0, "signup"), (2, 5, "signup"), (2, 7, "purchase"),
+            (3, 2, "purchase"),
+            (4, 3, "signup"),
+        ]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([ts(r[1]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_convlat", ev, "events.parquet")
+        got = q238_conversion_latency(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(_sql_q238()).fetch_df()
+        assert got.q.tolist() == exp.q.tolist()
+        assert got.value.tolist() == exp.value.tolist()
+        # latencies multiset = {600, 420}: p25/p50 -> 420, p75 -> 600
+        assert got.value.tolist() == [420.0, 420.0, 600.0]
