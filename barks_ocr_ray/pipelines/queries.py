@@ -15947,6 +15947,109 @@ SELECT q, value FROM ({parts}) ORDER BY q
 """
 
 
+def q239_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions (q166's interval convention: start =
+    ts, duration = value minutes) via the classic sweep-line — but
+    DISTRIBUTED as a scan-combine: one range sort of the ±1 delta
+    stream on the UNIQUE key (t, d, event_id), then each batch emits
+    O(1) partials (its delta total + its internal running max) and the
+    driver folds the batches-bounded list left-to-right (prefix-sum
+    carry + max), exactly the parallel-prefix decomposition of the
+    sequential scan.  Zero-length intervals cancel before they count
+    (ends sort before starts at equal t) — mirrored by the oracle's
+    window ORDER BY."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def _deltas(t: pa.Table) -> pa.Table:
+        s = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        dur = np.maximum(
+            round_like_duckdb(
+                t.column("value").to_numpy(zero_copy_only=False) * 60.0, 0
+            ).astype(np.int64),
+            0,
+        )
+        en = s + dur * 1_000_000
+        return pa.table(
+            {
+                "t": pa.array(np.concatenate([s, en]), pa.int64()),
+                "d": pa.array(
+                    np.concatenate(
+                        [np.ones(len(s), np.int64), -np.ones(len(s), np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+                "event_id": pa.array(np.concatenate([eid, eid]), pa.int64()),
+            }
+        )
+
+    def _scan_partials(t: pa.Table) -> pa.Table:
+        d = t.column("d").to_numpy(zero_copy_only=False)
+        run = np.cumsum(d)
+        return pa.table(
+            {
+                "first_t": pa.array([int(t.column("t")[0].as_py())], pa.int64()),
+                "first_d": pa.array([int(d[0])], pa.int64()),
+                "first_eid": pa.array(
+                    [int(t.column("event_id")[0].as_py())], pa.int64()
+                ),
+                "total": pa.array([int(run[-1])], pa.int64()),
+                "best": pa.array([int(run.max())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ev.map_batches(_deltas, batch_format="pyarrow")
+        .sort(["t", "d", "event_id"])
+        .map_batches(_scan_partials, batch_format="pyarrow")
+        .take_all()  # batches-bounded
+    )
+    empty = pa.table(
+        {
+            "n_intervals": pa.array([], pa.int64()),
+            "peak": pa.array([], pa.int64()),
+        }
+    )
+    if not parts:
+        return empty
+    parts.sort(key=lambda r: (r["first_t"], r["first_d"], r["first_eid"]))
+    acc, peak = 0, 0
+    for r in parts:
+        peak = max(peak, acc + int(r["best"]))
+        acc += int(r["total"])
+    n_intervals = ev.count()
+    return pa.table(
+        {
+            "n_intervals": pa.array([int(n_intervals)], pa.int64()),
+            "peak": pa.array([peak], pa.int64()),
+        }
+    )
+
+
+SQL_Q239 = """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS s,
+         epoch_us(ts)
+           + greatest(CAST(round(value * 60, 0) AS BIGINT), 0) * 1000000
+           AS en
+  FROM events),
+d AS (
+  SELECT s AS t, 1 AS d, event_id FROM e
+  UNION ALL
+  SELECT en AS t, -1 AS d, event_id FROM e),
+w AS (
+  SELECT sum(d) OVER (ORDER BY t, d, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM d)
+SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_intervals,
+       CAST(max(running) AS BIGINT) AS peak
+FROM w
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -16202,6 +16305,7 @@ def build_registry():
         "q236_delta_index_merge": q236_delta_index_merge,
         "q237_conformal_coverage": q237_conformal_coverage,
         "q238_conversion_latency": q238_conversion_latency,
+        "q239_peak_concurrency": q239_peak_concurrency,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -16490,6 +16594,7 @@ def build_registry():
         "q236_delta_index_merge": SQL_Q236,
         "q237_conformal_coverage": _sql_q237(),
         "q238_conversion_latency": _sql_q238(),
+        "q239_peak_concurrency": SQL_Q239,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -3331,3 +3331,42 @@ class TestConversionLatency:
         assert got.value.tolist() == exp.value.tolist()
         # latencies multiset = {600, 420}: p25/p50 -> 420, p75 -> 600
         assert got.value.tolist() == [420.0, 420.0, 600.0]
+
+
+class TestPeakConcurrency:
+    def test_hand_sweep_with_zero_length_and_boundary(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q239,
+            q239_peak_concurrency,
+        )
+
+        import datetime
+
+        base = datetime.datetime(2024, 7, 1)
+
+        def ts(m):
+            return base + datetime.timedelta(minutes=m)
+
+        # intervals (start_min, dur_min): three overlap in [10, 12);
+        # one zero-length at 10 must NOT raise the peak; one touching
+        # boundary (ends exactly when another starts) must NOT overlap
+        rows = [(0, 12), (5, 10), (10, 2), (10, 0), (12, 5)]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([ts(r[0]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([float(r[1]) for r in rows], pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_peak", ev, "events.parquet")
+        got = q239_peak_concurrency(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q239).fetch_df()
+        for c in ("n_intervals", "peak"):
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.peak.iloc[0] == 3
+        assert got.n_intervals.iloc[0] == 5
