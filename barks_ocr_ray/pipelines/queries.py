@@ -16050,6 +16050,91 @@ FROM w
 """
 
 
+def q240_ht_estimate(sf_dir: str):
+    """Horvitz–Thompson estimator audit for unequal-probability
+    sampling: docs sample at lang-dependent rates (en 1/2, others 1/4
+    — md5 unit fraction, oracle-replayable), the HT total re-weights
+    each sampled doc by its inverse inclusion probability, and the
+    audit reports the signed relative error vs the exact total — the
+    q184/q203/q210-style correctness harness for the SAMPLING family.
+    Inverse rates are integers (2 and 4), so the estimate is EXACT
+    int64 arithmetic end-to-end; one doc pass, O(1) partials per
+    block, one mirrored division."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.hashing import unit_fractions
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        u = unit_fractions(t.column("doc_id").to_pylist(), method="md5")
+        lang = np.asarray(t.column("lang").to_pylist())
+        chars = t.column("n_chars").to_numpy(zero_copy_only=False)
+        w = np.where(lang == "en", 2, 4).astype(np.int64)  # 1/rate
+        keep = u * w < 1.0  # u < rate, rate = 1/w
+        return pa.table(
+            {
+                "n_docs": pa.array([len(u)], pa.int64()),
+                "n_sampled": pa.array([int(keep.sum())], pa.int64()),
+                "exact_chars": pa.array([int(chars.sum())], pa.int64()),
+                "ht_chars": pa.array(
+                    [int((chars[keep] * w[keep]).sum())], pa.int64()
+                ),
+            }
+        )
+
+    parts = docs.map_batches(_partials, batch_format="pyarrow").take_all()
+    n_docs = sum(int(r["n_docs"]) for r in parts)
+    n_sampled = sum(int(r["n_sampled"]) for r in parts)
+    exact = sum(int(r["exact_chars"]) for r in parts)
+    ht = sum(int(r["ht_chars"]) for r in parts)
+    empty = pa.table(
+        {
+            "n_docs": pa.array([], pa.int64()),
+            "n_sampled": pa.array([], pa.int64()),
+            "exact_chars": pa.array([], pa.int64()),
+            "ht_chars": pa.array([], pa.int64()),
+            "err_micro": pa.array([], pa.int64()),
+        }
+    )
+    if exact == 0:
+        return empty
+    err = int(
+        round_like_duckdb(1e6 * float(ht - exact) / float(exact), 0)
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_sampled": pa.array([n_sampled], pa.int64()),
+            "exact_chars": pa.array([exact], pa.int64()),
+            "ht_chars": pa.array([ht], pa.int64()),
+            "err_micro": pa.array([err], pa.int64()),
+        }
+    )
+
+
+SQL_Q240 = """
+WITH d AS (
+  SELECT n_chars,
+         CASE WHEN lang = 'en' THEN 2 ELSE 4 END AS w,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 AS u
+  FROM documents),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(CASE WHEN u * w < 1.0 THEN 1 END), 0)
+              AS BIGINT) AS n_sampled,
+         CAST(sum(n_chars) AS BIGINT) AS exact_chars,
+         CAST(coalesce(sum(CASE WHEN u * w < 1.0 THEN n_chars * w END), 0)
+              AS BIGINT) AS ht_chars
+  FROM d)
+SELECT n_docs, n_sampled, exact_chars, ht_chars,
+       CAST(round(1e6 * (ht_chars - exact_chars) / exact_chars, 0)
+            AS BIGINT) AS err_micro
+FROM t WHERE exact_chars > 0
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -16306,6 +16391,7 @@ def build_registry():
         "q237_conformal_coverage": q237_conformal_coverage,
         "q238_conversion_latency": q238_conversion_latency,
         "q239_peak_concurrency": q239_peak_concurrency,
+        "q240_ht_estimate": q240_ht_estimate,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -16595,6 +16681,7 @@ def build_registry():
         "q237_conformal_coverage": _sql_q237(),
         "q238_conversion_latency": _sql_q238(),
         "q239_peak_concurrency": SQL_Q239,
+        "q240_ht_estimate": SQL_Q240,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -3370,3 +3370,39 @@ class TestPeakConcurrency:
             assert got[c].tolist() == exp[c].tolist(), c
         assert got.peak.iloc[0] == 3
         assert got.n_intervals.iloc[0] == 5
+
+
+class TestHtEstimate:
+    def test_unbiased_weights_hand_case(self, ray_session, tmp_path):
+        from barks_ocr_ray.functions.hashing import unit_fractions
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q240,
+            q240_ht_estimate,
+        )
+
+        ids = list(range(40))
+        langs = ["en" if i % 2 else "de" for i in ids]
+        chars = [100 + i for i in ids]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_ht", docs, "documents.parquet")
+        got = q240_ht_estimate(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q240).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        # replay the decisions by hand
+        u = unit_fractions(ids, method="md5")
+        w = [2 if l == "en" else 4 for l in langs]
+        keep = [ui * wi < 1.0 for ui, wi in zip(u, w)]
+        assert got.n_sampled.iloc[0] == sum(keep)
+        assert got.ht_chars.iloc[0] == sum(
+            c * wi for c, wi, k in zip(chars, w, keep) if k
+        )
+        assert got.exact_chars.iloc[0] == sum(chars)
