@@ -16135,6 +16135,195 @@ FROM t WHERE exact_chars > 0
 """
 
 
+def q241_gini_concentration(sf_dir: str):
+    """Per-source Gini coefficient of document length — the corpus
+    concentration audit a curation pipeline tracks per provider (a
+    source whose byte mass concentrates in a few giant docs packs and
+    shards very differently from a uniform one). Uses the rank-weighted
+    identity G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n over the
+    ascending-sorted multiset, which is invariant to tie order, so the
+    SQL row_number() oracle replays it exactly. Plan: one doc pass folds
+    each block to (source, n_chars, cnt) histogram partials; ONE tiny
+    keyed aggregate merges them — what shuffles is bounded by sources x
+    distinct lengths, never docs — and the rank-weighted sum folds from
+    cumulative counts on the report-sized histogram in exact int64."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_chars", "cnt"])
+
+    hist = (
+        docs.map_batches(_hist, batch_format="pyarrow")
+        .groupby(["source", "n_chars"], num_partitions=2)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    src = np.asarray([r["source"] for r in hist])
+    val = np.asarray([r["n_chars"] for r in hist], np.int64)
+    cnt = np.asarray([r["cnt"] for r in hist], np.int64)
+    out_src, out_n, out_tot, out_gini = [], [], [], []
+    for s in sorted(set(src.tolist())):
+        sel = src == s
+        v, c = val[sel], cnt[sel]
+        order = np.argsort(v, kind="stable")
+        v, c = v[order], c[order]
+        n = int(c.sum())
+        total = int((v * c).sum())
+        if total <= 0:
+            continue
+        cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
+        # sum of ranks 1..n occupied by each value's run of c copies
+        rank_sum = c * cum_before + c * (c + 1) // 2
+        s_weighted = int((v * rank_sum).sum())
+        gini = (2.0 * s_weighted) / (n * total) - (n + 1.0) / n
+        out_src.append(s)
+        out_n.append(n)
+        out_tot.append(total)
+        out_gini.append(int(round_like_duckdb(1e6 * gini, 0)))
+    return pa.table(
+        {
+            "source": pa.array(out_src, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "total_chars": pa.array(out_tot, pa.int64()),
+            "gini_micro": pa.array(out_gini, pa.int64()),
+        }
+    )
+
+
+SQL_Q241 = """
+WITH r AS (
+  SELECT source, n_chars AS x,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+  FROM documents),
+g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(x) AS BIGINT) AS total_chars,
+         2.0 * sum(i * x) / (count(*) * sum(x))
+           - (count(*) + 1.0) / count(*) AS gini
+  FROM r GROUP BY source HAVING sum(x) > 0)
+SELECT source, n_docs, total_chars,
+       CAST(round(1e6 * gini, 0) AS BIGINT) AS gini_micro
+FROM g ORDER BY source
+"""
+
+
+#: capture probability per salted sample (md5 unit fraction on doc_id)
+Q242_RATE = 0.5
+
+
+def q242_capture_recapture(sf_dir: str):
+    """Capture-recapture (Chapman) estimate of the corpus' DISTINCT
+    content count from two independent md5-salted doc samples — the
+    crawl-coverage estimator ("how big is the population our crawler
+    draws from?") run entirely inside the engine, with the exact
+    distinct count alongside as the error harness (the
+    q184/q203/q210/q240 estimator-audit family). Plan: one doc pass
+    hashes content (md5, null-distinct, the q07 key) and flags
+    membership in the two salted samples; ONE content-keyed exchange
+    colocates every copy of a content, so block-local any() flags and
+    distinct counts ARE global; what returns to the driver is O(1)
+    partials per block. Chapman N = (n1+1)(n2+1)//(m+1) - 1 in exact
+    integer division on both sides."""
+    from barks_ocr_ray.functions.dedupe import _NULL_TEXT_KEY, md5_hex
+    from barks_ocr_ray.functions.hashing import unit_fractions
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    rate = Q242_RATE
+
+    def _flags(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        keys = [
+            _NULL_TEXT_KEY if s.as_py() is None else md5_hex(s.as_py())
+            for s in t.column("text")
+        ]
+        in1 = unit_fractions(ids, method="md5", salt=1) < rate
+        in2 = unit_fractions(ids, method="md5", salt=2) < rate
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "in1": pa.array(in1.astype("int64")),
+                "in2": pa.array(in2.astype("int64")),
+            }
+        )
+
+    def _block_partials(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("in1", "max"), ("in2", "max")])
+        i1 = g.column("in1_max").to_numpy(zero_copy_only=False)
+        i2 = g.column("in2_max").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_contents": pa.array([g.num_rows], pa.int64()),
+                "n1": pa.array([int(i1.sum())], pa.int64()),
+                "n2": pa.array([int(i2.sum())], pa.int64()),
+                "m": pa.array([int((i1 * i2).sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        docs.map_batches(_flags, batch_format="pyarrow")
+        .repartition(hash_partitions(8), keys=["key"])
+        .map_batches(_block_partials, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    n = sum(int(r["n_contents"]) for r in parts)
+    n1 = sum(int(r["n1"]) for r in parts)
+    n2 = sum(int(r["n2"]) for r in parts)
+    m = sum(int(r["m"]) for r in parts)
+    if n == 0:
+        return pa.table(
+            {
+                "n_contents": pa.array([], pa.int64()),
+                "n1": pa.array([], pa.int64()),
+                "n2": pa.array([], pa.int64()),
+                "m": pa.array([], pa.int64()),
+                "chapman": pa.array([], pa.int64()),
+                "err_micro": pa.array([], pa.int64()),
+            }
+        )
+    chapman = (n1 + 1) * (n2 + 1) // (m + 1) - 1
+    err = int(round_like_duckdb(1e6 * (chapman - n) / n, 0))
+    return pa.table(
+        {
+            "n_contents": pa.array([n], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "n2": pa.array([n2], pa.int64()),
+            "m": pa.array([m], pa.int64()),
+            "chapman": pa.array([chapman], pa.int64()),
+            "err_micro": pa.array([err], pa.int64()),
+        }
+    )
+
+
+SQL_Q242 = f"""
+WITH d AS (
+  SELECT coalesce(md5(text), '__null_text__') AS k,
+         CAST(('0x' || substring(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 AS u1,
+         CAST(('0x' || substring(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) / 4294967296.0 AS u2
+  FROM documents),
+c AS (
+  SELECT k,
+         max(CASE WHEN u1 < {Q242_RATE} THEN 1 ELSE 0 END) AS in1,
+         max(CASE WHEN u2 < {Q242_RATE} THEN 1 ELSE 0 END) AS in2
+  FROM d GROUP BY k),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_contents,
+         CAST(sum(in1) AS BIGINT) AS n1,
+         CAST(sum(in2) AS BIGINT) AS n2,
+         CAST(sum(in1 * in2) AS BIGINT) AS m
+  FROM c)
+SELECT n_contents, n1, n2, m,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman,
+       CAST(round(1e6 * ((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_contents)
+                  / n_contents, 0) AS BIGINT) AS err_micro
+FROM t WHERE n_contents > 0
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -16392,6 +16581,8 @@ def build_registry():
         "q238_conversion_latency": q238_conversion_latency,
         "q239_peak_concurrency": q239_peak_concurrency,
         "q240_ht_estimate": q240_ht_estimate,
+        "q241_gini_concentration": q241_gini_concentration,
+        "q242_capture_recapture": q242_capture_recapture,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -16682,6 +16873,8 @@ def build_registry():
         "q238_conversion_latency": _sql_q238(),
         "q239_peak_concurrency": SQL_Q239,
         "q240_ht_estimate": SQL_Q240,
+        "q241_gini_concentration": SQL_Q241,
+        "q242_capture_recapture": SQL_Q242,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

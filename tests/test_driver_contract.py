@@ -139,7 +139,9 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q237_conformal_coverage', 1),
                         ('q238_conversion_latency', 1),
                         ('q239_peak_concurrency', 1),
-                        ('q240_ht_estimate', 1)):
+                        ('q240_ht_estimate', 1),
+                        ('q241_gini_concentration', 1),
+                        ('q242_capture_recapture', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

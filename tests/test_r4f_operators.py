@@ -1,0 +1,135 @@
+"""Session-15 operator tests: per-source Gini concentration (q241)
+and capture-recapture coverage estimation (q242)."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name, table, fname):
+    d = tmp_path / name
+    d.mkdir()
+    pq.write_table(table, str(d / fname))
+    return str(d)
+
+
+class TestGiniConcentration:
+    def test_hand_gini_and_tie_invariance(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q241,
+            q241_gini_concentration,
+        )
+
+        # source a: x = [1,2,3,4] -> G = 2*30/(4*10) - 5/4 = 0.25
+        # source b: all equal -> G = 0 (ties exercise the rank-run fold)
+        # source c: all-zero lengths -> dropped by the sum(x) > 0 gate
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(10), pa.int64()),
+                "source": pa.array(
+                    ["a", "a", "a", "a", "b", "b", "b", "c", "c", "c"],
+                    pa.string(),
+                ),
+                "n_chars": pa.array(
+                    [3, 1, 4, 2, 7, 7, 7, 0, 0, 0], pa.int64()
+                ),
+                "text": pa.array(["t"] * 10, pa.string()),
+                "lang": pa.array(["en"] * 10, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_gini", docs, "documents.parquet")
+        got = q241_gini_concentration(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q241).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.source.tolist() == ["a", "b"]
+        assert got.gini_micro.tolist() == [250000, 0]
+        assert got.n_docs.tolist() == [4, 3]
+        assert got.total_chars.tolist() == [10, 21]
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q241,
+            q241_gini_concentration,
+        )
+
+        d = "/root/testdata/sf0.001"
+        got = q241_gini_concentration(d).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        exp = con.execute(SQL_Q241).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        # a real corpus is never perfectly equal nor degenerate
+        assert (got.gini_micro > 0).all()
+        assert (got.gini_micro < 1_000_000).all()
+
+
+class TestCaptureRecapture:
+    def test_hand_corpus_replays_decisions(self, ray_session, tmp_path):
+        from barks_ocr_ray.functions.hashing import unit_fractions
+        from barks_ocr_ray.pipelines.queries import (
+            Q242_RATE,
+            SQL_Q242,
+            q242_capture_recapture,
+        )
+
+        # 12 docs over 5 distinct contents (one null) — dup copies must
+        # count once per sample no matter which copy was sampled
+        texts = [
+            "alpha", "alpha", "alpha",
+            "beta", "beta",
+            "gamma",
+            None, None,
+            "delta", "delta", "delta", "delta",
+        ]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_caprecap", docs, "documents.parquet")
+        got = q242_capture_recapture(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q242).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.n_contents.iloc[0] == 5
+
+        # replay by hand: a content is in sample k iff ANY copy's
+        # doc_id hashes under the rate with salt k
+        ids = list(range(len(texts)))
+        u1 = unit_fractions(ids, method="md5", salt=1) < Q242_RATE
+        u2 = unit_fractions(ids, method="md5", salt=2) < Q242_RATE
+        groups = {}
+        for i, t in enumerate(texts):
+            groups.setdefault(t, []).append(i)
+        n1 = sum(any(u1[i] for i in g) for g in groups.values())
+        n2 = sum(any(u2[i] for i in g) for g in groups.values())
+        m = sum(
+            any(u1[i] for i in g) and any(u2[i] for i in g)
+            for g in groups.values()
+        )
+        assert got.n1.iloc[0] == n1
+        assert got.n2.iloc[0] == n2
+        assert got.m.iloc[0] == m
+        assert got.chapman.iloc[0] == (n1 + 1) * (n2 + 1) // (m + 1) - 1
+
+    def test_estimator_sane_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import q242_capture_recapture
+
+        got = q242_capture_recapture("/root/testdata/sf0.001").to_pandas()
+        n = int(got.n_contents.iloc[0])
+        chap = int(got.chapman.iloc[0])
+        # at capture rate 0.5 the Chapman estimate lands near truth
+        assert abs(chap - n) / n < 0.25
