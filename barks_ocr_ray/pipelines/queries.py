@@ -16324,6 +16324,311 @@ FROM t WHERE n_contents > 0
 """
 
 
+#: debounce window: a repeat of the same (user, event_type) within this
+#: many microseconds of the PREVIOUS RAW event is an instrumentation
+#: echo, not a new action (gap-based rule = the SQL lag() rule, so the
+#: oracle replays it; the alternative "vs previous KEPT" rule is a
+#: sequential scan SQL cannot express)
+Q243_DEBOUNCE_US = 3_600_000_000
+
+
+def q243_event_debounce(sf_dir: str):
+    """Event-stream debounce dedup — drop instrumentation echoes (same
+    user + event type re-fired within the debounce window of the
+    previous raw event) and STREAM the kept events, the standard
+    telemetry-cleaning stage in front of every funnel/session/attribution
+    op. Plan: ONE user-keyed exchange colocates each user's history;
+    each block lexsorts once and computes run-aware timestamp diffs
+    vectorized (no Python per row); the kept stream never touches the
+    driver."""
+    import numpy as np
+
+    ev = read_table(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
+    )
+    gap_us = Q243_DEBOUNCE_US
+
+    def _debounce_block(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        t = t.take(idx)
+        users = t.column("user_id").to_numpy(zero_copy_only=False)
+        types = np.asarray(t.column("event_type").to_pylist())
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(users), np.bool_)
+        if len(users) > 1:
+            same_run = (users[1:] == users[:-1]) & (types[1:] == types[:-1])
+            keep[1:] = ~same_run | (ts[1:] - ts[:-1] > gap_us)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").filter(pa.array(keep)),
+                "event_type": t.column("event_type").filter(pa.array(keep)),
+            }
+        )
+
+    return ev.repartition(hash_partitions(8), keys=["user_id"]).map_batches(
+        _debounce_block, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q243 = f"""
+WITH g AS (
+  SELECT event_id, event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_id, event_type FROM g
+WHERE gap IS NULL OR gap > {Q243_DEBOUNCE_US}
+"""
+
+
+def q244_benford_audit(sf_dir: str):
+    """Benford first-significant-digit audit over line-item amounts —
+    the classic synthetic-/fabricated-numbers detector a data-quality
+    gate runs over any money-like column (Benford, "The Law of
+    Anomalous Numbers", 1938). Plan: amounts are exact cents, the
+    leading digit falls out of a vectorized integer divide-down (no
+    strings, no logs on the data path), each block ships a 9-bin count
+    partial, and the 9-row report closes with per-digit micro-rounded
+    observed vs log10(1+1/d) expected shares."""
+    import math
+
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def _digit_partials(t: pa.Table) -> pa.Table:
+        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)  # exact cents
+        d = cents.copy()
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        counts = np.bincount(d, minlength=10)[1:10]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10), pa.int64()),
+                "n_obs": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        li.map_batches(_digit_partials, batch_format="pyarrow")
+        .groupby("digit", num_partitions=2)
+        .aggregate(Sum("n_obs", alias_name="n_obs"))
+        .take_all()
+    )
+    obs = {int(r["digit"]): int(r["n_obs"]) for r in hist}
+    n = sum(obs.values())
+    digits = [d for d in range(1, 10) if obs.get(d, 0) > 0]
+    if n == 0:
+        return pa.table(
+            {
+                "digit": pa.array([], pa.int64()),
+                "n_obs": pa.array([], pa.int64()),
+                "obs_micro": pa.array([], pa.int64()),
+                "benford_micro": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "digit": pa.array(digits, pa.int64()),
+            "n_obs": pa.array([obs[d] for d in digits], pa.int64()),
+            "obs_micro": pa.array(
+                [
+                    int(round_like_duckdb(1e6 * obs[d] / n, 0))
+                    for d in digits
+                ],
+                pa.int64(),
+            ),
+            "benford_micro": pa.array(
+                [
+                    int(round_like_duckdb(1e6 * math.log10(1 + 1.0 / d), 0))
+                    for d in digits
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_Q244 = """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100.0, 0)
+                                  AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM lineitem),
+h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+t AS (SELECT sum(n_obs) AS n FROM h)
+SELECT digit, n_obs,
+       CAST(round(1e6 * n_obs / t.n, 0) AS BIGINT) AS obs_micro,
+       CAST(round(1e6 * log10(1 + 1.0 / digit), 0) AS BIGINT)
+           AS benford_micro
+FROM h, t ORDER BY digit
+"""
+
+
+def q245_spearman_length_tokens(sf_dir: str):
+    """Per-language Spearman rank correlation between document length
+    and whitespace token count — the monotone-association audit (robust
+    to outliers and nonlinearity, unlike q154's Pearson) a corpus
+    profiler reports per metric pair. Exact average-tie ranks, doubled
+    to stay integer (2*cnt_less + cnt_eq + 1 — scale-invariant for
+    rho). Plan: two (lang, value) count aggregations build rank maps
+    bounded by langs x distinct values (vocabulary-sized, broadcast via
+    closure); one streamed doc pass maps values to integer ranks with
+    searchsorted and ships q154-style exact int64 moment partials; the
+    langs-bounded close pays one mirrored IEEE division per lang."""
+    import math
+
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["lang", "n_chars", "text"])
+
+    def _metrics(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t.column("text"))
+        t = t.filter(mask)
+        return pa.table(
+            {
+                "lang": t.column("lang"),
+                "x": t.column("n_chars").cast(pa.int64()),
+                "y": pc.count_substring_regex(
+                    t.column("text"), r"\S+"
+                ).cast(pa.int64()),
+            }
+        )
+
+    metrics = docs.map_batches(_metrics, batch_format="pyarrow")
+    metrics = metrics.materialize()  # read once, feed three consumers
+
+    def _rank_map(col: str) -> dict:
+        """lang -> (sorted values, doubled avg-tie ranks): r2(v) =
+        2*cnt_less(v) + cnt_eq(v) + 1, exact odd integers."""
+        rows = (
+            metrics.groupby(["lang", col], num_partitions=2)
+            .aggregate(Count(alias_name="c"))
+            .take_all()
+        )
+        by_lang: dict = {}
+        for r in rows:
+            by_lang.setdefault(r["lang"], []).append((int(r[col]), int(r["c"])))
+        out = {}
+        for lang, vc in by_lang.items():
+            vc.sort()
+            vals = np.asarray([v for v, _ in vc], np.int64)
+            cnts = np.asarray([c for _, c in vc], np.int64)
+            less = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+            out[lang] = (vals, 2 * less + cnts + 1)
+        return out
+
+    rx, ry = _rank_map("x"), _rank_map("y")
+
+    def _moment_partials(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t.column("lang").to_pylist())
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        rows = []
+        for lang in np.unique(langs):
+            sel = langs == lang
+            vx, rvx = rx[lang]
+            vy, rvy = ry[lang]
+            a = rvx[np.searchsorted(vx, x[sel])]
+            b = rvy[np.searchsorted(vy, y[sel])]
+            rows.append(
+                (
+                    lang,
+                    len(a),
+                    int(a.sum()),
+                    int(b.sum()),
+                    int((a * b).sum()),
+                    int((a * a).sum()),
+                    int((b * b).sum()),
+                )
+            )
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        names = ["lang", "n", "sa", "sb", "sab", "saa", "sbb"]
+        return pa.table(
+            {
+                names[0]: pa.array(list(cols[0]), pa.string()),
+                **{
+                    nm: pa.array(list(c), pa.int64())
+                    for nm, c in zip(names[1:], cols[1:])
+                },
+            }
+        )
+
+    parts = metrics.map_batches(
+        _moment_partials, batch_format="pyarrow"
+    ).take_all()
+    acc: dict = {}
+    for r in parts:
+        m = acc.setdefault(r["lang"], [0] * 6)
+        for i, k in enumerate(("n", "sa", "sb", "sab", "saa", "sbb")):
+            m[i] += int(r[k])
+    out_lang, out_n, out_rho = [], [], []
+    for lang in sorted(acc):
+        n, sa, sb, sab, saa, sbb = acc[lang]
+        da, db = n * saa - sa * sa, n * sbb - sb * sb
+        if da <= 0 or db <= 0:
+            continue
+        rho = float(n * sab - sa * sb) / (
+            math.sqrt(float(da)) * math.sqrt(float(db))
+        )
+        out_lang.append(lang)
+        out_n.append(n)
+        out_rho.append(round_like_duckdb(rho, 6))
+    return pa.table(
+        {
+            "lang": pa.array(out_lang, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "spearman": pa.array(out_rho, pa.float64()),
+        }
+    )
+
+
+SQL_Q245 = """
+WITH d AS (
+  SELECT lang, n_chars AS x,
+         CAST(array_length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL),
+rx AS (SELECT lang, x AS v, CAST(count(*) AS BIGINT) AS c
+       FROM d GROUP BY 1, 2),
+rxm AS (SELECT lang, v,
+               2 * (sum(c) OVER (PARTITION BY lang ORDER BY v) - c)
+                 + c + 1 AS r2
+        FROM rx),
+ry AS (SELECT lang, y AS v, CAST(count(*) AS BIGINT) AS c
+       FROM d GROUP BY 1, 2),
+rym AS (SELECT lang, v,
+               2 * (sum(c) OVER (PARTITION BY lang ORDER BY v) - c)
+                 + c + 1 AS r2
+        FROM ry),
+r AS (SELECT d.lang, rxm.r2 AS a, rym.r2 AS b
+      FROM d
+      JOIN rxm ON d.lang = rxm.lang AND d.x = rxm.v
+      JOIN rym ON d.lang = rym.lang AND d.y = rym.v),
+m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+             sum(a * a) AS saa, sum(b * b) AS sbb
+      FROM r GROUP BY 1)
+SELECT lang, n,
+       round(CAST(n * sab - sa * sb AS DOUBLE)
+             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS spearman
+FROM m
+WHERE n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+ORDER BY lang
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -16583,6 +16888,9 @@ def build_registry():
         "q240_ht_estimate": q240_ht_estimate,
         "q241_gini_concentration": q241_gini_concentration,
         "q242_capture_recapture": q242_capture_recapture,
+        "q243_event_debounce": q243_event_debounce,
+        "q244_benford_audit": q244_benford_audit,
+        "q245_spearman_length_tokens": q245_spearman_length_tokens,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -16875,6 +17183,9 @@ def build_registry():
         "q240_ht_estimate": SQL_Q240,
         "q241_gini_concentration": SQL_Q241,
         "q242_capture_recapture": SQL_Q242,
+        "q243_event_debounce": SQL_Q243,
+        "q244_benford_audit": SQL_Q244,
+        "q245_spearman_length_tokens": SQL_Q245,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -133,3 +133,118 @@ class TestCaptureRecapture:
         chap = int(got.chapman.iloc[0])
         # at capture rate 0.5 the Chapman estimate lands near truth
         assert abs(chap - n) / n < 0.25
+
+
+class TestEventDebounce:
+    def test_hand_stream_echoes_dropped(self, ray_session, tmp_path):
+        import datetime
+
+        from barks_ocr_ray.pipelines.queries import (
+            Q243_DEBOUNCE_US,
+            SQL_Q243,
+            q243_event_debounce,
+        )
+
+        base = datetime.datetime(2024, 3, 1)
+
+        def ts(s):
+            return base + datetime.timedelta(seconds=s)
+
+        win = Q243_DEBOUNCE_US // 1_000_000
+        # user 1 view: 0 (keep), +win (echo of RAW predecessor: gap ==
+        # win -> dropped since rule is gap > win), +2*win+1 (keep);
+        # user 1 click at 1 (keep: different type); user 2 view at 2
+        # (keep: different user)
+        rows = [
+            (1, 0, "view"), (1, win, "view"), (1, 2 * win + 1, "view"),
+            (1, 1, "click"), (2, 2, "view"),
+        ]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([ts(r[1]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_debounce", ev, "events.parquet")
+        got = (
+            q243_event_debounce(d)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q243 + " ORDER BY event_id").fetch_df()
+        assert got.event_id.tolist() == exp.event_id.tolist()
+        assert got.event_type.tolist() == exp.event_type.tolist()
+        assert got.event_id.tolist() == [0, 2, 3, 4]
+
+
+class TestBenfordAudit:
+    def test_hand_digits_and_shares(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q244,
+            q244_benford_audit,
+        )
+
+        # leading digits: 1,1,1,9,2 — digit 9 from a sub-dollar amount
+        prices = [1.00, 19999.99, 123.45, 0.09, 250.00]
+        li = pa.table(
+            {
+                "l_orderkey": pa.array(range(len(prices)), pa.int64()),
+                "l_extendedprice": pa.array(prices, pa.float64()),
+            }
+        )
+        d = _write(tmp_path, "sf_benford", li, "lineitem.parquet")
+        got = q244_benford_audit(d).to_pandas()
+        con = duckdb.connect()
+        con.register("lineitem", li)
+        exp = con.execute(SQL_Q244).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.digit.tolist() == [1, 2, 9]
+        assert got.n_obs.tolist() == [3, 1, 1]
+        assert got.benford_micro.tolist() == [301030, 176091, 45757]
+
+
+class TestSpearmanLengthTokens:
+    def test_perfect_monotone_and_ties(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q245,
+            q245_spearman_length_tokens,
+        )
+
+        # en: y strictly increases with x but nonlinearly -> rho = 1.0
+        # exactly (Pearson would be < 1); de: x has ties and y inverts
+        # -> negative rho; fr: constant x -> excluded by the gate
+        texts_en = ["a", "a b", "a b c", "a b c d"]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(9), pa.int64()),
+                "lang": pa.array(
+                    ["en"] * 4 + ["de"] * 3 + ["fr"] * 2, pa.string()
+                ),
+                "n_chars": pa.array(
+                    [10, 20, 30, 1000, 5, 5, 9, 7, 7], pa.int64()
+                ),
+                "text": pa.array(
+                    texts_en + ["w x y", "v w", "u"] + ["t", "t t"],
+                    pa.string(),
+                ),
+                "source": pa.array(["s"] * 9, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_spear", docs, "documents.parquet")
+        got = q245_spearman_length_tokens(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q245).fetch_df()
+        assert got.lang.tolist() == exp.lang.tolist() == ["de", "en"]
+        assert got.n.tolist() == exp.n.tolist()
+        assert got.spearman.tolist() == exp.spearman.tolist()
+        assert got.spearman.tolist()[1] == 1.0
+        assert got.spearman.tolist()[0] < 0
