@@ -16629,6 +16629,107 @@ ORDER BY lang
 """
 
 
+def q246_ewma_backtest(sf_dir: str):
+    """EWMA one-step-ahead forecast backtest per event type (half-life
+    smoothing, alpha = 1/2) over the gap-filled daily series — the
+    volume-forecast quality report a monitoring pipeline publishes
+    before trusting its alerts. State is INTEGER micro-counts with
+    floor-halving (s_d = (s_{d-1} + 1e6*c_d) // 2), so the recursion
+    accumulates zero float error and the SQL recursive CTE replays it
+    bit-exactly. Plan: ONE (type, day)-bounded count aggregation (q155
+    dense-spine discipline); the sequential fold — inherent to the
+    recursion — runs on the days x types driver table, never on docs."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64())
+        day = pc.divide(ts, pa.scalar(DAY, pa.int64()))
+        tt = pa.table({"event_type": t.column("event_type"), "day": day})
+        g = tt.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    hist = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    if not hist:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_forecasts": pa.array([], pa.int64()),
+                "mae_micro": pa.array([], pa.int64()),
+            }
+        )
+    d0 = min(int(r["day"]) for r in hist)
+    nd = max(int(r["day"]) for r in hist) - d0
+    dense: dict = {}
+    for r in hist:
+        dense.setdefault(r["event_type"], np.zeros(nd + 1, np.int64))[
+            int(r["day"]) - d0
+        ] = int(r["c"])
+    out_type, out_n, out_mae = [], [], []
+    for typ in sorted(dense):
+        c = dense[typ]
+        s = int(c[0]) * 1_000_000
+        total_err, n_fc = 0, 0
+        for d in range(1, nd + 1):
+            actual = int(c[d]) * 1_000_000
+            total_err += abs(actual - s)
+            n_fc += 1
+            s = (s + actual) // 2
+        if n_fc == 0:
+            continue
+        out_type.append(typ)
+        out_n.append(n_fc)
+        out_mae.append(int(round_like_duckdb(total_err * 1.0 / n_fc, 0)))
+    return pa.table(
+        {
+            "event_type": pa.array(out_type, pa.string()),
+            "n_forecasts": pa.array(out_n, pa.int64()),
+            "mae_micro": pa.array(out_mae, pa.int64()),
+        }
+    )
+
+
+SQL_Q246 = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts))) AS nd
+  FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+-- generate_series cannot take a lateral column parameter: over-generate
+-- a fixed 100k-day series (274 years) and filter to the corpus span
+spine AS (SELECT t.event_type, gs.i
+          FROM types t, bounds, generate_series(0, 100000) gs(i)
+          WHERE gs.i <= bounds.nd),
+counts AS (SELECT event_type,
+                  date_diff('day', bounds.d0, date_trunc('day', ts)) AS i,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events, bounds GROUP BY 1, 2),
+dense AS (SELECT s.event_type, s.i, coalesce(c.c, 0) AS c
+          FROM spine s LEFT JOIN counts c
+            ON s.event_type = c.event_type AND s.i = c.i),
+rec AS (
+  SELECT event_type, i, c, c * 1000000 AS s FROM dense WHERE i = 0
+  UNION ALL
+  SELECT d.event_type, d.i, d.c, (r.s + d.c * 1000000) // 2
+  FROM rec r JOIN dense d
+    ON d.event_type = r.event_type AND d.i = r.i + 1),
+err AS (SELECT r.event_type, abs(d.c * 1000000 - r.s) AS e
+        FROM rec r JOIN dense d
+          ON d.event_type = r.event_type AND d.i = r.i + 1)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_forecasts,
+       CAST(round(sum(e) * 1.0 / count(*), 0) AS BIGINT) AS mae_micro
+FROM err GROUP BY 1 ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -16891,6 +16992,7 @@ def build_registry():
         "q243_event_debounce": q243_event_debounce,
         "q244_benford_audit": q244_benford_audit,
         "q245_spearman_length_tokens": q245_spearman_length_tokens,
+        "q246_ewma_backtest": q246_ewma_backtest,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -17186,6 +17288,7 @@ def build_registry():
         "q243_event_debounce": SQL_Q243,
         "q244_benford_audit": SQL_Q244,
         "q245_spearman_length_tokens": SQL_Q245,
+        "q246_ewma_backtest": SQL_Q246,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

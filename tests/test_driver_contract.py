@@ -144,7 +144,8 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q242_capture_recapture', 1),
                         ('q243_event_debounce', 1),
                         ('q244_benford_audit', 1),
-                        ('q245_spearman_length_tokens', 1)):
+                        ('q245_spearman_length_tokens', 1),
+                        ('q246_ewma_backtest', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -248,3 +248,50 @@ class TestSpearmanLengthTokens:
         assert got.spearman.tolist() == exp.spearman.tolist()
         assert got.spearman.tolist()[1] == 1.0
         assert got.spearman.tolist()[0] < 0
+
+
+class TestEwmaBacktest:
+    def test_hand_fold_with_gap_day(self, ray_session, tmp_path):
+        import datetime
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q246,
+            q246_ewma_backtest,
+        )
+
+        base = datetime.datetime(2024, 5, 1)
+
+        def ts(day, k):
+            return base + datetime.timedelta(days=day, hours=k)
+
+        # view: days 0..3 counts [2, 4, 0(gap), 3] — the gap day must be
+        # forecast against (zero actual), not skipped
+        rows = [(0, "view")] * 2 + [(1, "view")] * 4 + [(3, "view")] * 3
+        # click only on day 2: dense spine gives [0, 0, 1, 0]
+        rows += [(2, "click")]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [ts(r[0], i % 5) for i, r in enumerate(rows)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ewma", ev, "events.parquet")
+        got = q246_ewma_backtest(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q246).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        # hand fold for view (micro units): s0=2e6; errs |4-2|,|0-3|,|3-1.5|
+        # s1=(2e6+4e6)//2=3e6, s2=(3e6+0)//2=1.5e6
+        # MAE = (2e6 + 3e6 + 1.5e6) / 3
+        view = got[got.event_type == "view"]
+        assert view.n_forecasts.iloc[0] == 3
+        assert view.mae_micro.iloc[0] == round((2e6 + 3e6 + 1.5e6) / 3)
