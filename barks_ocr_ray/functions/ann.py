@@ -1244,3 +1244,80 @@ def hard_negative_pairs(
         .map_groups(_merge, batch_format="pyarrow")
         .sort("query_id")
     )
+
+
+# --- int8 scalar quantization distortion (q247) -----------------------------
+
+#: affine code range for scalar quantization (uint8)
+QUANT_LEVELS = 255
+
+
+def int8_cos_micro(
+    mat: np.ndarray, mins: np.ndarray, maxs: np.ndarray
+) -> np.ndarray:
+    """Per-vector micro-rounded cosine between each float64 row and its
+    int8 scalar-quantized reconstruction (per-dim affine codes 0..255,
+    round half away from zero — the FAISS SQ8 layout). Pure elementwise
+    math + fixed-order per-row reductions: identical under any row
+    partitioning, so the distributed pass and the sequential golden
+    share this kernel verbatim. Degenerate cases pinned: a constant
+    dimension reconstructs exactly (code 0 -> min), a zero vector
+    scores cosine 1.0 (its reconstruction is also zero)."""
+    rng = maxs - mins
+    safe = np.where(rng > 0, rng, 1.0)
+    codes = round_like_duckdb((mat - mins) / safe * QUANT_LEVELS, 0)
+    codes = np.clip(codes, 0, QUANT_LEVELS)
+    deq = np.where(rng > 0, mins + codes * (safe / QUANT_LEVELS), mins)
+    num = (mat * deq).sum(axis=1)
+    denom = np.sqrt((mat * mat).sum(axis=1)) * np.sqrt(
+        (deq * deq).sum(axis=1)
+    )
+    cos = np.where(denom > 0, num / np.where(denom > 0, denom, 1.0), 1.0)
+    return round_like_duckdb(1e6 * cos, 0).astype(np.int64)
+
+
+# --- distributed PCA top component (q249) -----------------------------------
+
+#: fixed-point scale for exact integer scatter sums
+PCA_SCALE = 1 << 20
+PCA_ITERS = 100
+
+
+def quantize_micro_matrix(mat: np.ndarray) -> np.ndarray:
+    """float64 -> int64 fixed point at 2^20 (round half away from
+    zero): every downstream scatter sum becomes EXACT integer
+    arithmetic, so block partials merge associatively and the golden
+    replay is bit-identical regardless of partitioning."""
+    return round_like_duckdb(mat * PCA_SCALE, 0).astype(np.int64)
+
+
+def pca_top_component(
+    n: int, s: np.ndarray, c: np.ndarray, iters: int = PCA_ITERS
+) -> tuple[np.ndarray, float]:
+    """Power iteration on the exact scatter matrix M = n*C - s s^T
+    (built in Python-int arithmetic from the int64 partials, converted
+    to float64 ONCE). Returns (unit loading vector, explained-variance
+    share lambda/trace). Sign-normalized: the largest-|component| entry
+    is positive. Runs driver-side on a d x d matrix in both engines,
+    so float behavior is identical by construction."""
+    d = len(s)
+    s_int = [int(x) for x in s]
+    m = np.empty((d, d), np.float64)
+    for i in range(d):
+        ci = c[i]
+        si = s_int[i]
+        for j in range(d):
+            m[i, j] = float(n * int(ci[j]) - si * s_int[j])
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(iters):
+        w = m @ v
+        norm = float(np.linalg.norm(w))
+        if norm == 0.0:
+            break
+        v = w / norm
+    lam = float(v @ (m @ v))
+    trace = float(np.trace(m))
+    share = lam / trace if trace > 0 else 0.0
+    if v[int(np.argmax(np.abs(v)))] < 0:
+        v = -v
+    return v, share

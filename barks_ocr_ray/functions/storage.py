@@ -141,3 +141,55 @@ def compact_parquet(
         "files_after": len(_dir_parquet_files(out_dir)),
         "rows": rows,
     }
+
+
+# --- content-defined chunking (q248) ----------------------------------------
+
+#: target average chunk size in bytes (boundary probability 1/CDC_AVG)
+CDC_AVG = 256
+#: rolling-window width the boundary decision hashes over
+CDC_WIN = 8
+
+
+def cdc_chunks(data: bytes, avg: int = CDC_AVG) -> tuple[list, list]:
+    """Content-defined chunking (the FastCDC/LBFS family's shift-
+    resistant storage dedup): a chunk boundary falls AFTER byte i
+    exactly when the splitmix64 hash of the trailing 8-byte window is
+    divisible by ``avg`` — a pure function of local content, so an
+    insertion re-chunks only its neighborhood instead of shifting every
+    later chunk (the failure mode of fixed-size blocks). Returns
+    (chunk keys: blake2b-8 uint64 ints, chunk sizes). Vectorized: the
+    window values fold from 8 shifted adds, one splitmix64 pass finds
+    all boundaries; only the per-chunk fingerprint is a per-chunk call.
+    Shared verbatim by the distributed pass and the sequential golden."""
+    import hashlib
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.hashing import splitmix64
+
+    n = len(data)
+    if n == 0:
+        return [], []
+    if n <= CDC_WIN:
+        cuts = [n]
+    else:
+        arr = np.frombuffer(data, np.uint8).astype(np.uint64)
+        width = n - CDC_WIN + 1
+        w = np.zeros(width, np.uint64)
+        for j in range(CDC_WIN):
+            w += arr[j : j + width] << np.uint64(8 * j)
+        hits = np.flatnonzero(splitmix64(w) % np.uint64(avg) == 0)
+        cuts = [int(x) + CDC_WIN for x in hits if int(x) + CDC_WIN < n]
+        cuts.append(n)
+    keys, sizes, prev = [], [], 0
+    for stop in cuts:
+        chunk = data[prev:stop]
+        keys.append(
+            int.from_bytes(
+                hashlib.blake2b(chunk, digest_size=8).digest(), "big"
+            )
+        )
+        sizes.append(len(chunk))
+        prev = stop
+    return keys, sizes

@@ -1006,3 +1006,94 @@ def golden_mmr_topk(
             "mmr_score": pa.array(out_m, pa.float64()),
         }
     )
+
+
+def golden_int8_quant(emb: pa.Table) -> pa.Table:
+    """Sequential replay of q247: full-matrix per-dim min/max, then the
+    SHARED int8_cos_micro kernel per row, per-label integer
+    accumulation. Pins the distributed min/max partial merge and the
+    per-label (n, sum, min) aggregation."""
+    from barks_ocr_ray.functions.ann import int8_cos_micro
+
+    ids, mat = _emb_rows(emb)
+    labels = emb.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    mins, maxs = mat.min(axis=0), mat.max(axis=0)
+    cos = int8_cos_micro(mat, mins, maxs)
+    out_l, out_n, out_mean, out_worst = [], [], [], []
+    for lab in sorted(set(labels.tolist())):
+        sel = labels == lab
+        n = int(sel.sum())
+        total = int(cos[sel].sum())
+        out_l.append(int(lab))
+        out_n.append(n)
+        out_mean.append(int(round_like_duckdb(total * 1.0 / n, 0)))
+        out_worst.append(int(cos[sel].min()))
+    return pa.table(
+        {
+            "label": pa.array(out_l, pa.int64()),
+            "n_vecs": pa.array(out_n, pa.int64()),
+            "mean_cos_micro": pa.array(out_mean, pa.int64()),
+            "worst_cos_micro": pa.array(out_worst, pa.int64()),
+        }
+    )
+
+
+def golden_cdc_stats(docs: pa.Table) -> pa.Table:
+    """Sequential replay of q248: the SHARED cdc_chunks kernel per doc,
+    a plain dict for the global key -> min-size dedup. Pins the keyed
+    exchange + block-local distinct of the distributed pass."""
+    from barks_ocr_ray.functions.storage import cdc_chunks
+
+    total, n_chunks = 0, 0
+    uniq: dict[int, int] = {}
+    for s in docs.column("text"):
+        v = s.as_py()
+        if v is None:
+            continue
+        keys, sizes = cdc_chunks(v.encode("utf-8"))
+        n_chunks += len(keys)
+        total += sum(sizes)
+        for k, z in zip(keys, sizes):
+            if k not in uniq or z < uniq[k]:
+                uniq[k] = z
+    ub = sum(uniq.values())
+    ratio = (
+        int(round_like_duckdb(1e6 * ub / total, 0)) if total > 0 else 0
+    )
+    return pa.table(
+        {
+            "total_bytes": pa.array([total], pa.int64()),
+            "n_chunks": pa.array([n_chunks], pa.int64()),
+            "n_unique_chunks": pa.array([len(uniq)], pa.int64()),
+            "unique_bytes": pa.array([ub], pa.int64()),
+            "ratio_micro": pa.array([ratio], pa.int64()),
+        }
+    )
+
+
+def golden_pca_top(emb: pa.Table) -> pa.Table:
+    """Sequential replay of q249: one full-matrix quantize + exact
+    integer scatter (n, s, X^T X), then the SHARED pca_top_component
+    fold. Pins the distributed (i, j) triplet partial merge."""
+    from barks_ocr_ray.functions.ann import (
+        pca_top_component,
+        quantize_micro_matrix,
+    )
+
+    _, mat = _emb_rows(emb)
+    x = quantize_micro_matrix(mat)
+    n = x.shape[0]
+    s = x.sum(axis=0)
+    c = x.T @ x
+    v, share = pca_top_component(n, s, c)
+    share_micro = int(round_like_duckdb(1e6 * share, 0))
+    load = round_like_duckdb(1e6 * v, 0).astype(np.int64)
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(len(v), dtype=np.int64)),
+            "loading_micro": pa.array(load, pa.int64()),
+            "eig_share_micro": pa.array(
+                [share_micro] * len(v), pa.int64()
+            ),
+        }
+    )

@@ -506,6 +506,15 @@ def ensure_neardup_goldens() -> dict[str, str]:
             "max_coverage", "documents",
             lambda t: _golden_max_coverage(t, k=10),
         ),
+        "q247": ensure_neardup_golden(
+            "int8_quant", "embeddings", g.golden_int8_quant
+        ),
+        "q248": ensure_neardup_golden(
+            "cdc_dedup", "documents", g.golden_cdc_stats
+        ),
+        "q249": ensure_neardup_golden(
+            "pca_top", "embeddings", g.golden_pca_top
+        ),
     }
 
 

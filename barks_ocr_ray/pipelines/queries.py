@@ -16730,6 +16730,227 @@ FROM err GROUP BY 1 ORDER BY 1
 """
 
 
+def q247_int8_quant_distortion(sf_dir: str):
+    """Int8 scalar-quantization distortion audit — how much cosine
+    fidelity survives compressing the embedding column 4x to uint8
+    codes (the standard serving-index compression; q107 PQ's simpler
+    sibling, and the audit beside it in the q184/q203/q210 estimator-
+    quality family). Plan: pass 1 ships per-dim (min, max) block
+    partials (d-bounded); pass 2 broadcasts the 2xd quantizer via
+    closure, scores every vector with the shared int8_cos_micro kernel
+    (vectorized, micro-rounded per vector so label sums are exact
+    int64), and ships labels-bounded (n, sum, min) partials."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.ann import _emb_matrix, int8_cos_micro
+
+    emb = read_table(sf_dir, "embeddings", ["embedding", "label"])
+    emb = emb.materialize()  # two passes over the same read
+
+    def _minmax(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+                "mn": pa.array(m.min(axis=0), pa.float64()),
+                "mx": pa.array(m.max(axis=0), pa.float64()),
+            }
+        )
+
+    mm = emb.map_batches(_minmax, batch_format="pyarrow").take_all()
+    d = max(int(r["dim"]) for r in mm) + 1
+    mins = np.full(d, np.inf)
+    maxs = np.full(d, -np.inf)
+    for r in mm:
+        i = int(r["dim"])
+        mins[i] = min(mins[i], float(r["mn"]))
+        maxs[i] = max(maxs[i], float(r["mx"]))
+
+    def _score(t: pa.Table) -> pa.Table:
+        m = _emb_matrix(t)
+        cos = int8_cos_micro(m, mins, maxs)
+        labels = t.column("label").cast(pa.int64())
+        part = pa.table({"label": labels, "cos": pa.array(cos, pa.int64())})
+        g = part.group_by("label").aggregate(
+            [("cos", "count"), ("cos", "sum"), ("cos", "min")]
+        )
+        return g.rename_columns(["label", "n_vecs", "sum_cos", "min_cos"])
+
+    rows = (
+        emb.map_batches(_score, batch_format="pyarrow")
+        .groupby("label", num_partitions=2)
+        .aggregate(
+            Sum("n_vecs", alias_name="n_vecs"),
+            Sum("sum_cos", alias_name="sum_cos"),
+            Min("min_cos", alias_name="min_cos"),
+        )
+        .take_all()
+    )
+    rows.sort(key=lambda r: int(r["label"]))
+    return pa.table(
+        {
+            "label": pa.array([int(r["label"]) for r in rows], pa.int64()),
+            "n_vecs": pa.array([int(r["n_vecs"]) for r in rows], pa.int64()),
+            "mean_cos_micro": pa.array(
+                [
+                    int(
+                        round_like_duckdb(
+                            int(r["sum_cos"]) * 1.0 / int(r["n_vecs"]), 0
+                        )
+                    )
+                    for r in rows
+                ],
+                pa.int64(),
+            ),
+            "worst_cos_micro": pa.array(
+                [int(r["min_cos"]) for r in rows], pa.int64()
+            ),
+        }
+    )
+
+
+def q248_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup ratio — the STORAGE-level
+    dedup report (how many bytes a chunk store would actually hold)
+    that complements the document-level q07/q19 family: shift-resistant
+    chunk boundaries find shared byte runs even when whole docs differ.
+    Plan: one doc pass runs the shared cdc_chunks kernel and emits the
+    (key, size) chunk stream; ONE chunk-key exchange colocates each
+    fingerprint so block-local distinct + min-size IS global; the
+    pre-dedup totals fold in the SAME post-shuffle pass (repartition
+    preserves rows), so nothing is read twice and only O(1) partials
+    per block return."""
+    from barks_ocr_ray.functions.storage import cdc_chunks
+
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        keys: list[int] = []
+        sizes: list[int] = []
+        for s in t.column("text"):
+            v = s.as_py()
+            if v is None:
+                continue
+            k, z = cdc_chunks(v.encode("utf-8"))
+            keys.extend(k)
+            sizes.extend(z)
+        return pa.table(
+            {
+                "key": pa.array(
+                    np.asarray(keys, np.uint64).astype(np.int64)
+                ),
+                "size": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = t.group_by("key").aggregate([("size", "min")])
+        sz = t.column("size")
+        szu = g.column("size_min")
+        return pa.table(
+            {
+                "n_chunks": pa.array([t.num_rows], pa.int64()),
+                "total_bytes": pa.array(
+                    [int(pc.sum(sz).as_py() or 0)], pa.int64()
+                ),
+                "n_unique_chunks": pa.array([g.num_rows], pa.int64()),
+                "unique_bytes": pa.array(
+                    [int(pc.sum(szu).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        docs.map_batches(_chunks, batch_format="pyarrow")
+        .repartition(hash_partitions(8), keys=["key"])
+        .map_batches(_partials, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    total = sum(int(r["total_bytes"]) for r in parts)
+    n_chunks = sum(int(r["n_chunks"]) for r in parts)
+    n_uniq = sum(int(r["n_unique_chunks"]) for r in parts)
+    ub = sum(int(r["unique_bytes"]) for r in parts)
+    ratio = int(round_like_duckdb(1e6 * ub / total, 0)) if total > 0 else 0
+    return pa.table(
+        {
+            "total_bytes": pa.array([total], pa.int64()),
+            "n_chunks": pa.array([n_chunks], pa.int64()),
+            "n_unique_chunks": pa.array([n_uniq], pa.int64()),
+            "unique_bytes": pa.array([ub], pa.int64()),
+            "ratio_micro": pa.array([ratio], pa.int64()),
+        }
+    )
+
+
+def q249_pca_top_component(sf_dir: str):
+    """Distributed PCA top principal component of the embedding corpus
+    — the spectrum-level geometry audit beside q208's isotropy scalar
+    (which direction dominates, and by how much). Exactness discipline:
+    vectors quantize to int64 fixed point (shared kernel), each block
+    ships its EXACT integer scatter (n, column sums, X^T X as (i, j)
+    triplets), one d²-bounded keyed aggregation merges them, and the
+    power iteration runs once driver-side on the d x d matrix — so the
+    distributed run and the sequential golden agree bit-for-bit no
+    matter the partitioning."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.ann import (
+        _emb_matrix,
+        pca_top_component,
+        quantize_micro_matrix,
+    )
+
+    emb = read_table(sf_dir, "embeddings", ["embedding"])
+
+    def _scatter(t: pa.Table) -> pa.Table:
+        x = quantize_micro_matrix(_emb_matrix(t))
+        d = x.shape[1]
+        c = x.T @ x
+        s = x.sum(axis=0)
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        i = np.concatenate([ii.ravel(), np.arange(d), [-1]])
+        j = np.concatenate([jj.ravel(), np.full(d, -1), [-1]])
+        v = np.concatenate([c.ravel(), s, [x.shape[0]]])
+        return pa.table(
+            {
+                "i": pa.array(i, pa.int64()),
+                "j": pa.array(j, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    rows = (
+        emb.map_batches(_scatter, batch_format="pyarrow")
+        .groupby(["i", "j"], num_partitions=2)
+        .aggregate(Sum("v", alias_name="v"))
+        .take_all()
+    )
+    d = max(int(r["i"]) for r in rows) + 1
+    n = 0
+    s = np.zeros(d, np.int64)
+    c = np.zeros((d, d), np.int64)
+    for r in rows:
+        i, j, v = int(r["i"]), int(r["j"]), int(r["v"])
+        if i == -1:
+            n = v
+        elif j == -1:
+            s[i] = v
+        else:
+            c[i, j] = v
+    vec, share = pca_top_component(n, s, c)
+    share_micro = int(round_like_duckdb(1e6 * share, 0))
+    load = round_like_duckdb(1e6 * vec, 0).astype(np.int64)
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "loading_micro": pa.array(load, pa.int64()),
+            "eig_share_micro": pa.array([share_micro] * d, pa.int64()),
+        }
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -16993,6 +17214,9 @@ def build_registry():
         "q244_benford_audit": q244_benford_audit,
         "q245_spearman_length_tokens": q245_spearman_length_tokens,
         "q246_ewma_backtest": q246_ewma_backtest,
+        "q247_int8_quant_distortion": q247_int8_quant_distortion,
+        "q248_cdc_dedup": q248_cdc_dedup,
+        "q249_pca_top_component": q249_pca_top_component,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -17289,6 +17513,20 @@ def build_registry():
         "q244_benford_audit": SQL_Q244,
         "q245_spearman_length_tokens": SQL_Q245,
         "q246_ewma_backtest": SQL_Q246,
+        "q247_int8_quant_distortion": _sql_golden(
+            "int8_quant",
+            "label, n_vecs, mean_cos_micro, worst_cos_micro",
+            "embeddings",
+        ),
+        "q248_cdc_dedup": _sql_golden(
+            "cdc_dedup",
+            "total_bytes, n_chunks, n_unique_chunks, unique_bytes, "
+            "ratio_micro",
+            "documents",
+        ),
+        "q249_pca_top_component": _sql_golden(
+            "pca_top", "dim, loading_micro, eig_share_micro", "embeddings"
+        ),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -145,7 +145,10 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q243_event_debounce', 1),
                         ('q244_benford_audit', 1),
                         ('q245_spearman_length_tokens', 1),
-                        ('q246_ewma_backtest', 1)):
+                        ('q246_ewma_backtest', 1),
+                        ('q247_int8_quant_distortion', 1),
+                        ('q248_cdc_dedup', 1),
+                        ('q249_pca_top_component', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

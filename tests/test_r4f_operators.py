@@ -295,3 +295,156 @@ class TestEwmaBacktest:
         view = got[got.event_type == "view"]
         assert view.n_forecasts.iloc[0] == 3
         assert view.mae_micro.iloc[0] == round((2e6 + 3e6 + 1.5e6) / 3)
+
+
+class TestInt8QuantDistortion:
+    def test_matches_golden_and_handles_degenerate_dims(
+        self, ray_session, tmp_path
+    ):
+        from barks_ocr_ray.functions.ann import int8_cos_micro
+        from barks_ocr_ray.golden_dedup import golden_int8_quant
+        from barks_ocr_ray.pipelines.queries import q247_int8_quant_distortion
+
+        rng = np.random.default_rng(3)
+        mat = rng.normal(size=(40, 6))
+        mat[:, 2] = 7.0  # constant dim: range 0 must reconstruct exactly
+        mat[5] = 0.0  # zero vector: cosine pinned to 1.0
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([i % 3 for i in range(40)], pa.int32()),
+            }
+        )
+        d = _write(tmp_path, "sf_quant", emb, "embeddings.parquet")
+        got = q247_int8_quant_distortion(d).to_pandas()
+        exp = golden_int8_quant(emb).to_pandas()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        # kernel edge checks
+        m64 = np.stack(
+            [np.asarray(v, np.float64) for v in emb.column("embedding").to_pylist()]
+        )
+        cos = int8_cos_micro(m64, m64.min(0), m64.max(0))
+        assert cos[5] == 1_000_000  # zero vector
+        assert (cos > 990_000).all()  # 8-bit codes keep cosine near 1
+
+    def test_matches_golden_on_sf0001(self, ray_session):
+        import pyarrow.parquet as pq2
+
+        from barks_ocr_ray.golden_dedup import golden_int8_quant
+        from barks_ocr_ray.pipelines.queries import q247_int8_quant_distortion
+
+        got = q247_int8_quant_distortion("/root/testdata/sf0.001").to_pandas()
+        exp = golden_int8_quant(
+            pq2.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        ).to_pandas()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestCdcDedup:
+    def test_kernel_shift_resistance_and_edges(self):
+        import duckdb as dk
+
+        from barks_ocr_ray.functions.storage import cdc_chunks
+
+        assert cdc_chunks(b"") == ([], [])
+        k, z = cdc_chunks(b"tiny")
+        assert len(k) == 1 and z == [4]
+        texts = [
+            r[0]
+            for r in dk.sql(
+                "SELECT text FROM read_parquet("
+                "'/root/testdata/sf0.001/documents.parquet') "
+                "WHERE len(text) > 800 LIMIT 5"
+            ).fetchall()
+        ]
+        blob = ("\n".join(texts)).encode("utf-8")
+        k1, z1 = cdc_chunks(blob)
+        k2, z2 = cdc_chunks(b"INSERTED PREFIX >>> " + blob)
+        assert sum(z1) == len(blob)
+        # shift resistance: an insertion at the front must NOT re-chunk
+        # the whole stream (fixed-size blocking would share ~0 keys)
+        shared = len(set(k1) & set(k2))
+        assert shared >= len(set(k1)) * 0.6, (shared, len(set(k1)))
+
+    def test_matches_golden_with_cross_doc_dups(self, ray_session, tmp_path):
+        import duckdb as dk
+
+        from barks_ocr_ray.golden_dedup import golden_cdc_stats
+        from barks_ocr_ray.pipelines.queries import q248_cdc_dedup
+
+        base = [
+            r[0]
+            for r in dk.sql(
+                "SELECT text FROM read_parquet("
+                "'/root/testdata/sf0.001/documents.parquet') LIMIT 30"
+            ).fetchall()
+        ]
+        # duplicate docs + a None: chunk-level dedup must fire
+        texts = base + base[:10] + [None]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_cdc", docs, "documents.parquet")
+        got = q248_cdc_dedup(d).to_pandas()
+        exp = golden_cdc_stats(docs).to_pandas()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.n_unique_chunks.iloc[0] < got.n_chunks.iloc[0]
+        assert got.ratio_micro.iloc[0] < 1_000_000
+
+
+class TestPcaTopComponent:
+    def test_line_corpus_recovers_direction(self, ray_session, tmp_path):
+        from barks_ocr_ray.golden_dedup import golden_pca_top
+        from barks_ocr_ray.pipelines.queries import q249_pca_top_component
+
+        rng = np.random.default_rng(5)
+        t = rng.normal(size=200)
+        noise = rng.normal(size=(200, 4)) * 0.01
+        direction = np.array([0.6, -0.8, 0.0, 0.0])
+        mat = t[:, None] * direction[None, :] + noise
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * 200, pa.int32()),
+            }
+        )
+        d = _write(tmp_path, "sf_pca", emb, "embeddings.parquet")
+        got = q249_pca_top_component(d).to_pandas()
+        exp = golden_pca_top(emb).to_pandas()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        # recovered loading ≈ ±(0.6, -0.8, 0, 0) with the largest-|v|
+        # component positive -> (-0.6, 0.8, 0, 0)
+        lv = got.loading_micro.to_numpy() / 1e6
+        assert abs(lv[1] - 0.8) < 0.01
+        assert abs(lv[0] + 0.6) < 0.01
+        assert got.eig_share_micro.iloc[0] > 990_000
+
+    def test_matches_golden_on_sf0001(self, ray_session):
+        import pyarrow.parquet as pq2
+
+        from barks_ocr_ray.golden_dedup import golden_pca_top
+        from barks_ocr_ray.pipelines.queries import q249_pca_top_component
+
+        got = q249_pca_top_component("/root/testdata/sf0.001").to_pandas()
+        exp = golden_pca_top(
+            pq2.read_table("/root/testdata/sf0.001/embeddings.parquet")
+        ).to_pandas()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
