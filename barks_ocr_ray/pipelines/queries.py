@@ -16951,6 +16951,384 @@ def q249_pca_top_component(sf_dir: str):
     )
 
 
+def q250_new_returning_users(sf_dir: str):
+    """Daily new vs returning active users — the growth-accounting
+    report every event pipeline publishes (DAU split by first-ever-day).
+    Plan: ONE user-keyed exchange colocates each user's history, so
+    per-block distinct (user, day) pairs AND first-day flags are
+    global facts; what shuffles onward is days-bounded (day, active,
+    new) partials, and the derived returning column is a vectorized
+    subtract on the bounded result."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def _block(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // DAY
+        )
+        order = np.lexsort((day, us))
+        us, day = us[order], day[order]
+        keep = np.ones(len(us), np.bool_)  # distinct (user, day)
+        keep[1:] = (us[1:] != us[:-1]) | (day[1:] != day[:-1])
+        us, day = us[keep], day[keep]
+        first = np.ones(len(us), np.bool_)
+        first[1:] = us[1:] != us[:-1]
+        g = (
+            pa.table(
+                {
+                    "day": pa.array(day, pa.int64()),
+                    "new": pa.array(first.astype(np.int64)),
+                }
+            )
+            .group_by("day")
+            .aggregate([("new", "count"), ("new", "sum")])
+        )
+        return g.rename_columns(["day", "n_active", "n_new"])
+
+    def _finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": pc.multiply(
+                    t.column("day"), pa.scalar(DAY, pa.int64())
+                ).cast(pa.timestamp("us")),
+                "n_active": t.column("n_active"),
+                "n_new": t.column("n_new"),
+                "n_returning": pc.subtract(
+                    t.column("n_active"), t.column("n_new")
+                ),
+            }
+        )
+
+    return (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_block, batch_format="pyarrow", batch_size=None)
+        .groupby("day", num_partitions=2)
+        .aggregate(
+            Sum("n_active", alias_name="n_active"),
+            Sum("n_new", alias_name="n_new"),
+        )
+        .map_batches(_finish, batch_format="pyarrow")
+    )
+
+
+SQL_Q250 = """
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+f AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY 1)
+SELECT ud.day AS day, CAST(count(*) AS BIGINT) AS n_active,
+       CAST(sum(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(count(*)
+            - sum(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning
+FROM ud JOIN f ON ud.user_id = f.user_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q251_transition_entropy(sf_dir: str):
+    """Conditional next-event entropy per preceding event type — the
+    sequence-predictability audit beside q213's top-1 backtest (a
+    high-entropy row means no model will predict that successor well;
+    Shannon, nats). Plan: the q144 transition kernel (ONE user-keyed
+    exchange, per-block lexsort + boundary-masked adjacent pairs) ships
+    |types|^2-bounded count partials; the entropy closes on the driver
+    table with per-cell micro rounding BEFORE the integer sum, so float
+    accumulation order cannot leak in."""
+    import math
+
+    import numpy as np
+
+    ev = read_table(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        st = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, us))
+        us, st = us[order], st[order]
+        same = us[1:] == us[:-1]
+        a, b = st[:-1][same], st[1:][same]
+        g = (
+            pa.table(
+                {
+                    "prev": pa.array(a.tolist(), pa.string()),
+                    "next": pa.array(b.tolist(), pa.string()),
+                }
+            )
+            .group_by(["prev", "next"])
+            .aggregate([("prev", "count")])
+        )
+        return g.rename_columns(["prev", "next", "c"])
+
+    cells = (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["prev", "next"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    by_prev: dict = {}
+    for r in cells:
+        by_prev.setdefault(r["prev"], []).append(int(r["c"]))
+    out_p, out_n, out_h = [], [], []
+    for prev in sorted(by_prev):
+        cs = by_prev[prev]
+        cp = sum(cs)
+        h = sum(
+            int(round_like_duckdb(1e6 * c / cp * math.log(cp * 1.0 / c), 0))
+            for c in cs
+        )
+        out_p.append(prev)
+        out_n.append(cp)
+        out_h.append(h)
+    return pa.table(
+        {
+            "prev": pa.array(out_p, pa.string()),
+            "n_transitions": pa.array(out_n, pa.int64()),
+            "h_micro": pa.array(out_h, pa.int64()),
+        }
+    )
+
+
+SQL_Q251 = """
+WITH o AS (
+  SELECT event_type AS prev,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next
+  FROM events),
+c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS c
+      FROM o WHERE next IS NOT NULL GROUP BY 1, 2),
+p AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp FROM c GROUP BY 1)
+SELECT c.prev, p.cp AS n_transitions,
+       CAST(sum(CAST(round(1e6 * c.c / p.cp * ln(p.cp * 1.0 / c.c), 0)
+                     AS BIGINT)) AS BIGINT) AS h_micro
+FROM c JOIN p ON c.prev = p.prev
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def q252_hill_tail_index(sf_dir: str):
+    """Hill tail-index estimate of the doc-length distribution — the
+    power-law heaviness gauge beside q174's Zipf slope (alpha near 1-2
+    means giant docs dominate byte mass and packing/shard planning must
+    assume a heavy tail). Tail = everything strictly above the
+    k-th-largest value (k = max(n//20, 10), ties collapse into xmin).
+    Plan: one (value, count) histogram aggregation (q241 bounds); the
+    order-statistic walk and the per-VALUE micro-rounded log terms
+    (integer-weighted, so the sum is exact) close on the driver
+    histogram."""
+    import math
+
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["n_chars"])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_chars").aggregate([([], "count_all")])
+        return g.rename_columns(["v", "c"])
+
+    hist = (
+        docs.map_batches(_hist, batch_format="pyarrow")
+        .groupby("v", num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "n": pa.array([], pa.int64()),
+            "k": pa.array([], pa.int64()),
+            "xmin": pa.array([], pa.int64()),
+            "alpha_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not hist:
+        return empty
+    vals = np.asarray([int(r["v"]) for r in hist], np.int64)
+    cnts = np.asarray([int(r["c"]) for r in hist], np.int64)
+    order = np.argsort(-vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    n = int(cnts.sum())
+    k_target = max(n // 20, 10)
+    cum = np.cumsum(cnts)
+    pos = int(np.searchsorted(cum, k_target))
+    if pos >= len(vals):
+        return empty
+    xmin = int(vals[pos])
+    k = int(cum[pos - 1]) if pos > 0 else 0
+    if k == 0 or xmin <= 0:
+        return empty
+    sum_ln = int(
+        sum(
+            int(c) * int(round_like_duckdb(1e6 * math.log(v * 1.0 / xmin), 0))
+            for v, c in zip(vals[:pos], cnts[:pos])
+        )
+    )
+    if sum_ln <= 0:
+        return empty
+    alpha = int(round_like_duckdb(1e12 * k / sum_ln, 0))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "k": pa.array([k], pa.int64()),
+            "xmin": pa.array([xmin], pa.int64()),
+            "alpha_micro": pa.array([alpha], pa.int64()),
+        }
+    )
+
+
+SQL_Q252 = """
+WITH h AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+kt AS (SELECT greatest(n // 20, 10) AS k_target, n FROM t),
+r AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v DESC) AS BIGINT) AS cum
+      FROM h),
+x AS (SELECT max(r.v) AS xmin FROM r, kt WHERE r.cum >= kt.k_target),
+tail AS (SELECT r.v, r.c, x.xmin FROM r, x WHERE r.v > x.xmin),
+s AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS k,
+             CAST(coalesce(sum(c * CAST(round(1e6 * ln(v * 1.0 / xmin), 0)
+                                        AS BIGINT)), 0) AS BIGINT) AS sum_ln
+      FROM tail)
+SELECT kt.n AS n, s.k AS k, x.xmin AS xmin,
+       CAST(round(1e12 * s.k / s.sum_ln, 0) AS BIGINT) AS alpha_micro
+FROM s, x, kt WHERE s.k > 0 AND x.xmin > 0 AND s.sum_ln > 0
+"""
+
+
+#: A/B assignment salt (md5 unit fraction on user_id)
+Q253_SALT = 3
+
+
+def q253_ab_ztest(sf_dir: str):
+    """Hash-randomized A/B exposure + pooled two-proportion z-test on a
+    user-level conversion label (net-positive user: strictly more
+    purchase than error events) — the experimentation primitive
+    (deterministic md5 arm assignment = the q113 split convention, so
+    the oracle replays every exposure). Plan: ONE user-keyed exchange,
+    per-block per-user count folds + vectorized arm hashing, O(1)
+    four-count partials per block; the z statistic is one mirrored IEEE
+    expression over the four exact integers."""
+    import math
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.hashing import unit_fractions
+
+    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
+    salt = Q253_SALT
+
+    def _block(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        pur = (
+            pc.equal(t.column("event_type"), pa.scalar("purchase"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        err = (
+            pc.equal(t.column("event_type"), pa.scalar("error"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(us, kind="stable")
+        us, pur, err = us[order], pur[order], err[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], us[1:] != us[:-1]))
+        )
+        uids = us[starts]
+        cp = np.diff(np.concatenate(([0], np.cumsum(pur)))[
+            np.append(starts, len(us))
+        ])
+        ce = np.diff(np.concatenate(([0], np.cumsum(err)))[
+            np.append(starts, len(us))
+        ])
+        has_conv = (cp > ce).astype(np.int64)
+        in_a = unit_fractions(uids.tolist(), method="md5", salt=salt) < 0.5
+        return pa.table(
+            {
+                "n_a": pa.array([int(in_a.sum())], pa.int64()),
+                "x_a": pa.array([int(has_conv[in_a].sum())], pa.int64()),
+                "n_b": pa.array([int((~in_a).sum())], pa.int64()),
+                "x_b": pa.array([int(has_conv[~in_a].sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_block, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    n_a = sum(int(r["n_a"]) for r in parts)
+    x_a = sum(int(r["x_a"]) for r in parts)
+    n_b = sum(int(r["n_b"]) for r in parts)
+    x_b = sum(int(r["x_b"]) for r in parts)
+    empty = pa.table(
+        {
+            "n_a": pa.array([], pa.int64()),
+            "x_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "x_b": pa.array([], pa.int64()),
+            "lift_micro": pa.array([], pa.int64()),
+            "z_micro": pa.array([], pa.int64()),
+        }
+    )
+    if n_a == 0 or n_b == 0 or x_a + x_b == 0 or x_a + x_b == n_a + n_b:
+        return empty
+    lift = x_a * 1.0 / n_a - x_b * 1.0 / n_b
+    p = (x_a + x_b) * 1.0 / (n_a + n_b)
+    se = math.sqrt(p * (1 - p) * (1.0 / n_a + 1.0 / n_b))
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "x_a": pa.array([x_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "x_b": pa.array([x_b], pa.int64()),
+            "lift_micro": pa.array(
+                [int(round_like_duckdb(1e6 * lift, 0))], pa.int64()
+            ),
+            "z_micro": pa.array(
+                [int(round_like_duckdb(1e6 * lift / se, 0))], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q253 = f"""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST(('0x' || substring(
+                  md5('{Q253_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) / 4294967296.0 < 0.5
+              THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY 1, 2),
+t AS (SELECT
+  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+  CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+  CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+  FROM u)
+SELECT n_a, x_a, n_b, x_b,
+  CAST(round(1e6 * (x_a * 1.0 / n_a - x_b * 1.0 / n_b), 0) AS BIGINT)
+      AS lift_micro,
+  CAST(round(1e6 * (x_a * 1.0 / n_a - x_b * 1.0 / n_b)
+             / sqrt((x_a + x_b) * 1.0 / (n_a + n_b)
+                    * (1 - (x_a + x_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 0) AS BIGINT) AS z_micro
+FROM t
+WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -17217,6 +17595,10 @@ def build_registry():
         "q247_int8_quant_distortion": q247_int8_quant_distortion,
         "q248_cdc_dedup": q248_cdc_dedup,
         "q249_pca_top_component": q249_pca_top_component,
+        "q250_new_returning_users": q250_new_returning_users,
+        "q251_transition_entropy": q251_transition_entropy,
+        "q252_hill_tail_index": q252_hill_tail_index,
+        "q253_ab_ztest": q253_ab_ztest,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -17527,6 +17909,10 @@ def build_registry():
         "q249_pca_top_component": _sql_golden(
             "pca_top", "dim, loading_micro, eig_share_micro", "embeddings"
         ),
+        "q250_new_returning_users": SQL_Q250,
+        "q251_transition_entropy": SQL_Q251,
+        "q252_hill_tail_index": SQL_Q252,
+        "q253_ab_ztest": SQL_Q253,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

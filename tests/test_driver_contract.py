@@ -148,7 +148,11 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q246_ewma_backtest', 1),
                         ('q247_int8_quant_distortion', 1),
                         ('q248_cdc_dedup', 1),
-                        ('q249_pca_top_component', 1)):
+                        ('q249_pca_top_component', 1),
+                        ('q250_new_returning_users', 1),
+                        ('q251_transition_entropy', 1),
+                        ('q252_hill_tail_index', 1),
+                        ('q253_ab_ztest', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

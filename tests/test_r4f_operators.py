@@ -448,3 +448,173 @@ class TestPcaTopComponent:
         ).to_pandas()
         for c in got.columns:
             assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestNewReturningUsers:
+    def test_hand_daily_split(self, ray_session, tmp_path):
+        import datetime
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q250,
+            q250_new_returning_users,
+        )
+
+        base = datetime.datetime(2024, 6, 1)
+
+        def ts(day, h):
+            return base + datetime.timedelta(days=day, hours=h)
+
+        # day0: u1(new), u2(new); day1: u1(ret), u3(new); u1 fires twice
+        # on day0 (distinct (user,day) must count once)
+        rows = [(1, 0), (1, 0), (2, 0), (1, 1), (3, 1)]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [ts(r[1], i) for i, r in enumerate(rows)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_dau", ev, "events.parquet")
+        got = (
+            q250_new_returning_users(d)
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q250).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.n_active.tolist() == [2, 2]
+        assert got.n_new.tolist() == [2, 1]
+        assert got.n_returning.tolist() == [0, 1]
+
+
+class TestTransitionEntropy:
+    def test_deterministic_vs_uniform_successors(self, ray_session, tmp_path):
+        import datetime
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q251,
+            q251_transition_entropy,
+        )
+
+        base = datetime.datetime(2024, 6, 1)
+        # transitions: u1 gives a->b, b->a, a->b; u2 gives c->a, a->c,
+        # c->b => prev b is deterministic (H=0), prev c is uniform over
+        # {a,b} (H=ln2), prev a mixes {b:2, c:1}
+        seqs = {1: ["a", "b", "a", "b"], 2: ["c", "a", "c", "b"]}
+        rows = []
+        for u, seq in seqs.items():
+            for i, t in enumerate(seq):
+                rows.append((u, i, t))
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [base + datetime.timedelta(minutes=r[1]) for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_tentropy", ev, "events.parquet")
+        got = q251_transition_entropy(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q251).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        h = dict(zip(got.prev, got.h_micro))
+        assert h["b"] == 0  # deterministic successor
+        assert h["c"] == 693148  # 2 * round(1e6 * 0.5 * ln 2)
+        # {b:2, c:1}: round(1e6*2/3*ln(3/2)) + round(1e6*1/3*ln 3)
+        assert h["a"] == 270310 + 366204
+
+
+class TestHillTailIndex:
+    def test_pareto_like_histogram(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q252,
+            q252_hill_tail_index,
+        )
+
+        # exact Pareto(alpha=2) quantiles: x_i = round(10 / sqrt(u_i))
+        u = (np.arange(400) + 0.5) / 400
+        x = np.round(10.0 / np.sqrt(u)).astype(np.int64)
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(x)), pa.int64()),
+                "n_chars": pa.array(x, pa.int64()),
+                "text": pa.array(["t"] * len(x), pa.string()),
+                "lang": pa.array(["en"] * len(x), pa.string()),
+                "source": pa.array(["s"] * len(x), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_hill", docs, "documents.parquet")
+        got = q252_hill_tail_index(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q252).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        # Hill on a clean Pareto(2) tail lands near alpha=2
+        assert 1_500_000 < got.alpha_micro.iloc[0] < 2_700_000
+        assert got.n.iloc[0] == 400
+
+
+class TestAbZtest:
+    def test_replays_arm_assignment_and_z(self, ray_session, tmp_path):
+        from barks_ocr_ray.functions.hashing import unit_fractions
+        from barks_ocr_ray.pipelines.queries import (
+            Q253_SALT,
+            SQL_Q253,
+            q253_ab_ztest,
+        )
+
+        # 60 users; net-positive (purchases > errors) only for
+        # user_id % 3 == 0 — others get an error so conv = 0
+        rows = []
+        for u in range(60):
+            rows.append((u, "view"))
+            rows.append((u, "click"))
+            if u % 3 == 0:
+                rows.append((u, "purchase"))
+            else:
+                rows.append((u, "error"))
+                rows.append((u, "purchase"))  # 1 purchase, 1 error: tie -> 0
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(len(rows))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ab", ev, "events.parquet")
+        got = q253_ab_ztest(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q253).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        in_a = unit_fractions(list(range(60)), method="md5", salt=Q253_SALT) < 0.5
+        assert got.n_a.iloc[0] == int(in_a.sum())
+        assert got.x_a.iloc[0] == sum(
+            1 for u in range(60) if in_a[u] and u % 3 == 0
+        )
