@@ -18,14 +18,17 @@ missing fields); this module makes that tolerance a first-class read.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 from ray.data import Dataset
 
+from barks_ocr_ray.functions.hashing import splitmix64
 from barks_ocr_ray.functions.relational import strip_schema_metadata
 
 
@@ -161,13 +164,11 @@ def cdc_chunks(data: bytes, avg: int = CDC_AVG) -> tuple[list, list]:
     (chunk keys: blake2b-8 uint64 ints, chunk sizes). Vectorized: the
     window values fold from 8 shifted adds, one splitmix64 pass finds
     all boundaries; only the per-chunk fingerprint is a per-chunk call.
-    Shared verbatim by the distributed pass and the sequential golden."""
-    import hashlib
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.hashing import splitmix64
-
+    Shared verbatim by the distributed pass and the sequential golden.
+    NOTE: runs inside worker UDFs — its imports MUST stay module-level
+    (a body-level ``from barks_ocr_ray...`` import fails in the
+    driver's no-PYTHONPATH condition; by-value pickling ships objects,
+    not sys.path)."""
     n = len(data)
     if n == 0:
         return [], []
