@@ -1321,3 +1321,49 @@ def pca_top_component(
     if v[int(np.argmax(np.abs(v)))] < 0:
         v = -v
     return v, share
+
+
+# --- Johnson-Lindenstrauss sign projection (q256) ----------------------------
+
+#: JL target dimensionality
+JL_K = 16
+
+
+def jl_sign_matrix(d: int, k: int = JL_K) -> np.ndarray:
+    """Deterministic +-1/sqrt(k) projection matrix (Achlioptas 2003
+    database-friendly JL): the sign of splitmix64(i*k + j) bit 0 —
+    a pure function of (d, k), so every block and the golden build the
+    SAME matrix with no broadcast needed."""
+    from barks_ocr_ray.functions.hashing import splitmix64
+
+    idx = np.arange(d * k, dtype=np.int64)
+    bits = (splitmix64(idx) & np.uint64(1)).astype(np.float64)
+    return ((bits * 2.0 - 1.0) / np.sqrt(k)).reshape(d, k)
+
+
+def jl_pair_ratios(
+    mat: np.ndarray, ids: np.ndarray, proj: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distortion kernel for consecutive-id pairs (2i, 2i+1) PRESENT in
+    ``mat``: returns (pair_id, ratio_micro) where ratio = projected /
+    original squared distance, micro-rounded per pair. Elementwise +
+    per-pair fixed-order reductions only — partition-independent, so
+    the distributed pass (pair-keyed exchange) and the sequential
+    golden share it verbatim. Pairs with zero original distance are
+    dropped (ratio undefined)."""
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    pid = ids // 2
+    # a complete pair = adjacent rows with the same pid and even/odd ids
+    adj = (pid[:-1] == pid[1:]) & (ids[:-1] % 2 == 0) & (ids[1:] % 2 == 1)
+    a = mat[:-1][adj]
+    b = mat[1:][adj]
+    d_orig = ((a - b) ** 2).sum(axis=1)
+    pa_ = a @ proj
+    pb_ = b @ proj
+    d_proj = ((pa_ - pb_) ** 2).sum(axis=1)
+    keep = d_orig > 0
+    ratio = round_like_duckdb(
+        1e6 * d_proj[keep] / d_orig[keep], 0
+    ).astype(np.int64)
+    return pid[:-1][adj][keep], ratio

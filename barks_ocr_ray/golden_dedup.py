@@ -1097,3 +1097,21 @@ def golden_pca_top(emb: pa.Table) -> pa.Table:
             ),
         }
     )
+
+
+def golden_jl_distortion(emb: pa.Table) -> pa.Table:
+    """Sequential replay of q256: one full-matrix pass through the
+    SHARED jl_sign_matrix + jl_pair_ratios kernels. Pins the
+    distributed pair-keyed exchange and block-local pairing."""
+    from barks_ocr_ray.functions.ann import jl_pair_ratios, jl_sign_matrix
+
+    ids, mat = _emb_rows(emb)
+    proj = jl_sign_matrix(mat.shape[1])
+    pid, ratio = jl_pair_ratios(mat, ids.astype(np.int64), proj)
+    order = np.argsort(pid, kind="stable")
+    return pa.table(
+        {
+            "pair_id": pa.array(pid[order], pa.int64()),
+            "ratio_micro": pa.array(ratio[order], pa.int64()),
+        }
+    )

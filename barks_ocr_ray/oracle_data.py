@@ -515,6 +515,9 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q249": ensure_neardup_golden(
             "pca_top", "embeddings", g.golden_pca_top
         ),
+        "q256": ensure_neardup_golden(
+            "jl_distortion", "embeddings", g.golden_jl_distortion
+        ),
     }
 
 

@@ -17329,6 +17329,247 @@ WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
 """
 
 
+#: weighted-reservoir sample size
+Q254_K = 50
+
+
+def q254_weighted_reservoir(sf_dir: str):
+    """Weighted reservoir sampling without replacement (Efraimidis &
+    Spirakis 2006: keep the k largest u^(1/w) keys) — the one-pass
+    distributed primitive for "sample docs proportional to length/
+    quality" that q69's with-replacement sampler cannot provide.
+    Deterministic md5 uniforms make the oracle replay every key; keys
+    are ROUNDED to 9 decimals before ranking (the ann.py round-before-
+    rank discipline) with doc_id tie-break, so a libm-pow last-ulp
+    difference can never flip a rank. Plan: each block keeps its local
+    top-k (vectorized argpartition), the driver merges blocks x k
+    candidates — no global sort, no corpus-scale exchange."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.hashing import unit_fractions
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
+    k = Q254_K
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False)
+        pos = w > 0
+        ids, w = ids[pos], w[pos]
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "skey": pa.array([], pa.float64()),
+                }
+            )
+        u = unit_fractions(ids.tolist(), method="md5")
+        key = round_like_duckdb(u ** (1.0 / w), 9)
+        if len(ids) > k:
+            cut = np.argpartition(-key, k - 1)[:k]
+            ids, key = ids[cut], key[cut]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "skey": pa.array(key, pa.float64()),
+            }
+        )
+
+    cand = docs.map_batches(
+        _local_topk, batch_format="pyarrow"
+    ).take_all()
+    if not cand:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "skey": pa.array([], pa.float64()),
+            }
+        )
+    ids = np.asarray([r["doc_id"] for r in cand], np.int64)
+    key = np.asarray([r["skey"] for r in cand], np.float64)
+    order = np.lexsort((ids, -key))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(order) + 1, dtype=np.int64)
+            ),
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "skey": pa.array(key[order], pa.float64()),
+        }
+    )
+
+
+SQL_Q254 = f"""
+WITH d AS (
+  SELECT doc_id,
+         round(pow(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8)) AS UBIGINT)
+                   / 4294967296.0, 1.0 / n_chars), 9) AS skey
+  FROM documents WHERE n_chars > 0)
+SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT)
+           AS rank,
+       doc_id, skey
+FROM d ORDER BY skey DESC, doc_id LIMIT {Q254_K}
+"""
+
+
+def q255_interarrival_dispersion(sf_dir: str):
+    """Inter-arrival dispersion audit per event type — coefficient of
+    variation and index of dispersion of the gap series (CV ~ 1 means
+    Poisson-like arrivals; >> 1 means bursts, the q188 detector's
+    distribution-level summary). Gaps are truncated to integer
+    milliseconds so the moment partials are EXACT int64 (q154
+    discipline). Plan: ONE type-keyed exchange (types-bounded by
+    construction, the q12 family's partitioning), per-block lexsort +
+    boundary-masked diffs, O(1) moment partials per block, mirrored
+    IEEE expressions on the driver's types-bounded table. Bound: the
+    int64 block partial needs sum(g_ms^2) < 2^63 per (type, block) —
+    holds while count x rms_gap_ms^2 < 9e18 (a century-long 1 Hz
+    stream); the driver merge itself is arbitrary-precision."""
+    import math
+
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["event_type", "ts", "event_id"])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        st = t.column("event_type").to_numpy(zero_copy_only=False)
+        ms = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 1000
+        )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ms, st))
+        st, ms = st[order], ms[order]
+        same = st[1:] == st[:-1]
+        g = (ms[1:] - ms[:-1])[same]
+        types = st[1:][same]
+        rows = []
+        for typ in np.unique(types):
+            sel = types == typ
+            gs = g[sel]
+            rows.append(
+                (
+                    typ,
+                    len(gs),
+                    int(gs.sum()),
+                    int((gs * gs).sum()),
+                )
+            )
+        return pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "sg": pa.array([r[2] for r in rows], pa.int64()),
+                "sgg": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    parts = (
+        ev.repartition(hash_partitions(8), keys=["event_type"])
+        .map_batches(_moments, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    acc: dict = {}
+    for r in parts:
+        m = acc.setdefault(r["event_type"], [0, 0, 0])
+        m[0] += int(r["n"])
+        m[1] += int(r["sg"])
+        m[2] += int(r["sgg"])
+    out_t, out_n, out_cv, out_disp = [], [], [], []
+    for typ in sorted(acc):
+        n, sg, sgg = acc[typ]
+        if n == 0 or sg <= 0:
+            continue
+        num = max(n * sgg - sg * sg, 0)  # exact Python int (no overflow)
+        out_t.append(typ)
+        out_n.append(n)
+        out_cv.append(
+            int(round_like_duckdb(1e6 * math.sqrt(num * 1.0) / sg, 0))
+        )
+        out_disp.append(
+            int(round_like_duckdb(1e6 * num * 1.0 / n / sg, 0))
+        )
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_gaps": pa.array(out_n, pa.int64()),
+            "cv_micro": pa.array(out_cv, pa.int64()),
+            "dispersion_ms_micro": pa.array(out_disp, pa.int64()),
+        }
+    )
+
+
+SQL_Q255 = """
+WITH o AS (
+  SELECT event_type,
+         epoch_us(ts) // 1000
+           - lag(epoch_us(ts) // 1000) OVER (
+                 PARTITION BY event_type
+                 ORDER BY epoch_us(ts) // 1000, event_id) AS g
+  FROM events),
+m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(g) AS BIGINT) AS sg,
+             CAST(sum(g * g) AS BIGINT) AS sgg
+      FROM o WHERE g IS NOT NULL GROUP BY 1),
+-- HUGEINT: n*sgg and sg*sg overflow BIGINT on long series
+v AS (SELECT event_type, n, sg,
+             greatest(CAST(n AS HUGEINT) * sgg
+                      - CAST(sg AS HUGEINT) * sg, 0) AS num
+      FROM m WHERE n > 0 AND sg > 0)
+SELECT event_type, n AS n_gaps,
+       CAST(round(1e6 * sqrt(num * 1.0) / sg, 0) AS BIGINT) AS cv_micro,
+       CAST(round(1e6 * num * 1.0 / n / sg, 0) AS BIGINT)
+           AS dispersion_ms_micro
+FROM v ORDER BY event_type
+"""
+
+
+def q256_jl_distortion(sf_dir: str):
+    """Johnson-Lindenstrauss sign-projection distortion audit — how
+    faithfully a 4x dimensionality reduction (64 -> 16, Achlioptas
+    +-1/sqrt(k) projection) preserves pairwise squared distances,
+    reported per deterministic id pair (2i, 2i+1) as the projected/
+    original ratio. The dimensionality-reduction twin of q247's code
+    compression audit. Plan: the projection matrix is a pure function
+    of (d, k) (no broadcast at all); ONE pair-keyed exchange colocates
+    each pair, blocks run the shared jl_pair_ratios kernel, and the
+    ratio stream never touches the driver."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.ann import (
+        _emb_matrix,
+        jl_pair_ratios,
+        jl_sign_matrix,
+    )
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "pair_key", pc.divide(t.column("vec_id"), pa.scalar(2))
+        )
+
+    def _ratios(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        mat = _emb_matrix(t)
+        proj = jl_sign_matrix(mat.shape[1])
+        pid, ratio = jl_pair_ratios(mat, ids.astype(np.int64), proj)
+        return pa.table(
+            {
+                "pair_id": pa.array(pid, pa.int64()),
+                "ratio_micro": pa.array(ratio, pa.int64()),
+            }
+        )
+
+    return (
+        emb.map_batches(_key, batch_format="pyarrow")
+        .repartition(hash_partitions(8), keys=["pair_key"])
+        .map_batches(_ratios, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -17599,6 +17840,9 @@ def build_registry():
         "q251_transition_entropy": q251_transition_entropy,
         "q252_hill_tail_index": q252_hill_tail_index,
         "q253_ab_ztest": q253_ab_ztest,
+        "q254_weighted_reservoir": q254_weighted_reservoir,
+        "q255_interarrival_dispersion": q255_interarrival_dispersion,
+        "q256_jl_distortion": q256_jl_distortion,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -17913,6 +18157,11 @@ def build_registry():
         "q251_transition_entropy": SQL_Q251,
         "q252_hill_tail_index": SQL_Q252,
         "q253_ab_ztest": SQL_Q253,
+        "q254_weighted_reservoir": SQL_Q254,
+        "q255_interarrival_dispersion": SQL_Q255,
+        "q256_jl_distortion": _sql_golden(
+            "jl_distortion", "pair_id, ratio_micro", "embeddings"
+        ),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

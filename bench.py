@@ -91,6 +91,10 @@ BENCH_QUERIES = [
     "q217_shuffle_quality",
     "q218_novelty_curve",
     "q221_mutual_alignment",
+    "q243_event_debounce",
+    "q245_spearman_length_tokens",
+    "q248_cdc_dedup",
+    "q249_pca_top_component",
 ]
 
 

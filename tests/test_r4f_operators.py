@@ -618,3 +618,125 @@ class TestAbZtest:
         assert got.x_a.iloc[0] == sum(
             1 for u in range(60) if in_a[u] and u % 3 == 0
         )
+
+
+class TestWeightedReservoir:
+    def test_replays_keys_and_prefers_heavy_docs(self, ray_session, tmp_path):
+        from barks_ocr_ray.functions.hashing import unit_fractions
+        from barks_ocr_ray.pipelines.queries import (
+            Q254_K,
+            SQL_Q254,
+            q254_weighted_reservoir,
+        )
+
+        # 300 docs: ids 0..9 carry 1000x the weight of the rest; a
+        # zero-weight doc must be excluded
+        n = 300
+        w = [100_000 if i < 10 else 100 for i in range(n)]
+        w[250] = 0
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "n_chars": pa.array(w, pa.int64()),
+                "text": pa.array(["t"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_wres", docs, "documents.parquet")
+        got = q254_weighted_reservoir(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q254).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert len(got) == Q254_K
+        assert 250 not in set(got.doc_id)
+        # all ten heavy docs should make a 50-slot sample (p_miss ~ 0)
+        assert sum(1 for i in got.doc_id if i < 10) == 10
+        # replay one key by hand
+        u0 = unit_fractions([0], method="md5")[0]
+        k0 = float(
+            np.round(u0 ** (1.0 / 100_000), 9)
+        )
+        row0 = got[got.doc_id == 0]
+        assert abs(row0.skey.iloc[0] - k0) < 2e-9
+
+
+class TestInterarrivalDispersion:
+    def test_regular_vs_bursty_streams(self, ray_session, tmp_path):
+        import datetime
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q255,
+            q255_interarrival_dispersion,
+        )
+
+        base = datetime.datetime(2024, 6, 1)
+        rows = []
+        # 'tick': perfectly regular 60 s gaps -> CV = 0
+        for i in range(20):
+            rows.append(("tick", base + datetime.timedelta(seconds=60 * i)))
+        # 'burst': 10 events in 1 s, then an hour gap, then 10 more
+        for i in range(10):
+            rows.append(("burst", base + datetime.timedelta(milliseconds=100 * i)))
+        for i in range(10):
+            rows.append(
+                ("burst", base + datetime.timedelta(hours=1, milliseconds=100 * i))
+            )
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_gaps", ev, "events.parquet")
+        got = q255_interarrival_dispersion(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q255).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        r = got.set_index("event_type")
+        assert r.loc["tick", "cv_micro"] == 0
+        assert r.loc["burst", "cv_micro"] > 3_000_000  # heavy burstiness
+
+
+class TestJlDistortion:
+    def test_matches_golden_and_mean_near_one(self, ray_session, tmp_path):
+        from barks_ocr_ray.golden_dedup import golden_jl_distortion
+        from barks_ocr_ray.pipelines.queries import q256_jl_distortion
+
+        rng = np.random.default_rng(9)
+        n = 120
+        mat = rng.normal(size=(n, 64))
+        # vec_id 7 removed -> pair 3 incomplete and must be dropped
+        ids = [i for i in range(n) if i != 7]
+        emb = pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, mat[i])) for i in ids],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+        d = _write(tmp_path, "sf_jl", emb, "embeddings.parquet")
+        got = (
+            q256_jl_distortion(d)
+            .to_pandas()
+            .sort_values("pair_id")
+            .reset_index(drop=True)
+        )
+        exp = golden_jl_distortion(emb).to_pandas()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert 3 not in set(got.pair_id)
+        assert len(got) == n // 2 - 1
+        mean_ratio = got.ratio_micro.mean() / 1e6
+        assert 0.85 < mean_ratio < 1.15
