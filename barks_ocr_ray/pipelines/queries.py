@@ -17570,6 +17570,400 @@ def q256_jl_distortion(sf_dir: str):
     )
 
 
+def q257_bounce_rate(sf_dir: str):
+    """Per-entry-type session bounce rate — share of sessions that end
+    after a single event, keyed by the session's FIRST event type (the
+    landing-page quality signal; q13's session rule, 30-minute gap).
+    Plan: ONE user-keyed exchange, per-block vectorized session fold
+    (gap flags -> boundary diffs, no Python per event), types-bounded
+    (entry, sessions, bounces) partials, ratio derived on the bounded
+    close."""
+    import numpy as np
+
+    GAP_US = 1_800_000_000  # q13's 30-minute rule
+    ev = read_table(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def _sessions(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        st = t.column("event_type").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, us))
+        us, ts, st = us[order], ts[order], st[order]
+        start = np.ones(len(us), np.bool_)
+        if len(us) > 1:
+            start[1:] = (us[1:] != us[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
+        idx = np.flatnonzero(start)
+        sizes = np.diff(np.append(idx, len(us)))
+        entries = st[idx]
+        g = (
+            pa.table(
+                {
+                    "entry_type": pa.array(entries.tolist(), pa.string()),
+                    "bounce": pa.array(
+                        (sizes == 1).astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+            .group_by("entry_type")
+            .aggregate([("bounce", "count"), ("bounce", "sum")])
+        )
+        return g.rename_columns(["entry_type", "n_sessions", "n_bounce"])
+
+    rows = (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_sessions, batch_format="pyarrow", batch_size=None)
+        .groupby("entry_type", num_partitions=2)
+        .aggregate(
+            Sum("n_sessions", alias_name="n_sessions"),
+            Sum("n_bounce", alias_name="n_bounce"),
+        )
+        .take_all()
+    )
+    rows.sort(key=lambda r: r["entry_type"])
+    return pa.table(
+        {
+            "entry_type": pa.array(
+                [r["entry_type"] for r in rows], pa.string()
+            ),
+            "n_sessions": pa.array(
+                [int(r["n_sessions"]) for r in rows], pa.int64()
+            ),
+            "n_bounce": pa.array(
+                [int(r["n_bounce"]) for r in rows], pa.int64()
+            ),
+            "bounce_micro": pa.array(
+                [
+                    int(
+                        round_like_duckdb(
+                            1e6 * int(r["n_bounce"]) / int(r["n_sessions"]),
+                            0,
+                        )
+                    )
+                    for r in rows
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_Q257 = """
+WITH o AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS s_start
+  FROM events),
+s AS (SELECT user_id, ts, event_id, event_type,
+             sum(s_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS sz,
+             first(event_type ORDER BY ts, event_id) AS entry
+      FROM s GROUP BY 1, 2),
+m AS (SELECT entry AS entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounce
+      FROM g GROUP BY 1)
+SELECT entry_type, n_sessions, n_bounce,
+       CAST(round(1e6 * n_bounce / n_sessions, 0) AS BIGINT)
+           AS bounce_micro
+FROM m ORDER BY entry_type
+"""
+
+
+#: Neyman target sample size
+Q258_TARGET = 1000
+
+
+def q258_neyman_allocation(sf_dir: str):
+    """Neyman-optimal stratified sampling allocation + realized draw —
+    allocate a fixed sample budget across sources proportional to
+    N_h * S_h (strata with more variance earn more budget; the survey-
+    sampling optimum), then draw with md5-replayable per-stratum rates.
+    Since N_h * S_h = sqrt(N_h * sum(y^2) - sum(y)^2), the weight folds
+    from EXACT integer moments; weights are micro-rounded BEFORE the
+    integer total so the rate expression is a pure function of integers
+    (no float accumulation across strata). Plan: one moment aggregation
+    (sources-bounded), rates broadcast via closure, one counted
+    sampling pass."""
+    import math
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.hashing import unit_fractions
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    docs = docs.materialize()  # moments pass + sampling pass
+
+    def _moments(t: pa.Table) -> pa.Table:
+        y = t.column("n_chars").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "y": pa.array(y, pa.int64()),
+                    "yy": pa.array(y * y, pa.int64()),
+                }
+            )
+            .group_by("source")
+            .aggregate([("y", "count"), ("y", "sum"), ("yy", "sum")])
+        )
+        return g.rename_columns(["source", "n", "sy", "syy"])
+
+    mom = (
+        docs.map_batches(_moments, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sy", alias_name="sy"),
+            Sum("syy", alias_name="syy"),
+        )
+        .take_all()
+    )
+    stats = {}
+    for r in mom:
+        n, sy, syy = int(r["n"]), int(r["sy"]), int(r["syy"])
+        num = max(n * syy - sy * sy, 0)
+        stats[r["source"]] = (
+            n,
+            int(round_like_duckdb(1e6 * math.sqrt(num * 1.0), 0)),
+        )
+    total_w = sum(w for _, w in stats.values())
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_pop": pa.array([], pa.int64()),
+            "w_micro": pa.array([], pa.int64()),
+            "rate_micro": pa.array([], pa.int64()),
+            "n_sampled": pa.array([], pa.int64()),
+        }
+    )
+    if total_w <= 0:
+        return empty
+    rates = {
+        s: min(1.0, float(Q258_TARGET * w) / float(total_w) / n)
+        for s, (n, w) in stats.items()
+    }
+
+    def _count_sampled(t: pa.Table) -> pa.Table:
+        src = np.asarray(t.column("source").to_pylist())
+        u = unit_fractions(
+            t.column("doc_id").to_pylist(), method="md5", salt=4
+        )
+        r = np.asarray([rates[s] for s in src])
+        keep = u < r
+        uniq, cnt = np.unique(src[keep], return_counts=True)
+        return pa.table(
+            {
+                "source": pa.array(uniq.tolist(), pa.string()),
+                "n_sampled": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    sampled = (
+        docs.map_batches(_count_sampled, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("n_sampled", alias_name="n_sampled"))
+        .take_all()
+    )
+    got = {r["source"]: int(r["n_sampled"]) for r in sampled}
+    srcs = sorted(stats)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "n_pop": pa.array([stats[s][0] for s in srcs], pa.int64()),
+            "w_micro": pa.array([stats[s][1] for s in srcs], pa.int64()),
+            "rate_micro": pa.array(
+                [
+                    int(round_like_duckdb(1e6 * rates[s], 0))
+                    for s in srcs
+                ],
+                pa.int64(),
+            ),
+            "n_sampled": pa.array(
+                [got.get(s, 0) for s in srcs], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q258 = f"""
+WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS sy,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
+           FROM documents GROUP BY 1),
+w AS (SELECT source, n,
+             CAST(round(1e6 * sqrt(greatest(CAST(n AS HUGEINT) * syy
+                                            - CAST(sy AS HUGEINT) * sy,
+                                            0) * 1.0), 0) AS BIGINT)
+                 AS w_micro
+      FROM m),
+t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS total_w FROM w),
+r AS (SELECT source, n, w_micro,
+             least(1.0, {Q258_TARGET} * w_micro / t.total_w / n) AS rate
+      FROM w, t WHERE t.total_w > 0),
+s AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+      FROM documents d JOIN r ON d.source = r.source
+      WHERE CAST(('0x' || substring(md5('4:' || CAST(d.doc_id AS VARCHAR)),
+                                    1, 8)) AS UBIGINT) / 4294967296.0
+            < r.rate
+      GROUP BY 1)
+SELECT r.source, r.n AS n_pop, r.w_micro,
+       CAST(round(1e6 * r.rate, 0) AS BIGINT) AS rate_micro,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM r LEFT JOIN s ON r.source = s.source
+ORDER BY r.source
+"""
+
+
+def q259_km_retention(sf_dir: str):
+    """Kaplan-Meier retention survival over user lifetimes — S(d) =
+    P(user still active d days after first touch), with users last seen
+    on the corpus' final day treated as right-CENSORED (still alive),
+    the estimator every retention report should use instead of naive
+    ratios (naive treats censored users as churned). Duration = last
+    day - first day; the product-limit recursion runs in INTEGER micro
+    with per-step rounding, so the SQL recursive CTE replays it
+    bit-exactly. Plan: scalar max-day reduce, ONE user-keyed exchange
+    (per-user first/last day is block-local), durations-bounded
+    (dur, churn, censor) histogram, driver product walk."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["user_id", "ts"])
+
+    def _user_day(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "day": pc.divide(
+                    t.column("ts").cast(pa.int64()),
+                    pa.scalar(DAY, pa.int64()),
+                ),
+            }
+        )
+
+    ud = ev.map_batches(_user_day, batch_format="pyarrow").materialize()
+    dmax_rows = ud.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([pc.max(t.column("day")).as_py()], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    empty = pa.table(
+        {
+            "dur": pa.array([], pa.int64()),
+            "n_risk": pa.array([], pa.int64()),
+            "n_churn": pa.array([], pa.int64()),
+            "n_censored": pa.array([], pa.int64()),
+            "surv_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not dmax_rows:
+        return empty
+    dmax = max(int(r["m"]) for r in dmax_rows)
+
+    def _durations(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, us))
+        us, day = us[order], day[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], us[1:] != us[:-1]))
+        )
+        ends = np.append(starts[1:], len(us)) - 1
+        f, last = day[starts], day[ends]
+        churned = last < dmax
+        dur = np.where(churned, last - f, dmax - f)
+        g = (
+            pa.table(
+                {
+                    "dur": pa.array(dur, pa.int64()),
+                    "churn": pa.array(churned.astype(np.int64)),
+                    "cens": pa.array((~churned).astype(np.int64)),
+                }
+            )
+            .group_by("dur")
+            .aggregate([("churn", "sum"), ("cens", "sum")])
+        )
+        return g.rename_columns(["dur", "n_churn", "n_cens"])
+
+    hist = (
+        ud.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_durations, batch_format="pyarrow", batch_size=None)
+        .groupby("dur", num_partitions=2)
+        .aggregate(
+            Sum("n_churn", alias_name="n_churn"),
+            Sum("n_cens", alias_name="n_cens"),
+        )
+        .take_all()
+    )
+    churn = {int(r["dur"]): int(r["n_churn"]) for r in hist}
+    cens = {int(r["dur"]): int(r["n_cens"]) for r in hist}
+    n_risk = sum(churn.values()) + sum(cens.values())
+    out = {k: [] for k in ("dur", "n_risk", "n_churn", "n_censored", "surv_micro")}
+    s = 1_000_000
+    for d in range(0, dmax + 1):
+        if n_risk <= 0:
+            break
+        ch, ce = churn.get(d, 0), cens.get(d, 0)
+        s = int(round_like_duckdb(s * (n_risk - ch) * 1.0 / n_risk, 0))
+        out["dur"].append(d)
+        out["n_risk"].append(n_risk)
+        out["n_churn"].append(ch)
+        out["n_censored"].append(ce)
+        out["surv_micro"].append(s)
+        n_risk -= ch + ce
+    return pa.table(
+        {k: pa.array(v, pa.int64() if k != "dur" else pa.int64()) for k, v in out.items()}
+    )
+
+
+SQL_Q259 = """
+WITH RECURSIVE u AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS f,
+         CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS l
+  FROM events GROUP BY 1),
+b AS (SELECT max(l) AS dmax FROM u),
+h AS (SELECT CASE WHEN u.l < b.dmax THEN u.l - u.f
+                  ELSE b.dmax - u.f END AS dur,
+             CASE WHEN u.l < b.dmax THEN 1 ELSE 0 END AS churned
+      FROM u, b),
+hist AS (SELECT dur, CAST(sum(churned) AS BIGINT) AS n_churn,
+                CAST(sum(1 - churned) AS BIGINT) AS n_cens
+         FROM h GROUP BY 1),
+spine AS (SELECT gs.i AS dur FROM b, generate_series(0, 100000) gs(i)
+          WHERE gs.i <= b.dmax),
+dense AS (SELECT s.dur, coalesce(hist.n_churn, 0) AS n_churn,
+                 coalesce(hist.n_cens, 0) AS n_cens
+          FROM spine s LEFT JOIN hist ON s.dur = hist.dur),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
+rec AS (
+  SELECT d.dur, d.n_churn, d.n_cens, t.n_users AS n_risk,
+         CAST(round(1000000 * (t.n_users - d.n_churn) * 1.0 / t.n_users,
+                    0) AS BIGINT) AS surv
+  FROM dense d, tot t WHERE d.dur = 0 AND t.n_users > 0
+  UNION ALL
+  SELECT d.dur, d.n_churn, d.n_cens,
+         r.n_risk - r.n_churn - r.n_cens AS n_risk,
+         CAST(round(r.surv * (r.n_risk - r.n_churn - r.n_cens - d.n_churn)
+                    * 1.0 / (r.n_risk - r.n_churn - r.n_cens), 0)
+              AS BIGINT) AS surv
+  FROM rec r JOIN dense d ON d.dur = r.dur + 1
+  WHERE r.n_risk - r.n_churn - r.n_cens > 0)
+SELECT dur, n_risk, n_churn, n_cens AS n_censored, surv AS surv_micro
+FROM rec ORDER BY dur
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -17843,6 +18237,9 @@ def build_registry():
         "q254_weighted_reservoir": q254_weighted_reservoir,
         "q255_interarrival_dispersion": q255_interarrival_dispersion,
         "q256_jl_distortion": q256_jl_distortion,
+        "q257_bounce_rate": q257_bounce_rate,
+        "q258_neyman_allocation": q258_neyman_allocation,
+        "q259_km_retention": q259_km_retention,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -18162,6 +18559,9 @@ def build_registry():
         "q256_jl_distortion": _sql_golden(
             "jl_distortion", "pair_id, ratio_micro", "embeddings"
         ),
+        "q257_bounce_rate": SQL_Q257,
+        "q258_neyman_allocation": SQL_Q258,
+        "q259_km_retention": SQL_Q259,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

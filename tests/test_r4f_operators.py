@@ -740,3 +740,131 @@ class TestJlDistortion:
         assert len(got) == n // 2 - 1
         mean_ratio = got.ratio_micro.mean() / 1e6
         assert 0.85 < mean_ratio < 1.15
+
+
+class TestBounceRate:
+    def test_hand_sessions(self, ray_session, tmp_path):
+        import datetime
+
+        from barks_ocr_ray.pipelines.queries import SQL_Q257, q257_bounce_rate
+
+        base = datetime.datetime(2024, 6, 1)
+
+        def ts(m):
+            return base + datetime.timedelta(minutes=m)
+
+        # u1: [view@0, click@10] one session entry=view (not bounce),
+        #     [view@100] second session entry=view (bounce; gap 90 min)
+        # u2: [click@0] bounce entry=click; boundary: gap EXACTLY 30 min
+        #     stays in-session (rule is > 30)
+        # u3: [search@0, search@30] ONE session (not bounce)
+        rows = [
+            (1, 0, "view"), (1, 10, "click"), (1, 100, "view"),
+            (2, 0, "click"),
+            (3, 0, "search"), (3, 30, "search"),
+        ]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([ts(r[1]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_bounce", ev, "events.parquet")
+        got = q257_bounce_rate(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q257).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        r = got.set_index("entry_type")
+        assert r.loc["view", "n_sessions"] == 2
+        assert r.loc["view", "n_bounce"] == 1
+        assert r.loc["click", "bounce_micro"] == 1_000_000
+        assert r.loc["search", "n_bounce"] == 0
+
+
+class TestNeymanAllocation:
+    def test_variance_earns_budget(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q258,
+            q258_neyman_allocation,
+        )
+
+        rng = np.random.default_rng(11)
+        # source a: high variance lengths; source b: constant (S=0 ->
+        # zero weight -> zero sampled); source c: mild variance
+        la = rng.integers(10, 5000, 400).tolist()
+        lb = [700] * 400
+        lc = rng.integers(900, 1100, 400).tolist()
+        lens = la + lb + lc
+        srcs = ["a"] * 400 + ["b"] * 400 + ["c"] * 400
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(1200), pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+                "text": pa.array(["t"] * 1200, pa.string()),
+                "lang": pa.array(["en"] * 1200, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_neyman", docs, "documents.parquet")
+        got = q258_neyman_allocation(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q258).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        r = got.set_index("source")
+        assert r.loc["b", "w_micro"] == 0
+        assert r.loc["b", "n_sampled"] == 0
+        assert r.loc["a", "rate_micro"] > r.loc["c", "rate_micro"]
+        assert r.loc["a", "n_sampled"] > 0
+
+
+class TestKmRetention:
+    def test_hand_cohort_with_censoring(self, ray_session, tmp_path):
+        import datetime
+
+        from barks_ocr_ray.pipelines.queries import SQL_Q259, q259_km_retention
+
+        base = datetime.datetime(2024, 6, 1)
+
+        def ts(day):
+            return base + datetime.timedelta(days=day, hours=3)
+
+        # dmax = 3. u1: f=0,l=1 churn dur1; u2: f=0,l=3 CENSORED dur3;
+        # u3: f=1,l=1 churn dur0; u4: f=2,l=3 censored dur1;
+        # u5: f=0,l=2 churn dur2
+        rows = [
+            (1, 0), (1, 1),
+            (2, 0), (2, 3),
+            (3, 1),
+            (4, 2), (4, 3),
+            (5, 0), (5, 2),
+        ]
+        ev = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([ts(r[1]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_km", ev, "events.parquet")
+        got = q259_km_retention(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q259).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        # hand walk: d0: n=5 ch=1 -> S=0.8; d1: n=4 ch=1 cens=1 -> S=0.6;
+        # d2: n=2 ch=1 -> S=0.3; d3: n=1 ch=0 cens=1 -> S=0.3
+        assert got.dur.tolist() == [0, 1, 2, 3]
+        assert got.n_risk.tolist() == [5, 4, 2, 1]
+        assert got.surv_micro.tolist() == [800000, 600000, 300000, 300000]
