@@ -17964,6 +17964,266 @@ FROM rec ORDER BY dur
 """
 
 
+#: winsorization tail fraction (clamp lowest/highest 5% by rank)
+Q260_TRIM_PCT = 5
+
+
+def q260_winsorized_mean(sf_dir: str):
+    """Per-source winsorized mean of document length — the robust
+    central-tendency report (clamp the lowest and highest 5% BY RANK to
+    the boundary order statistics, then average; immune to the giant-doc
+    outliers that wreck a plain mean). Rank picks are EXPLICIT
+    (lo = value at rank ceil(n*p), hi = value at rank n+1-ceil(n*p) of
+    the ascending multiset — no quantile interpolation to mismatch).
+    Plan: one (source, value) histogram aggregation (q241 bounds);
+    clamp arithmetic folds from cumulative counts in exact int64 on the
+    driver histogram."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_chars", "cnt"])
+
+    hist = (
+        docs.map_batches(_hist, batch_format="pyarrow")
+        .groupby(["source", "n_chars"], num_partitions=2)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    by_src: dict = {}
+    for r in hist:
+        by_src.setdefault(r["source"], []).append(
+            (int(r["n_chars"]), int(r["cnt"]))
+        )
+    out_s, out_n, out_lo, out_hi, out_m = [], [], [], [], []
+    for src in sorted(by_src):
+        vc = sorted(by_src[src])
+        vals = np.asarray([v for v, _ in vc], np.int64)
+        cnts = np.asarray([c for _, c in vc], np.int64)
+        n = int(cnts.sum())
+        k = -(-n * Q260_TRIM_PCT // 100)  # ceil(n*p/100), exact integer
+        if 2 * k > n:
+            continue
+        cum = np.cumsum(cnts)
+        lo = int(vals[int(np.searchsorted(cum, k))])
+        hi = int(vals[int(np.searchsorted(cum, n + 1 - k))])
+        # clip-by-value IS the rank rule: every rank <= k has value <=
+        # lo (clamps up to lo), every rank > n-k has value >= hi, and
+        # boundary ties clamp to themselves
+        clamped = np.clip(vals, lo, hi)
+        total = int((clamped * cnts).sum())
+        wmean_micro = int(round_like_duckdb(1e6 * total / n, 0))
+        out_s.append(src)
+        out_n.append(n)
+        out_lo.append(lo)
+        out_hi.append(hi)
+        out_m.append(wmean_micro)
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "lo": pa.array(out_lo, pa.int64()),
+            "hi": pa.array(out_hi, pa.int64()),
+            "wmean_micro": pa.array(out_m, pa.int64()),
+        }
+    )
+
+
+SQL_Q260 = f"""
+WITH r AS (
+  SELECT source, n_chars AS x,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+k AS (SELECT source, n, CAST(ceil(n * {Q260_TRIM_PCT} / 100.0) AS BIGINT)
+             AS k
+      FROM (SELECT DISTINCT source, n FROM r)),
+b AS (SELECT r.source,
+             max(CASE WHEN r.i = k.k THEN r.x END) AS lo,
+             max(CASE WHEN r.i = k.n + 1 - k.k THEN r.x END) AS hi
+      FROM r JOIN k ON r.source = k.source
+      WHERE k.k * 2 <= k.n GROUP BY 1),
+w AS (SELECT r.source, k.n,
+             sum(least(greatest(r.x, b.lo), b.hi)) AS total
+      FROM r JOIN b ON r.source = b.source
+             JOIN k ON r.source = k.source
+      GROUP BY 1, 2)
+SELECT source, CAST(n AS BIGINT) AS n_docs,
+       CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
+       CAST(round(1e6 * total / n, 0) AS BIGINT) AS wmean_micro
+FROM w JOIN b USING (source) ORDER BY source
+"""
+
+
+def q261_effective_sample_size(sf_dir: str):
+    """Effective sample size of the length-weighted corpus per source —
+    ESS = (sum w)^2 / sum w^2 (Kish), the importance-sampling
+    diagnostic that says how many EQUAL documents the weighted corpus
+    is worth (ESS << n means a few giants dominate; the actionable
+    twin of q241's Gini). Exact integer moments, one mirrored
+    division; O(1) partials per block, zero keyed exchanges."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        w = t.column("n_chars").to_numpy(zero_copy_only=False)
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "w": pa.array(w, pa.int64()),
+                    "ww": pa.array(w * w, pa.int64()),
+                }
+            )
+            .group_by("source")
+            .aggregate([("w", "count"), ("w", "sum"), ("ww", "sum")])
+        )
+        return g.rename_columns(["source", "n", "sw", "sww"])
+
+    rows = (
+        docs.map_batches(_moments, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sw", alias_name="sw"),
+            Sum("sww", alias_name="sww"),
+        )
+        .take_all()
+    )
+    out_s, out_n, out_e, out_r = [], [], [], []
+    for r in sorted(rows, key=lambda r: r["source"]):
+        n, sw, sww = int(r["n"]), int(r["sw"]), int(r["sww"])
+        if sww <= 0:
+            continue
+        # mirror SQL association exactly: (1e6 * double(sw^2)) / sww / n
+        out_s.append(r["source"])
+        out_n.append(n)
+        out_e.append(
+            int(round_like_duckdb(1e6 * float(sw * sw) / float(sww), 0))
+        )
+        out_r.append(
+            int(
+                round_like_duckdb(
+                    1e6 * float(sw * sw) / float(sww) / n, 0
+                )
+            )
+        )
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "ess_micro": pa.array(out_e, pa.int64()),
+            "ess_ratio_micro": pa.array(out_r, pa.int64()),
+        }
+    )
+
+
+SQL_Q261 = """
+WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS sw,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sww
+           FROM documents GROUP BY 1)
+SELECT source, n AS n_docs,
+       CAST(round(1e6 * (CAST(sw AS HUGEINT) * sw)
+                  / sww, 0) AS BIGINT) AS ess_micro,
+       CAST(round(1e6 * (CAST(sw AS HUGEINT) * sw)
+                  / sww / n, 0) AS BIGINT) AS ess_ratio_micro
+FROM m WHERE sww > 0 ORDER BY source
+"""
+
+
+def q262_charset_profile(sf_dir: str):
+    """Per-language character-set profile — distinct codepoints, total
+    characters and the ASCII share (char-weighted), the encoding/
+    mojibake tripwire a multilingual curation pipeline watches per
+    shard (a latin-only 'zh' slice or a sudden codepoint explosion is
+    an ingestion bug). Plan: texts decode to uint32 codepoint arrays
+    in C (utf-32 view, no Python per char), blocks emit (lang,
+    codepoint, cnt) partials bounded by the alphabet, ONE
+    alphabet-bounded aggregation, driver close."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["lang", "text"])
+
+    def _chars(t: pa.Table) -> pa.Table:
+        langs, cps, cnts = [], [], []
+        for lang, s in zip(
+            t.column("lang").to_pylist(), t.column("text")
+        ):
+            v = s.as_py()
+            if not v:
+                continue
+            arr = np.frombuffer(v.encode("utf-32-le"), np.uint32)
+            u, c = np.unique(arr, return_counts=True)
+            langs.extend([lang] * len(u))
+            cps.extend(u.astype(np.int64).tolist())
+            cnts.extend(c.astype(np.int64).tolist())
+        g = (
+            pa.table(
+                {
+                    "lang": pa.array(langs, pa.string()),
+                    "cp": pa.array(cps, pa.int64()),
+                    "cnt": pa.array(cnts, pa.int64()),
+                }
+            )
+            .group_by(["lang", "cp"])
+            .aggregate([("cnt", "sum")])
+        )
+        return g.rename_columns(["lang", "cp", "cnt"])
+
+    rows = (
+        docs.map_batches(_chars, batch_format="pyarrow")
+        .groupby(["lang", "cp"], num_partitions=2)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    acc: dict = {}
+    for r in rows:
+        m = acc.setdefault(r["lang"], [0, 0, 0])  # codepoints, chars, ascii
+        m[0] += 1
+        m[1] += int(r["cnt"])
+        if int(r["cp"]) < 128:
+            m[2] += int(r["cnt"])
+    out_l, out_cp, out_ch, out_a = [], [], [], []
+    for lang in sorted(acc):
+        ncp, nch, na = acc[lang]
+        if nch == 0:
+            continue
+        out_l.append(lang)
+        out_cp.append(ncp)
+        out_ch.append(nch)
+        out_a.append(int(round_like_duckdb(1e6 * na / nch, 0)))
+    return pa.table(
+        {
+            "lang": pa.array(out_l, pa.string()),
+            "n_codepoints": pa.array(out_cp, pa.int64()),
+            "n_chars_total": pa.array(out_ch, pa.int64()),
+            "ascii_micro": pa.array(out_a, pa.int64()),
+        }
+    )
+
+
+SQL_Q262 = """
+WITH ch AS (
+  SELECT lang, unnest(string_split_regex(text, '')) AS c
+  FROM documents WHERE text IS NOT NULL AND text != ''),
+f AS (SELECT lang, c FROM ch WHERE c != ''),
+m AS (SELECT lang,
+             CAST(count(DISTINCT c) AS BIGINT) AS n_codepoints,
+             CAST(count(*) AS BIGINT) AS n_chars_total,
+             CAST(sum(CASE WHEN unicode(c) < 128 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ascii
+      FROM f GROUP BY 1)
+SELECT lang, n_codepoints, n_chars_total,
+       CAST(round(1e6 * n_ascii / n_chars_total, 0) AS BIGINT)
+           AS ascii_micro
+FROM m WHERE n_chars_total > 0 ORDER BY lang
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -18240,6 +18500,9 @@ def build_registry():
         "q257_bounce_rate": q257_bounce_rate,
         "q258_neyman_allocation": q258_neyman_allocation,
         "q259_km_retention": q259_km_retention,
+        "q260_winsorized_mean": q260_winsorized_mean,
+        "q261_effective_sample_size": q261_effective_sample_size,
+        "q262_charset_profile": q262_charset_profile,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -18562,6 +18825,9 @@ def build_registry():
         "q257_bounce_rate": SQL_Q257,
         "q258_neyman_allocation": SQL_Q258,
         "q259_km_retention": SQL_Q259,
+        "q260_winsorized_mean": SQL_Q260,
+        "q261_effective_sample_size": SQL_Q261,
+        "q262_charset_profile": SQL_Q262,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -868,3 +868,110 @@ class TestKmRetention:
         assert got.dur.tolist() == [0, 1, 2, 3]
         assert got.n_risk.tolist() == [5, 4, 2, 1]
         assert got.surv_micro.tolist() == [800000, 600000, 300000, 300000]
+
+
+class TestWinsorizedMean:
+    def test_outliers_clamped_by_rank(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q260,
+            q260_winsorized_mean,
+        )
+
+        # source a: 20 docs, one giant (10_000) and one tiny (1);
+        # k = ceil(20*0.05) = 1 -> lo = 2nd smallest? no: lo = rank-1
+        # value = 1, hi = rank-20 value... with k=1: lo = rank 1 = 1,
+        # hi = rank 20 = 10000 -> clamping is a NO-OP at k=1 rank
+        # boundaries equal to extremes. Use 40 docs so k=2.
+        base = list(range(100, 136))  # 36 mid values
+        vals = [1, 2] + base + [9000, 10000]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(vals)), pa.int64()),
+                "source": pa.array(["a"] * len(vals), pa.string()),
+                "n_chars": pa.array(vals, pa.int64()),
+                "text": pa.array(["t"] * len(vals), pa.string()),
+                "lang": pa.array(["en"] * len(vals), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_wins", docs, "documents.parquet")
+        got = q260_winsorized_mean(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q260).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        # k = ceil(40*0.05) = 2: lo = rank-2 value = 2, hi = rank-39 = 9000
+        assert got.lo.iloc[0] == 2
+        assert got.hi.iloc[0] == 9000
+        total = 2 + 2 + sum(base) + 9000 + 9000
+        assert got.wmean_micro.iloc[0] == round(1e6 * total / 40)
+
+
+class TestEffectiveSampleSize:
+    def test_equal_weights_give_full_ess(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q261,
+            q261_effective_sample_size,
+        )
+
+        # source a: equal weights -> ESS = n exactly; source b: one
+        # giant dominates -> ESS near 1
+        vals = [500] * 30 + [1_000_000] + [1] * 9
+        srcs = ["a"] * 30 + ["b"] * 10
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array(vals, pa.int64()),
+                "text": pa.array(["t"] * 40, pa.string()),
+                "lang": pa.array(["en"] * 40, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ess", docs, "documents.parquet")
+        got = q261_effective_sample_size(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q261).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        r = got.set_index("source")
+        assert r.loc["a", "ess_micro"] == 30_000_000
+        assert r.loc["a", "ess_ratio_micro"] == 1_000_000
+        assert r.loc["b", "ess_micro"] < 1_100_000  # ~1 effective doc
+
+
+class TestCharsetProfile:
+    def test_multilingual_and_nonascii(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q262,
+            q262_charset_profile,
+        )
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "lang": pa.array(["en", "zh", "zh", "de"], pa.string()),
+                "text": pa.array(
+                    ["abca", "中文 ok", "中國", ""],
+                    pa.string(),
+                ),
+                "source": pa.array(["s"] * 4, pa.string()),
+                "n_chars": pa.array([4, 5, 2, 0], pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_charset", docs, "documents.parquet")
+        got = q262_charset_profile(d).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SQL_Q262).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        r = got.set_index("lang")
+        # en: {a,b,c} 3 codepoints, all ascii; de (empty text) absent
+        assert r.loc["en", "n_codepoints"] == 3
+        assert r.loc["en", "ascii_micro"] == 1_000_000
+        # zh: chars = 中文 ok + 中國 -> codepoints {中,文,國,space,o,k}
+        assert r.loc["zh", "n_codepoints"] == 6
+        assert r.loc["zh", "n_chars_total"] == 7
+        assert r.loc["zh", "ascii_micro"] == round(1e6 * 3 / 7)
+        assert "de" not in r.index
