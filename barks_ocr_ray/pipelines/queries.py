@@ -18224,6 +18224,375 @@ FROM m WHERE n_chars_total > 0 ORDER BY lang
 """
 
 
+def q263_order_reconciliation(sf_dir: str):
+    """Header/detail reconciliation audit — per-order line revenue
+    (price x (1-disc) x (1+tax), EXACT cents per line) against the
+    order header total, the cross-table integrity check every warehouse
+    runs nightly (this corpus' headers drift, and the audit measures
+    by how much). Plan: per-block combiner folds lines to (orderkey,
+    cents) partials, ONE orderkey aggregation, one large x large LEFT
+    join against headers (headers without lines must surface), O(1)
+    audit partials per block after the join."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def _line_cents(t: pa.Table) -> pa.Table:
+        cents = round_like_duckdb(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1 - t.column("l_discount").to_numpy(zero_copy_only=False))
+            * (1 + t.column("l_tax").to_numpy(zero_copy_only=False))
+            * 100,
+            0,
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t.column("l_orderkey"),
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "line_cents"])
+
+    lsum, _ = compact_nonempty(
+        li.map_batches(_line_cents, batch_format="pyarrow")
+        .groupby("l_orderkey", num_partitions=hash_partitions(8))
+        .aggregate(Sum("line_cents", alias_name="line_cents"))
+    )
+    joined = orders.join(
+        lsum,
+        join_type="left_outer",
+        num_partitions=hash_partitions(8),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def _audit(t: pa.Table) -> pa.Table:
+        total = round_like_duckdb(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100,
+            0,
+        ).astype(np.int64)
+        lc = t.column("line_cents")
+        have = pc.is_valid(lc).to_numpy(zero_copy_only=False)
+        lcv = lc.to_numpy(zero_copy_only=False)
+        drift = np.abs(
+            np.where(have, lcv, 0).astype(np.int64) - total
+        )[have]
+        return pa.table(
+            {
+                "n_orders": pa.array([t.num_rows], pa.int64()),
+                "n_with_lines": pa.array([int(have.sum())], pa.int64()),
+                "n_exact": pa.array([int((drift == 0).sum())], pa.int64()),
+                "max_abs": pa.array(
+                    [int(drift.max()) if len(drift) else 0], pa.int64()
+                ),
+                "sum_abs": pa.array([int(drift.sum())], pa.int64()),
+            }
+        )
+
+    parts = joined.map_batches(_audit, batch_format="pyarrow").take_all()
+    n_orders = sum(int(r["n_orders"]) for r in parts)
+    n_with = sum(int(r["n_with_lines"]) for r in parts)
+    n_exact = sum(int(r["n_exact"]) for r in parts)
+    max_abs = max((int(r["max_abs"]) for r in parts), default=0)
+    sum_abs = sum(int(r["sum_abs"]) for r in parts)
+    if n_with == 0:
+        return pa.table(
+            {
+                "n_orders": pa.array([], pa.int64()),
+                "n_with_lines": pa.array([], pa.int64()),
+                "n_exact": pa.array([], pa.int64()),
+                "max_abs_drift_cents": pa.array([], pa.int64()),
+                "mean_abs_drift_cents_micro": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "n_orders": pa.array([n_orders], pa.int64()),
+            "n_with_lines": pa.array([n_with], pa.int64()),
+            "n_exact": pa.array([n_exact], pa.int64()),
+            "max_abs_drift_cents": pa.array([max_abs], pa.int64()),
+            "mean_abs_drift_cents_micro": pa.array(
+                [int(round_like_duckdb(1e6 * sum_abs / n_with, 0))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_Q263 = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100, 0) AS BIGINT))
+              AS BIGINT) AS line_cents
+  FROM lineitem GROUP BY 1),
+j AS (SELECT CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents,
+             l.line_cents
+      FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CASE WHEN line_cents IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_with_lines,
+             CAST(coalesce(sum(CASE WHEN line_cents = total_cents
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_exact,
+             CAST(coalesce(max(abs(line_cents - total_cents)), 0)
+                  AS BIGINT) AS max_abs_drift_cents,
+             CAST(coalesce(sum(abs(line_cents - total_cents)), 0)
+                  AS BIGINT) AS sum_abs
+      FROM j)
+SELECT n_orders, n_with_lines, n_exact, max_abs_drift_cents,
+       CAST(round(1e6 * sum_abs / n_with_lines, 0) AS BIGINT)
+           AS mean_abs_drift_cents_micro
+FROM t WHERE n_with_lines > 0
+"""
+
+
+#: minimum line count for a part to enter the dispersion report
+Q264_MIN_LINES = 5
+Q264_TOPK = 20
+
+
+def q264_part_price_dispersion(sf_dir: str):
+    """Per-part price-dispersion ranking — coefficient of variation of
+    line prices per part (exact cents moments), top-20 most dispersed
+    parts with >= 5 lines: the catalog-anomaly surface (one part sold
+    at wildly different prices = data bug or fraud). Plan: ONE
+    partkey-keyed exchange colocates each part, block-local exact
+    moments + distinct-supplier counts, per-block top-k candidates,
+    blocks x k driver merge (no global sort)."""
+    import math
+
+    import numpy as np
+
+    li = read_table(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    k = Q264_TOPK
+
+    def _part_stats(t: pa.Table) -> pa.Table:
+        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cents = round_like_duckdb(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100,
+            0,
+        ).astype(np.int64)
+        order = np.lexsort((sk, pk))
+        pk, sk, cents = pk[order], sk[order], cents[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], pk[1:] != pk[:-1]))
+        )
+        bounds = np.append(starts, len(pk))
+        out = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = int(e - s)
+            if n < Q264_MIN_LINES:
+                continue
+            c = cents[s:e]
+            sc, scc = int(c.sum()), int((c * c).sum())
+            if sc <= 0:
+                continue
+            num = max(n * scc - sc * sc, 0)  # n^2 * var, exact
+            cv = int(round_like_duckdb(1e6 * math.sqrt(num * 1.0) / sc, 0))
+            nsupp = len(np.unique(sk[s:e]))
+            out.append((int(pk[s]), n, nsupp, cv))
+        out.sort(key=lambda r: (-r[3], r[0]))
+        out = out[:k]
+        return pa.table(
+            {
+                "partkey": pa.array([r[0] for r in out], pa.int64()),
+                "n_lines": pa.array([r[1] for r in out], pa.int64()),
+                "n_suppliers": pa.array([r[2] for r in out], pa.int64()),
+                "cv_micro": pa.array([r[3] for r in out], pa.int64()),
+            }
+        )
+
+    cand = (
+        li.repartition(hash_partitions(8), keys=["l_partkey"])
+        .map_batches(_part_stats, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    cand.sort(key=lambda r: (-int(r["cv_micro"]), int(r["partkey"])))
+    cand = cand[:k]
+    return pa.table(
+        {
+            "rank": pa.array(
+                list(range(1, len(cand) + 1)), pa.int64()
+            ),
+            "partkey": pa.array(
+                [int(r["partkey"]) for r in cand], pa.int64()
+            ),
+            "n_lines": pa.array(
+                [int(r["n_lines"]) for r in cand], pa.int64()
+            ),
+            "n_suppliers": pa.array(
+                [int(r["n_suppliers"]) for r in cand], pa.int64()
+            ),
+            "cv_micro": pa.array(
+                [int(r["cv_micro"]) for r in cand], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q264 = f"""
+WITH c AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         l_suppkey
+  FROM lineitem),
+m AS (SELECT l_partkey AS partkey, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(cents * cents) AS BIGINT) AS scc
+      FROM c GROUP BY 1
+      HAVING count(*) >= {Q264_MIN_LINES} AND sum(cents) > 0),
+v AS (SELECT partkey, n_lines, n_suppliers,
+             CAST(round(1e6 * sqrt(greatest(CAST(n_lines AS HUGEINT) * scc
+                                            - CAST(sc AS HUGEINT) * sc, 0)
+                                   * 1.0) / sc, 0) AS BIGINT) AS cv_micro
+      FROM m)
+SELECT CAST(row_number() OVER (ORDER BY cv_micro DESC, partkey) AS BIGINT)
+           AS rank,
+       partkey, n_lines, n_suppliers, cv_micro
+FROM v ORDER BY cv_micro DESC, partkey LIMIT {Q264_TOPK}
+"""
+
+
+def q265_nation_share_trend(sf_dir: str):
+    """Monthly revenue share per customer nation — the market-share
+    trend matrix (who is growing) over the orders->customer->nation
+    join chain. Plan: one large x large hash join (orders x customer),
+    a 25-row broadcast for nation names, (nation, month)-bounded cents
+    aggregation, shares derived on the bounded close (per-cell micro
+    rounding, exact int cents throughout)."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.relational import broadcast_lookup_column
+
+    orders = read_table(
+        sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation_map = {
+        int(r["n_nationkey"]): r["n_name"]
+        for r in read_table(
+            sf_dir, "nation", ["n_nationkey", "n_name"]
+        ).take_all()
+    }
+
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=hash_partitions(8),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def _nkey64(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("c_nationkey"),
+            "c_nationkey",
+            t.column("c_nationkey").cast(pa.int64()),
+        )
+
+    joined = broadcast_lookup_column(
+        joined.map_batches(_nkey64, batch_format="pyarrow"),
+        nation_map,
+        "c_nationkey",
+        "n_name",
+        pa.string(),
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate")
+        month = pc.add(
+            pc.multiply(pc.year(ts).cast(pa.int64()), pa.scalar(100)),
+            pc.month(ts).cast(pa.int64()),
+        )
+        cents = round_like_duckdb(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100,
+            0,
+        ).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "n_name": t.column("n_name"),
+                    "month": month,
+                    "cents": pa.array(cents, pa.int64()),
+                }
+            )
+            .group_by(["n_name", "month"])
+            .aggregate([("cents", "sum")])
+        )
+        return g.rename_columns(["n_name", "month", "cents"])
+
+    rows = (
+        joined.map_batches(_cents, batch_format="pyarrow")
+        .groupby(["n_name", "month"], num_partitions=2)
+        .aggregate(Sum("cents", alias_name="cents"))
+        .take_all()
+    )
+    tot: dict = {}
+    for r in rows:
+        tot[int(r["month"])] = tot.get(int(r["month"]), 0) + int(r["cents"])
+    rows.sort(key=lambda r: (int(r["month"]), r["n_name"]))
+    return pa.table(
+        {
+            "month": pa.array([int(r["month"]) for r in rows], pa.int64()),
+            "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+            "revenue_cents": pa.array(
+                [int(r["cents"]) for r in rows], pa.int64()
+            ),
+            "share_micro": pa.array(
+                [
+                    int(
+                        round_like_duckdb(
+                            1e6 * int(r["cents"]) / tot[int(r["month"])], 0
+                        )
+                    )
+                    for r in rows
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_Q265 = """
+WITH o AS (
+  SELECT CAST(date_part('year', o_orderdate) * 100
+              + date_part('month', o_orderdate) AS BIGINT) AS month,
+         n.n_name,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n ON c_nationkey = n_nationkey),
+m AS (SELECT month, n_name, CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM o GROUP BY 1, 2),
+t AS (SELECT month, CAST(sum(revenue_cents) AS BIGINT) AS total
+      FROM m GROUP BY 1)
+SELECT m.month, m.n_name, m.revenue_cents,
+       CAST(round(1e6 * m.revenue_cents / t.total, 0) AS BIGINT)
+           AS share_micro
+FROM m JOIN t ON m.month = t.month
+ORDER BY m.month, m.n_name
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -18503,6 +18872,9 @@ def build_registry():
         "q260_winsorized_mean": q260_winsorized_mean,
         "q261_effective_sample_size": q261_effective_sample_size,
         "q262_charset_profile": q262_charset_profile,
+        "q263_order_reconciliation": q263_order_reconciliation,
+        "q264_part_price_dispersion": q264_part_price_dispersion,
+        "q265_nation_share_trend": q265_nation_share_trend,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -18828,6 +19200,9 @@ def build_registry():
         "q260_winsorized_mean": SQL_Q260,
         "q261_effective_sample_size": SQL_Q261,
         "q262_charset_profile": SQL_Q262,
+        "q263_order_reconciliation": SQL_Q263,
+        "q264_part_price_dispersion": SQL_Q264,
+        "q265_nation_share_trend": SQL_Q265,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -975,3 +975,120 @@ class TestCharsetProfile:
         assert r.loc["zh", "n_chars_total"] == 7
         assert r.loc["zh", "ascii_micro"] == round(1e6 * 3 / 7)
         assert "de" not in r.index
+
+
+class TestOrderReconciliation:
+    def test_hand_drift_and_orphans(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q263,
+            q263_order_reconciliation,
+        )
+
+        # order 1: two lines summing EXACTLY to the header (n_exact=1)
+        # order 2: header off by 50 cents; order 3: no lines at all
+        li = pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_extendedprice": pa.array([100.0, 50.0, 10.0], pa.float64()),
+                "l_discount": pa.array([0.0, 0.1, 0.0], pa.float64()),
+                "l_tax": pa.array([0.0, 0.0, 0.0], pa.float64()),
+            }
+        )
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_totalprice": pa.array([145.0, 10.5, 99.0], pa.float64()),
+            }
+        )
+        d = tmp_path / "sf_recon"
+        d.mkdir()
+        pq.write_table(li, str(d / "lineitem.parquet"))
+        pq.write_table(orders, str(d / "orders.parquet"))
+        got = q263_order_reconciliation(str(d)).to_pandas()
+        con = duckdb.connect()
+        con.register("lineitem", li)
+        con.register("orders", orders)
+        exp = con.execute(SQL_Q263).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.n_orders.iloc[0] == 3
+        assert got.n_with_lines.iloc[0] == 2
+        assert got.n_exact.iloc[0] == 1
+        assert got.max_abs_drift_cents.iloc[0] == 50
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q263,
+            q263_order_reconciliation,
+        )
+
+        d = "/root/testdata/sf0.001"
+        got = q263_order_reconciliation(d).to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        exp = con.execute(SQL_Q263).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestPartPriceDispersion:
+    def test_dispersed_part_outranks_stable(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q264,
+            q264_part_price_dispersion,
+        )
+
+        # part 1: wild prices; part 2: constant (cv=0); part 3: only 2
+        # lines (below MIN_LINES -> excluded)
+        rows = (
+            [(1, s, p) for s, p in
+             [(10, 1.0), (11, 100.0), (10, 1.0), (12, 200.0), (13, 5.0)]]
+            + [(2, 20, 50.0)] * 6
+            + [(3, 30, 7.0), (3, 31, 9.0)]
+        )
+        li = pa.table(
+            {
+                "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [r[2] for r in rows], pa.float64()
+                ),
+            }
+        )
+        d = _write(tmp_path, "sf_disp", li, "lineitem.parquet")
+        got = q264_part_price_dispersion(d).to_pandas()
+        con = duckdb.connect()
+        con.register("lineitem", li)
+        exp = con.execute(SQL_Q264).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.partkey.tolist() == [1, 2]
+        assert got.cv_micro.tolist()[1] == 0
+        assert got.n_suppliers.tolist() == [4, 1]
+
+
+class TestNationShareTrend:
+    def test_matches_oracle_and_shares_sum(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q265,
+            q265_nation_share_trend,
+        )
+
+        d = "/root/testdata/sf0.001"
+        got = q265_nation_share_trend(d).to_pandas()
+        con = duckdb.connect()
+        for t in ("orders", "customer", "nation"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{d}/{t}.parquet')"
+            )
+        exp = con.execute(SQL_Q265).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        # per-month shares sum to ~1e6 (micro rounding tolerance)
+        s = got.groupby("month").share_micro.sum()
+        assert ((s - 1_000_000).abs() <= len(got.n_name.unique())).all()
