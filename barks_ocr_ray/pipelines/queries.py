@@ -18593,6 +18593,108 @@ ORDER BY m.month, m.n_name
 """
 
 
+#: Wilson z for 95% (constant shared by engine and SQL)
+Q266_Z = 1.96
+Q266_TOPK = 15
+Q266_MIN_LINES = 20
+
+
+def q266_return_rate_wilson(sf_dir: str):
+    """Supplier return-rate ranking by the Wilson score LOWER bound —
+    the right way to rank rates with unequal sample sizes (a 3/3
+    returner must not outrank a 95/100 one; plain p does exactly that).
+    Exact (returns, lines) integer counts per supplier, one mirrored
+    IEEE Wilson expression, top-15 by lower bound desc. Plan: one
+    supplier-bounded count aggregation fed by block combiners; the
+    ranking closes on the suppliers-bounded driver table."""
+    import math
+
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", ["l_suppkey", "l_returnflag"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        ret = (
+            pc.equal(t.column("l_returnflag"), pa.scalar("R"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        g = (
+            pa.table(
+                {
+                    "suppkey": t.column("l_suppkey"),
+                    "ret": pa.array(ret, pa.int64()),
+                }
+            )
+            .group_by("suppkey")
+            .aggregate([("ret", "count"), ("ret", "sum")])
+        )
+        return g.rename_columns(["suppkey", "n", "x"])
+
+    rows = (
+        li.map_batches(_counts, batch_format="pyarrow")
+        .groupby("suppkey", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"), Sum("x", alias_name="x"))
+        .take_all()
+    )
+    z = Q266_Z
+    cand = []
+    for r in rows:
+        n, x = int(r["n"]), int(r["x"])
+        if n < Q266_MIN_LINES:
+            continue
+        p = x * 1.0 / n
+        lb = (
+            p
+            + z * z / (2 * n)
+            - z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
+        ) / (1 + z * z / n)
+        cand.append(
+            (
+                int(r["suppkey"]),
+                n,
+                x,
+                int(round_like_duckdb(1e6 * p, 0)),
+                int(round_like_duckdb(1e6 * lb, 0)),
+            )
+        )
+    cand.sort(key=lambda r: (-r[4], r[0]))
+    cand = cand[: Q266_TOPK]
+    return pa.table(
+        {
+            "rank": pa.array(list(range(1, len(cand) + 1)), pa.int64()),
+            "suppkey": pa.array([r[0] for r in cand], pa.int64()),
+            "n_lines": pa.array([r[1] for r in cand], pa.int64()),
+            "n_returns": pa.array([r[2] for r in cand], pa.int64()),
+            "rate_micro": pa.array([r[3] for r in cand], pa.int64()),
+            "wilson_lb_micro": pa.array([r[4] for r in cand], pa.int64()),
+        }
+    )
+
+
+SQL_Q266 = f"""
+WITH m AS (
+  SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM lineitem GROUP BY 1 HAVING count(*) >= {Q266_MIN_LINES}),
+v AS (SELECT suppkey, n, x, x * 1.0 / n AS p FROM m),
+w AS (SELECT suppkey, n, x,
+             CAST(round(1e6 * p, 0) AS BIGINT) AS rate_micro,
+             CAST(round(1e6 * ((p + {Q266_Z} * {Q266_Z} / (2 * n)
+                   - {Q266_Z} * sqrt(p * (1 - p) / n
+                                     + {Q266_Z} * {Q266_Z}
+                                       / (4.0 * n * n)))
+                  / (1 + {Q266_Z} * {Q266_Z} / n)), 0) AS BIGINT)
+                 AS wilson_lb_micro
+      FROM v)
+SELECT CAST(row_number() OVER (ORDER BY wilson_lb_micro DESC, suppkey)
+            AS BIGINT) AS rank,
+       suppkey, n AS n_lines, x AS n_returns, rate_micro, wilson_lb_micro
+FROM w ORDER BY wilson_lb_micro DESC, suppkey LIMIT {Q266_TOPK}
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -18875,6 +18977,7 @@ def build_registry():
         "q263_order_reconciliation": q263_order_reconciliation,
         "q264_part_price_dispersion": q264_part_price_dispersion,
         "q265_nation_share_trend": q265_nation_share_trend,
+        "q266_return_rate_wilson": q266_return_rate_wilson,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -19203,6 +19306,7 @@ def build_registry():
         "q263_order_reconciliation": SQL_Q263,
         "q264_part_price_dispersion": SQL_Q264,
         "q265_nation_share_trend": SQL_Q265,
+        "q266_return_rate_wilson": SQL_Q266,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -1092,3 +1092,38 @@ class TestNationShareTrend:
         # per-month shares sum to ~1e6 (micro rounding tolerance)
         s = got.groupby("month").share_micro.sum()
         assert ((s - 1_000_000).abs() <= len(got.n_name.unique())).all()
+
+
+class TestReturnRateWilson:
+    def test_small_sample_does_not_outrank(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q266,
+            q266_return_rate_wilson,
+        )
+
+        # supplier 1: 20/20 returns (perfect rate, small-ish n)
+        # supplier 2: 95/100 returns (lower rate, big n) — Wilson LB
+        # must rank 2 ABOVE 1? No: LB(20/20) ~ 0.839, LB(95/100) ~ 0.887
+        # -> supplier 2 first. supplier 3: below MIN_LINES, excluded.
+        rows = (
+            [(1, "R")] * 20
+            + [(2, "R")] * 95 + [(2, "N")] * 5
+            + [(3, "R")] * 5
+        )
+        li = pa.table(
+            {
+                "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_returnflag": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_wilson", li, "lineitem.parquet")
+        got = q266_return_rate_wilson(d).to_pandas()
+        con = duckdb.connect()
+        con.register("lineitem", li)
+        exp = con.execute(SQL_Q266).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert got.suppkey.tolist() == [2, 1]
+        assert got.rate_micro.tolist() == [950000, 1000000]
+        # plain-rate ranking would have put supplier 1 first
+        assert got.wilson_lb_micro.iloc[0] > got.wilson_lb_micro.iloc[1]
