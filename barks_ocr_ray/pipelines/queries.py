@@ -8993,19 +8993,6 @@ def q172_source_overlap(sf_dir: str):
             }
         )
 
-    # distinct (gram, source) — the Count aggregate is only the
-    # distinct-collapse; its value is unused
-    sg = (
-        docs.map_batches(_gram_partials, batch_format="pyarrow")
-        .groupby(["gram", "source"], num_partitions=hash_partitions(4))
-        .aggregate(Count(alias_name="nb"))
-        .materialize()  # read twice below (totals + pairs)
-    )
-    sz = (
-        sg.groupby("source", num_partitions=2)
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    )
     empty = pa.table(
         {
             "source_a": pa.array([], pa.string()),
@@ -9014,20 +9001,23 @@ def q172_source_overlap(sf_dir: str):
             "jaccard_micro": pa.array([], pa.int64()),
         }
     )
-    if not sz:
-        return empty
 
     def _pair_partials(t: pa.Table) -> pa.Table:
+        # colocated by gram: a block-local distinct IS the global
+        # distinct, so the pair emission (INCLUDING the (s, s)
+        # diagonal, which carries the per-source totals — no separate
+        # totals exchange) is globally correct
+        dg = t.group_by(["gram", "source"]).aggregate([([], "count_all")])
         by_gram: defaultdict = defaultdict(list)
         for g, s in zip(
-            t.column("gram").to_pylist(), t.column("source").to_pylist()
+            dg.column("gram").to_pylist(), dg.column("source").to_pylist()
         ):
             by_gram[g].append(s)
         cnt: Counter = Counter()
         for srcs in by_gram.values():
             srcs.sort()
             for i in range(len(srcs)):
-                for j in range(i + 1, len(srcs)):
+                for j in range(i, len(srcs)):
                     cnt[(srcs[i], srcs[j])] += 1
         ks = sorted(cnt)
         return pa.table(
@@ -9039,7 +9029,8 @@ def q172_source_overlap(sf_dir: str):
         )
 
     inter = (
-        sg.repartition(hash_partitions(4), keys=["gram"])
+        docs.map_batches(_gram_partials, batch_format="pyarrow")
+        .repartition(hash_partitions(4), keys=["gram"])
         .map_batches(
             _pair_partials, batch_format="pyarrow", batch_size=None
         )
@@ -9047,8 +9038,10 @@ def q172_source_overlap(sf_dir: str):
         .aggregate(Sum("n", alias_name="n_shared"))
         .take_all()
     )
-    n_of = {r["source"]: int(r["n"]) for r in sz}
+    if not inter:
+        return empty
     im = {(r["source_a"], r["source_b"]): int(r["n_shared"]) for r in inter}
+    n_of = {a: n for (a, b), n in im.items() if a == b}
     srcs = sorted(n_of)
     a_col, b_col, sh_col, ja_col = [], [], [], []
     for i in range(len(srcs)):
