@@ -11975,12 +11975,34 @@ def q200_perplexity_buckets(sf_dir: str):
     n_total = int(uni_c.sum("n") or 0)
     denom = float(n_total + n_vocab + 1)
 
-    tf_c, n_tf = compact_nonempty(tf_rows, 8)
-    if n_tf == 0:
-        return empty
-    joined = tf_c.join(
-        uni_c, join_type="inner", num_partitions=VOCAB_PARTITIONS, on=("term",)
-    )
+    broadcast_lm = n_vocab <= 2_000_000
+    if broadcast_lm:
+        # vocabulary-sized small side: broadcast the LM once (ray.put)
+        # instead of shuffling the corpus-scale doc-term table through
+        # a term-keyed join (the q110/q112 gate discipline; the join
+        # below is the above-cap fallback). The broadcast path is
+        # map-only over tf_rows AS EMITTED (no compact_nonempty — block
+        # compaction would SPLIT a doc's term rows across blocks and
+        # break the block-local per-doc reduce), so every doc's rows
+        # stay inside its block and no doc exchange is needed.
+        from barks_ocr_ray.functions.relational import (
+            broadcast_lookup_column,
+        )
+
+        lm = {r["term"]: int(r["n"]) for r in uni_c.take_all()}
+        joined = broadcast_lookup_column(
+            tf_rows, lm, "term", "n", pa.int64()
+        )
+    else:
+        tf_c, n_tf = compact_nonempty(tf_rows, 8)
+        if n_tf == 0:
+            return empty
+        joined = tf_c.join(
+            uni_c,
+            join_type="inner",
+            num_partitions=VOCAB_PARTITIONS,
+            on=("term",),
+        )
 
     def _contrib(t: pa.Table) -> pa.Table:
         tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -12007,16 +12029,30 @@ def q200_perplexity_buckets(sf_dir: str):
             }
         )
 
-    per_doc = (
-        joined.map_batches(_contrib, batch_format="pyarrow")
-        .groupby("doc_id", num_partitions=8)
-        .aggregate(
-            Sum("nll_micro", alias_name="sum_micro"),
-            Sum("tf", alias_name="n_tokens"),
+    if broadcast_lm:
+
+        def _doc_scores_block(t: pa.Table) -> pa.Table:
+            c = _contrib(t)
+            g = c.group_by("doc_id").aggregate(
+                [("nll_micro", "sum"), ("tf", "sum")]
+            )
+            g = g.rename_columns(["doc_id", "sum_micro", "n_tokens"])
+            return _doc_score(g)
+
+        per_doc = joined.map_batches(
+            _doc_scores_block, batch_format="pyarrow"
+        ).materialize()  # consumers: tertile counting passes + bucket pass
+    else:
+        per_doc = (
+            joined.map_batches(_contrib, batch_format="pyarrow")
+            .groupby("doc_id", num_partitions=8)
+            .aggregate(
+                Sum("nll_micro", alias_name="sum_micro"),
+                Sum("tf", alias_name="n_tokens"),
+            )
+            .map_batches(_doc_score, batch_format="pyarrow")
+            .materialize()
         )
-        .map_batches(_doc_score, batch_format="pyarrow")
-        .materialize()  # consumers: tertile counting passes + bucket pass
-    )
     th = distributed_quantiles(per_doc, "x", [1 / 3, 2 / 3])
     t1, t2 = (v.as_py() for v in th.column("value"))
 
