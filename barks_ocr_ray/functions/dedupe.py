@@ -1595,3 +1595,164 @@ def rd_from_arrow_empty_pairs():
             }
         )
     )
+
+# --- exact set-similarity join via df-ordered prefix filtering ------------
+
+
+def set_similarity_join(
+    docs: Dataset,
+    *,
+    tau_num: int = 7,
+    tau_den: int = 10,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """GLOBAL exact token-SET Jaccard join with a prefix-filter candidate
+    generator (the SSJoin/PPJoin construction; distributed formulation
+    follows Vernica et al., "Efficient Parallel Set-Similarity Joins
+    Using MapReduce", SIGMOD 2010). Unlike ``ngram_jaccard_pairs`` (which
+    trades recall for a (source, length-bucket) blocking heuristic), this
+    join is exact AND complete over the whole corpus: every pair with
+    Jaccard >= tau is emitted exactly once.
+
+    Construction (tau = tau_num/tau_den, compared in integers throughout):
+
+    1. distinct (doc_id, term) rows; one vocabulary-keyed count gives each
+       term's document frequency df.
+    2. every doc's term list is sorted by the GLOBAL order (df, term) —
+       rarest-first. prefix(x) = first |x| - ceil(tau*|x|) + 1 tokens.
+       Prefix-filter theorem: if J(x,y) >= tau, the minimum-order token of
+       x INTERSECT y lies in BOTH prefixes (all |x INTERSECT y| >=
+       ceil(tau*|x|) common tokens cannot fit in the ceil(tau*|x|) - 1
+       suffix slots, and symmetrically for y).
+    3. each doc posts (ptoken, doc) for its prefix tokens only — prefixes
+       hold the RAREST tokens, which is the construction's skew argument:
+       hot tokens sort last and never generate candidates.
+    4. per-ptoken group: length filter (tau_den*|x| >= tau_num*|y| for
+       |x| <= |y| — J <= |x|/|y| caps the ratio), exact intersection
+       count, integer threshold (tau_den+tau_num)*c >= tau_num*(Lx+Ly),
+       and the verify-ONCE rule: a pair is emitted only in the group of
+       the minimum-order common token, so no global pair dedup pass is
+       needed.
+
+    The record (its sorted term string) ships once per prefix token — the
+    Vernica record-replication tradeoff, ~(1-tau)*|x| copies; for very
+    long documents the two-phase variant (emit candidate pair ids, then
+    re-join the two term lists by doc key) bounds shipping at the cost of
+    two more doc-keyed exchanges. Documents with no tokens carry no
+    postings and never pair (the SQL oracle's inner-join semantics).
+    """
+    from ray.data.aggregate import Count as _Count
+
+    parts = num_partitions or hash_partitions(8)
+
+    class _DocTerms(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d, t = [], []
+            for did, s in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text")
+            ):
+                for tok in set(self.tokens(s.as_py() or "")):
+                    d.append(did)
+                    t.append(tok)
+            return pa.table(
+                {
+                    "doc_id": pa.array(d, pa.int64()),
+                    "term": pa.array(t, pa.string()),
+                }
+            )
+
+    toks = docs.select_columns(["doc_id", "text"]).map_batches(
+        _DocTerms, batch_format="pyarrow", concurrency=(1, 4)
+    ).materialize()  # reused: df counts + per-doc assembly
+    df = toks.groupby("term", num_partitions=parts).aggregate(
+        _Count(alias_name="df")
+    )
+    joined = toks.join(df, join_type="inner", num_partitions=parts, on=("term",))
+
+    def _assemble(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["df", "term"], kind="mergesort")
+        terms = g["term"].tolist()
+        return pa.table(
+            {
+                "doc_id": pa.array([int(g["doc_id"].iloc[0])], pa.int64()),
+                "n_terms": pa.array([len(terms)], pa.int64()),
+                "terms": pa.array([" ".join(terms)], pa.string()),
+            }
+        )
+
+    per_doc = joined.groupby("doc_id", num_partitions=parts).map_groups(
+        _assemble, batch_format="pandas"
+    )
+
+    def _postings(t: pa.Table) -> pa.Table:
+        pt, did, ln, tm = [], [], [], []
+        for d, n, s in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("n_terms").to_pylist(),
+            t.column("terms").to_pylist(),
+        ):
+            # prefix length: L - ceil(tau*L) + 1 (integer ceil)
+            p = n - (tau_num * n + tau_den - 1) // tau_den + 1
+            for tok in s.split(" ")[:p]:
+                pt.append(tok)
+                did.append(d)
+                ln.append(n)
+                tm.append(s)
+        return pa.table(
+            {
+                "ptoken": pa.array(pt, pa.string()),
+                "doc_id": pa.array(did, pa.int64()),
+                "n_terms": pa.array(ln, pa.int64()),
+                "terms": pa.array(tm, pa.string()),
+            }
+        )
+
+    postings = per_doc.map_batches(_postings, batch_format="pyarrow")
+
+    def _verify(g: pd.DataFrame) -> pa.Table:
+        key = g["ptoken"].iloc[0]
+        rows = sorted(
+            zip(
+                g["doc_id"].tolist(),
+                g["n_terms"].tolist(),
+                g["terms"].tolist(),
+            )
+        )
+        lists = [r[2].split(" ") for r in rows]
+        sets = [set(ts) for ts in lists]
+        a, b, ns, jac = [], [], [], []
+        for i in range(len(rows)):
+            li = rows[i][1]
+            for j in range(i + 1, len(rows)):
+                lj = rows[j][1]
+                lo, hi = min(li, lj), max(li, lj)
+                if tau_den * lo < tau_num * hi:
+                    continue  # length filter: J <= lo/hi < tau
+                inter = sets[i] & sets[j]
+                c = len(inter)
+                if (tau_den + tau_num) * c < tau_num * (li + lj):
+                    continue
+                # verify-once: only the group of the min-order common
+                # token emits the pair (lists are global-order sorted)
+                first = next(t for t in lists[i] if t in sets[j])
+                if first != key:
+                    continue
+                a.append(rows[i][0])
+                b.append(rows[j][0])
+                ns.append(c)
+                jac.append(c / (li + lj - c))
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "n_shared": pa.array(ns, pa.int64()),
+                "jaccard": pa.array(
+                    round_like_duckdb(np.asarray(jac, np.float64), 4),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return postings.groupby("ptoken", num_partitions=parts).map_groups(
+        _verify, batch_format="pandas"
+    )

@@ -18724,6 +18724,251 @@ FROM w ORDER BY wilson_lb_micro DESC, suppkey LIMIT {Q266_TOPK}
 """
 
 
+Q267_TAU_NUM, Q267_TAU_DEN = 9, 10
+
+
+def q267_set_similarity_join(sf_dir: str):
+    """GLOBAL exact token-set Jaccard join (threshold 0.9 — the corpus's
+    token-set similarity is broadly high, so the threshold sits above the
+    cross-template noise floor and prefixes shrink to ~L/10 tokens) via
+    df-ordered prefix filtering — the SSJoin/PPJoin candidate generator
+    in its distributed (Vernica et al., SIGMOD 2010) form. Contrast with
+    q21 (blocked, heuristic recall): this join is complete — the oracle
+    is the unblocked all-pairs SQL self-join. Plan: one vocabulary count,
+    one term-keyed join, one doc-keyed assembly, one prefix-token-keyed
+    verify; prefixes carry each doc's RAREST tokens, so hot tokens never
+    form candidate groups (the construction's skew argument)."""
+    from barks_ocr_ray.functions.dedupe import set_similarity_join
+
+    return set_similarity_join(
+        read_table(sf_dir, "documents", ["doc_id", "text"]),
+        tau_num=Q267_TAU_NUM,
+        tau_den=Q267_TAU_DEN,
+    )
+
+
+def _sql_q267() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    num, den = Q267_TAU_NUM, Q267_TAU_DEN
+    return f"""
+WITH e AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+sz AS (SELECT doc_id, count(*) AS L FROM e GROUP BY 1),
+i AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_shared,
+       round(CAST(c AS DOUBLE) / (la.L + lb.L - c), 4) AS jaccard
+FROM i
+JOIN sz la ON la.doc_id = i.doc_a
+JOIN sz lb ON lb.doc_id = i.doc_b
+WHERE ({den} + {num}) * c >= {num} * (la.L + lb.L)
+"""
+
+
+def q268_naive_bayes_lang(sf_dir: str):
+    """Distributed multinomial Naive Bayes lang classifier, trained and
+    evaluated on the corpus itself (the fastText-style quality/lang
+    classifier-training primitive, reduced to exact counts): Laplace
+    class-term weights, integer micro-rounded log scores (rounded BEFORE
+    summation so the result is reassociation-proof), argmax with lang-asc
+    tie break, confusion matrix out. Plan: one (lang, term) vocabulary
+    aggregation, one term-keyed weight join, one doc-keyed score
+    assembly; class constants (priors, ln normalizers) are a langs-sized
+    driver table. Score decomposition keeps missing (term, class) cells
+    implicit: score = prior + sum_t tf*round(1e6*ln(n_ct+1))
+    - L_d*round(1e6*ln(N_c+V))."""
+    import math
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    class _LangTermCounts(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            out_d, out_l, out_t, out_n = [], [], [], []
+            for doc_id, lang, s in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("lang").to_pylist(),
+                batch.column("text"),
+            ):
+                counts = _Counter(self.tokens(s.as_py() or ""))
+                out_d.extend([doc_id] * len(counts))
+                out_l.extend([lang] * len(counts))
+                out_t.extend(counts.keys())
+                out_n.extend(counts.values())
+            return pa.table(
+                {
+                    "doc_id": pa.array(out_d, pa.int64()),
+                    "lang": pa.array(out_l, pa.string()),
+                    "term": pa.array(out_t, pa.string()),
+                    "tf": pa.array(out_n, pa.int64()),
+                }
+            )
+
+    tf = docs.map_batches(
+        _LangTermCounts, batch_format="pyarrow", concurrency=(1, 4)
+    ).materialize()  # reused: weights, V, doc totals, score join
+
+    ct = tf.groupby(["lang", "term"], num_partitions=VOCAB_PARTITIONS).aggregate(
+        Sum("tf", alias_name="n_ct")
+    )
+    n_c = {
+        r["lang"]: int(r["n_tokens"])
+        for r in tf.groupby("lang", num_partitions=2)
+        .aggregate(Sum("tf", alias_name="n_tokens"))
+        .take_all()
+    }  # langs-sized
+    vocab_v = int(
+        tf.groupby("term", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Count(alias_name="n"))
+        .count()
+    )
+    ld = tf.groupby(["doc_id", "lang"], num_partitions=hash_partitions(8)).aggregate(
+        Sum("tf", alias_name="ld")
+    )
+    pri = {
+        r["lang"]: int(r["n_docs"])
+        for r in ld.groupby("lang", num_partitions=2)
+        .aggregate(Count(alias_name="n_docs"))
+        .take_all()
+    }  # langs-sized
+    total_docs = sum(pri.values())
+    consts = {
+        lang: (
+            int(round_like_duckdb(1e6 * math.log(pri[lang] / total_docs), 0)),
+            int(round_like_duckdb(1e6 * math.log(n_c[lang] + vocab_v), 0)),
+        )
+        for lang in pri
+    }
+    langs = sorted(consts)
+
+    def _weights(t: pa.Table) -> pa.Table:
+        w = round_like_duckdb(
+            1e6
+            * np.log(
+                t.column("n_ct").to_numpy(zero_copy_only=False).astype(np.float64)
+                + 1.0
+            ),
+            0,
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "plang": t.column("lang"),
+                "term": t.column("term"),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    w_tbl = ct.map_batches(_weights, batch_format="pyarrow")
+
+    joined = tf.drop_columns(["lang"]).join(
+        w_tbl, join_type="inner", num_partitions=VOCAB_PARTITIONS, on=("term",)
+    )
+
+    def _contrib(t: pa.Table) -> pa.Table:
+        s1 = pc.multiply(t.column("tf"), t.column("w"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "plang": t.column("plang"),
+                "s1": s1,
+            }
+        )
+
+    s1 = (
+        joined.map_batches(_contrib, batch_format="pyarrow")
+        .groupby(["doc_id", "plang"], num_partitions=hash_partitions(8))
+        .aggregate(Sum("s1", alias_name="s1"))
+    )
+
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    s1c, _ = compact_nonempty(s1)
+    ldc, _ = compact_nonempty(ld)
+    scored = s1c.join(
+        ldc,
+        join_type="inner",
+        num_partitions=hash_partitions(8),
+        on=("doc_id",),
+    )
+
+    def _predict(g) -> pa.Table:
+        actual = g["lang"].iloc[0]
+        ld_val = int(g["ld"].iloc[0])
+        have = dict(zip(g["plang"].tolist(), g["s1"].tolist()))
+        best_lang, best_score = None, None
+        for lang in langs:
+            prior, lnz = consts[lang]
+            score = prior + int(have.get(lang, 0)) - ld_val * lnz
+            if best_score is None or score > best_score:
+                best_lang, best_score = lang, score
+        return pa.table(
+            {
+                "lang": pa.array([actual], pa.string()),
+                "predicted": pa.array([best_lang], pa.string()),
+            }
+        )
+
+    return (
+        scored.groupby("doc_id", num_partitions=hash_partitions(8))
+        .map_groups(_predict, batch_format="pandas")
+        .groupby(["lang", "predicted"], num_partitions=2)
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def _sql_q268() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tf AS (
+  SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents)
+  GROUP BY 1, 2, 3),
+ct AS (SELECT lang, term, sum(tf) AS n_ct FROM tf GROUP BY 1, 2),
+nc AS (SELECT lang, sum(tf) AS n_tokens FROM tf GROUP BY 1),
+vv AS (SELECT count(DISTINCT term) AS v FROM tf),
+ld AS (SELECT doc_id, lang AS actual, sum(tf) AS ld FROM tf GROUP BY 1, 2),
+pri AS (SELECT actual AS lang, count(*) AS n_docs FROM ld GROUP BY 1),
+tot AS (SELECT sum(n_docs) AS total FROM pri),
+cconst AS (
+  SELECT p.lang,
+         CAST(round(1e6 * ln(p.n_docs * 1.0 / t.total), 0) AS BIGINT)
+           AS prior_micro,
+         CAST(round(1e6 * ln(n.n_tokens + v.v), 0) AS BIGINT) AS lnz_micro
+  FROM pri p
+  JOIN nc n ON n.lang = p.lang
+  CROSS JOIN tot t CROSS JOIN vv v),
+w AS (SELECT lang AS plang, term,
+             CAST(round(1e6 * ln(n_ct + 1), 0) AS BIGINT) AS w
+      FROM ct),
+s1 AS (SELECT tf.doc_id, w.plang, sum(tf.tf * w.w) AS s1
+       FROM tf JOIN w USING (term) GROUP BY 1, 2),
+sc AS (
+  SELECT d.doc_id, d.actual, c.lang AS plang,
+         c.prior_micro - d.ld * c.lnz_micro + coalesce(s.s1, 0) AS score
+  FROM ld d CROSS JOIN cconst c
+  LEFT JOIN s1 s ON s.doc_id = d.doc_id AND s.plang = c.lang),
+pred AS (
+  SELECT doc_id, actual,
+         first(plang ORDER BY score DESC, plang) AS predicted
+  FROM sc GROUP BY 1, 2)
+SELECT actual AS lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -19007,6 +19252,8 @@ def build_registry():
         "q264_part_price_dispersion": q264_part_price_dispersion,
         "q265_nation_share_trend": q265_nation_share_trend,
         "q266_return_rate_wilson": q266_return_rate_wilson,
+        "q267_set_similarity_join": q267_set_similarity_join,
+        "q268_naive_bayes_lang": q268_naive_bayes_lang,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -19336,6 +19583,8 @@ def build_registry():
         "q264_part_price_dispersion": SQL_Q264,
         "q265_nation_share_trend": SQL_Q265,
         "q266_return_rate_wilson": SQL_Q266,
+        "q267_set_similarity_join": _sql_q267(),
+        "q268_naive_bayes_lang": _sql_q268(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

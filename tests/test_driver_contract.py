@@ -165,7 +165,9 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q263_order_reconciliation', 1),
                         ('q264_part_price_dispersion', 1),
                         ('q265_nation_share_trend', 1),
-                        ('q266_return_rate_wilson', 1)):
+                        ('q266_return_rate_wilson', 1),
+                        ('q267_set_similarity_join', 1),
+                        ('q268_naive_bayes_lang', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
