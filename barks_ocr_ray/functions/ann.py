@@ -23,6 +23,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from barks_ocr_ray.functions.hashing import splitmix64
 from barks_ocr_ray.functions.relational import round_like_duckdb
 
 
@@ -1333,9 +1334,10 @@ def jl_sign_matrix(d: int, k: int = JL_K) -> np.ndarray:
     """Deterministic +-1/sqrt(k) projection matrix (Achlioptas 2003
     database-friendly JL): the sign of splitmix64(i*k + j) bit 0 —
     a pure function of (d, k), so every block and the golden build the
-    SAME matrix with no broadcast needed."""
-    from barks_ocr_ray.functions.hashing import splitmix64
-
+    SAME matrix with no broadcast needed. NOTE: splitmix64 must stay a
+    module-level import — this function runs inside worker UDFs, where
+    a body-level package import fails under the driver's no-PYTHONPATH
+    by-value pickling (test_driver_contract guards this)."""
     idx = np.arange(d * k, dtype=np.int64)
     bits = (splitmix64(idx) & np.uint64(1)).astype(np.float64)
     return ((bits * 2.0 - 1.0) / np.sqrt(k)).reshape(d, k)
