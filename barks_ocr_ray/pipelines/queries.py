@@ -18969,6 +18969,461 @@ FROM pred GROUP BY 1, 2
 """
 
 
+def q269_time_weighted_value(sf_dir: str):
+    """Time-weighted average held value per user (TWAP over an
+    irregularly-sampled step series): each event's value is "held" until
+    the user's next event, so the honest average is the step-function
+    integral over the user's active span — the arithmetic mean
+    over-weights burst periods (contrast q155's calendar-spine trailing
+    mean, which assumes regular sampling). Exactness: values become
+    integer cents and gaps integer ms, so the per-user weighted sum is
+    an exact int64 (bound: max_cents x span_ms < 2^63 — a ~$10^7 value
+    held for three centuries); ties at the same ms contribute dt=0
+    under the (ms, event_id) total order mirrored by the oracle's
+    window. Plan: ONE user-keyed exchange, block-local lexsort + masked
+    diffs + reduceat (a user's rows are colocated by construction),
+    zero driver-side state."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def _twap(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ms = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 1000
+        )
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        cents = round_like_duckdb(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        order = np.lexsort((eid, ms, uid))
+        uid, ms, cents = uid[order], ms[order], cents[order]
+        same = (uid[1:] == uid[:-1]).astype(np.int64)
+        dt = (ms[1:] - ms[:-1]) * same  # 0 across user boundaries
+        w = np.append(cents[:-1] * dt, np.int64(0))  # exact int64
+        uu, idx = np.unique(uid, return_index=True)
+        n = np.diff(np.append(idx, len(uid)))
+        swc = np.add.reduceat(w, idx)
+        last = np.append(idx[1:], len(uid)) - 1
+        span = ms[last] - ms[idx]
+        keep = (n >= 2) & (span > 0)
+        tw = round_like_duckdb(
+            1e6 * (swc[keep] / 100.0) / span[keep], 0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uu[keep], pa.int64()),
+                "n_events": pa.array(n[keep].astype(np.int64), pa.int64()),
+                "span_ms": pa.array(span[keep], pa.int64()),
+                "twap_micro": pa.array(tw, pa.int64()),
+            }
+        )
+
+    return ev.repartition(hash_partitions(8), keys=["user_id"]).map_batches(
+        _twap, batch_format="pyarrow", batch_size=None
+    )
+
+
+SQL_Q269 = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT user_id, ms, cents,
+         lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms
+             AS dt
+  FROM e),
+a AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN dt IS NULL THEN 0 ELSE cents * dt END)
+              AS BIGINT) AS swc,
+         CAST(max(ms) - min(ms) AS BIGINT) AS span_ms
+  FROM g GROUP BY 1)
+SELECT user_id, n_events, span_ms,
+       CAST(round(1e6 * (CAST(swc AS DOUBLE) / 100.0) / span_ms, 0)
+            AS BIGINT) AS twap_micro
+FROM a WHERE n_events >= 2 AND span_ms > 0
+"""
+
+
+def q270_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the customer<->supplier trade graph
+    (Newman 2002: the Pearson correlation of endpoint degrees over
+    edges) — do high-degree customers trade with high-degree suppliers
+    (r > 0, hub-hub concentration) or with the long tail (r < 0, the
+    disassortative shape typical of real commerce/web graphs)? The
+    structural summary beside q94 centrality / q138 triangles / q185
+    cores. Exactness: degrees are exact ints, so all five moment sums
+    are exact (int64 block partials — bound: deg^2 x edges_per_block
+    < 2^63 — merged into arbitrary-precision Python ints); ONE mirrored
+    IEEE Pearson close. Plan: orders join + two keyed exchanges — by
+    custkey (block-local pair distinct + cust-degree attach: a cust's
+    pairs are colocated, so block-local distinct IS global), then by
+    suppkey (supp-degree attach + O(1) moment partials per block)."""
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _dedup_degc(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "cust": t.column("o_custkey"),
+                    "supp": t.column("l_suppkey"),
+                }
+            )
+            .group_by(["cust", "supp"])
+            .aggregate([])
+        )
+        cust = g.column("cust").to_numpy(zero_copy_only=False)
+        uu, inv, cnts = np.unique(cust, return_inverse=True, return_counts=True)
+        dc = cnts[inv].astype(np.int64)
+        # n_cust partial as a SUM-invariant column (first row carries the
+        # block's distinct-cust count): survives the supp reshuffle, so
+        # the single downstream pass closes n_cust without re-executing
+        # this edge plan for a second consumer.
+        nc_part = np.zeros(len(dc), dtype=np.int64)
+        if len(nc_part):
+            nc_part[0] = len(uu)
+        return g.append_column("dc", pa.array(dc, pa.int64())).append_column(
+            "nc_part", pa.array(nc_part, pa.int64())
+        )
+
+    edges = (
+        joined.select_columns(["o_custkey", "l_suppkey"])
+        .repartition(hash_partitions(8), keys=["o_custkey"])
+        .map_batches(_dedup_degc, batch_format="pyarrow", batch_size=None)
+    )
+
+    def _moments(t: pa.Table) -> pa.Table:
+        dc = t.column("dc").to_numpy(zero_copy_only=False)
+        supp = t.column("supp").to_numpy(zero_copy_only=False)
+        uu, inv, cnts = np.unique(supp, return_inverse=True, return_counts=True)
+        ds = cnts[inv].astype(np.int64)
+        nc = int(t.column("nc_part").to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "m": pa.array([len(dc)], pa.int64()),
+                "nc": pa.array([nc], pa.int64()),
+                "ns": pa.array([len(uu)], pa.int64()),
+                "sdc": pa.array([int(dc.sum())], pa.int64()),
+                "sds": pa.array([int(ds.sum())], pa.int64()),
+                "sdc2": pa.array([int((dc * dc).sum())], pa.int64()),
+                "sds2": pa.array([int((ds * ds).sum())], pa.int64()),
+                "sdcds": pa.array([int((dc * ds).sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        edges.repartition(hash_partitions(8), keys=["supp"])
+        .map_batches(_moments, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    m = sdc = sds = sdc2 = sds2 = sdcds = n_supp = n_cust = 0
+    for r in parts:
+        m += int(r["m"])
+        n_cust += int(r["nc"])
+        n_supp += int(r["ns"])
+        sdc += int(r["sdc"])
+        sds += int(r["sds"])
+        sdc2 += int(r["sdc2"])
+        sds2 += int(r["sds2"])
+        sdcds += int(r["sdcds"])
+    num = m * sdcds - sdc * sds
+    v1, v2 = m * sdc2 - sdc * sdc, m * sds2 - sds * sds
+    import math
+
+    r_micro = int(
+        round_like_duckdb(
+            1e6 * float(num) / math.sqrt(float(v1) * float(v2)), 0
+        )
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([m], pa.int64()),
+            "n_cust": pa.array([n_cust], pa.int64()),
+            "n_supp": pa.array([n_supp], pa.int64()),
+            "r_micro": pa.array([r_micro], pa.int64()),
+        }
+    )
+
+
+SQL_Q270 = """
+WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+dc AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM e GROUP BY 1),
+dsx AS (SELECT s, CAST(count(*) AS BIGINT) AS ds FROM e GROUP BY 1),
+j AS (SELECT dc.dc, dsx.ds FROM e JOIN dc USING (c) JOIN dsx USING (s)),
+mm AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+              CAST(sum(dc) AS HUGEINT) AS sdc,
+              CAST(sum(ds) AS HUGEINT) AS sds,
+              CAST(sum(dc * dc) AS HUGEINT) AS sdc2,
+              CAST(sum(ds * ds) AS HUGEINT) AS sds2,
+              CAST(sum(dc * ds) AS HUGEINT) AS sdcds
+       FROM j)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_cust,
+       (SELECT CAST(count(*) AS BIGINT) FROM dsx) AS n_supp,
+       CAST(round(1e6 * CAST(m * sdcds - sdc * sds AS DOUBLE)
+                  / sqrt(CAST(m * sdc2 - sdc * sdc AS DOUBLE)
+                         * CAST(m * sds2 - sds * sds AS DOUBLE)), 0)
+            AS BIGINT) AS r_micro
+FROM mm
+"""
+
+
+#: word2vec-style negative-sampling table: draws and smoothing exponent
+Q271_DRAWS = 20000
+Q271_SALT = "neg"
+
+
+def q271_negative_sampling(sf_dir: str):
+    """Word2vec-style negative-sampling table over the corpus unigram
+    distribution (Mikolov et al. 2013: draw negatives ~ count^0.75 —
+    the smoothing that lifts rare words above their raw frequency):
+    the training-loop primitive that turns corpus counts into a
+    reusable sampler. Exactness: weights are micro-rounded ints, the
+    cumulative table is an exact int64 prefix sum over term-sorted
+    vocab, and each draw is an md5 integer mod total mapped through
+    exclusive-lo/inclusive-hi ranges — bit-replayable by the oracle's
+    window cumsum + range join (bound: total weight < 2^63). Plan: one
+    vocab-bounded (term, count) aggregation from block partials; the
+    cumulative table, draws and bincount close on the driver's
+    vocab-sized table (q175 discipline)."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    class _TermCounts(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            counts = _Counter()
+            for s in batch.column("text"):
+                counts.update(self.tokens(s.as_py() or ""))
+            return pa.table(
+                {
+                    "term": pa.array(list(counts.keys()), pa.string()),
+                    "cnt": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+    vocab = (
+        docs.map_batches(_TermCounts, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("term", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    terms = np.array([r["term"] for r in vocab], dtype=object)
+    cnt = np.array([int(r["cnt"]) for r in vocab], dtype=np.int64)
+    order = np.argsort(terms)  # cum table is term-ordered on both sides
+    terms, cnt = terms[order], cnt[order]
+    weight = round_like_duckdb(1e6 * cnt.astype(np.float64) ** 0.75, 0).astype(
+        np.int64
+    )
+    hi = np.cumsum(weight)
+    total = int(hi[-1])
+    draws = np.array(
+        [
+            int(
+                _hashlib.md5(f"{Q271_SALT}:{s}".encode("utf-8")).hexdigest()[
+                    :16
+                ],
+                16,
+            )
+            % total
+            for s in range(Q271_DRAWS)
+        ],
+        dtype=np.uint64,
+    )
+    ix = np.searchsorted(hi, draws.astype(np.int64), side="right")
+    n_drawn = np.bincount(ix, minlength=len(terms)).astype(np.int64)
+    keep = n_drawn > 0
+    return pa.table(
+        {
+            "term": pa.array(list(terms[keep]), pa.string()),
+            "cnt": pa.array(cnt[keep], pa.int64()),
+            "weight": pa.array(weight[keep], pa.int64()),
+            "n_drawn": pa.array(n_drawn[keep], pa.int64()),
+        }
+    )
+
+
+def _sql_q271() -> str:
+    from barks_ocr_ray.functions.text import TOKEN_RE
+
+    return f"""
+WITH tf AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents),
+v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+w AS (SELECT term, cnt,
+             CAST(round(1e6 * pow(cnt, 0.75), 0) AS BIGINT) AS weight
+      FROM v),
+c AS (SELECT term, cnt, weight,
+             CAST(sum(weight) OVER (ORDER BY term
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+      FROM w),
+c2 AS (SELECT term, cnt, weight, hi - weight AS lo, hi FROM c),
+t AS (SELECT CAST(sum(weight) AS UBIGINT) AS total FROM w),
+d AS (SELECT CAST(CAST('0x' || substring(
+                md5('{Q271_SALT}:' || CAST(s AS VARCHAR)), 1, 16)
+              AS UBIGINT) % (SELECT total FROM t) AS BIGINT) AS u
+      FROM generate_series(0, {Q271_DRAWS - 1}) AS g(s))
+SELECT c2.term, c2.cnt, c2.weight, CAST(count(*) AS BIGINT) AS n_drawn
+FROM d JOIN c2 ON d.u >= c2.lo AND d.u < c2.hi
+GROUP BY 1, 2, 3
+"""
+
+
+def q272_kendall_tau(sf_dir: str):
+    """Exact grouped Kendall tau-b (quantity vs discount percent per
+    return flag) via bounded-domain pair counting: both variables live
+    on small integer domains, so concordant/discordant pair counts are
+    exact products over the JOINT HISTOGRAM — no O(n^2) row pairs, no
+    sort, no sampling (the rank-free sibling of q245 Spearman; tau-b's
+    tie correction uses both marginals). Plan: one bounded (flag,
+    quantity, discount_pct) cell aggregation fed by per-block Arrow
+    group_by partials; the 550-cell-per-flag pair algebra closes on the
+    driver with arbitrary-precision ints and ONE mirrored IEEE close
+    per flag."""
+    import math
+
+    import numpy as np
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"]
+    )
+
+    def _cells(t: pa.Table) -> pa.Table:
+        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        d = round_like_duckdb(
+            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        ones = pa.array(np.ones(len(q), dtype=np.int64), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "flag": t.column("l_returnflag"),
+                    "q": pa.array(q, pa.int64()),
+                    "d": pa.array(d, pa.int64()),
+                    "n": ones,
+                }
+            )
+            .group_by(["flag", "q", "d"])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns(["flag", "q", "d", "n"])
+
+    cells = (
+        li.map_batches(_cells, batch_format="pyarrow")
+        .groupby(["flag", "q", "d"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    by_flag: dict = {}
+    for r in cells:
+        by_flag.setdefault(r["flag"], []).append(
+            (int(r["q"]), int(r["d"]), int(r["n"]))
+        )
+    out = {
+        "flag": [],
+        "n_rows": [],
+        "n_concordant": [],
+        "n_discordant": [],
+        "tau_b_micro": [],
+    }
+    for flag in sorted(by_flag):
+        rows = by_flag[flag]
+        q = np.array([r[0] for r in rows], dtype=np.int64)
+        d = np.array([r[1] for r in rows], dtype=np.int64)
+        n = np.array([r[2] for r in rows], dtype=object)  # exact Python ints
+        q_lt, d_lt = q[:, None] < q[None, :], d[:, None] < d[None, :]
+        d_gt = d[:, None] > d[None, :]
+        prod = n[:, None] * n[None, :]
+        conc = int((prod * (q_lt & d_lt)).sum())
+        disc = int((prod * (q_lt & d_gt)).sum())
+        nn = int(sum(int(x) for x in n))
+        n0 = nn * (nn - 1) // 2
+        n1 = 0
+        for t in np.unique(q):
+            tx = int(sum(int(x) for x in n[q == t]))
+            n1 += tx * (tx - 1) // 2
+        n2 = 0
+        for t in np.unique(d):
+            ty = int(sum(int(x) for x in n[d == t]))
+            n2 += ty * (ty - 1) // 2
+        tau = int(
+            round_like_duckdb(
+                1e6
+                * float(conc - disc)
+                / math.sqrt(float(n0 - n1) * float(n0 - n2)),
+                0,
+            )
+        )
+        out["flag"].append(flag)
+        out["n_rows"].append(nn)
+        out["n_concordant"].append(conc)
+        out["n_discordant"].append(disc)
+        out["tau_b_micro"].append(tau)
+    return pa.table(
+        {
+            "flag": pa.array(out["flag"], pa.string()),
+            "n_rows": pa.array(out["n_rows"], pa.int64()),
+            "n_concordant": pa.array(out["n_concordant"], pa.int64()),
+            "n_discordant": pa.array(out["n_discordant"], pa.int64()),
+            "tau_b_micro": pa.array(out["tau_b_micro"], pa.int64()),
+        }
+    )
+
+
+SQL_Q272 = """
+WITH c AS (
+  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem GROUP BY 1, 2, 3),
+tot AS (SELECT flag, CAST(sum(n) AS HUGEINT) AS nn FROM c GROUP BY 1),
+cd AS (SELECT a.flag,
+         CAST(coalesce(sum(CASE WHEN a.q < b.q AND a.d < b.d
+                                THEN a.n * b.n END), 0) AS HUGEINT) AS conc,
+         CAST(coalesce(sum(CASE WHEN a.q < b.q AND a.d > b.d
+                                THEN a.n * b.n END), 0) AS HUGEINT) AS disc
+       FROM c a JOIN c b ON a.flag = b.flag GROUP BY 1),
+tx AS (SELECT flag, CAST(sum(t * (t - 1) // 2) AS HUGEINT) AS n1
+       FROM (SELECT flag, q, sum(n) AS t FROM c GROUP BY 1, 2)
+       GROUP BY 1),
+ty AS (SELECT flag, CAST(sum(t * (t - 1) // 2) AS HUGEINT) AS n2
+       FROM (SELECT flag, d, sum(n) AS t FROM c GROUP BY 1, 2)
+       GROUP BY 1)
+SELECT tot.flag, CAST(tot.nn AS BIGINT) AS n_rows,
+       CAST(cd.conc AS BIGINT) AS n_concordant,
+       CAST(cd.disc AS BIGINT) AS n_discordant,
+       CAST(round(1e6 * CAST(cd.conc - cd.disc AS DOUBLE)
+                  / sqrt(CAST(tot.nn * (tot.nn - 1) // 2 - tx.n1 AS DOUBLE)
+                         * CAST(tot.nn * (tot.nn - 1) // 2 - ty.n2
+                                AS DOUBLE)), 0) AS BIGINT) AS tau_b_micro
+FROM tot JOIN cd USING (flag) JOIN tx USING (flag) JOIN ty USING (flag)
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -19254,6 +19709,10 @@ def build_registry():
         "q266_return_rate_wilson": q266_return_rate_wilson,
         "q267_set_similarity_join": q267_set_similarity_join,
         "q268_naive_bayes_lang": q268_naive_bayes_lang,
+        "q269_time_weighted_value": q269_time_weighted_value,
+        "q270_degree_assortativity": q270_degree_assortativity,
+        "q271_negative_sampling": q271_negative_sampling,
+        "q272_kendall_tau": q272_kendall_tau,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -19585,6 +20044,10 @@ def build_registry():
         "q266_return_rate_wilson": SQL_Q266,
         "q267_set_similarity_join": _sql_q267(),
         "q268_naive_bayes_lang": _sql_q268(),
+        "q269_time_weighted_value": SQL_Q269,
+        "q270_degree_assortativity": SQL_Q270,
+        "q271_negative_sampling": _sql_q271(),
+        "q272_kendall_tau": SQL_Q272,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -167,7 +167,11 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q265_nation_share_trend', 1),
                         ('q266_return_rate_wilson', 1),
                         ('q267_set_similarity_join', 1),
-                        ('q268_naive_bayes_lang', 1)):
+                        ('q268_naive_bayes_lang', 1),
+                        ('q269_time_weighted_value', 1),
+                        ('q270_degree_assortativity', 1),
+                        ('q271_negative_sampling', 1),
+                        ('q272_kendall_tau', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -1,0 +1,314 @@
+"""Session-18 operator tests: time-weighted average value (q269),
+degree assortativity (q270), negative-sampling table (q271), exact
+grouped Kendall tau-b (q272)."""
+
+import datetime
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name, table, fname):
+    d = tmp_path / name
+    d.mkdir(exist_ok=True)
+    pq.write_table(table, str(d / fname))
+    return str(d)
+
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+
+def _events(rows):
+    """rows: (event_id, user_id, seconds_offset, value)."""
+    return pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [_BASE + datetime.timedelta(seconds=r[2]) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+
+
+class TestTimeWeightedValue:
+    def test_hand_step_integral(self, ray_session, tmp_path):
+        """User 1 holds 100.00 for 10 s then 200.00 for 30 s: TWAP =
+        (100*10 + 200*30) / 40 = 175 — NOT the arithmetic mean 150.
+        The final event's value is never held. Single-event user 2 and
+        zero-span user 3 are excluded."""
+        from barks_ocr_ray.pipelines.queries import q269_time_weighted_value
+
+        rows = [
+            (0, 1, 0, 100.0),
+            (1, 1, 10, 200.0),
+            (2, 1, 40, 999.0),  # last value never held
+            (3, 2, 5, 50.0),    # single event: excluded
+            (4, 3, 7, 10.0),    # same-ts pair: span 0, excluded
+            (5, 3, 7, 20.0),
+        ]
+        d = _write(tmp_path, "sf_twap", _events(rows), "events.parquet")
+        got = (
+            q269_time_weighted_value(d)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert got.user_id.tolist() == [1]
+        assert got.n_events.tolist() == [3]
+        assert got.span_ms.tolist() == [40_000]
+        assert got.twap_micro.tolist() == [175_000_000]
+
+    def test_same_ms_tie_matches_oracle(self, ray_session, tmp_path):
+        """Two events in the same millisecond: the (ms, event_id) total
+        order decides which value is held to the next distinct ms —
+        engine and oracle must agree on the tie."""
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q269,
+            q269_time_weighted_value,
+        )
+
+        rows = [
+            (7, 1, 0, 10.0),   # tie at t=0, higher event_id
+            (3, 1, 0, 30.0),   # tie at t=0, lower event_id: held first (dt=0)
+            (9, 1, 4, 50.0),
+        ]
+        ev = _events(rows)
+        d = _write(tmp_path, "sf_twap_tie", ev, "events.parquet")
+        got = q269_time_weighted_value(d).to_pandas()
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q269).fetch_df()
+        assert got.twap_micro.tolist() == exp.twap_micro.tolist()
+        # value 10.0 (event_id 7) is the one held across the 4 s gap
+        assert got.twap_micro.tolist() == [10_000_000]
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q269,
+            q269_time_weighted_value,
+        )
+
+        got = (
+            q269_time_weighted_value("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')"
+        )
+        exp = con.execute(SQL_Q269 + " ORDER BY user_id").fetch_df()
+        assert got.user_id.tolist() == exp.user_id.tolist()
+        assert got.twap_micro.tolist() == exp.twap_micro.tolist()
+        assert got.span_ms.tolist() == exp.span_ms.tolist()
+
+
+def _trade(pairs):
+    """Minimal lineitem+orders realizing the given (cust, supp) edges."""
+    li = pa.table(
+        {
+            "l_orderkey": pa.array(range(len(pairs)), pa.int64()),
+            "l_suppkey": pa.array([p[1] for p in pairs], pa.int64()),
+        }
+    )
+    od = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(pairs)), pa.int64()),
+            "o_custkey": pa.array([p[0] for p in pairs], pa.int64()),
+        }
+    )
+    return li, od
+
+
+class TestDegreeAssortativity:
+    def test_hand_disassortative(self, ray_session, tmp_path):
+        """A hub customer trading with three pendant suppliers plus a
+        pendant customer on one of them: high-degree endpoints pair
+        with low-degree ones, so r < 0; counts are exact."""
+        from barks_ocr_ray.pipelines.queries import q270_degree_assortativity
+
+        pairs = [(1, 10), (1, 11), (1, 12), (2, 12), (2, 12)]  # dup edge
+        li, od = _trade(pairs)
+        d = tmp_path / "sf_assort"
+        d.mkdir()
+        pq.write_table(li, str(d / "lineitem.parquet"))
+        pq.write_table(od, str(d / "orders.parquet"))
+        got = q270_degree_assortativity(str(d)).to_pandas()
+        assert got.n_edges.tolist() == [4]  # dup (2,12) collapsed
+        assert got.n_cust.tolist() == [2]
+        assert got.n_supp.tolist() == [3]
+        # exact Pearson over edges: dc=(3,3,3,1), ds=(1,1,2,2)
+        dc = np.array([3, 3, 3, 1])
+        ds = np.array([1, 1, 2, 2])
+        m = 4
+        num = m * (dc * ds).sum() - dc.sum() * ds.sum()
+        den = np.sqrt(
+            float(m * (dc * dc).sum() - dc.sum() ** 2)
+            * float(m * (ds * ds).sum() - ds.sum() ** 2)
+        )
+        exp = round(1e6 * num / den)
+        assert got.r_micro.tolist() == [exp]
+        assert got.r_micro.tolist()[0] < 0
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q270,
+            q270_degree_assortativity,
+        )
+
+        got = q270_degree_assortativity("/root/testdata/sf0.001").to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            )
+        exp = con.execute(SQL_Q270).fetch_df()
+        for c in ("n_edges", "n_cust", "n_supp", "r_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestNegativeSampling:
+    def test_weights_and_draw_conservation(self, ray_session, tmp_path):
+        """Two-term corpus: weights are round(1e6 * cnt^0.75), every one
+        of the Q271_DRAWS draws lands on some term (conservation), and
+        the common term dominates but the rare one still appears (the
+        0.75 smoothing's whole point)."""
+        from barks_ocr_ray.pipelines.queries import (
+            Q271_DRAWS,
+            q271_negative_sampling,
+        )
+
+        texts = ["aardvark " * 81 + "zyzzyva"] * 2  # cnt: aardvark 162, z 2
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(2), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en", "en"], pa.string()),
+                "source": pa.array(["s0", "s1"], pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_neg", docs, "documents.parquet")
+        got = (
+            q271_negative_sampling(d)
+            .to_pandas()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+        assert got.term.tolist() == ["aardvark", "zyzzyva"]
+        assert got.weight.tolist() == [
+            round(1e6 * 162**0.75),
+            round(1e6 * 2**0.75),
+        ]
+        assert got.n_drawn.sum() == Q271_DRAWS
+        a, z = got.n_drawn.tolist()
+        assert a > z > 0  # smoothed, not starved
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q271,
+            q271_negative_sampling,
+        )
+
+        got = (
+            q271_negative_sampling("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        exp = (
+            con.execute(_sql_q271())
+            .fetch_df()
+            .sort_values("term")
+            .reset_index(drop=True)
+        )
+        assert got.term.tolist() == exp.term.tolist()
+        assert got.weight.tolist() == exp.weight.tolist()
+        assert got.n_drawn.tolist() == exp.n_drawn.tolist()
+
+
+class TestKendallTau:
+    def _li(self, rows):
+        """rows: (flag, quantity, discount)."""
+        return pa.table(
+            {
+                "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+                "l_quantity": pa.array(
+                    [float(r[1]) for r in rows], pa.float64()
+                ),
+                "l_discount": pa.array(
+                    [float(r[2]) for r in rows], pa.float64()
+                ),
+            }
+        )
+
+    def test_perfect_and_tied_hand_cases(self, ray_session, tmp_path):
+        """Flag A: perfectly concordant (tau = +1). Flag B: perfectly
+        discordant (tau = -1). Flag C: one x-tie — tau-b's denominator
+        corrects for it (3 pairs, 1 tied-x, C=2, D=0:
+        tau = 2/sqrt((3-1)*3) ~ 0.8165)."""
+        from barks_ocr_ray.pipelines.queries import q272_kendall_tau
+
+        rows = (
+            [("A", q, q) for q in (1, 2, 3)]
+            + [("B", q, 4 - q) for q in (1, 2, 3)]
+            + [("C", 1, 0.01), ("C", 1, 0.02), ("C", 2, 0.03)]
+        )
+        d = _write(tmp_path, "sf_tau", self._li(rows), "lineitem.parquet")
+        got = (
+            q272_kendall_tau(d)
+            .to_pandas()
+            .sort_values("flag")
+            .reset_index(drop=True)
+        )
+        assert got.flag.tolist() == ["A", "B", "C"]
+        assert got.n_concordant.tolist() == [3, 0, 2]
+        assert got.n_discordant.tolist() == [0, 3, 0]
+        assert got.tau_b_micro.tolist() == [
+            1_000_000,
+            -1_000_000,
+            round(1e6 * 2 / np.sqrt(2.0 * 3.0)),
+        ]
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import SQL_Q272, q272_kendall_tau
+
+        got = (
+            q272_kendall_tau("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("flag")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW lineitem AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/lineitem.parquet')"
+        )
+        exp = (
+            con.execute(SQL_Q272 + " ORDER BY flag")
+            .fetch_df()
+            .reset_index(drop=True)
+        )
+        for c in (
+            "flag",
+            "n_rows",
+            "n_concordant",
+            "n_discordant",
+            "tau_b_micro",
+        ):
+            assert got[c].tolist() == exp[c].tolist(), c
