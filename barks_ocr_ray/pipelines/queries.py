@@ -19424,6 +19424,334 @@ FROM tot JOIN cd USING (flag) JOIN tx USING (flag) JOIN ty USING (flag)
 """
 
 
+#: Adamic-Adar: skew guard (custs above this degree are excluded on BOTH
+#: sides — deterministic, oracle-replayable) and report size
+Q273_MAX_DEG = 64
+Q273_TOPK = 20
+
+
+def q273_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the co-purchase bipartite graph:
+    supplier pairs scored by their shared customers, each customer
+    weighted 1/ln(degree) (Adamic & Adar 2003 — a shared pendant
+    customer says more than a shared hub). The link-prediction rung
+    beside q138 triangles / q270 assortativity. Exactness: per-customer
+    weights are micro-rounded ints BEFORE the pair sum, so the
+    distributed aggregation is reassociation-proof. Skew guard: custs
+    with degree > Q273_MAX_DEG are excluded on BOTH sides (the pair
+    fan-out is quadratic in degree; the cap is part of the operator's
+    declared semantics, mirrored by the oracle's HAVING — the
+    _bucket_pairs discipline). Plan: one cust-keyed exchange (block-
+    local distinct + degree + pair emit), one pair-keyed aggregation,
+    per-block top-k partials merged on the driver (blocks x k rows)."""
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = li.join(
+        od,
+        join_type="inner",
+        num_partitions=hash_partitions(16),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "cust": t.column("o_custkey"),
+                    "supp": t.column("l_suppkey"),
+                }
+            )
+            .group_by(["cust", "supp"])
+            .aggregate([])
+        )
+        cust = g.column("cust").to_numpy(zero_copy_only=False)
+        supp = g.column("supp").to_numpy(zero_copy_only=False)
+        order = np.lexsort((supp, cust))
+        cust, supp = cust[order], supp[order]
+        uu, idx = np.unique(cust, return_index=True)
+        ends = np.append(idx[1:], len(cust))
+        out_a, out_b, out_w = [], [], []
+        for k in range(len(uu)):
+            block = supp[idx[k] : ends[k]]
+            dc = len(block)
+            if dc < 2 or dc > Q273_MAX_DEG:
+                continue
+            wc = int(round_like_duckdb(1e6 / np.log(float(dc)), 0))
+            ia, ib = np.triu_indices(dc, k=1)
+            out_a.append(block[ia])
+            out_b.append(block[ib])
+            out_w.append(np.full(len(ia), wc, dtype=np.int64))
+        if out_a:
+            s1 = np.concatenate(out_a)
+            s2 = np.concatenate(out_b)
+            w = np.concatenate(out_w)
+        else:
+            s1 = s2 = w = np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "s1": pa.array(s1.astype(np.int64), pa.int64()),
+                "s2": pa.array(s2.astype(np.int64), pa.int64()),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+
+    scored = (
+        joined.select_columns(["o_custkey", "l_suppkey"])
+        .repartition(hash_partitions(8), keys=["o_custkey"])
+        .map_batches(_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["s1", "s2"], num_partitions=hash_partitions(8))
+        .aggregate(
+            Count(alias_name="n_common"), Sum("w", alias_name="aa_micro")
+        )
+    )
+
+    def _topk(t: pa.Table) -> pa.Table:
+        aa = t.column("aa_micro").to_numpy(zero_copy_only=False)
+        k = min(Q273_TOPK, len(aa))
+        ix = np.argpartition(-aa, k - 1)[:k] if k else np.array([], np.int64)
+        return t.take(pa.array(np.sort(ix)))
+
+    cand = scored.map_batches(
+        _topk, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    cand.sort(key=lambda r: (-int(r["aa_micro"]), int(r["s1"]), int(r["s2"])))
+    cand = cand[:Q273_TOPK]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(cand) + 1), pa.int64()),
+            "s1": pa.array([int(r["s1"]) for r in cand], pa.int64()),
+            "s2": pa.array([int(r["s2"]) for r in cand], pa.int64()),
+            "n_common": pa.array(
+                [int(r["n_common"]) for r in cand], pa.int64()
+            ),
+            "aa_micro": pa.array(
+                [int(r["aa_micro"]) for r in cand], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q273 = f"""
+WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+d AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM e GROUP BY 1
+      HAVING count(*) BETWEEN 2 AND {Q273_MAX_DEG}),
+w AS (SELECT c, CAST(round(1e6 / ln(dc), 0) AS BIGINT) AS wc FROM d),
+p AS (SELECT a.s AS s1, b.s AS s2, w.wc
+      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s JOIN w ON w.c = a.c),
+g AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(wc) AS BIGINT) AS aa_micro
+      FROM p GROUP BY 1, 2)
+SELECT CAST(row_number() OVER (ORDER BY aa_micro DESC, s1, s2) AS BIGINT)
+           AS rank,
+       s1, s2, n_common, aa_micro
+FROM g ORDER BY aa_micro DESC, s1, s2 LIMIT {Q273_TOPK}
+"""
+
+
+def q274_pareto_frontier(sf_dir: str):
+    """Pareto frontier (skyline) of the part catalog — minimize price,
+    maximize size: every part no other part dominates (<= price, >=
+    size, strict somewhere; equal points don't dominate each other, so
+    coincident optima all survive). The multi-objective screen the
+    top-k family can't express. Distributed correctness argument:
+    dominance is transitive, so skyline(S) = skyline(union of per-block
+    skylines) — each block emits its local frontier (a price-sorted
+    running-max-size sweep) and the driver runs the SAME sweep once
+    over the bounded candidate union. No exchange at all: one map pass
+    + a frontier-sized driver close."""
+    import numpy as np
+
+    part = read_table(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def _sweep(key, price, size):
+        """Keep iff size == its price-group max AND > every smaller-price
+        group's max (ties on BOTH axes survive)."""
+        order = np.lexsort((key, -size, price))
+        key, price, size = key[order], price[order], size[order]
+        uu, idx = np.unique(price, return_index=True)
+        gmax = size[idx]  # sorted -size => first of each price group is max
+        prev = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]))
+        grp = np.searchsorted(uu, price)
+        keep = (size == gmax[grp]) & (size > prev[grp])
+        return key[keep], price[keep], size[keep]
+
+    def _local(t: pa.Table) -> pa.Table:
+        key = t.column("p_partkey").to_numpy(zero_copy_only=False)
+        price = round_like_duckdb(
+            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0,
+            0,
+        ).astype(np.int64)
+        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        k, p, s = _sweep(key, price, size)
+        return pa.table(
+            {
+                "p_partkey": pa.array(k, pa.int64()),
+                "price_cents": pa.array(p, pa.int64()),
+                "size": pa.array(s, pa.int64()),
+            }
+        )
+
+    cand = part.map_batches(
+        _local, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    key = np.array([int(r["p_partkey"]) for r in cand], dtype=np.int64)
+    price = np.array([int(r["price_cents"]) for r in cand], dtype=np.int64)
+    size = np.array([int(r["size"]) for r in cand], dtype=np.int64)
+    k, p, s = _sweep(key, price, size)
+    return pa.table(
+        {
+            "p_partkey": pa.array(k, pa.int64()),
+            "price_cents": pa.array(p, pa.int64()),
+            "size": pa.array(s, pa.int64()),
+        }
+    )
+
+
+SQL_Q274 = """
+WITH v AS (SELECT p_partkey,
+                  CAST(round(p_retailprice * 100, 0) AS BIGINT)
+                      AS price_cents,
+                  CAST(p_size AS BIGINT) AS size
+           FROM part),
+m AS (SELECT *,
+             max(size) OVER (PARTITION BY price_cents) AS gmax,
+             max(size) OVER (ORDER BY price_cents
+                             RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS prevmax
+      FROM v)
+SELECT p_partkey, price_cents, size
+FROM m WHERE size = gmax AND (prevmax IS NULL OR size > prevmax)
+"""
+
+
+#: DiD: arm salt (q253 convention, distinct experiment), period boundary
+Q275_SALT = "did"
+Q275_BOUNDARY = "2024-01-16"
+
+
+def q275_diff_in_diff(sf_dir: str):
+    """Difference-in-differences estimator over the event stream:
+    users hash-split into treat/control (md5, q253's replayable arm
+    convention), periods split at a fixed calendar boundary, outcome =
+    mean purchase value; DiD = (T_post - T_pre) - (C_post - C_pre) —
+    the panel-data causal primitive beside q253's single-diff z-test.
+    Exactness: per-cell cents sums and counts are exact ints folded
+    per block (O(1) partials, ZERO exchanges — arm is a pure row
+    function); the four means and the DiD close in ONE mirrored IEEE
+    expression."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    ev = read_table(
+        sf_dir, "events", ["user_id", "ts", "event_type", "value"]
+    )
+    boundary_us = int(
+        np.datetime64(Q275_BOUNDARY).astype("datetime64[us]").astype(np.int64)
+    )
+
+    def _cells(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("event_type"), pa.scalar("purchase"))
+        t = t.filter(mask)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = round_like_duckdb(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        treat = np.array(
+            [
+                int(
+                    _hashlib.md5(f"{Q275_SALT}:{u}".encode()).hexdigest()[:8],
+                    16,
+                )
+                / float(1 << 32)
+                < 0.5
+                for u in uid
+            ],
+            dtype=bool,  # explicit: an all-filtered block gives [] (float64 otherwise)
+        )
+        post = us >= boundary_us
+        out = {}
+        for arm, amask in (("T", treat), ("C", ~treat)):
+            for per, pmask in (("pre", ~post), ("post", post)):
+                sel = amask & pmask
+                out[f"n_{arm}_{per}"] = [int(sel.sum())]
+                out[f"s_{arm}_{per}"] = [int(cents[sel].sum())]
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in sorted(out.items())}
+        )
+
+    parts = ev.map_batches(
+        _cells, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    acc = {}
+    for r in parts:
+        for k in r:
+            acc[k] = acc.get(k, 0) + int(r[k])
+    cols = ["n_T_pre", "s_T_pre", "n_T_post", "s_T_post",
+            "n_C_pre", "s_C_pre", "n_C_post", "s_C_post"]
+    if any(acc.get(f"n_{a}_{p}", 0) == 0 for a in "TC" for p in ("pre", "post")):
+        return pa.table({c: pa.array([], pa.int64()) for c in cols + ["did_micro"]})
+    mean = {
+        (a, p): acc[f"s_{a}_{p}"] / 100.0 / acc[f"n_{a}_{p}"]
+        for a in "TC"
+        for p in ("pre", "post")
+    }
+    did = int(
+        round_like_duckdb(
+            1e6
+            * (
+                (mean[("T", "post")] - mean[("T", "pre")])
+                - (mean[("C", "post")] - mean[("C", "pre")])
+            ),
+            0,
+        )
+    )
+    return pa.table(
+        {
+            **{c: pa.array([acc[c]], pa.int64()) for c in cols},
+            "did_micro": pa.array([did], pa.int64()),
+        }
+    )
+
+
+SQL_Q275 = f"""
+WITH e AS (
+  SELECT CASE WHEN CAST(('0x' || substring(
+             md5('{Q275_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) / 4294967296.0 < 0.5 THEN 'T' ELSE 'C' END AS arm,
+         CASE WHEN ts >= TIMESTAMP '{Q275_BOUNDARY}' THEN 'post'
+              ELSE 'pre' END AS per,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'),
+c AS (SELECT
+  CAST(sum(CASE WHEN arm='T' AND per='pre' THEN 1 ELSE 0 END) AS BIGINT) AS n_T_pre,
+  CAST(sum(CASE WHEN arm='T' AND per='pre' THEN cents ELSE 0 END) AS BIGINT) AS s_T_pre,
+  CAST(sum(CASE WHEN arm='T' AND per='post' THEN 1 ELSE 0 END) AS BIGINT) AS n_T_post,
+  CAST(sum(CASE WHEN arm='T' AND per='post' THEN cents ELSE 0 END) AS BIGINT) AS s_T_post,
+  CAST(sum(CASE WHEN arm='C' AND per='pre' THEN 1 ELSE 0 END) AS BIGINT) AS n_C_pre,
+  CAST(sum(CASE WHEN arm='C' AND per='pre' THEN cents ELSE 0 END) AS BIGINT) AS s_C_pre,
+  CAST(sum(CASE WHEN arm='C' AND per='post' THEN 1 ELSE 0 END) AS BIGINT) AS n_C_post,
+  CAST(sum(CASE WHEN arm='C' AND per='post' THEN cents ELSE 0 END) AS BIGINT) AS s_C_post
+  FROM e)
+SELECT n_T_pre, s_T_pre, n_T_post, s_T_post,
+       n_C_pre, s_C_pre, n_C_post, s_C_post,
+       CAST(round(1e6 * ((CAST(s_T_post AS DOUBLE) / 100.0 / n_T_post
+                          - CAST(s_T_pre AS DOUBLE) / 100.0 / n_T_pre)
+                         - (CAST(s_C_post AS DOUBLE) / 100.0 / n_C_post
+                            - CAST(s_C_pre AS DOUBLE) / 100.0 / n_C_pre)),
+                  0) AS BIGINT) AS did_micro
+FROM c
+WHERE n_T_pre > 0 AND n_T_post > 0 AND n_C_pre > 0 AND n_C_post > 0
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -19713,6 +20041,9 @@ def build_registry():
         "q270_degree_assortativity": q270_degree_assortativity,
         "q271_negative_sampling": q271_negative_sampling,
         "q272_kendall_tau": q272_kendall_tau,
+        "q273_adamic_adar": q273_adamic_adar,
+        "q274_pareto_frontier": q274_pareto_frontier,
+        "q275_diff_in_diff": q275_diff_in_diff,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -20048,6 +20379,9 @@ def build_registry():
         "q270_degree_assortativity": SQL_Q270,
         "q271_negative_sampling": _sql_q271(),
         "q272_kendall_tau": SQL_Q272,
+        "q273_adamic_adar": SQL_Q273,
+        "q274_pareto_frontier": SQL_Q274,
+        "q275_diff_in_diff": SQL_Q275,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

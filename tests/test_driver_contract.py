@@ -171,7 +171,10 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q269_time_weighted_value', 1),
                         ('q270_degree_assortativity', 1),
                         ('q271_negative_sampling', 1),
-                        ('q272_kendall_tau', 1)):
+                        ('q272_kendall_tau', 1),
+                        ('q273_adamic_adar', 1),
+                        ('q274_pareto_frontier', 1),
+                        ('q275_diff_in_diff', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

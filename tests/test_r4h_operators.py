@@ -312,3 +312,185 @@ class TestKendallTau:
             "tau_b_micro",
         ):
             assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestAdamicAdar:
+    def test_hand_weights_and_skew_guard(self, ray_session, tmp_path):
+        """Custs 1:(A,B) deg2, 2:(A,B,C) deg3, 3:(A) deg1 (no pairs), and
+        a hub cust over MAX_DEG that must contribute nothing. Pair (A,B)
+        = w(2)+w(3) outranks (A,C)=(B,C)=w(3)."""
+        from barks_ocr_ray.pipelines.queries import (
+            Q273_MAX_DEG,
+            q273_adamic_adar,
+        )
+        from barks_ocr_ray.functions.relational import round_like_duckdb
+
+        A, B, C = 100, 101, 102
+        pairs = [(1, A), (1, B), (2, A), (2, B), (2, C), (3, A)]
+        pairs += [(9, 1000 + i) for i in range(Q273_MAX_DEG + 1)]  # hub
+        li = pa.table(
+            {
+                "l_orderkey": pa.array(range(len(pairs)), pa.int64()),
+                "l_suppkey": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+        od = pa.table(
+            {
+                "o_orderkey": pa.array(range(len(pairs)), pa.int64()),
+                "o_custkey": pa.array([p[0] for p in pairs], pa.int64()),
+            }
+        )
+        d = tmp_path / "sf_aa"
+        d.mkdir()
+        pq.write_table(li, str(d / "lineitem.parquet"))
+        pq.write_table(od, str(d / "orders.parquet"))
+        got = q273_adamic_adar(str(d)).to_pandas()
+        w2 = round(float(round_like_duckdb(1e6 / np.log(2.0), 0)))
+        w3 = round(float(round_like_duckdb(1e6 / np.log(3.0), 0)))
+        assert list(zip(got.s1, got.s2)) == [(A, B), (A, C), (B, C)]
+        assert got.aa_micro.tolist() == [w2 + w3, w3, w3]
+        assert got.n_common.tolist() == [2, 1, 1]
+        assert got["rank"].tolist() == [1, 2, 3]
+        assert not any(s >= 1000 for s in got.s1.tolist() + got.s2.tolist())
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import SQL_Q273, q273_adamic_adar
+
+        got = q273_adamic_adar("/root/testdata/sf0.001").to_pandas()
+        con = duckdb.connect()
+        for t in ("lineitem", "orders"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+            )
+        exp = con.execute(SQL_Q273).fetch_df()
+        for c in ("rank", "s1", "s2", "n_common", "aa_micro"):
+            assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestParetoFrontier:
+    def test_hand_frontier_with_ties(self, ray_session, tmp_path):
+        """Coincident optima both survive; same-price smaller size and
+        pricier same-size points are dominated."""
+        from barks_ocr_ray.pipelines.queries import q274_pareto_frontier
+
+        # (partkey, price, size)
+        rows = [
+            (1, 1.00, 5),  # frontier (tied with 2)
+            (2, 1.00, 5),  # frontier (tie kept)
+            (3, 1.00, 4),  # dominated by 1 (same price, bigger size)
+            (4, 2.00, 6),  # frontier (bigger size than all cheaper)
+            (5, 3.00, 6),  # dominated by 4 (cheaper, same size)
+            (6, 0.50, 1),  # frontier (cheapest overall)
+        ]
+        part = pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "p_retailprice": pa.array(
+                    [float(r[1]) for r in rows], pa.float64()
+                ),
+                "p_size": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+        d = tmp_path / "sf_sky"
+        d.mkdir()
+        pq.write_table(part, str(d / "part.parquet"))
+        got = (
+            q274_pareto_frontier(str(d))
+            .to_pandas()
+            .sort_values("p_partkey")
+            .reset_index(drop=True)
+        )
+        assert got.p_partkey.tolist() == [1, 2, 4, 6]
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q274,
+            q274_pareto_frontier,
+        )
+
+        got = (
+            q274_pareto_frontier("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("p_partkey")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW part AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/part.parquet')"
+        )
+        exp = (
+            con.execute(SQL_Q274 + " ORDER BY p_partkey")
+            .fetch_df()
+            .reset_index(drop=True)
+        )
+        for c in ("p_partkey", "price_cents", "size"):
+            assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestDiffInDiff:
+    def test_hand_effect_recovered(self, ray_session, tmp_path):
+        """Pick one treated and one control user by replaying the arm
+        hash, give both identical pre/post baselines except a +7.00
+        lift on the treated user's post purchases: DiD = +7.00."""
+        import hashlib
+
+        from barks_ocr_ray.pipelines.queries import (
+            Q275_SALT,
+            SQL_Q275,
+            q275_diff_in_diff,
+        )
+
+        def arm(u):
+            h = int(
+                hashlib.md5(f"{Q275_SALT}:{u}".encode()).hexdigest()[:8], 16
+            )
+            return "T" if h / float(1 << 32) < 0.5 else "C"
+
+        t_user = next(u for u in range(100) if arm(u) == "T")
+        c_user = next(u for u in range(100) if arm(u) == "C")
+        rows = []  # (event_id, user, day, value)
+        for i, u in enumerate((t_user, c_user)):
+            rows.append((4 * i + 0, u, 5, 10.0))      # pre
+            rows.append((4 * i + 1, u, 10, 20.0))     # pre
+            post = 22.0 + (7.0 if u == t_user else 0.0)
+            rows.append((4 * i + 2, u, 20, post))     # post
+            rows.append((4 * i + 3, u, 25, post))     # post
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        _BASE + datetime.timedelta(days=r[2])
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["purchase"] * len(rows), pa.string()),
+                "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_did", ev, "events.parquet")
+        got = q275_diff_in_diff(d).to_pandas()
+        assert got.did_micro.tolist() == [7_000_000]
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(SQL_Q275).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import SQL_Q275, q275_diff_in_diff
+
+        got = q275_diff_in_diff("/root/testdata/sf0.001").to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')"
+        )
+        exp = con.execute(SQL_Q275).fetch_df()
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
