@@ -19490,33 +19490,46 @@ def q273_adamic_adar(sf_dir: str):
             w = np.concatenate(out_w)
         else:
             s1 = s2 = w = np.array([], dtype=np.int64)
-        return pa.table(
-            {
-                "s1": pa.array(s1.astype(np.int64), pa.int64()),
-                "s2": pa.array(s2.astype(np.int64), pa.int64()),
-                "w": pa.array(w, pa.int64()),
-            }
+        ones = np.ones(len(s1), dtype=np.int64)
+        # block-local combiner: shrink the pair stream BEFORE the
+        # exchange (pairs repeat across custs that hash to this block)
+        return (
+            pa.table(
+                {
+                    "s1": pa.array(s1.astype(np.int64), pa.int64()),
+                    "s2": pa.array(s2.astype(np.int64), pa.int64()),
+                    "w": pa.array(w, pa.int64()),
+                    "n": pa.array(ones, pa.int64()),
+                }
+            )
+            .group_by(["s1", "s2"])
+            .aggregate([("w", "sum"), ("n", "sum")])
+            .rename_columns(["s1", "s2", "w", "n"])
         )
 
-    scored = (
+    def _combine_topk(t: pa.Table) -> pa.Table:
+        # pair-keyed repartition colocates each pair: block-local sum IS
+        # the global score (Ray's HashAggregate is pathological on
+        # multi-million-row unreduced pair streams — q189 discipline),
+        # and only this block's top-k leaves.
+        g = (
+            t.group_by(["s1", "s2"])
+            .aggregate([("n", "sum"), ("w", "sum")])
+            .rename_columns(["s1", "s2", "n_common", "aa_micro"])
+        )
+        aa = g.column("aa_micro").to_numpy(zero_copy_only=False)
+        k = min(Q273_TOPK, len(aa))
+        ix = np.argpartition(-aa, k - 1)[:k] if k else np.array([], np.int64)
+        return g.take(pa.array(np.sort(ix)))
+
+    cand = (
         joined.select_columns(["o_custkey", "l_suppkey"])
         .repartition(hash_partitions(8), keys=["o_custkey"])
         .map_batches(_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["s1", "s2"], num_partitions=hash_partitions(8))
-        .aggregate(
-            Count(alias_name="n_common"), Sum("w", alias_name="aa_micro")
-        )
+        .repartition(hash_partitions(8), keys=["s1", "s2"])
+        .map_batches(_combine_topk, batch_format="pyarrow", batch_size=None)
+        .take_all()
     )
-
-    def _topk(t: pa.Table) -> pa.Table:
-        aa = t.column("aa_micro").to_numpy(zero_copy_only=False)
-        k = min(Q273_TOPK, len(aa))
-        ix = np.argpartition(-aa, k - 1)[:k] if k else np.array([], np.int64)
-        return t.take(pa.array(np.sort(ix)))
-
-    cand = scored.map_batches(
-        _topk, batch_format="pyarrow", batch_size=None
-    ).take_all()
     cand.sort(key=lambda r: (-int(r["aa_micro"]), int(r["s1"]), int(r["s2"])))
     cand = cand[:Q273_TOPK]
     return pa.table(

@@ -95,6 +95,11 @@ BENCH_QUERIES = [
     "q245_spearman_length_tokens",
     "q248_cdc_dedup",
     "q249_pca_top_component",
+    "q267_set_similarity_join",
+    "q269_time_weighted_value",
+    "q270_degree_assortativity",
+    "q272_kendall_tau",
+    "q273_adamic_adar",
 ]
 
 
