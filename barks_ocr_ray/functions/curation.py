@@ -36,7 +36,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 from barks_ocr_ray.context import hash_partitions
-from barks_ocr_ray.functions.hashing import unit_fractions
+from barks_ocr_ray.functions.hashing import splitmix64, unit_fractions
 from barks_ocr_ray.functions.relational import (
     compact_nonempty,
     round_like_duckdb,
@@ -841,4 +841,72 @@ def incremental_ingest_dedup(
             Max("dup_exact", alias_name="dup_exact"),
             Max("dup_window", alias_name="dup_window"),
         )
+    )
+
+
+# --- T5 span-corruption noising (q277) ---------------------------------------
+
+#: span-start probability = SPAN_START_NUM / 100 per unmasked position;
+#: span length uniform on 1..SPAN_MAX_LEN (mean 3 — T5's noise shape)
+SPAN_START_NUM = 5
+SPAN_MAX_LEN = 5
+#: uint64 threshold for "start a span here" (5% of the hash space)
+_SPAN_THRESH = np.uint64(int((SPAN_START_NUM / 100.0) * (1 << 64)))
+#: second-mix constant decorrelating length draws from start draws
+_SPAN_LEN_MIX = np.uint64(0xA5A5A5A5A5A5A5A5)
+
+
+def span_plan(doc_id: int, n_tokens: int) -> tuple[int, int]:
+    """Deterministic T5-style span-corruption plan for one doc: greedy
+    left-to-right scan; at each unmasked position draw u =
+    splitmix64(doc_salt + i) and start a span iff u < 5% of the hash
+    space, with length 1..5 from a decorrelated second mix. Returns
+    (n_spans, n_masked). A pure function of (doc_id, n_tokens) — no RNG
+    state, identical under any partitioning, replayed verbatim by the
+    golden (the greedy skip-inside-spans makes it sequential per doc,
+    which is why the oracle is a golden, not SQL). NOTE: splitmix64
+    must stay a module-level import — this runs inside worker UDFs
+    (the no-PYTHONPATH trap; test_driver_contract guards it)."""
+    if n_tokens <= 0:
+        return (0, 0)
+    salt = splitmix64(np.array([doc_id], dtype=np.int64))[0]
+    u = splitmix64(
+        (np.arange(n_tokens, dtype=np.int64).astype(np.uint64) + salt).astype(
+            np.int64
+        )
+    )
+    lengths = 1 + (splitmix64((u ^ _SPAN_LEN_MIX).astype(np.int64))
+                   % np.uint64(SPAN_MAX_LEN)).astype(np.int64)
+    start = u < _SPAN_THRESH
+    i = spans = masked = 0
+    while i < n_tokens:
+        if start[i]:
+            ln = min(int(lengths[i]), n_tokens - i)
+            spans += 1
+            masked += ln
+            i += ln
+        else:
+            i += 1
+    return (spans, masked)
+
+
+def span_corruption_table(doc_ids, token_counts) -> pa.Table:
+    """Per-doc span-corruption stats from (doc_id, n_tokens) pairs —
+    the shared close of the distributed query and the golden replay:
+    input_len = n - masked + spans (each span collapses to ONE sentinel
+    in the encoder input), target_len = masked + spans (sentinel +
+    original tokens on the decoder side)."""
+    rows = [span_plan(int(d), int(n)) for d, n in zip(doc_ids, token_counts)]
+    spans = np.array([r[0] for r in rows], dtype=np.int64)
+    masked = np.array([r[1] for r in rows], dtype=np.int64)
+    n = np.asarray(token_counts, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(doc_ids, dtype=np.int64)),
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_spans": pa.array(spans, pa.int64()),
+            "n_masked": pa.array(masked, pa.int64()),
+            "input_len": pa.array(n - masked + spans, pa.int64()),
+            "target_len": pa.array(masked + spans, pa.int64()),
+        }
     )

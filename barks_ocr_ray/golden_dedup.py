@@ -1115,3 +1115,24 @@ def golden_jl_distortion(emb: pa.Table) -> pa.Table:
             "ratio_micro": pa.array(ratio[order], pa.int64()),
         }
     )
+
+
+def golden_span_corruption(docs: pa.Table) -> pa.Table:
+    """Sequential replay of q277: tokenize every doc with the SHARED
+    Tokenizer, run the SHARED span_plan greedy scan per doc (pure
+    function of (doc_id, n_tokens)), emit the per-doc corruption stats.
+    Pins that the distributed map produces identical plans under any
+    partitioning."""
+    from barks_ocr_ray.functions.curation import span_corruption_table
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    tok = Tokenizer()
+    ids, counts = [], []
+    for doc_id, text in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        ids.append(int(doc_id))
+        counts.append(len(tok.tokens(text or "")))
+    t = span_corruption_table(ids, counts)
+    order = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")
+    return t.take(pa.array(order))

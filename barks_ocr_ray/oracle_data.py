@@ -518,6 +518,9 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q256": ensure_neardup_golden(
             "jl_distortion", "embeddings", g.golden_jl_distortion
         ),
+        "q277": ensure_neardup_golden(
+            "span_corruption", "documents", g.golden_span_corruption
+        ),
     }
 
 

@@ -19765,6 +19765,174 @@ WHERE n_T_pre > 0 AND n_T_post > 0 AND n_C_pre > 0 AND n_C_post > 0
 """
 
 
+def q276_embedding_frechet_drift(sf_dir: str):
+    """Per-label embedding distribution drift vs the corpus — the
+    diagonal-covariance Fréchet distance (the FID shape with diag cov:
+    ||m_l - m_g||^2 + sum_d (v_l + v_g - 2 sqrt(v_l v_g))) — "does this
+    label's embedding cloud sit where the corpus sits", the
+    distribution-level sibling of q208 isotropy / q134 PSI. Exactness:
+    per-(label, dim) moment partials are exact int64 micro sums per
+    block (bound: micro^2 x rows_per_block < 2^63, a ~2e6-magnitude
+    value over ~1e6-row blocks), merged with arbitrary-precision driver
+    ints (labels x dims bounded); each per-dim term is ONE mirrored
+    IEEE expression micro-rounded BEFORE the cross-dim integer sum
+    (reassociation-proof — numpy pairwise vs SQL sequential float sums
+    would diverge otherwise)."""
+    import math
+
+    import numpy as np
+
+    emb = read_table(sf_dir, "embeddings", ["label", "embedding"])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        labels = t.column("label").to_numpy(zero_copy_only=False)
+        la = t.column("embedding")
+        if isinstance(la, pa.ChunkedArray):
+            la = la.combine_chunks()
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        dims = flat.size // n
+        micro = round_like_duckdb(
+            flat.astype(np.float64).reshape(n, dims) * 1_000_000.0, 0
+        ).astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        sl = labels[order]
+        starts = np.flatnonzero(np.concatenate(([True], sl[1:] != sl[:-1])))
+        counts = np.diff(np.append(starts, n))
+        sums = np.add.reduceat(micro[order], starts, axis=0)
+        sq = np.add.reduceat(micro[order] * micro[order], starts, axis=0)
+        uniq = sl[starts].astype(np.int64)
+        k = uniq.size
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dims), pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dims + 1, dtype=np.int64), k),
+                    pa.int64(),
+                ),
+                "n": pa.array(np.repeat(counts.astype(np.int64), dims)),
+                "s": pa.array(sums.reshape(-1), pa.int64()),
+                "ss": pa.array(sq.reshape(-1), pa.int64()),
+            }
+        )
+
+    parts = emb.map_batches(_moments, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in parts:  # (labels x dims)-sized; arbitrary-precision merge
+        key = (int(r["label"]), int(r["dim"]))
+        m = acc.setdefault(key, [0, 0, 0])
+        m[0] += int(r["n"])
+        m[1] += int(r["s"])
+        m[2] += int(r["ss"])
+    gl: dict = {}
+    for (_, dim), (n, s, ss) in acc.items():
+        g = gl.setdefault(dim, [0, 0, 0])
+        g[0] += n
+        g[1] += s
+        g[2] += ss
+
+    def _mv(n, s, ss):
+        m = float(s) / n
+        return m, max(float(ss) / n - (float(s) / n) * (float(s) / n), 0.0)
+
+    labels = sorted({k[0] for k in acc})
+    out = {"label": [], "n_vecs": [], "mean_gap_micro2": [],
+           "var_gap_micro2": [], "fid_micro2": []}
+    for lab in labels:
+        mg_sum = tr_sum = 0
+        n_vecs = 0
+        for dim in sorted(gl):
+            n, s, ss = acc[(lab, dim)]
+            n_vecs = n
+            ml, vl = _mv(n, s, ss)
+            mgl, vg = _mv(*gl[dim])
+            mg_sum += int(round_like_duckdb((ml - mgl) * (ml - mgl), 0))
+            tr_sum += int(
+                round_like_duckdb(vl + vg - 2 * math.sqrt(vl * vg), 0)
+            )
+        out["label"].append(lab)
+        out["n_vecs"].append(n_vecs)
+        out["mean_gap_micro2"].append(mg_sum)
+        out["var_gap_micro2"].append(tr_sum)
+        out["fid_micro2"].append(mg_sum + tr_sum)
+    return pa.table(
+        {
+            "label": pa.array(out["label"], pa.int64()),
+            "n_vecs": pa.array(out["n_vecs"], pa.int64()),
+            "mean_gap_micro2": pa.array(out["mean_gap_micro2"], pa.int64()),
+            "var_gap_micro2": pa.array(out["var_gap_micro2"], pa.int64()),
+            "fid_micro2": pa.array(out["fid_micro2"], pa.int64()),
+        }
+    )
+
+
+SQL_Q276 = """
+WITH e AS (
+  SELECT label, i AS dim,
+         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS s
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+lm AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(s) AS HUGEINT) AS s,
+              CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ss
+       FROM e GROUP BY 1, 2),
+gm AS (SELECT dim, CAST(sum(n) AS HUGEINT) AS n,
+              CAST(sum(s) AS HUGEINT) AS s,
+              CAST(sum(ss) AS HUGEINT) AS ss
+       FROM lm GROUP BY 1),
+t AS (SELECT lm.label, lm.n,
+             CAST(lm.s AS DOUBLE) / lm.n AS ml,
+             CAST(gm.s AS DOUBLE) / gm.n AS mg,
+             greatest(CAST(lm.ss AS DOUBLE) / lm.n
+                      - (CAST(lm.s AS DOUBLE) / lm.n)
+                        * (CAST(lm.s AS DOUBLE) / lm.n), 0) AS vl,
+             greatest(CAST(gm.ss AS DOUBLE) / gm.n
+                      - (CAST(gm.s AS DOUBLE) / gm.n)
+                        * (CAST(gm.s AS DOUBLE) / gm.n), 0) AS vg
+      FROM lm JOIN gm USING (dim)),
+d AS (SELECT label, n,
+             CAST(round((ml - mg) * (ml - mg), 0) AS BIGINT) AS md,
+             CAST(round(vl + vg - 2 * sqrt(vl * vg), 0) AS BIGINT) AS tr
+      FROM t)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(min(n) AS BIGINT) AS n_vecs,
+       CAST(sum(md) AS BIGINT) AS mean_gap_micro2,
+       CAST(sum(tr) AS BIGINT) AS var_gap_micro2,
+       CAST(sum(md) + sum(tr) AS BIGINT) AS fid_micro2
+FROM d GROUP BY 1
+"""
+
+
+def q277_span_corruption(sf_dir: str):
+    """T5-style span-corruption noising audit over the corpus (Raffel
+    et al. 2020's denoising objective): per doc, the deterministic
+    greedy span plan (5% start rate, length 1..5, mean-3 spans over
+    ~15% of tokens) and the resulting encoder/decoder sequence lengths
+    — the op that turns a cleaned corpus into seq2seq pretraining
+    examples, and the length accounting that feeds q199's padding
+    model. Pure per-row function of (doc_id, n_tokens) via vectorized
+    splitmix64 draws + the shared greedy scan (functions/curation.py:
+    span_plan) — ZERO exchanges, identical under any partitioning;
+    oracle = golden sequential replay (the greedy skip is not
+    SQL-expressible)."""
+    from barks_ocr_ray.functions.curation import span_corruption_table
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+
+    class _Plans(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_pylist()
+            counts = [
+                len(self.tokens(s.as_py() or ""))
+                for s in batch.column("text")
+            ]
+            return span_corruption_table(ids, counts)
+
+    return docs.map_batches(
+        _Plans, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -20057,6 +20225,8 @@ def build_registry():
         "q273_adamic_adar": q273_adamic_adar,
         "q274_pareto_frontier": q274_pareto_frontier,
         "q275_diff_in_diff": q275_diff_in_diff,
+        "q276_embedding_frechet_drift": q276_embedding_frechet_drift,
+        "q277_span_corruption": q277_span_corruption,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -20395,6 +20565,12 @@ def build_registry():
         "q273_adamic_adar": SQL_Q273,
         "q274_pareto_frontier": SQL_Q274,
         "q275_diff_in_diff": SQL_Q275,
+        "q276_embedding_frechet_drift": SQL_Q276,
+        "q277_span_corruption": _sql_golden(
+            "span_corruption",
+            "doc_id, n_tokens, n_spans, n_masked, input_len, target_len",
+            "documents",
+        ),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -494,3 +494,161 @@ class TestDiffInDiff:
         exp = con.execute(SQL_Q275).fetch_df()
         for c in got.columns:
             assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestEmbeddingFrechetDrift:
+    def _emb(self, rows):
+        """rows: (vec_id, label, [floats])."""
+        return pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[2] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[1] for r in rows], pa.int32()),
+            }
+        )
+
+    def test_single_label_is_zero_drift(self, ray_session, tmp_path):
+        """With one label, the label cloud IS the corpus cloud: every
+        gap term is exactly 0 (the formula's fixed point)."""
+        from barks_ocr_ray.pipelines.queries import (
+            q276_embedding_frechet_drift,
+        )
+
+        rows = [(i, 1, [0.1 * i, -0.2 * i]) for i in range(6)]
+        d = _write(
+            tmp_path, "sf_fid0", self._emb(rows), "embeddings.parquet"
+        )
+        got = q276_embedding_frechet_drift(d).to_pandas()
+        assert got.label.tolist() == [1]
+        assert got.n_vecs.tolist() == [6]
+        assert got.fid_micro2.tolist() == [0]
+
+    def test_shifted_label_matches_oracle(self, ray_session, tmp_path):
+        """Two labels, one shifted by +1.0 in dim 1: drift is dominated
+        by the mean gap; engine == oracle on the hand table."""
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q276,
+            q276_embedding_frechet_drift,
+        )
+
+        rows = [(i, 1, [0.1 * i, 0.5]) for i in range(5)] + [
+            (10 + i, 2, [1.0 + 0.1 * i, 0.5]) for i in range(5)
+        ]
+        emb = self._emb(rows)
+        d = _write(tmp_path, "sf_fid", emb, "embeddings.parquet")
+        got = (
+            q276_embedding_frechet_drift(d)
+            .to_pandas()
+            .sort_values("label")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("embeddings", emb)
+        exp = (
+            con.execute(SQL_Q276 + " ORDER BY label")
+            .fetch_df()
+            .reset_index(drop=True)
+        )
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+        assert (got.mean_gap_micro2 > 0).all()
+
+    def test_matches_oracle_on_sf0001(self, ray_session):
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q276,
+            q276_embedding_frechet_drift,
+        )
+
+        got = (
+            q276_embedding_frechet_drift("/root/testdata/sf0.001")
+            .to_pandas()
+            .sort_values("label")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+        )
+        exp = (
+            con.execute(SQL_Q276 + " ORDER BY label")
+            .fetch_df()
+            .reset_index(drop=True)
+        )
+        for c in got.columns:
+            assert got[c].tolist() == exp[c].tolist(), c
+
+
+class TestSpanCorruption:
+    def test_length_identities_and_rate(self):
+        """input_len + n_masked - n_spans == n_tokens and target_len ==
+        n_masked + n_spans for every doc; on a long doc the masked
+        fraction sits near the designed 15% (within [5%, 25%])."""
+        from barks_ocr_ray.functions.curation import (
+            span_corruption_table,
+            span_plan,
+        )
+
+        t = span_corruption_table(list(range(50)), [200] * 50)
+        n = np.array(t.column("n_tokens"))
+        masked = np.array(t.column("n_masked"))
+        spans = np.array(t.column("n_spans"))
+        inp = np.array(t.column("input_len"))
+        tgt = np.array(t.column("target_len"))
+        assert ((inp + masked - spans) == n).all()
+        assert (tgt == masked + spans).all()
+        frac = masked.sum() / n.sum()
+        assert 0.05 < frac < 0.25
+        assert span_plan(7, 100) == span_plan(7, 100)  # pure function
+        assert span_plan(0, 0) == (0, 0)
+
+    def test_partitioning_invariance(self, ray_session, tmp_path):
+        """The plan is a pure row function: 1-block and 7-block runs
+        produce identical per-doc rows."""
+        from barks_ocr_ray.functions.relational import read_table
+        from barks_ocr_ray.pipelines.queries import q277_span_corruption
+
+        texts = [f"tok{j} " * (10 + 17 * j % 90) for j in range(40)]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(40), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 40, pa.string()),
+                "source": pa.array(["s0"] * 40, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_span", docs, "documents.parquet")
+        base = (
+            q277_span_corruption(d)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        rep = (
+            read_table(d, "documents", ["doc_id", "text"])
+            .repartition(7)
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        # same kernel over a differently-blocked dataset
+        from barks_ocr_ray.functions.curation import span_corruption_table
+        from barks_ocr_ray.functions.text import Tokenizer
+
+        class _Plans(Tokenizer):
+            def __call__(self, batch):
+                ids = batch.column("doc_id").to_pylist()
+                counts = [
+                    len(self.tokens(s.as_py() or ""))
+                    for s in batch.column("text")
+                ]
+                return span_corruption_table(ids, counts)
+
+        alt = (
+            rep.map_batches(_Plans, batch_format="pyarrow", concurrency=(1, 2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert base.equals(alt)
