@@ -906,3 +906,37 @@ def phrase_counts(
             "n_docs": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+# --- LZ76 sequence complexity (q279) -----------------------------------------
+
+
+def lz76_phrases(seq) -> int:
+    """Lempel-Ziv 1976 production (phrase) count of a sequence via the
+    Kaspar-Schuster exhaustive-history scan — the classical
+    predictability/complexity gauge (a constant sequence has ~2
+    phrases; an i.i.d. one approaches n/log n). Pure sequential kernel
+    shared by the distributed per-user pass and the golden replay;
+    elements compare by ==, so tuples of event-type strings work
+    directly (no alphabet encoding step)."""
+    n = len(seq)
+    if n == 0:
+        return 0
+    i, c, u, v, vmax = 0, 1, 1, 1, 1
+    while u + v <= n:
+        if seq[i + v - 1] == seq[u + v - 1]:
+            v += 1
+        else:
+            vmax = max(v, vmax)
+            i += 1
+            if i == u:
+                c += 1
+                u += vmax
+                v = 1
+                i = 0
+                vmax = 1
+            else:
+                v = 1
+    if v != 1:
+        c += 1
+    return c

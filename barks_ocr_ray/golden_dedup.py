@@ -1136,3 +1136,96 @@ def golden_span_corruption(docs: pa.Table) -> pa.Table:
     t = span_corruption_table(ids, counts)
     order = np.argsort(np.asarray(ids, dtype=np.int64), kind="stable")
     return t.take(pa.array(order))
+
+
+def golden_bpe_fertility(docs: pa.Table) -> pa.Table:
+    """Sequential replay of q278: learn the merge table with
+    golden_bpe_merges (bit-equal to the distributed BSP trainer),
+    encode every doc with the SHARED encode_word_len kernel, roll the
+    integer partials up per language, close the two micro-rounded
+    ratios. Pins that the distributed actor-pool pass produces
+    identical per-language totals under any partitioning."""
+    from barks_ocr_ray.functions.bpe import encode_word_len
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    g = golden_bpe_merges(docs, n_merges=12)
+    merges = list(zip(g.column("lhs").to_pylist(), g.column("rhs").to_pylist()))
+    tok = Tokenizer()
+    agg: dict = {}
+    cache: dict = {}
+    for lang, s in zip(
+        docs.column("lang").to_pylist(), docs.column("text").to_pylist()
+    ):
+        toks = tok.tokens(s or "")
+        a = agg.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(toks)
+        for w in toks:
+            n = cache.get(w)
+            if n is None:
+                n = encode_word_len(w, merges)
+                cache[w] = n
+            a[2] += n
+            a[3] += len(w)
+    langs = sorted(agg)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array([agg[g][0] for g in langs], pa.int64()),
+            "n_words": pa.array([agg[g][1] for g in langs], pa.int64()),
+            "n_subwords": pa.array([agg[g][2] for g in langs], pa.int64()),
+            "fertility_micro": pa.array(
+                [
+                    int(round_like_duckdb(1e6 * agg[g][2] / agg[g][1], 0))
+                    for g in langs
+                ],
+                pa.int64(),
+            ),
+            "chars_per_subword_micro": pa.array(
+                [
+                    int(round_like_duckdb(1e6 * agg[g][3] / agg[g][2], 0))
+                    for g in langs
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def golden_lz_complexity(events: pa.Table) -> pa.Table:
+    """Sequential replay of q279: per user, (ts, event_id)-sorted
+    event-type sequence through the SHARED lz76_phrases kernel;
+    complexity_micro = round(1e6 * c * ln(n) / n). Users with fewer
+    than 2 events are dropped (a 1-event stream has no structure to
+    gauge)."""
+    import math
+
+    from barks_ocr_ray.functions.text import lz76_phrases
+
+    uid = events.column("user_id").to_numpy(zero_copy_only=False)
+    us = events.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    eid = events.column("event_id").to_numpy(zero_copy_only=False)
+    typ = np.asarray(events.column("event_type").to_pylist(), dtype=object)
+    order = np.lexsort((eid, us, uid))
+    uid, typ = uid[order], typ[order]
+    uu, idx = np.unique(uid, return_index=True)
+    ends = np.append(idx[1:], len(uid))
+    out_u, out_n, out_c, out_m = [], [], [], []
+    for k in range(len(uu)):
+        seq = tuple(typ[idx[k] : ends[k]])
+        n = len(seq)
+        if n < 2:
+            continue
+        c = lz76_phrases(seq)
+        out_u.append(int(uu[k]))
+        out_n.append(n)
+        out_c.append(c)
+        out_m.append(int(round_like_duckdb(1e6 * c * math.log(n) / n, 0)))
+    return pa.table(
+        {
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_events": pa.array(out_n, pa.int64()),
+            "n_phrases": pa.array(out_c, pa.int64()),
+            "complexity_micro": pa.array(out_m, pa.int64()),
+        }
+    )

@@ -521,6 +521,12 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q277": ensure_neardup_golden(
             "span_corruption", "documents", g.golden_span_corruption
         ),
+        "q278": ensure_neardup_golden(
+            "bpe_fertility", "documents", g.golden_bpe_fertility
+        ),
+        "q279": ensure_neardup_golden(
+            "lz_complexity", "events", g.golden_lz_complexity
+        ),
     }
 
 

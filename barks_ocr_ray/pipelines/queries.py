@@ -19933,6 +19933,156 @@ def q277_span_corruption(sf_dir: str):
     )
 
 
+def q278_bpe_fertility(sf_dir: str):
+    """Per-language BPE fertility audit under the q131-learned merge
+    table — subwords per word and characters per subword by lang: the
+    multilingual tokenizer-equity gauge (a tokenizer trained on a
+    skewed mix 'taxes' under-represented languages with more subwords
+    per word, inflating their effective sequence lengths and training
+    cost). Plan: merges train once (q131's BSP trainer, bit-equal to
+    the sequential golden); ONE warm-encoder actor-pool pass emits
+    langs-bounded integer partials (docs, words, subwords, chars);
+    the two ratios close micro-rounded on the langs-sized driver
+    table."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.bpe import bpe_train, encode_word_len
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
+    g = bpe_train(
+        read_table(sf_dir, "documents", ["doc_id", "text"]), n_merges=12
+    ).to_pandas()
+    merges = list(zip(g["lhs"], g["rhs"]))
+    # Driver-side closure capture (NOT an in-__init__ import: worker
+    # bodies ship by value, so a runtime `from barks_ocr_ray ...` on
+    # the worker fails in no-PYTHONPATH processes — CLAUDE.md trap).
+    _ewl = encode_word_len
+
+    class _LangEncode(Tokenizer):
+        def __init__(self):
+            super().__init__()
+            self._ewl = _ewl
+            self._merges = merges  # closure-captured, ships by value
+            self._cache: dict = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            agg: dict = {}
+            for lang, s in zip(
+                batch.column("lang").to_pylist(), batch.column("text")
+            ):
+                toks = self.tokens(s.as_py() or "")
+                a = agg.setdefault(lang, [0, 0, 0, 0])
+                a[0] += 1
+                a[1] += len(toks)
+                for w in toks:
+                    n = self._cache.get(w)
+                    if n is None:
+                        n = self._ewl(w, self._merges)
+                        self._cache[w] = n
+                    a[2] += n
+                    a[3] += len(w)
+            langs = sorted(agg)
+            return pa.table(
+                {
+                    "lang": pa.array(langs, pa.string()),
+                    "n_docs": pa.array([agg[g][0] for g in langs], pa.int64()),
+                    "n_words": pa.array(
+                        [agg[g][1] for g in langs], pa.int64()
+                    ),
+                    "n_subwords": pa.array(
+                        [agg[g][2] for g in langs], pa.int64()
+                    ),
+                    "n_chars": pa.array(
+                        [agg[g][3] for g in langs], pa.int64()
+                    ),
+                }
+            )
+
+    parts = docs.map_batches(
+        _LangEncode, batch_format="pyarrow", concurrency=(1, 4)
+    ).take_all()
+    acc: dict = {}
+    for r in parts:
+        a = acc.setdefault(r["lang"], [0, 0, 0, 0])
+        for i, c in enumerate(("n_docs", "n_words", "n_subwords", "n_chars")):
+            a[i] += int(r[c])
+    langs = sorted(acc)
+    fert = [
+        int(round_like_duckdb(1e6 * acc[g][2] / acc[g][1], 0))
+        for g in langs
+    ]
+    cps = [
+        int(round_like_duckdb(1e6 * acc[g][3] / acc[g][2], 0))
+        for g in langs
+    ]
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array([acc[g][0] for g in langs], pa.int64()),
+            "n_words": pa.array([acc[g][1] for g in langs], pa.int64()),
+            "n_subwords": pa.array([acc[g][2] for g in langs], pa.int64()),
+            "fertility_micro": pa.array(fert, pa.int64()),
+            "chars_per_subword_micro": pa.array(cps, pa.int64()),
+        }
+    )
+
+
+def q279_lz_complexity(sf_dir: str):
+    """Per-user event-stream LZ76 complexity (Lempel-Ziv production
+    count over the event-type sequence) — the information-theoretic
+    predictability gauge beside q251's one-step conditional entropy: a
+    user cycling view->click->view scores near the floor, an erratic
+    one approaches the i.i.d. ceiling. Plan: ONE user-keyed exchange,
+    block-local (ts, event_id)-sorted per-user scan through the shared
+    sequential kernel (functions/text.py lz76_phrases — inherently
+    sequential per user, which is why the oracle is a golden);
+    complexity_micro = round(1e6 * c * ln(n) / n) mirrors the golden's
+    close bit-for-bit."""
+    import math
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import lz76_phrases as _lz
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _complexity(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        typ = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((eid, us, uid))
+        uid, typ = uid[order], typ[order]
+        uu, idx = np.unique(uid, return_index=True)
+        ends = np.append(idx[1:], len(uid))
+        out_u, out_n, out_c, out_m = [], [], [], []
+        for k in range(len(uu)):
+            seq = tuple(typ[idx[k] : ends[k]])
+            n = len(seq)
+            if n < 2:
+                continue
+            c = _lz(seq)
+            out_u.append(int(uu[k]))
+            out_n.append(n)
+            out_c.append(c)
+            out_m.append(
+                int(round_like_duckdb(1e6 * c * math.log(n) / n, 0))
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(out_u, pa.int64()),
+                "n_events": pa.array(out_n, pa.int64()),
+                "n_phrases": pa.array(out_c, pa.int64()),
+                "complexity_micro": pa.array(out_m, pa.int64()),
+            }
+        )
+
+    return ev.repartition(hash_partitions(8), keys=["user_id"]).map_batches(
+        _complexity, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -20227,6 +20377,8 @@ def build_registry():
         "q275_diff_in_diff": q275_diff_in_diff,
         "q276_embedding_frechet_drift": q276_embedding_frechet_drift,
         "q277_span_corruption": q277_span_corruption,
+        "q278_bpe_fertility": q278_bpe_fertility,
+        "q279_lz_complexity": q279_lz_complexity,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -20570,6 +20722,17 @@ def build_registry():
             "span_corruption",
             "doc_id, n_tokens, n_spans, n_masked, input_len, target_len",
             "documents",
+        ),
+        "q278_bpe_fertility": _sql_golden(
+            "bpe_fertility",
+            "lang, n_docs, n_words, n_subwords, fertility_micro, "
+            "chars_per_subword_micro",
+            "documents",
+        ),
+        "q279_lz_complexity": _sql_golden(
+            "lz_complexity",
+            "user_id, n_events, n_phrases, complexity_micro",
+            "events",
         ),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps

@@ -176,7 +176,9 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q274_pareto_frontier', 1),
                         ('q275_diff_in_diff', 1),
                         ('q276_embedding_frechet_drift', 1),
-                        ('q277_span_corruption', 1)):
+                        ('q277_span_corruption', 1),
+                        ('q278_bpe_fertility', 1),
+                        ('q279_lz_complexity', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name
