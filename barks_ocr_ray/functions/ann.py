@@ -1369,3 +1369,35 @@ def jl_pair_ratios(
         1e6 * d_proj[keep] / d_orig[keep], 0
     ).astype(np.int64)
     return pid[:-1][adj][keep], ratio
+
+
+def silhouette_partials(
+    E: np.ndarray, C: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-point SIMPLIFIED silhouette in micro-int space (the
+    centroid-distance variant — a/b are distances to the own/nearest-
+    other CENTROID, not mean pairwise distances, which keeps the pass
+    O(n*k) instead of O(n^2)): exact int64 squared L2 to every
+    centroid (kmeans_assign arithmetic), assignment = argmin
+    (first-min tie rule), a = sqrt(d2_own), b = sqrt(min d2 over the
+    other centroids), s_micro = round(1e6 * (b - a) / b) — b >= a by
+    construction, so max(a, b) = b; b == 0 (point equal to two
+    centroids) scores 0. The per-point IEEE sqrt/divide is a pure
+    function of the point, so downstream int64 sums are order-free and
+    the sequential golden replays bit-exactly. Shared by
+    q282_cluster_silhouette and golden_dedup.golden_silhouette."""
+    diff = E[:, None, :] - C[None, :, :]
+    d2 = np.einsum("nkd,nkd->nk", diff, diff)
+    assign = np.argmin(d2, axis=1)
+    n = E.shape[0]
+    rows = np.arange(n)
+    a2 = d2[rows, assign]
+    d2m = d2.copy()
+    d2m[rows, assign] = np.iinfo(np.int64).max
+    b2 = d2m.min(axis=1)
+    a = np.sqrt(a2.astype(np.float64))
+    b = np.sqrt(b2.astype(np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.where(b > 0.0, 1e6 * (b - a) / b, 0.0)
+    s_micro = round_like_duckdb(s, 0).astype(np.int64)
+    return assign, s_micro

@@ -940,3 +940,36 @@ def lz76_phrases(seq) -> int:
     if v != 1:
         c += 1
     return c
+
+
+def longest_repeated_run(tokens) -> int:
+    """Length of the longest token window occurring at least twice
+    within the sequence — the intra-document memorization/boilerplate
+    gauge beside the Gopher dup-token FRACTIONS (a doc can pass the
+    fraction gates yet still contain one giant verbatim self-repeat).
+    Binary search on window length (dup-of-L implies dup-of-L-1, so
+    the predicate is monotone); candidate windows compare by EXACT
+    tuple equality via a set (a hash collision cannot produce a false
+    positive). O(n log n) window probes. Pure sequential kernel shared
+    by the distributed per-doc pass and the golden replay."""
+    n = len(tokens)
+    if n < 2:
+        return 0
+
+    def _has_dup(L: int) -> bool:
+        seen = set()
+        for i in range(n - L + 1):
+            w = tuple(tokens[i : i + L])
+            if w in seen:
+                return True
+            seen.add(w)
+        return False
+
+    lo, hi = 0, n - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _has_dup(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo

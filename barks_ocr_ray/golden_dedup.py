@@ -1229,3 +1229,62 @@ def golden_lz_complexity(events: pa.Table) -> pa.Table:
             "complexity_micro": pa.array(out_m, pa.int64()),
         }
     )
+
+
+def golden_silhouette(emb: pa.Table) -> pa.Table:
+    """Sequential replay of q282: centroids from golden_kmeans (itself
+    bit-equal to the distributed trainer), per-point scores through the
+    SHARED ann.silhouette_partials kernel over the full matrix, exact
+    int64 per-cluster sums, micro-rounded means."""
+    from barks_ocr_ray.functions.ann import micro_embed, silhouette_partials
+
+    cent = golden_kmeans(emb, k=8, rounds=5)
+    cl = cent.column("cluster").to_numpy()
+    dim = cent.column("dim").to_numpy()
+    k = int(cl.max()) + 1
+    d = int(dim.max())
+    C = np.zeros((k, d), np.int64)
+    C[cl, dim - 1] = cent.column("centroid_micro").to_numpy()
+    ids, mat = _emb_rows(emb)
+    E = micro_embed(mat.reshape(-1), ids.size)
+    assign, s = silhouette_partials(E, C)
+    uu, inv, cnt = np.unique(assign, return_inverse=True, return_counts=True)
+    sums = np.zeros(uu.size, np.int64)
+    np.add.at(sums, inv, s)
+    return pa.table(
+        {
+            "cluster": pa.array(uu.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+            "mean_sil_micro": pa.array(
+                round_like_duckdb(sums / cnt, 0).astype(np.int64)
+            ),
+        }
+    )
+
+
+def golden_self_repeat(docs: pa.Table) -> pa.Table:
+    """Sequential replay of q284: tokenize with the SHARED Tokenizer,
+    run the SHARED longest_repeated_run binary-search kernel per doc,
+    integer basis-point share."""
+    from barks_ocr_ray.functions.text import Tokenizer, longest_repeated_run
+
+    tok = Tokenizer()
+    ids, nt, ml, bp = [], [], [], []
+    for did, s in zip(
+        docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    ):
+        toks = tok.tokens(s or "")
+        n = len(toks)
+        L = longest_repeated_run(toks)
+        ids.append(int(did))
+        nt.append(n)
+        ml.append(L)
+        bp.append((10_000 * L) // n if n else 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "max_repeat_len": pa.array(ml, pa.int64()),
+            "repeat_share_bp": pa.array(bp, pa.int64()),
+        }
+    )

@@ -527,6 +527,12 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q279": ensure_neardup_golden(
             "lz_complexity", "events", g.golden_lz_complexity
         ),
+        "q282": ensure_neardup_golden(
+            "silhouette", "embeddings", g.golden_silhouette
+        ),
+        "q284": ensure_neardup_golden(
+            "self_repeat", "documents", g.golden_self_repeat
+        ),
     }
 
 

@@ -20083,6 +20083,1151 @@ def q279_lz_complexity(sf_dir: str):
     )
 
 
+def q280_cusum_changepoint(sf_dir: str):
+    """Two-sided CUSUM changepoint monitor per event type over the
+    gap-filled daily count series — the drift tripwire a telemetry
+    pipeline runs before trusting volume-derived stats (a feed that
+    silently halves emits a negative-side alarm; a bot burst a
+    positive one). All state is INTEGER micro-counts: target mu =
+    floor(1e6*total/n_days), slack k = mu//20 (5%), alarm threshold
+    h = 4*mu, and the fold s+ = max(0, s+ + 1e6*c - mu - k) /
+    s- = max(0, s- + mu - 1e6*c - k) accumulates zero float error, so
+    the SQL recursive CTE replays it bit-exactly (q246's dense-spine +
+    integer-recursion discipline). Plan: ONE (type, day)-bounded count
+    aggregation; the inherently-sequential fold runs on the
+    days x types driver table, never on events."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64())
+        day = pc.divide(ts, pa.scalar(DAY, pa.int64()))
+        tt = pa.table({"event_type": t.column("event_type"), "day": day})
+        g = tt.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    hist = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_days": pa.array([], pa.int64()),
+            "mu_micro": pa.array([], pa.int64()),
+            "max_pos_micro": pa.array([], pa.int64()),
+            "max_neg_micro": pa.array([], pa.int64()),
+            "n_alarm_days": pa.array([], pa.int64()),
+        }
+    )
+    if not hist:
+        return empty
+    d0 = min(int(r["day"]) for r in hist)
+    nd = max(int(r["day"]) for r in hist) - d0
+    dense: dict = {}
+    for r in hist:
+        dense.setdefault(r["event_type"], np.zeros(nd + 1, np.int64))[
+            int(r["day"]) - d0
+        ] = int(r["c"])
+    rows = []
+    for typ in sorted(dense):
+        c = dense[typ]
+        mu = (int(c.sum()) * 1_000_000) // (nd + 1)
+        kk = mu // 20
+        h = 4 * mu
+        sp = sn = 0
+        max_p = max_n = alarms = 0
+        for d in range(nd + 1):
+            x = int(c[d]) * 1_000_000
+            sp = max(0, sp + x - mu - kk)
+            sn = max(0, sn + mu - x - kk)
+            max_p = max(max_p, sp)
+            max_n = max(max_n, sn)
+            if sp > h or sn > h:
+                alarms += 1
+        rows.append((typ, nd + 1, mu, max_p, max_n, alarms))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_days": pa.array([r[1] for r in rows], pa.int64()),
+            "mu_micro": pa.array([r[2] for r in rows], pa.int64()),
+            "max_pos_micro": pa.array([r[3] for r in rows], pa.int64()),
+            "max_neg_micro": pa.array([r[4] for r in rows], pa.int64()),
+            "n_alarm_days": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_Q280 = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts))) AS nd
+  FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT t.event_type, gs.i
+          FROM types t, bounds, generate_series(0, 100000) gs(i)
+          WHERE gs.i <= bounds.nd),
+counts AS (SELECT event_type,
+                  date_diff('day', bounds.d0, date_trunc('day', ts)) AS i,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events, bounds GROUP BY 1, 2),
+dense AS (SELECT s.event_type, s.i, coalesce(c.c, 0) AS c
+          FROM spine s LEFT JOIN counts c
+            ON s.event_type = c.event_type AND s.i = c.i),
+stats AS (SELECT event_type,
+                 (sum(c) * 1000000) // count(*) AS mu
+          FROM dense GROUP BY 1),
+rec AS (
+  SELECT d.event_type, d.i,
+         greatest(0, d.c * 1000000 - st.mu - st.mu // 20) AS sp,
+         greatest(0, st.mu - d.c * 1000000 - st.mu // 20) AS sn
+  FROM dense d JOIN stats st USING (event_type) WHERE d.i = 0
+  UNION ALL
+  SELECT d.event_type, d.i,
+         greatest(0, r.sp + d.c * 1000000 - st.mu - st.mu // 20),
+         greatest(0, r.sn + st.mu - d.c * 1000000 - st.mu // 20)
+  FROM rec r
+  JOIN dense d ON d.event_type = r.event_type AND d.i = r.i + 1
+  JOIN stats st ON st.event_type = r.event_type)
+SELECT r.event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(any_value(st.mu) AS BIGINT) AS mu_micro,
+       CAST(max(r.sp) AS BIGINT) AS max_pos_micro,
+       CAST(max(r.sn) AS BIGINT) AS max_neg_micro,
+       CAST(coalesce(sum(CASE WHEN r.sp > 4 * st.mu
+                              OR r.sn > 4 * st.mu
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alarm_days
+FROM rec r JOIN stats st USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q281_markov_stationary(sf_dir: str):
+    """Stationary distribution of the first-order event-type Markov
+    chain (12 integer-micro power-iteration rounds) — the long-run
+    'where does a user's session settle' summary beside q213's
+    backtest and q251's transition entropy. Transition probabilities
+    are floor-micro (1e6*n // row_total); dangling states (observed
+    only as successors) get the uniform row 1e6//S, so the matrix
+    stays substochastic by at most the floor loss and every round is
+    pure int64 arithmetic: pi'_j = (sum_i pi_i * p_ij) // 1e6 — the
+    SQL oracle replays all 12 rounds as unrolled chained CTEs
+    bit-exactly (the q94 unrolled-CTE discipline). Plan: ONE
+    user-keyed exchange, the q213 lexsort transition kernel emits
+    types²-bounded count partials; the iteration runs on the S-sized
+    driver matrix."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def _trans(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        st = np.asarray(t.column("event_type").to_pylist())
+        order = np.lexsort((eid, ts, us))
+        us, st = us[order], st[order]
+        same = us[1:] == us[:-1]
+        a, b = st[:-1][same], st[1:][same]
+        g = (
+            pa.table(
+                {
+                    "prev": pa.array(a.tolist(), pa.string()),
+                    "nxt": pa.array(b.tolist(), pa.string()),
+                }
+            )
+            .group_by(["prev", "nxt"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["prev", "nxt", "n"])
+
+    tbl = (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_trans, batch_format="pyarrow", batch_size=None)
+        .groupby(["prev", "nxt"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # event-types² bounded
+    )
+    empty = pa.table(
+        {
+            "state": pa.array([], pa.string()),
+            "pi_micro": pa.array([], pa.int64()),
+            "out_transitions": pa.array([], pa.int64()),
+        }
+    )
+    if not tbl:
+        return empty
+    states = sorted(
+        {r["prev"] for r in tbl} | {r["nxt"] for r in tbl}
+    )
+    S = len(states)
+    idx = {s: i for i, s in enumerate(states)}
+    tot = np.zeros(S, np.int64)
+    for r in tbl:
+        tot[idx[r["prev"]]] += int(r["n"])
+    P = np.zeros((S, S), np.int64)
+    for r in tbl:
+        i = idx[r["prev"]]
+        P[i, idx[r["nxt"]]] = (int(r["n"]) * 1_000_000) // tot[i]
+    dangling = tot == 0
+    P[dangling, :] = 1_000_000 // S
+    pi = np.full(S, 1_000_000 // S, np.int64)
+    for _ in range(12):
+        pi = (pi @ P) // 1_000_000
+    return pa.table(
+        {
+            "state": pa.array(states, pa.string()),
+            "pi_micro": pa.array(pi, pa.int64()),
+            "out_transitions": pa.array(tot, pa.int64()),
+        }
+    )
+
+
+def _sql_q281(rounds: int = 12) -> str:
+    body = """
+WITH seq AS (
+  SELECT user_id, event_type AS prev,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+cnt AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n FROM seq
+        WHERE nxt IS NOT NULL GROUP BY 1, 2),
+states AS (SELECT DISTINCT s FROM (
+             SELECT prev AS s FROM cnt UNION SELECT nxt AS s FROM cnt)),
+ks AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+pmat AS (
+  SELECT c.prev AS i, c.nxt AS j, (c.n * 1000000) // t.tot AS p
+  FROM cnt c JOIN tot t ON c.prev = t.prev
+  UNION ALL
+  SELECT s1.s, s2.s, 1000000 // ks.k
+  FROM states s1, states s2, ks
+  WHERE s1.s NOT IN (SELECT prev FROM cnt)),
+r0 AS (SELECT s AS state, 1000000 // ks.k AS pi FROM states, ks)"""
+    for r in range(1, rounds + 1):
+        body += f""",
+r{r} AS (SELECT p.j AS state,
+         CAST(sum(r{r - 1}.pi * p.p) // 1000000 AS BIGINT) AS pi
+       FROM r{r - 1} JOIN pmat p ON p.i = r{r - 1}.state GROUP BY 1)"""
+    body += f"""
+SELECT s.s AS state,
+       CAST(coalesce(r{rounds}.pi, 0) AS BIGINT) AS pi_micro,
+       CAST(coalesce(t.tot, 0) AS BIGINT) AS out_transitions
+FROM states s
+LEFT JOIN r{rounds} ON r{rounds}.state = s.s
+LEFT JOIN tot t ON t.prev = s.s
+ORDER BY 1"""
+    return body
+
+
+def q282_cluster_silhouette(sf_dir: str):
+    """Per-cluster simplified silhouette of the q126 k-means fit — the
+    cluster-quality report card that tells you whether the k you chose
+    carved real structure (mean s near 1e6) or noise (near 0/negative)
+    before you trust cluster-level curation decisions (SemDeDup
+    budgets, per-cluster sampling rates). Plan: centroids train via
+    the SHARED distributed_kmeans (k x d driver table, bit-equal to
+    the sequential golden); ONE scoring pass broadcasts C by closure
+    and ships (cluster, n, sum_s_micro) int64 partials (the per-point
+    s_micro is a pure IEEE function of the point — ann.
+    silhouette_partials — so the sums are order-free); the k-bounded
+    close micro-rounds the means."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.ann import (
+        _emb_matrix,
+        distributed_kmeans,
+        micro_embed,
+        silhouette_partials,
+    )
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cent = distributed_kmeans(emb, k=8, rounds=5).to_pandas()  # k x d
+    k = int(cent["cluster"].max()) + 1
+    d = int(cent["dim"].max())
+    C = np.zeros((k, d), np.int64)
+    C[cent["cluster"].to_numpy(), cent["dim"].to_numpy() - 1] = cent[
+        "centroid_micro"
+    ].to_numpy()
+    _em, _me, _sp = _emb_matrix, micro_embed, silhouette_partials
+
+    def _parts(t: pa.Table) -> pa.Table:
+        m = _em(t)
+        E = _me(m.reshape(-1), m.shape[0])
+        assign, s = _sp(E, C)
+        uu, inv, cnt = np.unique(assign, return_inverse=True, return_counts=True)
+        sums = np.zeros(uu.size, np.int64)
+        np.add.at(sums, inv, s)
+        return pa.table(
+            {
+                "cluster": pa.array(uu.astype(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+                "s": pa.array(sums),
+            }
+        )
+
+    parts = emb.map_batches(_parts, batch_format="pyarrow").take_all()
+    agg: dict = {}
+    for r in parts:
+        a = agg.setdefault(int(r["cluster"]), [0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["s"])
+    clusters = sorted(agg)
+    return pa.table(
+        {
+            "cluster": pa.array(clusters, pa.int64()),
+            "n": pa.array([agg[c][0] for c in clusters], pa.int64()),
+            "mean_sil_micro": pa.array(
+                [
+                    int(round_like_duckdb(agg[c][1] * 1.0 / agg[c][0], 0))
+                    for c in clusters
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q283_ks_length_shift(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov statistic of each source's
+    doc-length distribution against the rest of the corpus — the
+    numeric-marginal distribution-shift gauge beside q169's term-space
+    JS divergence (a source whose lengths drifted flags here even when
+    its vocabulary looks normal). EXACT integers end to end: D's
+    numerator max|cum_s*T_rest - cum_rest*T_s| and the final
+    ks_ppm = (D*1e6) // (T_s*T_rest) are arbitrary-precision driver
+    math (HUGEINT in the SQL mirror) — no float CDFs, no rounding
+    hazard. Plan: block-local (source, n_chars) count partials, ONE
+    sources x lengths-bounded aggregation, the sup-scan folds on the
+    bounded driver table."""
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_chars", "c"])
+
+    hist = (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["source", "n_chars"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "n_docs": pa.array([], pa.int64()),
+            "ks_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if not hist:
+        return empty
+    vals = sorted({int(r["n_chars"]) for r in hist})
+    vidx = {v: i for i, v in enumerate(vals)}
+    sources = sorted({r["source"] for r in hist})
+    counts = {s: np.zeros(len(vals), dtype=np.int64) for s in sources}
+    for r in hist:
+        counts[r["source"]][vidx[int(r["n_chars"])]] += int(r["c"])
+    total = np.zeros(len(vals), dtype=np.int64)
+    for s in sources:
+        total += counts[s]
+    cum_all = np.cumsum(total)
+    grand = int(cum_all[-1])
+    out_s, out_n, out_ks = [], [], []
+    for s in sources:
+        cs = np.cumsum(counts[s])
+        t_s = int(cs[-1])
+        t_r = grand - t_s
+        if t_r == 0:
+            continue
+        # arbitrary-precision sup scan (int64 products can overflow
+        # at corpus scale; mirror = HUGEINT)
+        dnum = max(
+            abs(int(cs[i]) * t_r - (int(cum_all[i]) - int(cs[i])) * t_s)
+            for i in range(len(vals))
+        )
+        out_s.append(s)
+        out_n.append(t_s)
+        out_ks.append((dnum * 1_000_000) // (t_s * t_r))
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "ks_ppm": pa.array(out_ks, pa.int64()),
+        }
+    )
+
+
+SQL_Q283 = """
+WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(c) AS HUGEINT) AS t FROM h GROUP BY 1),
+g AS (SELECT CAST(sum(c) AS HUGEINT) AS gt FROM h),
+vals AS (SELECT DISTINCT n_chars FROM h),
+grid AS (SELECT t.source, v.n_chars FROM tot t CROSS JOIN vals v),
+dense AS (SELECT gr.source, gr.n_chars, coalesce(h.c, 0) AS c
+          FROM grid gr LEFT JOIN h
+            ON h.source = gr.source AND h.n_chars = gr.n_chars),
+cum AS (SELECT source, n_chars,
+               CAST(sum(c) OVER (
+                 PARTITION BY source ORDER BY n_chars) AS HUGEINT) AS cs
+        FROM dense),
+cumall AS (SELECT n_chars, CAST(sum(cs) AS HUGEINT) AS call
+           FROM cum GROUP BY 1),
+d AS (SELECT c.source,
+             max(abs(c.cs * (g.gt - t.t) - (ca.call - c.cs) * t.t)) AS dnum
+      FROM cum c
+      JOIN cumall ca USING (n_chars)
+      JOIN tot t ON t.source = c.source
+      CROSS JOIN g
+      WHERE g.gt - t.t > 0
+      GROUP BY 1)
+SELECT d.source,
+       CAST(t.t AS BIGINT) AS n_docs,
+       CAST((d.dnum * 1000000) // (t.t * (g.gt - t.t)) AS BIGINT) AS ks_ppm
+FROM d JOIN tot t ON t.source = d.source CROSS JOIN g
+ORDER BY 1
+"""
+
+
+def q284_longest_self_repeat(sf_dir: str):
+    """Longest repeated token-substring per document — the intra-doc
+    verbatim-memorization audit (a doc can pass q111's Gopher dup-
+    FRACTION gates yet still carry one giant self-repeat that a
+    training run will memorize; this surfaces it with its exact
+    length). Plan: ZERO exchanges — a warm-Tokenizer actor pool runs
+    the shared binary-search kernel (text.longest_repeated_run, exact
+    tuple equality, no hash-collision false positives) per doc;
+    repeat_share_bp = floor(1e4 * L / n_tokens) is pure integer."""
+    from barks_ocr_ray.functions.text import Tokenizer, longest_repeated_run
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    _lrr = longest_repeated_run
+
+    class _Audit(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, nt, ml, bp = [], [], [], []
+            for did, s in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text")
+            ):
+                toks = self.tokens(s.as_py() or "")
+                n = len(toks)
+                L = _lrr(toks)
+                ids.append(int(did))
+                nt.append(n)
+                ml.append(L)
+                bp.append((10_000 * L) // n if n else 0)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "n_tokens": pa.array(nt, pa.int64()),
+                    "max_repeat_len": pa.array(ml, pa.int64()),
+                    "repeat_share_bp": pa.array(bp, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        _Audit, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
+def q285_chi_square_independence(sf_dir: str):
+    """Pearson chi-square test of independence between document
+    language and source — the categorical-association audit beside
+    q283's numeric KS and q169's distributional JS (a crawl where one
+    source over-supplies one language flags here with per-cell
+    attribution). Every (lang, source) grid cell — including observed
+    zeros, whose (0-E)^2/E = E still contributes — emits its observed
+    count, expected count, and chi-square contribution; contributions
+    are micro-rounded PER CELL before any summation (the q268/q276
+    reassociation-proof discipline), so the bounded table is exact.
+    Plan: block (lang, source) count partials, ONE langs x sources
+    bounded aggregation, grid close on the driver."""
+    docs = read_table(sf_dir, "documents", ["lang", "source"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "o"])
+
+    cells = (
+        docs.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["lang", "source"], num_partitions=2)
+        .aggregate(Sum("o", alias_name="o"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "o": pa.array([], pa.int64()),
+            "exp_micro": pa.array([], pa.int64()),
+            "contrib_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not cells:
+        return empty
+    obs = {(r["lang"], r["source"]): int(r["o"]) for r in cells}
+    langs = sorted({k[0] for k in obs})
+    sources = sorted({k[1] for k in obs})
+    row_tot = {g: sum(obs.get((g, s), 0) for s in sources) for g in langs}
+    col_tot = {s: sum(obs.get((g, s), 0) for g in langs) for s in sources}
+    n = sum(row_tot.values())
+    out_l, out_s, out_o, out_e, out_c = [], [], [], [], []
+    for g in langs:
+        for s in sources:
+            o = obs.get((g, s), 0)
+            e = row_tot[g] * col_tot[s] * 1.0 / n
+            out_l.append(g)
+            out_s.append(s)
+            out_o.append(o)
+            out_e.append(int(round_like_duckdb(1e6 * e, 0)))
+            out_c.append(int(round_like_duckdb(1e6 * (o - e) * (o - e) / e, 0)))
+    return pa.table(
+        {
+            "lang": pa.array(out_l, pa.string()),
+            "source": pa.array(out_s, pa.string()),
+            "o": pa.array(out_o, pa.int64()),
+            "exp_micro": pa.array(out_e, pa.int64()),
+            "contrib_micro": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
+SQL_Q285 = """
+WITH cnt AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+             FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cnt GROUP BY 1),
+ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cnt GROUP BY 1),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cnt),
+grid AS (SELECT rt.lang, ct.source, rt.r, ct.c FROM rt CROSS JOIN ct),
+cell AS (SELECT g.lang, g.source,
+                coalesce(cnt.o, 0) AS o,
+                g.r * g.c * 1.0 / n.n AS e
+         FROM grid g
+         LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.source = g.source
+         CROSS JOIN n)
+SELECT lang, source, o,
+       CAST(round(1000000 * e, 0) AS BIGINT) AS exp_micro,
+       CAST(round(1000000 * (o - e) * (o - e) / e, 0) AS BIGINT)
+         AS contrib_micro
+FROM cell ORDER BY 1, 2
+"""
+
+
+#: Poisson(1) CDF breakpoints scaled to 2^32 and floored — INTEGER
+#: literals shared verbatim by q286's Python and SQL sides, so the
+#: per-(row, replicate) resample count is a pure integer comparison
+#: chain with zero IEEE arithmetic anywhere in the draw.
+Q286_B = 32
+Q286_POIS_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+)
+
+
+def q286_poisson_bootstrap_ci(sf_dir: str):
+    """Distributed Poisson bootstrap confidence interval for the mean
+    order value — THE shuffle-free resampling scheme at scale (the
+    classical multinomial bootstrap needs a global n to draw against;
+    Poisson(1) counts per row are independent, so every replicate is
+    a pure row function and all 32 replicates ride ONE pass as
+    B-bounded (replicate, n, sum_cents) partials). Determinism: the
+    per-(row, replicate) count is md5(f"{b}:{orderkey}") first-8-hex
+    compared against shared INTEGER Poisson-CDF breakpoints
+    (Q286_POIS_T — no float draws at all), so the DuckDB oracle
+    replays every resample decision bit-for-bit (the
+    functions/hashing.py md5-vs-splitmix64 tradeoff applies: md5 is
+    the oracle-parity path, splitmix64 the 100-TB fast path).
+    CI rule: percentile bootstrap with explicit rank picks
+    ceil(0.025*B) / ceil(0.975*B) on the 32 replicate means."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    od = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    TS = Q286_POIS_T
+    B = Q286_B
+
+    def _partials(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey").to_pylist()
+        cents = round_like_duckdb(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0,
+            0,
+        ).astype(np.int64)
+        ns = np.zeros(B + 1, np.int64)
+        ss = np.zeros(B + 1, np.int64)
+        ns[B] = len(keys)  # replicate id B = the full (unresampled) sample
+        ss[B] = int(cents.sum())
+        for b in range(B):
+            pre = f"{b}:".encode("utf-8")
+            cs = np.fromiter(
+                (
+                    int(
+                        hashlib.md5(pre + str(k).encode("utf-8")).hexdigest()[
+                            :8
+                        ],
+                        16,
+                    )
+                    for k in keys
+                ),
+                dtype=np.int64,
+                count=len(keys),
+            )
+            c = np.zeros(len(keys), np.int64)
+            for th in TS:
+                c += cs >= th
+            ns[b] = int(c.sum())
+            ss[b] = int((c * cents).sum())
+        return pa.table(
+            {
+                "b": pa.array(np.arange(B + 1, dtype=np.int64)),
+                "n": pa.array(ns),
+                "s": pa.array(ss),
+            }
+        )
+
+    parts = od.map_batches(_partials, batch_format="pyarrow").take_all()
+    ns = np.zeros(B + 1, np.int64)
+    ss = np.zeros(B + 1, np.int64)
+    for r in parts:
+        ns[int(r["b"])] += int(r["n"])
+        ss[int(r["b"])] += int(r["s"])
+    # 10000*s stays exact INTEGER before the single float division —
+    # mirrors the SQL's (10000 * s * 1.0 / n) evaluation order.
+    means = [
+        int(round_like_duckdb(10_000 * int(ss[b]) * 1.0 / int(ns[b]), 0))
+        if ns[b]
+        else 0
+        for b in range(B)
+    ]
+    means.sort()
+    lo = means[math.ceil(0.025 * B) - 1]
+    hi = means[math.ceil(0.975 * B) - 1]
+    point = (
+        int(round_like_duckdb(10_000 * int(ss[B]) * 1.0 / int(ns[B]), 0))
+        if ns[B]
+        else 0
+    )
+    return pa.table(
+        {
+            "n": pa.array([int(ns[B])], pa.int64()),
+            "mean_micro": pa.array([point], pa.int64()),
+            "ci_lo_micro": pa.array([lo], pa.int64()),
+            "ci_hi_micro": pa.array([hi], pa.int64()),
+            "b": pa.array([B], pa.int64()),
+        }
+    )
+
+
+def _sql_q286() -> str:
+    t = Q286_POIS_T
+    case = " + ".join(
+        f"(CASE WHEN h >= {th} THEN 1 ELSE 0 END)" for th in t
+    )
+    return f"""
+WITH reps AS (SELECT CAST(gs.b AS BIGINT) AS b
+              FROM generate_series(0, {Q286_B - 1}) gs(b)),
+base AS (SELECT o_orderkey,
+                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+         FROM orders),
+draws AS (SELECT r.b, o.cents,
+                 CAST(('0x' || substring(md5(CAST(r.b AS VARCHAR) || ':' ||
+                   CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+          FROM base o CROSS JOIN reps r),
+cnt AS (SELECT b, cents, {case} AS c FROM draws),
+rep AS (SELECT b, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(c * cents) AS BIGINT) AS s
+        FROM cnt GROUP BY 1),
+mm AS (SELECT b,
+              CASE WHEN n = 0 THEN 0
+                   ELSE CAST(round(10000 * s * 1.0 / n, 0) AS BIGINT)
+              END AS m
+       FROM rep),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM mm),
+full_s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(round(10000 * sum(cents) * 1.0 / count(*), 0)
+                       AS BIGINT) AS mean_micro
+           FROM base)
+SELECT f.n, f.mean_micro,
+       (SELECT m FROM ranked
+        WHERE rk = CAST(ceil(0.025 * {Q286_B}) AS BIGINT)) AS ci_lo_micro,
+       (SELECT m FROM ranked
+        WHERE rk = CAST(ceil(0.975 * {Q286_B}) AS BIGINT)) AS ci_hi_micro,
+       CAST({Q286_B} AS BIGINT) AS b
+FROM full_s f
+"""
+
+
+def q287_dp_count_release(sf_dir: str):
+    """Differentially-private event-type count release (Laplace
+    mechanism, eps = 1, sensitivity 1) with REPLAYABLE noise — the
+    privacy sibling of q61/q103: production DP uses a secret RNG, but
+    an auditable pipeline needs the noise reproducible for tests and
+    oracles, so the uniform is md5(f"dp:{type}") first-8-hex / 2^32
+    (the functions/hashing.py convention) and the draw is the Laplace
+    inverse CDF -sign(u-1/2)*ln(1-2|u-1/2|), micro-rounded as ONE
+    mirrored IEEE expression per group (the q134 ln-parity
+    discipline). Plan: block count partials, ONE types-bounded
+    aggregation, noise applied on the bounded driver table."""
+    import hashlib
+    import math
+
+    ev = read_table(sf_dir, "events", ["event_type"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
+
+    counts = (
+        ev.map_batches(_partials, batch_format="pyarrow")
+        .groupby("event_type", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    agg: dict = {}
+    for r in counts:
+        agg[r["event_type"]] = agg.get(r["event_type"], 0) + int(r["n"])
+    types = sorted(agg)
+    out_n, out_noise, out_rel = [], [], []
+    for typ in types:
+        h = int(
+            hashlib.md5(f"dp:{typ}".encode("utf-8")).hexdigest()[:8], 16
+        )
+        if h == 0:
+            noise = 0  # ln(0) guard, mirrored in the SQL CASE
+        else:
+            u = h / 4294967296.0
+            mag = math.log(1.0 - 2.0 * abs(u - 0.5))
+            noise = int(
+                round_like_duckdb(
+                    1e6 * (mag if u >= 0.5 else -mag), 0
+                )
+            )
+        out_n.append(agg[typ])
+        out_noise.append(noise)
+        out_rel.append(agg[typ] * 1_000_000 + noise)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "noise_micro": pa.array(out_noise, pa.int64()),
+            "released_micro": pa.array(out_rel, pa.int64()),
+        }
+    )
+
+
+SQL_Q287 = """
+WITH cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             FROM events GROUP BY 1),
+hh AS (SELECT event_type, n,
+              CAST(('0x' || substring(md5('dp:' || event_type), 1, 8))
+                   AS UBIGINT) AS h
+       FROM cnt),
+noise AS (SELECT event_type, n,
+                 CASE WHEN h = 0 THEN CAST(0 AS BIGINT)
+                      WHEN h / 4294967296.0 >= 0.5 THEN
+                        CAST(round(1000000 * ln(
+                          1.0 - 2.0 * abs(h / 4294967296.0 - 0.5)), 0)
+                          AS BIGINT)
+                      ELSE
+                        CAST(round(1000000 * -ln(
+                          1.0 - 2.0 * abs(h / 4294967296.0 - 0.5)), 0)
+                          AS BIGINT)
+                 END AS noise_micro
+          FROM hh)
+SELECT event_type, n, noise_micro,
+       n * 1000000 + noise_micro AS released_micro
+FROM noise ORDER BY 1
+"""
+
+
+def q288_theil_sen_trend(sf_dir: str):
+    """Theil-Sen robust daily-volume trend per event type — the
+    outlier-proof slope (median of all pairwise day slopes) beside
+    q193's OLS-style autocorrelation: one bot-burst day drags an OLS
+    fit but moves this median by at most one rank. Per-pair slopes are
+    micro-rounded as ONE mirrored IEEE expression; the median is an
+    EXPLICIT lower-median rank pick (ceil(m/2)) over the sorted int
+    slopes, so both engines agree bit-for-bit. Plan: ONE (type, day)-
+    bounded count aggregation (dense zero-filled spine, q246
+    discipline); the O(days²) pair scan runs on the bounded driver
+    series, never on events."""
+    import math
+
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64())
+        day = pc.divide(ts, pa.scalar(DAY, pa.int64()))
+        tt = pa.table({"event_type": t.column("event_type"), "day": day})
+        g = tt.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    hist = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_days": pa.array([], pa.int64()),
+            "n_pairs": pa.array([], pa.int64()),
+            "slope_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not hist:
+        return empty
+    d0 = min(int(r["day"]) for r in hist)
+    nd = max(int(r["day"]) for r in hist) - d0
+    dense: dict = {}
+    for r in hist:
+        dense.setdefault(r["event_type"], np.zeros(nd + 1, np.int64))[
+            int(r["day"]) - d0
+        ] = int(r["c"])
+    out_t, out_d, out_p, out_s = [], [], [], []
+    for typ in sorted(dense):
+        c = dense[typ]
+        n = nd + 1
+        if n < 2:
+            continue
+        i, j = np.triu_indices(n, k=1)
+        slopes = round_like_duckdb(
+            1_000_000 * (c[j] - c[i]) * 1.0 / (j - i), 0
+        ).astype(np.int64)
+        slopes.sort()
+        m = slopes.size
+        out_t.append(typ)
+        out_d.append(n)
+        out_p.append(m)
+        out_s.append(int(slopes[math.ceil(m / 2) - 1]))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n_days": pa.array(out_d, pa.int64()),
+            "n_pairs": pa.array(out_p, pa.int64()),
+            "slope_micro": pa.array(out_s, pa.int64()),
+        }
+    )
+
+
+SQL_Q288 = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS d0,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts))) AS nd
+  FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT t.event_type, gs.i
+          FROM types t, bounds, generate_series(0, 100000) gs(i)
+          WHERE gs.i <= bounds.nd),
+counts AS (SELECT event_type,
+                  date_diff('day', bounds.d0, date_trunc('day', ts)) AS i,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events, bounds GROUP BY 1, 2),
+dense AS (SELECT s.event_type, s.i, coalesce(c.c, 0) AS c
+          FROM spine s LEFT JOIN counts c
+            ON s.event_type = c.event_type AND s.i = c.i),
+pairs AS (SELECT a.event_type,
+                 CAST(round(1000000 * (b.c - a.c) * 1.0 / (b.i - a.i), 0)
+                      AS BIGINT) AS slope
+          FROM dense a JOIN dense b
+            ON a.event_type = b.event_type AND b.i > a.i),
+ranked AS (SELECT event_type, slope,
+                  row_number() OVER (
+                    PARTITION BY event_type ORDER BY slope) AS rk,
+                  count(*) OVER (PARTITION BY event_type) AS m
+           FROM pairs),
+nd_t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+         FROM dense GROUP BY 1)
+SELECT r.event_type, n.n_days, CAST(r.m AS BIGINT) AS n_pairs,
+       r.slope AS slope_micro
+FROM ranked r JOIN nd_t n USING (event_type)
+WHERE r.rk = CAST(ceil(r.m / 2.0) AS BIGINT)
+ORDER BY 1
+"""
+
+
+def q289_chao1_vocabulary(sf_dir: str):
+    """Chao1 unseen-species estimate of the corpus vocabulary plus the
+    Good-Turing sample-coverage — 'how much vocabulary has this crawl
+    NOT seen yet' (the scaling-decision gauge beside q174's Zipf slope
+    and q218's novelty curve: a coverage near 1 says more of the same
+    crawl adds few new types). Everything closes from the count-of-
+    counts table: V, f1 (singletons), f2 (doubletons), N; the
+    bias-corrected chao1 = V + f1(f1-1)/(2(f2+1)) and coverage
+    1 - f1/N are each ONE mirrored IEEE expression. Plan: per-block
+    word-count combiner, ONE vocab-bounded exchange, count-of-counts
+    partials (bounded by distinct count VALUES), scalar close."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, WordCountCombiner
+
+    docs = read_table(sf_dir, "documents", ["text"])
+    voc = (
+        docs.map_batches(
+            WordCountCombiner, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("word", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _coc(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        uv, cnt = np.unique(n, return_counts=True)
+        return pa.table(
+            {
+                "n": pa.array(uv.astype(np.int64), pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    coc = (
+        voc.map_batches(_coc, batch_format="pyarrow")
+        .groupby("n", num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    v = sum(int(r["c"]) for r in coc)
+    n_tok = sum(int(r["n"]) * int(r["c"]) for r in coc)
+    f1 = sum(int(r["c"]) for r in coc if int(r["n"]) == 1)
+    f2 = sum(int(r["c"]) for r in coc if int(r["n"]) == 2)
+    chao1 = (
+        int(
+            round_like_duckdb(
+                1_000_000 * (v + f1 * (f1 - 1) * 1.0 / (2 * (f2 + 1))), 0
+            )
+        )
+        if v
+        else 0
+    )
+    cov = (
+        int(round_like_duckdb(1_000_000 * (1.0 - f1 * 1.0 / n_tok), 0))
+        if n_tok
+        else 0
+    )
+    return pa.table(
+        {
+            "v_obs": pa.array([v], pa.int64()),
+            "f1": pa.array([f1], pa.int64()),
+            "f2": pa.array([f2], pa.int64()),
+            "n_tokens": pa.array([n_tok], pa.int64()),
+            "chao1_micro": pa.array([chao1], pa.int64()),
+            "coverage_ppm": pa.array([cov], pa.int64()),
+        }
+    )
+
+
+SQL_Q289 = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+  FROM documents),
+wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1),
+coc AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM wc GROUP BY 1),
+st AS (SELECT CAST(sum(c) AS BIGINT) AS v,
+              CAST(sum(n * c) AS BIGINT) AS n_tok,
+              CAST(coalesce(sum(CASE WHEN n = 1 THEN c END), 0)
+                   AS BIGINT) AS f1,
+              CAST(coalesce(sum(CASE WHEN n = 2 THEN c END), 0)
+                   AS BIGINT) AS f2
+       FROM coc)
+SELECT v AS v_obs, f1, f2, n_tok AS n_tokens,
+       CAST(round(1000000 * (v + f1 * (f1 - 1) * 1.0 / (2 * (f2 + 1))), 0)
+            AS BIGINT) AS chao1_micro,
+       CAST(round(1000000 * (1.0 - f1 * 1.0 / n_tok), 0) AS BIGINT)
+         AS coverage_ppm
+FROM st
+"""
+
+
+def q290_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary-growth exponent (V = K*N^beta) fitted on a
+    20-point doc-id grid — the companion scaling diagnostic to q174's
+    Zipf slope and q289's Chao1 (beta near 1 = every new doc is new
+    vocabulary; near 0 = the crawl has saturated). NO per-prefix
+    rescan: V(d) = count of terms whose FIRST-occurrence doc <= d, so
+    one (word, min(doc_id)) exchange plus grid-binned histogram
+    partials answer every grid point; token mass per grid bin ships
+    the same way. Logs are micro-rounded per point BEFORE the exact
+    int64 regression sums (the q174 milli-nat discipline); the slope
+    closes in ONE mirrored IEEE division. Grid cutoffs are
+    ceil(k*max_doc/20) by doc-id VALUE (documented: assumes the dense
+    doc_id key; a sparse key just makes the grid uneven, not wrong)."""
+    import math
+
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import Tokenizer, VOCAB_PARTITIONS
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    md = docs.max("doc_id")
+    G = 20
+    cutoffs = np.array(
+        [math.ceil(k * md / 20.0) for k in range(1, G + 1)], dtype=np.int64
+    )
+
+    class _FirstOcc(Tokenizer):
+        """(word, min doc) + (bin, token-count) partials in one pass."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            first: dict = {}
+            ids = batch.column("doc_id").to_pylist()
+            nts = []
+            for did, s in zip(ids, batch.column("text")):
+                toks = self.tokens(s.as_py() or "")
+                nts.append(len(toks))
+                for w in toks:
+                    p = first.get(w)
+                    if p is None or did < p:
+                        first[w] = did
+            return pa.table(
+                {
+                    "word": pa.array(list(first.keys()), pa.string()),
+                    "fd": pa.array(list(first.values()), pa.int64()),
+                }
+            )
+
+    first = (
+        docs.map_batches(
+            _FirstOcc, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("word", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Min("fd", alias_name="fd"))
+    )
+
+    def _vbins(t: pa.Table) -> pa.Table:
+        fd = t.column("fd").to_numpy(zero_copy_only=False)
+        b = np.searchsorted(cutoffs, fd, side="left")
+        uu, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(uu.astype(np.int64), pa.int64()),
+                "v": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    vparts = first.map_batches(_vbins, batch_format="pyarrow").take_all()
+
+    def _nbins(t: pa.Table) -> pa.Table:
+        tok = Tokenizer()
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
+        nts = np.asarray(
+            [
+                len(tok.tokens(s.as_py() or ""))
+                for s in t.column("text")
+            ],
+            dtype=np.int64,
+        )
+        b = np.searchsorted(cutoffs, ids, side="left")
+        uu = np.unique(b)
+        sums = np.zeros(uu.size, np.int64)
+        np.add.at(sums, np.searchsorted(uu, b), nts)
+        return pa.table(
+            {
+                "bin": pa.array(uu.astype(np.int64), pa.int64()),
+                "nt": pa.array(sums, pa.int64()),
+            }
+        )
+
+    nparts = docs.map_batches(_nbins, batch_format="pyarrow").take_all()
+    vb = np.zeros(G, np.int64)
+    nb = np.zeros(G, np.int64)
+    for r in vparts:
+        vb[int(r["bin"])] += int(r["v"])
+    for r in nparts:
+        nb[int(r["bin"])] += int(r["nt"])
+    v_cum = np.cumsum(vb)
+    n_cum = np.cumsum(nb)
+    xs, ys = [], []
+    for k in range(G):
+        if n_cum[k] > 0 and v_cum[k] > 0:
+            xs.append(
+                int(round_like_duckdb(1e6 * math.log(int(n_cum[k]) * 1.0), 0))
+            )
+            ys.append(
+                int(round_like_duckdb(1e6 * math.log(int(v_cum[k]) * 1.0), 0))
+            )
+    g = len(xs)
+    if g < 2:
+        beta = 0
+    else:
+        sx = sum(xs)
+        sy = sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        sxx = sum(a * a for a in xs)
+        num = g * sxy - sx * sy
+        den = g * sxx - sx * sx
+        beta = (
+            int(round_like_duckdb(1_000_000 * (num * 1.0) / den, 0))
+            if den
+            else 0
+        )
+    return pa.table(
+        {
+            "g": pa.array([g], pa.int64()),
+            "v_total": pa.array([int(v_cum[-1])], pa.int64()),
+            "n_total": pa.array([int(n_cum[-1])], pa.int64()),
+            "beta_micro": pa.array([beta], pa.int64()),
+        }
+    )
+
+
+SQL_Q290 = """
+WITH dt AS (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents),
+ntok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM dt),
+firstocc AS (SELECT word, min(doc_id) AS fd
+             FROM (SELECT doc_id, unnest(toks) AS word FROM dt)
+             GROUP BY 1),
+mx AS (SELECT max(doc_id) AS md FROM documents),
+grid AS (SELECT gs.k,
+                CAST(ceil(gs.k * (SELECT md FROM mx) / 20.0) AS BIGINT)
+                  AS cutoff
+         FROM generate_series(1, 20) gs(k)),
+pts AS (SELECT g.k,
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM ntok
+                WHERE doc_id <= g.cutoff) AS n_k,
+               (SELECT CAST(count(*) AS BIGINT) FROM firstocc
+                WHERE fd <= g.cutoff) AS v_k
+        FROM grid g),
+lp AS (SELECT CAST(round(1000000 * ln(n_k * 1.0), 0) AS BIGINT) AS x,
+              CAST(round(1000000 * ln(v_k * 1.0), 0) AS BIGINT) AS y
+       FROM pts WHERE n_k > 0 AND v_k > 0),
+s AS (SELECT CAST(count(*) AS BIGINT) AS g,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM lp),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS v_total FROM firstocc),
+ntot AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_total FROM ntok)
+SELECT s.g, tot.v_total, ntot.n_total,
+       CASE WHEN s.g < 2 OR (s.g * s.sxx - s.sx * s.sx) = 0
+            THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(1000000 *
+                   ((s.g * s.sxy - s.sx * s.sy) * 1.0) /
+                   (s.g * s.sxx - s.sx * s.sx), 0) AS BIGINT)
+       END AS beta_micro
+FROM s, tot, ntot
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -20379,6 +21524,17 @@ def build_registry():
         "q277_span_corruption": q277_span_corruption,
         "q278_bpe_fertility": q278_bpe_fertility,
         "q279_lz_complexity": q279_lz_complexity,
+        "q280_cusum_changepoint": q280_cusum_changepoint,
+        "q281_markov_stationary": q281_markov_stationary,
+        "q282_cluster_silhouette": q282_cluster_silhouette,
+        "q283_ks_length_shift": q283_ks_length_shift,
+        "q284_longest_self_repeat": q284_longest_self_repeat,
+        "q285_chi_square_independence": q285_chi_square_independence,
+        "q286_poisson_bootstrap_ci": q286_poisson_bootstrap_ci,
+        "q287_dp_count_release": q287_dp_count_release,
+        "q288_theil_sen_trend": q288_theil_sen_trend,
+        "q289_chao1_vocabulary": q289_chao1_vocabulary,
+        "q290_heaps_law": q290_heaps_law,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -20734,6 +21890,23 @@ def build_registry():
             "user_id, n_events, n_phrases, complexity_micro",
             "events",
         ),
+        "q280_cusum_changepoint": SQL_Q280,
+        "q281_markov_stationary": _sql_q281(),
+        "q282_cluster_silhouette": _sql_golden(
+            "silhouette", "cluster, n, mean_sil_micro", "embeddings"
+        ),
+        "q283_ks_length_shift": SQL_Q283,
+        "q284_longest_self_repeat": _sql_golden(
+            "self_repeat",
+            "doc_id, n_tokens, max_repeat_len, repeat_share_bp",
+            "documents",
+        ),
+        "q285_chi_square_independence": SQL_Q285,
+        "q286_poisson_bootstrap_ci": _sql_q286(),
+        "q287_dp_count_release": SQL_Q287,
+        "q288_theil_sen_trend": SQL_Q288,
+        "q289_chao1_vocabulary": SQL_Q289,
+        "q290_heaps_law": SQL_Q290,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -100,6 +100,9 @@ BENCH_QUERIES = [
     "q270_degree_assortativity",
     "q272_kendall_tau",
     "q273_adamic_adar",
+    "q279_lz_complexity",
+    "q281_markov_stationary",
+    "q284_longest_self_repeat",
 ]
 
 

@@ -178,7 +178,18 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q276_embedding_frechet_drift', 1),
                         ('q277_span_corruption', 1),
                         ('q278_bpe_fertility', 1),
-                        ('q279_lz_complexity', 1)):
+                        ('q279_lz_complexity', 1),
+                        ('q280_cusum_changepoint', 1),
+                        ('q281_markov_stationary', 1),
+                        ('q282_cluster_silhouette', 1),
+                        ('q283_ks_length_shift', 1),
+                        ('q284_longest_self_repeat', 1),
+                        ('q285_chi_square_independence', 1),
+                        ('q286_poisson_bootstrap_ci', 1),
+                        ('q287_dp_count_release', 1),
+                        ('q288_theil_sen_trend', 1),
+                        ('q289_chao1_vocabulary', 1),
+                        ('q290_heaps_law', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -131,3 +131,520 @@ class TestBpeFertility:
         assert got.equals(want)
         # Fertility is >= 1 subword per word by construction.
         assert (got["fertility_micro"] >= 1_000_000).all()
+
+
+class TestCusumChangepoint:
+    def test_level_shift_alarms(self, ray_session, tmp_path):
+        """A series that doubles its level mid-stream must raise
+        positive-side alarms after the shift and none before."""
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q280,
+            q280_cusum_changepoint,
+        )
+
+        rows = []
+        eid = 0
+        for day in range(30):
+            n = 10 if day < 20 else 25
+            for _ in range(n):
+                rows.append((eid, day))
+                eid += 1
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        _BASE + datetime.timedelta(days=r[1], hours=3)
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_cusum", ev, "events.parquet")
+        got = q280_cusum_changepoint(d).to_pandas()
+        assert got["n_alarm_days"].iloc[0] > 0
+        assert got["max_pos_micro"].iloc[0] > got["max_neg_micro"].iloc[0]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(SQL_Q280).fetchdf()
+        assert got.sort_values("event_type").reset_index(drop=True).equals(
+            want.sort_values("event_type").reset_index(drop=True)
+        )
+
+    def test_steady_series_silent(self, ray_session, tmp_path):
+        from barks_ocr_ray.pipelines.queries import q280_cusum_changepoint
+
+        rows = [(i, i % 20) for i in range(20 * 7)]
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        _BASE + datetime.timedelta(days=r[1], hours=5)
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_cusum2", ev, "events.parquet")
+        got = q280_cusum_changepoint(d).to_pandas()
+        assert got["n_alarm_days"].iloc[0] == 0
+        assert got["max_pos_micro"].iloc[0] == 0  # constant at mean
+
+
+class TestMarkovStationary:
+    def test_absorbing_cycle_gets_mass(self, ray_session, tmp_path):
+        """Users that all funnel into a b<->c cycle: stationary mass
+        concentrates on b and c; mass on the transient 'a' decays to
+        ~0; conservation holds within floor loss."""
+        from barks_ocr_ray.pipelines.queries import q281_markov_stationary
+
+        rows = []
+        eid = 0
+        for uid in range(6):
+            seq = ["a"] + ["b", "c"] * 12
+            for j, s in enumerate(seq):
+                rows.append((eid, uid, j, s))
+                eid += 1
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        _BASE + datetime.timedelta(seconds=r[2])
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_markov", ev, "events.parquet")
+        got = (
+            q281_markov_stationary(d)
+            .to_pandas()
+            .set_index("state")["pi_micro"]
+        )
+        assert got["a"] < 1000  # transient state drains
+        assert got["b"] + got["c"] > 900_000  # cycle holds the mass
+        assert got.sum() <= 1_000_000  # floors only lose mass
+
+
+class TestClusterSilhouette:
+    def test_tight_clusters_score_high(self, ray_session, tmp_path):
+        from barks_ocr_ray.golden_dedup import golden_silhouette
+        from barks_ocr_ray.pipelines.queries import q282_cluster_silhouette
+
+        rng = np.random.default_rng(5)
+        centers = rng.normal(0, 1, size=(8, 16))
+        vecs, labels = [], []
+        for i in range(200):
+            c = i % 8
+            vecs.append(centers[c] + rng.normal(0, 0.01, 16))
+            labels.append(c)
+        emb = pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype("float32").tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(labels, pa.int32()),
+            }
+        )
+        d = _write(tmp_path, "sf_sil", emb, "embeddings.parquet")
+        got = (
+            q282_cluster_silhouette(d)
+            .to_pandas()
+            .sort_values("cluster")
+            .reset_index(drop=True)
+        )
+        want = golden_silhouette(emb).to_pandas()
+        assert got.equals(want)
+        # The md5-seeded init can split a blob between two centroids
+        # (those clusters legitimately score low) — but at least one
+        # cluster captures a whole tight blob and scores near 1e6,
+        # and every score stays in the [-1e6, 1e6] silhouette range.
+        assert got["mean_sil_micro"].max() > 900_000
+        assert got["mean_sil_micro"].between(-1_000_000, 1_000_000).all()
+        assert got["n"].sum() == 200
+
+
+class TestKsLengthShift:
+    def test_shifted_source_flags(self, ray_session, tmp_path):
+        """One source with clearly longer docs scores a much larger KS
+        than an identically-distributed one."""
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q283,
+            q283_ks_length_shift,
+        )
+
+        rng = np.random.default_rng(2)
+        srcs, lens = [], []
+        for i in range(300):
+            srcs.append("same_a" if i % 2 else "same_b")
+            lens.append(int(rng.integers(100, 200)))
+        for i in range(150):
+            srcs.append("shifted")
+            lens.append(int(rng.integers(400, 500)))
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(srcs)), pa.int64()),
+                "text": pa.array(["x"] * len(srcs), pa.string()),
+                "lang": pa.array(["en"] * len(srcs), pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_ks", docs, "documents.parquet")
+        got = (
+            q283_ks_length_shift(d)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        ks = got.set_index("source")["ks_ppm"]
+        assert ks["shifted"] == 1_000_000  # disjoint supports -> D = 1
+        # same_a's rest is half same_b (identical dist) + half shifted,
+        # so its KS sits near the shifted share of the rest (0.5) —
+        # clearly below the fully-disjoint source.
+        assert 400_000 < ks["same_a"] < 620_000
+        assert abs(ks["same_a"] - ks["same_b"]) < 120_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(SQL_Q283).fetchdf()
+        assert got.equals(want.sort_values("source").reset_index(drop=True))
+
+
+class TestLongestSelfRepeat:
+    def test_kernel(self):
+        from barks_ocr_ray.functions.text import longest_repeated_run
+
+        assert longest_repeated_run([]) == 0
+        assert longest_repeated_run(["a"]) == 0
+        assert longest_repeated_run(["a", "b"]) == 0
+        assert longest_repeated_run(["a", "a"]) == 1
+        # 'a b c' repeats verbatim, separated by distinct filler
+        toks = "a b c x a b c y".split()
+        assert longest_repeated_run(toks) == 3
+        # overlapping repeat: aaaa -> 'aaa' occurs twice (overlap ok)
+        assert longest_repeated_run(["a"] * 4) == 3
+        assert longest_repeated_run("a b a b a".split()) == 3  # 'a b a'
+
+    def test_matches_golden(self, ray_session, tmp_path):
+        from barks_ocr_ray.golden_dedup import golden_self_repeat
+        from barks_ocr_ray.pipelines.queries import q284_longest_self_repeat
+
+        rng = np.random.default_rng(9)
+        texts = []
+        for i in range(30):
+            words = [f"w{int(x)}" for x in rng.integers(0, 50, 60)]
+            if i % 3 == 0:  # inject a verbatim self-repeat
+                block = "copy one two three four five"
+                words = words[:10] + block.split() + words[10:30] + block.split()
+            texts.append(" ".join(words))
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(30), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 30, pa.string()),
+                "source": pa.array(["s0"] * 30, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_rep", docs, "documents.parquet")
+        got = (
+            q284_longest_self_repeat(d)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = golden_self_repeat(docs).to_pandas()
+        assert got.equals(want)
+        injected = got[got["doc_id"] % 3 == 0]
+        assert (injected["max_repeat_len"] >= 6).all()
+
+
+class TestChiSquareIndependence:
+    def test_dependent_vs_independent(self, ray_session, tmp_path):
+        """A lang confined to one source dominates the chi-square;
+        a perfectly proportional grid contributes ~0 everywhere."""
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q285,
+            q285_chi_square_independence,
+        )
+
+        langs, srcs = [], []
+        # proportional block: en/de spread evenly over s0/s1
+        for i in range(80):
+            langs.append("en" if i % 2 else "de")
+            srcs.append("s0" if i % 4 < 2 else "s1")
+        # dependent block: zz only ever in s2
+        for i in range(40):
+            langs.append("zz")
+            srcs.append("s2")
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(langs)), pa.int64()),
+                "text": pa.array(["x"] * len(langs), pa.string()),
+                "lang": pa.array(langs, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array([1] * len(langs), pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_chi", docs, "documents.parquet")
+        got = (
+            q285_chi_square_independence(d)
+            .to_pandas()
+            .sort_values(["lang", "source"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(SQL_Q285).fetchdf()
+        assert got.equals(
+            want.sort_values(["lang", "source"]).reset_index(drop=True)
+        )
+        cell = got.set_index(["lang", "source"])["contrib_micro"]
+        # the confined lang's own cell and its zero cells carry the mass
+        assert cell[("zz", "s2")] > cell[("en", "s0")]
+        # zero-observed cells still contribute E
+        assert cell[("zz", "s0")] > 0
+        # the confined lang's own cell dominates the en/de cells by an
+        # order of magnitude (the en/de cells are off only because the
+        # zz block shifts the marginals)
+        assert cell[("zz", "s2")] > 10 * cell[("en", "s0")]
+
+
+class TestPoissonBootstrap:
+    def test_ci_brackets_mean_and_replays(self, ray_session, tmp_path):
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q286,
+            q286_poisson_bootstrap_ci,
+        )
+
+        rng = np.random.default_rng(13)
+        n = 400
+        prices = rng.normal(1000.0, 100.0, n).round(2)
+        od = pa.table(
+            {
+                "o_orderkey": pa.array(range(1, n + 1), pa.int64()),
+                "o_custkey": pa.array([1] * n, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * n, pa.string()),
+                "o_totalprice": pa.array(prices, pa.float64()),
+                "o_orderdate": pa.array(
+                    [_BASE] * n, pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n, pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_boot", od, "orders.parquet")
+        got = q286_poisson_bootstrap_ci(d).to_pandas()
+        assert got["ci_lo_micro"].iloc[0] <= got["mean_micro"].iloc[0]
+        assert got["mean_micro"].iloc[0] <= got["ci_hi_micro"].iloc[0]
+        # CI width is a few stderr: sd=100 -> se ~ 5 -> lo/hi within
+        # ~30 units of the mean (micro = 1e4 * cents = 1e6 * dollars)
+        assert (
+            got["ci_hi_micro"].iloc[0] - got["ci_lo_micro"].iloc[0]
+            < 60 * 1_000_000
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')"
+        )
+        want = con.execute(_sql_q286()).fetchdf()
+        assert got.equals(want)
+
+
+class TestDpCountRelease:
+    def test_noise_replays_and_bounds(self, ray_session, tmp_path):
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q287,
+            q287_dp_count_release,
+        )
+
+        rows = [(i, ["view", "click", "buy"][i % 3]) for i in range(90)]
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [_BASE] * len(rows), pa.timestamp("us")
+                ),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_dp", ev, "events.parquet")
+        got = q287_dp_count_release(d).to_pandas()
+        assert (got["n"] == 30).all()
+        # released = exact count + the replayable draw
+        assert (
+            got["released_micro"]
+            == got["n"] * 1_000_000 + got["noise_micro"]
+        ).all()
+        # same type -> same noise across runs (pure function of type)
+        again = q287_dp_count_release(d).to_pandas()
+        assert got.equals(again)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(SQL_Q287).fetchdf()
+        assert got.sort_values("event_type").reset_index(drop=True).equals(
+            want.sort_values("event_type").reset_index(drop=True)
+        )
+
+
+class TestTheilSenTrend:
+    def test_outlier_resistant_slope(self, ray_session, tmp_path):
+        """Linear growth +2/day with one enormous spike day: the
+        Theil-Sen median slope stays at ~2 (micro = 2e6); SQL
+        replays exactly."""
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q288,
+            q288_theil_sen_trend,
+        )
+
+        rows = []
+        eid = 0
+        for day in range(15):
+            n = 10 + 2 * day if day != 7 else 500  # spike
+            for _ in range(n):
+                rows.append((eid, day))
+                eid += 1
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        _BASE + datetime.timedelta(days=r[1], hours=4)
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_ts", ev, "events.parquet")
+        got = q288_theil_sen_trend(d).to_pandas()
+        assert got["slope_micro"].iloc[0] == 2_000_000
+        assert got["n_pairs"].iloc[0] == 15 * 14 // 2
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(SQL_Q288).fetchdf()
+        assert got.equals(want)
+
+
+class TestChao1Vocabulary:
+    def test_hand_counts(self, ray_session, tmp_path):
+        """3 singletons, 1 doubleton, 1 tripleton -> V=5, f1=3, f2=1,
+        chao1 = 5 + 3*2/(2*2) = 6.5."""
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q289,
+            q289_chao1_vocabulary,
+        )
+
+        texts = ["alpha beta gamma", "delta delta", "eps eps eps"]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s0"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_chao", docs, "documents.parquet")
+        got = q289_chao1_vocabulary(d).to_pandas()
+        assert got["v_obs"].iloc[0] == 5
+        assert got["f1"].iloc[0] == 3
+        assert got["f2"].iloc[0] == 1
+        assert got["n_tokens"].iloc[0] == 8
+        assert got["chao1_micro"].iloc[0] == 6_500_000
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(SQL_Q289).fetchdf()
+        assert got.equals(want)
+
+
+class TestHeapsLaw:
+    def test_saturating_vs_growing(self, ray_session, tmp_path):
+        """A corpus where every doc repeats the same 5 words fits
+        beta ~ 0; one where every doc brings fresh words fits
+        beta ~ 1."""
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import SQL_Q290, q290_heaps_law
+
+        def _mk(texts, name):
+            t = pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(texts), pa.string()),
+                    "source": pa.array(["s0"] * len(texts), pa.string()),
+                    "n_chars": pa.array(
+                        [len(x) for x in texts], pa.int64()
+                    ),
+                }
+            )
+            return _write(tmp_path, name, t, "documents.parquet"), t
+
+        sat, _ = _mk(["one two three four five"] * 60, "sf_heaps_sat")
+        grow, _ = _mk(
+            [" ".join(f"w{i}x{j}" for j in range(5)) for i in range(60)],
+            "sf_heaps_grow",
+        )
+        b_sat = q290_heaps_law(sat).to_pandas()["beta_micro"].iloc[0]
+        b_grow = q290_heaps_law(grow).to_pandas()["beta_micro"].iloc[0]
+        assert b_sat < 100_000  # saturated: ~0
+        assert b_grow > 900_000  # every doc fresh: ~1
+        got = q290_heaps_law(grow).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{grow}/documents.parquet')"
+        )
+        want = con.execute(SQL_Q290).fetchdf()
+        assert got.equals(want)
