@@ -973,3 +973,33 @@ def longest_repeated_run(tokens) -> int:
         else:
             hi = mid - 1
     return lo
+
+
+def longest_common_run(a, b) -> int:
+    """Length of the longest token window shared verbatim by two
+    sequences — the pairwise-alignment refinement of a binary near-dup
+    verdict (two docs can share 40% of shingles via scattered phrases
+    or via one long lifted passage; this tells them apart). Binary
+    search on window length (a shared run of L implies one of L-1, so
+    the predicate is monotone); windows of the SHORTER side go into a
+    set of exact tuples, the longer side probes (no hash-collision
+    false positives). O((|a|+|b|) log min(|a|,|b|)) window probes.
+    Shared by the distributed per-pair pass and the golden replay."""
+    if len(a) > len(b):
+        a, b = b, a
+    na, nb = len(a), len(b)
+    if na == 0:
+        return 0
+
+    def _shared(L: int) -> bool:
+        wins = {tuple(a[i : i + L]) for i in range(na - L + 1)}
+        return any(tuple(b[j : j + L]) in wins for j in range(nb - L + 1))
+
+    lo, hi = 0, na
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _shared(mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo

@@ -1288,3 +1288,39 @@ def golden_self_repeat(docs: pa.Table) -> pa.Table:
             "repeat_share_bp": pa.array(bp, pa.int64()),
         }
     )
+
+
+def golden_neardup_lcs(docs: pa.Table) -> pa.Table:
+    """Sequential replay of q291: the golden_minhash_pairs pair set
+    (threshold 0.4), each doc tokenized once with the SHARED Tokenizer,
+    pairwise longest common run through the SHARED
+    text.longest_common_run kernel."""
+    from barks_ocr_ray.functions.text import Tokenizer, longest_common_run
+
+    pairs = golden_minhash_pairs(docs, threshold=0.4)
+    tok = Tokenizer()
+    toks = {
+        int(d): tok.tokens(t or "")
+        for d, t in zip(
+            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+        )
+    }
+    out_a, out_b, out_l, out_s = [], [], [], []
+    for da, db in zip(
+        pairs.column("doc_a").to_pylist(), pairs.column("doc_b").to_pylist()
+    ):
+        a, b = toks[int(da)], toks[int(db)]
+        L = longest_common_run(a, b)
+        m = min(len(a), len(b))
+        out_a.append(int(da))
+        out_b.append(int(db))
+        out_l.append(L)
+        out_s.append((10_000 * L) // m if m else 0)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "lcs_tokens": pa.array(out_l, pa.int64()),
+            "lcs_share_bp": pa.array(out_s, pa.int64()),
+        }
+    )

@@ -533,6 +533,9 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q284": ensure_neardup_golden(
             "self_repeat", "documents", g.golden_self_repeat
         ),
+        "q291": ensure_neardup_golden(
+            "neardup_lcs", "documents", g.golden_neardup_lcs
+        ),
     }
 
 

@@ -21228,6 +21228,80 @@ FROM s, tot, ntot
 """
 
 
+def q291_neardup_lcs_audit(sf_dir: str):
+    """Longest-common-token-run audit over the q19 MinHash near-dup
+    pairs — the alignment refinement of the binary pair verdict (a
+    0.4-Jaccard pair can be scattered phrase overlap or one long
+    lifted passage; lcs_share separates boilerplate-style reuse from
+    quotation). Plan: pairs from the SHARED minhash_near_dups operator
+    (bit-equal to the golden's sequential replay), both texts attached
+    via the broadcast-gated _attach_column path, then a per-pair pass
+    through the shared text.longest_common_run kernel with a per-batch
+    token cache (a doc in many pairs tokenizes once per block).
+    share_bp = floor(1e4 * lcs / min(na, nb)) is pure integer."""
+    from barks_ocr_ray.functions.dedupe import _attach_column, minhash_near_dups
+    from barks_ocr_ray.functions.text import Tokenizer, longest_common_run
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    n_docs = docs.count()
+    pairs = minhash_near_dups(docs, threshold=0.4)
+    pairs = _attach_column(pairs, docs, "doc_a", "text", "text_a", 8, n_docs)
+    pairs = _attach_column(
+        pairs, docs, "doc_b", "text", "text_b", 8, n_docs
+    ).materialize()  # pair-scale (tiny vs corpus); also the empty gate
+    if pairs.count() == 0:
+        # typed empty — a schema-less 0-row Dataset drops the column
+        # names the driver compares (CLAUDE.md to_pandas trap)
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "lcs_tokens": pa.array([], pa.int64()),
+                "lcs_share_bp": pa.array([], pa.int64()),
+            }
+        )
+    _lcr = longest_common_run
+
+    class _Align(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cache: dict = {}
+
+            def _toks(did, txt):
+                t = cache.get(did)
+                if t is None:
+                    t = self.tokens(txt or "")
+                    cache[did] = t
+                return t
+
+            out_a, out_b, out_l, out_s = [], [], [], []
+            for da, db, ta, tb in zip(
+                batch.column("doc_a").to_pylist(),
+                batch.column("doc_b").to_pylist(),
+                batch.column("text_a").to_pylist(),
+                batch.column("text_b").to_pylist(),
+            ):
+                a = _toks(da, ta)
+                b = _toks(db, tb)
+                L = _lcr(a, b)
+                m = min(len(a), len(b))
+                out_a.append(int(da))
+                out_b.append(int(db))
+                out_l.append(L)
+                out_s.append((10_000 * L) // m if m else 0)
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "lcs_tokens": pa.array(out_l, pa.int64()),
+                    "lcs_share_bp": pa.array(out_s, pa.int64()),
+                }
+            )
+
+    return pairs.map_batches(
+        _Align, batch_format="pyarrow", concurrency=(1, 4)
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -21535,6 +21609,7 @@ def build_registry():
         "q288_theil_sen_trend": q288_theil_sen_trend,
         "q289_chao1_vocabulary": q289_chao1_vocabulary,
         "q290_heaps_law": q290_heaps_law,
+        "q291_neardup_lcs_audit": q291_neardup_lcs_audit,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -21907,6 +21982,11 @@ def build_registry():
         "q288_theil_sen_trend": SQL_Q288,
         "q289_chao1_vocabulary": SQL_Q289,
         "q290_heaps_law": SQL_Q290,
+        "q291_neardup_lcs_audit": _sql_golden(
+            "neardup_lcs",
+            "doc_a, doc_b, lcs_tokens, lcs_share_bp",
+            "documents",
+        ),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -648,3 +648,69 @@ class TestHeapsLaw:
         )
         want = con.execute(SQL_Q290).fetchdf()
         assert got.equals(want)
+
+
+class TestNeardupLcsAudit:
+    def test_kernel(self):
+        from barks_ocr_ray.functions.text import longest_common_run
+
+        assert longest_common_run([], ["a"]) == 0
+        assert longest_common_run(["a"], ["a"]) == 1
+        assert longest_common_run("a b c d".split(), "x b c y".split()) == 2
+        # symmetric
+        assert longest_common_run("a b c".split(), "z a b c".split()) == 3
+        assert longest_common_run("z a b c".split(), "a b c".split()) == 3
+        assert longest_common_run(["q"], ["r"]) == 0
+
+    def test_matches_golden(self, ray_session, tmp_path):
+        """Pairs that share one long lifted passage score a high
+        lcs_share; scattered-overlap pairs score low — and the
+        distributed pass equals the sequential replay exactly."""
+        from barks_ocr_ray.golden_dedup import golden_neardup_lcs
+        from barks_ocr_ray.pipelines.queries import q291_neardup_lcs_audit
+
+        rng = np.random.default_rng(21)
+        base = [f"w{int(x)}" for x in rng.integers(0, 400, 120)]
+        passage = [f"p{j}" for j in range(60)]
+        texts = []
+        # near-identical docs (J ~ 0.95 — 16x8 LSH banding recalls a
+        # 0.68-Jaccard pair only ~half the time, so the test pair must
+        # sit WELL above the threshold) sharing the 60-token passage
+        texts.append(" ".join(base[:3] + passage))
+        texts.append(" ".join(base[100:103] + passage))
+        # two docs with the same vocabulary scattered differently
+        words = [f"s{j}" for j in range(40)]
+        order1 = list(words)
+        order2 = list(words[::-1])
+        texts.append(" ".join(order1 * 3))
+        texts.append(" ".join(order2 * 3))
+        # filler docs
+        for i in range(8):
+            texts.append(
+                " ".join(f"f{i}_{int(x)}" for x in rng.integers(0, 500, 80))
+            )
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s0"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_lcs", docs, "documents.parquet")
+        got = (
+            q291_neardup_lcs_audit(d)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        want = (
+            golden_neardup_lcs(docs)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+        by_pair = got.set_index(["doc_a", "doc_b"])
+        assert by_pair.loc[(0, 1), "lcs_tokens"] >= 60  # lifted passage
