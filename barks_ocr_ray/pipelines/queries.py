@@ -21302,6 +21302,227 @@ def q291_neardup_lcs_audit(sf_dir: str):
     )
 
 
+def q292_power_analysis(sf_dir: str):
+    """Two-sample power-analysis planner per source: docs per arm
+    needed to detect a 2% shift in mean doc length at alpha = 0.05 /
+    power = 0.80 — the experimental-design front door to q253's
+    realized z-test (run THIS before the A/B, not after). Exact int64
+    moments (n, sum, sum-of-squares) ship as O(1) block partials; the
+    z quantiles are shared LITERALS (1.959963984540054,
+    0.8416212335729143) and n_required = ceil(2 (z_a+z_b)^2 s^2 /
+    delta^2) closes as ONE mirrored IEEE chain on the sources-bounded
+    driver table. Sources with zero variance or <2 docs report 0
+    (nothing to detect / nothing to estimate, mirrored CASE)."""
+    import math
+
+    import numpy as np
+
+    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def _moments(t: pa.Table) -> pa.Table:
+        src = t.column("source")
+        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = pa.table(
+            {
+                "source": src,
+                "n": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(x),
+                "sxx": pa.array(x * x),
+            }
+        )
+        g = tt.group_by(["source"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")]
+        )
+        return g.rename_columns(["source", "n", "sx", "sxx"])
+
+    rows = (
+        docs.map_batches(_moments, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .take_all()
+    )
+    ZA, ZB = 1.959963984540054, 0.8416212335729143
+    agg: dict = {}
+    for r in rows:
+        a = agg.setdefault(r["source"], [0, 0, 0])
+        a[0] += int(r["n"])
+        a[1] += int(r["sx"])
+        a[2] += int(r["sxx"])
+    out_s, out_n, out_m, out_v, out_req = [], [], [], [], []
+    for s in sorted(agg):
+        n, sx, sxx = agg[s]
+        out_s.append(s)
+        out_n.append(n)
+        mean = sx * 1.0 / n if n else 0.0
+        out_m.append(int(round_like_duckdb(1e6 * mean, 0)) if n else 0)
+        if n < 2:
+            out_v.append(0)
+            out_req.append(0)
+            continue
+        s2 = (sxx - sx * sx * 1.0 / n) / (n - 1)
+        out_v.append(int(round_like_duckdb(1e6 * s2, 0)))
+        delta = 0.02 * mean
+        if s2 <= 0.0 or delta <= 0.0:
+            out_req.append(0)
+        else:
+            out_req.append(
+                int(
+                    math.ceil(
+                        2.0 * (ZA + ZB) * (ZA + ZB) * s2 / (delta * delta)
+                    )
+                )
+            )
+    return pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "mean_micro": pa.array(out_m, pa.int64()),
+            "var_micro": pa.array(out_v, pa.int64()),
+            "n_required": pa.array(out_req, pa.int64()),
+        }
+    )
+
+
+SQL_Q292 = """
+WITH m AS (SELECT source,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS sx,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+           FROM documents GROUP BY 1)
+SELECT source, n,
+       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(1000000 * (sx * 1.0 / n), 0) AS BIGINT)
+       END AS mean_micro,
+       CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+            ELSE CAST(round(1000000 *
+                   ((sxx - sx * sx * 1.0 / n) / (n - 1)), 0) AS BIGINT)
+       END AS var_micro,
+       CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
+            WHEN (sxx - sx * sx * 1.0 / n) / (n - 1) <= 0.0
+              THEN CAST(0 AS BIGINT)
+            WHEN 0.02 * (sx * 1.0 / n) <= 0.0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(ceil(
+                   2.0 * (1.959963984540054 + 0.8416212335729143)
+                       * (1.959963984540054 + 0.8416212335729143)
+                       * ((sxx - sx * sx * 1.0 / n) / (n - 1))
+                       / ((0.02 * (sx * 1.0 / n))
+                          * (0.02 * (sx * 1.0 / n)))) AS BIGINT)
+       END AS n_required
+FROM m ORDER BY 1
+"""
+
+
+Q293_ROUNDS = 24
+
+
+def q293_mixture_waterfill(sf_dir: str):
+    """Token-budget mixture planner: allocate a 50%-of-corpus token
+    budget across sources by iterative waterfilling (equal shares;
+    a source that can't absorb its share saturates and the leftover
+    re-spreads next round) — the deterministic skeleton of every
+    'balance the mixture but respect per-source supply' decision
+    (DoReMi-style weight solvers start from exactly this feasibility
+    shape). ALL-INTEGER: budget = total // 2, each round adds
+    min(cap - got, rem // n_unsaturated) per unsaturated source, 24
+    fixed rounds (extra rounds no-op, so the SQL's unrolled chained
+    CTEs replay bit-for-bit; at most one source saturates per
+    distinct capacity level, and floor loss < n_sources stays
+    unallocated — documented). Plan: warm-Tokenizer per-block
+    (source, tokens) partials, ONE sources-bounded aggregation, the
+    fill runs on the driver table."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["source", "text"])
+
+    class _Toks(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            agg: dict = {}
+            for src, s in zip(
+                batch.column("source").to_pylist(), batch.column("text")
+            ):
+                agg[src] = agg.get(src, 0) + len(self.tokens(s.as_py() or ""))
+            ks = sorted(agg)
+            return pa.table(
+                {
+                    "source": pa.array(ks, pa.string()),
+                    "c": pa.array([agg[k] for k in ks], pa.int64()),
+                }
+            )
+
+    rows = (
+        docs.map_batches(_Toks, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    agg: dict = {}
+    for r in rows:
+        agg[r["source"]] = agg.get(r["source"], 0) + int(r["c"])
+    sources = sorted(agg)
+    caps = np.array([agg[s] for s in sources], dtype=np.int64)
+    budget = int(caps.sum()) // 2
+    got = np.zeros(len(caps), np.int64)
+    for _ in range(Q293_ROUNDS):
+        unsat = got < caps
+        n_unsat = int(unsat.sum())
+        rem = budget - int(got.sum())
+        if n_unsat == 0 or rem <= 0:
+            continue  # fixed-round no-op, mirrors the SQL CASE
+        fair = rem // n_unsat
+        got[unsat] += np.minimum(caps[unsat] - got[unsat], fair)
+    return pa.table(
+        {
+            "source": pa.array(sources, pa.string()),
+            "c_tokens": pa.array(caps, pa.int64()),
+            "alloc_tokens": pa.array(got, pa.int64()),
+            "saturated": pa.array(
+                (got == caps).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q293(rounds: int = Q293_ROUNDS) -> str:
+    # every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and each round references its predecessor 4 times —
+    # un-materialized, the 24-round chain explodes exponentially
+    # (observed as "Too many open files" on the base parquet)
+    body = """
+WITH base AS MATERIALIZED (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+              AS BIGINT) AS c
+  FROM documents GROUP BY 1),
+bb AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) // 2 AS b FROM base),
+r0 AS MATERIALIZED (SELECT source, c, CAST(0 AS BIGINT) AS got FROM base)"""
+    for k in range(1, rounds + 1):
+        p = f"r{k - 1}"
+        body += f""",
+r{k} AS MATERIALIZED (
+  SELECT source, c,
+         got + CASE
+           WHEN got < c
+            AND (SELECT count(*) FROM {p} WHERE got < c) > 0
+            AND (SELECT bb.b - sum(got) FROM {p}, bb GROUP BY bb.b) > 0
+           THEN least(c - got,
+                  (SELECT bb.b - sum(got) FROM {p}, bb GROUP BY bb.b)
+                  // (SELECT count(*) FROM {p} WHERE got < c))
+           ELSE 0 END AS got
+  FROM {p})"""
+    body += f"""
+SELECT source, c AS c_tokens,
+       CAST(got AS BIGINT) AS alloc_tokens,
+       CAST(CASE WHEN got = c THEN 1 ELSE 0 END AS BIGINT) AS saturated
+FROM r{rounds} ORDER BY 1"""
+    return body
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -21610,6 +21831,8 @@ def build_registry():
         "q289_chao1_vocabulary": q289_chao1_vocabulary,
         "q290_heaps_law": q290_heaps_law,
         "q291_neardup_lcs_audit": q291_neardup_lcs_audit,
+        "q292_power_analysis": q292_power_analysis,
+        "q293_mixture_waterfill": q293_mixture_waterfill,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -21987,6 +22210,8 @@ def build_registry():
             "doc_a, doc_b, lcs_tokens, lcs_share_bp",
             "documents",
         ),
+        "q292_power_analysis": SQL_Q292,
+        "q293_mixture_waterfill": _sql_q293(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -714,3 +714,99 @@ class TestNeardupLcsAudit:
         assert got.equals(want)
         by_pair = got.set_index(["doc_a", "doc_b"])
         assert by_pair.loc[(0, 1), "lcs_tokens"] >= 60  # lifted passage
+
+
+class TestPowerAnalysis:
+    def test_variance_drives_sample_size(self, ray_session, tmp_path):
+        """Same mean, 4x the sd -> ~16x the required n; SQL replays."""
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q292,
+            q292_power_analysis,
+        )
+
+        rng = np.random.default_rng(17)
+        srcs, lens = [], []
+        for i in range(400):
+            srcs.append("tight")
+            lens.append(int(rng.normal(1000, 20)))
+        for i in range(400):
+            srcs.append("wide")
+            lens.append(int(rng.normal(1000, 80)))
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(srcs)), pa.int64()),
+                "text": pa.array(["x"] * len(srcs), pa.string()),
+                "lang": pa.array(["en"] * len(srcs), pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_pow", docs, "documents.parquet")
+        got = (
+            q292_power_analysis(d)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        req = got.set_index("source")["n_required"]
+        assert 10 < req["wide"] / req["tight"] < 22  # ~16x
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(SQL_Q292).fetchdf()
+        assert got.equals(want.sort_values("source").reset_index(drop=True))
+
+
+class TestMixtureWaterfill:
+    def test_small_source_saturates_leftover_respreads(
+        self, ray_session, tmp_path
+    ):
+        """3 sources with ~10/30/60% of tokens, budget = 50%: the tiny
+        source saturates, the rest split the remainder equally; totals
+        conserve within floor loss; SQL replays."""
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            _sql_q293,
+            q293_mixture_waterfill,
+        )
+
+        texts, srcs = [], []
+        for n, src in ((10, "small"), (30, "mid"), (60, "big")):
+            for i in range(n):
+                texts.append("tok " * 50)  # 50 tokens per doc
+                srcs.append(src)
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_wf", docs, "documents.parquet")
+        got = (
+            q293_mixture_waterfill(d)
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        by = got.set_index("source")
+        # budget = 2500; fair round 1: 833 each; small (500) saturates;
+        # leftover respreads until mid/big hold 1000 each
+        assert by.loc["small", "saturated"] == 1
+        assert by.loc["small", "alloc_tokens"] == 500
+        assert by.loc["mid", "alloc_tokens"] == by.loc["big", "alloc_tokens"]
+        total = int(got["alloc_tokens"].sum())
+        assert 2500 - 3 <= total <= 2500  # floor loss < n_sources
+        assert by.loc["mid", "saturated"] == 0
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+        )
+        want = con.execute(_sql_q293()).fetchdf()
+        assert got.equals(want.sort_values("source").reset_index(drop=True))
