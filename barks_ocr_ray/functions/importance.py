@@ -182,3 +182,55 @@ def importance_resample(
     return scored.sort(
         ["score_micro", "doc_id"], descending=[True, False]
     ).limit(k)
+
+
+def alias_table(terms, weights) -> pa.Table:
+    """Walker/Vose alias table over an integer weight vector — the
+    O(1)-per-draw production sampler that replaces q271's
+    O(log V)-per-draw cumulative binary search (Walker 1977; Vose
+    1991). ALL-INTEGER and order-DETERMINISTIC: slots are processed in
+    input (term-ascending) order with FIFO worklists, p_i = w_i * V is
+    compared against W = sum(w) exactly, and the donor's residual
+    p_l -= (W - p_s) stays an exact int, so the distributed build
+    (vocab agg -> driver construction) and the sequential golden are
+    bit-identical. Every slot's final share of W is p_num/ (V*W)...
+    emitted as prob_ppm = (p_num * 1e6) // W: the probability that a
+    uniform slot draw KEEPS the slot's own term rather than its alias.
+    Slots left over when one worklist drains (integer rounding) pin at
+    prob_ppm = 1e6 with themselves as alias — the standard closure."""
+    from collections import deque
+
+    V = len(terms)
+    w = np.asarray(weights, dtype=np.int64)
+    W = int(w.sum())
+    p = (w * V).astype(object)  # python ints: p_l residuals stay exact
+    prob_num = [0] * V
+    alias = list(range(V))
+    small = deque(i for i in range(V) if int(p[i]) < W)
+    large = deque(i for i in range(V) if int(p[i]) >= W)
+    while small and large:
+        s = small.popleft()
+        l = large.popleft()
+        prob_num[s] = int(p[s])
+        alias[s] = l
+        p[l] = int(p[l]) - (W - int(p[s]))
+        if int(p[l]) < W:
+            small.append(l)
+        else:
+            large.append(l)
+    for q in (large, small):
+        while q:
+            i = q.popleft()
+            prob_num[i] = W
+            alias[i] = i
+    return pa.table(
+        {
+            "term": pa.array(list(terms), pa.string()),
+            "prob_ppm": pa.array(
+                [(n * 1_000_000) // W for n in prob_num], pa.int64()
+            ),
+            "alias_term": pa.array(
+                [terms[a] for a in alias], pa.string()
+            ),
+        }
+    )

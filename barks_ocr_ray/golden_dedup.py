@@ -1324,3 +1324,32 @@ def golden_neardup_lcs(docs: pa.Table) -> pa.Table:
             "lcs_share_bp": pa.array(out_s, pa.int64()),
         }
     )
+
+
+def golden_alias_sampler(docs: pa.Table) -> pa.Table:
+    """Sequential replay of q294: Counter over the SHARED Tokenizer,
+    the q271 count^0.75 micro weights, the SHARED deterministic
+    importance.alias_table construction."""
+    from collections import Counter
+
+    from barks_ocr_ray.functions.importance import alias_table
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    tok = Tokenizer()
+    counts: Counter = Counter()
+    for s in docs.column("text").to_pylist():
+        counts.update(tok.tokens(s or ""))
+    if not counts:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "prob_ppm": pa.array([], pa.int64()),
+                "alias_term": pa.array([], pa.string()),
+            }
+        )
+    terms = sorted(counts)
+    cnt = np.array([counts[t] for t in terms], dtype=np.int64)
+    weight = round_like_duckdb(
+        1e6 * cnt.astype(np.float64) ** 0.75, 0
+    ).astype(np.int64)
+    return alias_table(terms, weight)

@@ -536,6 +536,9 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q291": ensure_neardup_golden(
             "neardup_lcs", "documents", g.golden_neardup_lcs
         ),
+        "q294": ensure_neardup_golden(
+            "alias_sampler", "documents", g.golden_alias_sampler
+        ),
     }
 
 

@@ -21523,6 +21523,63 @@ FROM r{rounds} ORDER BY 1"""
     return body
 
 
+def q294_alias_sampler(sf_dir: str):
+    """Walker/Vose alias sampling table over the q271 count^0.75
+    negative-sampling distribution — the O(1)-per-draw production
+    sampler a training loop actually embeds (q271's cumulative table
+    costs O(log V) per draw; the alias table costs one uniform + one
+    compare). Construction is the SHARED all-integer deterministic
+    kernel importance.alias_table (FIFO worklists in term order, exact
+    residuals), so the build replays bit-for-bit in the sequential
+    golden. Plan: ONE vocab-bounded (term, count) aggregation; the
+    O(V) construction runs on the driver's vocab-sized table (q271/
+    q175 discipline). Invariant pinned by tests: sum of each term's
+    total slot mass equals its weight share."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.importance import alias_table
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    class _TermCounts(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            counts = _Counter()
+            for s in batch.column("text"):
+                counts.update(self.tokens(s.as_py() or ""))
+            return pa.table(
+                {
+                    "term": pa.array(list(counts.keys()), pa.string()),
+                    "cnt": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+    vocab = (
+        docs.map_batches(_TermCounts, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("term", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    if not vocab:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "prob_ppm": pa.array([], pa.int64()),
+                "alias_term": pa.array([], pa.string()),
+            }
+        )
+    terms = np.array([r["term"] for r in vocab], dtype=object)
+    cnt = np.array([int(r["cnt"]) for r in vocab], dtype=np.int64)
+    order = np.argsort(terms)
+    terms, cnt = terms[order], cnt[order]
+    weight = round_like_duckdb(
+        1e6 * cnt.astype(np.float64) ** 0.75, 0
+    ).astype(np.int64)
+    return alias_table(list(terms), weight)
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -21833,6 +21890,7 @@ def build_registry():
         "q291_neardup_lcs_audit": q291_neardup_lcs_audit,
         "q292_power_analysis": q292_power_analysis,
         "q293_mixture_waterfill": q293_mixture_waterfill,
+        "q294_alias_sampler": q294_alias_sampler,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -22212,6 +22270,9 @@ def build_registry():
         ),
         "q292_power_analysis": SQL_Q292,
         "q293_mixture_waterfill": _sql_q293(),
+        "q294_alias_sampler": _sql_golden(
+            "alias_sampler", "term, prob_ppm, alias_term", "documents"
+        ),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

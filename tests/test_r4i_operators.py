@@ -810,3 +810,78 @@ class TestMixtureWaterfill:
         )
         want = con.execute(_sql_q293()).fetchdf()
         assert got.equals(want.sort_values("source").reset_index(drop=True))
+
+
+class TestAliasSampler:
+    def test_kernel_hand_case(self):
+        """weights [1,1,2], V=3, W=4: p=[3,3,6]; both small slots keep
+        prob 3/4 aliased to the heavy term; the heavy slot closes at
+        1.0 — and the heavy term's total mass is exactly w/W = 1/2."""
+        from barks_ocr_ray.functions.importance import alias_table
+
+        t = alias_table(["a", "b", "c"], [1, 1, 2]).to_pandas()
+        assert t["prob_ppm"].tolist() == [750_000, 750_000, 1_000_000]
+        assert t["alias_term"].tolist() == ["c", "c", "c"]
+
+    def test_mass_conservation(self):
+        """For every term: own-slot kept mass + donated alias mass
+        over all slots equals w/W exactly (checked on exact integer
+        numerators reconstructed from the kernel's math)."""
+        from collections import deque
+
+        import numpy as np
+
+        from barks_ocr_ray.functions.importance import alias_table
+
+        rng = np.random.default_rng(8)
+        terms = [f"t{i:02d}" for i in range(17)]
+        w = rng.integers(1, 1000, len(terms)).astype(np.int64)
+        V, W = len(terms), int(w.sum())
+        tbl = alias_table(terms, w).to_pandas()
+        # reconstruct exact numerators: prob_ppm = floor(1e6*p/W)
+        # -> recover p from a parallel replay of the same kernel
+        p = (w * V).astype(object)
+        prob_num = [0] * V
+        alias = list(range(V))
+        small = deque(i for i in range(V) if int(p[i]) < W)
+        large = deque(i for i in range(V) if int(p[i]) >= W)
+        while small and large:
+            s, l = small.popleft(), large.popleft()
+            prob_num[s], alias[s] = int(p[s]), l
+            p[l] = int(p[l]) - (W - int(p[s]))
+            (small if int(p[l]) < W else large).append(l)
+        for q in (large, small):
+            while q:
+                i = q.popleft()
+                prob_num[i], alias[i] = W, i
+        mass = [0] * V
+        for s in range(V):
+            mass[s] += prob_num[s]
+            if alias[s] != s:
+                mass[alias[s]] += W - prob_num[s]
+        for i in range(V):
+            assert mass[i] == int(w[i]) * V  # mass/VW == w/W exactly
+        # and the public table matches the replay's floors
+        assert tbl["prob_ppm"].tolist() == [
+            (n * 1_000_000) // W for n in prob_num
+        ]
+
+    def test_query_matches_golden(self, ray_session, tmp_path):
+        from barks_ocr_ray.golden_dedup import golden_alias_sampler
+        from barks_ocr_ray.pipelines.queries import q294_alias_sampler
+
+        texts = ["the the the cat", "the dog dog", "fish"]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s0"] * 3, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+        d = _write(tmp_path, "sf_alias", docs, "documents.parquet")
+        got = q294_alias_sampler(d).to_pandas()
+        want = golden_alias_sampler(docs).to_pandas()
+        assert got.equals(want)
+        assert set(got["term"]) == {"the", "cat", "dog", "fish"}
