@@ -21580,6 +21580,153 @@ def q294_alias_sampler(sf_dir: str):
     return alias_table(list(terms), weight)
 
 
+def q295_sprt_monitor(sf_dir: str):
+    """Wald sequential probability ratio test per event type: walk the
+    daily log-likelihood ratio of 'this type's traffic share runs 10%
+    hot (p1 = 1.1 p0)' vs its whole-corpus share p0, stopping at the
+    classic ln(19) bounds (alpha = beta = 0.05) — the
+    decide-as-the-data-arrives machinery beside q253's fixed-horizon
+    z-test and q280's CUSUM (SPRT answers 'which hypothesis', CUSUM
+    answers 'did the level move'). Exactness: the per-day LLR
+    k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)) is ONE mirrored IEEE
+    expression micro-rounded per day (q134 ln-parity discipline), the
+    walk is an exact int cumsum, and the boundary is the mirrored
+    round(1e6*ln(19)). Plan: ONE (type, day)-bounded count
+    aggregation; the walk folds on the days x types driver table."""
+    import math
+
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64())
+        day = pc.divide(ts, pa.scalar(DAY, pa.int64()))
+        tt = pa.table({"event_type": t.column("event_type"), "day": day})
+        g = tt.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    hist = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_days": pa.array([], pa.int64()),
+            "final_llr_micro": pa.array([], pa.int64()),
+            "decision": pa.array([], pa.int64()),
+            "decision_day": pa.array([], pa.int64()),
+        }
+    )
+    if not hist:
+        return empty
+    d0 = min(int(r["day"]) for r in hist)
+    nd = max(int(r["day"]) for r in hist) - d0
+    dense: dict = {}
+    for r in hist:
+        dense.setdefault(r["event_type"], np.zeros(nd + 1, np.int64))[
+            int(r["day"]) - d0
+        ] = int(r["c"])
+    day_tot = np.zeros(nd + 1, np.int64)
+    for c in dense.values():
+        day_tot += c
+    grand = int(day_tot.sum())
+    bound = int(round_like_duckdb(1e6 * math.log(19.0), 0))
+    rows = []
+    for typ in sorted(dense):
+        c = dense[typ]
+        p0 = int(c.sum()) * 1.0 / grand
+        p1 = 1.1 * p0
+        la = math.log(p1 / p0)
+        lb = math.log((1.0 - p1) / (1.0 - p0))
+        cum = 0
+        decision = 0
+        dec_day = 0
+        for d in range(nd + 1):
+            k = int(c[d])
+            n = int(day_tot[d])
+            cum += int(round_like_duckdb(1e6 * (k * la + (n - k) * lb), 0))
+            if decision == 0:
+                if cum >= bound:
+                    decision, dec_day = 1, d + 1
+                elif cum <= -bound:
+                    decision, dec_day = -1, d + 1
+        rows.append((typ, nd + 1, cum, decision, dec_day))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_days": pa.array([r[1] for r in rows], pa.int64()),
+            "final_llr_micro": pa.array([r[2] for r in rows], pa.int64()),
+            "decision": pa.array([r[3] for r in rows], pa.int64()),
+            "decision_day": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_Q295 = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS dd0,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts))) AS nd
+  FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT t.event_type, gs.i
+          FROM types t, bounds, generate_series(0, 100000) gs(i)
+          WHERE gs.i <= bounds.nd),
+counts AS (SELECT event_type,
+                  date_diff('day', bounds.dd0, date_trunc('day', ts)) AS i,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events, bounds GROUP BY 1, 2),
+dense AS (SELECT s.event_type, s.i, coalesce(c.c, 0) AS c
+          FROM spine s LEFT JOIN counts c
+            ON c.event_type = s.event_type AND c.i = s.i),
+dt AS (SELECT i, CAST(sum(c) AS BIGINT) AS n FROM dense GROUP BY 1),
+g AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM dense),
+tp AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot FROM dense
+       GROUP BY 1),
+llr AS (SELECT d.event_type, d.i,
+               CAST(round(1000000 * (
+                 d.c * ln((1.1 * (tp.tot * 1.0 / g.grand))
+                          / (tp.tot * 1.0 / g.grand))
+                 + (dt.n - d.c) * ln((1.0 - 1.1 * (tp.tot * 1.0 / g.grand))
+                                     / (1.0 - (tp.tot * 1.0 / g.grand)))),
+                 0) AS BIGINT) AS l
+        FROM dense d
+        JOIN dt ON dt.i = d.i
+        JOIN tp ON tp.event_type = d.event_type
+        CROSS JOIN g),
+walk AS (SELECT event_type, i,
+                CAST(sum(l) OVER (
+                  PARTITION BY event_type ORDER BY i) AS BIGINT) AS cum
+         FROM llr),
+bnd AS (SELECT CAST(round(1000000 * ln(19.0), 0) AS BIGINT) AS b),
+crossed AS (SELECT w.event_type, w.i, w.cum,
+                   CASE WHEN w.cum >= bnd.b THEN 1 ELSE -1 END AS side
+            FROM walk w, bnd
+            WHERE w.cum >= bnd.b OR w.cum <= -bnd.b),
+firstx AS (SELECT event_type, i, side FROM crossed
+           QUALIFY row_number() OVER (
+             PARTITION BY event_type ORDER BY i) = 1),
+fin AS (SELECT event_type, cum FROM walk
+        QUALIFY row_number() OVER (
+          PARTITION BY event_type ORDER BY i DESC) = 1),
+nd_t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+         FROM dense GROUP BY 1)
+SELECT n.event_type, n.n_days,
+       f.cum AS final_llr_micro,
+       CAST(coalesce(fx.side, 0) AS BIGINT) AS decision,
+       CAST(coalesce(fx.i + 1, 0) AS BIGINT) AS decision_day
+FROM nd_t n
+JOIN fin f ON f.event_type = n.event_type
+LEFT JOIN firstx fx ON fx.event_type = n.event_type
+ORDER BY 1
+"""
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -21891,6 +22038,7 @@ def build_registry():
         "q292_power_analysis": q292_power_analysis,
         "q293_mixture_waterfill": q293_mixture_waterfill,
         "q294_alias_sampler": q294_alias_sampler,
+        "q295_sprt_monitor": q295_sprt_monitor,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -22273,6 +22421,7 @@ def build_registry():
         "q294_alias_sampler": _sql_golden(
             "alias_sampler", "term, prob_ppm, alias_term", "documents"
         ),
+        "q295_sprt_monitor": SQL_Q295,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -193,7 +193,8 @@ for name, min_rows in (('q01_pricing_summary', 1),
                         ('q291_neardup_lcs_audit', 1),
                         ('q292_power_analysis', 1),
                         ('q293_mixture_waterfill', 1),
-                        ('q294_alias_sampler', 1)):
+                        ('q294_alias_sampler', 1),
+                        ('q295_sprt_monitor', 1)):
     r = qs[name]("/root/testdata/sf0.001")
     n = r.count() if isinstance(r, rd.Dataset) else len(r)
     assert n >= min_rows, name

@@ -885,3 +885,100 @@ class TestAliasSampler:
         want = golden_alias_sampler(docs).to_pandas()
         assert got.equals(want)
         assert set(got["term"]) == {"the", "cat", "dog", "fish"}
+
+
+class TestSprtMonitor:
+    def test_hot_type_accepts_h1(self, ray_session, tmp_path):
+        """A type whose realized share runs well above its planning
+        share p0... p0 is computed from the data itself, so construct
+        the asymmetry IN TIME: 'hot' concentrates early at a high
+        share then vanishes, making day-level evidence swing; at
+        minimum the walk must replay the SQL exactly and a balanced
+        type must NOT decide."""
+        import duckdb
+
+        from barks_ocr_ray.pipelines.queries import (
+            SQL_Q295,
+            q295_sprt_monitor,
+        )
+
+        rows = []
+        eid = 0
+        # 'steady' and 'other' split every day 50/50 for 20 days:
+        # shares match p0 exactly -> LLR drifts slightly NEGATIVE
+        # under H1 (the standard SPRT behavior at p = p0), but must
+        # not cross ln(19) this fast.
+        for day in range(20):
+            for _ in range(30):
+                rows.append((eid, day, "steady")); eid += 1
+            for _ in range(30):
+                rows.append((eid, day, "other")); eid += 1
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        _BASE + datetime.timedelta(days=r[1], hours=2)
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_sprt", ev, "events.parquet")
+        got = (
+            q295_sprt_monitor(d)
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        # balanced-by-construction types: no H1 acceptance
+        assert (got["decision"] <= 0).all()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')"
+        )
+        want = con.execute(SQL_Q295).fetchdf()
+        assert got.equals(
+            want.sort_values("event_type").reset_index(drop=True)
+        )
+
+    def test_h0_rejection_fires(self, ray_session, tmp_path):
+        """A type at exactly its average share accumulates negative
+        LLR (running-at-p0 under an 'is it 10% hot?' test) and, given
+        enough identical days, crosses the lower bound -> decision -1
+        with a recorded decision day."""
+        from barks_ocr_ray.pipelines.queries import q295_sprt_monitor
+
+        rows = []
+        eid = 0
+        for day in range(120):
+            for _ in range(40):
+                rows.append((eid, day, "a")); eid += 1
+            for _ in range(40):
+                rows.append((eid, day, "b")); eid += 1
+        ev = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        _BASE + datetime.timedelta(days=r[1], hours=2)
+                        for r in rows
+                    ],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([0] * len(rows), pa.int64()),
+                "event_type": pa.array([r[2] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array([""] * len(rows), pa.string()),
+            }
+        )
+        d = _write(tmp_path, "sf_sprt2", ev, "events.parquet")
+        got = q295_sprt_monitor(d).to_pandas()
+        assert (got["decision"] == -1).all()
+        assert (got["decision_day"] > 0).all()
+        assert (got["final_llr_micro"] < 0).all()
