@@ -202,8 +202,11 @@ def alias_table(terms, weights) -> pa.Table:
 
     V = len(terms)
     w = np.asarray(weights, dtype=np.int64)
-    W = int(w.sum())
-    p = (w * V).astype(object)  # python ints: p_l residuals stay exact
+    W = sum(int(x) for x in w)  # exact: int64 .sum() could wrap too
+    # Widen to Python ints BEFORE the w*V product — (w * V) in int64
+    # can silently wrap at production scale (w ~ 1e6*cnt^0.75, V ~ 1e6
+    # terms); residuals must stay exact.
+    p = np.array([int(x) * V for x in w], dtype=object)
     prob_num = [0] * V
     alias = list(range(V))
     small = deque(i for i in range(V) if int(p[i]) < W)

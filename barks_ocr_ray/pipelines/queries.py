@@ -19518,8 +19518,16 @@ def q273_adamic_adar(sf_dir: str):
             .rename_columns(["s1", "s2", "n_common", "aa_micro"])
         )
         aa = g.column("aa_micro").to_numpy(zero_copy_only=False)
+        s1c = g.column("s1").to_numpy(zero_copy_only=False)
+        s2c = g.column("s2").to_numpy(zero_copy_only=False)
         k = min(Q273_TOPK, len(aa))
-        ix = np.argpartition(-aa, k - 1)[:k] if k else np.array([], np.int64)
+        # Block-local cut must mirror the oracle's TOTAL order
+        # (aa_micro DESC, s1 ASC, s2 ASC): aa alone ties constantly
+        # (sums of discrete 1/ln(deg) micro-weights), and an
+        # argpartition keeps boundary ties arbitrarily — a tied pair
+        # with smaller (s1, s2) could be dropped before the driver
+        # merge. lexsort keys are last-is-primary.
+        ix = np.lexsort((s2c, s1c, -aa))[:k]
         return g.take(pa.array(np.sort(ix)))
 
     cand = (
@@ -21074,7 +21082,9 @@ def q290_heaps_law(sf_dir: str):
 
     from barks_ocr_ray.functions.text import Tokenizer, VOCAB_PARTITIONS
 
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    # three consumers (max, _FirstOcc pass, _nbins pass): a lazy
+    # Dataset re-executes the parquet read per consumer — materialize.
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
     md = docs.max("doc_id")
     G = 20
     cutoffs = np.array(
@@ -21639,7 +21649,14 @@ def q295_sprt_monitor(sf_dir: str):
     rows = []
     for typ in sorted(dense):
         c = dense[typ]
-        p0 = int(c.sum()) * 1.0 / grand
+        tot = int(c.sum())
+        # Guard: a type carrying >= 1/1.1 of all traffic makes
+        # p1 = 1.1*p0 >= 1, so ln(1-p1) is a domain error. Exclude such
+        # types — the condition is integer-exact (tot*11 >= grand*10),
+        # mirrored as the tpok filter in SQL_Q295.
+        if tot * 11 >= grand * 10:
+            continue
+        p0 = tot * 1.0 / grand
         p1 = 1.1 * p0
         la = math.log(p1 / p0)
         lb = math.log((1.0 - p1) / (1.0 - p0))
@@ -21688,6 +21705,10 @@ dt AS (SELECT i, CAST(sum(c) AS BIGINT) AS n FROM dense GROUP BY 1),
 g AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM dense),
 tp AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot FROM dense
        GROUP BY 1),
+-- guard (mirrors the engine): p1 = 1.1*p0 >= 1 would make ln(1-p1) a
+-- domain error; exclude via the integer-exact tot*11 >= grand*10
+tpok AS (SELECT tp.event_type, tp.tot FROM tp, g
+         WHERE tp.tot * 11 < g.grand * 10),
 llr AS (SELECT d.event_type, d.i,
                CAST(round(1000000 * (
                  d.c * ln((1.1 * (tp.tot * 1.0 / g.grand))
@@ -21697,7 +21718,7 @@ llr AS (SELECT d.event_type, d.i,
                  0) AS BIGINT) AS l
         FROM dense d
         JOIN dt ON dt.i = d.i
-        JOIN tp ON tp.event_type = d.event_type
+        JOIN tpok tp ON tp.event_type = d.event_type
         CROSS JOIN g),
 walk AS (SELECT event_type, i,
                 CAST(sum(l) OVER (
