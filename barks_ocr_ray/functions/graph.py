@@ -475,6 +475,90 @@ def kcore_membership(
     return cur
 
 
+def orient_by_degree(
+    edges: "Dataset",
+    *,
+    num_partitions: int = 8,
+) -> "Dataset":
+    """Orient an undirected distinct edge list (a, b) [a < b] by the
+    DEGREE rank r(u) = (deg(u), u): each edge emits exactly one row
+    (src, dst, dd) with r(src) < r(dst), dd = deg(dst). This is the
+    hub-killing preprocessing of the classic exact triangle-counting
+    algorithms (compact-forward, Latapy 2008; Suri & Vassilvitskii's
+    'curse of the last reducer', WWW 2011): after orientation a node's
+    OUT-degree is bounded by the number of neighbours of >= its own
+    degree, so a degree-d hub has out-degree O(|E|/d) — on any graph
+    sum(outdeg^2) <= O(|E|^1.5) (arboricity bound), vs the
+    sum(deg^2) wedge blow-up of naive low<high orientation.
+
+    Distributed shape: one node-keyed grouped count (degrees) + two
+    node-keyed joins to attach (deg_a, deg_b) — every exchange is
+    node- or edge-sized; no driver state, no broadcast."""
+    deg_np = hash_partitions(num_partitions)
+    edges_c, n_edges = compact_nonempty(edges, num_partitions)
+    empty = pa.table(
+        {
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "dd": pa.array([], pa.int64()),
+        }
+    )
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("a").combine_chunks().cast(pa.int64()),
+                        t.column("b").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    deg = (
+        edges_c.map_batches(_endpoints, batch_format="pyarrow")
+        .groupby("node", num_partitions=deg_np)
+        .aggregate(Count(alias_name="deg"))
+    )
+    deg_a = deg.map_batches(
+        lambda t: t.rename_columns(["a", "da"]), batch_format="pyarrow"
+    )
+    deg_b = deg.map_batches(
+        lambda t: t.rename_columns(["b", "db"]), batch_format="pyarrow"
+    )
+    deg_a, _ = compact_nonempty(deg_a, num_partitions)
+    deg_b, _ = compact_nonempty(deg_b, num_partitions)
+    with_da = edges_c.join(
+        deg_a, join_type="inner", num_partitions=deg_np, on=("a",)
+    )
+    with_da, _ = compact_nonempty(with_da, num_partitions)
+    with_deg = with_da.join(
+        deg_b, join_type="inner", num_partitions=deg_np, on=("b",)
+    )
+
+    def _orient(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        src = np.where(a_first, a, b)
+        dst = np.where(a_first, b, a)
+        dd = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.int64), pa.int64()),
+                "dst": pa.array(dst.astype(np.int64), pa.int64()),
+                "dd": pa.array(dd.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return with_deg.map_batches(_orient, batch_format="pyarrow")
+
+
 def triangle_counts(
     edges: "Dataset",
     *,
@@ -484,26 +568,22 @@ def triangle_counts(
     list — the classic distributed graph-analytics kernel beside
     PageRank (functions above) and connected components (dedupe.py
     label propagation). Input: (a, b) rows with a < b, distinct.
+    EXACT — no degree cap, no sampling.
 
-    Algorithm (the standard orientation trick, public literature —
-    Suri & Vassilvitskii's MapReduce formulation): with every edge
-    stored low<high, wedges enumerate as edges(a,b) JOIN edges(b,c) on
-    the middle node, producing ordered triples a<b<c; a wedge closes
-    iff (a,c) is an edge — ONE more distributed join against the edge
-    table on the composite (a, c) key. Per-node counts emit 3 rows per
-    closed triangle into a node-keyed aggregation. Exchanges: two
-    joins + one grouped count; the wedge table is sum(deg^2)-sized —
-    the documented partitioning assumption (degree-cap/salt the hub
-    nodes before calling this at 100 TB; TPC-H-ish co-purchase graphs
-    are bounded-degree)."""
-    import numpy as np
-    import pyarrow as pa
-    import ray.data as rd
-    from ray.data.aggregate import Count
-
-    from barks_ocr_ray.context import hash_partitions
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
+    Algorithm: degree-ordering orientation (orient_by_degree above —
+    compact-forward / Suri & Vassilvitskii), then wedges enumerate
+    ONLY at each triangle's minimum-rank apex: oriented edges
+    (u→v) self-join on u give candidate pairs {v, w} with
+    r(v) < r(w), and a wedge closes iff the oriented edge v→w
+    exists — one more distributed join on the composite (v, w) key.
+    Because every wedge is charged to its min-degree apex, a degree-d
+    hub contributes 0 wedges as apex (all its edges point INTO it),
+    so the wedge table is sum(outdeg^2) <= O(|E|^1.5) on ANY graph —
+    skewed web graphs included — instead of the sum(deg^2) blow-up of
+    mid-node wedge joins. tests/test_r5_operators.py pins the bound
+    on a one-hot-hub fixture. Exchanges: degree count + 2 orientation
+    joins + wedge join + closing join + one grouped count, all
+    node-/edge-/wedge-keyed; no driver state."""
     edges_c, n_edges = compact_nonempty(edges, num_partitions)
     empty = pa.table(
         {
@@ -514,42 +594,66 @@ def triangle_counts(
     if n_edges == 0:
         return rd.from_arrow(empty)
 
-    # wedges: (a, b) x (b, c) -> a < b < c by the low<high invariant
-    right = edges_c.map_batches(
-        lambda t: t.rename_columns(["b", "c"]), batch_format="pyarrow"
+    oriented = orient_by_degree(edges_c, num_partitions=num_partitions)
+    oriented = oriented.materialize()  # read by wedge AND closing joins
+
+    np_ = hash_partitions(num_partitions)
+    left = oriented.map_batches(
+        lambda t: t.rename_columns(["u", "v", "dv"]), batch_format="pyarrow"
     )
-    wedges = edges_c.join(
-        right,
-        join_type="inner",
-        num_partitions=hash_partitions(num_partitions),
-        on=("b",),
+    right = oriented.map_batches(
+        lambda t: t.rename_columns(["u", "w", "dw"]), batch_format="pyarrow"
     )
-    wedges, n_wedges = compact_nonempty(wedges, num_partitions)
-    if n_wedges == 0:
+    left, n_l = compact_nonempty(left, num_partitions)
+    right, _ = compact_nonempty(right, num_partitions)
+    if n_l == 0:
+        return rd.from_arrow(empty)
+    wedges = left.join(
+        right, join_type="inner", num_partitions=np_, on=("u",)
+    )
+
+    def _order_pairs(t: pa.Table) -> pa.Table:
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        dv = t.column("dv").to_numpy(zero_copy_only=False)
+        dw = t.column("dw").to_numpy(zero_copy_only=False)
+        keep = (dv < dw) | ((dv == dw) & (v < w))
+        u = t.column("u").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "u": pa.array(u.astype(np.int64), pa.int64()),
+                "v": pa.array(v[keep].astype(np.int64), pa.int64()),
+                "w": pa.array(w[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    cand = wedges.map_batches(_order_pairs, batch_format="pyarrow")
+    cand, n_cand = compact_nonempty(cand, num_partitions)
+    if n_cand == 0:
         return rd.from_arrow(empty)
 
-    # close the wedge: (a, c) must be an edge
-    closing = edges_c.map_batches(
-        lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow"
+    # close the wedge: the oriented edge v→w must exist (r(v) < r(w)
+    # by construction, so {v, w} present implies that orientation)
+    closing = oriented.map_batches(
+        lambda t: t.select(["src", "dst"]).rename_columns(["v", "w"]),
+        batch_format="pyarrow",
     )
-    tris = wedges.join(
-        closing,
-        join_type="inner",
-        num_partitions=hash_partitions(num_partitions),
-        on=("a", "c"),
+    closing, _ = compact_nonempty(closing, num_partitions)
+    tris = cand.join(
+        closing, join_type="inner", num_partitions=np_, on=("v", "w")
     )
 
     def _emit_nodes(t: pa.Table) -> pa.Table:
         cols = [
-            t.column("a").combine_chunks(),
-            t.column("b").combine_chunks(),
-            t.column("c").combine_chunks(),
+            t.column("u").combine_chunks(),
+            t.column("v").combine_chunks(),
+            t.column("w").combine_chunks(),
         ]
         return pa.table({"node": pa.concat_arrays(cols)})
 
     return (
         tris.map_batches(_emit_nodes, batch_format="pyarrow")
-        .groupby("node", num_partitions=hash_partitions(num_partitions))
+        .groupby("node", num_partitions=np_)
         .aggregate(Count(alias_name="n_triangles"))
     )
 

@@ -10766,8 +10766,10 @@ def q189_two_hop_reach(sf_dir: str):
     friends-of-friends reach that prices influence/recommendation
     fan-out; completes the graph-analytics shelf next to q94 PageRank,
     q138 triangles, q163 HITS, q185 k-core). Distributed shape: one
-    mid-node wedge join (sum(deg²)-sized — the triangle_counts
-    hub-cap partitioning assumption applies verbatim), then (node,
+    mid-node wedge join (sum(deg²)-sized — unlike triangles, two-hop
+    reach is charged to the endpoint, so the degree-ordering trick
+    that makes triangle_counts hub-safe does not apply; degree-cap or
+    salt hub nodes before calling this on a skewed graph), then (node,
     reach) DISTINCT via one composite-keyed exchange and a node-keyed
     count. Self is excluded; direct neighbors count (distance 1 or
     2)."""
