@@ -355,3 +355,68 @@ def url_variant(url: str, i: int) -> str:
     if k == 3:
         return f"{scheme}://{host}:443/{path}/"
     return f"{scheme}://www.{host}/{path}"
+
+
+# ---------------------------------------------------------------------------
+# synthetic media corpus (round 5: the REAL decode path's input)
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("fmt", pa.string()),
+        ("media", pa.binary()),
+    ]
+)
+
+_MEDIA_FMTS = ("png", "bmp", "ppm")
+
+
+def media_image_array(i: int, seed: int = SEED):
+    """Deterministic procedural RGB image for media row ``i``: dims in
+    16..96 and a gradient + modular-noise pattern, pure function of
+    (seed, i), fully vectorized — the image the real codecs encode and
+    the decode boundary must reproduce byte-exactly."""
+    import hashlib
+
+    import numpy as np
+
+    d = hashlib.blake2b(
+        f"{seed}:media:{i}".encode(), digest_size=16
+    ).digest()
+    w = 16 + d[0] % 81
+    h = 16 + d[1] % 81
+    a, b, c = d[2] | 1, d[3] | 1, d[4]
+    yy, xx = np.ogrid[0:h, 0:w]
+    base = xx * a + yy * b + c
+    r = (base % 251).astype(np.uint8)
+    g = ((base * 7 + d[5]) % 241).astype(np.uint8)
+    bl = ((xx * yy + d[6]) % 253).astype(np.uint8)
+    return np.dstack(
+        [r, g, np.broadcast_to(bl, (h, w))]
+    ).astype(np.uint8)
+
+
+def media_record(i: int, seed: int = SEED) -> dict:
+    """Media corpus row ``i``: the procedural image encoded with a real
+    pure-Python codec, format round-robin png/bmp/ppm."""
+    from barks_ocr_ray.functions.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    arr = media_image_array(i, seed)
+    fmt = _MEDIA_FMTS[i % 3]
+    enc = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}[fmt]
+    return {
+        "url": f"media://img/{_b36(i)}.{fmt}",
+        "fmt": fmt,
+        "media": enc(arr),
+    }
+
+
+def media_table(n: int, seed: int = SEED) -> pa.Table:
+    return pa.Table.from_pylist(
+        [media_record(i, seed) for i in range(n)], schema=MEDIA_SCHEMA
+    )

@@ -273,13 +273,19 @@ def embedding_all_pairs_exact(
             )
         return pa.concat_tables(tables)
 
-    def _pairs(g: pd.DataFrame) -> pa.Table:
-        key = int(g["pair_key"].iloc[0])
+    def _pairs(g: pa.Table) -> pa.Table:
+        key = int(g.column("pair_key")[0].as_py())
         lo, hi = key // n_blocks, key % n_blocks
         # each row appears once per (own, other) combination -> dedup
-        g = g.drop_duplicates(subset=["vec_id"])
-        ids = np.asarray(g["vec_id"], np.int64)
-        emb = _unit(np.stack([np.asarray(v, np.float64) for v in g["embedding"]]))
+        # (first occurrence, like drop_duplicates)
+        ids_all = g.column("vec_id").to_numpy(zero_copy_only=False)
+        _, fi = np.unique(ids_all, return_index=True)
+        fi.sort()
+        ids = ids_all[fi].astype(np.int64)
+        embs = g.column("embedding").to_pylist()
+        emb = _unit(
+            np.stack([np.asarray(embs[i], np.float64) for i in fi])
+        )
         own = ids % n_blocks
         a_idx = np.where(own == lo)[0]
         b_idx = np.where(own == hi)[0]
@@ -310,7 +316,7 @@ def embedding_all_pairs_exact(
         embeddings.select_columns(["vec_id", "embedding"])
         .map_batches(_explode, batch_format="pyarrow")
         .groupby("pair_key")
-        .map_groups(_pairs, batch_format="pandas")
+        .map_groups(_pairs, batch_format="pyarrow")
     )
     # All-empty group outputs lose the block schema through the shuffle
     # (Ray 2.49, same effect compact_nonempty documents); pin the typed
@@ -387,15 +393,18 @@ def mutual_top1_alignment(
         }
     )
 
-    def _local_tops(g: pd.DataFrame) -> pa.Table:
-        g = g.drop_duplicates(subset=["vec_id"])
-        ids = np.asarray(g["vec_id"], np.int64)
+    def _local_tops(g: pa.Table) -> pa.Table:
+        ids_all = g.column("vec_id").to_numpy(zero_copy_only=False)
+        _, fi = np.unique(ids_all, return_index=True)
+        fi.sort()
+        ids = ids_all[fi].astype(np.int64)
         a_idx = np.where(ids % 2 == 0)[0]
         b_idx = np.where(ids % 2 == 1)[0]
         if len(a_idx) == 0 or len(b_idx) == 0:
             return CAND_EMPTY
+        embs = g.column("embedding").to_pylist()
         emb = _unit(
-            np.stack([np.asarray(v, np.float64) for v in g["embedding"]])
+            np.stack([np.asarray(embs[i], np.float64) for i in fi])
         )
         sims = _round_half_away(emb[a_idx] @ emb[b_idx].T, 6)
         a_ids, b_ids = ids[a_idx], ids[b_idx]
@@ -502,7 +511,7 @@ def mutual_top1_alignment(
         embeddings.select_columns(["vec_id", "embedding"])
         .map_batches(_explode, batch_format="pyarrow")
         .groupby("key")
-        .map_groups(_local_tops, batch_format="pandas")
+        .map_groups(_local_tops, batch_format="pyarrow")
         .repartition(hash_partitions(num_partitions), keys=["q"])
         .map_batches(_merge_claims, batch_format="pyarrow")
         .repartition(hash_partitions(num_partitions), keys=["vec_a", "vec_b"])
@@ -575,16 +584,20 @@ def lsh_topk(
             }
         )
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
+    def _merge(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g.column("neighbor_id").to_numpy(zero_copy_only=False),
+                -g.column("cosine").to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        return g.take(pa.array(order))
 
     return (
         embeddings.select_columns(["vec_id", "embedding"])
         .map_batches(_bucketed_topk, batch_format="pyarrow", batch_size=1024)
         .groupby("query_id")
-        .map_groups(_merge, batch_format="pandas")
+        .map_groups(_merge, batch_format="pyarrow")
     )
 
 
@@ -775,12 +788,14 @@ def pq_topk(
             }
         )
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["score", "neighbor_id"],
-            ascending=[False, True],
-            kind="mergesort",
-        ).head(k)
+    def _merge(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g.column("neighbor_id").to_numpy(zero_copy_only=False),
+                -g.column("score").to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        return g.take(pa.array(order))
 
     return (
         embeddings.select_columns(["vec_id", "embedding"])
@@ -791,7 +806,7 @@ def pq_topk(
         .groupby(
             "query_id", num_partitions=max(1, min(4, len(query_ids)))
         )
-        .map_groups(_merge, batch_format="pandas")
+        .map_groups(_merge, batch_format="pyarrow")
     )
 
 
@@ -864,16 +879,20 @@ def ivf_topk(
             }
         )
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
+    def _merge(g: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                g.column("neighbor_id").to_numpy(zero_copy_only=False),
+                -g.column("cosine").to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        return g.take(pa.array(order))
 
     return (
         embeddings.select_columns(["vec_id", "embedding"])
         .map_batches(_listed_topk, batch_format="pyarrow", batch_size=1024)
         .groupby("query_id")
-        .map_groups(_merge, batch_format="pandas")
+        .map_groups(_merge, batch_format="pyarrow")
     )
 
 

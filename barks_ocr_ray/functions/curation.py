@@ -30,6 +30,7 @@ functions with zero doc-keyed exchange.
 from __future__ import annotations
 
 import numpy as np
+import ray
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
@@ -48,6 +49,9 @@ from barks_ocr_ray.functions.text import TOKEN_RE, Tokenizer
 #: hash join is the unbounded-safe path (extraction.py 'auto' precedent)
 BROADCAST_FREQ_CAP = 2_000_000
 BROADCAST_CONTAM_CAP = 2_000_000
+#: fallback-join df window: grams in more docs than this are broadcast
+#: (provably few: <= total (gram, doc) pairs / cap) — join-skew guard
+FREQ_TOP_DF_CAP = 100_000
 
 
 def _id_fracs(col, method: str = "md5") -> np.ndarray:
@@ -123,6 +127,52 @@ class _DocNgramCounts(_BlockNgramDF):
         )
 
 
+class _DocBoilerStats(Tokenizer):
+    """Fused broadcast-path audit: with the frequent set shipped ONCE
+    (ray.put -> resolved per actor in __init__), a single tokenize pass
+    emits the FINAL per-doc row (doc_id, n_grams, n_boiler,
+    boiler_frac) block-locally — no per-gram exchange, no doc-keyed
+    groupby, no totals join. Collapses the broadcast branch's
+    3-execution plan to 1 (measured: q110 sf0.1 wall ~11.6s with the
+    join plan)."""
+
+    def __init__(self, fset_ref, n: int = 3):
+        super().__init__()
+        self.n = n
+        self.fset = ray.get(fset_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        fs = self.fset
+        ids, totals, nboil = [], [], []
+        for doc_id, s in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text")
+        ):
+            toks = self.tokens(s.as_py() or "")
+            if len(toks) < n:
+                continue
+            total = len(toks) - n + 1
+            c = 0
+            for i in range(total):
+                if " ".join(toks[i : i + n]) in fs:
+                    c += 1
+            ids.append(doc_id)
+            totals.append(total)
+            nboil.append(c)
+        tot = np.asarray(totals, np.float64)
+        frac = round_like_duckdb(
+            np.asarray(nboil, np.float64) / np.maximum(tot, 1.0), 4
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_grams": pa.array(totals, pa.int64()),
+                "n_boiler": pa.array(nboil, pa.int64()),
+                "boiler_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+
 def boilerplate_ngram_stats(
     docs: Dataset,
     *,
@@ -151,12 +201,12 @@ def boilerplate_ngram_stats(
         concurrency=(1, concurrency),
     )
     # n-gram df: key cardinality is the n-gram vocabulary (bounded by
-    # token-vocab^n, heavily concentrated in practice) — modest partitions
+    # token-vocab^n, heavily concentrated in practice) — modest partitions.
+    # nd is KEPT through the filter so the fallback path can window by df.
     freq = (
         nd_parts.groupby("ngram", num_partitions=hash_partitions(8))
         .aggregate(Sum("nd", alias_name="nd"))
         .filter(expr=f"nd >= {min_docs}")
-        .select_columns(["ngram"])
     )
 
     # per-doc totals: vectorized, block-local, zero exchange
@@ -174,7 +224,11 @@ def boilerplate_ngram_stats(
 
     totals = text_ds.map_batches(_totals, batch_format="pyarrow")
 
-    freq_c, n_freq = compact_nonempty(freq, 8)
+    # materialize ONCE; the broadcast branch take_all()s directly —
+    # compact_nonempty's extra repartition+materialize is only needed
+    # when the frequent set feeds the fallback join
+    freq_m = freq.materialize()
+    n_freq = freq_m.count()
 
     def _zero_fill(t: pa.Table) -> pa.Table:
         boiler = t.column("n_boiler") if "n_boiler" in t.column_names else (
@@ -198,28 +252,65 @@ def boilerplate_ngram_stats(
     if n_freq == 0:
         return totals.map_batches(_zero_fill, batch_format="pyarrow")
 
+    # frequent sets are usually heavy-hitter-sized: broadcast them (one
+    # ray.put) and FUSE the whole per-doc side into a single tokenize
+    # pass — no per-gram exchange, no doc-keyed groupby, no totals
+    # join (collapses 3 executions to 1; the profiled q110 sf0.1 wall
+    # was execution-count-bound, not compute-bound). The distributed
+    # join stays as the unbounded fallback, same measured-gate pattern
+    # as extraction.py's dedup 'auto'.
+    if n_freq <= BROADCAST_FREQ_CAP:
+        fset = frozenset(r["ngram"] for r in freq_m.take_all())
+        fref = ray.put(fset)
+        return text_ds.map_batches(
+            _DocBoilerStats,
+            fn_constructor_kwargs={"fset_ref": fref, "n": ngram},
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+        )
+
     exploded = text_ds.map_batches(
         _DocNgramCounts,
         fn_constructor_kwargs={"n": ngram},
         batch_format="pyarrow",
         concurrency=(1, concurrency),
-    )
-    # frequent sets are usually heavy-hitter-sized: broadcast them (one
-    # ray.put, vectorized is_in per block — saves the corpus-scale ngram
-    # exchange). The distributed join stays as the unbounded fallback,
-    # same measured-gate pattern as extraction.py's dedup 'auto'.
-    if n_freq <= BROADCAST_FREQ_CAP:
-        from barks_ocr_ray.functions.relational import broadcast_semi_join
+    ).materialize()  # consumed by the window join AND the top semi-join
+    # df-window skew guard (the q148 df-upper-window discipline):
+    # grams present in > FREQ_TOP_DF_CAP docs are provably few
+    # (<= total (gram, doc) pairs / cap) — broadcast THEM and semi-join
+    # block-locally instead of letting one hot boilerplate gram own a
+    # join partition; only the bounded [min_docs, cap] df window rides
+    # the distributed join.
+    from barks_ocr_ray.functions.relational import broadcast_semi_join
 
-        fset = {r["ngram"] for r in freq_c.take_all()}
-        matched = broadcast_semi_join(exploded, fset, "ngram")
-    else:
-        matched = exploded.join(
-            freq_c,
-            join_type="inner",
-            num_partitions=hash_partitions(16),
-            on=("ngram",),
+    window_c, n_window = compact_nonempty(
+        freq_m.filter(expr=f"nd <= {FREQ_TOP_DF_CAP}").select_columns(
+            ["ngram"]
+        ),
+        8,
+    )
+    top_rows = (
+        freq_m.filter(expr=f"nd > {FREQ_TOP_DF_CAP}")
+        .select_columns(["ngram"])
+        .take_all()
+    )
+    parts = []
+    if top_rows:
+        parts.append(
+            broadcast_semi_join(
+                exploded, {r["ngram"] for r in top_rows}, "ngram"
+            )
         )
+    if n_window:
+        parts.append(
+            exploded.join(
+                window_c,
+                join_type="inner",
+                num_partitions=hash_partitions(16),
+                on=("ngram",),
+            )
+        )
+    matched = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
     boiler = matched.groupby(
         "doc_id", num_partitions=hash_partitions(16)
     ).aggregate(Sum("n_occ", alias_name="n_boiler"))

@@ -701,9 +701,13 @@ def ngram_jaccard_pairs(
         )
         return t.append_column("bucket", b)
 
-    def _pairwise(g: pd.DataFrame) -> pa.Table:
+    def _pairwise(g: pa.Table) -> pa.Table:
         rows = sorted(
-            zip(g["doc_id"].tolist(), g["text"].tolist()), key=lambda r: r[0]
+            zip(
+                g.column("doc_id").to_pylist(),
+                g.column("text").to_pylist(),
+            ),
+            key=lambda r: r[0],
         )
         grams = [
             set(
@@ -741,7 +745,7 @@ def ngram_jaccard_pairs(
         docs.select_columns(["doc_id", "text", "source"])
         .map_batches(_bucket, batch_format="pyarrow")
         .groupby(["source", "bucket"])
-        .map_groups(_pairwise, batch_format="pandas")
+        .map_groups(_pairwise, batch_format="pyarrow")
     )
 
 
@@ -785,9 +789,14 @@ def embedding_near_dups(
     first = embeddings.take(1)
     dim = len(first[0]["embedding"])
 
-    def _pairwise(g: pd.DataFrame) -> pa.Table:
-        ids = g["vec_id"].tolist()
-        embs = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+    def _pairwise(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_pylist()
+        embs = np.stack(
+            [
+                np.asarray(v, dtype=np.float64)
+                for v in g.column("embedding").to_pylist()
+            ]
+        )
         norms = np.linalg.norm(embs, axis=1)
         norms[norms == 0] = 1.0
         unit = embs / norms[:, None]
@@ -802,11 +811,16 @@ def embedding_near_dups(
                     a.append(ids[i])
                     b.append(ids[j])
                     sim.append(float(s))
-        return pd.DataFrame(
+        # typed pa.Table (never a DataFrame: pandas-born blocks carry
+        # unhashable schema metadata through downstream shuffles)
+        return pa.table(
             {
-                "vec_a": a,
-                "vec_b": b,
-                "cosine": round_like_duckdb(np.asarray(sim, dtype=np.float64), 4),
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+                "cosine": pa.array(
+                    round_like_duckdb(np.asarray(sim, dtype=np.float64), 4),
+                    pa.float64(),
+                ),
             }
         )
 
@@ -819,7 +833,7 @@ def embedding_near_dups(
             concurrency=(1, concurrency),
         )
         .groupby("bucket")
-        .map_groups(_pairwise, batch_format="pandas")
+        .map_groups(_pairwise, batch_format="pyarrow")
     )
 
 
@@ -1034,7 +1048,7 @@ def range_join_pairs(
         )
         return pa.concat_tables([base, shifted])
 
-    def _pairs(g: pd.DataFrame) -> pa.Table:
+    def _pairs(g: pa.Table) -> pa.Table:
         """Two-pointer sliding compare over the value-sorted group (the
         SNM kernel's shape) in bounded CHUNKS: the old whole-group
         ``triu_indices`` materialized O(|group|^2) index pairs at once
@@ -1044,9 +1058,9 @@ def range_join_pairs(
         partners a contiguous run (searchsorted), so pairs are emitted
         chunk by chunk with peak intermediate ~PAIR_CHUNK, and the only
         full-size allocation left is the output itself (inherent)."""
-        ids = np.asarray(g["id"], dtype=np.int64)
-        vals = np.asarray(g["val"], dtype=np.int64)
-        band = int(g["band"].iloc[0])
+        ids = g.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = g.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        band = int(g.column("band")[0].as_py())
         order = np.lexsort((ids, vals))  # by val, ties by id
         ids, vals = ids[order], vals[order]
         n = len(ids)
@@ -1087,7 +1101,7 @@ def range_join_pairs(
         docs.select_columns([id_col, value_col, key_col])
         .map_batches(_explode, batch_format="pyarrow")
         .groupby(["key", "band"])
-        .map_groups(_pairs, batch_format="pandas")
+        .map_groups(_pairs, batch_format="pyarrow")
     )
 
 
@@ -1669,19 +1683,21 @@ def set_similarity_join(
     )
     joined = toks.join(df, join_type="inner", num_partitions=parts, on=("term",))
 
-    def _assemble(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["df", "term"], kind="mergesort")
-        terms = g["term"].tolist()
+    def _assemble(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("df", "ascending"), ("term", "ascending")])
+        terms = g.column("term").to_pylist()
         return pa.table(
             {
-                "doc_id": pa.array([int(g["doc_id"].iloc[0])], pa.int64()),
+                "doc_id": pa.array(
+                    [int(g.column("doc_id")[0].as_py())], pa.int64()
+                ),
                 "n_terms": pa.array([len(terms)], pa.int64()),
                 "terms": pa.array([" ".join(terms)], pa.string()),
             }
         )
 
     per_doc = joined.groupby("doc_id", num_partitions=parts).map_groups(
-        _assemble, batch_format="pandas"
+        _assemble, batch_format="pyarrow"
     )
 
     def _postings(t: pa.Table) -> pa.Table:
@@ -1709,13 +1725,13 @@ def set_similarity_join(
 
     postings = per_doc.map_batches(_postings, batch_format="pyarrow")
 
-    def _verify(g: pd.DataFrame) -> pa.Table:
-        key = g["ptoken"].iloc[0]
+    def _verify(g: pa.Table) -> pa.Table:
+        key = g.column("ptoken")[0].as_py()
         rows = sorted(
             zip(
-                g["doc_id"].tolist(),
-                g["n_terms"].tolist(),
-                g["terms"].tolist(),
+                g.column("doc_id").to_pylist(),
+                g.column("n_terms").to_pylist(),
+                g.column("terms").to_pylist(),
             )
         )
         lists = [r[2].split(" ") for r in rows]
@@ -1754,5 +1770,5 @@ def set_similarity_join(
         )
 
     return postings.groupby("ptoken", num_partitions=parts).map_groups(
-        _verify, batch_format="pandas"
+        _verify, batch_format="pyarrow"
     )

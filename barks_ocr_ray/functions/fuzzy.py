@@ -37,23 +37,33 @@ MIN_MATCH_RATIO = 0.7  # tools/ocr_check.py:39
 DEFAULT_MAX_GROUP_PAIRS = 100_000
 
 
-def _cap_rhs(
-    lhs: pd.DataFrame, rhs: pd.DataFrame, key, max_group_pairs: int
-) -> pd.DataFrame:
+def _cap_rhs(n_lhs: int, rhs: list, key, max_group_pairs: int) -> list:
     """Bound the per-group quadratic step: keep the smallest-row_id
-    right candidates so |L| x |R'| <= max_group_pairs (rhs arrives
-    sorted by row_id ascending). No silent caps — overflow is logged."""
-    if len(lhs) * len(rhs) <= max_group_pairs:
+    right candidates so |L| x |R'| <= max_group_pairs (rhs is a list of
+    (row_id, text) sorted by row_id ascending). No silent caps —
+    overflow is logged."""
+    if n_lhs * len(rhs) <= max_group_pairs:
         return rhs
-    rhs_cap = max(1, max_group_pairs // max(1, len(lhs)))
+    rhs_cap = max(1, max_group_pairs // max(1, n_lhs))
     logging.getLogger(__name__).warning(
         "fuzzy group %r: %d x %d candidate pairs exceeds "
         "max_group_pairs=%d; keeping the %d smallest-id right "
         "candidates per left (%d right rows excluded)",
-        key, len(lhs), len(rhs), max_group_pairs, rhs_cap,
+        key, n_lhs, len(rhs), max_group_pairs, rhs_cap,
         len(rhs) - rhs_cap,
     )
-    return rhs.head(rhs_cap)
+    return rhs[:rhs_cap]
+
+
+def _group_sides(g: pa.Table) -> tuple[list, list]:
+    """Split a fuzzy group into row_id-sorted (row_id, text) lists per
+    side."""
+    side = g.column("side").to_pylist()
+    rid = g.column("row_id").to_pylist()
+    txt = g.column("text").to_pylist()
+    lhs = sorted((r, t) for r, t, sd in zip(rid, txt, side) if sd == "l")
+    rhs = sorted((r, t) for r, t, sd in zip(rid, txt, side) if sd == "r")
+    return lhs, rhs
 
 
 def levenshtein(a: str, b: str) -> int:
@@ -134,21 +144,22 @@ def levenshtein_best_match(
         right.map_batches(_tag("r", right_pre), batch_format="pyarrow")
     )
 
-    def _match(g: pd.DataFrame) -> pa.Table:
-        lhs = g[g["side"] == "l"].sort_values("row_id")
-        rhs = g[g["side"] == "r"].sort_values("row_id")
-        rhs = _cap_rhs(lhs, rhs, g["key"].iloc[0], max_group_pairs)
+    def _match(g: pa.Table) -> pa.Table:
+        lhs, rhs = _group_sides(g)
+        rhs = _cap_rhs(
+            len(lhs), rhs, g.column("key")[0].as_py(), max_group_pairs
+        )
         lids, rids, ratios = [], [], []
-        for lrow in lhs.itertuples():
+        for lid, ltext in lhs:
             best_id, best_ratio = None, min_ratio
-            for rrow in rhs.itertuples():
-                r = lev_ratio(lrow.text, rrow.text)
+            for rrow_id, rtext in rhs:
+                r = lev_ratio(ltext, rtext)
                 # strict > keeps the SMALLEST right id on ties (rhs is
                 # sorted ascending); >= min_ratio admits the boundary
                 if r > best_ratio or (best_id is None and r >= min_ratio):
-                    best_id, best_ratio = rrow.row_id, r
+                    best_id, best_ratio = rrow_id, r
             if best_id is not None:
-                lids.append(lrow.row_id)
+                lids.append(lid)
                 rids.append(best_id)
                 ratios.append(best_ratio)
         return pa.table(
@@ -162,7 +173,7 @@ def levenshtein_best_match(
             }
         )
 
-    return both.groupby("key").map_groups(_match, batch_format="pandas")
+    return both.groupby("key").map_groups(_match, batch_format="pyarrow")
 
 
 def fuzzy_best_match(
@@ -202,21 +213,21 @@ def fuzzy_best_match(
         right.map_batches(_tag("r", right_pre), batch_format="pyarrow")
     )
 
-    def _match(g: pd.DataFrame) -> pd.DataFrame:
-        lhs = g[g["side"] == "l"].sort_values("row_id")
-        rhs = g[g["side"] == "r"].sort_values("row_id")
-        rhs = _cap_rhs(lhs, rhs, g["key"].iloc[0], max_group_pairs)
+    def _match(g: pa.Table) -> pa.Table:
+        gkey = g.column("key")[0].as_py()
+        lhs, rhs = _group_sides(g)
+        rhs = _cap_rhs(len(lhs), rhs, gkey, max_group_pairs)
         keys, lids, rids, ratios = [], [], [], []
-        for lrow in lhs.itertuples():
+        for lid, ltext in lhs:
             best_id, best_ratio = None, min_ratio
-            for rrow in rhs.itertuples():
+            for rrow_id, rtext in rhs:
                 # ratio ties resolved by smaller right id (deterministic)
-                r = SequenceMatcher(None, lrow.text, rrow.text).ratio()
+                r = SequenceMatcher(None, ltext, rtext).ratio()
                 if r > best_ratio or (r == best_ratio and best_id is None):
                     if r >= min_ratio:
-                        best_id, best_ratio = rrow.row_id, r
-            keys.append(lrow.key)
-            lids.append(lrow.row_id)
+                        best_id, best_ratio = rrow_id, r
+            keys.append(gkey)
+            lids.append(lid)
             rids.append(best_id)
             ratios.append(round(best_ratio, 4) if best_id is not None else None)
         # typed arrow out: a pandas frame gives ratio dtype object when a
@@ -230,4 +241,4 @@ def fuzzy_best_match(
             }
         )
 
-    return both.groupby("key").map_groups(_match, batch_format="pandas")
+    return both.groupby("key").map_groups(_match, batch_format="pyarrow")

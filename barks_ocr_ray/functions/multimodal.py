@@ -2,13 +2,18 @@
 columns with typed metadata, processed by actor-pool ``map_batches``
 stages.
 
-The decode kernels are STUBBED (no image/audio libraries exist in this
-environment — mirrors SURVEY.md §7.3 environment constraint): the
-Ray-side plumbing — schema, batch sizing for wide binary rows, actor
-signature, output layout — is real and tested. ``fake_decode=True``
-substitutes a deterministic payload-derived pseudo-decode so pipelines
-can run end-to-end; ``fake_decode=False`` raises NotImplementedError at
-the decode boundary, exactly where a real codec would plug in.
+The decode boundary is REAL as of round 5: ``fake_decode=False``
+dispatches to the pure-Python PNG/BMP/netpbm codecs in
+functions/codecs.py (public format specs, stdlib zlib — mirrors the
+reference's actual image decode at
+/root/reference/src/barks_ocr/pipeline/batch_ocr.py:119-122 and
+utils/preprocessing.py:6-22), and only formats that genuinely need a
+codec LIBRARY (JPEG/WebP/audio/video) still raise NotImplementedError.
+``fake_decode=True`` keeps the payload-digest pseudo-decode for
+arbitrary binary columns (e.g. running the stage over HTML payloads).
+The per-row feature/resize/frame kernels are SHARED with the
+single-process golden builders (oracle_data.py) — dual-engine,
+value-exact.
 """
 
 from __future__ import annotations
@@ -19,7 +24,15 @@ import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
-FEATURE_DIM = 8
+from barks_ocr_ray.functions.codecs import (
+    FEATURE_DIM,
+    decode_media,
+    frame_count,
+    frame_digest,
+    media_feature_vector,
+    resize_nearest,
+    thumb_digest,
+)
 
 MEDIA_FEATURES_SCHEMA = pa.schema(
     [
@@ -30,15 +43,6 @@ MEDIA_FEATURES_SCHEMA = pa.schema(
         ("features", pa.list_(pa.float32(), FEATURE_DIM)),
     ]
 )
-
-
-def decode_media(payload: bytes) -> np.ndarray:
-    """The real decode boundary. STUB: no codec libraries available."""
-    raise NotImplementedError(
-        "media decoding requires an image/audio codec library not present "
-        "in this environment; use fake_decode=True for the deterministic "
-        "stand-in"
-    )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -70,9 +74,9 @@ class MediaFeatureExtractor:
             if self.fake_decode:
                 w, h, f = _fake_decode(payload)
             else:
-                arr = decode_media(payload)  # NotImplementedError boundary
+                arr = decode_media(payload)  # real codec dispatch
                 h, w = arr.shape[:2]
-                f = arr.mean(axis=(0, 1))
+                f = media_feature_vector(arr)
             widths.append(w)
             heights.append(h)
             feats.append(f.tolist())
@@ -152,17 +156,19 @@ class MediaResizer:
             payload = s.as_py() or b""
             if self.fake_decode:
                 w, h, _ = _fake_decode(payload)
-            else:
-                arr = decode_media(payload)  # NotImplementedError boundary
-                h, w = arr.shape[:2]
-            tw, th = aspect_fit(w, h, self.box)
-            sw.append(w); sh.append(h); ow.append(tw); oh.append(th)
-            digests.append(
-                hashlib.blake2b(
+                tw, th = aspect_fit(w, h, self.box)
+                digest = hashlib.blake2b(
                     payload + tw.to_bytes(4, "big") + th.to_bytes(4, "big"),
                     digest_size=16,
                 ).hexdigest()
-            )
+            else:
+                arr = decode_media(payload)  # real codec dispatch
+                h, w = arr.shape[:2]
+                thumb = resize_nearest(arr, self.box)  # real pixel path
+                th, tw = thumb.shape[:2]
+                digest = thumb_digest(thumb)
+            sw.append(w); sh.append(h); ow.append(tw); oh.append(th)
+            digests.append(digest)
         return pa.Table.from_arrays(
             [
                 pa.array(urls, pa.string()),
@@ -239,9 +245,12 @@ class FrameSampler:
             batch.column("url").to_pylist(), batch.column(self.payload_col)
         ):
             payload = s.as_py() or b""
-            if not self.fake_decode:
-                decode_media(payload)  # NotImplementedError boundary
-            n = fake_frame_count(payload)
+            arr = None
+            if self.fake_decode:
+                n = fake_frame_count(payload)
+            else:
+                arr = decode_media(payload)  # real codec dispatch
+                n = frame_count(arr)
             taken = 0
             for idx in range(0, n, self.stride):
                 if taken >= self.max_frames:
@@ -250,7 +259,9 @@ class FrameSampler:
                 idxs.append(idx)
                 ts.append(idx * _FRAME_INTERVAL_MS)
                 digests.append(
-                    hashlib.blake2b(
+                    frame_digest(arr, idx)
+                    if arr is not None
+                    else hashlib.blake2b(
                         payload + idx.to_bytes(8, "big"), digest_size=16
                     ).hexdigest()
                 )

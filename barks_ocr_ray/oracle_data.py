@@ -85,29 +85,36 @@ def ensure_extraction_golden(n: int) -> str:
 
 
 def media_golden_path(n: int) -> str:
-    return os.path.join(ORACLE_DIR, f"golden_media_n{n}.parquet")
+    return os.path.join(ORACLE_DIR, f"golden_media_real_n{n}.parquet")
 
 
 def ensure_media_golden(n: int) -> str:
-    """Single-process golden of the multimodal fake-decode over the
-    n-row corpus (url, media_bytes, width, height, features) — pins the
-    Ray-side binary-column plumbing value-exactly."""
+    """Single-process golden of the multimodal REAL-decode over the
+    n-row media corpus (url, media_bytes, width, height, features) —
+    pins the Ray-side binary-column plumbing AND the pure-Python codec
+    boundary value-exactly (dual-engine: shared per-row kernels from
+    functions/codecs.py, orchestration replayed as a plain loop)."""
     path = media_golden_path(n)
     if os.path.exists(path):
         return path
-    from barks_ocr_ray.datagen import page_record
-    from barks_ocr_ray.functions.multimodal import FEATURE_DIM, _fake_decode
+    from barks_ocr_ray.datagen import media_record
+    from barks_ocr_ray.functions.codecs import (
+        FEATURE_DIM,
+        decode_media,
+        media_feature_vector,
+    )
 
     urls, sizes, widths, heights, feats = [], [], [], [], []
     for i in range(n):
-        rec = page_record(i)
-        payload = rec["html"]
-        w, h, f = _fake_decode(payload)
+        rec = media_record(i)
+        payload = rec["media"]
+        arr = decode_media(payload)
+        h, w = arr.shape[:2]
         urls.append(rec["url"])
         sizes.append(len(payload))
         widths.append(w)
         heights.append(h)
-        feats.append(f.tolist())
+        feats.append(media_feature_vector(arr).tolist())
     table = pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -122,37 +129,34 @@ def ensure_media_golden(n: int) -> str:
 
 
 def resize_golden_path(n: int) -> str:
-    return os.path.join(ORACLE_DIR, f"golden_resize_n{n}.parquet")
+    return os.path.join(ORACLE_DIR, f"golden_resize_real_n{n}.parquet")
 
 
 def ensure_resize_golden(n: int) -> str:
-    """Single-process golden of the aspect-fit resize stage."""
+    """Single-process golden of the REAL resize stage: decode via the
+    pure-Python codecs, nearest-neighbour resample into the aspect-fit
+    box, digest of the actual thumbnail pixels."""
     path = resize_golden_path(n)
     if os.path.exists(path):
         return path
-    import hashlib
-
-    from barks_ocr_ray.datagen import page_record
-    from barks_ocr_ray.functions.multimodal import (
-        THUMB_BOX,
-        _fake_decode,
-        aspect_fit,
+    from barks_ocr_ray.datagen import media_record
+    from barks_ocr_ray.functions.codecs import (
+        decode_media,
+        resize_nearest,
+        thumb_digest,
     )
+    from barks_ocr_ray.functions.multimodal import THUMB_BOX
 
     urls, sw, sh, ow, oh, digests = [], [], [], [], [], []
     for i in range(n):
-        rec = page_record(i)
-        payload = rec["html"]
-        w, h, _ = _fake_decode(payload)
-        tw, th = aspect_fit(w, h, THUMB_BOX)
+        rec = media_record(i)
+        arr = decode_media(rec["media"])
+        h, w = arr.shape[:2]
+        thumb = resize_nearest(arr, THUMB_BOX)
+        th, tw = thumb.shape[:2]
         urls.append(rec["url"])
         sw.append(w); sh.append(h); ow.append(tw); oh.append(th)
-        digests.append(
-            hashlib.blake2b(
-                payload + tw.to_bytes(4, "big") + th.to_bytes(4, "big"),
-                digest_size=16,
-            ).hexdigest()
-        )
+        digests.append(thumb_digest(thumb))
     table = pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -168,38 +172,36 @@ def ensure_resize_golden(n: int) -> str:
 
 
 def frames_golden_path(n: int) -> str:
-    return os.path.join(ORACLE_DIR, f"golden_frames_n{n}.parquet")
+    return os.path.join(ORACLE_DIR, f"golden_frames_real_n{n}.parquet")
 
 
 def ensure_frames_golden(n: int) -> str:
-    """Single-process golden of the frame-sampling explode."""
+    """Single-process golden of the frame-sampling explode through the
+    REAL decode boundary (frame count from decoded pixels, digests from
+    decoded scanlines)."""
     path = frames_golden_path(n)
     if os.path.exists(path):
         return path
-    import hashlib
-
-    from barks_ocr_ray.datagen import page_record
-    from barks_ocr_ray.functions.multimodal import (
-        _FRAME_INTERVAL_MS,
-        fake_frame_count,
+    from barks_ocr_ray.datagen import media_record
+    from barks_ocr_ray.functions.codecs import (
+        FRAME_INTERVAL_MS,
+        decode_media,
+        frame_count,
+        frame_digest,
     )
 
     urls, idxs, ts, digests = [], [], [], []
     for i in range(n):
-        rec = page_record(i)
-        payload = rec["html"]
+        rec = media_record(i)
+        arr = decode_media(rec["media"])
         taken = 0
-        for idx in range(0, fake_frame_count(payload), 5):
+        for idx in range(0, frame_count(arr), 5):
             if taken >= 8:
                 break
             urls.append(rec["url"])
             idxs.append(idx)
-            ts.append(idx * _FRAME_INTERVAL_MS)
-            digests.append(
-                hashlib.blake2b(
-                    payload + idx.to_bytes(8, "big"), digest_size=16
-                ).hexdigest()
-            )
+            ts.append(idx * FRAME_INTERVAL_MS)
+            digests.append(frame_digest(arr, idx))
             taken += 1
     table = pa.table(
         {

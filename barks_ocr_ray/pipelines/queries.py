@@ -631,18 +631,19 @@ FROM read_parquet('{extraction_golden_path(Q24_N)}')
 
 
 def q25_multimodal_features(sf_dir: str):
-    """Binary media column plumbing (stubbed decode, deterministic fake);
-    value-compared against a single-process golden parquet, with the
-    fixed-width feature vector exploded to double columns so the value
-    hash is float-exact on both sides."""
+    """Binary media column plumbing through the REAL decode boundary
+    (pure-Python PNG/BMP/netpbm codecs, functions/codecs.py) over the
+    deterministic media corpus; value-compared against a single-process
+    golden parquet, with the fixed-width feature vector exploded to
+    double columns so the value hash is float-exact on both sides."""
     from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.datagen import media_table
     from barks_ocr_ray.functions.multimodal import FEATURE_DIM, media_features
     from barks_ocr_ray.oracle_data import Q25_N
 
     configure()
-    pages = rd.from_arrow(pages_table(Q25_N))
-    feats = media_features(pages, payload_col="html", fake_decode=True)
+    pages = rd.from_arrow(media_table(Q25_N))
+    feats = media_features(pages, payload_col="media", fake_decode=False)
 
     def _explode(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -848,25 +849,24 @@ def q31_rolling_hour(sf_dir: str):
     the preceding hour (inclusive) — per-user sorted searchsorted scan in
     map_groups; the oracle is a RANGE window frame."""
     import numpy as np
-    import pandas as pd
 
-    def _roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy("datetime64[us]").astype("int64")
+    def _roll(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
         hi = np.searchsorted(ts, ts, side="right")
-        return pd.DataFrame(
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
-                "n_prev_hour": (hi - lo).astype("int64"),
+                "event_id": g.column("event_id"),
+                "user_id": g.column("user_id"),
+                "n_prev_hour": pa.array((hi - lo).astype(np.int64)),
             }
         )
 
     return (
         read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
         .groupby("user_id")
-        .map_groups(_roll, batch_format="pandas")
+        .map_groups(_roll, batch_format="pyarrow")
     )
 
 
@@ -883,22 +883,24 @@ def q32_entity_stats(sf_dir: str):
     """Per-entity aggregate with first-k examples (A3 analog: per-name
     count + type histogram + first-3 examples,
     /root/reference/src/barks_ocr/pipeline/whoosh_index.py:283-310)."""
-    import pandas as pd
-
     tags = q11_entity_tags(sf_dir)
 
-    def _stats(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        return pd.DataFrame(
+    def _stats(g: pa.Table) -> pa.Table:
+        ids = sorted(g.column("doc_id").to_pylist())
+        return pa.table(
             {
-                "name": [g["name"].iloc[0]],
-                "total": [int(g["n"].sum())],
-                "n_docs": [len(set(ids))],
-                "example_docs": [",".join(str(i) for i in ids[:3])],
+                "name": pa.array([g.column("name")[0].as_py()], pa.string()),
+                "total": pa.array(
+                    [int(pc.sum(g.column("n")).as_py())], pa.int64()
+                ),
+                "n_docs": pa.array([len(set(ids))], pa.int64()),
+                "example_docs": pa.array(
+                    [",".join(str(i) for i in ids[:3])], pa.string()
+                ),
             }
         )
 
-    return tags.groupby("name").map_groups(_stats, batch_format="pandas")
+    return tags.groupby("name").map_groups(_stats, batch_format="pyarrow")
 
 
 def _sql_q32() -> str:
@@ -1366,17 +1368,22 @@ def q42_entity_source_histogram(sf_dir: str):
     )
     counts = joined.groupby(["name", "source"]).aggregate(Count(alias_name="n"))
 
-    def _fmt(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values("source")
-        hist = ",".join(f"{s}:{int(n)}" for s, n in zip(g["source"], g["n"]))
+    def _fmt(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("source", "ascending")])
+        hist = ",".join(
+            f"{s}:{int(n)}"
+            for s, n in zip(
+                g.column("source").to_pylist(), g.column("n").to_pylist()
+            )
+        )
         return pa.table(
             {
-                "name": pa.array([g["name"].iloc[0]], pa.string()),
+                "name": pa.array([g.column("name")[0].as_py()], pa.string()),
                 "hist": pa.array([hist], pa.string()),
             }
         )
 
-    return counts.groupby("name").map_groups(_fmt, batch_format="pandas")
+    return counts.groupby("name").map_groups(_fmt, batch_format="pyarrow")
 
 
 def _sql_q42() -> str:
@@ -1606,17 +1613,18 @@ def q48_ivf_topk(sf_dir: str):
 
 def q49_frame_sample(sf_dir: str):
     """Frame-sampling explode over the media payload column (one media
-    row -> sampled frame rows; decode boundary stubbed deterministically,
-    plumbing real). Golden-parquet oracle over the fixed corpus."""
+    row -> sampled frame rows) through the REAL decode boundary: frame
+    count from decoded pixels, digests from decoded scanlines.
+    Golden-parquet oracle over the fixed media corpus."""
     from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.datagen import media_table
     from barks_ocr_ray.functions.multimodal import frame_sample
     from barks_ocr_ray.oracle_data import Q25_N
 
     configure()
     return frame_sample(
-        rd.from_arrow(pages_table(Q25_N)), payload_col="html",
-        stride=5, max_frames=8,
+        rd.from_arrow(media_table(Q25_N)), payload_col="media",
+        stride=5, max_frames=8, fake_decode=False,
     )
 
 
@@ -1630,16 +1638,20 @@ FROM read_parquet('{frames_golden_path(Q25_N)}')
 
 
 def q50_media_resize(sf_dir: str):
-    """Aspect-fit thumbnail stage: the geometry (integer aspect-preserving
-    fit) is real, the pixel resample is the stubbed decode boundary.
-    Golden-parquet oracle over the fixed corpus."""
+    """Aspect-fit thumbnail stage, REAL end to end as of round 5:
+    decode via the pure-Python codecs, nearest-neighbour resample into
+    the box, digest of the actual thumbnail pixels. Golden-parquet
+    oracle over the fixed media corpus."""
     from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.datagen import media_table
     from barks_ocr_ray.functions.multimodal import media_resize
     from barks_ocr_ray.oracle_data import Q25_N
 
     configure()
-    return media_resize(rd.from_arrow(pages_table(Q25_N)), payload_col="html")
+    return media_resize(
+        rd.from_arrow(media_table(Q25_N)), payload_col="media",
+        fake_decode=False,
+    )
 
 
 def _sql_q50() -> str:
@@ -18903,10 +18915,14 @@ def q268_naive_bayes_lang(sf_dir: str):
         on=("doc_id",),
     )
 
-    def _predict(g) -> pa.Table:
-        actual = g["lang"].iloc[0]
-        ld_val = int(g["ld"].iloc[0])
-        have = dict(zip(g["plang"].tolist(), g["s1"].tolist()))
+    def _predict(g: pa.Table) -> pa.Table:
+        actual = g.column("lang")[0].as_py()
+        ld_val = int(g.column("ld")[0].as_py())
+        have = dict(
+            zip(
+                g.column("plang").to_pylist(), g.column("s1").to_pylist()
+            )
+        )
         best_lang, best_score = None, None
         for lang in langs:
             prior, lnz = consts[lang]
@@ -18922,7 +18938,7 @@ def q268_naive_bayes_lang(sf_dir: str):
 
     return (
         scored.groupby("doc_id", num_partitions=hash_partitions(8))
-        .map_groups(_predict, batch_format="pandas")
+        .map_groups(_predict, batch_format="pyarrow")
         .groupby(["lang", "predicted"], num_partitions=2)
         .aggregate(Count(alias_name="n_docs"))
     )

@@ -287,6 +287,52 @@ def main() -> None:
         if os.path.exists(os.path.join(sf_dir, "orders.parquet")):
             queries.update(run_queries(sf_dir))
     ray.shutdown()
+
+    # scaling fields in EVERY bench JSON (VERDICT r4 §6): one fresh
+    # 8-CPU headline leg against the in-process num_cpus leg above.
+    # GRAFT_SKIP_SCALING=1 opts out (e.g. nested invocations).
+    scaling_fields = {}
+    if not headline_only and os.environ.get("GRAFT_SKIP_SCALING") != "1":
+        lo_cpus = max(1, num_cpus // 4)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(lo_cpus),
+            GRAFT_SF_DIR=sf_dir,
+            GRAFT_SKIP_SCALING="1",
+            BENCH_TRIALS=os.environ.get("BENCH_TRIALS", "2"),
+        )
+        try:
+            out = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(REPO, "bench.py"),
+                    "--headline-only",
+                ],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+                timeout=1800,
+            ).stdout
+            lo = json.loads(out.strip().splitlines()[-1])
+            from barks_ocr_ray.bench_util import platform_ceiling
+
+            ceiling = platform_ceiling()
+            eff = (headline["docs_per_sec"] / lo["docs_per_sec"]) / (
+                num_cpus / lo_cpus
+            )
+            scaling_fields = {
+                "scaling_num_cpus": [lo_cpus, num_cpus],
+                "docs_per_sec_lo": lo["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                **ceiling,
+                "efficiency_vs_platform_ceiling": round(
+                    eff / ceiling["platform_ceiling"], 3
+                ),
+            }
+        except Exception as e:  # never fail the bench line for this
+            scaling_fields = {"scaling_error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -307,6 +353,7 @@ def main() -> None:
                     if arc
                     else {}
                 ),
+                **scaling_fields,
             }
         )
     )

@@ -438,3 +438,33 @@ def test_distributed_kmeans_equals_sequential_golden():
     exp = sorted(exp, key=lambda r: (r["cluster"], r["dim"]))
     assert got == exp
     assert sum(r["n"] for r in got) // 8 == 40  # n repeated per dim
+
+
+def test_boilerplate_fallback_join_matches_broadcast(monkeypatch):
+    """Force the fallback (df-window join + heavy-hitter broadcast
+    split) by zeroing the broadcast gate and shrinking the df window:
+    results must be identical to the fused broadcast path."""
+    from barks_ocr_ray.functions import curation
+
+    boiler = "click here now"
+    texts = [f"{boiler} doc number {i}" for i in range(6)] + [
+        "totally unique words only here",
+    ]
+    want = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"], r["boiler_frac"])
+        for r in curation.boilerplate_ngram_stats(
+            _docs(texts), min_docs=4
+        ).take_all()
+    }
+    monkeypatch.setattr(curation, "BROADCAST_FREQ_CAP", 0)
+    # cap 5 puts df=6 grams in the broadcast top and none in the window;
+    # cap 99 puts everything in the window join — both must agree
+    for cap in (5, 99):
+        monkeypatch.setattr(curation, "FREQ_TOP_DF_CAP", cap)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_boiler"], r["boiler_frac"])
+            for r in curation.boilerplate_ngram_stats(
+                _docs(texts), min_docs=4
+            ).take_all()
+        }
+        assert got == want, cap

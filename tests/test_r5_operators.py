@@ -81,3 +81,111 @@ class TestHubSafeTriangles:
             .set_index("node")["n_triangles"]
         )
         assert len(out) == 4 and (out == 3).all()
+
+
+class TestRealCodecs:
+    """Round-5 real decode boundary: pure-Python PNG/BMP/netpbm codecs
+    (functions/codecs.py) replace the r4 NotImplementedError stub for
+    formats the public specs + stdlib zlib can decode."""
+
+    def test_roundtrip_all_formats(self):
+        from barks_ocr_ray.datagen import media_image_array, media_record
+        from barks_ocr_ray.functions.codecs import decode_media
+
+        for i in range(9):  # 3 of each format
+            arr = media_image_array(i)
+            dec = decode_media(media_record(i)["media"])
+            assert dec.shape == arr.shape
+            assert (dec == arr).all()
+
+    def test_png_all_filter_types(self):
+        from barks_ocr_ray.datagen import media_image_array
+        from barks_ocr_ray.functions.codecs import decode_png, encode_png
+
+        arr = media_image_array(7)
+        for f in range(5):  # None/Sub/Up/Average/Paeth defilters
+            assert (decode_png(encode_png(arr, f)) == arr).all()
+
+    def test_gray_and_topdown_variants(self):
+        import numpy as np
+
+        from barks_ocr_ray.datagen import media_image_array
+        from barks_ocr_ray.functions.codecs import decode_bmp, decode_pnm
+
+        arr = media_image_array(4)
+        h, w = arr.shape[:2]
+        g = arr[:, :, 0]
+        p5 = b"P5\n%d %d\n255\n" % (w, h) + g.tobytes()
+        d = decode_pnm(p5)
+        assert (d[:, :, 0] == g).all() and (d[:, :, 2] == g).all()
+        # ascii P3
+        p3 = ("P3\n%d %d\n255\n" % (w, h)).encode() + " ".join(
+            str(v) for v in arr.reshape(-1)
+        ).encode()
+        assert (decode_pnm(p3) == arr).all()
+        # top-down BMP (negative height), hand-built
+        import struct
+
+        row = w * 3
+        pad = (-row) % 4
+        body = b"".join(
+            arr[y, :, ::-1].tobytes() + b"\x00" * pad for y in range(h)
+        )
+        hdr = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(body), 0, 0, 0, 0
+        )
+        assert (decode_bmp(hdr + info + body) == arr).all()
+        assert isinstance(np.asarray(arr), np.ndarray)
+
+    def test_library_formats_still_stub(self):
+        import pytest
+
+        from barks_ocr_ray.functions.codecs import decode_media, sniff_media
+
+        assert sniff_media(b"\xff\xd8\xff\xe0JFIF") == "jpeg"
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\xff\xd8\xff\xe0JFIF")
+        with pytest.raises(NotImplementedError):
+            decode_media(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+
+    def test_real_pipeline_stages(self):
+        """media_features / media_resize / frame_sample with
+        fake_decode=False over the media corpus: widths/heights are the
+        DECODED dims, thumbnails are real pixels."""
+        from barks_ocr_ray.datagen import media_image_array, media_table
+        from barks_ocr_ray.functions.codecs import (
+            media_feature_vector,
+            resize_nearest,
+            thumb_digest,
+        )
+        from barks_ocr_ray.functions.multimodal import (
+            media_features,
+            media_resize,
+        )
+
+        pages = rd.from_arrow(media_table(12))
+        feats = (
+            media_features(pages, payload_col="media", fake_decode=False)
+            .to_pandas()
+            .set_index("url")
+        )
+        rs = (
+            media_resize(pages, payload_col="media", fake_decode=False)
+            .to_pandas()
+            .set_index("url")
+        )
+        for i in (0, 1, 2, 11):
+            arr = media_image_array(i)
+            h, w = arr.shape[:2]
+            url = media_table(12).column("url")[i].as_py()
+            assert (feats.loc[url, "width"], feats.loc[url, "height"]) == (
+                w,
+                h,
+            )
+            assert np.allclose(
+                feats.loc[url, "features"], media_feature_vector(arr)
+            )
+            assert rs.loc[url, "thumb_digest"] == thumb_digest(
+                resize_nearest(arr, 128)
+            )
