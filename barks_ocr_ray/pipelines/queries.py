@@ -21766,6 +21766,28 @@ ORDER BY 1
 """
 
 
+def q296_extraction_stateful(sf_dir: str):
+    """The q24 flagship extraction arc executed in ``stateful=True``
+    actor-pool mode (T1/T2 warm-recognizer state held per actor across
+    batches, extraction.py:131-169) — VERDICT r4 §8: keep the warm-state
+    execution vehicle driver-covered as Ray versions move. Values must
+    be IDENTICAL to q24's task-pool run, so it shares the q24 golden
+    oracle byte for byte."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.oracle_data import Q24_N
+    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
+
+    configure()
+    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(
+        ["url", "warc_ts", "html", "lang"]
+    )
+    out = extraction_pipeline(pages, num_partitions=8, stateful=True)
+    return out.select_columns(
+        ["url", "warc_ts", "kind", "html_len", "n_blocks", "content_hash", "extracted_text"]
+    )
+
+
 def _sql_golden(name: str, cols: str, table: str) -> str:
     """Oracle SQL for the dual-engine (single-process golden) queries —
     the near-dup/ANN/sketch family whose semantics are deterministic but
@@ -22078,6 +22100,7 @@ def build_registry():
         "q293_mixture_waterfill": q293_mixture_waterfill,
         "q294_alias_sampler": q294_alias_sampler,
         "q295_sprt_monitor": q295_sprt_monitor,
+        "q296_extraction_stateful": q296_extraction_stateful,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -22461,6 +22484,7 @@ def build_registry():
             "alias_sampler", "term, prob_ppm, alias_term", "documents"
         ),
         "q295_sprt_monitor": SQL_Q295,
+        "q296_extraction_stateful": _sql_q24(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -36,7 +36,11 @@ from ray.data import Dataset
 from ray.data.aggregate import Max
 
 from barks_ocr_ray.context import hash_partitions
-from barks_ocr_ray.stages.sniff_stage import DEDUP_RANK, make_dedup_rank
+from barks_ocr_ray.stages.sniff_stage import (
+    DEDUP_RANK,
+    hash_and_rank_arrays,
+    make_dedup_rank,
+)
 
 
 def _keep_winner_per_url(t: pa.Table) -> pa.Table:
@@ -93,24 +97,16 @@ def winner_keys_cheap(
     (url + dedup_rank; no payload compression, no kind detection) — the
     broadcast strategy's first phase. Returns (winner key set of combined
     url\\x00rank strings, urls whose winning rank is duplicated)."""
-    import hashlib
-
-    import pyarrow.compute as _pc
     from ray.data.aggregate import Count as _Count
 
     def _keys(t: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.sha256(memoryview(b.as_buffer())).hexdigest()
-            for b in t.column("html")
-        ]
-        ts = _pc.cast(t.column("warc_ts"), pa.int64()).to_pylist()
-        ranks = [make_dedup_rank(a, h) for a, h in zip(ts, hashes)]
-        return pa.table(
-            {
-                "url": t.column("url"),
-                DEDUP_RANK: pa.array(ranks, pa.string()),
-            }
+        # sha256 stays one C call per row; rank assembly is the
+        # vectorized helper (numpy hex matrix + Arrow kernels), not the
+        # per-row f-string build the r4 VERDICT flagged
+        _, ranks = hash_and_rank_arrays(
+            t.column("html"), t.column("warc_ts")
         )
+        return pa.table({"url": t.column("url"), DEDUP_RANK: ranks})
 
     counts = (
         pages.map_batches(_keys, batch_format="pyarrow")
