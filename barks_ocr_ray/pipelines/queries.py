@@ -1,22498 +1,26 @@
-"""Query registry: one entry per implemented operator/pipeline
-(SURVEY.md §2), each with a DuckDB oracle where SQL can express the
-semantics (driver correctness gate), rows-only otherwise.
-
-Column-name contract: every computed/aggregate column is named
-identically in the Ray implementation and the oracle SQL (the driver
-hash-compares values under sorted column names). Float aggregates are
-rounded identically on both sides to stabilize the hash.
-"""
-
-from __future__ import annotations
-
-import os
-
-import pyarrow as pa
-import pyarrow.compute as pc
-import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
-
-from barks_ocr_ray.context import hash_partitions
-from barks_ocr_ray.functions.relational import (
-    broadcast_lookup_column,
-    broadcast_semi_join,
-    grouped_topk,
-    read_table,
-    round_columns,
-    round_like_duckdb,
-    strip_schema_metadata,
-)
-from barks_ocr_ray.functions.text import Tokenizer
-
-# --------------------------------------------------------------------------
-# SQL-oracled queries
-# --------------------------------------------------------------------------
-
-
-def q01_pricing_summary(sf_dir: str):
-    """Grouped pricing aggregate (A1/A5/A6 analog): partial aggregation is
-    Ray Data's hash aggregate; disc_price derived vectorized."""
-    ds = read_table(
-        sf_dir,
-        "lineitem",
-        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-    )
-
-    def _derive(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
-        )
-        return t.append_column("disc_price", disc_price)
-
-    out = (
-        ds.map_batches(_derive, batch_format="pyarrow")
-        # 6 groups total: 2 partitions (the helper's floor) keeps every
-        # hash-aggregate partition non-empty — Ray's finalize emits a
-        # schema-less pa.table({}) for a partition that received no
-        # shard, tripping the executor's RefBundle schema warning. The
-        # exchange carries combiner partials (~6 rows/block), so the
-        # tiny partition count costs nothing at any corpus scale.
-        .groupby(["l_returnflag", "l_linestatus"], num_partitions=2)
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
-        )
-    )
-    return round_columns(
-        out, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 4}
-    )
-
-
-SQL_Q01 = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                         AS sum_qty,
-       round(sum(l_extendedprice), 2)                    AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 4)                         AS avg_qty,
-       count(*)                                          AS count_order
-FROM lineitem GROUP BY l_returnflag, l_linestatus
-"""
-
-
-def q02_revenue_filter(sf_dir: str):
-    """Vectorized filter + projection (M3 analog): column pruning AND a
-    row predicate pushed into the parquet scanner (row groups that
-    cannot match never leave storage); the residual in-batch mask keeps
-    row-level exactness."""
-    import pyarrow.dataset as pads
-
-    cutoff = pa.scalar("1998-01-01").cast(pa.timestamp("us"))
-    ds = read_table(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice", "l_discount"],
-        predicate=(
-            (pads.field("l_shipdate") < cutoff)
-            & (pads.field("l_discount") >= 0.05)
-        ),
-    )
-
-    def _fp(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.less(t.column("l_shipdate"), pa.scalar(pa.scalar("1998-01-01").cast(pa.timestamp("us")))),
-            pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
-        )
-        t = t.filter(mask)
-        raw = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
-        )
-        revenue = pa.array(
-            round_like_duckdb(raw.to_numpy(zero_copy_only=False), 4),
-            pa.float64(),
-        )
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "l_linenumber": t.column("l_linenumber"),
-                "revenue": revenue,
-            }
-        )
-
-    return ds.map_batches(_fp, batch_format="pyarrow")
-
-
-SQL_Q02 = """
-SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice * (1 - l_discount), 4) AS revenue
-FROM lineitem
-WHERE l_shipdate < TIMESTAMP '1998-01-01' AND l_discount >= 0.05
-"""
-
-
-def q03_top10_orders(sf_dir: str):
-    """Global top-k via sort + limit (O7 analog). Sort runs on raw values;
-    rounding happens only on output."""
-    ds = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
-    return round_columns(out, {"o_totalprice": 2})
-
-
-SQL_Q03 = """
-SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
-FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
-"""
-
-
-def q04_segment_revenue(sf_dir: str):
-    """Distributed hash join (`Dataset.join`) + grouped aggregate. The
-    customer table scales with SF, so it is NOT broadcast (VERDICT r1
-    'What's wrong' #3) — broadcast stays reserved for genuinely bounded
-    dims (q05 nation/region)."""
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    joined = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-    # 5 segments: 2 partitions keeps every finalize non-empty (q01 note)
-    out = joined.groupby("c_mktsegment", num_partitions=2).aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue")
-    )
-    return round_columns(out, {"revenue": 2})
-
-
-SQL_Q04 = """
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-"""
-
-
-def q05_region_suppliers(sf_dir: str):
-    """Two chained broadcast joins over tiny dimensions (J7/J8 analog)."""
-    nation = read_table(sf_dir, "nation").to_pandas()
-    region = read_table(sf_dir, "region").to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
-    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    n2rname = {n: r2name[r] for n, r in n2r.items()}
-    supp = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    joined = broadcast_lookup_column(
-        supp, n2rname, "s_nationkey", "r_name", pa.string()
-    )
-    # 5 regions: 2 partitions keeps every finalize non-empty (q01 note)
-    return joined.groupby("r_name", num_partitions=2).aggregate(
-        Count(alias_name="n_suppliers")
-    )
-
-
-SQL_Q05 = """
-SELECT r_name, count(*) AS n_suppliers
-FROM supplier
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name
-"""
-
-
-def q06_orders_outside_building(sf_dir: str):
-    """Distributed anti-join (J8/J9/D3 analog): orders whose customer is
-    NOT in the BUILDING segment, as a left-outer `Dataset.join` + null
-    filter — the customer side scales with SF, so no driver-side set."""
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-
-    def _building(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t.column("c_mktsegment"), pa.scalar("BUILDING")))
-        return pa.table(
-            {
-                "c_custkey": t.column("c_custkey"),
-                "bld_marker": pa.array([1] * t.num_rows, pa.int64()),
-            }
-        )
-
-    # compact: a sparse filter output must not feed a join with empty
-    # first blocks (see relational.compact_nonempty)
-    bld, n_bld = compact_nonempty(
-        cust.map_batches(_building, batch_format="pyarrow"), 16
-    )
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    if n_bld == 0:
-        return orders
-    joined = orders.join(
-        bld,
-        join_type="left_outer",
-        num_partitions=hash_partitions(16),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-
-    def _anti(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_null(t.column("bld_marker")))
-        return t.select(["o_orderkey", "o_custkey"])
-
-    return joined.map_batches(_anti, batch_format="pyarrow")
-
-
-SQL_Q06 = """
-SELECT o_orderkey, o_custkey FROM orders
-WHERE o_custkey NOT IN
-      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
-"""
-
-
-def q07_exact_dedup_docs(sf_dir: str):
-    """Exact dedup on content hash (D1/D2 analog; north-rule dedup shape)."""
-    from barks_ocr_ray.functions.dedupe import exact_dedup_docs
-
-    return exact_dedup_docs(read_table(sf_dir, "documents", ["doc_id", "text"]))
-
-
-SQL_Q07 = """
-SELECT min(doc_id) AS doc_id, count(*) AS n_copies
-FROM documents GROUP BY md5(text)
-"""
-
-
-def q08_word_index(sf_dir: str):
-    """Inverted word index: tokenize + per-batch combiner + groupby sum
-    (A1/M13/S11 analog)."""
-    from barks_ocr_ray.functions.text import word_index
-
-    return word_index(read_table(sf_dir, "documents", ["text"]))
-
-
-SQL_Q08 = """
-SELECT word, count(*) AS n
-FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-      FROM documents) t
-GROUP BY word
-"""
-
-
-def q09_doc_stats(sf_dir: str):
-    """Per-doc text statistics, fully vectorized (M12/M15 analog)."""
-    from barks_ocr_ray.functions.text import doc_stats
-
-    return doc_stats(read_table(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _sql_q09() -> str:
-    from barks_ocr_ray.functions.text import STOPWORDS, TOKEN_RE
-
-    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    return f"""
-SELECT doc_id,
-       length(text) AS text_len,
-       len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
-       len(regexp_extract_all(text, '[.!?]')) AS n_punct,
-       len(regexp_extract_all(lower(text), '{stop_pat}')) AS n_stop,
-       ((len(regexp_extract_all(lower(text), '{TOKEN_RE}')) < 10)
-        OR (len(regexp_extract_all(text, '[.!?]')) = 0)) AS low_quality
-FROM documents
-"""
-
-
-def q10_doc_issues(sf_dir: str):
-    """Heuristic issue records (M14 predicate suite analog)."""
-    from barks_ocr_ray.functions.text import doc_issues
-
-    return doc_issues(read_table(sf_dir, "documents", ["doc_id", "text"]))
-
-
-SQL_Q10 = r"""
-SELECT doc_id, 'short_text' AS issue_type FROM documents WHERE length(text) < 100
-UNION ALL
-SELECT doc_id, 'no_terminal_punct' FROM documents
-WHERE NOT regexp_matches(text, '[.!?]\s*$')
-UNION ALL
-SELECT doc_id, 'all_caps' FROM documents
-WHERE upper(text) = text AND length(text) > 0
-"""
-
-
-def q11_entity_tags(sf_dir: str):
-    """Curated-dictionary entity tagging actor pool (T5 analog)."""
-    from barks_ocr_ray.functions.tagging import tag_entities
-
-    return tag_entities(read_table(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _sql_q11() -> str:
-    from barks_ocr_ray.functions.tagging import CURATED_ENTITIES
-
-    parts = [
-        f"""SELECT doc_id, '{name}' AS name, '{etype}' AS entity_type, n
-FROM (SELECT doc_id,
-             len(regexp_extract_all(lower(text), '\\b{name}\\b')) AS n
-      FROM documents) t WHERE n > 0"""
-        for name, etype in sorted(CURATED_ENTITIES.items())
-    ]
-    return "\nUNION ALL\n".join(parts)
-
-
-def q12_events_hourly(sf_dir: str):
-    """Tumbling hourly window as a keyed aggregate (streaming-shaped)."""
-    from barks_ocr_ray.functions.windows import tumbling_hourly
-
-    return tumbling_hourly(
-        read_table(sf_dir, "events", ["event_type", "ts", "value"])
-    )
-
-
-SQL_Q12 = """
-SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
-       count(*) AS n, round(sum(value), 2) AS sum_value
-FROM events GROUP BY event_type, hour_id
-"""
-
-
-def q13_sessions(sf_dir: str):
-    """Per-user sessionization (gap rule) via sorted map_groups."""
-    from barks_ocr_ray.functions.windows import sessionize
-
-    return sessionize(read_table(sf_dir, "events", ["user_id", "ts", "event_id"]))
-
-
-SQL_Q13 = """
-WITH d AS (
-  SELECT user_id,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
-  FROM events)
-SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions,
-       count(*) AS n_events
-FROM d GROUP BY user_id
-"""
-
-
-def q14_top3_orders_per_customer(sf_dir: str):
-    """Grouped top-k without a global sort (O7/O9 analog): hash partition
-    + vectorized per-block rank."""
-    ds = read_table(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-    out = grouped_topk(
-        ds, "o_custkey", "o_totalprice", 3, tie_col="o_orderkey", rank_col="rnk"
-    )
-    return round_columns(out, {"o_totalprice": 2})
-
-
-SQL_Q14 = """
-SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
-       CAST(row_number() OVER (PARTITION BY o_custkey
-            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
-FROM orders QUALIFY rnk <= 3
-"""
-
-
-def q15_distinct_priorities(sf_dir: str):
-    """Distinct values (D-ops analog of `sorted(set(...))`)."""
-    vals = sorted(
-        read_table(sf_dir, "orders", ["o_orderpriority"]).unique("o_orderpriority")
-    )
-    return pa.table({"o_orderpriority": pa.array(vals, pa.string())})
-
-
-SQL_Q15 = "SELECT DISTINCT o_orderpriority FROM orders"
-
-
-ANN_QUERY_IDS = list(range(8))
-
-
-def q16_ann_cosine_topk(sf_dir: str):
-    """Exact brute-force cosine top-k over the embedding column
-    (broadcast query matrix + per-batch matmul + global merge)."""
-    from barks_ocr_ray.functions.ann import brute_force_topk
-
-    return brute_force_topk(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        ANN_QUERY_IDS,
-        k=10,
-    )
-
-
-SQL_Q16 = f"""
-SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(e.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings q, embeddings e
-WHERE q.vec_id IN ({",".join(str(i) for i in ANN_QUERY_IDS)})
-  AND e.vec_id != q.vec_id
-QUALIFY row_number() OVER (
-    PARTITION BY q.vec_id
-    ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                          CAST(e.embedding AS DOUBLE[])), 6) DESC,
-             e.vec_id) <= 10
-"""
-
-
-def q17_lang_id(sf_dir: str):
-    """Stopword-profile language ID (actor-pool stage); the oracle mirrors
-    the profile hit counting + first-max tie rule in SQL list lambdas."""
-    from barks_ocr_ray.functions.text import lang_id
-
-    return lang_id(read_table(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _sql_q17() -> str:
-    from barks_ocr_ray.functions.text import LANG_PROFILES, TOKEN_RE
-
-    langs = sorted(LANG_PROFILES)
-    hits = ",\n         ".join(
-        "len(list_filter(toks, x -> list_contains(["
-        + ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
-        + f"], x))) AS h_{lang}"
-        for lang in langs
-    )
-    m = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
-    # first lang (sorted order) achieving the max wins — the engine's
-    # strict-improvement scan over sorted(LANG_PROFILES)
-    case = " ".join(f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs)
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents),
-h AS (
-  SELECT doc_id, len(toks) AS n,
-         {hits}
-  FROM t),
-s AS (SELECT doc_id, n, {m} AS m, * FROM h)
-SELECT doc_id,
-       CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred,
-       round(CAST(m AS DOUBLE) / greatest(n, 1), 4) AS lang_score
-FROM s
-"""
-
-
-def q18_fingerprints(sf_dir: str):
-    """Winnowing-style rolling-hash document fingerprints; md5-derived
-    token hashes + a 61-bit polynomial so the oracle can replay the exact
-    arithmetic in SQL (HUGEINT list_reduce over token windows)."""
-    from barks_ocr_ray.functions.text import fingerprints
-
-    return fingerprints(read_table(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _sql_q18() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE, _BASE, _MOD
-
-    reduce_expr = f"(a, x) -> (a * {_BASE} + x) % {_MOD}"
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         list_transform(regexp_extract_all(lower(text), '{TOKEN_RE}'),
-                        tok -> CAST(CAST(('0x' || substring(md5(tok), 1, 8))
-                                         AS UBIGINT) AS HUGEINT))
-         AS hs
-  FROM documents)
-SELECT doc_id,
-       CAST(CASE
-         WHEN len(hs) = 0 THEN 0
-         WHEN len(hs) < 8 THEN list_reduce(hs, {reduce_expr})
-         ELSE list_min(list_transform(range(1, len(hs) - 6),
-                       i -> list_reduce(hs[i:i+7], {reduce_expr})))
-       END AS BIGINT) AS fingerprint
-FROM t
-"""
-
-
-def q19_minhash_near_dups(sf_dir: str):
-    """MinHash+LSH near-dups; value-exact against the single-process
-    golden (golden_dedup.golden_minhash_pairs — same signature kernel,
-    sequential orchestration)."""
-    from barks_ocr_ray.functions.dedupe import minhash_near_dups
-
-    return minhash_near_dups(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
-    )
-
-
-def q20_simhash_near_dups(sf_dir: str):
-    """SimHash banded near-dups; value-exact against the single-process
-    golden (golden_dedup.golden_simhash_pairs)."""
-    from barks_ocr_ray.functions.dedupe import simhash_near_dups
-
-    return simhash_near_dups(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6
-    )
-
-
-def q21_ngram_jaccard(sf_dir: str):
-    """Exact token-trigram Jaccard inside (source, length-bucket) blocks;
-    the oracle replays the shingling + set algebra with DuckDB list
-    lambdas and a blocked self-join."""
-    from barks_ocr_ray.functions.dedupe import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(
-        read_table(sf_dir, "documents", ["doc_id", "text", "source"]), threshold=0.3
-    )
-
-
-def _sql_q21(threshold: float = 0.3, bucket_chars: int = 200) -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    jac = (
-        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / "
-        "greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1)"
-    )
-    return f"""
-WITH g AS (
-  SELECT doc_id, source, length(text) // {bucket_chars} AS bucket,
-         list_distinct(list_transform(
-             range(1, greatest(len(toks) - 2, 1) + 1),
-             i -> array_to_string(toks[i:i+2], ' '))) AS grams
-  FROM (SELECT doc_id, source, text,
-               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-        FROM documents) t)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round({jac}, 4) AS jaccard
-FROM g a JOIN g b
-  ON a.source = b.source AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-WHERE {jac} >= {threshold}
-"""
-
-
-def q22_embedding_near_dups(sf_dir: str):
-    """Hyperplane-LSH cosine near-dups; value-exact against the
-    single-process golden (golden_dedup.golden_embedding_pairs)."""
-    from barks_ocr_ray.functions.dedupe import embedding_near_dups
-
-    res = embedding_near_dups(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.8
-    ).materialize()
-    # Dataset.to_pandas() drops the schema at 0 rows (a real outcome at
-    # threshold=0.8 on the small corpora) — return the typed empty table
-    if res.count() == 0:
-        return pa.table(
-            {
-                "vec_a": pa.array([], pa.int64()),
-                "vec_b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
-    return res
-
-
-def q23_lsh_topk(sf_dir: str):
-    """Multi-probe hyperplane-LSH approximate top-k; value-exact against
-    the single-process golden (golden_dedup.golden_lsh_topk)."""
-    from barks_ocr_ray.functions.ann import lsh_topk
-
-    return lsh_topk(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        ANN_QUERY_IDS,
-        k=10,
-    )
-
-
-def _sf_rows(sf_dir: str, per_sf: int = 100_000, floor: int = 200) -> int:
-    import re as _re
-
-    m = _re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.001
-    return max(floor, int(sf * per_sf))
-
-
-def q24_extraction_pipeline(sf_dir: str):
-    """The flagship pages pipeline over the deterministically synthesized
-    corpus (the pages table is not part of the TPC-H-ish testdata; no
-    external data is used). The corpus is FIXED-SIZE so the static oracle
-    SQL — which value-compares against the single-process golden
-    extractor's parquet (oracle_data.py) — is valid at any sf_dir; bench
-    throughput runs use their own scaled corpus."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.oracle_data import Q24_N
-    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
-
-    configure()
-    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(
-        ["url", "warc_ts", "html", "lang"]
-    )
-    out = extraction_pipeline(pages, num_partitions=8)
-    return out.select_columns(
-        ["url", "warc_ts", "kind", "html_len", "n_blocks", "content_hash", "extracted_text"]
-    )
-
-
-def _sql_q24() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
-
-    return f"""
-SELECT url, warc_ts, kind, html_len, n_blocks, content_hash, extracted_text
-FROM read_parquet('{extraction_golden_path(Q24_N)}')
-"""
-
-
-def q25_multimodal_features(sf_dir: str):
-    """Binary media column plumbing through the REAL decode boundary
-    (pure-Python PNG/BMP/netpbm codecs, functions/codecs.py) over the
-    deterministic media corpus; value-compared against a single-process
-    golden parquet, with the fixed-width feature vector exploded to
-    double columns so the value hash is float-exact on both sides."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import media_table
-    from barks_ocr_ray.functions.multimodal import FEATURE_DIM, media_features
-    from barks_ocr_ray.oracle_data import Q25_N
-
-    configure()
-    pages = rd.from_arrow(media_table(Q25_N))
-    feats = media_features(pages, payload_col="media", fake_decode=False)
-
-    def _explode(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        cols = {
-            "url": t.column("url"),
-            "media_bytes": t.column("media_bytes"),
-            "width": t.column("width"),
-            "height": t.column("height"),
-        }
-        flat = (
-            t.column("features")
-            .combine_chunks()
-            .flatten()
-            .to_numpy(zero_copy_only=False)
-            .astype(np.float64)
-            .reshape(t.num_rows, FEATURE_DIM)
-        )
-        for k in range(FEATURE_DIM):
-            cols[f"f{k}"] = pa.array(flat[:, k], pa.float64())
-        return pa.table(cols)
-
-    return feats.map_batches(_explode, batch_format="pyarrow")
-
-
-def _sql_q25() -> str:
-    from barks_ocr_ray.functions.multimodal import FEATURE_DIM
-    from barks_ocr_ray.oracle_data import Q25_N, media_golden_path
-
-    fcols = ",\n       ".join(
-        f"CAST(features[{k + 1}] AS DOUBLE) AS f{k}" for k in range(FEATURE_DIM)
-    )
-    return f"""
-SELECT url, media_bytes, width, height,
-       {fcols}
-FROM read_parquet('{media_golden_path(Q25_N)}')
-"""
-
-
-def q26_validate_extraction(sf_dir: str):
-    """Sampled re-extraction validator (second-engine similarity scoring,
-    the compare.py/florence_check analog). The sample is a deterministic
-    url-hash fraction, so the whole stage is a pure function of the
-    fixed corpus and value-compares against a single-process golden."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.oracle_data import Q34_N
-    from barks_ocr_ray.pipelines.validate import validate_extraction
-
-    configure()
-    pages = rd.from_arrow(pages_table(Q34_N)).select_columns(
-        ["url", "warc_ts", "html", "lang"]
-    )
-    return validate_extraction(pages, sample_frac=0.2, num_partitions=8)
-
-
-def _sql_q26() -> str:
-    from barks_ocr_ray.oracle_data import Q34_N, validation_golden_path
-
-    return f"""
-SELECT url, kind, score, flagged
-FROM read_parquet('{validation_golden_path(Q34_N)}')
-"""
-
-
-def q27_word_doc_index(sf_dir: str):
-    """Doc-level inverted index (word, doc_id, n) — the Whoosh index model
-    (S11, WordDict word->doc->count,
-    /root/reference/experiments/make-word-index-from-gemini-ai-groups.py:174-194).
-    A document lives in exactly one batch, so per-batch counting is final:
-    NO shuffle at all."""
-    from collections import Counter
-
-    from barks_ocr_ray.functions.text import Tokenizer
-
-    class PerDocCounter(Tokenizer):
-        def __call__(self, t: pa.Table) -> pa.Table:
-            words, ids, ns = [], [], []
-            for doc_id, s in zip(
-                t.column("doc_id").to_pylist(), t.column("text")
-            ):
-                for w, n in Counter(self.tokens(s.as_py() or "")).items():
-                    words.append(w)
-                    ids.append(doc_id)
-                    ns.append(n)
-            return pa.table(
-                {
-                    "word": pa.array(words, pa.string()),
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "n": pa.array(ns, pa.int64()),
-                }
-            )
-
-    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        PerDocCounter, batch_format="pyarrow", concurrency=(1, 4)
-    )
-
-
-SQL_Q27 = """
-SELECT word, doc_id, count(*) AS n
-FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-      FROM documents) t
-GROUP BY word, doc_id
-"""
-
-
-SEARCH_TERM = "spark"
-
-
-def q28_search_term(sf_dir: str):
-    """Index query surface (S12 find_words analog): docs containing the
-    term, with occurrence counts — vectorized count_substring_regex."""
-
-    def _search(t: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(
-            pc.utf8_lower(t.column("text")), rf"\b{SEARCH_TERM}\b"
-        ).cast(pa.int64())
-        out = pa.table({"doc_id": t.column("doc_id"), "n": n})
-        return out.filter(pc.greater(out.column("n"), pa.scalar(0)))
-
-    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _search, batch_format="pyarrow"
-    )
-
-
-SQL_Q28 = rf"""
-SELECT doc_id, n FROM (
-  SELECT doc_id, len(regexp_extract_all(lower(text), '\b{SEARCH_TERM}\b')) AS n
-  FROM documents) t WHERE n > 0
-"""
-
-
-#: corrections algebra (D4 analog, /root/reference/src/barks_ocr/pipeline/entity_store.py:43-60)
-CORRECTIONS_REMOVE = ("hash",)  # too-generic tag, drop entirely
-CORRECTIONS_RETYPE = {"spark": "FRAMEWORK"}
-
-
-def q29_entities_corrected(sf_dir: str):
-    """Entity tags with a corrections pass applied as vectorized set
-    algebra (remove + retype), not record mutation."""
-    tags = q11_entity_tags(sf_dir)
-
-    def _correct(t: pa.Table) -> pa.Table:
-        keep = pc.invert(
-            pc.is_in(
-                t.column("name"),
-                value_set=pa.array(list(CORRECTIONS_REMOVE), pa.string()),
-            )
-        )
-        t = t.filter(keep)
-        etype = t.column("entity_type").to_pylist()
-        names = t.column("name").to_pylist()
-        fixed = [
-            CORRECTIONS_RETYPE.get(nm, et) for nm, et in zip(names, etype)
-        ]
-        i = t.schema.get_field_index("entity_type")
-        return t.set_column(i, "entity_type", pa.array(fixed, pa.string()))
-
-    return tags.map_batches(_correct, batch_format="pyarrow")
-
-
-def _sql_q29() -> str:
-    removes = ", ".join(f"'{n}'" for n in CORRECTIONS_REMOVE)
-    whens = " ".join(
-        f"WHEN name = '{n}' THEN '{t}'" for n, t in CORRECTIONS_RETYPE.items()
-    )
-    return f"""
-SELECT doc_id, name, CASE {whens} ELSE entity_type END AS entity_type, n
-FROM ({_sql_q11()}) tags
-WHERE name NOT IN ({removes})
-"""
-
-
-def q30_string_replace(sf_dir: str):
-    """Compiled-regex string repair with a skip-list (M17 analog,
-    /root/reference/src/barks_ocr/tools/string_replacer.py:192-205): docs
-    from the skip source keep their text verbatim."""
-    skip_source = "src0"
-
-    def _fix(t: pa.Table) -> pa.Table:
-        replaced = pc.replace_substring_regex(
-            t.column("text"), r"\btable\b", "relation"
-        )
-        skip = pc.equal(t.column("source"), pa.scalar(skip_source))
-        fixed = pc.if_else(skip, t.column("text"), replaced)
-        return pa.table({"doc_id": t.column("doc_id"), "fixed_text": fixed})
-
-    return read_table(
-        sf_dir, "documents", ["doc_id", "text", "source"]
-    ).map_batches(_fix, batch_format="pyarrow")
-
-
-SQL_Q30 = r"""
-SELECT doc_id,
-       CASE WHEN source = 'src0' THEN text
-            ELSE regexp_replace(text, '\btable\b', 'relation', 'g') END AS fixed_text
-FROM documents
-"""
-
-
-def q31_rolling_hour(sf_dir: str):
-    """Sliding event-time window: per event, count of same-user events in
-    the preceding hour (inclusive) — per-user sorted searchsorted scan in
-    map_groups; the oracle is a RANGE window frame."""
-    import numpy as np
-
-    def _roll(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(ts, ts - 3_600_000_000, side="left")
-        hi = np.searchsorted(ts, ts, side="right")
-        return pa.table(
-            {
-                "event_id": g.column("event_id"),
-                "user_id": g.column("user_id"),
-                "n_prev_hour": pa.array((hi - lo).astype(np.int64)),
-            }
-        )
-
-    return (
-        read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
-        .groupby("user_id")
-        .map_groups(_roll, batch_format="pyarrow")
-    )
-
-
-SQL_Q31 = """
-SELECT event_id, user_id,
-       CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
-            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT)
-       AS n_prev_hour
-FROM events
-"""
-
-
-def q32_entity_stats(sf_dir: str):
-    """Per-entity aggregate with first-k examples (A3 analog: per-name
-    count + type histogram + first-3 examples,
-    /root/reference/src/barks_ocr/pipeline/whoosh_index.py:283-310)."""
-    tags = q11_entity_tags(sf_dir)
-
-    def _stats(g: pa.Table) -> pa.Table:
-        ids = sorted(g.column("doc_id").to_pylist())
-        return pa.table(
-            {
-                "name": pa.array([g.column("name")[0].as_py()], pa.string()),
-                "total": pa.array(
-                    [int(pc.sum(g.column("n")).as_py())], pa.int64()
-                ),
-                "n_docs": pa.array([len(set(ids))], pa.int64()),
-                "example_docs": pa.array(
-                    [",".join(str(i) for i in ids[:3])], pa.string()
-                ),
-            }
-        )
-
-    return tags.groupby("name").map_groups(_stats, batch_format="pyarrow")
-
-
-def _sql_q32() -> str:
-    return f"""
-SELECT name, CAST(sum(n) AS BIGINT) AS total,
-       count(DISTINCT doc_id) AS n_docs,
-       array_to_string(list_sort(list(doc_id))[1:3], ',') AS example_docs
-FROM ({_sql_q11()}) tags
-GROUP BY name
-"""
-
-
-def q33_fuzzy_pairing(sf_dir: str):
-    """Fuzzy similarity join (J4/J5 analog): best SequenceMatcher match
-    for src0 docs among src1 docs within the same length bucket
-    (quadratic step bounded by the blocking key); value-exact against
-    the single-process golden (golden_dedup.golden_fuzzy_pairing)."""
-    import pyarrow.compute as _pc
-
-    from barks_ocr_ray.functions.fuzzy import fuzzy_best_match
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
-
-    def _prep(t: pa.Table) -> pa.Table:
-        bucket = _pc.divide(t.column("n_chars"), pa.scalar(100, pa.int64()))
-        return t.append_column("bucket", bucket)
-
-    docs = docs.map_batches(_prep, batch_format="pyarrow")
-
-    def _src(name):
-        # fused INSIDE the tag UDF: a selective Dataset.filter empties
-        # blocks and the next fused map emits schema-less tables
-        def _f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t.column("source"), pa.scalar(name)))
-
-        return _f
-
-    res = fuzzy_best_match(
-        docs, docs, key_col="bucket", id_col="doc_id", text_col="text",
-        min_ratio=0.3, left_pre=_src("src0"), right_pre=_src("src1"),
-    )
-
-    def _sentinels(t: pa.Table) -> pa.Table:
-        # unmatched lefts -> -1/-1.0 sentinels: oracled columns are
-        # null-free by repo convention (NaN breaks bit-exact hashing)
-        return pa.table(
-            {
-                "key": t.column("key"),
-                "left_id": t.column("left_id"),
-                "right_id": pc.fill_null(
-                    t.column("right_id"), pa.scalar(-1, pa.int64())
-                ),
-                "ratio": pc.fill_null(
-                    t.column("ratio"), pa.scalar(-1.0, pa.float64())
-                ),
-            }
-        )
-
-    return res.map_batches(_sentinels, batch_format="pyarrow")
-
-
-def _issue_dismissals() -> tuple[tuple[str, str], ...]:
-    """Acknowledged (url, issue_type) pairs — the reference's per-group
-    issue acknowledgements (group_checks.py:113-120) as an append-only
-    side table anti-joined out of the issue feed. Deterministic subset of
-    the synthesized corpus: the first three link-farm pages' (known,
-    reviewed) empty extractions."""
-    from barks_ocr_ray.datagen import url_for
-
-    return tuple((url_for(5 + 10 * k), "empty_extraction") for k in range(3))
-
-
-def q34_extraction_issues(sf_dir: str):
-    """Heuristic issue records over the EXTRACTED corpus (M14/M15 on the
-    pipeline output), with acknowledged issues suppressed by an anti-join
-    against the dismissal side table. Fixed-size corpus — the oracle
-    replays the predicates in SQL over the golden extraction parquet."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.oracle_data import Q34_N
-    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
-
-    configure()
-    pages = rd.from_arrow(pages_table(Q34_N)).select_columns(
-        ["url", "warc_ts", "html", "lang"]
-    )
-    out = extraction_pipeline(pages, num_partitions=8)
-
-    def _issues(t: pa.Table) -> pa.Table:
-        urls, types = [], []
-        texts = t.column("extracted_text").to_pylist()
-        kinds = t.column("kind").to_pylist()
-        lens = t.column("html_len").to_pylist()
-        errors = t.column("error").to_pylist()
-        for u, txt, kind, ln, err in zip(
-            t.column("url").to_pylist(), texts, kinds, lens, errors
-        ):
-            if err:
-                urls.append(u); types.append("extract_error")
-            if kind == "html" and ln > 1500 and not txt:
-                urls.append(u); types.append("empty_extraction")
-            if txt and len(txt) < 25:
-                urls.append(u); types.append("short_text")
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "issue_type": pa.array(types, pa.string()),
-            }
-        )
-
-    issues = out.map_batches(_issues, batch_format="pyarrow")
-
-    dismissed = pa.array(
-        [f"{u}\x00{t}" for u, t in _issue_dismissals()], pa.string()
-    )
-
-    def _anti(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            t.column("url"), t.column("issue_type"), "\x00"
-        )
-        return t.filter(pc.invert(pc.is_in(key, value_set=dismissed)))
-
-    return issues.map_batches(_anti, batch_format="pyarrow")
-
-
-def _sql_q34() -> str:
-    from barks_ocr_ray.oracle_data import Q34_N, extraction_golden_path
-
-    vals = ", ".join(f"('{u}', '{t}')" for u, t in _issue_dismissals())
-    return f"""
-WITH g AS (SELECT * FROM read_parquet('{extraction_golden_path(Q34_N)}')),
-iss AS (
-  SELECT url, 'extract_error' AS issue_type FROM g
-  WHERE error IS NOT NULL AND error <> ''
-  UNION ALL
-  SELECT url, 'empty_extraction' FROM g
-  WHERE kind = 'html' AND html_len > 1500
-    AND (extracted_text IS NULL OR extracted_text = '')
-  UNION ALL
-  SELECT url, 'short_text' FROM g
-  WHERE extracted_text IS NOT NULL AND extracted_text <> ''
-    AND length(extracted_text) < 25
-)
-SELECT url, issue_type FROM iss
-WHERE NOT EXISTS (
-  SELECT 1 FROM (VALUES {vals}) d(u, t)
-  WHERE d.u = iss.url AND d.t = iss.issue_type)
-"""
-
-
-def q36_search_multi_term(sf_dir: str):
-    """Multi-term AND search (S12 find_words with several words): docs
-    containing both terms, with per-term counts."""
-    terms = ("spark", "join")
-
-    def _search(t: pa.Table) -> pa.Table:
-        lower = pc.utf8_lower(t.column("text"))
-        cols = {"doc_id": t.column("doc_id")}
-        mask = None
-        for term in terms:
-            n = pc.count_substring_regex(lower, rf"\b{term}\b").cast(pa.int64())
-            cols[f"n_{term}"] = n
-            m = pc.greater(n, pa.scalar(0))
-            mask = m if mask is None else pc.and_(mask, m)
-        return pa.table(cols).filter(mask)
-
-    return read_table(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        _search, batch_format="pyarrow"
-    )
-
-
-SQL_Q36 = r"""
-SELECT doc_id, n_spark, n_join FROM (
-  SELECT doc_id,
-         len(regexp_extract_all(lower(text), '\bspark\b')) AS n_spark,
-         len(regexp_extract_all(lower(text), '\bjoin\b'))  AS n_join
-  FROM documents) t
-WHERE n_spark > 0 AND n_join > 0
-"""
-
-
-def q37_priority_revenue_join(sf_dir: str):
-    """Large x large hash join (`Dataset.join`, hash-partitioned on the
-    key — the scale path when neither side broadcasts) + grouped
-    aggregate: revenue by order priority."""
-    from barks_ocr_ray.functions.relational import round_like_duckdb
-
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    lineitem = read_table(
-        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
-    )
-    joined = lineitem.join(
-        orders,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def _rev(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
-        )
-        return pa.table(
-            {
-                "o_orderpriority": t.column("o_orderpriority"),
-                "revenue": rev,
-            }
-        )
-
-    out = (
-        joined.map_batches(_rev, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
-    )
-    from barks_ocr_ray.functions.relational import round_columns
-
-    return round_columns(out, {"revenue": 2})
-
-
-SQL_Q37 = """
-SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       count(*) AS n_items
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderpriority
-"""
-
-
-def q35_dup_clusters(sf_dir: str):
-    """Near-dup candidate pairs -> connected components (min-label
-    propagation): the canonical-representative resolution step after
-    MinHash banding. Value-exact against the single-process union-find
-    golden (golden_dedup.golden_dup_clusters over the q19 golden pairs);
-    the recursive-CTE SQL sibling on the same machinery is q39."""
-    from barks_ocr_ray.functions.dedupe import dup_clusters, minhash_near_dups
-
-    pairs = minhash_near_dups(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
-    )
-    return dup_clusters(pairs)
-
-
-def q38_length_range_join(sf_dir: str):
-    """Banded range join (the windowed/range custom operator the Dataset
-    API lacks): doc pairs sharing a source with |n_chars diff| <= 2 —
-    band width W = diff+1, rows emitted to bands k and k+1, pairs counted
-    only in their canonical band (see dedupe.range_join_pairs)."""
-    from barks_ocr_ray.functions.dedupe import range_join_pairs
-
-    return range_join_pairs(
-        read_table(sf_dir, "documents", ["doc_id", "n_chars", "source"]),
-        value_col="n_chars",
-        key_col="source",
-        max_diff=2,
-    )
-
-
-SQL_Q38 = """
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM documents a JOIN documents b
-  ON a.source = b.source AND a.doc_id < b.doc_id
- AND abs(a.n_chars - b.n_chars) <= 2
-"""
-
-
-def q39_dup_clusters_cc(sf_dir: str):
-    """Connected components over SQL-derivable edges (the range-join
-    pairs): pins the distributed min-label propagation VALUE-exactly —
-    the oracle computes the same components with a recursive CTE."""
-    from barks_ocr_ray.functions.dedupe import dup_clusters
-
-    return dup_clusters(q38_length_range_join(sf_dir))
-
-
-SQL_Q39 = """
-WITH RECURSIVE e AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM documents a JOIN documents b
-    ON a.source = b.source AND a.doc_id < b.doc_id
-   AND abs(a.n_chars - b.n_chars) <= 2),
-sym AS (SELECT doc_a AS a, doc_b AS b FROM e
-        UNION SELECT doc_b, doc_a FROM e),
-reach(a, b) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
-  UNION
-  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
-SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
-"""
-
-
-def q40_index_integrity(sf_dir: str):
-    """Index-integrity check suite (the reference's whoosh_index.py:33-181
-    mechanism): every curated entity is looked up in the inverted index
-    AND independently verified by a substring scan of the raw docs; the
-    two counts must agree. The per-name merge is driver-side but bounded
-    by the curated dictionary size, not the corpus."""
-    from collections import Counter
-
-    from barks_ocr_ray.functions.tagging import CURATED_ENTITIES
-    from barks_ocr_ray.functions.text import Tokenizer
-
-    names = sorted(CURATED_ENTITIES)
-    name_set = pa.array(names, pa.string())
-
-    class IndexSide(Tokenizer):
-        """(name, doc_id) via the index tokenization path."""
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            out_n, out_d = [], []
-            for doc_id, s in zip(t.column("doc_id").to_pylist(), t.column("text")):
-                toks = set(self.tokens(s.as_py() or ""))
-                for nm in names:
-                    if nm in toks:
-                        out_n.append(nm)
-                        out_d.append(doc_id)
-            return pa.table(
-                {
-                    "name": pa.array(out_n, pa.string()),
-                    "doc_id": pa.array(out_d, pa.int64()),
-                }
-            )
-
-    def _scan_side(t: pa.Table) -> pa.Table:
-        lower = pc.utf8_lower(t.column("text"))
-        out_n, out_d = [], []
-        ids = t.column("doc_id").to_pylist()
-        for nm in names:
-            mask = pc.match_substring_regex(lower, rf"\b{nm}\b")
-            hit = pa.table({"doc_id": t.column("doc_id")}).filter(mask)
-            out_d.extend(hit.column("doc_id").to_pylist())
-            out_n.extend([nm] * hit.num_rows)
-        return pa.table(
-            {
-                "name": pa.array(out_n, pa.string()),
-                "doc_id": pa.array(out_d, pa.int64()),
-            }
-        )
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    idx = (
-        docs.map_batches(IndexSide, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("name")
-        .aggregate(Count(alias_name="n_index_docs"))
-        .to_pandas()
-    )
-    scan = (
-        docs.map_batches(_scan_side, batch_format="pyarrow")
-        .groupby("name")
-        .aggregate(Count(alias_name="n_scan_docs"))
-        .to_pandas()
-    )
-    idx_map = dict(zip(idx["name"], idx["n_index_docs"]))
-    scan_map = dict(zip(scan["name"], scan["n_scan_docs"]))
-    return pa.table(
-        {
-            "name": pa.array(names, pa.string()),
-            "n_index_docs": pa.array(
-                [int(idx_map.get(n, 0)) for n in names], pa.int64()
-            ),
-            "n_scan_docs": pa.array(
-                [int(scan_map.get(n, 0)) for n in names], pa.int64()
-            ),
-            "consistent": pa.array(
-                [int(idx_map.get(n, 0)) == int(scan_map.get(n, 0)) for n in names],
-                pa.bool_(),
-            ),
-        }
-    )
-
-
-def _sql_q40() -> str:
-    from barks_ocr_ray.functions.tagging import CURATED_ENTITIES
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    parts = [
-        f"""SELECT '{nm}' AS name,
-  count(DISTINCT CASE WHEN list_contains(
-      regexp_extract_all(lower(text), '{TOKEN_RE}'), '{nm}') THEN doc_id END)
-  AS n_index_docs,
-  count(DISTINCT CASE WHEN regexp_matches(lower(text), '\\b{nm}\\b')
-      THEN doc_id END) AS n_scan_docs
-FROM documents"""
-        for nm in sorted(CURATED_ENTITIES)
-    ]
-    union = "\nUNION ALL\n".join(parts)
-    return f"""
-SELECT name, n_index_docs, n_scan_docs,
-       n_index_docs = n_scan_docs AS consistent
-FROM ({union}) t
-"""
-
-
-#: the entity-search surface's query terms (whoosh_find.find_entities analog)
-ENTITY_QUERY = ("spark", "customer")
-
-
-def q41_find_entities(sf_dir: str):
-    """Entity search surface (S12 entity-keyed variant,
-    /root/reference/src/barks_ocr/tools/whoosh_find.py:44-55): occurrences
-    of the queried entities with their document context (source) attached
-    via a distributed hash join."""
-    from barks_ocr_ray.functions.relational import compact_nonempty
-    from barks_ocr_ray.functions.tagging import tag_entities
-
-    tags = tag_entities(read_table(sf_dir, "documents", ["doc_id", "text"]))
-    qset = pa.array(list(ENTITY_QUERY), pa.string())
-
-    def _only_query(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("name"), value_set=qset))
-
-    hits, n_hits = compact_nonempty(
-        tags.map_batches(_only_query, batch_format="pyarrow"), 8
-    )
-    docs = read_table(sf_dir, "documents", ["doc_id", "source"])
-    if n_hits == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "name": pa.array([], pa.string()),
-                "entity_type": pa.array([], pa.string()),
-                "n": pa.array([], pa.int64()),
-                "source": pa.array([], pa.string()),
-            }
-        )
-    joined = hits.join(
-        docs,
-        join_type="inner",
-        num_partitions=hash_partitions(8),
-        on=("doc_id",),
-    )
-    return joined.select_columns(["doc_id", "name", "entity_type", "n", "source"])
-
-
-def _sql_q41() -> str:
-    names = ", ".join(f"'{n}'" for n in ENTITY_QUERY)
-    return f"""
-SELECT t.doc_id, t.name, t.entity_type, t.n, d.source
-FROM ({_sql_q11()}) t JOIN documents d ON t.doc_id = d.doc_id
-WHERE t.name IN ({names})
-"""
-
-
-def q42_entity_source_histogram(sf_dir: str):
-    """Per-entity histogram over document sources (the A3 per-name type
-    Counter analog, whoosh_index.py:283-310): tags joined to their docs,
-    counted per (name, source), formatted per name."""
-    import pandas as pd
-
-    from barks_ocr_ray.functions.relational import compact_nonempty
-    from barks_ocr_ray.functions.tagging import tag_entities
-
-    tags = tag_entities(read_table(sf_dir, "documents", ["doc_id", "text"]))
-    tags, n_tags = compact_nonempty(tags, 8)
-    docs = read_table(sf_dir, "documents", ["doc_id", "source"])
-    if n_tags == 0:
-        return pa.table(
-            {"name": pa.array([], pa.string()), "hist": pa.array([], pa.string())}
-        )
-    joined = tags.join(
-        docs,
-        join_type="inner",
-        num_partitions=hash_partitions(8),
-        on=("doc_id",),
-    )
-    counts = joined.groupby(["name", "source"]).aggregate(Count(alias_name="n"))
-
-    def _fmt(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("source", "ascending")])
-        hist = ",".join(
-            f"{s}:{int(n)}"
-            for s, n in zip(
-                g.column("source").to_pylist(), g.column("n").to_pylist()
-            )
-        )
-        return pa.table(
-            {
-                "name": pa.array([g.column("name")[0].as_py()], pa.string()),
-                "hist": pa.array([hist], pa.string()),
-            }
-        )
-
-    return counts.groupby("name").map_groups(_fmt, batch_format="pyarrow")
-
-
-def _sql_q42() -> str:
-    return f"""
-SELECT name, string_agg(source || ':' || n, ',' ORDER BY source) AS hist
-FROM (
-  SELECT t.name, d.source, count(*) AS n
-  FROM ({_sql_q11()}) t JOIN documents d ON t.doc_id = d.doc_id
-  GROUP BY t.name, d.source) c
-GROUP BY name
-"""
-
-
-def q43_levenshtein_pairing(sf_dir: str):
-    """Fuzzy similarity join with a value-exact oracle: best levenshtein
-    ratio match for src0 docs among src1 docs in the same length bucket
-    (ties -> min right id). The SequenceMatcher variant (q33) keeps the
-    reference's exact metric; this one keeps DuckDB's."""
-    from barks_ocr_ray.functions.fuzzy import levenshtein_best_match
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
-
-    def _prep(t: pa.Table) -> pa.Table:
-        bucket = pc.divide(t.column("n_chars"), pa.scalar(100, pa.int64()))
-        return t.append_column("bucket", bucket)
-
-    docs = docs.map_batches(_prep, batch_format="pyarrow")
-
-    def _src(name):
-        # fused INSIDE the tag UDF: a selective Dataset.filter empties
-        # blocks and the next fused map emits schema-less tables
-        def _f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t.column("source"), pa.scalar(name)))
-
-        return _f
-
-    return levenshtein_best_match(
-        docs, docs, key_col="bucket", id_col="doc_id", text_col="text",
-        min_ratio=0.3, left_pre=_src("src0"), right_pre=_src("src1"),
-    )
-
-
-SQL_Q43 = """
-WITH l AS (SELECT doc_id, text, n_chars // 100 AS bucket
-           FROM documents WHERE source = 'src0'),
-     r AS (SELECT doc_id, text, n_chars // 100 AS bucket
-           FROM documents WHERE source = 'src1'),
-     p AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id,
-                  1.0 - CAST(levenshtein(l.text, r.text) AS DOUBLE)
-                      / greatest(length(l.text), length(r.text), 1) AS ratio
-           FROM l JOIN r ON l.bucket = r.bucket)
-SELECT left_id, right_id, round(ratio, 4) AS ratio FROM p
-WHERE ratio >= 0.3
-QUALIFY row_number() OVER (
-    PARTITION BY left_id ORDER BY ratio DESC, right_id) = 1
-"""
-
-
-def q44_embedding_all_pairs(sf_dir: str):
-    """EXACT cosine similarity self-join via block-nested-loop
-    enumeration — the exact baseline the LSH near-dup path (q22) trades
-    recall against (see ann.embedding_all_pairs_exact)."""
-    from barks_ocr_ray.functions.ann import (
-        ALL_PAIRS_EMPTY,
-        embedding_all_pairs_exact,
-    )
-
-    res = embedding_all_pairs_exact(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        threshold=0.4,
-    )
-    # Dataset.to_pandas() drops the schema at 0 rows; the result is
-    # already materialized, so this count is a metadata lookup
-    if res.count() == 0:
-        return ALL_PAIRS_EMPTY
-    return res
-
-
-SQL_Q44 = """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.4
-"""
-
-
-def q45_line_rewrap(sf_dir: str):
-    """M16 line-pattern re-wrap (ocr_check.py:156-182 analog): re-wrap
-    each document's text to a per-row line template. The template is a
-    real pattern STRING built from the doc (first c1 words / next c2 /
-    rest, with c1 = 1 + doc_id%4, c2 = 2 + doc_id%3), so the operator
-    runs on genuine per-row (source, pattern) pairs; docs are filtered
-    to >= 12 tokens so every pattern has three non-empty lines and the
-    oracle can replay the slicing in closed form."""
-    from barks_ocr_ray.functions.text import line_pattern_repair
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _pattern(t: pa.Table) -> pa.Table:
-        ids, texts, pats = [], [], []
-        for d, s in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            words = (s or "").split()
-            if len(words) < 12:
-                continue
-            c1, c2 = 1 + d % 4, 2 + d % 3
-            ids.append(d)
-            texts.append(s)
-            pats.append(
-                "\n".join(
-                    [
-                        " ".join(words[:c1]),
-                        " ".join(words[c1 : c1 + c2]),
-                        " ".join(words[c1 + c2 :]),
-                    ]
-                )
-            )
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "text": pa.array(texts, pa.string()),
-                "pattern": pa.array(pats, pa.string()),
-            }
-        )
-
-    ds = docs.map_batches(_pattern, batch_format="pyarrow")
-    return line_pattern_repair(
-        ds, source_col="text", pattern_col="pattern", out_col="rewrapped",
-        keep=["doc_id"],
-    )
-
-
-SQL_Q45 = r"""
-WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w,
-         1 + doc_id % 4 AS c1, 2 + doc_id % 3 AS c2
-  FROM documents
-  WHERE len(string_split_regex(trim(text), '\s+')) >= 12)
-SELECT doc_id,
-       array_to_string(w[1:c1], ' ') || chr(10) ||
-       array_to_string(w[c1+1:c1+c2], ' ') || chr(10) ||
-       array_to_string(w[c1+c2+1:], ' ') AS rewrapped
-FROM t
-"""
-
-
-#: per-language sampling rates for the stratified-sample query
-SAMPLE_RATES = {"en": 0.25, "de": 0.5, "fr": 0.5}
-
-
-def q46_stratified_sample(sf_dir: str):
-    """Deterministic per-stratum sampling (training-corpus rebalancing):
-    keep a doc iff md5(doc_id)'s first-8-hex fraction of 2^32 is below
-    its language's rate — a pure row function, reproducible under any
-    partitioning, and exactly replayable in SQL (no RNG anywhere)."""
-    from barks_ocr_ray.functions.text import stratified_sample
-
-    return stratified_sample(
-        read_table(sf_dir, "documents", ["doc_id", "lang", "source"]),
-        rates=SAMPLE_RATES,
-        strata_col="lang",
-    )
-
-
-def _sql_q46() -> str:
-    cases = " ".join(
-        f"WHEN '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
-    )
-    return f"""
-SELECT doc_id, lang, source FROM documents
-WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-      / 4294967296.0
-      < CASE lang {cases} ELSE 0.0 END
-"""
-
-
-def q47_tfidf_top_terms(sf_dir: str):
-    """Top-3 characteristic terms per doc by tf-idf: actor-pool term
-    counting -> one keyed df aggregation -> term-wise idf join -> grouped
-    top-k; ranked on the DuckDB-rounded score (ties -> term asc)."""
-    from barks_ocr_ray.functions.text import tfidf_top_terms
-
-    return tfidf_top_terms(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), k=3
-    )
-
-
-def _sql_q47() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
-  FROM documents),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
-n AS (SELECT count(*) AS n FROM documents),
-s AS (SELECT tf.doc_id, tf.term,
-             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
-      FROM tf JOIN df USING (term) CROSS JOIN n)
-SELECT doc_id, term, tfidf, rank FROM (
-  SELECT s.*, CAST(row_number() OVER (
-      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
-  FROM s) t
-WHERE rank <= 3
-"""
-
-
-def q48_ivf_topk(sf_dir: str):
-    """IVF approximate top-k (inverted-file ANN, the second scale path
-    next to LSH q23): bounded-sample k-means quantizer, per-list search
-    over n_probe/n_centroids of the corpus. Recall < 1 by construction
-    (recall@k vs brute force pinned by unit test); value-exact against
-    the single-process golden (golden_dedup.golden_ivf_topk — shared
-    _kmeans kernel, sequential search)."""
-    from barks_ocr_ray.functions.ann import ivf_topk
-
-    return ivf_topk(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        ANN_QUERY_IDS,
-        k=10,
-    )
-
-
-def q49_frame_sample(sf_dir: str):
-    """Frame-sampling explode over the media payload column (one media
-    row -> sampled frame rows) through the REAL decode boundary: frame
-    count from decoded pixels, digests from decoded scanlines.
-    Golden-parquet oracle over the fixed media corpus."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import media_table
-    from barks_ocr_ray.functions.multimodal import frame_sample
-    from barks_ocr_ray.oracle_data import Q25_N
-
-    configure()
-    return frame_sample(
-        rd.from_arrow(media_table(Q25_N)), payload_col="media",
-        stride=5, max_frames=8, fake_decode=False,
-    )
-
-
-def _sql_q49() -> str:
-    from barks_ocr_ray.oracle_data import Q25_N, frames_golden_path
-
-    return f"""
-SELECT url, frame_idx, ts_ms, frame_digest
-FROM read_parquet('{frames_golden_path(Q25_N)}')
-"""
-
-
-def q50_media_resize(sf_dir: str):
-    """Aspect-fit thumbnail stage, REAL end to end as of round 5:
-    decode via the pure-Python codecs, nearest-neighbour resample into
-    the box, digest of the actual thumbnail pixels. Golden-parquet
-    oracle over the fixed media corpus."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import media_table
-    from barks_ocr_ray.functions.multimodal import media_resize
-    from barks_ocr_ray.oracle_data import Q25_N
-
-    configure()
-    return media_resize(
-        rd.from_arrow(media_table(Q25_N)), payload_col="media",
-        fake_decode=False,
-    )
-
-
-def _sql_q50() -> str:
-    from barks_ocr_ray.oracle_data import Q25_N, resize_golden_path
-
-    return f"""
-SELECT url, src_width, src_height, out_width, out_height, thumb_digest
-FROM read_parquet('{resize_golden_path(Q25_N)}')
-"""
-
-
-def q51_training_prep(sf_dir: str):
-    """End-to-end training-data prep COMPOSITION (the post-extraction
-    chain a real corpus run needs): one fused enrich pass (stats + lang
-    ID + content hash) -> quality/confidence filter -> exact dedup on
-    content (min doc_id wins) -> per-language stratified rebalance.
-    Exactly ONE keyed exchange end to end; every step SQL-replayable."""
-    from barks_ocr_ray.pipelines.prep import training_prep
-
-    return training_prep(
-        read_table(sf_dir, "documents", ["doc_id", "text"]),
-        rates=SAMPLE_RATES,
-        default_rate=1.0,
-        # the synthetic corpus is stopword-sparse: avg en score ~0.04
-        min_lang_score=0.02,
-    )
-
-
-def _sql_q51() -> str:
-    return _prep_sql("documents", 0.02, SAMPLE_RATES, 1.0)
-
-
-def _prep_sql(
-    source: str,
-    min_lang_score: float,
-    rates: dict[str, float],
-    default_rate: float,
-) -> str:
-    """SQL replay of ``training_prep`` over any (doc_id, text) source
-    relation (a table name or a parenthesized subquery)."""
-    from barks_ocr_ray.functions.text import LANG_PROFILES, TOKEN_RE
-
-    langs = sorted(LANG_PROFILES)
-    hits = ",\n         ".join(
-        "len(list_filter(toks, x -> list_contains(["
-        + ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
-        + f"], x))) AS h_{lang}"
-        for lang in langs
-    )
-    m = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
-    case = " ".join(f"WHEN h_{lang} = m THEN '{lang}'" for lang in langs)
-    rate_case = " ".join(
-        f"WHEN '{lang}' THEN {rate}" for lang, rate in rates.items()
-    )
-    return f"""
-WITH t AS (
-  SELECT doc_id, text, md5(text) AS text_hash,
-         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM {source}),
-h AS (
-  SELECT doc_id, text, text_hash, len(toks) AS n,
-         {hits}
-  FROM t),
-s AS (SELECT *, {m} AS m FROM h),
-enriched AS (
-  SELECT doc_id, text_hash,
-         CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred,
-         round(CAST(m AS DOUBLE) / greatest(n, 1), 4) AS lang_score,
-         n AS n_tokens,
-         length(text) AS text_len
-  FROM s),
-filtered AS (
-  SELECT * FROM enriched
-  WHERE n_tokens >= 10 AND lang_score >= {min_lang_score}),
-deduped AS (
-  SELECT * FROM filtered
-  QUALIFY row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) = 1)
-SELECT doc_id, lang_pred, lang_score, n_tokens, text_len
-FROM deduped
-WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-      / 4294967296.0
-      < CASE lang_pred {rate_case} ELSE {default_rate} END
-"""
-
-
-def q52_unigram_logprob(sf_dir: str):
-    """Per-doc mean negative log-prob under the corpus unigram model
-    (the CCNet-style perplexity quality filter, unigram-reduced): term
-    counts -> unigram totals -> term-wise join -> per-doc reduce."""
-    from barks_ocr_ray.functions.text import unigram_logprob
-
-    return unigram_logprob(read_table(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _sql_q52() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
-  FROM documents),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-u AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY term),
-tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM u)
-SELECT doc_id,
-       round(sum(tf * -ln(CAST(n AS DOUBLE) / n_total))
-             / greatest(sum(tf), 1), 4) AS logprob_score
-FROM tf JOIN u USING (term) CROSS JOIN tot
-GROUP BY doc_id
-"""
-
-
-def q53_shared_window_dups(sf_dir: str):
-    """Exact shared-substring duplicate detection (the suffix-array
-    method's distributed shingle-hash stand-in): doc pairs sharing >= 1
-    exact 10-token window, with the shared-window count."""
-    from barks_ocr_ray.functions.dedupe import shared_window_dups
-
-    return shared_window_dups(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), window=10
-    )
-
-
-def _sql_q53(window: int = 10) -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents
-  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {window}),
-w AS (
-  SELECT DISTINCT doc_id,
-         substring(md5(array_to_string(toks[i:i+{window - 1}], ' ')), 1, 16) AS h
-  FROM t, UNNEST(range(1, len(toks) - {window} + 2)) AS u(i))
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
-GROUP BY 1, 2
-"""
-
-
-def q54_salted_count(sf_dir: str):
-    """Hot-key-safe grouped count (skew salting): lineitem rows counted
-    per l_returnflag — 3 values over millions of rows, every key hot.
-    Phase 1 aggregates on (key, salt), phase 2 sums partials; no reducer
-    receives more than ~1/n_salts of a key's rows."""
-    from barks_ocr_ray.functions.relational import salted_count
-
-    return salted_count(
-        read_table(sf_dir, "lineitem", ["l_returnflag"]), "l_returnflag"
-    )
-
-
-SQL_Q54 = """
-SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag
-"""
-
-
-#: BM25 constants (the standard Robertson defaults) and query terms
-BM25_K1 = 1.2
-BM25_B = 0.75
-BM25_TERMS = ("spark", "join")
-
-
-def q55_bm25_rank(sf_dir: str):
-    """BM25 ranking of documents for a fixed term set (the searcher's
-    scoring layer on top of q28's matching): corpus stats (N, avgdl,
-    per-term df) come from one cheap aggregate pass and are closed over
-    as scalars; scoring is one vectorized pass. Term frequency uses the
-    same \\b-regex contract as q28 on BOTH sides."""
-    import math
-
-    from barks_ocr_ray.functions.relational import round_like_duckdb
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _tf(t: pa.Table) -> pa.Table:
-        lower = pc.utf8_lower(t.column("text"))
-        cols = {
-            "doc_id": t.column("doc_id"),
-            "dl": pc.count_substring_regex(lower, TOKEN_RE).cast(pa.int64()),
-        }
-        for term in BM25_TERMS:
-            tf_col = pc.count_substring_regex(lower, rf"\b{term}\b").cast(
-                pa.int64()
-            )
-            cols[f"tf_{term}"] = tf_col
-            # df partial: 1 iff the term occurs — summed in ONE aggregate
-            cols[f"hit_{term}"] = pc.cast(
-                pc.greater(tf_col, pa.scalar(0, pa.int64())), pa.int64()
-            )
-        return pa.table(cols)
-
-    tf = docs.map_batches(_tf, batch_format="pyarrow").materialize()
-    # N, avgdl and EVERY df from ONE aggregate job over the tf table
-    # (no per-term count() jobs — the searcher shape for arbitrary N terms)
-    from ray.data.aggregate import Count as _Count
-    from ray.data.aggregate import Sum as _Sum
-
-    stats = tf.aggregate(
-        _Count(alias_name="n_docs"),
-        _Sum("dl", alias_name="sum_dl"),
-        *[_Sum(f"hit_{t}", alias_name=f"df_{t}") for t in BM25_TERMS],
-    )
-    n_docs = stats["n_docs"]
-    avgdl = (stats["sum_dl"] or 0) / max(1, n_docs)
-    idf = {
-        t: math.log(
-            (n_docs - stats[f"df_{t}"] + 0.5) / (stats[f"df_{t}"] + 0.5) + 1.0
-        )
-        for t in BM25_TERMS
-    }
-
-    def _score(t: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(_np.float64)
-        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
-        score = _np.zeros(t.num_rows, _np.float64)
-        any_hit = _np.zeros(t.num_rows, bool)
-        for term in BM25_TERMS:
-            tf_v = (
-                t.column(f"tf_{term}")
-                .to_numpy(zero_copy_only=False)
-                .astype(_np.float64)
-            )
-            score += idf[term] * tf_v * (BM25_K1 + 1.0) / (tf_v + norm)
-            any_hit |= tf_v > 0
-        out = pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "bm25": pa.array(round_like_duckdb(score, 4), pa.float64()),
-            }
-        )
-        return out.filter(pa.array(any_hit, pa.bool_()))
-
-    return tf.map_batches(_score, batch_format="pyarrow")
-
-
-def _sql_q55() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    term_tfs = ",\n         ".join(
-        f"len(regexp_extract_all(lower(text), '\\b{t}\\b')) AS tf_{t}"
-        for t in BM25_TERMS
-    )
-    df_sel = ",\n         ".join(
-        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
-        for t in BM25_TERMS
-    )
-    score_terms = " + ".join(
-        f"ln((s.n_docs - s.df_{t} + 0.5) / (s.df_{t} + 0.5) + 1.0)"
-        f" * tf_{t} * ({BM25_K1} + 1.0)"
-        f" / (tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / s.avgdl))"
-        for t in BM25_TERMS
-    )
-    any_hit = " OR ".join(f"tf_{t} > 0" for t in BM25_TERMS)
-    return f"""
-WITH tf AS (
-  SELECT doc_id,
-         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS dl,
-         {term_tfs}
-  FROM documents),
-s AS (
-  SELECT count(*) AS n_docs,
-         CAST(sum(dl) AS DOUBLE) / greatest(count(*), 1) AS avgdl,
-         {df_sel}
-  FROM tf)
-SELECT doc_id, round({score_terms}, 4) AS bm25
-FROM tf CROSS JOIN s
-WHERE {any_hit}
-"""
-
-
-#: q56 rebalance rates — keyed on the strata the extracted corpus
-#: actually produces ('und': the synthetic article vocabulary contains
-#: no stopwords, so lang ID scores 0 on extracted text)
-Q56_RATES = {"und": 0.5, "en": 0.25}
-
-
-def q56_corpus_arc(sf_dir: str):
-    """The FULL corpus arc a 100 TB user actually runs: flagship
-    extraction (q24) composed with training prep (q51) as ONE streaming
-    Dataset job — read -> sniff/decode -> content dedup -> extract ->
-    enrich (stats+lang+hash fused) -> quality filter -> text dedup ->
-    per-stratum rebalance. Exactly TWO keyed exchanges end to end (the
-    content dedup inside extraction, the text-hash dedup inside prep);
-    every other stage is a fused map_batches pass, so at scale the whole
-    arc streams with backpressure and nothing materializes between the
-    two pipelines. Value-exact oracle: prep's SQL replayed over the
-    extraction golden parquet."""
-    from barks_ocr_ray.pipelines.prep import training_prep
-
-    return training_prep(
-        _extracted_docs(),
-        rates=Q56_RATES,
-        default_rate=1.0,
-        min_lang_score=0.0,
-        num_partitions=8,
-    )
-
-
-def _sql_q56() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
-
-    source = (
-        "(SELECT url AS doc_id, extracted_text AS text "
-        f"FROM read_parquet('{extraction_golden_path(Q24_N)}'))"
-    )
-    return _prep_sql(source, 0.0, Q56_RATES, 1.0)
-
-
-def q57_gopher_repetition(sf_dir: str):
-    """Gopher-style per-doc repetition statistics (top 2-/3-gram token
-    fraction + keep/flag decision) over the documents table — the
-    standard pre-training repetition filter (Rae et al. 2021 §A.1.1).
-    Pure per-row pass, zero exchanges. Thresholds tightened below the
-    published defaults so the flag path has live signal on the
-    synthetic corpus (max observed top2_frac ~0.14)."""
-    from barks_ocr_ray.functions.cleaning import gopher_repetition
-
-    return gopher_repetition(
-        read_table(sf_dir, "documents", ["doc_id", "text"]),
-        top2_max=Q57_TOP2_MAX,
-        top3_max=Q57_TOP3_MAX,
-    )
-
-
-Q57_TOP2_MAX = 0.08
-Q57_TOP3_MAX = 0.06
-
-
-def _sql_q57() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents),
-g AS (
-  SELECT doc_id, len(toks) AS n,
-         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs,
-         list_transform(range(1, len(toks) - 1),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
-  FROM t),
-b AS (SELECT doc_id, unnest(bgs) AS gram FROM g),
-bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY doc_id, gram),
-btop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY doc_id),
-tr AS (SELECT doc_id, unnest(tgs) AS gram FROM g),
-tc AS (SELECT doc_id, gram, count(*) AS c FROM tr GROUP BY doc_id, gram),
-ttop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tc GROUP BY doc_id),
-f AS (
-  SELECT g.doc_id, g.n AS n_tokens,
-         round(coalesce(CAST(btop.mx AS DOUBLE) / btop.tot, 0.0), 4) AS top2_frac,
-         round(coalesce(CAST(ttop.mx AS DOUBLE) / ttop.tot, 0.0), 4) AS top3_frac
-  FROM g LEFT JOIN btop ON g.doc_id = btop.doc_id
-         LEFT JOIN ttop ON g.doc_id = ttop.doc_id)
-SELECT doc_id, n_tokens, top2_frac, top3_frac,
-       (top2_frac > {Q57_TOP2_MAX} OR top3_frac > {Q57_TOP3_MAX}) AS flagged
-FROM f
-"""
-
-
-def _extracted_docs(num_partitions: int = 8):
-    """The extracted pages corpus as a (doc_id, text) Dataset — shared
-    front half of the cleaning queries (q58/q59), identical to q56's."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.oracle_data import Q24_N
-    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
-
-    configure()
-    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(
-        ["url", "warc_ts", "html", "lang"]
-    )
-    extracted = extraction_pipeline(pages, num_partitions=num_partitions)
-
-    def _as_docs(t: pa.Table) -> pa.Table:
-        return t.select(["url", "extracted_text"]).rename_columns(
-            ["doc_id", "text"]
-        )
-
-    return extracted.map_batches(_as_docs, batch_format="pyarrow")
-
-
-def q58_c4_line_filter(sf_dir: str):
-    """C4-style line-level cleaning over the EXTRACTED corpus (the
-    place the filter actually runs in a web pipeline): keep lines with
-    >= 5 words ending in terminal punctuation, drop docs with < 3
-    surviving lines (Raffel et al. 2020 §2.2). Zero exchanges after
-    extraction."""
-    from barks_ocr_ray.functions.cleaning import c4_line_filter
-
-    return c4_line_filter(_extracted_docs())
-
-
-def _sql_q58() -> str:
-    from barks_ocr_ray.functions.cleaning import (
-        C4_LINE_END_RE,
-        C4_MIN_LINES,
-        C4_MIN_WORDS,
-    )
-    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
-
-    return f"""
-WITH s AS (
-  SELECT url AS doc_id, string_split(extracted_text, chr(10)) AS ls
-  FROM read_parquet('{extraction_golden_path(Q24_N)}')),
-k AS (
-  SELECT doc_id, len(ls) AS n_lines,
-         list_filter(ls, l -> len(regexp_extract_all(l, '\\S+')) >= {C4_MIN_WORDS}
-                              AND regexp_matches(l, '{C4_LINE_END_RE}')) AS kept
-  FROM s)
-SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
-       n_lines, len(kept) AS n_kept
-FROM k WHERE len(kept) >= {C4_MIN_LINES}
-"""
-
-
-def q59_paragraph_dedup(sf_dir: str):
-    """Paragraph-level dedup over the extracted corpus (RefinedWeb
-    §3.3 shape): repeat paragraphs WITHIN a doc collapse to the first
-    occurrence (real signal here — oversized pages repeat their
-    paragraph run), and any paragraph shared by >= 2 distinct docs is
-    dropped corpus-wide. One count aggregation + one hash join + one
-    keyed reassembly."""
-    from barks_ocr_ray.functions.cleaning import paragraph_dedup
-
-    return paragraph_dedup(_extracted_docs(), min_docs=2, num_partitions=8)
-
-
-def _sql_q59() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
-
-    return f"""
-WITH s AS (
-  SELECT url AS doc_id, string_split(extracted_text, chr(10)) AS ls
-  FROM read_parquet('{extraction_golden_path(Q24_N)}')
-  WHERE extracted_text IS NOT NULL),
-p0 AS (
-  SELECT doc_id, len(ls) AS n_paras, ls,
-         unnest(range(1, len(ls) + 1)) AS idx
-  FROM s),
-p1 AS (SELECT doc_id, n_paras, idx, ls[idx] AS para, md5(ls[idx]) AS h FROM p0),
-p AS (
-  SELECT * FROM p1
-  QUALIFY row_number() OVER (PARTITION BY doc_id, h ORDER BY idx) = 1),
-counts AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM p GROUP BY h)
-SELECT doc_id,
-       string_agg(para, chr(10) ORDER BY idx) AS clean_text,
-       any_value(n_paras) AS n_paras,
-       count(*) AS n_kept
-FROM p JOIN counts USING (h)
-WHERE counts.n_docs < 2
-GROUP BY doc_id
-"""
-
-
-Q60_K = 5  # shingle width scaled to this corpus's short synthetic docs
-Q60_MOD = 53  # eval split: doc_id % 53 == 0 (~2% of docs, live overlap
-#             signal at sf0.001/0.01/0.1 — measured before pinning)
-
-
-def _q60_split(is_eval: bool):
-    """mod-split row filter, fused INSIDE the contamination UDFs (a
-    selective upstream map empties blocks -> schema-less outputs)."""
-
-    def _f(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        mask = (ids % Q60_MOD == 0) == is_eval
-        return t.filter(pa.array(mask))
-
-    return _f
-
-
-def q60_decontaminate(sf_dir: str):
-    """Benchmark decontamination: flag training docs sharing any k-token
-    shingle with the held-out eval split (doc_id % 53 == 0). The eval
-    shingle set is benchmark-sized by definition — built once, broadcast
-    via ray.put; the training corpus streams through one vectorized
-    is_in membership pass. Zero exchanges."""
-    from barks_ocr_ray.functions.contamination import (
-        decontaminate,
-        eval_shingle_set,
-    )
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    ev = eval_shingle_set(docs, k=Q60_K, pre=_q60_split(True))
-    return decontaminate(docs, ev, k=Q60_K, pre=_q60_split(False))
-
-
-def _sql_q60() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    k, mod = Q60_K, Q60_MOD
-    return f"""
-WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents),
-ev AS (
-  SELECT DISTINCT md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')) AS h
-  FROM (SELECT toks, unnest(range(1, len(toks) - {k} + 2)) AS i
-        FROM tok WHERE doc_id % {mod} = 0)),
-tr AS (
-  SELECT doc_id, toks,
-         greatest(coalesce(len(toks), 0) - {k} + 1, 0) AS n_shingles
-  FROM tok WHERE doc_id % {mod} != 0),
-sh AS (
-  SELECT doc_id, md5(array_to_string(list_slice(toks, i, i + {k - 1}), ' ')) AS h
-  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {k} + 2)) AS i FROM tr)),
-hits AS (
-  SELECT doc_id, count(*) AS n_hits FROM sh
-  WHERE h IN (SELECT h FROM ev) GROUP BY doc_id)
-SELECT tr.doc_id, CAST(tr.n_shingles AS BIGINT) AS n_shingles,
-       CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
-       coalesce(hits.n_hits, 0) > 0 AS contaminated
-FROM tr LEFT JOIN hits USING (doc_id)
-"""
-
-
-def q61_pii_redact(sf_dir: str):
-    """PII scrubbing (emails / phone numbers / IPv4) with per-doc match
-    counts — three vectorized RE2 kernel passes, zero exchanges. The
-    synthetic corpus carries no PII, so deterministic doc_id-keyed PII
-    is INJECTED first (replayed identically by the oracle) to give the
-    redaction live signal."""
-    from barks_ocr_ray.functions.cleaning import pii_redact
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _inject(t: pa.Table) -> pa.Table:
-        out = []
-        for did, s in zip(
-            t.column("doc_id").to_pylist(), t.column("text")
-        ):
-            txt = s.as_py() or ""
-            if did % 3 == 0:
-                txt += f" Contact user{did}@example.com now."
-            if did % 5 == 0:
-                txt += f" Call 555-{did % 1000:03d}-{did % 10000:04d} today."
-            if did % 7 == 0:
-                txt += (
-                    f" Server 10.{did % 256}.{(did // 7) % 256}"
-                    f".{did % 250} logged."
-                )
-            out.append(txt)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "text": pa.array(out, pa.string()),
-            }
-        )
-
-    return pii_redact(docs.map_batches(_inject, batch_format="pyarrow"))
-
-
-def _sql_q61() -> str:
-    from barks_ocr_ray.functions.cleaning import (
-        PII_EMAIL_RE,
-        PII_IP_RE,
-        PII_PHONE_RE,
-    )
-
-    return f"""
-WITH base AS (
-  SELECT doc_id, coalesce(text, '')
-    || CASE WHEN doc_id % 3 = 0
-            THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com now.'
-            ELSE '' END
-    || CASE WHEN doc_id % 5 = 0
-            THEN ' Call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
-                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today.'
-            ELSE '' END
-    || CASE WHEN doc_id % 7 = 0
-            THEN ' Server 10.' || CAST(doc_id % 256 AS VARCHAR)
-                 || '.' || CAST((doc_id // 7) % 256 AS VARCHAR)
-                 || '.' || CAST(doc_id % 250 AS VARCHAR) || ' logged.'
-            ELSE '' END AS t0
-  FROM documents),
-s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '{PII_EMAIL_RE}')) AS n_emails,
-              regexp_replace(t0, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1 FROM base),
-s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t1, '{PII_PHONE_RE}')) AS n_phones,
-              regexp_replace(t1, '{PII_PHONE_RE}', '<PHONE>', 'g') AS t2 FROM s1),
-s3 AS (SELECT doc_id, n_emails, n_phones, len(regexp_extract_all(t2, '{PII_IP_RE}')) AS n_ips,
-              regexp_replace(t2, '{PII_IP_RE}', '<IP>', 'g') AS clean_text FROM s2)
-SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
-       CAST(n_phones AS BIGINT) AS n_phones,
-       CAST(n_ips AS BIGINT) AS n_ips, clean_text
-FROM s3
-"""
-
-
-Q62_BUDGET = 512  # tokens per packed sequence (short synthetic docs)
-
-
-def q62_sequence_pack(sf_dir: str):
-    """Shuffled sequence packing: md5-deterministic global shuffle +
-    contiguous packing into fixed token budgets via a distributed
-    two-level prefix sum (per-range totals -> driver cumsum over 256
-    rows -> broadcast; within-range local sort+cumsum in map_groups)."""
-    from barks_ocr_ray.functions.packing import sequence_pack
-
-    return sequence_pack(
-        read_table(sf_dir, "documents", ["doc_id", "text"]),
-        budget=Q62_BUDGET,
-    )
-
-
-def _sql_q62() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         coalesce(len(regexp_extract_all(lower(text), '{TOKEN_RE}')), 0) AS n_tokens,
-         md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
-  FROM documents),
-w AS (
-  SELECT doc_id, shuffle_key, n_tokens,
-         CAST(coalesce(sum(n_tokens) OVER (ORDER BY shuffle_key
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_off
-  FROM t)
-SELECT doc_id, shuffle_key, CAST(n_tokens AS BIGINT) AS n_tokens,
-       tok_off // {Q62_BUDGET} AS seq_id, tok_off % {Q62_BUDGET} AS seq_pos
-FROM w
-"""
-
-
-Q63_WEB_WEIGHT = 1.4  # documents table: 1 epoch + 40% of docs twice
-Q63_CC_WEIGHT = 2.25  # extracted corpus: 2 epochs + 25% three times
-
-
-def q63_mix_corpora(sf_dir: str):
-    """Epoch-weighted mixture of two corpora (documents table +
-    extracted web corpus): floor(weight) full epochs per doc plus an
-    md5-fraction extra epoch — static-mixture oversampling, pure row
-    functions + union, zero exchanges."""
-    from barks_ocr_ray.functions.packing import mix_corpora
-
-    web = read_table(sf_dir, "documents", ["doc_id"])
-    cc = _extracted_docs().select_columns(["doc_id"])
-    return mix_corpora(
-        [
-            ("web", web, Q63_WEB_WEIGHT),
-            ("cc", cc, Q63_CC_WEIGHT),
-        ]
-    )
-
-
-def _sql_q63() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
-
-    def frac_expr(frac: float) -> str:
-        return (
-            "CAST(('0x' || substring(md5(corpus || ':' || doc_id || ':mix'), 1, 8))"
-            f" AS UBIGINT) / 4294967296.0 < {frac}"
-        )
-
-    return f"""
-WITH web AS (SELECT 'web' AS corpus, CAST(doc_id AS VARCHAR) AS doc_id FROM documents),
-cc AS (SELECT 'cc' AS corpus, url AS doc_id
-       FROM read_parquet('{extraction_golden_path(Q24_N)}')),
-src AS (
-  SELECT corpus, doc_id,
-         1 + CASE WHEN {frac_expr(0.4)} THEN 1 ELSE 0 END AS n_ep FROM web
-  UNION ALL
-  SELECT corpus, doc_id,
-         2 + CASE WHEN {frac_expr(0.25)} THEN 1 ELSE 0 END AS n_ep FROM cc)
-SELECT corpus, doc_id, CAST(r.range AS BIGINT) AS epoch
-FROM src, range(3) r WHERE r.range < n_ep
-"""
-
-
-def q64_quality_model(sf_dir: str):
-    """Model-scored quality filter (the fastText/DCLM classifier
-    shape): a deterministic linear model over vectorized text features,
-    run as an actor-pool inference stage — weights load once per actor,
-    one vectorized scoring pass per batch, zero exchanges."""
-    from barks_ocr_ray.functions.inference import quality_model_score
-
-    return quality_model_score(
-        read_table(sf_dir, "documents", ["doc_id", "text"])
-    )
-
-
-def _sql_q64() -> str:
-    from barks_ocr_ray.functions.inference import (
-        QUALITY_KEEP_THRESHOLD,
-        QUALITY_WEIGHTS,
-    )
-    from barks_ocr_ray.functions.text import STOPWORDS, TOKEN_RE
-
-    w = QUALITY_WEIGHTS
-    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
-    return f"""
-WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
-s AS (
-  SELECT doc_id,
-         CAST(length(text) AS DOUBLE) AS text_len,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS DOUBLE) AS n_tokens,
-         CAST(len(regexp_extract_all(text, '[.!?]')) AS DOUBLE) AS n_punct,
-         CAST(len(regexp_extract_all(lower(text), '{stop_pat}')) AS DOUBLE) AS n_stop
-  FROM t),
-sc AS (
-  SELECT doc_id,
-         round({w["b"]} + {w["text_len"]} * text_len
-               + {w["n_tokens"]} * n_tokens
-               + {w["n_punct"]} * n_punct
-               + {w["n_stop"]} * n_stop
-               + {w["stop_ratio"]} * (n_stop / greatest(n_tokens, 1.0)), 4) AS quality_score
-  FROM s)
-SELECT doc_id, quality_score,
-       quality_score > {QUALITY_KEEP_THRESHOLD} AS keep
-FROM sc
-"""
-
-
-Q65_HOST_CAP = 10
-
-
-def q65_domain_cap(sf_dir: str):
-    """Per-host page cap over the extracted corpus (the Common-Crawl
-    'limit pages per domain' rebalancing op): keep the first N urls per
-    host in url order (deterministic). Host parse is one RE2 kernel
-    pass; the cap is one keyed exchange on host + a vectorized in-group
-    sort/slice — group size is bounded by a single host's page count,
-    never the corpus."""
-    import numpy as _np
-
-    from barks_ocr_ray.context import hash_partitions as _hp
-
-    extracted = _extracted_docs()
-
-    def _host(t: pa.Table) -> pa.Table:
-        urls = t.column("doc_id")
-        if isinstance(urls, pa.ChunkedArray):
-            urls = urls.combine_chunks()
-        m = pc.extract_regex(urls, r"^https?://(?P<host>[^/]+)")
-        return pa.table(
-            {"url": urls, "host": pc.struct_field(m, "host")}
-        )
-
-    def _cap(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g.column("url"))
-        k = min(Q65_HOST_CAP, g.num_rows)
-        g = g.take(order[:k])
-        return g.append_column(
-            "host_rank", pa.array(_np.arange(1, k + 1), pa.int64())
-        )
-
-    return (
-        extracted.map_batches(_host, batch_format="pyarrow")
-        .groupby("host", num_partitions=_hp(4))
-        .map_groups(_cap, batch_format="pyarrow")
-    )
-
-
-def _sql_q65() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
-
-    return f"""
-WITH h AS (
-  SELECT url, regexp_extract(url, '^https?://([^/]+)', 1) AS host
-  FROM read_parquet('{extraction_golden_path(Q24_N)}')),
-r AS (
-  SELECT url, host,
-         row_number() OVER (PARTITION BY host ORDER BY url) AS host_rank
-  FROM h)
-SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank
-FROM r WHERE host_rank <= {Q65_HOST_CAP}
-"""
-
-
-Q66_QS = [0.25, 0.5, 0.75, 0.95]
-
-
-def q66_quantiles(sf_dir: str):
-    """Exact distributed quantiles of l_extendedprice — a counting
-    quickselect (O(pivots) driver state, O(log32(n/cap)) streaming
-    passes, no global sort), bit-matching DuckDB's quantile_disc. The
-    pull cap is set below every SF's row count so the counting rounds
-    actually execute."""
-    from barks_ocr_ray.functions.quantiles import distributed_quantiles
-
-    t = distributed_quantiles(
-        read_table(sf_dir, "lineitem", ["l_extendedprice"]),
-        "l_extendedprice",
-        Q66_QS,
-        pull_cap=2000,
-    )
-    return rd.from_arrow(t)
-
-
-def _sql_q66() -> str:
-    parts = " UNION ALL ".join(
-        f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
-        for q in Q66_QS
-    )
-    return f"SELECT q, value FROM ({parts}) ORDER BY q"
-
-
-Q68_QS = [0.5, 0.9]
-
-
-def q68_grouped_quantiles(sf_dir: str):
-    """Exact per-group quantiles via the GROUPED counting quickselect
-    (quantiles.grouped_distributed_quantiles): every group advances
-    through SHARED streaming passes, so total corpus passes are
-    O(log32(n/cap)) independent of group count, and no group is ever
-    pulled whole (the map_groups alternative breaks when one group is
-    corpus-sized). This replaced a per-key loop over predicate-pushed
-    reads that paid #keys x the passes (see q145, the primitive's
-    other consumer). Unbounded key spaces should bucket keys first."""
-    from barks_ocr_ray.functions.quantiles import (
-        grouped_distributed_quantiles,
-    )
-
-    t = grouped_distributed_quantiles(
-        read_table(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"]),
-        "l_returnflag",
-        "l_extendedprice",
-        Q68_QS,
-        pull_cap=2000,
-    )
-    out = pa.table(
-        {
-            "l_returnflag": t.column("grp"),
-            "q": t.column("q"),
-            "value": t.column("value"),
-        }
-    )
-    return rd.from_arrow(out)
-
-
-def _sql_q68() -> str:
-    parts = " UNION ALL ".join(
-        f"SELECT l_returnflag, {q} AS q, "
-        f"quantile_disc(l_extendedprice, {q}) AS value "
-        f"FROM lineitem GROUP BY l_returnflag"
-        for q in Q68_QS
-    )
-    return f"SELECT l_returnflag, q, value FROM ({parts}) ORDER BY l_returnflag, q"
-
-
-def q67_hll_distinct(sf_dir: str):
-    """HyperLogLog approximate distinct-text count over documents —
-    the canonical cardinality sketch (nonzero registers as combiner
-    partials, ONE 4096-key max-aggregation, driver holds the register
-    array only). DuckDB's approx_count_distinct is a different HLL
-    implementation, so the value-exact oracle is the single-process
-    register fold (golden_dedup.golden_hll_distinct — register state is
-    an order-independent max, so sequential == distributed bit-exactly);
-    the <5%-error and partitioning-invariance contracts are pinned by
-    unit tests, and the exact-distinct sibling machinery is q07/q15."""
-    from barks_ocr_ray.functions.sketches import hll_count_distinct
-
-    return rd.from_arrow(
-        hll_count_distinct(
-            read_table(sf_dir, "documents", ["text"]), "text"
-        )
-    )
-
-
-Q69_K = 50
-
-
-def q69_weighted_sample(sf_dir: str):
-    """Weighted reservoir sample WITHOUT replacement (Efraimidis-
-    Spirakis A-Res): keep the k docs with the largest u^(1/w), where u
-    is the deterministic md5-fraction of doc_id and w = n_tokens + 1.
-    Pure per-row key derivation + local top-k per block + one global
-    merge of k*n_blocks candidate rows — no shuffle of the corpus, no
-    RNG state, and byte-replayable in SQL (ORDER BY pow(u, 1/w) LIMIT
-    k). The standard length-weighted subsampling step for training
-    mixes."""
-    import hashlib as _hl
-
-    import numpy as _np
-    import ray as _ray
-
-    from barks_ocr_ray.functions.relational import round_like_duckdb
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _keys(t: pa.Table) -> pa.Table:
-        lower = pc.utf8_lower(t.column("text"))
-        n_tokens = (
-            pc.count_substring_regex(lower, TOKEN_RE)
-            .cast(pa.int64())
-            .fill_null(0)
-        )
-        ids = t.column("doc_id").to_pylist()
-        u = _np.array(
-            [
-                int(_hl.md5(str(i).encode("utf-8")).hexdigest()[:8], 16)
-                / float(1 << 32)
-                for i in ids
-            ],
-            _np.float64,
-        )
-        w = n_tokens.to_numpy(zero_copy_only=False).astype(_np.float64) + 1.0
-        # rounded to 10 decimals on BOTH sides: libm pow() may differ by
-        # an ulp between numpy and DuckDB, and both the ORDER BY and the
-        # value-hash must agree bit-for-bit (ties break on doc_id)
-        key = round_like_duckdb(u ** (1.0 / w), 10)
-        t2 = pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_tokens": n_tokens,
-                "sample_key": pa.array(key, pa.float64()),
-            }
-        )
-        # local top-k: only k candidates per block reach the merge
-        order = pc.sort_indices(
-            t2,
-            sort_keys=[("sample_key", "descending"), ("doc_id", "ascending")],
-        )
-        return t2.take(order[: min(Q69_K, t2.num_rows)])
-
-    merged = docs.map_batches(_keys, batch_format="pyarrow")
-
-    def _final(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            t,
-            sort_keys=[("sample_key", "descending"), ("doc_id", "ascending")],
-        )
-        return t.take(order[: min(Q69_K, t.num_rows)])
-
-    # the merge input is k rows per block — tiny at any corpus size
-    return rd.from_arrow(_final(pa.concat_tables(
-        _ray.get(merged.to_arrow_refs())
-    )))
-
-
-def _sql_q69() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE as _TOK
-
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         CAST(coalesce(len(regexp_extract_all(lower(text), '{_TOK}')), 0) AS BIGINT) AS n_tokens,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
-           / 4294967296.0 AS u
-  FROM documents)
-SELECT doc_id, n_tokens,
-       round(pow(u, 1.0 / (n_tokens + 1.0)), 10) AS sample_key
-FROM t
-ORDER BY sample_key DESC, doc_id
-LIMIT {Q69_K}
-"""
-
-
-#: typed empty result of the as-of join (schema contract at 0 rows)
-Q70_EMPTY = pa.table(
-    {
-        "purchase_id": pa.array([], pa.int64()),
-        "user_id": pa.array([], pa.int64()),
-        "purchase_ts": pa.array([], pa.timestamp("us")),
-        "click_id": pa.array([], pa.int64()),
-        "click_ts": pa.array([], pa.timestamp("us")),
-        "gap_us": pa.array([], pa.int64()),
-    }
-)
-
-
-def q70_asof_join(sf_dir: str):
-    """Distributed AS-OF join (ordered join, DuckDB `ASOF JOIN`
-    semantics): for every `purchase` event, attach the latest `click`
-    by the same user at or before its timestamp.
-
-    Execution shape: the two sides are ONE pruned, predicate-pushed
-    read (event_type IN (click, purchase) never leaves storage
-    otherwise); hash-repartition on user_id co-locates a user's rows,
-    then ONE vectorized pass per block matches every purchase in the
-    block together — sort by (user, ts, side), running-max over click
-    positions, validity = running max reached inside the user's run.
-    No per-user loop, no per-row Python; one keyed exchange total.
-    100 TB note: a user's history must fit a block (same assumption as
-    sessionize/q13); salt pathological users by time-range if one ever
-    exceeds it. Determinism: (user_id, ts) is unique per side in this
-    corpus (verified), so the as-of match is well-defined; ties would
-    otherwise follow event_id order.
-    """
-    import pyarrow.dataset as _pds
-
-    ev = read_table(
-        sf_dir,
-        "events",
-        ["event_id", "ts", "user_id", "event_type"],
-        predicate=_pds.field("event_type").isin(["click", "purchase"]),
-    )
-
-    def _asof_block(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        if t.num_rows == 0:
-            return Q70_EMPTY
-        # side: click=0 sorts before purchase=1 at equal ts, so an
-        # equal-timestamp click is visible to the running max (>= match)
-        side = pc.equal(t.column("event_type"), pa.scalar("purchase"))
-        t = t.append_column("side", side.cast(pa.int8()))
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("user_id", "ascending"),
-                ("ts", "ascending"),
-                ("side", "ascending"),
-                ("event_id", "ascending"),
-            ],
-        )
-        t = t.take(idx)
-        users = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ids = t.column("event_id").to_numpy(zero_copy_only=False)
-        is_purchase = (
-            t.column("side").to_numpy(zero_copy_only=False).astype(bool)
-        )
-        n = len(users)
-        pos = np.arange(n, dtype=np.int64)
-        # running max of click positions; sorted-by-user means any click
-        # position >= the user's run start belongs to that same user, so
-        # no per-segment reset is needed
-        last_click = np.maximum.accumulate(np.where(~is_purchase, pos, -1))
-        run_start = np.zeros(n, dtype=np.int64)
-        changed = np.flatnonzero(
-            np.concatenate(([True], users[1:] != users[:-1]))
-        )
-        run_start[changed] = changed
-        run_start = np.maximum.accumulate(run_start)
-        matched = is_purchase & (last_click >= run_start)
-        p = np.flatnonzero(matched)
-        c = last_click[p]
-        return pa.table(
-            {
-                "purchase_id": pa.array(ids[p], pa.int64()),
-                "user_id": pa.array(users[p], pa.int64()),
-                "purchase_ts": pa.array(ts_us[p], pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "click_id": pa.array(ids[c], pa.int64()),
-                "click_ts": pa.array(ts_us[c], pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "gap_us": pa.array(ts_us[p] - ts_us[c], pa.int64()),
-            }
-        )
-
-    return ev.repartition(16, keys=["user_id"]).map_batches(
-        _asof_block, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q70 = """
-SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
-       c.event_id AS click_id, c.ts AS click_ts,
-       date_diff('microsecond', c.ts, p.ts) AS gap_us
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
-"""
-
-
-#: phi = 1/(k+1) heavy-hitter capacity for q71
-Q71_K = 200
-
-
-def q71_heavy_hitters(sf_dir: str):
-    """Exact phi-frequent keys (users producing > n/(k+1) of all
-    events) via the two-pass candidate scheme — pass 1 emits at most k
-    local heavy hitters per block (pigeonhole bound) plus a row-count
-    sentinel, pass 2 re-counts only the candidates exactly. The
-    exchange volume is O(blocks x k), independent of key cardinality —
-    the scale answer when distinct keys approach corpus size (URLs,
-    hosts, shingles) and a plain groupby(key) would shuffle billions of
-    partials. Result is exact (see exact_heavy_hitters docstring)."""
-    from barks_ocr_ray.functions.sketches import exact_heavy_hitters
-
-    ev = read_table(sf_dir, "events", ["user_id"])
-    return exact_heavy_hitters(ev, "user_id", k=Q71_K)
-
-
-SQL_Q71 = f"""
-SELECT user_id, count(*) AS n
-FROM events
-GROUP BY user_id
-HAVING count(*) * {Q71_K + 1} > (SELECT count(*) FROM events)
-"""
-
-
-def q72_running_totals(sf_dir: str):
-    """Ordered window aggregates per key — running sum, row_number and
-    lag-gap over each user's event stream (SQL `OVER (PARTITION BY
-    user_id ORDER BY ts, event_id)`), the per-entity-timeline shape a
-    feature pipeline runs at corpus scale.
-
-    Execution shape: ONE keyed exchange (hash repartition on user_id)
-    co-locates a user's events, then one vectorized pass per block
-    computes all three windows for every user in the block together:
-    sort by (user, ts, event_id), segment cumsum (global cumsum minus
-    its value at each run start), sequence = position minus run start,
-    gap = diff masked at run starts. No per-user loop, no per-row
-    Python. The money column accumulates in FIXED-POINT int64 cents
-    (round-half-away, `round_like_duckdb`) — at 10^12 rows a float
-    running sum is order-dependent and non-replayable, so the integer
-    form is both the bit-exact oracle contract AND the design a real
-    pipeline wants. Same block-fit assumption as q13/q70 (a user's
-    history fits a block); salt by time range if one ever exceeds it.
-    """
-    ev = read_table(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-
-    def _windows_block(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("user_id", "ascending"),
-                ("ts", "ascending"),
-                ("event_id", "ascending"),
-            ],
-        )
-        t = t.take(idx)
-        users = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        cents = round_like_duckdb(
-            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
-        ).astype(np.int64)
-        n = len(users)
-        pos = np.arange(n, dtype=np.int64)
-        is_start = np.concatenate(([True], users[1:] != users[:-1]))
-        run_start = np.maximum.accumulate(np.where(is_start, pos, 0))
-        cs = np.cumsum(cents)
-        running = cs - (cs[run_start] - cents[run_start])
-        seq = pos - run_start + 1
-        prev_ts = np.concatenate(([0], ts_us[:-1]))
-        gap = np.where(is_start, 0, ts_us - prev_ts)
-        return pa.table(
-            {
-                "event_id": t.column("event_id"),
-                "user_id": t.column("user_id"),
-                "ts": t.column("ts"),
-                "running_cents": pa.array(running, pa.int64()),
-                "event_seq": pa.array(seq, pa.int64()),
-                "since_prev_us": pa.array(gap, pa.int64()),
-            }
-        )
-
-    return ev.repartition(16, keys=["user_id"]).map_batches(
-        _windows_block, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q72 = """
-SELECT event_id, user_id, ts,
-       sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS running_cents,
-       CAST(row_number() OVER w AS BIGINT) AS event_seq,
-       coalesce(date_diff('microsecond', lag(ts) OVER w, ts), 0) AS since_prev_us
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-"""
-
-
-#: q73 chunking geometry
-Q73_CHUNK, Q73_OVERLAP = 64, 16
-
-
-def q73_chunk_documents(sf_dir: str):
-    """Sliding token-window chunking over the documents table (RAG /
-    context-window prep): 64-token windows advancing by 48, last window
-    clipped to the doc end. Pure per-block pass, zero exchanges, fully
-    vectorized (see functions/text.chunk_documents)."""
-    from barks_ocr_ray.functions.text import chunk_documents
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return chunk_documents(
-        docs, chunk_tokens=Q73_CHUNK, overlap=Q73_OVERLAP
-    )
-
-
-_Q73_STRIDE = Q73_CHUNK - Q73_OVERLAP
-SQL_Q73 = f"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk,
-         len(regexp_extract_all(text, '\\S+')) AS n
-  FROM documents
-)
-SELECT doc_id,
-       CAST(s / {_Q73_STRIDE} AS BIGINT) AS chunk_idx,
-       array_to_string(tk[s + 1 : least(s + {Q73_CHUNK}, n)], ' ') AS chunk_text,
-       least(s + {Q73_CHUNK}, n) - s AS n_tokens
-FROM toks,
-     LATERAL unnest(generate_series(0, greatest(n - {Q73_OVERLAP} - 1, 0), {_Q73_STRIDE})) AS g(s)
-WHERE n > 0
-"""
-
-
-def q74_salted_skew_join(sf_dir: str):
-    """Skew-safe dimension join: lineitem x part through a SALTED hash
-    join — the dimension side replicated once per salt, fact rows
-    round-robin salted, exchange keyed on (partkey, salt) so a hot part
-    never lands on one join partition — then per-brand revenue in
-    fixed-point cents (per-row round to int64, then an
-    order-independent integer sum; the q72 rationale). Result is
-    provably identical to the plain join (see salted_join docstring);
-    the sibling equivalence is pinned by a unit test with a 90%-hot
-    key."""
-    from barks_ocr_ray.functions.relational import salted_join
-
-    li = read_table(
-        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"]
-    )
-    pt = read_table(sf_dir, "part", ["p_partkey", "p_brand"])
-    joined = salted_join(
-        li, pt, on=("l_partkey",), right_on=("p_partkey",), n_salts=8
-    )
-
-    def _cents(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        cents = round_like_duckdb(ext * (1.0 - disc) * 100.0, 0).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "p_brand": t.column("p_brand"),
-                "cents": pa.array(cents, pa.int64()),
-            }
-        )
-
-    # ~25 brands: 2 partitions keeps every finalize non-empty (q01 note)
-    return (
-        joined.map_batches(_cents, batch_format="pyarrow")
-        .groupby("p_brand", num_partitions=2)
-        .aggregate(Sum("cents", alias_name="revenue_cents"))
-    )
-
-
-SQL_Q74 = """
-SELECT p_brand,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS revenue_cents
-FROM lineitem JOIN part ON l_partkey = p_partkey
-GROUP BY p_brand
-"""
-
-
-def q75_semdedup(sf_dir: str):
-    """SemDeDup semantic near-dedup over the embeddings table (k-means
-    candidate bounding + within-cluster keep-lowest-id cosine rule).
-    The quantizer is not SQL-replayable, so the value-exact oracle is
-    the single-process golden (golden_dedup.golden_semdedup — shared
-    _kmeans kernel); the exact sibling on the same cosine kernel is q44,
-    and the n_clusters=1 reduction to the exact greedy rule is pinned by
-    a unit test."""
-    from barks_ocr_ray.functions.ann import semdedup
-
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return semdedup(emb, threshold=0.95, n_clusters=16)
-
-
-def q76_rollup(sf_dir: str):
-    """Multi-level ROLLUP aggregation — (source, lang), (source) and
-    grand-total counts/char-sums in one result, SQL `GROUP BY
-    ROLLUP(source, lang)` semantics.
-
-    Execution shape: ONE full-data aggregation produces the finest
-    level; the coarser levels are derived FROM that (vocabulary-sized)
-    aggregate with tiny exchanges — the corpus is scanned exactly once
-    no matter how many rollup levels, which is the only shape that
-    holds at 100 TB (re-scanning per level multiplies the read)."""
-    docs = read_table(sf_dir, "documents", ["source", "lang", "n_chars"])
-    # materialize the finest level: it is (sources x langs)-sized, and
-    # the coarser levels + the union all branch from it — without this
-    # the full corpus aggregation would execute once per branch
-    base = (
-        docs.groupby(["source", "lang"], num_partitions=2)
-        .aggregate(
-            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
-        )
-        .materialize()
-    )
-
-    def _null_lang(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "source": t.column("source"),
-                "lang": pa.nulls(t.num_rows, pa.string()),
-                "n_docs": t.column("n_docs"),
-                "sum_chars": t.column("sum_chars"),
-            }
-        )
-
-    lvl1 = (
-        base.groupby("source", num_partitions=2)
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("sum_chars", alias_name="sum_chars"),
-        )
-        .map_batches(_null_lang, batch_format="pyarrow")
-    )
-    # grand total: two scalars off the (tiny) finest aggregate
-    totals = base.aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("sum_chars", alias_name="sum_chars"),
-    )
-    lvl0 = rd.from_arrow(
-        pa.table(
-            {
-                "source": pa.nulls(1, pa.string()),
-                "lang": pa.nulls(1, pa.string()),
-                "n_docs": pa.array([totals["n_docs"]], pa.int64()),
-                "sum_chars": pa.array([totals["sum_chars"]], pa.int64()),
-            }
-        )
-    )
-    return base.union(lvl1, lvl0)
-
-
-SQL_Q76 = """
-SELECT source, lang, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents
-GROUP BY ROLLUP(source, lang)
-"""
-
-#: fixed event-type vocabulary of the corpus (pivot column contract)
-Q77_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-
-
-def q77_pivot_events(sf_dir: str):
-    """Pivot (crosstab): one row per user, one count column per event
-    type. Execution shape: the pivot happens BEFORE the exchange — a
-    vectorized one-hot pass per block turns each type into an int64
-    column, so the groupby ships 5 small integer columns instead of a
-    string column, and the wide aggregation is plain Sums (combiner
-    partials). Column set is the declared type vocabulary (pivoting on
-    an unbounded discovered domain is an anti-pattern at scale)."""
-    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
-
-    def _onehot(t: pa.Table) -> pa.Table:
-        cols = {"user_id": t.column("user_id")}
-        et = t.column("event_type")
-        for name in Q77_EVENT_TYPES:
-            cols[f"n_{name}"] = pc.cast(
-                pc.equal(et, pa.scalar(name)), pa.int64()
-            )
-        return pa.table(cols)
-
-    return ev.map_batches(_onehot, batch_format="pyarrow").groupby(
-        "user_id", num_partitions=hash_partitions(8)
-    ).aggregate(
-        *[Sum(f"n_{name}", alias_name=f"n_{name}") for name in Q77_EVENT_TYPES]
-    )
-
-
-SQL_Q77 = """
-SELECT user_id,
-       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
-       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
-FROM events
-GROUP BY user_id
-"""
-
-
-def q78_bloom_semi_join(sf_dir: str):
-    """Runtime-filtered semi join: lineitems of URGENT orders via a
-    distributed Bloom filter of the urgent orderkeys broadcast once —
-    definitely-absent rows never enter the join exchange; survivors
-    (matches + ~0.1% false positives) get the exact inner join, so the
-    result is exactly `WHERE l_orderkey IN (...)`. Aggregated to
-    per-returnflag counts + fixed-point revenue (q72 rationale)."""
-    import pyarrow.dataset as _pds
-
-    from barks_ocr_ray.functions.sketches import bloom_semi_join
-
-    li = read_table(
-        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"]
-    )
-    # the pushed predicate must be resolvable in the projected schema
-    urgent = read_table(
-        sf_dir,
-        "orders",
-        ["o_orderkey", "o_orderpriority"],
-        predicate=_pds.field("o_orderpriority") == "1-URGENT",
-    )
-    matched = bloom_semi_join(
-        li, urgent, on="l_orderkey", right_on="o_orderkey"
-    )
-
-    def _cents(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        cents = round_like_duckdb(ext * 100.0, 0).astype(np.int64)
-        return pa.table(
-            {
-                "l_returnflag": t.column("l_returnflag"),
-                "cents": pa.array(cents, pa.int64()),
-            }
-        )
-
-    return (
-        matched.map_batches(_cents, batch_format="pyarrow")
-        .groupby("l_returnflag", num_partitions=2)
-        .aggregate(
-            Count(alias_name="n"), Sum("cents", alias_name="revenue_cents")
-        )
-    )
-
-
-SQL_Q78 = """
-SELECT l_returnflag, count(*) AS n,
-       CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
-FROM lineitem
-WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-GROUP BY l_returnflag
-"""
-
-_DAY_US = 86_400_000_000
-
-
-def q79_cohort_retention(sf_dir: str):
-    """Cohort retention: users grouped by their FIRST event's day, then
-    distinct active users per (cohort_day, day offset) — the classic
-    retention triangle. Execution shape: ONE keyed exchange on user_id
-    co-locates each user's events; one vectorized pass per block
-    computes first-ts per run, day offsets, and the DISTINCT
-    (user, cohort, offset) triples (sort + shift-compare dedup — valid
-    globally because a user lives in exactly one block); the final
-    count per (cohort, offset) is a small aggregation over pre-deduped
-    pairs, so `count(DISTINCT user)` never ships raw events."""
-    ev = read_table(sf_dir, "events", ["user_id", "ts"])
-
-    # NOTE: a hash partition no user landed on (possible at tiny sf)
-    # reaches the downstream aggregate as a schema-less empty — Ray 2.49
-    # map_batches skips the UDF on ANY empty block, typed or not, so an
-    # in-UDF typed-empty guard is unreachable (verified). Benign here:
-    # the aggregate tolerates empties; at sf>=0.01 every partition is
-    # populated and the executor's schema warning does not fire.
-    def _cohort_block(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        idx = pc.sort_indices(
-            t, sort_keys=[("user_id", "ascending"), ("ts", "ascending")]
-        )
-        t = t.take(idx)
-        users = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        n = len(users)
-        pos = np.arange(n, dtype=np.int64)
-        is_start = np.concatenate(([True], users[1:] != users[:-1]))
-        run_start = np.maximum.accumulate(np.where(is_start, pos, 0))
-        cohort_us = (ts_us[run_start] // _DAY_US) * _DAY_US
-        offset = ts_us // _DAY_US - cohort_us // _DAY_US
-        # distinct (user, cohort, offset): rows are sorted by (user, ts)
-        # so equal triples are adjacent
-        keep = np.concatenate(
-            ([True], (users[1:] != users[:-1]) | (offset[1:] != offset[:-1]))
-        )
-        return pa.table(
-            {
-                "cohort_day": pa.array(cohort_us[keep], pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                "offset_days": pa.array(offset[keep], pa.int64()),
-            }
-        )
-
-    return (
-        ev.repartition(16, keys=["user_id"])
-        .map_batches(_cohort_block, batch_format="pyarrow", batch_size=None)
-        .groupby(["cohort_day", "offset_days"], num_partitions=2)
-        .aggregate(Count(alias_name="n_users"))
-    )
-
-
-SQL_Q79 = """
-WITH f AS (
-  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
-  FROM events GROUP BY user_id
-)
-SELECT cohort_day,
-       date_diff('day', cohort_day, date_trunc('day', e.ts)) AS offset_days,
-       count(DISTINCT e.user_id) AS n_users
-FROM events e JOIN f USING (user_id)
-GROUP BY cohort_day, offset_days
-"""
-
-
-GLOBAL_RANK_BANDS = 32
-RANK_SAMPLE_CAP = 1024
-
-
-def q80_global_rank(sf_dir: str):
-    """Global row_number over a distributed order — the two-pass
-    range-bucketed ranking pattern (Ray Data has no global window): a
-    bounded deterministic sample (the IVF quantizer's md5-threshold
-    rule) yields range boundaries, every row buckets locally, ONE tiny
-    aggregation counts each band, the driver prefix-sums the band counts
-    (GLOBAL_RANK_BANDS scalars — never rows), and a keyed exchange on
-    band co-locates each band so rank = band_offset + local position.
-    No global sort barrier: at 100 TB raise the band count well past the
-    cluster width and the exchange stays balanced while the sample cap
-    still bounds driver memory."""
-    import hashlib as _hashlib
-
-    import numpy as np
-
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-
-    def _cents(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        cents = round_like_duckdb(
-            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0, 0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "o_orderkey": t.column("o_orderkey"),
-                "cents": pa.array(cents, pa.int64()),
-            }
-        )
-
-    # two columns, reused by the sample pass, the count pass and the
-    # rank pass — materialized once (key+id only, never the payload)
-    ds = orders.map_batches(_cents, batch_format="pyarrow").materialize()
-    n_rows = ds.count()
-    frac = min(1.0, 4.0 * RANK_SAMPLE_CAP / max(1, n_rows))
-
-    def _sample(t: pa.Table) -> pa.Table:
-        keys = [
-            _hashlib.md5(str(i).encode("utf-8")).hexdigest()
-            for i in t.column("o_orderkey").to_pylist()
-        ]
-        keep = [int(k[:8], 16) / float(1 << 32) < frac for k in keys]
-        return t.append_column("sample_key", pa.array(keys, pa.string())).filter(
-            pa.array(keep, pa.bool_())
-        )
-
-    sample = (
-        ds.map_batches(_sample, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values("sample_key", kind="mergesort")
-        .head(RANK_SAMPLE_CAP)
-    )
-    boundaries = np.unique(
-        np.quantile(
-            sample["cents"].to_numpy(),
-            np.linspace(0, 1, GLOBAL_RANK_BANDS + 1)[1:-1],
-            method="nearest",
-        ).astype(np.int64)
-    )
-
-    def _bucket(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        c = t.column("cents").to_numpy(zero_copy_only=False)
-        return t.append_column(
-            "band",
-            pa.array(np.searchsorted(boundaries, c, side="right"), pa.int64()),
-        )
-
-    banded = ds.map_batches(_bucket, batch_format="pyarrow")
-    counts = banded.groupby("band", num_partitions=2).aggregate(
-        Count(alias_name="n")
-    ).to_pandas()
-    # DESC ranking: a band's offset = total rows in HIGHER bands
-    counts = counts.sort_values("band", ascending=False)
-    offsets = dict(
-        zip(counts["band"], counts["n"].cumsum().shift(fill_value=0))
-    )
-
-    def _rank_block(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("band", "ascending"),
-                ("cents", "descending"),
-                ("o_orderkey", "ascending"),
-            ],
-        )
-        t = t.take(idx)
-        band = t.column("band").to_numpy(zero_copy_only=False)
-        n = len(band)
-        pos = np.arange(n, dtype=np.int64)
-        is_start = np.concatenate(([True], band[1:] != band[:-1]))
-        run_start = np.maximum.accumulate(np.where(is_start, pos, 0))
-        off = np.array([offsets[b] for b in band[is_start]], dtype=np.int64)
-        off_full = np.repeat(off, np.diff(np.append(np.flatnonzero(is_start), n)))
-        rank = off_full + (pos - run_start) + 1
-        return pa.table(
-            {
-                "o_orderkey": t.column("o_orderkey"),
-                "global_rank": pa.array(rank, pa.int64()),
-            }
-        )
-
-    return banded.repartition(8, keys=["band"]).map_batches(
-        _rank_block, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q80 = """
-SELECT o_orderkey,
-       CAST(row_number() OVER (
-           ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC,
-                    o_orderkey) AS BIGINT) AS global_rank
-FROM orders
-"""
-
-
-def q81_corr_moments(sf_dir: str):
-    """Distributed Pearson correlation / covariance via EXACT fixed-point
-    moments: each block folds (n, Sx, Sy, Sxx, Syy, Sxy) over integer
-    cents/units into ONE partial row, a single tiny aggregation sums
-    them, and the driver evaluates the closed-form moments in one fixed
-    float expression — so the result is bit-identical across any
-    partitioning (float ops happen exactly once, on exact integer sums;
-    the naive streaming-float corr is order-dependent). The oracle
-    mirrors the same integer sums (HUGEINT) and the same final float
-    expression. Units are whole DOLLARS so the int64 partial sums hold
-    headroom (~1e4 price^2 rows per 1e18): the cross-block aggregate
-    stays int64-safe past 1e9 rows of this table's magnitudes; beyond
-    that, widen partials to two-limb int64 pairs (the exchange stays one
-    row per block either way). The driver math runs in PYTHON ints —
-    exact at any width — and floats enter exactly once."""
-    import numpy as np
-
-    li = read_table(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
-        dollars = round_like_duckdb(
-            t.column("l_extendedprice").to_numpy(zero_copy_only=False), 0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "n": pa.array([len(q)], pa.int64()),
-                "sx": pa.array([int(q.sum())], pa.int64()),
-                "sy": pa.array([int(dollars.sum())], pa.int64()),
-                "sxx": pa.array([int((q * q).sum())], pa.int64()),
-                "syy": pa.array([int((dollars * dollars).sum())], pa.int64()),
-                "sxy": pa.array([int((q * dollars).sum())], pa.int64()),
-            }
-        )
-
-    agg = li.map_batches(_partials, batch_format="pyarrow").aggregate(
-        Sum("n", alias_name="n"),
-        Sum("sx", alias_name="sx"),
-        Sum("sy", alias_name="sy"),
-        Sum("sxx", alias_name="sxx"),
-        Sum("syy", alias_name="syy"),
-        Sum("sxy", alias_name="sxy"),
-    )
-    # Python ints: exact at any width (numpy int64 would wrap on n*syy)
-    n, sx, sy = int(agg["n"]), int(agg["sx"]), int(agg["sy"])
-    sxx, syy, sxy = int(agg["sxx"]), int(agg["syy"]), int(agg["sxy"])
-    num = n * sxy - sx * sy
-    d1 = n * sxx - sx * sx
-    d2 = n * syy - sy * sy
-    corr = float(num) / float(np.sqrt(float(d1) * float(d2)))
-    covar_pop = float(num) / (float(n) * float(n))
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "corr_qty_dollars": pa.array(
-                round_like_duckdb(np.array([corr]), 9), pa.float64()
-            ),
-            "covar_pop_dollars": pa.array(
-                round_like_duckdb(np.array([covar_pop]), 4), pa.float64()
-            ),
-        }
-    )
-
-
-SQL_Q81 = """
-WITH m AS (
-  SELECT count(*) AS n,
-         sum(CAST(l_quantity AS HUGEINT)) AS sx,
-         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)) AS sy,
-         sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
-         sum(CAST(round(l_extendedprice, 0) AS HUGEINT)
-             * CAST(round(l_extendedprice, 0) AS HUGEINT)) AS syy,
-         sum(CAST(l_quantity AS HUGEINT)
-             * CAST(round(l_extendedprice, 0) AS HUGEINT)) AS sxy
-  FROM lineitem
-)
-SELECT CAST(n AS BIGINT) AS n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                    * CAST(n * syy - sy * sy AS DOUBLE)), 9)
-           AS corr_qty_dollars,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 4)
-           AS covar_pop_dollars
-FROM m
-"""
-
-
-class _VocabSideCombiner:
-    """Per-block combiner for the distributed INTERSECT: one
-    (word, in0, in1) partial per distinct word per block — the exchange
-    carries vocabulary partials, never tokens (A1 discipline). Warm
-    tokenizer state per actor (T3 pattern)."""
-
-    def __init__(self):
-        # Tokenizer is imported at MODULE level: __init__ runs on the
-        # worker, where an in-body `from barks_ocr_ray ...` fails under
-        # by-value pickling (CLAUDE.md corollary)
-        self._tok = Tokenizer()
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        seen: dict[str, list[int]] = {}
-        for s, src in zip(t.column("text"), t.column("source")):
-            sv = src.as_py()
-            if sv not in ("src0", "src1") or not s.is_valid:
-                continue
-            side = 0 if sv == "src0" else 1
-            for w in self._tok.tokens(s.as_py()):
-                seen.setdefault(w, [0, 0])[side] = 1
-        return pa.table(
-            {
-                "word": pa.array(list(seen), pa.string()),
-                "in0": pa.array([v[0] for v in seen.values()], pa.int64()),
-                "in1": pa.array([v[1] for v in seen.values()], pa.int64()),
-            }
-        )
-
-
-def q82_source_intersect(sf_dir: str):
-    """Distributed INTERSECT (set semantics) — the vocabulary shared by
-    src0 and src1 documents. Shape: per-block combiner dedups
-    (word, side-flag) partials, ONE keyed aggregation ORs the flags, a
-    vectorized filter keeps both-sides words. Set-difference sibling is
-    q06 (anti join); a text-hash intersect is the same machinery with
-    md5(text) as the key."""
-    docs = read_table(sf_dir, "documents", ["text", "source"])
-
-    both = (
-        docs.map_batches(
-            _VocabSideCombiner, batch_format="pyarrow", concurrency=(1, 4)
-        )
-        .groupby("word", num_partitions=2)
-        .aggregate(Max("in0", alias_name="in0"), Max("in1", alias_name="in1"))
-    )
-
-    def _keep(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.equal(t.column("in0"), pa.scalar(1, pa.int64())),
-            pc.equal(t.column("in1"), pa.scalar(1, pa.int64())),
-        )
-        return pa.table({"word": t.column("word").filter(mask)})
-
-    res = both.map_batches(_keep, batch_format="pyarrow").materialize()
-    if res.count() == 0:
-        return pa.table({"word": pa.array([], pa.string())})
-    return res
-
-
-def _sql_q82() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
-FROM documents WHERE source = 'src0'
-INTERSECT
-SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
-FROM documents WHERE source = 'src1'
-"""
-
-
-def q83_cube(sf_dir: str):
-    """GROUP BY CUBE(source, lang) — all four grouping sets from ONE
-    full-data aggregation (q76 ROLLUP shape plus the lang-only level,
-    also derived from the vocabulary-sized finest aggregate; the corpus
-    is scanned exactly once regardless of grouping-set count)."""
-    docs = read_table(sf_dir, "documents", ["source", "lang", "n_chars"])
-    base = (
-        docs.groupby(["source", "lang"], num_partitions=2)
-        .aggregate(
-            Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
-        )
-        .materialize()
-    )
-
-    def _null_col(col: str):
-        def _m(t: pa.Table) -> pa.Table:
-            cols = {
-                "source": t.column("source")
-                if col != "source"
-                else pa.nulls(t.num_rows, pa.string()),
-                "lang": t.column("lang")
-                if col != "lang"
-                else pa.nulls(t.num_rows, pa.string()),
-                "n_docs": t.column("n_docs"),
-                "sum_chars": t.column("sum_chars"),
-            }
-            return pa.table(cols)
-
-        return _m
-
-    lvl_source = (
-        base.groupby("source", num_partitions=2)
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("sum_chars", alias_name="sum_chars"),
-        )
-        .map_batches(_null_col("lang"), batch_format="pyarrow")
-    )
-    lvl_lang = (
-        base.groupby("lang", num_partitions=2)
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("sum_chars", alias_name="sum_chars"),
-        )
-        .map_batches(_null_col("source"), batch_format="pyarrow")
-    )
-    totals = base.aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("sum_chars", alias_name="sum_chars"),
-    )
-    lvl0 = rd.from_arrow(
-        pa.table(
-            {
-                "source": pa.nulls(1, pa.string()),
-                "lang": pa.nulls(1, pa.string()),
-                "n_docs": pa.array([totals["n_docs"]], pa.int64()),
-                "sum_chars": pa.array([totals["sum_chars"]], pa.int64()),
-            }
-        )
-    )
-    return base.union(lvl_source, lvl_lang, lvl0)
-
-
-SQL_Q83 = """
-SELECT source, lang, count(*) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-FROM documents
-GROUP BY CUBE(source, lang)
-"""
-
-
-def q84_weighted_mean(sf_dir: str):
-    """Grouped weighted mean on exact integer sums: quantity-weighted
-    average price per returnflag. The partials (sum qty, sum qty*price
-    in whole dollars) are exact int64; the division is the only float
-    op, applied once per (tiny) group row — partitioning-invariant bits
-    (q81 discipline, grouped)."""
-    li = read_table(
-        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"]
-    )
-
-    def _partials(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
-        d = round_like_duckdb(
-            t.column("l_extendedprice").to_numpy(zero_copy_only=False), 0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "l_returnflag": t.column("l_returnflag"),
-                "w": pa.array(q, pa.int64()),
-                "wx": pa.array(q * d, pa.int64()),
-            }
-        )
-
-    agg = (
-        li.map_batches(_partials, batch_format="pyarrow")
-        .groupby("l_returnflag", num_partitions=2)
-        .aggregate(Sum("w", alias_name="w"), Sum("wx", alias_name="wx"))
-    )
-
-    def _mean(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
-        wx = t.column("wx").to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                "l_returnflag": t.column("l_returnflag"),
-                "sum_qty": t.column("w"),
-                "wavg_dollars": pa.array(
-                    round_like_duckdb(wx / w, 6), pa.float64()
-                ),
-            }
-        )
-
-    return agg.map_batches(_mean, batch_format="pyarrow")
-
-
-SQL_Q84 = """
-SELECT l_returnflag,
-       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-       round(CAST(sum(CAST(l_quantity AS BIGINT)
-                      * CAST(round(l_extendedprice, 0) AS BIGINT)) AS DOUBLE)
-             / CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE), 6)
-           AS wavg_dollars
-FROM lineitem
-GROUP BY l_returnflag
-"""
-
-
-def q85_cms_counts(sf_dir: str):
-    """Count-Min sketch point-frequency estimates for a fixed probe
-    word list (sketches.CMS_PROBES) over the documents token stream —
-    the approximate-frequency sketch next to q67's HLL cardinality and
-    q71's exact heavy hitters. Registers merge by addition (order
-    independent), so the estimate is value-exact against the sequential
-    golden fold (golden_dedup.golden_cms_counts)."""
-    from barks_ocr_ray.functions.sketches import CMS_PROBES, cms_token_counts
-
-    return cms_token_counts(
-        read_table(sf_dir, "documents", ["text"]), "text", CMS_PROBES
-    )
-
-
-def q86_grouped_zscore(sf_dir: str):
-    """Grouped z-score normalization of order prices (whole dollars)
-    within each order priority — the canonical two-pass feature
-    normalization: pass 1 folds exact int64 moment partials (n, S, SS)
-    per group into ONE tiny aggregate; the driver derives mean/std per
-    group with floats entering once (q81 discipline) and BROADCASTS the
-    group table (5 rows) into pass 2's vectorized per-row standardize.
-    The corpus is never exchanged — only moments move."""
-    import numpy as np
-
-    orders = read_table(
-        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
-    )
-
-    def _dollars(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        d = round_like_duckdb(
-            t.column("o_totalprice").to_numpy(zero_copy_only=False), 0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "o_orderkey": t.column("o_orderkey"),
-                "o_orderpriority": t.column("o_orderpriority"),
-                "dollars": pa.array(d, pa.int64()),
-            }
-        )
-
-    ds = orders.map_batches(_dollars, batch_format="pyarrow").materialize()
-
-    def _moments(t: pa.Table) -> pa.Table:
-        """Per-block moment partials via dictionary-encode + reduceat
-        (the q120/q123 segment pattern) — one vectorized pass, no
-        pandas hop, no per-group boolean masks."""
-        import numpy as np
-
-        d = t.column("dollars").to_numpy(zero_copy_only=False)
-        enc = t.column("o_orderpriority").combine_chunks().dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        cats = enc.dictionary.to_pylist()
-        order = np.argsort(codes, kind="stable")
-        codes_s, d_s = codes[order], d[order]
-        starts = np.concatenate(
-            ([0], np.flatnonzero(np.diff(codes_s)) + 1)
-        )
-        seg_n = np.diff(np.concatenate((starts, [len(codes_s)])))
-        seg_s = np.add.reduceat(d_s, starts)
-        seg_ss = np.add.reduceat(d_s * d_s, starts)
-        return pa.table(
-            {
-                "o_orderpriority": pa.array(
-                    [cats[c] for c in codes_s[starts]], pa.string()
-                ),
-                "n": pa.array(seg_n, pa.int64()),
-                "s": pa.array(seg_s, pa.int64()),
-                "ss": pa.array(seg_ss, pa.int64()),
-            }
-        )
-
-    agg = (
-        ds.map_batches(_moments, batch_format="pyarrow")
-        .groupby("o_orderpriority", num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("s", alias_name="s"),
-            Sum("ss", alias_name="ss"),
-        )
-        .to_pandas()
-    )
-    stats: dict[str, tuple[float, float]] = {}
-    for _, row in agg.iterrows():
-        n, s, ss = int(row["n"]), int(row["s"]), int(row["ss"])
-        mean = float(s) / float(n)
-        std = float(
-            np.sqrt(float(n * ss - s * s) / float(n * (n - 1)))
-        )
-        stats[row["o_orderpriority"]] = (mean, std)
-
-    def _standardize(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        d = t.column("dollars").to_numpy(zero_copy_only=False).astype(np.float64)
-        enc = t.column("o_orderpriority").combine_chunks().dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False)
-        cats = enc.dictionary.to_pylist()
-        mean = np.asarray([stats[c][0] for c in cats])[codes]
-        std = np.asarray([stats[c][1] for c in cats])[codes]
-        return pa.table(
-            {
-                "o_orderkey": t.column("o_orderkey"),
-                "o_orderpriority": t.column("o_orderpriority"),
-                "zscore": pa.array(
-                    round_like_duckdb((d - mean) / std, 6), pa.float64()
-                ),
-            }
-        )
-
-    return ds.map_batches(_standardize, batch_format="pyarrow")
-
-
-SQL_Q86 = """
-WITH m AS (
-  SELECT o_orderpriority,
-         count(*) AS n,
-         sum(CAST(round(o_totalprice, 0) AS HUGEINT)) AS s,
-         sum(CAST(round(o_totalprice, 0) AS HUGEINT)
-             * CAST(round(o_totalprice, 0) AS HUGEINT)) AS ss
-  FROM orders GROUP BY o_orderpriority
-),
-st AS (
-  SELECT o_orderpriority,
-         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
-         sqrt(CAST(n * ss - s * s AS DOUBLE)
-              / CAST(n * (n - 1) AS DOUBLE)) AS std
-  FROM m
-)
-SELECT o.o_orderkey, o.o_orderpriority,
-       round((CAST(round(o.o_totalprice, 0) AS DOUBLE) - st.mean) / st.std, 6)
-           AS zscore
-FROM orders o JOIN st USING (o_orderpriority)
-"""
-
-
-def q87_bigram_logprob(sf_dir: str):
-    """Per-doc mean negative log-prob under the corpus BIGRAM model
-    (conditional MLE — the rung above q52's unigram perplexity filter);
-    see text.bigram_logprob for the two-aggregation + two-join shape."""
-    from barks_ocr_ray.functions.text import bigram_logprob
-
-    return bigram_logprob(read_table(sf_dir, "documents", ["doc_id", "text"]))
-
-
-def _sql_q87() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
-  FROM documents),
-idx AS (
-  SELECT doc_id, ws,
-         unnest(generate_series(1, array_length(ws) - 1)) AS i
-  FROM tok WHERE array_length(ws) >= 2),
-bg AS (
-  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
-  FROM idx),
-bf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
-n12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n12 FROM bf GROUP BY w1, w2),
-n1 AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS n1 FROM bf GROUP BY w1)
-SELECT doc_id,
-       round(sum(tf * -ln(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE)))
-             / greatest(sum(tf), 1), 4) AS bigram_score
-FROM bf JOIN n12 USING (w1, w2) JOIN n1 USING (w1)
-GROUP BY doc_id
-"""
-
-
-Q88_CUT = 0.9
-
-
-def q88_quantile_cut(sf_dir: str):
-    """Quantile-cut corpus filter — keep documents at or above the p90
-    length (the quality-threshold-selection shape: a cutoff derived FROM
-    the distribution, not hardcoded). The threshold comes from the q66
-    counting-quickselect exact quantile (driver holds one scalar) and is
-    then a pushed vectorized filter; the corpus is never sorted."""
-    from barks_ocr_ray.functions.quantiles import distributed_quantiles
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"]).materialize()
-    thr = distributed_quantiles(
-        docs, "n_chars", [Q88_CUT], pull_cap=200
-    ).column("value")[0].as_py()
-
-    def _keep(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.greater_equal(t.column("n_chars"), pa.scalar(int(thr), pa.int64()))
-        )
-
-    return docs.map_batches(_keep, batch_format="pyarrow")
-
-
-SQL_Q88 = f"""
-SELECT doc_id, n_chars FROM documents
-WHERE n_chars >= (SELECT quantile_disc(n_chars, {Q88_CUT}) FROM documents)
-"""
-
-
-def q89_local_supplier_volume(sf_dir: str):
-    """TPC-H Q5-shaped multi-way join plan — revenue per nation where
-    the ordering customer and the supplying supplier share a nation
-    inside one region. Join plan by table scale (the whole point of the
-    query): region x nation (25 rows) fold into ONE broadcast dict;
-    customer and supplier SCALE with the corpus, so customer attaches to
-    orders via a distributed hash join and supplier's nation attaches to
-    lineitem via a second; the orders<->lineitem spine is the third
-    (large x large); the same-nation predicate is a vectorized filter
-    fused before the final vocabulary-sized aggregate. Exchanges: three
-    keyed joins + one 25-key aggregate — nothing driver-side but the
-    25-entry nation dict."""
-    nation = read_table(sf_dir, "nation").to_pandas()
-    region = read_table(sf_dir, "region").to_pandas()
-    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    asia = {
-        int(nk): str(nn)
-        for nk, nn, rk in zip(
-            nation["n_nationkey"], nation["n_name"], nation["n_regionkey"]
-        )
-        if r2name[rk] == "ASIA"
-    }
-
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    o_cust = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    ).select_columns(["o_orderkey", "c_nationkey"])
-
-    supp = read_table(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    li = read_table(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-    li_supp = li.join(
-        supp,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_suppkey",),
-        right_on=("s_suppkey",),
-    )
-    spine = li_supp.join(
-        o_cust,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def _local_revenue(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False)
-        sn = t.column("s_nationkey").to_numpy(zero_copy_only=False)
-        in_asia = np.isin(cn, np.fromiter(asia, np.int64, len(asia)))
-        keep = (cn == sn) & in_asia
-        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)[keep]
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)[keep]
-        names = [asia[int(k)] for k in cn[keep]]
-        return pa.table(
-            {
-                "n_name": pa.array(names, pa.string()),
-                "rev": pa.array(ext * (1.0 - disc), pa.float64()),
-            }
-        )
-
-    out = (
-        spine.map_batches(_local_revenue, batch_format="pyarrow")
-        .groupby("n_name", num_partitions=2)
-        .aggregate(Count(alias_name="n_items"), Sum("rev", alias_name="revenue"))
-    )
-    return round_columns(out, {"revenue": 2})
-
-
-SQL_Q89 = """
-SELECT n_name, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
-GROUP BY n_name
-"""
-
-
-def q90_normalize_text(sf_dir: str):
-    """Vectorized text canonicalization — the standard pre-dedup
-    cleaning stage (NFC unicode normalize -> case fold -> whitespace
-    collapse -> trim), all four as Arrow C kernels chained inside one
-    map_batches; no Python touches a string. Null text passes through
-    null (every kernel is null-propagating), matching the SQL."""
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _norm(t: pa.Table) -> pa.Table:
-        s = t.column("text")
-        s = pc.utf8_normalize(s, form="NFC")
-        s = pc.utf8_lower(s)
-        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
-        s = pc.utf8_trim_whitespace(s)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "norm_text": s,
-                "n_chars_norm": pc.utf8_length(s).cast(pa.int64()),
-            }
-        )
-
-    return docs.map_batches(_norm, batch_format="pyarrow")
-
-
-SQL_Q90 = r"""
-SELECT doc_id,
-       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
-           AS norm_text,
-       length(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')))
-           AS n_chars_norm
-FROM documents
-"""
-
-
-#: GPT-2-style pre-tokenizer regex, lookahead-free so the same RE2
-#: pattern runs in both Arrow and DuckDB (the original's `\s+(?!\S)`
-#: branch needs lookahead; dropping it only changes how trailing
-#: whitespace runs split, identically on both engines)
-BPE_TOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
-
-
-def q91_token_counts(sf_dir: str):
-    """Per-doc token counts under two tokenizers — whitespace split and
-    the BPE-ish GPT-2 pre-tokenizer regex — both as single
-    count_substring_regex C kernel passes (the budget/pricing signal a
-    training pipeline tracks per document; no Python per string)."""
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _count(t: pa.Table) -> pa.Table:
-        s = t.column("text")
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "n_ws_tokens": pc.count_substring_regex(s, r"\S+").cast(
-                    pa.int64()
-                ),
-                "n_bpe_tokens": pc.count_substring_regex(
-                    s, BPE_TOKEN_RE
-                ).cast(pa.int64()),
-            }
-        )
-
-    return docs.map_batches(_count, batch_format="pyarrow")
-
-
-def _sql_q91() -> str:
-    pat = BPE_TOKEN_RE.replace("'", "''")
-    return f"""
-SELECT doc_id,
-       CAST(array_length(regexp_extract_all(text, '\\S+')) AS BIGINT)
-           AS n_ws_tokens,
-       CAST(array_length(regexp_extract_all(text, '{pat}')) AS BIGINT)
-           AS n_bpe_tokens
-FROM documents
-"""
-
-
-#: funnel pattern over per-user event-initial sequences: a click with a
-#: later purchase and no purchase in between (the classic conversion
-#: path); event initials are unique (signup/click/error/view/purchase)
-EVENT_PATTERN = "c[^p]*p"
-
-
-def q92_event_pattern(sf_dir: str):
-    """Sequence-pattern mining over per-user event streams: users whose
-    time-ordered event sequence matches EVENT_PATTERN (regex over the
-    event-initial string — the sequence analog of a funnel). ONE keyed
-    exchange on user co-locates each user's events; each block sorts
-    once, folds per-user initial strings at run boundaries, and runs one
-    compiled regex per user — a user's whole history is the unit of
-    compute, so the op scales with users, not with pattern count."""
-    import re as _re
-
-    ev = read_table(
-        sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
-    )
-    pat = _re.compile(EVENT_PATTERN)
-
-    def _match_block(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("user_id", "ascending"),
-                ("ts", "ascending"),
-                ("event_id", "ascending"),
-            ],
-        )
-        t = t.take(idx)
-        users = t.column("user_id").to_numpy(zero_copy_only=False)
-        initials = pc.utf8_slice_codeunits(
-            t.column("event_type"), 0, 1
-        ).to_pylist()
-        starts = np.flatnonzero(
-            np.concatenate(([True], users[1:] != users[:-1]))
-        )
-        bounds = np.append(starts, len(users))
-        out = [
-            int(users[s])
-            for s, e in zip(bounds[:-1], bounds[1:])
-            if pat.search("".join(initials[s:e]))
-        ]
-        return pa.table({"user_id": pa.array(out, pa.int64())})
-
-    return ev.repartition(16, keys=["user_id"]).map_batches(
-        _match_block, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q92 = f"""
-WITH s AS (
-  SELECT user_id,
-         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
-  FROM events GROUP BY user_id)
-SELECT user_id FROM s WHERE regexp_matches(seq, '{EVENT_PATTERN}')
-"""
-
-
-Q93_MIN_COUNT = 5
-Q93_K = 20
-
-
-def q93_pmi_collocations(sf_dir: str):
-    """Collocation mining: top-k bigrams by pointwise mutual information
-    (PMI = ln(N*n12 / (n1*n2)), min-count floored — the classic
-    association measure for phrase discovery). Reuses the q87 bigram
-    partials; all three count tables are vocabulary-sized, so the two
-    attach joins and the final sort+limit exchange bounded state no
-    matter the corpus size. Ties break on (w1, w2) for a total order."""
-    import numpy as np
-    from barks_ocr_ray.functions.text import DocBigramCounts, VOCAB_PARTITIONS
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    bf = docs.map_batches(
-        DocBigramCounts, batch_format="pyarrow", concurrency=(1, 4)
-    ).materialize()
-    n_total = int(bf.sum("tf") or 0)
-    n12 = bf.groupby(["w1", "w2"], num_partitions=VOCAB_PARTITIONS).aggregate(
-        Sum("tf", alias_name="n12")
-    )
-
-    def _floor(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.greater_equal(t.column("n12"), pa.scalar(Q93_MIN_COUNT, pa.int64()))
-        )
-
-    n12 = n12.map_batches(_floor, batch_format="pyarrow")
-    n1 = bf.groupby("w1", num_partitions=VOCAB_PARTITIONS).aggregate(
-        Sum("tf", alias_name="n1")
-    )
-
-    def _w2_rows(t: pa.Table) -> pa.Table:
-        return pa.table({"w2": t.column("w2"), "tf": t.column("tf")})
-
-    n2 = (
-        bf.map_batches(_w2_rows, batch_format="pyarrow")
-        .groupby("w2", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("tf", alias_name="n2"))
-    )
-    joined = n12.join(
-        n1, join_type="inner", num_partitions=VOCAB_PARTITIONS, on=("w1",)
-    ).join(n2, join_type="inner", num_partitions=VOCAB_PARTITIONS, on=("w2",))
-
-    def _pmi(t: pa.Table) -> pa.Table:
-        a = (
-            float(n_total)
-            * t.column("n12").to_numpy(zero_copy_only=False).astype(np.float64)
-        )
-        b = t.column("n1").to_numpy(zero_copy_only=False).astype(
-            np.float64
-        ) * t.column("n2").to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                "w1": t.column("w1"),
-                "w2": t.column("w2"),
-                "n12": t.column("n12"),
-                "pmi": pa.array(
-                    round_like_duckdb(np.log(a / b), 6), pa.float64()
-                ),
-            }
-        )
-
-    return (
-        joined.map_batches(_pmi, batch_format="pyarrow")
-        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
-        .limit(Q93_K)
-    )
-
-
-def _sql_q93() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
-  FROM documents),
-idx AS (
-  SELECT doc_id, ws,
-         unnest(generate_series(1, array_length(ws) - 1)) AS i
-  FROM tok WHERE array_length(ws) >= 2),
-bg AS (
-  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
-  FROM idx),
-bf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY doc_id, w1, w2),
-tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n FROM bf),
-n12 AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS n12 FROM bf GROUP BY w1, w2
-        HAVING sum(tf) >= {Q93_MIN_COUNT}),
-n1 AS (SELECT w1, CAST(sum(tf) AS BIGINT) AS n1 FROM bf GROUP BY w1),
-n2 AS (SELECT w2, CAST(sum(tf) AS BIGINT) AS n2 FROM bf GROUP BY w2)
-SELECT w1, w2, n12,
-       round(ln((CAST(n AS DOUBLE) * CAST(n12 AS DOUBLE))
-                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS pmi
-FROM n12 JOIN n1 USING (w1) JOIN n2 USING (w2) CROSS JOIN tot
-ORDER BY pmi DESC, w1, w2 LIMIT {Q93_K}
-"""
-
-
-Q94_ITERS = 5
-Q94_K = 20
-
-
-def q94_pagerank(sf_dir: str):
-    """Distributed PageRank over the customer<->supplier trade graph
-    (edges = distinct (custkey, suppkey) pairs through orders x
-    lineitem, symmetrized). The iterative join-propagate-aggregate loop
-    lives in `functions/graph.py` (the same loop family as the
-    reference's duplicate-chain resolution, ocr_check.py:521-538);
-    fixed-point int64 micro-ranks make the distributed sum bit-exact
-    against the oracle's serial replay under any partitioning."""
-    from barks_ocr_ray.functions.graph import pagerank
-
-    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(
-        od,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        cust = pc.binary_join_element_wise(
-            pa.scalar("C"),
-            pc.cast(t.column("o_custkey"), pa.string()),
-            "",
-        )
-        supp = pc.binary_join_element_wise(
-            pa.scalar("S"),
-            pc.cast(t.column("l_suppkey"), pa.string()),
-            "",
-        )
-        return pa.table({"src": cust, "dst": supp})
-
-    pr = pagerank(
-        joined.map_batches(_pairs, batch_format="pyarrow"),
-        iterations=Q94_ITERS,
-    )
-    return pr.sort(["pr", "node"], descending=[True, False]).limit(Q94_K)
-
-
-def _sql_q94() -> str:
-    """Serial replay of the identical fixed-point recurrence, iterations
-    unrolled as chained CTEs (DuckDB has no iterative operator; 5 rounds
-    of join+group-sum are exactly what the engine's loop does)."""
-    from barks_ocr_ray.functions.graph import DAMP_DEN, DAMP_NUM, SCALE
-
-    ctes = [
-        """e0 AS (
-  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
-                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0
-          UNION ALL SELECT dst AS src, src AS dst FROM e0),
-deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
-        FROM edges GROUP BY src),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-r0 AS (SELECT node, CAST({scale} // nn.n AS BIGINT) AS pr
-       FROM deg CROSS JOIN nn)""".format(scale=SCALE)
-    ]
-    for k in range(1, Q94_ITERS + 1):
-        ctes.append(
-            """r{k} AS (
-  SELECT deg.node AS node,
-         CAST((15 * {scale}) // (100 * nn.n) + COALESCE(c.contrib, 0)
-              AS BIGINT) AS pr
-  FROM deg CROSS JOIN nn
-  LEFT JOIN (
-    SELECT e.dst AS node,
-           CAST(sum(((r.pr // d2.outdeg) * {dn}) // {dd}) AS BIGINT)
-             AS contrib
-    FROM edges e
-    JOIN r{prev} r ON e.src = r.node
-    JOIN deg d2 ON d2.node = e.src
-    GROUP BY e.dst) c ON c.node = deg.node)""".format(
-                k=k, prev=k - 1, scale=SCALE, dn=DAMP_NUM, dd=DAMP_DEN
-            )
-        )
-    return "WITH {ctes}\nSELECT node, pr FROM r{last}\nORDER BY pr DESC, node LIMIT {lim}".format(
-        ctes=",\n".join(ctes), last=Q94_ITERS, lim=Q94_K
-    )
-
-
-Q95_TARGET_LANG = "en"
-Q95_K = 100
-
-
-def q95_importance_resample(sf_dir: str):
-    """DSIR-style importance resampling (hashed-unigram log-ratio
-    scoring against the lang='en' target subcorpus): two corpus passes,
-    K-sized (64-bucket) aggregation state, zero doc-keyed exchange —
-    see functions/importance.py for the scale notes."""
-    from barks_ocr_ray.functions.importance import importance_resample
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
-    return importance_resample(docs, Q95_TARGET_LANG, Q95_K)
-
-
-def _sql_q95() -> str:
-    from barks_ocr_ray.functions.importance import N_BUCKETS
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT doc_id, lang,
-         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
-  FROM documents),
-b AS (
-  SELECT doc_id, lang,
-         CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS UBIGINT)
-              % {N_BUCKETS} AS BIGINT) AS bucket
-  FROM tok),
-cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM b GROUP BY bucket),
-ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM b
-       WHERE lang = '{Q95_TARGET_LANG}' GROUP BY bucket),
-tot AS (SELECT CAST(sum(cr.cr) AS BIGINT) AS tr,
-               (SELECT CAST(coalesce(sum(ct.ct), 0) AS BIGINT) FROM ct) AS tt
-        FROM cr),
-wts AS (
-  SELECT cr.bucket,
-         CAST(round(ln(((COALESCE(ct.ct, 0) + 1.0)
-                        * CAST(tot.tr + {N_BUCKETS} AS DOUBLE))
-                       / ((cr.cr + 1.0)
-                          * CAST(tot.tt + {N_BUCKETS} AS DOUBLE)))
-                    * 1000000, 0) AS BIGINT) AS w
-  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot)
-SELECT b.doc_id, CAST(sum(wts.w) AS BIGINT) AS score_micro
-FROM b JOIN wts ON b.bucket = wts.bucket
-GROUP BY b.doc_id
-ORDER BY score_micro DESC, b.doc_id
-LIMIT {Q95_K}
-"""
-
-
-def q96_evolving_schema_union(sf_dir: str):
-    """Schema-evolution read: two shard generations of the same corpus
-    (gen A carries doc_id+lang, gen B carries doc_id+n_chars) are read
-    as ONE dataset with the union-by-name schema, missing columns null
-    — `functions/storage.read_evolving_parquet`. The shard dirs are
-    materialized deterministically from the sf corpus on each call, so
-    the operator under test is the read, not the fixture."""
-    import shutil
-
-    from barks_ocr_ray.functions.storage import read_evolving_parquet
-
-    base = "/tmp/barks_q96_" + os.path.basename(sf_dir.rstrip("/"))
-    shutil.rmtree(base, ignore_errors=True)
-    read_table(sf_dir, "documents", ["doc_id", "lang"]).write_parquet(
-        f"{base}/gen_a"
-    )
-    read_table(sf_dir, "documents", ["doc_id", "n_chars"]).write_parquet(
-        f"{base}/gen_b"
-    )
-    unified = read_evolving_parquet([f"{base}/gen_a", f"{base}/gen_b"])
-
-    # int64 nulls become NaN floats in the driver's pandas compare, and
-    # NaN defeats its exact-equality check — project the evolution gaps
-    # to sentinels for the oracle diff (the null semantics themselves
-    # are pinned by tests/test_storage.py)
-    def _fill(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "lang": t.column("lang").fill_null(""),
-                "n_chars": t.column("n_chars").fill_null(-1),
-            }
-        )
-
-    return unified.map_batches(_fill, batch_format="pyarrow")
-
-
-SQL_Q96 = """
-SELECT doc_id, lang, CAST(-1 AS BIGINT) AS n_chars FROM documents
-UNION ALL
-SELECT doc_id, '' AS lang, n_chars FROM documents
-"""
-
-Q97_TARGET_ROWS = 2048
-
-
-def q97_compaction(sf_dir: str):
-    """Small-file compaction: the corpus is fragmented into 32 tiny
-    parquet files, `storage.compact_parquet` rewrites them into
-    ~Q97_TARGET_ROWS-row files (block-coalescing repartition, no key
-    exchange), and the result aggregates per source FROM THE COMPACTED
-    OUTPUT — so the oracle match proves compaction preserved every row.
-    The file-count contract is pinned separately in tests/test_storage."""
-    import shutil
-
-    from barks_ocr_ray.functions.storage import compact_parquet
-
-    base = "/tmp/barks_q97_" + os.path.basename(sf_dir.rstrip("/"))
-    shutil.rmtree(base, ignore_errors=True)
-    read_table(
-        sf_dir, "documents", ["doc_id", "source", "n_chars"]
-    ).repartition(32).write_parquet(f"{base}/small")
-    compact_parquet(f"{base}/small", f"{base}/compacted", Q97_TARGET_ROWS)
-    out = (
-        rd.read_parquet(f"{base}/compacted")
-        .map_batches(strip_schema_metadata, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(
-            Count(alias_name="rows"), Sum("n_chars", alias_name="chars")
-        )
-    )
-    return out
-
-
-SQL_Q97 = """
-SELECT source, count(*) AS rows, CAST(sum(n_chars) AS BIGINT) AS chars
-FROM documents GROUP BY source
-"""
-
-
-Q98_WINDOW = 3
-Q98_DIST = 4
-Q98_KEY_LEN = 24
-
-
-def q98_sorted_neighborhood(sf_dir: str):
-    """Sorted-neighborhood (merge/purge) near-dup pairs: global key
-    order without a global sort barrier via q80's range-bucket pattern;
-    cross-band pairs come from a boundary table bounded by the band
-    count. See dedupe.sorted_neighborhood_pairs for the scale notes."""
-    from barks_ocr_ray.functions.dedupe import sorted_neighborhood_pairs
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return sorted_neighborhood_pairs(
-        docs,
-        window=Q98_WINDOW,
-        max_dist=Q98_DIST,
-        key_len=Q98_KEY_LEN,
-        n_bands=6,
-    )
-
-
-SQL_Q98 = f"""
-WITH s AS (
-  SELECT doc_id,
-         substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
-                   1, {Q98_KEY_LEN}) AS skey
-  FROM documents WHERE text IS NOT NULL),
-r AS (SELECT doc_id, skey,
-             row_number() OVER (ORDER BY skey, doc_id) AS rk FROM s)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(levenshtein(a.skey, b.skey) AS BIGINT) AS dist
-FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + {Q98_WINDOW}
-WHERE levenshtein(a.skey, b.skey) <= {Q98_DIST}
-"""
-
-
-def q99_returned_item_revenue(sf_dir: str):
-    """TPC-H Q10-shaped plan: revenue lost to returned items per
-    customer, top 20. Plan by table scale: the returnflag predicate is
-    PUSHED TO THE SCANNER (row groups without 'R' rows never leave
-    storage), per-row cents are fixed-point so the distributed sum is
-    order-independent, revenue pre-aggregates per customer BEFORE the
-    customer join (the join's left side shrinks from lineitem-sized to
-    customer-sized), and the 25-row nation table broadcasts."""
-    import pyarrow.dataset as pads
-
-    # the pushed filter binds against the pruned schema, so the
-    # predicate column rides in the projection (q68 precedent)
-    li = read_table(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
-        predicate=(pads.field("l_returnflag") == "R"),
-    )
-
-    def _cents(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ext = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
-        cents = round_like_duckdb(ext * (1.0 - disc) * 100.0, 0).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "l_orderkey": t.column("l_orderkey"),
-                "cents": pa.array(cents, pa.int64()),
-            }
-        )
-
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    spine = li.map_batches(_cents, batch_format="pyarrow").join(
-        orders,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-    per_cust = spine.groupby(
-        "o_custkey", num_partitions=hash_partitions(16)
-    ).aggregate(Sum("cents", alias_name="revenue_cents"))
-
-    cust = read_table(
-        sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"]
-    )
-    named = per_cust.join(
-        cust,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-    nation = read_table(sf_dir, "nation").to_pandas()
-    named = broadcast_lookup_column(
-        named,
-        dict(zip(nation["n_nationkey"], nation["n_name"])),
-        "c_nationkey",
-        "n_name",
-        pa.string(),
-    )
-
-    def _proj(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_custkey": t.column("o_custkey"),
-                "c_name": t.column("c_name"),
-                "n_name": t.column("n_name"),
-                "revenue_cents": t.column("revenue_cents"),
-            }
-        )
-
-    return (
-        named.map_batches(_proj, batch_format="pyarrow")
-        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
-        .limit(20)
-    )
-
-
-SQL_Q99 = """
-SELECT c_custkey, c_name, n_name,
-       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
-                     AS BIGINT)) AS BIGINT) AS revenue_cents
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-WHERE l_returnflag = 'R'
-GROUP BY c_custkey, c_name, n_name
-ORDER BY revenue_cents DESC, c_custkey
-LIMIT 20
-"""
-
-
-def q100_readability(sf_dir: str):
-    """Flesch reading-ease scoring (classic readability heuristic:
-    vowel-group syllable proxy) — pure vectorized RE2 kernels per
-    batch, no exchange at all; per-row float arithmetic is
-    order-independent so the score is exact vs the SQL replay."""
-    from barks_ocr_ray.functions.text import flesch_readability
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return flesch_readability(docs)
-
-
-def _sql_q100() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         CAST(length(regexp_extract_all(lower(text), '{TOKEN_RE}'))
-              AS BIGINT) AS n_words,
-         CAST(greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
-              AS BIGINT) AS n_sentences,
-         CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
-              AS BIGINT) AS n_syllables
-  FROM documents WHERE text IS NOT NULL)
-SELECT doc_id, n_words, n_sentences, n_syllables,
-       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
-             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
-FROM t WHERE n_words > 0
-"""
-
-
-def q101_corpus_profile(sf_dir: str):
-    """Shared-scan corpus profile: ONE corpus read answers doc count,
-    token total, null-text count and the per-language histogram at once
-    (text.corpus_profile) — the scan-amortization pattern a 100 TB user
-    runs instead of N separate aggregation jobs."""
-    from barks_ocr_ray.functions.text import corpus_profile
-
-    docs = read_table(sf_dir, "documents", ["text", "lang"])
-    return corpus_profile(docs)
-
-
-def _sql_q101() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-SELECT 'n_docs' AS stat, CAST(count(*) AS BIGINT) AS value FROM documents
-UNION ALL
-SELECT 'n_tokens',
-       CAST(coalesce(sum(length(regexp_extract_all(lower(text),
-                                                   '{TOKEN_RE}'))), 0)
-            AS BIGINT)
-FROM documents WHERE text IS NOT NULL
-UNION ALL
-SELECT 'null_text', CAST(count(*) AS BIGINT)
-FROM documents WHERE text IS NULL
-UNION ALL
-SELECT 'lang:' || lang, CAST(count(*) AS BIGINT)
-FROM documents GROUP BY lang
-"""
-
-
-def q102_hll_grouped(sf_dir: str):
-    """Approximate distinct users per event type — mergeable HLL
-    sketches BY KEY (sketches.hll_grouped_distinct): the exchange ships
-    occupied (group, register) maxima, never raw user ids. Register
-    max-merge is order-independent, so the estimate is bit-exact vs the
-    sequential golden replay at any partitioning."""
-    from barks_ocr_ray.functions.sketches import hll_grouped_distinct
-
-    events = read_table(sf_dir, "events", ["event_type", "user_id"])
-    return hll_grouped_distinct(events, "event_type", "user_id")
-
-
-Q103_K = 30  # k-anonymity threshold over the (lang, source) quasi-id
-
-
-def q103_k_anonymity(sf_dir: str):
-    """k-anonymity suppression: docs whose (lang, source) quasi-
-    identifier group has fewer than K members get both fields masked
-    to '*'. The group-size table is quasi-identifier-sized (langs x
-    sources, bounded), so it folds into ONE broadcast dict and the
-    suppression is a vectorized per-block mask — no doc-keyed exchange
-    at all (the privacy sibling of q61's PII redaction)."""
-    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "source"])
-    sizes = (
-        docs.groupby(["lang", "source"], num_partitions=2)
-        .aggregate(Count(alias_name="n"))
-        .to_pandas()
-    )  # quasi-identifier-sized, never corpus-sized
-    small = {
-        (l, s)
-        for l, s, n in zip(sizes["lang"], sizes["source"], sizes["n"])
-        if n < Q103_K
-    }
-
-    def _mask(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        langs = t.column("lang").to_numpy(zero_copy_only=False)
-        srcs = t.column("source").to_numpy(zero_copy_only=False)
-        hit = np.fromiter(
-            ((l, s) in small for l, s in zip(langs, srcs)),
-            np.bool_,
-            t.num_rows,
-        )
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "lang_anon": pa.array(
-                    np.where(hit, "*", langs), pa.string()
-                ),
-                "source_anon": pa.array(
-                    np.where(hit, "*", srcs), pa.string()
-                ),
-            }
-        )
-
-    return docs.map_batches(_mask, batch_format="pyarrow")
-
-
-SQL_Q103 = f"""
-WITH g AS (
-  SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source)
-SELECT doc_id,
-       CASE WHEN g.n < {Q103_K} THEN '*' ELSE documents.lang END
-         AS lang_anon,
-       CASE WHEN g.n < {Q103_K} THEN '*' ELSE documents.source END
-         AS source_anon
-FROM documents
-JOIN g ON documents.lang = g.lang AND documents.source = g.source
-"""
-
-
-Q104_LANGS = ("de", "en", "es", "fr", "zh")
-
-
-def q104_expectations(sf_dir: str):
-    """Data-quality expectations audit (great-expectations style): each
-    rule is a vectorized per-block mask whose violation counts
-    pre-aggregate inside the scan (one long-format partial row per rule
-    per block); the uniqueness rule is the only keyed exchange and it
-    ships (doc_id, count) partials. Output: (rule, violations)."""
-    docs = read_table(
-        sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]
-    )
-
-    def _rule_partials(t: pa.Table) -> pa.Table:
-        text = t.column("text")
-        n_chars = t.column("n_chars")
-        viol_null = t.num_rows - pc.sum(pc.is_valid(text)).as_py()
-        lens = pc.utf8_length(text).cast(pa.int64())
-        viol_len = pc.sum(
-            pc.fill_null(pc.not_equal(lens, n_chars), True)
-        ).as_py()
-        viol_lang = t.num_rows - pc.sum(
-            pc.is_in(t.column("lang"), value_set=pa.array(Q104_LANGS))
-        ).as_py()
-        return pa.table(
-            {
-                "rule": pa.array(
-                    ["text_not_null", "n_chars_matches", "lang_known"],
-                    pa.string(),
-                ),
-                "violations": pa.array(
-                    [int(viol_null), int(viol_len), int(viol_lang)],
-                    pa.int64(),
-                ),
-            }
-        )
-
-    rules = (
-        docs.map_batches(_rule_partials, batch_format="pyarrow")
-        .groupby("rule", num_partitions=2)
-        .aggregate(Sum("violations", alias_name="violations"))
-    )
-
-    # uniqueness: rows whose doc_id occurs more than once
-    def _dups_only(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.greater(t.column("count()"), pa.scalar(1, pa.int64()))
-        )
-
-    dup_rows = (
-        docs.groupby("doc_id", num_partitions=hash_partitions(16))
-        .count()
-        .map_batches(_dups_only, batch_format="pyarrow")
-    )
-    n_dup = int(dup_rows.sum("count()") or 0)
-    uniq = rd.from_arrow(
-        pa.table(
-            {
-                "rule": pa.array(["doc_id_unique"], pa.string()),
-                "violations": pa.array([n_dup], pa.int64()),
-            }
-        )
-    )
-    return rules.union(uniq)
-
-
-def _sql_q104() -> str:
-    langs = ", ".join(f"'{l}'" for l in Q104_LANGS)
-    return f"""
-SELECT 'text_not_null' AS rule, CAST(count(*) AS BIGINT) AS violations
-FROM documents WHERE text IS NULL
-UNION ALL
-SELECT 'n_chars_matches', CAST(count(*) AS BIGINT) FROM documents
-WHERE text IS NULL OR length(text) != n_chars
-UNION ALL
-SELECT 'lang_known', CAST(count(*) AS BIGINT) FROM documents
-WHERE lang NOT IN ({langs}) OR lang IS NULL
-UNION ALL
-SELECT 'doc_id_unique',
-       CAST(coalesce(sum(c), 0) AS BIGINT)
-FROM (SELECT count(*) AS c FROM documents GROUP BY doc_id
-      HAVING count(*) > 1)
-"""
-
-
-def q105_cdc_merge(sf_dir: str):
-    """Change-data-capture upsert (lakehouse MERGE INTO): apply a
-    deltas stream (insert / update / delete, sequence-ordered) to the
-    base table — latest op per key wins, deletes drop the row. One
-    keyed exchange on doc_id; the winner pick is a vectorized per-group
-    argmax (the O4 argmax family applied to table maintenance). The
-    deltas are synthesized deterministically from the sf corpus so the
-    operator under test is the merge, not the fixture."""
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _base(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "text": t.column("text"),
-                "op": pa.array(["base"] * n, pa.string()),
-                "seq": pa.array([0] * n, pa.int64()),
-            }
-        )
-
-    def _deltas(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        upd = ids % 7 == 0
-        dele = ids % 11 == 0
-        out_id, out_text, out_op, out_seq = [], [], [], []
-        texts = t.column("text").to_pylist()
-        for i, (d, u, x) in enumerate(zip(ids, upd, dele)):
-            if u:
-                out_id.append(int(d))
-                out_text.append((texts[i] or "").upper())
-                out_op.append("update")
-                out_seq.append(1)
-            if x:
-                out_id.append(int(d))
-                out_text.append(None)
-                out_op.append("delete")
-                out_seq.append(2)
-            # inserts: a new row keyed past the base id space
-            if d % 13 == 0:
-                out_id.append(int(d) + 10_000_000)
-                out_text.append(f"inserted {int(d)}")
-                out_op.append("insert")
-                out_seq.append(1)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "text": pa.array(out_text, pa.string()),
-                "op": pa.array(out_op, pa.string()),
-                "seq": pa.array(out_seq, pa.int64()),
-            }
-        )
-
-    base = docs.map_batches(_base, batch_format="pyarrow")
-    deltas = docs.map_batches(_deltas, batch_format="pyarrow")
-
-    def _merge(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = (
-            t.to_pandas()
-            .sort_values(["doc_id", "seq"], kind="mergesort")
-            .groupby("doc_id", sort=True)
-            .tail(1)
-        )
-        df = df[df["op"] != "delete"]
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    df["doc_id"].to_numpy(), pa.int64()
-                ),
-                "text": pa.array(df["text"].tolist(), pa.string()),
-            }
-        )
-
-    merged = (
-        base.union(deltas)
-        .groupby("doc_id", num_partitions=hash_partitions(16))
-        .map_groups(_merge, batch_format="pyarrow")
-    )
-    return merged
-
-
-def _sql_q105() -> str:
-    return """
-WITH deltas AS (
-  SELECT doc_id, upper(coalesce(text, '')) AS text,
-         'update' AS op, 1 AS seq
-  FROM documents WHERE doc_id % 7 = 0
-  UNION ALL
-  SELECT doc_id, NULL, 'delete', 2 FROM documents WHERE doc_id % 11 = 0
-  UNION ALL
-  SELECT doc_id + 10000000, 'inserted ' || CAST(doc_id AS VARCHAR),
-         'insert', 1
-  FROM documents WHERE doc_id % 13 = 0),
-unioned AS (
-  SELECT doc_id, text, 'base' AS op, 0 AS seq FROM documents
-  UNION ALL SELECT * FROM deltas),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC)
-         AS rk
-  FROM unioned)
-SELECT doc_id, text FROM ranked WHERE rk = 1 AND op != 'delete'
-"""
-
-
-def q106_fk_audit(sf_dir: str):
-    """Referential-integrity audit across tables (the cross-table rung
-    of q104's expectations): count of orders whose customer is missing
-    and of lineitems whose order is missing, each as a distributed
-    left-outer join + vectorized null count pre-aggregated per block
-    (q06's anti-join machinery, counting instead of emitting)."""
-
-    def _orphans(left, right, on, right_on, rule):
-        from barks_ocr_ray.functions.relational import compact_nonempty
-
-        right_c, _ = compact_nonempty(right, 16)
-        joined = left.join(
-            right_c,
-            join_type="left_outer",
-            num_partitions=hash_partitions(16),
-            on=(on,),
-            right_on=(right_on,),
-        )
-
-        def _count_nulls(t: pa.Table) -> pa.Table:
-            n = t.num_rows - pc.sum(
-                pc.is_valid(t.column("_marker"))
-            ).as_py()
-            return pa.table(
-                {
-                    "rule": pa.array([rule], pa.string()),
-                    "violations": pa.array([int(n)], pa.int64()),
-                }
-            )
-
-        return joined.map_batches(
-            _count_nulls, batch_format="pyarrow"
-        ).groupby("rule", num_partitions=1).aggregate(
-            Sum("violations", alias_name="violations")
-        )
-
-    def _marked(ds, key):
-        def _m(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    key: t.column(key),
-                    "_marker": pa.array([1] * t.num_rows, pa.int64()),
-                }
-            )
-
-        return ds.map_batches(_m, batch_format="pyarrow")
-
-    cust = _marked(read_table(sf_dir, "customer", ["c_custkey"]), "c_custkey")
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    a = _orphans(
-        orders, cust, "o_custkey", "c_custkey", "orders_missing_customer"
-    )
-    okeys = _marked(
-        read_table(sf_dir, "orders", ["o_orderkey"]), "o_orderkey"
-    )
-    li = read_table(sf_dir, "lineitem", ["l_orderkey"])
-    b = _orphans(
-        li, okeys, "l_orderkey", "o_orderkey", "lineitem_missing_order"
-    )
-    return a.union(b)
-
-
-SQL_Q106 = """
-SELECT 'orders_missing_customer' AS rule,
-       CAST(count(*) AS BIGINT) AS violations
-FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-WHERE c_custkey IS NULL
-UNION ALL
-SELECT 'lineitem_missing_order', CAST(count(*) AS BIGINT)
-FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
-WHERE o_orderkey IS NULL
-"""
-
-
-def q107_pq_topk(sf_dir: str):
-    """Product-quantization approximate top-k (ann.pq_topk): vectors
-    compress to M uint8 codes (~32x smaller than float32 — the
-    fit-in-object-store path at 100 TB), queries score through ADC
-    lookup tables. Same bounded deterministic training sample as IVF;
-    bit-exact vs the sequential golden replay."""
-    from barks_ocr_ray.functions.ann import pq_topk
-
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return pq_topk(emb, list(range(8)), k=10)
-
-
-def q108_json_props(sf_dir: str):
-    """Semi-structured extraction: pull the numeric property out of the
-    JSON `props` column and aggregate per event type. The engine
-    extracts with ONE vectorized RE2 kernel pass (pc.extract_regex) and
-    pre-aggregates (n, sum, max) partials inside the scan; the oracle
-    parses with DuckDB's real json_extract — two independent
-    implementations of the same semantics."""
-    ev = read_table(sf_dir, "events", ["event_type", "props"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        ks = pc.struct_field(
-            pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)'),
-            "k",
-        )
-        k = pc.cast(ks, pa.int64())
-        g = (
-            pa.table({"event_type": t.column("event_type"), "k": k})
-            .group_by("event_type")
-            .aggregate(
-                [("k", "count"), ("k", "sum"), ("k", "max")]
-            )
-        )
-        return g.rename_columns(["event_type", "n", "sum_k", "max_k"])
-
-    return (
-        ev.map_batches(_partials, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_k", alias_name="sum_k"),
-            Max("max_k", alias_name="max_k"),
-        )
-    )
-
-
-SQL_Q108 = """
-SELECT event_type, CAST(count(k) AS BIGINT) AS n,
-       CAST(sum(k) AS BIGINT) AS sum_k,
-       CAST(max(k) AS BIGINT) AS max_k
-FROM (SELECT event_type,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS k
-      FROM events)
-GROUP BY event_type
-"""
-
-
-Q109_WATERMARK_MIN = 120  # late tolerance per user, in minutes
-
-
-def q109_watermark_late_events(sf_dir: str):
-    """Streaming-semantics watermark audit: per user, events whose ts
-    falls more than WATERMARK behind the user's high-water mark
-    (max ts seen) are 'late' and would be dropped by a streaming
-    window. One keyed exchange on user; the per-group pass is a
-    vectorized max + threshold. Output: late events per user."""
-    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def _late(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        ts = t.column("ts").to_numpy(zero_copy_only=False)
-        hwm = ts.max()
-        cutoff = hwm - np.timedelta64(Q109_WATERMARK_MIN * 60, "s")
-        late = ts < cutoff
-        return pa.table(
-            {
-                "user_id": t.column("user_id").slice(0, 1),
-                "n_late": pa.array([int(late.sum())], pa.int64()),
-                "n_events": pa.array([t.num_rows], pa.int64()),
-            }
-        )
-
-    out = ev.groupby(
-        "user_id", num_partitions=hash_partitions(16)
-    ).map_groups(_late, batch_format="pyarrow")
-
-    def _nonzero(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.greater(t.column("n_late"), pa.scalar(0, pa.int64()))
-        )
-
-    return out.map_batches(_nonzero, batch_format="pyarrow")
-
-
-SQL_Q109 = f"""
-WITH m AS (
-  SELECT user_id, max(ts) AS hwm, count(*) AS n_events FROM events
-  GROUP BY user_id)
-SELECT events.user_id,
-       CAST(count(*) AS BIGINT) AS n_late,
-       CAST(any_value(m.n_events) AS BIGINT) AS n_events
-FROM events JOIN m ON events.user_id = m.user_id
-WHERE events.ts < m.hwm - INTERVAL {Q109_WATERMARK_MIN} MINUTE
-GROUP BY events.user_id
-"""
-
-
-Q110_MIN_DOCS = 5  # n-grams in >= this many docs are boilerplate
-
-
-def q110_boilerplate_ngrams(sf_dir: str):
-    """C4/RefinedWeb-style boilerplate n-gram audit: per doc, the share
-    of token-trigram occurrences whose trigram appears in >= MIN_DOCS
-    distinct docs corpus-wide. Frequent set from block-level df
-    partials; one corpus-scale ngram join; totals block-local.
-    Token-n-gram-granularity sibling of q59's paragraph_dedup (which
-    scrubs at line granularity and rewrites text); this one emits the
-    per-doc boilerplate FRACTION the drop decision reads."""
-    from barks_ocr_ray.functions.curation import boilerplate_ngram_stats
-
-    return boilerplate_ngram_stats(
-        read_table(sf_dir, "documents", ["doc_id", "text"]),
-        min_docs=Q110_MIN_DOCS,
-    )
-
-
-def _sql_q110() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents),
-g AS (
-  SELECT doc_id, list_transform(range(1, len(toks) - 1),
-         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
-  FROM t WHERE len(toks) >= 3),
-e AS (SELECT doc_id, unnest(grams) AS ngram FROM g),
-d AS (SELECT DISTINCT doc_id, ngram FROM e),
-f AS (SELECT ngram
-      FROM (SELECT ngram, count(*) AS nd FROM d GROUP BY 1)
-      WHERE nd >= {Q110_MIN_DOCS}),
-b AS (SELECT e.doc_id, count(*) AS n_boiler
-      FROM e JOIN f USING (ngram) GROUP BY 1)
-SELECT g.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
-       CAST(coalesce(b.n_boiler, 0) AS BIGINT) AS n_boiler,
-       round(coalesce(b.n_boiler, 0) / CAST(len(grams) AS DOUBLE), 4)
-         AS boiler_frac
-FROM g LEFT JOIN b USING (doc_id)
-"""
-
-
-def q111_repetition_filter(sf_dir: str):
-    """Gopher repetition quality filters: per-doc duplicate-token
-    fraction and most-frequent-bigram fraction, one vectorized Arrow
-    split + numpy run-length pass per block (zero exchange). The
-    vectorized upgrade of q57's per-row-Counter kernel, adding the
-    duplicate-token gate q57 lacks (q57 keeps the top-3-gram gate)."""
-    from barks_ocr_ray.functions.curation import repetition_stats
-
-    return repetition_stats(
-        read_table(sf_dir, "documents", ["doc_id", "text"])
-    )
-
-
-def _sql_q111() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents),
-u AS (
-  SELECT doc_id, len(toks) AS n_tokens,
-         len(list_distinct(toks)) AS n_distinct,
-         list_transform(range(1, len(toks)),
-                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
-  FROM t WHERE len(toks) >= 2),
-bc AS (SELECT doc_id, bg, count(*) AS c
-       FROM (SELECT doc_id, unnest(bigrams) AS bg FROM u) GROUP BY 1, 2),
-top AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1)
-SELECT u.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-       CAST(top.top_bigram_n AS BIGINT) AS top_bigram_n,
-       round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4)
-         AS dup_token_frac,
-       round(top.top_bigram_n / CAST(n_tokens - 1 AS DOUBLE), 4)
-         AS top_bigram_frac
-FROM u JOIN top USING (doc_id)
-"""
-
-
-Q112_HOLDOUT_FRAC = 0.1
-Q112_WINDOW = 8
-
-
-def q112_decontaminate(sf_dir: str):
-    """Benchmark decontamination: training docs (md5 fraction >= 0.1)
-    sharing any exact 8-token window with the held-out slice, with the
-    count of contaminated windows — a distributed semi-join on window
-    hashes (q53's explode, decontamination semantics). Scale sibling of
-    q60: q60 broadcasts a benchmark-sized shingle set (zero exchange);
-    this variant joins distributed hash tables, the shape needed when
-    the holdout itself is too big to broadcast, and reports per-doc hit
-    counts rather than a flag."""
-    from barks_ocr_ray.functions.curation import decontaminate
-
-    return decontaminate(
-        read_table(sf_dir, "documents", ["doc_id", "text"]),
-        holdout_frac=Q112_HOLDOUT_FRAC,
-        window=Q112_WINDOW,
-    )
-
-
-def _sql_q112() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    w = Q112_WINDOW
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS UBIGINT) / 4294967296.0 AS u
-  FROM documents
-  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {w}),
-w AS (
-  SELECT DISTINCT doc_id, u,
-         substring(md5(array_to_string(toks[i:i+{w - 1}], ' ')), 1, 16) AS h
-  FROM t, UNNEST(range(1, len(toks) - {w} + 2)) AS un(i)),
-hold AS (SELECT DISTINCT h FROM w WHERE u < {Q112_HOLDOUT_FRAC})
-SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-FROM w JOIN hold USING (h)
-WHERE w.u >= {Q112_HOLDOUT_FRAC}
-GROUP BY 1
-"""
-
-
-Q113_BOUNDS = (("train", 0.8), ("val", 0.9), ("test", 1.0))
-
-
-def q113_hash_split(sf_dir: str):
-    """Deterministic train/val/test assignment from md5(doc_id)'s unit
-    fraction (pure row function — reproducible under any partitioning,
-    SQL-replayable) with per-(split, lang) doc/char stats."""
-    from barks_ocr_ray.functions.curation import hash_split_stats
-
-    return hash_split_stats(
-        read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
-        bounds=Q113_BOUNDS,
-    )
-
-
-def _sql_q113() -> str:
-    whens = " ".join(
-        f"WHEN u < {cut} THEN '{name}'" for name, cut in Q113_BOUNDS[:-1]
-    )
-    return f"""
-SELECT CASE {whens} ELSE '{Q113_BOUNDS[-1][0]}' END AS split, lang,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS chars
-FROM (SELECT lang, n_chars,
-             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                  AS UBIGINT) / 4294967296.0 AS u
-      FROM documents)
-GROUP BY 1, 2
-"""
-
-
-Q114_MELT_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-
-
-def q114_unpivot_lineitem(sf_dir: str):
-    """UNPIVOT/melt reshape (inverse of the q77 pivot): lineitem's four
-    numeric metrics into long (orderkey, linenumber, metric, value)
-    rows — a pure block-local reshape, zero exchange."""
-    from barks_ocr_ray.functions.relational import melt
-
-    return melt(
-        read_table(
-            sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + Q114_MELT_COLS
-        ),
-        ["l_orderkey", "l_linenumber"],
-        Q114_MELT_COLS,
-    )
-
-
-def _sql_q114() -> str:
-    parts = [
-        f"SELECT l_orderkey, l_linenumber, '{c}' AS metric, "
-        f"CAST({c} AS DOUBLE) AS value FROM lineitem"
-        for c in Q114_MELT_COLS
-    ]
-    return "\nUNION ALL\n".join(parts)
-
-
-Q115_MAX_DUP_FRAC = 0.7
-Q115_MAX_BIGRAM_FRAC = 0.1
-
-
-def q115_clean_corpus(sf_dir: str):
-    """The composed corpus-cleaning arc (training-split hygiene end to
-    end): training split -> exact dedup -> Gopher repetition gates ->
-    benchmark decontamination; kept (doc_id, lang, n_tokens)."""
-    from barks_ocr_ray.functions.curation import clean_corpus
-
-    return clean_corpus(
-        read_table(sf_dir, "documents", ["doc_id", "text", "lang"]),
-        holdout_frac=Q112_HOLDOUT_FRAC,
-        window=Q112_WINDOW,
-        max_dup_token_frac=Q115_MAX_DUP_FRAC,
-        max_top_bigram_frac=Q115_MAX_BIGRAM_FRAC,
-    )
-
-
-def _sql_q115() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    w = Q112_WINDOW
-    f = Q112_HOLDOUT_FRAC
-    return f"""
-WITH base AS (
-  SELECT doc_id, lang, text,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS UBIGINT) / 4294967296.0 AS u
-  FROM documents),
-train AS (SELECT * FROM base WHERE u >= {f}),
-win AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)),
-tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-        FROM train),
-r AS (
-  SELECT doc_id, len(toks) AS n_tokens,
-         len(list_distinct(toks)) AS n_distinct,
-         list_transform(range(1, len(toks)),
-                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
-  FROM tok WHERE len(toks) >= 2),
-bc AS (SELECT doc_id, bg, count(*) AS c
-       FROM (SELECT doc_id, unnest(bigrams) AS bg FROM r) GROUP BY 1, 2),
-top AS (SELECT doc_id, max(c) AS top_n FROM bc GROUP BY 1),
-rep_ok AS (
-  SELECT r.doc_id, r.n_tokens FROM r JOIN top USING (doc_id)
-  WHERE round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4)
-          <= {Q115_MAX_DUP_FRAC}
-    AND round(top_n / CAST(n_tokens - 1 AS DOUBLE), 4)
-          <= {Q115_MAX_BIGRAM_FRAC}),
-wtok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks, u
-  FROM base
-  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {w}),
-wnd AS (
-  SELECT DISTINCT doc_id, u,
-         substring(md5(array_to_string(toks[i:i+{w - 1}], ' ')), 1, 16) AS h
-  FROM wtok, UNNEST(range(1, len(toks) - {w} + 2)) AS un(i)),
-hold AS (SELECT DISTINCT h FROM wnd WHERE u < {f}),
-contam AS (SELECT DISTINCT wnd.doc_id FROM wnd JOIN hold USING (h)
-           WHERE wnd.u >= {f})
-SELECT rep_ok.doc_id, b.lang, CAST(rep_ok.n_tokens AS BIGINT) AS n_tokens
-FROM rep_ok
-JOIN win USING (doc_id)
-JOIN base b ON b.doc_id = rep_ok.doc_id
-WHERE rep_ok.doc_id NOT IN (SELECT doc_id FROM contam)
-"""
-
-
-Q116_BUDGET = 3000  # per-language token quota
-
-
-def q116_token_budget(sf_dir: str):
-    """Token-budget corpus assembly: per language, keep docs in
-    deterministic (md5-fraction, doc_id) order while the running token
-    total fits the quota — a distributed ordered prefix sum (range-
-    bucketed offsets, no global sort)."""
-    from barks_ocr_ray.functions.curation import token_budget_sample
-
-    return token_budget_sample(
-        read_table(sf_dir, "documents", ["doc_id", "lang", "text"]),
-        budget=Q116_BUDGET,
-    )
-
-
-def _sql_q116() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id, lang,
-         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
-              AS BIGINT) AS n_tokens,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS UBIGINT) / 4294967296.0 AS u
-  FROM documents),
-c AS (
-  SELECT *, sum(n_tokens) OVER (
-    PARTITION BY lang ORDER BY u, doc_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM t)
-SELECT doc_id, lang, n_tokens FROM c WHERE cum <= {Q116_BUDGET}
-"""
-
-
-Q117_QUOTA = 10  # docs kept per source
-
-
-def q117_source_quota(sf_dir: str):
-    """Per-domain quota (Common-Crawl curation: cap each domain's
-    contribution): keep the top-K docs per source by length (ties ->
-    lower doc_id), with the within-source rank — grouped top-k (one
-    keyed repartition + vectorized rank, no global sort). QUALITY-ranked
-    counterpart of q65's arrival-order host cap: q65 keeps the first N
-    per host, this keeps the BEST K per source."""
-    return grouped_topk(
-        read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
-        "source",
-        "n_chars",
-        Q117_QUOTA,
-        tie_col="doc_id",
-    )
-
-
-def _sql_q117() -> str:
-    return f"""
-SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
-FROM (SELECT doc_id, source, n_chars,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY n_chars DESC, doc_id) AS rank
-      FROM documents)
-WHERE rank <= {Q117_QUOTA}
-"""
-
-
-def q118_numeric_profile(sf_dir: str):
-    """Column-profiling 'ANALYZE' over lineitem's numeric metrics,
-    composed from the q114 melt: wide->long reshape, then per-block
-    partials -> one tiny metric-keyed aggregate per statistic (n,
-    nulls, min, max, exact fixed-point sum — cents int64 so the
-    distributed sum is order-independent and bit-equal to the SQL
-    replay)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.relational import melt
-
-    long = melt(
-        read_table(
-            sf_dir, "lineitem", ["l_orderkey", "l_linenumber"] + Q114_MELT_COLS
-        ),
-        ["l_orderkey", "l_linenumber"],
-        Q114_MELT_COLS,
-    )
-
-    def _partials(t: pa.Table) -> pa.Table:
-        v = t.column("value")
-        cents = pa.array(
-            np.round(
-                v.to_numpy(zero_copy_only=False) * 100.0
-            ).astype("int64"),
-            pa.int64(),
-        )
-        g = (
-            pa.table(
-                {
-                    "metric": t.column("metric"),
-                    "value": v,
-                    "cents": cents,
-                    "is_null": pc.is_null(v).cast(pa.int64()),
-                }
-            )
-            .group_by("metric")
-            .aggregate(
-                [
-                    ("value", "count"),
-                    ("is_null", "sum"),
-                    ("value", "min"),
-                    ("value", "max"),
-                    ("cents", "sum"),
-                ]
-            )
-        )
-        return g.rename_columns(
-            ["metric", "n", "n_null", "vmin", "vmax", "cents"]
-        )
-
-    agg = (
-        long.map_batches(_partials, batch_format="pyarrow")
-        .groupby("metric", num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("n_null", alias_name="n_null"),
-            Min("vmin", alias_name="vmin"),
-            Max("vmax", alias_name="vmax"),
-            Sum("cents", alias_name="cents"),
-        )
-    )
-
-    def _final(t: pa.Table) -> pa.Table:
-        vsum = pc.divide(
-            t.column("cents").cast(pa.float64()), pa.scalar(100.0)
-        )
-        return pa.table(
-            {
-                "metric": t.column("metric"),
-                "n": t.column("n"),
-                "n_null": t.column("n_null"),
-                "vmin": t.column("vmin"),
-                "vmax": t.column("vmax"),
-                "vsum": vsum,
-            }
-        )
-
-    return agg.map_batches(_final, batch_format="pyarrow")
-
-
-def _sql_q118() -> str:
-    parts = [
-        f"SELECT '{c}' AS metric, CAST(count({c}) AS BIGINT) AS n, "
-        f"CAST(count(*) - count({c}) AS BIGINT) AS n_null, "
-        f"min({c}) AS vmin, max({c}) AS vmax, "
-        f"CAST(sum(CAST(round({c} * 100) AS BIGINT)) AS DOUBLE) / 100.0 "
-        f"AS vsum FROM lineitem"
-        for c in Q114_MELT_COLS
-    ]
-    return "\nUNION ALL\n".join(parts)
-
-
-def q119_jsonl_roundtrip(sf_dir: str):
-    """The S7/S8 JSONL request/result round-trip as an oracle-gated
-    query: documents (doc_id, lang) written to JSONL by the queue sink,
-    read back with the JSONL source, and aggregated per lang — value
-    parity pins the round-trip's fidelity, not just its row count."""
-    import hashlib
-    import shutil
-
-    from barks_ocr_ray.functions.sinks import read_jsonl, write_jsonl
-
-    # deterministic per-sf scratch dir, wiped before writing (write_json
-    # appends files; a fresh mkdtemp per call would accumulate in /tmp)
-    tag = hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
-    out_dir = f"/tmp/barks_q119_{tag}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    write_jsonl(
-        read_table(sf_dir, "documents", ["doc_id", "lang"]), out_dir
-    )
-    back = read_jsonl(out_dir)
-    return back.groupby("lang", num_partitions=2).aggregate(
-        Count(alias_name="n_docs"), Sum("doc_id", alias_name="id_sum")
-    )
-
-
-SQL_Q119 = """
-SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(doc_id) AS BIGINT) AS id_sum
-FROM documents GROUP BY lang
-"""
-
-
-def q120_hourly_gap_audit(sf_dir: str):
-    """Time-series continuity audit: per user, the span of hours between
-    first and last activity, distinct active hours, and the gap count —
-    the data-freshness/completeness check a streaming ingest runs.
-    Per-block vectorized (user, hour) dedup partials (the exchange ships
-    at most one row per user-hour per block, never one per event), then
-    ONE user-keyed exchange with a vectorized distinct+minmax fold."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        hr = ts // 3_600_000_000  # epoch hours (us timestamps)
-        pairs = np.unique(np.stack([us, hr], axis=1), axis=0)
-        return pa.table(
-            {
-                "user_id": pa.array(pairs[:, 0], pa.int64()),
-                "h": pa.array(pairs[:, 1], pa.int64()),
-            }
-        )
-
-    def _fold(t: pa.Table) -> pa.Table:
-        hs = np.unique(t.column("h").to_numpy(zero_copy_only=False))
-        span = int(hs.max() - hs.min()) + 1
-        return pa.table(
-            {
-                "user_id": t.column("user_id").slice(0, 1),
-                "span_hours": pa.array([span], pa.int64()),
-                "active_hours": pa.array([int(hs.size)], pa.int64()),
-                "gap_hours": pa.array([span - int(hs.size)], pa.int64()),
-            }
-        )
-
-    return (
-        ev.map_batches(_partials, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=hash_partitions(16))
-        .map_groups(_fold, batch_format="pyarrow")
-    )
-
-
-SQL_Q120 = """
-WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h FROM events),
-s AS (SELECT user_id,
-             CAST(count(DISTINCT h) AS BIGINT) AS active_hours,
-             CAST(date_diff('hour', min(h), max(h)) + 1 AS BIGINT)
-               AS span_hours
-      FROM e GROUP BY 1)
-SELECT user_id, span_hours, active_hours,
-       span_hours - active_hours AS gap_hours
-FROM s
-"""
-
-
-def q121_except_all(sf_dir: str):
-    """Bag-semantics EXCEPT ALL (multiset difference, the multiplicity
-    rung above q06's set difference and q82's INTERSECT): order
-    priorities of open orders minus those of custkey%3=0 orders, each
-    surviving row emitted max(0, n_left - n_right) times. Distributed:
-    per-side key counts (two small aggregations over block partials),
-    one key join, vectorized np.repeat emission — multiplicities move
-    as counts, never as rows, until the final emit."""
-    import numpy as np
-
-    orders = read_table(
-        sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_custkey"]
-    )
-
-    def _counts(flag: str):
-        def _part(t: pa.Table) -> pa.Table:
-            if flag == "left":
-                mask = pc.equal(t.column("o_orderstatus"), pa.scalar("O"))
-            else:
-                k = t.column("o_custkey")
-                mask = pc.equal(
-                    pc.subtract(
-                        k, pc.multiply(pc.divide(k, pa.scalar(3)), pa.scalar(3))
-                    ),
-                    pa.scalar(0),
-                )
-            g = (
-                t.filter(mask)
-                .select(["o_orderpriority"])
-                .group_by("o_orderpriority")
-                .aggregate([("o_orderpriority", "count")])
-            )
-            return g.rename_columns(["o_orderpriority", "n"])
-
-        return orders.map_batches(_part, batch_format="pyarrow").groupby(
-            "o_orderpriority", num_partitions=2
-        ).aggregate(Sum("n", alias_name=f"n_{flag}"))
-
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
-    left_c, n_l = compact_nonempty(_counts("left"), 4)
-    right_c, n_r = compact_nonempty(_counts("right"), 4)
-    empty = pa.table({"o_orderpriority": pa.array([], pa.string())})
-    if n_l == 0:
-        return rd.from_arrow(empty)
-    if n_r == 0:
-        joined = left_c.map_batches(
-            lambda t: t.append_column(
-                "n_right", pa.nulls(t.num_rows, pa.int64())
-            ),
-            batch_format="pyarrow",
-        )
-    else:
-        joined = left_c.join(
-            right_c,
-            join_type="left_outer",
-            num_partitions=hash_partitions(4),
-            on=("o_orderpriority",),
-        )
-
-    def _emit(t: pa.Table) -> pa.Table:
-        nl = t.column("n_left").to_numpy(zero_copy_only=False)
-        nr = pc.fill_null(t.column("n_right"), pa.scalar(0, pa.int64()))
-        nr = nr.to_numpy(zero_copy_only=False)
-        reps = np.maximum(nl - nr, 0)
-        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), reps)
-        return t.select(["o_orderpriority"]).take(pa.array(idx, pa.int64()))
-
-    return joined.map_batches(_emit, batch_format="pyarrow")
-
-
-SQL_Q121 = """
-SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
-EXCEPT ALL
-SELECT o_orderpriority FROM orders WHERE o_custkey % 3 = 0
-"""
-
-
-def q122_key_skew_profile(sf_dir: str):
-    """Shuffle-planning skew diagnosis: the distribution of per-key row
-    counts for a join/groupby key (l_partkey), bucketed by log2 — the
-    profile a 100-TB pipeline reads BEFORE choosing salt factors for
-    q54/q74-style skew handling. Two tiny keyed aggregations: per-key
-    counts from block partials, then a log2-bucket histogram (the
-    second exchange ships one row per occupied bucket per block)."""
-    import numpy as np
-
-    li = read_table(sf_dir, "lineitem", ["l_partkey"])
-
-    def _key_partials(t: pa.Table) -> pa.Table:
-        g = (
-            t.group_by("l_partkey")
-            .aggregate([("l_partkey", "count")])
-        )
-        return g.rename_columns(["l_partkey", "n"])
-
-    per_key = (
-        li.map_batches(_key_partials, batch_format="pyarrow")
-        .groupby("l_partkey", num_partitions=hash_partitions(16))
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def _bucketize(t: pa.Table) -> pa.Table:
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        b = np.floor(np.log2(n)).astype(np.int64)
-        g = (
-            pa.table(
-                {"log2_bucket": pa.array(b, pa.int64()),
-                 "rows": t.column("n")}
-            )
-            .group_by("log2_bucket")
-            .aggregate([("rows", "count"), ("rows", "sum")])
-        )
-        return g.rename_columns(["log2_bucket", "n_keys", "n_rows"])
-
-    return (
-        per_key.map_batches(_bucketize, batch_format="pyarrow")
-        .groupby("log2_bucket", num_partitions=2)
-        .aggregate(
-            Sum("n_keys", alias_name="n_keys"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
-    )
-
-
-SQL_Q122 = """
-WITH k AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1)
-SELECT CAST(floor(log2(n)) AS BIGINT) AS log2_bucket,
-       CAST(count(*) AS BIGINT) AS n_keys,
-       CAST(sum(n) AS BIGINT) AS n_rows
-FROM k GROUP BY 1
-"""
-
-
-def q123_label_centroids(sf_dir: str):
-    """Grouped embedding centroids (class prototypes — the building
-    block of SemDeDup clustering, nearest-class-mean classification and
-    prototype-based ANN init): per (label, dim), the mean embedding
-    value. Float sums are order-DEPENDENT distributed; the exchange
-    therefore ships int64 micro-sums (round(v * 1e6), the q81/q94
-    fixed-point discipline, DuckDB-bit-identical via round_like_duckdb)
-    so the distributed total is exact under any partitioning; floats
-    re-enter once, at the final divide. Per-block partials are one
-    vectorized reshape + reduceat per block — (labels x dims)-sized,
-    never row-sized, across the exchange."""
-    import numpy as np
-
-    emb = read_table(sf_dir, "embeddings", ["label", "embedding"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        labels = t.column("label").to_numpy(zero_copy_only=False)
-        la = t.column("embedding")
-        if isinstance(la, pa.ChunkedArray):
-            la = la.combine_chunks()
-        flat = la.flatten().to_numpy(zero_copy_only=False)
-        n = t.num_rows
-        dims = flat.size // n
-        mat = flat.astype(np.float64).reshape(n, dims)
-        micro = round_like_duckdb(mat * 1_000_000.0, 0).astype(np.int64)
-        order = np.argsort(labels, kind="stable")
-        sl = labels[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], sl[1:] != sl[:-1]))
-        )
-        sums = np.add.reduceat(micro[order], starts, axis=0)
-        counts = np.diff(np.append(starts, n))
-        uniq = sl[starts]
-        k = uniq.size
-        return pa.table(
-            {
-                "label": pa.array(
-                    np.repeat(uniq.astype(np.int64), dims), pa.int64()
-                ),
-                "dim": pa.array(
-                    np.tile(np.arange(1, dims + 1, dtype=np.int64), k),
-                    pa.int64(),
-                ),
-                "s": pa.array(sums.reshape(-1), pa.int64()),
-                "n": pa.array(
-                    np.repeat(counts.astype(np.int64), dims), pa.int64()
-                ),
-            }
-        )
-
-    agg = (
-        emb.map_batches(_partials, batch_format="pyarrow")
-        .groupby(["label", "dim"], num_partitions=hash_partitions(4))
-        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
-    )
-
-    def _final(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        s = t.column("s").to_numpy(zero_copy_only=False).astype(np.float64)
-        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
-        c = round_like_duckdb(s / (n * 1_000_000.0), 6)
-        return pa.table(
-            {
-                "label": t.column("label"),
-                "dim": t.column("dim"),
-                "n": t.column("n"),
-                "centroid": pa.array(c, pa.float64()),
-            }
-        )
-
-    return agg.map_batches(_final, batch_format="pyarrow")
-
-
-SQL_Q123 = """
-WITH e AS (
-  SELECT label, i AS dim,
-         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS s
-  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i))
-SELECT CAST(label AS BIGINT) AS label, dim,
-       CAST(count(*) AS BIGINT) AS n,
-       round(CAST(sum(s) AS DOUBLE) / (count(*) * 1000000.0), 6)
-         AS centroid
-FROM e GROUP BY 1, 2
-"""
-
-
-def q124_nearest_centroid(sf_dir: str):
-    """Nearest-class-mean classification over the embeddings (composes
-    q123's centroids): every vector is assigned to its nearest label
-    centroid by squared L2, reported as a (label, assigned) confusion
-    matrix. ALL distance arithmetic is int64 micro-space on BOTH
-    engines (vectors and centroids quantized at 1e-6; diffs <= ~1e6,
-    64-dim squared sums <= ~6.4e13 << 2^63) so argmin has no float-tie
-    hazard anywhere; ties break on label asc. The centroid table is
-    (labels x dims)-sized — broadcast once via ray.put, scored per
-    block as one (n, k, d) numpy reduction; the exchange ships
-    confusion-cell partials."""
-    import numpy as np
-
-    cent_rows = q123_label_centroids(sf_dir).take_all()
-    labels = sorted({r["label"] for r in cent_rows})
-    dims = max(r["dim"] for r in cent_rows)
-    cmat = np.zeros((len(labels), dims), dtype=np.int64)
-    lidx = {l: i for i, l in enumerate(labels)}
-    for r in cent_rows:
-        cmat[lidx[r["label"]], r["dim"] - 1] = np.int64(
-            round_like_duckdb(
-                np.array([r["centroid"] * 1_000_000.0]), 0
-            )[0]
-        )
-    import ray as _ray
-
-    cref = _ray.put(cmat)
-    larr = np.asarray(labels, dtype=np.int64)
-
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
-
-    def _assign(t: pa.Table) -> pa.Table:
-        import ray as _ray2
-
-        C = _ray2.get(cref)
-        la = t.column("embedding")
-        if isinstance(la, pa.ChunkedArray):
-            la = la.combine_chunks()
-        flat = la.flatten().to_numpy(zero_copy_only=False)
-        n = t.num_rows
-        E = round_like_duckdb(
-            flat.astype(np.float64).reshape(n, -1) * 1_000_000.0, 0
-        ).astype(np.int64)
-        diff = E[:, None, :] - C[None, :, :]
-        dist = np.einsum("nkd,nkd->nk", diff, diff)
-        assigned = larr[np.argmin(dist, axis=1)]  # first min = label asc
-        g = (
-            pa.table(
-                {
-                    "label": t.column("label").cast(pa.int64()),
-                    "assigned": pa.array(assigned, pa.int64()),
-                }
-            )
-            .group_by(["label", "assigned"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["label", "assigned", "n"])
-
-    return (
-        emb.map_batches(_assign, batch_format="pyarrow")
-        .groupby(["label", "assigned"], num_partitions=hash_partitions(4))
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-
-SQL_Q124 = """
-WITH ev AS (
-  SELECT vec_id, label,
-         list_transform(range(1, len(embedding) + 1),
-           i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
-                     AS BIGINT)) AS e
-  FROM embeddings),
-s AS (
-  SELECT label, i AS dim,
-         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS m
-  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
-cd AS (
-  SELECT label AS clabel, dim,
-         CAST(round(round(CAST(sum(m) AS DOUBLE)
-                          / (count(*) * 1000000.0), 6) * 1000000)
-              AS BIGINT) AS cm
-  FROM s GROUP BY 1, 2),
-cent AS (SELECT clabel, list(cm ORDER BY dim) AS c FROM cd GROUP BY 1),
-d AS (
-  SELECT ev.vec_id, ev.label, cent.clabel,
-         list_sum(list_transform(range(1, len(e) + 1),
-                  i -> (e[i] - c[i]) * (e[i] - c[i]))) AS dist
-  FROM ev CROSS JOIN cent),
-a AS (
-  SELECT vec_id, label, clabel,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY dist, clabel) AS rk
-  FROM d)
-SELECT CAST(label AS BIGINT) AS label,
-       CAST(clabel AS BIGINT) AS assigned,
-       CAST(count(*) AS BIGINT) AS n
-FROM a WHERE rk = 1 GROUP BY 1, 2
-"""
-
-
-def q125_source_similarity(sf_dir: str):
-    """Domain-mirror detection (crawl curation: find sources hosting
-    near-identical content): exact trigram-set Jaccard between SOURCES
-    (not docs). Source-distinct trigrams via one keyed dedup (the
-    exchange is bounded by sources x trigram-vocab, never the corpus);
-    intersections via per-ngram pair emission (<= C(n_sources, 2) pairs
-    per ngram — source count bounds the fanout, the q21/q53 blocking
-    argument at domain granularity); sizes broadcast as a
-    source-count dict."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
-
-    class _SourceNgrams(Tokenizer):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pairs = set()
-            for src, s in zip(
-                batch.column("source").to_pylist(), batch.column("text")
-            ):
-                toks = self.tokens(s.as_py() or "")
-                for i in range(len(toks) - 2):
-                    pairs.add((src, " ".join(toks[i : i + 3])))
-            return pa.table(
-                {
-                    "source": pa.array([p[0] for p in pairs], pa.string()),
-                    "ngram": pa.array([p[1] for p in pairs], pa.string()),
-                }
-            )
-
-    from barks_ocr_ray.functions.relational import exact_dedup
-
-    def _key(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "sk",
-            pc.binary_join_element_wise(
-                t.column("source"), t.column("ngram"), "\x1f"
-            ),
-        )
-
-    distinct = exact_dedup(
-        docs.map_batches(
-            _SourceNgrams, batch_format="pyarrow", concurrency=(1, 4)
-        ).map_batches(_key, batch_format="pyarrow"),
-        "sk",
-        num_partitions=hash_partitions(8),
-    ).drop_columns(["sk"])
-    sizes = {
-        r["source"]: r["n"]
-        for r in distinct.groupby("source", num_partitions=2)
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    }  # sources-sized: the one driver table, bounded by the domain count
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        srcs = sorted(t.column("source").to_pylist())
-        ia, ib = np.triu_indices(len(srcs), k=1)
-        return pa.table(
-            {
-                "source_a": pa.array([srcs[i] for i in ia], pa.string()),
-                "source_b": pa.array([srcs[i] for i in ib], pa.string()),
-            }
-        )
-
-    inter = (
-        distinct.groupby("ngram", num_partitions=hash_partitions(8))
-        .map_groups(_pairs, batch_format="pyarrow")
-        .groupby(["source_a", "source_b"], num_partitions=2)
-        .aggregate(Count(alias_name="n_shared"))
-    )
-
-    def _jaccard(t: pa.Table) -> pa.Table:
-        sa = t.column("source_a").to_pylist()
-        sb = t.column("source_b").to_pylist()
-        ns = t.column("n_shared").to_numpy(zero_copy_only=False)
-        union = np.array(
-            [sizes[a] + sizes[b] for a, b in zip(sa, sb)], np.float64
-        ) - ns
-        jac = round_like_duckdb(ns / union, 4)
-        return t.append_column("jaccard", pa.array(jac, pa.float64()))
-
-    return inter.map_batches(_jaccard, batch_format="pyarrow")
-
-
-def _sql_q125() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents),
-g AS (
-  SELECT source, list_transform(range(1, len(toks) - 1),
-         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
-  FROM t WHERE len(toks) >= 3),
-e AS (SELECT DISTINCT source, unnest(grams) AS ngram FROM g),
-sz AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
-i AS (
-  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
-  FROM e a JOIN e b ON a.ngram = b.ngram AND a.source < b.source
-  GROUP BY 1, 2)
-SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
-       round(n_shared / CAST(za.n + zb.n - n_shared AS DOUBLE), 4)
-         AS jaccard
-FROM i
-JOIN sz za ON za.source = i.source_a
-JOIN sz zb ON zb.source = i.source_b
-"""
-
-
-def q126_distributed_kmeans(sf_dir: str):
-    """Full-corpus distributed k-means (Lloyd's, 5 rounds, k=8) — the
-    iterative-ML sibling of q94's PageRank: every round broadcasts the
-    k x d micro-int centroid table, blocks ship (cluster, dim, sum, n)
-    partials, ONE tiny keyed aggregation updates centroids. All
-    arithmetic int64 micro-space -> bit-identical under any
-    partitioning and to the sequential golden replay
-    (golden_dedup.golden_kmeans)."""
-    from barks_ocr_ray.functions.ann import distributed_kmeans
-
-    return distributed_kmeans(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        k=8,
-        rounds=5,
-    )
-
-
-def q127_sketch_quantiles(sf_dir: str):
-    """ONE-pass mergeable quantile sketch (fixed-grid histogram) — the
-    approximate scale path beside q66's exact multi-round quickselect:
-    p1..p99 of l_extendedprice from a min/max/count aggregate plus a
-    single histogram pass whose integer bucket partials merge in any
-    order (t-digest/KLL merges are order-dependent and therefore
-    unreplayable under Ray partitioning; the fixed grid is not).
-    Estimate error is bounded by one bucket width; bucket assignment is
-    the single IEEE expression floor((x-lo)/w) on both engines, so the
-    oracle replays it bit-exactly."""
-    from barks_ocr_ray.functions.quantiles import histogram_quantiles
-
-    return histogram_quantiles(
-        read_table(sf_dir, "lineitem", ["l_extendedprice"]),
-        "l_extendedprice",
-        [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
-        n_buckets=1024,
-    )
-
-
-SQL_Q127 = """
-WITH s AS (
-  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
-         count(*) AS n,
-         (max(l_extendedprice) - min(l_extendedprice))
-           / CAST(1024 AS DOUBLE) AS w
-  FROM lineitem),
-b AS (
-  SELECT CAST(least(floor((l_extendedprice - s.lo) / s.w), 1023) AS BIGINT)
-           AS idx,
-         count(*) AS c
-  FROM lineitem, s GROUP BY 1),
-c AS (SELECT idx, sum(c) OVER (ORDER BY idx) AS cum FROM b),
-qs AS (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q),
-sel AS (
-  SELECT qs.q, min(c.idx) AS idx
-  FROM qs, c, s
-  WHERE c.cum >= greatest(1, CAST(ceil(qs.q * s.n) AS BIGINT))
-  GROUP BY qs.q)
-SELECT q, round(s.lo + (sel.idx + 1) * s.w, 6) AS value_est
-FROM sel, s ORDER BY q
-"""
-
-
-def q128_scd2_history(sf_dir: str):
-    """Slowly-changing-dimension (SCD type 2) history build: collapse
-    each user's event stream into state-validity intervals — one row
-    per run of consecutive identical event_types, valid_from = first
-    event of the run, valid_to = the next run's start (null while
-    current). The table-maintenance sibling of q105's CDC merge (which
-    keeps only the latest state; this keeps the full history a
-    temporal join needs). ONE keyed exchange co-locates a user's
-    events, then one vectorized pass per block handles every user in
-    the block together (q72's segment discipline): sort by (user, ts,
-    event_id), mask run starts, shift-compare for valid_to — no
-    per-user loop, no per-row Python."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-    # 9999-12-31T00:00:00 in epoch microseconds (the SCD2 "open" sentinel)
-    SCD2_OPEN_US = 253_402_214_400_000_000
-
-    def _intervals(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        if n == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "state": pa.array([], pa.string()),
-                    "valid_from": pa.array([], pa.timestamp("us")),
-                    "valid_to": pa.array([], pa.timestamp("us")),
-                }
-            )
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        st = t.column("event_type").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, us))
-        us, ts, st = us[order], ts[order], st[order]
-        new_user = np.empty(n, np.bool_)
-        new_user[0] = True
-        new_user[1:] = us[1:] != us[:-1]
-        start = new_user | np.concatenate(([True], st[1:] != st[:-1]))
-        s_idx = np.flatnonzero(start)
-        # valid_to of run i = valid_from of run i+1 when same user
-        nxt_ts = np.empty(len(s_idx), np.int64)
-        nxt_ts[:-1] = ts[s_idx[1:]]
-        nxt_ts[-1] = 0
-        same_user = np.zeros(len(s_idx), np.bool_)
-        same_user[:-1] = us[s_idx[:-1]] == us[s_idx[1:]]
-        return pa.table(
-            {
-                "user_id": pa.array(us[s_idx], pa.int64()),
-                "state": pa.array(st[s_idx], pa.string()),
-                "valid_from": pa.array(ts[s_idx], pa.int64()).cast(
-                    pa.timestamp("us")
-                ),
-                # open (current) intervals close at the standard SCD2
-                # sentinel high date rather than NULL — NaT compares
-                # unequal to itself under numpy, destabilizing value
-                # comparison on both the driver and oracle_check paths
-                "valid_to": pa.array(
-                    np.where(same_user, nxt_ts, SCD2_OPEN_US), pa.int64()
-                ).cast(pa.timestamp("us")),
-            }
-        )
-
-    return ev.repartition(hash_partitions(16), keys=["user_id"]).map_batches(
-        _intervals, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q128 = """
-WITH o AS (
-  SELECT user_id, ts, event_id, event_type,
-         lag(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts, event_id) AS prev
-  FROM events),
-st AS (
-  SELECT user_id, ts, event_id, event_type
-  FROM o WHERE prev IS NULL OR prev <> event_type)
-SELECT user_id, event_type AS state, ts AS valid_from,
-       coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                TIMESTAMP '9999-12-31 00:00:00') AS valid_to
-FROM st
-"""
-
-
-def q129_incremental_dedup(sf_dir: str):
-    """Cross-snapshot delta-ingest dedup (the recurring-crawl pass: a
-    NEW snapshot lands against the prior corpus): every new doc flagged
-    dup_exact (content-hash semi-join vs prior) and dup_window (shares
-    a 10-token window with prior, the q53/q112 hashing contract). The
-    prior snapshot is never broadcast; flags roll up in ONE doc-keyed
-    aggregation over (doc_id, flag) partials."""
-    from barks_ocr_ray.functions.curation import incremental_ingest_dedup
-
-    return incremental_ingest_dedup(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), window=10
-    )
-
-
-def _sql_q129(window: int = 10) -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH prior AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 7),
-new AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 7),
-pe AS (SELECT DISTINCT md5(text) AS h FROM prior WHERE text IS NOT NULL),
-ne AS (SELECT doc_id, md5(text) AS h FROM new WHERE text IS NOT NULL),
-ex AS (SELECT DISTINCT ne.doc_id FROM ne JOIN pe USING (h)),
-pt AS (
-  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM prior
-  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {window}),
-pw AS (
-  SELECT DISTINCT
-         substring(md5(array_to_string(toks[i:i+{window - 1}], ' ')), 1, 16)
-           AS h
-  FROM pt, UNNEST(range(1, len(toks) - {window} + 2)) AS u(i)),
-nt AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM new
-  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {window}),
-nw AS (
-  SELECT DISTINCT doc_id,
-         substring(md5(array_to_string(toks[i:i+{window - 1}], ' ')), 1, 16)
-           AS h
-  FROM nt, UNNEST(range(1, len(toks) - {window} + 2)) AS u(i)),
-wd AS (SELECT DISTINCT nw.doc_id FROM nw JOIN pw USING (h))
-SELECT n.doc_id,
-       CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-         AS dup_exact,
-       CAST(CASE WHEN wd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-         AS dup_window
-FROM new n
-LEFT JOIN ex ON ex.doc_id = n.doc_id
-LEFT JOIN wd ON wd.doc_id = n.doc_id
-"""
-
-
-def q130_snapshot_drift(sf_dir: str):
-    """Snapshot-over-snapshot distribution-drift report (the data-
-    quality gate a recurring crawl runs before training on a new
-    snapshot): per lang, counts and shares in the prior vs new
-    snapshot (q129's doc_id split) and the total-variation
-    contribution |p - q| / 2 — sum of the column = TV distance. ONE
-    corpus pass ships (lang, n_prior, n_new) block partials into a
-    lang-sized aggregation; shares derive driver-side on the bounded
-    result."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        pri = ((ids % 10) < 7).astype(np.int64)
-        g = (
-            pa.table({"lang": t.column("lang"), "pri": pa.array(pri, pa.int64())})
-            .group_by("lang")
-            .aggregate([("pri", "sum"), ("pri", "count")])
-        )
-        n_prior = g.column("pri_sum")
-        n_new = pc.subtract(g.column("pri_count").cast(pa.int64()), n_prior)
-        return pa.table(
-            {"lang": g.column("lang"), "n_prior": n_prior, "n_new": n_new}
-        )
-
-    agg = (
-        docs.map_batches(_partials, batch_format="pyarrow")
-        .groupby("lang", num_partitions=2)
-        .aggregate(
-            Sum("n_prior", alias_name="n_prior"),
-            Sum("n_new", alias_name="n_new"),
-        )
-        .take_all()
-    )
-    agg.sort(key=lambda r: r["lang"])
-    np_arr = np.array([r["n_prior"] for r in agg], np.int64)
-    nn_arr = np.array([r["n_new"] for r in agg], np.int64)
-    tp, tn = float(np_arr.sum()), float(nn_arr.sum())
-    sp = np_arr / tp
-    sn = nn_arr / tn
-    return pa.table(
-        {
-            "lang": pa.array([r["lang"] for r in agg], pa.string()),
-            "n_prior": pa.array(np_arr, pa.int64()),
-            "n_new": pa.array(nn_arr, pa.int64()),
-            "share_prior": pa.array(round_like_duckdb(sp, 6), pa.float64()),
-            "share_new": pa.array(round_like_duckdb(sn, 6), pa.float64()),
-            "tv_contrib": pa.array(
-                round_like_duckdb(np.abs(sp - sn) / 2.0, 6), pa.float64()
-            ),
-        }
-    )
-
-
-SQL_Q130 = """
-WITH d AS (
-  SELECT lang, CASE WHEN doc_id % 10 < 7 THEN 1 ELSE 0 END AS pri
-  FROM documents),
-g AS (
-  SELECT lang, CAST(sum(pri) AS BIGINT) AS n_prior,
-         CAST(sum(1 - pri) AS BIGINT) AS n_new
-  FROM d GROUP BY 1),
-t AS (SELECT sum(n_prior) AS tp, sum(n_new) AS tn FROM g)
-SELECT lang, n_prior, n_new,
-       round(n_prior / CAST(tp AS DOUBLE), 6) AS share_prior,
-       round(n_new / CAST(tn AS DOUBLE), 6) AS share_new,
-       round(abs(n_prior / CAST(tp AS DOUBLE)
-                 - n_new / CAST(tn AS DOUBLE)) / 2, 6) AS tv_contrib
-FROM g, t
-"""
-
-
-def q131_bpe_train(sf_dir: str):
-    """Distributed BPE tokenizer training (Sennrich merge learning, 12
-    merges) — pass 1 is the corpus's only exchange (word-count combiner
-    partials); rounds run as BSP raw-task waves over the vocabulary-
-    scaled word table (q94/q126 pattern) with an alphabet²-bounded
-    driver merge and a total-order argmax, bit-identical to the
-    sequential golden (golden_dedup.golden_bpe_merges)."""
-    from barks_ocr_ray.functions.bpe import bpe_train
-
-    return bpe_train(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), n_merges=12
-    )
-
-
-def q132_bpe_encode(sf_dir: str):
-    """Corpus tokenization under the q131-learned merge table (the
-    corpus-scale half of tokenizer construction): per-doc word and
-    subword counts from one warm-encoder actor-pool pass — the R-row
-    merge table ships once per actor, the word->length memo makes
-    repeated web vocabulary a cache hit, zero exchanges."""
-    from barks_ocr_ray.functions.bpe import bpe_encode_stats, bpe_train
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    g = bpe_train(docs, n_merges=12).to_pandas()
-    merges = list(zip(g["lhs"], g["rhs"]))
-    return bpe_encode_stats(docs, merges)
-
-
-def q133_grouped_sketch_quantiles(sf_dir: str):
-    """Per-group one-pass quantile sketch (q127's grouped sibling,
-    completing the quantile family: q66 exact global / q68 exact
-    grouped / q127 sketch global / this): p50/p90/p99 of event value
-    per event_type, each group on its OWN 256-bucket grid fixed by a
-    group-sized stats aggregate. Pass 1 ships (group, bucket, c)
-    integer partials; selection runs in a bucket-sized map_groups."""
-    from barks_ocr_ray.functions.quantiles import grouped_histogram_quantiles
-
-    return grouped_histogram_quantiles(
-        read_table(sf_dir, "events", ["event_type", "value"]),
-        "event_type",
-        "value",
-        [0.5, 0.9, 0.99],
-        n_buckets=256,
-    )
-
-
-SQL_Q133 = """
-WITH s AS (
-  SELECT event_type, min(value) AS lo, max(value) AS hi, count(*) AS n,
-         (max(value) - min(value)) / CAST(256 AS DOUBLE) AS w
-  FROM events GROUP BY 1),
-b AS (
-  SELECT e.event_type,
-         CAST(least(floor((e.value - s.lo) / s.w), 255) AS BIGINT) AS idx,
-         count(*) AS c
-  FROM events e JOIN s USING (event_type)
-  GROUP BY 1, 2),
-c AS (
-  SELECT event_type, idx,
-         sum(c) OVER (PARTITION BY event_type ORDER BY idx) AS cum
-  FROM b),
-qs AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
-sel AS (
-  SELECT c.event_type, qs.q, min(c.idx) AS idx
-  FROM qs, c JOIN s USING (event_type)
-  WHERE c.cum >= greatest(1, CAST(ceil(qs.q * s.n) AS BIGINT))
-  GROUP BY 1, 2)
-SELECT sel.event_type, q, round(s.lo + (sel.idx + 1) * s.w, 6) AS value_est
-FROM sel JOIN s USING (event_type)
-"""
-
-
-def q134_psi_drift(sf_dir: str):
-    """Population-stability-index (PSI) numeric drift — q130's sibling
-    for numeric columns (the standard model-monitoring metric): bucket
-    o_totalprice on a 10-bucket grid fixed by the PRIOR snapshot's
-    min/max (bin edges always come from the baseline side), clamp the
-    new snapshot into it, and report per-bucket counts + the smoothed
-    PSI contribution (p - q) * ln(p / q); the column sums to the PSI.
-    One stats aggregate over the prior + ONE corpus pass shipping
-    (bucket, side) integer partials; additive +0.5 smoothing keeps
-    empty buckets finite and the arithmetic SQL-replayable."""
-    import numpy as np
-
-    B = 10
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-
-    def _prior_only(t: pa.Table) -> pa.Table:
-        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array((k % 10) < 7, pa.bool_()))
-
-    stats = orders.map_batches(_prior_only, batch_format="pyarrow").aggregate(
-        Min("o_totalprice", alias_name="lo"),
-        Max("o_totalprice", alias_name="hi"),
-    )
-    lo, hi = float(stats["lo"]), float(stats["hi"])
-    w = (hi - lo) / float(B)
-
-    def _partials(t: pa.Table) -> pa.Table:
-        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        x = t.column("o_totalprice").to_numpy(zero_copy_only=False)
-        pri = (k % 10) < 7
-        idx = np.minimum(
-            np.maximum(np.floor((x - lo) / w), 0.0), float(B - 1)
-        ).astype(np.int64)
-        out = {"bucket": [], "n_prior": [], "n_new": []}
-        for side, mask in (("p", pri), ("n", ~pri)):
-            u, c = np.unique(idx[mask], return_counts=True)
-            out["bucket"].extend(u.tolist())
-            out["n_prior"].extend((c if side == "p" else c * 0).tolist())
-            out["n_new"].extend((c if side == "n" else c * 0).tolist())
-        return pa.table(
-            {
-                "bucket": pa.array(out["bucket"], pa.int64()),
-                "n_prior": pa.array(out["n_prior"], pa.int64()),
-                "n_new": pa.array(out["n_new"], pa.int64()),
-            }
-        )
-
-    agg = (
-        orders.map_batches(_partials, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=2)
-        .aggregate(
-            Sum("n_prior", alias_name="n_prior"),
-            Sum("n_new", alias_name="n_new"),
-        )
-        .take_all()
-    )
-    npr = np.zeros(B, np.int64)
-    nnw = np.zeros(B, np.int64)
-    for r in agg:
-        npr[r["bucket"]] = r["n_prior"]
-        nnw[r["bucket"]] = r["n_new"]
-    tp, tn = float(npr.sum()), float(nnw.sum())
-    p = (npr + 0.5) / (tp + 0.5 * B)
-    q = (nnw + 0.5) / (tn + 0.5 * B)
-    contrib = round_like_duckdb((p - q) * np.log(p / q), 6)
-    return pa.table(
-        {
-            "bucket": pa.array(np.arange(B, dtype=np.int64), pa.int64()),
-            "n_prior": pa.array(npr, pa.int64()),
-            "n_new": pa.array(nnw, pa.int64()),
-            "psi_contrib": pa.array(contrib, pa.float64()),
-        }
-    )
-
-
-SQL_Q134 = """
-WITH pr AS (
-  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 10 < 7),
-nw AS (
-  SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 10 >= 7),
-s AS (SELECT min(v) AS lo, max(v) AS hi,
-             (max(v) - min(v)) / CAST(10 AS DOUBLE) AS w
-      FROM pr),
-tp AS (SELECT count(*) AS n FROM pr),
-tn AS (SELECT count(*) AS n FROM nw),
-bp AS (SELECT CAST(least(greatest(floor((v - s.lo) / s.w), 0), 9) AS BIGINT)
-         AS bucket, count(*) AS c
-       FROM pr, s GROUP BY 1),
-bn AS (SELECT CAST(least(greatest(floor((v - s.lo) / s.w), 0), 9) AS BIGINT)
-         AS bucket, count(*) AS c
-       FROM nw, s GROUP BY 1),
-g AS (SELECT u.bucket, coalesce(bp.c, 0) AS n_prior,
-             coalesce(bn.c, 0) AS n_new
-      FROM (SELECT unnest(range(0, 10)) AS bucket) u
-      LEFT JOIN bp USING (bucket) LEFT JOIN bn USING (bucket))
-SELECT bucket, CAST(n_prior AS BIGINT) AS n_prior,
-       CAST(n_new AS BIGINT) AS n_new,
-       round(((n_prior + 0.5) / (tp.n + 5.0)
-              - (n_new + 0.5) / (tn.n + 5.0))
-             * ln(((n_prior + 0.5) / (tp.n + 5.0))
-                  / ((n_new + 0.5) / (tn.n + 5.0))), 6) AS psi_contrib
-FROM g, tp, tn
-"""
-
-
-#: q135 temperature-mixing constants: alpha < 1 upweights small sources
-#: (the multilingual/multi-source smoothing rule), budget = docs to draw
-MIX_ALPHA = 0.5
-MIX_BUDGET = 10_000
-
-
-def q135_temperature_mix(sf_dir: str):
-    """Temperature-based corpus mixing allocation (the alpha-smoothing
-    rule multi-source pretraining uses to keep small sources from
-    vanishing): per source, sampling probability n^alpha / sum(n^alpha)
-    and the allocated doc count for a fixed budget. ONE grouped count
-    (block partials); the weight normalization runs on the source-sized
-    result with integer micro-weights (round(sqrt(n) * 1e6)) so the
-    normalizing SUM is order-independent and bit-replayable — a float
-    sum over sources would depend on DuckDB's vs the driver's add
-    order."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["source"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        g = t.group_by("source").aggregate([("source", "count")])
-        return g.rename_columns(["source", "n"])
-
-    agg = (
-        docs.map_batches(_partials, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(Sum("n", alias_name="n_docs"))
-        .take_all()
-    )
-    agg.sort(key=lambda r: r["source"])
-    n = np.array([r["n_docs"] for r in agg], np.float64)
-    w_micro = round_like_duckdb(n ** MIX_ALPHA * 1e6, 0).astype(np.int64)
-    s = float(w_micro.sum())  # exact: int64 sum
-    p = w_micro / s
-    alloc = round_like_duckdb(p * MIX_BUDGET, 0).astype(np.int64)
-    return pa.table(
-        {
-            "source": pa.array([r["source"] for r in agg], pa.string()),
-            "n_docs": pa.array(
-                np.array([r["n_docs"] for r in agg], np.int64), pa.int64()
-            ),
-            "p_sample": pa.array(round_like_duckdb(p, 6), pa.float64()),
-            "alloc_docs": pa.array(alloc, pa.int64()),
-        }
-    )
-
-
-SQL_Q135 = f"""
-WITH g AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents
-  GROUP BY 1),
-w AS (
-  SELECT source, n_docs,
-         CAST(round(pow(n_docs, {MIX_ALPHA}) * 1000000, 0) AS BIGINT)
-           AS w_micro
-  FROM g),
-s AS (SELECT CAST(sum(w_micro) AS DOUBLE) AS tot FROM w)
-SELECT source, n_docs,
-       round(w_micro / s.tot, 6) AS p_sample,
-       CAST(round(w_micro / s.tot * {MIX_BUDGET}, 0) AS BIGINT)
-         AS alloc_docs
-FROM w, s
-"""
-
-
-def q136_incremental_minhash(sf_dir: str):
-    """Near-dup rung of delta ingestion (q129's MinHash sibling): new-
-    snapshot docs whose estimated Jaccard vs any prior-snapshot doc
-    reaches 0.4, each with its best prior match — q19's banded-LSH
-    pair machinery filtered to cross-snapshot pairs plus ONE doc-keyed
-    argmax (max est, tie smallest prior id)."""
-    from barks_ocr_ray.functions.dedupe import incremental_minhash_dedup
-
-    return incremental_minhash_dedup(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
-    )
-
-
-def q137_content_drift(sf_dir: str):
-    """Content drift of the NEW snapshot under the PRIOR snapshot's
-    unigram LM (the text sibling of q130 categorical / q134 numeric
-    drift — CCNet-style perplexity with the reference model frozen on
-    the prior crawl): per new doc, mean negative log-prob with add-one
-    smoothing p(t) = (n_prior(t) + 1) / (N_prior + V_prior + 1), so
-    OOV tokens score the uniform floor instead of vanishing. Exchanges:
-    prior unigram aggregation (vocab-sized), one term-keyed LEFT join,
-    one doc-keyed reduce. Per-term contributions are rounded to int64
-    MICRO-nats before the per-doc sum (q81/q123 fixed-point
-    discipline) so the distributed float sum is order-independent and
-    the oracle replays it bit-exactly."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.relational import compact_nonempty
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, DocTermCounts
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    tf_rows = docs.map_batches(
-        DocTermCounts, batch_format="pyarrow", concurrency=(1, 4)
-    ).materialize()  # reused: prior unigrams + new-side scoring
-
-    def _side(keep_prior: bool):
-        def _f(t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-            m = (ids % 10) < 7
-            return t.filter(pa.array(m == keep_prior, pa.bool_()))
-
-        return tf_rows.map_batches(_f, batch_format="pyarrow")
-
-    unigrams = _side(True).groupby(
-        "term", num_partitions=VOCAB_PARTITIONS
-    ).aggregate(Sum("tf", alias_name="n"))
-    uni_c, n_vocab = compact_nonempty(unigrams, VOCAB_PARTITIONS)
-    n_prior = int(uni_c.sum("n") or 0) if n_vocab else 0
-    denom = float(n_prior + n_vocab + 1)
-
-    new_tf, n_new = compact_nonempty(_side(False), 8)
-    if n_new == 0:
-        return pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "xent_score": pa.array([], pa.float64()),
-            }
-        )
-    if n_vocab == 0:
-        joined = new_tf.map_batches(
-            lambda t: t.append_column("n", pa.nulls(t.num_rows, pa.int64())),
-            batch_format="pyarrow",
-        )
-    else:
-        joined = new_tf.join(
-            uni_c,
-            join_type="left_outer",
-            num_partitions=VOCAB_PARTITIONS,
-            on=("term",),
-        )
-
-    def _contrib(t: pa.Table) -> pa.Table:
-        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-        n = pc.fill_null(t.column("n"), pa.scalar(0, pa.int64()))
-        n = n.to_numpy(zero_copy_only=False).astype(np.float64)
-        nll = tf * -np.log((n + 1.0) / denom)
-        micro = round_like_duckdb(nll * 1e6, 0).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "nll_micro": pa.array(micro, pa.int64()),
-                "tf": t.column("tf"),
-            }
-        )
-
-    agg = (
-        joined.map_batches(_contrib, batch_format="pyarrow")
-        .groupby("doc_id", num_partitions=8)
-        .aggregate(
-            Sum("nll_micro", alias_name="sum_micro"),
-            Sum("tf", alias_name="n_tokens"),
-        )
-    )
-
-    def _score(t: pa.Table) -> pa.Table:
-        s = t.column("sum_micro").to_numpy(zero_copy_only=False)
-        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
-        score = round_like_duckdb(s / 1_000_000.0 / n, 4)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "xent_score": pa.array(score, pa.float64()),
-            }
-        )
-
-    return agg.map_batches(_score, batch_format="pyarrow")
-
-
-def _sql_q137() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
-           AS term
-  FROM documents),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-pu AS (
-  SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf
-  WHERE doc_id % 10 < 7 GROUP BY 1),
-s AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE)
-             + CAST(count(*) AS DOUBLE) + 1.0 AS denom
-      FROM pu),
-nw AS (SELECT doc_id, term, tf FROM tf WHERE doc_id % 10 >= 7),
-c AS (
-  SELECT nw.doc_id,
-         CAST(round(nw.tf * -ln((coalesce(pu.n, 0) + 1.0) / s.denom)
-                    * 1000000, 0) AS BIGINT) AS nll_micro,
-         nw.tf
-  FROM nw LEFT JOIN pu USING (term), s)
-SELECT doc_id,
-       round(sum(nll_micro) / 1000000.0 / sum(tf), 4) AS xent_score
-FROM c GROUP BY 1
-"""
-
-
-def q138_triangle_counts(sf_dir: str):
-    """Per-supplier triangle counts over the co-purchase graph
-    (suppliers sharing an order are connected): the classic graph-
-    analytics kernel beside q94 PageRank and q39 connected components.
-    Edges build in one order-keyed map_groups (orders are small
-    groups); triangles close with two distributed joins (orientation
-    trick, see graph.triangle_counts)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.graph import triangle_counts
-
-    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        s = np.unique(t.column("l_suppkey").to_numpy(zero_copy_only=False))
-        if s.size < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        ii, jj = np.triu_indices(s.size, k=1)
-        return pa.table(
-            {"a": pa.array(s[ii], pa.int64()), "b": pa.array(s[jj], pa.int64())}
-        )
-
-    edges = (
-        li.groupby("l_orderkey", num_partitions=hash_partitions(8))
-        .map_groups(_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"], num_partitions=hash_partitions(8))
-        .aggregate(Count(alias_name="_n"))
-        .select_columns(["a", "b"])
-    )
-    out = triangle_counts(edges)
-
-    def _rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(["s_suppkey", "n_triangles"])
-
-    return out.map_batches(_rename, batch_format="pyarrow")
-
-
-SQL_Q138 = """
-WITH e AS (
-  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-  FROM lineitem x JOIN lineitem y
-    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
-t AS (
-  SELECT w.a, w.b, w.c
-  FROM (SELECT e1.a, e1.b, e2.b AS c
-        FROM e e1 JOIN e e2 ON e1.b = e2.a) w
-  JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
-n AS (
-  SELECT a AS node FROM t
-  UNION ALL SELECT b FROM t
-  UNION ALL SELECT c FROM t)
-SELECT node AS s_suppkey, CAST(count(*) AS BIGINT) AS n_triangles
-FROM n GROUP BY 1
-"""
-
-
-#: q139 audited columns (documents table, the snapshot-split surface)
-Q139_COLS = ("lang", "source", "text")
-
-
-def q139_schema_drift(sf_dir: str):
-    """Schema-profile drift audit — the per-COLUMN data-quality gate
-    between crawl snapshots (q130/q134/q137 watch one column each;
-    this watches the table): for every audited column, row counts,
-    null counts and exact distinct counts on both sides of the q129
-    snapshot split. Row/null counts are zero-exchange block partials
-    (long format, one row per column per block); distinct counts ship
-    block-level (column, value)-deduped partials into ONE keyed
-    exchange — the q120 dedup-partial discipline, so the exchange
-    carries at most one row per distinct value per block, never one
-    per row."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["doc_id", *Q139_COLS])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        pri = (ids % 10) < 7
-        cols, npr, nnw, nup, nun = [], [], [], [], []
-        for c in Q139_COLS:
-            null = pc.is_null(t.column(c)).to_numpy(zero_copy_only=False)
-            cols.append(c)
-            npr.append(int(pri.sum()))
-            nnw.append(int((~pri).sum()))
-            nup.append(int(null[pri].sum()))
-            nun.append(int(null[~pri].sum()))
-        return pa.table(
-            {
-                "column": pa.array(cols, pa.string()),
-                "n_prior": pa.array(npr, pa.int64()),
-                "n_new": pa.array(nnw, pa.int64()),
-                "nulls_prior": pa.array(nup, pa.int64()),
-                "nulls_new": pa.array(nun, pa.int64()),
-            }
-        )
-
-    counts = (
-        docs.map_batches(_counts, batch_format="pyarrow")
-        .groupby("column", num_partitions=2)
-        .aggregate(
-            Sum("n_prior", alias_name="n_prior"),
-            Sum("n_new", alias_name="n_new"),
-            Sum("nulls_prior", alias_name="nulls_prior"),
-            Sum("nulls_new", alias_name="nulls_new"),
-        )
-    )
-
-    def _distinct_partials(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        pri = (ids % 10) < 7
-        cols, sides, vals = [], [], []
-        for c in Q139_COLS:
-            v = t.column(c).cast(pa.string()).to_numpy(zero_copy_only=False)
-            ok = pc.is_valid(t.column(c)).to_numpy(zero_copy_only=False)
-            for side, m in (("p", pri & ok), ("n", (~pri) & ok)):
-                u = np.unique(v[m])
-                cols.extend([c] * len(u))
-                sides.extend([side] * len(u))
-                vals.extend(u.tolist())
-        return pa.table(
-            {
-                "column": pa.array(cols, pa.string()),
-                "side": pa.array(sides, pa.string()),
-                "value": pa.array(vals, pa.string()),
-            }
-        )
-
-    uniq = (
-        docs.map_batches(_distinct_partials, batch_format="pyarrow")
-        .groupby(["column", "side", "value"], num_partitions=hash_partitions(8))
-        .aggregate(Count(alias_name="_n"))
-    )
-
-    def _fold(t: pa.Table) -> pa.Table:
-        g = (
-            t.select(["column", "side"])
-            .group_by(["column", "side"])
-            .aggregate([("side", "count")])
-        )
-        return g.rename_columns(["column", "side", "n_distinct"])
-
-    dist = (
-        uniq.map_batches(_fold, batch_format="pyarrow")
-        .groupby(["column", "side"], num_partitions=2)
-        .aggregate(Sum("n_distinct", alias_name="n_distinct"))
-        .take_all()
-    )
-    dmap = {(r["column"], r["side"]): r["n_distinct"] for r in dist}
-    rows = counts.take_all()
-    rows.sort(key=lambda r: r["column"])
-    return pa.table(
-        {
-            "column": pa.array([r["column"] for r in rows], pa.string()),
-            "n_prior": pa.array([r["n_prior"] for r in rows], pa.int64()),
-            "n_new": pa.array([r["n_new"] for r in rows], pa.int64()),
-            "nulls_prior": pa.array(
-                [r["nulls_prior"] for r in rows], pa.int64()
-            ),
-            "nulls_new": pa.array([r["nulls_new"] for r in rows], pa.int64()),
-            "distinct_prior": pa.array(
-                [dmap.get((r["column"], "p"), 0) for r in rows], pa.int64()
-            ),
-            "distinct_new": pa.array(
-                [dmap.get((r["column"], "n"), 0) for r in rows], pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q139() -> str:
-    parts = []
-    for c in Q139_COLS:
-        parts.append(f"""
-SELECT '{c}' AS "column",
-       CAST(sum(CASE WHEN doc_id % 10 < 7 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_prior,
-       CAST(sum(CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_new,
-       CAST(sum(CASE WHEN doc_id % 10 < 7 AND {c} IS NULL
-                THEN 1 ELSE 0 END) AS BIGINT) AS nulls_prior,
-       CAST(sum(CASE WHEN doc_id % 10 >= 7 AND {c} IS NULL
-                THEN 1 ELSE 0 END) AS BIGINT) AS nulls_new,
-       CAST(count(DISTINCT CASE WHEN doc_id % 10 < 7
-                 THEN CAST({c} AS VARCHAR) END) AS BIGINT)
-         AS distinct_prior,
-       CAST(count(DISTINCT CASE WHEN doc_id % 10 >= 7
-                 THEN CAST({c} AS VARCHAR) END) AS BIGINT)
-         AS distinct_new
-FROM documents""")
-    return "\nUNION ALL\n".join(parts)
-
-
-def q140_weighted_quantiles(sf_dir: str):
-    """Exact WEIGHTED quantiles of line price, weighted by quantity
-    (the 'where does the q-th unit of volume sit' question — e.g. the
-    token-weighted length median a packing planner needs, which the
-    unweighted q66 cannot answer): the q66 counting-quickselect with
-    integer weight prefix-sums replacing row counts — O(pivots) driver
-    state, no global sort."""
-    from barks_ocr_ray.functions.quantiles import weighted_quantiles
-
-    ds = read_table(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
-
-    def _int_weights(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "v": t.column("l_extendedprice"),
-                "wt": t.column("l_quantity").cast(pa.int64()),
-            }
-        )
-
-    return weighted_quantiles(
-        ds.map_batches(_int_weights, batch_format="pyarrow"),
-        "v",
-        "wt",
-        [0.25, 0.5, 0.75, 0.95],
-    )
-
-
-SQL_Q140 = """
-WITH w AS (
-  SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
-  FROM lineitem),
-t AS (SELECT CAST(sum(wt) AS BIGINT) AS W FROM w),
-c AS (SELECT v, sum(wt) OVER (ORDER BY v) AS cum FROM w),
-qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q),
-sel AS (
-  SELECT qs.q, min(c.v) AS value
-  FROM qs, c, t
-  WHERE c.cum >= greatest(1, CAST(ceil(qs.q * t.W) AS BIGINT))
-  GROUP BY qs.q)
-SELECT q, value FROM sel ORDER BY q
-"""
-
-
-def q141_zorder_layout(sf_dir: str):
-    """Z-order (Morton-curve) layout diagnostic — the data-layout
-    planning pass behind OPTIMIZE ZORDER in lakehouse table formats
-    (public Delta/Iceberg lineage): quantize (o_custkey, o_orderdate)
-    to 8 bits each on their own min/max grids (the q127 IEEE bucket
-    contract), interleave to a 16-bit Morton key, and report per
-    coarse z-bucket (top 8 bits) the row count and DISTINCT customer
-    count — the locality measure that predicts file-skipping
-    effectiveness if the table were rewritten in z-order. One stats
-    aggregate + ONE corpus pass of (bucket, cust) dedup partials (the
-    q120 discipline: at most one row per distinct pair per block
-    crosses the exchange)."""
-    import numpy as np
-
-    B = 256
-    orders = read_table(sf_dir, "orders", ["o_custkey", "o_orderdate"])
-
-    stats = orders.map_batches(
-        lambda t: pa.table(
-            {
-                "ck": t.column("o_custkey"),
-                "od": t.column("o_orderdate").cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    ).aggregate(
-        Min("ck", alias_name="ck_lo"),
-        Max("ck", alias_name="ck_hi"),
-        Min("od", alias_name="od_lo"),
-        Max("od", alias_name="od_hi"),
-    )
-    ck_lo, ck_hi = float(stats["ck_lo"]), float(stats["ck_hi"])
-    od_lo, od_hi = float(stats["od_lo"]), float(stats["od_hi"])
-    w_ck = (ck_hi - ck_lo) / float(B)
-    w_od = (od_hi - od_lo) / float(B)
-
-    def _partials(t: pa.Table) -> pa.Table:
-        ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        od = (
-            t.column("o_orderdate")
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        xq = np.minimum(
-            np.floor((ck.astype(np.float64) - ck_lo) / w_ck), float(B - 1)
-        ).astype(np.int64)
-        yq = np.minimum(
-            np.floor((od.astype(np.float64) - od_lo) / w_od), float(B - 1)
-        ).astype(np.int64)
-        z = np.zeros(len(xq), np.int64)
-        for i in range(8):
-            z |= ((xq >> i) & 1) << (2 * i)
-            z |= ((yq >> i) & 1) << (2 * i + 1)
-        zb = z >> 8
-        pairs = np.unique(np.stack([zb, ck], axis=1), axis=0)
-        counts = (
-            pa.table({"zbucket": pa.array(zb, pa.int64())})
-            .group_by("zbucket")
-            .aggregate([("zbucket", "count")])
-            .rename_columns(["zbucket", "n_rows"])
-        )
-        return pa.table(
-            {
-                "zbucket": pa.concat_arrays(
-                    [
-                        counts.column("zbucket").combine_chunks(),
-                        pa.array(pairs[:, 0], pa.int64()),
-                    ]
-                ),
-                "n_rows": pa.concat_arrays(
-                    [
-                        counts.column("n_rows").cast(pa.int64()).combine_chunks(),
-                        pa.array(np.zeros(len(pairs), np.int64), pa.int64()),
-                    ]
-                ),
-                "cust": pa.concat_arrays(
-                    [
-                        pa.nulls(counts.num_rows, pa.int64()),
-                        pa.array(pairs[:, 1], pa.int64()),
-                    ]
-                ),
-            }
-        )
-
-    long = orders.map_batches(_partials, batch_format="pyarrow")
-
-    # distinct custs per bucket: dedup the (bucket, cust) partials
-    dist = (
-        long.map_batches(
-            lambda t: t.filter(pc.is_valid(t.column("cust"))),
-            batch_format="pyarrow",
-        )
-        .groupby(["zbucket", "cust"], num_partitions=hash_partitions(8))
-        .aggregate(Count(alias_name="_n"))
-    )
-
-    def _one(t: pa.Table) -> pa.Table:
-        g = (
-            t.select(["zbucket"])
-            .group_by("zbucket")
-            .aggregate([("zbucket", "count")])
-        )
-        return g.rename_columns(["zbucket", "n_custkeys"])
-
-    n_cust = (
-        dist.map_batches(_one, batch_format="pyarrow")
-        .groupby("zbucket", num_partitions=2)
-        .aggregate(Sum("n_custkeys", alias_name="n_custkeys"))
-        .take_all()
-    )
-    rows = (
-        long.groupby("zbucket", num_partitions=2)
-        .aggregate(Sum("n_rows", alias_name="n_rows"))
-        .take_all()
-    )
-    cmap = {r["zbucket"]: r["n_custkeys"] for r in n_cust}
-    rmap = {r["zbucket"]: r["n_rows"] for r in rows if r["n_rows"] > 0}
-    zs = sorted(rmap)
-    return pa.table(
-        {
-            "zbucket": pa.array(zs, pa.int64()),
-            "n_rows": pa.array([rmap[z] for z in zs], pa.int64()),
-            "n_custkeys": pa.array([cmap.get(z, 0) for z in zs], pa.int64()),
-        }
-    )
-
-
-def _sql_q141() -> str:
-    xbits = " + ".join(
-        f"(((xq >> {i}) & 1) << {2 * i}) + (((yq >> {i}) & 1) << {2 * i + 1})"
-        for i in range(8)
-    )
-    return f"""
-WITH s AS (
-  SELECT min(o_custkey) AS ck_lo, max(o_custkey) AS ck_hi,
-         min(epoch_us(o_orderdate)) AS od_lo,
-         max(epoch_us(o_orderdate)) AS od_hi,
-         (max(o_custkey) - min(o_custkey)) / CAST(256 AS DOUBLE) AS w_ck,
-         (max(epoch_us(o_orderdate)) - min(epoch_us(o_orderdate)))
-           / CAST(256 AS DOUBLE) AS w_od
-  FROM orders),
-q AS (
-  SELECT o_custkey AS ck,
-         CAST(least(floor((o_custkey - s.ck_lo) / s.w_ck), 255) AS BIGINT)
-           AS xq,
-         CAST(least(floor((epoch_us(o_orderdate) - s.od_lo) / s.w_od), 255)
-              AS BIGINT) AS yq
-  FROM orders, s),
-z AS (SELECT ck, ({xbits}) >> 8 AS zbucket FROM q)
-SELECT zbucket, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(DISTINCT ck) AS BIGINT) AS n_custkeys
-FROM z GROUP BY 1
-"""
-
-
-def q142_group_ksample(sf_dir: str):
-    """Uniform fixed-k sample PER GROUP (the eval-set builder's 'give
-    me 5 random docs per language, reproducibly'): rank docs within
-    each lang by md5(doc_id) — a deterministic total order that is
-    uniform over insertion order — and keep rank <= 5. Distinct from
-    q46 (fractional per-stratum keep RATE) and q117 (best-K by size).
-    ONE lang-keyed exchange, vectorized per-block sort+rank (all of a
-    lang's rows co-locate); md5 is the oracle-replayable hash-family
-    default (hashing.py splitmix64 is the production fast path)."""
-    import hashlib
-
-    import numpy as np
-
-    K = 5
-    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
-
-    def _rank(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        langs = t.column("lang").to_numpy(zero_copy_only=False)
-        hs = np.array(
-            [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        )
-        order = np.lexsort((ids, hs, langs))
-        langs_s, ids_s = langs[order], ids[order]
-        new_grp = np.empty(len(order), np.bool_)
-        new_grp[0] = True
-        new_grp[1:] = langs_s[1:] != langs_s[:-1]
-        starts = np.flatnonzero(new_grp)
-        rk = np.arange(len(order), dtype=np.int64) - np.repeat(
-            starts, np.diff(np.append(starts, len(order)))
-        ) + 1
-        keep = rk <= K
-        return pa.table(
-            {
-                "doc_id": pa.array(ids_s[keep], pa.int64()),
-                "lang": pa.array(langs_s[keep], pa.string()),
-                "rk": pa.array(rk[keep], pa.int64()),
-            }
-        )
-
-    return docs.repartition(hash_partitions(8), keys=["lang"]).map_batches(
-        _rank, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q142 = """
-WITH r AS (
-  SELECT doc_id, lang,
-         row_number() OVER (
-           PARTITION BY lang
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-  FROM documents)
-SELECT doc_id, lang, rk FROM r WHERE rk <= 5
-"""
-
-
-def q143_adoption_curve(sf_dir: str):
-    """Cumulative user-adoption curve: per day, users whose FIRST-ever
-    event lands that day, and the running total (the activation time
-    series every growth dashboard draws). First-event day per user is
-    one keyed aggregation over (user, min-ts) block partials; the day
-    histogram is day-bounded, so the cumulative sum folds driver-side
-    on a constant-sized table."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts"])
-
-    def _first_partials(t: pa.Table) -> pa.Table:
-        g = (
-            pa.table(
-                {
-                    "user_id": t.column("user_id"),
-                    "ts": t.column("ts").cast(pa.int64()),
-                }
-            )
-            .group_by("user_id")
-            .aggregate([("ts", "min")])
-        )
-        return g.rename_columns(["user_id", "first_ts"])
-
-    firsts = (
-        ev.map_batches(_first_partials, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=hash_partitions(8))
-        .aggregate(Min("first_ts", alias_name="first_ts"))
-    )
-
-    def _day_partials(t: pa.Table) -> pa.Table:
-        us = t.column("first_ts").to_numpy(zero_copy_only=False)
-        day = (us // 86_400_000_000) * 86_400_000_000
-        u, c = np.unique(day, return_counts=True)
-        return pa.table(
-            {
-                "day": pa.array(u, pa.int64()),
-                "n_new": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
-
-    rows = (
-        firsts.map_batches(_day_partials, batch_format="pyarrow")
-        .groupby("day", num_partitions=2)
-        .aggregate(Sum("n_new", alias_name="n_new"))
-        .take_all()
-    )
-    rows.sort(key=lambda r: r["day"])
-    n_new = np.array([r["n_new"] for r in rows], np.int64)
-    return pa.table(
-        {
-            "day": pa.array([r["day"] for r in rows], pa.int64()).cast(
-                pa.timestamp("us")
-            ),
-            "n_new": pa.array(n_new, pa.int64()),
-            "cum_users": pa.array(np.cumsum(n_new), pa.int64()),
-        }
-    )
-
-
-SQL_Q143 = """
-WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
-d AS (SELECT date_trunc('day', first_ts) AS day,
-             CAST(count(*) AS BIGINT) AS n_new
-      FROM f GROUP BY 1)
-SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
-         AS cum_users
-FROM d
-"""
-
-
-def q144_event_path_bigrams(sf_dir: str):
-    """Event-path mining: counts of consecutive event-type transitions
-    (step_a -> step_b) over every user's time-ordered stream — the
-    Markov-transition table funnels and next-action models start from.
-    ONE user-keyed exchange, then per-block: lexsort, adjacent pairs
-    masked at user boundaries, block-local pair counts; the exchange
-    above the final aggregation ships at most |event_types|^2 rows per
-    block."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        st = t.column("event_type").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, us))
-        us, st = us[order], st[order]
-        same = us[1:] == us[:-1]
-        a, b = st[:-1][same], st[1:][same]
-        g = (
-            pa.table(
-                {
-                    "step_a": pa.array(a.tolist(), pa.string()),
-                    "step_b": pa.array(b.tolist(), pa.string()),
-                }
-            )
-            .group_by(["step_a", "step_b"])
-            .aggregate([("step_a", "count")])
-        )
-        return g.rename_columns(["step_a", "step_b", "n"])
-
-    return (
-        ev.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["step_a", "step_b"], num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-
-SQL_Q144 = """
-WITH o AS (
-  SELECT user_id, event_type,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS nxt
-  FROM events)
-SELECT event_type AS step_a, nxt AS step_b, CAST(count(*) AS BIGINT) AS n
-FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
-"""
-
-
-def q145_robust_outliers(sf_dir: str):
-    """Grouped ROBUST outlier audit — median, MAD, and the 3-MAD
-    outlier count per event type: the monitoring report that survives
-    heavy tails where mean/stddev z-scores (q86) drown. Built on
-    quantiles.grouped_distributed_quantiles, the primitive q68's
-    docstring pointed at: ALL groups advance through SHARED counting
-    passes, so the whole report costs O(log32 n) corpus passes no
-    matter how many groups exist. Median and MAD are exact data values
-    (DuckDB quantile_disc rank rule); the outlier test
-    |v - med| > 3*mad is single-expression IEEE, so the oracle replays
-    it bit-identically."""
-    from barks_ocr_ray.functions.quantiles import (
-        grouped_distributed_quantiles,
-    )
-
-    ev = read_table(sf_dir, "events", ["event_type", "value"])
-    med_t = grouped_distributed_quantiles(
-        ev, "event_type", "value", [0.5], pull_cap=2000
-    )
-    groups = med_t.column("grp").to_pylist()
-    meds = med_t.column("value").to_pylist()
-    med_of = dict(zip(groups, meds))
-    key_arr = pa.array(groups, pa.string())
-    med_arr = pa.array(meds, pa.float64())
-
-    def _resid(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(t.column("event_type"), key_arr)
-        r = pc.abs(pc.subtract(t.column("value"), pc.take(med_arr, idx)))
-        return pa.table({"event_type": t.column("event_type"), "r": r})
-
-    res = ev.map_batches(_resid, batch_format="pyarrow")
-    mad_t = grouped_distributed_quantiles(
-        res, "event_type", "r", [0.5], pull_cap=2000
-    )
-    mad_of = dict(
-        zip(mad_t.column("grp").to_pylist(), mad_t.column("value").to_pylist())
-    )
-    thr_arr = pa.array([3.0 * mad_of[g] for g in groups], pa.float64())
-
-    def _count_out(t: pa.Table) -> pa.Table:
-        idx = pc.index_in(t.column("event_type"), key_arr)
-        r = pc.abs(pc.subtract(t.column("value"), pc.take(med_arr, idx)))
-        out = pc.fill_null(pc.greater(r, pc.take(thr_arr, idx)), False)
-        g = (
-            pa.table(
-                {
-                    "event_type": t.column("event_type"),
-                    "o": out.cast(pa.int64()),
-                }
-            )
-            .group_by("event_type")
-            .aggregate([("o", "sum")])
-        )
-        return g.rename_columns(["event_type", "n_out"])
-
-    agg = (
-        ev.map_batches(_count_out, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=2)
-        .aggregate(Sum("n_out", alias_name="n_out"))
-        .take_all()
-    )
-    n_of = {r["event_type"]: r["n_out"] for r in agg}
-    order = sorted(groups)
-    return pa.table(
-        {
-            "event_type": pa.array(order, pa.string()),
-            "med": pa.array([med_of[g] for g in order], pa.float64()),
-            "mad": pa.array([mad_of[g] for g in order], pa.float64()),
-            "n_outliers": pa.array(
-                [int(n_of.get(g, 0)) for g in order], pa.int64()
-            ),
-        }
-    )
-
-
-SQL_Q145 = """
-WITH m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
-           FROM events GROUP BY 1),
-s AS (SELECT e.event_type, quantile_disc(abs(e.value - m.med), 0.5) AS mad
-      FROM events e JOIN m USING (event_type) GROUP BY 1),
-j AS (SELECT e.event_type, m.med, s.mad,
-             CASE WHEN abs(e.value - m.med) > 3.0 * s.mad
-                  THEN 1 ELSE 0 END AS o
-      FROM events e JOIN m USING (event_type) JOIN s USING (event_type))
-SELECT event_type, med, mad, CAST(sum(o) AS BIGINT) AS n_outliers
-FROM j GROUP BY 1, 2, 3
-"""
-
-
-def q146_global_ntile(sf_dir: str):
-    """Global percentile bucketing — ntile(100) over (n_chars, doc_id)
-    — WITHOUT a global sort: n_chars has bounded cardinality (document
-    lengths, a few hundred distinct values), so ONE value-histogram
-    aggregation yields exact below-counts per value (the driver holds
-    only the cardinality-bounded offset table), and one keyed exchange
-    ranks within each value by doc_id; global rank = below[value] +
-    within-rank. DuckDB's ntile fill rule (first n%k buckets get one
-    extra row) is applied vectorized from (rank, n). Unbounded value
-    spaces should quantile-cut to a bounded grid first (q88) — the
-    offset table must stay driver-sized."""
-    import numpy as np
-
-    K = 100
-    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-
-    def _hist(t: pa.Table) -> pa.Table:
-        v = t.column("n_chars").to_numpy(zero_copy_only=False)
-        u, c = np.unique(v, return_counts=True)
-        return pa.table(
-            {
-                "n_chars": pa.array(u, pa.int64()),
-                "n": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
-
-    hist = (
-        docs.map_batches(_hist, batch_format="pyarrow")
-        .groupby("n_chars", num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    hist.sort(key=lambda r: r["n_chars"])
-    vals = np.array([r["n_chars"] for r in hist], np.int64)
-    cnts = np.array([r["n"] for r in hist], np.int64)
-    below = np.concatenate(([0], np.cumsum(cnts)[:-1]))
-    n = int(cnts.sum())
-    size, big = n // K, n % K
-    cutoff = big * (size + 1)
-
-    def _rank(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        nch = t.column("n_chars").to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, nch))
-        ids_s, nch_s = ids[order], nch[order]
-        new = np.empty(len(order), np.bool_)
-        new[0] = True
-        new[1:] = nch_s[1:] != nch_s[:-1]
-        starts = np.flatnonzero(new)
-        within = (
-            np.arange(len(order), dtype=np.int64)
-            - np.repeat(starts, np.diff(np.append(starts, len(order))))
-            + 1
-        )
-        r = below[np.searchsorted(vals, nch_s)] + within
-        if size > 0:
-            bucket = (
-                np.where(
-                    r <= cutoff,
-                    (r - 1) // (size + 1),
-                    big + (r - cutoff - 1) // size,
-                )
-                + 1
-            )
-        else:  # n < K: every row its own bucket
-            bucket = r
-        return pa.table(
-            {
-                "doc_id": pa.array(ids_s, pa.int64()),
-                "n_chars": pa.array(nch_s, pa.int64()),
-                "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
-            }
-        )
-
-    return docs.repartition(hash_partitions(8), keys=["n_chars"]).map_batches(
-        _rank, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q146 = """
-SELECT doc_id, n_chars,
-       ntile(100) OVER (ORDER BY n_chars, doc_id) AS bucket
-FROM documents
-"""
-
-
-def q147_recency_score(sf_dir: str):
-    """Recency-weighted engagement: per user, sum of value * 2^-age
-    (age = whole days before the corpus' newest event), top 20. Each
-    contribution converts to INTEGER micros BEFORE the grouped sum
-    (the q137 micro-unit pattern), so the sum is order-independent
-    under any partitioning; 2^-d is a power of two, exactly
-    representable, so pow(0.5, d) is bit-stable in both engines and
-    the only rounding goes through round_like_duckdb."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts", "value"])
-    mx_us = int(
-        pa.scalar(ev.max("ts")).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
-    )
-
-    def _micros(t: pa.Table) -> pa.Table:
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
-        d = (mx_us - ts) // 86_400_000_000
-        micros = round_like_duckdb(v * np.power(0.5, d) * 1e6, 0).astype(
-            np.int64
-        )
-        g = (
-            pa.table(
-                {
-                    "user_id": t.column("user_id"),
-                    "micros": pa.array(micros, pa.int64()),
-                }
-            )
-            .group_by("user_id")
-            .aggregate([("micros", "sum")])
-        )
-        return g.rename_columns(["user_id", "score_micros"])
-
-    return (
-        ev.map_batches(_micros, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=hash_partitions(8))
-        .aggregate(Sum("score_micros", alias_name="score_micros"))
-        .sort(["score_micros", "user_id"], descending=[True, False])
-        .limit(20)
-    )
-
-
-SQL_Q147 = """
-WITH mx AS (SELECT max(ts) AS m FROM events),
-c AS (SELECT user_id,
-             CAST(round(value
-                        * pow(0.5, (epoch_us(m) - epoch_us(ts))
-                                   // 86400000000)
-                        * 1000000) AS BIGINT) AS micros
-      FROM events, mx)
-SELECT user_id, CAST(sum(micros) AS BIGINT) AS score_micros
-FROM c GROUP BY 1
-ORDER BY score_micros DESC, user_id LIMIT 20
-"""
-
-
-def q148_ngram_containment(sf_dir: str):
-    """Directed 5-gram containment (sub-document duplication): doc A is
-    flagged inside doc B when >= 50% of A's distinct 5-grams appear in
-    B — the asymmetric near-dup symmetric Jaccard (q21) dilutes away.
-    Inverted-index equi-join on the gram with a document-frequency
-    window [2, 20] (part of the metric, replayed by the oracle) — no
-    quadratic blocking; see dedupe.ngram_containment_pairs."""
-    from barks_ocr_ray.functions.dedupe import ngram_containment_pairs
-
-    return ngram_containment_pairs(
-        read_table(sf_dir, "documents", ["doc_id", "text"]),
-        threshold=0.5,
-        ngram=5,
-        df_cap=20,
-    )
-
-
-def _sql_q148(threshold: float = 0.5, df_cap: int = 20) -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH g AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-           range(1, greatest(len(toks) - 4, 1) + 1),
-           i -> array_to_string(toks[i:i+4], ' ')))) AS gram
-  FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-        FROM documents WHERE text IS NOT NULL) t),
-sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
-df AS (SELECT gram FROM g GROUP BY gram
-       HAVING count(*) BETWEEN 2 AND {df_cap}),
-k AS (SELECT g.doc_id, g.gram FROM g JOIN df USING (gram)),
-p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             CAST(count(*) AS BIGINT) AS inter
-      FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id <> b.doc_id
-      GROUP BY 1, 2)
-SELECT p.doc_a, p.doc_b,
-       round(CAST(p.inter AS DOUBLE) / sz.n_grams, 4) AS containment
-FROM p JOIN sz ON sz.doc_id = p.doc_a
-WHERE CAST(p.inter AS DOUBLE) / sz.n_grams >= {threshold}
-"""
-
-
-def q149_proportional_sample(sf_dir: str):
-    """Largest-remainder (Hamilton) proportional allocation of a fixed
-    100-doc budget across languages, then the deterministic md5-rank
-    k-sample per language at the allocated k — 'exactly N docs,
-    proportional by language, reproducibly' (the eval-set builder's
-    counterpart to q46's per-stratum RATE and q142's fixed k). The
-    allocation runs on the language histogram (driver-side,
-    lang-bounded); the sample is ONE lang-keyed exchange with the q142
-    rank kernel. Quota arithmetic (100.0*n/tot, floor, remainder
-    ordering) is single-expression IEEE, replayed by the oracle."""
-    import hashlib
-
-    import numpy as np
-
-    N = 100
-    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
-    hist = (
-        docs.groupby("lang", num_partitions=2)
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    )
-    hist.sort(key=lambda r: r["lang"])
-    langs = [r["lang"] for r in hist]
-    ns = np.array([r["n"] for r in hist], np.float64)
-    quota = (100.0 * ns) / ns.sum()
-    base = np.floor(quota)
-    rem = quota - base
-    leftover = int(N - base.sum())
-    order = np.lexsort((np.array(langs), -rem))
-    alloc = base.astype(np.int64)
-    if leftover > 0:
-        alloc[order[:leftover]] += 1
-    alloc_of = {g: int(a) for g, a in zip(langs, alloc)}
-
-    def _rank(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        lgs = t.column("lang").to_numpy(zero_copy_only=False)
-        hs = np.array(
-            [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        )
-        srt = np.lexsort((ids, hs, lgs))
-        lgs_s, ids_s = lgs[srt], ids[srt]
-        new = np.empty(len(srt), np.bool_)
-        new[0] = True
-        new[1:] = lgs_s[1:] != lgs_s[:-1]
-        starts = np.flatnonzero(new)
-        rk = (
-            np.arange(len(srt), dtype=np.int64)
-            - np.repeat(starts, np.diff(np.append(starts, len(srt))))
-            + 1
-        )
-        caps = np.array([alloc_of.get(g, 0) for g in lgs_s], np.int64)
-        keep = rk <= caps
-        return pa.table(
-            {
-                "doc_id": pa.array(ids_s[keep], pa.int64()),
-                "lang": pa.array(lgs_s[keep], pa.string()),
-                "alloc": pa.array(caps[keep], pa.int64()),
-            }
-        )
-
-    return docs.repartition(hash_partitions(8), keys=["lang"]).map_batches(
-        _rank, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q149 = """
-WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
-           FROM documents GROUP BY 1),
-t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM s),
-b AS (SELECT lang, 100.0 * n / tot AS quota FROM s, t),
-l AS (SELECT CAST(100 - sum(floor(quota)) AS BIGINT) AS leftover FROM b),
-a AS (SELECT lang,
-             CAST(floor(quota) AS BIGINT)
-             + CASE WHEN row_number() OVER (
-                      ORDER BY quota - floor(quota) DESC, lang) <= leftover
-                    THEN 1 ELSE 0 END AS alloc
-      FROM b, l),
-r AS (SELECT doc_id, lang,
-             row_number() OVER (
-               PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
-      FROM documents)
-SELECT r.doc_id, r.lang, a.alloc
-FROM r JOIN a USING (lang) WHERE r.rk <= a.alloc
-"""
-
-
-def q150_grouped_heavy_terms(sf_dir: str):
-    """Top-5 terms per language — grouped heavy hitters over the token
-    explode (the per-corpus vocabulary screen behind stopword tuning
-    and boilerplate review). Block-local (lang, token) Counter partials
-    (vocabulary-sized, sum-mergeable) into ONE keyed aggregation, then
-    relational.grouped_topk's lang-keyed vectorized rank — no global
-    sort; distinct from q71 (global phi-frequent keys) and q08 (global
-    word index)."""
-    from collections import Counter
-
-    from barks_ocr_ray.functions.relational import grouped_topk
-
-    tok = Tokenizer()
-    docs = read_table(sf_dir, "documents", ["lang", "text"])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        langs = t.column("lang").to_pylist()
-        texts = t.column("text").to_pylist()
-        for lg, txt in zip(langs, texts):
-            if txt is None:
-                continue
-            for w in tok.tokens(txt):
-                c[(lg, w)] += 1
-        ks = list(c.keys())
-        return pa.table(
-            {
-                "lang": pa.array([k[0] for k in ks], pa.string()),
-                "word": pa.array([k[1] for k in ks], pa.string()),
-                "n": pa.array([c[k] for k in ks], pa.int64()),
-            }
-        )
-
-    wc = (
-        docs.map_batches(_counts, batch_format="pyarrow")
-        .groupby(["lang", "word"], num_partitions=hash_partitions(8))
-        .aggregate(Sum("n", alias_name="n"))
-    )
-    return grouped_topk(wc, "lang", "n", 5, tie_col="word", rank_col="rank")
-
-
-SQL_Q150 = """
-WITH wc AS (
-  SELECT lang, word, CAST(count(*) AS BIGINT) AS n
-  FROM (SELECT lang,
-               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-        FROM documents) t
-  GROUP BY 1, 2),
-r AS (SELECT lang, word, n,
-             row_number() OVER (PARTITION BY lang
-                                ORDER BY n DESC, word) AS rank
-      FROM wc)
-SELECT lang, word, n, rank FROM r WHERE rank <= 5
-"""
-
-
-def q151_funnel_steps(sf_dir: str):
-    """Strictly-ORDERED funnel (view -> click -> purchase): a user
-    converts to step k only via an event strictly after their step-k-1
-    time — the sequencing every 'funnel' dashboard actually means and a
-    plain per-step count-distinct gets wrong. ONE user-keyed exchange;
-    per block a user's rows are contiguous, so each step is one
-    np.minimum.reduceat over segments (step-k candidate rows gate on
-    the repeated step-k-1 time) — no per-user Python. Counts leave each
-    block as a 3-int partial."""
-    import numpy as np
-
-    STEPS = ["view", "click", "purchase"]
-    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
-
-    def _funnel(t: pa.Table) -> pa.Table:
-        INF = np.iinfo(np.int64).max
-        counts = [0, 0, 0]
-        if t.num_rows:
-            us = t.column("user_id").to_numpy(zero_copy_only=False)
-            ts = t.column("ts").cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            et = t.column("event_type").to_numpy(zero_copy_only=False)
-            order = np.argsort(us, kind="mergesort")
-            us, ts, et = us[order], ts[order], et[order]
-            new = np.empty(len(us), np.bool_)
-            new[0] = True
-            new[1:] = us[1:] != us[:-1]
-            starts = np.flatnonzero(new)
-            lens = np.diff(np.append(starts, len(us)))
-            prev = np.full(len(us), -np.iinfo(np.int64).max, np.int64)
-            for i, step in enumerate(STEPS):
-                cand = np.where((et == step) & (ts > prev), ts, INF)
-                t_step = np.minimum.reduceat(cand, starts)
-                counts[i] = int((t_step < INF).sum())
-                prev = np.repeat(t_step, lens)
-        return pa.table(
-            {
-                "step_idx": pa.array([1, 2, 3], pa.int64()),
-                "n_part": pa.array(counts, pa.int64()),
-            }
-        )
-
-    agg = (
-        ev.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_funnel, batch_format="pyarrow", batch_size=None)
-        .groupby("step_idx", num_partitions=2)
-        .aggregate(Sum("n_part", alias_name="n_users"))
-        .take_all()
-    )
-    n_of = {r["step_idx"]: r["n_users"] for r in agg}
-    return pa.table(
-        {
-            "step_idx": pa.array([1, 2, 3], pa.int64()),
-            "step": pa.array(STEPS, pa.string()),
-            "n_users": pa.array(
-                [int(n_of.get(i, 0)) for i in (1, 2, 3)], pa.int64()
-            ),
-        }
-    )
-
-
-SQL_Q151 = """
-WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
-           WHERE event_type = 'view' GROUP BY 1),
-c AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
-      WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
-p AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
-      WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
-SELECT * FROM (
-  SELECT 1 AS step_idx, 'view' AS step,
-         (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_users
-  UNION ALL
-  SELECT 2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM c)
-  UNION ALL
-  SELECT 3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM p)) t
-ORDER BY step_idx
-"""
-
-
-def q152_rollup_quantity(sf_dir: str):
-    """ROLLUP aggregation — (returnflag, linestatus) with per-flag
-    subtotals and a grand total in one result, NULL marking the
-    rolled-up levels (the OLAP report shape). The corpus pays ONE
-    finest-grain aggregation (combiner partials); the coarser levels
-    re-aggregate the 6-row finest result driver-side. l_quantity is
-    integral, so every re-sum is exact (a float re-sum would drift vs
-    DuckDB's direct per-level sums)."""
-    import numpy as np
-
-    li = read_table(
-        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"]
-    )
-
-    def _partials(t: pa.Table) -> pa.Table:
-        g = (
-            pa.table(
-                {
-                    "l_returnflag": t.column("l_returnflag"),
-                    "l_linestatus": t.column("l_linestatus"),
-                    "qty": t.column("l_quantity").cast(pa.int64()),
-                    "one": pa.array(
-                        np.ones(t.num_rows, np.int64), pa.int64()
-                    ),
-                }
-            )
-            .group_by(["l_returnflag", "l_linestatus"])
-            .aggregate([("qty", "sum"), ("one", "sum")])
-        )
-        return g.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "n_rows"]
-        )
-
-    finest = (
-        li.map_batches(_partials, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"], num_partitions=2)
-        .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("n_rows", alias_name="n_rows"),
-        )
-        .take_all()
-    )
-    rows = [
-        (r["l_returnflag"], r["l_linestatus"], int(r["sum_qty"]), int(r["n_rows"]))
-        for r in finest
-    ]
-    by_flag: dict = {}
-    for f, _s, q, n in rows:
-        acc = by_flag.setdefault(f, [0, 0])
-        acc[0] += q
-        acc[1] += n
-    rows += [(f, None, q, n) for f, (q, n) in by_flag.items()]
-    rows.append(
-        (
-            None,
-            None,
-            sum(q for _f, (q, _n) in by_flag.items()),
-            sum(n for _f, (_q, n) in by_flag.items()),
-        )
-    )
-    rows.sort(
-        key=lambda r: ((r[0] is None, r[0] or ""), (r[1] is None, r[1] or ""))
-    )
-    return pa.table(
-        {
-            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
-            "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
-            "sum_qty": pa.array([int(r[2]) for r in rows], pa.int64()),
-            "n_rows": pa.array([int(r[3]) for r in rows], pa.int64()),
-        }
-    )
-
-
-SQL_Q152 = """
-SELECT l_returnflag, l_linestatus,
-       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
-       CAST(count(*) AS BIGINT) AS n_rows
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def q153_weighted_sample(sf_dir: str):
-    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
-    A-ES): each doc draws priority ln(u)/w from a deterministic
-    md5-uniform u and weight w = n_chars; the top-50 priorities ARE the
-    weighted sample — fully distributed (block-local top-50 partials,
-    one bounded merge), no corpus sort, and replayable because u is an
-    exact dyadic rational and ln() round-6 parity is pinned (q134
-    precedent). md5 is the oracle-replayable hash-family default
-    (hashing.py splitmix64 is the production fast path)."""
-    import hashlib
-
-    import numpy as np
-
-    K = 50
-    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-
-    def _block_topk(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        w = t.column("n_chars").to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        h = np.array(
-            [
-                int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-                for i in ids
-            ],
-            np.float64,
-        )
-        u = (h + 0.5) / 4294967296.0
-        pri = round_like_duckdb(np.log(u) / w, 6)
-        order = np.lexsort((ids, -pri))[:K]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[order], pa.int64()),
-                "n_chars": pa.array(
-                    t.column("n_chars").to_numpy(zero_copy_only=False)[
-                        order
-                    ],
-                    pa.int64(),
-                ),
-                "priority": pa.array(pri[order], pa.float64()),
-            }
-        )
-
-    parts = docs.map_batches(
-        _block_topk, batch_format="pyarrow"
-    ).take_all()  # blocks x K rows — bounded, never corpus-scale
-    ids = np.array([r["doc_id"] for r in parts], np.int64)
-    nch = np.array([r["n_chars"] for r in parts], np.int64)
-    pri = np.array([r["priority"] for r in parts], np.float64)
-    order = np.lexsort((ids, -pri))[:K]
-    return pa.table(
-        {
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "n_chars": pa.array(nch[order], pa.int64()),
-            "priority": pa.array(pri[order], pa.float64()),
-        }
-    )
-
-
-SQL_Q153 = """
-WITH p AS (
-  SELECT doc_id, n_chars,
-         round(ln((CAST(concat('0x',
-                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                    AS UBIGINT) + 0.5) / 4294967296.0)
-               / n_chars, 6) AS priority
-  FROM documents)
-SELECT doc_id, n_chars, priority FROM p
-ORDER BY priority DESC, doc_id LIMIT 50
-"""
-
-
-def q154_grouped_correlation(sf_dir: str):
-    """Exact Pearson correlation per event type between value and
-    hour-of-day — distributed moments done RIGHT: value quantizes to
-    integer cents (part of the metric), so the five sufficient
-    statistics (sums, squares, cross) are exact int64 block partials
-    whose keyed sum is order-independent; the final correlation is one
-    shared IEEE expression over the exact integers, replayed
-    bit-identically by the oracle (a float running sum, or DuckDB's
-    own corr(), would diverge by accumulation order)."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["event_type", "ts", "value"])
-
-    def _moments(t: pa.Table) -> pa.Table:
-        et = t.column("event_type").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        v = t.column("value").to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        x = round_like_duckdb(v * 100.0, 0).astype(np.int64)
-        y = (ts // 3_600_000_000) % 24
-        order = np.argsort(et, kind="mergesort")
-        et, x, y = et[order], x[order], y[order]
-        new = np.empty(len(et), np.bool_)
-        if len(et):
-            new[0] = True
-            new[1:] = et[1:] != et[:-1]
-        starts = np.flatnonzero(new)
-        return pa.table(
-            {
-                "event_type": pa.array(
-                    [str(g) for g in et[starts]], pa.string()
-                ),
-                "n": pa.array(
-                    np.diff(np.append(starts, len(et))).astype(np.int64),
-                    pa.int64(),
-                ),
-                "sx": pa.array(np.add.reduceat(x, starts), pa.int64()),
-                "sy": pa.array(np.add.reduceat(y, starts), pa.int64()),
-                "sxy": pa.array(np.add.reduceat(x * y, starts), pa.int64()),
-                "sxx": pa.array(np.add.reduceat(x * x, starts), pa.int64()),
-                "syy": pa.array(np.add.reduceat(y * y, starts), pa.int64()),
-            }
-        )
-
-    agg = (
-        ev.map_batches(_moments, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"),
-            Sum("sxy", alias_name="sxy"),
-            Sum("sxx", alias_name="sxx"),
-            Sum("syy", alias_name="syy"),
-        )
-        .take_all()
-    )
-    agg.sort(key=lambda r: r["event_type"])
-    out_g, out_n, out_c = [], [], []
-    for r in agg:
-        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
-        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
-        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
-        if vx <= 0 or vy <= 0:
-            continue
-        corr = float(n * sxy - sx * sy) / (
-            np.sqrt(float(vx)) * np.sqrt(float(vy))
-        )
-        out_g.append(r["event_type"])
-        out_n.append(n)
-        out_c.append(corr)
-    return pa.table(
-        {
-            "event_type": pa.array(out_g, pa.string()),
-            "n": pa.array(out_n, pa.int64()),
-            "corr": pa.array(
-                round_like_duckdb(np.asarray(out_c, np.float64), 6),
-                pa.float64(),
-            ),
-        }
-    )
-
-
-SQL_Q154 = """
-WITH m AS (
-  SELECT event_type,
-         CAST(count(*) AS BIGINT) AS n,
-         sum(CAST(round(value * 100.0) AS BIGINT)) AS sx,
-         sum(hour(ts)) AS sy,
-         sum(CAST(round(value * 100.0) AS BIGINT) * hour(ts)) AS sxy,
-         sum(CAST(round(value * 100.0) AS BIGINT)
-             * CAST(round(value * 100.0) AS BIGINT)) AS sxx,
-         sum(hour(ts) * hour(ts)) AS syy
-  FROM events GROUP BY 1)
-SELECT event_type, n,
-       round(CAST(n * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
-FROM m
-WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-ORDER BY event_type
-"""
-
-
-def q155_daily_trailing_average(sf_dir: str):
-    """Gap-filled daily event series with a trailing 7-day average —
-    the dense date spine a forecasting/monitoring feature needs (a
-    plain GROUP BY day silently drops zero-traffic days, corrupting
-    every window that follows). ONE day-keyed aggregation (day-bounded
-    result); the spine fill and rolling window fold driver-side on the
-    bounded table. Counts are integers, so the window sum is exact and
-    the average is a single division — no accumulation-order hazard."""
-    import numpy as np
-
-    DAY = 86_400_000_000
-    ev = read_table(sf_dir, "events", ["ts"])
-
-    def _day_partials(t: pa.Table) -> pa.Table:
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        u, c = np.unique((ts // DAY) * DAY, return_counts=True)
-        return pa.table(
-            {
-                "day": pa.array(u, pa.int64()),
-                "n": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
-
-    rows = (
-        ev.map_batches(_day_partials, batch_format="pyarrow")
-        .groupby("day", num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    have = {r["day"]: r["n"] for r in rows}
-    days = np.arange(min(have), max(have) + DAY, DAY, dtype=np.int64)
-    n = np.array([have.get(int(d), 0) for d in days], np.int64)
-    csum = np.concatenate(([0], np.cumsum(n)))
-    win = np.minimum(np.arange(len(n)) + 1, 7)
-    wsum = csum[1:] - csum[np.maximum(np.arange(len(n)) - 6, 0)]
-    avg7 = round_like_duckdb(wsum.astype(np.float64) / win, 4)
-    return pa.table(
-        {
-            "day": pa.array(days, pa.int64()).cast(pa.timestamp("us")),
-            "n": pa.array(n, pa.int64()),
-            "avg7": pa.array(avg7, pa.float64()),
-        }
-    )
-
-
-SQL_Q155 = """
-WITH d AS (SELECT date_trunc('day', ts) AS day,
-                  CAST(count(*) AS BIGINT) AS n
-           FROM events GROUP BY 1),
-s AS (SELECT unnest(generate_series((SELECT min(day) FROM d),
-                                    (SELECT max(day) FROM d),
-                                    INTERVAL '1 day')) AS day),
-f AS (SELECT s.day, coalesce(d.n, 0) AS n FROM s LEFT JOIN d USING (day))
-SELECT day, n,
-       round(avg(CAST(n AS DOUBLE)) OVER (
-         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg7
-FROM f
-"""
-
-
-def q156_gap_quantiles(sf_dir: str):
-    """Inter-event gap distribution (seconds between a user's
-    consecutive events) — exact p25/p50/p90 WITHOUT a global sort: ONE
-    user-keyed exchange derives the gaps vectorized (lexsort, adjacent
-    diff masked at user boundaries), then the counting quickselect
-    (distributed_quantiles) resolves the quantiles over the derived
-    stream. Composes the two primitives end-to-end: keyed window
-    derivation feeding rank selection."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id"])
-
-    def _gaps(t: pa.Table) -> pa.Table:
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, us))
-        us, ts = us[order], ts[order]
-        same = us[1:] == us[:-1]
-        gaps = (ts[1:] - ts[:-1])[same].astype(np.float64) / 1e6
-        return pa.table({"gap_s": pa.array(gaps, pa.float64())})
-
-    from barks_ocr_ray.functions.quantiles import distributed_quantiles
-
-    gaps = (
-        ev.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_gaps, batch_format="pyarrow", batch_size=None)
-        .materialize()  # the quickselect reads it once per counting pass
-    )
-    t = distributed_quantiles(gaps, "gap_s", [0.25, 0.5, 0.9], pull_cap=2000)
-    return pa.table(
-        {
-            "q": t.column("q"),
-            "gap_s": pa.array(
-                round_like_duckdb(
-                    t.column("value").to_numpy(zero_copy_only=False), 6
-                ),
-                pa.float64(),
-            ),
-        }
-    )
-
-
-SQL_Q156 = """
-WITH g AS (
-  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
-            PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0
-         AS gap_s
-  FROM events),
-v AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL)
-SELECT q, gap_s FROM (
-  SELECT CAST(0.25 AS DOUBLE) AS q,
-         round(quantile_disc(gap_s, 0.25), 6) AS gap_s FROM v
-  UNION ALL
-  SELECT CAST(0.5 AS DOUBLE), round(quantile_disc(gap_s, 0.5), 6) FROM v
-  UNION ALL
-  SELECT CAST(0.9 AS DOUBLE), round(quantile_disc(gap_s, 0.9), 6) FROM v) t
-ORDER BY q
-"""
-
-
-def q157_rfm_segments(sf_dir: str):
-    """RFM customer segmentation — recency / frequency / monetary
-    quartile scores and the composed 3-digit segment code, the
-    classic marketing-analytics operator. Everything stays INTEGER
-    (days, counts, cents), so there is no float hazard anywhere: one
-    customer-keyed aggregation builds the metrics, the counting
-    quickselect finds the three quartile thresholds per metric over
-    the AGGREGATED (customer-level) dataset — materialized once, it
-    feeds three quantile runs and the scoring pass — and scores are
-    strict-greater threshold counts replayed exactly by the oracle."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.quantiles import distributed_quantiles
-
-    DAY = 86_400_000_000
-    orders = read_table(
-        sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"]
-    )
-
-    def _derive(t: pa.Table) -> pa.Table:
-        cents = round_like_duckdb(
-            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0,
-            0,
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "o_custkey": t.column("o_custkey"),
-                "date_us": t.column("o_orderdate").cast(pa.int64()),
-                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
-                "cents": pa.array(cents, pa.int64()),
-            }
-        )
-
-    per_cust = (
-        orders.map_batches(_derive, batch_format="pyarrow")
-        .groupby("o_custkey", num_partitions=hash_partitions(8))
-        .aggregate(
-            Max("date_us", alias_name="mymax"),
-            Sum("one", alias_name="freq"),
-            Sum("cents", alias_name="mon"),
-        )
-        .materialize()  # read by 4 consumers: gmax, 3 quantile runs, scoring
-    )
-    gmax = int(per_cust.max("mymax"))
-
-    def _metrics(t: pa.Table) -> pa.Table:
-        rec = (
-            gmax - t.column("mymax").to_numpy(zero_copy_only=False)
-        ) // DAY
-        return pa.table(
-            {
-                "o_custkey": t.column("o_custkey"),
-                "rec": pa.array(rec.astype(np.int64), pa.int64()),
-                "freq": t.column("freq"),
-                "mon": t.column("mon"),
-            }
-        )
-
-    metrics = per_cust.map_batches(
-        _metrics, batch_format="pyarrow"
-    ).materialize()
-    thr = {
-        col: distributed_quantiles(
-            metrics, col, [0.25, 0.5, 0.75], pull_cap=2000
-        )
-        .column("value")
-        .to_pylist()
-        for col in ("rec", "freq", "mon")
-    }
-
-    def _score(t: pa.Table) -> pa.Table:
-        out = {"o_custkey": t.column("o_custkey")}
-        scores = {}
-        for col in ("rec", "freq", "mon"):
-            v = t.column(col).to_numpy(zero_copy_only=False)
-            s = np.ones(len(v), np.int64)
-            for tv in thr[col]:
-                s += (v > tv).astype(np.int64)
-            scores[col] = s
-        out["r_score"] = pa.array(scores["rec"], pa.int64())
-        out["f_score"] = pa.array(scores["freq"], pa.int64())
-        out["m_score"] = pa.array(scores["mon"], pa.int64())
-        out["rfm"] = pa.array(
-            scores["rec"] * 100 + scores["freq"] * 10 + scores["mon"],
-            pa.int64(),
-        )
-        return pa.table(out)
-
-    return metrics.map_batches(_score, batch_format="pyarrow")
-
-
-SQL_Q157 = """
-WITH a AS (SELECT o_custkey,
-                  epoch_us(max(o_orderdate)) AS mymax,
-                  CAST(count(*) AS BIGINT) AS freq,
-                  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
-                       AS BIGINT) AS mon
-           FROM orders GROUP BY 1),
-b AS (SELECT o_custkey,
-             ((SELECT max(mymax) FROM a) - mymax) // 86400000000 AS rec,
-             freq, mon
-      FROM a),
-t AS (SELECT quantile_disc(rec, 0.25) AS r1, quantile_disc(rec, 0.5) AS r2,
-             quantile_disc(rec, 0.75) AS r3,
-             quantile_disc(freq, 0.25) AS f1, quantile_disc(freq, 0.5) AS f2,
-             quantile_disc(freq, 0.75) AS f3,
-             quantile_disc(mon, 0.25) AS m1, quantile_disc(mon, 0.5) AS m2,
-             quantile_disc(mon, 0.75) AS m3
-      FROM b),
-s AS (SELECT o_custkey,
-             1 + CAST(rec > r1 AS BIGINT) + CAST(rec > r2 AS BIGINT)
-               + CAST(rec > r3 AS BIGINT) AS r_score,
-             1 + CAST(freq > f1 AS BIGINT) + CAST(freq > f2 AS BIGINT)
-               + CAST(freq > f3 AS BIGINT) AS f_score,
-             1 + CAST(mon > m1 AS BIGINT) + CAST(mon > m2 AS BIGINT)
-               + CAST(mon > m3 AS BIGINT) AS m_score
-      FROM b, t)
-SELECT o_custkey, r_score, f_score, m_score,
-       r_score * 100 + f_score * 10 + m_score AS rfm
-FROM s
-"""
-
-
-def q158_dup_cluster_sizes(sf_dir: str):
-    """Duplicate-cluster size histogram — how many exact-duplicate
-    clusters exist at each size (the dedup-rate report that tells you
-    whether duplication is a few mega-clusters or a long tail, which
-    picks the dedup strategy). One content-hash-keyed aggregation
-    (the exact-dedup exchange), then a size histogram whose partials
-    are cluster-size-bounded. md5 is the oracle-replayable hash; null
-    text forms no cluster, matching the SQL."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.dedupe import md5_hex
-
-    docs = read_table(sf_dir, "documents", ["text"])
-
-    def _hash_partials(t: pa.Table) -> pa.Table:
-        txts = t.column("text").to_pylist()
-        hs = [md5_hex(x) for x in txts if x is not None]
-        u, c = np.unique(np.array(hs, dtype=object), return_counts=True)
-        return pa.table(
-            {
-                "h": pa.array(u.tolist(), pa.string()),
-                "sz": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
-
-    clusters = (
-        docs.map_batches(_hash_partials, batch_format="pyarrow")
-        .groupby("h", num_partitions=hash_partitions(8))
-        .aggregate(Sum("sz", alias_name="sz"))
-    )
-
-    def _size_partials(t: pa.Table) -> pa.Table:
-        u, c = np.unique(
-            t.column("sz").to_numpy(zero_copy_only=False), return_counts=True
-        )
-        return pa.table(
-            {
-                "sz": pa.array(u, pa.int64()),
-                "n_clusters": pa.array(c.astype(np.int64), pa.int64()),
-            }
-        )
-
-    return (
-        clusters.map_batches(_size_partials, batch_format="pyarrow")
-        .groupby("sz", num_partitions=2)
-        .aggregate(Sum("n_clusters", alias_name="n_clusters"))
-    )
-
-
-SQL_Q158 = """
-WITH c AS (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
-           FROM documents WHERE text IS NOT NULL GROUP BY 1)
-SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters
-FROM c GROUP BY 1
-"""
-
-
-def q159_compression_ratio(sf_dir: str):
-    """Compression-ratio quality gate (Dolma/RedPajama-style): per
-    source, how many documents fall in the repetitive (<25% of raw
-    size) and random-like (>90%) zlib gates, plus the exact integer
-    sum of ratio basis points. zlib runs at C speed inside the block
-    pass — it IS the signal's compute — and the single exchange
-    carries source-keyed int64 partials. Oracle: single-process golden
-    (zlib is not SQL-replayable), golden_dedup.golden_compression_stats."""
-    from barks_ocr_ray.functions.cleaning import compression_ratio_stats
-
-    return compression_ratio_stats(
-        read_table(sf_dir, "documents", ["source", "text"])
-    )
-
-
-def q160_char_entropy(sf_dir: str):
-    """Per-document character-entropy quality signal, aggregated per
-    source: shannon entropy over codepoint frequencies, each
-    (doc, char) term rounded to int64 MICRO-nats before the per-doc
-    sum (q137 fixed-point discipline — integer sums are
-    order-independent, so the distributed result replays bit-exactly
-    in DuckDB). Everything up to the final source-keyed Sum is
-    block-local: a document's chars live in its own row, so per-doc
-    entropy needs NO exchange — one utf-32 decode per batch, one
-    np.unique over (doc_idx, codepoint) keys, one reduceat."""
-    import numpy as np
-
-    LOW_MICRO = 1_500_000  # < 1.5 nats => near-constant text
-
-    docs = read_table(sf_dir, "documents", ["source", "text"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        txts = t.column("text").to_pylist()
-        srcs = t.column("source").to_pylist()
-        keep_src, lens, parts = [], [], []
-        for s, x in zip(srcs, txts):
-            if x:
-                keep_src.append(s)
-                lens.append(len(x))
-                parts.append(x)
-        if not parts:
-            return pa.table(
-                {
-                    "source": pa.array([], pa.string()),
-                    "n_docs": pa.array([], pa.int64()),
-                    "n_low_entropy": pa.array([], pa.int64()),
-                    "sum_entropy_micro": pa.array([], pa.int64()),
-                }
-            )
-        codes = np.frombuffer(
-            "".join(parts).encode("utf-32-le"), dtype=np.uint32
-        ).astype(np.int64)
-        lens_arr = np.array(lens, np.int64)
-        doc_idx = np.repeat(np.arange(len(parts), dtype=np.int64), lens_arr)
-        # one key per (doc, codepoint); codepoints < 2^21
-        keys, counts = np.unique(doc_idx * (1 << 21) + codes, return_counts=True)
-        term_doc = keys >> 21
-        n = lens_arr[term_doc].astype(np.float64)
-        p = counts.astype(np.float64) / n
-        micro = round_like_duckdb(-p * np.log(p) * 1e6, 0).astype(np.int64)
-        # per-doc integer sum: term_doc is sorted (np.unique), reduceat
-        starts = np.flatnonzero(
-            np.r_[True, term_doc[1:] != term_doc[:-1]]
-        )
-        doc_micro = np.add.reduceat(micro, starts)
-        doc_of = term_doc[starts]
-        src_arr = np.array(keep_src, dtype=object)[doc_of]
-        u_src = np.unique(src_arr)
-        rows = []
-        for s in u_src:
-            m = src_arr == s
-            dm = doc_micro[m]
-            rows.append(
-                (s, int(m.sum()), int((dm < LOW_MICRO).sum()), int(dm.sum()))
-            )
-        return pa.table(
-            {
-                "source": pa.array([r[0] for r in rows], pa.string()),
-                "n_docs": pa.array([r[1] for r in rows], pa.int64()),
-                "n_low_entropy": pa.array([r[2] for r in rows], pa.int64()),
-                "sum_entropy_micro": pa.array(
-                    [r[3] for r in rows], pa.int64()
-                ),
-            }
-        )
-
-    return (
-        docs.map_batches(_partials, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_low_entropy", alias_name="n_low_entropy"),
-            Sum("sum_entropy_micro", alias_name="sum_entropy_micro"),
-        )
-    )
-
-
-SQL_Q160 = """
-WITH d AS (
-  SELECT doc_id, source, text, CAST(length(text) AS DOUBLE) AS n
-  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-cnt AS (
-  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c
-  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM d)
-  GROUP BY 1, 2),
-terms AS (
-  SELECT cnt.doc_id,
-         CAST(round(-(c / d.n) * ln(c / d.n) * 1000000, 0) AS BIGINT)
-           AS micro
-  FROM cnt JOIN d USING (doc_id)),
-docs AS (
-  SELECT doc_id, CAST(sum(micro) AS BIGINT) AS doc_micro
-  FROM terms GROUP BY 1)
-SELECT d.source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN doc_micro < 1500000 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_low_entropy,
-       CAST(sum(doc_micro) AS BIGINT) AS sum_entropy_micro
-FROM docs JOIN d USING (doc_id)
-GROUP BY 1
-"""
-
-
-def q161_link_graph(sf_dir: str):
-    """Outlink graph over the synthesized pages corpus: per link target,
-    total reference count + exact distinct source pages, top-20. The
-    href parse/resolve is block-local (a page's links live in its own
-    row); exchanges are the (target, src) distinct and the target
-    rollup, both edge-bounded. Oracle: single-process golden replay
-    (oracle_data.ensure_link_graph_golden) — fixed-size corpus, valid at
-    any sf_dir."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.functions.links import link_graph_topk
-    from barks_ocr_ray.oracle_data import Q24_N
-
-    configure()
-    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(["url", "html"])
-    return link_graph_topk(pages, k=20)
-
-
-def _sql_q161() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, link_graph_golden_path
-
-    return (
-        "SELECT target, n_refs, n_src_pages FROM "
-        f"read_parquet('{link_graph_golden_path(Q24_N)}')"
-    )
-
-
-def q162_anchor_terms(sf_dir: str):
-    """Anchor-text inverted index over the pages corpus: token ->
-    (n_links, n_distinct_targets), top-30 — the web-search sibling of
-    the q08 body-text index. Same two-level keyed aggregation as q161,
-    keyed by (term, target)."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.functions.links import anchor_term_index
-    from barks_ocr_ray.oracle_data import Q24_N
-
-    configure()
-    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(["url", "html"])
-    return anchor_term_index(pages, k=30)
-
-
-def _sql_q162() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, anchor_terms_golden_path
-
-    return (
-        "SELECT term, n_links, n_targets FROM "
-        f"read_parquet('{anchor_terms_golden_path(Q24_N)}')"
-    )
-
-
-def q163_hits_authorities(sf_dir: str):
-    """HITS hubs & authorities over the pages outlink graph — the
-    web-graph ranking sibling of q94 PageRank (damped mass) and q161
-    (raw in-reference counts). Exact fixed-point recurrence (integer
-    gather-sums + scalar L1 renorm, graph.py HITS_SCALE rationale), so
-    the distributed result is bit-exact vs the sequential golden under
-    any partitioning; top-25 by authority. Reference iterative-loop
-    ancestor: /root/reference/src/barks_ocr/tools/ocr_check.py:521-538."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.functions.graph import hits
-    from barks_ocr_ray.functions.links import outlink_edges
-    from barks_ocr_ray.oracle_data import Q24_N
-
-    configure()
-    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(["url", "html"])
-
-    def _as_pairs(t: pa.Table) -> pa.Table:
-        return pa.table({"src": t.column("src"), "dst": t.column("target")})
-
-    pairs = outlink_edges(pages).map_batches(_as_pairs, batch_format="pyarrow")
-    return (
-        hits(pairs, iterations=5)
-        .sort(["auth", "node"], descending=[True, False])
-        .limit(25)
-    )
-
-
-def _sql_q163() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, hits_golden_path
-
-    return (
-        "SELECT node, hub, auth FROM "
-        f"read_parquet('{hits_golden_path(Q24_N)}')"
-    )
-
-
-def q164_canonical_dedup(sf_dir: str):
-    """Canonical-URL dedup over the alias-decorated crawl: every
-    physical fetch's url re-spelled by a deterministic alias class
-    (case/fragment/tracking-param/port/www — datagen.url_variant),
-    collapsed by links.canonical_url, keeping the latest fetch per
-    canonical form. The crawl-side sibling of the extraction arc's
-    content-keyed winner pick (same url, newer warc_ts — compare
-    pipelines/extraction.py _keep_winner_per_url). Exchange carries one
-    row per distinct SPELLING, not per fetch (per-block pre-count).
-    Oracle: single-process golden replay sharing both kernels."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table, url_variant
-    from barks_ocr_ray.functions.links import canonical_url_dedup
-    from barks_ocr_ray.oracle_data import Q24_N
-
-    configure()
-    tbl = pages_table(Q24_N).select(["url", "warc_ts"])
-    raw = pa.table(
-        {
-            "url": pa.array(
-                [
-                    url_variant(u, i)
-                    for i, u in enumerate(tbl.column("url").to_pylist())
-                ],
-                pa.string(),
-            ),
-            "warc_ts": tbl.column("warc_ts"),
-        }
-    )
-    return canonical_url_dedup(rd.from_arrow(raw)).sort("canonical_url")
-
-
-def _sql_q164() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, canonical_dedup_golden_path
-
-    return (
-        "SELECT canonical_url, kept_url, n_fetches, n_raw_urls FROM "
-        f"read_parquet('{canonical_dedup_golden_path(Q24_N)}')"
-    )
-
-
-#: fixed phrase-query workload for q165 — includes a repeated-word
-#: bigram ("the the") because overlapping occurrences are exactly what
-#: distinguishes positional semantics from substring replace-counting
-Q165_PHRASES = ["big order scan", "row column sort", "slow hash batch", "the the"]
-
-
-def q165_phrase_search(sf_dir: str):
-    """Exact phrase search via a positional inverted index — the S12
-    searcher family's phrase rung (reference word-index ancestor:
-    /root/reference/experiments/make-word-index-from-gemini-ai-groups.py:174-194,
-    postings without positions). One postings pass pruned to the query
-    vocabulary, materialized once for all phrases; each phrase chains
-    (doc_id, pos+k) joins — the classic positional-intersection plan.
-    Oracle: DuckDB generate_subscripts self-joins (true positional
-    semantics, so overlapping matches count)."""
-    from barks_ocr_ray.functions.text import phrase_counts
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return phrase_counts(docs, Q165_PHRASES)
-
-
-def _sql_q165() -> str:
-    subqs = []
-    for phrase in Q165_PHRASES:
-        ws = phrase.split()
-        joins, conds = [], [f"t0.w = '{ws[0]}'"]
-        for k in range(1, len(ws)):
-            joins.append(
-                f"JOIN t t{k} ON t{k}.doc_id = t0.doc_id "
-                f"AND t{k}.pos = t0.pos + {k}"
-            )
-            conds.append(f"t{k}.w = '{ws[k]}'")
-        subqs.append(
-            f"SELECT '{phrase}' AS phrase,\n"
-            "       CAST(count(*) AS BIGINT) AS n_occurrences,\n"
-            "       CAST(count(DISTINCT t0.doc_id) AS BIGINT) AS n_docs\n"
-            "FROM t t0 " + " ".join(joins) + "\nWHERE " + " AND ".join(conds)
-        )
-    return (
-        "WITH t AS (\n"
-        "  SELECT doc_id, unnest(string_split(text, ' ')) AS w,\n"
-        "         generate_subscripts(string_split(text, ' '), 1) AS pos\n"
-        "  FROM documents WHERE text IS NOT NULL AND length(text) > 0)\n"
-        "SELECT * FROM (\n"
-        + "\nUNION ALL\n".join(subqs)
-        + "\n) ORDER BY phrase"
-    )
-
-
-def q166_interval_overlap(sf_dir: str):
-    """Temporal interval-overlap self-join: events span [ts, ts +
-    max(value,0) minutes]; pairs of the same user's events whose spans
-    overlap, rolled up to (earlier type, later type) counts. The
-    interval-join rung of the join family (q38 = value-banded range
-    join, q70 = as-of): one user-keyed exchange + a start-sorted
-    vectorized sweep per block, pair emission output-bounded."""
-    from barks_ocr_ray.functions.windows import interval_overlap_pairs
-
-    ev = read_table(
-        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
-    )
-    return interval_overlap_pairs(ev).sort(["type_a", "type_b"])
-
-
-SQL_Q166 = """
-WITH e AS (
-  SELECT event_id, user_id, event_type,
-         epoch_us(ts) AS s,
-         epoch_us(ts)
-           + greatest(CAST(round(value * 60, 0) AS BIGINT), 0) * 1000000
-           AS en
-  FROM events)
-SELECT a.event_type AS type_a, b.event_type AS type_b,
-       CAST(count(*) AS BIGINT) AS n_pairs
-FROM e a JOIN e b ON a.user_id = b.user_id
-WHERE (a.s < b.s OR (a.s = b.s AND a.event_id < b.event_id))
-  AND b.s <= a.en
-GROUP BY 1, 2
-ORDER BY 1, 2
-"""
-
-
-def q167_retention_matrix(sf_dir: str):
-    """Weekly cohort retention matrix: users cohorted by first-event
-    epoch week, distinct-user activity counts at each week offset —
-    the time-keyed sibling of q143's adoption curve (which counts
-    first events only). One user-keyed exchange emits at most one row
-    per distinct (user, week); the (cohort, offset) rollup is
-    weeks²-bounded."""
-    from barks_ocr_ray.functions.windows import retention_matrix
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts"])
-    return retention_matrix(ev).sort(["cohort_week", "week_offset"])
-
-
-SQL_Q167 = """
-WITH a AS (
-  SELECT user_id, epoch_us(ts) // 604800000000 AS wk
-  FROM events GROUP BY 1, 2),
-c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY 1)
-SELECT c.cohort_wk AS cohort_week,
-       a.wk - c.cohort_wk AS week_offset,
-       CAST(count(*) AS BIGINT) AS n_active
-FROM a JOIN c USING (user_id)
-GROUP BY 1, 2
-ORDER BY 1, 2
-"""
-
-
-def q168_crawl_frontier(sf_dir: str):
-    """Crawl-frontier discovery: outlink targets with no fetch row,
-    per-host rollup (distinct uncrawled urls + total references) — the
-    scheduler table a crawler consumes next; on this corpus the
-    link-farm pages dominate it. Fully distributed anti-join (union +
-    target-keyed flag merge — no broadcast of the crawled set). Oracle:
-    single-process golden replay sharing the page_outlinks/url_host
-    kernels."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.functions.links import frontier_by_host
-    from barks_ocr_ray.oracle_data import Q24_N
-
-    configure()
-    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(["url", "html"])
-    return frontier_by_host(pages, k=30)
-
-
-def _sql_q168() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, frontier_golden_path
-
-    return (
-        "SELECT host, n_uncrawled_urls, n_refs FROM "
-        f"read_parquet('{frontier_golden_path(Q24_N)}')"
-    )
-
-
-def q169_source_divergence(sf_dir: str):
-    """Pairwise Jensen-Shannon divergence between the sources' unigram
-    LMs — the corpus-similarity MATRIX behind mixture design (which
-    sources are interchangeable, which add diversity); complements
-    q125's doc-overlap similarity (JS sees distributional drift even
-    with zero shared docs) and q130/q134 (two-snapshot, not pairwise).
-    ONE (source, word)-keyed exchange of block count partials (the
-    vocab×sources-bounded q47/q52 aggregation); the pair matrix derives
-    driver-side on that bounded table. Per-(pair, word) contributions
-    round to int64 micro-nats before the sum (q134 ln() round-6
-    discipline: every input to ln is the single expression
-    2p/(p+q) of exact count ratios, bit-replayable in DuckDB)."""
-    import re as _re
-    from collections import Counter
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
-
-    docs = read_table(sf_dir, "documents", ["source", "text"])
-    token_re = _re.compile(r"[a-z0-9]+")
-
-    def _partials(t: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
-        for s, x in zip(
-            t.column("source").to_pylist(), t.column("text").to_pylist()
-        ):
-            if x:
-                for w in token_re.findall(x.lower()):
-                    counts[(s, w)] += 1
-        ks = sorted(counts)
-        return pa.table(
-            {
-                "source": pa.array([k[0] for k in ks], pa.string()),
-                "w": pa.array([k[1] for k in ks], pa.string()),
-                "n": pa.array([counts[k] for k in ks], pa.int64()),
-            }
-        )
-
-    cnt = (
-        docs.map_batches(_partials, batch_format="pyarrow")
-        .groupby(["source", "w"], num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    if not cnt:
-        return pa.table(
-            {
-                "source_a": pa.array([], pa.string()),
-                "source_b": pa.array([], pa.string()),
-                "js_micro": pa.array([], pa.int64()),
-            }
-        )
-    sources = sorted({r["source"] for r in cnt})
-    vocab = sorted({r["w"] for r in cnt})
-    si = {s: i for i, s in enumerate(sources)}
-    wi = {w: i for i, w in enumerate(vocab)}
-    mat = np.zeros((len(sources), len(vocab)), dtype=np.float64)
-    for r in cnt:
-        mat[si[r["source"]], wi[r["w"]]] = r["n"]
-    p = mat / mat.sum(axis=1, keepdims=True)
-    rows = []
-    for i in range(len(sources)):
-        for j in range(i + 1, len(sources)):
-            pi, pj = p[i], p[j]
-            m2 = pi + pj  # 2*m
-            term = np.zeros(len(vocab), dtype=np.float64)
-            maski = pi > 0
-            term[maski] += 0.5 * pi[maski] * np.log(2 * pi[maski] / m2[maski])
-            maskj = pj > 0
-            term[maskj] += 0.5 * pj[maskj] * np.log(2 * pj[maskj] / m2[maskj])
-            micro = round_like_duckdb(term * 1e6, 0).astype(np.int64)
-            rows.append((sources[i], sources[j], int(micro.sum())))
-    return pa.table(
-        {
-            "source_a": pa.array([r[0] for r in rows], pa.string()),
-            "source_b": pa.array([r[1] for r in rows], pa.string()),
-            "js_micro": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
-
-
-SQL_Q169 = """
-WITH tok AS (
-  SELECT source, unnest(string_split(text, ' ')) AS w
-  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-cnt AS (
-  SELECT source, w, CAST(count(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2),
-tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1),
-p AS (
-  SELECT cnt.source, w, c / n AS p FROM cnt JOIN tot USING (source)),
-grid AS (
-  SELECT ta.source AS sa, tb.source AS sb
-  FROM tot ta JOIN tot tb ON ta.source < tb.source),
-words AS (SELECT DISTINCT w FROM cnt),
-terms AS (
-  SELECT g.sa, g.sb,
-         coalesce(pa.p, 0) AS p, coalesce(pb.p, 0) AS q
-  FROM grid g
-  CROSS JOIN words
-  LEFT JOIN p pa ON pa.source = g.sa AND pa.w = words.w
-  LEFT JOIN p pb ON pb.source = g.sb AND pb.w = words.w),
-js AS (
-  SELECT sa, sb,
-         CAST(sum(CAST(round(
-           (CASE WHEN p > 0 THEN 0.5 * p * ln(2 * p / (p + q)) ELSE 0 END
-            + CASE WHEN q > 0 THEN 0.5 * q * ln(2 * q / (p + q)) ELSE 0 END)
-           * 1000000, 0) AS BIGINT)) AS BIGINT) AS js_micro
-  FROM terms GROUP BY 1, 2)
-SELECT sa AS source_a, sb AS source_b, js_micro
-FROM js ORDER BY 1, 2
-"""
-
-
-def q170_fk_orphan_audit(sf_dir: str):
-    """Cross-table referential-integrity audit: for each declared FK
-    edge, total child rows and orphans (non-null key with no parent) —
-    the cross-TABLE data-quality rung beside q104's column
-    expectations and q139's schema drift. Each edge runs the q168
-    union-flag anti-join (child per-key block pre-counts UNION parent
-    marker rows into one key-keyed merge; the parent key set is never
-    broadcast), so an edge costs one keyed exchange at any scale."""
-    edges = [
-        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-    ]
-    names, n_rows_out, n_orph_out = [], [], []
-    for name, child, ckey, parent, pkey in edges:
-        child_ds = read_table(sf_dir, child, [ckey])
-        parent_ds = read_table(sf_dir, parent, [pkey])
-        n_rows = child_ds.count()
-
-        def _child(t: pa.Table, ckey=ckey) -> pa.Table:
-            col = t.column(ckey)
-            t2 = pa.table({"k": col.cast(pa.int64())}).filter(pc.is_valid(col))
-            g = (
-                t2.group_by("k")
-                .aggregate([([], "count_all")])
-                .rename_columns(["k", "n"])
-            )
-            z = pa.array([0] * g.num_rows, pa.int64())
-            return g.append_column("parent", z)
-
-        def _parent(t: pa.Table, pkey=pkey) -> pa.Table:
-            col = t.column(pkey)
-            t2 = pa.table({"k": col.cast(pa.int64())}).filter(pc.is_valid(col))
-            z = pa.array([0] * t2.num_rows, pa.int64())
-            o = pa.array([1] * t2.num_rows, pa.int64())
-            return pa.table(
-                {"k": t2.column("k"), "n": z, "parent": o}
-            )
-
-        merged = (
-            child_ds.map_batches(_child, batch_format="pyarrow")
-            .union(parent_ds.map_batches(_parent, batch_format="pyarrow"))
-            .groupby("k", num_partitions=hash_partitions(8))
-            .aggregate(
-                Sum("n", alias_name="n"),
-                Max("parent", alias_name="parent"),
-            )
-        )
-
-        def _orphan_partial(t: pa.Table) -> pa.Table:
-            orph = t.filter(pc.equal(t.column("parent"), 0))
-            return pa.table(
-                {
-                    "n_orphans": pa.array(
-                        [
-                            int(
-                                pc.sum(orph.column("n")).as_py() or 0
-                            )
-                        ],
-                        pa.int64(),
-                    )
-                }
-            )
-
-        orphans = (
-            merged.map_batches(_orphan_partial, batch_format="pyarrow")
-            .sum("n_orphans")
-            or 0
-        )
-        names.append(name)
-        n_rows_out.append(n_rows)
-        n_orph_out.append(int(orphans))
-    return pa.table(
-        {
-            "fk_edge": pa.array(names, pa.string()),
-            "n_rows": pa.array(n_rows_out, pa.int64()),
-            "n_orphans": pa.array(n_orph_out, pa.int64()),
-        }
-    )
-
-
-SQL_Q170 = """
-SELECT * FROM (
-  SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-           LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
-           WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
-           AS n_orphans
-  UNION ALL
-  SELECT 'lineitem.l_partkey->part',
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-           LEFT JOIN part p ON l.l_partkey = p.p_partkey
-           WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL)
-  UNION ALL
-  SELECT 'lineitem.l_suppkey->supplier',
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
-         (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
-           LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
-           WHERE l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL)
-  UNION ALL
-  SELECT 'orders.o_custkey->customer',
-         (SELECT CAST(count(*) AS BIGINT) FROM orders),
-         (SELECT CAST(count(*) AS BIGINT) FROM orders o
-           LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-           WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
-) ORDER BY fk_edge
-"""
-
-
-#: q171 batching geometry: 8 length buckets, 256 docs per inference batch
-Q171_BUCKETS = 8
-Q171_BATCH = 256
-
-
-def q171_length_bucketing(sf_dir: str):
-    """Sequence-length bucketing for batched inference: docs bucket by
-    token length (all-INTEGER equal-width buckets — (L-lo)*B //
-    (hi-lo+1), no IEEE at all), sort by (length, doc_id) within each
-    bucket, chunk into 256-doc batches, and account the exact padding
-    waste (batch_max*size - sum_len) — the report that tells you what
-    length-bucketing buys before you pay for it. Distributed shape:
-    one bounded (bucket, length)-keyed count exchange builds the
-    global below-offset table (length cardinality is corpus-bounded),
-    then one (bucket, length)-keyed repartition ranks within ties by
-    doc_id block-locally (the q146 global-rank-without-global-sort
-    machinery), and the (bucket, batch) rollup is output-bounded."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _lens(t: pa.Table) -> pa.Table:
-        txt = t.column("text")
-        ok = pc.and_(pc.is_valid(txt), pc.greater(pc.utf8_length(txt), 0))
-        t = t.filter(ok)
-        n_tok = pc.count_substring_regex(
-            pc.utf8_lower(t.column("text")), r"[a-z0-9]+"
-        ).cast(pa.int64())
-        return pa.table({"doc_id": t.column("doc_id"), "L": n_tok})
-
-    lens = docs.map_batches(_lens, batch_format="pyarrow").materialize()
-    empty = pa.table(
-        {
-            "bucket": pa.array([], pa.int64()),
-            "n_docs": pa.array([], pa.int64()),
-            "n_batches": pa.array([], pa.int64()),
-            "padding_waste": pa.array([], pa.int64()),
-        }
-    )
-    if lens.count() == 0:
-        return empty
-    stats = lens.aggregate(Min("L", alias_name="lo"), Max("L", alias_name="hi"))
-    lo, hi = int(stats["lo"]), int(stats["hi"])
-    span = hi - lo + 1
-
-    def _bucketed(t: pa.Table) -> pa.Table:
-        L = t.column("L").to_numpy(zero_copy_only=False)
-        b = (L - lo) * Q171_BUCKETS // span
-        return pa.table(
-            {
-                "bucket": pa.array(b, pa.int64()),
-                "L": t.column("L"),
-                "doc_id": t.column("doc_id"),
-            }
-        )
-
-    bl = lens.map_batches(_bucketed, batch_format="pyarrow").materialize()
-    # bounded (bucket, L) histogram -> global rank offsets below each key
-    hist = (
-        bl.groupby(["bucket", "L"], num_partitions=4)
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    )
-    hist.sort(key=lambda r: (r["bucket"], r["L"]))
-    below: dict[tuple[int, int], int] = {}
-    run_bucket, acc = None, 0
-    for r in hist:
-        if r["bucket"] != run_bucket:
-            run_bucket, acc = r["bucket"], 0
-        below[(r["bucket"], r["L"])] = acc
-        acc += r["n"]
-
-    def _batch_partials(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "bucket": pa.array([], pa.int64()),
-                    "batch": pa.array([], pa.int64()),
-                    "n": pa.array([], pa.int64()),
-                    "sum_len": pa.array([], pa.int64()),
-                    "max_len": pa.array([], pa.int64()),
-                }
-            )
-        b = t.column("bucket").to_numpy(zero_copy_only=False)
-        L = t.column("L").to_numpy(zero_copy_only=False)
-        d = t.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, L, b))
-        b, L, d = b[order], L[order], d[order]
-        # within-(bucket, L) rank by doc_id: positional within segment
-        seg = np.flatnonzero(
-            np.r_[True, (b[1:] != b[:-1]) | (L[1:] != L[:-1])]
-        )
-        seg_of = np.repeat(np.arange(len(seg)), np.diff(np.r_[seg, len(b)]))
-        within = np.arange(len(b)) - seg[seg_of]
-        off = np.array(
-            [below[(int(bb), int(ll))] for bb, ll in zip(b[seg], L[seg])],
-            dtype=np.int64,
-        )
-        rank = off[seg_of] + within  # 0-based global rank within bucket
-        batch = rank // Q171_BATCH
-        key = pa.table(
-            {
-                "bucket": pa.array(b, pa.int64()),
-                "batch": pa.array(batch, pa.int64()),
-                "n": pa.array(np.ones(len(b), np.int64), pa.int64()),
-                "sum_len": pa.array(L, pa.int64()),
-                "max_len": pa.array(L, pa.int64()),
-            }
-        )
-        return (
-            key.group_by(["bucket", "batch"])
-            .aggregate([("n", "sum"), ("sum_len", "sum"), ("max_len", "max")])
-            .rename_columns(["bucket", "batch", "n", "sum_len", "max_len"])
-        )
-
-    per_batch = (
-        bl.repartition(8, keys=["bucket", "L"])
-        .map_batches(_batch_partials, batch_format="pyarrow", batch_size=None)
-        .groupby(["bucket", "batch"], num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sum_len", alias_name="sum_len"),
-            Max("max_len", alias_name="max_len"),
-        )
-    )
-
-    def _waste(t: pa.Table) -> pa.Table:
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        s = t.column("sum_len").to_numpy(zero_copy_only=False)
-        m = t.column("max_len").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bucket": t.column("bucket"),
-                "n_docs": t.column("n"),
-                "n_batches": pa.array(np.ones(len(n), np.int64), pa.int64()),
-                "padding_waste": pa.array(m * n - s, pa.int64()),
-            }
-        )
-
-    return (
-        per_batch.map_batches(_waste, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=2)
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_batches", alias_name="n_batches"),
-            Sum("padding_waste", alias_name="padding_waste"),
-        )
-        .sort("bucket")
-    )
-
-
-SQL_Q171 = """
-WITH d AS (
-  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS L
-  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-s AS (SELECT min(L) AS lo, max(L) AS hi FROM d),
-b AS (
-  SELECT doc_id, L, (L - s.lo) * 8 // (s.hi - s.lo + 1) AS bucket
-  FROM d, s),
-r AS (
-  SELECT bucket, L,
-         (row_number() OVER (PARTITION BY bucket ORDER BY L, doc_id) - 1)
-           // 256 AS batch
-  FROM b),
-pb AS (
-  SELECT bucket, batch,
-         CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(L) AS BIGINT) AS sum_len,
-         CAST(max(L) AS BIGINT) AS max_len
-  FROM r GROUP BY 1, 2)
-SELECT bucket,
-       CAST(sum(n) AS BIGINT) AS n_docs,
-       CAST(count(*) AS BIGINT) AS n_batches,
-       CAST(sum(max_len * n - sum_len) AS BIGINT) AS padding_waste
-FROM pb GROUP BY 1 ORDER BY 1
-"""
-
-
-def q172_source_overlap(sf_dir: str):
-    """Cross-source shingle-overlap matrix: for every source pair, the
-    count of distinct token-trigrams both crawls contain and the
-    trigram-set Jaccard — the 'which snapshots/crawls cover the same
-    material' audit that drives mixture dedup budgets (q169 compares
-    unigram DISTRIBUTIONS; this compares n-gram SETS, so verbatim
-    template reuse shows up even when the word mix differs).
-    Distributed shape: block partials emit DISTINCT (gram, source)
-    rows (set-collapsed per block, the curation.py _BlockNgramDF
-    discipline), ONE (gram, source)-keyed distinct exchange, then a
-    gram-keyed repartition where each gram's source list emits
-    pre-aggregated pair partials (<= sources^2 rows per block — the
-    per-gram emission is bounded by the source-pair count, never the
-    corpus); per-source totals and the pair grid are sources-bounded
-    driver tables."""
-    import re as _re
-    from collections import Counter, defaultdict
-
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["source", "text"])
-    token_re = _re.compile(r"[a-z0-9]+")
-    G = 3
-
-    def _gram_partials(t: pa.Table) -> pa.Table:
-        seen: set = set()
-        for s, x in zip(
-            t.column("source").to_pylist(), t.column("text").to_pylist()
-        ):
-            if not x:
-                continue
-            toks = token_re.findall(x.lower())
-            for i in range(max(len(toks) - G + 1, 0)):
-                seen.add((s, " ".join(toks[i : i + G])))
-        ks = sorted(seen)
-        return pa.table(
-            {
-                "gram": pa.array([k[1] for k in ks], pa.string()),
-                "source": pa.array([k[0] for k in ks], pa.string()),
-            }
-        )
-
-    empty = pa.table(
-        {
-            "source_a": pa.array([], pa.string()),
-            "source_b": pa.array([], pa.string()),
-            "n_shared": pa.array([], pa.int64()),
-            "jaccard_micro": pa.array([], pa.int64()),
-        }
-    )
-
-    def _pair_partials(t: pa.Table) -> pa.Table:
-        # colocated by gram: a block-local distinct IS the global
-        # distinct, so the pair emission (INCLUDING the (s, s)
-        # diagonal, which carries the per-source totals — no separate
-        # totals exchange) is globally correct
-        dg = t.group_by(["gram", "source"]).aggregate([([], "count_all")])
-        by_gram: defaultdict = defaultdict(list)
-        for g, s in zip(
-            dg.column("gram").to_pylist(), dg.column("source").to_pylist()
-        ):
-            by_gram[g].append(s)
-        cnt: Counter = Counter()
-        for srcs in by_gram.values():
-            srcs.sort()
-            for i in range(len(srcs)):
-                for j in range(i, len(srcs)):
-                    cnt[(srcs[i], srcs[j])] += 1
-        ks = sorted(cnt)
-        return pa.table(
-            {
-                "source_a": pa.array([k[0] for k in ks], pa.string()),
-                "source_b": pa.array([k[1] for k in ks], pa.string()),
-                "n": pa.array([cnt[k] for k in ks], pa.int64()),
-            }
-        )
-
-    inter = (
-        docs.map_batches(_gram_partials, batch_format="pyarrow")
-        .repartition(hash_partitions(4), keys=["gram"])
-        .map_batches(
-            _pair_partials, batch_format="pyarrow", batch_size=None
-        )
-        .groupby(["source_a", "source_b"], num_partitions=2)
-        .aggregate(Sum("n", alias_name="n_shared"))
-        .take_all()
-    )
-    if not inter:
-        return empty
-    im = {(r["source_a"], r["source_b"]): int(r["n_shared"]) for r in inter}
-    n_of = {a: n for (a, b), n in im.items() if a == b}
-    srcs = sorted(n_of)
-    a_col, b_col, sh_col, ja_col = [], [], [], []
-    for i in range(len(srcs)):
-        for j in range(i + 1, len(srcs)):
-            a, b = srcs[i], srcs[j]
-            shared = im.get((a, b), 0)
-            a_col.append(a)
-            b_col.append(b)
-            sh_col.append(shared)
-            ja_col.append(
-                (1e6 * shared) / (n_of[a] + n_of[b] - shared)
-            )
-    return pa.table(
-        {
-            "source_a": pa.array(a_col, pa.string()),
-            "source_b": pa.array(b_col, pa.string()),
-            "n_shared": pa.array(sh_col, pa.int64()),
-            "jaccard_micro": pa.array(
-                round_like_duckdb(np.array(ja_col, np.float64), 0).astype(
-                    np.int64
-                ),
-                pa.int64(),
-            ),
-        }
-    )
-
-
-def _sql_q172() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (SELECT source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-           FROM documents WHERE text IS NOT NULL),
-g AS (SELECT DISTINCT source,
-             unnest(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                    i -> array_to_string(toks[i:i+2], ' '))) AS gram
-      FROM t),
-sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
-p AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
-      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source GROUP BY 1, 2),
-grid AS (SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
-         FROM sz a JOIN sz b ON a.source < b.source)
-SELECT grid.sa AS source_a, grid.sb AS source_b,
-       coalesce(p.inter, 0) AS n_shared,
-       CAST(round(1e6 * coalesce(p.inter, 0)
-                  / (grid.na + grid.nb - coalesce(p.inter, 0)), 0) AS BIGINT)
-         AS jaccard_micro
-FROM grid LEFT JOIN p ON p.sa = grid.sa AND p.sb = grid.sb
-ORDER BY 1, 2
-"""
-
-
-#: q173 calibration geometry: decile bins over the score range
-Q173_BINS = 10
-
-
-def q173_calibration_report(sf_dir: str):
-    """Calibration table for the q64 quality classifier against the
-    corpus's English label: scores bin into deciles of the observed
-    score range (the ALL-integer q171 bucket contract over basis-point
-    scores — no IEEE in the bucket expression), and each bin reports
-    doc count, positive count and the integer score mass — the
-    reliability-diagram / ECE input that tells you whether the quality
-    filter's confidence means anything before you act on it at corpus
-    scale. One streamed actor-pool scoring pass (weights load once per
-    actor), one Min/Max reduce, one bins-bounded aggregation — zero
-    doc-keyed joins (lang rides along with the scoring pass)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.inference import QualityModel
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
-    qm = QualityModel()
-
-    def _score(t: pa.Table) -> pa.Table:
-        s = qm(t)  # doc_id, quality_score, keep — over this batch
-        bp = round_like_duckdb(
-            s.column("quality_score").to_numpy(zero_copy_only=False)
-            * 10000.0,
-            0,
-        ).astype(np.int64)
-        lang = t.column("lang").combine_chunks().fill_null("")
-        return pa.table(
-            {
-                "bp": pa.array(bp, pa.int64()),
-                "en": pc.equal(lang, "en").cast(pa.int64()),
-            }
-        )
-
-    scored = docs.map_batches(_score, batch_format="pyarrow").materialize()
-    empty = pa.table(
-        {
-            "bin": pa.array([], pa.int64()),
-            "n_docs": pa.array([], pa.int64()),
-            "n_en": pa.array([], pa.int64()),
-            "sum_score_bp": pa.array([], pa.int64()),
-        }
-    )
-    if scored.count() == 0:
-        return empty
-    stats = scored.aggregate(
-        Min("bp", alias_name="lo"), Max("bp", alias_name="hi")
-    )
-    lo, hi = int(stats["lo"]), int(stats["hi"])
-    span = hi - lo + 1
-
-    def _binned(t: pa.Table) -> pa.Table:
-        bp = t.column("bp").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bin": pa.array((bp - lo) * Q173_BINS // span, pa.int64()),
-                "n_docs": pa.array(np.ones(len(bp), np.int64), pa.int64()),
-                "n_en": t.column("en"),
-                "sum_score_bp": t.column("bp"),
-            }
-        )
-
-    return (
-        scored.map_batches(_binned, batch_format="pyarrow")
-        .groupby("bin", num_partitions=2)
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_en", alias_name="n_en"),
-            Sum("sum_score_bp", alias_name="sum_score_bp"),
-        )
-        .sort("bin")
-    )
-
-
-def _sql_q173() -> str:
-    return f"""
-WITH sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()})),
-j AS (SELECT sc.doc_id, CAST(round(quality_score * 10000, 0) AS BIGINT) AS bp,
-             (coalesce(d.lang, '') = 'en') AS is_en
-      FROM sc JOIN documents d USING (doc_id)),
-s AS (SELECT min(bp) AS lo, max(bp) AS hi FROM j),
-b AS (SELECT (bp - s.lo) * {Q173_BINS} // (s.hi - s.lo + 1) AS bin, bp, is_en
-      FROM j, s)
-SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
-       CAST(sum(bp) AS BIGINT) AS sum_score_bp
-FROM b GROUP BY 1 ORDER BY 1
-"""
-
-
-#: q174 fits the slope over the K most frequent words
-Q174_TOP_K = 1000
-
-
-def q174_zipf_slope(sf_dir: str):
-    """Zipf's-law fit over the corpus word-frequency distribution: the
-    least-squares slope of ln(count) vs ln(rank) across the top-K
-    words — the one-number corpus-health diagnostic (natural text sits
-    near -1; template farms and boilerplate-heavy crawls flatten or
-    steepen it). ONE vocab-bounded word-count exchange (q47/q52
-    machinery); rank, the milli-nat log grid and the regression sums
-    are exact integers on the K-bounded driver table, so both engines
-    sum the SAME int64 grid and the only float op is the final scalar
-    slope ratio (round_like_duckdb parity). Requires >= 2 distinct
-    frequency/rank points (guarded)."""
-    import math as _math
-    import re as _re
-    from collections import Counter
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
-
-    docs = read_table(sf_dir, "documents", ["text"])
-    token_re = _re.compile(r"[a-z0-9]+")
-
-    def _wc(t: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for x in t.column("text").to_pylist():
-            if x:
-                c.update(token_re.findall(x.lower()))
-        ks = sorted(c)
-        return pa.table(
-            {
-                "word": pa.array(ks, pa.string()),
-                "n": pa.array([c[k] for k in ks], pa.int64()),
-            }
-        )
-
-    cnt = (
-        docs.map_batches(_wc, batch_format="pyarrow")
-        .groupby("word", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "n_words": pa.array([], pa.int64()),
-            "sx": pa.array([], pa.int64()),
-            "sy": pa.array([], pa.int64()),
-            "sxy": pa.array([], pa.int64()),
-            "sxx": pa.array([], pa.int64()),
-            "slope_micro": pa.array([], pa.int64()),
-        }
-    )
-    if len(cnt) < 2:
-        return empty
-    cnt.sort(key=lambda r: (-r["n"], r["word"]))
-    top = cnt[:Q174_TOP_K]
-    k = len(top)
-    sx = sy = sxy = sxx = 0
-    for rk, r in enumerate(top, start=1):
-        x = int(round_like_duckdb(_math.log(rk) * 1000.0, 0))
-        y = int(round_like_duckdb(_math.log(int(r["n"])) * 1000.0, 0))
-        sx += x
-        sy += y
-        sxy += x * y
-        sxx += x * x
-    den = k * sxx - sx * sx
-    if den == 0:
-        return empty
-    slope = (1e6 * float(k * sxy - sx * sy)) / float(den)
-    return pa.table(
-        {
-            "n_words": pa.array([k], pa.int64()),
-            "sx": pa.array([sx], pa.int64()),
-            "sy": pa.array([sy], pa.int64()),
-            "sxy": pa.array([sxy], pa.int64()),
-            "sxx": pa.array([sxx], pa.int64()),
-            "slope_micro": pa.array(
-                [int(round_like_duckdb(slope, 0))], pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q174() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
-           FROM documents WHERE text IS NOT NULL),
-c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
-r AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rk
-      FROM c QUALIFY rk <= {Q174_TOP_K}),
-i AS (SELECT CAST(round(ln(rk) * 1000, 0) AS BIGINT) AS x,
-             CAST(round(ln(n) * 1000, 0) AS BIGINT) AS y FROM r),
-s AS (SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
-             sum(x * y) AS sxy, sum(x * x) AS sxx FROM i)
-SELECT k AS n_words, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
-       CAST(sxy AS BIGINT) AS sxy, CAST(sxx AS BIGINT) AS sxx,
-       CAST(round(1e6 * (k * sxy - sx * sy) / (k * sxx - sx * sx), 0)
-            AS BIGINT) AS slope_micro
-FROM s
-"""
-
-
-#: q175 keeps the top-K discriminative terms per source
-Q175_TOP_K = 5
-
-
-def q175_discriminative_terms(sf_dir: str):
-    """Per-source discriminative vocabulary: the top-K terms by
-    add-one-smoothed log-odds ratio of document frequency in the
-    source vs the rest of the corpus (Monroe et al.'s 'Fightin'
-    Words' shape; the c-TF-IDF cluster-labeling rung next to q47's
-    corpus-global TF-IDF) — 'what is src7 actually full of' for
-    mixture design and source triage. ONE (source, word)-keyed
-    distinct-doc-frequency exchange (block partials collapse each doc
-    to its distinct words, q169's bounded aggregation) plus one
-    sources-bounded doc-count pass; scoring and ranking run on the
-    vocab×sources driver table with micro-nat rounding (the ln
-    argument is a single expression of exact counts — replayable)."""
-    import math as _math
-    import re as _re
-    from collections import Counter
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
-
-    docs = read_table(sf_dir, "documents", ["source", "text"])
-    token_re = _re.compile(r"[a-z0-9]+")
-
-    def _dw_partials(t: pa.Table) -> pa.Table:
-        dfc: Counter = Counter()  # (source, word) -> docs in block
-        nsc: Counter = Counter()  # source -> docs with >=1 token
-        for s, x in zip(
-            t.column("source").to_pylist(), t.column("text").to_pylist()
-        ):
-            if not x:
-                continue
-            ws = set(token_re.findall(x.lower()))
-            if not ws:
-                continue
-            nsc[s] += 1
-            for w in ws:
-                dfc[(s, w)] += 1
-        # doc-count partials ride the same exchange as marker rows
-        # (word = '', never a token of TOKEN_RE-tokenized text)
-        for s, n in nsc.items():
-            dfc[(s, "")] = n
-        ks = sorted(dfc)
-        return pa.table(
-            {
-                "source": pa.array([k[0] for k in ks], pa.string()),
-                "word": pa.array([k[1] for k in ks], pa.string()),
-                "nd": pa.array([dfc[k] for k in ks], pa.int64()),
-            }
-        )
-
-    rows = (
-        docs.map_batches(_dw_partials, batch_format="pyarrow")
-        .groupby(["source", "word"], num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("nd", alias_name="df"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "source": pa.array([], pa.string()),
-            "word": pa.array([], pa.string()),
-            "score_micro": pa.array([], pa.int64()),
-            "rk": pa.array([], pa.int64()),
-        }
-    )
-    if not rows:
-        return empty
-    ns = {r["source"]: int(r["df"]) for r in rows if r["word"] == ""}
-    df = {
-        (r["source"], r["word"]): int(r["df"])
-        for r in rows
-        if r["word"] != ""
-    }
-    nt = sum(ns.values())
-    dft: Counter = Counter()
-    for (_, w), d in df.items():
-        dft[w] += d
-    out = []
-    for (s, w), d in df.items():
-        n_s = ns[s]
-        dfr = dft[w] - d
-        score = 1e6 * (
-            _math.log((d + 1.0) / (n_s - d + 1.0))
-            - _math.log((dfr + 1.0) / (nt - n_s - dfr + 1.0))
-        )
-        out.append((s, int(round_like_duckdb(score, 0)), w))
-    out.sort(key=lambda r: (r[0], -r[1], r[2]))
-    keep, per_src = [], Counter()
-    for s, sc, w in out:
-        per_src[s] += 1
-        if per_src[s] <= Q175_TOP_K:
-            keep.append((s, w, sc, per_src[s]))
-    return pa.table(
-        {
-            "source": pa.array([r[0] for r in keep], pa.string()),
-            "word": pa.array([r[1] for r in keep], pa.string()),
-            "score_micro": pa.array(
-                np.array([r[2] for r in keep], np.int64), pa.int64()
-            ),
-            "rk": pa.array(
-                np.array([r[3] for r in keep], np.int64), pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q175() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH dw AS (SELECT DISTINCT doc_id, source,
-                   unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
-            FROM documents WHERE text IS NOT NULL),
-ns AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n
-       FROM dw GROUP BY 1),
-df AS (SELECT source, word, CAST(count(*) AS BIGINT) AS df
-       FROM dw GROUP BY 1, 2),
-tot AS (SELECT word, CAST(sum(df) AS BIGINT) AS dft FROM df GROUP BY 1),
-nt AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM ns),
-sc AS (SELECT df.source, df.word,
-              CAST(round(1e6 * (ln((df.df + 1.0) / (ns.n - df.df + 1.0))
-                   - ln((tot.dft - df.df + 1.0)
-                        / (nt.n - ns.n - (tot.dft - df.df) + 1.0))), 0)
-                   AS BIGINT) AS score_micro
-       FROM df JOIN ns USING (source) JOIN tot USING (word) CROSS JOIN nt),
-r AS (SELECT source, word, score_micro,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY score_micro DESC, word) AS rk
-      FROM sc QUALIFY rk <= {Q175_TOP_K})
-SELECT source, word, score_micro, CAST(rk AS BIGINT) AS rk
-FROM r ORDER BY source, rk
-"""
-
-
-#: q176 hybrid-retrieval geometry: per-leg candidate pool, RRF constant
-#: (Cormack et al.'s k=60), final cut, and the query point (vec_id ==
-#: doc_id by the fixture's construction — one embedding per document)
-Q176_QUERY_VEC = 7
-Q176_POOL_K = 50
-Q176_RRF_K = 60
-Q176_OUT_K = 20
-
-
-def q176_hybrid_rrf(sf_dir: str):
-    """Hybrid retrieval with reciprocal-rank fusion: the BM25 lexical
-    leg (q55 kernel, streamed corpus scoring) and the exact-cosine
-    vector leg (q16 kernel, broadcast query + per-block top-k merge)
-    each produce a top-50 candidate pool; RRF fuses them with integer
-    micro-scores (round(1e6/(60+rank)) per leg — absent legs contribute
-    0) and emits the top-20. The modern two-tower + keyword search
-    stack in one op: both legs are corpus-streaming, both pools are
-    k-bounded, and the fusion runs on <= 2k driver rows. Rank ties
-    break by id on both legs and on the fused cut (replayable)."""
-    from barks_ocr_ray.functions.ann import brute_force_topk
-
-    vec_rows = brute_force_topk(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        [Q176_QUERY_VEC],
-        k=Q176_POOL_K,
-    ).take_all()
-    vec_rows.sort(key=lambda r: (-r["cosine"], r["neighbor_id"]))
-    vrank = {
-        int(r["neighbor_id"]): i + 1 for i, r in enumerate(vec_rows)
-    }
-
-    bm = q55_bm25_rank(sf_dir)
-
-    def _block_top(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            t,
-            sort_keys=[("bm25", "descending"), ("doc_id", "ascending")],
-        )
-        return t.take(order[: min(Q176_POOL_K, t.num_rows)])
-
-    lex_pool = bm.map_batches(_block_top, batch_format="pyarrow").take_all()
-    lex_pool.sort(key=lambda r: (-r["bm25"], r["doc_id"]))
-    lrank = {
-        int(r["doc_id"]): i + 1
-        for i, r in enumerate(lex_pool[:Q176_POOL_K])
-    }
-
-    fused = []
-    for did in set(lrank) | set(vrank):
-        lr, vr = lrank.get(did, 0), vrank.get(did, 0)
-        s = 0
-        if lr:
-            s += int(round_like_duckdb(1e6 / (Q176_RRF_K + lr), 0))
-        if vr:
-            s += int(round_like_duckdb(1e6 / (Q176_RRF_K + vr), 0))
-        fused.append((did, lr, vr, s))
-    fused.sort(key=lambda r: (-r[3], r[0]))
-    fused = fused[:Q176_OUT_K]
-    return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in fused], pa.int64()),
-            "lex_rank": pa.array([r[1] for r in fused], pa.int64()),
-            "vec_rank": pa.array([r[2] for r in fused], pa.int64()),
-            "rrf_micro": pa.array([r[3] for r in fused], pa.int64()),
-            "final_rank": pa.array(
-                list(range(1, len(fused) + 1)), pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q176() -> str:
-    return f"""
-WITH lex AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
-  FROM ({_sql_q55()}) QUALIFY r <= {Q176_POOL_K}),
-vc AS (
-  SELECT e.vec_id AS doc_id,
-         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])), 6)
-           AS cosine
-  FROM embeddings q, embeddings e
-  WHERE q.vec_id = {Q176_QUERY_VEC} AND e.vec_id != {Q176_QUERY_VEC}),
-vec AS (
-  SELECT doc_id,
-         row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
-  FROM vc QUALIFY r <= {Q176_POOL_K}),
-f AS (
-  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
-         coalesce(lex.r, 0) AS lex_rank,
-         coalesce(vec.r, 0) AS vec_rank,
-         (CASE WHEN lex.r IS NULL THEN 0
-               ELSE CAST(round(1e6 / ({Q176_RRF_K} + lex.r), 0) AS BIGINT) END
-          + CASE WHEN vec.r IS NULL THEN 0
-                 ELSE CAST(round(1e6 / ({Q176_RRF_K} + vec.r), 0) AS BIGINT) END)
-           AS rrf_micro
-  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id)
-SELECT doc_id, CAST(lex_rank AS BIGINT) AS lex_rank,
-       CAST(vec_rank AS BIGINT) AS vec_rank, rrf_micro,
-       CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS BIGINT)
-         AS final_rank
-FROM f QUALIFY final_rank <= {Q176_OUT_K} ORDER BY final_rank
-"""
-
-
-Q177_ITERS = 5
-Q177_K = 30
-
-
-def q177_personalized_pagerank(sf_dir: str):
-    """Personalized PageRank over the q94 customer<->supplier trade
-    graph with the teleport vector restricted to the CUSTOMER side
-    ('which suppliers are most central to the customer population' —
-    Haveliwala's topic-sensitive PageRank; the recommender/influence
-    rung above q94's global centrality and q163's HITS). Same exact
-    int64 fixed-point BSP loop (`functions/graph.py`), same
-    per-scale costs; the seed set is a node-id PREFIX predicate so it
-    ships as zero state (a vectorized starts_with per block, a LIKE in
-    the oracle — never a membership broadcast). Output: top suppliers
-    by personalized rank."""
-    from barks_ocr_ray.functions.graph import pagerank
-
-    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(
-        od,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        cust = pc.binary_join_element_wise(
-            pa.scalar("C"),
-            pc.cast(t.column("o_custkey"), pa.string()),
-            "",
-        )
-        supp = pc.binary_join_element_wise(
-            pa.scalar("S"),
-            pc.cast(t.column("l_suppkey"), pa.string()),
-            "",
-        )
-        return pa.table({"src": cust, "dst": supp})
-
-    pr = pagerank(
-        joined.map_batches(_pairs, batch_format="pyarrow"),
-        iterations=Q177_ITERS,
-        seed_prefix="C",
-    )
-
-    def _suppliers(t: pa.Table) -> pa.Table:
-        return t.filter(pc.starts_with(t.column("node"), "S"))
-
-    return (
-        pr.map_batches(_suppliers, batch_format="pyarrow")
-        .sort(["pr", "node"], descending=[True, False])
-        .limit(Q177_K)
-    )
-
-
-def _sql_q177() -> str:
-    """Serial replay of the personalized recurrence — q94's unrolled
-    CTE with the teleport terms gated on the seed LIKE."""
-    from barks_ocr_ray.functions.graph import DAMP_DEN, DAMP_NUM, SCALE
-
-    ctes = [
-        """e0 AS (
-  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
-                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0
-          UNION ALL SELECT dst AS src, src AS dst FROM e0),
-deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
-        FROM edges GROUP BY src),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg
-       WHERE node LIKE 'C%'),
-r0 AS (SELECT node,
-              CAST(CASE WHEN node LIKE 'C%' THEN {scale} // nn.n
-                        ELSE 0 END AS BIGINT) AS pr
-       FROM deg CROSS JOIN nn)""".format(scale=SCALE)
-    ]
-    for k in range(1, Q177_ITERS + 1):
-        ctes.append(
-            """r{k} AS (
-  SELECT deg.node AS node,
-         CAST(CASE WHEN deg.node LIKE 'C%'
-                   THEN (15 * {scale}) // (100 * nn.n) ELSE 0 END
-              + COALESCE(c.contrib, 0) AS BIGINT) AS pr
-  FROM deg CROSS JOIN nn
-  LEFT JOIN (
-    SELECT e.dst AS node,
-           CAST(sum(((r.pr // d2.outdeg) * {dn}) // {dd}) AS BIGINT)
-             AS contrib
-    FROM edges e
-    JOIN r{prev} r ON e.src = r.node
-    JOIN deg d2 ON d2.node = e.src
-    GROUP BY e.dst) c ON c.node = deg.node)""".format(
-                k=k, prev=k - 1, scale=SCALE, dn=DAMP_NUM, dd=DAMP_DEN
-            )
-        )
-    return (
-        "WITH {ctes}\nSELECT node, pr FROM r{last}\n"
-        "WHERE node LIKE 'S%'\n"
-        "ORDER BY pr DESC, node LIMIT {lim}".format(
-            ctes=",\n".join(ctes), last=Q177_ITERS, lim=Q177_K
-        )
-    )
-
-
-def q178_length_percentile(sf_dir: str):
-    """Per-source percentile-rank normalization of document token
-    length — the cross-source score-normalization primitive (raw
-    lengths aren't comparable across crawls with different page
-    shapes; their within-source percentile is). Global per-source
-    percent_rank WITHOUT a global sort: one bounded (source, L)
-    histogram exchange yields each (source, L)'s below-count and the
-    source totals; the doc-level attach is a broadcast lookup
-    (ray.put once, vectorized index_in per block — never a doc-keyed
-    join). percent_rank = below/(n-1), the SQL window definition,
-    micro-rounded identically."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "source", "text"])
-
-    def _lens(t: pa.Table) -> pa.Table:
-        txt = t.column("text")
-        ok = pc.and_(pc.is_valid(txt), pc.greater(pc.utf8_length(txt), 0))
-        t = t.filter(ok)
-        L = pc.count_substring_regex(
-            pc.utf8_lower(t.column("text")), r"[a-z0-9]+"
-        ).cast(pa.int64())
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "source": t.column("source"),
-                "L": L,
-            }
-        )
-
-    lens = docs.map_batches(_lens, batch_format="pyarrow").materialize()
-    hist = (
-        lens.groupby(["source", "L"], num_partitions=4)
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    )
-    hist.sort(key=lambda r: (r["source"], r["L"]))
-    totals: dict = {}
-    for r in hist:
-        totals[r["source"]] = totals.get(r["source"], 0) + int(r["n"])
-    pct: dict = {}
-    run_src, below = None, 0
-    for r in hist:
-        if r["source"] != run_src:
-            run_src, below = r["source"], 0
-        n = totals[r["source"]]
-        v = 0 if n == 1 else int(round_like_duckdb(1e6 * (below / (n - 1)), 0))
-        pct[f"{r['source']}|{r['L']}"] = v
-        below += int(r["n"])
-
-    def _with_key(t: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            t.column("source").cast(pa.string()),
-            pc.cast(t.column("L"), pa.string()),
-            "|",
-        )
-        return t.append_column("sl_key", key)
-
-    keyed = lens.map_batches(_with_key, batch_format="pyarrow")
-    out = broadcast_lookup_column(
-        keyed, pct, "sl_key", "pct_micro", pa.int64()
-    )
-    return out.map_batches(
-        lambda t: t.select(["doc_id", "source", "L", "pct_micro"]),
-        batch_format="pyarrow",
-    )
-
-
-def _sql_q178() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH d AS (SELECT doc_id, source,
-                  CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
-                       AS BIGINT) AS L
-           FROM documents WHERE text IS NOT NULL AND length(text) > 0)
-SELECT doc_id, source, L,
-       CAST(round(1e6 * percent_rank() OVER (PARTITION BY source ORDER BY L),
-                  0) AS BIGINT) AS pct_micro
-FROM d
-"""
-
-
-#: q179 vocabulary-growth grid: 10 equal-width doc-id checkpoints
-Q179_CHECKPOINTS = 10
-
-
-def q179_heaps_law(sf_dir: str):
-    """Heaps'-law vocabulary-growth curve: cumulative token count and
-    distinct-vocabulary size at 10 doc-id checkpoints — the corpus
-    diagnostic that says whether more crawl keeps buying new
-    vocabulary (natural corpora grow ~N^beta; a template farm
-    plateaus; pairs with q174's Zipf slope). No ordered scan and no
-    global sort: each word's FIRST doc id is one vocab-bounded Min
-    exchange, per-doc token counts are one streamed pass, and both
-    reduce into checkpoint-bucket partials (10-key aggregations);
-    the cumulative curve is a driver-side cumsum over 10 rows."""
-    import re as _re
-    from collections import Counter
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    token_re = _re.compile(r"[a-z0-9]+")
-
-    def _tok(t: pa.Table) -> pa.Table:
-        txt = t.column("text")
-        ok = pc.and_(pc.is_valid(txt), pc.greater(pc.utf8_length(txt), 0))
-        t = t.filter(ok)
-        n = pc.count_substring_regex(
-            pc.utf8_lower(t.column("text")), r"[a-z0-9]+"
-        ).cast(pa.int64())
-        return pa.table({"doc_id": t.column("doc_id"), "n": n})
-
-    tok = docs.map_batches(_tok, batch_format="pyarrow").materialize()
-    empty = pa.table(
-        {
-            "checkpoint": pa.array([], pa.int64()),
-            "doc_lt": pa.array([], pa.int64()),
-            "cum_tokens": pa.array([], pa.int64()),
-            "vocab_size": pa.array([], pa.int64()),
-        }
-    )
-    if tok.count() == 0:
-        return empty
-    m = int(tok.max("doc_id")) + 1
-    cps = np.array(
-        [(m * k) // Q179_CHECKPOINTS for k in range(1, Q179_CHECKPOINTS + 1)],
-        np.int64,
-    )
-
-    def _tok_buckets(t: pa.Table) -> pa.Table:
-        d = t.column("doc_id").to_numpy(zero_copy_only=False)
-        # bucket b: doc contributes from the first checkpoint > doc_id
-        b = np.searchsorted(cps, d, side="right")
-        return pa.table(
-            {
-                "b": pa.array(b, pa.int64()),
-                "n": t.column("n"),
-            }
-        )
-
-    tok_hist = (
-        tok.map_batches(_tok_buckets, batch_format="pyarrow")
-        .groupby("b", num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-
-    def _first_seen(t: pa.Table) -> pa.Table:
-        first: dict = {}
-        for d, x in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            if not x:
-                continue
-            for w in token_re.findall(x.lower()):
-                if w not in first or d < first[w]:
-                    first[w] = d
-        ks = sorted(first)
-        return pa.table(
-            {
-                "word": pa.array(ks, pa.string()),
-                "fd": pa.array([first[k] for k in ks], pa.int64()),
-            }
-        )
-
-    def _word_buckets(t: pa.Table) -> pa.Table:
-        fd = t.column("fd").to_numpy(zero_copy_only=False)
-        b = np.searchsorted(cps, fd, side="right")
-        return pa.table(
-            {
-                "b": pa.array(b, pa.int64()),
-                "v": pa.array(np.ones(len(b), np.int64), pa.int64()),
-            }
-        )
-
-    vocab_hist = (
-        docs.map_batches(_first_seen, batch_format="pyarrow")
-        .groupby("word", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Min("fd", alias_name="fd"))
-        .map_batches(_word_buckets, batch_format="pyarrow")
-        .groupby("b", num_partitions=2)
-        .aggregate(Sum("v", alias_name="v"))
-        .take_all()
-    )
-    tok_by_b = Counter({int(r["b"]): int(r["n"]) for r in tok_hist})
-    voc_by_b = Counter({int(r["b"]): int(r["v"]) for r in vocab_hist})
-    cum_t = cum_v = 0
-    rows = []
-    for i, cp in enumerate(cps):
-        cum_t += tok_by_b.get(i, 0)
-        cum_v += voc_by_b.get(i, 0)
-        rows.append((i + 1, int(cp), cum_t, cum_v))
-    return pa.table(
-        {
-            "checkpoint": pa.array([r[0] for r in rows], pa.int64()),
-            "doc_lt": pa.array([r[1] for r in rows], pa.int64()),
-            "cum_tokens": pa.array([r[2] for r in rows], pa.int64()),
-            "vocab_size": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _sql_q179() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH f AS (SELECT doc_id, lower(text) AS lt FROM documents
-           WHERE text IS NOT NULL AND length(text) > 0),
-mx AS (SELECT max(doc_id) + 1 AS m FROM f),
-cp AS (SELECT CAST(k AS BIGINT) AS k, (mx.m * k) // {Q179_CHECKPOINTS} AS cp
-       FROM range(1, {Q179_CHECKPOINTS + 1}) t(k) CROSS JOIN mx),
-u AS (SELECT doc_id, unnest(regexp_extract_all(lt, '{TOKEN_RE}')) AS word
-      FROM f),
-w AS (SELECT word, min(doc_id) AS fd FROM u GROUP BY 1),
-t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1)
-SELECT cp.k AS checkpoint, cp.cp AS doc_lt,
-       (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM t
-        WHERE t.doc_id < cp.cp) AS cum_tokens,
-       (SELECT CAST(count(*) AS BIGINT) FROM w
-        WHERE w.fd < cp.cp) AS vocab_size
-FROM cp ORDER BY 1
-"""
-
-
-def q180_posting_compression(sf_dir: str):
-    """Delta-varint compression audit of the inverted index: per term,
-    posting count, exact varint byte cost of the doc-id GAP encoding,
-    and the raw int64 cost — the storage planner's answer to 'what
-    does the index actually cost on disk' (gap+varint is how every
-    real posting list ships; Lucene/PISA practice, public). One
-    (word, doc_id) distinct exchange (q27 shape), then ONE word-keyed
-    repartition where each term's sorted gap stream reduces
-    block-locally (terms never straddle blocks) — the per-term stats
-    emit directly, no second aggregation. All-integer (the varint
-    size ladder replays as a CASE)."""
-    import re as _re
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    token_re = _re.compile(r"[a-z0-9]+")
-
-    def _postings(t: pa.Table) -> pa.Table:
-        out_w, out_d = [], []
-        for d, x in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            if not x:
-                continue
-            for w in sorted(set(token_re.findall(x.lower()))):
-                out_w.append(w)
-                out_d.append(d)
-        return pa.table(
-            {
-                "word": pa.array(out_w, pa.string()),
-                "doc_id": pa.array(out_d, pa.int64()),
-            }
-        )
-
-    post = (
-        docs.map_batches(_postings, batch_format="pyarrow")
-        .groupby(["word", "doc_id"], num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Count(alias_name="_c"))
-    )
-
-    def _term_stats(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "word": pa.array([], pa.string()),
-                    "n_postings": pa.array([], pa.int64()),
-                    "bytes_delta": pa.array([], pa.int64()),
-                    "bytes_raw": pa.array([], pa.int64()),
-                }
-            )
-        w = np.asarray(t.column("word").to_pylist())
-        d = t.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, w))
-        w, d = w[order], d[order]
-        seg = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
-        prev = np.r_[np.int64(-1), d[:-1]]
-        prev[seg] = -1  # first posting's gap is doc_id - (-1)
-        gap = d - prev
-        nb = (
-            1
-            + (gap >= 128).astype(np.int64)
-            + (gap >= 16384).astype(np.int64)
-            + (gap >= 2097152).astype(np.int64)
-            + (gap >= 268435456).astype(np.int64)
-        )
-        counts = np.diff(np.r_[seg, len(w)])
-        sums = np.add.reduceat(nb, seg)
-        return pa.table(
-            {
-                "word": pa.array(w[seg], pa.string()),
-                "n_postings": pa.array(counts, pa.int64()),
-                "bytes_delta": pa.array(sums, pa.int64()),
-                "bytes_raw": pa.array(8 * counts, pa.int64()),
-            }
-        )
-
-    return (
-        post.repartition(VOCAB_PARTITIONS, keys=["word"])
-        .map_batches(_term_stats, batch_format="pyarrow", batch_size=None)
-        .sort("word")
-    )
-
-
-def _sql_q180() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH u AS (SELECT DISTINCT doc_id,
-                  unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS word
-           FROM documents WHERE text IS NOT NULL),
-g AS (SELECT word,
-             doc_id - lag(doc_id, 1, CAST(-1 AS BIGINT)) OVER
-               (PARTITION BY word ORDER BY doc_id) AS gap
-      FROM u),
-b AS (SELECT word,
-             CASE WHEN gap < 128 THEN 1
-                  WHEN gap < 16384 THEN 2
-                  WHEN gap < 2097152 THEN 3
-                  WHEN gap < 268435456 THEN 4
-                  ELSE 5 END AS nb
-      FROM g)
-SELECT word, CAST(count(*) AS BIGINT) AS n_postings,
-       CAST(sum(nb) AS BIGINT) AS bytes_delta,
-       CAST(8 * count(*) AS BIGINT) AS bytes_raw
-FROM b GROUP BY 1 ORDER BY 1
-"""
-
-
-def q181_market_basket(sf_dir: str):
-    """Market-basket lift over the event stream: for each pair of
-    event types co-occurring in a user's history, the co-occurrence
-    count and the lift n_ab·N / (n_a·n_b) — the association strength
-    behind 'users who X also Y' (Agrawal-style association rules,
-    baskets = users). One (user, type)-keyed distinct exchange, one
-    user-keyed repartition emitting per-block PRE-AGGREGATED pair
-    partials (<= types² rows per block — a user's basket never
-    exceeds the type alphabet) with the user-count partial riding as
-    a marker row; singles/pairs/lift finish on types-bounded
-    tables."""
-    from collections import Counter, defaultdict
-
-    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
-    ut = (
-        ev.groupby(["user_id", "event_type"], num_partitions=hash_partitions(4))
-        .aggregate(Count(alias_name="_c"))
-        .materialize()
-    )
-    singles = (
-        ut.groupby("event_type", num_partitions=2)
-        .aggregate(Count(alias_name="n"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "type_a": pa.array([], pa.string()),
-            "type_b": pa.array([], pa.string()),
-            "n_ab": pa.array([], pa.int64()),
-            "n_a": pa.array([], pa.int64()),
-            "n_b": pa.array([], pa.int64()),
-            "lift_micro": pa.array([], pa.int64()),
-        }
-    )
-    if not singles:
-        return empty
-    n_of = {r["event_type"]: int(r["n"]) for r in singles}
-
-    def _pair_partials(t: pa.Table) -> pa.Table:
-        by_user: defaultdict = defaultdict(list)
-        for u, ty in zip(
-            t.column("user_id").to_pylist(),
-            t.column("event_type").to_pylist(),
-        ):
-            by_user[u].append(ty)
-        cnt: Counter = Counter()
-        for tys in by_user.values():
-            tys.sort()
-            for i in range(len(tys)):
-                for j in range(i + 1, len(tys)):
-                    cnt[(tys[i], tys[j])] += 1
-        rows = sorted(cnt)
-        # user-count partial rides as a marker row ('' sorts first and
-        # is never an event type)
-        return pa.table(
-            {
-                "type_a": pa.array([""] + [r[0] for r in rows], pa.string()),
-                "type_b": pa.array([""] + [r[1] for r in rows], pa.string()),
-                "n": pa.array(
-                    [len(by_user)] + [cnt[r] for r in rows], pa.int64()
-                ),
-            }
-        )
-
-    merged = (
-        ut.repartition(hash_partitions(4), keys=["user_id"])
-        .map_batches(
-            _pair_partials, batch_format="pyarrow", batch_size=None
-        )
-        .groupby(["type_a", "type_b"], num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    n_users = 0
-    pairs = []
-    for r in merged:
-        if r["type_a"] == "":
-            n_users = int(r["n"])
-        else:
-            pairs.append((r["type_a"], r["type_b"], int(r["n"])))
-    pairs.sort()
-    a_c, b_c, ab_c, na_c, nb_c, lift_c = [], [], [], [], [], []
-    for a, b, n_ab in pairs:
-        n_a, n_b = n_of[a], n_of[b]
-        a_c.append(a)
-        b_c.append(b)
-        ab_c.append(n_ab)
-        na_c.append(n_a)
-        nb_c.append(n_b)
-        lift_c.append(
-            int(
-                round_like_duckdb(
-                    (1e6 * (n_ab * n_users)) / (n_a * n_b), 0
-                )
-            )
-        )
-    return pa.table(
-        {
-            "type_a": pa.array(a_c, pa.string()),
-            "type_b": pa.array(b_c, pa.string()),
-            "n_ab": pa.array(ab_c, pa.int64()),
-            "n_a": pa.array(na_c, pa.int64()),
-            "n_b": pa.array(nb_c, pa.int64()),
-            "lift_micro": pa.array(lift_c, pa.int64()),
-        }
-    )
-
-
-def q182_mmr_diversified(sf_dir: str):
-    """Maximal-marginal-relevance diversified retrieval over the
-    embedding column (Carbonell & Goldstein's MMR — what dense
-    retrieval ships when near-duplicate neighbors would crowd out the
-    result page, and the retrieval-side sibling of q75's SemDeDup):
-    the exact top-25 candidate pool per query comes from the
-    distributed brute-force kernel (q16 machinery), the greedy
-    diversification re-rank runs on the (queries x 25)-bounded driver
-    pool with round-6 similarity determinism. Golden oracle — the
-    greedy is not SQL-replayable (golden_dedup.golden_mmr_topk shares
-    the mmr_greedy kernel, full-scan pool)."""
-    from barks_ocr_ray.functions.ann import mmr_topk
-
-    return mmr_topk(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        ANN_QUERY_IDS,
-    )
-
-
-SQL_Q181 = """
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM ut),
-s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1),
-p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-             CAST(count(*) AS BIGINT) AS n_ab
-      FROM ut a JOIN ut b ON a.user_id = b.user_id
-                         AND a.event_type < b.event_type
-      GROUP BY 1, 2)
-SELECT p.type_a, p.type_b, p.n_ab, sa.n AS n_a, sb.n AS n_b,
-       CAST(round(1e6 * (p.n_ab * nu.n) / (sa.n * sb.n), 0) AS BIGINT)
-         AS lift_micro
-FROM p JOIN s sa ON sa.event_type = p.type_a
-       JOIN s sb ON sb.event_type = p.type_b
-       CROSS JOIN nu
-ORDER BY 1, 2
-"""
-
-
-def q183_join_skew_audit(sf_dir: str):
-    """Join-key skew audit over orders.o_custkey: exact Gini
-    coefficient of the per-key row distribution plus max / p99 key
-    sizes — the pre-flight report that says whether a key needs
-    salting (q54/q74) before it melts a shuffle partition. Shape: ONE
-    keyed count exchange, then a count-of-counts aggregation whose
-    cardinality is bounded by the LARGEST key size (not the key
-    count); the Gini closes in exact integer arithmetic on that
-    bounded table via the run-sum identity
-    sum_i (2i-n-1)c_i = sum_runs c(2(m*lo + m(m-1)/2) - m(n+1))."""
-    import math as _math
-
-    orders = read_table(sf_dir, "orders", ["o_custkey"])
-    per_key = orders.groupby("o_custkey", num_partitions=hash_partitions(4)).aggregate(
-        Count(alias_name="c")
-    )
-    cofc = (
-        per_key.groupby("c", num_partitions=2)
-        .aggregate(Count(alias_name="m"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "n_keys": pa.array([], pa.int64()),
-            "n_rows": pa.array([], pa.int64()),
-            "max_key_rows": pa.array([], pa.int64()),
-            "p99_key_rows": pa.array([], pa.int64()),
-            "gini_micro": pa.array([], pa.int64()),
-        }
-    )
-    if not cofc:
-        return empty
-    cofc.sort(key=lambda r: r["c"])
-    n = sum(int(r["m"]) for r in cofc)
-    tot = sum(int(r["c"]) * int(r["m"]) for r in cofc)
-    g = 0
-    cum = 0
-    p99_rank = int(_math.ceil(0.99 * n))
-    p99 = None
-    for r in cofc:
-        c, m = int(r["c"]), int(r["m"])
-        lo = cum + 1
-        g += c * (2 * (m * lo + m * (m - 1) // 2) - m * (n + 1))
-        cum += m
-        if p99 is None and cum >= p99_rank:
-            p99 = c
-    return pa.table(
-        {
-            "n_keys": pa.array([n], pa.int64()),
-            "n_rows": pa.array([tot], pa.int64()),
-            "max_key_rows": pa.array([int(cofc[-1]["c"])], pa.int64()),
-            "p99_key_rows": pa.array([p99], pa.int64()),
-            "gini_micro": pa.array(
-                [int(round_like_duckdb((1e6 * g) / (n * tot), 0))],
-                pa.int64(),
-            ),
-        }
-    )
-
-
-SQL_Q183 = """
-WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS c
-           FROM orders GROUP BY 1),
-r AS (SELECT c, CAST(count(*) AS BIGINT) AS m FROM k GROUP BY 1),
-s AS (SELECT CAST(sum(m) AS BIGINT) AS n,
-             CAST(sum(c * m) AS BIGINT) AS tot FROM r),
-w AS (SELECT c, m,
-             CAST(coalesce(sum(m) OVER (ORDER BY c
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  AS BIGINT) AS cum_before,
-             CAST(sum(m) OVER (ORDER BY c) AS BIGINT) AS cum
-      FROM r),
-num AS (SELECT CAST(sum(c * (2 * (m * (cum_before + 1) + m * (m - 1) // 2)
-                            - m * (s.n + 1))) AS BIGINT) AS g
-        FROM w CROSS JOIN s)
-SELECT s.n AS n_keys, s.tot AS n_rows,
-       (SELECT max(c) FROM r) AS max_key_rows,
-       (SELECT min(c) FROM w
-        WHERE cum >= CAST(ceil(0.99 * s.n) AS BIGINT)) AS p99_key_rows,
-       CAST(round(1e6 * num.g / (s.n * s.tot), 0) AS BIGINT) AS gini_micro
-FROM s CROSS JOIN num
-"""
-
-
-def q184_minhash_error_audit(sf_dir: str):
-    """Approximation-quality harness for the MinHash family: every q19
-    candidate pair's ESTIMATED Jaccard (128-perm signature agreement)
-    against the EXACT token-trigram Jaccard of the two texts —
-    n_pairs, total/max absolute error and the overestimate count, the
-    numbers that justify (or indict) the sketch parameters before a
-    100 TB dedup run acts on them. Distributed shape: the q19 pair
-    stream joins the corpus twice on compacted inputs (pairs never
-    materialize on the driver); the exact-Jaccard kernel runs per
-    pair-row (pair-bounded, the q21 gram definition verbatim) and the
-    errors reduce through one single-row aggregation. Oracle: golden
-    q19 pairs re-scored exactly by DuckDB list algebra."""
-    from barks_ocr_ray.functions.dedupe import minhash_near_dups
-    from barks_ocr_ray.functions.relational import compact_nonempty
-    from barks_ocr_ray.functions.text import Tokenizer
-
-    np_ = hash_partitions(4)
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
-    pairs = minhash_near_dups(docs, threshold=0.4).materialize()
-    one_zero = pa.table(
-        {
-            "n_pairs": pa.array([0], pa.int64()),
-            "sum_abs_err_micro": pa.array([0], pa.int64()),
-            "max_abs_err_micro": pa.array([0], pa.int64()),
-            "n_over": pa.array([0], pa.int64()),
-        }
-    )
-    pairs_c, n_pairs = compact_nonempty(pairs, np_)
-    if n_pairs == 0:
-        return one_zero
-    docs_c, _ = compact_nonempty(docs, np_)
-
-    def _as(col_id: str, col_txt: str):
-        def _f(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {col_id: t.column("doc_id"), col_txt: t.column("text")}
-            )
-
-        return _f
-
-    ta = docs_c.map_batches(_as("doc_a", "text_a"), batch_format="pyarrow")
-    tb = docs_c.map_batches(_as("doc_b", "text_b"), batch_format="pyarrow")
-    ta_c, _ = compact_nonempty(ta, np_)
-    tb_c, _ = compact_nonempty(tb, np_)
-    j = pairs_c.join(
-        ta_c, join_type="inner", num_partitions=np_, on=("doc_a",)
-    )
-    j_c, _ = compact_nonempty(j, np_)
-    j2 = j_c.join(
-        tb_c, join_type="inner", num_partitions=np_, on=("doc_b",)
-    )
-    tok = Tokenizer()
-
-    def _grams(txt: str) -> set:
-        ts = tok.tokens(txt or "")
-        return {
-            " ".join(ts[i : i + 3]) for i in range(max(1, len(ts) - 2))
-        }
-
-    def _err_partial(t: pa.Table) -> pa.Table:
-        n = s = mx = over = 0
-        for est, xa, xb in zip(
-            t.column("est_jaccard").to_pylist(),
-            t.column("text_a").to_pylist(),
-            t.column("text_b").to_pylist(),
-        ):
-            ga, gb = _grams(xa), _grams(xb)
-            inter = len(ga & gb)
-            union = max(len(ga | gb), 1)
-            exact_micro = int(round_like_duckdb((1e6 * inter) / union, 0))
-            est_micro = int(round_like_duckdb(est * 1e6, 0))
-            e = abs(est_micro - exact_micro)
-            n += 1
-            s += e
-            mx = max(mx, e)
-            over += 1 if est_micro > exact_micro else 0
-        return pa.table(
-            {
-                "n_pairs": pa.array([n], pa.int64()),
-                "sum_abs_err_micro": pa.array([s], pa.int64()),
-                "max_abs_err_micro": pa.array([mx], pa.int64()),
-                "n_over": pa.array([over], pa.int64()),
-            }
-        )
-
-    stats = j2.map_batches(_err_partial, batch_format="pyarrow").aggregate(
-        Sum("n_pairs", alias_name="n_pairs"),
-        Sum("sum_abs_err_micro", alias_name="sum_abs_err_micro"),
-        Max("max_abs_err_micro", alias_name="max_abs_err_micro"),
-        Sum("n_over", alias_name="n_over"),
-    )
-    return pa.table(
-        {
-            "n_pairs": pa.array([int(stats["n_pairs"] or 0)], pa.int64()),
-            "sum_abs_err_micro": pa.array(
-                [int(stats["sum_abs_err_micro"] or 0)], pa.int64()
-            ),
-            "max_abs_err_micro": pa.array(
-                [int(stats["max_abs_err_micro"] or 0)], pa.int64()
-            ),
-            "n_over": pa.array([int(stats["n_over"] or 0)], pa.int64()),
-        }
-    )
-
-
-def _sql_q184() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
-
-    return f"""
-WITH p AS (SELECT doc_a, doc_b, est_jaccard
-           FROM read_parquet('{neardup_golden_path("minhash_pairs")}')
-           WHERE corpus_tag = {corpus_tag_sql("documents")}),
-g AS (SELECT doc_id,
-             list_distinct(list_transform(
-                 range(1, greatest(len(toks) - 2, 1) + 1),
-                 i -> array_to_string(toks[i:i+2], ' '))) AS grams
-      FROM (SELECT doc_id,
-                   regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_RE}')
-                     AS toks
-            FROM documents) t),
-e AS (SELECT
-        CAST(round(p.est_jaccard * 1e6, 0) AS BIGINT) AS est_micro,
-        CAST(round(1e6 * CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                   / greatest(len(list_distinct(list_concat(a.grams, b.grams))),
-                              1), 0) AS BIGINT) AS exact_micro
-      FROM p JOIN g a ON a.doc_id = p.doc_a
-             JOIN g b ON b.doc_id = p.doc_b)
-SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(coalesce(sum(abs(est_micro - exact_micro)), 0) AS BIGINT)
-         AS sum_abs_err_micro,
-       CAST(coalesce(max(abs(est_micro - exact_micro)), 0) AS BIGINT)
-         AS max_abs_err_micro,
-       CAST(coalesce(sum(CASE WHEN est_micro > exact_micro THEN 1 ELSE 0 END),
-                     0) AS BIGINT) AS n_over
-FROM e
-"""
-
-
-Q185_K = 3
-Q185_ROUNDS = 8
-
-
-def q185_kcore(sf_dir: str):
-    """k-core decomposition (membership at k=3) of the
-    customer<->supplier trade graph — the subgraph-density screen
-    that separates the engaged core from one-shot pendants (Matula &
-    Beck peeling; the density rung next to q94 centrality, q138
-    triangles, q163 HITS). Fixed-round synchronous peeling in
-    `graph.kcore_membership`: BSP task waves over coded edge blocks
-    under the node-count gate, two membership semi-joins + one grouped
-    count per round above it; converged rounds are idempotent, so the
-    early-stopping engine and the fully-unrolled oracle agree."""
-    from barks_ocr_ray.functions.graph import kcore_membership
-
-    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(
-        od,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        cust = pc.binary_join_element_wise(
-            pa.scalar("C"), pc.cast(t.column("o_custkey"), pa.string()), ""
-        )
-        supp = pc.binary_join_element_wise(
-            pa.scalar("S"), pc.cast(t.column("l_suppkey"), pa.string()), ""
-        )
-        return pa.table({"src": cust, "dst": supp})
-
-    return kcore_membership(
-        joined.map_batches(_pairs, batch_format="pyarrow"),
-        k=Q185_K,
-        rounds=Q185_ROUNDS,
-    ).sort("node")
-
-
-def _sql_q185() -> str:
-    ctes = [
-        """e0 AS (
-  SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
-                  'S' || CAST(l_suppkey AS VARCHAR) AS dst
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0
-          UNION ALL SELECT dst AS src, src AS dst FROM e0),
-s0 AS (SELECT DISTINCT src AS node FROM edges)"""
-    ]
-    for r in range(1, Q185_ROUNDS + 1):
-        ctes.append(
-            """s{r} AS (
-  SELECT e.src AS node FROM edges e
-  JOIN s{p} a ON e.src = a.node
-  JOIN s{p} b ON e.dst = b.node
-  GROUP BY e.src HAVING count(*) >= {k})""".format(
-                r=r, p=r - 1, k=Q185_K
-            )
-        )
-    return "WITH {ctes}\nSELECT node FROM s{last} ORDER BY node".format(
-        ctes=",\n".join(ctes), last=Q185_ROUNDS
-    )
-
-
-def q186_ivf_recall_audit(sf_dir: str):
-    """Approximation-quality harness for the ANN family: per query,
-    how many of the IVF index's top-10 (q48) are in the EXACT
-    brute-force top-10 (q16) — the recall@k table that justifies the
-    quantizer parameters before an index serves production traffic
-    (the vector sibling of q184's MinHash error audit). Both legs run
-    distributed (broadcast query matrix + per-block top-k merges; IVF
-    probes n_probe lists); the intersection closes on the
-    (queries x k)-bounded driver pools."""
-    from barks_ocr_ray.functions.ann import brute_force_topk, ivf_topk
-
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
-    exact = brute_force_topk(emb, ANN_QUERY_IDS, k=10).take_all()
-    approx = ivf_topk(emb, ANN_QUERY_IDS, k=10).take_all()
-    ex_by_q: dict = {}
-    for r in exact:
-        ex_by_q.setdefault(int(r["query_id"]), set()).add(
-            int(r["neighbor_id"])
-        )
-    ap_by_q: dict = {}
-    for r in approx:
-        ap_by_q.setdefault(int(r["query_id"]), set()).add(
-            int(r["neighbor_id"])
-        )
-    qids = sorted(ap_by_q)
-    hits = [len(ap_by_q[q] & ex_by_q.get(q, set())) for q in qids]
-    return pa.table(
-        {
-            "query_id": pa.array(qids, pa.int64()),
-            "n_hits": pa.array(hits, pa.int64()),
-            "recall_micro": pa.array(
-                [
-                    int(round_like_duckdb((1e6 * h) / 10, 0))
-                    for h in hits
-                ],
-                pa.int64(),
-            ),
-        }
-    )
-
-
-def _sql_q186() -> str:
-    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
-
-    return f"""
-WITH ex AS ({SQL_Q16}),
-ap AS (SELECT query_id, neighbor_id
-       FROM read_parquet('{neardup_golden_path("ivf_topk")}')
-       WHERE corpus_tag = {corpus_tag_sql("embeddings")}),
-h AS (SELECT ap.query_id, CAST(count(*) AS BIGINT) AS n_hits
-      FROM ap JOIN ex ON ex.query_id = ap.query_id
-                     AND ex.neighbor_id = ap.neighbor_id
-      GROUP BY 1)
-SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
-       CAST(round(1e6 * coalesce(h.n_hits, 0) / 10, 0) AS BIGINT)
-         AS recall_micro
-FROM (SELECT DISTINCT query_id FROM ap) q
-LEFT JOIN h USING (query_id) ORDER BY 1
-"""
-
-
-def q187_attrition_report(sf_dir: str):
-    """Per-source attrition funnel through the q115 cleaning arc —
-    'where did my data go', the observability table every pretraining
-    curation run publishes: docs per source surviving each successive
-    gate (training split -> exact-dedup winner -> Gopher repetition ->
-    decontamination). Reuses the exact stage kernels (so the funnel
-    IS the pipeline, not a parallel estimate); the per-doc gate flags
-    merge through ONE doc-keyed union-Max exchange + one compacted
-    doc-keyed join to attach source, and the report reduces to a
-    sources-bounded grouped sum of conjunction counters."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.curation import (
-        _id_fracs,
-        decontaminate,
-        repetition_stats,
-    )
-    from barks_ocr_ray.functions.dedupe import exact_dedup_docs
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
-    f, w = Q112_HOLDOUT_FRAC, Q112_WINDOW
-    np_ = hash_partitions(4)
-    docs = read_table(
-        sf_dir, "documents", ["doc_id", "text", "source"]
-    ).materialize()
-
-    def _base(t: pa.Table) -> pa.Table:
-        us = _id_fracs(t.column("doc_id"), "md5")
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "source": t.column("source"),
-                "in_train": pa.array((us >= f).astype(np.int64), pa.int64()),
-            }
-        )
-
-    base = docs.map_batches(_base, batch_format="pyarrow")
-
-    def _train_filter(t: pa.Table) -> pa.Table:
-        us = _id_fracs(t.column("doc_id"), "md5")
-        return t.filter(pa.array(us >= f, pa.bool_()))
-
-    train = docs.map_batches(_train_filter, batch_format="pyarrow")
-
-    def _flag(col: str):
-        def _f(t: pa.Table) -> pa.Table:
-            one = pa.array(np.ones(t.num_rows, np.int64), pa.int64())
-            zero = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
-            return pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "fw": one if col == "fw" else zero,
-                    "fr": one if col == "fr" else zero,
-                    "fc": one if col == "fc" else zero,
-                }
-            )
-
-        return _f
-
-    winners = exact_dedup_docs(train).map_batches(
-        _flag("fw"), batch_format="pyarrow"
-    )
-    rep = (
-        repetition_stats(train)
-        .filter(
-            expr=(
-                f"dup_token_frac <= {Q115_MAX_DUP_FRAC} and "
-                f"top_bigram_frac <= {Q115_MAX_BIGRAM_FRAC}"
-            )
-        )
-        .map_batches(_flag("fr"), batch_format="pyarrow")
-    )
-    contam = decontaminate(docs, holdout_frac=f, window=w).map_batches(
-        _flag("fc"), batch_format="pyarrow"
-    )
-    flags = (
-        winners.union(rep)
-        .union(contam)
-        .groupby("doc_id", num_partitions=np_)
-        .aggregate(
-            Max("fw", alias_name="fw"),
-            Max("fr", alias_name="fr"),
-            Max("fc", alias_name="fc"),
-        )
-    )
-    base_c, _ = compact_nonempty(base, np_)
-    flags_c, n_flags = compact_nonempty(flags, np_)
-    if n_flags == 0:
-        merged = base_c.map_batches(
-            lambda t: t.append_column(
-                "fw", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
-            )
-            .append_column(
-                "fr", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
-            )
-            .append_column(
-                "fc", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
-            ),
-            batch_format="pyarrow",
-        )
-    else:
-        merged = base_c.join(
-            flags_c,
-            join_type="left_outer",
-            num_partitions=np_,
-            on=("doc_id",),
-        )
-
-    def _partials(t: pa.Table) -> pa.Table:
-        it = t.column("in_train").to_numpy(zero_copy_only=False)
-        fw = pc.fill_null(t.column("fw"), 0).to_numpy(zero_copy_only=False)
-        fr = pc.fill_null(t.column("fr"), 0).to_numpy(zero_copy_only=False)
-        fc = pc.fill_null(t.column("fc"), 0).to_numpy(zero_copy_only=False)
-        n_train = it
-        n_dedup = it * fw
-        n_rep_ok = n_dedup * fr
-        n_clean = n_rep_ok * (1 - fc)
-        k = pa.table(
-            {
-                "source": t.column("source"),
-                "n_total": pa.array(np.ones(len(it), np.int64), pa.int64()),
-                "n_train": pa.array(n_train, pa.int64()),
-                "n_dedup": pa.array(n_dedup, pa.int64()),
-                "n_rep_ok": pa.array(n_rep_ok, pa.int64()),
-                "n_clean": pa.array(n_clean, pa.int64()),
-            }
-        )
-        return (
-            k.group_by("source")
-            .aggregate(
-                [
-                    ("n_total", "sum"),
-                    ("n_train", "sum"),
-                    ("n_dedup", "sum"),
-                    ("n_rep_ok", "sum"),
-                    ("n_clean", "sum"),
-                ]
-            )
-            .rename_columns(
-                ["source", "n_total", "n_train", "n_dedup", "n_rep_ok",
-                 "n_clean"]
-            )
-        )
-
-    return (
-        merged.map_batches(_partials, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(
-            Sum("n_total", alias_name="n_total"),
-            Sum("n_train", alias_name="n_train"),
-            Sum("n_dedup", alias_name="n_dedup"),
-            Sum("n_rep_ok", alias_name="n_rep_ok"),
-            Sum("n_clean", alias_name="n_clean"),
-        )
-        .sort("source")
-    )
-
-
-def _sql_q187() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    w = Q112_WINDOW
-    f = Q112_HOLDOUT_FRAC
-    return f"""
-WITH base AS (
-  SELECT doc_id, source, text,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS UBIGINT) / 4294967296.0 AS u
-  FROM documents),
-train AS (SELECT * FROM base WHERE u >= {f}),
-win AS (SELECT min(doc_id) AS doc_id FROM train GROUP BY md5(text)),
-tok AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-        FROM train),
-r AS (
-  SELECT doc_id, len(toks) AS n_tokens,
-         len(list_distinct(toks)) AS n_distinct,
-         list_transform(range(1, len(toks)),
-                        i -> toks[i] || ' ' || toks[i+1]) AS bigrams
-  FROM tok WHERE len(toks) >= 2),
-bc AS (SELECT doc_id, bg, count(*) AS c
-       FROM (SELECT doc_id, unnest(bigrams) AS bg FROM r) GROUP BY 1, 2),
-top AS (SELECT doc_id, max(c) AS top_n FROM bc GROUP BY 1),
-rep_ok AS (
-  SELECT r.doc_id FROM r JOIN top USING (doc_id)
-  WHERE round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 4)
-          <= {Q115_MAX_DUP_FRAC}
-    AND round(top_n / CAST(n_tokens - 1 AS DOUBLE), 4)
-          <= {Q115_MAX_BIGRAM_FRAC}),
-wtok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks, u
-  FROM base
-  WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) >= {w}),
-wnd AS (
-  SELECT DISTINCT doc_id, u,
-         substring(md5(array_to_string(toks[i:i+{w - 1}], ' ')), 1, 16) AS h
-  FROM wtok, UNNEST(range(1, len(toks) - {w} + 2)) AS un(i)),
-hold AS (SELECT DISTINCT h FROM wnd WHERE u < {f}),
-contam AS (SELECT DISTINCT wnd.doc_id FROM wnd JOIN hold USING (h)
-           WHERE wnd.u >= {f}),
-flags AS (
-  SELECT b.doc_id, b.source,
-         (b.u >= {f}) AS in_train,
-         (win.doc_id IS NOT NULL) AS is_w,
-         (rep_ok.doc_id IS NOT NULL) AS is_r,
-         (contam.doc_id IS NOT NULL) AS is_c
-  FROM base b
-  LEFT JOIN win ON win.doc_id = b.doc_id
-  LEFT JOIN rep_ok ON rep_ok.doc_id = b.doc_id
-  LEFT JOIN contam ON contam.doc_id = b.doc_id)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_total,
-       CAST(sum(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
-       CAST(sum(CASE WHEN in_train AND is_w THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_dedup,
-       CAST(sum(CASE WHEN in_train AND is_w AND is_r THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_rep_ok,
-       CAST(sum(CASE WHEN in_train AND is_w AND is_r AND NOT is_c
-                THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
-FROM flags GROUP BY 1 ORDER BY 1
-"""
-
-
-#: q188 burst window width (event-time, exact)
-Q188_WINDOW_US = 3_600_000_000
-
-
-def q188_burst_windows(sf_dir: str):
-    """Per-user peak event rate: the maximum number of events inside
-    any trailing 1-hour event-time window — the burst/rate-limit
-    signal (crawler politeness, abuse detection) that tumbling buckets
-    (q12) blur across boundaries. Exact sliding semantics with NO
-    per-event self-join: one user-keyed exchange, then per block each
-    user's sorted timestamp array answers every window with two
-    vectorized searchsorted sweeps (count in [ts-1h, ts], equal-ts
-    peers included — the SQL RANGE frame's peer rule)."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts"])
-
-    def _bursts(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "max_burst": pa.array([], pa.int64()),
-                }
-            )
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ts, u))
-        u, ts = u[order], ts[order]
-        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        out_u, out_m = [], []
-        for i, s in enumerate(seg):
-            e = seg[i + 1] if i + 1 < len(seg) else len(u)
-            a = ts[s:e]
-            hi = np.searchsorted(a, a, side="right")
-            lo = np.searchsorted(a, a - Q188_WINDOW_US, side="left")
-            out_u.append(int(u[s]))
-            out_m.append(int((hi - lo).max()))
-        return pa.table(
-            {
-                "user_id": pa.array(out_u, pa.int64()),
-                "max_burst": pa.array(out_m, pa.int64()),
-            }
-        )
-
-    return (
-        ev.repartition(hash_partitions(4), keys=["user_id"])
-        .map_batches(_bursts, batch_format="pyarrow", batch_size=None)
-        .sort("user_id")
-    )
-
-
-SQL_Q188 = """
-WITH b AS (
-  SELECT user_id,
-         CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
-              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS w
-  FROM events)
-SELECT user_id, max(w) AS max_burst FROM b GROUP BY 1 ORDER BY 1
-"""
-
-
-def q189_two_hop_reach(sf_dir: str):
-    """Two-hop neighborhood size per node over the trade graph (the
-    friends-of-friends reach that prices influence/recommendation
-    fan-out; completes the graph-analytics shelf next to q94 PageRank,
-    q138 triangles, q163 HITS, q185 k-core). Distributed shape: one
-    mid-node wedge join (sum(deg²)-sized — unlike triangles, two-hop
-    reach is charged to the endpoint, so the degree-ordering trick
-    that makes triangle_counts hub-safe does not apply; degree-cap or
-    salt hub nodes before calling this on a skewed graph), then (node,
-    reach) DISTINCT via one composite-keyed exchange and a node-keyed
-    count. Self is excluded; direct neighbors count (distance 1 or
-    2)."""
-    from barks_ocr_ray.functions.graph import _distinct_edges, symmetrize
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
-    np_ = hash_partitions(8)
-    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(
-        od,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    # nodes are INT-coded through the wedge machinery (cust -> 2k,
-    # supp -> 2k+1): the sum(deg²)-sized wedge stream ships int64
-    # pairs, not strings (measured 40x on the sf0.01 graph's 25M
-    # wedges); the string ids reappear only on the node-sized output
-    def _pairs(t: pa.Table) -> pa.Table:
-        cust = pc.multiply(
-            t.column("o_custkey").cast(pa.int64()), pa.scalar(2, pa.int64())
-        )
-        supp = pc.add(
-            pc.multiply(
-                t.column("l_suppkey").cast(pa.int64()),
-                pa.scalar(2, pa.int64()),
-            ),
-            pa.scalar(1, pa.int64()),
-        )
-        return pa.table({"src": cust, "dst": supp})
-
-    edges = symmetrize(
-        _distinct_edges(
-            joined.map_batches(_pairs, batch_format="pyarrow"), np_
-        )
-    ).materialize()
-    edges_c, n_edges = compact_nonempty(edges, np_)
-    empty = pa.table(
-        {
-            "node": pa.array([], pa.string()),
-            "n_reach": pa.array([], pa.int64()),
-        }
-    )
-    if n_edges == 0:
-        return empty
-
-    left = edges_c.map_batches(
-        lambda t: pa.table(
-            {"node": t.column("src"), "mid": t.column("dst")}
-        ),
-        batch_format="pyarrow",
-    )
-    right = edges_c.map_batches(
-        lambda t: pa.table(
-            {"mid": t.column("src"), "reach": t.column("dst")}
-        ),
-        batch_format="pyarrow",
-    )
-    left_c, _ = compact_nonempty(left, np_)
-    right_c, _ = compact_nonempty(right, np_)
-    wedges = left_c.join(
-        right_c, join_type="inner", num_partitions=np_, on=("mid",)
-    )
-
-    def _hop2(t: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.equal(t.column("reach"), t.column("node")))
-        t = t.filter(keep)
-        # block-level distinct combiner: the exchange ships at most
-        # (distinct pairs per block), never the raw wedge multiplicity
-        return (
-            pa.table(
-                {"node": t.column("node"), "reach": t.column("reach")}
-            )
-            .group_by(["node", "reach"])
-            .aggregate([])
-        )
-
-    direct = edges_c.map_batches(
-        lambda t: pa.table(
-            {"node": t.column("src"), "reach": t.column("dst")}
-        ),
-        batch_format="pyarrow",
-    )
-
-    def _decode(t: pa.Table) -> pa.Table:
-        code = t.column("node")
-        is_supp = pc.equal(
-            pc.bit_wise_and(code, pa.scalar(1, pa.int64())),
-            pa.scalar(1, pa.int64()),
-        )
-        key = pc.divide(code, pa.scalar(2, pa.int64())).cast(pa.string())
-        node = pc.binary_join_element_wise(
-            pc.if_else(is_supp, pa.scalar("S"), pa.scalar("C")), key, ""
-        )
-        return pa.table({"node": node, "n_reach": t.column("n_reach")})
-
-    def _per_node_counts(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {
-                    "node": pa.array([], pa.int64()),
-                    "n_reach": pa.array([], pa.int64()),
-                }
-            )
-        # node-keyed repartition colocates each node's rows, so the
-        # block-local distinct IS the global distinct — one Arrow
-        # hash pass replaces a Ray hash-aggregate over the pair
-        # stream (measured 196 s -> <2 s on the 12.8M-row sf0.01
-        # stream; Ray's HashAggregate pays per-row key overhead the
-        # Arrow kernel doesn't)
-        d = t.group_by(["node", "reach"]).aggregate([])
-        return (
-            d.group_by(["node"])
-            .aggregate([("reach", "count")])
-            .rename_columns(["node", "n_reach"])
-        )
-
-    counted = (
-        # batch_size=None everywhere below: combiners must see whole
-        # partitions, not 1k-row slices (the CLAUDE.md keyed-block trap)
-        wedges.map_batches(_hop2, batch_format="pyarrow", batch_size=None)
-        .union(direct)
-        .repartition(np_, keys=["node"])
-        .map_batches(
-            _per_node_counts, batch_format="pyarrow", batch_size=None
-        )
-    )
-    counted_c, _ = compact_nonempty(counted, np_)
-    return counted_c.map_batches(_decode, batch_format="pyarrow").sort(
-        "node"
-    )
-
-
-def _sql_q189() -> str:
-    return """
-WITH e0 AS (SELECT DISTINCT 'C' || CAST(o_custkey AS VARCHAR) AS src,
-                   'S' || CAST(l_suppkey AS VARCHAR) AS dst
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-two AS (SELECT DISTINCT a.src AS node, b.dst AS reach
-        FROM edges a JOIN edges b ON a.dst = b.src
-        WHERE b.dst != a.src
-        UNION SELECT DISTINCT src AS node, dst AS reach FROM edges)
-SELECT node, CAST(count(*) AS BIGINT) AS n_reach
-FROM two GROUP BY 1 ORDER BY 1
-"""
-
-
-#: q190/q191 resharding geometry: old and new shard counts
-Q190_SHARDS_OLD = 8
-Q190_SHARDS_NEW = 9
-
-
-def _rendezvous_rows(t: pa.Table) -> "tuple":
-    """Per-key modulo and rendezvous (HRW) shard assignments at the old
-    and new shard counts (Thaler & Ravishankar's highest-random-weight
-    hashing). md5 hex strings compare lexicographically == numerically
-    (fixed-width lowercase hex), so the DuckDB list_max/array_position
-    replay picks the identical winner; first-max tie rule on both
-    sides. md5 here is the oracle-replayable path — the
-    functions/hashing.py splitmix64 discipline applies verbatim for a
-    production fast path."""
-    import hashlib
-
-    ids = t.column("doc_id").to_pylist()
-    m8, m9, r8, r9 = [], [], [], []
-    for d in ids:
-        hs = [
-            hashlib.md5(f"{d}|{s}".encode()).hexdigest()
-            for s in range(Q190_SHARDS_NEW)
-        ]
-        old = hs[: Q190_SHARDS_OLD]
-        r8.append(old.index(max(old)))
-        r9.append(hs.index(max(hs)))
-        m8.append(d % Q190_SHARDS_OLD)
-        m9.append(d % Q190_SHARDS_NEW)
-    return ids, m8, m9, r8, r9
-
-
-def q190_reshard_churn(sf_dir: str):
-    """Resharding-churn audit: when the partition count grows 8 -> 9,
-    how many keys MOVE under modulo placement vs rendezvous/HRW
-    hashing — the number that decides whether a 100 TB re-partition
-    rewrites ~8/9 of every shard (modulo) or ~1/9 (consistent
-    placement), i.e. whether resumable partitioned output (SURVEY's
-    'failed run skips finished partitions') survives a topology
-    change. One streamed pass (per-key hashing, md5 oracle path),
-    single-row integer rollup."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["doc_id"])
-
-    def _partial(t: pa.Table) -> pa.Table:
-        _, m8, m9, r8, r9 = _rendezvous_rows(t)
-        m8a, m9a = np.array(m8), np.array(m9)
-        r8a, r9a = np.array(r8), np.array(r9)
-        return pa.table(
-            {
-                "n_keys": pa.array([len(m8)], pa.int64()),
-                "moved_modulo": pa.array(
-                    [int((m8a != m9a).sum())], pa.int64()
-                ),
-                "moved_rendezvous": pa.array(
-                    [int((r8a != r9a).sum())], pa.int64()
-                ),
-            }
-        )
-
-    s = docs.map_batches(_partial, batch_format="pyarrow").aggregate(
-        Sum("n_keys", alias_name="n_keys"),
-        Sum("moved_modulo", alias_name="moved_modulo"),
-        Sum("moved_rendezvous", alias_name="moved_rendezvous"),
-    )
-    return pa.table(
-        {
-            "n_keys": pa.array([int(s["n_keys"] or 0)], pa.int64()),
-            "moved_modulo": pa.array(
-                [int(s["moved_modulo"] or 0)], pa.int64()
-            ),
-            "moved_rendezvous": pa.array(
-                [int(s["moved_rendezvous"] or 0)], pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q190() -> str:
-    n, o = Q190_SHARDS_NEW, Q190_SHARDS_OLD
-    return f"""
-WITH h AS (
-  SELECT doc_id,
-         list_transform(range(0, {n}),
-             s -> md5(CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR)))
-           AS hs
-  FROM documents),
-a AS (
-  SELECT doc_id,
-         array_position(hs[1:{o}], list_max(hs[1:{o}])) - 1 AS r_old,
-         array_position(hs, list_max(hs)) - 1 AS r_new,
-         doc_id % {o} AS m_old, doc_id % {n} AS m_new
-  FROM h)
-SELECT CAST(count(*) AS BIGINT) AS n_keys,
-       CAST(sum(CASE WHEN m_old != m_new THEN 1 ELSE 0 END) AS BIGINT)
-         AS moved_modulo,
-       CAST(sum(CASE WHEN r_old != r_new THEN 1 ELSE 0 END) AS BIGINT)
-         AS moved_rendezvous
-FROM a
-"""
-
-
-def q191_shard_balance(sf_dir: str):
-    """Shard-balance histogram under rendezvous placement at the new
-    topology (q190's companion): keys per shard — the skew report that
-    says whether consistent placement also stays BALANCED (HRW is
-    uniform in expectation; this measures the draw). Streamed per-key
-    hashing into shards-bounded count partials."""
-    from collections import Counter
-
-    docs = read_table(sf_dir, "documents", ["doc_id"])
-
-    def _partial(t: pa.Table) -> pa.Table:
-        _, _, _, _, r9 = _rendezvous_rows(t)
-        c = Counter(r9)
-        ks = sorted(c)
-        return pa.table(
-            {
-                "shard": pa.array(ks, pa.int64()),
-                "n_keys": pa.array([c[k] for k in ks], pa.int64()),
-            }
-        )
-
-    return (
-        docs.map_batches(_partial, batch_format="pyarrow")
-        .groupby("shard", num_partitions=2)
-        .aggregate(Sum("n_keys", alias_name="n_keys"))
-        .sort("shard")
-    )
-
-
-def _sql_q191() -> str:
-    n = Q190_SHARDS_NEW
-    return f"""
-WITH h AS (
-  SELECT doc_id,
-         list_transform(range(0, {n}),
-             s -> md5(CAST(doc_id AS VARCHAR) || '|' || CAST(s AS VARCHAR)))
-           AS hs
-  FROM documents)
-SELECT array_position(hs, list_max(hs)) - 1 AS shard,
-       CAST(count(*) AS BIGINT) AS n_keys
-FROM h GROUP BY 1 ORDER BY 1
-"""
-
-
-def q192_last_touch_attribution(sf_dir: str):
-    """Last-touch revenue attribution: each purchase's value credits
-    the user's most recent preceding click (ties on timestamp break by
-    event_id — the SQL ROWS-frame rule, mirrored exactly) — the
-    marketing-analytics join-free attribution scan next to q144's path
-    mining and q151's funnel. One user-keyed exchange; each user's
-    sorted event stream resolves every purchase in one vectorized-scan
-    pass per block; output is user-bounded."""
-    import numpy as np
-
-    ev = read_table(
-        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
-    )
-
-    def _scan(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "user_id": pa.array([], pa.int64()),
-                "n_purchases": pa.array([], pa.int64()),
-                "n_attributed": pa.array([], pa.int64()),
-                "attributed_cents": pa.array([], pa.int64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        et = np.asarray(t.column("event_type").to_pylist())
-        cents = round_like_duckdb(
-            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
-        ).astype(np.int64)
-        order = np.lexsort((eid, ts, u))
-        u, et, cents = u[order], et[order], cents[order]
-        is_click = et == "click"
-        is_purch = et == "purchase"
-        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        out_u, out_p, out_a, out_c = [], [], [], []
-        for i, s in enumerate(seg):
-            e = seg[i + 1] if i + 1 < len(seg) else len(u)
-            click_seen = np.maximum.accumulate(is_click[s:e])
-            p = is_purch[s:e]
-            if not p.any():
-                continue
-            attr = p & click_seen
-            out_u.append(int(u[s]))
-            out_p.append(int(p.sum()))
-            out_a.append(int(attr.sum()))
-            out_c.append(int(cents[s:e][attr].sum()))
-        return pa.table(
-            {
-                "user_id": pa.array(out_u, pa.int64()),
-                "n_purchases": pa.array(out_p, pa.int64()),
-                "n_attributed": pa.array(out_a, pa.int64()),
-                "attributed_cents": pa.array(out_c, pa.int64()),
-            }
-        )
-
-    return (
-        ev.repartition(hash_partitions(4), keys=["user_id"])
-        .map_batches(_scan, batch_format="pyarrow", batch_size=None)
-        .sort("user_id")
-    )
-
-
-SQL_Q192 = """
-WITH e AS (SELECT event_id, user_id, ts, event_type,
-                  CAST(round(value * 100, 0) AS BIGINT) AS cents
-           FROM events),
-m AS (SELECT *,
-         max(CASE WHEN event_type = 'click' THEN ts END) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
-      FROM e),
-p AS (SELECT user_id, cents, (last_click IS NOT NULL) AS attributed
-      FROM m WHERE event_type = 'purchase')
-SELECT user_id,
-       CAST(count(*) AS BIGINT) AS n_purchases,
-       CAST(sum(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_attributed,
-       CAST(sum(CASE WHEN attributed THEN cents ELSE 0 END) AS BIGINT)
-         AS attributed_cents
-FROM p GROUP BY 1 ORDER BY 1
-"""
-
-
-#: q193 autocorrelation lag (hours): daily periodicity
-Q193_LAG = 24
-
-
-def q193_daily_periodicity(sf_dir: str):
-    """Daily-periodicity diagnostic on the event stream: exact Pearson
-    autocorrelation of the DENSE hourly count series at lag 24 (zero
-    hours count as zero — missing-hour handling is where naive
-    implementations silently shift the lag). Distributed shape: one
-    hour-keyed count aggregation (q12 machinery); the dense spine,
-    integer regression sums and the single IEEE scalar close on the
-    hours-bounded driver series."""
-    import math as _math
-
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["ts"])
-
-    def _hours(t: pa.Table) -> pa.Table:
-        h = pc.divide(
-            t.column("ts").cast(pa.int64()),
-            pa.scalar(3_600_000_000, pa.int64()),
-        )
-        k = pa.table({"hour_id": h})
-        return (
-            k.group_by("hour_id")
-            .aggregate([("hour_id", "count")])
-            .rename_columns(["hour_id", "n"])
-        )
-
-    hourly = (
-        ev.map_batches(_hours, batch_format="pyarrow")
-        .groupby("hour_id", num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "n_hours": pa.array([], pa.int64()),
-            "n_pairs": pa.array([], pa.int64()),
-            "autocorr_micro": pa.array([], pa.int64()),
-        }
-    )
-    if not hourly:
-        return empty
-    by_h = {int(r["hour_id"]): int(r["n"]) for r in hourly}
-    lo, hi = min(by_h), max(by_h)
-    x = np.array(
-        [by_h.get(h, 0) for h in range(lo, hi + 1)], dtype=object
-    )
-    n_hours = len(x)
-    if n_hours <= Q193_LAG:
-        return empty
-    a, b = x[Q193_LAG:], x[: -Q193_LAG]
-    n_p = len(a)
-    sa, sb = int(sum(a)), int(sum(b))
-    sab = int(sum(int(i) * int(j) for i, j in zip(a, b)))
-    saa = int(sum(int(i) * int(i) for i in a))
-    sbb = int(sum(int(i) * int(i) for i in b))
-    den = _math.sqrt(float((n_p * saa - sa * sa) * (n_p * sbb - sb * sb)))
-    if den == 0.0:
-        return empty
-    r = (1e6 * float(n_p * sab - sa * sb)) / den
-    return pa.table(
-        {
-            "n_hours": pa.array([n_hours], pa.int64()),
-            "n_pairs": pa.array([n_p], pa.int64()),
-            "autocorr_micro": pa.array(
-                [int(round_like_duckdb(r, 0))], pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q193() -> str:
-    return f"""
-WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour_id,
-                  CAST(count(*) AS BIGINT) AS n
-           FROM events GROUP BY 1),
-bounds AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM h),
-spine AS (SELECT unnest(generate_series(bounds.lo, bounds.hi)) AS hour_id
-          FROM bounds),
-d AS (SELECT spine.hour_id, coalesce(h.n, 0) AS x
-      FROM spine LEFT JOIN h USING (hour_id)),
-l AS (SELECT x, lag(x, {Q193_LAG}) OVER (ORDER BY hour_id) AS y FROM d),
-s AS (SELECT CAST(count(*) AS BIGINT) AS np, sum(x) AS sa, sum(y) AS sb,
-             sum(x * y) AS sab, sum(x * x) AS saa, sum(y * y) AS sbb
-      FROM l WHERE y IS NOT NULL),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n_hours FROM d)
-SELECT n.n_hours, s.np AS n_pairs,
-       CAST(round(1e6 * (s.np * s.sab - s.sa * s.sb)
-            / sqrt((s.np * s.saa - s.sa * s.sa)
-                   * (s.np * s.sbb - s.sb * s.sb)), 0) AS BIGINT)
-         AS autocorr_micro
-FROM s CROSS JOIN n
-"""
-
-
-def q194_quality_dedup(sf_dir: str):
-    """Quality-winner near-dup resolution: inside each q35 duplicate
-    cluster keep the member the q64 classifier scores HIGHEST (ties ->
-    smallest doc_id), and report the quality gain over the naive
-    min-id policy — the 'keep the best copy, not the first copy'
-    dedup every pretraining corpus wants once it has a quality model.
-    Composition: q19 pair machinery -> q35 min-label components ->
-    streamed q64 scoring -> one cluster-keyed grouped-argmax
-    (grouped_topk, no global sort) + one cluster-bounded join for
-    sizes/min-id scores. Golden-backed oracle: cluster membership
-    replays from the q35 golden; scoring and argmax replay in SQL."""
-    from barks_ocr_ray.functions.dedupe import dup_clusters, minhash_near_dups
-    from barks_ocr_ray.functions.inference import quality_model_score
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
-    np_ = hash_partitions(4)
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
-    clusters = dup_clusters(
-        minhash_near_dups(docs, threshold=0.4)
-    ).materialize()
-    empty = pa.table(
-        {
-            "cluster": pa.array([], pa.int64()),
-            "kept_doc": pa.array([], pa.int64()),
-            "kept_score": pa.array([], pa.float64()),
-            "n_members": pa.array([], pa.int64()),
-            "score_gain_bp": pa.array([], pa.int64()),
-        }
-    )
-    cl_c, n_cl = compact_nonempty(clusters, np_)
-    if n_cl == 0:
-        return empty
-    scores = quality_model_score(docs).map_batches(
-        lambda t: t.select(["doc_id", "quality_score"]),
-        batch_format="pyarrow",
-    )
-    sc_c, _ = compact_nonempty(scores, np_)
-    joined = cl_c.join(
-        sc_c, join_type="inner", num_partitions=np_, on=("doc_id",)
-    )
-
-    def _resolve(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        if t.num_rows == 0:
-            return empty
-        c = t.column("cluster").to_numpy(zero_copy_only=False)
-        d = t.column("doc_id").to_numpy(zero_copy_only=False)
-        s = t.column("quality_score").to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, -s, c))
-        c, d, s = c[order], d[order], s[order]
-        seg = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
-        sizes = np.diff(np.r_[seg, len(c)])
-        kept_doc, kept_score = d[seg], s[seg]
-        # min-id policy score: within each cluster the row with the
-        # smallest doc_id
-        co, do_, so = (
-            t.column("cluster").to_numpy(zero_copy_only=False),
-            t.column("doc_id").to_numpy(zero_copy_only=False),
-            t.column("quality_score").to_numpy(zero_copy_only=False),
-        )
-        o2 = np.lexsort((do_, co))
-        co, do_, so = co[o2], do_[o2], so[o2]
-        seg2 = np.flatnonzero(np.r_[True, co[1:] != co[:-1]])
-        minid_score = so[seg2]  # clusters sorted ascending both times
-        gain = round_like_duckdb(
-            (kept_score - minid_score) * 10000.0, 0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "cluster": pa.array(c[seg], pa.int64()),
-                "kept_doc": pa.array(kept_doc, pa.int64()),
-                "kept_score": pa.array(kept_score, pa.float64()),
-                "n_members": pa.array(sizes, pa.int64()),
-                "score_gain_bp": pa.array(gain, pa.int64()),
-            }
-        )
-
-    return (
-        joined.repartition(np_, keys=["cluster"])
-        .map_batches(_resolve, batch_format="pyarrow", batch_size=None)
-        .sort("cluster")
-    )
-
-
-def _sql_q194() -> str:
-    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
-
-    return f"""
-WITH cl AS (SELECT doc_id, cluster
-            FROM read_parquet('{neardup_golden_path("dup_clusters")}')
-            WHERE corpus_tag = {corpus_tag_sql("documents")}),
-sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()})),
-j AS (SELECT cl.cluster, cl.doc_id, sc.quality_score
-      FROM cl JOIN sc USING (doc_id)),
-w AS (SELECT cluster, doc_id, quality_score,
-             row_number() OVER (PARTITION BY cluster
-                                ORDER BY quality_score DESC, doc_id) AS rk,
-             row_number() OVER (PARTITION BY cluster
-                                ORDER BY doc_id) AS rk_minid
-      FROM j),
-best AS (SELECT cluster, doc_id AS kept_doc, quality_score AS kept_score
-         FROM w WHERE rk = 1),
-naive AS (SELECT cluster, quality_score AS minid_score
-          FROM w WHERE rk_minid = 1),
-n AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
-      FROM cl GROUP BY 1)
-SELECT best.cluster, best.kept_doc, best.kept_score, n.n_members,
-       CAST(round((best.kept_score - naive.minid_score) * 10000, 0)
-            AS BIGINT) AS score_gain_bp
-FROM best JOIN naive USING (cluster) JOIN n USING (cluster)
-ORDER BY cluster
-"""
-
-
-#: q195 rerank model (frozen linear cross-scorer — the replayable
-#: stand-in for a cross-encoder; q64's deterministic-weights pattern)
-Q195_W_COS = 2.0
-Q195_W_BM25 = 0.1
-Q195_W_LEN = -0.0005
-Q195_OUT_K = 10
-
-
-def q195_rerank(sf_dir: str):
-    """Retrieval rerank stage — retrieve (q16 vector leg + q55 BM25
-    leg, both distributed, top-50 pools) then re-score every candidate
-    with a cross-features model (cosine, bm25, doc length; frozen
-    linear weights so the oracle replays bit-exact — a real
-    cross-encoder swaps into the same scoring stage with the q64
-    actor-pool pattern) and emit the top-10. Completes the
-    retrieve -> fuse (q176) -> rerank stack. Candidate features close
-    on the (2 x pool)-bounded driver set; the doc-length fetch is one
-    broadcast is_in filter, never a corpus join."""
-    from barks_ocr_ray.functions.ann import brute_force_topk
-    from barks_ocr_ray.functions.relational import broadcast_semi_join
-
-    vec_rows = brute_force_topk(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding"]),
-        [Q176_QUERY_VEC],
-        k=Q176_POOL_K,
-    ).take_all()
-    cos_of = {int(r["neighbor_id"]): float(r["cosine"]) for r in vec_rows}
-
-    bm = q55_bm25_rank(sf_dir)
-
-    def _block_top(t: pa.Table) -> pa.Table:
-        order = pc.sort_indices(
-            t,
-            sort_keys=[("bm25", "descending"), ("doc_id", "ascending")],
-        )
-        return t.take(order[: min(Q176_POOL_K, t.num_rows)])
-
-    lex_pool = bm.map_batches(_block_top, batch_format="pyarrow").take_all()
-    lex_pool.sort(key=lambda r: (-r["bm25"], r["doc_id"]))
-    bm_of = {
-        int(r["doc_id"]): float(r["bm25"])
-        for r in lex_pool[:Q176_POOL_K]
-    }
-
-    cand = sorted(set(cos_of) | set(bm_of))
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    lens_rows = (
-        broadcast_semi_join(docs, set(cand), "doc_id")
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "n_tokens": pc.count_substring_regex(
-                        pc.utf8_lower(
-                            t.column("text").combine_chunks().fill_null("")
-                        ),
-                        r"[a-z0-9]+",
-                    ).cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .take_all()
-    )
-    len_of = {int(r["doc_id"]): int(r["n_tokens"]) for r in lens_rows}
-
-    scored = []
-    for did in cand:
-        s = (
-            Q195_W_COS * cos_of.get(did, 0.0)
-            + Q195_W_BM25 * bm_of.get(did, 0.0)
-            + Q195_W_LEN * float(len_of.get(did, 0))
-        )
-        scored.append((did, float(round_like_duckdb(s, 6))))
-    scored.sort(key=lambda r: (-r[1], r[0]))
-    scored = scored[:Q195_OUT_K]
-    return pa.table(
-        {
-            "doc_id": pa.array([r[0] for r in scored], pa.int64()),
-            "rerank_score": pa.array(
-                [r[1] for r in scored], pa.float64()
-            ),
-            "final_rank": pa.array(
-                list(range(1, len(scored) + 1)), pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q195() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH lex AS (
-  SELECT doc_id, bm25,
-         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
-  FROM ({_sql_q55()}) QUALIFY r <= {Q176_POOL_K}),
-vc AS (
-  SELECT e.vec_id AS doc_id,
-         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])), 6)
-           AS cosine
-  FROM embeddings q, embeddings e
-  WHERE q.vec_id = {Q176_QUERY_VEC} AND e.vec_id != {Q176_QUERY_VEC}),
-vec AS (
-  SELECT doc_id, cosine,
-         row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
-  FROM vc QUALIFY r <= {Q176_POOL_K}),
-cand AS (
-  SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id,
-         coalesce(vec.cosine, 0) AS cosine,
-         coalesce(lex.bm25, 0) AS bm25
-  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id),
-feat AS (
-  SELECT cand.doc_id, cosine, bm25,
-         CAST(len(regexp_extract_all(lower(coalesce(d.text, '')),
-                                     '{TOKEN_RE}')) AS DOUBLE) AS n_tokens
-  FROM cand JOIN documents d ON d.doc_id = cand.doc_id)
-SELECT doc_id,
-       round({Q195_W_COS} * cosine + {Q195_W_BM25} * bm25
-             + {Q195_W_LEN} * n_tokens, 6) AS rerank_score,
-       CAST(row_number() OVER (
-         ORDER BY round({Q195_W_COS} * cosine + {Q195_W_BM25} * bm25
-                        + {Q195_W_LEN} * n_tokens, 6) DESC, doc_id)
-         AS BIGINT) AS final_rank
-FROM feat QUALIFY final_rank <= {Q195_OUT_K} ORDER BY final_rank
-"""
-
-
-#: q196 keeps docs at or above this within-source quality percentile
-Q196_PCT_MICRO = 700_000
-
-
-def q196_quality_percentile_gate(sf_dir: str):
-    """Per-source quality quota: keep each source's top-30% documents
-    by classifier score (within-source percent-rank gate — an absolute
-    score threshold over-prunes clean sources and under-prunes spam
-    farms; the percentile gate equalizes selectivity). One streamed
-    q64 scoring pass (basis-point integer scores), one source-keyed
-    exchange, per-block exact percent_rank over each colocated source
-    (ties by doc_id — the SQL window's row rule), sources-bounded
-    rollup. Partitioning assumption: one source's docs fit a block
-    (q65/q117's documented per-source grouping bound)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.inference import QualityModel
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
-    qm = QualityModel()
-
-    def _score(t: pa.Table) -> pa.Table:
-        s = qm(t)
-        bp = round_like_duckdb(
-            s.column("quality_score").to_numpy(zero_copy_only=False)
-            * 10000.0,
-            0,
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "source": t.column("source"),
-                "bp": pa.array(bp, pa.int64()),
-            }
-        )
-
-    def _gate(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "source": pa.array([], pa.string()),
-                "n_docs": pa.array([], pa.int64()),
-                "n_kept": pa.array([], pa.int64()),
-                "kept_score_bp": pa.array([], pa.int64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        src = np.asarray(t.column("source").to_pylist())
-        bp = t.column("bp").to_numpy(zero_copy_only=False)
-        did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((did, bp, src))
-        src, bp = src[order], bp[order]
-        seg = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-        out_s, out_n, out_k, out_b = [], [], [], []
-        for i, s0 in enumerate(seg):
-            e = seg[i + 1] if i + 1 < len(seg) else len(src)
-            n = e - s0
-            if n == 1:
-                pct = np.array([0.0])
-            else:
-                pct = round_like_duckdb(
-                    1e6 * (np.arange(n, dtype=np.float64) / (n - 1)), 0
-                )
-            keep = pct >= Q196_PCT_MICRO
-            out_s.append(str(src[s0]))
-            out_n.append(n)
-            out_k.append(int(keep.sum()))
-            out_b.append(int(bp[s0:e][keep].sum()))
-        return pa.table(
-            {
-                "source": pa.array(out_s, pa.string()),
-                "n_docs": pa.array(out_n, pa.int64()),
-                "n_kept": pa.array(out_k, pa.int64()),
-                "kept_score_bp": pa.array(out_b, pa.int64()),
-            }
-        )
-
-    return (
-        docs.map_batches(_score, batch_format="pyarrow")
-        .repartition(hash_partitions(4), keys=["source"])
-        .map_batches(_gate, batch_format="pyarrow", batch_size=None)
-        .groupby("source", num_partitions=2)
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_kept", alias_name="n_kept"),
-            Sum("kept_score_bp", alias_name="kept_score_bp"),
-        )
-        .sort("source")
-    )
-
-
-def _sql_q196() -> str:
-    return f"""
-WITH sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()})),
-j AS (SELECT d.source, sc.doc_id,
-             CAST(round(quality_score * 10000, 0) AS BIGINT) AS bp
-      FROM sc JOIN documents d USING (doc_id)),
-r AS (SELECT source, doc_id, bp,
-             round(1e6 * percent_rank() OVER (
-               PARTITION BY source ORDER BY bp, doc_id), 0) AS pct
-      FROM j)
-SELECT source,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN pct >= {Q196_PCT_MICRO} THEN 1 ELSE 0 END)
-            AS BIGINT) AS n_kept,
-       CAST(sum(CASE WHEN pct >= {Q196_PCT_MICRO} THEN bp ELSE 0 END)
-            AS BIGINT) AS kept_score_bp
-FROM r GROUP BY 1 ORDER BY 1
-"""
-
-
-def q197_dataset_card(sf_dir: str):
-    """The dataset card: one-row corpus summary (docs, tokens,
-    vocabulary, sources, languages, exact-dup count, quality mass and
-    keep count) — the release-notes rollup every published corpus
-    ships, composed from the engine's own kernels (word-count
-    exchange, exact-dedup groupby, q64 scoring) so the card IS the
-    pipeline's accounting. Every exchange is vocab-/sources-/bounded;
-    the corpus streams twice (tokens+quality fuse into one pass,
-    dedup hashing is the second)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.dedupe import exact_dedup_docs
-    from barks_ocr_ray.functions.inference import QualityModel
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
-
-    docs = read_table(
-        sf_dir, "documents", ["doc_id", "text", "source", "lang"]
-    ).materialize()
-    n_docs = docs.count()
-    empty = pa.table(
-        {
-            "n_docs": pa.array([], pa.int64()),
-            "n_tokens": pa.array([], pa.int64()),
-            "vocab_size": pa.array([], pa.int64()),
-            "n_sources": pa.array([], pa.int64()),
-            "n_langs": pa.array([], pa.int64()),
-            "n_exact_dups": pa.array([], pa.int64()),
-            "sum_quality_bp": pa.array([], pa.int64()),
-            "n_quality_keep": pa.array([], pa.int64()),
-        }
-    )
-    if n_docs == 0:
-        return empty
-    qm = QualityModel()
-    import re as _re
-    from collections import Counter
-
-    token_re = _re.compile(r"[a-z0-9]+")
-
-    def _fused(t: pa.Table) -> pa.Table:
-        """ONE pass: word-count partials ride as (word, n) rows; the
-        per-block quality partials ride as a marker row (word '' —
-        never a TOKEN_RE token; NULL keys must not carry partials,
-        Ray's hash aggregate does not unify them)."""
-        c: Counter = Counter()
-        for x in t.column("text").to_pylist():
-            if x:
-                c.update(token_re.findall(x.lower()))
-        s = qm(t)
-        bp = round_like_duckdb(
-            s.column("quality_score").to_numpy(zero_copy_only=False)
-            * 10000.0,
-            0,
-        ).astype(np.int64)
-        keep = (
-            s.column("keep").to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        ks = sorted(c)
-        words = [""] + ks
-        ns = [int(bp.sum())] + [c[k] for k in ks]
-        keeps = [int(keep.sum())] + [0] * len(ks)
-        return pa.table(
-            {
-                "word": pa.array(words, pa.string()),
-                "n": pa.array(ns, pa.int64()),
-                "k": pa.array(keeps, pa.int64()),
-            }
-        )
-
-    rows = (
-        docs.map_batches(_fused, batch_format="pyarrow")
-        .groupby("word", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("n", alias_name="n"), Sum("k", alias_name="k"))
-        .take_all()
-    )
-    n_tokens = vocab = sum_bp = n_keep = 0
-    for r in rows:
-        if r["word"] == "":
-            sum_bp += int(r["n"])
-            n_keep += int(r["k"])
-        else:
-            vocab += 1
-            n_tokens += int(r["n"])
-    dims = (
-        docs.groupby(["source", "lang"], num_partitions=2)
-        .aggregate(Count(alias_name="_c"))
-        .take_all()
-    )
-    n_sources = len({r["source"] for r in dims})
-    n_langs = len({r["lang"] for r in dims})
-    n_distinct = exact_dedup_docs(docs).count()
-    return pa.table(
-        {
-            "n_docs": pa.array([n_docs], pa.int64()),
-            "n_tokens": pa.array([n_tokens], pa.int64()),
-            "vocab_size": pa.array([vocab], pa.int64()),
-            "n_sources": pa.array([n_sources], pa.int64()),
-            "n_langs": pa.array([n_langs], pa.int64()),
-            "n_exact_dups": pa.array([n_docs - n_distinct], pa.int64()),
-            "sum_quality_bp": pa.array([sum_bp], pa.int64()),
-            "n_quality_keep": pa.array([n_keep], pa.int64()),
-        }
-    )
-
-
-def _sql_q197() -> str:
-    from barks_ocr_ray.functions.inference import QUALITY_KEEP_THRESHOLD
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (SELECT doc_id, source, lang, text FROM documents),
-words AS (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
-                                           '{TOKEN_RE}')) AS w
-          FROM t),
-sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()}))
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST((SELECT count(*) FROM words) AS BIGINT) AS n_tokens,
-       CAST((SELECT count(DISTINCT w) FROM words) AS BIGINT) AS vocab_size,
-       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-       CAST(count(*) - count(DISTINCT coalesce(md5(text), '<null>'))
-            AS BIGINT) AS n_exact_dups,
-       CAST((SELECT sum(CAST(round(quality_score * 10000, 0) AS BIGINT))
-             FROM sc) AS BIGINT) AS sum_quality_bp,
-       CAST((SELECT sum(CASE WHEN quality_score > {QUALITY_KEEP_THRESHOLD}
-                        THEN 1 ELSE 0 END) FROM sc) AS BIGINT)
-         AS n_quality_keep
-FROM t
-"""
-
-
-def q198_hard_negatives(sf_dir: str):
-    """Contrastive hard-negative mining over the embedding corpus: for
-    each anchor vector the best same-label neighbor (positive), the
-    best other-label neighbor (the hard negative — the near-miss that
-    actually teaches) and the round-6 margin between them. Anchor
-    matrix + labels broadcast once; each block is one matmul emitting
-    <= 2 rows per anchor; one tiny per-anchor merge."""
-    from barks_ocr_ray.functions.ann import hard_negative_pairs
-
-    return hard_negative_pairs(
-        read_table(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
-        ANN_QUERY_IDS,
-    )
-
-
-def _sql_q198() -> str:
-    ids = ",".join(str(i) for i in ANN_QUERY_IDS)
-    return f"""
-WITH a AS (SELECT vec_id, embedding, label FROM embeddings
-           WHERE vec_id IN ({ids})),
-s AS (SELECT a.vec_id AS query_id, e.vec_id AS cand_id,
-             CASE WHEN e.label = a.label THEN 1 ELSE 0 END AS is_pos,
-             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                          CAST(e.embedding AS DOUBLE[])),
-                   6) AS c
-      FROM a, embeddings e WHERE e.vec_id != a.vec_id),
-pos AS (SELECT query_id, cand_id AS pos_id, c AS pos_cosine FROM s
-        WHERE is_pos = 1
-        QUALIFY row_number() OVER (
-            PARTITION BY query_id ORDER BY c DESC, cand_id) = 1),
-neg AS (SELECT query_id, cand_id AS neg_id, c AS neg_cosine FROM s
-        WHERE is_pos = 0
-        QUALIFY row_number() OVER (
-            PARTITION BY query_id ORDER BY c DESC, cand_id) = 1)
-SELECT query_id, pos_id, pos_cosine, neg_id, neg_cosine,
-       round(pos_cosine - neg_cosine, 6) AS margin
-FROM pos JOIN neg USING (query_id) ORDER BY query_id
-"""
-
-
-#: q199 data-parallel shard count (per-worker batch formation — scales
-#: with cluster width at 100 TB; a GLOBAL length sort is exactly what
-#: length-grouped batching exists to avoid)
-Q199_SHARDS = 8
-#: q199 training micro-batch size (rows per batch)
-Q199_BATCH = 16
-
-
-def q199_padding_waste(sf_dir: str, hash_method: str = "md5"):
-    """Length-grouped batching audit: the padding a training run wastes
-    when sequences batch in arrival order vs length-sorted WITHIN each
-    data-parallel shard (batch cost = rows_in_batch * max_tokens —
-    every shorter sequence pads up to the batch max). One token-count
-    pass assigns the deterministic shard (md5 oracle path / splitmix64
-    production path — functions/hashing.py), ONE shard-keyed exchange,
-    per-shard vectorized reduceat audit of both strategies, then a
-    strategies-bounded rollup. useful_tokens is shard-invariant; only
-    padded_tokens depends on the batching policy."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.hashing import hash64
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _toks(t: pa.Table) -> pa.Table:
-        n = pc.coalesce(
-            pc.count_substring_regex(t.column("text"), r"\S+"),
-            pa.scalar(0, pa.int32()),
-        ).cast(pa.int64())
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        shard = (
-            hash64(ids, method=hash_method) % np.uint64(Q199_SHARDS)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "shard": pa.array(shard, pa.int64()),
-                "toks": n,
-            }
-        )
-
-    def _audit(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "strategy": pa.array([], pa.string()),
-                "n_batches": pa.array([], pa.int64()),
-                "useful_tokens": pa.array([], pa.int64()),
-                "padded_tokens": pa.array([], pa.int64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        shard = t.column("shard").to_numpy(zero_copy_only=False)
-        toks = t.column("toks").to_numpy(zero_copy_only=False)
-        did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        acc = {"arrival": [0, 0, 0], "sorted": [0, 0, 0]}
-        for s in np.unique(shard):
-            m = shard == s
-            tk, dd = toks[m], did[m]
-            for strat, order in (
-                ("arrival", np.lexsort((dd,))),
-                ("sorted", np.lexsort((dd, tk))),
-            ):
-                tt = tk[order]
-                n = len(tt)
-                starts = np.arange(0, n, Q199_BATCH)
-                counts = np.diff(np.concatenate((starts, [n])))
-                maxes = np.maximum.reduceat(tt, starts)
-                a = acc[strat]
-                a[0] += len(starts)
-                a[1] += int(tt.sum())
-                a[2] += int((counts * maxes).sum() - tt.sum())
-        return pa.table(
-            {
-                "strategy": pa.array(sorted(acc), pa.string()),
-                "n_batches": pa.array(
-                    [acc[k][0] for k in sorted(acc)], pa.int64()
-                ),
-                "useful_tokens": pa.array(
-                    [acc[k][1] for k in sorted(acc)], pa.int64()
-                ),
-                "padded_tokens": pa.array(
-                    [acc[k][2] for k in sorted(acc)], pa.int64()
-                ),
-            }
-        )
-
-    def _finish(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        u = t.column("useful_tokens").to_numpy(zero_copy_only=False)
-        p = t.column("padded_tokens").to_numpy(zero_copy_only=False)
-        denom = (u + p).astype(np.float64)
-        bp = np.where(
-            denom > 0,
-            round_like_duckdb(
-                1e4 * p.astype(np.float64) / np.where(denom > 0, denom, 1.0),
-                0,
-            ),
-            0.0,
-        ).astype(np.int64)
-        return t.append_column("waste_bp", pa.array(bp, pa.int64()))
-
-    return (
-        docs.map_batches(_toks, batch_format="pyarrow")
-        .repartition(hash_partitions(4), keys=["shard"])
-        .map_batches(_audit, batch_format="pyarrow", batch_size=None)
-        .groupby("strategy", num_partitions=2)
-        .aggregate(
-            Sum("n_batches", alias_name="n_batches"),
-            Sum("useful_tokens", alias_name="useful_tokens"),
-            Sum("padded_tokens", alias_name="padded_tokens"),
-        )
-        .map_batches(_finish, batch_format="pyarrow")
-        .sort("strategy")
-    )
-
-
-def _sql_q199() -> str:
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         CAST(coalesce(array_length(regexp_extract_all(text, '\\S+')), 0)
-              AS BIGINT) AS toks,
-         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
-                   AS UBIGINT) % {Q199_SHARDS} AS BIGINT) AS shard
-  FROM documents),
-b AS (
-  SELECT 'arrival' AS strategy, shard, toks,
-         (row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1)
-           // {Q199_BATCH} AS b
-  FROM t
-  UNION ALL
-  SELECT 'sorted' AS strategy, shard, toks,
-         (row_number() OVER (PARTITION BY shard ORDER BY toks, doc_id) - 1)
-           // {Q199_BATCH} AS b
-  FROM t),
-per_batch AS (
-  SELECT strategy, shard, b, count(*) AS cnt, max(toks) AS mx,
-         sum(toks) AS s
-  FROM b GROUP BY 1, 2, 3)
-SELECT strategy,
-       CAST(count(*) AS BIGINT) AS n_batches,
-       CAST(sum(s) AS BIGINT) AS useful_tokens,
-       CAST(sum(cnt * mx - s) AS BIGINT) AS padded_tokens,
-       CAST(CASE WHEN sum(s) + sum(cnt * mx - s) = 0 THEN 0
-            ELSE round(1e4 * sum(cnt * mx - s)
-                       / (sum(s) + sum(cnt * mx - s)), 0) END
-            AS BIGINT) AS waste_bp
-FROM per_batch GROUP BY 1 ORDER BY 1
-"""
-
-
-def q200_perplexity_buckets(sf_dir: str):
-    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
-    score every doc's mean cross-entropy under the corpus's OWN unigram
-    LM (add-one smoothing — q137's kernel with the model self-trained
-    instead of prior-crawl-frozen), split the corpus at the exact
-    per-token-xent TERTILES into head/middle/tail, and report each
-    bucket's doc/token mass and mean xent. The canonical LM-based
-    quality partition: 'head' is the third of the corpus the model
-    finds most predictable.
-
-    Exchanges: one vocab-sized unigram aggregation, one term-keyed
-    join, one doc-keyed reduce, then the counting-quickselect tertile
-    passes (O(log) scans of the DOC-level table, no sort) and a
-    buckets-bounded rollup. Per-term contributions round to int64
-    micro-nats before any distributed sum (order-independent, oracle
-    bit-exact); the per-doc score is an int64 micro-nat rate so the
-    tertile thresholds are exact integers on both engines. Docs with
-    zero tokens carry no LM evidence and drop (inner-join semantics,
-    mirrored by the oracle)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.quantiles import distributed_quantiles
-    from barks_ocr_ray.functions.relational import compact_nonempty
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, DocTermCounts
-
-    empty = pa.table(
-        {
-            "bucket": pa.array([], pa.string()),
-            "n_docs": pa.array([], pa.int64()),
-            "n_tokens": pa.array([], pa.int64()),
-            "avg_xent": pa.array([], pa.float64()),
-        }
-    )
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    tf_rows = docs.map_batches(
-        DocTermCounts, batch_format="pyarrow", concurrency=(1, 4)
-    ).materialize()  # two consumers: LM aggregation + the scoring join
-
-    unigrams = tf_rows.groupby("term", num_partitions=VOCAB_PARTITIONS).aggregate(
-        Sum("tf", alias_name="n")
-    )
-    uni_c, n_vocab = compact_nonempty(unigrams, VOCAB_PARTITIONS)
-    if n_vocab == 0:
-        return empty
-    n_total = int(uni_c.sum("n") or 0)
-    denom = float(n_total + n_vocab + 1)
-
-    broadcast_lm = n_vocab <= 2_000_000
-    if broadcast_lm:
-        # vocabulary-sized small side: broadcast the LM once (ray.put)
-        # instead of shuffling the corpus-scale doc-term table through
-        # a term-keyed join (the q110/q112 gate discipline; the join
-        # below is the above-cap fallback). The broadcast path is
-        # map-only over tf_rows AS EMITTED (no compact_nonempty — block
-        # compaction would SPLIT a doc's term rows across blocks and
-        # break the block-local per-doc reduce), so every doc's rows
-        # stay inside its block and no doc exchange is needed.
-        from barks_ocr_ray.functions.relational import (
-            broadcast_lookup_column,
-        )
-
-        lm = {r["term"]: int(r["n"]) for r in uni_c.take_all()}
-        joined = broadcast_lookup_column(
-            tf_rows, lm, "term", "n", pa.int64()
-        )
-    else:
-        tf_c, n_tf = compact_nonempty(tf_rows, 8)
-        if n_tf == 0:
-            return empty
-        joined = tf_c.join(
-            uni_c,
-            join_type="inner",
-            num_partitions=VOCAB_PARTITIONS,
-            on=("term",),
-        )
-
-    def _contrib(t: pa.Table) -> pa.Table:
-        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
-        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
-        nll = tf * -np.log((n + 1.0) / denom)
-        micro = round_like_duckdb(nll * 1e6, 0).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "nll_micro": pa.array(micro, pa.int64()),
-                "tf": t.column("tf"),
-            }
-        )
-
-    def _doc_score(t: pa.Table) -> pa.Table:
-        s = t.column("sum_micro").to_numpy(zero_copy_only=False)
-        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
-        x = round_like_duckdb(s / n, 0).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "x": pa.array(x, pa.int64()),
-                "toks": t.column("n_tokens"),
-            }
-        )
-
-    if broadcast_lm:
-
-        def _doc_scores_block(t: pa.Table) -> pa.Table:
-            c = _contrib(t)
-            g = c.group_by("doc_id").aggregate(
-                [("nll_micro", "sum"), ("tf", "sum")]
-            )
-            g = g.rename_columns(["doc_id", "sum_micro", "n_tokens"])
-            return _doc_score(g)
-
-        per_doc = joined.map_batches(
-            _doc_scores_block, batch_format="pyarrow"
-        ).materialize()  # consumers: tertile counting passes + bucket pass
-    else:
-        per_doc = (
-            joined.map_batches(_contrib, batch_format="pyarrow")
-            .groupby("doc_id", num_partitions=8)
-            .aggregate(
-                Sum("nll_micro", alias_name="sum_micro"),
-                Sum("tf", alias_name="n_tokens"),
-            )
-            .map_batches(_doc_score, batch_format="pyarrow")
-            .materialize()
-        )
-    th = distributed_quantiles(per_doc, "x", [1 / 3, 2 / 3])
-    t1, t2 = (v.as_py() for v in th.column("value"))
-
-    def _bucket_partial(t: pa.Table) -> pa.Table:
-        x = t.column("x").to_numpy(zero_copy_only=False)
-        toks = t.column("toks").to_numpy(zero_copy_only=False)
-        b = np.where(x <= t1, 0, np.where(x <= t2, 1, 2))
-        names = np.array(["head", "middle", "tail"])
-        out_b, out_d, out_t, out_x = [], [], [], []
-        for k in np.unique(b):
-            m = b == k
-            out_b.append(names[k])
-            out_d.append(int(m.sum()))
-            out_t.append(int(toks[m].sum()))
-            out_x.append(int(x[m].sum()))
-        return pa.table(
-            {
-                "bucket": pa.array(out_b, pa.string()),
-                "n_docs": pa.array(out_d, pa.int64()),
-                "n_tokens": pa.array(out_t, pa.int64()),
-                "sum_x": pa.array(out_x, pa.int64()),
-            }
-        )
-
-    def _finish(t: pa.Table) -> pa.Table:
-        sx = t.column("sum_x").to_numpy(zero_copy_only=False)
-        nd = t.column("n_docs").to_numpy(zero_copy_only=False)
-        avg = round_like_duckdb(sx / nd / 1e6, 4)
-        return pa.table(
-            {
-                "bucket": t.column("bucket"),
-                "n_docs": t.column("n_docs"),
-                "n_tokens": t.column("n_tokens"),
-                "avg_xent": pa.array(avg, pa.float64()),
-            }
-        )
-
-    return (
-        per_doc.map_batches(_bucket_partial, batch_format="pyarrow")
-        .groupby("bucket", num_partitions=2)
-        .aggregate(
-            Sum("n_docs", alias_name="n_docs"),
-            Sum("n_tokens", alias_name="n_tokens"),
-            Sum("sum_x", alias_name="sum_x"),
-        )
-        .map_batches(_finish, batch_format="pyarrow")
-        .sort("bucket")
-    )
-
-
-def _sql_q200() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
-           AS term
-  FROM documents),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-u AS (SELECT term, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
-s AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE)
-             + CAST(count(*) AS DOUBLE) + 1.0 AS denom
-      FROM u),
-c AS (
-  SELECT tf.doc_id,
-         CAST(round(tf.tf * -ln((u.n + 1.0) / s.denom)
-                    * 1000000, 0) AS BIGINT) AS nll_micro,
-         tf.tf
-  FROM tf JOIN u USING (term), s),
-d AS (SELECT doc_id,
-             CAST(round(CAST(sum(nll_micro) AS DOUBLE) / sum(tf), 0)
-                  AS BIGINT) AS x,
-             CAST(sum(tf) AS BIGINT) AS toks
-      FROM c GROUP BY 1),
-th AS (SELECT quantile_disc(x, 1.0/3) AS t1, quantile_disc(x, 2.0/3) AS t2
-       FROM d),
-b AS (SELECT CASE WHEN d.x <= th.t1 THEN 'head'
-                  WHEN d.x <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket,
-             d.x, d.toks
-      FROM d, th)
-SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(toks) AS BIGINT) AS n_tokens,
-       round(CAST(sum(x) AS DOUBLE) / count(*) / 1000000.0, 4) AS avg_xent
-FROM b GROUP BY 1 ORDER BY 1
-"""
-
-
-def q201_lexical_diversity(sf_dir: str):
-    """Per-source lexical diversity (distinct-n): the fraction of
-    unigram and bigram occurrences that are distinct — the standard
-    repetitiveness/diversity audit of a generated-or-scraped corpus
-    (low distinct-2 = template farm or decoding loop; cf. Li et al.
-    2016 distinct-n, public). Distinct from q179 (vocab GROWTH curve),
-    q150 (which terms) and q111 (within-doc repetition): this is
-    cross-doc type/token mass per source.
-
-    Execution: one tokenize pass emits block-local (source, kind,
-    gram) COUNT partials (combiner discipline — one row per distinct
-    gram per block, never per occurrence), ONE gram-keyed exchange
-    merges them, then distinct = row count and total = sum(c) fold as
-    block partials into a (sources x 2)-bounded aggregation. The
-    gram-keyed exchange is the only corpus-scale shuffle."""
-    import re as _re
-    from collections import Counter as _Counter
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import TOKEN_RE, VOCAB_PARTITIONS
-
-    rex = _re.compile(TOKEN_RE)
-    docs = read_table(sf_dir, "documents", ["text", "source"])
-
-    def _grams(t: pa.Table) -> pa.Table:
-        acc: dict = {}
-        for src, s in zip(t.column("source").to_pylist(), t.column("text")):
-            ws = rex.findall((s.as_py() or "").lower())
-            if not ws:
-                continue
-            acc.setdefault((src, 1), _Counter()).update(ws)
-            if len(ws) >= 2:
-                acc.setdefault((src, 2), _Counter()).update(
-                    f"{a} {b}" for a, b in zip(ws, ws[1:])
-                )
-        out_s, out_k, out_g, out_c = [], [], [], []
-        for (src, k), cnt in acc.items():
-            out_s.extend([src] * len(cnt))
-            out_k.extend([k] * len(cnt))
-            out_g.extend(cnt.keys())
-            out_c.extend(cnt.values())
-        return pa.table(
-            {
-                "source": pa.array(out_s, pa.string()),
-                "kind": pa.array(out_k, pa.int64()),
-                "gram": pa.array(out_g, pa.string()),
-                "c": pa.array(out_c, pa.int64()),
-            }
-        )
-
-    def _fold(t: pa.Table) -> pa.Table:
-        # block partial over the merged (source, kind, gram, c) rows:
-        # rows ARE distinct grams here, so distinct = row count
-        agg: dict = {}
-        src = t.column("source").to_pylist()
-        kind = t.column("kind").to_numpy(zero_copy_only=False)
-        c = t.column("c").to_numpy(zero_copy_only=False)
-        for i in range(t.num_rows):
-            d = agg.setdefault((src[i], int(kind[i])), [0, 0])
-            d[0] += 1
-            d[1] += int(c[i])
-        keys = sorted(agg)
-        return pa.table(
-            {
-                "source": pa.array([k[0] for k in keys], pa.string()),
-                "kind": pa.array([k[1] for k in keys], pa.int64()),
-                "n_distinct": pa.array([agg[k][0] for k in keys], pa.int64()),
-                "n_total": pa.array([agg[k][1] for k in keys], pa.int64()),
-            }
-        )
-
-    stats = (
-        docs.map_batches(_grams, batch_format="pyarrow")
-        .groupby(["source", "kind", "gram"], num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("c", alias_name="c"))
-        .map_batches(_fold, batch_format="pyarrow")
-        .groupby(["source", "kind"], num_partitions=2)
-        .aggregate(
-            Sum("n_distinct", alias_name="n_distinct"),
-            Sum("n_total", alias_name="n_total"),
-        )
-        .to_pandas()  # bounded: sources x 2 rows
-    )
-    rows: dict = {}
-    for r in stats.itertuples():
-        e = rows.setdefault(r.source, {1: (0, 0), 2: (0, 0)})
-        e[int(r.kind)] = (int(r.n_distinct), int(r.n_total))
-    srcs = sorted(rows)
-    d1 = np.array([rows[s][1][0] for s in srcs], np.int64)
-    t1 = np.array([rows[s][1][1] for s in srcs], np.int64)
-    d2 = np.array([rows[s][2][0] for s in srcs], np.int64)
-    t2 = np.array([rows[s][2][1] for s in srcs], np.int64)
-    return pa.table(
-        {
-            "source": pa.array(srcs, pa.string()),
-            "unigrams": pa.array(t1, pa.int64()),
-            "distinct_unigrams": pa.array(d1, pa.int64()),
-            "bigrams": pa.array(t2, pa.int64()),
-            "distinct_bigrams": pa.array(d2, pa.int64()),
-            "distinct1": pa.array(
-                round_like_duckdb(d1 / np.maximum(t1, 1), 4), pa.float64()
-            ),
-            "distinct2": pa.array(
-                round_like_duckdb(d2 / np.maximum(t2, 1), 4), pa.float64()
-            ),
-        }
-    )
-
-
-def _sql_q201() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT source, regexp_extract_all(lower(text), '{TOKEN_RE}') AS ws
-  FROM documents),
-uni AS (SELECT source, unnest(ws) AS g FROM tok),
-idx AS (
-  SELECT source, ws,
-         unnest(generate_series(1, array_length(ws) - 1)) AS i
-  FROM tok WHERE array_length(ws) >= 2),
-bi AS (
-  SELECT source, ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g
-  FROM idx),
-s1 AS (SELECT source, CAST(count(*) AS BIGINT) AS unigrams,
-              CAST(count(DISTINCT g) AS BIGINT) AS distinct_unigrams
-       FROM uni GROUP BY 1),
-s2 AS (SELECT source, CAST(count(*) AS BIGINT) AS bigrams,
-              CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams
-       FROM bi GROUP BY 1)
-SELECT s1.source, unigrams, distinct_unigrams,
-       coalesce(bigrams, 0) AS bigrams,
-       coalesce(distinct_bigrams, 0) AS distinct_bigrams,
-       round(CAST(distinct_unigrams AS DOUBLE) / greatest(unigrams, 1), 4)
-         AS distinct1,
-       round(CAST(coalesce(distinct_bigrams, 0) AS DOUBLE)
-             / greatest(coalesce(bigrams, 0), 1), 4) AS distinct2
-FROM s1 LEFT JOIN s2 USING (source) ORDER BY source
-"""
-
-
-def q202_syndication_matrix(sf_dir: str):
-    """Cross-source exact-duplication matrix ('who syndicates whom'):
-    for every pair of sources, the number of identical-content doc
-    pairs they share, plus the within-source diagonal — the provenance
-    audit that tells a corpus builder which feeds are mirrors of each
-    other BEFORE near-dup thresholds enter the picture (q172 measures
-    trigram SIMILARITY between sources; this counts exact copies).
-
-    Scale shape: no pair ever materializes per doc — docs reduce to
-    (content_hash, source, n) via one keyed aggregation, a second
-    hash-keyed repartition colocates each content group, and a
-    block-local fold emits (source_a, source_b, n_a*n_b) partials
-    (within-source: n*(n-1)/2), closed by a sources^2-bounded sum. A
-    hash shared by s sources with millions of copies each still emits
-    only s^2 rows. Null-text docs form their own content group
-    (dedupe._NULL_TEXT_KEY), matching the oracle's coalesce key."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.dedupe import _NULL_TEXT_KEY, md5_hex
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
-
-    def _hash(t: pa.Table) -> pa.Table:
-        hs = [
-            _NULL_TEXT_KEY if s.as_py() is None else md5_hex(s.as_py())
-            for s in t.column("text")
-        ]
-        return pa.table(
-            {
-                "h": pa.array(hs, pa.string()),
-                "source": t.column("source"),
-            }
-        )
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        # complete content groups are colocated by the keyed repartition
-        out_a, out_b, out_n = [], [], []
-        if t.num_rows:
-            order = pc.sort_indices(
-                t, sort_keys=[("h", "ascending"), ("source", "ascending")]
-            )
-            t = t.take(order)
-            hs = np.asarray(t.column("h").to_pylist())
-            srcs = t.column("source").to_pylist()
-            ns = t.column("n").to_numpy(zero_copy_only=False)
-            starts = np.flatnonzero(
-                np.concatenate(([True], hs[1:] != hs[:-1]))
-            )
-            bounds = np.concatenate((starts, [len(hs)]))
-            for gi in range(len(starts)):
-                lo, hi = bounds[gi], bounds[gi + 1]
-                for i in range(lo, hi):
-                    d = int(ns[i]) * (int(ns[i]) - 1) // 2
-                    if d > 0:
-                        out_a.append(srcs[i])
-                        out_b.append(srcs[i])
-                        out_n.append(d)
-                    for j in range(i + 1, hi):
-                        out_a.append(srcs[i])
-                        out_b.append(srcs[j])
-                        out_n.append(int(ns[i]) * int(ns[j]))
-        return pa.table(
-            {
-                "source_a": pa.array(out_a, pa.string()),
-                "source_b": pa.array(out_b, pa.string()),
-                "n_dup_pairs": pa.array(out_n, pa.int64()),
-            }
-        )
-
-    out = (
-        docs.map_batches(_hash, batch_format="pyarrow")
-        .groupby(["h", "source"], num_partitions=hash_partitions(8))
-        .aggregate(Count(alias_name="n"))
-        .repartition(hash_partitions(4), keys=["h"])
-        .map_batches(_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["source_a", "source_b"], num_partitions=2)
-        .aggregate(Sum("n_dup_pairs", alias_name="n_dup_pairs"))
-        .to_pandas()  # sources^2-bounded
-    )
-    # a dup-free corpus yields 0 rows — to_pandas drops the schema, so
-    # rebuild the typed table and sort driver-side (bounded result)
-    out = out.sort_values(["source_a", "source_b"]) if len(out) else out
-    return pa.table(
-        {
-            "source_a": pa.array(
-                out["source_a"].tolist() if len(out) else [], pa.string()
-            ),
-            "source_b": pa.array(
-                out["source_b"].tolist() if len(out) else [], pa.string()
-            ),
-            "n_dup_pairs": pa.array(
-                out["n_dup_pairs"].tolist() if len(out) else [], pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q202() -> str:
-    return """
-WITH h AS (
-  SELECT coalesce(md5(text), '__null_text__') AS h, source
-  FROM documents),
-g AS (SELECT h, source, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY 1, 2),
-x AS (
-  SELECT g1.source AS source_a, g2.source AS source_b,
-         CAST(sum(g1.n * g2.n) AS BIGINT) AS n_dup_pairs
-  FROM g g1 JOIN g g2 ON g1.h = g2.h AND g1.source < g2.source
-  GROUP BY 1, 2
-  UNION ALL
-  SELECT source, source, CAST(sum(n * (n - 1) // 2) AS BIGINT)
-  FROM g GROUP BY 1, 2 HAVING sum(n * (n - 1) // 2) > 0
-)
-SELECT source_a, source_b, n_dup_pairs FROM x ORDER BY source_a, source_b
-"""
-
-
-def q203_hll_error_audit(sf_dir: str):
-    """Approximation-quality harness for HLL (the q184/q186 pattern
-    applied to cardinality sketches): per event type, the EXACT
-    distinct-user count beside the q102 HLL estimate and the signed
-    relative error in micro-units — the table that justifies the
-    register width before a 100 TB count-distinct trusts the sketch.
-
-    Both legs run distributed: the exact leg ships block-local
-    distinct (event_type, user_id) partials into ONE keyed dedup
-    aggregation then group-bounded count partials (q120 discipline —
-    never raw rows); the estimate leg is the q102 kernel verbatim
-    (bit-exact vs its golden under any partitioning). The join closes
-    on the event-types-bounded driver table. Oracle: SQL
-    count(DISTINCT) joined against the committed q102 golden parquet."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.sketches import hll_grouped_distinct
-
-    events = read_table(sf_dir, "events", ["event_type", "user_id"])
-
-    def _dedup_block(t: pa.Table) -> pa.Table:
-        t = t.filter(
-            pc.and_(
-                pc.is_valid(t.column("event_type")),
-                pc.is_valid(t.column("user_id")),
-            )
-        )
-        return t.group_by(["event_type", "user_id"]).aggregate([])
-
-    def _count_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type"]).aggregate([("user_id", "count")])
-        return pa.table(
-            {
-                "event_type": g.column("event_type"),
-                "c": g.column("user_id_count").cast(pa.int64()),
-            }
-        )
-
-    exact = (
-        events.map_batches(_dedup_block, batch_format="pyarrow")
-        .groupby(["event_type", "user_id"], num_partitions=hash_partitions(8))
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(_count_partial, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=2)
-        .aggregate(Sum("c", alias_name="n_exact"))
-        .to_pandas()  # event-types-bounded
-    )
-    est = hll_grouped_distinct(events, "event_type", "user_id").to_pandas()
-    m = exact.merge(est, on="event_type", how="inner").sort_values(
-        "event_type"
-    )
-    n = m["n_exact"].to_numpy().astype(np.float64)
-    e = m["n_distinct_est"].to_numpy()
-    rel = round_like_duckdb(1e6 * (e - n) / n, 0).astype(np.int64)
-    return pa.table(
-        {
-            "event_type": pa.array(m["event_type"].tolist(), pa.string()),
-            "n_exact": pa.array(m["n_exact"].tolist(), pa.int64()),
-            "n_distinct_est": pa.array(e, pa.float64()),
-            "rel_err_micro": pa.array(rel, pa.int64()),
-        }
-    )
-
-
-def _sql_q203() -> str:
-    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
-
-    return f"""
-WITH ex AS (
-  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
-  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
-ap AS (
-  SELECT event_type, n_distinct_est
-  FROM read_parquet('{neardup_golden_path("hll_grouped")}')
-  WHERE corpus_tag = {corpus_tag_sql("events")})
-SELECT ex.event_type, ex.n_exact, ap.n_distinct_est,
-       CAST(round(1e6 * (ap.n_distinct_est - ex.n_exact) / ex.n_exact, 0)
-            AS BIGINT) AS rel_err_micro
-FROM ex JOIN ap USING (event_type) ORDER BY event_type
-"""
-
-
-def q204_max_coverage(sf_dir: str):
-    """Greedy max-coverage coreset selection: the 10 documents that
-    together cover the most distinct terms (submodular (1-1/e) greedy —
-    the lexical-coverage subset builder beside q75 SemDeDup's
-    redundancy REMOVER). BSP raw-task rounds over blocks coded once
-    into the object store (q94/q126 pattern); the driver holds only
-    the covered-fingerprint set and each round's block champions. See
-    functions/selection.py for the scale contract."""
-    from barks_ocr_ray.functions.selection import max_coverage_select
-
-    return max_coverage_select(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), k=10
-    )
-
-
-def q205_ks_drift(sf_dir: str):
-    """EXACT two-sample Kolmogorov-Smirnov statistic between the prior
-    and new snapshots' doc-length distributions (the q130/q134 split
-    convention) — the drift-family completion: q130 is categorical TV,
-    q134 is binned PSI, this is the exact continuous-CDF sup-distance,
-    no binning error. One corpus pass ships (value, side) count
-    partials into a values-bounded keyed aggregation; the CDF walk
-    runs driver-side on that bounded table with INTEGER cross-products
-    |a0*n1 - a1*n0| (exact max — a float cumsum would make the argmax
-    order-dependent), one IEEE division at the end."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-
-    def _partial(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        v = t.column("n_chars").to_numpy(zero_copy_only=False)
-        new_side = (ids % 10) >= 7
-        uv = np.unique(v)
-        c0 = np.zeros(uv.size, np.int64)
-        c1 = np.zeros(uv.size, np.int64)
-        idx = np.searchsorted(uv, v)
-        np.add.at(c0, idx[~new_side], 1)
-        np.add.at(c1, idx[new_side], 1)
-        return pa.table(
-            {
-                "v": pa.array(uv, pa.int64()),
-                "c0": pa.array(c0, pa.int64()),
-                "c1": pa.array(c1, pa.int64()),
-            }
-        )
-
-    g = (
-        docs.map_batches(_partial, batch_format="pyarrow")
-        .groupby("v", num_partitions=4)
-        .aggregate(
-            Sum("c0", alias_name="c0"), Sum("c1", alias_name="c1")
-        )
-        .to_pandas()  # bounded by distinct length values
-        .sort_values("v")
-    )
-    c0 = g["c0"].to_numpy().astype(np.int64)
-    c1 = g["c1"].to_numpy().astype(np.int64)
-    n0, n1 = int(c0.sum()), int(c1.sum())
-    if n0 == 0 or n1 == 0:
-        md, ks = 0, 0.0
-    else:
-        a0 = np.cumsum(c0)
-        a1 = np.cumsum(c1)
-        md = int(np.abs(a0 * n1 - a1 * n0).max())
-        ks = float(round_like_duckdb(np.array([1e6 * md / (n0 * n1)]), 0)[0])
-    return pa.table(
-        {
-            "n_prior": pa.array([n0], pa.int64()),
-            "n_new": pa.array([n1], pa.int64()),
-            "n_values": pa.array([len(g)], pa.int64()),
-            "ks_micro": pa.array([int(ks)], pa.int64()),
-        }
-    )
-
-
-def _sql_q205() -> str:
-    return """
-WITH t AS (
-  SELECT n_chars AS v,
-         CASE WHEN doc_id % 10 < 7 THEN 0 ELSE 1 END AS side
-  FROM documents),
-g AS (SELECT v,
-             CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-             CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
-      FROM t GROUP BY 1),
-n AS (SELECT CAST(coalesce(sum(c0), 0) AS BIGINT) AS n0,
-             CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1,
-             CAST(count(*) AS BIGINT) AS nv
-      FROM g),
-c AS (SELECT CAST(sum(c0) OVER (ORDER BY v) AS BIGINT) AS a0,
-             CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS a1
-      FROM g),
-d AS (SELECT CAST(coalesce(max(abs(a0 * n.n1 - a1 * n.n0)), 0) AS BIGINT)
-               AS md
-      FROM c, n)
-SELECT n.n0 AS n_prior, n.n1 AS n_new, n.nv AS n_values,
-       CASE WHEN n.n0 = 0 OR n.n1 = 0 THEN 0
-            ELSE CAST(round(1e6 * d.md / (n.n0 * n.n1), 0) AS BIGINT)
-       END AS ks_micro
-FROM d, n
-"""
-
-
-def q206_lang_source_mi(sf_dir: str):
-    """Mutual information between language and source (plus both
-    marginal entropies) in micro-nats — the corpus-composition audit
-    that says whether sources are language-specialized (high MI: lang
-    is predictable from source -> per-source lang filters are worth
-    it) or uniformly mixed (MI ~ 0). One (lang, source) count
-    aggregation (cells bounded by langs x sources); every per-cell
-    term rounds to int64 micro-nats BEFORE summing (q137 fixed-point
-    discipline) so the bounded driver fold replays exactly in SQL."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["lang", "source"])
-    cells = (
-        docs.groupby(["lang", "source"], num_partitions=2)
-        .aggregate(Count(alias_name="c"))
-        .to_pandas()  # langs x sources bounded
-    )
-    c = cells["c"].to_numpy().astype(np.int64)
-    n = int(c.sum())
-    lang_tot = cells.groupby("lang")["c"].transform("sum").to_numpy()
-    src_tot = cells.groupby("source")["c"].transform("sum").to_numpy()
-    mi_terms = round_like_duckdb(
-        1e6 * (c / n) * np.log((c.astype(np.float64) * n) / (lang_tot * src_tot)),
-        0,
-    ).astype(np.int64)
-    lmarg = cells.groupby("lang")["c"].sum().to_numpy().astype(np.int64)
-    smarg = cells.groupby("source")["c"].sum().to_numpy().astype(np.int64)
-    h = lambda m: int(
-        round_like_duckdb(1e6 * (m / n) * -np.log(m / n), 0)
-        .astype(np.int64)
-        .sum()
-    )
-    return pa.table(
-        {
-            "n_docs": pa.array([n], pa.int64()),
-            "n_cells": pa.array([len(cells)], pa.int64()),
-            "mi_micro": pa.array([int(mi_terms.sum())], pa.int64()),
-            "h_lang_micro": pa.array([h(lmarg)], pa.int64()),
-            "h_source_micro": pa.array([h(smarg)], pa.int64()),
-        }
-    )
-
-
-def _sql_q206() -> str:
-    return """
-WITH cells AS (
-  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
-  FROM documents GROUP BY 1, 2),
-n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
-lm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cl FROM cells GROUP BY 1),
-sm AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM cells GROUP BY 1),
-mi AS (
-  SELECT CAST(sum(CAST(round(
-           1e6 * (cells.c / n.n)
-               * ln((CAST(cells.c AS DOUBLE) * n.n) / (lm.cl * sm.cs)), 0)
-         AS BIGINT)) AS BIGINT) AS mi_micro,
-         CAST(count(*) AS BIGINT) AS n_cells
-  FROM cells JOIN lm USING (lang) JOIN sm USING (source), n),
-hl AS (SELECT CAST(sum(CAST(round(
-           1e6 * (cl / n.n) * -ln(cl / n.n), 0) AS BIGINT)) AS BIGINT) AS h
-       FROM lm, n),
-hs AS (SELECT CAST(sum(CAST(round(
-           1e6 * (cs / n.n) * -ln(cs / n.n), 0) AS BIGINT)) AS BIGINT) AS h
-       FROM sm, n)
-SELECT n.n AS n_docs, mi.n_cells, mi.mi_micro,
-       hl.h AS h_lang_micro, hs.h AS h_source_micro
-FROM n, mi, hl, hs
-"""
-
-
-#: q207 band edges (rank thresholds; scaled to the fixture vocab — at
-#: production scale these are 1e3/1e5 and the machinery is unchanged)
-Q207_B1, Q207_B2 = 10, 1000
-
-
-def q207_vocab_band_coverage(sf_dir: str):
-    """Vocabulary band coverage: how much of the corpus's token mass
-    the top-B1 / top-B2 / tail vocabulary bands carry (the Zipf-mass
-    audit behind every 'cap the tokenizer vocab at N' decision; q174
-    fits the slope, this measures the actual head mass). Ranking is
-    (count desc, term asc) — but NO global sort runs: the band
-    boundary resolves from a count-of-counts table (bounded by
-    distinct count VALUES) plus one lexicographic cutoff pulled from
-    the terms AT the boundary count only (bounded pull, the q146
-    offset-table discipline applied to ranks); band assignment is then
-    a vectorized per-block compare and the rollup is bands-bounded."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, WordCountCombiner
-
-    docs = read_table(sf_dir, "documents", ["text"])
-    voc = (
-        docs.map_batches(
-            WordCountCombiner, batch_format="pyarrow", concurrency=(1, 4)
-        )
-        .groupby("word", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()  # consumers: count-of-counts, boundary pulls, band pass
-    )
-
-    def _coc(t: pa.Table) -> pa.Table:
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        uv, cnt = np.unique(n, return_counts=True)
-        return pa.table(
-            {
-                "n": pa.array(uv, pa.int64()),
-                "c": pa.array(cnt.astype(np.int64), pa.int64()),
-            }
-        )
-
-    coc = (
-        voc.map_batches(_coc, batch_format="pyarrow")
-        .groupby("n", num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values("n", ascending=False)
-    )
-    counts_desc = coc["n"].to_numpy().astype(np.int64)
-    terms_at = coc["c"].to_numpy().astype(np.int64)
-    cum = np.cumsum(terms_at)
-    n_vocab = int(cum[-1]) if len(cum) else 0
-
-    def _cutoff(k: int):
-        """(boundary_count, cutoff_term) for rank k, or None if the
-        whole vocab fits inside the band."""
-        if n_vocab <= k:
-            return None
-        i = int(np.searchsorted(cum, k))  # first row where cum >= k
-        nb = int(counts_desc[i])
-        before = int(cum[i - 1]) if i else 0
-        slots = k - before
-        # bounded pull: ONLY the terms at the boundary count
-        at = voc.filter(expr=f"n == {nb}").to_pandas()["word"]
-        cut = sorted(at.tolist())[slots - 1]
-        return nb, cut
-
-    b1, b2 = _cutoff(Q207_B1), _cutoff(Q207_B2)
-
-    def _band(t: pa.Table) -> pa.Table:
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        w = np.asarray(t.column("word").to_pylist())
-
-        def _in(b):
-            if b is None:
-                return np.ones(len(n), bool)
-            nb, cut = b
-            return (n > nb) | ((n == nb) & (w <= cut))
-
-        in1, in2 = _in(b1), _in(b2)
-        band = np.where(in1, "a_top", np.where(in2, "b_mid", "c_tail"))
-        out_b, out_t, out_n = [], [], []
-        for bn in np.unique(band):
-            m = band == bn
-            out_b.append(str(bn))
-            out_t.append(int(m.sum()))
-            out_n.append(int(n[m].sum()))
-        return pa.table(
-            {
-                "band": pa.array(out_b, pa.string()),
-                "n_terms": pa.array(out_t, pa.int64()),
-                "tokens": pa.array(out_n, pa.int64()),
-            }
-        )
-
-    rolled = (
-        voc.map_batches(_band, batch_format="pyarrow")
-        .groupby("band", num_partitions=2)
-        .aggregate(
-            Sum("n_terms", alias_name="n_terms"),
-            Sum("tokens", alias_name="tokens"),
-        )
-        .to_pandas()  # bands-bounded
-        .sort_values("band")
-    )
-    total = int(rolled["tokens"].sum()) if len(rolled) else 0
-    share = (
-        round_like_duckdb(
-            1e4 * rolled["tokens"].to_numpy() / max(total, 1), 0
-        ).astype(np.int64)
-        if len(rolled)
-        else np.array([], np.int64)
-    )
-    return pa.table(
-        {
-            "band": pa.array(rolled["band"].tolist(), pa.string()),
-            "n_terms": pa.array(rolled["n_terms"].tolist(), pa.int64()),
-            "tokens": pa.array(rolled["tokens"].tolist(), pa.int64()),
-            "share_bp": pa.array(share, pa.int64()),
-        }
-    )
-
-
-def _sql_q207() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
-  FROM documents),
-v AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
-r AS (SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rk FROM v),
-b AS (SELECT CASE WHEN rk <= {Q207_B1} THEN 'a_top'
-                  WHEN rk <= {Q207_B2} THEN 'b_mid'
-                  ELSE 'c_tail' END AS band, n
-      FROM r),
-t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM v)
-SELECT band, CAST(count(*) AS BIGINT) AS n_terms,
-       CAST(sum(n) AS BIGINT) AS tokens,
-       CAST(round(1e4 * sum(n) / greatest(t.total, 1), 0) AS BIGINT)
-         AS share_bp
-FROM b, t GROUP BY band, t.total ORDER BY band
-"""
-
-
-def q208_embedding_isotropy(sf_dir: str):
-    """Embedding-space isotropy audit: mean vector norm and the mean
-    pairwise cosine of the whole corpus — the anisotropy number
-    (Ethayarajh 2019, public) that says whether an embedding column is
-    usable for cosine retrieval (a high mean pairwise cosine means a
-    dominant common direction and q16/q48 rankings degenerate).
-
-    The O(n^2) pairwise mean NEVER runs pairwise: with per-row unit
-    vectors in micro-int space, sum_{i!=j} cos(i,j) = ||S||^2 - q where
-    S = sum of unit vectors and q = sum of per-row self-dots — one
-    corpus pass of (dim, s) int64 partials ((dims+3)-bounded per
-    block), exact integer algebra driver-side (Python ints for the
-    hugeint squares), ONE IEEE division at the end. Unit vectors round
-    to 1e6 fixed point BEFORE any sum, so every engine-side reduce is
-    order-independent and the SQL replays it."""
-    import numpy as np
-
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def _partial(t: pa.Table) -> pa.Table:
-        v = np.stack(
-            [np.asarray(x, np.float64) for x in t.column("embedding").to_pylist()]
-        )
-        nm = np.sqrt((v * v).sum(axis=1))
-        um = round_like_duckdb(1e6 * v / nm[:, None], 0).astype(np.int64)
-        nmm = round_like_duckdb(1e6 * nm, 0).astype(np.int64)
-        dims = um.shape[1]
-        kinds = ["S"] * dims + ["n", "nrm", "q"]
-        keys = list(range(dims)) + [0, 0, 0]
-        vals = list(um.sum(axis=0)) + [
-            len(nm),
-            int(nmm.sum()),
-            int((um * um).sum()),  # <= rows x dims x 1e12, int64-safe
-        ]
-        return pa.table(
-            {
-                "kind": pa.array(kinds, pa.string()),
-                "key": pa.array(keys, pa.int64()),
-                "val": pa.array([int(x) for x in vals], pa.int64()),
-            }
-        )
-
-    agg = (
-        emb.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["kind", "key"], num_partitions=2)
-        .aggregate(Sum("val", alias_name="val"))
-        .to_pandas()  # (dims + 3)-bounded
-    )
-    by = {(r.kind, r.key): int(r.val) for r in agg.itertuples()}
-    n = by[("n", 0)]
-    q = by[("q", 0)]
-    ssq = sum(
-        v * v for (k, _), v in by.items() if k == "S"
-    )  # exact Python ints (hugeint-sized)
-    avg_norm = int(
-        round_like_duckdb(np.array([by[("nrm", 0)] / n]), 0)[0]
-    )
-    if n > 1:
-        cos = int(
-            round_like_duckdb(
-                np.array([1e6 * float(ssq - q) / (n * (n - 1)) / 1e12]), 0
-            )[0]
-        )
-    else:
-        cos = 0
-    return pa.table(
-        {
-            "n_vectors": pa.array([n], pa.int64()),
-            "avg_norm_micro": pa.array([avg_norm], pa.int64()),
-            "avg_pairwise_cos_micro": pa.array([cos], pa.int64()),
-        }
-    )
-
-
-def _sql_q208() -> str:
-    return """
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-nrm AS (
-  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nm
-  FROM e),
-u AS (
-  SELECT vec_id, nm, unnest(v) AS x,
-         generate_subscripts(v, 1) AS d
-  FROM nrm),
-um AS (
-  SELECT vec_id, d, CAST(round(1e6 * x / nm, 0) AS BIGINT) AS um
-  FROM u),
-sdim AS (SELECT d, CAST(sum(um) AS BIGINT) AS s FROM um GROUP BY 1),
-stats AS (
-  SELECT (SELECT CAST(count(*) AS BIGINT) FROM nrm) AS n,
-         (SELECT CAST(sum(CAST(round(1e6 * nm, 0) AS BIGINT)) AS BIGINT)
-          FROM nrm) AS nrm_sum,
-         (SELECT sum(CAST(um AS HUGEINT) * um) FROM um) AS q,
-         (SELECT sum(CAST(s AS HUGEINT) * s) FROM sdim) AS ssq)
-SELECT n AS n_vectors,
-       CAST(round(CAST(nrm_sum AS DOUBLE) / n, 0) AS BIGINT)
-         AS avg_norm_micro,
-       CASE WHEN n <= 1 THEN 0
-            ELSE CAST(round(1e6 * (ssq - q) / (n * (n - 1)) / 1e12, 0)
-                      AS BIGINT)
-       END AS avg_pairwise_cos_micro
-FROM stats
-"""
-
-
-#: q209 sliding-window width in hours
-Q209_W = 24
-
-
-def q209_sliding_distinct_users(sf_dir: str):
-    """EXACT trailing-24h distinct users per event hour — the sliding
-    dashboard number (DAU at hourly resolution). Distinct-over-
-    overlapping-windows does not merge like sums (q155's trailing
-    average) or registers (q102's HLL — the cheap approximate sibling
-    of this query), so the exact path pays a bounded x24 fan-out and
-    is honest about it: (hour, user) pairs dedup through ONE keyed
-    exchange, each surviving pair replicates to the <= 24 PRESENT
-    window-ends that contain it (window list broadcast, hours-
-    bounded), a second (window, user) keyed dedup closes global
-    uniqueness, and per-window counts fold from block partials.
-    Exchange volume is distinct-pairs x 24, never raw events."""
-    import numpy as np
-
-    events = read_table(sf_dir, "events", ["ts", "user_id"])
-
-    def _hour_pairs(t: pa.Table) -> pa.Table:
-        h = (
-            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-        )
-        out = pa.table(
-            {
-                "h": pa.array(h, pa.int64()),
-                "user_id": t.column("user_id"),
-            }
-        )
-        return out.group_by(["h", "user_id"]).aggregate([])
-
-    pairs = (
-        events.map_batches(_hour_pairs, batch_format="pyarrow")
-        .groupby(["h", "user_id"], num_partitions=hash_partitions(8))
-        .aggregate(Count(alias_name="_n"))
-        .materialize()  # consumers: hour spine + window explode
-    )
-
-    def _hours(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "h": pa.array(
-                    np.unique(t.column("h").to_numpy(zero_copy_only=False)),
-                    pa.int64(),
-                )
-            }
-        )
-
-    hrs = np.unique(
-        pairs.map_batches(_hours, batch_format="pyarrow")
-        .to_pandas()["h"]
-        .to_numpy()
-        .astype(np.int64)
-    )  # hours-bounded driver spine (block partials are already unique)
-
-    def _explode(t: pa.Table) -> pa.Table:
-        h = t.column("h").to_numpy(zero_copy_only=False)
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        lo = np.searchsorted(hrs, h)  # first window-end >= h
-        hi = np.searchsorted(hrs, h + Q209_W, side="left")  # end < h+W
-        reps = (hi - lo).astype(np.int64)
-        w_idx = np.concatenate(
-            [np.arange(a, b) for a, b in zip(lo, hi)]
-        ) if len(h) else np.empty(0, np.int64)
-        return pa.table(
-            {
-                "wend": pa.array(hrs[w_idx], pa.int64()),
-                "user_id": pa.array(np.repeat(u, reps), pa.int64()),
-            }
-        )
-
-    def _count_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["wend"]).aggregate([("user_id", "count")])
-        return pa.table(
-            {
-                "wend": g.column("wend"),
-                "c": g.column("user_id_count").cast(pa.int64()),
-            }
-        )
-
-    out = (
-        pairs.map_batches(_explode, batch_format="pyarrow")
-        .groupby(["wend", "user_id"], num_partitions=hash_partitions(8))
-        .aggregate(Count(alias_name="_m"))
-        .map_batches(_count_partial, batch_format="pyarrow")
-        .groupby("wend", num_partitions=2)
-        .aggregate(Sum("c", alias_name="n_users"))
-        .to_pandas()  # hours-bounded
-    )
-    out = out.sort_values("wend") if len(out) else out
-    return pa.table(
-        {
-            "wend": pa.array(
-                out["wend"].tolist() if len(out) else [], pa.int64()
-            ),
-            "n_users": pa.array(
-                out["n_users"].tolist() if len(out) else [], pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q209() -> str:
-    return f"""
-WITH e AS (
-  SELECT DISTINCT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, user_id
-  FROM events),
-hrs AS (SELECT DISTINCT h FROM e),
-x AS (
-  SELECT DISTINCT w.h AS wend, e.user_id
-  FROM e JOIN hrs w ON e.h <= w.h AND e.h > w.h - {Q209_W})
-SELECT wend, CAST(count(*) AS BIGINT) AS n_users
-FROM x GROUP BY 1 ORDER BY 1
-"""
-
-
-#: q210 audit quantiles (q127's grid)
-Q210_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
-
-
-def q210_quantile_sketch_error(sf_dir: str):
-    """Approximation-quality harness for the quantile sketch — the
-    fourth row of the sketch-audit family (q184 MinHash, q186 IVF
-    recall, q203 HLL): every q127 fixed-grid estimate beside the q66
-    exact counting-quickselect value, with the absolute error and the
-    sketch's own one-bucket-width guarantee checked per quantile. Both
-    legs run distributed over ONE materialized read; the join closes
-    on the quantiles-bounded driver table."""
-    import numpy as np
-
-    from ray.data.aggregate import Max as _Max
-    from ray.data.aggregate import Min as _Min
-
-    from barks_ocr_ray.functions.quantiles import (
-        distributed_quantiles,
-        histogram_quantiles,
-    )
-
-    li = read_table(sf_dir, "lineitem", ["l_extendedprice"]).materialize()
-    exact = distributed_quantiles(
-        li, "l_extendedprice", Q210_QS, pull_cap=2000
-    ).to_pandas()
-    approx = histogram_quantiles(
-        li, "l_extendedprice", Q210_QS, n_buckets=1024
-    ).to_pandas()
-    stats = li.aggregate(
-        _Min("l_extendedprice", alias_name="lo"),
-        _Max("l_extendedprice", alias_name="hi"),
-    )
-    w = (float(stats["hi"]) - float(stats["lo"])) / 1024.0
-    m = exact.merge(approx, on="q").sort_values("q")
-    err = round_like_duckdb(
-        np.abs(m["value_est"].to_numpy() - m["value"].to_numpy()), 6
-    )
-    bound = float(round_like_duckdb(np.array([w]), 6)[0])
-    return pa.table(
-        {
-            "q": pa.array(m["q"].tolist(), pa.float64()),
-            "value": pa.array(m["value"].tolist(), pa.float64()),
-            "value_est": pa.array(m["value_est"].tolist(), pa.float64()),
-            "abs_err": pa.array(err, pa.float64()),
-            "bound": pa.array([bound] * len(m), pa.float64()),
-            "within_bound": pa.array(
-                (err <= bound).astype(np.int64), pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q210() -> str:
-    parts = " UNION ALL ".join(
-        f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) AS value "
-        "FROM lineitem"
-        for q in Q210_QS
-    )
-    return f"""
-WITH exact AS ({parts}),
-appr AS ({SQL_Q127.replace("ORDER BY q", "")}),
-s AS (SELECT round((max(l_extendedprice) - min(l_extendedprice))
-              / CAST(1024 AS DOUBLE), 6) AS bound
-      FROM lineitem)
-SELECT exact.q, exact.value, appr.value_est,
-       round(abs(appr.value_est - exact.value), 6) AS abs_err,
-       s.bound,
-       CASE WHEN round(abs(appr.value_est - exact.value), 6) <= s.bound
-            THEN 1 ELSE 0 END AS within_bound
-FROM exact JOIN appr USING (q), s ORDER BY exact.q
-"""
-
-
-def q211_source_quality_ci(sf_dir: str):
-    """Per-source mean quality score with an exact-moment 95% normal
-    confidence interval — the 'is source A actually better than B or
-    is it noise' table a curation run reads before reweighting
-    sources (q196 gates WITHIN a source; this compares ACROSS them).
-    One streamed q64 scoring pass emits (source, n, sum, sumsq)
-    integer block partials (basis-point scores — exact int64 sums,
-    order-independent); the sources-bounded aggregation closes and the
-    mean/std/CI are single shared IEEE expressions over exact integers
-    (the q154 explicit-moments discipline — an engine-native stddev
-    would diverge by accumulation order)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.inference import QualityModel
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"])
-    qm = QualityModel()
-
-    def _moments(t: pa.Table) -> pa.Table:
-        s = qm(t)
-        bp = round_like_duckdb(
-            s.column("quality_score").to_numpy(zero_copy_only=False)
-            * 10000.0,
-            0,
-        ).astype(np.int64)
-        src = np.asarray(t.column("source").to_pylist())
-        out_s, out_n, out_sum, out_sq = [], [], [], []
-        for sv in np.unique(src):
-            m = src == sv
-            out_s.append(str(sv))
-            out_n.append(int(m.sum()))
-            out_sum.append(int(bp[m].sum()))
-            out_sq.append(int((bp[m] * bp[m]).sum()))
-        return pa.table(
-            {
-                "source": pa.array(out_s, pa.string()),
-                "n": pa.array(out_n, pa.int64()),
-                "s1": pa.array(out_sum, pa.int64()),
-                "s2": pa.array(out_sq, pa.int64()),
-            }
-        )
-
-    g = (
-        docs.map_batches(_moments, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("s1", alias_name="s1"),
-            Sum("s2", alias_name="s2"),
-        )
-        .to_pandas()  # sources-bounded
-        .sort_values("source")
-    )
-    n = g["n"].to_numpy().astype(np.int64)
-    s1 = g["s1"].to_numpy().astype(np.int64)
-    s2 = g["s2"].to_numpy().astype(np.int64)
-    mean = round_like_duckdb(s1.astype(np.float64) / n, 4)
-    var = np.where(
-        n > 1,
-        np.maximum(
-            (s2.astype(np.float64) - (s1 * s1).astype(np.float64) / n)
-            / np.maximum(n - 1, 1),
-            0.0,
-        ),
-        0.0,
-    )
-    ci = round_like_duckdb(1.96 * np.sqrt(var / n), 4)
-    return pa.table(
-        {
-            "source": pa.array(g["source"].tolist(), pa.string()),
-            "n_docs": pa.array(n, pa.int64()),
-            "mean_bp": pa.array(mean, pa.float64()),
-            "ci95_bp": pa.array(ci, pa.float64()),
-        }
-    )
-
-
-def _sql_q211() -> str:
-    return f"""
-WITH sc AS (SELECT doc_id, quality_score FROM ({_sql_q64()})),
-j AS (SELECT d.source,
-             CAST(round(quality_score * 10000, 0) AS BIGINT) AS bp
-      FROM sc JOIN documents d USING (doc_id)),
-m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(bp) AS BIGINT) AS s1,
-             CAST(sum(bp * bp) AS BIGINT) AS s2
-      FROM j GROUP BY 1)
-SELECT source, n AS n_docs,
-       round(CAST(s1 AS DOUBLE) / n, 4) AS mean_bp,
-       round(1.96 * sqrt(
-         (CASE WHEN n > 1 THEN greatest(
-            (CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / n)
-              / greatest(n - 1, 1), 0.0)
-          ELSE 0.0 END) / n), 4) AS ci95_bp
-FROM m ORDER BY source
-"""
-
-
-def q212_neardup_provenance(sf_dir: str):
-    """Near-dup provenance matrix: the q19 MinHash pair stream rolled
-    up by (source_a, source_b) — q202 answers 'who copies whom
-    EXACTLY'; this answers 'who paraphrases/templates whom' (the pairs
-    exact hashing can't see). Distributed shape: the pair stream joins
-    the (doc_id, source) projection twice on compacted inputs (pairs
-    never land on the driver), the source pair normalizes to
-    (min, max) vectorized, and the rollup is sources^2-bounded.
-    Oracle: the committed q19 golden pairs re-labeled by SQL joins."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.dedupe import minhash_near_dups
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
-    np_ = hash_partitions(4)
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "source"]).materialize()
-    pairs = minhash_near_dups(
-        docs.select_columns(["doc_id", "text"]), threshold=0.4
-    )
-    empty = pa.table(
-        {
-            "source_a": pa.array([], pa.string()),
-            "source_b": pa.array([], pa.string()),
-            "n_pairs": pa.array([], pa.int64()),
-        }
-    )
-    pairs_c, n_pairs = compact_nonempty(pairs, np_)
-    if n_pairs == 0:
-        return empty
-    src = docs.select_columns(["doc_id", "source"])
-    src_c, _ = compact_nonempty(src, np_)
-
-    def _as(cid: str, csrc: str):
-        def _f(t: pa.Table) -> pa.Table:
-            return pa.table({cid: t.column("doc_id"), csrc: t.column("source")})
-
-        return _f
-
-    j1 = pairs_c.join(
-        src_c.map_batches(_as("doc_a", "src_a"), batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=np_,
-        on=("doc_a",),
-    )
-    j1_c, n_j1 = compact_nonempty(j1, np_)  # joins need schema-ful blocks
-    if n_j1 == 0:
-        return empty
-    j = j1_c.join(
-        src_c.map_batches(_as("doc_b", "src_b"), batch_format="pyarrow"),
-        join_type="inner",
-        num_partitions=np_,
-        on=("doc_b",),
-    )
-
-    def _norm(t: pa.Table) -> pa.Table:
-        a = np.asarray(t.column("src_a").to_pylist())
-        b = np.asarray(t.column("src_b").to_pylist())
-        swap = a > b  # np.minimum has no unicode loop; compare + where
-        lo = np.where(swap, b, a)
-        hi = np.where(swap, a, b)
-        out_a, out_b, out_n = [], [], []
-        seen: dict = {}
-        for x, y in zip(lo, hi):
-            seen[(x, y)] = seen.get((x, y), 0) + 1
-        for (x, y), c in sorted(seen.items()):
-            out_a.append(x)
-            out_b.append(y)
-            out_n.append(c)
-        return pa.table(
-            {
-                "source_a": pa.array(out_a, pa.string()),
-                "source_b": pa.array(out_b, pa.string()),
-                "n_pairs": pa.array(out_n, pa.int64()),
-            }
-        )
-
-    out = (
-        j.map_batches(_norm, batch_format="pyarrow")
-        .groupby(["source_a", "source_b"], num_partitions=2)
-        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
-        .to_pandas()  # sources^2-bounded
-    )
-    out = out.sort_values(["source_a", "source_b"]) if len(out) else out
-    return pa.table(
-        {
-            "source_a": pa.array(
-                out["source_a"].tolist() if len(out) else [], pa.string()
-            ),
-            "source_b": pa.array(
-                out["source_b"].tolist() if len(out) else [], pa.string()
-            ),
-            "n_pairs": pa.array(
-                out["n_pairs"].tolist() if len(out) else [], pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q212() -> str:
-    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
-
-    return f"""
-WITH p AS (
-  SELECT doc_a, doc_b
-  FROM read_parquet('{neardup_golden_path("minhash_pairs")}')
-  WHERE corpus_tag = {corpus_tag_sql("documents")}),
-j AS (
-  SELECT least(da.source, db.source) AS source_a,
-         greatest(da.source, db.source) AS source_b
-  FROM p JOIN documents da ON p.doc_a = da.doc_id
-         JOIN documents db ON p.doc_b = db.doc_id)
-SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
-FROM j GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-def q213_markov_backtest(sf_dir: str):
-    """Next-event prediction backtest: train a first-order Markov
-    predictor (argmax next-type per previous type, ties type-asc) on
-    the TRAIN users' transitions and score top-1 accuracy on the TEST
-    users', against the marginal most-common-next baseline — the
-    model-eval shape (fit on one split, measure on the other, compare
-    to a dumb baseline) applied to the q144 transition kernel.
-
-    Execution: ONE user-keyed exchange colocates each user's events;
-    a vectorized per-block pass (lexsort + boundary mask — q144)
-    emits (side, prev, next) COUNT partials, so the only aggregation
-    is event-types^2-bounded and the whole fit/score closes on the
-    driver from that table. Unseen-prev test transitions score as
-    wrong (the LEFT JOIN null rule)."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-
-    def _trans(t: pa.Table) -> pa.Table:
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        st = np.asarray(t.column("event_type").to_pylist())
-        order = np.lexsort((eid, ts, us))
-        us, st = us[order], st[order]
-        same = us[1:] == us[:-1]
-        side = ((us[:-1][same] % 10) >= 7).astype(np.int64)
-        a, b = st[:-1][same], st[1:][same]
-        g = (
-            pa.table(
-                {
-                    "side": pa.array(side, pa.int64()),
-                    "prev": pa.array(a.tolist(), pa.string()),
-                    "nxt": pa.array(b.tolist(), pa.string()),
-                }
-            )
-            .group_by(["side", "prev", "nxt"])
-            .aggregate([("side", "count")])
-        )
-        return g.rename_columns(["side", "prev", "nxt", "n"])
-
-    tbl = (
-        ev.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_trans, batch_format="pyarrow", batch_size=None)
-        .groupby(["side", "prev", "nxt"], num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()  # event-types^2 x 2 bounded
-    )
-    train = tbl[tbl["side"] == 0]
-    test = tbl[tbl["side"] == 1]
-    # per-prev argmax (count desc, next asc) and the marginal argmax
-    pred: dict = {}
-    for prev, grp in train.groupby("prev"):
-        best = grp.sort_values(["n", "nxt"], ascending=[False, True]).iloc[0]
-        pred[prev] = best["nxt"]
-    marg = None
-    if len(train):
-        mm = (
-            train.groupby("nxt")["n"]
-            .sum()
-            .reset_index()
-            .sort_values(["n", "nxt"], ascending=[False, True])
-        )
-        marg = mm.iloc[0]["nxt"]
-    n_test = int(test["n"].sum()) if len(test) else 0
-    n_markov = int(
-        test[test.apply(lambda r: pred.get(r["prev"]) == r["nxt"], axis=1)][
-            "n"
-        ].sum()
-    ) if len(test) else 0
-    n_marg = int(test[test["nxt"] == marg]["n"].sum()) if len(test) else 0
-
-    def _bp(c):
-        if n_test == 0:
-            return 0
-        import numpy as np
-
-        return int(round_like_duckdb(np.array([1e4 * c / n_test]), 0)[0])
-
-    return pa.table(
-        {
-            "n_test": pa.array([n_test], pa.int64()),
-            "n_correct_markov": pa.array([n_markov], pa.int64()),
-            "n_correct_marginal": pa.array([n_marg], pa.int64()),
-            "acc_markov_bp": pa.array([_bp(n_markov)], pa.int64()),
-            "acc_marginal_bp": pa.array([_bp(n_marg)], pa.int64()),
-        }
-    )
-
-
-def _sql_q213() -> str:
-    return """
-WITH seq AS (
-  SELECT user_id, event_type,
-         lead(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
-         CASE WHEN user_id % 10 < 7 THEN 0 ELSE 1 END AS side
-  FROM events),
-tr AS (SELECT side, event_type AS prev, nxt FROM seq WHERE nxt IS NOT NULL),
-train AS (SELECT prev, nxt, count(*) AS c FROM tr WHERE side = 0
-          GROUP BY 1, 2),
-pred AS (SELECT prev, nxt AS p FROM train
-         QUALIFY row_number() OVER (
-           PARTITION BY prev ORDER BY c DESC, nxt ASC) = 1),
-marg AS (SELECT nxt AS p FROM (
-           SELECT nxt, sum(c) AS c FROM train GROUP BY 1)
-         QUALIFY row_number() OVER (ORDER BY c DESC, nxt ASC) = 1),
-test AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c FROM tr
-         WHERE side = 1 GROUP BY 1, 2),
-agg AS (
-  SELECT CAST(coalesce(sum(test.c), 0) AS BIGINT) AS n_test,
-         CAST(coalesce(sum(CASE WHEN pred.p = test.nxt THEN test.c
-                           ELSE 0 END), 0) AS BIGINT) AS n_correct_markov,
-         CAST(coalesce(sum(CASE WHEN marg.p = test.nxt THEN test.c
-                           ELSE 0 END), 0) AS BIGINT) AS n_correct_marginal
-  FROM test LEFT JOIN pred USING (prev), marg)
-SELECT n_test, n_correct_markov, n_correct_marginal,
-       CASE WHEN n_test = 0 THEN 0
-            ELSE CAST(round(1e4 * n_correct_markov / n_test, 0) AS BIGINT)
-       END AS acc_markov_bp,
-       CASE WHEN n_test = 0 THEN 0
-            ELSE CAST(round(1e4 * n_correct_marginal / n_test, 0) AS BIGINT)
-       END AS acc_marginal_bp
-FROM agg
-"""
-
-
-def q214_entity_cooccurrence(sf_dir: str):
-    """Entity co-occurrence mining: top-20 curated-entity pairs by
-    document-level PMI — which entities travel together across the
-    corpus (the knowledge-graph-edge-candidate stage above q11's
-    per-doc tagging and q93's token-bigram PMI). Zero doc-keyed
-    exchanges: the tagger's vectorized presence pass emits
-    |E|^2-bounded (pair, count) and |E|-bounded marginal partials per
-    block (a doc's entities never leave its block), one bounded
-    aggregation closes, and PMI/top-20 resolve on the driver. PMI
-    rounds to micro-nats (q137 discipline) so the oracle replays the
-    ranking bit-exactly (ties pair-asc)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.tagging import CURATED_ENTITIES, EntityTagger
-
-    names = sorted(CURATED_ENTITIES)
-    tagger = EntityTagger()
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    n_docs = docs.count()
-
-    def _partial(t: pa.Table) -> pa.Table:
-        text = t.column("text").combine_chunks().fill_null("")
-        lower = pc.utf8_lower(text)
-        present = np.stack(
-            [
-                pc.count_substring_regex(lower, tagger.patterns[nm])
-                .cast(pa.int64())
-                .to_numpy(zero_copy_only=False)
-                > 0
-                for nm in names
-            ],
-            axis=1,
-        )  # (rows, |E|)
-        out_a, out_b, out_c = [], [], []
-        for i, a in enumerate(names):
-            ca = int(present[:, i].sum())
-            if ca:
-                out_a.append(a)
-                out_b.append("")  # marginal row
-                out_c.append(ca)
-            for jx in range(i + 1, len(names)):
-                cab = int((present[:, i] & present[:, jx]).sum())
-                if cab:
-                    out_a.append(a)
-                    out_b.append(names[jx])
-                    out_c.append(cab)
-        return pa.table(
-            {
-                "ea": pa.array(out_a, pa.string()),
-                "eb": pa.array(out_b, pa.string()),
-                "c": pa.array(out_c, pa.int64()),
-            }
-        )
-
-    agg = (
-        docs.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["ea", "eb"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # |E|^2-bounded
-    )
-    marg = {
-        r.ea: int(r.c) for r in agg[agg["eb"] == ""].itertuples()
-    }
-    pairs = agg[agg["eb"] != ""]
-    rows = []
-    for r in pairs.itertuples():
-        pmi = int(
-            round_like_duckdb(
-                np.array(
-                    [1e6 * np.log(float(r.c) * n_docs / (marg[r.ea] * marg[r.eb]))]
-                ),
-                0,
-            )[0]
-        )
-        rows.append((r.ea, r.eb, int(r.c), pmi))
-    rows.sort(key=lambda x: (-x[3], x[0], x[1]))
-    rows = rows[:20]
-    return pa.table(
-        {
-            "ea": pa.array([r[0] for r in rows], pa.string()),
-            "eb": pa.array([r[1] for r in rows], pa.string()),
-            "n_docs_both": pa.array([r[2] for r in rows], pa.int64()),
-            "pmi_micro": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _sql_q214() -> str:
-    from barks_ocr_ray.functions.tagging import CURATED_ENTITIES
-
-    presence = "\nUNION ALL\n".join(
-        f"""SELECT doc_id, '{nm}' AS name FROM documents
-WHERE len(regexp_extract_all(lower(text), '\\b{nm}\\b')) > 0"""
-        for nm in sorted(CURATED_ENTITIES)
-    )
-    return f"""
-WITH e AS ({presence}),
-n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-m AS (SELECT name, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
-p AS (SELECT a.name AS ea, b.name AS eb, CAST(count(*) AS BIGINT) AS cab
-      FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.name < b.name
-      GROUP BY 1, 2),
-s AS (SELECT ea, eb, cab,
-             CAST(round(1e6 * ln(CAST(cab AS DOUBLE) * n.n
-                                 / (ma.c * mb.c)), 0) AS BIGINT) AS pmi_micro
-      FROM p JOIN m ma ON ma.name = p.ea JOIN m mb ON mb.name = p.eb, n)
-SELECT ea, eb, cab AS n_docs_both, pmi_micro FROM s
-QUALIFY row_number() OVER (ORDER BY pmi_micro DESC, ea, eb) <= 20
-ORDER BY pmi_micro DESC, ea, eb
-"""
-
-
-def q215_split_leakage(sf_dir: str):
-    """Train/test split leakage audit: how many TEST documents have a
-    near-duplicate (q19 MinHash pair) in TRAIN — the eval-integrity
-    number behind 'dedup across splits, not just within' (a hash split
-    q113 randomizes WHICH side a doc lands on, but near-identical docs
-    land independently, so paraphrase leakage survives unless it's
-    measured and cleaned). Split membership is a pure function of
-    doc_id (the q113 md5-fraction bounds), so the pair stream labels
-    both sides IN BLOCK with zero joins; leaked test ids dedup through
-    one bounded keyed aggregation. Oracle: the committed q19 golden
-    pairs re-labeled by the same SQL fraction expressions."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.dedupe import minhash_near_dups
-    from barks_ocr_ray.functions.hashing import unit_fractions
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
-
-    def _n_test(t: pa.Table) -> pa.Table:
-        u = unit_fractions(t.column("doc_id").to_pylist(), method="md5")
-        return pa.table(
-            {"c": pa.array([int((u >= 0.9).sum())], pa.int64())}
-        )
-
-    n_test = int(
-        docs.map_batches(_n_test, batch_format="pyarrow").sum("c") or 0
-    )
-    pairs = minhash_near_dups(docs, threshold=0.4)
-    pairs_c, n_pairs = compact_nonempty(pairs, hash_partitions(4))
-    n_leaked = 0
-    if n_pairs:
-
-        def _leaked(t: pa.Table) -> pa.Table:
-            a = t.column("doc_a").to_numpy(zero_copy_only=False)
-            b = t.column("doc_b").to_numpy(zero_copy_only=False)
-            ua = unit_fractions(a.tolist(), method="md5")
-            ub = unit_fractions(b.tolist(), method="md5")
-            leak_a = (ua >= 0.9) & (ub < 0.8)  # a test, b train
-            leak_b = (ub >= 0.9) & (ua < 0.8)
-            ids = np.unique(np.concatenate((a[leak_a], b[leak_b])))
-            return pa.table({"doc_id": pa.array(ids, pa.int64())})
-
-        leaked = (
-            pairs_c.map_batches(_leaked, batch_format="pyarrow")
-            .groupby("doc_id", num_partitions=2)
-            .aggregate(Count(alias_name="_n"))
-        )
-        n_leaked = leaked.count()
-    bp = (
-        int(round_like_duckdb(np.array([1e4 * n_leaked / n_test]), 0)[0])
-        if n_test
-        else 0
-    )
-    return pa.table(
-        {
-            "n_test": pa.array([n_test], pa.int64()),
-            "n_leaked": pa.array([n_leaked], pa.int64()),
-            "leak_bp": pa.array([bp], pa.int64()),
-        }
-    )
-
-
-def _sql_q215() -> str:
-    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
-
-    u = (
-        "CAST(('0x' || substring(md5(CAST({col} AS VARCHAR)), 1, 8)) "
-        "AS UBIGINT) / 4294967296.0"
-    )
-    ua, ub, ud = (u.format(col=c) for c in ("doc_a", "doc_b", "doc_id"))
-    return f"""
-WITH p AS (
-  SELECT doc_a, doc_b
-  FROM read_parquet('{neardup_golden_path("minhash_pairs")}')
-  WHERE corpus_tag = {corpus_tag_sql("documents")}),
-lab AS (SELECT doc_a, doc_b, {ua} AS ua, {ub} AS ub FROM p),
-leaked AS (
-  SELECT doc_a AS doc_id FROM lab WHERE ua >= 0.9 AND ub < 0.8
-  UNION
-  SELECT doc_b FROM lab WHERE ub >= 0.9 AND ua < 0.8),
-t AS (SELECT CAST(count(*) AS BIGINT) AS n_test
-      FROM documents WHERE {ud} >= 0.9),
-l AS (SELECT CAST(count(*) AS BIGINT) AS n_leaked FROM leaked)
-SELECT t.n_test, l.n_leaked,
-       CASE WHEN t.n_test = 0 THEN 0
-            ELSE CAST(round(1e4 * l.n_leaked / t.n_test, 0) AS BIGINT)
-       END AS leak_bp
-FROM t, l
-"""
-
-
-def q216_term_drift(sf_dir: str):
-    """Term-level drift: the 20 terms whose corpus frequency SHARE
-    moved most between the prior and new snapshots (q130/q134/q137's
-    split convention) — the 'what changed in the crawl' report at
-    vocabulary resolution (q137 scores whole docs; this names the
-    terms). One tokenize pass ships (term, side) count partials into a
-    vocab-bounded aggregation; shares, micro-deltas and the top-20
-    rank (|delta| desc, term asc) close on the driver from the
-    vocab-sized table — at web scale the final rank runs the q71
-    heavy-hitter pre-filter first (documented; the fixture vocab is
-    rank-bounded as-is)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
-
-    tok = Tokenizer()
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        from collections import Counter as _Counter
-
-        sides: dict = {0: _Counter(), 1: _Counter()}
-        for did, s in zip(
-            t.column("doc_id").to_pylist(), t.column("text")
-        ):
-            sides[1 if (did % 10) >= 7 else 0].update(
-                tok.tokens(s.as_py() or "")
-            )
-        out_t, out_s, out_c = [], [], []
-        for side, cnt in sides.items():
-            out_t.extend(cnt.keys())
-            out_s.extend([side] * len(cnt))
-            out_c.extend(cnt.values())
-        return pa.table(
-            {
-                "term": pa.array(out_t, pa.string()),
-                "side": pa.array(out_s, pa.int64()),
-                "c": pa.array(out_c, pa.int64()),
-            }
-        )
-
-    g = (
-        docs.map_batches(_counts, batch_format="pyarrow")
-        .groupby(["term", "side"], num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()  # vocab-bounded
-    )
-    n0 = int(g.loc[g["side"] == 0, "c"].sum())
-    n1 = int(g.loc[g["side"] == 1, "c"].sum())
-    wide: dict = {}
-    for r in g.itertuples():
-        wide.setdefault(r.term, [0, 0])[int(r.side)] = int(r.c)
-    rows = []
-    for term, (c0, c1) in wide.items():
-        s0 = c0 / n0 if n0 else 0.0
-        s1 = c1 / n1 if n1 else 0.0
-        d = int(round_like_duckdb(np.array([1e6 * (s1 - s0)]), 0)[0])
-        rows.append((term, c0, c1, d))
-    rows.sort(key=lambda x: (-abs(x[3]), x[0]))
-    rows = rows[:20]
-    return pa.table(
-        {
-            "term": pa.array([r[0] for r in rows], pa.string()),
-            "n_prior": pa.array([r[1] for r in rows], pa.int64()),
-            "n_new": pa.array([r[2] for r in rows], pa.int64()),
-            "delta_micro": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _sql_q216() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END AS side,
-         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
-  FROM documents),
-g AS (SELECT term, side, CAST(count(*) AS BIGINT) AS c
-      FROM tok GROUP BY 1, 2),
-n AS (SELECT CAST(coalesce(sum(CASE WHEN side = 0 THEN c END), 0) AS BIGINT)
-               AS n0,
-             CAST(coalesce(sum(CASE WHEN side = 1 THEN c END), 0) AS BIGINT)
-               AS n1
-      FROM g),
-w AS (SELECT term,
-             CAST(coalesce(sum(CASE WHEN side = 0 THEN c END), 0) AS BIGINT)
-               AS c0,
-             CAST(coalesce(sum(CASE WHEN side = 1 THEN c END), 0) AS BIGINT)
-               AS c1
-      FROM g GROUP BY 1),
-d AS (SELECT term, c0 AS n_prior, c1 AS n_new,
-             CAST(round(1e6 * (
-               (CASE WHEN n.n1 = 0 THEN 0.0 ELSE c1 / n.n1 END)
-               - (CASE WHEN n.n0 = 0 THEN 0.0 ELSE c0 / n.n0 END)), 0)
-                  AS BIGINT) AS delta_micro
-      FROM w, n)
-SELECT term, n_prior, n_new, delta_micro FROM d
-QUALIFY row_number() OVER (ORDER BY abs(delta_micro) DESC, term) <= 20
-ORDER BY abs(delta_micro) DESC, term
-"""
-
-
-def q217_shuffle_quality(sf_dir: str):
-    """Shuffle-quality audit of the dataset ORDER: how much more often
-    do adjacent docs (doc_id rank order) share a source than an
-    independent shuffle would predict?  clustering_micro > 1e6 means
-    the corpus is still source-clustered — a training run streaming it
-    in order sees correlated batches.  Distributed shape: one range
-    sort on doc_id (the op IS an order audit, so the range exchange is
-    inherent), then each batch emits O(1) partials (internal pair
-    counts + its first/last endpoint rows) and the driver stitches the
-    batches-bounded boundary pairs; the expected rate comes from a
-    sources-bounded count aggregate.  No corpus-scale driver state."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "source"])
-
-    def _pair_partials(t: pa.Table) -> pa.Table:
-        did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        src = t.column("source").to_numpy(zero_copy_only=False)
-        order = np.argsort(did, kind="mergesort")  # already sorted; cheap
-        did, src = did[order], src[order]
-        n_same = int(np.sum(src[1:] == src[:-1])) if len(src) > 1 else 0
-        return pa.table(
-            {
-                "n_pairs": pa.array([max(len(src) - 1, 0)], pa.int64()),
-                "n_same": pa.array([n_same], pa.int64()),
-                "first_id": pa.array([int(did[0])], pa.int64()),
-                "last_id": pa.array([int(did[-1])], pa.int64()),
-                "first_src": pa.array([str(src[0])], pa.string()),
-                "last_src": pa.array([str(src[-1])], pa.string()),
-            }
-        )
-
-    def _src_counts(t: pa.Table) -> pa.Table:
-        return (
-            pa.table({"source": t.column("source")})
-            .group_by("source")
-            .aggregate([("source", "count")])
-            .rename_columns(["source", "c"])
-        )
-
-    parts = (
-        docs.sort("doc_id")
-        .map_batches(_pair_partials, batch_format="pyarrow")
-        .take_all()  # batches-bounded
-    )
-    counts = (
-        docs.map_batches(_src_counts, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()  # sources-bounded
-    )
-    empty = pa.table(
-        {
-            "n_docs": pa.array([], pa.int64()),
-            "n_pairs": pa.array([], pa.int64()),
-            "n_same": pa.array([], pa.int64()),
-            "same_micro": pa.array([], pa.int64()),
-            "exp_micro": pa.array([], pa.int64()),
-            "clustering_micro": pa.array([], pa.int64()),
-        }
-    )
-    if not parts:
-        return empty
-    parts.sort(key=lambda r: r["first_id"])
-    n_pairs = sum(int(r["n_pairs"]) for r in parts)
-    n_same = sum(int(r["n_same"]) for r in parts)
-    for a, b in zip(parts, parts[1:]):  # boundary pairs between batches
-        n_pairs += 1
-        n_same += int(a["last_src"] == b["first_src"])
-    if n_pairs <= 0:
-        return empty
-    n_docs = sum(int(r["c"]) for r in counts)
-    num = sum(int(r["c"]) * (int(r["c"]) - 1) for r in counts)  # exact
-    den = n_docs * (n_docs - 1)
-    same_micro = int(round_like_duckdb(1e6 * float(n_same) / float(n_pairs), 0))
-    exp_micro = int(round_like_duckdb(1e6 * float(num) / float(den), 0))
-    if num > 0:
-        ratio = (1e6 * float(n_same * den)) / float(n_pairs * num)
-        clustering = pa.array([int(round_like_duckdb(ratio, 0))], pa.int64())
-    else:
-        clustering = pa.nulls(1, pa.int64())
-    return pa.table(
-        {
-            "n_docs": pa.array([n_docs], pa.int64()),
-            "n_pairs": pa.array([n_pairs], pa.int64()),
-            "n_same": pa.array([n_same], pa.int64()),
-            "same_micro": pa.array([same_micro], pa.int64()),
-            "exp_micro": pa.array([exp_micro], pa.int64()),
-            "clustering_micro": clustering,
-        }
-    )
-
-
-SQL_Q217 = """
-WITH o AS (SELECT doc_id, source,
-                  lag(source) OVER (ORDER BY doc_id) AS prev
-           FROM documents),
-p AS (SELECT CAST(count(*) FILTER (WHERE prev IS NOT NULL) AS BIGINT)
-               AS n_pairs,
-             CAST(coalesce(sum(CASE WHEN prev IS NOT NULL
-                                     AND source = prev THEN 1 END), 0)
-                  AS BIGINT) AS n_same
-      FROM o),
-s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
-e AS (SELECT CAST(coalesce(sum(CAST(c AS HUGEINT) * (c - 1)), 0)
-                  AS HUGEINT) AS num
-      FROM (SELECT count(*) AS c FROM documents GROUP BY source))
-SELECT s.n_docs, p.n_pairs, p.n_same,
-       CAST(round(1e6 * p.n_same / p.n_pairs, 0) AS BIGINT) AS same_micro,
-       CAST(round(1e6 * e.num / (s.n_docs * (s.n_docs - 1)), 0) AS BIGINT)
-         AS exp_micro,
-       CASE WHEN e.num > 0 THEN
-         CAST(round(1e6 * (CAST(p.n_same AS HUGEINT)
-                           * s.n_docs * (s.n_docs - 1))
-                    / (CAST(p.n_pairs AS HUGEINT) * e.num), 0) AS BIGINT)
-       ELSE NULL END AS clustering_micro
-FROM s, p, e
-WHERE p.n_pairs > 0
-"""
-
-
-Q218_BATCH = 100  #: docs per crawl batch (doc_id // Q218_BATCH)
-
-
-def q218_novelty_curve(sf_dir: str):
-    """N-gram novelty curve — the dedup-ROI report: per crawl batch
-    (doc_id // Q218_BATCH), the fraction of its DISTINCT token trigrams
-    never seen in any earlier batch (Lee et al.'s dedup-payoff framing
-    at batch resolution: a flattening curve means new crawls add mostly
-    known content).  Plan: block kernels emit locally-distinct
-    (batch, ngram) pairs; ONE ngram-keyed exchange colocates each gram
-    so first-batch + novelty are block-local vectorized kernels; what
-    shuffles back is (batch, n_grams, n_novel) partials and the final
-    table is batches-bounded (the report's own resolution)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.curation import _BlockNgramDF
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    B = Q218_BATCH  # closure-captured for the worker body
-
-    class _BatchGramPairs(_BlockNgramDF):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            pairs = set()
-            for did, s in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text")
-            ):
-                b = did // B
-                for g in set(self._doc_grams(s.as_py())):
-                    pairs.add((b, g))
-            return pa.table(
-                {
-                    "batch_id": pa.array([p[0] for p in pairs], pa.int64()),
-                    "ngram": pa.array([p[1] for p in pairs], pa.string()),
-                }
-            )
-
-    def _first_batch_stats(t: pa.Table) -> pa.Table:
-        """All rows of an ngram are colocated in this block (keyed
-        repartition, whole-block batches): block-local min IS the
-        global first batch."""
-        enc = t.column("ngram").combine_chunks().dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        b = t.column("batch_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, codes))
-        codes_s, b_s = codes[order], b[order]
-        keep = np.ones(len(codes_s), np.bool_)  # distinct (code, batch)
-        keep[1:] = (codes_s[1:] != codes_s[:-1]) | (b_s[1:] != b_s[:-1])
-        codes_d, b_d = codes_s[keep], b_s[keep]
-        new = np.ones(len(codes_d), np.bool_)
-        new[1:] = codes_d[1:] != codes_d[:-1]
-        grp = np.cumsum(new) - 1
-        novel = (b_d == b_d[np.flatnonzero(new)][grp]).astype(np.int64)
-        part = pa.table(
-            {
-                "batch_id": pa.array(b_d, pa.int64()),
-                "novel": pa.array(novel, pa.int64()),
-            }
-        )
-        return (
-            part.group_by("batch_id")
-            .aggregate([("novel", "sum"), ("batch_id", "count")])
-            .rename_columns(["batch_id", "n_novel", "n_grams"])
-        )
-
-    stats = {
-        int(r["batch_id"]): (int(r["n_grams"]), int(r["n_novel"]))
-        for r in (
-            docs.map_batches(
-                _BatchGramPairs,
-                batch_format="pyarrow",
-                concurrency=(1, 4),
-            )
-            .repartition(hash_partitions(8), keys=["ngram"])
-            .map_batches(_first_batch_stats, batch_format="pyarrow")
-            .groupby("batch_id", num_partitions=2)
-            .aggregate(
-                Sum("n_grams", alias_name="n_grams"),
-                Sum("n_novel", alias_name="n_novel"),
-            )
-            .take_all()  # batches-bounded
-        )
-    }
-
-    def _doc_counts(t: pa.Table) -> pa.Table:
-        b = pc.divide(t.column("doc_id"), pa.scalar(Q218_BATCH, pa.int64()))
-        k = pa.table({"batch_id": b})
-        return (
-            k.group_by("batch_id")
-            .aggregate([("batch_id", "count")])
-            .rename_columns(["batch_id", "n_docs"])
-        )
-
-    ndocs = (
-        docs.map_batches(_doc_counts, batch_format="pyarrow")
-        .groupby("batch_id", num_partitions=2)
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
-        .take_all()
-    )
-    ndocs.sort(key=lambda r: r["batch_id"])
-    out_b, out_d, out_g, out_n, out_m = [], [], [], [], []
-    for r in ndocs:
-        b = int(r["batch_id"])
-        n_grams, n_novel = stats.get(b, (0, 0))
-        out_b.append(b)
-        out_d.append(int(r["n_docs"]))
-        out_g.append(n_grams)
-        out_n.append(n_novel)
-        out_m.append(
-            int(round_like_duckdb(1e6 * float(n_novel) / float(n_grams), 0))
-            if n_grams > 0
-            else None
-        )
-    return pa.table(
-        {
-            "batch_id": pa.array(out_b, pa.int64()),
-            "n_docs": pa.array(out_d, pa.int64()),
-            "n_grams": pa.array(out_g, pa.int64()),
-            "n_novel": pa.array(out_n, pa.int64()),
-            "novel_micro": pa.array(out_m, pa.int64()),
-        }
-    )
-
-
-def _sql_q218() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents),
-g AS (
-  SELECT doc_id, list_transform(range(1, len(toks) - 1),
-         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS grams
-  FROM t WHERE len(toks) >= 3),
-e AS (SELECT CAST(doc_id // {Q218_BATCH} AS BIGINT) AS batch_id,
-             unnest(grams) AS ngram
-      FROM g),
-d AS (SELECT DISTINCT batch_id, ngram FROM e),
-f AS (SELECT ngram, min(batch_id) AS fb FROM d GROUP BY 1),
-bg AS (SELECT d.batch_id, CAST(count(*) AS BIGINT) AS n_grams,
-              CAST(sum(CASE WHEN d.batch_id = f.fb THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_novel
-       FROM d JOIN f USING (ngram) GROUP BY 1),
-nb AS (SELECT CAST(doc_id // {Q218_BATCH} AS BIGINT) AS batch_id,
-              CAST(count(*) AS BIGINT) AS n_docs
-       FROM documents GROUP BY 1)
-SELECT nb.batch_id, nb.n_docs,
-       CAST(coalesce(bg.n_grams, 0) AS BIGINT) AS n_grams,
-       CAST(coalesce(bg.n_novel, 0) AS BIGINT) AS n_novel,
-       CASE WHEN coalesce(bg.n_grams, 0) > 0
-         THEN CAST(round(1e6 * bg.n_novel / bg.n_grams, 0) AS BIGINT)
-       ELSE NULL END AS novel_micro
-FROM nb LEFT JOIN bg USING (batch_id)
-ORDER BY nb.batch_id
-"""
-
-
-Q219_TTR_PCT = 65  #: type-token-ratio keep gate: 100*distinct >= PCT*total
-
-
-def q219_filter_kappa(sf_dir: str):
-    """Inter-filter agreement audit: Cohen's kappa between two
-    independent quality gates — the Gopher repetition gate (q57
-    thresholds) and a type-token-ratio gate (exact integer compare
-    100*distinct >= PCT*total, no float threshold) — the standard
-    rater-agreement check before trusting a cheap filter as a proxy
-    for an expensive one.  Pure per-row pass: each block emits ONE
-    confusion-cell partial row; the driver closes kappa from four
-    exact ints (n*(po) and pe as integer products, one IEEE division
-    mirrored by the oracle).  Zero exchanges."""
-    import re as _re
-
-    from collections import Counter as _Counter
-
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    token_re = _re.compile(TOKEN_RE)
-    top2_max, top3_max = Q57_TOP2_MAX, Q57_TOP3_MAX
-    ttr_pct = Q219_TTR_PCT
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _cells(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        n11 = n10 = n01 = n00 = 0
-        for s in t.column("text"):
-            raw = s.as_py()
-            if raw is None:
-                continue
-            toks = token_re.findall(raw.lower())
-            n = len(toks)
-            if n < 1:
-                continue
-            fracs = []
-            for size in (2, 3):
-                total = n - size + 1
-                if total <= 0:
-                    fracs.append(0.0)
-                    continue
-                counts = _Counter(
-                    " ".join(toks[i : i + size]) for i in range(total)
-                )
-                fracs.append(max(counts.values()) / total)
-            t2 = float(round_like_duckdb(np.array([fracs[0]]), 4)[0])
-            t3 = float(round_like_duckdb(np.array([fracs[1]]), 4)[0])
-            a_keep = not (t2 > top2_max or t3 > top3_max)
-            b_keep = 100 * len(set(toks)) >= ttr_pct * n
-            if a_keep and b_keep:
-                n11 += 1
-            elif a_keep:
-                n10 += 1
-            elif b_keep:
-                n01 += 1
-            else:
-                n00 += 1
-        return pa.table(
-            {
-                "n11": pa.array([n11], pa.int64()),
-                "n10": pa.array([n10], pa.int64()),
-                "n01": pa.array([n01], pa.int64()),
-                "n00": pa.array([n00], pa.int64()),
-            }
-        )
-
-    parts = docs.map_batches(_cells, batch_format="pyarrow").take_all()
-    n11 = sum(int(r["n11"]) for r in parts)
-    n10 = sum(int(r["n10"]) for r in parts)
-    n01 = sum(int(r["n01"]) for r in parts)
-    n00 = sum(int(r["n00"]) for r in parts)
-    n = n11 + n10 + n01 + n00
-    empty = pa.table(
-        {
-            "n_docs": pa.array([], pa.int64()),
-            "n_both_keep": pa.array([], pa.int64()),
-            "n_a_only": pa.array([], pa.int64()),
-            "n_b_only": pa.array([], pa.int64()),
-            "n_both_drop": pa.array([], pa.int64()),
-            "agree_micro": pa.array([], pa.int64()),
-            "kappa_micro": pa.array([], pa.int64()),
-        }
-    )
-    if n == 0:
-        return empty
-    e = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)  # exact
-    agree = int(round_like_duckdb(1e6 * float(n11 + n00) / float(n), 0))
-    den = n * n - e
-    if den > 0:
-        num = n * (n11 + n00) - e
-        kappa = pa.array(
-            [int(round_like_duckdb(1e6 * float(num) / float(den), 0))],
-            pa.int64(),
-        )
-    else:
-        kappa = pa.nulls(1, pa.int64())
-    return pa.table(
-        {
-            "n_docs": pa.array([n], pa.int64()),
-            "n_both_keep": pa.array([n11], pa.int64()),
-            "n_a_only": pa.array([n10], pa.int64()),
-            "n_b_only": pa.array([n01], pa.int64()),
-            "n_both_drop": pa.array([n00], pa.int64()),
-            "agree_micro": pa.array([agree], pa.int64()),
-            "kappa_micro": kappa,
-        }
-    )
-
-
-def _sql_q219() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents WHERE text IS NOT NULL),
-g AS (
-  SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nd,
-         list_transform(range(1, len(toks)),
-                        i -> toks[i] || ' ' || toks[i+1]) AS bgs,
-         list_transform(range(1, len(toks) - 1),
-                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-           AS tgs
-  FROM t WHERE len(toks) >= 1),
-b AS (SELECT doc_id, unnest(bgs) AS gram FROM g),
-bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
-btop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bc GROUP BY 1),
-tr AS (SELECT doc_id, unnest(tgs) AS gram FROM g),
-tc AS (SELECT doc_id, gram, count(*) AS c FROM tr GROUP BY 1, 2),
-ttop AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM tc GROUP BY 1),
-f AS (
-  SELECT g.doc_id,
-         NOT (round(coalesce(CAST(btop.mx AS DOUBLE) / btop.tot, 0.0), 4)
-                > {Q57_TOP2_MAX}
-              OR round(coalesce(CAST(ttop.mx AS DOUBLE) / ttop.tot, 0.0), 4)
-                > {Q57_TOP3_MAX}) AS a_keep,
-         100 * g.nd >= {Q219_TTR_PCT} * g.n AS b_keep
-  FROM g LEFT JOIN btop USING (doc_id) LEFT JOIN ttop USING (doc_id)),
-c AS (
-  SELECT
-    CAST(coalesce(sum(CASE WHEN a_keep AND b_keep THEN 1 END), 0)
-         AS BIGINT) AS n11,
-    CAST(coalesce(sum(CASE WHEN a_keep AND NOT b_keep THEN 1 END), 0)
-         AS BIGINT) AS n10,
-    CAST(coalesce(sum(CASE WHEN NOT a_keep AND b_keep THEN 1 END), 0)
-         AS BIGINT) AS n01,
-    CAST(coalesce(sum(CASE WHEN NOT a_keep AND NOT b_keep THEN 1 END), 0)
-         AS BIGINT) AS n00
-  FROM f),
-k AS (SELECT n11 + n10 + n01 + n00 AS n,
-             CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
-               + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS e
-      FROM c)
-SELECT c.n11 + c.n10 + c.n01 + c.n00 AS n_docs,
-       c.n11 AS n_both_keep, c.n10 AS n_a_only,
-       c.n01 AS n_b_only, c.n00 AS n_both_drop,
-       CAST(round(1e6 * (c.n11 + c.n00) / k.n, 0) AS BIGINT) AS agree_micro,
-       CASE WHEN CAST(k.n AS HUGEINT) * k.n - k.e > 0 THEN
-         CAST(round(1e6 * (CAST(k.n AS HUGEINT) * (c.n11 + c.n00) - k.e)
-                    / (CAST(k.n AS HUGEINT) * k.n - k.e), 0) AS BIGINT)
-       ELSE NULL END AS kappa_micro
-FROM c, k
-WHERE k.n > 0
-"""
-
-
-Q220_MIN_LEN = 2  #: terms shorter than this don't autocomplete
-Q220_TOP_PREFIXES = 10
-Q220_TOP_TERMS = 3
-
-
-def q220_prefix_autocomplete(sf_dir: str):
-    """Search-as-you-type completion index: for the TOP_PREFIXES
-    hottest 1-char prefixes (by total term frequency), the TOP_TERMS
-    most frequent completions (S12's search surface, at prefix
-    resolution).  Plan: one tokenize pass ships block-level term-count
-    partials into the vocab-bounded aggregation (q47 machinery); the
-    prefix attach is a vectorized slice; per-prefix top-k runs via
-    grouped_topk (hash-colocate prefix, block-local rank — no global
-    sort); only the PREFIX-bounded totals table (≤ alphabet size)
-    reaches the driver."""
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
-
-    tok = Tokenizer()
-    min_len = Q220_MIN_LEN
-    docs = read_table(sf_dir, "documents", ["text"])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        from collections import Counter as _Counter
-
-        c: _Counter = _Counter()
-        for s in t.column("text"):
-            c.update(
-                w for w in tok.tokens(s.as_py() or "") if len(w) >= min_len
-            )
-        return pa.table(
-            {
-                "term": pa.array(list(c.keys()), pa.string()),
-                "c": pa.array(list(c.values()), pa.int64()),
-            }
-        )
-
-    def _prefix(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "prefix", pc.utf8_slice_codeunits(t.column("term"), 0, 1)
-        )
-
-    terms = (
-        docs.map_batches(_counts, batch_format="pyarrow")
-        .groupby("term", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("c", alias_name="c"))
-        .map_batches(_prefix, batch_format="pyarrow")
-        .materialize()  # read by the totals agg AND the top-k pass
-    )
-    totals = (
-        terms.groupby("prefix", num_partitions=2)
-        .aggregate(Sum("c", alias_name="total"))
-        .take_all()  # prefix-bounded (≤ alphabet size)
-    )
-    totals.sort(key=lambda r: (-int(r["total"]), r["prefix"]))
-    hot = {r["prefix"] for r in totals[:Q220_TOP_PREFIXES]}
-    topk = grouped_topk(
-        terms, "prefix", "c", Q220_TOP_TERMS, tie_col="term"
-    ).take_all()  # ≤ prefixes × TOP_TERMS
-    rows = sorted(
-        (
-            (r["prefix"], int(r["rank"]), r["term"], int(r["c"]))
-            for r in topk
-            if r["prefix"] in hot
-        ),
-    )
-    return pa.table(
-        {
-            "prefix": pa.array([r[0] for r in rows], pa.string()),
-            "rank": pa.array([r[1] for r in rows], pa.int64()),
-            "term": pa.array([r[2] for r in rows], pa.string()),
-            "c": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _sql_q220() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tok AS (
-  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
-  FROM documents),
-tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
-       FROM tok WHERE len(term) >= {Q220_MIN_LEN} GROUP BY 1),
-p AS (SELECT substr(term, 1, 1) AS prefix, term, c FROM tc),
-pt AS (SELECT prefix, sum(c) AS total FROM p GROUP BY 1
-       QUALIFY row_number() OVER (ORDER BY total DESC, prefix)
-                 <= {Q220_TOP_PREFIXES}),
-r AS (SELECT p.prefix, p.term, p.c,
-             row_number() OVER (PARTITION BY p.prefix
-                                ORDER BY p.c DESC, p.term) AS rank
-      FROM p JOIN pt USING (prefix)
-      QUALIFY rank <= {Q220_TOP_TERMS})
-SELECT prefix, CAST(rank AS BIGINT) AS rank, term, c
-FROM r ORDER BY prefix, rank
-"""
-
-
-def q221_mutual_alignment(sf_dir: str):
-    """Margin-based mutual-top-1 embedding alignment (bitext-mining
-    primitive, Artetxe & Schwenk 2019) between the even-id and odd-id
-    halves of the embeddings table — exact, block-nested-loop, no
-    corpus broadcast (see ann.mutual_top1_alignment for the three
-    exchange-bounded stages)."""
-    from barks_ocr_ray.functions.ann import mutual_top1_alignment
-
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return mutual_top1_alignment(emb)
-
-
-SQL_Q221 = """
-WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-           FROM embeddings WHERE vec_id % 2 = 0),
-b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-      FROM embeddings WHERE vec_id % 2 = 1),
-ab AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-              round(list_cosine_similarity(a.e, b.e), 6) AS cos
-       FROM a, b),
-ra AS (SELECT va, vb, cos,
-              row_number() OVER (PARTITION BY va
-                                 ORDER BY cos DESC, vb) AS rk
-       FROM ab),
-rb AS (SELECT va, vb,
-              row_number() OVER (PARTITION BY vb
-                                 ORDER BY cos DESC, va) AS rk
-       FROM ab),
-a1 AS (SELECT va, vb, cos FROM ra WHERE rk = 1),
-a2 AS (SELECT va, cos AS cos2 FROM ra WHERE rk = 2),
-b1 AS (SELECT va, vb FROM rb WHERE rk = 1)
-SELECT a1.va AS vec_a, a1.vb AS vec_b, a1.cos AS cosine,
-       CASE WHEN a2.cos2 > 0
-         THEN CAST(round(1e6 * a1.cos / a2.cos2, 0) AS BIGINT)
-       ELSE NULL END AS margin_micro
-FROM a1
-JOIN b1 ON a1.va = b1.va AND a1.vb = b1.vb
-LEFT JOIN a2 ON a1.va = a2.va
-ORDER BY vec_a
-"""
-
-
-def q222_grouped_trend(sf_dir: str):
-    """Per-event-type OLS trend of value over time (slope / intercept /
-    r² of integer-cents value vs epoch-day) — the 'is this source
-    drifting' regression at key resolution.  Same exact-moments
-    discipline as q154: the five sufficient statistics are exact int64
-    block partials (order-independent keyed sums); slope, intercept
-    (from the ROUNDED slope, so both engines derive from identical
-    doubles) and r² are single mirrored IEEE expressions on the
-    key-bounded driver table."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["event_type", "ts", "value"])
-
-    def _moments(t: pa.Table) -> pa.Table:
-        et = t.column("event_type").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        v = t.column("value").to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        y = round_like_duckdb(v * 100.0, 0).astype(np.int64)
-        x = ts // 86_400_000_000  # epoch day
-        order = np.argsort(et, kind="mergesort")
-        et, x, y = et[order], x[order], y[order]
-        new = np.empty(len(et), np.bool_)
-        if len(et):
-            new[0] = True
-            new[1:] = et[1:] != et[:-1]
-        starts = np.flatnonzero(new)
-        return pa.table(
-            {
-                "event_type": pa.array(
-                    [str(g) for g in et[starts]], pa.string()
-                ),
-                "n": pa.array(
-                    np.diff(np.append(starts, len(et))).astype(np.int64),
-                    pa.int64(),
-                ),
-                "sx": pa.array(np.add.reduceat(x, starts), pa.int64()),
-                "sy": pa.array(np.add.reduceat(y, starts), pa.int64()),
-                "sxy": pa.array(np.add.reduceat(x * y, starts), pa.int64()),
-                "sxx": pa.array(np.add.reduceat(x * x, starts), pa.int64()),
-                "syy": pa.array(np.add.reduceat(y * y, starts), pa.int64()),
-            }
-        )
-
-    agg = (
-        ev.map_batches(_moments, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sy", alias_name="sy"),
-            Sum("sxy", alias_name="sxy"),
-            Sum("sxx", alias_name="sxx"),
-            Sum("syy", alias_name="syy"),
-        )
-        .take_all()  # key-bounded
-    )
-    agg.sort(key=lambda r: r["event_type"])
-    g_l, n_l, sl_l, ic_l, r2_l = [], [], [], [], []
-    for r in agg:
-        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
-        sxy, sxx, syy = int(r["sxy"]), int(r["sxx"]), int(r["syy"])
-        a = n * sxy - sx * sy
-        b = n * sxx - sx * sx
-        c = n * syy - sy * sy
-        if b <= 0:
-            continue  # single day (or empty): no trend defined
-        slope = float(round_like_duckdb(float(a) / float(b), 6))
-        intercept = float(
-            round_like_duckdb(
-                (float(sy) - slope * float(sx)) / float(n), 6
-            )
-        )
-        r2 = (
-            float(round_like_duckdb(float(a * a) / float(b * c), 6))
-            if c > 0
-            else None
-        )
-        g_l.append(r["event_type"])
-        n_l.append(n)
-        sl_l.append(slope)
-        ic_l.append(intercept)
-        r2_l.append(r2)
-    return pa.table(
-        {
-            "event_type": pa.array(g_l, pa.string()),
-            "n": pa.array(n_l, pa.int64()),
-            "slope": pa.array(sl_l, pa.float64()),
-            "intercept": pa.array(ic_l, pa.float64()),
-            "r2": pa.array(r2_l, pa.float64()),
-        }
-    )
-
-
-SQL_Q222 = """
-WITH m AS (
-  SELECT event_type,
-         CAST(count(*) AS BIGINT) AS n,
-         sum(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS sx,
-         sum(CAST(round(value * 100.0) AS BIGINT)) AS sy,
-         sum(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
-             * CAST(round(value * 100.0) AS BIGINT)) AS sxy,
-         sum(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
-             * datediff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS sxx,
-         sum(CAST(round(value * 100.0) AS BIGINT)
-             * CAST(round(value * 100.0) AS BIGINT)) AS syy
-  FROM events GROUP BY 1),
-s AS (
-  SELECT event_type, n, sx, sy, sxy, sxx, syy,
-         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS a,
-         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS b,
-         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS c
-  FROM m),
-sl AS (
-  SELECT *, round(CAST(a AS DOUBLE) / CAST(b AS DOUBLE), 6) AS slope
-  FROM s WHERE b > 0)
-SELECT event_type, n, slope,
-       round((sy - slope * sx) / n, 6) AS intercept,
-       CASE WHEN c > 0
-         THEN round(CAST(a * a AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
-       ELSE NULL END AS r2
-FROM sl
-ORDER BY event_type
-"""
-
-
-def q223_trending_decay(sf_dir: str):
-    """Exponentially-decayed event counts per type (half-life = one
-    week, anchored at the corpus max day) — the 'trending now' score
-    that weights this week's events 2× last week's.  Determinism
-    discipline: ages are INTEGER weeks so 2^-w is an exact double, and
-    each (type, week) bucket's contribution rounds to micro-units
-    BEFORE the integer sum — no float accumulation anywhere, so the
-    oracle replays bit-exactly regardless of either engine's sum
-    order.  Two passes: a scalar max-day reduce, then a (types ×
-    weeks)-bounded count aggregation."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["event_type", "ts"])
-
-    def _day_max(t: pa.Table) -> pa.Table:
-        d = pc.divide(
-            t.column("ts").cast(pa.int64()),
-            pa.scalar(86_400_000_000, pa.int64()),
-        )
-        return pa.table(
-            {"mxd": pa.array([pc.max(d).as_py()], pa.int64())}
-        )
-
-    mx_parts = ev.map_batches(_day_max, batch_format="pyarrow").take_all()
-    empty = pa.table(
-        {
-            "event_type": pa.array([], pa.string()),
-            "n": pa.array([], pa.int64()),
-            "decayed_micro": pa.array([], pa.int64()),
-        }
-    )
-    mxs = [int(r["mxd"]) for r in mx_parts if r["mxd"] is not None]
-    if not mxs:
-        return empty
-    mxd = max(mxs)
-
-    def _week_counts(t: pa.Table) -> pa.Table:
-        day = (
-            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        wk = (mxd - day) // 7
-        k = pa.table(
-            {
-                "event_type": t.column("event_type"),
-                "wk": pa.array(wk, pa.int64()),
-            }
-        )
-        return (
-            k.group_by(["event_type", "wk"])
-            .aggregate([("wk", "count")])
-            .rename_columns(["event_type", "wk", "c"])
-        )
-
-    buckets = (
-        ev.map_batches(_week_counts, batch_format="pyarrow")
-        .groupby(["event_type", "wk"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()  # (types × weeks)-bounded
-    )
-    agg: dict = {}
-    for r in buckets:
-        et, wk, c = r["event_type"], int(r["wk"]), int(r["c"])
-        n, dm = agg.get(et, (0, 0))
-        contrib = int(
-            round_like_duckdb((1e6 * float(c)) * (2.0 ** -wk), 0)
-        )
-        agg[et] = (n + c, dm + contrib)
-    rows = sorted(
-        ((et, n, dm) for et, (n, dm) in agg.items()),
-        key=lambda x: (-x[2], x[0]),
-    )
-    return pa.table(
-        {
-            "event_type": pa.array([r[0] for r in rows], pa.string()),
-            "n": pa.array([r[1] for r in rows], pa.int64()),
-            "decayed_micro": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
-
-
-SQL_Q223 = """
-WITH d AS (
-  SELECT event_type,
-         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
-  FROM events),
-mx AS (SELECT max(day) AS mxd FROM d),
-w AS (SELECT event_type, CAST((mx.mxd - day) // 7 AS BIGINT) AS wk,
-             count(*) AS c
-      FROM d, mx GROUP BY 1, 2)
-SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
-       CAST(sum(CAST(round(1e6 * c * pow(2.0, -wk), 0) AS BIGINT))
-            AS BIGINT) AS decayed_micro
-FROM w GROUP BY 1
-ORDER BY decayed_micro DESC, event_type
-"""
-
-
-def q224_cluster_terms(sf_dir: str):
-    """Topic labeling for embedding clusters: c-TF-IDF top-5 terms per
-    cluster label (Grootendorst 2022, BERTopic §3.3 — each cluster is
-    scored as ONE pseudo-document: tf share × ln(1 + avg_cluster_tokens
-    / corpus term frequency)).  Distributed shape: one doc-keyed hash
-    join attaches labels to text; one vocab-bounded (term, label) tf
-    aggregation; the label totals are a k-bounded broadcast closure and
-    the term-frequency attach is a term-keyed join; top-5 per label via
-    grouped_topk (no global sort).  All inputs to the score are exact
-    ints, the score is one mirrored IEEE expression."""
-    import math as _math
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS
-
-    tok = Tokenizer()
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "label"])
-    joined = docs.join(
-        emb,
-        join_type="inner",
-        num_partitions=hash_partitions(8),
-        on=("doc_id",),
-        right_on=("vec_id",),
-    )
-
-    def _tf(t: pa.Table) -> pa.Table:
-        from collections import Counter as _Counter
-
-        cnt: _Counter = _Counter()
-        for lab, s in zip(
-            t.column("label").to_pylist(), t.column("text")
-        ):
-            for w in tok.tokens(s.as_py() or ""):
-                cnt[(int(lab), w)] += 1
-        keys = list(cnt.keys())
-        return pa.table(
-            {
-                "label": pa.array([k[0] for k in keys], pa.int64()),
-                "term": pa.array([k[1] for k in keys], pa.string()),
-                "tf": pa.array([cnt[k] for k in keys], pa.int64()),
-            }
-        )
-
-    tf = (
-        joined.map_batches(_tf, batch_format="pyarrow")
-        .groupby(["term", "label"], num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("tf", alias_name="tf"))
-        .materialize()  # read by tot, f AND the score join
-    )
-    tot_rows = (
-        tf.groupby("label", num_partitions=2)
-        .aggregate(Sum("tf", alias_name="tot"))
-        .take_all()  # k-bounded
-    )
-    tot = {int(r["label"]): int(r["tot"]) for r in tot_rows}
-    if not tot:
-        return pa.table(
-            {
-                "label": pa.array([], pa.int64()),
-                "term": pa.array([], pa.string()),
-                "tf": pa.array([], pa.int64()),
-                "score_micro": pa.array([], pa.int64()),
-            }
-        )
-    k = len(tot)
-    tot_all = sum(tot.values())
-    avg = float(tot_all) / float(k)  # mirrored: tot_all / k
-    f = (
-        tf.groupby("term", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("tf", alias_name="f"))
-        .map_batches(
-            lambda t: t.rename_columns(["fterm", "f"]),
-            batch_format="pyarrow",
-        )
-    )
-    scored_in = tf.join(
-        f,
-        join_type="inner",
-        num_partitions=hash_partitions(VOCAB_PARTITIONS),
-        on=("term",),
-        right_on=("fterm",),
-    )
-
-    def _score(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        lab = t.column("label").to_numpy(zero_copy_only=False)
-        tfv = t.column("tf").to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        fv = t.column("f").to_numpy(zero_copy_only=False).astype(np.float64)
-        totv = np.asarray([float(tot[int(x)]) for x in lab], np.float64)
-        score = 1e6 * ((tfv / totv) * np.log(1.0 + (avg / fv)))
-        return t.append_column(
-            "score_micro",
-            pa.array(
-                round_like_duckdb(score, 0).astype("int64"), pa.int64()
-            ),
-        )
-
-    topk = grouped_topk(
-        scored_in.map_batches(_score, batch_format="pyarrow"),
-        "label",
-        "score_micro",
-        5,
-        tie_col="term",
-    )
-    return topk.select_columns(["label", "term", "tf", "score_micro"])
-
-
-def _sql_q224() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH j AS (
-  SELECT CAST(e.label AS BIGINT) AS label, d.text
-  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
-tok AS (
-  SELECT label, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
-           AS term
-  FROM j),
-tf AS (SELECT label, term, CAST(count(*) AS BIGINT) AS tf
-       FROM tok GROUP BY 1, 2),
-tot AS (SELECT label, CAST(sum(tf) AS BIGINT) AS tot FROM tf GROUP BY 1),
-f AS (SELECT term, CAST(sum(tf) AS BIGINT) AS f FROM tf GROUP BY 1),
-c AS (SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(tot) AS BIGINT) AS tot_all
-      FROM tot),
-s AS (SELECT tf.label, tf.term, tf.tf,
-             CAST(round(1e6 * ((tf.tf / tot.tot)
-                               * ln(1 + ((c.tot_all / c.k) / f.f))), 0)
-                  AS BIGINT) AS score_micro
-      FROM tf JOIN tot USING (label) JOIN f USING (term), c)
-SELECT label, term, tf, score_micro FROM s
-QUALIFY row_number() OVER (PARTITION BY label
-                           ORDER BY score_micro DESC, term) <= 5
-ORDER BY label, score_micro DESC, term
-"""
-
-
-def _daily_type_counts(sf_dir: str) -> list:
-    """(event_type, epoch-day, count) rows — one keyed count
-    aggregation, (types × days)-bounded, shared by the robust-stats
-    family (q225/q226)."""
-    ev = read_table(sf_dir, "events", ["event_type", "ts"])
-
-    def _days(t: pa.Table) -> pa.Table:
-        d = pc.divide(
-            t.column("ts").cast(pa.int64()),
-            pa.scalar(86_400_000_000, pa.int64()),
-        )
-        k = pa.table({"event_type": t.column("event_type"), "day": d})
-        return (
-            k.group_by(["event_type", "day"])
-            .aggregate([("day", "count")])
-            .rename_columns(["event_type", "day", "c"])
-        )
-
-    return (
-        ev.map_batches(_days, batch_format="pyarrow")
-        .groupby(["event_type", "day"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()  # (types × days)-bounded
-    )
-
-
-def q225_theil_sen(sf_dir: str):
-    """Theil–Sen robust trend of DAILY event volume per type: the
-    lower median of all pairwise day-slopes — outlier days cannot drag
-    the estimate the way they drag q222's OLS.  The distributed part
-    is one (type, day) count aggregation; the O(days²) pair
-    enumeration closes on the days-bounded driver table (the
-    monitoring-window resolution, corpus-size independent).  Each
-    slope is one identical IEEE division on both engines and the
-    median is an EXPLICIT rank pick ((m+1)//2 after (slope, d1, d2)
-    ordering) — no engine-specific quantile interpolation."""
-    import numpy as np
-
-    rows = _daily_type_counts(sf_dir)
-    by_type: dict = {}
-    for r in rows:
-        by_type.setdefault(r["event_type"], []).append(
-            (int(r["day"]), int(r["c"]))
-        )
-    g_l, nd_l, np_l, sm_l = [], [], [], []
-    for et in sorted(by_type):
-        pts = sorted(by_type[et])
-        d = np.asarray([p[0] for p in pts], np.int64)
-        c = np.asarray([p[1] for p in pts], np.int64)
-        if len(d) < 2:
-            continue
-        i, j = np.triu_indices(len(d), k=1)
-        slope = (c[j] - c[i]).astype(np.float64) / (
-            d[j] - d[i]
-        ).astype(np.float64)
-        order = np.lexsort((d[j], d[i], slope))
-        m = len(order)
-        med = slope[order[(m + 1) // 2 - 1]]
-        g_l.append(et)
-        nd_l.append(len(d))
-        np_l.append(m)
-        sm_l.append(int(round_like_duckdb(1e6 * med, 0)))
-    return pa.table(
-        {
-            "event_type": pa.array(g_l, pa.string()),
-            "n_days": pa.array(nd_l, pa.int64()),
-            "n_pairs": pa.array(np_l, pa.int64()),
-            "slope_micro": pa.array(sm_l, pa.int64()),
-        }
-    )
-
-
-SQL_Q225 = """
-WITH d AS (
-  SELECT event_type,
-         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-         CAST(count(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2),
-p AS (
-  SELECT a.event_type, a.day AS d1, b.day AS d2,
-         (b.c - a.c) / (b.day - a.day) AS slope
-  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day),
-r AS (
-  SELECT event_type, slope,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY slope, d1, d2) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS m
-  FROM p),
-nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
-       FROM d GROUP BY 1)
-SELECT r.event_type, nd.n_days, CAST(r.m AS BIGINT) AS n_pairs,
-       CAST(round(1e6 * r.slope, 0) AS BIGINT) AS slope_micro
-FROM r JOIN nd USING (event_type)
-WHERE r.rn = (r.m + 1) // 2
-ORDER BY r.event_type
-"""
-
-
-def q226_mad_anomaly_days(sf_dir: str):
-    """Anomalous-volume days per event type: days whose daily count
-    deviates from the type's median by more than 3× the median
-    absolute deviation — the standard robust monitoring alarm, and
-    INTEGER-ONLY end to end (counts, explicit lower-median rank picks,
-    abs deviations), so both engines agree bit-for-bit with zero float
-    expressions.  Distributed part: the shared (type, day) count
-    aggregation; medians close on the days-bounded driver table."""
-    rows = _daily_type_counts(sf_dir)
-    by_type: dict = {}
-    for r in rows:
-        by_type.setdefault(r["event_type"], []).append(
-            (int(r["day"]), int(r["c"]))
-        )
-    g_l, d_l, c_l, dev_l, mad_l = [], [], [], [], []
-    for et in sorted(by_type):
-        pts = sorted(by_type[et])
-        cs = sorted(c for _, c in pts)
-        med = cs[(len(cs) + 1) // 2 - 1]
-        devs = sorted(abs(c - med) for _, c in pts)
-        mad = devs[(len(devs) + 1) // 2 - 1]
-        for day, c in pts:
-            dev = abs(c - med)
-            if dev > 3 * mad:
-                g_l.append(et)
-                d_l.append(day)
-                c_l.append(c)
-                dev_l.append(dev)
-                mad_l.append(mad)
-    return pa.table(
-        {
-            "event_type": pa.array(g_l, pa.string()),
-            "day": pa.array(d_l, pa.int64()),
-            "c": pa.array(c_l, pa.int64()),
-            "dev": pa.array(dev_l, pa.int64()),
-            "mad": pa.array(mad_l, pa.int64()),
-        }
-    )
-
-
-SQL_Q226 = """
-WITH d AS (
-  SELECT event_type,
-         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-         CAST(count(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2),
-m1 AS (
-  SELECT event_type, c,
-         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM d),
-med AS (SELECT event_type, c AS med FROM m1 WHERE rn = (n + 1) // 2),
-dv AS (
-  SELECT d.event_type, d.day, d.c, abs(d.c - med.med) AS dev
-  FROM d JOIN med USING (event_type)),
-m2 AS (
-  SELECT event_type, dev,
-         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
-         count(*) OVER (PARTITION BY event_type) AS n
-  FROM dv),
-mad AS (SELECT event_type, dev AS mad FROM m2 WHERE rn = (n + 1) // 2)
-SELECT dv.event_type, CAST(dv.day AS BIGINT) AS day, dv.c,
-       CAST(dv.dev AS BIGINT) AS dev, CAST(mad.mad AS BIGINT) AS mad
-FROM dv JOIN mad USING (event_type)
-WHERE dv.dev > 3 * mad.mad
-ORDER BY dv.event_type, dv.day
-"""
-
-
-def q227_group_purity(sf_dir: str):
-    """Functional-dependency conformance audit (source → lang): per
-    source, how close is it to a single language — the label-purity /
-    FD-violation profile a data-quality layer runs before trusting a
-    grouping column (companion to q104's row expectations and q139's
-    schema drift, at VALUE resolution).  One (source, lang)-bounded
-    count aggregation; purity and the majority pick close on the
-    key-bounded driver table with an explicit (count desc, lang asc)
-    tie rule."""
-    docs = read_table(sf_dir, "documents", ["source", "lang"])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        return (
-            pa.table({"source": t.column("source"), "lang": t.column("lang")})
-            .group_by(["source", "lang"])
-            .aggregate([("lang", "count")])
-            .rename_columns(["source", "lang", "c"])
-        )
-
-    rows = (
-        docs.map_batches(_counts, batch_format="pyarrow")
-        .groupby(["source", "lang"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()  # (sources × langs)-bounded
-    )
-    by_src: dict = {}
-    for r in rows:
-        by_src.setdefault(r["source"], []).append((r["lang"], int(r["c"])))
-    s_l, n_l, k_l, tl_l, tc_l, p_l = [], [], [], [], [], []
-    for src in sorted(by_src):
-        langs = by_src[src]
-        n_docs = sum(c for _, c in langs)
-        top_lang, top_c = min(langs, key=lambda x: (-x[1], x[0]))
-        s_l.append(src)
-        n_l.append(n_docs)
-        k_l.append(len(langs))
-        tl_l.append(top_lang)
-        tc_l.append(top_c)
-        p_l.append(
-            int(round_like_duckdb(1e6 * float(top_c) / float(n_docs), 0))
-        )
-    return pa.table(
-        {
-            "source": pa.array(s_l, pa.string()),
-            "n_docs": pa.array(n_l, pa.int64()),
-            "n_langs": pa.array(k_l, pa.int64()),
-            "top_lang": pa.array(tl_l, pa.string()),
-            "top_c": pa.array(tc_l, pa.int64()),
-            "purity_micro": pa.array(p_l, pa.int64()),
-        }
-    )
-
-
-SQL_Q227 = """
-WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
-           FROM documents GROUP BY 1, 2),
-t AS (SELECT source, lang AS top_lang, c AS top_c,
-             row_number() OVER (PARTITION BY source
-                                ORDER BY c DESC, lang) AS rn
-      FROM g),
-s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
-             CAST(count(*) AS BIGINT) AS n_langs
-      FROM g GROUP BY 1)
-SELECT s.source, s.n_docs, s.n_langs, t.top_lang, t.top_c,
-       CAST(round(1e6 * t.top_c / s.n_docs, 0) AS BIGINT) AS purity_micro
-FROM s JOIN t ON s.source = t.source AND t.rn = 1
-ORDER BY s.source
-"""
-
-
-Q228_TOUCHES = ("click", "signup", "view")
-
-
-def q228_linear_attribution(sf_dir: str):
-    """Linear multi-touch attribution: each purchase's cents split
-    EQUALLY over every preceding touch event of the same user (q192's
-    last-touch sibling — the other standard marketing credit model).
-    Per-touch credit is one mirrored round(1000·cents/k) so the split
-    is exact integers with no float accumulation.  One user-keyed
-    exchange; each block's sorted-stream scan emits touch-type
-    partials; the final table is touch-type-bounded."""
-    import numpy as np
-
-    touches = Q228_TOUCHES
-    ev = read_table(
-        sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
-    )
-
-    def _scan(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "event_type": pa.array([], pa.string()),
-                "n_touch_credits": pa.array([], pa.int64()),
-                "credit_millicents": pa.array([], pa.int64()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        et = np.asarray(t.column("event_type").to_pylist())
-        cents = round_like_duckdb(
-            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
-        ).astype(np.int64)
-        order = np.lexsort((eid, ts, u))
-        u, et, cents = u[order], et[order], cents[order]
-        is_t = {ty: (et == ty) for ty in touches}
-        is_p = et == "purchase"
-        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        tot_n = {ty: 0 for ty in touches}
-        tot_c = {ty: 0 for ty in touches}
-        for i, s in enumerate(seg):
-            e = seg[i + 1] if i + 1 < len(seg) else len(u)
-            cums = {
-                ty: np.concatenate(
-                    ([0], np.cumsum(is_t[ty][s:e])[:-1])
-                )
-                for ty in touches
-            }
-            for p_pos in np.flatnonzero(is_p[s:e]):
-                k = sum(int(cums[ty][p_pos]) for ty in touches)
-                if k == 0:
-                    continue
-                credit = int(
-                    round_like_duckdb(
-                        float(1000 * int(cents[s:e][p_pos])) / float(k), 0
-                    )
-                )
-                for ty in touches:
-                    n_ty = int(cums[ty][p_pos])
-                    tot_n[ty] += n_ty
-                    tot_c[ty] += n_ty * credit
-        return pa.table(
-            {
-                "event_type": pa.array(list(touches), pa.string()),
-                "n_touch_credits": pa.array(
-                    [tot_n[ty] for ty in touches], pa.int64()
-                ),
-                "credit_millicents": pa.array(
-                    [tot_c[ty] for ty in touches], pa.int64()
-                ),
-            }
-        )
-
-    parts = (
-        ev.repartition(hash_partitions(16), keys=["user_id"])
-        .map_batches(_scan, batch_format="pyarrow")
-        .take_all()  # touch-types × blocks
-    )
-    agg: dict = {ty: [0, 0] for ty in touches}
-    for r in parts:
-        a = agg[r["event_type"]]
-        a[0] += int(r["n_touch_credits"])
-        a[1] += int(r["credit_millicents"])
-    out = [(ty, *agg[ty]) for ty in sorted(touches) if agg[ty][0] > 0]
-    return pa.table(
-        {
-            "event_type": pa.array([r[0] for r in out], pa.string()),
-            "n_touch_credits": pa.array([r[1] for r in out], pa.int64()),
-            "credit_millicents": pa.array([r[2] for r in out], pa.int64()),
-        }
-    )
-
-
-SQL_Q228 = f"""
-WITH e AS (
-  SELECT user_id, ts, event_id, event_type,
-         CAST(round(value * 100.0) AS BIGINT) AS cents
-  FROM events),
-p AS (SELECT user_id, ts, event_id, cents FROM e
-      WHERE event_type = 'purchase'),
-t AS (SELECT user_id, ts, event_id, event_type FROM e
-      WHERE event_type IN {Q228_TOUCHES!r}),
-pairs AS (
-  SELECT p.event_id AS pid, p.cents, t.event_type
-  FROM p JOIN t ON p.user_id = t.user_id
-               AND (t.ts < p.ts
-                    OR (t.ts = p.ts AND t.event_id < p.event_id))),
-k AS (SELECT pid, CAST(count(*) AS BIGINT) AS k,
-             CAST(round(1000 * any_value(cents) / count(*), 0) AS BIGINT)
-               AS credit
-      FROM pairs GROUP BY 1),
-c AS (SELECT pairs.event_type, k.credit
-      FROM pairs JOIN k USING (pid))
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_touch_credits,
-       CAST(sum(credit) AS BIGINT) AS credit_millicents
-FROM c GROUP BY 1
-ORDER BY 1
-"""
-
-
-Q229_WINDOW = 14  #: days per observation/outcome window
-
-
-def q229_churn_labels(sf_dir: str):
-    """Churn-label table builder: per user active in the OBSERVATION
-    window (first 14 corpus days), integer features (event count,
-    purchases, cents, last-active relative day) plus the churn label =
-    zero events in the following OUTCOME window — the standard
-    leakage-safe label construction (features strictly from W1, label
-    strictly from W2).  One scalar min-day reduce, then ONE user-keyed
-    aggregation of per-block (user, window) partials; the result
-    STREAMS (user-scale Dataset, nothing driver-side)."""
-    import numpy as np
-
-    w = Q229_WINDOW
-    ev = read_table(
-        sf_dir, "events", ["user_id", "ts", "event_type", "value"]
-    )
-
-    def _day_min(t: pa.Table) -> pa.Table:
-        d = pc.divide(
-            t.column("ts").cast(pa.int64()),
-            pa.scalar(86_400_000_000, pa.int64()),
-        )
-        return pa.table({"mnd": pa.array([pc.min(d).as_py()], pa.int64())})
-
-    mn_parts = ev.map_batches(_day_min, batch_format="pyarrow").take_all()
-    mns = [int(r["mnd"]) for r in mn_parts if r["mnd"] is not None]
-    empty = pa.table(
-        {
-            "user_id": pa.array([], pa.int64()),
-            "n_events": pa.array([], pa.int64()),
-            "n_purchases": pa.array([], pa.int64()),
-            "cents": pa.array([], pa.int64()),
-            "last_day": pa.array([], pa.int64()),
-            "churned": pa.array([], pa.bool_()),
-        }
-    )
-    if not mns:
-        return empty
-    mnd = min(mns)
-
-    def _partials(t: pa.Table) -> pa.Table:
-        day = (
-            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-            - mnd
-        )
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        et = np.asarray(t.column("event_type").to_pylist())
-        cents = round_like_duckdb(
-            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
-        ).astype(np.int64)
-        w1 = day < w
-        w2 = (day >= w) & (day < 2 * w)
-        k = pa.table(
-            {
-                "user_id": pa.array(u, pa.int64()),
-                "w1_n": pa.array(w1.astype(np.int64), pa.int64()),
-                "w1_purch": pa.array(
-                    (w1 & (et == "purchase")).astype(np.int64), pa.int64()
-                ),
-                "w1_cents": pa.array(
-                    np.where(w1, cents, 0), pa.int64()
-                ),
-                "w1_last": pa.array(
-                    np.where(w1, day, -1), pa.int64()
-                ),
-                "w2_n": pa.array(w2.astype(np.int64), pa.int64()),
-            }
-        )
-        return (
-            k.group_by("user_id")
-            .aggregate(
-                [
-                    ("w1_n", "sum"),
-                    ("w1_purch", "sum"),
-                    ("w1_cents", "sum"),
-                    ("w1_last", "max"),
-                    ("w2_n", "sum"),
-                ]
-            )
-            .rename_columns(
-                ["user_id", "w1_n", "w1_purch", "w1_cents", "w1_last", "w2_n"]
-            )
-        )
-
-    agg = (
-        ev.map_batches(_partials, batch_format="pyarrow")
-        .groupby("user_id", num_partitions=hash_partitions(8))
-        .aggregate(
-            Sum("w1_n", alias_name="w1_n"),
-            Sum("w1_purch", alias_name="w1_purch"),
-            Sum("w1_cents", alias_name="w1_cents"),
-            Max("w1_last", alias_name="w1_last"),
-            Sum("w2_n", alias_name="w2_n"),
-        )
-    )
-
-    def _finish(t: pa.Table) -> pa.Table:
-        keep = pc.greater(t.column("w1_n"), pa.scalar(0, pa.int64()))
-        t = t.filter(keep)
-        return pa.table(
-            {
-                "user_id": t.column("user_id"),
-                "n_events": t.column("w1_n"),
-                "n_purchases": t.column("w1_purch"),
-                "cents": t.column("w1_cents"),
-                "last_day": t.column("w1_last"),
-                "churned": pc.equal(
-                    t.column("w2_n"), pa.scalar(0, pa.int64())
-                ),
-            }
-        )
-
-    return agg.map_batches(_finish, batch_format="pyarrow")
-
-
-def _sql_q229() -> str:
-    w = Q229_WINDOW
-    return f"""
-WITH e AS (
-  SELECT user_id, event_type,
-         CAST(round(value * 100.0) AS BIGINT) AS cents,
-         datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
-           - (SELECT min(datediff('day', DATE '1970-01-01',
-                                  CAST(ts AS DATE))) FROM events) AS day
-  FROM events),
-a AS (
-  SELECT user_id,
-         CAST(coalesce(sum(CASE WHEN day < {w} THEN 1 END), 0) AS BIGINT)
-           AS n_events,
-         CAST(coalesce(sum(CASE WHEN day < {w}
-                                 AND event_type = 'purchase'
-                                THEN 1 END), 0) AS BIGINT) AS n_purchases,
-         CAST(coalesce(sum(CASE WHEN day < {w} THEN cents END), 0)
-              AS BIGINT) AS cents,
-         CAST(coalesce(max(CASE WHEN day < {w} THEN day END), -1)
-              AS BIGINT) AS last_day,
-         CAST(coalesce(sum(CASE WHEN day >= {w} AND day < {2 * w}
-                                THEN 1 END), 0) AS BIGINT) AS w2_n
-  FROM e GROUP BY 1)
-SELECT user_id, n_events, n_purchases, cents, last_day,
-       w2_n = 0 AS churned
-FROM a WHERE n_events > 0
-ORDER BY user_id
-"""
-
-
-Q230_TERM = "data"
-Q230_CTX = 3  #: tokens of context either side
-Q230_K = 20
-
-
-def q230_search_snippets(sf_dir: str):
-    """KWIC (keyword-in-context) snippet generation — the search-result
-    surface on top of S12's index: for the first Q230_K matching docs
-    (doc_id asc), the 1-based position of the term's FIRST occurrence
-    and a ±CTX-token window.  Pure per-row scan; each block emits only
-    its local bottom-K matches, the driver merges blocks×K candidate
-    rows — no global sort, no corpus-scale driver state."""
-    tok = Tokenizer()
-    term, ctx, k = Q230_TERM, Q230_CTX, Q230_K
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    def _match(t: pa.Table) -> pa.Table:
-        out_d, out_p, out_s = [], [], []
-        for did, s in zip(
-            t.column("doc_id").to_pylist(), t.column("text")
-        ):
-            toks = tok.tokens(s.as_py() or "")
-            try:
-                p0 = toks.index(term)
-            except ValueError:
-                continue
-            lo = max(1, (p0 + 1) - ctx)  # 1-based inclusive, SQL slice rule
-            hi = min(len(toks), (p0 + 1) + ctx)
-            out_d.append(did)
-            out_p.append(p0 + 1)
-            out_s.append(" ".join(toks[lo - 1 : hi]))
-        order = sorted(range(len(out_d)), key=lambda i: out_d[i])[:k]
-        return pa.table(
-            {
-                "doc_id": pa.array([out_d[i] for i in order], pa.int64()),
-                "pos": pa.array([out_p[i] for i in order], pa.int64()),
-                "snippet": pa.array([out_s[i] for i in order], pa.string()),
-            }
-        )
-
-    rows = docs.map_batches(_match, batch_format="pyarrow").take_all()
-    rows.sort(key=lambda r: r["doc_id"])  # blocks×K candidates
-    rows = rows[:k]
-    return pa.table(
-        {
-            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
-            "pos": pa.array([r["pos"] for r in rows], pa.int64()),
-            "snippet": pa.array([r["snippet"] for r in rows], pa.string()),
-        }
-    )
-
-
-def _sql_q230() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents),
-m AS (
-  SELECT doc_id, toks, list_position(toks, '{Q230_TERM}') AS pos
-  FROM t WHERE list_position(toks, '{Q230_TERM}') > 0)
-SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-       array_to_string(toks[greatest(1, pos - {Q230_CTX})
-                            :least(len(toks), pos + {Q230_CTX})], ' ')
-         AS snippet
-FROM m ORDER BY doc_id LIMIT {Q230_K}
-"""
-
-
-Q231_BUDGET_PCT = 40  #: global token budget as % of corpus tokens
-
-
-def q231_waterfill_budget(sf_dir: str):
-    """Waterfilling token-budget allocation across sources: given a
-    global budget B (= 40% of corpus tokens), find the integer cap c*
-    such that every source keeps min(tokens, c*) and the total stays
-    within B — the fair-share allocator behind q117's fixed quota and
-    q63's fixed mixture (sources under the cap keep everything;
-    surplus redistributes to the big ones).  One vocab-free tokenize
-    count per source (sources-bounded agg); the sort + prefix walk
-    closes on the sources-bounded driver table, ALL integer
-    arithmetic."""
-    from barks_ocr_ray.functions.text import TOKEN_RE as _TRE
-
-    docs = read_table(sf_dir, "documents", ["source", "text"])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(
-            pc.utf8_lower(t.column("text")), _TRE
-        ).cast(pa.int64())
-        k = pa.table({"source": t.column("source"), "tokens": n})
-        return (
-            k.group_by("source")
-            .aggregate([("tokens", "sum")])
-            .rename_columns(["source", "tokens"])
-        )
-
-    rows = (
-        docs.map_batches(_counts, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(Sum("tokens", alias_name="tokens"))
-        .take_all()  # sources-bounded
-    )
-    srcs = sorted(
-        ((r["source"], int(r["tokens"])) for r in rows),
-        key=lambda x: (x[1], x[0]),
-    )
-    empty = pa.table(
-        {
-            "source": pa.array([], pa.string()),
-            "tokens": pa.array([], pa.int64()),
-            "alloc": pa.array([], pa.int64()),
-            "capped": pa.array([], pa.bool_()),
-        }
-    )
-    if not srcs:
-        return empty
-    total = sum(t for _, t in srcs)
-    budget = (Q231_BUDGET_PCT * total) // 100
-    n = len(srcs)
-    prefix = 0
-    cap = None
-    for i, (_, t) in enumerate(srcs):
-        if t * (n - i) + prefix > budget:  # first row the budget breaks at
-            cap = (budget - prefix) // (n - i)
-            break
-        prefix += t
-    out = []
-    for s, t in srcs:
-        capped = cap is not None and t > cap
-        out.append((s, t, cap if capped else t, capped))
-    out.sort()
-    return pa.table(
-        {
-            "source": pa.array([r[0] for r in out], pa.string()),
-            "tokens": pa.array([r[1] for r in out], pa.int64()),
-            "alloc": pa.array([r[2] for r in out], pa.int64()),
-            "capped": pa.array([r[3] for r in out], pa.bool_()),
-        }
-    )
-
-
-def _sql_q231() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH c AS (
-  SELECT source,
-         CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_RE}')))
-              AS BIGINT) AS tokens
-  FROM documents GROUP BY 1),
-b AS (SELECT ({Q231_BUDGET_PCT} * CAST(sum(tokens) AS BIGINT)) // 100
-        AS budget FROM c),
-r AS (
-  SELECT source, tokens,
-         CAST(coalesce(sum(tokens) OVER (ORDER BY tokens, source
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                       0) AS BIGINT) AS prefix,
-         CAST(count(*) OVER (ORDER BY tokens, source
-                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-              AS BIGINT) AS rem
-  FROM c),
-v AS (
-  SELECT (b.budget - r.prefix) // r.rem AS cap
-  FROM r, b
-  WHERE r.tokens * r.rem + r.prefix > b.budget
-  ORDER BY r.tokens, r.source LIMIT 1)
-SELECT r.source, r.tokens,
-       CASE WHEN v.cap IS NOT NULL AND r.tokens > v.cap
-            THEN v.cap ELSE r.tokens END AS alloc,
-       coalesce(v.cap IS NOT NULL AND r.tokens > v.cap, FALSE) AS capped
-FROM r LEFT JOIN v ON TRUE
-ORDER BY r.source
-"""
-
-
-def q232_qq_drift(sf_dir: str):
-    """Quantile–quantile mapping between the prior and new snapshot
-    length distributions (q130's doc_id%10 split): the decile-level
-    'where exactly did the distribution move' companion to q205's
-    scalar KS statistic.  n_chars is a BOUNDED-domain integer, so the
-    exact per-side quantiles come from one (side, value) count
-    aggregation (domain-bounded exchange, no sort, no quickselect) and
-    an explicit (d·n+9)//10 lower-rank pick on the driver — mirrored
-    by the oracle's row_number pick, deterministic under ties."""
-    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        side = ((did % 10) >= 7).astype(np.int64)
-        k = pa.table(
-            {
-                "side": pa.array(side, pa.int64()),
-                "v": t.column("n_chars"),
-            }
-        )
-        return (
-            k.group_by(["side", "v"])
-            .aggregate([("v", "count")])
-            .rename_columns(["side", "v", "c"])
-        )
-
-    rows = (
-        docs.map_batches(_counts, batch_format="pyarrow")
-        .groupby(["side", "v"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()  # 2 × value-domain bounded
-    )
-    hists: dict = {0: [], 1: []}
-    for r in rows:
-        hists[int(r["side"])].append((int(r["v"]), int(r["c"])))
-    empty = pa.table(
-        {
-            "decile": pa.array([], pa.int64()),
-            "v_prior": pa.array([], pa.int64()),
-            "v_new": pa.array([], pa.int64()),
-            "delta": pa.array([], pa.int64()),
-        }
-    )
-    if not hists[0] or not hists[1]:
-        return empty
-
-    def _pick(hist, idx):  # value at 1-based rank idx of the multiset
-        cum = 0
-        for v, c in sorted(hist):
-            cum += c
-            if cum >= idx:
-                return v
-        return sorted(hist)[-1][0]
-
-    n0 = sum(c for _, c in hists[0])
-    n1 = sum(c for _, c in hists[1])
-    d_l, p_l, nw_l, dl_l = [], [], [], []
-    for d in range(1, 10):
-        vp = _pick(hists[0], (d * n0 + 9) // 10)
-        vn = _pick(hists[1], (d * n1 + 9) // 10)
-        d_l.append(d * 10)
-        p_l.append(vp)
-        nw_l.append(vn)
-        dl_l.append(vn - vp)
-    return pa.table(
-        {
-            "decile": pa.array(d_l, pa.int64()),
-            "v_prior": pa.array(p_l, pa.int64()),
-            "v_new": pa.array(nw_l, pa.int64()),
-            "delta": pa.array(dl_l, pa.int64()),
-        }
-    )
-
-
-SQL_Q232 = """
-WITH s AS (
-  SELECT CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END AS side, n_chars
-  FROM documents),
-r AS (
-  SELECT side, n_chars,
-         row_number() OVER (PARTITION BY side ORDER BY n_chars) AS rn,
-         count(*) OVER (PARTITION BY side) AS n
-  FROM s),
-g AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS d),
-p AS (
-  SELECT g.d, r.side, r.n_chars
-  FROM g JOIN r ON r.rn = (g.d * r.n + 9) // 10)
-SELECT CAST(d * 10 AS BIGINT) AS decile,
-       CAST(max(CASE WHEN side = 0 THEN n_chars END) AS BIGINT) AS v_prior,
-       CAST(max(CASE WHEN side = 1 THEN n_chars END) AS BIGINT) AS v_new,
-       CAST(max(CASE WHEN side = 1 THEN n_chars END)
-            - max(CASE WHEN side = 0 THEN n_chars END) AS BIGINT) AS delta
-FROM p GROUP BY 1
-ORDER BY 1
-"""
-
-
-def q233_exact_auc(sf_dir: str):
-    """Exact ROC-AUC of a deterministic score (n_chars) against a
-    binary label (lang = 'en') via the tie-corrected rank-sum identity
-    AUC = (#(pos > neg) + ½·ties) / (pos·neg) — the classifier-eval
-    primitive next to q173's calibration bins, computed WITHOUT any
-    per-row ranking: one (label, value) count aggregation over the
-    bounded score domain, then an integer cumulative walk; the only
-    float is the single mirrored final division (kept ×2 to stay
-    integral until then)."""
-    docs = read_table(sf_dir, "documents", ["n_chars", "lang"])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        pos = pc.equal(t.column("lang"), pa.scalar("en"))
-        k = pa.table(
-            {
-                "v": t.column("n_chars"),
-                "pos": pos.cast(pa.int64()),
-            }
-        )
-        return (
-            k.group_by(["v", "pos"])
-            .aggregate([("pos", "count")])
-            .rename_columns(["v", "pos", "c"])
-        )
-
-    rows = (
-        docs.map_batches(_counts, batch_format="pyarrow")
-        .groupby(["v", "pos"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()  # 2 × value-domain bounded
-    )
-    by_v: dict = {}
-    for r in rows:
-        v = int(r["v"])
-        cp, cn = by_v.get(v, (0, 0))
-        if int(r["pos"]) == 1:
-            cp += int(r["c"])
-        else:
-            cn += int(r["c"])
-        by_v[v] = (cp, cn)
-    empty = pa.table(
-        {
-            "n_pos": pa.array([], pa.int64()),
-            "n_neg": pa.array([], pa.int64()),
-            "auc_micro": pa.array([], pa.int64()),
-        }
-    )
-    num2 = 0  # 2·#(pos>neg) + ties, exact
-    cum_neg = 0
-    for v in sorted(by_v):
-        cp, cn = by_v[v]
-        num2 += cp * (2 * cum_neg + cn)
-        cum_neg += cn
-    n_pos = sum(cp for cp, _ in by_v.values())
-    n_neg = sum(cn for _, cn in by_v.values())
-    if n_pos == 0 or n_neg == 0:
-        return empty
-    auc = int(
-        round_like_duckdb(
-            1e6 * float(num2) / float(2 * n_pos * n_neg), 0
-        )
-    )
-    return pa.table(
-        {
-            "n_pos": pa.array([n_pos], pa.int64()),
-            "n_neg": pa.array([n_neg], pa.int64()),
-            "auc_micro": pa.array([auc], pa.int64()),
-        }
-    )
-
-
-SQL_Q233 = """
-WITH c AS (
-  SELECT n_chars AS v,
-         CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 END), 0)
-              AS BIGINT) AS cp,
-         CAST(coalesce(sum(CASE WHEN lang <> 'en' THEN 1 END), 0)
-              AS BIGINT) AS cn
-  FROM documents GROUP BY 1),
-w AS (
-  SELECT cp, cn,
-         CAST(coalesce(sum(cn) OVER (ORDER BY v
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cum_neg
-  FROM c),
-t AS (SELECT CAST(sum(cp * (2 * cum_neg + cn)) AS HUGEINT) AS num2,
-             CAST(sum(cp) AS BIGINT) AS n_pos,
-             CAST(sum(cn) AS BIGINT) AS n_neg
-      FROM w)
-SELECT n_pos, n_neg,
-       CAST(round(1e6 * num2 / (2 * CAST(n_pos AS HUGEINT) * n_neg), 0)
-            AS BIGINT) AS auc_micro
-FROM t WHERE n_pos > 0 AND n_neg > 0
-"""
-
-
-Q234_FOLDS = 5
-
-
-def q234_fold_balance(sf_dir: str):
-    """K-fold cross-validation assignment + balance audit: folds come
-    from the oracle-replayable md5 unit fraction (q113's convention,
-    pure row function — stable under any partitioning) and the audit
-    reports every (fold, lang) cell of the FULL grid with its
-    χ²-contribution vs the independence expectation (zero-count cells
-    included — they contribute e).  One (fold, lang)-bounded count
-    aggregation; the grid and the per-cell mirrored IEEE expression
-    close on the cells-bounded driver table; contributions are
-    micro-rounded per cell so no float accumulation exists anywhere."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.hashing import unit_fractions
-
-    k = Q234_FOLDS
-    docs = read_table(sf_dir, "documents", ["doc_id", "lang"])
-
-    def _cells(t: pa.Table) -> pa.Table:
-        u = unit_fractions(t.column("doc_id").to_pylist(), method="md5")
-        fold = np.floor(u * k).astype(np.int64)
-        g = pa.table(
-            {"fold": pa.array(fold, pa.int64()), "lang": t.column("lang")}
-        )
-        return (
-            g.group_by(["fold", "lang"])
-            .aggregate([("lang", "count")])
-            .rename_columns(["fold", "lang", "n"])
-        )
-
-    rows = (
-        docs.map_batches(_cells, batch_format="pyarrow")
-        .groupby(["fold", "lang"], num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()  # (folds × langs)-bounded
-    )
-    counts = {(int(r["fold"]), r["lang"]): int(r["n"]) for r in rows}
-    folds = sorted({f for f, _ in counts})
-    langs = sorted({l for _, l in counts})
-    total = sum(counts.values())
-    empty = pa.table(
-        {
-            "fold": pa.array([], pa.int64()),
-            "lang": pa.array([], pa.string()),
-            "n": pa.array([], pa.int64()),
-            "chi2_micro": pa.array([], pa.int64()),
-        }
-    )
-    if total == 0:
-        return empty
-    row_tot = {f: sum(counts.get((f, l), 0) for l in langs) for f in folds}
-    col_tot = {l: sum(counts.get((f, l), 0) for f in folds) for l in langs}
-    f_l, l_l, n_l, x_l = [], [], [], []
-    for f in folds:
-        for l in langs:
-            o = counts.get((f, l), 0)
-            e = float(row_tot[f] * col_tot[l]) / float(total)
-            x = (1e6 * ((float(o) - e) * (float(o) - e))) / e
-            f_l.append(f)
-            l_l.append(l)
-            n_l.append(o)
-            x_l.append(int(round_like_duckdb(x, 0)))
-    return pa.table(
-        {
-            "fold": pa.array(f_l, pa.int64()),
-            "lang": pa.array(l_l, pa.string()),
-            "n": pa.array(n_l, pa.int64()),
-            "chi2_micro": pa.array(x_l, pa.int64()),
-        }
-    )
-
-
-def _sql_q234() -> str:
-    return f"""
-WITH f AS (
-  SELECT CAST(floor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
-                                    1, 8)) AS UBIGINT)
-                    / 4294967296.0 * {Q234_FOLDS}) AS BIGINT) AS fold,
-         lang
-  FROM documents),
-c AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n
-      FROM f GROUP BY 1, 2),
-grid AS (
-  SELECT ff.fold, ll.lang
-  FROM (SELECT DISTINCT fold FROM c) ff, (SELECT DISTINCT lang FROM c) ll),
-g AS (
-  SELECT grid.fold, grid.lang, CAST(coalesce(c.n, 0) AS BIGINT) AS n
-  FROM grid LEFT JOIN c USING (fold, lang)),
-rt AS (SELECT fold, CAST(sum(n) AS BIGINT) AS rn FROM g GROUP BY 1),
-ct AS (SELECT lang, CAST(sum(n) AS BIGINT) AS cn FROM g GROUP BY 1),
-tt AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM g)
-SELECT g.fold, g.lang, g.n,
-       CAST(round(1e6 * ((g.n - CAST(rt.rn AS HUGEINT) * ct.cn / tt.t)
-                         * (g.n - CAST(rt.rn AS HUGEINT) * ct.cn / tt.t))
-                  / (CAST(rt.rn AS HUGEINT) * ct.cn / tt.t), 0)
-            AS BIGINT) AS chi2_micro
-FROM g JOIN rt USING (fold) JOIN ct USING (lang), tt
-ORDER BY g.fold, g.lang
-"""
-
-
-def q235_host_budget(sf_dir: str):
-    """Per-host crawl-budget rollup over the EXTRACTED corpus: pages,
-    extracted characters and mean doc size per host — the politeness /
-    budget planning report a crawler scheduler consumes (host = url
-    authority; q164 canonicalizes, this aggregates).  Runs the real
-    extraction pipeline, then one hosts-bounded count/sum aggregation;
-    the mean is the single mirrored IEEE division."""
-    extracted = _extracted_docs()
-
-    def _host_partials(t: pa.Table) -> pa.Table:
-        hosts, chars = [], []
-        for url, txt in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            hosts.append(url.split("/")[2])
-            chars.append(len(txt) if txt is not None else 0)
-        k = pa.table(
-            {
-                "host": pa.array(hosts, pa.string()),
-                "chars": pa.array(chars, pa.int64()),
-            }
-        )
-        return (
-            k.group_by("host")
-            .aggregate([("chars", "sum"), ("host", "count")])
-            .rename_columns(["host", "chars", "n_pages"])
-        )
-
-    rows = (
-        extracted.map_batches(_host_partials, batch_format="pyarrow")
-        .groupby("host", num_partitions=2)
-        .aggregate(
-            Sum("chars", alias_name="chars"),
-            Sum("n_pages", alias_name="n_pages"),
-        )
-        .take_all()  # hosts-bounded
-    )
-    rows.sort(key=lambda r: r["host"])
-    return pa.table(
-        {
-            "host": pa.array([r["host"] for r in rows], pa.string()),
-            "n_pages": pa.array(
-                [int(r["n_pages"]) for r in rows], pa.int64()
-            ),
-            "chars": pa.array([int(r["chars"]) for r in rows], pa.int64()),
-            "avg_chars": pa.array(
-                [
-                    float(
-                        round_like_duckdb(
-                            float(int(r["chars"])) / float(int(r["n_pages"])),
-                            2,
-                        )
-                    )
-                    for r in rows
-                ],
-                pa.float64(),
-            ),
-        }
-    )
-
-
-def _sql_q235() -> str:
-    from barks_ocr_ray.oracle_data import Q24_N, extraction_golden_path
-
-    return f"""
-WITH e AS (
-  SELECT string_split(url, '/')[3] AS host,
-         CAST(len(extracted_text) AS BIGINT) AS chars
-  FROM read_parquet('{extraction_golden_path(Q24_N)}'))
-SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
-       CAST(sum(chars) AS BIGINT) AS chars,
-       round(sum(chars) / count(*), 2) AS avg_chars
-FROM e GROUP BY 1
-ORDER BY host
-"""
-
-
-Q236_SPLIT = 250  #: docs below = base index, docs at/above = delta
-
-
-def q236_delta_index_merge(sf_dir: str):
-    """Incremental index maintenance: the word index is built as BASE
-    (old docs) + DELTA (new docs) and merged with one word-keyed sum —
-    the nightly-index-update path next to q129's incremental dedup and
-    q136's incremental MinHash.  The oracle is the FULL REBUILD over
-    all docs (q08's SQL), so the check IS the merge-equals-rebuild
-    invariant.  Exchanges: two vocab-bounded partial aggregations +
-    one vocab-bounded merge — never a re-tokenize of the base corpus
-    at delta time."""
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, word_index
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    base = docs.filter(expr=f"doc_id < {Q236_SPLIT}")
-    delta = docs.filter(expr=f"doc_id >= {Q236_SPLIT}")
-    return (
-        word_index(base)
-        .union(word_index(delta))
-        .groupby("word", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-
-SQL_Q236 = """
-SELECT word, count(*) AS n
-FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-      FROM documents) t
-GROUP BY word
-"""
-
-
-Q237_ALPHA_PCT = 10  #: miscoverage target (alpha = 10%)
-
-
-def q237_conformal_coverage(sf_dir: str):
-    """Split-conformal calibration (Vovk; Angelopoulos & Bates 2021
-    §2): the threshold is the ceil((n_cal+1)(1−α))-th smallest
-    calibration score (explicit integer rank — no quantile
-    interpolation) and the audit reports empirical coverage on the
-    held-out side.  Score = n_chars, calibration/test = the q130
-    doc_id%10 split.  n_chars is bounded-domain, so both sides come
-    from ONE (side, value) count aggregation; the rank walk and the
-    single mirrored division close on the domain-bounded driver
-    table."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        did = t.column("doc_id").to_numpy(zero_copy_only=False)
-        side = ((did % 10) >= 7).astype(np.int64)
-        k = pa.table(
-            {
-                "side": pa.array(side, pa.int64()),
-                "v": t.column("n_chars"),
-            }
-        )
-        return (
-            k.group_by(["side", "v"])
-            .aggregate([("v", "count")])
-            .rename_columns(["side", "v", "c"])
-        )
-
-    rows = (
-        docs.map_batches(_counts, batch_format="pyarrow")
-        .groupby(["side", "v"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()  # 2 × value-domain bounded
-    )
-    hists: dict = {0: [], 1: []}
-    for r in rows:
-        hists[int(r["side"])].append((int(r["v"]), int(r["c"])))
-    empty = pa.table(
-        {
-            "n_cal": pa.array([], pa.int64()),
-            "n_test": pa.array([], pa.int64()),
-            "threshold": pa.array([], pa.int64()),
-            "cov_micro": pa.array([], pa.int64()),
-        }
-    )
-    n_cal = sum(c for _, c in hists[0])
-    n_test = sum(c for _, c in hists[1])
-    if n_cal == 0 or n_test == 0:
-        return empty
-    rk = ((n_cal + 1) * (100 - Q237_ALPHA_PCT) + 99) // 100  # ceil
-    if rk <= n_cal:
-        cum = 0
-        thr = None
-        for v, c in sorted(hists[0]):
-            cum += c
-            if cum >= rk:
-                thr = v
-                break
-        n_cov = sum(c for v, c in hists[1] if v <= thr)
-        thr_arr = pa.array([thr], pa.int64())
-        cov = int(
-            round_like_duckdb(1e6 * float(n_cov) / float(n_test), 0)
-        )
-    else:  # not enough calibration mass: vacuous infinite threshold
-        thr_arr = pa.nulls(1, pa.int64())
-        cov = 1_000_000
-    return pa.table(
-        {
-            "n_cal": pa.array([n_cal], pa.int64()),
-            "n_test": pa.array([n_test], pa.int64()),
-            "threshold": thr_arr,
-            "cov_micro": pa.array([cov], pa.int64()),
-        }
-    )
-
-
-def _sql_q237() -> str:
-    a = Q237_ALPHA_PCT
-    return f"""
-WITH s AS (
-  SELECT CASE WHEN doc_id % 10 >= 7 THEN 1 ELSE 0 END AS side,
-         n_chars AS v
-  FROM documents),
-cal AS (
-  SELECT v, row_number() OVER (ORDER BY v) AS rn,
-         count(*) OVER () AS n
-  FROM s WHERE side = 0),
-r AS (SELECT n, ((n + 1) * {100 - a} + 99) // 100 AS rk
-      FROM (SELECT DISTINCT n FROM cal)),
-q AS (SELECT r.n AS n_cal,
-             CASE WHEN r.rk <= r.n
-               THEN (SELECT v FROM cal WHERE rn = r.rk) END AS thr
-      FROM r),
-t AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
-             CAST(coalesce(sum(CASE WHEN s.v <= q.thr THEN 1 END), 0)
-                  AS BIGINT) AS n_cov
-      FROM s, q WHERE s.side = 1)
-SELECT CAST(q.n_cal AS BIGINT) AS n_cal, t.n_test,
-       CAST(q.thr AS BIGINT) AS threshold,
-       CASE WHEN q.thr IS NULL THEN 1000000
-            ELSE CAST(round(1e6 * t.n_cov / t.n_test, 0) AS BIGINT)
-       END AS cov_micro
-FROM q, t
-WHERE t.n_test > 0
-"""
-
-
-Q238_QS = [0.25, 0.5, 0.75]
-
-
-def q238_conversion_latency(sf_dir: str):
-    """Conversion-latency distribution: seconds from each user's FIRST
-    signup to their first purchase AFTER it (ROWS tie rule on
-    (ts, event_id), q192's convention), summarized as exact quartiles
-    — the activation-funnel timing report.  One user-keyed exchange +
-    per-block sorted-stream scan emits a users-bounded latency stream;
-    the quartiles ride the counting quickselect (q66 machinery), so no
-    global sort and DuckDB's quantile_disc rank rule bit-matches."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.quantiles import distributed_quantiles
-
-    ev = read_table(
-        sf_dir, "events", ["event_id", "user_id", "ts", "event_type"]
-    )
-
-    def _latency(t: pa.Table) -> pa.Table:
-        empty = pa.table({"latency_sec": pa.array([], pa.int64())})
-        if t.num_rows == 0:
-            return empty
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        et = np.asarray(t.column("event_type").to_pylist())
-        order = np.lexsort((eid, us, u))
-        u, us, et = u[order], us[order], et[order]
-        seg = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        out = []
-        for i, s in enumerate(seg):
-            e = seg[i + 1] if i + 1 < len(seg) else len(u)
-            sign = np.flatnonzero(et[s:e] == "signup")
-            if not len(sign):
-                continue
-            first = sign[0]
-            purch = np.flatnonzero(et[s:e][first + 1 :] == "purchase")
-            if not len(purch):
-                continue
-            p_pos = first + 1 + purch[0]
-            out.append(int((us[s:e][p_pos] - us[s:e][first]) // 1_000_000))
-        return pa.table({"latency_sec": pa.array(out, pa.int64())})
-
-    lat = ev.repartition(hash_partitions(16), keys=["user_id"]).map_batches(
-        _latency, batch_format="pyarrow"
-    )
-    t = distributed_quantiles(lat, "latency_sec", Q238_QS, pull_cap=2000)
-    return rd.from_arrow(t)
-
-
-def _sql_q238() -> str:
-    parts = " UNION ALL ".join(
-        f"SELECT {q} AS q, CAST(quantile_disc(latency_sec, {q}) AS DOUBLE)"
-        f" AS value FROM lat"
-        for q in Q238_QS
-    )
-    return f"""
-WITH e AS (
-  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
-s AS (
-  SELECT user_id, us, event_id FROM e WHERE event_type = 'signup'
-  QUALIFY row_number() OVER (PARTITION BY user_id
-                             ORDER BY us, event_id) = 1),
-p AS (
-  SELECT s.user_id, (p.us - s.us) // 1000000 AS latency_sec,
-         row_number() OVER (PARTITION BY s.user_id
-                            ORDER BY p.us, p.event_id) AS rn
-  FROM s JOIN e p ON p.user_id = s.user_id
-                 AND p.event_type = 'purchase'
-                 AND (p.us > s.us
-                      OR (p.us = s.us AND p.event_id > s.event_id))),
-lat AS (SELECT CAST(latency_sec AS BIGINT) AS latency_sec
-        FROM p WHERE rn = 1)
-SELECT q, value FROM ({parts}) ORDER BY q
-"""
-
-
-def q239_peak_concurrency(sf_dir: str):
-    """Peak concurrent sessions (q166's interval convention: start =
-    ts, duration = value minutes) via the classic sweep-line — but
-    DISTRIBUTED as a scan-combine: one range sort of the ±1 delta
-    stream on the UNIQUE key (t, d, event_id), then each batch emits
-    O(1) partials (its delta total + its internal running max) and the
-    driver folds the batches-bounded list left-to-right (prefix-sum
-    carry + max), exactly the parallel-prefix decomposition of the
-    sequential scan.  Zero-length intervals cancel before they count
-    (ends sort before starts at equal t) — mirrored by the oracle's
-    window ORDER BY."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["event_id", "ts", "value"])
-
-    def _deltas(t: pa.Table) -> pa.Table:
-        s = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        dur = np.maximum(
-            round_like_duckdb(
-                t.column("value").to_numpy(zero_copy_only=False) * 60.0, 0
-            ).astype(np.int64),
-            0,
-        )
-        en = s + dur * 1_000_000
-        return pa.table(
-            {
-                "t": pa.array(np.concatenate([s, en]), pa.int64()),
-                "d": pa.array(
-                    np.concatenate(
-                        [np.ones(len(s), np.int64), -np.ones(len(s), np.int64)]
-                    ),
-                    pa.int64(),
-                ),
-                "event_id": pa.array(np.concatenate([eid, eid]), pa.int64()),
-            }
-        )
-
-    def _scan_partials(t: pa.Table) -> pa.Table:
-        d = t.column("d").to_numpy(zero_copy_only=False)
-        run = np.cumsum(d)
-        return pa.table(
-            {
-                "first_t": pa.array([int(t.column("t")[0].as_py())], pa.int64()),
-                "first_d": pa.array([int(d[0])], pa.int64()),
-                "first_eid": pa.array(
-                    [int(t.column("event_id")[0].as_py())], pa.int64()
-                ),
-                "total": pa.array([int(run[-1])], pa.int64()),
-                "best": pa.array([int(run.max())], pa.int64()),
-            }
-        )
-
-    parts = (
-        ev.map_batches(_deltas, batch_format="pyarrow")
-        .sort(["t", "d", "event_id"])
-        .map_batches(_scan_partials, batch_format="pyarrow")
-        .take_all()  # batches-bounded
-    )
-    empty = pa.table(
-        {
-            "n_intervals": pa.array([], pa.int64()),
-            "peak": pa.array([], pa.int64()),
-        }
-    )
-    if not parts:
-        return empty
-    parts.sort(key=lambda r: (r["first_t"], r["first_d"], r["first_eid"]))
-    acc, peak = 0, 0
-    for r in parts:
-        peak = max(peak, acc + int(r["best"]))
-        acc += int(r["total"])
-    n_intervals = ev.count()
-    return pa.table(
-        {
-            "n_intervals": pa.array([int(n_intervals)], pa.int64()),
-            "peak": pa.array([peak], pa.int64()),
-        }
-    )
-
-
-SQL_Q239 = """
-WITH e AS (
-  SELECT event_id, epoch_us(ts) AS s,
-         epoch_us(ts)
-           + greatest(CAST(round(value * 60, 0) AS BIGINT), 0) * 1000000
-           AS en
-  FROM events),
-d AS (
-  SELECT s AS t, 1 AS d, event_id FROM e
-  UNION ALL
-  SELECT en AS t, -1 AS d, event_id FROM e),
-w AS (
-  SELECT sum(d) OVER (ORDER BY t, d, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS running
-  FROM d)
-SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_intervals,
-       CAST(max(running) AS BIGINT) AS peak
-FROM w
-"""
-
-
-def q240_ht_estimate(sf_dir: str):
-    """Horvitz–Thompson estimator audit for unequal-probability
-    sampling: docs sample at lang-dependent rates (en 1/2, others 1/4
-    — md5 unit fraction, oracle-replayable), the HT total re-weights
-    each sampled doc by its inverse inclusion probability, and the
-    audit reports the signed relative error vs the exact total — the
-    q184/q203/q210-style correctness harness for the SAMPLING family.
-    Inverse rates are integers (2 and 4), so the estimate is EXACT
-    int64 arithmetic end-to-end; one doc pass, O(1) partials per
-    block, one mirrored division."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.hashing import unit_fractions
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        u = unit_fractions(t.column("doc_id").to_pylist(), method="md5")
-        lang = np.asarray(t.column("lang").to_pylist())
-        chars = t.column("n_chars").to_numpy(zero_copy_only=False)
-        w = np.where(lang == "en", 2, 4).astype(np.int64)  # 1/rate
-        keep = u * w < 1.0  # u < rate, rate = 1/w
-        return pa.table(
-            {
-                "n_docs": pa.array([len(u)], pa.int64()),
-                "n_sampled": pa.array([int(keep.sum())], pa.int64()),
-                "exact_chars": pa.array([int(chars.sum())], pa.int64()),
-                "ht_chars": pa.array(
-                    [int((chars[keep] * w[keep]).sum())], pa.int64()
-                ),
-            }
-        )
-
-    parts = docs.map_batches(_partials, batch_format="pyarrow").take_all()
-    n_docs = sum(int(r["n_docs"]) for r in parts)
-    n_sampled = sum(int(r["n_sampled"]) for r in parts)
-    exact = sum(int(r["exact_chars"]) for r in parts)
-    ht = sum(int(r["ht_chars"]) for r in parts)
-    empty = pa.table(
-        {
-            "n_docs": pa.array([], pa.int64()),
-            "n_sampled": pa.array([], pa.int64()),
-            "exact_chars": pa.array([], pa.int64()),
-            "ht_chars": pa.array([], pa.int64()),
-            "err_micro": pa.array([], pa.int64()),
-        }
-    )
-    if exact == 0:
-        return empty
-    err = int(
-        round_like_duckdb(1e6 * float(ht - exact) / float(exact), 0)
-    )
-    return pa.table(
-        {
-            "n_docs": pa.array([n_docs], pa.int64()),
-            "n_sampled": pa.array([n_sampled], pa.int64()),
-            "exact_chars": pa.array([exact], pa.int64()),
-            "ht_chars": pa.array([ht], pa.int64()),
-            "err_micro": pa.array([err], pa.int64()),
-        }
-    )
-
-
-SQL_Q240 = """
-WITH d AS (
-  SELECT n_chars,
-         CASE WHEN lang = 'en' THEN 2 ELSE 4 END AS w,
-         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS UBIGINT) / 4294967296.0 AS u
-  FROM documents),
-t AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(coalesce(sum(CASE WHEN u * w < 1.0 THEN 1 END), 0)
-              AS BIGINT) AS n_sampled,
-         CAST(sum(n_chars) AS BIGINT) AS exact_chars,
-         CAST(coalesce(sum(CASE WHEN u * w < 1.0 THEN n_chars * w END), 0)
-              AS BIGINT) AS ht_chars
-  FROM d)
-SELECT n_docs, n_sampled, exact_chars, ht_chars,
-       CAST(round(1e6 * (ht_chars - exact_chars) / exact_chars, 0)
-            AS BIGINT) AS err_micro
-FROM t WHERE exact_chars > 0
-"""
-
-
-def q241_gini_concentration(sf_dir: str):
-    """Per-source Gini coefficient of document length — the corpus
-    concentration audit a curation pipeline tracks per provider (a
-    source whose byte mass concentrates in a few giant docs packs and
-    shards very differently from a uniform one). Uses the rank-weighted
-    identity G = 2*SUM(i*x_i)/(n*SUM(x)) - (n+1)/n over the
-    ascending-sorted multiset, which is invariant to tie order, so the
-    SQL row_number() oracle replays it exactly. Plan: one doc pass folds
-    each block to (source, n_chars, cnt) histogram partials; ONE tiny
-    keyed aggregate merges them — what shuffles is bounded by sources x
-    distinct lengths, never docs — and the rank-weighted sum folds from
-    cumulative counts on the report-sized histogram in exact int64."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
-
-    def _hist(t: pa.Table) -> pa.Table:
-        g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
-        return g.rename_columns(["source", "n_chars", "cnt"])
-
-    hist = (
-        docs.map_batches(_hist, batch_format="pyarrow")
-        .groupby(["source", "n_chars"], num_partitions=2)
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
-    )
-    src = np.asarray([r["source"] for r in hist])
-    val = np.asarray([r["n_chars"] for r in hist], np.int64)
-    cnt = np.asarray([r["cnt"] for r in hist], np.int64)
-    out_src, out_n, out_tot, out_gini = [], [], [], []
-    for s in sorted(set(src.tolist())):
-        sel = src == s
-        v, c = val[sel], cnt[sel]
-        order = np.argsort(v, kind="stable")
-        v, c = v[order], c[order]
-        n = int(c.sum())
-        total = int((v * c).sum())
-        if total <= 0:
-            continue
-        cum_before = np.concatenate(([0], np.cumsum(c)[:-1]))
-        # sum of ranks 1..n occupied by each value's run of c copies
-        rank_sum = c * cum_before + c * (c + 1) // 2
-        s_weighted = int((v * rank_sum).sum())
-        gini = (2.0 * s_weighted) / (n * total) - (n + 1.0) / n
-        out_src.append(s)
-        out_n.append(n)
-        out_tot.append(total)
-        out_gini.append(int(round_like_duckdb(1e6 * gini, 0)))
-    return pa.table(
-        {
-            "source": pa.array(out_src, pa.string()),
-            "n_docs": pa.array(out_n, pa.int64()),
-            "total_chars": pa.array(out_tot, pa.int64()),
-            "gini_micro": pa.array(out_gini, pa.int64()),
-        }
-    )
-
-
-SQL_Q241 = """
-WITH r AS (
-  SELECT source, n_chars AS x,
-         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
-  FROM documents),
-g AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(x) AS BIGINT) AS total_chars,
-         2.0 * sum(i * x) / (count(*) * sum(x))
-           - (count(*) + 1.0) / count(*) AS gini
-  FROM r GROUP BY source HAVING sum(x) > 0)
-SELECT source, n_docs, total_chars,
-       CAST(round(1e6 * gini, 0) AS BIGINT) AS gini_micro
-FROM g ORDER BY source
-"""
-
-
-#: capture probability per salted sample (md5 unit fraction on doc_id)
-Q242_RATE = 0.5
-
-
-def q242_capture_recapture(sf_dir: str):
-    """Capture-recapture (Chapman) estimate of the corpus' DISTINCT
-    content count from two independent md5-salted doc samples — the
-    crawl-coverage estimator ("how big is the population our crawler
-    draws from?") run entirely inside the engine, with the exact
-    distinct count alongside as the error harness (the
-    q184/q203/q210/q240 estimator-audit family). Plan: one doc pass
-    hashes content (md5, null-distinct, the q07 key) and flags
-    membership in the two salted samples; ONE content-keyed exchange
-    colocates every copy of a content, so block-local any() flags and
-    distinct counts ARE global; what returns to the driver is O(1)
-    partials per block. Chapman N = (n1+1)(n2+1)//(m+1) - 1 in exact
-    integer division on both sides."""
-    from barks_ocr_ray.functions.dedupe import _NULL_TEXT_KEY, md5_hex
-    from barks_ocr_ray.functions.hashing import unit_fractions
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    rate = Q242_RATE
-
-    def _flags(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        keys = [
-            _NULL_TEXT_KEY if s.as_py() is None else md5_hex(s.as_py())
-            for s in t.column("text")
-        ]
-        in1 = unit_fractions(ids, method="md5", salt=1) < rate
-        in2 = unit_fractions(ids, method="md5", salt=2) < rate
-        return pa.table(
-            {
-                "key": pa.array(keys, pa.string()),
-                "in1": pa.array(in1.astype("int64")),
-                "in2": pa.array(in2.astype("int64")),
-            }
-        )
-
-    def _block_partials(t: pa.Table) -> pa.Table:
-        g = t.group_by("key").aggregate([("in1", "max"), ("in2", "max")])
-        i1 = g.column("in1_max").to_numpy(zero_copy_only=False)
-        i2 = g.column("in2_max").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "n_contents": pa.array([g.num_rows], pa.int64()),
-                "n1": pa.array([int(i1.sum())], pa.int64()),
-                "n2": pa.array([int(i2.sum())], pa.int64()),
-                "m": pa.array([int((i1 * i2).sum())], pa.int64()),
-            }
-        )
-
-    parts = (
-        docs.map_batches(_flags, batch_format="pyarrow")
-        .repartition(hash_partitions(8), keys=["key"])
-        .map_batches(_block_partials, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
-    n = sum(int(r["n_contents"]) for r in parts)
-    n1 = sum(int(r["n1"]) for r in parts)
-    n2 = sum(int(r["n2"]) for r in parts)
-    m = sum(int(r["m"]) for r in parts)
-    if n == 0:
-        return pa.table(
-            {
-                "n_contents": pa.array([], pa.int64()),
-                "n1": pa.array([], pa.int64()),
-                "n2": pa.array([], pa.int64()),
-                "m": pa.array([], pa.int64()),
-                "chapman": pa.array([], pa.int64()),
-                "err_micro": pa.array([], pa.int64()),
-            }
-        )
-    chapman = (n1 + 1) * (n2 + 1) // (m + 1) - 1
-    err = int(round_like_duckdb(1e6 * (chapman - n) / n, 0))
-    return pa.table(
-        {
-            "n_contents": pa.array([n], pa.int64()),
-            "n1": pa.array([n1], pa.int64()),
-            "n2": pa.array([n2], pa.int64()),
-            "m": pa.array([m], pa.int64()),
-            "chapman": pa.array([chapman], pa.int64()),
-            "err_micro": pa.array([err], pa.int64()),
-        }
-    )
-
-
-SQL_Q242 = f"""
-WITH d AS (
-  SELECT coalesce(md5(text), '__null_text__') AS k,
-         CAST(('0x' || substring(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))
-              AS UBIGINT) / 4294967296.0 AS u1,
-         CAST(('0x' || substring(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 8))
-              AS UBIGINT) / 4294967296.0 AS u2
-  FROM documents),
-c AS (
-  SELECT k,
-         max(CASE WHEN u1 < {Q242_RATE} THEN 1 ELSE 0 END) AS in1,
-         max(CASE WHEN u2 < {Q242_RATE} THEN 1 ELSE 0 END) AS in2
-  FROM d GROUP BY k),
-t AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_contents,
-         CAST(sum(in1) AS BIGINT) AS n1,
-         CAST(sum(in2) AS BIGINT) AS n2,
-         CAST(sum(in1 * in2) AS BIGINT) AS m
-  FROM c)
-SELECT n_contents, n1, n2, m,
-       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman,
-       CAST(round(1e6 * ((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_contents)
-                  / n_contents, 0) AS BIGINT) AS err_micro
-FROM t WHERE n_contents > 0
-"""
-
-
-#: debounce window: a repeat of the same (user, event_type) within this
-#: many microseconds of the PREVIOUS RAW event is an instrumentation
-#: echo, not a new action (gap-based rule = the SQL lag() rule, so the
-#: oracle replays it; the alternative "vs previous KEPT" rule is a
-#: sequential scan SQL cannot express)
-Q243_DEBOUNCE_US = 3_600_000_000
-
-
-def q243_event_debounce(sf_dir: str):
-    """Event-stream debounce dedup — drop instrumentation echoes (same
-    user + event type re-fired within the debounce window of the
-    previous raw event) and STREAM the kept events, the standard
-    telemetry-cleaning stage in front of every funnel/session/attribution
-    op. Plan: ONE user-keyed exchange colocates each user's history;
-    each block lexsorts once and computes run-aware timestamp diffs
-    vectorized (no Python per row); the kept stream never touches the
-    driver."""
-    import numpy as np
-
-    ev = read_table(
-        sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]
-    )
-    gap_us = Q243_DEBOUNCE_US
-
-    def _debounce_block(t: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(
-            t,
-            sort_keys=[
-                ("user_id", "ascending"),
-                ("event_type", "ascending"),
-                ("ts", "ascending"),
-                ("event_id", "ascending"),
-            ],
-        )
-        t = t.take(idx)
-        users = t.column("user_id").to_numpy(zero_copy_only=False)
-        types = np.asarray(t.column("event_type").to_pylist())
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        keep = np.ones(len(users), np.bool_)
-        if len(users) > 1:
-            same_run = (users[1:] == users[:-1]) & (types[1:] == types[:-1])
-            keep[1:] = ~same_run | (ts[1:] - ts[:-1] > gap_us)
-        return pa.table(
-            {
-                "event_id": t.column("event_id").filter(pa.array(keep)),
-                "event_type": t.column("event_type").filter(pa.array(keep)),
-            }
-        )
-
-    return ev.repartition(hash_partitions(8), keys=["user_id"]).map_batches(
-        _debounce_block, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q243 = f"""
-WITH g AS (
-  SELECT event_id, event_type,
-         epoch_us(ts) - lag(epoch_us(ts)) OVER (
-             PARTITION BY user_id, event_type
-             ORDER BY ts, event_id) AS gap
-  FROM events)
-SELECT event_id, event_type FROM g
-WHERE gap IS NULL OR gap > {Q243_DEBOUNCE_US}
-"""
-
-
-def q244_benford_audit(sf_dir: str):
-    """Benford first-significant-digit audit over line-item amounts —
-    the classic synthetic-/fabricated-numbers detector a data-quality
-    gate runs over any money-like column (Benford, "The Law of
-    Anomalous Numbers", 1938). Plan: amounts are exact cents, the
-    leading digit falls out of a vectorized integer divide-down (no
-    strings, no logs on the data path), each block ships a 9-bin count
-    partial, and the 9-row report closes with per-digit micro-rounded
-    observed vs log10(1+1/d) expected shares."""
-    import math
-
-    import numpy as np
-
-    li = read_table(sf_dir, "lineitem", ["l_extendedprice"])
-
-    def _digit_partials(t: pa.Table) -> pa.Table:
-        x = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)  # exact cents
-        d = cents.copy()
-        while (d >= 10).any():
-            big = d >= 10
-            d[big] //= 10
-        counts = np.bincount(d, minlength=10)[1:10]
-        return pa.table(
-            {
-                "digit": pa.array(np.arange(1, 10), pa.int64()),
-                "n_obs": pa.array(counts.astype(np.int64)),
-            }
-        )
-
-    hist = (
-        li.map_batches(_digit_partials, batch_format="pyarrow")
-        .groupby("digit", num_partitions=2)
-        .aggregate(Sum("n_obs", alias_name="n_obs"))
-        .take_all()
-    )
-    obs = {int(r["digit"]): int(r["n_obs"]) for r in hist}
-    n = sum(obs.values())
-    digits = [d for d in range(1, 10) if obs.get(d, 0) > 0]
-    if n == 0:
-        return pa.table(
-            {
-                "digit": pa.array([], pa.int64()),
-                "n_obs": pa.array([], pa.int64()),
-                "obs_micro": pa.array([], pa.int64()),
-                "benford_micro": pa.array([], pa.int64()),
-            }
-        )
-    return pa.table(
-        {
-            "digit": pa.array(digits, pa.int64()),
-            "n_obs": pa.array([obs[d] for d in digits], pa.int64()),
-            "obs_micro": pa.array(
-                [
-                    int(round_like_duckdb(1e6 * obs[d] / n, 0))
-                    for d in digits
-                ],
-                pa.int64(),
-            ),
-            "benford_micro": pa.array(
-                [
-                    int(round_like_duckdb(1e6 * math.log10(1 + 1.0 / d), 0))
-                    for d in digits
-                ],
-                pa.int64(),
-            ),
-        }
-    )
-
-
-SQL_Q244 = """
-WITH d AS (
-  SELECT CAST(substring(CAST(CAST(round(l_extendedprice * 100.0, 0)
-                                  AS BIGINT) AS VARCHAR), 1, 1)
-              AS BIGINT) AS digit
-  FROM lineitem),
-h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
-t AS (SELECT sum(n_obs) AS n FROM h)
-SELECT digit, n_obs,
-       CAST(round(1e6 * n_obs / t.n, 0) AS BIGINT) AS obs_micro,
-       CAST(round(1e6 * log10(1 + 1.0 / digit), 0) AS BIGINT)
-           AS benford_micro
-FROM h, t ORDER BY digit
-"""
-
-
-def q245_spearman_length_tokens(sf_dir: str):
-    """Per-language Spearman rank correlation between document length
-    and whitespace token count — the monotone-association audit (robust
-    to outliers and nonlinearity, unlike q154's Pearson) a corpus
-    profiler reports per metric pair. Exact average-tie ranks, doubled
-    to stay integer (2*cnt_less + cnt_eq + 1 — scale-invariant for
-    rho). Plan: two (lang, value) count aggregations build rank maps
-    bounded by langs x distinct values (vocabulary-sized, broadcast via
-    closure); one streamed doc pass maps values to integer ranks with
-    searchsorted and ships q154-style exact int64 moment partials; the
-    langs-bounded close pays one mirrored IEEE division per lang."""
-    import math
-
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["lang", "n_chars", "text"])
-
-    def _metrics(t: pa.Table) -> pa.Table:
-        mask = pc.is_valid(t.column("text"))
-        t = t.filter(mask)
-        return pa.table(
-            {
-                "lang": t.column("lang"),
-                "x": t.column("n_chars").cast(pa.int64()),
-                "y": pc.count_substring_regex(
-                    t.column("text"), r"\S+"
-                ).cast(pa.int64()),
-            }
-        )
-
-    metrics = docs.map_batches(_metrics, batch_format="pyarrow")
-    metrics = metrics.materialize()  # read once, feed three consumers
-
-    def _rank_map(col: str) -> dict:
-        """lang -> (sorted values, doubled avg-tie ranks): r2(v) =
-        2*cnt_less(v) + cnt_eq(v) + 1, exact odd integers."""
-        rows = (
-            metrics.groupby(["lang", col], num_partitions=2)
-            .aggregate(Count(alias_name="c"))
-            .take_all()
-        )
-        by_lang: dict = {}
-        for r in rows:
-            by_lang.setdefault(r["lang"], []).append((int(r[col]), int(r["c"])))
-        out = {}
-        for lang, vc in by_lang.items():
-            vc.sort()
-            vals = np.asarray([v for v, _ in vc], np.int64)
-            cnts = np.asarray([c for _, c in vc], np.int64)
-            less = np.concatenate(([0], np.cumsum(cnts)[:-1]))
-            out[lang] = (vals, 2 * less + cnts + 1)
-        return out
-
-    rx, ry = _rank_map("x"), _rank_map("y")
-
-    def _moment_partials(t: pa.Table) -> pa.Table:
-        langs = np.asarray(t.column("lang").to_pylist())
-        x = t.column("x").to_numpy(zero_copy_only=False)
-        y = t.column("y").to_numpy(zero_copy_only=False)
-        rows = []
-        for lang in np.unique(langs):
-            sel = langs == lang
-            vx, rvx = rx[lang]
-            vy, rvy = ry[lang]
-            a = rvx[np.searchsorted(vx, x[sel])]
-            b = rvy[np.searchsorted(vy, y[sel])]
-            rows.append(
-                (
-                    lang,
-                    len(a),
-                    int(a.sum()),
-                    int(b.sum()),
-                    int((a * b).sum()),
-                    int((a * a).sum()),
-                    int((b * b).sum()),
-                )
-            )
-        cols = list(zip(*rows)) if rows else [[]] * 7
-        names = ["lang", "n", "sa", "sb", "sab", "saa", "sbb"]
-        return pa.table(
-            {
-                names[0]: pa.array(list(cols[0]), pa.string()),
-                **{
-                    nm: pa.array(list(c), pa.int64())
-                    for nm, c in zip(names[1:], cols[1:])
-                },
-            }
-        )
-
-    parts = metrics.map_batches(
-        _moment_partials, batch_format="pyarrow"
-    ).take_all()
-    acc: dict = {}
-    for r in parts:
-        m = acc.setdefault(r["lang"], [0] * 6)
-        for i, k in enumerate(("n", "sa", "sb", "sab", "saa", "sbb")):
-            m[i] += int(r[k])
-    out_lang, out_n, out_rho = [], [], []
-    for lang in sorted(acc):
-        n, sa, sb, sab, saa, sbb = acc[lang]
-        da, db = n * saa - sa * sa, n * sbb - sb * sb
-        if da <= 0 or db <= 0:
-            continue
-        rho = float(n * sab - sa * sb) / (
-            math.sqrt(float(da)) * math.sqrt(float(db))
-        )
-        out_lang.append(lang)
-        out_n.append(n)
-        out_rho.append(round_like_duckdb(rho, 6))
-    return pa.table(
-        {
-            "lang": pa.array(out_lang, pa.string()),
-            "n": pa.array(out_n, pa.int64()),
-            "spearman": pa.array(out_rho, pa.float64()),
-        }
-    )
-
-
-SQL_Q245 = """
-WITH d AS (
-  SELECT lang, n_chars AS x,
-         CAST(array_length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS y
-  FROM documents WHERE text IS NOT NULL),
-rx AS (SELECT lang, x AS v, CAST(count(*) AS BIGINT) AS c
-       FROM d GROUP BY 1, 2),
-rxm AS (SELECT lang, v,
-               2 * (sum(c) OVER (PARTITION BY lang ORDER BY v) - c)
-                 + c + 1 AS r2
-        FROM rx),
-ry AS (SELECT lang, y AS v, CAST(count(*) AS BIGINT) AS c
-       FROM d GROUP BY 1, 2),
-rym AS (SELECT lang, v,
-               2 * (sum(c) OVER (PARTITION BY lang ORDER BY v) - c)
-                 + c + 1 AS r2
-        FROM ry),
-r AS (SELECT d.lang, rxm.r2 AS a, rym.r2 AS b
-      FROM d
-      JOIN rxm ON d.lang = rxm.lang AND d.x = rxm.v
-      JOIN rym ON d.lang = rym.lang AND d.y = rym.v),
-m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
-             sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
-             sum(a * a) AS saa, sum(b * b) AS sbb
-      FROM r GROUP BY 1)
-SELECT lang, n,
-       round(CAST(n * sab - sa * sb AS DOUBLE)
-             / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
-                * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6) AS spearman
-FROM m
-WHERE n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
-ORDER BY lang
-"""
-
-
-def q246_ewma_backtest(sf_dir: str):
-    """EWMA one-step-ahead forecast backtest per event type (half-life
-    smoothing, alpha = 1/2) over the gap-filled daily series — the
-    volume-forecast quality report a monitoring pipeline publishes
-    before trusting its alerts. State is INTEGER micro-counts with
-    floor-halving (s_d = (s_{d-1} + 1e6*c_d) // 2), so the recursion
-    accumulates zero float error and the SQL recursive CTE replays it
-    bit-exactly. Plan: ONE (type, day)-bounded count aggregation (q155
-    dense-spine discipline); the sequential fold — inherent to the
-    recursion — runs on the days x types driver table, never on docs."""
-    import numpy as np
-
-    DAY = 86_400_000_000
-    ev = read_table(sf_dir, "events", ["ts", "event_type"])
-
-    def _day_partials(t: pa.Table) -> pa.Table:
-        ts = t.column("ts").cast(pa.int64())
-        day = pc.divide(ts, pa.scalar(DAY, pa.int64()))
-        tt = pa.table({"event_type": t.column("event_type"), "day": day})
-        g = tt.group_by(["event_type", "day"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "day", "c"])
-
-    hist = (
-        ev.map_batches(_day_partials, batch_format="pyarrow")
-        .groupby(["event_type", "day"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    if not hist:
-        return pa.table(
-            {
-                "event_type": pa.array([], pa.string()),
-                "n_forecasts": pa.array([], pa.int64()),
-                "mae_micro": pa.array([], pa.int64()),
-            }
-        )
-    d0 = min(int(r["day"]) for r in hist)
-    nd = max(int(r["day"]) for r in hist) - d0
-    dense: dict = {}
-    for r in hist:
-        dense.setdefault(r["event_type"], np.zeros(nd + 1, np.int64))[
-            int(r["day"]) - d0
-        ] = int(r["c"])
-    out_type, out_n, out_mae = [], [], []
-    for typ in sorted(dense):
-        c = dense[typ]
-        s = int(c[0]) * 1_000_000
-        total_err, n_fc = 0, 0
-        for d in range(1, nd + 1):
-            actual = int(c[d]) * 1_000_000
-            total_err += abs(actual - s)
-            n_fc += 1
-            s = (s + actual) // 2
-        if n_fc == 0:
-            continue
-        out_type.append(typ)
-        out_n.append(n_fc)
-        out_mae.append(int(round_like_duckdb(total_err * 1.0 / n_fc, 0)))
-    return pa.table(
-        {
-            "event_type": pa.array(out_type, pa.string()),
-            "n_forecasts": pa.array(out_n, pa.int64()),
-            "mae_micro": pa.array(out_mae, pa.int64()),
-        }
-    )
-
-
-SQL_Q246 = """
-WITH RECURSIVE bounds AS (
-  SELECT date_trunc('day', min(ts)) AS d0,
-         date_diff('day', date_trunc('day', min(ts)),
-                   date_trunc('day', max(ts))) AS nd
-  FROM events),
-types AS (SELECT DISTINCT event_type FROM events),
--- generate_series cannot take a lateral column parameter: over-generate
--- a fixed 100k-day series (274 years) and filter to the corpus span
-spine AS (SELECT t.event_type, gs.i
-          FROM types t, bounds, generate_series(0, 100000) gs(i)
-          WHERE gs.i <= bounds.nd),
-counts AS (SELECT event_type,
-                  date_diff('day', bounds.d0, date_trunc('day', ts)) AS i,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM events, bounds GROUP BY 1, 2),
-dense AS (SELECT s.event_type, s.i, coalesce(c.c, 0) AS c
-          FROM spine s LEFT JOIN counts c
-            ON s.event_type = c.event_type AND s.i = c.i),
-rec AS (
-  SELECT event_type, i, c, c * 1000000 AS s FROM dense WHERE i = 0
-  UNION ALL
-  SELECT d.event_type, d.i, d.c, (r.s + d.c * 1000000) // 2
-  FROM rec r JOIN dense d
-    ON d.event_type = r.event_type AND d.i = r.i + 1),
-err AS (SELECT r.event_type, abs(d.c * 1000000 - r.s) AS e
-        FROM rec r JOIN dense d
-          ON d.event_type = r.event_type AND d.i = r.i + 1)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n_forecasts,
-       CAST(round(sum(e) * 1.0 / count(*), 0) AS BIGINT) AS mae_micro
-FROM err GROUP BY 1 ORDER BY 1
-"""
-
-
-def q247_int8_quant_distortion(sf_dir: str):
-    """Int8 scalar-quantization distortion audit — how much cosine
-    fidelity survives compressing the embedding column 4x to uint8
-    codes (the standard serving-index compression; q107 PQ's simpler
-    sibling, and the audit beside it in the q184/q203/q210 estimator-
-    quality family). Plan: pass 1 ships per-dim (min, max) block
-    partials (d-bounded); pass 2 broadcasts the 2xd quantizer via
-    closure, scores every vector with the shared int8_cos_micro kernel
-    (vectorized, micro-rounded per vector so label sums are exact
-    int64), and ships labels-bounded (n, sum, min) partials."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.ann import _emb_matrix, int8_cos_micro
-
-    emb = read_table(sf_dir, "embeddings", ["embedding", "label"])
-    emb = emb.materialize()  # two passes over the same read
-
-    def _minmax(t: pa.Table) -> pa.Table:
-        m = _emb_matrix(t)
-        return pa.table(
-            {
-                "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
-                "mn": pa.array(m.min(axis=0), pa.float64()),
-                "mx": pa.array(m.max(axis=0), pa.float64()),
-            }
-        )
-
-    mm = emb.map_batches(_minmax, batch_format="pyarrow").take_all()
-    d = max(int(r["dim"]) for r in mm) + 1
-    mins = np.full(d, np.inf)
-    maxs = np.full(d, -np.inf)
-    for r in mm:
-        i = int(r["dim"])
-        mins[i] = min(mins[i], float(r["mn"]))
-        maxs[i] = max(maxs[i], float(r["mx"]))
-
-    def _score(t: pa.Table) -> pa.Table:
-        m = _emb_matrix(t)
-        cos = int8_cos_micro(m, mins, maxs)
-        labels = t.column("label").cast(pa.int64())
-        part = pa.table({"label": labels, "cos": pa.array(cos, pa.int64())})
-        g = part.group_by("label").aggregate(
-            [("cos", "count"), ("cos", "sum"), ("cos", "min")]
-        )
-        return g.rename_columns(["label", "n_vecs", "sum_cos", "min_cos"])
-
-    rows = (
-        emb.map_batches(_score, batch_format="pyarrow")
-        .groupby("label", num_partitions=2)
-        .aggregate(
-            Sum("n_vecs", alias_name="n_vecs"),
-            Sum("sum_cos", alias_name="sum_cos"),
-            Min("min_cos", alias_name="min_cos"),
-        )
-        .take_all()
-    )
-    rows.sort(key=lambda r: int(r["label"]))
-    return pa.table(
-        {
-            "label": pa.array([int(r["label"]) for r in rows], pa.int64()),
-            "n_vecs": pa.array([int(r["n_vecs"]) for r in rows], pa.int64()),
-            "mean_cos_micro": pa.array(
-                [
-                    int(
-                        round_like_duckdb(
-                            int(r["sum_cos"]) * 1.0 / int(r["n_vecs"]), 0
-                        )
-                    )
-                    for r in rows
-                ],
-                pa.int64(),
-            ),
-            "worst_cos_micro": pa.array(
-                [int(r["min_cos"]) for r in rows], pa.int64()
-            ),
-        }
-    )
-
-
-def q248_cdc_dedup(sf_dir: str):
-    """Content-defined-chunking dedup ratio — the STORAGE-level
-    dedup report (how many bytes a chunk store would actually hold)
-    that complements the document-level q07/q19 family: shift-resistant
-    chunk boundaries find shared byte runs even when whole docs differ.
-    Plan: one doc pass runs the shared cdc_chunks kernel and emits the
-    (key, size) chunk stream; ONE chunk-key exchange colocates each
-    fingerprint so block-local distinct + min-size IS global; the
-    pre-dedup totals fold in the SAME post-shuffle pass (repartition
-    preserves rows), so nothing is read twice and only O(1) partials
-    per block return."""
-    from barks_ocr_ray.functions.storage import cdc_chunks
-
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["text"])
-
-    def _chunks(t: pa.Table) -> pa.Table:
-        keys: list[int] = []
-        sizes: list[int] = []
-        for s in t.column("text"):
-            v = s.as_py()
-            if v is None:
-                continue
-            k, z = cdc_chunks(v.encode("utf-8"))
-            keys.extend(k)
-            sizes.extend(z)
-        return pa.table(
-            {
-                "key": pa.array(
-                    np.asarray(keys, np.uint64).astype(np.int64)
-                ),
-                "size": pa.array(sizes, pa.int64()),
-            }
-        )
-
-    def _partials(t: pa.Table) -> pa.Table:
-        g = t.group_by("key").aggregate([("size", "min")])
-        sz = t.column("size")
-        szu = g.column("size_min")
-        return pa.table(
-            {
-                "n_chunks": pa.array([t.num_rows], pa.int64()),
-                "total_bytes": pa.array(
-                    [int(pc.sum(sz).as_py() or 0)], pa.int64()
-                ),
-                "n_unique_chunks": pa.array([g.num_rows], pa.int64()),
-                "unique_bytes": pa.array(
-                    [int(pc.sum(szu).as_py() or 0)], pa.int64()
-                ),
-            }
-        )
-
-    parts = (
-        docs.map_batches(_chunks, batch_format="pyarrow")
-        .repartition(hash_partitions(8), keys=["key"])
-        .map_batches(_partials, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
-    total = sum(int(r["total_bytes"]) for r in parts)
-    n_chunks = sum(int(r["n_chunks"]) for r in parts)
-    n_uniq = sum(int(r["n_unique_chunks"]) for r in parts)
-    ub = sum(int(r["unique_bytes"]) for r in parts)
-    ratio = int(round_like_duckdb(1e6 * ub / total, 0)) if total > 0 else 0
-    return pa.table(
-        {
-            "total_bytes": pa.array([total], pa.int64()),
-            "n_chunks": pa.array([n_chunks], pa.int64()),
-            "n_unique_chunks": pa.array([n_uniq], pa.int64()),
-            "unique_bytes": pa.array([ub], pa.int64()),
-            "ratio_micro": pa.array([ratio], pa.int64()),
-        }
-    )
-
-
-def q249_pca_top_component(sf_dir: str):
-    """Distributed PCA top principal component of the embedding corpus
-    — the spectrum-level geometry audit beside q208's isotropy scalar
-    (which direction dominates, and by how much). Exactness discipline:
-    vectors quantize to int64 fixed point (shared kernel), each block
-    ships its EXACT integer scatter (n, column sums, X^T X as (i, j)
-    triplets), one d²-bounded keyed aggregation merges them, and the
-    power iteration runs once driver-side on the d x d matrix — so the
-    distributed run and the sequential golden agree bit-for-bit no
-    matter the partitioning."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.ann import (
-        _emb_matrix,
-        pca_top_component,
-        quantize_micro_matrix,
-    )
-
-    emb = read_table(sf_dir, "embeddings", ["embedding"])
-
-    def _scatter(t: pa.Table) -> pa.Table:
-        x = quantize_micro_matrix(_emb_matrix(t))
-        d = x.shape[1]
-        c = x.T @ x
-        s = x.sum(axis=0)
-        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
-        i = np.concatenate([ii.ravel(), np.arange(d), [-1]])
-        j = np.concatenate([jj.ravel(), np.full(d, -1), [-1]])
-        v = np.concatenate([c.ravel(), s, [x.shape[0]]])
-        return pa.table(
-            {
-                "i": pa.array(i, pa.int64()),
-                "j": pa.array(j, pa.int64()),
-                "v": pa.array(v, pa.int64()),
-            }
-        )
-
-    rows = (
-        emb.map_batches(_scatter, batch_format="pyarrow")
-        .groupby(["i", "j"], num_partitions=2)
-        .aggregate(Sum("v", alias_name="v"))
-        .take_all()
-    )
-    d = max(int(r["i"]) for r in rows) + 1
-    n = 0
-    s = np.zeros(d, np.int64)
-    c = np.zeros((d, d), np.int64)
-    for r in rows:
-        i, j, v = int(r["i"]), int(r["j"]), int(r["v"])
-        if i == -1:
-            n = v
-        elif j == -1:
-            s[i] = v
-        else:
-            c[i, j] = v
-    vec, share = pca_top_component(n, s, c)
-    share_micro = int(round_like_duckdb(1e6 * share, 0))
-    load = round_like_duckdb(1e6 * vec, 0).astype(np.int64)
-    return pa.table(
-        {
-            "dim": pa.array(np.arange(d, dtype=np.int64)),
-            "loading_micro": pa.array(load, pa.int64()),
-            "eig_share_micro": pa.array([share_micro] * d, pa.int64()),
-        }
-    )
-
-
-def q250_new_returning_users(sf_dir: str):
-    """Daily new vs returning active users — the growth-accounting
-    report every event pipeline publishes (DAU split by first-ever-day).
-    Plan: ONE user-keyed exchange colocates each user's history, so
-    per-block distinct (user, day) pairs AND first-day flags are
-    global facts; what shuffles onward is days-bounded (day, active,
-    new) partials, and the derived returning column is a vectorized
-    subtract on the bounded result."""
-    import numpy as np
-
-    DAY = 86_400_000_000
-    ev = read_table(sf_dir, "events", ["user_id", "ts"])
-
-    def _block(t: pa.Table) -> pa.Table:
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        day = (
-            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // DAY
-        )
-        order = np.lexsort((day, us))
-        us, day = us[order], day[order]
-        keep = np.ones(len(us), np.bool_)  # distinct (user, day)
-        keep[1:] = (us[1:] != us[:-1]) | (day[1:] != day[:-1])
-        us, day = us[keep], day[keep]
-        first = np.ones(len(us), np.bool_)
-        first[1:] = us[1:] != us[:-1]
-        g = (
-            pa.table(
-                {
-                    "day": pa.array(day, pa.int64()),
-                    "new": pa.array(first.astype(np.int64)),
-                }
-            )
-            .group_by("day")
-            .aggregate([("new", "count"), ("new", "sum")])
-        )
-        return g.rename_columns(["day", "n_active", "n_new"])
-
-    def _finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "day": pc.multiply(
-                    t.column("day"), pa.scalar(DAY, pa.int64())
-                ).cast(pa.timestamp("us")),
-                "n_active": t.column("n_active"),
-                "n_new": t.column("n_new"),
-                "n_returning": pc.subtract(
-                    t.column("n_active"), t.column("n_new")
-                ),
-            }
-        )
-
-    return (
-        ev.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_block, batch_format="pyarrow", batch_size=None)
-        .groupby("day", num_partitions=2)
-        .aggregate(
-            Sum("n_active", alias_name="n_active"),
-            Sum("n_new", alias_name="n_new"),
-        )
-        .map_batches(_finish, batch_format="pyarrow")
-    )
-
-
-SQL_Q250 = """
-WITH ud AS (
-  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
-f AS (SELECT user_id, min(day) AS fday FROM ud GROUP BY 1)
-SELECT ud.day AS day, CAST(count(*) AS BIGINT) AS n_active,
-       CAST(sum(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_new,
-       CAST(count(*)
-            - sum(CASE WHEN ud.day = f.fday THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_returning
-FROM ud JOIN f ON ud.user_id = f.user_id
-GROUP BY 1 ORDER BY 1
-"""
-
-
-def q251_transition_entropy(sf_dir: str):
-    """Conditional next-event entropy per preceding event type — the
-    sequence-predictability audit beside q213's top-1 backtest (a
-    high-entropy row means no model will predict that successor well;
-    Shannon, nats). Plan: the q144 transition kernel (ONE user-keyed
-    exchange, per-block lexsort + boundary-masked adjacent pairs) ships
-    |types|^2-bounded count partials; the entropy closes on the driver
-    table with per-cell micro rounding BEFORE the integer sum, so float
-    accumulation order cannot leak in."""
-    import math
-
-    import numpy as np
-
-    ev = read_table(
-        sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
-    )
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        st = t.column("event_type").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, us))
-        us, st = us[order], st[order]
-        same = us[1:] == us[:-1]
-        a, b = st[:-1][same], st[1:][same]
-        g = (
-            pa.table(
-                {
-                    "prev": pa.array(a.tolist(), pa.string()),
-                    "next": pa.array(b.tolist(), pa.string()),
-                }
-            )
-            .group_by(["prev", "next"])
-            .aggregate([("prev", "count")])
-        )
-        return g.rename_columns(["prev", "next", "c"])
-
-    cells = (
-        ev.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["prev", "next"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    by_prev: dict = {}
-    for r in cells:
-        by_prev.setdefault(r["prev"], []).append(int(r["c"]))
-    out_p, out_n, out_h = [], [], []
-    for prev in sorted(by_prev):
-        cs = by_prev[prev]
-        cp = sum(cs)
-        h = sum(
-            int(round_like_duckdb(1e6 * c / cp * math.log(cp * 1.0 / c), 0))
-            for c in cs
-        )
-        out_p.append(prev)
-        out_n.append(cp)
-        out_h.append(h)
-    return pa.table(
-        {
-            "prev": pa.array(out_p, pa.string()),
-            "n_transitions": pa.array(out_n, pa.int64()),
-            "h_micro": pa.array(out_h, pa.int64()),
-        }
-    )
-
-
-SQL_Q251 = """
-WITH o AS (
-  SELECT event_type AS prev,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS next
-  FROM events),
-c AS (SELECT prev, next, CAST(count(*) AS BIGINT) AS c
-      FROM o WHERE next IS NOT NULL GROUP BY 1, 2),
-p AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp FROM c GROUP BY 1)
-SELECT c.prev, p.cp AS n_transitions,
-       CAST(sum(CAST(round(1e6 * c.c / p.cp * ln(p.cp * 1.0 / c.c), 0)
-                     AS BIGINT)) AS BIGINT) AS h_micro
-FROM c JOIN p ON c.prev = p.prev
-GROUP BY 1, 2 ORDER BY 1
-"""
-
-
-def q252_hill_tail_index(sf_dir: str):
-    """Hill tail-index estimate of the doc-length distribution — the
-    power-law heaviness gauge beside q174's Zipf slope (alpha near 1-2
-    means giant docs dominate byte mass and packing/shard planning must
-    assume a heavy tail). Tail = everything strictly above the
-    k-th-largest value (k = max(n//20, 10), ties collapse into xmin).
-    Plan: one (value, count) histogram aggregation (q241 bounds); the
-    order-statistic walk and the per-VALUE micro-rounded log terms
-    (integer-weighted, so the sum is exact) close on the driver
-    histogram."""
-    import math
-
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["n_chars"])
-
-    def _hist(t: pa.Table) -> pa.Table:
-        g = t.group_by("n_chars").aggregate([([], "count_all")])
-        return g.rename_columns(["v", "c"])
-
-    hist = (
-        docs.map_batches(_hist, batch_format="pyarrow")
-        .groupby("v", num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "n": pa.array([], pa.int64()),
-            "k": pa.array([], pa.int64()),
-            "xmin": pa.array([], pa.int64()),
-            "alpha_micro": pa.array([], pa.int64()),
-        }
-    )
-    if not hist:
-        return empty
-    vals = np.asarray([int(r["v"]) for r in hist], np.int64)
-    cnts = np.asarray([int(r["c"]) for r in hist], np.int64)
-    order = np.argsort(-vals, kind="stable")
-    vals, cnts = vals[order], cnts[order]
-    n = int(cnts.sum())
-    k_target = max(n // 20, 10)
-    cum = np.cumsum(cnts)
-    pos = int(np.searchsorted(cum, k_target))
-    if pos >= len(vals):
-        return empty
-    xmin = int(vals[pos])
-    k = int(cum[pos - 1]) if pos > 0 else 0
-    if k == 0 or xmin <= 0:
-        return empty
-    sum_ln = int(
-        sum(
-            int(c) * int(round_like_duckdb(1e6 * math.log(v * 1.0 / xmin), 0))
-            for v, c in zip(vals[:pos], cnts[:pos])
-        )
-    )
-    if sum_ln <= 0:
-        return empty
-    alpha = int(round_like_duckdb(1e12 * k / sum_ln, 0))
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "k": pa.array([k], pa.int64()),
-            "xmin": pa.array([xmin], pa.int64()),
-            "alpha_micro": pa.array([alpha], pa.int64()),
-        }
-    )
-
-
-SQL_Q252 = """
-WITH h AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
-           FROM documents GROUP BY 1),
-t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
-kt AS (SELECT greatest(n // 20, 10) AS k_target, n FROM t),
-r AS (SELECT v, c, CAST(sum(c) OVER (ORDER BY v DESC) AS BIGINT) AS cum
-      FROM h),
-x AS (SELECT max(r.v) AS xmin FROM r, kt WHERE r.cum >= kt.k_target),
-tail AS (SELECT r.v, r.c, x.xmin FROM r, x WHERE r.v > x.xmin),
-s AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS k,
-             CAST(coalesce(sum(c * CAST(round(1e6 * ln(v * 1.0 / xmin), 0)
-                                        AS BIGINT)), 0) AS BIGINT) AS sum_ln
-      FROM tail)
-SELECT kt.n AS n, s.k AS k, x.xmin AS xmin,
-       CAST(round(1e12 * s.k / s.sum_ln, 0) AS BIGINT) AS alpha_micro
-FROM s, x, kt WHERE s.k > 0 AND x.xmin > 0 AND s.sum_ln > 0
-"""
-
-
-#: A/B assignment salt (md5 unit fraction on user_id)
-Q253_SALT = 3
-
-
-def q253_ab_ztest(sf_dir: str):
-    """Hash-randomized A/B exposure + pooled two-proportion z-test on a
-    user-level conversion label (net-positive user: strictly more
-    purchase than error events) — the experimentation primitive
-    (deterministic md5 arm assignment = the q113 split convention, so
-    the oracle replays every exposure). Plan: ONE user-keyed exchange,
-    per-block per-user count folds + vectorized arm hashing, O(1)
-    four-count partials per block; the z statistic is one mirrored IEEE
-    expression over the four exact integers."""
-    import math
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.hashing import unit_fractions
-
-    ev = read_table(sf_dir, "events", ["user_id", "event_type"])
-    salt = Q253_SALT
-
-    def _block(t: pa.Table) -> pa.Table:
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        pur = (
-            pc.equal(t.column("event_type"), pa.scalar("purchase"))
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        err = (
-            pc.equal(t.column("event_type"), pa.scalar("error"))
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        order = np.argsort(us, kind="stable")
-        us, pur, err = us[order], pur[order], err[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], us[1:] != us[:-1]))
-        )
-        uids = us[starts]
-        cp = np.diff(np.concatenate(([0], np.cumsum(pur)))[
-            np.append(starts, len(us))
-        ])
-        ce = np.diff(np.concatenate(([0], np.cumsum(err)))[
-            np.append(starts, len(us))
-        ])
-        has_conv = (cp > ce).astype(np.int64)
-        in_a = unit_fractions(uids.tolist(), method="md5", salt=salt) < 0.5
-        return pa.table(
-            {
-                "n_a": pa.array([int(in_a.sum())], pa.int64()),
-                "x_a": pa.array([int(has_conv[in_a].sum())], pa.int64()),
-                "n_b": pa.array([int((~in_a).sum())], pa.int64()),
-                "x_b": pa.array([int(has_conv[~in_a].sum())], pa.int64()),
-            }
-        )
-
-    parts = (
-        ev.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_block, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
-    n_a = sum(int(r["n_a"]) for r in parts)
-    x_a = sum(int(r["x_a"]) for r in parts)
-    n_b = sum(int(r["n_b"]) for r in parts)
-    x_b = sum(int(r["x_b"]) for r in parts)
-    empty = pa.table(
-        {
-            "n_a": pa.array([], pa.int64()),
-            "x_a": pa.array([], pa.int64()),
-            "n_b": pa.array([], pa.int64()),
-            "x_b": pa.array([], pa.int64()),
-            "lift_micro": pa.array([], pa.int64()),
-            "z_micro": pa.array([], pa.int64()),
-        }
-    )
-    if n_a == 0 or n_b == 0 or x_a + x_b == 0 or x_a + x_b == n_a + n_b:
-        return empty
-    lift = x_a * 1.0 / n_a - x_b * 1.0 / n_b
-    p = (x_a + x_b) * 1.0 / (n_a + n_b)
-    se = math.sqrt(p * (1 - p) * (1.0 / n_a + 1.0 / n_b))
-    return pa.table(
-        {
-            "n_a": pa.array([n_a], pa.int64()),
-            "x_a": pa.array([x_a], pa.int64()),
-            "n_b": pa.array([n_b], pa.int64()),
-            "x_b": pa.array([x_b], pa.int64()),
-            "lift_micro": pa.array(
-                [int(round_like_duckdb(1e6 * lift, 0))], pa.int64()
-            ),
-            "z_micro": pa.array(
-                [int(round_like_duckdb(1e6 * lift / se, 0))], pa.int64()
-            ),
-        }
-    )
-
-
-SQL_Q253 = f"""
-WITH u AS (
-  SELECT user_id,
-         CASE WHEN CAST(('0x' || substring(
-                  md5('{Q253_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))
-                  AS UBIGINT) / 4294967296.0 < 0.5
-              THEN 'A' ELSE 'B' END AS arm,
-         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                 > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-              THEN 1 ELSE 0 END AS conv
-  FROM events GROUP BY 1, 2),
-t AS (SELECT
-  CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-  CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
-  CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-  CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
-  FROM u)
-SELECT n_a, x_a, n_b, x_b,
-  CAST(round(1e6 * (x_a * 1.0 / n_a - x_b * 1.0 / n_b), 0) AS BIGINT)
-      AS lift_micro,
-  CAST(round(1e6 * (x_a * 1.0 / n_a - x_b * 1.0 / n_b)
-             / sqrt((x_a + x_b) * 1.0 / (n_a + n_b)
-                    * (1 - (x_a + x_b) * 1.0 / (n_a + n_b))
-                    * (1.0 / n_a + 1.0 / n_b)), 0) AS BIGINT) AS z_micro
-FROM t
-WHERE n_a > 0 AND n_b > 0 AND x_a + x_b > 0 AND x_a + x_b < n_a + n_b
-"""
-
-
-#: weighted-reservoir sample size
-Q254_K = 50
-
-
-def q254_weighted_reservoir(sf_dir: str):
-    """Weighted reservoir sampling without replacement (Efraimidis &
-    Spirakis 2006: keep the k largest u^(1/w) keys) — the one-pass
-    distributed primitive for "sample docs proportional to length/
-    quality" that q69's with-replacement sampler cannot provide.
-    Deterministic md5 uniforms make the oracle replay every key; keys
-    are ROUNDED to 9 decimals before ranking (the ann.py round-before-
-    rank discipline) with doc_id tie-break, so a libm-pow last-ulp
-    difference can never flip a rank. Plan: each block keeps its local
-    top-k (vectorized argpartition), the driver merges blocks x k
-    candidates — no global sort, no corpus-scale exchange."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.hashing import unit_fractions
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "n_chars"])
-    k = Q254_K
-
-    def _local_topk(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        w = t.column("n_chars").to_numpy(zero_copy_only=False)
-        pos = w > 0
-        ids, w = ids[pos], w[pos]
-        if len(ids) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "skey": pa.array([], pa.float64()),
-                }
-            )
-        u = unit_fractions(ids.tolist(), method="md5")
-        key = round_like_duckdb(u ** (1.0 / w), 9)
-        if len(ids) > k:
-            cut = np.argpartition(-key, k - 1)[:k]
-            ids, key = ids[cut], key[cut]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "skey": pa.array(key, pa.float64()),
-            }
-        )
-
-    cand = docs.map_batches(
-        _local_topk, batch_format="pyarrow"
-    ).take_all()
-    if not cand:
-        return pa.table(
-            {
-                "rank": pa.array([], pa.int64()),
-                "doc_id": pa.array([], pa.int64()),
-                "skey": pa.array([], pa.float64()),
-            }
-        )
-    ids = np.asarray([r["doc_id"] for r in cand], np.int64)
-    key = np.asarray([r["skey"] for r in cand], np.float64)
-    order = np.lexsort((ids, -key))[:k]
-    return pa.table(
-        {
-            "rank": pa.array(
-                np.arange(1, len(order) + 1, dtype=np.int64)
-            ),
-            "doc_id": pa.array(ids[order], pa.int64()),
-            "skey": pa.array(key[order], pa.float64()),
-        }
-    )
-
-
-SQL_Q254 = f"""
-WITH d AS (
-  SELECT doc_id,
-         round(pow(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
-                                           1, 8)) AS UBIGINT)
-                   / 4294967296.0, 1.0 / n_chars), 9) AS skey
-  FROM documents WHERE n_chars > 0)
-SELECT CAST(row_number() OVER (ORDER BY skey DESC, doc_id) AS BIGINT)
-           AS rank,
-       doc_id, skey
-FROM d ORDER BY skey DESC, doc_id LIMIT {Q254_K}
-"""
-
-
-def q255_interarrival_dispersion(sf_dir: str):
-    """Inter-arrival dispersion audit per event type — coefficient of
-    variation and index of dispersion of the gap series (CV ~ 1 means
-    Poisson-like arrivals; >> 1 means bursts, the q188 detector's
-    distribution-level summary). Gaps are truncated to integer
-    milliseconds so the moment partials are EXACT int64 (q154
-    discipline). Plan: ONE type-keyed exchange (types-bounded by
-    construction, the q12 family's partitioning), per-block lexsort +
-    boundary-masked diffs, O(1) moment partials per block, mirrored
-    IEEE expressions on the driver's types-bounded table. Bound: the
-    int64 block partial needs sum(g_ms^2) < 2^63 per (type, block) —
-    holds while count x rms_gap_ms^2 < 9e18 (a century-long 1 Hz
-    stream); the driver merge itself is arbitrary-precision."""
-    import math
-
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["event_type", "ts", "event_id"])
-
-    def _moments(t: pa.Table) -> pa.Table:
-        st = t.column("event_type").to_numpy(zero_copy_only=False)
-        ms = (
-            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 1000
-        )
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ms, st))
-        st, ms = st[order], ms[order]
-        same = st[1:] == st[:-1]
-        g = (ms[1:] - ms[:-1])[same]
-        types = st[1:][same]
-        rows = []
-        for typ in np.unique(types):
-            sel = types == typ
-            gs = g[sel]
-            rows.append(
-                (
-                    typ,
-                    len(gs),
-                    int(gs.sum()),
-                    int((gs * gs).sum()),
-                )
-            )
-        return pa.table(
-            {
-                "event_type": pa.array([r[0] for r in rows], pa.string()),
-                "n": pa.array([r[1] for r in rows], pa.int64()),
-                "sg": pa.array([r[2] for r in rows], pa.int64()),
-                "sgg": pa.array([r[3] for r in rows], pa.int64()),
-            }
-        )
-
-    parts = (
-        ev.repartition(hash_partitions(8), keys=["event_type"])
-        .map_batches(_moments, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
-    acc: dict = {}
-    for r in parts:
-        m = acc.setdefault(r["event_type"], [0, 0, 0])
-        m[0] += int(r["n"])
-        m[1] += int(r["sg"])
-        m[2] += int(r["sgg"])
-    out_t, out_n, out_cv, out_disp = [], [], [], []
-    for typ in sorted(acc):
-        n, sg, sgg = acc[typ]
-        if n == 0 or sg <= 0:
-            continue
-        num = max(n * sgg - sg * sg, 0)  # exact Python int (no overflow)
-        out_t.append(typ)
-        out_n.append(n)
-        out_cv.append(
-            int(round_like_duckdb(1e6 * math.sqrt(num * 1.0) / sg, 0))
-        )
-        out_disp.append(
-            int(round_like_duckdb(1e6 * num * 1.0 / n / sg, 0))
-        )
-    return pa.table(
-        {
-            "event_type": pa.array(out_t, pa.string()),
-            "n_gaps": pa.array(out_n, pa.int64()),
-            "cv_micro": pa.array(out_cv, pa.int64()),
-            "dispersion_ms_micro": pa.array(out_disp, pa.int64()),
-        }
-    )
-
-
-SQL_Q255 = """
-WITH o AS (
-  SELECT event_type,
-         epoch_us(ts) // 1000
-           - lag(epoch_us(ts) // 1000) OVER (
-                 PARTITION BY event_type
-                 ORDER BY epoch_us(ts) // 1000, event_id) AS g
-  FROM events),
-m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(g) AS BIGINT) AS sg,
-             CAST(sum(g * g) AS BIGINT) AS sgg
-      FROM o WHERE g IS NOT NULL GROUP BY 1),
--- HUGEINT: n*sgg and sg*sg overflow BIGINT on long series
-v AS (SELECT event_type, n, sg,
-             greatest(CAST(n AS HUGEINT) * sgg
-                      - CAST(sg AS HUGEINT) * sg, 0) AS num
-      FROM m WHERE n > 0 AND sg > 0)
-SELECT event_type, n AS n_gaps,
-       CAST(round(1e6 * sqrt(num * 1.0) / sg, 0) AS BIGINT) AS cv_micro,
-       CAST(round(1e6 * num * 1.0 / n / sg, 0) AS BIGINT)
-           AS dispersion_ms_micro
-FROM v ORDER BY event_type
-"""
-
-
-def q256_jl_distortion(sf_dir: str):
-    """Johnson-Lindenstrauss sign-projection distortion audit — how
-    faithfully a 4x dimensionality reduction (64 -> 16, Achlioptas
-    +-1/sqrt(k) projection) preserves pairwise squared distances,
-    reported per deterministic id pair (2i, 2i+1) as the projected/
-    original ratio. The dimensionality-reduction twin of q247's code
-    compression audit. Plan: the projection matrix is a pure function
-    of (d, k) (no broadcast at all); ONE pair-keyed exchange colocates
-    each pair, blocks run the shared jl_pair_ratios kernel, and the
-    ratio stream never touches the driver."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.ann import (
-        _emb_matrix,
-        jl_pair_ratios,
-        jl_sign_matrix,
-    )
-
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def _key(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "pair_key", pc.divide(t.column("vec_id"), pa.scalar(2))
-        )
-
-    def _ratios(t: pa.Table) -> pa.Table:
-        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
-        mat = _emb_matrix(t)
-        proj = jl_sign_matrix(mat.shape[1])
-        pid, ratio = jl_pair_ratios(mat, ids.astype(np.int64), proj)
-        return pa.table(
-            {
-                "pair_id": pa.array(pid, pa.int64()),
-                "ratio_micro": pa.array(ratio, pa.int64()),
-            }
-        )
-
-    return (
-        emb.map_batches(_key, batch_format="pyarrow")
-        .repartition(hash_partitions(8), keys=["pair_key"])
-        .map_batches(_ratios, batch_format="pyarrow", batch_size=None)
-    )
-
-
-def q257_bounce_rate(sf_dir: str):
-    """Per-entry-type session bounce rate — share of sessions that end
-    after a single event, keyed by the session's FIRST event type (the
-    landing-page quality signal; q13's session rule, 30-minute gap).
-    Plan: ONE user-keyed exchange, per-block vectorized session fold
-    (gap flags -> boundary diffs, no Python per event), types-bounded
-    (entry, sessions, bounces) partials, ratio derived on the bounded
-    close."""
-    import numpy as np
-
-    GAP_US = 1_800_000_000  # q13's 30-minute rule
-    ev = read_table(
-        sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
-    )
-
-    def _sessions(t: pa.Table) -> pa.Table:
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        st = t.column("event_type").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts, us))
-        us, ts, st = us[order], ts[order], st[order]
-        start = np.ones(len(us), np.bool_)
-        if len(us) > 1:
-            start[1:] = (us[1:] != us[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
-        idx = np.flatnonzero(start)
-        sizes = np.diff(np.append(idx, len(us)))
-        entries = st[idx]
-        g = (
-            pa.table(
-                {
-                    "entry_type": pa.array(entries.tolist(), pa.string()),
-                    "bounce": pa.array(
-                        (sizes == 1).astype(np.int64), pa.int64()
-                    ),
-                }
-            )
-            .group_by("entry_type")
-            .aggregate([("bounce", "count"), ("bounce", "sum")])
-        )
-        return g.rename_columns(["entry_type", "n_sessions", "n_bounce"])
-
-    rows = (
-        ev.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_sessions, batch_format="pyarrow", batch_size=None)
-        .groupby("entry_type", num_partitions=2)
-        .aggregate(
-            Sum("n_sessions", alias_name="n_sessions"),
-            Sum("n_bounce", alias_name="n_bounce"),
-        )
-        .take_all()
-    )
-    rows.sort(key=lambda r: r["entry_type"])
-    return pa.table(
-        {
-            "entry_type": pa.array(
-                [r["entry_type"] for r in rows], pa.string()
-            ),
-            "n_sessions": pa.array(
-                [int(r["n_sessions"]) for r in rows], pa.int64()
-            ),
-            "n_bounce": pa.array(
-                [int(r["n_bounce"]) for r in rows], pa.int64()
-            ),
-            "bounce_micro": pa.array(
-                [
-                    int(
-                        round_like_duckdb(
-                            1e6 * int(r["n_bounce"]) / int(r["n_sessions"]),
-                            0,
-                        )
-                    )
-                    for r in rows
-                ],
-                pa.int64(),
-            ),
-        }
-    )
-
-
-SQL_Q257 = """
-WITH o AS (
-  SELECT user_id, ts, event_id, event_type,
-         CASE WHEN lag(ts) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) IS NULL
-                   OR ts - lag(ts) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id)
-                      > INTERVAL 30 MINUTE
-              THEN 1 ELSE 0 END AS s_start
-  FROM events),
-s AS (SELECT user_id, ts, event_id, event_type,
-             sum(s_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS UNBOUNDED PRECEDING) AS sid
-      FROM o),
-g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS sz,
-             first(event_type ORDER BY ts, event_id) AS entry
-      FROM s GROUP BY 1, 2),
-m AS (SELECT entry AS entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
-             CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_bounce
-      FROM g GROUP BY 1)
-SELECT entry_type, n_sessions, n_bounce,
-       CAST(round(1e6 * n_bounce / n_sessions, 0) AS BIGINT)
-           AS bounce_micro
-FROM m ORDER BY entry_type
-"""
-
-
-#: Neyman target sample size
-Q258_TARGET = 1000
-
-
-def q258_neyman_allocation(sf_dir: str):
-    """Neyman-optimal stratified sampling allocation + realized draw —
-    allocate a fixed sample budget across sources proportional to
-    N_h * S_h (strata with more variance earn more budget; the survey-
-    sampling optimum), then draw with md5-replayable per-stratum rates.
-    Since N_h * S_h = sqrt(N_h * sum(y^2) - sum(y)^2), the weight folds
-    from EXACT integer moments; weights are micro-rounded BEFORE the
-    integer total so the rate expression is a pure function of integers
-    (no float accumulation across strata). Plan: one moment aggregation
-    (sources-bounded), rates broadcast via closure, one counted
-    sampling pass."""
-    import math
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.hashing import unit_fractions
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "source", "n_chars"])
-    docs = docs.materialize()  # moments pass + sampling pass
-
-    def _moments(t: pa.Table) -> pa.Table:
-        y = t.column("n_chars").to_numpy(zero_copy_only=False)
-        g = (
-            pa.table(
-                {
-                    "source": t.column("source"),
-                    "y": pa.array(y, pa.int64()),
-                    "yy": pa.array(y * y, pa.int64()),
-                }
-            )
-            .group_by("source")
-            .aggregate([("y", "count"), ("y", "sum"), ("yy", "sum")])
-        )
-        return g.rename_columns(["source", "n", "sy", "syy"])
-
-    mom = (
-        docs.map_batches(_moments, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sy", alias_name="sy"),
-            Sum("syy", alias_name="syy"),
-        )
-        .take_all()
-    )
-    stats = {}
-    for r in mom:
-        n, sy, syy = int(r["n"]), int(r["sy"]), int(r["syy"])
-        num = max(n * syy - sy * sy, 0)
-        stats[r["source"]] = (
-            n,
-            int(round_like_duckdb(1e6 * math.sqrt(num * 1.0), 0)),
-        )
-    total_w = sum(w for _, w in stats.values())
-    empty = pa.table(
-        {
-            "source": pa.array([], pa.string()),
-            "n_pop": pa.array([], pa.int64()),
-            "w_micro": pa.array([], pa.int64()),
-            "rate_micro": pa.array([], pa.int64()),
-            "n_sampled": pa.array([], pa.int64()),
-        }
-    )
-    if total_w <= 0:
-        return empty
-    rates = {
-        s: min(1.0, float(Q258_TARGET * w) / float(total_w) / n)
-        for s, (n, w) in stats.items()
-    }
-
-    def _count_sampled(t: pa.Table) -> pa.Table:
-        src = np.asarray(t.column("source").to_pylist())
-        u = unit_fractions(
-            t.column("doc_id").to_pylist(), method="md5", salt=4
-        )
-        r = np.asarray([rates[s] for s in src])
-        keep = u < r
-        uniq, cnt = np.unique(src[keep], return_counts=True)
-        return pa.table(
-            {
-                "source": pa.array(uniq.tolist(), pa.string()),
-                "n_sampled": pa.array(cnt.astype(np.int64)),
-            }
-        )
-
-    sampled = (
-        docs.map_batches(_count_sampled, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(Sum("n_sampled", alias_name="n_sampled"))
-        .take_all()
-    )
-    got = {r["source"]: int(r["n_sampled"]) for r in sampled}
-    srcs = sorted(stats)
-    return pa.table(
-        {
-            "source": pa.array(srcs, pa.string()),
-            "n_pop": pa.array([stats[s][0] for s in srcs], pa.int64()),
-            "w_micro": pa.array([stats[s][1] for s in srcs], pa.int64()),
-            "rate_micro": pa.array(
-                [
-                    int(round_like_duckdb(1e6 * rates[s], 0))
-                    for s in srcs
-                ],
-                pa.int64(),
-            ),
-            "n_sampled": pa.array(
-                [got.get(s, 0) for s in srcs], pa.int64()
-            ),
-        }
-    )
-
-
-SQL_Q258 = f"""
-WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(n_chars) AS BIGINT) AS sy,
-                  CAST(sum(n_chars * n_chars) AS BIGINT) AS syy
-           FROM documents GROUP BY 1),
-w AS (SELECT source, n,
-             CAST(round(1e6 * sqrt(greatest(CAST(n AS HUGEINT) * syy
-                                            - CAST(sy AS HUGEINT) * sy,
-                                            0) * 1.0), 0) AS BIGINT)
-                 AS w_micro
-      FROM m),
-t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS total_w FROM w),
-r AS (SELECT source, n, w_micro,
-             least(1.0, {Q258_TARGET} * w_micro / t.total_w / n) AS rate
-      FROM w, t WHERE t.total_w > 0),
-s AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
-      FROM documents d JOIN r ON d.source = r.source
-      WHERE CAST(('0x' || substring(md5('4:' || CAST(d.doc_id AS VARCHAR)),
-                                    1, 8)) AS UBIGINT) / 4294967296.0
-            < r.rate
-      GROUP BY 1)
-SELECT r.source, r.n AS n_pop, r.w_micro,
-       CAST(round(1e6 * r.rate, 0) AS BIGINT) AS rate_micro,
-       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled
-FROM r LEFT JOIN s ON r.source = s.source
-ORDER BY r.source
-"""
-
-
-def q259_km_retention(sf_dir: str):
-    """Kaplan-Meier retention survival over user lifetimes — S(d) =
-    P(user still active d days after first touch), with users last seen
-    on the corpus' final day treated as right-CENSORED (still alive),
-    the estimator every retention report should use instead of naive
-    ratios (naive treats censored users as churned). Duration = last
-    day - first day; the product-limit recursion runs in INTEGER micro
-    with per-step rounding, so the SQL recursive CTE replays it
-    bit-exactly. Plan: scalar max-day reduce, ONE user-keyed exchange
-    (per-user first/last day is block-local), durations-bounded
-    (dur, churn, censor) histogram, driver product walk."""
-    import numpy as np
-
-    DAY = 86_400_000_000
-    ev = read_table(sf_dir, "events", ["user_id", "ts"])
-
-    def _user_day(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": t.column("user_id"),
-                "day": pc.divide(
-                    t.column("ts").cast(pa.int64()),
-                    pa.scalar(DAY, pa.int64()),
-                ),
-            }
-        )
-
-    ud = ev.map_batches(_user_day, batch_format="pyarrow").materialize()
-    dmax_rows = ud.map_batches(
-        lambda t: pa.table(
-            {"m": pa.array([pc.max(t.column("day")).as_py()], pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).take_all()
-    empty = pa.table(
-        {
-            "dur": pa.array([], pa.int64()),
-            "n_risk": pa.array([], pa.int64()),
-            "n_churn": pa.array([], pa.int64()),
-            "n_censored": pa.array([], pa.int64()),
-            "surv_micro": pa.array([], pa.int64()),
-        }
-    )
-    if not dmax_rows:
-        return empty
-    dmax = max(int(r["m"]) for r in dmax_rows)
-
-    def _durations(t: pa.Table) -> pa.Table:
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        day = t.column("day").to_numpy(zero_copy_only=False)
-        order = np.lexsort((day, us))
-        us, day = us[order], day[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], us[1:] != us[:-1]))
-        )
-        ends = np.append(starts[1:], len(us)) - 1
-        f, last = day[starts], day[ends]
-        churned = last < dmax
-        dur = np.where(churned, last - f, dmax - f)
-        g = (
-            pa.table(
-                {
-                    "dur": pa.array(dur, pa.int64()),
-                    "churn": pa.array(churned.astype(np.int64)),
-                    "cens": pa.array((~churned).astype(np.int64)),
-                }
-            )
-            .group_by("dur")
-            .aggregate([("churn", "sum"), ("cens", "sum")])
-        )
-        return g.rename_columns(["dur", "n_churn", "n_cens"])
-
-    hist = (
-        ud.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_durations, batch_format="pyarrow", batch_size=None)
-        .groupby("dur", num_partitions=2)
-        .aggregate(
-            Sum("n_churn", alias_name="n_churn"),
-            Sum("n_cens", alias_name="n_cens"),
-        )
-        .take_all()
-    )
-    churn = {int(r["dur"]): int(r["n_churn"]) for r in hist}
-    cens = {int(r["dur"]): int(r["n_cens"]) for r in hist}
-    n_risk = sum(churn.values()) + sum(cens.values())
-    out = {k: [] for k in ("dur", "n_risk", "n_churn", "n_censored", "surv_micro")}
-    s = 1_000_000
-    for d in range(0, dmax + 1):
-        if n_risk <= 0:
-            break
-        ch, ce = churn.get(d, 0), cens.get(d, 0)
-        s = int(round_like_duckdb(s * (n_risk - ch) * 1.0 / n_risk, 0))
-        out["dur"].append(d)
-        out["n_risk"].append(n_risk)
-        out["n_churn"].append(ch)
-        out["n_censored"].append(ce)
-        out["surv_micro"].append(s)
-        n_risk -= ch + ce
-    return pa.table(
-        {k: pa.array(v, pa.int64() if k != "dur" else pa.int64()) for k, v in out.items()}
-    )
-
-
-SQL_Q259 = """
-WITH RECURSIVE u AS (
-  SELECT user_id,
-         CAST(min(epoch_us(ts) // 86400000000) AS BIGINT) AS f,
-         CAST(max(epoch_us(ts) // 86400000000) AS BIGINT) AS l
-  FROM events GROUP BY 1),
-b AS (SELECT max(l) AS dmax FROM u),
-h AS (SELECT CASE WHEN u.l < b.dmax THEN u.l - u.f
-                  ELSE b.dmax - u.f END AS dur,
-             CASE WHEN u.l < b.dmax THEN 1 ELSE 0 END AS churned
-      FROM u, b),
-hist AS (SELECT dur, CAST(sum(churned) AS BIGINT) AS n_churn,
-                CAST(sum(1 - churned) AS BIGINT) AS n_cens
-         FROM h GROUP BY 1),
-spine AS (SELECT gs.i AS dur FROM b, generate_series(0, 100000) gs(i)
-          WHERE gs.i <= b.dmax),
-dense AS (SELECT s.dur, coalesce(hist.n_churn, 0) AS n_churn,
-                 coalesce(hist.n_cens, 0) AS n_cens
-          FROM spine s LEFT JOIN hist ON s.dur = hist.dur),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM u),
-rec AS (
-  SELECT d.dur, d.n_churn, d.n_cens, t.n_users AS n_risk,
-         CAST(round(1000000 * (t.n_users - d.n_churn) * 1.0 / t.n_users,
-                    0) AS BIGINT) AS surv
-  FROM dense d, tot t WHERE d.dur = 0 AND t.n_users > 0
-  UNION ALL
-  SELECT d.dur, d.n_churn, d.n_cens,
-         r.n_risk - r.n_churn - r.n_cens AS n_risk,
-         CAST(round(r.surv * (r.n_risk - r.n_churn - r.n_cens - d.n_churn)
-                    * 1.0 / (r.n_risk - r.n_churn - r.n_cens), 0)
-              AS BIGINT) AS surv
-  FROM rec r JOIN dense d ON d.dur = r.dur + 1
-  WHERE r.n_risk - r.n_churn - r.n_cens > 0)
-SELECT dur, n_risk, n_churn, n_cens AS n_censored, surv AS surv_micro
-FROM rec ORDER BY dur
-"""
-
-
-#: winsorization tail fraction (clamp lowest/highest 5% by rank)
-Q260_TRIM_PCT = 5
-
-
-def q260_winsorized_mean(sf_dir: str):
-    """Per-source winsorized mean of document length — the robust
-    central-tendency report (clamp the lowest and highest 5% BY RANK to
-    the boundary order statistics, then average; immune to the giant-doc
-    outliers that wreck a plain mean). Rank picks are EXPLICIT
-    (lo = value at rank ceil(n*p), hi = value at rank n+1-ceil(n*p) of
-    the ascending multiset — no quantile interpolation to mismatch).
-    Plan: one (source, value) histogram aggregation (q241 bounds);
-    clamp arithmetic folds from cumulative counts in exact int64 on the
-    driver histogram."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
-
-    def _hist(t: pa.Table) -> pa.Table:
-        g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
-        return g.rename_columns(["source", "n_chars", "cnt"])
-
-    hist = (
-        docs.map_batches(_hist, batch_format="pyarrow")
-        .groupby(["source", "n_chars"], num_partitions=2)
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
-    )
-    by_src: dict = {}
-    for r in hist:
-        by_src.setdefault(r["source"], []).append(
-            (int(r["n_chars"]), int(r["cnt"]))
-        )
-    out_s, out_n, out_lo, out_hi, out_m = [], [], [], [], []
-    for src in sorted(by_src):
-        vc = sorted(by_src[src])
-        vals = np.asarray([v for v, _ in vc], np.int64)
-        cnts = np.asarray([c for _, c in vc], np.int64)
-        n = int(cnts.sum())
-        k = -(-n * Q260_TRIM_PCT // 100)  # ceil(n*p/100), exact integer
-        if 2 * k > n:
-            continue
-        cum = np.cumsum(cnts)
-        lo = int(vals[int(np.searchsorted(cum, k))])
-        hi = int(vals[int(np.searchsorted(cum, n + 1 - k))])
-        # clip-by-value IS the rank rule: every rank <= k has value <=
-        # lo (clamps up to lo), every rank > n-k has value >= hi, and
-        # boundary ties clamp to themselves
-        clamped = np.clip(vals, lo, hi)
-        total = int((clamped * cnts).sum())
-        wmean_micro = int(round_like_duckdb(1e6 * total / n, 0))
-        out_s.append(src)
-        out_n.append(n)
-        out_lo.append(lo)
-        out_hi.append(hi)
-        out_m.append(wmean_micro)
-    return pa.table(
-        {
-            "source": pa.array(out_s, pa.string()),
-            "n_docs": pa.array(out_n, pa.int64()),
-            "lo": pa.array(out_lo, pa.int64()),
-            "hi": pa.array(out_hi, pa.int64()),
-            "wmean_micro": pa.array(out_m, pa.int64()),
-        }
-    )
-
-
-SQL_Q260 = f"""
-WITH r AS (
-  SELECT source, n_chars AS x,
-         row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i,
-         count(*) OVER (PARTITION BY source) AS n
-  FROM documents),
-k AS (SELECT source, n, CAST(ceil(n * {Q260_TRIM_PCT} / 100.0) AS BIGINT)
-             AS k
-      FROM (SELECT DISTINCT source, n FROM r)),
-b AS (SELECT r.source,
-             max(CASE WHEN r.i = k.k THEN r.x END) AS lo,
-             max(CASE WHEN r.i = k.n + 1 - k.k THEN r.x END) AS hi
-      FROM r JOIN k ON r.source = k.source
-      WHERE k.k * 2 <= k.n GROUP BY 1),
-w AS (SELECT r.source, k.n,
-             sum(least(greatest(r.x, b.lo), b.hi)) AS total
-      FROM r JOIN b ON r.source = b.source
-             JOIN k ON r.source = k.source
-      GROUP BY 1, 2)
-SELECT source, CAST(n AS BIGINT) AS n_docs,
-       CAST(b.lo AS BIGINT) AS lo, CAST(b.hi AS BIGINT) AS hi,
-       CAST(round(1e6 * total / n, 0) AS BIGINT) AS wmean_micro
-FROM w JOIN b USING (source) ORDER BY source
-"""
-
-
-def q261_effective_sample_size(sf_dir: str):
-    """Effective sample size of the length-weighted corpus per source —
-    ESS = (sum w)^2 / sum w^2 (Kish), the importance-sampling
-    diagnostic that says how many EQUAL documents the weighted corpus
-    is worth (ESS << n means a few giants dominate; the actionable
-    twin of q241's Gini). Exact integer moments, one mirrored
-    division; O(1) partials per block, zero keyed exchanges."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
-
-    def _moments(t: pa.Table) -> pa.Table:
-        w = t.column("n_chars").to_numpy(zero_copy_only=False)
-        g = (
-            pa.table(
-                {
-                    "source": t.column("source"),
-                    "w": pa.array(w, pa.int64()),
-                    "ww": pa.array(w * w, pa.int64()),
-                }
-            )
-            .group_by("source")
-            .aggregate([("w", "count"), ("w", "sum"), ("ww", "sum")])
-        )
-        return g.rename_columns(["source", "n", "sw", "sww"])
-
-    rows = (
-        docs.map_batches(_moments, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sw", alias_name="sw"),
-            Sum("sww", alias_name="sww"),
-        )
-        .take_all()
-    )
-    out_s, out_n, out_e, out_r = [], [], [], []
-    for r in sorted(rows, key=lambda r: r["source"]):
-        n, sw, sww = int(r["n"]), int(r["sw"]), int(r["sww"])
-        if sww <= 0:
-            continue
-        # mirror SQL association exactly: (1e6 * double(sw^2)) / sww / n
-        out_s.append(r["source"])
-        out_n.append(n)
-        out_e.append(
-            int(round_like_duckdb(1e6 * float(sw * sw) / float(sww), 0))
-        )
-        out_r.append(
-            int(
-                round_like_duckdb(
-                    1e6 * float(sw * sw) / float(sww) / n, 0
-                )
-            )
-        )
-    return pa.table(
-        {
-            "source": pa.array(out_s, pa.string()),
-            "n_docs": pa.array(out_n, pa.int64()),
-            "ess_micro": pa.array(out_e, pa.int64()),
-            "ess_ratio_micro": pa.array(out_r, pa.int64()),
-        }
-    )
-
-
-SQL_Q261 = """
-WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(n_chars) AS BIGINT) AS sw,
-                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sww
-           FROM documents GROUP BY 1)
-SELECT source, n AS n_docs,
-       CAST(round(1e6 * (CAST(sw AS HUGEINT) * sw)
-                  / sww, 0) AS BIGINT) AS ess_micro,
-       CAST(round(1e6 * (CAST(sw AS HUGEINT) * sw)
-                  / sww / n, 0) AS BIGINT) AS ess_ratio_micro
-FROM m WHERE sww > 0 ORDER BY source
-"""
-
-
-def q262_charset_profile(sf_dir: str):
-    """Per-language character-set profile — distinct codepoints, total
-    characters and the ASCII share (char-weighted), the encoding/
-    mojibake tripwire a multilingual curation pipeline watches per
-    shard (a latin-only 'zh' slice or a sudden codepoint explosion is
-    an ingestion bug). Plan: texts decode to uint32 codepoint arrays
-    in C (utf-32 view, no Python per char), blocks emit (lang,
-    codepoint, cnt) partials bounded by the alphabet, ONE
-    alphabet-bounded aggregation, driver close."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["lang", "text"])
-
-    def _chars(t: pa.Table) -> pa.Table:
-        langs, cps, cnts = [], [], []
-        for lang, s in zip(
-            t.column("lang").to_pylist(), t.column("text")
-        ):
-            v = s.as_py()
-            if not v:
-                continue
-            arr = np.frombuffer(v.encode("utf-32-le"), np.uint32)
-            u, c = np.unique(arr, return_counts=True)
-            langs.extend([lang] * len(u))
-            cps.extend(u.astype(np.int64).tolist())
-            cnts.extend(c.astype(np.int64).tolist())
-        g = (
-            pa.table(
-                {
-                    "lang": pa.array(langs, pa.string()),
-                    "cp": pa.array(cps, pa.int64()),
-                    "cnt": pa.array(cnts, pa.int64()),
-                }
-            )
-            .group_by(["lang", "cp"])
-            .aggregate([("cnt", "sum")])
-        )
-        return g.rename_columns(["lang", "cp", "cnt"])
-
-    rows = (
-        docs.map_batches(_chars, batch_format="pyarrow")
-        .groupby(["lang", "cp"], num_partitions=2)
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
-    )
-    acc: dict = {}
-    for r in rows:
-        m = acc.setdefault(r["lang"], [0, 0, 0])  # codepoints, chars, ascii
-        m[0] += 1
-        m[1] += int(r["cnt"])
-        if int(r["cp"]) < 128:
-            m[2] += int(r["cnt"])
-    out_l, out_cp, out_ch, out_a = [], [], [], []
-    for lang in sorted(acc):
-        ncp, nch, na = acc[lang]
-        if nch == 0:
-            continue
-        out_l.append(lang)
-        out_cp.append(ncp)
-        out_ch.append(nch)
-        out_a.append(int(round_like_duckdb(1e6 * na / nch, 0)))
-    return pa.table(
-        {
-            "lang": pa.array(out_l, pa.string()),
-            "n_codepoints": pa.array(out_cp, pa.int64()),
-            "n_chars_total": pa.array(out_ch, pa.int64()),
-            "ascii_micro": pa.array(out_a, pa.int64()),
-        }
-    )
-
-
-SQL_Q262 = """
-WITH ch AS (
-  SELECT lang, unnest(string_split_regex(text, '')) AS c
-  FROM documents WHERE text IS NOT NULL AND text != ''),
-f AS (SELECT lang, c FROM ch WHERE c != ''),
-m AS (SELECT lang,
-             CAST(count(DISTINCT c) AS BIGINT) AS n_codepoints,
-             CAST(count(*) AS BIGINT) AS n_chars_total,
-             CAST(sum(CASE WHEN unicode(c) < 128 THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_ascii
-      FROM f GROUP BY 1)
-SELECT lang, n_codepoints, n_chars_total,
-       CAST(round(1e6 * n_ascii / n_chars_total, 0) AS BIGINT)
-           AS ascii_micro
-FROM m WHERE n_chars_total > 0 ORDER BY lang
-"""
-
-
-def q263_order_reconciliation(sf_dir: str):
-    """Header/detail reconciliation audit — per-order line revenue
-    (price x (1-disc) x (1+tax), EXACT cents per line) against the
-    order header total, the cross-table integrity check every warehouse
-    runs nightly (this corpus' headers drift, and the audit measures
-    by how much). Plan: per-block combiner folds lines to (orderkey,
-    cents) partials, ONE orderkey aggregation, one large x large LEFT
-    join against headers (headers without lines must surface), O(1)
-    audit partials per block after the join."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
-    li = read_table(
-        sf_dir,
-        "lineitem",
-        ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
-    )
-    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-
-    def _line_cents(t: pa.Table) -> pa.Table:
-        cents = round_like_duckdb(
-            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-            * (1 - t.column("l_discount").to_numpy(zero_copy_only=False))
-            * (1 + t.column("l_tax").to_numpy(zero_copy_only=False))
-            * 100,
-            0,
-        ).astype(np.int64)
-        g = (
-            pa.table(
-                {
-                    "l_orderkey": t.column("l_orderkey"),
-                    "cents": pa.array(cents, pa.int64()),
-                }
-            )
-            .group_by("l_orderkey")
-            .aggregate([("cents", "sum")])
-        )
-        return g.rename_columns(["l_orderkey", "line_cents"])
-
-    lsum, _ = compact_nonempty(
-        li.map_batches(_line_cents, batch_format="pyarrow")
-        .groupby("l_orderkey", num_partitions=hash_partitions(8))
-        .aggregate(Sum("line_cents", alias_name="line_cents"))
-    )
-    joined = orders.join(
-        lsum,
-        join_type="left_outer",
-        num_partitions=hash_partitions(8),
-        on=("o_orderkey",),
-        right_on=("l_orderkey",),
-    )
-
-    def _audit(t: pa.Table) -> pa.Table:
-        total = round_like_duckdb(
-            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100,
-            0,
-        ).astype(np.int64)
-        lc = t.column("line_cents")
-        have = pc.is_valid(lc).to_numpy(zero_copy_only=False)
-        lcv = lc.to_numpy(zero_copy_only=False)
-        drift = np.abs(
-            np.where(have, lcv, 0).astype(np.int64) - total
-        )[have]
-        return pa.table(
-            {
-                "n_orders": pa.array([t.num_rows], pa.int64()),
-                "n_with_lines": pa.array([int(have.sum())], pa.int64()),
-                "n_exact": pa.array([int((drift == 0).sum())], pa.int64()),
-                "max_abs": pa.array(
-                    [int(drift.max()) if len(drift) else 0], pa.int64()
-                ),
-                "sum_abs": pa.array([int(drift.sum())], pa.int64()),
-            }
-        )
-
-    parts = joined.map_batches(_audit, batch_format="pyarrow").take_all()
-    n_orders = sum(int(r["n_orders"]) for r in parts)
-    n_with = sum(int(r["n_with_lines"]) for r in parts)
-    n_exact = sum(int(r["n_exact"]) for r in parts)
-    max_abs = max((int(r["max_abs"]) for r in parts), default=0)
-    sum_abs = sum(int(r["sum_abs"]) for r in parts)
-    if n_with == 0:
-        return pa.table(
-            {
-                "n_orders": pa.array([], pa.int64()),
-                "n_with_lines": pa.array([], pa.int64()),
-                "n_exact": pa.array([], pa.int64()),
-                "max_abs_drift_cents": pa.array([], pa.int64()),
-                "mean_abs_drift_cents_micro": pa.array([], pa.int64()),
-            }
-        )
-    return pa.table(
-        {
-            "n_orders": pa.array([n_orders], pa.int64()),
-            "n_with_lines": pa.array([n_with], pa.int64()),
-            "n_exact": pa.array([n_exact], pa.int64()),
-            "max_abs_drift_cents": pa.array([max_abs], pa.int64()),
-            "mean_abs_drift_cents_micro": pa.array(
-                [int(round_like_duckdb(1e6 * sum_abs / n_with, 0))],
-                pa.int64(),
-            ),
-        }
-    )
-
-
-SQL_Q263 = """
-WITH l AS (
-  SELECT l_orderkey,
-         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
-                             * (1 + l_tax) * 100, 0) AS BIGINT))
-              AS BIGINT) AS line_cents
-  FROM lineitem GROUP BY 1),
-j AS (SELECT CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS total_cents,
-             l.line_cents
-      FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey),
-t AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
-             CAST(sum(CASE WHEN line_cents IS NOT NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_with_lines,
-             CAST(coalesce(sum(CASE WHEN line_cents = total_cents
-                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
-                 AS n_exact,
-             CAST(coalesce(max(abs(line_cents - total_cents)), 0)
-                  AS BIGINT) AS max_abs_drift_cents,
-             CAST(coalesce(sum(abs(line_cents - total_cents)), 0)
-                  AS BIGINT) AS sum_abs
-      FROM j)
-SELECT n_orders, n_with_lines, n_exact, max_abs_drift_cents,
-       CAST(round(1e6 * sum_abs / n_with_lines, 0) AS BIGINT)
-           AS mean_abs_drift_cents_micro
-FROM t WHERE n_with_lines > 0
-"""
-
-
-#: minimum line count for a part to enter the dispersion report
-Q264_MIN_LINES = 5
-Q264_TOPK = 20
-
-
-def q264_part_price_dispersion(sf_dir: str):
-    """Per-part price-dispersion ranking — coefficient of variation of
-    line prices per part (exact cents moments), top-20 most dispersed
-    parts with >= 5 lines: the catalog-anomaly surface (one part sold
-    at wildly different prices = data bug or fraud). Plan: ONE
-    partkey-keyed exchange colocates each part, block-local exact
-    moments + distinct-supplier counts, per-block top-k candidates,
-    blocks x k driver merge (no global sort)."""
-    import math
-
-    import numpy as np
-
-    li = read_table(
-        sf_dir,
-        "lineitem",
-        ["l_partkey", "l_suppkey", "l_extendedprice"],
-    )
-    k = Q264_TOPK
-
-    def _part_stats(t: pa.Table) -> pa.Table:
-        pk = t.column("l_partkey").to_numpy(zero_copy_only=False)
-        sk = t.column("l_suppkey").to_numpy(zero_copy_only=False)
-        cents = round_like_duckdb(
-            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
-            * 100,
-            0,
-        ).astype(np.int64)
-        order = np.lexsort((sk, pk))
-        pk, sk, cents = pk[order], sk[order], cents[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], pk[1:] != pk[:-1]))
-        )
-        bounds = np.append(starts, len(pk))
-        out = []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            n = int(e - s)
-            if n < Q264_MIN_LINES:
-                continue
-            c = cents[s:e]
-            sc, scc = int(c.sum()), int((c * c).sum())
-            if sc <= 0:
-                continue
-            num = max(n * scc - sc * sc, 0)  # n^2 * var, exact
-            cv = int(round_like_duckdb(1e6 * math.sqrt(num * 1.0) / sc, 0))
-            nsupp = len(np.unique(sk[s:e]))
-            out.append((int(pk[s]), n, nsupp, cv))
-        out.sort(key=lambda r: (-r[3], r[0]))
-        out = out[:k]
-        return pa.table(
-            {
-                "partkey": pa.array([r[0] for r in out], pa.int64()),
-                "n_lines": pa.array([r[1] for r in out], pa.int64()),
-                "n_suppliers": pa.array([r[2] for r in out], pa.int64()),
-                "cv_micro": pa.array([r[3] for r in out], pa.int64()),
-            }
-        )
-
-    cand = (
-        li.repartition(hash_partitions(8), keys=["l_partkey"])
-        .map_batches(_part_stats, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
-    cand.sort(key=lambda r: (-int(r["cv_micro"]), int(r["partkey"])))
-    cand = cand[:k]
-    return pa.table(
-        {
-            "rank": pa.array(
-                list(range(1, len(cand) + 1)), pa.int64()
-            ),
-            "partkey": pa.array(
-                [int(r["partkey"]) for r in cand], pa.int64()
-            ),
-            "n_lines": pa.array(
-                [int(r["n_lines"]) for r in cand], pa.int64()
-            ),
-            "n_suppliers": pa.array(
-                [int(r["n_suppliers"]) for r in cand], pa.int64()
-            ),
-            "cv_micro": pa.array(
-                [int(r["cv_micro"]) for r in cand], pa.int64()
-            ),
-        }
-    )
-
-
-SQL_Q264 = f"""
-WITH c AS (
-  SELECT l_partkey,
-         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
-         l_suppkey
-  FROM lineitem),
-m AS (SELECT l_partkey AS partkey, CAST(count(*) AS BIGINT) AS n_lines,
-             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
-             CAST(sum(cents) AS BIGINT) AS sc,
-             CAST(sum(cents * cents) AS BIGINT) AS scc
-      FROM c GROUP BY 1
-      HAVING count(*) >= {Q264_MIN_LINES} AND sum(cents) > 0),
-v AS (SELECT partkey, n_lines, n_suppliers,
-             CAST(round(1e6 * sqrt(greatest(CAST(n_lines AS HUGEINT) * scc
-                                            - CAST(sc AS HUGEINT) * sc, 0)
-                                   * 1.0) / sc, 0) AS BIGINT) AS cv_micro
-      FROM m)
-SELECT CAST(row_number() OVER (ORDER BY cv_micro DESC, partkey) AS BIGINT)
-           AS rank,
-       partkey, n_lines, n_suppliers, cv_micro
-FROM v ORDER BY cv_micro DESC, partkey LIMIT {Q264_TOPK}
-"""
-
-
-def q265_nation_share_trend(sf_dir: str):
-    """Monthly revenue share per customer nation — the market-share
-    trend matrix (who is growing) over the orders->customer->nation
-    join chain. Plan: one large x large hash join (orders x customer),
-    a 25-row broadcast for nation names, (nation, month)-bounded cents
-    aggregation, shares derived on the bounded close (per-cell micro
-    rounding, exact int cents throughout)."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.relational import broadcast_lookup_column
-
-    orders = read_table(
-        sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"]
-    )
-    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    nation_map = {
-        int(r["n_nationkey"]): r["n_name"]
-        for r in read_table(
-            sf_dir, "nation", ["n_nationkey", "n_name"]
-        ).take_all()
-    }
-
-    joined = orders.join(
-        cust,
-        join_type="inner",
-        num_partitions=hash_partitions(8),
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-    )
-
-    def _nkey64(t: pa.Table) -> pa.Table:
-        return t.set_column(
-            t.schema.get_field_index("c_nationkey"),
-            "c_nationkey",
-            t.column("c_nationkey").cast(pa.int64()),
-        )
-
-    joined = broadcast_lookup_column(
-        joined.map_batches(_nkey64, batch_format="pyarrow"),
-        nation_map,
-        "c_nationkey",
-        "n_name",
-        pa.string(),
-    )
-
-    def _cents(t: pa.Table) -> pa.Table:
-        ts = t.column("o_orderdate")
-        month = pc.add(
-            pc.multiply(pc.year(ts).cast(pa.int64()), pa.scalar(100)),
-            pc.month(ts).cast(pa.int64()),
-        )
-        cents = round_like_duckdb(
-            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100,
-            0,
-        ).astype(np.int64)
-        g = (
-            pa.table(
-                {
-                    "n_name": t.column("n_name"),
-                    "month": month,
-                    "cents": pa.array(cents, pa.int64()),
-                }
-            )
-            .group_by(["n_name", "month"])
-            .aggregate([("cents", "sum")])
-        )
-        return g.rename_columns(["n_name", "month", "cents"])
-
-    rows = (
-        joined.map_batches(_cents, batch_format="pyarrow")
-        .groupby(["n_name", "month"], num_partitions=2)
-        .aggregate(Sum("cents", alias_name="cents"))
-        .take_all()
-    )
-    tot: dict = {}
-    for r in rows:
-        tot[int(r["month"])] = tot.get(int(r["month"]), 0) + int(r["cents"])
-    rows.sort(key=lambda r: (int(r["month"]), r["n_name"]))
-    return pa.table(
-        {
-            "month": pa.array([int(r["month"]) for r in rows], pa.int64()),
-            "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
-            "revenue_cents": pa.array(
-                [int(r["cents"]) for r in rows], pa.int64()
-            ),
-            "share_micro": pa.array(
-                [
-                    int(
-                        round_like_duckdb(
-                            1e6 * int(r["cents"]) / tot[int(r["month"])], 0
-                        )
-                    )
-                    for r in rows
-                ],
-                pa.int64(),
-            ),
-        }
-    )
-
-
-SQL_Q265 = """
-WITH o AS (
-  SELECT CAST(date_part('year', o_orderdate) * 100
-              + date_part('month', o_orderdate) AS BIGINT) AS month,
-         n.n_name,
-         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
-  FROM orders
-  JOIN customer ON o_custkey = c_custkey
-  JOIN nation n ON c_nationkey = n_nationkey),
-m AS (SELECT month, n_name, CAST(sum(cents) AS BIGINT) AS revenue_cents
-      FROM o GROUP BY 1, 2),
-t AS (SELECT month, CAST(sum(revenue_cents) AS BIGINT) AS total
-      FROM m GROUP BY 1)
-SELECT m.month, m.n_name, m.revenue_cents,
-       CAST(round(1e6 * m.revenue_cents / t.total, 0) AS BIGINT)
-           AS share_micro
-FROM m JOIN t ON m.month = t.month
-ORDER BY m.month, m.n_name
-"""
-
-
-#: Wilson z for 95% (constant shared by engine and SQL)
-Q266_Z = 1.96
-Q266_TOPK = 15
-Q266_MIN_LINES = 20
-
-
-def q266_return_rate_wilson(sf_dir: str):
-    """Supplier return-rate ranking by the Wilson score LOWER bound —
-    the right way to rank rates with unequal sample sizes (a 3/3
-    returner must not outrank a 95/100 one; plain p does exactly that).
-    Exact (returns, lines) integer counts per supplier, one mirrored
-    IEEE Wilson expression, top-15 by lower bound desc. Plan: one
-    supplier-bounded count aggregation fed by block combiners; the
-    ranking closes on the suppliers-bounded driver table."""
-    import math
-
-    import numpy as np
-
-    li = read_table(sf_dir, "lineitem", ["l_suppkey", "l_returnflag"])
-
-    def _counts(t: pa.Table) -> pa.Table:
-        ret = (
-            pc.equal(t.column("l_returnflag"), pa.scalar("R"))
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        g = (
-            pa.table(
-                {
-                    "suppkey": t.column("l_suppkey"),
-                    "ret": pa.array(ret, pa.int64()),
-                }
-            )
-            .group_by("suppkey")
-            .aggregate([("ret", "count"), ("ret", "sum")])
-        )
-        return g.rename_columns(["suppkey", "n", "x"])
-
-    rows = (
-        li.map_batches(_counts, batch_format="pyarrow")
-        .groupby("suppkey", num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"), Sum("x", alias_name="x"))
-        .take_all()
-    )
-    z = Q266_Z
-    cand = []
-    for r in rows:
-        n, x = int(r["n"]), int(r["x"])
-        if n < Q266_MIN_LINES:
-            continue
-        p = x * 1.0 / n
-        lb = (
-            p
-            + z * z / (2 * n)
-            - z * math.sqrt(p * (1 - p) / n + z * z / (4.0 * n * n))
-        ) / (1 + z * z / n)
-        cand.append(
-            (
-                int(r["suppkey"]),
-                n,
-                x,
-                int(round_like_duckdb(1e6 * p, 0)),
-                int(round_like_duckdb(1e6 * lb, 0)),
-            )
-        )
-    cand.sort(key=lambda r: (-r[4], r[0]))
-    cand = cand[: Q266_TOPK]
-    return pa.table(
-        {
-            "rank": pa.array(list(range(1, len(cand) + 1)), pa.int64()),
-            "suppkey": pa.array([r[0] for r in cand], pa.int64()),
-            "n_lines": pa.array([r[1] for r in cand], pa.int64()),
-            "n_returns": pa.array([r[2] for r in cand], pa.int64()),
-            "rate_micro": pa.array([r[3] for r in cand], pa.int64()),
-            "wilson_lb_micro": pa.array([r[4] for r in cand], pa.int64()),
-        }
-    )
-
-
-SQL_Q266 = f"""
-WITH m AS (
-  SELECT l_suppkey AS suppkey, CAST(count(*) AS BIGINT) AS n,
-         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
-              AS BIGINT) AS x
-  FROM lineitem GROUP BY 1 HAVING count(*) >= {Q266_MIN_LINES}),
-v AS (SELECT suppkey, n, x, x * 1.0 / n AS p FROM m),
-w AS (SELECT suppkey, n, x,
-             CAST(round(1e6 * p, 0) AS BIGINT) AS rate_micro,
-             CAST(round(1e6 * ((p + {Q266_Z} * {Q266_Z} / (2 * n)
-                   - {Q266_Z} * sqrt(p * (1 - p) / n
-                                     + {Q266_Z} * {Q266_Z}
-                                       / (4.0 * n * n)))
-                  / (1 + {Q266_Z} * {Q266_Z} / n)), 0) AS BIGINT)
-                 AS wilson_lb_micro
-      FROM v)
-SELECT CAST(row_number() OVER (ORDER BY wilson_lb_micro DESC, suppkey)
-            AS BIGINT) AS rank,
-       suppkey, n AS n_lines, x AS n_returns, rate_micro, wilson_lb_micro
-FROM w ORDER BY wilson_lb_micro DESC, suppkey LIMIT {Q266_TOPK}
-"""
-
-
-Q267_TAU_NUM, Q267_TAU_DEN = 9, 10
-
-
-def q267_set_similarity_join(sf_dir: str):
-    """GLOBAL exact token-set Jaccard join (threshold 0.9 — the corpus's
-    token-set similarity is broadly high, so the threshold sits above the
-    cross-template noise floor and prefixes shrink to ~L/10 tokens) via
-    df-ordered prefix filtering — the SSJoin/PPJoin candidate generator
-    in its distributed (Vernica et al., SIGMOD 2010) form. Contrast with
-    q21 (blocked, heuristic recall): this join is complete — the oracle
-    is the unblocked all-pairs SQL self-join. Plan: one vocabulary count,
-    one term-keyed join, one doc-keyed assembly, one prefix-token-keyed
-    verify; prefixes carry each doc's RAREST tokens, so hot tokens never
-    form candidate groups (the construction's skew argument)."""
-    from barks_ocr_ray.functions.dedupe import set_similarity_join
-
-    return set_similarity_join(
-        read_table(sf_dir, "documents", ["doc_id", "text"]),
-        tau_num=Q267_TAU_NUM,
-        tau_den=Q267_TAU_DEN,
-    )
-
-
-def _sql_q267() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    num, den = Q267_TAU_NUM, Q267_TAU_DEN
-    return f"""
-WITH e AS (
-  SELECT DISTINCT doc_id,
-         unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
-  FROM documents),
-sz AS (SELECT doc_id, count(*) AS L FROM e GROUP BY 1),
-i AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-  FROM e a JOIN e b ON a.term = b.term AND a.doc_id < b.doc_id
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b, CAST(c AS BIGINT) AS n_shared,
-       round(CAST(c AS DOUBLE) / (la.L + lb.L - c), 4) AS jaccard
-FROM i
-JOIN sz la ON la.doc_id = i.doc_a
-JOIN sz lb ON lb.doc_id = i.doc_b
-WHERE ({den} + {num}) * c >= {num} * (la.L + lb.L)
-"""
-
-
-def q268_naive_bayes_lang(sf_dir: str):
-    """Distributed multinomial Naive Bayes lang classifier, trained and
-    evaluated on the corpus itself (the fastText-style quality/lang
-    classifier-training primitive, reduced to exact counts): Laplace
-    class-term weights, integer micro-rounded log scores (rounded BEFORE
-    summation so the result is reassociation-proof), argmax with lang-asc
-    tie break, confusion matrix out. Plan: one (lang, term) vocabulary
-    aggregation, one term-keyed weight join, one doc-keyed score
-    assembly; class constants (priors, ln normalizers) are a langs-sized
-    driver table. Score decomposition keeps missing (term, class) cells
-    implicit: score = prior + sum_t tf*round(1e6*ln(n_ct+1))
-    - L_d*round(1e6*ln(N_c+V))."""
-    import math
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
-
-    class _LangTermCounts(Tokenizer):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from collections import Counter as _Counter
-
-            out_d, out_l, out_t, out_n = [], [], [], []
-            for doc_id, lang, s in zip(
-                batch.column("doc_id").to_pylist(),
-                batch.column("lang").to_pylist(),
-                batch.column("text"),
-            ):
-                counts = _Counter(self.tokens(s.as_py() or ""))
-                out_d.extend([doc_id] * len(counts))
-                out_l.extend([lang] * len(counts))
-                out_t.extend(counts.keys())
-                out_n.extend(counts.values())
-            return pa.table(
-                {
-                    "doc_id": pa.array(out_d, pa.int64()),
-                    "lang": pa.array(out_l, pa.string()),
-                    "term": pa.array(out_t, pa.string()),
-                    "tf": pa.array(out_n, pa.int64()),
-                }
-            )
-
-    tf = docs.map_batches(
-        _LangTermCounts, batch_format="pyarrow", concurrency=(1, 4)
-    ).materialize()  # reused: weights, V, doc totals, score join
-
-    ct = tf.groupby(["lang", "term"], num_partitions=VOCAB_PARTITIONS).aggregate(
-        Sum("tf", alias_name="n_ct")
-    )
-    n_c = {
-        r["lang"]: int(r["n_tokens"])
-        for r in tf.groupby("lang", num_partitions=2)
-        .aggregate(Sum("tf", alias_name="n_tokens"))
-        .take_all()
-    }  # langs-sized
-    vocab_v = int(
-        tf.groupby("term", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Count(alias_name="n"))
-        .count()
-    )
-    ld = tf.groupby(["doc_id", "lang"], num_partitions=hash_partitions(8)).aggregate(
-        Sum("tf", alias_name="ld")
-    )
-    pri = {
-        r["lang"]: int(r["n_docs"])
-        for r in ld.groupby("lang", num_partitions=2)
-        .aggregate(Count(alias_name="n_docs"))
-        .take_all()
-    }  # langs-sized
-    total_docs = sum(pri.values())
-    consts = {
-        lang: (
-            int(round_like_duckdb(1e6 * math.log(pri[lang] / total_docs), 0)),
-            int(round_like_duckdb(1e6 * math.log(n_c[lang] + vocab_v), 0)),
-        )
-        for lang in pri
-    }
-    langs = sorted(consts)
-
-    def _weights(t: pa.Table) -> pa.Table:
-        w = round_like_duckdb(
-            1e6
-            * np.log(
-                t.column("n_ct").to_numpy(zero_copy_only=False).astype(np.float64)
-                + 1.0
-            ),
-            0,
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "plang": t.column("lang"),
-                "term": t.column("term"),
-                "w": pa.array(w, pa.int64()),
-            }
-        )
-
-    w_tbl = ct.map_batches(_weights, batch_format="pyarrow")
-
-    joined = tf.drop_columns(["lang"]).join(
-        w_tbl, join_type="inner", num_partitions=VOCAB_PARTITIONS, on=("term",)
-    )
-
-    def _contrib(t: pa.Table) -> pa.Table:
-        s1 = pc.multiply(t.column("tf"), t.column("w"))
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "plang": t.column("plang"),
-                "s1": s1,
-            }
-        )
-
-    s1 = (
-        joined.map_batches(_contrib, batch_format="pyarrow")
-        .groupby(["doc_id", "plang"], num_partitions=hash_partitions(8))
-        .aggregate(Sum("s1", alias_name="s1"))
-    )
-
-    from barks_ocr_ray.functions.relational import compact_nonempty
-
-    s1c, _ = compact_nonempty(s1)
-    ldc, _ = compact_nonempty(ld)
-    scored = s1c.join(
-        ldc,
-        join_type="inner",
-        num_partitions=hash_partitions(8),
-        on=("doc_id",),
-    )
-
-    def _predict(g: pa.Table) -> pa.Table:
-        actual = g.column("lang")[0].as_py()
-        ld_val = int(g.column("ld")[0].as_py())
-        have = dict(
-            zip(
-                g.column("plang").to_pylist(), g.column("s1").to_pylist()
-            )
-        )
-        best_lang, best_score = None, None
-        for lang in langs:
-            prior, lnz = consts[lang]
-            score = prior + int(have.get(lang, 0)) - ld_val * lnz
-            if best_score is None or score > best_score:
-                best_lang, best_score = lang, score
-        return pa.table(
-            {
-                "lang": pa.array([actual], pa.string()),
-                "predicted": pa.array([best_lang], pa.string()),
-            }
-        )
-
-    return (
-        scored.groupby("doc_id", num_partitions=hash_partitions(8))
-        .map_groups(_predict, batch_format="pyarrow")
-        .groupby(["lang", "predicted"], num_partitions=2)
-        .aggregate(Count(alias_name="n_docs"))
-    )
-
-
-def _sql_q268() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tf AS (
-  SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
-  FROM (SELECT doc_id, lang,
-               unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
-        FROM documents)
-  GROUP BY 1, 2, 3),
-ct AS (SELECT lang, term, sum(tf) AS n_ct FROM tf GROUP BY 1, 2),
-nc AS (SELECT lang, sum(tf) AS n_tokens FROM tf GROUP BY 1),
-vv AS (SELECT count(DISTINCT term) AS v FROM tf),
-ld AS (SELECT doc_id, lang AS actual, sum(tf) AS ld FROM tf GROUP BY 1, 2),
-pri AS (SELECT actual AS lang, count(*) AS n_docs FROM ld GROUP BY 1),
-tot AS (SELECT sum(n_docs) AS total FROM pri),
-cconst AS (
-  SELECT p.lang,
-         CAST(round(1e6 * ln(p.n_docs * 1.0 / t.total), 0) AS BIGINT)
-           AS prior_micro,
-         CAST(round(1e6 * ln(n.n_tokens + v.v), 0) AS BIGINT) AS lnz_micro
-  FROM pri p
-  JOIN nc n ON n.lang = p.lang
-  CROSS JOIN tot t CROSS JOIN vv v),
-w AS (SELECT lang AS plang, term,
-             CAST(round(1e6 * ln(n_ct + 1), 0) AS BIGINT) AS w
-      FROM ct),
-s1 AS (SELECT tf.doc_id, w.plang, sum(tf.tf * w.w) AS s1
-       FROM tf JOIN w USING (term) GROUP BY 1, 2),
-sc AS (
-  SELECT d.doc_id, d.actual, c.lang AS plang,
-         c.prior_micro - d.ld * c.lnz_micro + coalesce(s.s1, 0) AS score
-  FROM ld d CROSS JOIN cconst c
-  LEFT JOIN s1 s ON s.doc_id = d.doc_id AND s.plang = c.lang),
-pred AS (
-  SELECT doc_id, actual,
-         first(plang ORDER BY score DESC, plang) AS predicted
-  FROM sc GROUP BY 1, 2)
-SELECT actual AS lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
-FROM pred GROUP BY 1, 2
-"""
-
-
-def q269_time_weighted_value(sf_dir: str):
-    """Time-weighted average held value per user (TWAP over an
-    irregularly-sampled step series): each event's value is "held" until
-    the user's next event, so the honest average is the step-function
-    integral over the user's active span — the arithmetic mean
-    over-weights burst periods (contrast q155's calendar-spine trailing
-    mean, which assumes regular sampling). Exactness: values become
-    integer cents and gaps integer ms, so the per-user weighted sum is
-    an exact int64 (bound: max_cents x span_ms < 2^63 — a ~$10^7 value
-    held for three centuries); ties at the same ms contribute dt=0
-    under the (ms, event_id) total order mirrored by the oracle's
-    window. Plan: ONE user-keyed exchange, block-local lexsort + masked
-    diffs + reduceat (a user's rows are colocated by construction),
-    zero driver-side state."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
-
-    def _twap(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        ms = (
-            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 1000
-        )
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        cents = round_like_duckdb(
-            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
-        ).astype(np.int64)
-        order = np.lexsort((eid, ms, uid))
-        uid, ms, cents = uid[order], ms[order], cents[order]
-        same = (uid[1:] == uid[:-1]).astype(np.int64)
-        dt = (ms[1:] - ms[:-1]) * same  # 0 across user boundaries
-        w = np.append(cents[:-1] * dt, np.int64(0))  # exact int64
-        uu, idx = np.unique(uid, return_index=True)
-        n = np.diff(np.append(idx, len(uid)))
-        swc = np.add.reduceat(w, idx)
-        last = np.append(idx[1:], len(uid)) - 1
-        span = ms[last] - ms[idx]
-        keep = (n >= 2) & (span > 0)
-        tw = round_like_duckdb(
-            1e6 * (swc[keep] / 100.0) / span[keep], 0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": pa.array(uu[keep], pa.int64()),
-                "n_events": pa.array(n[keep].astype(np.int64), pa.int64()),
-                "span_ms": pa.array(span[keep], pa.int64()),
-                "twap_micro": pa.array(tw, pa.int64()),
-            }
-        )
-
-    return ev.repartition(hash_partitions(8), keys=["user_id"]).map_batches(
-        _twap, batch_format="pyarrow", batch_size=None
-    )
-
-
-SQL_Q269 = """
-WITH e AS (
-  SELECT user_id, epoch_us(ts) // 1000 AS ms, event_id,
-         CAST(round(value * 100, 0) AS BIGINT) AS cents
-  FROM events),
-g AS (
-  SELECT user_id, ms, cents,
-         lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms
-             AS dt
-  FROM e),
-a AS (
-  SELECT user_id,
-         CAST(count(*) AS BIGINT) AS n_events,
-         CAST(sum(CASE WHEN dt IS NULL THEN 0 ELSE cents * dt END)
-              AS BIGINT) AS swc,
-         CAST(max(ms) - min(ms) AS BIGINT) AS span_ms
-  FROM g GROUP BY 1)
-SELECT user_id, n_events, span_ms,
-       CAST(round(1e6 * (CAST(swc AS DOUBLE) / 100.0) / span_ms, 0)
-            AS BIGINT) AS twap_micro
-FROM a WHERE n_events >= 2 AND span_ms > 0
-"""
-
-
-def q270_degree_assortativity(sf_dir: str):
-    """Degree assortativity of the customer<->supplier trade graph
-    (Newman 2002: the Pearson correlation of endpoint degrees over
-    edges) — do high-degree customers trade with high-degree suppliers
-    (r > 0, hub-hub concentration) or with the long tail (r < 0, the
-    disassortative shape typical of real commerce/web graphs)? The
-    structural summary beside q94 centrality / q138 triangles / q185
-    cores. Exactness: degrees are exact ints, so all five moment sums
-    are exact (int64 block partials — bound: deg^2 x edges_per_block
-    < 2^63 — merged into arbitrary-precision Python ints); ONE mirrored
-    IEEE Pearson close. Plan: orders join + two keyed exchanges — by
-    custkey (block-local pair distinct + cust-degree attach: a cust's
-    pairs are colocated, so block-local distinct IS global), then by
-    suppkey (supp-degree attach + O(1) moment partials per block)."""
-    import numpy as np
-
-    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(
-        od,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def _dedup_degc(t: pa.Table) -> pa.Table:
-        g = (
-            pa.table(
-                {
-                    "cust": t.column("o_custkey"),
-                    "supp": t.column("l_suppkey"),
-                }
-            )
-            .group_by(["cust", "supp"])
-            .aggregate([])
-        )
-        cust = g.column("cust").to_numpy(zero_copy_only=False)
-        uu, inv, cnts = np.unique(cust, return_inverse=True, return_counts=True)
-        dc = cnts[inv].astype(np.int64)
-        # n_cust partial as a SUM-invariant column (first row carries the
-        # block's distinct-cust count): survives the supp reshuffle, so
-        # the single downstream pass closes n_cust without re-executing
-        # this edge plan for a second consumer.
-        nc_part = np.zeros(len(dc), dtype=np.int64)
-        if len(nc_part):
-            nc_part[0] = len(uu)
-        return g.append_column("dc", pa.array(dc, pa.int64())).append_column(
-            "nc_part", pa.array(nc_part, pa.int64())
-        )
-
-    edges = (
-        joined.select_columns(["o_custkey", "l_suppkey"])
-        .repartition(hash_partitions(8), keys=["o_custkey"])
-        .map_batches(_dedup_degc, batch_format="pyarrow", batch_size=None)
-    )
-
-    def _moments(t: pa.Table) -> pa.Table:
-        dc = t.column("dc").to_numpy(zero_copy_only=False)
-        supp = t.column("supp").to_numpy(zero_copy_only=False)
-        uu, inv, cnts = np.unique(supp, return_inverse=True, return_counts=True)
-        ds = cnts[inv].astype(np.int64)
-        nc = int(t.column("nc_part").to_numpy(zero_copy_only=False).sum())
-        return pa.table(
-            {
-                "m": pa.array([len(dc)], pa.int64()),
-                "nc": pa.array([nc], pa.int64()),
-                "ns": pa.array([len(uu)], pa.int64()),
-                "sdc": pa.array([int(dc.sum())], pa.int64()),
-                "sds": pa.array([int(ds.sum())], pa.int64()),
-                "sdc2": pa.array([int((dc * dc).sum())], pa.int64()),
-                "sds2": pa.array([int((ds * ds).sum())], pa.int64()),
-                "sdcds": pa.array([int((dc * ds).sum())], pa.int64()),
-            }
-        )
-
-    parts = (
-        edges.repartition(hash_partitions(8), keys=["supp"])
-        .map_batches(_moments, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
-    m = sdc = sds = sdc2 = sds2 = sdcds = n_supp = n_cust = 0
-    for r in parts:
-        m += int(r["m"])
-        n_cust += int(r["nc"])
-        n_supp += int(r["ns"])
-        sdc += int(r["sdc"])
-        sds += int(r["sds"])
-        sdc2 += int(r["sdc2"])
-        sds2 += int(r["sds2"])
-        sdcds += int(r["sdcds"])
-    num = m * sdcds - sdc * sds
-    v1, v2 = m * sdc2 - sdc * sdc, m * sds2 - sds * sds
-    import math
-
-    r_micro = int(
-        round_like_duckdb(
-            1e6 * float(num) / math.sqrt(float(v1) * float(v2)), 0
-        )
-    )
-    return pa.table(
-        {
-            "n_edges": pa.array([m], pa.int64()),
-            "n_cust": pa.array([n_cust], pa.int64()),
-            "n_supp": pa.array([n_supp], pa.int64()),
-            "r_micro": pa.array([r_micro], pa.int64()),
-        }
-    )
-
-
-SQL_Q270 = """
-WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-dc AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM e GROUP BY 1),
-dsx AS (SELECT s, CAST(count(*) AS BIGINT) AS ds FROM e GROUP BY 1),
-j AS (SELECT dc.dc, dsx.ds FROM e JOIN dc USING (c) JOIN dsx USING (s)),
-mm AS (SELECT CAST(count(*) AS HUGEINT) AS m,
-              CAST(sum(dc) AS HUGEINT) AS sdc,
-              CAST(sum(ds) AS HUGEINT) AS sds,
-              CAST(sum(dc * dc) AS HUGEINT) AS sdc2,
-              CAST(sum(ds * ds) AS HUGEINT) AS sds2,
-              CAST(sum(dc * ds) AS HUGEINT) AS sdcds
-       FROM j)
-SELECT CAST(m AS BIGINT) AS n_edges,
-       (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_cust,
-       (SELECT CAST(count(*) AS BIGINT) FROM dsx) AS n_supp,
-       CAST(round(1e6 * CAST(m * sdcds - sdc * sds AS DOUBLE)
-                  / sqrt(CAST(m * sdc2 - sdc * sdc AS DOUBLE)
-                         * CAST(m * sds2 - sds * sds AS DOUBLE)), 0)
-            AS BIGINT) AS r_micro
-FROM mm
-"""
-
-
-#: word2vec-style negative-sampling table: draws and smoothing exponent
-Q271_DRAWS = 20000
-Q271_SALT = "neg"
-
-
-def q271_negative_sampling(sf_dir: str):
-    """Word2vec-style negative-sampling table over the corpus unigram
-    distribution (Mikolov et al. 2013: draw negatives ~ count^0.75 —
-    the smoothing that lifts rare words above their raw frequency):
-    the training-loop primitive that turns corpus counts into a
-    reusable sampler. Exactness: weights are micro-rounded ints, the
-    cumulative table is an exact int64 prefix sum over term-sorted
-    vocab, and each draw is an md5 integer mod total mapped through
-    exclusive-lo/inclusive-hi ranges — bit-replayable by the oracle's
-    window cumsum + range join (bound: total weight < 2^63). Plan: one
-    vocab-bounded (term, count) aggregation from block partials; the
-    cumulative table, draws and bincount close on the driver's
-    vocab-sized table (q175 discipline)."""
-    import hashlib as _hashlib
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
-
-    docs = read_table(sf_dir, "documents", ["text"])
-
-    class _TermCounts(Tokenizer):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from collections import Counter as _Counter
-
-            counts = _Counter()
-            for s in batch.column("text"):
-                counts.update(self.tokens(s.as_py() or ""))
-            return pa.table(
-                {
-                    "term": pa.array(list(counts.keys()), pa.string()),
-                    "cnt": pa.array(list(counts.values()), pa.int64()),
-                }
-            )
-
-    vocab = (
-        docs.map_batches(_TermCounts, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("term", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
-    )
-    terms = np.array([r["term"] for r in vocab], dtype=object)
-    cnt = np.array([int(r["cnt"]) for r in vocab], dtype=np.int64)
-    order = np.argsort(terms)  # cum table is term-ordered on both sides
-    terms, cnt = terms[order], cnt[order]
-    weight = round_like_duckdb(1e6 * cnt.astype(np.float64) ** 0.75, 0).astype(
-        np.int64
-    )
-    hi = np.cumsum(weight)
-    total = int(hi[-1])
-    draws = np.array(
-        [
-            int(
-                _hashlib.md5(f"{Q271_SALT}:{s}".encode("utf-8")).hexdigest()[
-                    :16
-                ],
-                16,
-            )
-            % total
-            for s in range(Q271_DRAWS)
-        ],
-        dtype=np.uint64,
-    )
-    ix = np.searchsorted(hi, draws.astype(np.int64), side="right")
-    n_drawn = np.bincount(ix, minlength=len(terms)).astype(np.int64)
-    keep = n_drawn > 0
-    return pa.table(
-        {
-            "term": pa.array(list(terms[keep]), pa.string()),
-            "cnt": pa.array(cnt[keep], pa.int64()),
-            "weight": pa.array(weight[keep], pa.int64()),
-            "n_drawn": pa.array(n_drawn[keep], pa.int64()),
-        }
-    )
-
-
-def _sql_q271() -> str:
-    from barks_ocr_ray.functions.text import TOKEN_RE
-
-    return f"""
-WITH tf AS (
-  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
-  FROM documents),
-v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tf GROUP BY 1),
-w AS (SELECT term, cnt,
-             CAST(round(1e6 * pow(cnt, 0.75), 0) AS BIGINT) AS weight
-      FROM v),
-c AS (SELECT term, cnt, weight,
-             CAST(sum(weight) OVER (ORDER BY term
-                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
-      FROM w),
-c2 AS (SELECT term, cnt, weight, hi - weight AS lo, hi FROM c),
-t AS (SELECT CAST(sum(weight) AS UBIGINT) AS total FROM w),
-d AS (SELECT CAST(CAST('0x' || substring(
-                md5('{Q271_SALT}:' || CAST(s AS VARCHAR)), 1, 16)
-              AS UBIGINT) % (SELECT total FROM t) AS BIGINT) AS u
-      FROM generate_series(0, {Q271_DRAWS - 1}) AS g(s))
-SELECT c2.term, c2.cnt, c2.weight, CAST(count(*) AS BIGINT) AS n_drawn
-FROM d JOIN c2 ON d.u >= c2.lo AND d.u < c2.hi
-GROUP BY 1, 2, 3
-"""
-
-
-def q272_kendall_tau(sf_dir: str):
-    """Exact grouped Kendall tau-b (quantity vs discount percent per
-    return flag) via bounded-domain pair counting: both variables live
-    on small integer domains, so concordant/discordant pair counts are
-    exact products over the JOINT HISTOGRAM — no O(n^2) row pairs, no
-    sort, no sampling (the rank-free sibling of q245 Spearman; tau-b's
-    tie correction uses both marginals). Plan: one bounded (flag,
-    quantity, discount_pct) cell aggregation fed by per-block Arrow
-    group_by partials; the 550-cell-per-flag pair algebra closes on the
-    driver with arbitrary-precision ints and ONE mirrored IEEE close
-    per flag."""
-    import math
-
-    import numpy as np
-
-    li = read_table(
-        sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"]
-    )
-
-    def _cells(t: pa.Table) -> pa.Table:
-        q = t.column("l_quantity").to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        d = round_like_duckdb(
-            t.column("l_discount").to_numpy(zero_copy_only=False) * 100.0, 0
-        ).astype(np.int64)
-        ones = pa.array(np.ones(len(q), dtype=np.int64), pa.int64())
-        g = (
-            pa.table(
-                {
-                    "flag": t.column("l_returnflag"),
-                    "q": pa.array(q, pa.int64()),
-                    "d": pa.array(d, pa.int64()),
-                    "n": ones,
-                }
-            )
-            .group_by(["flag", "q", "d"])
-            .aggregate([("n", "sum")])
-        )
-        return g.rename_columns(["flag", "q", "d", "n"])
-
-    cells = (
-        li.map_batches(_cells, batch_format="pyarrow")
-        .groupby(["flag", "q", "d"], num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    by_flag: dict = {}
-    for r in cells:
-        by_flag.setdefault(r["flag"], []).append(
-            (int(r["q"]), int(r["d"]), int(r["n"]))
-        )
-    out = {
-        "flag": [],
-        "n_rows": [],
-        "n_concordant": [],
-        "n_discordant": [],
-        "tau_b_micro": [],
-    }
-    for flag in sorted(by_flag):
-        rows = by_flag[flag]
-        q = np.array([r[0] for r in rows], dtype=np.int64)
-        d = np.array([r[1] for r in rows], dtype=np.int64)
-        n = np.array([r[2] for r in rows], dtype=object)  # exact Python ints
-        q_lt, d_lt = q[:, None] < q[None, :], d[:, None] < d[None, :]
-        d_gt = d[:, None] > d[None, :]
-        prod = n[:, None] * n[None, :]
-        conc = int((prod * (q_lt & d_lt)).sum())
-        disc = int((prod * (q_lt & d_gt)).sum())
-        nn = int(sum(int(x) for x in n))
-        n0 = nn * (nn - 1) // 2
-        n1 = 0
-        for t in np.unique(q):
-            tx = int(sum(int(x) for x in n[q == t]))
-            n1 += tx * (tx - 1) // 2
-        n2 = 0
-        for t in np.unique(d):
-            ty = int(sum(int(x) for x in n[d == t]))
-            n2 += ty * (ty - 1) // 2
-        tau = int(
-            round_like_duckdb(
-                1e6
-                * float(conc - disc)
-                / math.sqrt(float(n0 - n1) * float(n0 - n2)),
-                0,
-            )
-        )
-        out["flag"].append(flag)
-        out["n_rows"].append(nn)
-        out["n_concordant"].append(conc)
-        out["n_discordant"].append(disc)
-        out["tau_b_micro"].append(tau)
-    return pa.table(
-        {
-            "flag": pa.array(out["flag"], pa.string()),
-            "n_rows": pa.array(out["n_rows"], pa.int64()),
-            "n_concordant": pa.array(out["n_concordant"], pa.int64()),
-            "n_discordant": pa.array(out["n_discordant"], pa.int64()),
-            "tau_b_micro": pa.array(out["tau_b_micro"], pa.int64()),
-        }
-    )
-
-
-SQL_Q272 = """
-WITH c AS (
-  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
-         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
-         CAST(count(*) AS BIGINT) AS n
-  FROM lineitem GROUP BY 1, 2, 3),
-tot AS (SELECT flag, CAST(sum(n) AS HUGEINT) AS nn FROM c GROUP BY 1),
-cd AS (SELECT a.flag,
-         CAST(coalesce(sum(CASE WHEN a.q < b.q AND a.d < b.d
-                                THEN a.n * b.n END), 0) AS HUGEINT) AS conc,
-         CAST(coalesce(sum(CASE WHEN a.q < b.q AND a.d > b.d
-                                THEN a.n * b.n END), 0) AS HUGEINT) AS disc
-       FROM c a JOIN c b ON a.flag = b.flag GROUP BY 1),
-tx AS (SELECT flag, CAST(sum(t * (t - 1) // 2) AS HUGEINT) AS n1
-       FROM (SELECT flag, q, sum(n) AS t FROM c GROUP BY 1, 2)
-       GROUP BY 1),
-ty AS (SELECT flag, CAST(sum(t * (t - 1) // 2) AS HUGEINT) AS n2
-       FROM (SELECT flag, d, sum(n) AS t FROM c GROUP BY 1, 2)
-       GROUP BY 1)
-SELECT tot.flag, CAST(tot.nn AS BIGINT) AS n_rows,
-       CAST(cd.conc AS BIGINT) AS n_concordant,
-       CAST(cd.disc AS BIGINT) AS n_discordant,
-       CAST(round(1e6 * CAST(cd.conc - cd.disc AS DOUBLE)
-                  / sqrt(CAST(tot.nn * (tot.nn - 1) // 2 - tx.n1 AS DOUBLE)
-                         * CAST(tot.nn * (tot.nn - 1) // 2 - ty.n2
-                                AS DOUBLE)), 0) AS BIGINT) AS tau_b_micro
-FROM tot JOIN cd USING (flag) JOIN tx USING (flag) JOIN ty USING (flag)
-"""
-
-
-#: Adamic-Adar: skew guard (custs above this degree are excluded on BOTH
-#: sides — deterministic, oracle-replayable) and report size
-Q273_MAX_DEG = 64
-Q273_TOPK = 20
-
-
-def q273_adamic_adar(sf_dir: str):
-    """Adamic-Adar link prediction over the co-purchase bipartite graph:
-    supplier pairs scored by their shared customers, each customer
-    weighted 1/ln(degree) (Adamic & Adar 2003 — a shared pendant
-    customer says more than a shared hub). The link-prediction rung
-    beside q138 triangles / q270 assortativity. Exactness: per-customer
-    weights are micro-rounded ints BEFORE the pair sum, so the
-    distributed aggregation is reassociation-proof. Skew guard: custs
-    with degree > Q273_MAX_DEG are excluded on BOTH sides (the pair
-    fan-out is quadratic in degree; the cap is part of the operator's
-    declared semantics, mirrored by the oracle's HAVING — the
-    _bucket_pairs discipline). Plan: one cust-keyed exchange (block-
-    local distinct + degree + pair emit), one pair-keyed aggregation,
-    per-block top-k partials merged on the driver (blocks x k rows)."""
-    import numpy as np
-
-    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    od = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(
-        od,
-        join_type="inner",
-        num_partitions=hash_partitions(16),
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def _pairs(t: pa.Table) -> pa.Table:
-        g = (
-            pa.table(
-                {
-                    "cust": t.column("o_custkey"),
-                    "supp": t.column("l_suppkey"),
-                }
-            )
-            .group_by(["cust", "supp"])
-            .aggregate([])
-        )
-        cust = g.column("cust").to_numpy(zero_copy_only=False)
-        supp = g.column("supp").to_numpy(zero_copy_only=False)
-        order = np.lexsort((supp, cust))
-        cust, supp = cust[order], supp[order]
-        uu, idx = np.unique(cust, return_index=True)
-        ends = np.append(idx[1:], len(cust))
-        out_a, out_b, out_w = [], [], []
-        for k in range(len(uu)):
-            block = supp[idx[k] : ends[k]]
-            dc = len(block)
-            if dc < 2 or dc > Q273_MAX_DEG:
-                continue
-            wc = int(round_like_duckdb(1e6 / np.log(float(dc)), 0))
-            ia, ib = np.triu_indices(dc, k=1)
-            out_a.append(block[ia])
-            out_b.append(block[ib])
-            out_w.append(np.full(len(ia), wc, dtype=np.int64))
-        if out_a:
-            s1 = np.concatenate(out_a)
-            s2 = np.concatenate(out_b)
-            w = np.concatenate(out_w)
-        else:
-            s1 = s2 = w = np.array([], dtype=np.int64)
-        ones = np.ones(len(s1), dtype=np.int64)
-        # block-local combiner: shrink the pair stream BEFORE the
-        # exchange (pairs repeat across custs that hash to this block)
-        return (
-            pa.table(
-                {
-                    "s1": pa.array(s1.astype(np.int64), pa.int64()),
-                    "s2": pa.array(s2.astype(np.int64), pa.int64()),
-                    "w": pa.array(w, pa.int64()),
-                    "n": pa.array(ones, pa.int64()),
-                }
-            )
-            .group_by(["s1", "s2"])
-            .aggregate([("w", "sum"), ("n", "sum")])
-            .rename_columns(["s1", "s2", "w", "n"])
-        )
-
-    def _combine_topk(t: pa.Table) -> pa.Table:
-        # pair-keyed repartition colocates each pair: block-local sum IS
-        # the global score (Ray's HashAggregate is pathological on
-        # multi-million-row unreduced pair streams — q189 discipline),
-        # and only this block's top-k leaves.
-        g = (
-            t.group_by(["s1", "s2"])
-            .aggregate([("n", "sum"), ("w", "sum")])
-            .rename_columns(["s1", "s2", "n_common", "aa_micro"])
-        )
-        aa = g.column("aa_micro").to_numpy(zero_copy_only=False)
-        s1c = g.column("s1").to_numpy(zero_copy_only=False)
-        s2c = g.column("s2").to_numpy(zero_copy_only=False)
-        k = min(Q273_TOPK, len(aa))
-        # Block-local cut must mirror the oracle's TOTAL order
-        # (aa_micro DESC, s1 ASC, s2 ASC): aa alone ties constantly
-        # (sums of discrete 1/ln(deg) micro-weights), and an
-        # argpartition keeps boundary ties arbitrarily — a tied pair
-        # with smaller (s1, s2) could be dropped before the driver
-        # merge. lexsort keys are last-is-primary.
-        ix = np.lexsort((s2c, s1c, -aa))[:k]
-        return g.take(pa.array(np.sort(ix)))
-
-    cand = (
-        joined.select_columns(["o_custkey", "l_suppkey"])
-        .repartition(hash_partitions(8), keys=["o_custkey"])
-        .map_batches(_pairs, batch_format="pyarrow", batch_size=None)
-        .repartition(hash_partitions(8), keys=["s1", "s2"])
-        .map_batches(_combine_topk, batch_format="pyarrow", batch_size=None)
-        .take_all()
-    )
-    cand.sort(key=lambda r: (-int(r["aa_micro"]), int(r["s1"]), int(r["s2"])))
-    cand = cand[:Q273_TOPK]
-    return pa.table(
-        {
-            "rank": pa.array(range(1, len(cand) + 1), pa.int64()),
-            "s1": pa.array([int(r["s1"]) for r in cand], pa.int64()),
-            "s2": pa.array([int(r["s2"]) for r in cand], pa.int64()),
-            "n_common": pa.array(
-                [int(r["n_common"]) for r in cand], pa.int64()
-            ),
-            "aa_micro": pa.array(
-                [int(r["aa_micro"]) for r in cand], pa.int64()
-            ),
-        }
-    )
-
-
-SQL_Q273 = f"""
-WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
-           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-d AS (SELECT c, CAST(count(*) AS BIGINT) AS dc FROM e GROUP BY 1
-      HAVING count(*) BETWEEN 2 AND {Q273_MAX_DEG}),
-w AS (SELECT c, CAST(round(1e6 / ln(dc), 0) AS BIGINT) AS wc FROM d),
-p AS (SELECT a.s AS s1, b.s AS s2, w.wc
-      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s JOIN w ON w.c = a.c),
-g AS (SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_common,
-             CAST(sum(wc) AS BIGINT) AS aa_micro
-      FROM p GROUP BY 1, 2)
-SELECT CAST(row_number() OVER (ORDER BY aa_micro DESC, s1, s2) AS BIGINT)
-           AS rank,
-       s1, s2, n_common, aa_micro
-FROM g ORDER BY aa_micro DESC, s1, s2 LIMIT {Q273_TOPK}
-"""
-
-
-def q274_pareto_frontier(sf_dir: str):
-    """Pareto frontier (skyline) of the part catalog — minimize price,
-    maximize size: every part no other part dominates (<= price, >=
-    size, strict somewhere; equal points don't dominate each other, so
-    coincident optima all survive). The multi-objective screen the
-    top-k family can't express. Distributed correctness argument:
-    dominance is transitive, so skyline(S) = skyline(union of per-block
-    skylines) — each block emits its local frontier (a price-sorted
-    running-max-size sweep) and the driver runs the SAME sweep once
-    over the bounded candidate union. No exchange at all: one map pass
-    + a frontier-sized driver close."""
-    import numpy as np
-
-    part = read_table(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
-
-    def _sweep(key, price, size):
-        """Keep iff size == its price-group max AND > every smaller-price
-        group's max (ties on BOTH axes survive)."""
-        order = np.lexsort((key, -size, price))
-        key, price, size = key[order], price[order], size[order]
-        uu, idx = np.unique(price, return_index=True)
-        gmax = size[idx]  # sorted -size => first of each price group is max
-        prev = np.concatenate(([np.iinfo(np.int64).min], np.maximum.accumulate(gmax)[:-1]))
-        grp = np.searchsorted(uu, price)
-        keep = (size == gmax[grp]) & (size > prev[grp])
-        return key[keep], price[keep], size[keep]
-
-    def _local(t: pa.Table) -> pa.Table:
-        key = t.column("p_partkey").to_numpy(zero_copy_only=False)
-        price = round_like_duckdb(
-            t.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0,
-            0,
-        ).astype(np.int64)
-        size = t.column("p_size").to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        k, p, s = _sweep(key, price, size)
-        return pa.table(
-            {
-                "p_partkey": pa.array(k, pa.int64()),
-                "price_cents": pa.array(p, pa.int64()),
-                "size": pa.array(s, pa.int64()),
-            }
-        )
-
-    cand = part.map_batches(
-        _local, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    key = np.array([int(r["p_partkey"]) for r in cand], dtype=np.int64)
-    price = np.array([int(r["price_cents"]) for r in cand], dtype=np.int64)
-    size = np.array([int(r["size"]) for r in cand], dtype=np.int64)
-    k, p, s = _sweep(key, price, size)
-    return pa.table(
-        {
-            "p_partkey": pa.array(k, pa.int64()),
-            "price_cents": pa.array(p, pa.int64()),
-            "size": pa.array(s, pa.int64()),
-        }
-    )
-
-
-SQL_Q274 = """
-WITH v AS (SELECT p_partkey,
-                  CAST(round(p_retailprice * 100, 0) AS BIGINT)
-                      AS price_cents,
-                  CAST(p_size AS BIGINT) AS size
-           FROM part),
-m AS (SELECT *,
-             max(size) OVER (PARTITION BY price_cents) AS gmax,
-             max(size) OVER (ORDER BY price_cents
-                             RANGE BETWEEN UNBOUNDED PRECEDING
-                                       AND 1 PRECEDING) AS prevmax
-      FROM v)
-SELECT p_partkey, price_cents, size
-FROM m WHERE size = gmax AND (prevmax IS NULL OR size > prevmax)
-"""
-
-
-#: DiD: arm salt (q253 convention, distinct experiment), period boundary
-Q275_SALT = "did"
-Q275_BOUNDARY = "2024-01-16"
-
-
-def q275_diff_in_diff(sf_dir: str):
-    """Difference-in-differences estimator over the event stream:
-    users hash-split into treat/control (md5, q253's replayable arm
-    convention), periods split at a fixed calendar boundary, outcome =
-    mean purchase value; DiD = (T_post - T_pre) - (C_post - C_pre) —
-    the panel-data causal primitive beside q253's single-diff z-test.
-    Exactness: per-cell cents sums and counts are exact ints folded
-    per block (O(1) partials, ZERO exchanges — arm is a pure row
-    function); the four means and the DiD close in ONE mirrored IEEE
-    expression."""
-    import hashlib as _hashlib
-
-    import numpy as np
-
-    ev = read_table(
-        sf_dir, "events", ["user_id", "ts", "event_type", "value"]
-    )
-    boundary_us = int(
-        np.datetime64(Q275_BOUNDARY).astype("datetime64[us]").astype(np.int64)
-    )
-
-    def _cells(t: pa.Table) -> pa.Table:
-        mask = pc.equal(t.column("event_type"), pa.scalar("purchase"))
-        t = t.filter(mask)
-        uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        cents = round_like_duckdb(
-            t.column("value").to_numpy(zero_copy_only=False) * 100.0, 0
-        ).astype(np.int64)
-        treat = np.array(
-            [
-                int(
-                    _hashlib.md5(f"{Q275_SALT}:{u}".encode()).hexdigest()[:8],
-                    16,
-                )
-                / float(1 << 32)
-                < 0.5
-                for u in uid
-            ],
-            dtype=bool,  # explicit: an all-filtered block gives [] (float64 otherwise)
-        )
-        post = us >= boundary_us
-        out = {}
-        for arm, amask in (("T", treat), ("C", ~treat)):
-            for per, pmask in (("pre", ~post), ("post", post)):
-                sel = amask & pmask
-                out[f"n_{arm}_{per}"] = [int(sel.sum())]
-                out[f"s_{arm}_{per}"] = [int(cents[sel].sum())]
-        return pa.table(
-            {k: pa.array(v, pa.int64()) for k, v in sorted(out.items())}
-        )
-
-    parts = ev.map_batches(
-        _cells, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    acc = {}
-    for r in parts:
-        for k in r:
-            acc[k] = acc.get(k, 0) + int(r[k])
-    cols = ["n_T_pre", "s_T_pre", "n_T_post", "s_T_post",
-            "n_C_pre", "s_C_pre", "n_C_post", "s_C_post"]
-    if any(acc.get(f"n_{a}_{p}", 0) == 0 for a in "TC" for p in ("pre", "post")):
-        return pa.table({c: pa.array([], pa.int64()) for c in cols + ["did_micro"]})
-    mean = {
-        (a, p): acc[f"s_{a}_{p}"] / 100.0 / acc[f"n_{a}_{p}"]
-        for a in "TC"
-        for p in ("pre", "post")
-    }
-    did = int(
-        round_like_duckdb(
-            1e6
-            * (
-                (mean[("T", "post")] - mean[("T", "pre")])
-                - (mean[("C", "post")] - mean[("C", "pre")])
-            ),
-            0,
-        )
-    )
-    return pa.table(
-        {
-            **{c: pa.array([acc[c]], pa.int64()) for c in cols},
-            "did_micro": pa.array([did], pa.int64()),
-        }
-    )
-
-
-SQL_Q275 = f"""
-WITH e AS (
-  SELECT CASE WHEN CAST(('0x' || substring(
-             md5('{Q275_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))
-             AS UBIGINT) / 4294967296.0 < 0.5 THEN 'T' ELSE 'C' END AS arm,
-         CASE WHEN ts >= TIMESTAMP '{Q275_BOUNDARY}' THEN 'post'
-              ELSE 'pre' END AS per,
-         CAST(round(value * 100, 0) AS BIGINT) AS cents
-  FROM events WHERE event_type = 'purchase'),
-c AS (SELECT
-  CAST(sum(CASE WHEN arm='T' AND per='pre' THEN 1 ELSE 0 END) AS BIGINT) AS n_T_pre,
-  CAST(sum(CASE WHEN arm='T' AND per='pre' THEN cents ELSE 0 END) AS BIGINT) AS s_T_pre,
-  CAST(sum(CASE WHEN arm='T' AND per='post' THEN 1 ELSE 0 END) AS BIGINT) AS n_T_post,
-  CAST(sum(CASE WHEN arm='T' AND per='post' THEN cents ELSE 0 END) AS BIGINT) AS s_T_post,
-  CAST(sum(CASE WHEN arm='C' AND per='pre' THEN 1 ELSE 0 END) AS BIGINT) AS n_C_pre,
-  CAST(sum(CASE WHEN arm='C' AND per='pre' THEN cents ELSE 0 END) AS BIGINT) AS s_C_pre,
-  CAST(sum(CASE WHEN arm='C' AND per='post' THEN 1 ELSE 0 END) AS BIGINT) AS n_C_post,
-  CAST(sum(CASE WHEN arm='C' AND per='post' THEN cents ELSE 0 END) AS BIGINT) AS s_C_post
-  FROM e)
-SELECT n_T_pre, s_T_pre, n_T_post, s_T_post,
-       n_C_pre, s_C_pre, n_C_post, s_C_post,
-       CAST(round(1e6 * ((CAST(s_T_post AS DOUBLE) / 100.0 / n_T_post
-                          - CAST(s_T_pre AS DOUBLE) / 100.0 / n_T_pre)
-                         - (CAST(s_C_post AS DOUBLE) / 100.0 / n_C_post
-                            - CAST(s_C_pre AS DOUBLE) / 100.0 / n_C_pre)),
-                  0) AS BIGINT) AS did_micro
-FROM c
-WHERE n_T_pre > 0 AND n_T_post > 0 AND n_C_pre > 0 AND n_C_post > 0
-"""
-
-
-def q276_embedding_frechet_drift(sf_dir: str):
-    """Per-label embedding distribution drift vs the corpus — the
-    diagonal-covariance Fréchet distance (the FID shape with diag cov:
-    ||m_l - m_g||^2 + sum_d (v_l + v_g - 2 sqrt(v_l v_g))) — "does this
-    label's embedding cloud sit where the corpus sits", the
-    distribution-level sibling of q208 isotropy / q134 PSI. Exactness:
-    per-(label, dim) moment partials are exact int64 micro sums per
-    block (bound: micro^2 x rows_per_block < 2^63, a ~2e6-magnitude
-    value over ~1e6-row blocks), merged with arbitrary-precision driver
-    ints (labels x dims bounded); each per-dim term is ONE mirrored
-    IEEE expression micro-rounded BEFORE the cross-dim integer sum
-    (reassociation-proof — numpy pairwise vs SQL sequential float sums
-    would diverge otherwise)."""
-    import math
-
-    import numpy as np
-
-    emb = read_table(sf_dir, "embeddings", ["label", "embedding"])
-
-    def _moments(t: pa.Table) -> pa.Table:
-        labels = t.column("label").to_numpy(zero_copy_only=False)
-        la = t.column("embedding")
-        if isinstance(la, pa.ChunkedArray):
-            la = la.combine_chunks()
-        flat = la.flatten().to_numpy(zero_copy_only=False)
-        n = t.num_rows
-        dims = flat.size // n
-        micro = round_like_duckdb(
-            flat.astype(np.float64).reshape(n, dims) * 1_000_000.0, 0
-        ).astype(np.int64)
-        order = np.argsort(labels, kind="stable")
-        sl = labels[order]
-        starts = np.flatnonzero(np.concatenate(([True], sl[1:] != sl[:-1])))
-        counts = np.diff(np.append(starts, n))
-        sums = np.add.reduceat(micro[order], starts, axis=0)
-        sq = np.add.reduceat(micro[order] * micro[order], starts, axis=0)
-        uniq = sl[starts].astype(np.int64)
-        k = uniq.size
-        return pa.table(
-            {
-                "label": pa.array(np.repeat(uniq, dims), pa.int64()),
-                "dim": pa.array(
-                    np.tile(np.arange(1, dims + 1, dtype=np.int64), k),
-                    pa.int64(),
-                ),
-                "n": pa.array(np.repeat(counts.astype(np.int64), dims)),
-                "s": pa.array(sums.reshape(-1), pa.int64()),
-                "ss": pa.array(sq.reshape(-1), pa.int64()),
-            }
-        )
-
-    parts = emb.map_batches(_moments, batch_format="pyarrow").take_all()
-    acc: dict = {}
-    for r in parts:  # (labels x dims)-sized; arbitrary-precision merge
-        key = (int(r["label"]), int(r["dim"]))
-        m = acc.setdefault(key, [0, 0, 0])
-        m[0] += int(r["n"])
-        m[1] += int(r["s"])
-        m[2] += int(r["ss"])
-    gl: dict = {}
-    for (_, dim), (n, s, ss) in acc.items():
-        g = gl.setdefault(dim, [0, 0, 0])
-        g[0] += n
-        g[1] += s
-        g[2] += ss
-
-    def _mv(n, s, ss):
-        m = float(s) / n
-        return m, max(float(ss) / n - (float(s) / n) * (float(s) / n), 0.0)
-
-    labels = sorted({k[0] for k in acc})
-    out = {"label": [], "n_vecs": [], "mean_gap_micro2": [],
-           "var_gap_micro2": [], "fid_micro2": []}
-    for lab in labels:
-        mg_sum = tr_sum = 0
-        n_vecs = 0
-        for dim in sorted(gl):
-            n, s, ss = acc[(lab, dim)]
-            n_vecs = n
-            ml, vl = _mv(n, s, ss)
-            mgl, vg = _mv(*gl[dim])
-            mg_sum += int(round_like_duckdb((ml - mgl) * (ml - mgl), 0))
-            tr_sum += int(
-                round_like_duckdb(vl + vg - 2 * math.sqrt(vl * vg), 0)
-            )
-        out["label"].append(lab)
-        out["n_vecs"].append(n_vecs)
-        out["mean_gap_micro2"].append(mg_sum)
-        out["var_gap_micro2"].append(tr_sum)
-        out["fid_micro2"].append(mg_sum + tr_sum)
-    return pa.table(
-        {
-            "label": pa.array(out["label"], pa.int64()),
-            "n_vecs": pa.array(out["n_vecs"], pa.int64()),
-            "mean_gap_micro2": pa.array(out["mean_gap_micro2"], pa.int64()),
-            "var_gap_micro2": pa.array(out["var_gap_micro2"], pa.int64()),
-            "fid_micro2": pa.array(out["fid_micro2"], pa.int64()),
-        }
-    )
-
-
-SQL_Q276 = """
-WITH e AS (
-  SELECT label, i AS dim,
-         CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS s
-  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
-lm AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
-              CAST(sum(s) AS HUGEINT) AS s,
-              CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS ss
-       FROM e GROUP BY 1, 2),
-gm AS (SELECT dim, CAST(sum(n) AS HUGEINT) AS n,
-              CAST(sum(s) AS HUGEINT) AS s,
-              CAST(sum(ss) AS HUGEINT) AS ss
-       FROM lm GROUP BY 1),
-t AS (SELECT lm.label, lm.n,
-             CAST(lm.s AS DOUBLE) / lm.n AS ml,
-             CAST(gm.s AS DOUBLE) / gm.n AS mg,
-             greatest(CAST(lm.ss AS DOUBLE) / lm.n
-                      - (CAST(lm.s AS DOUBLE) / lm.n)
-                        * (CAST(lm.s AS DOUBLE) / lm.n), 0) AS vl,
-             greatest(CAST(gm.ss AS DOUBLE) / gm.n
-                      - (CAST(gm.s AS DOUBLE) / gm.n)
-                        * (CAST(gm.s AS DOUBLE) / gm.n), 0) AS vg
-      FROM lm JOIN gm USING (dim)),
-d AS (SELECT label, n,
-             CAST(round((ml - mg) * (ml - mg), 0) AS BIGINT) AS md,
-             CAST(round(vl + vg - 2 * sqrt(vl * vg), 0) AS BIGINT) AS tr
-      FROM t)
-SELECT CAST(label AS BIGINT) AS label,
-       CAST(min(n) AS BIGINT) AS n_vecs,
-       CAST(sum(md) AS BIGINT) AS mean_gap_micro2,
-       CAST(sum(tr) AS BIGINT) AS var_gap_micro2,
-       CAST(sum(md) + sum(tr) AS BIGINT) AS fid_micro2
-FROM d GROUP BY 1
-"""
-
-
-def q277_span_corruption(sf_dir: str):
-    """T5-style span-corruption noising audit over the corpus (Raffel
-    et al. 2020's denoising objective): per doc, the deterministic
-    greedy span plan (5% start rate, length 1..5, mean-3 spans over
-    ~15% of tokens) and the resulting encoder/decoder sequence lengths
-    — the op that turns a cleaned corpus into seq2seq pretraining
-    examples, and the length accounting that feeds q199's padding
-    model. Pure per-row function of (doc_id, n_tokens) via vectorized
-    splitmix64 draws + the shared greedy scan (functions/curation.py:
-    span_plan) — ZERO exchanges, identical under any partitioning;
-    oracle = golden sequential replay (the greedy skip is not
-    SQL-expressible)."""
-    from barks_ocr_ray.functions.curation import span_corruption_table
-    from barks_ocr_ray.functions.text import Tokenizer
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-
-    class _Plans(Tokenizer):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_pylist()
-            counts = [
-                len(self.tokens(s.as_py() or ""))
-                for s in batch.column("text")
-            ]
-            return span_corruption_table(ids, counts)
-
-    return docs.map_batches(
-        _Plans, batch_format="pyarrow", concurrency=(1, 4)
-    )
-
-
-def q278_bpe_fertility(sf_dir: str):
-    """Per-language BPE fertility audit under the q131-learned merge
-    table — subwords per word and characters per subword by lang: the
-    multilingual tokenizer-equity gauge (a tokenizer trained on a
-    skewed mix 'taxes' under-represented languages with more subwords
-    per word, inflating their effective sequence lengths and training
-    cost). Plan: merges train once (q131's BSP trainer, bit-equal to
-    the sequential golden); ONE warm-encoder actor-pool pass emits
-    langs-bounded integer partials (docs, words, subwords, chars);
-    the two ratios close micro-rounded on the langs-sized driver
-    table."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.bpe import bpe_train, encode_word_len
-    from barks_ocr_ray.functions.text import Tokenizer
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text", "lang"])
-    g = bpe_train(
-        read_table(sf_dir, "documents", ["doc_id", "text"]), n_merges=12
-    ).to_pandas()
-    merges = list(zip(g["lhs"], g["rhs"]))
-    # Driver-side closure capture (NOT an in-__init__ import: worker
-    # bodies ship by value, so a runtime `from barks_ocr_ray ...` on
-    # the worker fails in no-PYTHONPATH processes — CLAUDE.md trap).
-    _ewl = encode_word_len
-
-    class _LangEncode(Tokenizer):
-        def __init__(self):
-            super().__init__()
-            self._ewl = _ewl
-            self._merges = merges  # closure-captured, ships by value
-            self._cache: dict = {}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            agg: dict = {}
-            for lang, s in zip(
-                batch.column("lang").to_pylist(), batch.column("text")
-            ):
-                toks = self.tokens(s.as_py() or "")
-                a = agg.setdefault(lang, [0, 0, 0, 0])
-                a[0] += 1
-                a[1] += len(toks)
-                for w in toks:
-                    n = self._cache.get(w)
-                    if n is None:
-                        n = self._ewl(w, self._merges)
-                        self._cache[w] = n
-                    a[2] += n
-                    a[3] += len(w)
-            langs = sorted(agg)
-            return pa.table(
-                {
-                    "lang": pa.array(langs, pa.string()),
-                    "n_docs": pa.array([agg[g][0] for g in langs], pa.int64()),
-                    "n_words": pa.array(
-                        [agg[g][1] for g in langs], pa.int64()
-                    ),
-                    "n_subwords": pa.array(
-                        [agg[g][2] for g in langs], pa.int64()
-                    ),
-                    "n_chars": pa.array(
-                        [agg[g][3] for g in langs], pa.int64()
-                    ),
-                }
-            )
-
-    parts = docs.map_batches(
-        _LangEncode, batch_format="pyarrow", concurrency=(1, 4)
-    ).take_all()
-    acc: dict = {}
-    for r in parts:
-        a = acc.setdefault(r["lang"], [0, 0, 0, 0])
-        for i, c in enumerate(("n_docs", "n_words", "n_subwords", "n_chars")):
-            a[i] += int(r[c])
-    langs = sorted(acc)
-    fert = [
-        int(round_like_duckdb(1e6 * acc[g][2] / acc[g][1], 0))
-        for g in langs
-    ]
-    cps = [
-        int(round_like_duckdb(1e6 * acc[g][3] / acc[g][2], 0))
-        for g in langs
-    ]
-    return pa.table(
-        {
-            "lang": pa.array(langs, pa.string()),
-            "n_docs": pa.array([acc[g][0] for g in langs], pa.int64()),
-            "n_words": pa.array([acc[g][1] for g in langs], pa.int64()),
-            "n_subwords": pa.array([acc[g][2] for g in langs], pa.int64()),
-            "fertility_micro": pa.array(fert, pa.int64()),
-            "chars_per_subword_micro": pa.array(cps, pa.int64()),
-        }
-    )
-
-
-def q279_lz_complexity(sf_dir: str):
-    """Per-user event-stream LZ76 complexity (Lempel-Ziv production
-    count over the event-type sequence) — the information-theoretic
-    predictability gauge beside q251's one-step conditional entropy: a
-    user cycling view->click->view scores near the floor, an erratic
-    one approaches the i.i.d. ceiling. Plan: ONE user-keyed exchange,
-    block-local (ts, event_id)-sorted per-user scan through the shared
-    sequential kernel (functions/text.py lz76_phrases — inherently
-    sequential per user, which is why the oracle is a golden);
-    complexity_micro = round(1e6 * c * ln(n) / n) mirrors the golden's
-    close bit-for-bit."""
-    import math
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import lz76_phrases as _lz
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-
-    def _complexity(t: pa.Table) -> pa.Table:
-        uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        typ = np.asarray(t.column("event_type").to_pylist(), dtype=object)
-        order = np.lexsort((eid, us, uid))
-        uid, typ = uid[order], typ[order]
-        uu, idx = np.unique(uid, return_index=True)
-        ends = np.append(idx[1:], len(uid))
-        out_u, out_n, out_c, out_m = [], [], [], []
-        for k in range(len(uu)):
-            seq = tuple(typ[idx[k] : ends[k]])
-            n = len(seq)
-            if n < 2:
-                continue
-            c = _lz(seq)
-            out_u.append(int(uu[k]))
-            out_n.append(n)
-            out_c.append(c)
-            out_m.append(
-                int(round_like_duckdb(1e6 * c * math.log(n) / n, 0))
-            )
-        return pa.table(
-            {
-                "user_id": pa.array(out_u, pa.int64()),
-                "n_events": pa.array(out_n, pa.int64()),
-                "n_phrases": pa.array(out_c, pa.int64()),
-                "complexity_micro": pa.array(out_m, pa.int64()),
-            }
-        )
-
-    return ev.repartition(hash_partitions(8), keys=["user_id"]).map_batches(
-        _complexity, batch_format="pyarrow", batch_size=None
-    )
-
-
-def q280_cusum_changepoint(sf_dir: str):
-    """Two-sided CUSUM changepoint monitor per event type over the
-    gap-filled daily count series — the drift tripwire a telemetry
-    pipeline runs before trusting volume-derived stats (a feed that
-    silently halves emits a negative-side alarm; a bot burst a
-    positive one). All state is INTEGER micro-counts: target mu =
-    floor(1e6*total/n_days), slack k = mu//20 (5%), alarm threshold
-    h = 4*mu, and the fold s+ = max(0, s+ + 1e6*c - mu - k) /
-    s- = max(0, s- + mu - 1e6*c - k) accumulates zero float error, so
-    the SQL recursive CTE replays it bit-exactly (q246's dense-spine +
-    integer-recursion discipline). Plan: ONE (type, day)-bounded count
-    aggregation; the inherently-sequential fold runs on the
-    days x types driver table, never on events."""
-    import numpy as np
-
-    DAY = 86_400_000_000
-    ev = read_table(sf_dir, "events", ["ts", "event_type"])
-
-    def _day_partials(t: pa.Table) -> pa.Table:
-        ts = t.column("ts").cast(pa.int64())
-        day = pc.divide(ts, pa.scalar(DAY, pa.int64()))
-        tt = pa.table({"event_type": t.column("event_type"), "day": day})
-        g = tt.group_by(["event_type", "day"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "day", "c"])
-
-    hist = (
-        ev.map_batches(_day_partials, batch_format="pyarrow")
-        .groupby(["event_type", "day"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "event_type": pa.array([], pa.string()),
-            "n_days": pa.array([], pa.int64()),
-            "mu_micro": pa.array([], pa.int64()),
-            "max_pos_micro": pa.array([], pa.int64()),
-            "max_neg_micro": pa.array([], pa.int64()),
-            "n_alarm_days": pa.array([], pa.int64()),
-        }
-    )
-    if not hist:
-        return empty
-    d0 = min(int(r["day"]) for r in hist)
-    nd = max(int(r["day"]) for r in hist) - d0
-    dense: dict = {}
-    for r in hist:
-        dense.setdefault(r["event_type"], np.zeros(nd + 1, np.int64))[
-            int(r["day"]) - d0
-        ] = int(r["c"])
-    rows = []
-    for typ in sorted(dense):
-        c = dense[typ]
-        mu = (int(c.sum()) * 1_000_000) // (nd + 1)
-        kk = mu // 20
-        h = 4 * mu
-        sp = sn = 0
-        max_p = max_n = alarms = 0
-        for d in range(nd + 1):
-            x = int(c[d]) * 1_000_000
-            sp = max(0, sp + x - mu - kk)
-            sn = max(0, sn + mu - x - kk)
-            max_p = max(max_p, sp)
-            max_n = max(max_n, sn)
-            if sp > h or sn > h:
-                alarms += 1
-        rows.append((typ, nd + 1, mu, max_p, max_n, alarms))
-    return pa.table(
-        {
-            "event_type": pa.array([r[0] for r in rows], pa.string()),
-            "n_days": pa.array([r[1] for r in rows], pa.int64()),
-            "mu_micro": pa.array([r[2] for r in rows], pa.int64()),
-            "max_pos_micro": pa.array([r[3] for r in rows], pa.int64()),
-            "max_neg_micro": pa.array([r[4] for r in rows], pa.int64()),
-            "n_alarm_days": pa.array([r[5] for r in rows], pa.int64()),
-        }
-    )
-
-
-SQL_Q280 = """
-WITH RECURSIVE bounds AS (
-  SELECT date_trunc('day', min(ts)) AS d0,
-         date_diff('day', date_trunc('day', min(ts)),
-                   date_trunc('day', max(ts))) AS nd
-  FROM events),
-types AS (SELECT DISTINCT event_type FROM events),
-spine AS (SELECT t.event_type, gs.i
-          FROM types t, bounds, generate_series(0, 100000) gs(i)
-          WHERE gs.i <= bounds.nd),
-counts AS (SELECT event_type,
-                  date_diff('day', bounds.d0, date_trunc('day', ts)) AS i,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM events, bounds GROUP BY 1, 2),
-dense AS (SELECT s.event_type, s.i, coalesce(c.c, 0) AS c
-          FROM spine s LEFT JOIN counts c
-            ON s.event_type = c.event_type AND s.i = c.i),
-stats AS (SELECT event_type,
-                 (sum(c) * 1000000) // count(*) AS mu
-          FROM dense GROUP BY 1),
-rec AS (
-  SELECT d.event_type, d.i,
-         greatest(0, d.c * 1000000 - st.mu - st.mu // 20) AS sp,
-         greatest(0, st.mu - d.c * 1000000 - st.mu // 20) AS sn
-  FROM dense d JOIN stats st USING (event_type) WHERE d.i = 0
-  UNION ALL
-  SELECT d.event_type, d.i,
-         greatest(0, r.sp + d.c * 1000000 - st.mu - st.mu // 20),
-         greatest(0, r.sn + st.mu - d.c * 1000000 - st.mu // 20)
-  FROM rec r
-  JOIN dense d ON d.event_type = r.event_type AND d.i = r.i + 1
-  JOIN stats st ON st.event_type = r.event_type)
-SELECT r.event_type,
-       CAST(count(*) AS BIGINT) AS n_days,
-       CAST(any_value(st.mu) AS BIGINT) AS mu_micro,
-       CAST(max(r.sp) AS BIGINT) AS max_pos_micro,
-       CAST(max(r.sn) AS BIGINT) AS max_neg_micro,
-       CAST(coalesce(sum(CASE WHEN r.sp > 4 * st.mu
-                              OR r.sn > 4 * st.mu
-                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_alarm_days
-FROM rec r JOIN stats st USING (event_type)
-GROUP BY 1 ORDER BY 1
-"""
-
-
-def q281_markov_stationary(sf_dir: str):
-    """Stationary distribution of the first-order event-type Markov
-    chain (12 integer-micro power-iteration rounds) — the long-run
-    'where does a user's session settle' summary beside q213's
-    backtest and q251's transition entropy. Transition probabilities
-    are floor-micro (1e6*n // row_total); dangling states (observed
-    only as successors) get the uniform row 1e6//S, so the matrix
-    stays substochastic by at most the floor loss and every round is
-    pure int64 arithmetic: pi'_j = (sum_i pi_i * p_ij) // 1e6 — the
-    SQL oracle replays all 12 rounds as unrolled chained CTEs
-    bit-exactly (the q94 unrolled-CTE discipline). Plan: ONE
-    user-keyed exchange, the q213 lexsort transition kernel emits
-    types²-bounded count partials; the iteration runs on the S-sized
-    driver matrix."""
-    import numpy as np
-
-    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-
-    def _trans(t: pa.Table) -> pa.Table:
-        us = t.column("user_id").to_numpy(zero_copy_only=False)
-        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        st = np.asarray(t.column("event_type").to_pylist())
-        order = np.lexsort((eid, ts, us))
-        us, st = us[order], st[order]
-        same = us[1:] == us[:-1]
-        a, b = st[:-1][same], st[1:][same]
-        g = (
-            pa.table(
-                {
-                    "prev": pa.array(a.tolist(), pa.string()),
-                    "nxt": pa.array(b.tolist(), pa.string()),
-                }
-            )
-            .group_by(["prev", "nxt"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["prev", "nxt", "n"])
-
-    tbl = (
-        ev.repartition(hash_partitions(8), keys=["user_id"])
-        .map_batches(_trans, batch_format="pyarrow", batch_size=None)
-        .groupby(["prev", "nxt"], num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()  # event-types² bounded
-    )
-    empty = pa.table(
-        {
-            "state": pa.array([], pa.string()),
-            "pi_micro": pa.array([], pa.int64()),
-            "out_transitions": pa.array([], pa.int64()),
-        }
-    )
-    if not tbl:
-        return empty
-    states = sorted(
-        {r["prev"] for r in tbl} | {r["nxt"] for r in tbl}
-    )
-    S = len(states)
-    idx = {s: i for i, s in enumerate(states)}
-    tot = np.zeros(S, np.int64)
-    for r in tbl:
-        tot[idx[r["prev"]]] += int(r["n"])
-    P = np.zeros((S, S), np.int64)
-    for r in tbl:
-        i = idx[r["prev"]]
-        P[i, idx[r["nxt"]]] = (int(r["n"]) * 1_000_000) // tot[i]
-    dangling = tot == 0
-    P[dangling, :] = 1_000_000 // S
-    pi = np.full(S, 1_000_000 // S, np.int64)
-    for _ in range(12):
-        pi = (pi @ P) // 1_000_000
-    return pa.table(
-        {
-            "state": pa.array(states, pa.string()),
-            "pi_micro": pa.array(pi, pa.int64()),
-            "out_transitions": pa.array(tot, pa.int64()),
-        }
-    )
-
-
-def _sql_q281(rounds: int = 12) -> str:
-    body = """
-WITH seq AS (
-  SELECT user_id, event_type AS prev,
-         lead(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
-  FROM events),
-cnt AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n FROM seq
-        WHERE nxt IS NOT NULL GROUP BY 1, 2),
-states AS (SELECT DISTINCT s FROM (
-             SELECT prev AS s FROM cnt UNION SELECT nxt AS s FROM cnt)),
-ks AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
-tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM cnt GROUP BY 1),
-pmat AS (
-  SELECT c.prev AS i, c.nxt AS j, (c.n * 1000000) // t.tot AS p
-  FROM cnt c JOIN tot t ON c.prev = t.prev
-  UNION ALL
-  SELECT s1.s, s2.s, 1000000 // ks.k
-  FROM states s1, states s2, ks
-  WHERE s1.s NOT IN (SELECT prev FROM cnt)),
-r0 AS (SELECT s AS state, 1000000 // ks.k AS pi FROM states, ks)"""
-    for r in range(1, rounds + 1):
-        body += f""",
-r{r} AS (SELECT p.j AS state,
-         CAST(sum(r{r - 1}.pi * p.p) // 1000000 AS BIGINT) AS pi
-       FROM r{r - 1} JOIN pmat p ON p.i = r{r - 1}.state GROUP BY 1)"""
-    body += f"""
-SELECT s.s AS state,
-       CAST(coalesce(r{rounds}.pi, 0) AS BIGINT) AS pi_micro,
-       CAST(coalesce(t.tot, 0) AS BIGINT) AS out_transitions
-FROM states s
-LEFT JOIN r{rounds} ON r{rounds}.state = s.s
-LEFT JOIN tot t ON t.prev = s.s
-ORDER BY 1"""
-    return body
-
-
-def q282_cluster_silhouette(sf_dir: str):
-    """Per-cluster simplified silhouette of the q126 k-means fit — the
-    cluster-quality report card that tells you whether the k you chose
-    carved real structure (mean s near 1e6) or noise (near 0/negative)
-    before you trust cluster-level curation decisions (SemDeDup
-    budgets, per-cluster sampling rates). Plan: centroids train via
-    the SHARED distributed_kmeans (k x d driver table, bit-equal to
-    the sequential golden); ONE scoring pass broadcasts C by closure
-    and ships (cluster, n, sum_s_micro) int64 partials (the per-point
-    s_micro is a pure IEEE function of the point — ann.
-    silhouette_partials — so the sums are order-free); the k-bounded
-    close micro-rounds the means."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.ann import (
-        _emb_matrix,
-        distributed_kmeans,
-        micro_embed,
-        silhouette_partials,
-    )
-
-    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
-    cent = distributed_kmeans(emb, k=8, rounds=5).to_pandas()  # k x d
-    k = int(cent["cluster"].max()) + 1
-    d = int(cent["dim"].max())
-    C = np.zeros((k, d), np.int64)
-    C[cent["cluster"].to_numpy(), cent["dim"].to_numpy() - 1] = cent[
-        "centroid_micro"
-    ].to_numpy()
-    _em, _me, _sp = _emb_matrix, micro_embed, silhouette_partials
-
-    def _parts(t: pa.Table) -> pa.Table:
-        m = _em(t)
-        E = _me(m.reshape(-1), m.shape[0])
-        assign, s = _sp(E, C)
-        uu, inv, cnt = np.unique(assign, return_inverse=True, return_counts=True)
-        sums = np.zeros(uu.size, np.int64)
-        np.add.at(sums, inv, s)
-        return pa.table(
-            {
-                "cluster": pa.array(uu.astype(np.int64)),
-                "n": pa.array(cnt.astype(np.int64)),
-                "s": pa.array(sums),
-            }
-        )
-
-    parts = emb.map_batches(_parts, batch_format="pyarrow").take_all()
-    agg: dict = {}
-    for r in parts:
-        a = agg.setdefault(int(r["cluster"]), [0, 0])
-        a[0] += int(r["n"])
-        a[1] += int(r["s"])
-    clusters = sorted(agg)
-    return pa.table(
-        {
-            "cluster": pa.array(clusters, pa.int64()),
-            "n": pa.array([agg[c][0] for c in clusters], pa.int64()),
-            "mean_sil_micro": pa.array(
-                [
-                    int(round_like_duckdb(agg[c][1] * 1.0 / agg[c][0], 0))
-                    for c in clusters
-                ],
-                pa.int64(),
-            ),
-        }
-    )
-
-
-def q283_ks_length_shift(sf_dir: str):
-    """Exact two-sample Kolmogorov-Smirnov statistic of each source's
-    doc-length distribution against the rest of the corpus — the
-    numeric-marginal distribution-shift gauge beside q169's term-space
-    JS divergence (a source whose lengths drifted flags here even when
-    its vocabulary looks normal). EXACT integers end to end: D's
-    numerator max|cum_s*T_rest - cum_rest*T_s| and the final
-    ks_ppm = (D*1e6) // (T_s*T_rest) are arbitrary-precision driver
-    math (HUGEINT in the SQL mirror) — no float CDFs, no rounding
-    hazard. Plan: block-local (source, n_chars) count partials, ONE
-    sources x lengths-bounded aggregation, the sup-scan folds on the
-    bounded driver table."""
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        g = t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
-        return g.rename_columns(["source", "n_chars", "c"])
-
-    hist = (
-        docs.map_batches(_partials, batch_format="pyarrow")
-        .groupby(["source", "n_chars"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "source": pa.array([], pa.string()),
-            "n_docs": pa.array([], pa.int64()),
-            "ks_ppm": pa.array([], pa.int64()),
-        }
-    )
-    if not hist:
-        return empty
-    vals = sorted({int(r["n_chars"]) for r in hist})
-    vidx = {v: i for i, v in enumerate(vals)}
-    sources = sorted({r["source"] for r in hist})
-    counts = {s: np.zeros(len(vals), dtype=np.int64) for s in sources}
-    for r in hist:
-        counts[r["source"]][vidx[int(r["n_chars"])]] += int(r["c"])
-    total = np.zeros(len(vals), dtype=np.int64)
-    for s in sources:
-        total += counts[s]
-    cum_all = np.cumsum(total)
-    grand = int(cum_all[-1])
-    out_s, out_n, out_ks = [], [], []
-    for s in sources:
-        cs = np.cumsum(counts[s])
-        t_s = int(cs[-1])
-        t_r = grand - t_s
-        if t_r == 0:
-            continue
-        # arbitrary-precision sup scan (int64 products can overflow
-        # at corpus scale; mirror = HUGEINT)
-        dnum = max(
-            abs(int(cs[i]) * t_r - (int(cum_all[i]) - int(cs[i])) * t_s)
-            for i in range(len(vals))
-        )
-        out_s.append(s)
-        out_n.append(t_s)
-        out_ks.append((dnum * 1_000_000) // (t_s * t_r))
-    return pa.table(
-        {
-            "source": pa.array(out_s, pa.string()),
-            "n_docs": pa.array(out_n, pa.int64()),
-            "ks_ppm": pa.array(out_ks, pa.int64()),
-        }
-    )
-
-
-SQL_Q283 = """
-WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
-           FROM documents GROUP BY 1, 2),
-tot AS (SELECT source, CAST(sum(c) AS HUGEINT) AS t FROM h GROUP BY 1),
-g AS (SELECT CAST(sum(c) AS HUGEINT) AS gt FROM h),
-vals AS (SELECT DISTINCT n_chars FROM h),
-grid AS (SELECT t.source, v.n_chars FROM tot t CROSS JOIN vals v),
-dense AS (SELECT gr.source, gr.n_chars, coalesce(h.c, 0) AS c
-          FROM grid gr LEFT JOIN h
-            ON h.source = gr.source AND h.n_chars = gr.n_chars),
-cum AS (SELECT source, n_chars,
-               CAST(sum(c) OVER (
-                 PARTITION BY source ORDER BY n_chars) AS HUGEINT) AS cs
-        FROM dense),
-cumall AS (SELECT n_chars, CAST(sum(cs) AS HUGEINT) AS call
-           FROM cum GROUP BY 1),
-d AS (SELECT c.source,
-             max(abs(c.cs * (g.gt - t.t) - (ca.call - c.cs) * t.t)) AS dnum
-      FROM cum c
-      JOIN cumall ca USING (n_chars)
-      JOIN tot t ON t.source = c.source
-      CROSS JOIN g
-      WHERE g.gt - t.t > 0
-      GROUP BY 1)
-SELECT d.source,
-       CAST(t.t AS BIGINT) AS n_docs,
-       CAST((d.dnum * 1000000) // (t.t * (g.gt - t.t)) AS BIGINT) AS ks_ppm
-FROM d JOIN tot t ON t.source = d.source CROSS JOIN g
-ORDER BY 1
-"""
-
-
-def q284_longest_self_repeat(sf_dir: str):
-    """Longest repeated token-substring per document — the intra-doc
-    verbatim-memorization audit (a doc can pass q111's Gopher dup-
-    FRACTION gates yet still carry one giant self-repeat that a
-    training run will memorize; this surfaces it with its exact
-    length). Plan: ZERO exchanges — a warm-Tokenizer actor pool runs
-    the shared binary-search kernel (text.longest_repeated_run, exact
-    tuple equality, no hash-collision false positives) per doc;
-    repeat_share_bp = floor(1e4 * L / n_tokens) is pure integer."""
-    from barks_ocr_ray.functions.text import Tokenizer, longest_repeated_run
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    _lrr = longest_repeated_run
-
-    class _Audit(Tokenizer):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, nt, ml, bp = [], [], [], []
-            for did, s in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text")
-            ):
-                toks = self.tokens(s.as_py() or "")
-                n = len(toks)
-                L = _lrr(toks)
-                ids.append(int(did))
-                nt.append(n)
-                ml.append(L)
-                bp.append((10_000 * L) // n if n else 0)
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "n_tokens": pa.array(nt, pa.int64()),
-                    "max_repeat_len": pa.array(ml, pa.int64()),
-                    "repeat_share_bp": pa.array(bp, pa.int64()),
-                }
-            )
-
-    return docs.map_batches(
-        _Audit, batch_format="pyarrow", concurrency=(1, 4)
-    )
-
-
-def q285_chi_square_independence(sf_dir: str):
-    """Pearson chi-square test of independence between document
-    language and source — the categorical-association audit beside
-    q283's numeric KS and q169's distributional JS (a crawl where one
-    source over-supplies one language flags here with per-cell
-    attribution). Every (lang, source) grid cell — including observed
-    zeros, whose (0-E)^2/E = E still contributes — emits its observed
-    count, expected count, and chi-square contribution; contributions
-    are micro-rounded PER CELL before any summation (the q268/q276
-    reassociation-proof discipline), so the bounded table is exact.
-    Plan: block (lang, source) count partials, ONE langs x sources
-    bounded aggregation, grid close on the driver."""
-    docs = read_table(sf_dir, "documents", ["lang", "source"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        g = t.group_by(["lang", "source"]).aggregate([([], "count_all")])
-        return g.rename_columns(["lang", "source", "o"])
-
-    cells = (
-        docs.map_batches(_partials, batch_format="pyarrow")
-        .groupby(["lang", "source"], num_partitions=2)
-        .aggregate(Sum("o", alias_name="o"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "lang": pa.array([], pa.string()),
-            "source": pa.array([], pa.string()),
-            "o": pa.array([], pa.int64()),
-            "exp_micro": pa.array([], pa.int64()),
-            "contrib_micro": pa.array([], pa.int64()),
-        }
-    )
-    if not cells:
-        return empty
-    obs = {(r["lang"], r["source"]): int(r["o"]) for r in cells}
-    langs = sorted({k[0] for k in obs})
-    sources = sorted({k[1] for k in obs})
-    row_tot = {g: sum(obs.get((g, s), 0) for s in sources) for g in langs}
-    col_tot = {s: sum(obs.get((g, s), 0) for g in langs) for s in sources}
-    n = sum(row_tot.values())
-    out_l, out_s, out_o, out_e, out_c = [], [], [], [], []
-    for g in langs:
-        for s in sources:
-            o = obs.get((g, s), 0)
-            e = row_tot[g] * col_tot[s] * 1.0 / n
-            out_l.append(g)
-            out_s.append(s)
-            out_o.append(o)
-            out_e.append(int(round_like_duckdb(1e6 * e, 0)))
-            out_c.append(int(round_like_duckdb(1e6 * (o - e) * (o - e) / e, 0)))
-    return pa.table(
-        {
-            "lang": pa.array(out_l, pa.string()),
-            "source": pa.array(out_s, pa.string()),
-            "o": pa.array(out_o, pa.int64()),
-            "exp_micro": pa.array(out_e, pa.int64()),
-            "contrib_micro": pa.array(out_c, pa.int64()),
-        }
-    )
-
-
-SQL_Q285 = """
-WITH cnt AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
-             FROM documents GROUP BY 1, 2),
-rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cnt GROUP BY 1),
-ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cnt GROUP BY 1),
-n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cnt),
-grid AS (SELECT rt.lang, ct.source, rt.r, ct.c FROM rt CROSS JOIN ct),
-cell AS (SELECT g.lang, g.source,
-                coalesce(cnt.o, 0) AS o,
-                g.r * g.c * 1.0 / n.n AS e
-         FROM grid g
-         LEFT JOIN cnt ON cnt.lang = g.lang AND cnt.source = g.source
-         CROSS JOIN n)
-SELECT lang, source, o,
-       CAST(round(1000000 * e, 0) AS BIGINT) AS exp_micro,
-       CAST(round(1000000 * (o - e) * (o - e) / e, 0) AS BIGINT)
-         AS contrib_micro
-FROM cell ORDER BY 1, 2
-"""
-
-
-#: Poisson(1) CDF breakpoints scaled to 2^32 and floored — INTEGER
-#: literals shared verbatim by q286's Python and SQL sides, so the
-#: per-(row, replicate) resample count is a pure integer comparison
-#: chain with zero IEEE arithmetic anywhere in the draw.
-Q286_B = 32
-Q286_POIS_T = (
-    1580030168,
-    3160060337,
-    3950075421,
-    4213413783,
-    4279248373,
-    4292415291,
-)
-
-
-def q286_poisson_bootstrap_ci(sf_dir: str):
-    """Distributed Poisson bootstrap confidence interval for the mean
-    order value — THE shuffle-free resampling scheme at scale (the
-    classical multinomial bootstrap needs a global n to draw against;
-    Poisson(1) counts per row are independent, so every replicate is
-    a pure row function and all 32 replicates ride ONE pass as
-    B-bounded (replicate, n, sum_cents) partials). Determinism: the
-    per-(row, replicate) count is md5(f"{b}:{orderkey}") first-8-hex
-    compared against shared INTEGER Poisson-CDF breakpoints
-    (Q286_POIS_T — no float draws at all), so the DuckDB oracle
-    replays every resample decision bit-for-bit (the
-    functions/hashing.py md5-vs-splitmix64 tradeoff applies: md5 is
-    the oracle-parity path, splitmix64 the 100-TB fast path).
-    CI rule: percentile bootstrap with explicit rank picks
-    ceil(0.025*B) / ceil(0.975*B) on the 32 replicate means."""
-    import hashlib
-    import math
-
-    import numpy as np
-
-    od = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    TS = Q286_POIS_T
-    B = Q286_B
-
-    def _partials(t: pa.Table) -> pa.Table:
-        keys = t.column("o_orderkey").to_pylist()
-        cents = round_like_duckdb(
-            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0,
-            0,
-        ).astype(np.int64)
-        ns = np.zeros(B + 1, np.int64)
-        ss = np.zeros(B + 1, np.int64)
-        ns[B] = len(keys)  # replicate id B = the full (unresampled) sample
-        ss[B] = int(cents.sum())
-        for b in range(B):
-            pre = f"{b}:".encode("utf-8")
-            cs = np.fromiter(
-                (
-                    int(
-                        hashlib.md5(pre + str(k).encode("utf-8")).hexdigest()[
-                            :8
-                        ],
-                        16,
-                    )
-                    for k in keys
-                ),
-                dtype=np.int64,
-                count=len(keys),
-            )
-            c = np.zeros(len(keys), np.int64)
-            for th in TS:
-                c += cs >= th
-            ns[b] = int(c.sum())
-            ss[b] = int((c * cents).sum())
-        return pa.table(
-            {
-                "b": pa.array(np.arange(B + 1, dtype=np.int64)),
-                "n": pa.array(ns),
-                "s": pa.array(ss),
-            }
-        )
-
-    parts = od.map_batches(_partials, batch_format="pyarrow").take_all()
-    ns = np.zeros(B + 1, np.int64)
-    ss = np.zeros(B + 1, np.int64)
-    for r in parts:
-        ns[int(r["b"])] += int(r["n"])
-        ss[int(r["b"])] += int(r["s"])
-    # 10000*s stays exact INTEGER before the single float division —
-    # mirrors the SQL's (10000 * s * 1.0 / n) evaluation order.
-    means = [
-        int(round_like_duckdb(10_000 * int(ss[b]) * 1.0 / int(ns[b]), 0))
-        if ns[b]
-        else 0
-        for b in range(B)
-    ]
-    means.sort()
-    lo = means[math.ceil(0.025 * B) - 1]
-    hi = means[math.ceil(0.975 * B) - 1]
-    point = (
-        int(round_like_duckdb(10_000 * int(ss[B]) * 1.0 / int(ns[B]), 0))
-        if ns[B]
-        else 0
-    )
-    return pa.table(
-        {
-            "n": pa.array([int(ns[B])], pa.int64()),
-            "mean_micro": pa.array([point], pa.int64()),
-            "ci_lo_micro": pa.array([lo], pa.int64()),
-            "ci_hi_micro": pa.array([hi], pa.int64()),
-            "b": pa.array([B], pa.int64()),
-        }
-    )
-
-
-def _sql_q286() -> str:
-    t = Q286_POIS_T
-    case = " + ".join(
-        f"(CASE WHEN h >= {th} THEN 1 ELSE 0 END)" for th in t
-    )
-    return f"""
-WITH reps AS (SELECT CAST(gs.b AS BIGINT) AS b
-              FROM generate_series(0, {Q286_B - 1}) gs(b)),
-base AS (SELECT o_orderkey,
-                CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
-         FROM orders),
-draws AS (SELECT r.b, o.cents,
-                 CAST(('0x' || substring(md5(CAST(r.b AS VARCHAR) || ':' ||
-                   CAST(o.o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
-          FROM base o CROSS JOIN reps r),
-cnt AS (SELECT b, cents, {case} AS c FROM draws),
-rep AS (SELECT b, CAST(sum(c) AS BIGINT) AS n,
-               CAST(sum(c * cents) AS BIGINT) AS s
-        FROM cnt GROUP BY 1),
-mm AS (SELECT b,
-              CASE WHEN n = 0 THEN 0
-                   ELSE CAST(round(10000 * s * 1.0 / n, 0) AS BIGINT)
-              END AS m
-       FROM rep),
-ranked AS (SELECT m, row_number() OVER (ORDER BY m) AS rk FROM mm),
-full_s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(round(10000 * sum(cents) * 1.0 / count(*), 0)
-                       AS BIGINT) AS mean_micro
-           FROM base)
-SELECT f.n, f.mean_micro,
-       (SELECT m FROM ranked
-        WHERE rk = CAST(ceil(0.025 * {Q286_B}) AS BIGINT)) AS ci_lo_micro,
-       (SELECT m FROM ranked
-        WHERE rk = CAST(ceil(0.975 * {Q286_B}) AS BIGINT)) AS ci_hi_micro,
-       CAST({Q286_B} AS BIGINT) AS b
-FROM full_s f
-"""
-
-
-def q287_dp_count_release(sf_dir: str):
-    """Differentially-private event-type count release (Laplace
-    mechanism, eps = 1, sensitivity 1) with REPLAYABLE noise — the
-    privacy sibling of q61/q103: production DP uses a secret RNG, but
-    an auditable pipeline needs the noise reproducible for tests and
-    oracles, so the uniform is md5(f"dp:{type}") first-8-hex / 2^32
-    (the functions/hashing.py convention) and the draw is the Laplace
-    inverse CDF -sign(u-1/2)*ln(1-2|u-1/2|), micro-rounded as ONE
-    mirrored IEEE expression per group (the q134 ln-parity
-    discipline). Plan: block count partials, ONE types-bounded
-    aggregation, noise applied on the bounded driver table."""
-    import hashlib
-    import math
-
-    ev = read_table(sf_dir, "events", ["event_type"])
-
-    def _partials(t: pa.Table) -> pa.Table:
-        g = t.group_by(["event_type"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "n"])
-
-    counts = (
-        ev.map_batches(_partials, batch_format="pyarrow")
-        .groupby("event_type", num_partitions=2)
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    agg: dict = {}
-    for r in counts:
-        agg[r["event_type"]] = agg.get(r["event_type"], 0) + int(r["n"])
-    types = sorted(agg)
-    out_n, out_noise, out_rel = [], [], []
-    for typ in types:
-        h = int(
-            hashlib.md5(f"dp:{typ}".encode("utf-8")).hexdigest()[:8], 16
-        )
-        if h == 0:
-            noise = 0  # ln(0) guard, mirrored in the SQL CASE
-        else:
-            u = h / 4294967296.0
-            mag = math.log(1.0 - 2.0 * abs(u - 0.5))
-            noise = int(
-                round_like_duckdb(
-                    1e6 * (mag if u >= 0.5 else -mag), 0
-                )
-            )
-        out_n.append(agg[typ])
-        out_noise.append(noise)
-        out_rel.append(agg[typ] * 1_000_000 + noise)
-    return pa.table(
-        {
-            "event_type": pa.array(types, pa.string()),
-            "n": pa.array(out_n, pa.int64()),
-            "noise_micro": pa.array(out_noise, pa.int64()),
-            "released_micro": pa.array(out_rel, pa.int64()),
-        }
-    )
-
-
-SQL_Q287 = """
-WITH cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
-             FROM events GROUP BY 1),
-hh AS (SELECT event_type, n,
-              CAST(('0x' || substring(md5('dp:' || event_type), 1, 8))
-                   AS UBIGINT) AS h
-       FROM cnt),
-noise AS (SELECT event_type, n,
-                 CASE WHEN h = 0 THEN CAST(0 AS BIGINT)
-                      WHEN h / 4294967296.0 >= 0.5 THEN
-                        CAST(round(1000000 * ln(
-                          1.0 - 2.0 * abs(h / 4294967296.0 - 0.5)), 0)
-                          AS BIGINT)
-                      ELSE
-                        CAST(round(1000000 * -ln(
-                          1.0 - 2.0 * abs(h / 4294967296.0 - 0.5)), 0)
-                          AS BIGINT)
-                 END AS noise_micro
-          FROM hh)
-SELECT event_type, n, noise_micro,
-       n * 1000000 + noise_micro AS released_micro
-FROM noise ORDER BY 1
-"""
-
-
-def q288_theil_sen_trend(sf_dir: str):
-    """Theil-Sen robust daily-volume trend per event type — the
-    outlier-proof slope (median of all pairwise day slopes) beside
-    q193's OLS-style autocorrelation: one bot-burst day drags an OLS
-    fit but moves this median by at most one rank. Per-pair slopes are
-    micro-rounded as ONE mirrored IEEE expression; the median is an
-    EXPLICIT lower-median rank pick (ceil(m/2)) over the sorted int
-    slopes, so both engines agree bit-for-bit. Plan: ONE (type, day)-
-    bounded count aggregation (dense zero-filled spine, q246
-    discipline); the O(days²) pair scan runs on the bounded driver
-    series, never on events."""
-    import math
-
-    import numpy as np
-
-    DAY = 86_400_000_000
-    ev = read_table(sf_dir, "events", ["ts", "event_type"])
-
-    def _day_partials(t: pa.Table) -> pa.Table:
-        ts = t.column("ts").cast(pa.int64())
-        day = pc.divide(ts, pa.scalar(DAY, pa.int64()))
-        tt = pa.table({"event_type": t.column("event_type"), "day": day})
-        g = tt.group_by(["event_type", "day"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "day", "c"])
-
-    hist = (
-        ev.map_batches(_day_partials, batch_format="pyarrow")
-        .groupby(["event_type", "day"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "event_type": pa.array([], pa.string()),
-            "n_days": pa.array([], pa.int64()),
-            "n_pairs": pa.array([], pa.int64()),
-            "slope_micro": pa.array([], pa.int64()),
-        }
-    )
-    if not hist:
-        return empty
-    d0 = min(int(r["day"]) for r in hist)
-    nd = max(int(r["day"]) for r in hist) - d0
-    dense: dict = {}
-    for r in hist:
-        dense.setdefault(r["event_type"], np.zeros(nd + 1, np.int64))[
-            int(r["day"]) - d0
-        ] = int(r["c"])
-    out_t, out_d, out_p, out_s = [], [], [], []
-    for typ in sorted(dense):
-        c = dense[typ]
-        n = nd + 1
-        if n < 2:
-            continue
-        i, j = np.triu_indices(n, k=1)
-        slopes = round_like_duckdb(
-            1_000_000 * (c[j] - c[i]) * 1.0 / (j - i), 0
-        ).astype(np.int64)
-        slopes.sort()
-        m = slopes.size
-        out_t.append(typ)
-        out_d.append(n)
-        out_p.append(m)
-        out_s.append(int(slopes[math.ceil(m / 2) - 1]))
-    return pa.table(
-        {
-            "event_type": pa.array(out_t, pa.string()),
-            "n_days": pa.array(out_d, pa.int64()),
-            "n_pairs": pa.array(out_p, pa.int64()),
-            "slope_micro": pa.array(out_s, pa.int64()),
-        }
-    )
-
-
-SQL_Q288 = """
-WITH bounds AS (
-  SELECT date_trunc('day', min(ts)) AS d0,
-         date_diff('day', date_trunc('day', min(ts)),
-                   date_trunc('day', max(ts))) AS nd
-  FROM events),
-types AS (SELECT DISTINCT event_type FROM events),
-spine AS (SELECT t.event_type, gs.i
-          FROM types t, bounds, generate_series(0, 100000) gs(i)
-          WHERE gs.i <= bounds.nd),
-counts AS (SELECT event_type,
-                  date_diff('day', bounds.d0, date_trunc('day', ts)) AS i,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM events, bounds GROUP BY 1, 2),
-dense AS (SELECT s.event_type, s.i, coalesce(c.c, 0) AS c
-          FROM spine s LEFT JOIN counts c
-            ON s.event_type = c.event_type AND s.i = c.i),
-pairs AS (SELECT a.event_type,
-                 CAST(round(1000000 * (b.c - a.c) * 1.0 / (b.i - a.i), 0)
-                      AS BIGINT) AS slope
-          FROM dense a JOIN dense b
-            ON a.event_type = b.event_type AND b.i > a.i),
-ranked AS (SELECT event_type, slope,
-                  row_number() OVER (
-                    PARTITION BY event_type ORDER BY slope) AS rk,
-                  count(*) OVER (PARTITION BY event_type) AS m
-           FROM pairs),
-nd_t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
-         FROM dense GROUP BY 1)
-SELECT r.event_type, n.n_days, CAST(r.m AS BIGINT) AS n_pairs,
-       r.slope AS slope_micro
-FROM ranked r JOIN nd_t n USING (event_type)
-WHERE r.rk = CAST(ceil(r.m / 2.0) AS BIGINT)
-ORDER BY 1
-"""
-
-
-def q289_chao1_vocabulary(sf_dir: str):
-    """Chao1 unseen-species estimate of the corpus vocabulary plus the
-    Good-Turing sample-coverage — 'how much vocabulary has this crawl
-    NOT seen yet' (the scaling-decision gauge beside q174's Zipf slope
-    and q218's novelty curve: a coverage near 1 says more of the same
-    crawl adds few new types). Everything closes from the count-of-
-    counts table: V, f1 (singletons), f2 (doubletons), N; the
-    bias-corrected chao1 = V + f1(f1-1)/(2(f2+1)) and coverage
-    1 - f1/N are each ONE mirrored IEEE expression. Plan: per-block
-    word-count combiner, ONE vocab-bounded exchange, count-of-counts
-    partials (bounded by distinct count VALUES), scalar close."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, WordCountCombiner
-
-    docs = read_table(sf_dir, "documents", ["text"])
-    voc = (
-        docs.map_batches(
-            WordCountCombiner, batch_format="pyarrow", concurrency=(1, 4)
-        )
-        .groupby("word", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("n", alias_name="n"))
-    )
-
-    def _coc(t: pa.Table) -> pa.Table:
-        n = t.column("n").to_numpy(zero_copy_only=False)
-        uv, cnt = np.unique(n, return_counts=True)
-        return pa.table(
-            {
-                "n": pa.array(uv.astype(np.int64), pa.int64()),
-                "c": pa.array(cnt.astype(np.int64), pa.int64()),
-            }
-        )
-
-    coc = (
-        voc.map_batches(_coc, batch_format="pyarrow")
-        .groupby("n", num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    v = sum(int(r["c"]) for r in coc)
-    n_tok = sum(int(r["n"]) * int(r["c"]) for r in coc)
-    f1 = sum(int(r["c"]) for r in coc if int(r["n"]) == 1)
-    f2 = sum(int(r["c"]) for r in coc if int(r["n"]) == 2)
-    chao1 = (
-        int(
-            round_like_duckdb(
-                1_000_000 * (v + f1 * (f1 - 1) * 1.0 / (2 * (f2 + 1))), 0
-            )
-        )
-        if v
-        else 0
-    )
-    cov = (
-        int(round_like_duckdb(1_000_000 * (1.0 - f1 * 1.0 / n_tok), 0))
-        if n_tok
-        else 0
-    )
-    return pa.table(
-        {
-            "v_obs": pa.array([v], pa.int64()),
-            "f1": pa.array([f1], pa.int64()),
-            "f2": pa.array([f2], pa.int64()),
-            "n_tokens": pa.array([n_tok], pa.int64()),
-            "chao1_micro": pa.array([chao1], pa.int64()),
-            "coverage_ppm": pa.array([cov], pa.int64()),
-        }
-    )
-
-
-SQL_Q289 = """
-WITH words AS (
-  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-  FROM documents),
-wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY 1),
-coc AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM wc GROUP BY 1),
-st AS (SELECT CAST(sum(c) AS BIGINT) AS v,
-              CAST(sum(n * c) AS BIGINT) AS n_tok,
-              CAST(coalesce(sum(CASE WHEN n = 1 THEN c END), 0)
-                   AS BIGINT) AS f1,
-              CAST(coalesce(sum(CASE WHEN n = 2 THEN c END), 0)
-                   AS BIGINT) AS f2
-       FROM coc)
-SELECT v AS v_obs, f1, f2, n_tok AS n_tokens,
-       CAST(round(1000000 * (v + f1 * (f1 - 1) * 1.0 / (2 * (f2 + 1))), 0)
-            AS BIGINT) AS chao1_micro,
-       CAST(round(1000000 * (1.0 - f1 * 1.0 / n_tok), 0) AS BIGINT)
-         AS coverage_ppm
-FROM st
-"""
-
-
-def q290_heaps_law(sf_dir: str):
-    """Heaps'-law vocabulary-growth exponent (V = K*N^beta) fitted on a
-    20-point doc-id grid — the companion scaling diagnostic to q174's
-    Zipf slope and q289's Chao1 (beta near 1 = every new doc is new
-    vocabulary; near 0 = the crawl has saturated). NO per-prefix
-    rescan: V(d) = count of terms whose FIRST-occurrence doc <= d, so
-    one (word, min(doc_id)) exchange plus grid-binned histogram
-    partials answer every grid point; token mass per grid bin ships
-    the same way. Logs are micro-rounded per point BEFORE the exact
-    int64 regression sums (the q174 milli-nat discipline); the slope
-    closes in ONE mirrored IEEE division. Grid cutoffs are
-    ceil(k*max_doc/20) by doc-id VALUE (documented: assumes the dense
-    doc_id key; a sparse key just makes the grid uneven, not wrong)."""
-    import math
-
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import Tokenizer, VOCAB_PARTITIONS
-
-    # three consumers (max, _FirstOcc pass, _nbins pass): a lazy
-    # Dataset re-executes the parquet read per consumer — materialize.
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
-    md = docs.max("doc_id")
-    G = 20
-    cutoffs = np.array(
-        [math.ceil(k * md / 20.0) for k in range(1, G + 1)], dtype=np.int64
-    )
-
-    class _FirstOcc(Tokenizer):
-        """(word, min doc) + (bin, token-count) partials in one pass."""
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            first: dict = {}
-            ids = batch.column("doc_id").to_pylist()
-            nts = []
-            for did, s in zip(ids, batch.column("text")):
-                toks = self.tokens(s.as_py() or "")
-                nts.append(len(toks))
-                for w in toks:
-                    p = first.get(w)
-                    if p is None or did < p:
-                        first[w] = did
-            return pa.table(
-                {
-                    "word": pa.array(list(first.keys()), pa.string()),
-                    "fd": pa.array(list(first.values()), pa.int64()),
-                }
-            )
-
-    first = (
-        docs.map_batches(
-            _FirstOcc, batch_format="pyarrow", concurrency=(1, 4)
-        )
-        .groupby("word", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Min("fd", alias_name="fd"))
-    )
-
-    def _vbins(t: pa.Table) -> pa.Table:
-        fd = t.column("fd").to_numpy(zero_copy_only=False)
-        b = np.searchsorted(cutoffs, fd, side="left")
-        uu, cnt = np.unique(b, return_counts=True)
-        return pa.table(
-            {
-                "bin": pa.array(uu.astype(np.int64), pa.int64()),
-                "v": pa.array(cnt.astype(np.int64), pa.int64()),
-            }
-        )
-
-    vparts = first.map_batches(_vbins, batch_format="pyarrow").take_all()
-
-    def _nbins(t: pa.Table) -> pa.Table:
-        tok = Tokenizer()
-        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=np.int64)
-        nts = np.asarray(
-            [
-                len(tok.tokens(s.as_py() or ""))
-                for s in t.column("text")
-            ],
-            dtype=np.int64,
-        )
-        b = np.searchsorted(cutoffs, ids, side="left")
-        uu = np.unique(b)
-        sums = np.zeros(uu.size, np.int64)
-        np.add.at(sums, np.searchsorted(uu, b), nts)
-        return pa.table(
-            {
-                "bin": pa.array(uu.astype(np.int64), pa.int64()),
-                "nt": pa.array(sums, pa.int64()),
-            }
-        )
-
-    nparts = docs.map_batches(_nbins, batch_format="pyarrow").take_all()
-    vb = np.zeros(G, np.int64)
-    nb = np.zeros(G, np.int64)
-    for r in vparts:
-        vb[int(r["bin"])] += int(r["v"])
-    for r in nparts:
-        nb[int(r["bin"])] += int(r["nt"])
-    v_cum = np.cumsum(vb)
-    n_cum = np.cumsum(nb)
-    xs, ys = [], []
-    for k in range(G):
-        if n_cum[k] > 0 and v_cum[k] > 0:
-            xs.append(
-                int(round_like_duckdb(1e6 * math.log(int(n_cum[k]) * 1.0), 0))
-            )
-            ys.append(
-                int(round_like_duckdb(1e6 * math.log(int(v_cum[k]) * 1.0), 0))
-            )
-    g = len(xs)
-    if g < 2:
-        beta = 0
-    else:
-        sx = sum(xs)
-        sy = sum(ys)
-        sxy = sum(a * b for a, b in zip(xs, ys))
-        sxx = sum(a * a for a in xs)
-        num = g * sxy - sx * sy
-        den = g * sxx - sx * sx
-        beta = (
-            int(round_like_duckdb(1_000_000 * (num * 1.0) / den, 0))
-            if den
-            else 0
-        )
-    return pa.table(
-        {
-            "g": pa.array([g], pa.int64()),
-            "v_total": pa.array([int(v_cum[-1])], pa.int64()),
-            "n_total": pa.array([int(n_cum[-1])], pa.int64()),
-            "beta_micro": pa.array([beta], pa.int64()),
-        }
-    )
-
-
-SQL_Q290 = """
-WITH dt AS (SELECT doc_id,
-                   regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-            FROM documents),
-ntok AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM dt),
-firstocc AS (SELECT word, min(doc_id) AS fd
-             FROM (SELECT doc_id, unnest(toks) AS word FROM dt)
-             GROUP BY 1),
-mx AS (SELECT max(doc_id) AS md FROM documents),
-grid AS (SELECT gs.k,
-                CAST(ceil(gs.k * (SELECT md FROM mx) / 20.0) AS BIGINT)
-                  AS cutoff
-         FROM generate_series(1, 20) gs(k)),
-pts AS (SELECT g.k,
-               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM ntok
-                WHERE doc_id <= g.cutoff) AS n_k,
-               (SELECT CAST(count(*) AS BIGINT) FROM firstocc
-                WHERE fd <= g.cutoff) AS v_k
-        FROM grid g),
-lp AS (SELECT CAST(round(1000000 * ln(n_k * 1.0), 0) AS BIGINT) AS x,
-              CAST(round(1000000 * ln(v_k * 1.0), 0) AS BIGINT) AS y
-       FROM pts WHERE n_k > 0 AND v_k > 0),
-s AS (SELECT CAST(count(*) AS BIGINT) AS g,
-             CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx
-      FROM lp),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS v_total FROM firstocc),
-ntot AS (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS n_total FROM ntok)
-SELECT s.g, tot.v_total, ntot.n_total,
-       CASE WHEN s.g < 2 OR (s.g * s.sxx - s.sx * s.sx) = 0
-            THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 *
-                   ((s.g * s.sxy - s.sx * s.sy) * 1.0) /
-                   (s.g * s.sxx - s.sx * s.sx), 0) AS BIGINT)
-       END AS beta_micro
-FROM s, tot, ntot
-"""
-
-
-def q291_neardup_lcs_audit(sf_dir: str):
-    """Longest-common-token-run audit over the q19 MinHash near-dup
-    pairs — the alignment refinement of the binary pair verdict (a
-    0.4-Jaccard pair can be scattered phrase overlap or one long
-    lifted passage; lcs_share separates boilerplate-style reuse from
-    quotation). Plan: pairs from the SHARED minhash_near_dups operator
-    (bit-equal to the golden's sequential replay), both texts attached
-    via the broadcast-gated _attach_column path, then a per-pair pass
-    through the shared text.longest_common_run kernel with a per-batch
-    token cache (a doc in many pairs tokenizes once per block).
-    share_bp = floor(1e4 * lcs / min(na, nb)) is pure integer."""
-    from barks_ocr_ray.functions.dedupe import _attach_column, minhash_near_dups
-    from barks_ocr_ray.functions.text import Tokenizer, longest_common_run
-
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"]).materialize()
-    n_docs = docs.count()
-    pairs = minhash_near_dups(docs, threshold=0.4)
-    pairs = _attach_column(pairs, docs, "doc_a", "text", "text_a", 8, n_docs)
-    pairs = _attach_column(
-        pairs, docs, "doc_b", "text", "text_b", 8, n_docs
-    ).materialize()  # pair-scale (tiny vs corpus); also the empty gate
-    if pairs.count() == 0:
-        # typed empty — a schema-less 0-row Dataset drops the column
-        # names the driver compares (CLAUDE.md to_pandas trap)
-        return pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "lcs_tokens": pa.array([], pa.int64()),
-                "lcs_share_bp": pa.array([], pa.int64()),
-            }
-        )
-    _lcr = longest_common_run
-
-    class _Align(Tokenizer):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            cache: dict = {}
-
-            def _toks(did, txt):
-                t = cache.get(did)
-                if t is None:
-                    t = self.tokens(txt or "")
-                    cache[did] = t
-                return t
-
-            out_a, out_b, out_l, out_s = [], [], [], []
-            for da, db, ta, tb in zip(
-                batch.column("doc_a").to_pylist(),
-                batch.column("doc_b").to_pylist(),
-                batch.column("text_a").to_pylist(),
-                batch.column("text_b").to_pylist(),
-            ):
-                a = _toks(da, ta)
-                b = _toks(db, tb)
-                L = _lcr(a, b)
-                m = min(len(a), len(b))
-                out_a.append(int(da))
-                out_b.append(int(db))
-                out_l.append(L)
-                out_s.append((10_000 * L) // m if m else 0)
-            return pa.table(
-                {
-                    "doc_a": pa.array(out_a, pa.int64()),
-                    "doc_b": pa.array(out_b, pa.int64()),
-                    "lcs_tokens": pa.array(out_l, pa.int64()),
-                    "lcs_share_bp": pa.array(out_s, pa.int64()),
-                }
-            )
-
-    return pairs.map_batches(
-        _Align, batch_format="pyarrow", concurrency=(1, 4)
-    )
-
-
-def q292_power_analysis(sf_dir: str):
-    """Two-sample power-analysis planner per source: docs per arm
-    needed to detect a 2% shift in mean doc length at alpha = 0.05 /
-    power = 0.80 — the experimental-design front door to q253's
-    realized z-test (run THIS before the A/B, not after). Exact int64
-    moments (n, sum, sum-of-squares) ship as O(1) block partials; the
-    z quantiles are shared LITERALS (1.959963984540054,
-    0.8416212335729143) and n_required = ceil(2 (z_a+z_b)^2 s^2 /
-    delta^2) closes as ONE mirrored IEEE chain on the sources-bounded
-    driver table. Sources with zero variance or <2 docs report 0
-    (nothing to detect / nothing to estimate, mirrored CASE)."""
-    import math
-
-    import numpy as np
-
-    docs = read_table(sf_dir, "documents", ["source", "n_chars"])
-
-    def _moments(t: pa.Table) -> pa.Table:
-        src = t.column("source")
-        x = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
-        tt = pa.table(
-            {
-                "source": src,
-                "n": pa.array(np.ones(len(x), np.int64)),
-                "sx": pa.array(x),
-                "sxx": pa.array(x * x),
-            }
-        )
-        g = tt.group_by(["source"]).aggregate(
-            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")]
-        )
-        return g.rename_columns(["source", "n", "sx", "sxx"])
-
-    rows = (
-        docs.map_batches(_moments, batch_format="pyarrow")
-        .groupby("source", num_partitions=2)
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("sx", alias_name="sx"),
-            Sum("sxx", alias_name="sxx"),
-        )
-        .take_all()
-    )
-    ZA, ZB = 1.959963984540054, 0.8416212335729143
-    agg: dict = {}
-    for r in rows:
-        a = agg.setdefault(r["source"], [0, 0, 0])
-        a[0] += int(r["n"])
-        a[1] += int(r["sx"])
-        a[2] += int(r["sxx"])
-    out_s, out_n, out_m, out_v, out_req = [], [], [], [], []
-    for s in sorted(agg):
-        n, sx, sxx = agg[s]
-        out_s.append(s)
-        out_n.append(n)
-        mean = sx * 1.0 / n if n else 0.0
-        out_m.append(int(round_like_duckdb(1e6 * mean, 0)) if n else 0)
-        if n < 2:
-            out_v.append(0)
-            out_req.append(0)
-            continue
-        s2 = (sxx - sx * sx * 1.0 / n) / (n - 1)
-        out_v.append(int(round_like_duckdb(1e6 * s2, 0)))
-        delta = 0.02 * mean
-        if s2 <= 0.0 or delta <= 0.0:
-            out_req.append(0)
-        else:
-            out_req.append(
-                int(
-                    math.ceil(
-                        2.0 * (ZA + ZB) * (ZA + ZB) * s2 / (delta * delta)
-                    )
-                )
-            )
-    return pa.table(
-        {
-            "source": pa.array(out_s, pa.string()),
-            "n": pa.array(out_n, pa.int64()),
-            "mean_micro": pa.array(out_m, pa.int64()),
-            "var_micro": pa.array(out_v, pa.int64()),
-            "n_required": pa.array(out_req, pa.int64()),
-        }
-    )
-
-
-SQL_Q292 = """
-WITH m AS (SELECT source,
-                  CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(n_chars) AS BIGINT) AS sx,
-                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
-           FROM documents GROUP BY 1)
-SELECT source, n,
-       CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 * (sx * 1.0 / n), 0) AS BIGINT)
-       END AS mean_micro,
-       CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
-            ELSE CAST(round(1000000 *
-                   ((sxx - sx * sx * 1.0 / n) / (n - 1)), 0) AS BIGINT)
-       END AS var_micro,
-       CASE WHEN n < 2 THEN CAST(0 AS BIGINT)
-            WHEN (sxx - sx * sx * 1.0 / n) / (n - 1) <= 0.0
-              THEN CAST(0 AS BIGINT)
-            WHEN 0.02 * (sx * 1.0 / n) <= 0.0 THEN CAST(0 AS BIGINT)
-            ELSE CAST(ceil(
-                   2.0 * (1.959963984540054 + 0.8416212335729143)
-                       * (1.959963984540054 + 0.8416212335729143)
-                       * ((sxx - sx * sx * 1.0 / n) / (n - 1))
-                       / ((0.02 * (sx * 1.0 / n))
-                          * (0.02 * (sx * 1.0 / n)))) AS BIGINT)
-       END AS n_required
-FROM m ORDER BY 1
-"""
-
-
-Q293_ROUNDS = 24
-
-
-def q293_mixture_waterfill(sf_dir: str):
-    """Token-budget mixture planner: allocate a 50%-of-corpus token
-    budget across sources by iterative waterfilling (equal shares;
-    a source that can't absorb its share saturates and the leftover
-    re-spreads next round) — the deterministic skeleton of every
-    'balance the mixture but respect per-source supply' decision
-    (DoReMi-style weight solvers start from exactly this feasibility
-    shape). ALL-INTEGER: budget = total // 2, each round adds
-    min(cap - got, rem // n_unsaturated) per unsaturated source, 24
-    fixed rounds (extra rounds no-op, so the SQL's unrolled chained
-    CTEs replay bit-for-bit; at most one source saturates per
-    distinct capacity level, and floor loss < n_sources stays
-    unallocated — documented). Plan: warm-Tokenizer per-block
-    (source, tokens) partials, ONE sources-bounded aggregation, the
-    fill runs on the driver table."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.text import Tokenizer
-
-    docs = read_table(sf_dir, "documents", ["source", "text"])
-
-    class _Toks(Tokenizer):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            agg: dict = {}
-            for src, s in zip(
-                batch.column("source").to_pylist(), batch.column("text")
-            ):
-                agg[src] = agg.get(src, 0) + len(self.tokens(s.as_py() or ""))
-            ks = sorted(agg)
-            return pa.table(
-                {
-                    "source": pa.array(ks, pa.string()),
-                    "c": pa.array([agg[k] for k in ks], pa.int64()),
-                }
-            )
-
-    rows = (
-        docs.map_batches(_Toks, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("source", num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    agg: dict = {}
-    for r in rows:
-        agg[r["source"]] = agg.get(r["source"], 0) + int(r["c"])
-    sources = sorted(agg)
-    caps = np.array([agg[s] for s in sources], dtype=np.int64)
-    budget = int(caps.sum()) // 2
-    got = np.zeros(len(caps), np.int64)
-    for _ in range(Q293_ROUNDS):
-        unsat = got < caps
-        n_unsat = int(unsat.sum())
-        rem = budget - int(got.sum())
-        if n_unsat == 0 or rem <= 0:
-            continue  # fixed-round no-op, mirrors the SQL CASE
-        fair = rem // n_unsat
-        got[unsat] += np.minimum(caps[unsat] - got[unsat], fair)
-    return pa.table(
-        {
-            "source": pa.array(sources, pa.string()),
-            "c_tokens": pa.array(caps, pa.int64()),
-            "alloc_tokens": pa.array(got, pa.int64()),
-            "saturated": pa.array(
-                (got == caps).astype(np.int64), pa.int64()
-            ),
-        }
-    )
-
-
-def _sql_q293(rounds: int = Q293_ROUNDS) -> str:
-    # every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs per
-    # reference, and each round references its predecessor 4 times —
-    # un-materialized, the 24-round chain explodes exponentially
-    # (observed as "Too many open files" on the base parquet)
-    body = """
-WITH base AS MATERIALIZED (
-  SELECT source,
-         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
-              AS BIGINT) AS c
-  FROM documents GROUP BY 1),
-bb AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) // 2 AS b FROM base),
-r0 AS MATERIALIZED (SELECT source, c, CAST(0 AS BIGINT) AS got FROM base)"""
-    for k in range(1, rounds + 1):
-        p = f"r{k - 1}"
-        body += f""",
-r{k} AS MATERIALIZED (
-  SELECT source, c,
-         got + CASE
-           WHEN got < c
-            AND (SELECT count(*) FROM {p} WHERE got < c) > 0
-            AND (SELECT bb.b - sum(got) FROM {p}, bb GROUP BY bb.b) > 0
-           THEN least(c - got,
-                  (SELECT bb.b - sum(got) FROM {p}, bb GROUP BY bb.b)
-                  // (SELECT count(*) FROM {p} WHERE got < c))
-           ELSE 0 END AS got
-  FROM {p})"""
-    body += f"""
-SELECT source, c AS c_tokens,
-       CAST(got AS BIGINT) AS alloc_tokens,
-       CAST(CASE WHEN got = c THEN 1 ELSE 0 END AS BIGINT) AS saturated
-FROM r{rounds} ORDER BY 1"""
-    return body
-
-
-def q294_alias_sampler(sf_dir: str):
-    """Walker/Vose alias sampling table over the q271 count^0.75
-    negative-sampling distribution — the O(1)-per-draw production
-    sampler a training loop actually embeds (q271's cumulative table
-    costs O(log V) per draw; the alias table costs one uniform + one
-    compare). Construction is the SHARED all-integer deterministic
-    kernel importance.alias_table (FIFO worklists in term order, exact
-    residuals), so the build replays bit-for-bit in the sequential
-    golden. Plan: ONE vocab-bounded (term, count) aggregation; the
-    O(V) construction runs on the driver's vocab-sized table (q271/
-    q175 discipline). Invariant pinned by tests: sum of each term's
-    total slot mass equals its weight share."""
-    import numpy as np
-
-    from barks_ocr_ray.functions.importance import alias_table
-    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
-
-    docs = read_table(sf_dir, "documents", ["text"])
-
-    class _TermCounts(Tokenizer):
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from collections import Counter as _Counter
-
-            counts = _Counter()
-            for s in batch.column("text"):
-                counts.update(self.tokens(s.as_py() or ""))
-            return pa.table(
-                {
-                    "term": pa.array(list(counts.keys()), pa.string()),
-                    "cnt": pa.array(list(counts.values()), pa.int64()),
-                }
-            )
-
-    vocab = (
-        docs.map_batches(_TermCounts, batch_format="pyarrow", concurrency=(1, 4))
-        .groupby("term", num_partitions=VOCAB_PARTITIONS)
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .take_all()
-    )
-    if not vocab:
-        return pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "prob_ppm": pa.array([], pa.int64()),
-                "alias_term": pa.array([], pa.string()),
-            }
-        )
-    terms = np.array([r["term"] for r in vocab], dtype=object)
-    cnt = np.array([int(r["cnt"]) for r in vocab], dtype=np.int64)
-    order = np.argsort(terms)
-    terms, cnt = terms[order], cnt[order]
-    weight = round_like_duckdb(
-        1e6 * cnt.astype(np.float64) ** 0.75, 0
-    ).astype(np.int64)
-    return alias_table(list(terms), weight)
-
-
-def q295_sprt_monitor(sf_dir: str):
-    """Wald sequential probability ratio test per event type: walk the
-    daily log-likelihood ratio of 'this type's traffic share runs 10%
-    hot (p1 = 1.1 p0)' vs its whole-corpus share p0, stopping at the
-    classic ln(19) bounds (alpha = beta = 0.05) — the
-    decide-as-the-data-arrives machinery beside q253's fixed-horizon
-    z-test and q280's CUSUM (SPRT answers 'which hypothesis', CUSUM
-    answers 'did the level move'). Exactness: the per-day LLR
-    k*ln(p1/p0) + (n-k)*ln((1-p1)/(1-p0)) is ONE mirrored IEEE
-    expression micro-rounded per day (q134 ln-parity discipline), the
-    walk is an exact int cumsum, and the boundary is the mirrored
-    round(1e6*ln(19)). Plan: ONE (type, day)-bounded count
-    aggregation; the walk folds on the days x types driver table."""
-    import math
-
-    import numpy as np
-
-    DAY = 86_400_000_000
-    ev = read_table(sf_dir, "events", ["ts", "event_type"])
-
-    def _day_partials(t: pa.Table) -> pa.Table:
-        ts = t.column("ts").cast(pa.int64())
-        day = pc.divide(ts, pa.scalar(DAY, pa.int64()))
-        tt = pa.table({"event_type": t.column("event_type"), "day": day})
-        g = tt.group_by(["event_type", "day"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "day", "c"])
-
-    hist = (
-        ev.map_batches(_day_partials, batch_format="pyarrow")
-        .groupby(["event_type", "day"], num_partitions=2)
-        .aggregate(Sum("c", alias_name="c"))
-        .take_all()
-    )
-    empty = pa.table(
-        {
-            "event_type": pa.array([], pa.string()),
-            "n_days": pa.array([], pa.int64()),
-            "final_llr_micro": pa.array([], pa.int64()),
-            "decision": pa.array([], pa.int64()),
-            "decision_day": pa.array([], pa.int64()),
-        }
-    )
-    if not hist:
-        return empty
-    d0 = min(int(r["day"]) for r in hist)
-    nd = max(int(r["day"]) for r in hist) - d0
-    dense: dict = {}
-    for r in hist:
-        dense.setdefault(r["event_type"], np.zeros(nd + 1, np.int64))[
-            int(r["day"]) - d0
-        ] = int(r["c"])
-    day_tot = np.zeros(nd + 1, np.int64)
-    for c in dense.values():
-        day_tot += c
-    grand = int(day_tot.sum())
-    bound = int(round_like_duckdb(1e6 * math.log(19.0), 0))
-    rows = []
-    for typ in sorted(dense):
-        c = dense[typ]
-        tot = int(c.sum())
-        # Guard: a type carrying >= 1/1.1 of all traffic makes
-        # p1 = 1.1*p0 >= 1, so ln(1-p1) is a domain error. Exclude such
-        # types — the condition is integer-exact (tot*11 >= grand*10),
-        # mirrored as the tpok filter in SQL_Q295.
-        if tot * 11 >= grand * 10:
-            continue
-        p0 = tot * 1.0 / grand
-        p1 = 1.1 * p0
-        la = math.log(p1 / p0)
-        lb = math.log((1.0 - p1) / (1.0 - p0))
-        cum = 0
-        decision = 0
-        dec_day = 0
-        for d in range(nd + 1):
-            k = int(c[d])
-            n = int(day_tot[d])
-            cum += int(round_like_duckdb(1e6 * (k * la + (n - k) * lb), 0))
-            if decision == 0:
-                if cum >= bound:
-                    decision, dec_day = 1, d + 1
-                elif cum <= -bound:
-                    decision, dec_day = -1, d + 1
-        rows.append((typ, nd + 1, cum, decision, dec_day))
-    return pa.table(
-        {
-            "event_type": pa.array([r[0] for r in rows], pa.string()),
-            "n_days": pa.array([r[1] for r in rows], pa.int64()),
-            "final_llr_micro": pa.array([r[2] for r in rows], pa.int64()),
-            "decision": pa.array([r[3] for r in rows], pa.int64()),
-            "decision_day": pa.array([r[4] for r in rows], pa.int64()),
-        }
-    )
-
-
-SQL_Q295 = """
-WITH bounds AS (
-  SELECT date_trunc('day', min(ts)) AS dd0,
-         date_diff('day', date_trunc('day', min(ts)),
-                   date_trunc('day', max(ts))) AS nd
-  FROM events),
-types AS (SELECT DISTINCT event_type FROM events),
-spine AS (SELECT t.event_type, gs.i
-          FROM types t, bounds, generate_series(0, 100000) gs(i)
-          WHERE gs.i <= bounds.nd),
-counts AS (SELECT event_type,
-                  date_diff('day', bounds.dd0, date_trunc('day', ts)) AS i,
-                  CAST(count(*) AS BIGINT) AS c
-           FROM events, bounds GROUP BY 1, 2),
-dense AS (SELECT s.event_type, s.i, coalesce(c.c, 0) AS c
-          FROM spine s LEFT JOIN counts c
-            ON c.event_type = s.event_type AND c.i = s.i),
-dt AS (SELECT i, CAST(sum(c) AS BIGINT) AS n FROM dense GROUP BY 1),
-g AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM dense),
-tp AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot FROM dense
-       GROUP BY 1),
--- guard (mirrors the engine): p1 = 1.1*p0 >= 1 would make ln(1-p1) a
--- domain error; exclude via the integer-exact tot*11 >= grand*10
-tpok AS (SELECT tp.event_type, tp.tot FROM tp, g
-         WHERE tp.tot * 11 < g.grand * 10),
-llr AS (SELECT d.event_type, d.i,
-               CAST(round(1000000 * (
-                 d.c * ln((1.1 * (tp.tot * 1.0 / g.grand))
-                          / (tp.tot * 1.0 / g.grand))
-                 + (dt.n - d.c) * ln((1.0 - 1.1 * (tp.tot * 1.0 / g.grand))
-                                     / (1.0 - (tp.tot * 1.0 / g.grand)))),
-                 0) AS BIGINT) AS l
-        FROM dense d
-        JOIN dt ON dt.i = d.i
-        JOIN tpok tp ON tp.event_type = d.event_type
-        CROSS JOIN g),
-walk AS (SELECT event_type, i,
-                CAST(sum(l) OVER (
-                  PARTITION BY event_type ORDER BY i) AS BIGINT) AS cum
-         FROM llr),
-bnd AS (SELECT CAST(round(1000000 * ln(19.0), 0) AS BIGINT) AS b),
-crossed AS (SELECT w.event_type, w.i, w.cum,
-                   CASE WHEN w.cum >= bnd.b THEN 1 ELSE -1 END AS side
-            FROM walk w, bnd
-            WHERE w.cum >= bnd.b OR w.cum <= -bnd.b),
-firstx AS (SELECT event_type, i, side FROM crossed
-           QUALIFY row_number() OVER (
-             PARTITION BY event_type ORDER BY i) = 1),
-fin AS (SELECT event_type, cum FROM walk
-        QUALIFY row_number() OVER (
-          PARTITION BY event_type ORDER BY i DESC) = 1),
-nd_t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
-         FROM dense GROUP BY 1)
-SELECT n.event_type, n.n_days,
-       f.cum AS final_llr_micro,
-       CAST(coalesce(fx.side, 0) AS BIGINT) AS decision,
-       CAST(coalesce(fx.i + 1, 0) AS BIGINT) AS decision_day
-FROM nd_t n
-JOIN fin f ON f.event_type = n.event_type
-LEFT JOIN firstx fx ON fx.event_type = n.event_type
-ORDER BY 1
-"""
-
-
-def q296_extraction_stateful(sf_dir: str):
-    """The q24 flagship extraction arc executed in ``stateful=True``
-    actor-pool mode (T1/T2 warm-recognizer state held per actor across
-    batches, extraction.py:131-169) — VERDICT r4 §8: keep the warm-state
-    execution vehicle driver-covered as Ray versions move. Values must
-    be IDENTICAL to q24's task-pool run, so it shares the q24 golden
-    oracle byte for byte."""
-    from barks_ocr_ray.context import configure
-    from barks_ocr_ray.datagen import pages_table
-    from barks_ocr_ray.oracle_data import Q24_N
-    from barks_ocr_ray.pipelines.extraction import extraction_pipeline
-
-    configure()
-    pages = rd.from_arrow(pages_table(Q24_N)).select_columns(
-        ["url", "warc_ts", "html", "lang"]
-    )
-    out = extraction_pipeline(pages, num_partitions=8, stateful=True)
-    return out.select_columns(
-        ["url", "warc_ts", "kind", "html_len", "n_blocks", "content_hash", "extracted_text"]
-    )
-
-
-def _sql_golden(name: str, cols: str, table: str) -> str:
-    """Oracle SQL for the dual-engine (single-process golden) queries —
-    the near-dup/ANN/sketch family whose semantics are deterministic but
-    not SQL-replayable (golden_dedup.py). The golden parquet holds one
-    slice per supported sf corpus; the WHERE clause recomputes the
-    corpus fingerprint from the registered view so the static SQL
-    selects the slice matching whatever sf the driver mounted."""
-    from barks_ocr_ray.oracle_data import corpus_tag_sql, neardup_golden_path
-
-    return (
-        f"SELECT {cols} FROM read_parquet('{neardup_golden_path(name)}') "
-        f"WHERE corpus_tag = {corpus_tag_sql(table)}"
-    )
-
-
-def build_registry():
-    queries = {
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_revenue_filter": q02_revenue_filter,
-        "q03_top10_orders": q03_top10_orders,
-        "q04_segment_revenue": q04_segment_revenue,
-        "q05_region_suppliers": q05_region_suppliers,
-        "q06_orders_outside_building": q06_orders_outside_building,
-        "q07_exact_dedup_docs": q07_exact_dedup_docs,
-        "q08_word_index": q08_word_index,
-        "q09_doc_stats": q09_doc_stats,
-        "q10_doc_issues": q10_doc_issues,
-        "q11_entity_tags": q11_entity_tags,
-        "q12_events_hourly": q12_events_hourly,
-        "q13_sessions": q13_sessions,
-        "q14_top3_orders_per_customer": q14_top3_orders_per_customer,
-        "q15_distinct_priorities": q15_distinct_priorities,
-        "q16_ann_cosine_topk": q16_ann_cosine_topk,
-        "q17_lang_id": q17_lang_id,
-        "q18_fingerprints": q18_fingerprints,
-        "q19_minhash_near_dups": q19_minhash_near_dups,
-        "q20_simhash_near_dups": q20_simhash_near_dups,
-        "q21_ngram_jaccard": q21_ngram_jaccard,
-        "q22_embedding_near_dups": q22_embedding_near_dups,
-        "q23_lsh_topk": q23_lsh_topk,
-        "q24_extraction_pipeline": q24_extraction_pipeline,
-        "q25_multimodal_features": q25_multimodal_features,
-        "q26_validate_extraction": q26_validate_extraction,
-        "q27_word_doc_index": q27_word_doc_index,
-        "q28_search_term": q28_search_term,
-        "q29_entities_corrected": q29_entities_corrected,
-        "q30_string_replace": q30_string_replace,
-        "q31_rolling_hour": q31_rolling_hour,
-        "q32_entity_stats": q32_entity_stats,
-        "q33_fuzzy_pairing": q33_fuzzy_pairing,
-        "q34_extraction_issues": q34_extraction_issues,
-        "q35_dup_clusters": q35_dup_clusters,
-        "q36_search_multi_term": q36_search_multi_term,
-        "q37_priority_revenue_join": q37_priority_revenue_join,
-        "q38_length_range_join": q38_length_range_join,
-        "q39_dup_clusters_cc": q39_dup_clusters_cc,
-        "q40_index_integrity": q40_index_integrity,
-        "q41_find_entities": q41_find_entities,
-        "q42_entity_source_histogram": q42_entity_source_histogram,
-        "q43_levenshtein_pairing": q43_levenshtein_pairing,
-        "q44_embedding_all_pairs": q44_embedding_all_pairs,
-        "q45_line_rewrap": q45_line_rewrap,
-        "q46_stratified_sample": q46_stratified_sample,
-        "q47_tfidf_top_terms": q47_tfidf_top_terms,
-        "q48_ivf_topk": q48_ivf_topk,
-        "q49_frame_sample": q49_frame_sample,
-        "q50_media_resize": q50_media_resize,
-        "q51_training_prep": q51_training_prep,
-        "q52_unigram_logprob": q52_unigram_logprob,
-        "q53_shared_window_dups": q53_shared_window_dups,
-        "q54_salted_count": q54_salted_count,
-        "q55_bm25_rank": q55_bm25_rank,
-        "q56_corpus_arc": q56_corpus_arc,
-        "q57_gopher_repetition": q57_gopher_repetition,
-        "q58_c4_line_filter": q58_c4_line_filter,
-        "q59_paragraph_dedup": q59_paragraph_dedup,
-        "q60_decontaminate": q60_decontaminate,
-        "q61_pii_redact": q61_pii_redact,
-        "q62_sequence_pack": q62_sequence_pack,
-        "q63_mix_corpora": q63_mix_corpora,
-        "q64_quality_model": q64_quality_model,
-        "q65_domain_cap": q65_domain_cap,
-        "q66_quantiles": q66_quantiles,
-        "q67_hll_distinct": q67_hll_distinct,
-        "q68_grouped_quantiles": q68_grouped_quantiles,
-        "q69_weighted_sample": q69_weighted_sample,
-        "q70_asof_join": q70_asof_join,
-        "q71_heavy_hitters": q71_heavy_hitters,
-        "q72_running_totals": q72_running_totals,
-        "q73_chunk_documents": q73_chunk_documents,
-        "q74_salted_skew_join": q74_salted_skew_join,
-        "q75_semdedup": q75_semdedup,
-        "q76_rollup": q76_rollup,
-        "q77_pivot_events": q77_pivot_events,
-        "q78_bloom_semi_join": q78_bloom_semi_join,
-        "q79_cohort_retention": q79_cohort_retention,
-        "q80_global_rank": q80_global_rank,
-        "q81_corr_moments": q81_corr_moments,
-        "q82_source_intersect": q82_source_intersect,
-        "q83_cube": q83_cube,
-        "q84_weighted_mean": q84_weighted_mean,
-        "q85_cms_counts": q85_cms_counts,
-        "q86_grouped_zscore": q86_grouped_zscore,
-        "q87_bigram_logprob": q87_bigram_logprob,
-        "q88_quantile_cut": q88_quantile_cut,
-        "q89_local_supplier_volume": q89_local_supplier_volume,
-        "q90_normalize_text": q90_normalize_text,
-        "q91_token_counts": q91_token_counts,
-        "q92_event_pattern": q92_event_pattern,
-        "q93_pmi_collocations": q93_pmi_collocations,
-        "q94_pagerank": q94_pagerank,
-        "q95_importance_resample": q95_importance_resample,
-        "q96_evolving_schema_union": q96_evolving_schema_union,
-        "q97_compaction": q97_compaction,
-        "q98_sorted_neighborhood": q98_sorted_neighborhood,
-        "q99_returned_item_revenue": q99_returned_item_revenue,
-        "q100_readability": q100_readability,
-        "q101_corpus_profile": q101_corpus_profile,
-        "q102_hll_grouped": q102_hll_grouped,
-        "q103_k_anonymity": q103_k_anonymity,
-        "q104_expectations": q104_expectations,
-        "q105_cdc_merge": q105_cdc_merge,
-        "q106_fk_audit": q106_fk_audit,
-        "q107_pq_topk": q107_pq_topk,
-        "q108_json_props": q108_json_props,
-        "q109_watermark_late_events": q109_watermark_late_events,
-        "q110_boilerplate_ngrams": q110_boilerplate_ngrams,
-        "q111_repetition_filter": q111_repetition_filter,
-        "q112_decontaminate": q112_decontaminate,
-        "q113_hash_split": q113_hash_split,
-        "q114_unpivot_lineitem": q114_unpivot_lineitem,
-        "q115_clean_corpus": q115_clean_corpus,
-        "q116_token_budget": q116_token_budget,
-        "q117_source_quota": q117_source_quota,
-        "q118_numeric_profile": q118_numeric_profile,
-        "q119_jsonl_roundtrip": q119_jsonl_roundtrip,
-        "q120_hourly_gap_audit": q120_hourly_gap_audit,
-        "q121_except_all": q121_except_all,
-        "q122_key_skew_profile": q122_key_skew_profile,
-        "q123_label_centroids": q123_label_centroids,
-        "q124_nearest_centroid": q124_nearest_centroid,
-        "q125_source_similarity": q125_source_similarity,
-        "q126_distributed_kmeans": q126_distributed_kmeans,
-        "q127_sketch_quantiles": q127_sketch_quantiles,
-        "q128_scd2_history": q128_scd2_history,
-        "q129_incremental_dedup": q129_incremental_dedup,
-        "q130_snapshot_drift": q130_snapshot_drift,
-        "q131_bpe_train": q131_bpe_train,
-        "q132_bpe_encode": q132_bpe_encode,
-        "q133_grouped_sketch_quantiles": q133_grouped_sketch_quantiles,
-        "q134_psi_drift": q134_psi_drift,
-        "q135_temperature_mix": q135_temperature_mix,
-        "q136_incremental_minhash": q136_incremental_minhash,
-        "q137_content_drift": q137_content_drift,
-        "q138_triangle_counts": q138_triangle_counts,
-        "q139_schema_drift": q139_schema_drift,
-        "q140_weighted_quantiles": q140_weighted_quantiles,
-        "q141_zorder_layout": q141_zorder_layout,
-        "q142_group_ksample": q142_group_ksample,
-        "q143_adoption_curve": q143_adoption_curve,
-        "q144_event_path_bigrams": q144_event_path_bigrams,
-        "q145_robust_outliers": q145_robust_outliers,
-        "q146_global_ntile": q146_global_ntile,
-        "q147_recency_score": q147_recency_score,
-        "q148_ngram_containment": q148_ngram_containment,
-        "q149_proportional_sample": q149_proportional_sample,
-        "q150_grouped_heavy_terms": q150_grouped_heavy_terms,
-        "q151_funnel_steps": q151_funnel_steps,
-        "q152_rollup_quantity": q152_rollup_quantity,
-        "q153_weighted_sample": q153_weighted_sample,
-        "q154_grouped_correlation": q154_grouped_correlation,
-        "q155_daily_trailing_average": q155_daily_trailing_average,
-        "q156_gap_quantiles": q156_gap_quantiles,
-        "q157_rfm_segments": q157_rfm_segments,
-        "q158_dup_cluster_sizes": q158_dup_cluster_sizes,
-        "q159_compression_ratio": q159_compression_ratio,
-        "q160_char_entropy": q160_char_entropy,
-        "q161_link_graph": q161_link_graph,
-        "q162_anchor_terms": q162_anchor_terms,
-        "q163_hits_authorities": q163_hits_authorities,
-        "q164_canonical_dedup": q164_canonical_dedup,
-        "q165_phrase_search": q165_phrase_search,
-        "q166_interval_overlap": q166_interval_overlap,
-        "q167_retention_matrix": q167_retention_matrix,
-        "q168_crawl_frontier": q168_crawl_frontier,
-        "q169_source_divergence": q169_source_divergence,
-        "q170_fk_orphan_audit": q170_fk_orphan_audit,
-        "q171_length_bucketing": q171_length_bucketing,
-        "q172_source_overlap": q172_source_overlap,
-        "q173_calibration_report": q173_calibration_report,
-        "q174_zipf_slope": q174_zipf_slope,
-        "q175_discriminative_terms": q175_discriminative_terms,
-        "q176_hybrid_rrf": q176_hybrid_rrf,
-        "q177_personalized_pagerank": q177_personalized_pagerank,
-        "q178_length_percentile": q178_length_percentile,
-        "q179_heaps_law": q179_heaps_law,
-        "q180_posting_compression": q180_posting_compression,
-        "q181_market_basket": q181_market_basket,
-        "q182_mmr_diversified": q182_mmr_diversified,
-        "q183_join_skew_audit": q183_join_skew_audit,
-        "q184_minhash_error_audit": q184_minhash_error_audit,
-        "q185_kcore": q185_kcore,
-        "q186_ivf_recall_audit": q186_ivf_recall_audit,
-        "q187_attrition_report": q187_attrition_report,
-        "q188_burst_windows": q188_burst_windows,
-        "q189_two_hop_reach": q189_two_hop_reach,
-        "q190_reshard_churn": q190_reshard_churn,
-        "q191_shard_balance": q191_shard_balance,
-        "q192_last_touch_attribution": q192_last_touch_attribution,
-        "q193_daily_periodicity": q193_daily_periodicity,
-        "q194_quality_dedup": q194_quality_dedup,
-        "q195_rerank": q195_rerank,
-        "q196_quality_percentile_gate": q196_quality_percentile_gate,
-        "q197_dataset_card": q197_dataset_card,
-        "q198_hard_negatives": q198_hard_negatives,
-        "q199_padding_waste": q199_padding_waste,
-        "q200_perplexity_buckets": q200_perplexity_buckets,
-        "q201_lexical_diversity": q201_lexical_diversity,
-        "q202_syndication_matrix": q202_syndication_matrix,
-        "q203_hll_error_audit": q203_hll_error_audit,
-        "q204_max_coverage": q204_max_coverage,
-        "q205_ks_drift": q205_ks_drift,
-        "q206_lang_source_mi": q206_lang_source_mi,
-        "q207_vocab_band_coverage": q207_vocab_band_coverage,
-        "q208_embedding_isotropy": q208_embedding_isotropy,
-        "q209_sliding_distinct_users": q209_sliding_distinct_users,
-        "q210_quantile_sketch_error": q210_quantile_sketch_error,
-        "q211_source_quality_ci": q211_source_quality_ci,
-        "q212_neardup_provenance": q212_neardup_provenance,
-        "q213_markov_backtest": q213_markov_backtest,
-        "q214_entity_cooccurrence": q214_entity_cooccurrence,
-        "q215_split_leakage": q215_split_leakage,
-        "q216_term_drift": q216_term_drift,
-        "q217_shuffle_quality": q217_shuffle_quality,
-        "q218_novelty_curve": q218_novelty_curve,
-        "q219_filter_kappa": q219_filter_kappa,
-        "q220_prefix_autocomplete": q220_prefix_autocomplete,
-        "q221_mutual_alignment": q221_mutual_alignment,
-        "q222_grouped_trend": q222_grouped_trend,
-        "q223_trending_decay": q223_trending_decay,
-        "q224_cluster_terms": q224_cluster_terms,
-        "q225_theil_sen": q225_theil_sen,
-        "q226_mad_anomaly_days": q226_mad_anomaly_days,
-        "q227_group_purity": q227_group_purity,
-        "q228_linear_attribution": q228_linear_attribution,
-        "q229_churn_labels": q229_churn_labels,
-        "q230_search_snippets": q230_search_snippets,
-        "q231_waterfill_budget": q231_waterfill_budget,
-        "q232_qq_drift": q232_qq_drift,
-        "q233_exact_auc": q233_exact_auc,
-        "q234_fold_balance": q234_fold_balance,
-        "q235_host_budget": q235_host_budget,
-        "q236_delta_index_merge": q236_delta_index_merge,
-        "q237_conformal_coverage": q237_conformal_coverage,
-        "q238_conversion_latency": q238_conversion_latency,
-        "q239_peak_concurrency": q239_peak_concurrency,
-        "q240_ht_estimate": q240_ht_estimate,
-        "q241_gini_concentration": q241_gini_concentration,
-        "q242_capture_recapture": q242_capture_recapture,
-        "q243_event_debounce": q243_event_debounce,
-        "q244_benford_audit": q244_benford_audit,
-        "q245_spearman_length_tokens": q245_spearman_length_tokens,
-        "q246_ewma_backtest": q246_ewma_backtest,
-        "q247_int8_quant_distortion": q247_int8_quant_distortion,
-        "q248_cdc_dedup": q248_cdc_dedup,
-        "q249_pca_top_component": q249_pca_top_component,
-        "q250_new_returning_users": q250_new_returning_users,
-        "q251_transition_entropy": q251_transition_entropy,
-        "q252_hill_tail_index": q252_hill_tail_index,
-        "q253_ab_ztest": q253_ab_ztest,
-        "q254_weighted_reservoir": q254_weighted_reservoir,
-        "q255_interarrival_dispersion": q255_interarrival_dispersion,
-        "q256_jl_distortion": q256_jl_distortion,
-        "q257_bounce_rate": q257_bounce_rate,
-        "q258_neyman_allocation": q258_neyman_allocation,
-        "q259_km_retention": q259_km_retention,
-        "q260_winsorized_mean": q260_winsorized_mean,
-        "q261_effective_sample_size": q261_effective_sample_size,
-        "q262_charset_profile": q262_charset_profile,
-        "q263_order_reconciliation": q263_order_reconciliation,
-        "q264_part_price_dispersion": q264_part_price_dispersion,
-        "q265_nation_share_trend": q265_nation_share_trend,
-        "q266_return_rate_wilson": q266_return_rate_wilson,
-        "q267_set_similarity_join": q267_set_similarity_join,
-        "q268_naive_bayes_lang": q268_naive_bayes_lang,
-        "q269_time_weighted_value": q269_time_weighted_value,
-        "q270_degree_assortativity": q270_degree_assortativity,
-        "q271_negative_sampling": q271_negative_sampling,
-        "q272_kendall_tau": q272_kendall_tau,
-        "q273_adamic_adar": q273_adamic_adar,
-        "q274_pareto_frontier": q274_pareto_frontier,
-        "q275_diff_in_diff": q275_diff_in_diff,
-        "q276_embedding_frechet_drift": q276_embedding_frechet_drift,
-        "q277_span_corruption": q277_span_corruption,
-        "q278_bpe_fertility": q278_bpe_fertility,
-        "q279_lz_complexity": q279_lz_complexity,
-        "q280_cusum_changepoint": q280_cusum_changepoint,
-        "q281_markov_stationary": q281_markov_stationary,
-        "q282_cluster_silhouette": q282_cluster_silhouette,
-        "q283_ks_length_shift": q283_ks_length_shift,
-        "q284_longest_self_repeat": q284_longest_self_repeat,
-        "q285_chi_square_independence": q285_chi_square_independence,
-        "q286_poisson_bootstrap_ci": q286_poisson_bootstrap_ci,
-        "q287_dp_count_release": q287_dp_count_release,
-        "q288_theil_sen_trend": q288_theil_sen_trend,
-        "q289_chao1_vocabulary": q289_chao1_vocabulary,
-        "q290_heaps_law": q290_heaps_law,
-        "q291_neardup_lcs_audit": q291_neardup_lcs_audit,
-        "q292_power_analysis": q292_power_analysis,
-        "q293_mixture_waterfill": q293_mixture_waterfill,
-        "q294_alias_sampler": q294_alias_sampler,
-        "q295_sprt_monitor": q295_sprt_monitor,
-        "q296_extraction_stateful": q296_extraction_stateful,
-    }
-    # The extraction-arc oracles value-compare against single-process
-    # golden parquets; materialize them now so the SQL's embedded paths
-    # resolve no matter which side the driver runs first.
-    from barks_ocr_ray.oracle_data import ensure_all
-
-    ensure_all()
-    oracles = {
-        "q01_pricing_summary": SQL_Q01,
-        "q02_revenue_filter": SQL_Q02,
-        "q03_top10_orders": SQL_Q03,
-        "q04_segment_revenue": SQL_Q04,
-        "q05_region_suppliers": SQL_Q05,
-        "q06_orders_outside_building": SQL_Q06,
-        "q07_exact_dedup_docs": SQL_Q07,
-        "q08_word_index": SQL_Q08,
-        "q09_doc_stats": _sql_q09(),
-        "q10_doc_issues": SQL_Q10,
-        "q11_entity_tags": _sql_q11(),
-        "q12_events_hourly": SQL_Q12,
-        "q13_sessions": SQL_Q13,
-        "q14_top3_orders_per_customer": SQL_Q14,
-        "q15_distinct_priorities": SQL_Q15,
-        "q16_ann_cosine_topk": SQL_Q16,
-        "q17_lang_id": _sql_q17(),
-        "q18_fingerprints": _sql_q18(),
-        "q19_minhash_near_dups": _sql_golden(
-            "minhash_pairs", "doc_a, doc_b, est_jaccard", "documents"
-        ),
-        "q20_simhash_near_dups": _sql_golden(
-            "simhash_pairs", "doc_a, doc_b, hamming", "documents"
-        ),
-        "q21_ngram_jaccard": _sql_q21(),
-        "q22_embedding_near_dups": _sql_golden(
-            "embedding_pairs", "vec_a, vec_b, cosine", "embeddings"
-        ),
-        "q23_lsh_topk": _sql_golden(
-            "lsh_topk", "query_id, neighbor_id, cosine", "embeddings"
-        ),
-        "q33_fuzzy_pairing": _sql_golden(
-            "fuzzy_pairing", '"key", left_id, right_id, ratio', "documents"
-        ),
-        "q35_dup_clusters": _sql_golden(
-            "dup_clusters", "doc_id, cluster", "documents"
-        ),
-        "q48_ivf_topk": _sql_golden(
-            "ivf_topk", "query_id, neighbor_id, cosine", "embeddings"
-        ),
-        "q67_hll_distinct": _sql_golden(
-            "hll_distinct", "n_distinct_est", "documents"
-        ),
-        "q75_semdedup": _sql_golden(
-            "semdedup", "vec_id, cluster, keep", "embeddings"
-        ),
-        "q24_extraction_pipeline": _sql_q24(),
-        "q25_multimodal_features": _sql_q25(),
-        "q26_validate_extraction": _sql_q26(),
-        "q27_word_doc_index": SQL_Q27,
-        "q28_search_term": SQL_Q28,
-        "q29_entities_corrected": _sql_q29(),
-        "q30_string_replace": SQL_Q30,
-        "q31_rolling_hour": SQL_Q31,
-        "q32_entity_stats": _sql_q32(),
-        "q34_extraction_issues": _sql_q34(),
-        "q36_search_multi_term": SQL_Q36,
-        "q37_priority_revenue_join": SQL_Q37,
-        "q38_length_range_join": SQL_Q38,
-        "q39_dup_clusters_cc": SQL_Q39,
-        "q40_index_integrity": _sql_q40(),
-        "q41_find_entities": _sql_q41(),
-        "q42_entity_source_histogram": _sql_q42(),
-        "q43_levenshtein_pairing": SQL_Q43,
-        "q44_embedding_all_pairs": SQL_Q44,
-        "q45_line_rewrap": SQL_Q45,
-        "q46_stratified_sample": _sql_q46(),
-        "q47_tfidf_top_terms": _sql_q47(),
-        "q49_frame_sample": _sql_q49(),
-        "q50_media_resize": _sql_q50(),
-        "q51_training_prep": _sql_q51(),
-        "q52_unigram_logprob": _sql_q52(),
-        "q53_shared_window_dups": _sql_q53(),
-        "q54_salted_count": SQL_Q54,
-        "q55_bm25_rank": _sql_q55(),
-        "q56_corpus_arc": _sql_q56(),
-        "q57_gopher_repetition": _sql_q57(),
-        "q58_c4_line_filter": _sql_q58(),
-        "q59_paragraph_dedup": _sql_q59(),
-        "q60_decontaminate": _sql_q60(),
-        "q61_pii_redact": _sql_q61(),
-        "q62_sequence_pack": _sql_q62(),
-        "q63_mix_corpora": _sql_q63(),
-        "q64_quality_model": _sql_q64(),
-        "q65_domain_cap": _sql_q65(),
-        "q66_quantiles": _sql_q66(),
-        "q68_grouped_quantiles": _sql_q68(),
-        "q69_weighted_sample": _sql_q69(),
-        "q70_asof_join": SQL_Q70,
-        "q71_heavy_hitters": SQL_Q71,
-        "q72_running_totals": SQL_Q72,
-        "q73_chunk_documents": SQL_Q73,
-        "q74_salted_skew_join": SQL_Q74,
-        "q76_rollup": SQL_Q76,
-        "q77_pivot_events": SQL_Q77,
-        "q78_bloom_semi_join": SQL_Q78,
-        "q79_cohort_retention": SQL_Q79,
-        "q80_global_rank": SQL_Q80,
-        "q81_corr_moments": SQL_Q81,
-        "q82_source_intersect": _sql_q82(),
-        "q83_cube": SQL_Q83,
-        "q84_weighted_mean": SQL_Q84,
-        "q85_cms_counts": _sql_golden(
-            "cms_counts", "word, est_count", "documents"
-        ),
-        "q86_grouped_zscore": SQL_Q86,
-        "q87_bigram_logprob": _sql_q87(),
-        "q88_quantile_cut": SQL_Q88,
-        "q89_local_supplier_volume": SQL_Q89,
-        "q90_normalize_text": SQL_Q90,
-        "q91_token_counts": _sql_q91(),
-        "q92_event_pattern": SQL_Q92,
-        "q93_pmi_collocations": _sql_q93(),
-        "q94_pagerank": _sql_q94(),
-        "q95_importance_resample": _sql_q95(),
-        "q96_evolving_schema_union": SQL_Q96,
-        "q97_compaction": SQL_Q97,
-        "q98_sorted_neighborhood": SQL_Q98,
-        "q99_returned_item_revenue": SQL_Q99,
-        "q100_readability": _sql_q100(),
-        "q101_corpus_profile": _sql_q101(),
-        "q102_hll_grouped": _sql_golden(
-            "hll_grouped", "event_type, n_distinct_est", "events"
-        ),
-        "q103_k_anonymity": SQL_Q103,
-        "q104_expectations": _sql_q104(),
-        "q105_cdc_merge": _sql_q105(),
-        "q106_fk_audit": SQL_Q106,
-        "q107_pq_topk": _sql_golden(
-            "pq_topk", "query_id, neighbor_id, score", "embeddings"
-        ),
-        "q126_distributed_kmeans": _sql_golden(
-            "kmeans", "cluster, dim, centroid_micro, n", "embeddings"
-        ),
-        "q108_json_props": SQL_Q108,
-        "q109_watermark_late_events": SQL_Q109,
-        "q110_boilerplate_ngrams": _sql_q110(),
-        "q111_repetition_filter": _sql_q111(),
-        "q112_decontaminate": _sql_q112(),
-        "q113_hash_split": _sql_q113(),
-        "q114_unpivot_lineitem": _sql_q114(),
-        "q115_clean_corpus": _sql_q115(),
-        "q116_token_budget": _sql_q116(),
-        "q117_source_quota": _sql_q117(),
-        "q118_numeric_profile": _sql_q118(),
-        "q119_jsonl_roundtrip": SQL_Q119,
-        "q120_hourly_gap_audit": SQL_Q120,
-        "q121_except_all": SQL_Q121,
-        "q122_key_skew_profile": SQL_Q122,
-        "q123_label_centroids": SQL_Q123,
-        "q124_nearest_centroid": SQL_Q124,
-        "q125_source_similarity": _sql_q125(),
-        "q127_sketch_quantiles": SQL_Q127,
-        "q128_scd2_history": SQL_Q128,
-        "q129_incremental_dedup": _sql_q129(),
-        "q130_snapshot_drift": SQL_Q130,
-        "q131_bpe_train": _sql_golden(
-            "bpe_merges", "merge_round, lhs, rhs, pair_count", "documents"
-        ),
-        "q132_bpe_encode": _sql_golden(
-            "bpe_encode", "doc_id, n_words, n_subwords", "documents"
-        ),
-        "q133_grouped_sketch_quantiles": SQL_Q133,
-        "q134_psi_drift": SQL_Q134,
-        "q135_temperature_mix": SQL_Q135,
-        "q136_incremental_minhash": _sql_golden(
-            "inc_minhash", "doc_id, match_id, est_jaccard", "documents"
-        ),
-        "q137_content_drift": _sql_q137(),
-        "q138_triangle_counts": SQL_Q138,
-        "q139_schema_drift": _sql_q139(),
-        "q140_weighted_quantiles": SQL_Q140,
-        "q141_zorder_layout": _sql_q141(),
-        "q142_group_ksample": SQL_Q142,
-        "q143_adoption_curve": SQL_Q143,
-        "q144_event_path_bigrams": SQL_Q144,
-        "q145_robust_outliers": SQL_Q145,
-        "q146_global_ntile": SQL_Q146,
-        "q147_recency_score": SQL_Q147,
-        "q148_ngram_containment": _sql_q148(),
-        "q149_proportional_sample": SQL_Q149,
-        "q150_grouped_heavy_terms": SQL_Q150,
-        "q151_funnel_steps": SQL_Q151,
-        "q152_rollup_quantity": SQL_Q152,
-        "q153_weighted_sample": SQL_Q153,
-        "q154_grouped_correlation": SQL_Q154,
-        "q155_daily_trailing_average": SQL_Q155,
-        "q156_gap_quantiles": SQL_Q156,
-        "q157_rfm_segments": SQL_Q157,
-        "q158_dup_cluster_sizes": SQL_Q158,
-        "q159_compression_ratio": _sql_golden(
-            "comp_ratio",
-            "source, n_docs, n_repetitive, n_random, sum_ratio_bp",
-            "documents",
-        ),
-        "q160_char_entropy": SQL_Q160,
-        "q161_link_graph": _sql_q161(),
-        "q162_anchor_terms": _sql_q162(),
-        "q163_hits_authorities": _sql_q163(),
-        "q164_canonical_dedup": _sql_q164(),
-        "q165_phrase_search": _sql_q165(),
-        "q166_interval_overlap": SQL_Q166,
-        "q167_retention_matrix": SQL_Q167,
-        "q168_crawl_frontier": _sql_q168(),
-        "q169_source_divergence": SQL_Q169,
-        "q170_fk_orphan_audit": SQL_Q170,
-        "q171_length_bucketing": SQL_Q171,
-        "q172_source_overlap": _sql_q172(),
-        "q173_calibration_report": _sql_q173(),
-        "q174_zipf_slope": _sql_q174(),
-        "q175_discriminative_terms": _sql_q175(),
-        "q176_hybrid_rrf": _sql_q176(),
-        "q177_personalized_pagerank": _sql_q177(),
-        "q178_length_percentile": _sql_q178(),
-        "q179_heaps_law": _sql_q179(),
-        "q180_posting_compression": _sql_q180(),
-        "q181_market_basket": SQL_Q181,
-        "q182_mmr_diversified": _sql_golden(
-            "mmr_topk",
-            "query_id, rank, neighbor_id, rel_cosine, mmr_score",
-            "embeddings",
-        ),
-        "q183_join_skew_audit": SQL_Q183,
-        "q184_minhash_error_audit": _sql_q184(),
-        "q185_kcore": _sql_q185(),
-        "q186_ivf_recall_audit": _sql_q186(),
-        "q187_attrition_report": _sql_q187(),
-        "q188_burst_windows": SQL_Q188,
-        "q189_two_hop_reach": _sql_q189(),
-        "q190_reshard_churn": _sql_q190(),
-        "q191_shard_balance": _sql_q191(),
-        "q192_last_touch_attribution": SQL_Q192,
-        "q193_daily_periodicity": _sql_q193(),
-        "q194_quality_dedup": _sql_q194(),
-        "q195_rerank": _sql_q195(),
-        "q196_quality_percentile_gate": _sql_q196(),
-        "q197_dataset_card": _sql_q197(),
-        "q198_hard_negatives": _sql_q198(),
-        "q199_padding_waste": _sql_q199(),
-        "q200_perplexity_buckets": _sql_q200(),
-        "q201_lexical_diversity": _sql_q201(),
-        "q202_syndication_matrix": _sql_q202(),
-        "q203_hll_error_audit": _sql_q203(),
-        "q204_max_coverage": _sql_golden(
-            "max_coverage", "rank, doc_id, gain, covered_total", "documents"
-        ),
-        "q205_ks_drift": _sql_q205(),
-        "q206_lang_source_mi": _sql_q206(),
-        "q207_vocab_band_coverage": _sql_q207(),
-        "q208_embedding_isotropy": _sql_q208(),
-        "q209_sliding_distinct_users": _sql_q209(),
-        "q210_quantile_sketch_error": _sql_q210(),
-        "q211_source_quality_ci": _sql_q211(),
-        "q212_neardup_provenance": _sql_q212(),
-        "q213_markov_backtest": _sql_q213(),
-        "q214_entity_cooccurrence": _sql_q214(),
-        "q215_split_leakage": _sql_q215(),
-        "q216_term_drift": _sql_q216(),
-        "q217_shuffle_quality": SQL_Q217,
-        "q218_novelty_curve": _sql_q218(),
-        "q219_filter_kappa": _sql_q219(),
-        "q220_prefix_autocomplete": _sql_q220(),
-        "q221_mutual_alignment": SQL_Q221,
-        "q222_grouped_trend": SQL_Q222,
-        "q223_trending_decay": SQL_Q223,
-        "q224_cluster_terms": _sql_q224(),
-        "q225_theil_sen": SQL_Q225,
-        "q226_mad_anomaly_days": SQL_Q226,
-        "q227_group_purity": SQL_Q227,
-        "q228_linear_attribution": SQL_Q228,
-        "q229_churn_labels": _sql_q229(),
-        "q230_search_snippets": _sql_q230(),
-        "q231_waterfill_budget": _sql_q231(),
-        "q232_qq_drift": SQL_Q232,
-        "q233_exact_auc": SQL_Q233,
-        "q234_fold_balance": _sql_q234(),
-        "q235_host_budget": _sql_q235(),
-        "q236_delta_index_merge": SQL_Q236,
-        "q237_conformal_coverage": _sql_q237(),
-        "q238_conversion_latency": _sql_q238(),
-        "q239_peak_concurrency": SQL_Q239,
-        "q240_ht_estimate": SQL_Q240,
-        "q241_gini_concentration": SQL_Q241,
-        "q242_capture_recapture": SQL_Q242,
-        "q243_event_debounce": SQL_Q243,
-        "q244_benford_audit": SQL_Q244,
-        "q245_spearman_length_tokens": SQL_Q245,
-        "q246_ewma_backtest": SQL_Q246,
-        "q247_int8_quant_distortion": _sql_golden(
-            "int8_quant",
-            "label, n_vecs, mean_cos_micro, worst_cos_micro",
-            "embeddings",
-        ),
-        "q248_cdc_dedup": _sql_golden(
-            "cdc_dedup",
-            "total_bytes, n_chunks, n_unique_chunks, unique_bytes, "
-            "ratio_micro",
-            "documents",
-        ),
-        "q249_pca_top_component": _sql_golden(
-            "pca_top", "dim, loading_micro, eig_share_micro", "embeddings"
-        ),
-        "q250_new_returning_users": SQL_Q250,
-        "q251_transition_entropy": SQL_Q251,
-        "q252_hill_tail_index": SQL_Q252,
-        "q253_ab_ztest": SQL_Q253,
-        "q254_weighted_reservoir": SQL_Q254,
-        "q255_interarrival_dispersion": SQL_Q255,
-        "q256_jl_distortion": _sql_golden(
-            "jl_distortion", "pair_id, ratio_micro", "embeddings"
-        ),
-        "q257_bounce_rate": SQL_Q257,
-        "q258_neyman_allocation": SQL_Q258,
-        "q259_km_retention": SQL_Q259,
-        "q260_winsorized_mean": SQL_Q260,
-        "q261_effective_sample_size": SQL_Q261,
-        "q262_charset_profile": SQL_Q262,
-        "q263_order_reconciliation": SQL_Q263,
-        "q264_part_price_dispersion": SQL_Q264,
-        "q265_nation_share_trend": SQL_Q265,
-        "q266_return_rate_wilson": SQL_Q266,
-        "q267_set_similarity_join": _sql_q267(),
-        "q268_naive_bayes_lang": _sql_q268(),
-        "q269_time_weighted_value": SQL_Q269,
-        "q270_degree_assortativity": SQL_Q270,
-        "q271_negative_sampling": _sql_q271(),
-        "q272_kendall_tau": SQL_Q272,
-        "q273_adamic_adar": SQL_Q273,
-        "q274_pareto_frontier": SQL_Q274,
-        "q275_diff_in_diff": SQL_Q275,
-        "q276_embedding_frechet_drift": SQL_Q276,
-        "q277_span_corruption": _sql_golden(
-            "span_corruption",
-            "doc_id, n_tokens, n_spans, n_masked, input_len, target_len",
-            "documents",
-        ),
-        "q278_bpe_fertility": _sql_golden(
-            "bpe_fertility",
-            "lang, n_docs, n_words, n_subwords, fertility_micro, "
-            "chars_per_subword_micro",
-            "documents",
-        ),
-        "q279_lz_complexity": _sql_golden(
-            "lz_complexity",
-            "user_id, n_events, n_phrases, complexity_micro",
-            "events",
-        ),
-        "q280_cusum_changepoint": SQL_Q280,
-        "q281_markov_stationary": _sql_q281(),
-        "q282_cluster_silhouette": _sql_golden(
-            "silhouette", "cluster, n, mean_sil_micro", "embeddings"
-        ),
-        "q283_ks_length_shift": SQL_Q283,
-        "q284_longest_self_repeat": _sql_golden(
-            "self_repeat",
-            "doc_id, n_tokens, max_repeat_len, repeat_share_bp",
-            "documents",
-        ),
-        "q285_chi_square_independence": SQL_Q285,
-        "q286_poisson_bootstrap_ci": _sql_q286(),
-        "q287_dp_count_release": SQL_Q287,
-        "q288_theil_sen_trend": SQL_Q288,
-        "q289_chao1_vocabulary": SQL_Q289,
-        "q290_heaps_law": SQL_Q290,
-        "q291_neardup_lcs_audit": _sql_golden(
-            "neardup_lcs",
-            "doc_a, doc_b, lcs_tokens, lcs_share_bp",
-            "documents",
-        ),
-        "q292_power_analysis": SQL_Q292,
-        "q293_mixture_waterfill": _sql_q293(),
-        "q294_alias_sampler": _sql_golden(
-            "alias_sampler", "term, prob_ppm, alias_term", "documents"
-        ),
-        "q295_sprt_monitor": SQL_Q295,
-        "q296_extraction_stateful": _sql_q24(),
-    }
-    # Driver-exposure rotation: the driver's correctness artifact caps
-    # at 50 entries taken in ITERATION order, and rounds 2-3 exposed
-    # q01-q50. Iterate the NEWEST fifty first this round so
-    # every family accumulates driver-verified rows across rounds —
-    # the registry CONTENT is unchanged (tools/oracle_check.py sweeps
-    # all of it, and every entry keeps its oracle either way).
-    names = list(queries)
-    rotated = names[-50:] + names[50:-50] + names[:50]
-    queries = {n: queries[n] for n in rotated}
-    return queries, oracles
+"""Query registry hub — the 296-query surface, split (round 5,
+VERDICT r4 §7) into ordered band modules under
+``barks_ocr_ray/pipelines/qband/``.
+
+The split is ORDER-PRESERVING and chained: each band module does
+``from <previous band> import *`` and re-exports its whole namespace, so
+every top-level name (queries, SQL oracles, shared helpers, constants)
+still resolves exactly as it did in the single file, and this hub
+re-exports the union — ``from barks_ocr_ray.pipelines.queries import
+anything`` keeps working, no query renames. build_registry() lives in
+the last band.
+
+Band map (ordered by query number, the build's wave order):
+* qband/b01_relational_extraction.py
+* qband/b02_text_search_windows.py
+* qband/b03_dedup_quality_prep.py
+* qband/b04_curation_splits_sketches.py
+* qband/b05_graph_embeddings_ranking.py
+* qband/b06_sessions_stats_drift.py
+* qband/b07_estimators_audits.py
+* qband/b08_waves_r4_r5_registry.py
+"""
+
+from barks_ocr_ray.pipelines.qband.b08_waves_r4_r5_registry import *  # noqa: F401,F403
+
+__all__ = [_n for _n in dict(globals()) if not _n.startswith("__")]
