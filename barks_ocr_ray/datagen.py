@@ -420,3 +420,51 @@ def media_table(n: int, seed: int = SEED) -> pa.Table:
     return pa.Table.from_pylist(
         [media_record(i, seed) for i in range(n)], schema=MEDIA_SCHEMA
     )
+
+
+def media_aug_record(i: int, seed: int = SEED) -> dict:
+    """Augmented media corpus row with PLANTED duplicates (the media
+    dedup exercise; deterministic):
+
+    * ``i % 5 == 4`` (i >= 5): cross-format EXACT pixel dup — the image
+      of row i-4 re-encoded in a different codec (same pixels,
+      different bytes/format/url).
+    * else ``i % 7 == 6`` (i >= 7): NEAR dup — row i-6's image with 3
+      deterministic single-pixel high-bit flips (perceptual-hash
+      distance small, pixel digest different).
+    * else: the base procedural image of row i.
+    """
+    import numpy as np  # noqa: F401  (kept local: driver-side helper)
+
+    from barks_ocr_ray.functions.codecs import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    if i >= 5 and i % 5 == 4:
+        src = i - 4
+        arr = media_image_array(src, seed)
+        fmt = _MEDIA_FMTS[(src + 1) % 3]
+    elif i >= 7 and i % 7 == 6:
+        src = i - 6
+        arr = media_image_array(src, seed).copy()
+        h, w = arr.shape[:2]
+        for k in range(3):
+            arr[(src + k) % h, (src * 3 + k) % w, 0] ^= 0x80
+        fmt = _MEDIA_FMTS[i % 3]
+    else:
+        arr = media_image_array(i, seed)
+        fmt = _MEDIA_FMTS[i % 3]
+    enc = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}[fmt]
+    return {
+        "url": f"media://aug/{_b36(i)}.{fmt}",
+        "fmt": fmt,
+        "media": enc(arr),
+    }
+
+
+def media_aug_table(n: int, seed: int = SEED) -> pa.Table:
+    return pa.Table.from_pylist(
+        [media_aug_record(i, seed) for i in range(n)], schema=MEDIA_SCHEMA
+    )

@@ -384,3 +384,51 @@ def frame_digest(arr: np.ndarray, idx: int) -> str:
         np.ascontiguousarray(row).tobytes() + idx.to_bytes(8, "big"),
         digest_size=16,
     ).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# content-addressing kernels over DECODED pixels (round 5: these only
+# make sense because the decode boundary is real — the same image
+# encoded as PNG vs BMP vs PPM has different bytes but identical pixels)
+# --------------------------------------------------------------------------
+
+
+def pixel_digest(arr: np.ndarray) -> str:
+    """Digest of the decoded RGB pixel content + dims: the cross-format
+    exact-dedup key (byte-level sha256 of the PAYLOAD cannot collapse a
+    PNG/BMP re-encode of the same image; this does)."""
+    h, w = arr.shape[:2]
+    return hashlib.blake2b(
+        np.ascontiguousarray(arr).tobytes()
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big"),
+        digest_size=16,
+    ).hexdigest()
+
+
+def luma(arr: np.ndarray) -> np.ndarray:
+    """Integer Rec.601 luma: (299 R + 587 G + 114 B) // 1000 — exact,
+    no float rounding to mirror."""
+    a = arr.astype(np.int64)
+    return (a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114) // 1000
+
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash, public perceptual-hash design):
+    nearest-sample the integer luma to a 8x9 grid, emit bit 1 where the
+    left cell is strictly brighter than its right neighbour, row-major
+    MSB-first. All integer — bit-identical across any partitioning."""
+    g = luma(arr)
+    h, w = g.shape
+    iy = (np.arange(8, dtype=np.int64) * h) // 8
+    ix = (np.arange(9, dtype=np.int64) * w) // 9
+    small = g[iy][:, ix]
+    bits = (small[:, :-1] > small[:, 1:]).reshape(-1)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

@@ -544,6 +544,89 @@ def ensure_neardup_goldens() -> dict[str, str]:
     }
 
 
+Q298_N = 150  # augmented media corpus (planted cross-format/near dups)
+Q299_HAMMING_MAX = 7  # 8 bands x 8 bits: dist <= 7 => some band exact
+
+
+def media_dedup_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_media_dedup_n{n}.parquet")
+
+
+def ensure_media_dedup_golden(n: int) -> str:
+    """Single-process golden of cross-format pixel dedup: decode every
+    augmented-corpus payload through the REAL codecs, group by decoded
+    pixel digest, min-url winner + copy count per group."""
+    path = media_dedup_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.datagen import media_aug_record
+    from barks_ocr_ray.functions.codecs import decode_media, pixel_digest
+
+    groups: dict = {}
+    for i in range(n):
+        rec = media_aug_record(i)
+        d = pixel_digest(decode_media(rec["media"]))
+        g = groups.setdefault(d, [0, None])
+        g[0] += 1
+        if g[1] is None or rec["url"] < g[1]:
+            g[1] = rec["url"]
+    keys = sorted(groups)
+    table = pa.table(
+        {
+            "pixel_digest": pa.array(keys, pa.string()),
+            "n_copies": pa.array([groups[k][0] for k in keys], pa.int64()),
+            "winner_url": pa.array(
+                [groups[k][1] for k in keys], pa.string()
+            ),
+        }
+    )
+    _atomic_write(table, path)
+    return path
+
+
+def media_phash_golden_path(n: int) -> str:
+    return os.path.join(ORACLE_DIR, f"golden_media_phash_n{n}.parquet")
+
+
+def ensure_media_phash_golden(n: int) -> str:
+    """Single-process golden of perceptual-hash near-dup pairs: brute
+    all-pairs Hamming over dhash64 of the decoded images (exact; the
+    distributed 8x8-bit banding is COMPLETE for dist <= 7 by
+    pigeonhole, so banded results must equal this)."""
+    path = media_phash_golden_path(n)
+    if os.path.exists(path):
+        return path
+    from barks_ocr_ray.datagen import media_aug_record
+    from barks_ocr_ray.functions.codecs import (
+        decode_media,
+        dhash64,
+        hamming64,
+    )
+
+    items = []
+    for i in range(n):
+        rec = media_aug_record(i)
+        items.append((rec["url"], dhash64(decode_media(rec["media"]))))
+    items.sort()
+    a_out, b_out, hd = [], [], []
+    for x in range(len(items)):
+        for y in range(x + 1, len(items)):
+            d = hamming64(items[x][1], items[y][1])
+            if d <= Q299_HAMMING_MAX:
+                a_out.append(items[x][0])
+                b_out.append(items[y][0])
+                hd.append(d)
+    table = pa.table(
+        {
+            "url_a": pa.array(a_out, pa.string()),
+            "url_b": pa.array(b_out, pa.string()),
+            "hamming": pa.array(hd, pa.int64()),
+        }
+    )
+    _atomic_write(table, path)
+    return path
+
+
 def ensure_all() -> dict[str, str]:
     """Materialize every golden the oracle SQL references (idempotent;
     called from the registry build so the files exist regardless of
@@ -560,6 +643,8 @@ def ensure_all() -> dict[str, str]:
         "q163": ensure_hits_golden(Q24_N),
         "q164": ensure_canonical_dedup_golden(Q24_N),
         "q168": ensure_frontier_golden(Q24_N),
+        "q298": ensure_media_dedup_golden(Q298_N),
+        "q299": ensure_media_phash_golden(Q298_N),
     }
     out.update(ensure_neardup_goldens())
     return out

@@ -2131,6 +2131,611 @@ def _sql_golden(name: str, cols: str, table: str) -> str:
     )
 
 
+def q297_clustering_coefficient(sf_dir: str):
+    """Local clustering coefficient per supplier over the co-purchase
+    graph: C(v) = 2*T(v) / (deg(v)*(deg(v)-1)) for deg >= 2 — the
+    per-node density gauge that closes the round-5 triangle work
+    (graph.orient_by_degree makes T(v) exact AND hub-safe, so this is
+    computable on a skewed web graph too). Distributed shape: the q138
+    edge build (order-keyed map_groups + distinct), edges materialized
+    ONCE for the degree aggregation + the degree-ordered triangle
+    kernel, then one node-keyed left join; the close is ONE mirrored
+    IEEE expression rounded to 6 dp."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.graph import triangle_counts
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        su = np.unique(t.column("l_suppkey").to_numpy(zero_copy_only=False))
+        if su.size < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        ii, jj = np.triu_indices(su.size, k=1)
+        return pa.table(
+            {
+                "a": pa.array(su[ii], pa.int64()),
+                "b": pa.array(su[jj], pa.int64()),
+            }
+        )
+
+    edges = (
+        li.groupby("l_orderkey", num_partitions=hash_partitions(8))
+        .map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"], num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()  # consumed by BOTH degrees and triangles
+    )
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("a").combine_chunks(),
+                        t.column("b").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    deg = (
+        edges.map_batches(_endpoints, batch_format="pyarrow")
+        .groupby("node", num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="deg"))
+    )
+    tris = triangle_counts(edges)
+
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    deg_c, n_deg = compact_nonempty(deg, 8)
+    empty = pa.table(
+        {
+            "s_suppkey": pa.array([], pa.int64()),
+            "deg": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+            "clustering": pa.array([], pa.float64()),
+        }
+    )
+    if n_deg == 0:
+        return empty
+    tris_c, n_tris = compact_nonempty(tris, 8)
+    if n_tris:
+        joined = deg_c.join(
+            tris_c,
+            join_type="left_outer",
+            num_partitions=hash_partitions(8),
+            on=("node",),
+        )
+    else:
+        joined = deg_c.map_batches(
+            lambda t: t.append_column(
+                "n_triangles", pa.nulls(t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    def _close(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.greater_equal(t.column("deg"), pa.scalar(2, pa.int64()))
+        )
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        tri = (
+            pc.fill_null(t.column("n_triangles"), pa.scalar(0, pa.int64()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # ONE mirrored IEEE expression (SQL: t*2.0 / (deg*(deg-1)))
+        c = round_like_duckdb(tri * 2.0 / (d * (d - 1)), 6)
+        return pa.table(
+            {
+                "s_suppkey": t.column("node"),
+                "deg": t.column("deg"),
+                "n_triangles": pa.array(tri, pa.int64()),
+                "clustering": pa.array(c, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(_close, batch_format="pyarrow")
+
+
+SQL_Q297 = """
+WITH e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey),
+nn AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nn GROUP BY 1),
+t AS (
+  SELECT w.a, w.b, w.c
+  FROM (SELECT e1.a, e1.b, e2.b AS c
+        FROM e e1 JOIN e e2 ON e1.b = e2.a) w
+  JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+tn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM t
+        UNION ALL SELECT b FROM t
+        UNION ALL SELECT c FROM t) GROUP BY 1)
+SELECT d.node AS s_suppkey, d.deg,
+       CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(coalesce(tn.n_triangles, 0) * 2.0 / (d.deg * (d.deg - 1)), 6)
+         AS clustering
+FROM d LEFT JOIN tn ON tn.node = d.node
+WHERE d.deg >= 2
+"""
+
+
+def q298_media_pixel_dedup(sf_dir: str):
+    """Cross-format EXACT media dedup over DECODED pixels: the same
+    image re-encoded PNG vs BMP vs PPM has different payload bytes (a
+    byte-sha256 dedup misses it) but an identical decoded array — the
+    operator only exists because the decode boundary is real (round 5,
+    functions/codecs.py). One actor-pool decode+digest pass, then a
+    digest-keyed repartition + block-local Arrow group_by (colocated
+    key => block-local min/count IS global — the q189 discipline).
+    Golden oracle: sequential replay over the same kernels."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import media_aug_table
+    from barks_ocr_ray.functions.codecs import decode_media, pixel_digest
+    from barks_ocr_ray.oracle_data import Q298_N
+
+    configure()
+    corpus = rd.from_arrow(media_aug_table(Q298_N))
+
+    def _digest(t: pa.Table) -> pa.Table:
+        digs = [
+            pixel_digest(decode_media(m.as_py() or b""))
+            for m in t.column("media")
+        ]
+        return pa.table(
+            {
+                "pixel_digest": pa.array(digs, pa.string()),
+                "url": t.column("url"),
+            }
+        )
+
+    def _group(t: pa.Table) -> pa.Table:
+        g = (
+            t.group_by("pixel_digest")
+            .aggregate([("url", "min"), ([], "count_all")])
+            .rename_columns(["pixel_digest", "winner_url", "n_copies"])
+        )
+        return pa.table(
+            {
+                "pixel_digest": g.column("pixel_digest"),
+                "n_copies": g.column("n_copies").cast(pa.int64()),
+                "winner_url": g.column("winner_url"),
+            }
+        )
+
+    return (
+        corpus.map_batches(_digest, batch_format="pyarrow", batch_size=32)
+        .repartition(hash_partitions(8), keys=["pixel_digest"])
+        .map_batches(_group, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _sql_q298() -> str:
+    from barks_ocr_ray.oracle_data import Q298_N, media_dedup_golden_path
+
+    return f"""
+SELECT pixel_digest, n_copies, winner_url
+FROM read_parquet('{media_dedup_golden_path(Q298_N)}')
+"""
+
+
+def q299_media_phash_neardup(sf_dir: str):
+    """Perceptual-hash NEAR-dup pairs over decoded images: integer
+    dhash64 (codecs.dhash64) per payload, 8x8-bit band explode ->
+    (band_id, band_val)-keyed buckets -> in-bucket pairs verified by
+    full Hamming <= 7 -> pair-keyed dedup. COMPLETE for dist <= 7 by
+    pigeonhole (8 bands, <=7 differing bits => some band matches
+    exactly), so the brute all-pairs golden is an exact oracle. The
+    q19/q20 banding discipline applied to the multimodal column."""
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import media_aug_table
+    from barks_ocr_ray.functions.codecs import decode_media, dhash64
+    from barks_ocr_ray.functions.relational import compact_nonempty
+    from barks_ocr_ray.oracle_data import Q298_N, Q299_HAMMING_MAX
+
+    configure()
+    corpus = rd.from_arrow(media_aug_table(Q298_N))
+
+    def _bands(t: pa.Table) -> pa.Table:
+        urls, phash, band_id, band_val = [], [], [], []
+        for u, m in zip(
+            t.column("url").to_pylist(), t.column("media")
+        ):
+            hv = dhash64(decode_media(m.as_py() or b""))
+            hx = f"{hv:016x}"
+            for b in range(8):
+                urls.append(u)
+                phash.append(hx)
+                band_id.append(b)
+                band_val.append((hv >> (8 * b)) & 0xFF)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "phash": pa.array(phash, pa.string()),
+                "band_id": pa.array(band_id, pa.int64()),
+                "band_val": pa.array(band_val, pa.int64()),
+            }
+        )
+
+    def _bucket_pairs(g: pa.Table) -> pa.Table:
+        rows = sorted(
+            set(
+                zip(
+                    g.column("url").to_pylist(),
+                    g.column("phash").to_pylist(),
+                )
+            )
+        )
+        a_out, b_out, hd = [], [], []
+        for x in range(len(rows)):
+            hx = int(rows[x][1], 16)
+            for y in range(x + 1, len(rows)):
+                d = bin(hx ^ int(rows[y][1], 16)).count("1")
+                if d <= Q299_HAMMING_MAX:
+                    a_out.append(rows[x][0])
+                    b_out.append(rows[y][0])
+                    hd.append(d)
+        return pa.table(
+            {
+                "url_a": pa.array(a_out, pa.string()),
+                "url_b": pa.array(b_out, pa.string()),
+                "hamming": pa.array(hd, pa.int64()),
+            }
+        )
+
+    cand = (
+        corpus.map_batches(_bands, batch_format="pyarrow", batch_size=32)
+        .groupby(["band_id", "band_val"], num_partitions=hash_partitions(8))
+        .map_groups(_bucket_pairs, batch_format="pyarrow")
+    )
+    cand_c, n_cand = compact_nonempty(cand, 8)
+    if n_cand == 0:
+        return pa.table(
+            {
+                "url_a": pa.array([], pa.string()),
+                "url_b": pa.array([], pa.string()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    # pair-keyed dedup (the same pair surfaces from every matching band)
+    return (
+        cand_c.groupby(["url_a", "url_b"], num_partitions=hash_partitions(8))
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+def _sql_q299() -> str:
+    from barks_ocr_ray.oracle_data import Q298_N, media_phash_golden_path
+
+    return f"""
+SELECT url_a, url_b, hamming
+FROM read_parquet('{media_phash_golden_path(Q298_N)}')
+"""
+
+
+def q300_benford_price_audit(sf_dir: str):
+    """Benford first-significant-digit audit of part retail prices —
+    the classic synthetic-data / fraud screen for a numeric column.
+    Exactness: prices go to integer cents via round_like_duckdb, the
+    first digit is the first character of the CANONICAL integer decimal
+    rendering (Arrow cast-to-string == SQL CAST(AS VARCHAR), no float
+    log10 boundary risk), counts ship as 9-bounded block partials, and
+    each digit's chi-square term is ONE mirrored IEEE expression
+    (ln(1+1/d)/ln(10) on both sides) micro-rounded per digit."""
+    import math
+
+    import numpy as np
+
+    parts = read_table(sf_dir, "part", ["p_retailprice"])
+
+    def _digits(t: pa.Table) -> pa.Table:
+        cents = pa.array(
+            round_like_duckdb(
+                t.column("p_retailprice").to_numpy(zero_copy_only=False)
+                * 100.0,
+                0,
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        tt = pa.table({"c": cents}).filter(
+            pc.greater(cents, pa.scalar(0, pa.int64()))
+        )
+        d = pc.cast(
+            pc.utf8_slice_codeunits(
+                pc.cast(tt.column("c"), pa.string()), 0, 1
+            ),
+            pa.int64(),
+        )
+        g = pa.table({"digit": d}).group_by("digit").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["digit", "n"])
+
+    hist = (
+        parts.map_batches(_digits, batch_format="pyarrow")
+        .groupby("digit", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    counts = {int(r["digit"]): int(r["n"]) for r in hist}
+    total = sum(counts.values())
+    digits = list(range(1, 10))
+    n_out, exp_out, chi_out = [], [], []
+    for d in digits:
+        o = counts.get(d, 0)
+        # ONE mirrored IEEE chain per digit (SQL: ln(1+1.0/d)/ln(10.0))
+        e = total * (math.log(1.0 + 1.0 / d) / math.log(10.0))
+        exp_micro = int(round_like_duckdb(1e6 * e, 0))
+        chi_micro = (
+            int(round_like_duckdb(1e6 * ((o - e) * (o - e) / e), 0))
+            if total
+            else 0
+        )
+        n_out.append(o)
+        exp_out.append(exp_micro)
+        chi_out.append(chi_micro)
+    return pa.table(
+        {
+            "digit": pa.array(digits, pa.int64()),
+            "n": pa.array(n_out, pa.int64()),
+            "expected_micro": pa.array(exp_out, pa.int64()),
+            "chi_micro": pa.array(chi_out, pa.int64()),
+        }
+    )
+
+
+SQL_Q300 = """
+WITH c AS (
+  SELECT CAST(round(p_retailprice * 100.0, 0) AS BIGINT) AS cents
+  FROM part),
+d AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0),
+h AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM d),
+grid AS (SELECT CAST(gs.g AS BIGINT) AS digit
+         FROM generate_series(1, 9) gs(g))
+SELECT grid.digit,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+       CAST(round(1000000 * (tot.t * (ln(1.0 + 1.0 / grid.digit)
+                                      / ln(10.0))), 0) AS BIGINT)
+         AS expected_micro,
+       CAST(round(1000000 * (
+         (coalesce(h.n, 0) - tot.t * (ln(1.0 + 1.0 / grid.digit)
+                                      / ln(10.0)))
+         * (coalesce(h.n, 0) - tot.t * (ln(1.0 + 1.0 / grid.digit)
+                                        / ln(10.0)))
+         / (tot.t * (ln(1.0 + 1.0 / grid.digit) / ln(10.0)))), 0)
+         AS BIGINT) AS chi_micro
+FROM grid LEFT JOIN h ON h.digit = grid.digit CROSS JOIN tot
+ORDER BY 1
+"""
+
+
+def q301_acf_daily_volume(sf_dir: str):
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 — the seasonality probe beside q246's EWMA and q280's CUSUM
+    (a strong lag-7 spike = weekly traffic cycle). Exactness: ONE
+    day-bounded count agg ships integer partials; per lag, numerator
+    and denominator are EXACT integers via the T-scaled centering
+    identity sum((T x_t - S)(T x_{t+k} - S)) (no rational mean), and
+    the close is ONE mirrored IEEE division micro-rounded (both sides
+    cast the exact ints to double first)."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t.column("ts").cast(pa.int64()), pa.scalar(DAY, pa.int64())
+        )
+        g = pa.table({"day": day}).group_by("day").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["day", "c"])
+
+    hist = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby("day", num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "lag": pa.array([], pa.int64()),
+            "acf_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not hist:
+        return empty
+    d0 = min(int(r["day"]) for r in hist)
+    nd = max(int(r["day"]) for r in hist) - d0
+    x = np.zeros(nd + 1, np.int64)
+    for r in hist:
+        x[int(r["day"]) - d0] = int(r["c"])
+    T = int(nd + 1)
+    S = int(x.sum())
+    cx = [T * int(v) - S for v in x]  # exact Python ints
+    den = sum(v * v for v in cx)
+    if den == 0:  # constant series: ACF undefined (mirrored WHERE dn>0)
+        return empty
+    lags, micros = [], []
+    for k in range(1, 8):
+        if k > nd:
+            break
+        num = sum(cx[t] * cx[t + k] for t in range(T - k))
+        lags.append(k)
+        micros.append(
+            int(round_like_duckdb(1e6 * (float(num) / float(den)), 0))
+        )
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "acf_micro": pa.array(micros, pa.int64()),
+        }
+    )
+
+
+SQL_Q301 = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS dd0,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts))) AS nd
+  FROM events),
+counts AS (SELECT date_diff('day', bounds.dd0, date_trunc('day', ts)) AS i,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events, bounds GROUP BY 1),
+spine AS (SELECT gs.i FROM bounds, generate_series(0, 100000) gs(i)
+          WHERE gs.i <= bounds.nd),
+dense AS (SELECT s.i, coalesce(c.c, 0) AS x
+          FROM spine s LEFT JOIN counts c ON c.i = s.i),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS T, CAST(sum(x) AS BIGINT) AS S
+       FROM dense),
+lags AS (SELECT CAST(gs.k AS BIGINT) AS k FROM generate_series(1, 7) gs(k)),
+nm AS (SELECT l.k,
+              CAST(sum(CAST(tt.T * a.x - tt.S AS HUGEINT)
+                       * CAST(tt.T * b.x - tt.S AS HUGEINT)) AS HUGEINT)
+                AS num
+       FROM lags l, tt, dense a, dense b
+       WHERE b.i = a.i + l.k GROUP BY 1),
+dn AS (SELECT CAST(sum(CAST(tt.T * x - tt.S AS HUGEINT)
+                       * CAST(tt.T * x - tt.S AS HUGEINT)) AS HUGEINT)
+         AS den FROM dense, tt)
+SELECT nm.k AS lag,
+       CAST(round(1000000 * (CAST(nm.num AS DOUBLE)
+                             / CAST(dn.den AS DOUBLE)), 0) AS BIGINT)
+         AS acf_micro
+FROM nm, dn
+WHERE dn.den > 0
+ORDER BY 1
+"""
+
+
+def q302_mann_whitney_u(sf_dir: str):
+    """Mann-Whitney U rank test: does src0's document-length
+    distribution differ from src1's? — the NONPARAMETRIC two-sample
+    drift gate beside q253's mean z-test and q283's exact KS (U reads
+    stochastic dominance; KS reads sup-distance). Exactness: (source,
+    n_chars) integer histogram partials -> ONE bounded agg; U, tie
+    cubes, n0/n1 are exact integers folded from the value-sorted
+    histogram (2x-scaled U so half-ties stay integral); the tie-
+    corrected z closes in ONE mirrored IEEE chain micro-rounded."""
+    import math
+
+    ev = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t.column("source"),
+            value_set=pa.array(["src0", "src1"], pa.string()),
+        )
+        tt = t.filter(mask)
+        g = (
+            pa.table(
+                {"source": tt.column("source"), "v": tt.column("n_chars")}
+            )
+            .group_by(["source", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["source", "v", "n"])
+
+    hist = (
+        ev.map_batches(_hist, batch_format="pyarrow")
+        .groupby(["source", "v"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    c0: dict = {}
+    c1: dict = {}
+    for r in hist:
+        (c0 if r["source"] == "src0" else c1)[int(r["v"])] = int(r["n"])
+    n0 = sum(c0.values())
+    n1 = sum(c1.values())
+    empty = pa.table(
+        {
+            "n0": pa.array([], pa.int64()),
+            "n1": pa.array([], pa.int64()),
+            "u1_x2": pa.array([], pa.int64()),
+            "tie_cubes": pa.array([], pa.int64()),
+            "z_micro": pa.array([], pa.int64()),
+        }
+    )
+    if n0 == 0 or n1 == 0 or n0 + n1 < 2:
+        return empty
+    u1x2 = 0
+    tcube = 0
+    cum1 = 0
+    for v in sorted(set(c0) | set(c1)):
+        a = c0.get(v, 0)
+        b = c1.get(v, 0)
+        u1x2 += a * (2 * cum1 + b)
+        t = a + b
+        tcube += t * t * t - t
+        cum1 += b
+    n = n0 + n1
+    var = (float(n0) * n1 / 12.0) * (
+        (n + 1.0) - float(tcube) / (float(n) * (n - 1.0))
+    )
+    if var <= 0:  # all values tied: z undefined (mirrored WHERE)
+        return empty
+    z = ((float(u1x2) - float(n0 * n1)) / 2.0) / math.sqrt(var)
+    return pa.table(
+        {
+            "n0": pa.array([n0], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "u1_x2": pa.array([u1x2], pa.int64()),
+            "tie_cubes": pa.array([tcube], pa.int64()),
+            "z_micro": pa.array(
+                [int(round_like_duckdb(1e6 * z, 0))], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q302 = """
+WITH f AS (SELECT source, n_chars FROM documents
+           WHERE source IN ('src0', 'src1')),
+h AS (SELECT n_chars AS v,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1
+      FROM f GROUP BY 1),
+w AS (SELECT v, c0, c1,
+             CAST(coalesce(sum(c1) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS cum1
+      FROM h),
+agg AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c0 * (2 * cum1 + c1)) AS BIGINT) AS u1x2,
+               CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1))
+                    AS BIGINT) AS tcube
+        FROM w)
+SELECT n0, n1, u1x2 AS u1_x2, tcube AS tie_cubes,
+       CAST(round(1000000 * (
+         ((CAST(u1x2 AS DOUBLE) - CAST(n0 * n1 AS DOUBLE)) / 2.0)
+         / sqrt((CAST(n0 AS DOUBLE) * n1 / 12.0)
+                * ((n0 + n1 + 1.0) - CAST(tcube AS DOUBLE)
+                   / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1.0))))), 0)
+         AS BIGINT) AS z_micro
+FROM agg
+WHERE n0 > 0 AND n1 > 0 AND n0 + n1 >= 2
+  AND (CAST(n0 AS DOUBLE) * n1 / 12.0)
+      * ((n0 + n1 + 1.0) - CAST(tcube AS DOUBLE)
+         / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1.0))) > 0
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2429,6 +3034,12 @@ def build_registry():
         "q294_alias_sampler": q294_alias_sampler,
         "q295_sprt_monitor": q295_sprt_monitor,
         "q296_extraction_stateful": q296_extraction_stateful,
+        "q297_clustering_coefficient": q297_clustering_coefficient,
+        "q298_media_pixel_dedup": q298_media_pixel_dedup,
+        "q299_media_phash_neardup": q299_media_phash_neardup,
+        "q300_benford_price_audit": q300_benford_price_audit,
+        "q301_acf_daily_volume": q301_acf_daily_volume,
+        "q302_mann_whitney_u": q302_mann_whitney_u,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -2813,6 +3424,12 @@ def build_registry():
         ),
         "q295_sprt_monitor": SQL_Q295,
         "q296_extraction_stateful": _sql_q24(),
+        "q297_clustering_coefficient": SQL_Q297,
+        "q298_media_pixel_dedup": _sql_q298(),
+        "q299_media_phash_neardup": _sql_q299(),
+        "q300_benford_price_audit": SQL_Q300,
+        "q301_acf_daily_volume": SQL_Q301,
+        "q302_mann_whitney_u": SQL_Q302,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -189,3 +189,128 @@ class TestRealCodecs:
             assert rs.loc[url, "thumb_digest"] == thumb_digest(
                 resize_nearest(arr, 128)
             )
+
+
+class TestMediaContentDedup:
+    def test_cross_format_dup_collapses(self):
+        """Row 9 re-encodes row 5's image in another codec: different
+        bytes, same decoded pixels -> one pixel-digest group."""
+        from barks_ocr_ray.datagen import media_aug_record
+        from barks_ocr_ray.functions.codecs import (
+            decode_media,
+            pixel_digest,
+        )
+
+        r5, r9 = media_aug_record(5), media_aug_record(9)
+        assert r5["media"] != r9["media"] and r5["fmt"] != r9["fmt"]
+        assert pixel_digest(decode_media(r5["media"])) == pixel_digest(
+            decode_media(r9["media"])
+        )
+
+    def test_pixel_dedup_pipeline_groups(self):
+        from barks_ocr_ray.pipelines.queries import q298_media_pixel_dedup
+
+        out = q298_media_pixel_dedup("unused").to_pandas()
+        # 150 rows, 29 cross-format dups (i%5==4, i>=5, excl. i%7==6
+        # overlaps counted once) -> fewer distinct groups than rows
+        assert out["n_copies"].sum() == 150
+        assert (out["n_copies"] >= 2).any()
+        dup = out[out["n_copies"] >= 2].iloc[0]
+        assert dup["winner_url"].startswith("media://aug/")
+
+    def test_phash_near_pair_found(self):
+        """Row 13 is row 7's image with 3 high-bit pixel flips: pixel
+        digests differ, dhash distance <= 7 -> the pair surfaces."""
+        from barks_ocr_ray.datagen import media_aug_record
+        from barks_ocr_ray.functions.codecs import (
+            decode_media,
+            dhash64,
+            hamming64,
+            pixel_digest,
+        )
+        from barks_ocr_ray.pipelines.queries import (
+            q299_media_phash_neardup,
+        )
+
+        r7, r13 = media_aug_record(7), media_aug_record(13)
+        assert pixel_digest(decode_media(r7["media"])) != pixel_digest(
+            decode_media(r13["media"])
+        )
+        assert (
+            hamming64(
+                dhash64(decode_media(r7["media"])),
+                dhash64(decode_media(r13["media"])),
+            )
+            <= 7
+        )
+        pairs = q299_media_phash_neardup("unused").to_pandas()
+        key = {tuple(sorted((a, b))) for a, b in zip(pairs.url_a, pairs.url_b)}
+        assert tuple(sorted((r7["url"], r13["url"]))) in key
+
+
+class TestR5Stats:
+    SF = "/root/testdata/sf0.001"
+
+    def test_mann_whitney_matches_brute_force(self):
+        """u1_x2 and tie_cubes from the histogram fold must equal the
+        O(n0*n1) per-pair definition computed independently here."""
+        import pyarrow.parquet as pq
+
+        from barks_ocr_ray.pipelines.queries import q302_mann_whitney_u
+
+        t = pq.read_table(
+            f"{self.SF}/documents.parquet", columns=["source", "n_chars"]
+        )
+        xs = [
+            int(v)
+            for s, v in zip(
+                t.column("source").to_pylist(), t.column("n_chars").to_pylist()
+            )
+            if s == "src0"
+        ]
+        ys = [
+            int(v)
+            for s, v in zip(
+                t.column("source").to_pylist(), t.column("n_chars").to_pylist()
+            )
+            if s == "src1"
+        ]
+        u1x2 = sum(
+            2 if x > y else (1 if x == y else 0) for x in xs for y in ys
+        )
+        from collections import Counter
+
+        cc = Counter(xs + ys)
+        tcube = sum(c**3 - c for c in cc.values())
+        out = q302_mann_whitney_u(self.SF).to_pandas().iloc[0]
+        assert int(out["u1_x2"]) == u1x2
+        assert int(out["tie_cubes"]) == tcube
+        assert int(out["n0"]) == len(xs) and int(out["n1"]) == len(ys)
+
+    def test_benford_accounting(self):
+        from barks_ocr_ray.pipelines.queries import q300_benford_price_audit
+
+        out = q300_benford_price_audit(self.SF).to_pandas()
+        assert list(out["digit"]) == list(range(1, 10))
+        # expected masses sum to ~total (log10 terms sum to exactly 1)
+        total = int(out["n"].sum())
+        assert abs(int(out["expected_micro"].sum()) - total * 1_000_000) <= 9
+        assert (out["chi_micro"] >= 0).all()
+
+    def test_acf_bounds_and_lags(self):
+        from barks_ocr_ray.pipelines.queries import q301_acf_daily_volume
+
+        out = q301_acf_daily_volume(self.SF).to_pandas()
+        assert list(out["lag"]) == list(range(1, len(out) + 1))
+        assert (out["acf_micro"].abs() <= 1_000_000).all()
+
+    def test_clustering_coefficient_range(self):
+        from barks_ocr_ray.pipelines.queries import (
+            q297_clustering_coefficient,
+        )
+
+        out = q297_clustering_coefficient(self.SF).to_pandas()
+        assert (out["deg"] >= 2).all()
+        assert ((out["clustering"] >= 0) & (out["clustering"] <= 1)).all()
+        # sf0.001: 10 suppliers, co-purchase graph near-complete — dense
+        assert len(out) == 10
