@@ -237,3 +237,51 @@ def alias_table(terms, weights) -> pa.Table:
             ),
         }
     )
+
+
+def huffman_code_lengths(terms, counts) -> list[int]:
+    """Optimal prefix-code lengths by the deterministic TWO-QUEUE
+    Huffman construction (van Leeuwen 1976): leaves enter sorted by
+    (count, term); merges always take the two smallest heads comparing
+    (weight, kind, seq) with leaves-before-internals on weight ties and
+    FIFO among internals — a TOTAL order, so the distributed vocab agg
+    and the sequential golden produce identical lengths. All integer.
+    Single-symbol vocab gets length 1 by convention."""
+    order = sorted(range(len(terms)), key=lambda i: (counts[i], terms[i]))
+    n = len(order)
+    if n == 0:
+        return []
+    if n == 1:
+        return [1]
+    from collections import deque
+
+    leaves = deque((int(counts[i]), ("L", i)) for i in order)
+    internal: deque = deque()
+    parents: dict = {}
+    seq = 0
+
+    def _pop_min():
+        if leaves and (
+            not internal or leaves[0][0] <= internal[0][0]
+        ):
+            return leaves.popleft()
+        return internal.popleft()
+
+    while len(leaves) + len(internal) > 1:
+        a = _pop_min()
+        b = _pop_min()
+        node = ("I", seq)
+        seq += 1
+        parents[a[1]] = node
+        parents[b[1]] = node
+        internal.append((a[0] + b[0], node))
+
+    depths = [0] * len(terms)
+    for i in range(len(terms)):
+        d = 0
+        cur = ("L", i)
+        while cur in parents:
+            cur = parents[cur]
+            d += 1
+        depths[i] = d
+    return depths

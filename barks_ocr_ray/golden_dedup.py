@@ -1353,3 +1353,28 @@ def golden_alias_sampler(docs: pa.Table) -> pa.Table:
         1e6 * cnt.astype(np.float64) ** 0.75, 0
     ).astype(np.int64)
     return alias_table(terms, weight)
+
+
+def golden_huffman_lengths(docs: pa.Table) -> pa.Table:
+    """Sequential replay of q304: Counter over the SHARED Tokenizer,
+    the SHARED deterministic two-queue Huffman kernel
+    (importance.huffman_code_lengths)."""
+    from collections import Counter
+
+    from barks_ocr_ray.functions.importance import huffman_code_lengths
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    tok = Tokenizer()
+    counts: Counter = Counter()
+    for s in docs.column("text").to_pylist():
+        counts.update(tok.tokens(s or ""))
+    terms = sorted(counts)
+    cnt = [counts[t] for t in terms]
+    lens = huffman_code_lengths(terms, cnt)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "code_len": pa.array(lens, pa.int64()),
+        }
+    )

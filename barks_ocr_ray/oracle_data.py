@@ -541,6 +541,9 @@ def ensure_neardup_goldens() -> dict[str, str]:
         "q294": ensure_neardup_golden(
             "alias_sampler", "documents", g.golden_alias_sampler
         ),
+        "q304": ensure_neardup_golden(
+            "huffman_lengths", "documents", g.golden_huffman_lengths
+        ),
     }
 
 

@@ -2736,6 +2736,228 @@ WHERE n0 > 0 AND n1 > 0 AND n0 + n1 >= 2
 """
 
 
+def q303_funnel_conversion(sf_dir: str):
+    """Ordered funnel conversion view -> click -> purchase per user:
+    the earliest view, then the earliest click STRICTLY after it, then
+    the earliest purchase strictly after that (first-traversal
+    semantics, strict ts ordering mirrored in SQL). Distributed shape:
+    type-filtered pruned read -> ONE user-keyed map_groups sorted scan
+    emitting three 0/1 flags per user -> 3-row bounded sum close;
+    conv_ppm is ONE mirrored IEEE division off the step-1 base."""
+    import numpy as np
+
+    ev = read_table(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def _flt(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(
+                t.column("event_type"),
+                value_set=pa.array(
+                    ["view", "click", "purchase"], pa.string()
+                ),
+            )
+        )
+
+    def _walk(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g.column("event_type").to_pylist()
+        order = np.argsort(ts, kind="stable")
+        t1 = t2 = t3 = None
+        for i in order:
+            if t1 is None:
+                if et[i] == "view":
+                    t1 = ts[i]
+            elif t2 is None:
+                if et[i] == "click" and ts[i] > t1:
+                    t2 = ts[i]
+            elif t3 is None:
+                if et[i] == "purchase" and ts[i] > t2:
+                    t3 = ts[i]
+            else:
+                break
+        return pa.table(
+            {
+                "s1": pa.array([int(t1 is not None)], pa.int64()),
+                "s2": pa.array([int(t2 is not None)], pa.int64()),
+                "s3": pa.array([int(t3 is not None)], pa.int64()),
+            }
+        )
+
+    per_user = (
+        ev.map_batches(_flt, batch_format="pyarrow")
+        .groupby("user_id", num_partitions=hash_partitions(4))
+        .map_groups(_walk, batch_format="pyarrow")
+    )
+    tots = per_user.sum(["s1", "s2", "s3"])
+    n1, n2, n3 = (
+        int(tots["sum(s1)"]),
+        int(tots["sum(s2)"]),
+        int(tots["sum(s3)"]),
+    )
+    steps = ["view", "view>click", "view>click>purchase"]
+    ns = [n1, n2, n3]
+    conv = [
+        int(round_like_duckdb(1e6 * (float(x) / n1), 0)) if n1 else 0
+        for x in ns
+    ]
+    return pa.table(
+        {
+            "step": pa.array(steps, pa.string()),
+            "n_users": pa.array(ns, pa.int64()),
+            "conv_ppm": pa.array(conv, pa.int64()),
+        }
+    )
+
+
+SQL_Q303 = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1),
+n AS (SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n1,
+             CAST((SELECT count(*) FROM c) AS BIGINT) AS n2,
+             CAST((SELECT count(*) FROM p) AS BIGINT) AS n3)
+SELECT s.step, s.n_users,
+       CASE WHEN n.n1 > 0 THEN CAST(round(1000000 *
+              (CAST(s.n_users AS DOUBLE) / n.n1), 0) AS BIGINT)
+            ELSE 0 END AS conv_ppm
+FROM n, (SELECT 'view' AS step, n1 AS n_users, 1 AS o FROM n
+         UNION ALL SELECT 'view>click', n2, 2 FROM n
+         UNION ALL SELECT 'view>click>purchase', n3, 3 FROM n) s
+ORDER BY s.o
+"""
+
+
+def q304_huffman_code_lengths(sf_dir: str):
+    """Optimal prefix-code length per vocabulary term (deterministic
+    two-queue Huffman, importance.huffman_code_lengths — van Leeuwen
+    1976): the compression-family capstone beside q159's zstd ratios,
+    q180's posting compression and q279's LZ76 — weighted mean code
+    length vs the q149-family entropy bound is the achievable-coding
+    gap. Plan: ONE vocab-bounded (term, count) aggregation; the O(V)
+    two-queue build runs on the driver's vocab-sized table (q294 alias-
+    table discipline); golden replays the SHARED kernel."""
+    from barks_ocr_ray.functions.importance import huffman_code_lengths
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    class _TermCounts(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            counts = _Counter()
+            for s in batch.column("text"):
+                counts.update(self.tokens(s.as_py() or ""))
+            return pa.table(
+                {
+                    "term": pa.array(list(counts.keys()), pa.string()),
+                    "cnt": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+    vocab = (
+        docs.map_batches(
+            _TermCounts, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("term", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    terms = sorted(r["term"] for r in vocab)
+    cmap = {r["term"]: int(r["cnt"]) for r in vocab}
+    cnt = [cmap[t] for t in terms]
+    lens = huffman_code_lengths(terms, cnt)
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "code_len": pa.array(lens, pa.int64()),
+        }
+    )
+
+
+def q305_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (lang, source) quasi-identifier pair
+    — the re-identification-risk gate beside q287's DP release (DP
+    protects what you publish; k-anonymity measures what you stored).
+    ONE bounded (lang, source) count aggregation; k_min, class counts
+    and the below-k row fraction close exactly on the grid-sized driver
+    table; frac is ONE mirrored IEEE division."""
+    K_THRESHOLD = 5
+    docs = read_table(sf_dir, "documents", ["lang", "source"])
+
+    def _cells(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["lang", "source"])
+            .group_by(["lang", "source"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "source", "n"])
+
+    cells = (
+        docs.map_batches(_cells, batch_format="pyarrow")
+        .groupby(["lang", "source"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    sizes = [int(r["n"]) for r in cells]
+    total = sum(sizes)
+    if not sizes:
+        return pa.table(
+            {
+                "k_min": pa.array([], pa.int64()),
+                "n_classes": pa.array([], pa.int64()),
+                "n_below_k": pa.array([], pa.int64()),
+                "rows_below_k": pa.array([], pa.int64()),
+                "frac_below_k_ppm": pa.array([], pa.int64()),
+            }
+        )
+    below = [s for s in sizes if s < K_THRESHOLD]
+    return pa.table(
+        {
+            "k_min": pa.array([min(sizes)], pa.int64()),
+            "n_classes": pa.array([len(sizes)], pa.int64()),
+            "n_below_k": pa.array([len(below)], pa.int64()),
+            "rows_below_k": pa.array([sum(below)], pa.int64()),
+            "frac_below_k_ppm": pa.array(
+                [
+                    int(
+                        round_like_duckdb(
+                            1e6 * (float(sum(below)) / total), 0
+                        )
+                    )
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_Q305 = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2),
+agg AS (
+  SELECT CAST(min(n) AS BIGINT) AS k_min,
+         CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_below_k,
+         CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+           AS rows_below_k,
+         CAST(sum(n) AS BIGINT) AS total
+  FROM cells)
+SELECT k_min, n_classes, n_below_k, rows_below_k,
+       CAST(round(1000000 * (CAST(rows_below_k AS DOUBLE) / total), 0)
+            AS BIGINT) AS frac_below_k_ppm
+FROM agg
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3040,6 +3262,9 @@ def build_registry():
         "q300_benford_price_audit": q300_benford_price_audit,
         "q301_acf_daily_volume": q301_acf_daily_volume,
         "q302_mann_whitney_u": q302_mann_whitney_u,
+        "q303_funnel_conversion": q303_funnel_conversion,
+        "q304_huffman_code_lengths": q304_huffman_code_lengths,
+        "q305_k_anonymity": q305_k_anonymity,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -3430,6 +3655,11 @@ def build_registry():
         "q300_benford_price_audit": SQL_Q300,
         "q301_acf_daily_volume": SQL_Q301,
         "q302_mann_whitney_u": SQL_Q302,
+        "q303_funnel_conversion": SQL_Q303,
+        "q304_huffman_code_lengths": _sql_golden(
+            "huffman_lengths", "term, cnt, code_len", "documents"
+        ),
+        "q305_k_anonymity": SQL_Q305,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -314,3 +314,66 @@ class TestR5Stats:
         assert ((out["clustering"] >= 0) & (out["clustering"] <= 1)).all()
         # sf0.001: 10 suppliers, co-purchase graph near-complete — dense
         assert len(out) == 10
+
+
+class TestR5bOperators:
+    SF = "/root/testdata/sf0.001"
+
+    def test_huffman_kernel_optimality_and_kraft(self):
+        from barks_ocr_ray.functions.importance import huffman_code_lengths
+
+        terms = ["a", "b", "c", "d", "e"]
+        counts = [45, 13, 12, 16, 9]
+        lens = huffman_code_lengths(terms, counts)
+        # Kraft equality for a full binary code tree
+        assert sum(2 ** -l for l in lens) == 1.0
+        # optimal weighted length for this fixture: merges 9+12=21,
+        # 13+16=29, 21+29=50, 45+50=95 -> depths {45:1, rest:3} ->
+        # 45*1 + (9+12+13+16)*3 = 195
+        assert sum(c * l for c, l in zip(counts, lens)) == 195
+        # degenerate vocabs
+        assert huffman_code_lengths(["x"], [7]) == [1]
+        assert huffman_code_lengths([], []) == []
+        # two symbols: one bit each regardless of skew
+        assert huffman_code_lengths(["x", "y"], [1, 999]) == [1, 1]
+
+    def test_huffman_beats_entropy_bound_from_below(self):
+        """H <= E[len] < H+1 (Shannon) on the real corpus output."""
+        import math
+
+        from barks_ocr_ray.pipelines.queries import q304_huffman_code_lengths
+
+        out = q304_huffman_code_lengths(self.SF).to_pandas()
+        n = out["cnt"].sum()
+        probs = out["cnt"] / n
+        H = -(probs * probs.map(lambda p: math.log2(p))).sum()
+        elen = (probs * out["code_len"]).sum()
+        assert H <= elen + 1e-9 < H + 1
+
+    def test_funnel_monotone_and_base(self):
+        from barks_ocr_ray.pipelines.queries import q303_funnel_conversion
+
+        out = q303_funnel_conversion(self.SF).to_pandas()
+        n = list(out["n_users"])
+        assert n[0] >= n[1] >= n[2]
+        assert int(out["conv_ppm"].iloc[0]) == 1_000_000
+        # sf0.001 has 15 users, all active across ~200 events/type:
+        # every user views at least once
+        assert n[0] == 15
+
+    def test_k_anonymity_accounting(self):
+        import pyarrow.parquet as pq
+
+        from barks_ocr_ray.pipelines.queries import q305_k_anonymity
+
+        out = q305_k_anonymity(self.SF).to_pandas().iloc[0]
+        t = pq.read_table(
+            f"{self.SF}/documents.parquet", columns=["lang", "source"]
+        )
+        from collections import Counter
+
+        sizes = Counter(
+            zip(t.column("lang").to_pylist(), t.column("source").to_pylist())
+        )
+        assert int(out["k_min"]) == min(sizes.values())
+        assert int(out["n_classes"]) == len(sizes)
