@@ -2958,6 +2958,415 @@ FROM agg
 """
 
 
+def q306_gini_token_concentration(sf_dir: str):
+    """Gini coefficient of the corpus token-frequency distribution —
+    the inequality gauge beside q174's Zipf slope (Zipf fits the shape;
+    Gini scores the concentration in one number a mixture rebalancer
+    can threshold). Exactness: ONE vocab-bounded (term, count) agg; the
+    numerator sum_i (2i - n - 1) x_i over the count-sorted vocab is an
+    exact integer (tie order cannot change it: tied x share any
+    permutation of consecutive ranks), and the close is ONE mirrored
+    IEEE division micro-rounded."""
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    class _TermCounts(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            counts = _Counter()
+            for s in batch.column("text"):
+                counts.update(self.tokens(s.as_py() or ""))
+            return pa.table(
+                {
+                    "term": pa.array(list(counts.keys()), pa.string()),
+                    "cnt": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+    vocab = (
+        docs.map_batches(
+            _TermCounts, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("term", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "n_terms": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "gini_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not vocab:
+        return empty
+    xs = sorted(int(r["cnt"]) for r in vocab)
+    n = len(xs)
+    tot = sum(xs)
+    num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+    gini = float(num) / (float(n) * tot)
+    return pa.table(
+        {
+            "n_terms": pa.array([n], pa.int64()),
+            "n_tokens": pa.array([tot], pa.int64()),
+            "gini_micro": pa.array(
+                [int(round_like_duckdb(1e6 * gini, 0))], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q306 = """
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+r AS (SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt, term) AS BIGINT) AS i
+      FROM v),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+agg AS (SELECT nn.n,
+               CAST(sum(cnt) AS BIGINT) AS tot,
+               CAST(sum((2 * i - nn.n - 1) * cnt) AS BIGINT) AS num
+        FROM r, nn GROUP BY nn.n)
+SELECT n AS n_terms, tot AS n_tokens,
+       CAST(round(1000000 * (CAST(num AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * tot)), 0) AS BIGINT)
+         AS gini_micro
+FROM agg
+"""
+
+
+Q307_MIN_COUNT = 5
+Q307_TOPK = 20
+
+
+def q307_pmi_collocations(sf_dir: str):
+    """Top-k bigram collocations by pointwise mutual information —
+    the phrase-mining primitive (new-term discovery, tokenizer-merge
+    candidates) beside q110's boilerplate n-grams (PMI finds the pairs
+    that co-occur MORE than chance; boilerplate df finds the ones that
+    repeat across docs). Exactness: bigram + unigram block-partial
+    counts -> bounded aggs; PMI is ONE mirrored IEEE ln of a ratio of
+    exact integers, micro-rounded BEFORE ranking (round-before-rank),
+    ties broken (w1, w2) on both sides."""
+    import math
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    class _BigramCounts(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            counts = _Counter()
+            for s in batch.column("text"):
+                toks = self.tokens(s.as_py() or "")
+                counts.update(zip(toks, toks[1:]))
+            w1, w2 = (
+                [k[0] for k in counts],
+                [k[1] for k in counts],
+            )
+            return pa.table(
+                {
+                    "w1": pa.array(w1, pa.string()),
+                    "w2": pa.array(w2, pa.string()),
+                    "c": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+    class _UnigramCounts(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            counts = _Counter()
+            for s in batch.column("text"):
+                counts.update(self.tokens(s.as_py() or ""))
+            return pa.table(
+                {
+                    "term": pa.array(list(counts.keys()), pa.string()),
+                    "cnt": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+    big = (
+        docs.map_batches(
+            _BigramCounts, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby(["w1", "w2"], num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    uni = (
+        docs.map_batches(
+            _UnigramCounts, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("term", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "c_pair": pa.array([], pa.int64()),
+            "pmi_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not big or not uni:
+        return empty
+    ucnt = {r["term"]: int(r["cnt"]) for r in uni}
+    n_uni = sum(ucnt.values())
+    n_bi = sum(int(r["c"]) for r in big)
+    rows = []
+    for r in big:
+        c = int(r["c"])
+        if c < Q307_MIN_COUNT:
+            continue
+        w1, w2 = r["w1"], r["w2"]
+        # ONE mirrored IEEE chain (SQL identical expression)
+        pmi = math.log(
+            (float(c) * n_uni * n_uni)
+            / (float(n_bi) * ucnt[w1] * ucnt[w2])
+        )
+        rows.append((int(round_like_duckdb(1e6 * pmi, 0)), w1, w2, c))
+    rows.sort(key=lambda t: (-t[0], t[1], t[2]))
+    rows = rows[:Q307_TOPK]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "w1": pa.array([r[1] for r in rows], pa.string()),
+            "w2": pa.array([r[2] for r in rows], pa.string()),
+            "c_pair": pa.array([r[3] for r in rows], pa.int64()),
+            "pmi_micro": pa.array([r[0] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_Q307 = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, UNNEST(range(1, len(toks))) AS un(i)),
+bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+ug AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+       FROM documents),
+uc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM ug GROUP BY 1),
+tot AS (SELECT CAST((SELECT count(*) FROM ug) AS BIGINT) AS n_uni,
+               CAST((SELECT count(*) FROM bg) AS BIGINT) AS n_bi),
+p AS (
+  SELECT bc.w1, bc.w2, bc.c,
+         CAST(round(1000000 * ln(
+           (CAST(bc.c AS DOUBLE) * tot.n_uni * tot.n_uni)
+           / (CAST(tot.n_bi AS DOUBLE) * u1.cnt * u2.cnt)), 0) AS BIGINT)
+           AS pmi_micro
+  FROM bc
+  JOIN uc u1 ON u1.term = bc.w1
+  JOIN uc u2 ON u2.term = bc.w2
+  CROSS JOIN tot
+  WHERE bc.c >= {Q307_MIN_COUNT})
+SELECT CAST(row_number() OVER (ORDER BY pmi_micro DESC, w1, w2)
+            AS BIGINT) AS rank,
+       w1, w2, c AS c_pair, pmi_micro
+FROM p
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT {Q307_TOPK}
+"""
+
+
+def q308_simpson_diversity(sf_dir: str):
+    """Simpson diversity 1 - sum(p_t^2) of the token distribution PER
+    SOURCE — the per-slice lexical-diversity gauge beside the corpus-
+    level q306 Gini (a source whose mass sits on few tokens scores
+    low). Exactness: (source, term) count agg; per-source sum of
+    squared counts is an exact integer partial (HUGEINT mirror); ONE
+    mirrored IEEE division per source, micro-rounded."""
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["source", "text"])
+
+    class _SrcTermCounts(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            counts = _Counter()
+            for src, s in zip(
+                batch.column("source").to_pylist(), batch.column("text")
+            ):
+                for tok in self.tokens(s.as_py() or ""):
+                    counts[(src, tok)] += 1
+            k1 = [k[0] for k in counts]
+            k2 = [k[1] for k in counts]
+            return pa.table(
+                {
+                    "source": pa.array(k1, pa.string()),
+                    "term": pa.array(k2, pa.string()),
+                    "c": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+    def _sq_partials(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        tt = pa.table(
+            {
+                "source": t.column("source"),
+                "n": t.column("c"),
+                "sq": pa.array(c * c, pa.int64()),
+            }
+        )
+        g = tt.group_by("source").aggregate([("n", "sum"), ("sq", "sum")])
+        return g.rename_columns(["source", "n", "sq"])
+
+    per_src = (
+        docs.map_batches(
+            _SrcTermCounts, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby(["source", "term"], num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("c", alias_name="c"))
+        .map_batches(_sq_partials, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"), Sum("sq", alias_name="sq"))
+        .take_all()
+    )
+    rows = sorted(per_src, key=lambda r: r["source"])
+    src, n_out, d_out = [], [], []
+    for r in rows:
+        n = int(r["n"])
+        if n == 0:
+            continue
+        d = 1.0 - float(int(r["sq"])) / (float(n) * n)
+        src.append(r["source"])
+        n_out.append(n)
+        d_out.append(int(round_like_duckdb(1e6 * d, 0)))
+    return pa.table(
+        {
+            "source": pa.array(src, pa.string()),
+            "n_tokens": pa.array(n_out, pa.int64()),
+            "simpson_micro": pa.array(d_out, pa.int64()),
+        }
+    )
+
+
+SQL_Q308 = """
+WITH t AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+v AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2),
+agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq
+        FROM v GROUP BY 1)
+SELECT source, n AS n_tokens,
+       CAST(round(1000000 * (1.0 - CAST(sq AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * n)), 0) AS BIGINT)
+         AS simpson_micro
+FROM agg WHERE n > 0 ORDER BY 1
+"""
+
+
+def q309_emd_length_shift(sf_dir: str):
+    """Exact 1-D earth mover's distance between src0's and src1's
+    document-length distributions — the INTEGRAL drift metric closing
+    the two-sample shelf (q253 mean z, q283 KS sup, q302 rank U; EMD
+    reads HOW MUCH mass must move, not just whether it moved).
+    Exactness: the (source, n_chars) histogram agg of q302; EMD =
+    sum_i |F0 - F1| * gap over the value-sorted support as the exact
+    integer sum |cum0*n1 - cum1*n0| * (v_next - v); ONE mirrored IEEE
+    division micro-rounds the close."""
+    ev = read_table(sf_dir, "documents", ["source", "n_chars"])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            t.column("source"),
+            value_set=pa.array(["src0", "src1"], pa.string()),
+        )
+        tt = t.filter(mask)
+        g = (
+            pa.table(
+                {"source": tt.column("source"), "v": tt.column("n_chars")}
+            )
+            .group_by(["source", "v"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["source", "v", "n"])
+
+    hist = (
+        ev.map_batches(_hist, batch_format="pyarrow")
+        .groupby(["source", "v"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    c0: dict = {}
+    c1: dict = {}
+    for r in hist:
+        (c0 if r["source"] == "src0" else c1)[int(r["v"])] = int(r["n"])
+    n0, n1 = sum(c0.values()), sum(c1.values())
+    empty = pa.table(
+        {
+            "n0": pa.array([], pa.int64()),
+            "n1": pa.array([], pa.int64()),
+            "emd_micro": pa.array([], pa.int64()),
+        }
+    )
+    if n0 == 0 or n1 == 0:
+        return empty
+    vs = sorted(set(c0) | set(c1))
+    cum0 = cum1 = 0
+    num = 0
+    for i, v in enumerate(vs[:-1]):
+        cum0 += c0.get(v, 0)
+        cum1 += c1.get(v, 0)
+        num += abs(cum0 * n1 - cum1 * n0) * (vs[i + 1] - v)
+    emd = float(num) / (float(n0) * n1)
+    return pa.table(
+        {
+            "n0": pa.array([n0], pa.int64()),
+            "n1": pa.array([n1], pa.int64()),
+            "emd_micro": pa.array(
+                [int(round_like_duckdb(1e6 * emd, 0))], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q309 = """
+WITH f AS (SELECT source, n_chars FROM documents
+           WHERE source IN ('src0', 'src1')),
+h AS (SELECT n_chars AS v,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1
+      FROM f GROUP BY 1),
+w AS (SELECT v, c0, c1,
+             CAST(sum(c0) OVER (ORDER BY v) AS BIGINT) AS cum0,
+             CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+             lead(v) OVER (ORDER BY v) AS v_next
+      FROM h),
+tt AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+              CAST(sum(c1) AS BIGINT) AS n1 FROM h),
+num AS (SELECT CAST(sum(abs(CAST(cum0 AS HUGEINT) * tt.n1
+                             - CAST(cum1 AS HUGEINT) * tt.n0)
+                        * (v_next - v)) AS HUGEINT) AS num
+        FROM w, tt WHERE v_next IS NOT NULL)
+SELECT tt.n0, tt.n1,
+       CAST(round(1000000 * (CAST(num.num AS DOUBLE)
+                             / (CAST(tt.n0 AS DOUBLE) * tt.n1)), 0)
+            AS BIGINT) AS emd_micro
+FROM tt, num
+WHERE tt.n0 > 0 AND tt.n1 > 0
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3265,6 +3674,10 @@ def build_registry():
         "q303_funnel_conversion": q303_funnel_conversion,
         "q304_huffman_code_lengths": q304_huffman_code_lengths,
         "q305_k_anonymity": q305_k_anonymity,
+        "q306_gini_token_concentration": q306_gini_token_concentration,
+        "q307_pmi_collocations": q307_pmi_collocations,
+        "q308_simpson_diversity": q308_simpson_diversity,
+        "q309_emd_length_shift": q309_emd_length_shift,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -3660,6 +4073,10 @@ def build_registry():
             "huffman_lengths", "term, cnt, code_len", "documents"
         ),
         "q305_k_anonymity": SQL_Q305,
+        "q306_gini_token_concentration": SQL_Q306,
+        "q307_pmi_collocations": SQL_Q307,
+        "q308_simpson_diversity": SQL_Q308,
+        "q309_emd_length_shift": SQL_Q309,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

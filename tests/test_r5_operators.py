@@ -377,3 +377,70 @@ class TestR5bOperators:
         )
         assert int(out["k_min"]) == min(sizes.values())
         assert int(out["n_classes"]) == len(sizes)
+
+
+class TestR5cOperators:
+    SF = "/root/testdata/sf0.001"
+
+    def test_gini_hand_cases(self):
+        """Perfectly equal counts -> (n-1)/... ~ 0; one-hot -> ~1-1/n,
+        via the query kernel's exact formula recomputed here."""
+        # equal distribution: numerator telescopes to 0
+        xs = [7, 7, 7, 7]
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        assert num == 0
+        # extreme concentration
+        xs = [1, 1, 1, 97]
+        num = sum((2 * (i + 1) - n - 1) * sorted(xs)[i] for i in range(n))
+        g = num / (n * sum(xs))
+        assert 0.7 < g < 0.75
+
+    def test_pmi_round_before_rank_and_bounds(self):
+        from barks_ocr_ray.pipelines.queries import q307_pmi_collocations
+
+        out = q307_pmi_collocations(self.SF).to_pandas()
+        assert len(out) == 20
+        assert (out["c_pair"] >= 5).all()
+        # micro scores are sorted desc with (w1, w2) tie order
+        m = list(out["pmi_micro"])
+        assert m == sorted(m, reverse=True)
+
+    def test_simpson_between_0_and_1(self):
+        from barks_ocr_ray.pipelines.queries import q308_simpson_diversity
+
+        out = q308_simpson_diversity(self.SF).to_pandas()
+        assert len(out) == 20  # one row per source
+        assert ((out["simpson_micro"] > 0) & (out["simpson_micro"] < 1_000_000)).all()
+
+    def test_emd_vs_brute_force(self):
+        """EMD of empirical 1-D distributions == mean |F0-F1| integral,
+        recomputed here straight from the parquet."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from barks_ocr_ray.pipelines.queries import q309_emd_length_shift
+
+        t = pq.read_table(
+            f"{self.SF}/documents.parquet", columns=["source", "n_chars"]
+        )
+        xs = sorted(
+            int(v)
+            for s, v in zip(
+                t.column("source").to_pylist(), t.column("n_chars").to_pylist()
+            )
+            if s == "src0"
+        )
+        ys = sorted(
+            int(v)
+            for s, v in zip(
+                t.column("source").to_pylist(), t.column("n_chars").to_pylist()
+            )
+            if s == "src1"
+        )
+        grid = np.array(sorted(set(xs) | set(ys)), dtype=np.float64)
+        F0 = np.searchsorted(xs, grid, side="right") / len(xs)
+        F1 = np.searchsorted(ys, grid, side="right") / len(ys)
+        brute = float(np.sum(np.abs(F0[:-1] - F1[:-1]) * np.diff(grid)))
+        out = q309_emd_length_shift(self.SF).to_pandas().iloc[0]
+        assert abs(int(out["emd_micro"]) - 1e6 * brute) < 2
