@@ -630,6 +630,54 @@ def ensure_media_phash_golden(n: int) -> str:
     return path
 
 
+Q310_BUCKETS = 16
+
+
+def lineage_golden_path(n: int) -> str:
+    return os.path.join(
+        ORACLE_DIR, f"golden_lineage_n{n}_b{Q310_BUCKETS}.parquet"
+    )
+
+
+def ensure_lineage_golden(n: int) -> str:
+    """Single-process golden of the per-partition lineage manifests
+    (north rule: partition id, row count, order-insensitive content
+    hash): bucket the golden extraction's winner urls with the SHARED
+    bucket_of/combine_hashes kernels."""
+    path = lineage_golden_path(n)
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    from barks_ocr_ray.state.manifest import bucket_of, combine_hashes
+
+    gold = pq.read_table(
+        ensure_extraction_golden(n), columns=["url", "content_hash"]
+    )
+    per_bucket: dict[int, list] = {b: [] for b in range(Q310_BUCKETS)}
+    for u, h in zip(
+        gold.column("url").to_pylist(), gold.column("content_hash").to_pylist()
+    ):
+        per_bucket[bucket_of(u, Q310_BUCKETS)].append(h)
+    table = pa.table(
+        {
+            "bucket": pa.array(range(Q310_BUCKETS), pa.int64()),
+            "n_rows": pa.array(
+                [len(per_bucket[b]) for b in range(Q310_BUCKETS)], pa.int64()
+            ),
+            "content_hash": pa.array(
+                [
+                    combine_hashes(per_bucket[b])
+                    for b in range(Q310_BUCKETS)
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    _atomic_write(table, path)
+    return path
+
+
 def ensure_all() -> dict[str, str]:
     """Materialize every golden the oracle SQL references (idempotent;
     called from the registry build so the files exist regardless of
@@ -647,6 +695,7 @@ def ensure_all() -> dict[str, str]:
         "q164": ensure_canonical_dedup_golden(Q24_N),
         "q168": ensure_frontier_golden(Q24_N),
         "q298": ensure_media_dedup_golden(Q298_N),
+        "q310": ensure_lineage_golden(Q24_N),
         "q299": ensure_media_phash_golden(Q298_N),
     }
     out.update(ensure_neardup_goldens())

@@ -3367,6 +3367,198 @@ WHERE tt.n0 > 0 AND tt.n1 > 0
 """
 
 
+def q310_lineage_manifest(sf_dir: str):
+    """The north rule's resumability contract under the driver: run the
+    RESUMABLE extraction job (pipelines/resume.run_resumable — bucketed
+    output, atomic per-partition manifests as commit markers) over the
+    fixed corpus and return the lineage table (bucket, n_rows,
+    order-insensitive content hash). A repeat invocation skips every
+    committed bucket (manifest fingerprints match), so this also
+    exercises the skip path. Golden: the single-process extraction
+    golden bucketed with the SHARED bucket_of/combine_hashes kernels."""
+    import pyarrow.parquet as _pq
+
+    from barks_ocr_ray.context import configure
+    from barks_ocr_ray.datagen import pages_table
+    from barks_ocr_ray.oracle_data import Q24_N, Q310_BUCKETS
+    from barks_ocr_ray.pipelines.resume import run_resumable
+    from barks_ocr_ray.state.manifest import read_manifest
+
+    configure()
+    in_dir = f"/tmp/barks_lineage_in_{Q24_N}"
+    out_dir = f"/tmp/barks_lineage_out_{Q24_N}"
+    if not os.path.exists(os.path.join(in_dir, "pages.parquet")):
+        os.makedirs(in_dir, exist_ok=True)
+        tmp = os.path.join(in_dir, "pages.parquet.tmp")
+        _pq.write_table(pages_table(Q24_N), tmp)
+        os.replace(tmp, os.path.join(in_dir, "pages.parquet"))
+    run_resumable(
+        in_dir, out_dir, num_buckets=Q310_BUCKETS, num_partitions=8
+    )
+    rows = [read_manifest(out_dir, b) for b in range(Q310_BUCKETS)]
+    return pa.table(
+        {
+            "bucket": pa.array([m.bucket for m in rows], pa.int64()),
+            "n_rows": pa.array([m.n_rows for m in rows], pa.int64()),
+            "content_hash": pa.array(
+                [m.content_hash for m in rows], pa.string()
+            ),
+        }
+    )
+
+
+def _sql_q310() -> str:
+    from barks_ocr_ray.oracle_data import Q24_N, lineage_golden_path
+
+    return f"""
+SELECT bucket, n_rows, content_hash
+FROM read_parquet('{lineage_golden_path(Q24_N)}')
+"""
+
+
+Q311_QUERY = ("window", "merge", "join")
+Q311_TOPK = 10
+Q311_K1 = 1.2
+Q311_B = 0.75
+
+
+def q311_bm25_ranking(sf_dir: str):
+    """BM25 top-k document ranking for a fixed 3-term query — the
+    lexical ranking baseline the q176 RRF fusion presupposes, done
+    exactly. Plan: ONE warm-Tokenizer pass emits only the QUERY terms'
+    per-doc tf + every doc's length (query-bounded rows, never the full
+    postings); df and avgdl close on bounded aggregates. Exactness:
+    each (doc, term) BM25 contribution is ONE mirrored IEEE chain
+    micro-rounded BEFORE the per-doc integer sum (reassociation-proof),
+    ranked (score desc, doc_id) on both sides."""
+    import math
+
+    from barks_ocr_ray.functions.text import Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    qterms = list(Q311_QUERY)
+
+    class _QueryTf(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            d_out, t_out, tf_out, dl_out = [], [], [], []
+            for did, sv in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text")
+            ):
+                toks = self.tokens(sv.as_py() or "")
+                counts = _Counter(toks)
+                for qt in qterms:
+                    d_out.append(did)
+                    t_out.append(qt)
+                    tf_out.append(counts.get(qt, 0))
+                    dl_out.append(len(toks))
+            return pa.table(
+                {
+                    "doc_id": pa.array(d_out, pa.int64()),
+                    "term": pa.array(t_out, pa.string()),
+                    "tf": pa.array(tf_out, pa.int64()),
+                    "dl": pa.array(dl_out, pa.int64()),
+                }
+            )
+
+    rows = (
+        docs.map_batches(
+            _QueryTf, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "score_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not rows:
+        return empty
+    # bounded driver tables: docs x |query| rows of 4 ints
+    n_docs_seen = {}
+    df = {t: 0 for t in qterms}
+    for r in rows:
+        n_docs_seen[int(r["doc_id"])] = int(r["dl"])
+        if int(r["tf"]) > 0:
+            df[r["term"]] += 1
+    N = len(n_docs_seen)
+    total_dl = sum(n_docs_seen.values())
+    avgdl = float(total_dl) / N
+    scores: dict = {}
+    for r in rows:
+        tf = int(r["tf"])
+        if tf == 0:
+            continue
+        did = int(r["doc_id"])
+        dl = int(r["dl"])
+        d = df[r["term"]]
+        # ONE mirrored IEEE chain per (doc, term), micro-rounded
+        idf = math.log(
+            (N - d + 0.5) / (d + 0.5) + 1.0
+        )
+        contrib = idf * (
+            (tf * (Q311_K1 + 1.0))
+            / (tf + Q311_K1 * (1.0 - Q311_B + Q311_B * (dl / avgdl)))
+        )
+        scores[did] = scores.get(did, 0) + int(
+            round_like_duckdb(1e6 * contrib, 0)
+        )
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :Q311_TOPK
+    ]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(top) + 1), pa.int64()),
+            "doc_id": pa.array([d for d, _ in top], pa.int64()),
+            "score_micro": pa.array([sc for _, sc in top], pa.int64()),
+        }
+    )
+
+
+def _sql_q311() -> str:
+    terms = ", ".join(f"'{t}'" for t in Q311_QUERY)
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+q AS (SELECT unnest([{terms}]) AS term),
+tf AS (SELECT t.doc_id, q.term,
+              CAST(len(list_filter(t.toks, x -> x = q.term)) AS BIGINT)
+                AS tf
+       FROM t, q),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                 CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+df AS (SELECT term, CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS d
+       FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(round(1000000 * (
+           ln((stats.N - df.d + 0.5) / (df.d + 0.5) + 1.0)
+           * ((tf.tf * ({Q311_K1} + 1.0))
+              / (tf.tf + {Q311_K1} * (1.0 - {Q311_B} + {Q311_B}
+                 * (dl.dl / (CAST(stats.total_dl AS DOUBLE) / stats.N)))))
+         ), 0) AS BIGINT) AS c
+  FROM tf
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats
+  WHERE tf.tf > 0),
+sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+       FROM contrib GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+            AS BIGINT) AS rank,
+       doc_id, score_micro
+FROM sc
+ORDER BY score_micro DESC, doc_id
+LIMIT {Q311_TOPK}
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3678,6 +3870,8 @@ def build_registry():
         "q307_pmi_collocations": q307_pmi_collocations,
         "q308_simpson_diversity": q308_simpson_diversity,
         "q309_emd_length_shift": q309_emd_length_shift,
+        "q310_lineage_manifest": q310_lineage_manifest,
+        "q311_bm25_ranking": q311_bm25_ranking,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4077,6 +4271,8 @@ def build_registry():
         "q307_pmi_collocations": SQL_Q307,
         "q308_simpson_diversity": SQL_Q308,
         "q309_emd_length_shift": SQL_Q309,
+        "q310_lineage_manifest": _sql_q310(),
+        "q311_bm25_ranking": _sql_q311(),
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -444,3 +444,106 @@ class TestR5cOperators:
         brute = float(np.sum(np.abs(F0[:-1] - F1[:-1]) * np.diff(grid)))
         out = q309_emd_length_shift(self.SF).to_pandas().iloc[0]
         assert abs(int(out["emd_micro"]) - 1e6 * brute) < 2
+
+
+class TestR5dOperators:
+    SF = "/root/testdata/sf0.001"
+
+    def test_lineage_manifest_resume_skips_everything(self):
+        """Second run over the unchanged input recomputes 0 buckets —
+        the manifest IS the commit marker (north-rule resumability)."""
+        import shutil
+
+        from barks_ocr_ray.oracle_data import Q24_N, Q310_BUCKETS
+        from barks_ocr_ray.pipelines.queries import q310_lineage_manifest
+        from barks_ocr_ray.pipelines.resume import run_resumable
+
+        first = q310_lineage_manifest(self.SF).to_pandas()
+        assert len(first) == Q310_BUCKETS
+        assert first["n_rows"].sum() > 0
+        summary = run_resumable(
+            f"/tmp/barks_lineage_in_{Q24_N}",
+            f"/tmp/barks_lineage_out_{Q24_N}",
+            num_buckets=Q310_BUCKETS,
+            num_partitions=8,
+        )
+        assert summary["skipped"] == Q310_BUCKETS
+        assert summary["computed"] == 0
+        # deleting one bucket's manifest recomputes ONLY that bucket
+        import os
+
+        out_dir = f"/tmp/barks_lineage_out_{Q24_N}"
+        victim = int(first[first["n_rows"] > 0].iloc[0]["bucket"])
+        os.remove(
+            os.path.join(out_dir, "_manifests", f"bucket-{victim:05d}.json")
+        )
+        summary2 = run_resumable(
+            f"/tmp/barks_lineage_in_{Q24_N}",
+            out_dir,
+            num_buckets=Q310_BUCKETS,
+            num_partitions=8,
+        )
+        assert summary2["computed"] == 1
+        again = q310_lineage_manifest(self.SF).to_pandas()
+        assert (
+            again.sort_values("bucket").reset_index(drop=True)
+            == first.sort_values("bucket").reset_index(drop=True)
+        ).all().all()
+
+    def test_bm25_matches_brute_force(self):
+        """Per-doc micro scores recomputed from the raw parquet with
+        the same IEEE chain must equal the pipeline's (and the tf=0
+        docs must be absent)."""
+        import math
+        import re
+        from collections import Counter
+
+        import pyarrow.parquet as pq
+
+        from barks_ocr_ray.pipelines.queries import (
+            Q311_B,
+            Q311_K1,
+            Q311_QUERY,
+            q311_bm25_ranking,
+        )
+        from barks_ocr_ray.functions.relational import round_like_duckdb
+
+        t = pq.read_table(
+            f"{self.SF}/documents.parquet", columns=["doc_id", "text"]
+        )
+        tok = re.compile(r"[a-z0-9]+")
+        docs = {
+            int(d): tok.findall((x or "").lower())
+            for d, x in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            )
+        }
+        N = len(docs)
+        avgdl = sum(len(v) for v in docs.values()) / N
+        df = {
+            q: sum(1 for v in docs.values() if q in v) for q in Q311_QUERY
+        }
+        scores = {}
+        for d, toks in docs.items():
+            c = Counter(toks)
+            sc = 0
+            for q in Q311_QUERY:
+                tf = c.get(q, 0)
+                if not tf:
+                    continue
+                idf = math.log((N - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+                contrib = idf * (
+                    (tf * (Q311_K1 + 1.0))
+                    / (
+                        tf
+                        + Q311_K1
+                        * (1.0 - Q311_B + Q311_B * (len(toks) / avgdl))
+                    )
+                )
+                sc += int(round_like_duckdb(1e6 * contrib, 0))
+            if sc:
+                scores[d] = sc
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        out = q311_bm25_ranking(self.SF).to_pandas()
+        got = list(zip(out["doc_id"], out["score_micro"]))
+        assert [(int(a), int(b)) for a, b in got] == want
