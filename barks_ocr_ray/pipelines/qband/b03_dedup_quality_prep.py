@@ -1537,8 +1537,12 @@ def q145_robust_outliers(sf_dir: str):
     )
 
     ev = read_table(sf_dir, "events", ["event_type", "value"])
+    # pull_cap bounds the exact-pull at groups x cap values of driver
+    # memory (5 types x 100k x 8B = 4 MB) and cuts the shared counting
+    # rounds to ~1 at any sf (each round is a full Dataset execution —
+    # the measured cost at sf0.1 was round-count, not bytes)
     med_t = grouped_distributed_quantiles(
-        ev, "event_type", "value", [0.5], pull_cap=2000
+        ev, "event_type", "value", [0.5], pull_cap=100_000
     )
     groups = med_t.column("grp").to_pylist()
     meds = med_t.column("value").to_pylist()
@@ -1553,7 +1557,7 @@ def q145_robust_outliers(sf_dir: str):
 
     res = ev.map_batches(_resid, batch_format="pyarrow")
     mad_t = grouped_distributed_quantiles(
-        res, "event_type", "r", [0.5], pull_cap=2000
+        res, "event_type", "r", [0.5], pull_cap=100_000
     )
     mad_of = dict(
         zip(mad_t.column("grp").to_pylist(), mad_t.column("value").to_pylist())

@@ -3559,6 +3559,120 @@ LIMIT {Q311_TOPK}
 """
 
 
+def q312_grouped_ols_trend(sf_dir: str):
+    """Per-event-type OLS trend of the daily volume series — the
+    parametric sibling of q288's Theil-Sen (same series, least-squares
+    instead of median-of-slopes: OLS reads magnitude+intercept, T-S
+    survives outliers; together they bracket the drift story).
+    Exactness: ONE (type, day)-bounded count agg + dense spine; the
+    five moment sums (n, Sx, Sy, Sxx, Sxy) are exact integers on the
+    days-bounded driver table, and slope/intercept each close in ONE
+    mirrored IEEE expression over those exact ints, micro-rounded."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t.column("ts").cast(pa.int64()), pa.scalar(DAY, pa.int64())
+        )
+        tt = pa.table({"event_type": t.column("event_type"), "day": day})
+        g = tt.group_by(["event_type", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "day", "c"])
+
+    hist = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "event_type": pa.array([], pa.string()),
+            "n_days": pa.array([], pa.int64()),
+            "slope_micro": pa.array([], pa.int64()),
+            "intercept_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not hist:
+        return empty
+    d0 = min(int(r["day"]) for r in hist)
+    nd = max(int(r["day"]) for r in hist) - d0
+    dense: dict = {}
+    for r in hist:
+        dense.setdefault(r["event_type"], np.zeros(nd + 1, np.int64))[
+            int(r["day"]) - d0
+        ] = int(r["c"])
+    T = nd + 1
+    if T < 2:
+        return empty
+    xs = list(range(T))
+    Sx = sum(xs)
+    Sxx = sum(x * x for x in xs)
+    types, ndo, slo, ino = [], [], [], []
+    for typ in sorted(dense):
+        y = [int(v) for v in dense[typ]]
+        Sy = sum(y)
+        Sxy = sum(x * v for x, v in zip(xs, y))
+        den = T * Sxx - Sx * Sx  # > 0 for T >= 2
+        # ONE mirrored IEEE expression each (exact ints in, one
+        # division out — SQL casts the same ints the same way)
+        slope = (float(T * Sxy - Sx * Sy)) / den
+        intercept = (float(Sy * Sxx - Sx * Sxy)) / den
+        types.append(typ)
+        ndo.append(T)
+        slo.append(int(round_like_duckdb(1e6 * slope, 0)))
+        ino.append(int(round_like_duckdb(1e6 * intercept, 0)))
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "n_days": pa.array(ndo, pa.int64()),
+            "slope_micro": pa.array(slo, pa.int64()),
+            "intercept_micro": pa.array(ino, pa.int64()),
+        }
+    )
+
+
+SQL_Q312 = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS dd0,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts))) AS nd
+  FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (SELECT t.event_type, gs.i
+          FROM types t, bounds, generate_series(0, 100000) gs(i)
+          WHERE gs.i <= bounds.nd),
+counts AS (SELECT event_type,
+                  date_diff('day', bounds.dd0, date_trunc('day', ts)) AS i,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events, bounds GROUP BY 1, 2),
+dense AS (SELECT s.event_type, s.i, coalesce(c.c, 0) AS y
+          FROM spine s LEFT JOIN counts c
+            ON c.event_type = s.event_type AND c.i = s.i),
+m AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS T,
+             CAST(sum(i) AS BIGINT) AS Sx,
+             CAST(sum(y) AS BIGINT) AS Sy,
+             CAST(sum(CAST(i AS HUGEINT) * i) AS HUGEINT) AS Sxx,
+             CAST(sum(CAST(i AS HUGEINT) * y) AS HUGEINT) AS Sxy
+      FROM dense GROUP BY 1)
+SELECT event_type, T AS n_days,
+       CAST(round(1000000 * (CAST(T * Sxy - Sx * Sy AS DOUBLE)
+                             / CAST(T * Sxx - CAST(Sx AS HUGEINT) * Sx
+                                    AS DOUBLE)), 0) AS BIGINT)
+         AS slope_micro,
+       CAST(round(1000000 * (CAST(Sy * Sxx - Sx * Sxy AS DOUBLE)
+                             / CAST(T * Sxx - CAST(Sx AS HUGEINT) * Sx
+                                    AS DOUBLE)), 0) AS BIGINT)
+         AS intercept_micro
+FROM m
+WHERE T >= 2
+ORDER BY 1
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3872,6 +3986,7 @@ def build_registry():
         "q309_emd_length_shift": q309_emd_length_shift,
         "q310_lineage_manifest": q310_lineage_manifest,
         "q311_bm25_ranking": q311_bm25_ranking,
+        "q312_grouped_ols_trend": q312_grouped_ols_trend,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4273,6 +4388,7 @@ def build_registry():
         "q309_emd_length_shift": SQL_Q309,
         "q310_lineage_manifest": _sql_q310(),
         "q311_bm25_ranking": _sql_q311(),
+        "q312_grouped_ols_trend": SQL_Q312,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed
