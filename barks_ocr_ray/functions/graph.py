@@ -893,3 +893,183 @@ def hits(
             Sum("hub", alias_name="hub"), Sum("auth", alias_name="auth")
         )
     )
+
+
+def _block_frontier_reach(coded, frontier_ref):
+    """One BFS wave over a coded edge block: dst indices reachable from
+    the boolean frontier (pure numpy; runs as a Ray task)."""
+    if coded is None:
+        return None
+    src_idx, dst_idx = coded
+    hit = frontier_ref[src_idx]
+    if not hit.any():
+        return None
+    return np.unique(dst_idx[hit])
+
+
+def bfs_hops(
+    pairs: Dataset,
+    source,
+    *,
+    max_hops: int = 20,
+    num_partitions: int | None = None,
+    broadcast_gate: int = BROADCAST_NODE_GATE,
+) -> "pa.Table":
+    """Single-source BFS hop distances over the undirected graph of
+    ``pairs`` (src, dst; duplicates allowed) — the traversal kernel the
+    graph shelf was missing beside PageRank/HITS/PPR/k-core/CC/
+    triangles. Exact min-hop per reached node, capped at ``max_hops``
+    (mirrored in the recursive-CTE oracle).
+
+    Distributed shape (the q94/q126 BSP discipline): the symmetrized
+    distinct edge relation is coded ONCE into integer block pairs in
+    the object store; each wave is one round of pure-numpy tasks over
+    the coded blocks plus a node-sized boolean merge on the driver —
+    rounds = eccentricity(source), not corpus passes. Partitioning
+    assumption: n_nodes <= broadcast_gate so the dist/frontier vectors
+    (1-8 B/node) fit driver/worker heaps; above the gate, per-round
+    Dataset semi-joins run instead (frontier joined against the edge
+    relation — node-keyed exchanges, no driver vectors)."""
+    import ray as _ray
+
+    np_ = num_partitions or hash_partitions(8)
+    edges = symmetrize(_distinct_edges(pairs, np_)).materialize()
+    deg = (
+        edges.groupby("src", num_partitions=np_)
+        .aggregate(Count(alias_name="_d"))
+        .materialize()
+    )
+    n_nodes = deg.count()
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "hops": pa.array([], pa.int64())}
+    )
+    if n_nodes == 0:
+        return empty
+
+    if n_nodes <= broadcast_gate:
+        blocks = [
+            b
+            for b in (_ray.get(r) for r in deg.to_arrow_refs())
+            if b.num_rows
+        ]
+        nodes_tbl = pa.concat_tables(blocks)
+        nodes = pc.cast(
+            nodes_tbl.column("src").combine_chunks(), pa.int64()
+        )
+        node_np = nodes.to_numpy(zero_copy_only=False)
+        pos = {int(v): i for i, v in enumerate(node_np)}
+        if int(source) not in pos:
+            # isolated source: by convention just itself at hop 0
+            return pa.table(
+                {
+                    "node": pa.array([int(source)], pa.int64()),
+                    "hops": pa.array([0], pa.int64()),
+                }
+            )
+        prep = _ray.remote(num_cpus=1)(_code_edge_block)
+        wave = _ray.remote(num_cpus=1)(_block_frontier_reach)
+        nodes_ref = _ray.put(nodes)
+        coded = [
+            prep.remote(blk, nodes_ref) for blk in edges.to_arrow_refs()
+        ]
+        dist = np.full(n_nodes, -1, dtype=np.int64)
+        frontier = np.zeros(n_nodes, dtype=bool)
+        frontier[pos[int(source)]] = True
+        dist[pos[int(source)]] = 0
+        for d in range(1, max_hops + 1):
+            f_ref = _ray.put(frontier)
+            reached = np.zeros(n_nodes, dtype=bool)
+            pending = [wave.remote(c, f_ref) for c in coded]
+            while pending:
+                done, pending = _ray.wait(
+                    pending, num_returns=min(8, len(pending))
+                )
+                for part in _ray.get(done):
+                    if part is not None:
+                        reached[part] = True
+            new = reached & (dist < 0)
+            if not new.any():
+                break
+            dist[new] = d
+            frontier = new
+        keep = dist >= 0
+        order = np.argsort(node_np[keep])
+        return pa.table(
+            {
+                "node": pa.array(node_np[keep][order], pa.int64()),
+                "hops": pa.array(dist[keep][order], pa.int64()),
+            }
+        )
+
+    # above the gate: per-round Dataset semi-joins, no driver vectors
+    from barks_ocr_ray.functions.relational import compact_nonempty
+
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([int(source)], pa.int64()),
+                "hops": pa.array([0], pa.int64()),
+            }
+        )
+    ).materialize()
+    frontier = dist
+    for d in range(1, max_hops + 1):
+        f_c, n_f = compact_nonempty(
+            frontier.map_batches(
+                lambda t: t.select(["node"]).rename_columns(["src"]),
+                batch_format="pyarrow",
+            ),
+            8,
+        )
+        if n_f == 0:
+            break
+        reach = (
+            edges.join(
+                f_c,
+                join_type="inner",
+                num_partitions=np_,
+                on=("src",),
+            )
+            .groupby("dst", num_partitions=np_)
+            .aggregate(Count(alias_name="_c"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": pc.cast(t.column("dst"), pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        reach_c, n_r = compact_nonempty(reach, 8)
+        if n_r == 0:
+            break
+        dist_c, _ = compact_nonempty(dist, 8)
+        new = reach_c.join(
+            dist_c,
+            join_type="left_outer",
+            num_partitions=np_,
+            on=("node",),
+        ).map_batches(
+            lambda t: t.filter(pc.is_null(t.column("hops"))),
+            batch_format="pyarrow",
+        )
+        new = new.map_batches(
+            lambda t, _d=d: pa.table(
+                {
+                    "node": t.column("node"),
+                    "hops": pa.array([_d] * t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        new_c, n_new = compact_nonempty(new, 8)
+        if n_new == 0:
+            break
+        dist = dist.union(new_c).materialize()
+        frontier = new_c
+    return pa.concat_tables(
+        [
+            b
+            for b in (_ray.get(r) for r in dist.to_arrow_refs())
+            if b.num_rows
+        ]
+    ).sort_by([("node", "ascending")])

@@ -3673,6 +3673,222 @@ ORDER BY 1
 """
 
 
+def q313_bfs_hops(sf_dir: str):
+    """Single-source BFS hop distances from the smallest supplier key
+    over the co-purchase graph — the traversal kernel completing the
+    graph shelf (q94 PageRank, q163 HITS, q177 PPR, q185 k-core, q39
+    CC, q138 triangles; nothing walked the graph until now). Runs the
+    gated BSP implementation (graph.bfs_hops: coded edge blocks + one
+    numpy task wave per hop under the 2M-node gate, per-round Dataset
+    semi-joins above it); the oracle is a recursive CTE with UNION
+    dedup and the same 20-hop cap."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.graph import bfs_hops
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    src_key = li.min("l_suppkey")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        su = np.unique(t.column("l_suppkey").to_numpy(zero_copy_only=False))
+        if su.size < 2:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                }
+            )
+        ii, jj = np.triu_indices(su.size, k=1)
+        return pa.table(
+            {
+                "src": pa.array(su[ii], pa.int64()),
+                "dst": pa.array(su[jj], pa.int64()),
+            }
+        )
+
+    pairs = li.groupby("l_orderkey", num_partitions=hash_partitions(8)).map_groups(
+        _pairs, batch_format="pyarrow"
+    )
+    return bfs_hops(pairs, int(src_key), max_hops=20)
+
+
+SQL_Q313 = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+  FROM lineitem x JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_suppkey <> y.l_suppkey),
+src AS (SELECT min(l_suppkey) AS s FROM lineitem),
+walk(node, d) AS (
+  SELECT s, CAST(0 AS BIGINT) FROM src
+  UNION
+  SELECT e.b, walk.d + 1
+  FROM walk JOIN e ON e.a = walk.node
+  WHERE walk.d < 20
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(d) AS BIGINT) AS hops
+FROM walk GROUP BY 1 ORDER BY 1
+"""
+
+
+Q314_MIN_SUP = 3
+Q314_TOPK = 20
+
+
+def q314_association_rules(sf_dir: str):
+    """Market-basket association rules over order->part baskets:
+    top-k co-purchased part pairs by LIFT with support and both
+    directional confidences — the classic frequent-itemset read the
+    co-purchase graph queries (q138/q273/q297) imply but never priced
+    probabilistically. Distributed shape: order-keyed map_groups emits
+    block-combined pair partials AND per-part basket partials (the
+    q273 discipline); the support filter bounds what reaches the
+    driver; lift/confidence are ONE mirrored IEEE expression each,
+    micro-rounded BEFORE the (lift desc, p1, p2) rank on both sides."""
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        su = np.unique(t.column("l_partkey").to_numpy(zero_copy_only=False))
+        if su.size < 2:
+            return pa.table(
+                {
+                    "p1": pa.array([], pa.int64()),
+                    "p2": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        ii, jj = np.triu_indices(su.size, k=1)
+        ones = np.ones(len(ii), dtype=np.int64)
+        return (
+            pa.table(
+                {
+                    "p1": pa.array(su[ii], pa.int64()),
+                    "p2": pa.array(su[jj], pa.int64()),
+                    "c": pa.array(ones, pa.int64()),
+                }
+            )
+            .group_by(["p1", "p2"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["p1", "p2", "c"])
+        )
+
+    def _parts(t: pa.Table) -> pa.Table:
+        su = np.unique(t.column("l_partkey").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "p": pa.array(su, pa.int64()),
+                "c": pa.array(np.ones(su.size, np.int64), pa.int64()),
+            }
+        )
+
+    grouped = li.groupby(
+        "l_orderkey", num_partitions=hash_partitions(8)
+    )
+    pairs = (
+        grouped.map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["p1", "p2"], num_partitions=hash_partitions(8))
+        .aggregate(Sum("c", alias_name="c"))
+        .filter(expr=f"c >= {Q314_MIN_SUP}")
+        .take_all()  # bounded: the support threshold prunes the tail
+    )
+    part_counts = {
+        int(r["p"]): int(r["c"])
+        for r in (
+            grouped.map_groups(_parts, batch_format="pyarrow")
+            .groupby("p", num_partitions=hash_partitions(8))
+            .aggregate(Sum("c", alias_name="c"))
+            .take_all()  # bounded: part-key cardinality
+        )
+    }
+    empty = pa.table(
+        {
+            "rank": pa.array([], pa.int64()),
+            "p1": pa.array([], pa.int64()),
+            "p2": pa.array([], pa.int64()),
+            "support": pa.array([], pa.int64()),
+            "lift_micro": pa.array([], pa.int64()),
+            "conf1_micro": pa.array([], pa.int64()),
+            "conf2_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not pairs:
+        return empty
+    li2 = read_table(sf_dir, "lineitem", ["l_orderkey"])
+
+    def _ocount(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        su = np.unique(
+            t.column("l_orderkey").to_numpy(zero_copy_only=False)
+        )
+        return pa.table({"o": pa.array(su, pa.int64())})
+
+    nb = (
+        li2.map_batches(_ocount, batch_format="pyarrow")
+        .groupby("o", num_partitions=hash_partitions(8))
+        .aggregate(Count(alias_name="_c"))
+        .count()
+    )
+    rows = []
+    for r in pairs:
+        p1, p2, c = int(r["p1"]), int(r["p2"]), int(r["c"])
+        cx, cy = part_counts[p1], part_counts[p2]
+        lift = (float(nb) * c) / (float(cx) * cy)
+        rows.append(
+            (
+                int(round_like_duckdb(1e6 * lift, 0)),
+                p1,
+                p2,
+                c,
+                int(round_like_duckdb(1e6 * (float(c) / cx), 0)),
+                int(round_like_duckdb(1e6 * (float(c) / cy), 0)),
+            )
+        )
+    rows.sort(key=lambda t: (-t[0], t[1], t[2]))
+    rows = rows[:Q314_TOPK]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(rows) + 1), pa.int64()),
+            "p1": pa.array([r[1] for r in rows], pa.int64()),
+            "p2": pa.array([r[2] for r in rows], pa.int64()),
+            "support": pa.array([r[3] for r in rows], pa.int64()),
+            "lift_micro": pa.array([r[0] for r in rows], pa.int64()),
+            "conf1_micro": pa.array([r[4] for r in rows], pa.int64()),
+            "conf2_micro": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_Q314 = f"""
+WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM i),
+pcnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM i GROUP BY 1),
+pr AS (SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS c
+       FROM i a JOIN i b ON a.o = b.o AND a.p < b.p
+       GROUP BY 1, 2 HAVING count(*) >= {Q314_MIN_SUP}),
+sc AS (
+  SELECT pr.p1, pr.p2, pr.c,
+         CAST(round(1000000 * ((CAST(n.nb AS DOUBLE) * pr.c)
+                               / (CAST(c1.c AS DOUBLE) * c2.c)), 0)
+              AS BIGINT) AS lift_micro,
+         CAST(round(1000000 * (CAST(pr.c AS DOUBLE) / c1.c), 0)
+              AS BIGINT) AS conf1_micro,
+         CAST(round(1000000 * (CAST(pr.c AS DOUBLE) / c2.c), 0)
+              AS BIGINT) AS conf2_micro
+  FROM pr
+  JOIN pcnt c1 ON c1.p = pr.p1
+  JOIN pcnt c2 ON c2.p = pr.p2
+  CROSS JOIN n)
+SELECT CAST(row_number() OVER (ORDER BY lift_micro DESC, p1, p2)
+            AS BIGINT) AS rank,
+       p1, p2, c AS support, lift_micro, conf1_micro, conf2_micro
+FROM sc
+ORDER BY lift_micro DESC, p1, p2
+LIMIT {Q314_TOPK}
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3987,6 +4203,8 @@ def build_registry():
         "q310_lineage_manifest": q310_lineage_manifest,
         "q311_bm25_ranking": q311_bm25_ranking,
         "q312_grouped_ols_trend": q312_grouped_ols_trend,
+        "q313_bfs_hops": q313_bfs_hops,
+        "q314_association_rules": q314_association_rules,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4389,6 +4607,8 @@ def build_registry():
         "q310_lineage_manifest": _sql_q310(),
         "q311_bm25_ranking": _sql_q311(),
         "q312_grouped_ols_trend": SQL_Q312,
+        "q313_bfs_hops": SQL_Q313,
+        "q314_association_rules": SQL_Q314,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

@@ -547,3 +547,45 @@ class TestR5dOperators:
         out = q311_bm25_ranking(self.SF).to_pandas()
         got = list(zip(out["doc_id"], out["score_micro"]))
         assert [(int(a), int(b)) for a, b in got] == want
+
+
+class TestBfsHops:
+    def _edges(self):
+        # path 1-2-3-4, branch 2-5, island 8-9
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array([1, 2, 3, 2, 8], pa.int64()),
+                    "dst": pa.array([2, 3, 4, 5, 9], pa.int64()),
+                }
+            )
+        )
+
+    EXPECT = {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}
+
+    def test_gated_raw_task_path(self):
+        from barks_ocr_ray.functions.graph import bfs_hops
+
+        out = bfs_hops(self._edges(), 1)
+        got = dict(
+            zip(out.column("node").to_pylist(), out.column("hops").to_pylist())
+        )
+        assert got == self.EXPECT  # island 8-9 unreached, absent
+
+    def test_join_fallback_path_matches(self):
+        from barks_ocr_ray.functions.graph import bfs_hops
+
+        out = bfs_hops(self._edges(), 1, broadcast_gate=0)
+        got = dict(
+            zip(out.column("node").to_pylist(), out.column("hops").to_pylist())
+        )
+        assert got == self.EXPECT
+
+    def test_hop_cap(self):
+        from barks_ocr_ray.functions.graph import bfs_hops
+
+        out = bfs_hops(self._edges(), 1, max_hops=2)
+        got = dict(
+            zip(out.column("node").to_pylist(), out.column("hops").to_pylist())
+        )
+        assert got == {1: 0, 2: 1, 3: 2, 5: 2}  # node 4 beyond the cap
