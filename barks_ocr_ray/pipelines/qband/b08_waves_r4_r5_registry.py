@@ -3889,6 +3889,126 @@ LIMIT {Q314_TOPK}
 """
 
 
+def q315_binary_segmentation(sf_dir: str):
+    """Offline single-changepoint detection on the daily event-volume
+    series by binary segmentation: the split k minimizing
+    SSE_left + SSE_right (equivalently maximizing the variance-
+    reduction gain) — the batch sibling of q280's online CUSUM (CUSUM
+    answers 'did the level move, and when, as data arrives'; this
+    answers 'where is the single best breakpoint, in hindsight').
+    Exactness: ONE day-bounded count agg; prefix sums/squares are
+    exact integers on the T-sized driver series; per-split gain is ONE
+    mirrored IEEE expression micro-rounded BEFORE the argmax
+    (round-before-rank), ties to the smallest k on both sides."""
+    import numpy as np
+
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t.column("ts").cast(pa.int64()), pa.scalar(DAY, pa.int64())
+        )
+        g = pa.table({"day": day}).group_by("day").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["day", "c"])
+
+    hist = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby("day", num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "split_day": pa.array([], pa.int64()),
+            "gain_micro": pa.array([], pa.int64()),
+            "mean_left_micro": pa.array([], pa.int64()),
+            "mean_right_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not hist:
+        return empty
+    d0 = min(int(r["day"]) for r in hist)
+    nd = max(int(r["day"]) for r in hist) - d0
+    T = nd + 1
+    if T < 2:
+        return empty
+    y = np.zeros(T, np.int64)
+    for r in hist:
+        y[int(r["day"]) - d0] = int(r["c"])
+    S1 = int(y.sum())
+    best = None  # (gain_micro, k)
+    for k in range(1, T):
+        L1 = int(y[:k].sum())
+        R1 = S1 - L1
+        # ONE mirrored IEEE chain (SQL identical), exact ints in
+        gain = (
+            (float(L1) * L1 / k)
+            + (float(R1) * R1 / (T - k))
+            - (float(S1) * S1 / T)
+        )
+        gm = int(round_like_duckdb(1e6 * gain, 0))
+        if best is None or gm > best[0]:
+            best = (gm, k)
+    gm, k = best
+    L1 = int(y[:k].sum())
+    R1 = S1 - L1
+    return pa.table(
+        {
+            "split_day": pa.array([k], pa.int64()),
+            "gain_micro": pa.array([gm], pa.int64()),
+            "mean_left_micro": pa.array(
+                [int(round_like_duckdb(1e6 * (float(L1) / k), 0))],
+                pa.int64(),
+            ),
+            "mean_right_micro": pa.array(
+                [int(round_like_duckdb(1e6 * (float(R1) / (T - k)), 0))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_Q315 = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS dd0,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts))) AS nd
+  FROM events),
+counts AS (SELECT date_diff('day', bounds.dd0, date_trunc('day', ts)) AS i,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events, bounds GROUP BY 1),
+spine AS (SELECT gs.i FROM bounds, generate_series(0, 100000) gs(i)
+          WHERE gs.i <= bounds.nd),
+dense AS (SELECT s.i, coalesce(c.c, 0) AS y
+          FROM spine s LEFT JOIN counts c ON c.i = s.i),
+tt AS (SELECT CAST(count(*) AS BIGINT) AS T, CAST(sum(y) AS BIGINT) AS S1
+       FROM dense),
+pre AS (SELECT i, CAST(sum(y) OVER (ORDER BY i) AS BIGINT) AS cum
+        FROM dense),
+g AS (
+  SELECT pre.i + 1 AS k,
+         CAST(round(1000000 * (
+           (CAST(pre.cum AS DOUBLE) * pre.cum / (pre.i + 1))
+           + (CAST(tt.S1 - pre.cum AS DOUBLE) * (tt.S1 - pre.cum)
+              / (tt.T - pre.i - 1))
+           - (CAST(tt.S1 AS DOUBLE) * tt.S1 / tt.T)), 0) AS BIGINT)
+           AS gain_micro,
+         pre.cum, tt.S1, tt.T
+  FROM pre, tt WHERE pre.i + 1 < tt.T),
+best AS (SELECT * FROM g
+         QUALIFY row_number() OVER (ORDER BY gain_micro DESC, k) = 1)
+SELECT CAST(k AS BIGINT) AS split_day, gain_micro,
+       CAST(round(1000000 * (CAST(cum AS DOUBLE) / k), 0) AS BIGINT)
+         AS mean_left_micro,
+       CAST(round(1000000 * (CAST(S1 - cum AS DOUBLE) / (T - k)), 0)
+            AS BIGINT) AS mean_right_micro
+FROM best
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4205,6 +4325,7 @@ def build_registry():
         "q312_grouped_ols_trend": q312_grouped_ols_trend,
         "q313_bfs_hops": q313_bfs_hops,
         "q314_association_rules": q314_association_rules,
+        "q315_binary_segmentation": q315_binary_segmentation,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4609,6 +4730,7 @@ def build_registry():
         "q312_grouped_ols_trend": SQL_Q312,
         "q313_bfs_hops": SQL_Q313,
         "q314_association_rules": SQL_Q314,
+        "q315_binary_segmentation": SQL_Q315,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

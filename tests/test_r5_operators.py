@@ -589,3 +589,36 @@ class TestBfsHops:
             zip(out.column("node").to_pylist(), out.column("hops").to_pylist())
         )
         assert got == {1: 0, 2: 1, 3: 2, 5: 2}  # node 4 beyond the cap
+
+
+class TestBinarySegmentation:
+    def test_finds_planted_level_shift(self):
+        """The gain expression recomputed on a planted step series must
+        put the split at the step (exactness of the fold, not Ray)."""
+        import numpy as np
+
+        from barks_ocr_ray.functions.relational import round_like_duckdb
+
+        y = np.array([10] * 12 + [40] * 18, np.int64)
+        T, S1 = len(y), int(y.sum())
+        best = None
+        for k in range(1, T):
+            L1 = int(y[:k].sum())
+            R1 = S1 - L1
+            gain = (
+                (float(L1) * L1 / k)
+                + (float(R1) * R1 / (T - k))
+                - (float(S1) * S1 / T)
+            )
+            gm = int(round_like_duckdb(1e6 * gain, 0))
+            if best is None or gm > best[0]:
+                best = (gm, k)
+        assert best[1] == 12
+
+    def test_query_runs_and_gain_nonnegative(self):
+        from barks_ocr_ray.pipelines.queries import q315_binary_segmentation
+
+        out = q315_binary_segmentation("/root/testdata/sf0.001").to_pandas()
+        assert len(out) == 1
+        assert int(out["gain_micro"].iloc[0]) >= 0
+        assert int(out["split_day"].iloc[0]) >= 1
