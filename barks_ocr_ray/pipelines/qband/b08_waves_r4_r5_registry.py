@@ -4009,6 +4009,321 @@ FROM best
 """
 
 
+def q316_weekday_profile(sf_dir: str):
+    """Day-of-week volume profile (dow = day-index mod 7, calendar-
+    free): active-day count, total events and mean daily volume per
+    dow — the seasonality READ that q301's lag-7 ACF detects but never
+    displays. ONE day-bounded count agg; the 7-row close is exact ints
+    + ONE mirrored division per dow."""
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t.column("ts").cast(pa.int64()), pa.scalar(DAY, pa.int64())
+        )
+        g = pa.table({"day": day}).group_by("day").aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["day", "c"])
+
+    hist = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby("day", num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "dow": pa.array([], pa.int64()),
+            "n_days": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "mean_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not hist:
+        return empty
+    d0 = min(int(r["day"]) for r in hist)
+    nd = max(int(r["day"]) for r in hist) - d0
+    per = {d: [0, 0] for d in range(7)}
+    dense = {int(r["day"]) - d0: int(r["c"]) for r in hist}
+    for i in range(nd + 1):
+        g = per[i % 7]
+        g[0] += 1
+        g[1] += dense.get(i, 0)
+    dows = sorted(d for d in per if per[d][0] > 0)
+    return pa.table(
+        {
+            "dow": pa.array(dows, pa.int64()),
+            "n_days": pa.array([per[d][0] for d in dows], pa.int64()),
+            "n_events": pa.array([per[d][1] for d in dows], pa.int64()),
+            "mean_micro": pa.array(
+                [
+                    int(
+                        round_like_duckdb(
+                            1e6 * (float(per[d][1]) / per[d][0]), 0
+                        )
+                    )
+                    for d in dows
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_Q316 = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts)) AS dd0,
+         date_diff('day', date_trunc('day', min(ts)),
+                   date_trunc('day', max(ts))) AS nd
+  FROM events),
+counts AS (SELECT date_diff('day', bounds.dd0, date_trunc('day', ts)) AS i,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events, bounds GROUP BY 1),
+spine AS (SELECT gs.i FROM bounds, generate_series(0, 100000) gs(i)
+          WHERE gs.i <= bounds.nd),
+dense AS (SELECT s.i, s.i % 7 AS dow, coalesce(c.c, 0) AS y
+          FROM spine s LEFT JOIN counts c ON c.i = s.i)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(y) AS BIGINT) AS n_events,
+       CAST(round(1000000 * (CAST(sum(y) AS DOUBLE) / count(*)), 0)
+            AS BIGINT) AS mean_micro
+FROM dense GROUP BY 1 ORDER BY 1
+"""
+
+
+def q317_activity_gaps(sf_dir: str):
+    """Data-completeness audit per event type: count of ACTIVE days,
+    missing days inside the type's own [first, last] activity span, and
+    the longest dark streak (max gap between consecutive active days,
+    in days) — the ingestion-hole report none of the drift monitors
+    (q280/q288/q315) state directly. ONE (type, day)-bounded count agg;
+    exact integer folds on the driver's bounded day lists."""
+    DAY = 86_400_000_000
+    ev = read_table(sf_dir, "events", ["ts", "event_type"])
+
+    def _day_partials(t: pa.Table) -> pa.Table:
+        day = pc.divide(
+            t.column("ts").cast(pa.int64()), pa.scalar(DAY, pa.int64())
+        )
+        tt = pa.table({"event_type": t.column("event_type"), "day": day})
+        g = tt.group_by(["event_type", "day"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["event_type", "day", "c"])
+
+    hist = (
+        ev.map_batches(_day_partials, batch_format="pyarrow")
+        .groupby(["event_type", "day"], num_partitions=2)
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    days: dict = {}
+    for r in hist:
+        days.setdefault(r["event_type"], []).append(int(r["day"]))
+    types, act, miss, gap = [], [], [], []
+    for typ in sorted(days):
+        ds = sorted(days[typ])
+        span = ds[-1] - ds[0] + 1
+        mg = max(
+            (b - a for a, b in zip(ds, ds[1:])), default=1
+        )
+        types.append(typ)
+        act.append(len(ds))
+        miss.append(span - len(ds))
+        gap.append(mg)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "active_days": pa.array(act, pa.int64()),
+            "missing_days": pa.array(miss, pa.int64()),
+            "max_gap_days": pa.array(gap, pa.int64()),
+        }
+    )
+
+
+SQL_Q317 = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         date_diff('day', DATE '2000-01-01', date_trunc('day', ts)) AS i
+  FROM events),
+g AS (SELECT event_type, i,
+             lead(i) OVER (PARTITION BY event_type ORDER BY i) AS nxt
+      FROM d)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS active_days,
+       CAST(max(i) - min(i) + 1 - count(*) AS BIGINT) AS missing_days,
+       CAST(coalesce(max(nxt - i), 1) AS BIGINT) AS max_gap_days
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+def q318_hhi_concentration(sf_dir: str):
+    """Herfindahl-Hirschman index of supplier revenue concentration —
+    the market-concentration scalar beside q306's token Gini (same
+    question, revenue axis: is the corpus/market owned by few?).
+    Exactness: revenue in exact integer cents per supplier (supplier-
+    bounded agg), HHI = sum(rev^2) / total^2 with the numerator an
+    exact HUGEINT-mirrored integer and ONE mirrored division."""
+    import numpy as np
+
+    li = read_table(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        c = pa.array(
+            round_like_duckdb(
+                t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0,
+                0,
+            ).astype(np.int64),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"s": t.column("l_suppkey"), "c": c})
+            .group_by("s")
+            .aggregate([("c", "sum")])
+        )
+        return g.rename_columns(["s", "c"])
+
+    per_supp = (
+        li.map_batches(_cents, batch_format="pyarrow")
+        .groupby("s", num_partitions=hash_partitions(4))
+        .aggregate(Sum("c", alias_name="c"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "n_suppliers": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "hhi_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not per_supp:
+        return empty
+    revs = [int(r["c"]) for r in per_supp]
+    total = sum(revs)
+    if total == 0:
+        return empty
+    sum_sq = sum(v * v for v in revs)
+    hhi = float(sum_sq) / (float(total) * total)
+    return pa.table(
+        {
+            "n_suppliers": pa.array([len(revs)], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "hhi_micro": pa.array(
+                [int(round_like_duckdb(1e6 * hhi, 0))], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_Q318 = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+              AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS total,
+               CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sum_sq
+        FROM r)
+SELECT n AS n_suppliers, total AS total_cents,
+       CAST(round(1000000 * (CAST(sum_sq AS DOUBLE)
+                             / (CAST(total AS DOUBLE) * total)), 0)
+            AS BIGINT) AS hhi_micro
+FROM agg WHERE total > 0
+"""
+
+
+def q319_readability_proxy(sf_dir: str):
+    """Per-source lexical-complexity profile from exact counts: mean
+    word length and the long-word (>= 7 chars) fraction, folded into a
+    Flesch-SHAPED complexity score — the surface-form quality gauge
+    beside the Gopher gates (q111) and perplexity buckets (q200). The
+    synthetic corpus has no sentence punctuation (verified), so the
+    proxy is defined on word-shape alone and says so. All inputs are
+    exact integer sums from one vectorized block pass; each output is
+    ONE mirrored IEEE chain."""
+    docs = read_table(sf_dir, "documents", ["source", "text"])
+
+    def _counts(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t.column("text"))
+        n_tok = pc.count_substring_regex(low, "[a-z0-9]+").cast(pa.int64())
+        n_chr = pc.count_substring_regex(low, "[a-z0-9]").cast(pa.int64())
+        n_long = pc.count_substring_regex(
+            low, "[a-z0-9]{7,}"
+        ).cast(pa.int64())
+        g = (
+            pa.table(
+                {
+                    "source": t.column("source"),
+                    "tok": n_tok,
+                    "chr": n_chr,
+                    "lng": n_long,
+                }
+            )
+            .group_by("source")
+            .aggregate([("tok", "sum"), ("chr", "sum"), ("lng", "sum")])
+        )
+        return g.rename_columns(["source", "tok", "chr", "lng"])
+
+    per_src = (
+        docs.map_batches(_counts, batch_format="pyarrow")
+        .groupby("source", num_partitions=2)
+        .aggregate(
+            Sum("tok", alias_name="tok"),
+            Sum("chr", alias_name="chr"),
+            Sum("lng", alias_name="lng"),
+        )
+        .take_all()
+    )
+    src, cpw, lwf, score = [], [], [], []
+    for r in sorted(per_src, key=lambda x: x["source"]):
+        tok, chr_, lng = int(r["tok"]), int(r["chr"]), int(r["lng"])
+        if tok == 0:
+            continue
+        c = float(chr_) / tok
+        f = float(lng) / tok
+        # Flesch-shaped: higher = simpler (short words, few long words)
+        sc = 206.835 - 84.6 * (c / 3.0) - 100.0 * f
+        src.append(r["source"])
+        cpw.append(int(round_like_duckdb(1e6 * c, 0)))
+        lwf.append(int(round_like_duckdb(1e6 * f, 0)))
+        score.append(int(round_like_duckdb(1e6 * sc, 0)))
+    return pa.table(
+        {
+            "source": pa.array(src, pa.string()),
+            "chars_per_word_micro": pa.array(cpw, pa.int64()),
+            "long_word_frac_micro": pa.array(lwf, pa.int64()),
+            "complexity_micro": pa.array(score, pa.int64()),
+        }
+    )
+
+
+SQL_Q319 = """
+WITH c AS (
+  SELECT source,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+              AS BIGINT) AS tok,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]')))
+              AS BIGINT) AS chr,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]{7,}')))
+              AS BIGINT) AS lng
+  FROM documents GROUP BY 1)
+SELECT source,
+       CAST(round(1000000 * (CAST(chr AS DOUBLE) / tok), 0) AS BIGINT)
+         AS chars_per_word_micro,
+       CAST(round(1000000 * (CAST(lng AS DOUBLE) / tok), 0) AS BIGINT)
+         AS long_word_frac_micro,
+       CAST(round(1000000 * (206.835
+                             - 84.6 * ((CAST(chr AS DOUBLE) / tok) / 3.0)
+                             - 100.0 * (CAST(lng AS DOUBLE) / tok)),
+                  0) AS BIGINT) AS complexity_micro
+FROM c WHERE tok > 0 ORDER BY 1
+"""
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4326,6 +4641,10 @@ def build_registry():
         "q313_bfs_hops": q313_bfs_hops,
         "q314_association_rules": q314_association_rules,
         "q315_binary_segmentation": q315_binary_segmentation,
+        "q316_weekday_profile": q316_weekday_profile,
+        "q317_activity_gaps": q317_activity_gaps,
+        "q318_hhi_concentration": q318_hhi_concentration,
+        "q319_readability_proxy": q319_readability_proxy,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -4731,6 +5050,10 @@ def build_registry():
         "q313_bfs_hops": SQL_Q313,
         "q314_association_rules": SQL_Q314,
         "q315_binary_segmentation": SQL_Q315,
+        "q316_weekday_profile": SQL_Q316,
+        "q317_activity_gaps": SQL_Q317,
+        "q318_hhi_concentration": SQL_Q318,
+        "q319_readability_proxy": SQL_Q319,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed
