@@ -2994,9 +2994,13 @@ class TestWaterfillBudget:
             }
         )
         d = _write(tmp_path, "sf_wfill2", docs, "documents.parquet")
+        import sys
         import unittest.mock as mock
 
-        with mock.patch.object(Q, "Q231_BUDGET_PCT", 100):
+        # patch the DEFINING band module (the queries.py hub re-exports
+        # a COPY of each global since the round-5 qband split)
+        Qdef = sys.modules[q231_waterfill_budget.__module__]
+        with mock.patch.object(Qdef, "Q231_BUDGET_PCT", 100):
             got = q231_waterfill_budget(d).to_pandas()
         assert got.alloc.tolist() == got.tokens.tolist()
         assert not got.capped.any()
