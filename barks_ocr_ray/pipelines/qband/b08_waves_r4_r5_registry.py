@@ -4324,6 +4324,199 @@ SELECT source,
 FROM c WHERE tok > 0 ORDER BY 1
 """
 
+def q320_srm_check(sf_dir: str):
+    """Sample-ratio-mismatch guardrail on the q253 experiment: do the
+    md5 arms actually split users 50/50? — the check every experiment
+    platform runs BEFORE reading the treatment effect (a skewed
+    assignment invalidates q253/q275 no matter how significant they
+    look). Exactness: per-user arms are the exact q253 convention
+    (same salt), counted via block partials over the distinct-user
+    fold; the 1-df chi-square vs the 50/50 design is ONE mirrored IEEE
+    expression, and the trip decision compares micro INTEGERS against
+    the mirrored 3.841459 critical value."""
+    import numpy as np
+
+    from barks_ocr_ray.functions.hashing import unit_fractions
+
+    ev = read_table(sf_dir, "events", ["user_id"])
+    salt = Q253_SALT
+
+    def _arms(t: pa.Table) -> pa.Table:
+        us = np.unique(t.column("user_id").to_numpy(zero_copy_only=False))
+        in_a = unit_fractions(us.tolist(), method="md5", salt=salt) < 0.5
+        return pa.table(
+            {
+                "n_a": pa.array([int(in_a.sum())], pa.int64()),
+                "n_b": pa.array([int((~in_a).sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_arms, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    n_a = sum(int(r["n_a"]) for r in parts)
+    n_b = sum(int(r["n_b"]) for r in parts)
+    empty = pa.table(
+        {
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "chi_micro": pa.array([], pa.int64()),
+            "srm_detected": pa.array([], pa.int64()),
+        }
+    )
+    if n_a + n_b == 0:
+        return empty
+    chi = (float(n_a - n_b) * (n_a - n_b)) / (n_a + n_b)
+    chi_micro = int(round_like_duckdb(1e6 * chi, 0))
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "chi_micro": pa.array([chi_micro], pa.int64()),
+            "srm_detected": pa.array(
+                [1 if chi_micro > 3_841_459 else 0], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_q320() -> str:
+    return f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+arms AS (
+  SELECT CASE WHEN CAST(('0x' || substring(
+             md5('{Q253_SALT}:' || CAST(user_id AS VARCHAR)), 1, 8))
+             AS UBIGINT) / 4294967296.0 < 0.5
+         THEN 1 ELSE 0 END AS in_a
+  FROM u),
+agg AS (SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+               CAST(sum(1 - in_a) AS BIGINT) AS n_b FROM arms)
+SELECT n_a, n_b,
+       CAST(round(1000000 * ((CAST(n_a - n_b AS DOUBLE) * (n_a - n_b))
+                             / (n_a + n_b)), 0) AS BIGINT) AS chi_micro,
+       CAST(CASE WHEN round(1000000 * ((CAST(n_a - n_b AS DOUBLE)
+                                        * (n_a - n_b)) / (n_a + n_b)), 0)
+                      > 3841459 THEN 1 ELSE 0 END AS BIGINT)
+         AS srm_detected
+FROM agg WHERE n_a + n_b > 0
+"""
+
+
+Q321_OLD_BUCKETS = 16
+Q321_NEW_BUCKETS = 17
+
+
+def q321_rebalance_audit(sf_dir: str):
+    """Partition-rebalance audit for a cluster resize (the north rule's
+    own pain point: what fraction of a url-hash-partitioned corpus
+    MOVES when 16 buckets become 17?): mod-hash movement (~16/17 of
+    every row re-shuffles) vs rendezvous/HRW hashing (Thaler-Ravishankar
+    highest-random-weight; only ~1/17 moves) — the quantitative case
+    for rendezvous-style placement in the resumable layout. Exactness:
+    every assignment is exact integer md5 arithmetic (the q113/q253
+    hash convention; HRW argmin ties broken by smallest bucket id,
+    mirrored); movement counts ship as O(1) block partials and each
+    fraction closes in ONE mirrored division."""
+    import hashlib as _hl
+
+    docs = read_table(sf_dir, "documents", ["doc_id"])
+    NB0, NB1 = Q321_OLD_BUCKETS, Q321_NEW_BUCKETS
+
+    def _moves(t: pa.Table) -> pa.Table:
+        n = mod_m = hrw_m = 0
+        for did in t.column("doc_id").to_pylist():
+            n += 1
+            h = int(_hl.md5(str(did).encode()).hexdigest()[:8], 16)
+            if h % NB0 != h % NB1:
+                mod_m += 1
+            hs = [
+                int(
+                    _hl.md5(f"{did}:{b}".encode()).hexdigest()[:8], 16
+                )
+                for b in range(NB1)
+            ]
+            a16 = min(range(NB0), key=lambda b: (hs[b], b))
+            a17 = min(range(NB1), key=lambda b: (hs[b], b))
+            if a16 != a17:
+                hrw_m += 1
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "mod_m": pa.array([mod_m], pa.int64()),
+                "hrw_m": pa.array([hrw_m], pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(
+        _moves, batch_format="pyarrow"
+    ).take_all()
+    n = sum(int(r["n"]) for r in parts)
+    empty = pa.table(
+        {
+            "n_docs": pa.array([], pa.int64()),
+            "mod_moved": pa.array([], pa.int64()),
+            "hrw_moved": pa.array([], pa.int64()),
+            "mod_frac_micro": pa.array([], pa.int64()),
+            "hrw_frac_micro": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    mod_m = sum(int(r["mod_m"]) for r in parts)
+    hrw_m = sum(int(r["hrw_m"]) for r in parts)
+    return pa.table(
+        {
+            "n_docs": pa.array([n], pa.int64()),
+            "mod_moved": pa.array([mod_m], pa.int64()),
+            "hrw_moved": pa.array([hrw_m], pa.int64()),
+            "mod_frac_micro": pa.array(
+                [int(round_like_duckdb(1e6 * (float(mod_m) / n), 0))],
+                pa.int64(),
+            ),
+            "hrw_frac_micro": pa.array(
+                [int(round_like_duckdb(1e6 * (float(hrw_m) / n), 0))],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_Q321 = f"""
+WITH d AS (SELECT doc_id FROM documents),
+h AS (SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS hv
+      FROM d),
+modm AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN hv % {Q321_OLD_BUCKETS}
+                              <> hv % {Q321_NEW_BUCKETS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS m
+         FROM h),
+hb AS (SELECT d.doc_id, CAST(gs.b AS BIGINT) AS b,
+              CAST(('0x' || substring(
+                md5(CAST(d.doc_id AS VARCHAR) || ':' || gs.b), 1, 8))
+                AS UBIGINT) AS hv
+       FROM d, generate_series(0, {Q321_NEW_BUCKETS - 1}) gs(b)),
+a16 AS (SELECT doc_id, b FROM hb WHERE b < {Q321_OLD_BUCKETS}
+        QUALIFY row_number() OVER (
+          PARTITION BY doc_id ORDER BY hv, b) = 1),
+a17 AS (SELECT doc_id, b FROM hb
+        QUALIFY row_number() OVER (
+          PARTITION BY doc_id ORDER BY hv, b) = 1),
+hrw AS (SELECT CAST(sum(CASE WHEN a16.b <> a17.b THEN 1 ELSE 0 END)
+               AS BIGINT) AS m
+        FROM a16 JOIN a17 USING (doc_id))
+SELECT modm.n AS n_docs, modm.m AS mod_moved, hrw.m AS hrw_moved,
+       CAST(round(1000000 * (CAST(modm.m AS DOUBLE) / modm.n), 0)
+            AS BIGINT) AS mod_frac_micro,
+       CAST(round(1000000 * (CAST(hrw.m AS DOUBLE) / modm.n), 0)
+            AS BIGINT) AS hrw_frac_micro
+FROM modm, hrw WHERE modm.n > 0
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4645,6 +4838,8 @@ def build_registry():
         "q317_activity_gaps": q317_activity_gaps,
         "q318_hhi_concentration": q318_hhi_concentration,
         "q319_readability_proxy": q319_readability_proxy,
+        "q320_srm_check": q320_srm_check,
+        "q321_rebalance_audit": q321_rebalance_audit,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5054,6 +5249,8 @@ def build_registry():
         "q317_activity_gaps": SQL_Q317,
         "q318_hhi_concentration": SQL_Q318,
         "q319_readability_proxy": SQL_Q319,
+        "q320_srm_check": _sql_q320(),
+        "q321_rebalance_audit": SQL_Q321,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed

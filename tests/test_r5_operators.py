@@ -622,3 +622,31 @@ class TestBinarySegmentation:
         assert len(out) == 1
         assert int(out["gain_micro"].iloc[0]) >= 0
         assert int(out["split_day"].iloc[0]) >= 1
+
+
+class TestR5eOperators:
+    SF = "/root/testdata/sf0.001"
+
+    def test_srm_counts_cover_all_users(self):
+        import pyarrow.parquet as pq
+
+        from barks_ocr_ray.pipelines.queries import q320_srm_check
+
+        out = q320_srm_check(self.SF).to_pandas().iloc[0]
+        t = pq.read_table(f"{self.SF}/events.parquet", columns=["user_id"])
+        n_users = len(set(t.column("user_id").to_pylist()))
+        assert int(out["n_a"]) + int(out["n_b"]) == n_users
+
+    def test_rebalance_hrw_vs_mod(self):
+        """The whole point: mod-hash moves ~16/17 of rows on a 16->17
+        resize; rendezvous moves ~1/17."""
+        from barks_ocr_ray.pipelines.queries import q321_rebalance_audit
+
+        out = q321_rebalance_audit(self.SF).to_pandas().iloc[0]
+        n = int(out["n_docs"])
+        assert n == 500
+        mod_frac = int(out["mod_moved"]) / n
+        hrw_frac = int(out["hrw_moved"]) / n
+        assert mod_frac > 0.8           # ~0.941 expected
+        assert hrw_frac < 0.15          # ~0.059 expected
+        assert hrw_frac < mod_frac / 4  # the rendezvous win
