@@ -4517,6 +4517,62 @@ FROM modm, hrw WHERE modm.n > 0
 """
 
 
+def q322_mutual_nearest_neighbors(sf_dir: str):
+    """Mutual nearest-neighbor pairs over the embedding table (a's
+    top-1 is b AND b's top-1 is a) — the reciprocal-best-match mining
+    primitive behind bitext/translation-pair harvesting (Artetxe &
+    Schwenk's margin mining starts exactly here) and a natural
+    capstone over the q16 brute-force kernel. Engine: ONE
+    brute_force_topk(k=1) pass with every vector as a query (broadcast
+    query matrix, per-block matmul, round-before-rank + id tie-break —
+    the shared ANN discipline), then the mutual fold on the node-sized
+    driver table. Oracle: the q16 SQL shape with row_number()=1 and a
+    reciprocal self-join."""
+    from barks_ocr_ray.functions.ann import brute_force_topk
+
+    emb = read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ids = sorted(
+        r["vec_id"] for r in emb.select_columns(["vec_id"]).take_all()
+    )
+    nn = brute_force_topk(emb, ids, k=1).take_all()
+    best = {int(r["query_id"]): int(r["neighbor_id"]) for r in nn}
+    cosv = {int(r["query_id"]): float(r["cosine"]) for r in nn}
+    a_out, b_out, c_out = [], [], []
+    for a in sorted(best):
+        b = best[a]
+        if a < b and best.get(b) == a:
+            a_out.append(a)
+            b_out.append(b)
+            c_out.append(cosv[a])
+    return pa.table(
+        {
+            "vec_a": pa.array(a_out, pa.int64()),
+            "vec_b": pa.array(b_out, pa.int64()),
+            "cosine": pa.array(c_out, pa.float64()),
+        }
+    )
+
+
+SQL_Q322 = """
+WITH nn AS (
+  SELECT q.vec_id AS a, e.vec_id AS b,
+         round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])), 6)
+           AS cosine
+  FROM embeddings q, embeddings e
+  WHERE e.vec_id != q.vec_id
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6)
+             DESC, e.vec_id) = 1)
+SELECT x.a AS vec_a, x.b AS vec_b, x.cosine
+FROM nn x JOIN nn y ON y.a = x.b AND y.b = x.a
+WHERE x.a < x.b
+ORDER BY 1
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4840,6 +4896,7 @@ def build_registry():
         "q319_readability_proxy": q319_readability_proxy,
         "q320_srm_check": q320_srm_check,
         "q321_rebalance_audit": q321_rebalance_audit,
+        "q322_mutual_nearest_neighbors": q322_mutual_nearest_neighbors,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5251,6 +5308,7 @@ def build_registry():
         "q319_readability_proxy": SQL_Q319,
         "q320_srm_check": _sql_q320(),
         "q321_rebalance_audit": SQL_Q321,
+        "q322_mutual_nearest_neighbors": SQL_Q322,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed
