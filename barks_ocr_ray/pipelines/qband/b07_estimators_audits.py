@@ -114,24 +114,27 @@ def q249_pca_top_component(sf_dir: str):
             }
         )
 
-    rows = (
-        emb.map_batches(_scatter, batch_format="pyarrow")
-        .groupby(["i", "j"], num_partitions=2)
-        .aggregate(Sum("v", alias_name="v"))
-        .take_all()
-    )
-    d = max(int(r["i"]) for r in rows) + 1
+    # block partials are (d^2 + d + 1)-row tables of exact ints, so the
+    # merge is pure integer addition wherever it runs. Skip the keyed
+    # exchange: take_all the per-block partials and fold driver-side —
+    # bounded by block_count x d^2 (d=64 -> ~33 KB/block), which holds
+    # far past this corpus; a corpus whose block count made that matter
+    # would reintroduce the d^2-keyed aggregation (the previous shape,
+    # kept in git) as a tree-reduce. Measured: the 4098-key
+    # HashAggregate spin-up dominated a 500-row input (7.4 s -> ~1.5 s).
+    parts = emb.map_batches(_scatter, batch_format="pyarrow").take_all()
+    d = max(int(r["i"]) for r in parts) + 1
     n = 0
     s = np.zeros(d, np.int64)
     c = np.zeros((d, d), np.int64)
-    for r in rows:
+    for r in parts:
         i, j, v = int(r["i"]), int(r["j"]), int(r["v"])
         if i == -1:
-            n = v
+            n += v
         elif j == -1:
-            s[i] = v
+            s[i] += v
         else:
-            c[i, j] = v
+            c[i, j] += v
     vec, share = pca_top_component(n, s, c)
     share_micro = int(round_like_duckdb(1e6 * share, 0))
     load = round_like_duckdb(1e6 * vec, 0).astype(np.int64)
