@@ -4573,6 +4573,113 @@ ORDER BY 1
 """
 
 
+def q323_markov_predictor_accuracy(sf_dir: str):
+    """In-sample accuracy of the first-order Markov next-event
+    predictor, per previous state — the EVALUATION read over the same
+    transition counts q281 iterates and q251 scores for entropy
+    (entropy says how predictable; this says how well the argmax
+    predictor actually does, against each state's own majority).
+    Predictor: argmax_next count with lexicographically-smallest tie
+    (mirrored); accuracy = n_correct / n_prev, ONE mirrored division
+    per state. Distributed shape: the q213/q281 user-keyed lexsort
+    transition kernel, types²-bounded agg, driver fold."""
+    import numpy as np
+
+    ev = read_table(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def _trans(t: pa.Table) -> pa.Table:
+        us = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        st = np.asarray(t.column("event_type").to_pylist())
+        order = np.lexsort((eid, ts, us))
+        us, st = us[order], st[order]
+        same = us[1:] == us[:-1]
+        a, b = st[:-1][same], st[1:][same]
+        g = (
+            pa.table(
+                {
+                    "prev": pa.array(a.tolist(), pa.string()),
+                    "nxt": pa.array(b.tolist(), pa.string()),
+                }
+            )
+            .group_by(["prev", "nxt"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["prev", "nxt", "n"])
+
+    tbl = (
+        ev.repartition(hash_partitions(8), keys=["user_id"])
+        .map_batches(_trans, batch_format="pyarrow", batch_size=None)
+        .groupby(["prev", "nxt"], num_partitions=2)
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # event-types² bounded
+    )
+    empty = pa.table(
+        {
+            "prev": pa.array([], pa.string()),
+            "predicted": pa.array([], pa.string()),
+            "n_prev": pa.array([], pa.int64()),
+            "n_correct": pa.array([], pa.int64()),
+            "acc_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not tbl:
+        return empty
+    by_prev: dict = {}
+    for r in tbl:
+        by_prev.setdefault(r["prev"], {})[r["nxt"]] = int(r["n"])
+    prevs, preds, nps, ncs, accs = [], [], [], [], []
+    for prev in sorted(by_prev):
+        nxts = by_prev[prev]
+        # argmax with smallest-name tie (the mirrored row_number
+        # ORDER BY n DESC, nxt rule)
+        best_n = max(nxts.values())
+        pred = min(k for k in nxts if nxts[k] == best_n)
+        n_prev = sum(nxts.values())
+        n_corr = nxts[pred]
+        prevs.append(prev)
+        preds.append(pred)
+        nps.append(n_prev)
+        ncs.append(n_corr)
+        accs.append(
+            int(round_like_duckdb(1e6 * (float(n_corr) / n_prev), 0))
+        )
+    return pa.table(
+        {
+            "prev": pa.array(prevs, pa.string()),
+            "predicted": pa.array(preds, pa.string()),
+            "n_prev": pa.array(nps, pa.int64()),
+            "n_correct": pa.array(ncs, pa.int64()),
+            "acc_micro": pa.array(accs, pa.int64()),
+        }
+    )
+
+
+SQL_Q323 = """
+WITH seq AS (
+  SELECT user_id, event_type AS prev,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events),
+cnt AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS n FROM seq
+        WHERE nxt IS NOT NULL GROUP BY 1, 2),
+pick AS (SELECT prev, nxt AS predicted, n FROM cnt
+         QUALIFY row_number() OVER (
+           PARTITION BY prev ORDER BY n DESC, nxt) = 1),
+tot AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_prev FROM cnt
+        GROUP BY 1)
+SELECT t.prev, p.predicted, t.n_prev,
+       CAST(p.n AS BIGINT) AS n_correct,
+       CAST(round(1000000 * (CAST(p.n AS DOUBLE) / t.n_prev), 0)
+            AS BIGINT) AS acc_micro
+FROM tot t JOIN pick p ON p.prev = t.prev
+ORDER BY 1
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4897,6 +5004,7 @@ def build_registry():
         "q320_srm_check": q320_srm_check,
         "q321_rebalance_audit": q321_rebalance_audit,
         "q322_mutual_nearest_neighbors": q322_mutual_nearest_neighbors,
+        "q323_markov_predictor_accuracy": q323_markov_predictor_accuracy,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5309,6 +5417,7 @@ def build_registry():
         "q320_srm_check": _sql_q320(),
         "q321_rebalance_audit": SQL_Q321,
         "q322_mutual_nearest_neighbors": SQL_Q322,
+        "q323_markov_predictor_accuracy": SQL_Q323,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed
