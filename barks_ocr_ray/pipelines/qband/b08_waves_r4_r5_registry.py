@@ -4680,6 +4680,105 @@ ORDER BY 1
 """
 
 
+def q324_lorenz_curve(sf_dir: str):
+    """Lorenz curve of the token-frequency distribution at vocabulary
+    deciles: for k = 1..10, the share of total token mass held by the
+    bottom ceil(k*n/10) terms (count-ascending, term tie order) — the
+    CURVE whose enclosed area q306's Gini summarizes (a mixture
+    rebalancer reads the curve to pick a cut, not the scalar).
+    Exactness: the q306 vocab-bounded agg; prefix sums at explicit
+    ceil-rank picks are exact integers, and each decile share is ONE
+    mirrored IEEE division micro-rounded."""
+    import math
+
+    from barks_ocr_ray.functions.text import VOCAB_PARTITIONS, Tokenizer
+
+    docs = read_table(sf_dir, "documents", ["text"])
+
+    class _TermCounts(Tokenizer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from collections import Counter as _Counter
+
+            counts = _Counter()
+            for sv in batch.column("text"):
+                counts.update(self.tokens(sv.as_py() or ""))
+            return pa.table(
+                {
+                    "term": pa.array(list(counts.keys()), pa.string()),
+                    "cnt": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+    vocab = (
+        docs.map_batches(
+            _TermCounts, batch_format="pyarrow", concurrency=(1, 4)
+        )
+        .groupby("term", num_partitions=VOCAB_PARTITIONS)
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    empty = pa.table(
+        {
+            "decile": pa.array([], pa.int64()),
+            "n_terms": pa.array([], pa.int64()),
+            "mass": pa.array([], pa.int64()),
+            "share_micro": pa.array([], pa.int64()),
+        }
+    )
+    if not vocab:
+        return empty
+    # count-ascending with term tie order (the q306 rank rule)
+    xs = [
+        int(r["cnt"])
+        for r in sorted(vocab, key=lambda r: (int(r["cnt"]), r["term"]))
+    ]
+    n = len(xs)
+    tot = sum(xs)
+    pre = [0]
+    for x in xs:
+        pre.append(pre[-1] + x)
+    deciles, terms_o, mass_o, share_o = [], [], [], []
+    for k in range(1, 11):
+        r = math.ceil(k * n / 10)
+        deciles.append(k)
+        terms_o.append(r)
+        mass_o.append(pre[r])
+        share_o.append(
+            int(round_like_duckdb(1e6 * (float(pre[r]) / tot), 0))
+        )
+    return pa.table(
+        {
+            "decile": pa.array(deciles, pa.int64()),
+            "n_terms": pa.array(terms_o, pa.int64()),
+            "mass": pa.array(mass_o, pa.int64()),
+            "share_micro": pa.array(share_o, pa.int64()),
+        }
+    )
+
+
+SQL_Q324 = """
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+r AS (SELECT cnt,
+             CAST(row_number() OVER (ORDER BY cnt, term) AS BIGINT) AS i,
+             CAST(sum(cnt) OVER (ORDER BY cnt, term) AS BIGINT) AS cum
+      FROM v),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(cnt) AS BIGINT) AS tot FROM v),
+d AS (SELECT CAST(gs.k AS BIGINT) AS decile,
+             CAST(ceil(gs.k * nn.n / 10.0) AS BIGINT) AS r_pick
+      FROM generate_series(1, 10) gs(k), nn)
+SELECT d.decile, d.r_pick AS n_terms,
+       r.cum AS mass,
+       CAST(round(1000000 * (CAST(r.cum AS DOUBLE) / nn.tot), 0)
+            AS BIGINT) AS share_micro
+FROM d JOIN r ON r.i = d.r_pick CROSS JOIN nn
+ORDER BY 1
+"""
+
+
 def build_registry():
     queries = {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5005,6 +5104,7 @@ def build_registry():
         "q321_rebalance_audit": q321_rebalance_audit,
         "q322_mutual_nearest_neighbors": q322_mutual_nearest_neighbors,
         "q323_markov_predictor_accuracy": q323_markov_predictor_accuracy,
+        "q324_lorenz_curve": q324_lorenz_curve,
     }
     # The extraction-arc oracles value-compare against single-process
     # golden parquets; materialize them now so the SQL's embedded paths
@@ -5418,6 +5518,7 @@ def build_registry():
         "q321_rebalance_audit": SQL_Q321,
         "q322_mutual_nearest_neighbors": SQL_Q322,
         "q323_markov_predictor_accuracy": SQL_Q323,
+        "q324_lorenz_curve": SQL_Q324,
     }
     # Driver-exposure rotation: the driver's correctness artifact caps
     # at 50 entries taken in ITERATION order, and rounds 2-3 exposed
